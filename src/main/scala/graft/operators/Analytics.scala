@@ -1,0 +1,381 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics core: the query capabilities of the engine over the star
+  * schema (SURVEY.md §2.B). Each query is a declarative DataFrame plan —
+  * Catalyst handles pushdown/pruning/join-reordering; dimension tables
+  * are explicitly broadcast so fact tables never shuffle for them.
+  *
+  * Scale notes: fact-fact joins (orders⨝lineitem) are equi-joins on the
+  * natural key → sort-merge/shuffled-hash with AQE; top-k goes through
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Analytics {
+  import Cols._
+
+  /** TPC-H Q1-style pricing summary: grouped agg with derived measures. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val ep = dec2(col("l_extendedprice"))
+    val disc = dec2(col("l_discount"), 4)
+    val tax = dec2(col("l_tax"), 4)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(ep).cast("double").as("sum_base_price"),
+        sum(ep * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(ep * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** 3-way join + agg + top-k (shipping priority). Customer side is
+    * filtered then broadcast; top-k compiles to TakeOrderedAndProject. */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-03-15"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"), 4)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** EXISTS semi-join: orders with at least one late-shipped lineitem. */
+  def q4Semijoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Snowflake 6-way join + agg (local supplier volume). Dimensions
+    * (supplier/nation/region) broadcast; only facts shuffle. */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"), 4)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Selective filter + global aggregate (forecast revenue). The filter
+    * reaches the parquet scan as PushedFilters. */
+  def q6FilterSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"), 4)).cast("double").as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window functions: top-2 spenders per nation (rank within partition). */
+  def q7WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val custRev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("total_spend").desc, col("c_custkey"))
+    custRev.join(c, col("o_custkey") === col("c_custkey"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 2)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("total_spend"), col("rnk"))
+      .orderBy(col("n_name"), col("rnk"), col("c_name"))
+  }
+
+  val q7Sql: String =
+    """WITH cust_rev AS (
+      |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT n_name, c_name, total_spend, rnk FROM (
+      |  SELECT c_nationkey, c_name, c_custkey, total_spend,
+      |    rank() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS rnk
+      |  FROM cust_rev JOIN customer ON o_custkey = c_custkey) t
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rnk <= 2 ORDER BY n_name, rnk, c_name""".stripMargin
+
+  /** Hierarchical ROLLUP (region → nation) with explicit null-first sort
+    * so subtotal rows order identically everywhere. */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q8Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** NOT EXISTS anti-join: customers with no orders before 1996. */
+  def q9Antijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1996-01-01"))
+    c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q9Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** GroupBy + HAVING: high-frequency customers. */
+  def q10Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"), sum(dec2(col("o_totalprice"))).cast("double").as("spend"))
+      .filter(col("order_cnt") >= 12)
+      .orderBy(col("o_custkey"))
+
+  val q10Sql: String =
+    """SELECT o_custkey, count(*) AS order_cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin
+
+  /** Conditional aggregation: status breakdown per priority. */
+  def q12CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("total"),
+        countIf(col("o_orderstatus") === "F").as("finished"),
+        countIf(col("o_orderstatus") === "O").as("open_cnt"),
+        sum(when(col("o_totalprice") > 100000, dec2(col("o_totalprice")))).cast("double").as("big_spend"))
+      .orderBy(col("o_orderpriority"))
+
+  val q12Sql: String =
+    """SELECT o_orderpriority, count(*) AS total,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_cnt,
+      |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS big_spend
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left outer join + distribution (customer order-count histogram). */
+  def q13OuterjoinDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist FROM c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Exact distinct counting per group. */
+  def q14Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  val q14Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+      |  count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Scalar subquery / argmax: supplier(s) with max quarterly revenue. */
+  def q15Maxsub(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"), 4)))
+        .cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+    val s = Tables.supplier(spark, dir)
+    s.join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("mr"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: event_type → columns, sum(value) per user (wide aggregation). */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val pivoted = e.groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(sum(dec2(col("value"))))
+    pivoted.select(col("user_id") +: eventTypes.map(t => col(t).cast("double").as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val q16Sql: String =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** HLL sketch path (approx_count_distinct) — the 100 TB distinct
+    * strategy. No DuckDB oracle (sketches differ); rows-only check. */
+  def q17ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** GROUPING SETS multi-granularity aggregation (via Spark SQL). */
+  def q18GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("g_region")
+    spark.sql(
+      """SELECT r_name, o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+        |  JOIN g_nation ON c_nationkey = n_nationkey
+        |  JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
+        |ORDER BY r_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q18Sql: String =
+    """SELECT r_name, o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
+      |ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topk" -> (q3JoinTopk _),
+    "q4_semijoin" -> (q4Semijoin _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "q6_filter_sum" -> (q6FilterSum _),
+    "q7_window_rank" -> (q7WindowRank _),
+    "q8_rollup" -> (q8Rollup _),
+    "q9_antijoin" -> (q9Antijoin _),
+    "q10_having" -> (q10Having _),
+    "q12_case_agg" -> (q12CaseAgg _),
+    "q13_outerjoin_dist" -> (q13OuterjoinDist _),
+    "q14_distinct" -> (q14Distinct _),
+    "q15_maxsub" -> (q15Maxsub _),
+    "q16_pivot" -> (q16Pivot _),
+    "q17_approx_distinct" -> (q17ApproxDistinct _),
+    "q18_grouping_sets" -> (q18GroupingSets _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q3_join_topk" -> q3Sql,
+    "q4_semijoin" -> q4Sql,
+    "q5_multijoin" -> q5Sql,
+    "q6_filter_sum" -> q6Sql,
+    "q7_window_rank" -> q7Sql,
+    "q8_rollup" -> q8Sql,
+    "q9_antijoin" -> q9Sql,
+    "q10_having" -> q10Sql,
+    "q12_case_agg" -> q12Sql,
+    "q13_outerjoin_dist" -> q13Sql,
+    "q14_distinct" -> q14Sql,
+    "q15_maxsub" -> q15Sql,
+    "q16_pivot" -> q16Sql,
+    "q18_grouping_sets" -> q18Sql)
+}

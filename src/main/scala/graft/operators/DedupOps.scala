@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection (SURVEY.md §2.D): MinHash+LSH and SimHash.
+  *
+  * Scale design: signatures are NOT computed with nested higher-order
+  * functions (those evaluate interpreted and re-inline their inputs —
+  * catastrophic recompute). Instead: explode shingles/tokens, then one
+  * codegen'd hash-aggregate computes all 128 min-hashes (or 64 bit
+  * sums) per document in a single pass. The only joins are bucket
+  * self-joins on band hashes — candidate pairs, never the n² space.
+  * Verified pairs are re-checked with exact Jaccard, so LSH is purely a
+  * candidate filter.
+  */
+object DedupOps {
+  import TextOps.{jaccard, shingles, tokens}
+
+  val NumHashes = 128
+  val NumBands = 32
+  val RowsPerBand = 4
+
+  /** Distinct word-3-shingles per doc, one output row per shingle. */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
+
+  /** doc_id → 128-column minhash signature (single codegen'd agg pass). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until NumHashes).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
+    explodedShingles(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_hash) pairs, band index folded into the hash. */
+  def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bandCols = (0 until NumBands).map { j =>
+      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"h$i"))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+  }
+
+  /** d6: MinHash-LSH near-dup pairs, exact-Jaccard verified at τ=0.5.
+    * Output ≡ all-pairs shingle Jaccard ≥ τ (the DuckDB oracle): with
+    * 32 bands × 4 rows, P[LSH misses a pair at Jaccard s] = (1-s⁴)³²,
+    * ≈ 4e-15 at the s ≥ 0.9 where this corpus' true pairs live. */
+  def d6DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = bandBuckets(spark, dir)
+    val cand = buckets.as("x").join(buckets.as("y"), col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("s"))
+      .filter(size(col("s")) > 0)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d6Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** doc_id → 64-bit SimHash: explode tokens, hash once, then 64 signed
+    * bit-sums in one codegen'd aggregate; bits assembled afterwards. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit$i"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sh = (0 until 64)
+      .map(i => when(col(s"bit$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), sh.as("sh"))
+  }
+
+  /** d7: SimHash near-dup — 4×16-bit band buckets guarantee recall for
+    * hamming distance ≤ 3 (pigeonhole); rows-only (no SQL oracle). */
+  def d7DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = simhashes(spark, dir)
+    val bandCols = (0 until 4).map(j => shiftright(col("sh"), j * 16).bitwiseAND(0xFFFFL) * 4 + j)
+    val banded = docs.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bh"))
+    banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .filter(col("doc_a") < col("doc_b") && col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d6_dedup_minhash" -> (d6DedupMinhash _),
+    "d7_dedup_simhash" -> (d7DedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "d6_dedup_minhash" -> d6Sql)
+}

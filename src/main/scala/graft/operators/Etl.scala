@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's ETL capability surface re-expressed as declarative
+  * Spark operators (SURVEY.md §2.A), instantiated on the test star
+  * schema (orders as the control table, nation/region as the source
+  * registry, events as the staging object log).
+  *
+  * Reference semantics:
+  *  - pending-work selection: collect-data.py:162-166 (status empty)
+  *  - control upsert:         update-control.py:29-36 (keyed status merge)
+  *  - staging→raw promotion:  process-staging.py:32-50 (y/m/d/h layout)
+  *  - CDC compaction:         process-staging.py:38 (initial vs cdc loads)
+  *  - city scoring:           README.md (normalize+weight+rank metrics)
+  */
+object Etl {
+  import Cols._
+
+  /** Control-table pending-work selection: minimal projection + a pushed
+    * filter — at 100 TB the parquet scan reads 4 columns and skips
+    * non-matching row groups via min/max stats. */
+  def a1PendingFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").as("entity_id"),
+        col("o_orderdate").as("requested_at"),
+        col("o_orderpriority").as("priority"))
+      .orderBy(col("id"))
+
+  val a1Sql: String =
+    """SELECT o_orderkey AS id, o_custkey AS entity_id, o_orderdate AS requested_at,
+      |  o_orderpriority AS priority
+      |FROM orders WHERE o_orderstatus = 'O' ORDER BY id""".stripMargin
+
+  /** Keyed upsert (the update-control merge): base LEFT JOIN updates on
+    * id, new status wins via coalesce. Updates derive from lineitem
+    * (fully-shipped orders). Both sides shuffle once on the key. */
+  def a2ControlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val updates = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("completed_at"))
+      .filter(col("completed_at") < lit("1997-01-01"))
+      .withColumn("new_status", lit("shipped"))
+    Tables.orders(spark, dir)
+      .join(updates, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(
+        col("o_orderkey").as("id"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"),
+        col("completed_at").as("date_completed"))
+      .orderBy(col("id"))
+  }
+
+  val a2Sql: String =
+    """WITH updates AS (
+      |  SELECT l_orderkey, 'shipped' AS new_status, max(l_shipdate) AS completed_at
+      |  FROM lineitem GROUP BY l_orderkey HAVING max(l_shipdate) < TIMESTAMP '1997-01-01')
+      |SELECT o_orderkey AS id,
+      |  coalesce(new_status, o_orderstatus) AS status,
+      |  completed_at AS date_completed
+      |FROM orders LEFT JOIN updates ON o_orderkey = l_orderkey
+      |ORDER BY id""".stripMargin
+
+  /** Staging→raw promotion: derive the y/m/d/h partition columns and the
+    * hive-style object key (process-staging.py's path scheme). Pure
+    * map-side projection — no shuffle. */
+  def a3PromotePartition(spark: SparkSession, dir: String): DataFrame = {
+    val pad2 = (c: Column) => lpad(c.cast("string"), 2, "0")
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type").as("source"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        concat(
+          lit("raw/"), col("event_type"), lit("/"),
+          year(col("ts")).cast("string"), lit("/"),
+          pad2(month(col("ts"))), lit("/"),
+          pad2(dayofmonth(col("ts"))), lit("/"),
+          pad2(hour(col("ts"))), lit("/"),
+          col("event_id").cast("string"), lit(".parquet")).as("object_key"))
+      .orderBy(col("event_id"))
+  }
+
+  val a3Sql: String =
+    """SELECT event_id, event_type AS source,
+      |  CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+      |  CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+      |  concat('raw/', event_type, '/', CAST(year(ts) AS VARCHAR), '/',
+      |    lpad(CAST(month(ts) AS VARCHAR), 2, '0'), '/',
+      |    lpad(CAST(day(ts) AS VARCHAR), 2, '0'), '/',
+      |    lpad(CAST(hour(ts) AS VARCHAR), 2, '0'), '/',
+      |    CAST(event_id AS VARCHAR), '.parquet') AS object_key
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Source-registry enrichment: config lookup join (broadcast dim). */
+  def a4RegistryEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_nationkey").as("source_id"),
+        col("n_name").as("source"),
+        col("r_name").as("source_group"),
+        concat(lit("https://data.example.org/"), lower(col("n_name")),
+          lit("?region="), lower(col("r_name"))).as("endpoint"))
+      .orderBy(col("source_id"))
+  }
+
+  val a4Sql: String =
+    """SELECT n_nationkey AS source_id, n_name AS source, r_name AS source_group,
+      |  concat('https://data.example.org/', lower(n_name), '?region=', lower(r_name)) AS endpoint
+      |FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY source_id""".stripMargin
+
+  /** Multi-metric scoring (the README's city scoring): per-nation
+    * metrics → min-max normalize → weighted score → rank. Normalization
+    * is a window over the (tiny) aggregated result, not the facts. */
+  def a5CityScore(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("s"))
+    val m = Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(coalesce(col("s"), lit(0).cast(DecimalType(22, 2)))).cast("double").as("total_spend"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+    val all = Window.partitionBy()
+    def norm(c: Column): Column =
+      (c - min(c).over(all)) / nullif(max(c).over(all) - min(c).over(all), lit(0))
+    val score = lit(0.5) * norm(col("total_spend")) +
+      lit(0.3) * norm(col("n_customers").cast("double")) +
+      lit(0.2) * norm(col("total_bal"))
+    m.join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"), col("n_customers"), col("total_spend"),
+        col("total_bal"), score.as("score"))
+      .withColumn("rnk", rank().over(Window.orderBy(col("score").desc, col("n_nationkey"))))
+      .orderBy(col("rnk"), col("n_nationkey"))
+  }
+
+  val a5Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+      |  FROM orders GROUP BY o_custkey),
+      |m AS (
+      |  SELECT c_nationkey, count(*) AS n_customers,
+      |    CAST(sum(coalesce(s, CAST(0 AS DECIMAL(22,2)))) AS DOUBLE) AS total_spend,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+      |  GROUP BY c_nationkey),
+      |scored AS (
+      |  SELECT n_nationkey, n_name, n_customers, total_spend, total_bal,
+      |    0.5 * ((total_spend - min(total_spend) OVER ()) / nullif(max(total_spend) OVER () - min(total_spend) OVER (), 0))
+      |    + 0.3 * ((CAST(n_customers AS DOUBLE) - min(CAST(n_customers AS DOUBLE)) OVER ()) / nullif(max(CAST(n_customers AS DOUBLE)) OVER () - min(CAST(n_customers AS DOUBLE)) OVER (), 0))
+      |    + 0.2 * ((total_bal - min(total_bal) OVER ()) / nullif(max(total_bal) OVER () - min(total_bal) OVER (), 0)) AS score
+      |  FROM m JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_nationkey, n_name, n_customers, total_spend, total_bal, score,
+      |  rank() OVER (ORDER BY score DESC, n_nationkey) AS rnk
+      |FROM scored ORDER BY rnk, n_nationkey""".stripMargin
+
+  /** Per-source completion stats (the control files' status rollup). */
+  def a6CompletionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("total"),
+        countIf(col("o_orderstatus") === "F").as("completed"),
+        (countIf(col("o_orderstatus") === "F").cast("double") / count(lit(1))).as("completion_rate"),
+        max(col("o_orderdate")).as("latest"))
+      .orderBy(col("o_orderpriority"))
+
+  val a6Sql: String =
+    """SELECT o_orderpriority, count(*) AS total,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS completed,
+      |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) / count(*) AS completion_rate,
+      |  max(o_orderdate) AS latest
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** CDC compaction: latest record per key (initial+cdc loads collapse
+    * to current state). One shuffle on the key; at scale this is the
+    * standard row_number compaction that AQE skew-handles. */
+  def a7CdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val a7Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
+      |SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM e) t WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_pending_filter" -> (a1PendingFilter _),
+    "a2_control_merge" -> (a2ControlMerge _),
+    "a3_promote_partition" -> (a3PromotePartition _),
+    "a4_registry_enrich" -> (a4RegistryEnrich _),
+    "a5_city_score" -> (a5CityScore _),
+    "a6_completion_stats" -> (a6CompletionStats _),
+    "a7_cdc_compact" -> (a7CdcCompact _))
+
+  val oracles: Map[String, String] = Map(
+    "a1_pending_filter" -> a1Sql,
+    "a2_control_merge" -> a2Sql,
+    "a3_promote_partition" -> a3Sql,
+    "a4_registry_enrich" -> a4Sql,
+    "a5_city_score" -> a5Sql,
+    "a6_completion_stats" -> a6Sql,
+    "a7_cdc_compact" -> a7Sql)
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Cols, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the events stream table (SURVEY.md §2.C).
+  * Batch forms here; Structured Streaming equivalents live in
+  * graft.streaming (same logic, incremental execution).
+  */
+object Events {
+  import Cols._
+
+  /** Tumbling-window aggregation (1 hour) per event type. At scale this
+    * is a single map-side-combined shuffle on (window, type). */
+  def c1HourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val c1Sql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
+      |SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag over a
+    * per-user window marks session starts; one shuffle on user_id. */
+  def c2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, lit(1))
+          .otherwise(lit(0)))
+      .groupBy(col("user_id"))
+      .agg(countIf(col("new_sess") === 1).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val c2Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, count(CASE WHEN new_sess = 1 THEN 1 END) AS n_sessions, count(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** As-of join: for each purchase, the latest click at-or-before it by
+    * the same user. Implemented as union + single per-user window pass
+    * (last_value ignoreNulls) — ONE shuffle, no range cross-join, which
+    * is the only shape that survives 100 TB.
+    *
+    * Tie rule: a click at exactly the purchase ts counts (≤), so clicks
+    * sort before purchases at equal ts via the is_purchase flag.
+    */
+  def c3AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val c3Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT max(c.ts) FROM e c
+      |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts
+      |FROM e p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_hourly_window" -> (c1HourlyWindow _),
+    "c2_sessionize" -> (c2Sessionize _),
+    "c3_asof_join" -> (c3AsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "c1_hourly_window" -> c1Sql,
+    "c2_sessionize" -> c2Sql,
+    "c3_asof_join" -> c3Sql)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.E): media payloads travel as
+  * opaque binary columns with a typed metadata struct alongside. The
+  * decode step is STUBBED deterministically (no image/audio libs in this
+  * environment) — the Spark-side schema, batching, and partitioning are
+  * real and tested.
+  */
+object MultimodalOps {
+
+  /** e1: binary metadata extraction — blob length, content hash, format
+    * sniff, stubbed decoded dimensions (deterministic from the hash). */
+  def e1MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    val h = md5(blob)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(blob).as("n_bytes"),
+        h.as("content_md5"),
+        when(substring(col("text"), 1, 1).between("a", "z"), lit("text/plain"))
+          .otherwise(lit("application/octet-stream")).as("sniffed_format"),
+        (lit(640) + (ascii(substring(h, 1, 1)) % 16) * 80).as("width"),
+        (lit(360) + (ascii(substring(h, 2, 1)) % 16) * 45).as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val e1Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  CASE WHEN substring(text, 1, 1) BETWEEN 'a' AND 'z' THEN 'text/plain'
+      |       ELSE 'application/octet-stream' END AS sniffed_format,
+      |  CAST(640 + (ascii(substring(md5(text), 1, 1)) % 16) * 80 AS INTEGER) AS width,
+      |  CAST(360 + (ascii(substring(md5(text), 2, 1)) % 16) * 45 AS INTEGER) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** A decoded media record: the real pipeline shape — metadata struct +
+    * extracted feature vector, batch-produced per partition. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Int, width: Int, height: Int, features: Array[Float])
+
+  /** Batch decode API: mapPartitions over (id, blob) rows, decoding in
+    * per-partition batches the way a native decoder binding would.
+    * The decoder itself is a deterministic stub — REPLACE with a real
+    * image/audio codec where available. */
+  def decodeBatch(spark: SparkSession, blobs: DataFrame, batchSize: Int = 64): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // STUB decoder: deterministic pseudo-decode of each blob.
+          batch.map { case (id, bytes) =>
+            val h = java.util.Arrays.hashCode(bytes)
+            val feats = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15f)
+            DecodedMedia(id, bytes.length, 640 + (h & 0xF) * 80, 360 + ((h >>> 4) & 0xF) * 45, feats)
+          }
+        }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_multimodal_meta" -> (e1MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_multimodal_meta" -> e1Sql)
+}

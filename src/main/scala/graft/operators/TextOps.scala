@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents corpus (SURVEY.md §2.D).
+  * Everything is built from codegen'd native functions (split/filter/
+  * transform/aggregate/regexp) — no UDFs, so the hot path stays inside
+  * whole-stage codegen at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped (leading/trailing spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), x => x =!= lit(""))
+
+  /** Distinct word k-shingles (k=3), 1-based windows over the tokens. */
+  def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact set-Jaccard between two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_distinct(concat(a, b)))
+
+  /** d1: token counting and character stats. */
+  def d1TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).as("chars_computed"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d1Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  CAST(length(text) AS INTEGER) AS chars_computed,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS n_distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stopword lexicons for the n-gram/lexicon language-ID heuristic.
+    * Tiny on purpose: broadcast as literals into codegen. */
+  private[graft] val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "que", "por", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "ist", "mit", "für"))
+
+  /** d2: language ID — argmax of per-language stopword hits, with a CJK
+    * codepoint check for zh. Rows-only (heuristic; accuracy asserted in
+    * ScalaTest against the reference lang column). */
+  def d2LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val hitCols = lexicons.map { case (lang, words) =>
+      size(filter(t, x => x.isin(words.map(lit(_)): _*))).as(s"hits_$lang")
+    }
+    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("lang_true") +: hasCjk.as("has_cjk") +: hitCols: _*)
+    val best = lexicons.map(_._1).foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestHits), lang) =>
+        val h = col(s"hits_$lang")
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+          when(h > bestHits, h).otherwise(bestHits))
+    }
+    base.select(
+      col("doc_id"), col("lang_true"),
+      when(col("has_cjk"), lit("zh")).otherwise(best._1).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d3: quality scoring — length/alpha/stopword ratios + flag. */
+  def d3QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val stopCnt = size(filter(t, x => x.isin("the", "a", "of", "and", "to", "in")))
+    val alphaChars = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val tokLenSum = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        stopCnt.as("stop_cnt"),
+        (alphaChars.cast("double") / length(col("text"))).as("alpha_ratio"),
+        (stopCnt.cast("double") / nTok).as("stop_ratio"),
+        (tokLenSum.cast("double") / nTok).as("avg_token_len"))
+      .withColumn("quality_flag",
+        when(col("n_tokens").between(5, 1000) && col("avg_token_len").between(2.0, 12.0), lit("ok"))
+          .otherwise(lit("low")))
+      .orderBy(col("doc_id"))
+  }
+
+  val d3Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INTEGER) AS n_tokens,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS INTEGER) AS stop_cnt,
+      |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(toks) AS stop_ratio,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
+      |  FROM t)
+      |SELECT doc_id, n_tokens, stop_cnt, alpha_ratio, stop_ratio, avg_token_len,
+      |  CASE WHEN n_tokens BETWEEN 5 AND 1000 AND avg_token_len BETWEEN 2.0 AND 12.0
+      |       THEN 'ok' ELSE 'low' END AS quality_flag
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** d4: document fingerprinting — md5 content hash + hex bucket prefix
+    * (plus the engine-internal xxhash64 used by dedup, not oracled). */
+  def d4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        substring(md5(col("text")), 1, 8).as("bucket"))
+      .orderBy(col("doc_id"))
+
+  val d4Sql: String =
+    """SELECT doc_id, md5(text) AS fp_md5, substring(md5(text), 1, 8) AS bucket
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d5: exact dedup — normalize, hash, group; canonical = min doc_id.
+    * At 100 TB this is the single-shuffle hash-groupBy dedup. */
+  def d5DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(trim(lower(col("text")))).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("content_hash"))
+
+  val d5Sql: String =
+    """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** d8: n-gram Jaccard scoring for given candidate pairs (consecutive
+    * doc ids as the deterministic pair generator). */
+  def d8NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("s"))
+      .filter(size(col("s")) > 0)
+    val a = docs.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  val d8Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_text_stats" -> (d1TextStats _),
+    "d2_lang_id" -> (d2LangId _),
+    "d3_quality_score" -> (d3QualityScore _),
+    "d4_fingerprint" -> (d4Fingerprint _),
+    "d5_dedup_exact" -> (d5DedupExact _),
+    "d8_ngram_jaccard" -> (d8NgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_text_stats" -> d1Sql,
+    "d3_quality_score" -> d3Sql,
+    "d4_fingerprint" -> d4Sql,
+    "d5_dedup_exact" -> d5Sql,
+    "d8_ngram_jaccard" -> d8Sql)
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Config-driven source registry — the engine's form of the reference's
+  * config.json + scraper_config.csv/api_config.csv (collect-data.py:42-64).
+  *
+  * A registry is a small DataFrame of named sources with their kind
+  * (website/api), endpoint template, parameter list, and partition
+  * columns; jobs join work-item tables against it (broadcast — it is
+  * tiny by construction).
+  */
+object SourceRegistry {
+  case class Source(name: String, kind: String, endpoint: String,
+                    parameters: Seq[String], partitionCols: Seq[String])
+
+  /** Load from a JSON config file shaped like the reference's
+    * config.json: {kind: {name: {url|endpoint, parameters, ...}}}. */
+  def fromJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val kinds = raw.schema.fields.map(_.name)
+    val perKind = kinds.map { kind =>
+      val kindCol = raw.select(col(kind).as("k")).select(col("k.*"))
+      val names = kindCol.schema.fields.map(_.name)
+      names.map { n =>
+        raw.select(
+          lit(n).as("name"), lit(kind).as("kind"),
+          coalesce(col(s"$kind.$n.url"), col(s"$kind.$n.endpoint")).as("endpoint"),
+          split(regexp_replace(col(s"$kind.$n.parameters"), " ", ""), ",").as("parameters"))
+      }.reduce(_ unionAll _)
+    }
+    perKind.reduce(_ unionAll _)
+  }
+
+  /** Load from a CSV registry (scraper_config.csv / api_config.csv shape:
+    * name, endpoint, parameters, s3_directory). */
+  def fromCsv(spark: SparkSession, path: String, kind: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .withColumn("kind", lit(kind))
+
+  /** Enrich a work-item table with its source's registry row. */
+  def enrich(items: DataFrame, registry: DataFrame, itemSourceCol: String): DataFrame =
+    items.join(broadcast(registry), items(itemSourceCol) === registry("name"), "left_outer")
+}

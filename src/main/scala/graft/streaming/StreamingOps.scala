@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's event operators
+  * (SURVEY.md §2.C): the same logic as the batch versions, executed
+  * incrementally with watermarks and state.
+  *
+  * Input contract: a streaming DataFrame with the events schema
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double) — from readStream on files, Kafka, or MemoryStream in
+  * tests.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * streaming twin of Events.c1HourlyWindow. Late events beyond the
+    * watermark are dropped; state is bounded. */
+  def hourlyWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Stateful gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState — streaming twin of Events.c2Sessionize.
+    * Emits a session when the processing-time timeout fires after the
+    * gap elapses. */
+  def sessionize(spark: SparkSession, events: Dataset[EventRow],
+                 gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+              new java.sql.Timestamp(s.lastTs), s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dedup on a content key with watermarked state —
+    * streaming twin of TextOps.d5DedupExact. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermarkCol: String,
+                  delay: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicates(keyCols :+ watermarkCol)
+}

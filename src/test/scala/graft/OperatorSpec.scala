@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** One smoke+invariant spec per operator family (SURVEY.md §6).
+  * DuckDB value parity is checked by tools/oracle_check.py + the
+  * driver's gate; here we assert structural invariants and plan shape.
+  */
+class OperatorSpec extends GraftSpec {
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val plan = Analytics.q1Agg(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan.take(2000))
+  }
+
+  test("q5 broadcasts dimension tables") {
+    val plan = Analytics.q5Multijoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q3 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = Analytics.q3JoinTopk(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("a2 control merge keeps every base row exactly once") {
+    val out = Etl.a2ControlMerge(spark, sfDir)
+    val base = Tables.orders(spark, sfDir).count()
+    assert(out.count() == base)
+    assert(out.select("id").distinct().count() == base)
+  }
+
+  test("a7 cdc compact keeps one row per user") {
+    val out = Etl.a7CdcCompact(spark, sfDir)
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("c2 sessionize: session count between 1 and event count") {
+    val bad = Events.c2Sessionize(spark, sfDir)
+      .filter(col("n_sessions") < 1 || col("n_sessions") > col("n_events"))
+    assert(bad.count() == 0)
+  }
+
+  test("c3 as-of join: last_click_ts <= purchase ts") {
+    val bad = Events.c3AsofJoin(spark, sfDir)
+      .filter(col("last_click_ts") > col("ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("d2 lang id agrees with the reference lang column on >80% of docs") {
+    val out = TextOps.d2LangId(spark, sfDir)
+    val total = out.count()
+    val hits = out.filter(col("lang_pred") === col("lang_true")).count()
+    assert(hits.toDouble / total > 0.8, s"lang-id accuracy ${hits.toDouble / total}")
+  }
+
+  test("d5 exact dedup: canonical ids are unique and counts sum to corpus") {
+    val out = TextOps.d5DedupExact(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(out.agg(sum("n_dups")).head.getLong(0) == docs)
+    assert(out.select("canonical_id").distinct().count() == out.count())
+  }
+
+  test("d6 minhash finds exactly the high-jaccard pairs (vs exhaustive)") {
+    import TextOps.{jaccard, shingles, tokens}
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("s"))
+      .filter(size(col("s")) > 0)
+    val a = docs.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    val exhaustive = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.5)
+      .count()
+    val lsh = DedupOps.d6DedupMinhash(spark, sfDir).count()
+    assert(lsh == exhaustive, s"lsh=$lsh exhaustive=$exhaustive")
+  }
+
+  test("d9/d10: lsh ANN recall vs brute force is sane") {
+    val brute = VectorOps.d9CosineTopk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.d10AnnLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall=$recall") // bucketed probe, small corpus
+  }
+
+  test("multimodal decodeBatch preserves ids and emits fixed-width features") {
+    val blobs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val out = MultimodalOps.decodeBatch(spark, blobs)
+    assert(out.count() == blobs.count())
+    assert(out.head().features.length == 8)
+  }
+}

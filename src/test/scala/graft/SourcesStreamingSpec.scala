@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{PartitionedSink, SourceRegistry}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class SourcesStreamingSpec extends GraftSpec {
+
+  test("PartitionedSink promotes with hive layout and prunes partitions") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val events = Tables.events(spark, sfDir)
+    PartitionedSink.promote(events, out, "event_type", "ts")
+    val back = spark.read.parquet(out)
+    assert(back.count() == events.count())
+    // partition pruning: a source+day filter must read only its dirs
+    val one = back.filter(col("source") === "click" && col("y") === 2024 && col("m") === 1 && col("d") === 5)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+  }
+
+  test("SourceRegistry loads the reference-shaped JSON config") {
+    val cfg = Files.createTempFile("graft_cfg", ".json")
+    Files.writeString(cfg,
+      """{"website": {"city-data": {"url": "https://x/{}.html", "element_id": "content", "parameters": "state,city"},
+        |             "usa": {"url": "http://y/{}.htm", "element_id": "content", "parameters": "state,city"}},
+        | "api": {"schools": {"endpoint": "https://api/schools", "parameters": "state,zip", "api_key": "k"}}}""".stripMargin)
+    val reg = SourceRegistry.fromJson(spark, cfg.toString)
+    assert(reg.count() == 3)
+    val row = reg.filter(col("name") === "schools").head()
+    assert(row.getAs[String]("kind") == "api")
+    assert(row.getAs[String]("endpoint") == "https://api/schools")
+    assert(row.getAs[Seq[String]]("parameters") == Seq("state", "zip"))
+  }
+
+  test("streaming hourly window aggregates incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.hourlyWindow(df).writeStream
+      .format("memory").queryName("hourly_test").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:45:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 20:00:00") // advances watermark past 10:00 window
+    mem.addData((t0, "click", 1.0), (t1, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData((late, "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from hourly_test").collect()
+    q.stop()
+    assert(rows.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n_events") == 2))
+  }
+
+  test("streaming sessionization closes a session after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.sessionize(spark, mem.toDS(), gapMs = 1000).writeStream
+      .format("memory").queryName("sess_test").outputMode("append").start()
+    val base = System.currentTimeMillis() - 3600 * 1000
+    mem.addData(
+      StreamingOps.EventRow(1, new java.sql.Timestamp(base), 7, "click", 1.0),
+      StreamingOps.EventRow(2, new java.sql.Timestamp(base + 500), 7, "view", 1.0))
+    q.processAllAvailable()
+    Thread.sleep(1500) // let the processing-time timeout elapse
+    mem.addData(StreamingOps.EventRow(3, new java.sql.Timestamp(base + 10000), 8, "click", 1.0))
+    q.processAllAvailable()
+    Thread.sleep(1500)
+    mem.addData(StreamingOps.EventRow(4, new java.sql.Timestamp(base + 20000), 9, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from sess_test").collect()
+    q.stop()
+    assert(rows.exists(r => r.getAs[Long]("user_id") == 7 && r.getAs[Long]("n_events") == 2), rows.mkString(";"))
+  }
+}
