@@ -18,16 +18,20 @@ object SourceRegistry {
   /** Load from a JSON config file shaped like the reference's
     * config.json: {kind: {name: {url|endpoint, parameters, ...}}}. */
   def fromJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val raw = spark.read.option("multiLine", "true").json(path)
-    val kinds = raw.schema.fields.map(_.name)
-    val perKind = kinds.map { kind =>
-      val kindCol = raw.select(col(kind).as("k")).select(col("k.*"))
-      val names = kindCol.schema.fields.map(_.name)
-      names.map { n =>
+    val perKind = raw.schema.fields.map { kindField =>
+      val kind = kindField.name
+      val sources = kindField.dataType.asInstanceOf[StructType]
+      sources.fields.map { srcField =>
+        val n = srcField.name
+        val attrs = srcField.dataType.asInstanceOf[StructType].fieldNames.toSet
+        val endpoint =
+          if (attrs("url")) col(s"$kind.`$n`.url") else col(s"$kind.`$n`.endpoint")
         raw.select(
           lit(n).as("name"), lit(kind).as("kind"),
-          coalesce(col(s"$kind.$n.url"), col(s"$kind.$n.endpoint")).as("endpoint"),
-          split(regexp_replace(col(s"$kind.$n.parameters"), " ", ""), ",").as("parameters"))
+          endpoint.as("endpoint"),
+          split(regexp_replace(col(s"$kind.`$n`.parameters"), " ", ""), ",").as("parameters"))
       }.reduce(_ unionAll _)
     }
     perKind.reduce(_ unionAll _)

@@ -34,13 +34,16 @@ object StreamingOps {
 
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — streaming twin of Events.c2Sessionize.
-    * Emits a session when the processing-time timeout fires after the
-    * gap elapses. */
+    * Event-time timeouts: a session closes when the WATERMARK passes
+    * lastTs + gap (deterministic — no wall-clock dependence), or
+    * immediately when a same-user event arrives beyond the gap. */
   def sessionize(spark: SparkSession, events: Dataset[EventRow],
-                 gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+                 gapMs: Long = 30L * 60 * 1000,
+                 watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -66,7 +69,7 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
             }
             closed.result().iterator
           }

@@ -33,7 +33,7 @@ class SourcesStreamingSpec extends GraftSpec {
     val row = reg.filter(col("name") === "schools").head()
     assert(row.getAs[String]("kind") == "api")
     assert(row.getAs[String]("endpoint") == "https://api/schools")
-    assert(row.getAs[Seq[String]]("parameters") == Seq("state", "zip"))
+    assert(row.getSeq[String](row.fieldIndex("parameters")) == Seq("state", "zip"))
   }
 
   test("streaming hourly window aggregates incrementally") {
@@ -55,25 +55,25 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(rows.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n_events") == 2))
   }
 
-  test("streaming sessionization closes a session after the gap") {
+  test("streaming sessionization closes a session after the gap (event time)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.EventRow]
-    val q = StreamingOps.sessionize(spark, mem.toDS(), gapMs = 1000).writeStream
-      .format("memory").queryName("sess_test").outputMode("append").start()
-    val base = System.currentTimeMillis() - 3600 * 1000
-    mem.addData(
-      StreamingOps.EventRow(1, new java.sql.Timestamp(base), 7, "click", 1.0),
-      StreamingOps.EventRow(2, new java.sql.Timestamp(base + 500), 7, "view", 1.0))
-    q.processAllAvailable()
-    Thread.sleep(1500) // let the processing-time timeout elapse
-    mem.addData(StreamingOps.EventRow(3, new java.sql.Timestamp(base + 10000), 8, "click", 1.0))
-    q.processAllAvailable()
-    Thread.sleep(1500)
-    mem.addData(StreamingOps.EventRow(4, new java.sql.Timestamp(base + 20000), 9, "click", 1.0))
-    q.processAllAvailable()
-    val rows = spark.sql("select * from sess_test").collect()
-    q.stop()
-    assert(rows.exists(r => r.getAs[Long]("user_id") == 7 && r.getAs[Long]("n_events") == 2), rows.mkString(";"))
+    val q = StreamingOps.sessionize(spark, mem.toDS(), gapMs = 1000, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      mem.addData(
+        StreamingOps.EventRow(1, new java.sql.Timestamp(base), 7, "click", 1.0),
+        StreamingOps.EventRow(2, new java.sql.Timestamp(base + 500), 7, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 7's gap; next batch fires its timeout
+      mem.addData(StreamingOps.EventRow(3, new java.sql.Timestamp(base + 60000), 8, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.EventRow(4, new java.sql.Timestamp(base + 120000), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from sess_test").collect()
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 7 && r.getAs[Long]("n_events") == 2), rows.mkString(";"))
+    } finally q.stop()
   }
 }
