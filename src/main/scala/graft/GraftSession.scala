@@ -26,6 +26,8 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       // TIMESTAMP(NANOS) parquet (events.ts) reads as long; Tables.events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregates (128-col minhash signatures) must stay in codegen
+      .config("spark.sql.codegen.maxFields", "256")
   }
 
   def local(appName: String = "graft-local", cores: Int = Runtime.getRuntime.availableProcessors): SparkSession =

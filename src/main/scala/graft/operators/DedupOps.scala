@@ -23,11 +23,34 @@ object DedupOps {
   val RowsPerBand = 4
 
   /** Distinct word-3-shingles per doc, one output row per shingle. */
-  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def explodedShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
 
-  /** doc_id → 128-column minhash signature (single codegen'd agg pass). */
+  /** Exact |A∩B| / |A∪B| for given (doc_a, doc_b) pairs, computed
+    * relationally: join the exploded shingle rows on shingle equality
+    * and count — no fat array columns through the shuffle, everything
+    * codegen'd. `sizes` is (doc_id, sz). */
+  private[operators] def jaccardForPairs(pairs: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+  }
+
+  /** doc_id → 128-column minhash signature in one codegen'd agg pass
+    * (spark.sql.codegen.maxFields must exceed 128 — set in
+    * GraftSession/Verify). 128 independent seeded xxhash64's per
+    * shingle: cheap-mixing alternatives proved too correlated across
+    * seeds (LSH misses), so full independence is worth the hashing. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until NumHashes).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
     explodedShingles(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -53,13 +76,9 @@ object DedupOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("s"))
-      .filter(size(col("s")) > 0)
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
+    val sh = explodedShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    jaccardForPairs(cand, sh, sizes)
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -141,16 +141,14 @@ object TextOps {
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
   /** d8: n-gram Jaccard scoring for given candidate pairs (consecutive
-    * doc ids as the deterministic pair generator). */
+    * doc ids as the deterministic pair generator). Relational form —
+    * intersection via shingle-equality join, no array columns. */
   def d8NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("s"))
-      .filter(size(col("s")) > 0)
-    val a = docs.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-    a.join(b, col("doc_b") === col("doc_a") + 1)
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sa"), col("sb")).as("jaccard"))
-      .orderBy(col("doc_a"))
+    val sh = DedupOps.explodedShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = sizes.select(col("doc_id").as("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
+    DedupOps.jaccardForPairs(pairs, sh, sizes).orderBy(col("doc_a"))
   }
 
   val d8Sql: String =
