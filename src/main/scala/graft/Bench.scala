@@ -27,7 +27,9 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+      dt
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val total1 = pass1.values.filter(_ > 0).sum

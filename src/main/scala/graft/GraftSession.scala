@@ -16,7 +16,8 @@ object GraftSession {
               shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder = {
     val b = SparkSession.builder().appName(appName)
     master.foreach(b.master)
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -16,14 +16,14 @@ import org.apache.spark.sql.functions._
   * candidate filter.
   */
 object DedupOps {
-  import TextOps.{jaccard, shingles, tokens}
+  import TextOps.{shingles, tokens}
 
   val NumHashes = 128
   val NumBands = 32
   val RowsPerBand = 4
 
   /** Distinct word-3-shingles per doc, one output row per shingle. */
-  private[operators] def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+  def explodedShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
 

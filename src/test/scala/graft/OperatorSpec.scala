@@ -105,6 +105,18 @@ class OperatorSpec extends GraftSpec {
     assert(lsh == exhaustive, s"lsh=$lsh exhaustive=$exhaustive")
   }
 
+  test("native cosine_sim expression is bit-identical to the HOF fold") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(5000)
+    val diff = pairs.select(
+      VectorOps.cosine(col("ea"), col("eb")).as("native"),
+      VectorOps.cosineHof(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
   test("d9/d10: lsh ANN recall vs brute force is sane") {
     val brute = VectorOps.d9CosineTopk(spark, sfDir)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
