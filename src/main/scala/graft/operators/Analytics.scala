@@ -344,7 +344,73 @@ object Analytics {
       |GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
       |ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** String processing: LIKE classes, regexp extraction, distinct
+    * token counting per brand. */
+  def q19StringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        countIf(col("p_name").like("%widget%")).as("widgets"),
+        countDistinct(regexp_extract(col("p_name"), "^(\\w+)", 1)).as("n_first_words"),
+        max(upper(col("p_type"))).as("max_type"))
+      .orderBy(col("p_brand"))
+
+  val q19Sql: String =
+    """SELECT p_brand, count(*) AS cnt,
+      |  count(CASE WHEN p_name LIKE '%widget%' THEN 1 END) AS widgets,
+      |  count(DISTINCT regexp_extract(p_name, '^(\w+)', 1)) AS n_first_words,
+      |  max(upper(p_type)) AS max_type
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT with distinct semantics. */
+  def q20Setops(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val active96 = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_custkey").as("c_custkey"))
+    val negative = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    building.intersect(active96).except(negative).orderBy(col("c_custkey"))
+  }
+
+  val q20Sql: String =
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      | INTERSECT
+      | SELECT o_custkey AS c_custkey FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Exact discrete median per group via window rank selection —
+    * deterministic (no interpolation), one shuffle on the group key. */
+  def q21MedianDisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    val wOrd = w.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("rn") === ceil(col("cnt") / 2.0))
+      .select(col("o_custkey"), col("o_totalprice").as("median_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q21Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+      |  FROM orders)
+      |SELECT o_custkey, o_totalprice AS median_price FROM r
+      |WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT) ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_string_ops" -> (q19StringOps _),
+    "q20_setops" -> (q20Setops _),
+    "q21_median_disc" -> (q21MedianDisc _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q4_semijoin" -> (q4Semijoin _),
@@ -363,6 +429,9 @@ object Analytics {
     "q18_grouping_sets" -> (q18GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q19_string_ops" -> q19Sql,
+    "q20_setops" -> q20Sql,
+    "q21_median_disc" -> q21Sql,
     "q1_agg" -> q1Sql,
     "q3_join_topk" -> q3Sql,
     "q4_semijoin" -> q4Sql,

@@ -84,13 +84,71 @@ object Events {
       |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts
       |FROM e p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin
 
+  /** Semi-structured extraction: pull typed fields out of the JSON
+    * props column and aggregate — all codegen'd (get_json_object). */
+  def c4JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(k).as("k_sum"),
+        (sum(k).cast("double") / count(lit(1))).as("k_avg"),
+        min(k).as("k_min"),
+        max(k).as("k_max"))
+      .orderBy(col("event_type"))
+  }
+
+  val c4Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) / count(*) AS k_avg,
+      |  min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Range join: clicks within [purchase − 10 min, purchase] per user.
+    * Scalable shape: equi-join on (user, 10-min bucket) with the probe
+    * side exploded to its two covering buckets, then the exact range
+    * filter — never an unbounded inequality join. */
+  def c5RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bucketLen = 600L * 1000000L
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("b0", floor(unix_micros(col("ts")) / bucketLen))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+      .withColumn("b", floor(unix_micros(col("cts")) / bucketLen))
+    val counts = p.withColumn("b", explode(array(col("b0"), col("b0") - 1)))
+      .join(c, Seq("user_id", "b"))
+      .filter(col("cts") >= col("ts") - expr("INTERVAL 10 MINUTES") && col("cts") <= col("ts"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_recent_clicks"))
+    p.select(col("event_id"), col("user_id"), col("ts"))
+      .join(counts, Seq("event_id"), "left_outer")
+      .withColumn("n_recent_clicks", coalesce(col("n_recent_clicks"), lit(0L)))
+      .orderBy(col("event_id"))
+  }
+
+  val c5Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT count(*) FROM e c WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts) AS n_recent_clicks
+      |FROM e p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_hourly_window" -> (c1HourlyWindow _),
     "c2_sessionize" -> (c2Sessionize _),
-    "c3_asof_join" -> (c3AsofJoin _))
+    "c3_asof_join" -> (c3AsofJoin _),
+    "c4_json_extract" -> (c4JsonExtract _),
+    "c5_range_join" -> (c5RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "c1_hourly_window" -> c1Sql,
     "c2_sessionize" -> c2Sql,
-    "c3_asof_join" -> c3Sql)
+    "c3_asof_join" -> c3Sql,
+    "c4_json_extract" -> c4Sql,
+    "c5_range_join" -> c5Sql)
 }
