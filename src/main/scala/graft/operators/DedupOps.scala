@@ -27,6 +27,14 @@ object DedupOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
 
+  /** Same, but each shingle reduced to its 64-bit xxhash64 — one string
+    * hash per shingle; everything downstream (minhash seeds,
+    * intersection joins) operates on fixed-width longs. Collision odds
+    * at 2⁻⁶⁴ are negligible against corpus sizes. */
+  def explodedShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    explodedShingles(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   /** Exact |A∩B| / |A∪B| for given (doc_a, doc_b) pairs, computed
     * relationally: join the exploded shingle rows on shingle equality
     * and count — no fat array columns through the shuffle, everything
@@ -53,7 +61,7 @@ object DedupOps {
     * seeds (LSH misses), so full independence is worth the hashing. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until NumHashes).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
-    explodedShingles(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    explodedShingleHashes(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** (doc_id, band_hash) pairs, band index folded into the hash. */
@@ -76,7 +84,7 @@ object DedupOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val sh = explodedShingles(spark, dir)
+    val sh = explodedShingleHashes(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     jaccardForPairs(cand, sh, sizes)
       .filter(col("jaccard") >= 0.5)

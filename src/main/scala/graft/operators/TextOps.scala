@@ -144,7 +144,7 @@ object TextOps {
     * doc ids as the deterministic pair generator). Relational form —
     * intersection via shingle-equality join, no array columns. */
   def d8NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.explodedShingles(spark, dir)
+    val sh = DedupOps.explodedShingleHashes(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = sizes.select(col("doc_id").as("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
