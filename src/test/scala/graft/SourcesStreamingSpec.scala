@@ -36,6 +36,32 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(row.getSeq[String](row.fieldIndex("parameters")) == Seq("state", "zip"))
   }
 
+  test("SourceRegistry loads the reference's scraper_config.csv shape") {
+    val reg = SourceRegistry.fromCsv(spark, "/root/reference/data/scraper_config.csv", "website")
+    assert(reg.count() == 2)
+    assert(reg.filter(col("kind") === "website").count() == 2)
+    val sites = reg.select("site").collect().map(_.getString(0)).toSet
+    assert(sites == Set("city-data", "usa"))
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "content_key")
+    val q = StreamingOps.dedupStream(df, Seq("content_key"), "ts").writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((t0, "a"), (t0, "a"), (t0, "b"))
+      q.processAllAvailable()
+      mem.addData((t0, "a"), (t0, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql("select content_key from dedup_test").collect().map(_.getString(0))
+      assert(rows.sorted.toSeq == Seq("a", "b", "c"), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming hourly window aggregates incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
