@@ -319,6 +319,17 @@ object Analytics {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Quantile sketch path (approx_percentile) — the 100 TB percentile
+    * strategy alongside the exact q21. Rows-only (sketches differ). */
+  def q22ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   /** GROUPING SETS multi-granularity aggregation (via Spark SQL). */
   def q18GroupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
@@ -426,7 +437,8 @@ object Analytics {
     "q15_maxsub" -> (q15Maxsub _),
     "q16_pivot" -> (q16Pivot _),
     "q17_approx_distinct" -> (q17ApproxDistinct _),
-    "q18_grouping_sets" -> (q18GroupingSets _))
+    "q18_grouping_sets" -> (q18GroupingSets _),
+    "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
     "q19_string_ops" -> q19Sql,

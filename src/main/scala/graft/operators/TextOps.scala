@@ -163,7 +163,24 @@ object TextOps {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  /** d11: corpus vocabulary — token frequencies, top-100. The classic
+    * word count: explode + map-side-combined groupBy, top-k via
+    * TakeOrderedAndProject. */
+  def d11Vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(100)
+
+  val d11Sql: String =
+    """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents)
+      |SELECT tok, count(*) AS freq FROM t GROUP BY tok
+      |ORDER BY freq DESC, tok LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_vocab" -> (d11Vocab _),
     "d1_text_stats" -> (d1TextStats _),
     "d2_lang_id" -> (d2LangId _),
     "d3_quality_score" -> (d3QualityScore _),
@@ -172,6 +189,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d11_vocab" -> d11Sql,
     "d1_text_stats" -> d1Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
