@@ -95,9 +95,58 @@ object VectorOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  val NumCentroids = 16
+  val NumProbes = 4
+
+  /** Deterministic centroid set: the C vectors with the smallest hashed
+    * ids — a stable pseudo-random sample (no k-means iterations needed
+    * for a bucketing structure; swap in Lloyd refinement offline). */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** d12: IVF ANN — inverted lists over centroids with multiprobe.
+    * Index pass: every vector joins the broadcast centroid set once and
+    * lands in its nearest centroid's list (the partition layout at
+    * 100 TB). Query pass: each query probes its P nearest lists only —
+    * work scales with P/C of the corpus instead of all of it.
+    * Rows-only; recall vs d9 asserted in ScalaTest. */
+  def d12AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = centroids(spark, dir)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("ce")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qe"), col("cid"),
+        cosine(col("qe"), col("ce")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NumProbes)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_cosine_topk" -> (d9CosineTopk _),
-    "d10_ann_lsh" -> (d10AnnLsh _))
+    "d10_ann_lsh" -> (d10AnnLsh _),
+    "d12_ann_ivf" -> (d12AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "d9_cosine_topk" -> d9Sql)

@@ -117,14 +117,18 @@ class OperatorSpec extends GraftSpec {
     assert(diff.count() == 0)
   }
 
-  test("d9/d10: lsh ANN recall vs brute force is sane") {
+  test("d9/d10/d12: approximate ANN recall vs brute force is sane") {
     val brute = VectorOps.d9CosineTopk(spark, sfDir)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = VectorOps.d10AnnLsh(spark, sfDir)
+    val lsh = VectorOps.d10AnnLsh(spark, sfDir)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(approx.nonEmpty)
-    val recall = (brute & approx).size.toDouble / brute.size
-    assert(recall > 0.2, s"recall=$recall") // bucketed probe, small corpus
+    val ivf = VectorOps.d12AnnIvf(spark, sfDir)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty && ivf.nonEmpty)
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(lshRecall > 0.2, s"lsh recall=$lshRecall") // bucketed probe, small corpus
+    assert(ivfRecall > 0.2, s"ivf recall=$ivfRecall")
   }
 
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
