@@ -73,16 +73,21 @@ object DedupOps {
     * GraftSession/Verify). 128 independent seeded xxhash64's per
     * shingle: cheap-mixing alternatives proved too correlated across
     * seeds (LSH misses), so full independence is worth the hashing. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumHashes).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
-    explodedShingleHashes(spark, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** doc_id → 128-long minhash signature via the single-pass custom
+    * aggregate (graft.functions.MinHashAgg, registered as minhash128):
+    * one compact array buffer instead of 128 aggregate columns. Values
+    * are identical to min(xxhash64(shingle, k)) per seed k. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    explodedShingleHashes(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(call_function("minhash128", col("shingle")).as("sig"))
 
   /** (doc_id, band_hash) pairs, band index folded into the hash. */
   def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
     val bandCols = (0 until NumBands).map { j =>
-      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"h$i"))
+      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
       xxhash64((lit(j) +: rows): _*)
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))

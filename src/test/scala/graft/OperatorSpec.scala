@@ -90,6 +90,18 @@ class OperatorSpec extends GraftSpec {
     assert(out.select("canonical_id").distinct().count() == out.count())
   }
 
+  test("minhash128 aggregate equals the column-based min(xxhash64(h,k)) formulation") {
+    val sh = DedupOps.explodedShingleHashes(spark, sfDir)
+    val viaAgg = DedupOps.minhashSignatures(spark, sfDir)
+      .select(col("doc_id"), col("sig"))
+    val aggs = (0 until DedupOps.NumHashes).map(k => min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
+    val viaCols = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until DedupOps.NumHashes).map(i => col(s"h$i")): _*).as("sig2"))
+    val joined = viaAgg.join(viaCols, "doc_id")
+    assert(joined.filter(col("sig") =!= col("sig2")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
   test("d6 minhash finds exactly the high-jaccard pairs (vs exhaustive)") {
     import TextOps.{jaccard, shingles, tokens}
     val docs = Tables.documents(spark, sfDir)

@@ -62,6 +62,26 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("Jobs.runWithRetry retries with backoff then succeeds (step-function semantics)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = graft.jobs.Jobs.runWithRetry(
+      graft.jobs.Jobs.RetryPolicy(maxAttempts = 5, intervalMs = 30000, backoffRate = 2.0),
+      sleep = sleeps += _) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(sleeps.toSeq == Seq(30000L, 60000L))
+    val ex = intercept[graft.jobs.Jobs.RetriesExhausted] {
+      graft.jobs.Jobs.runWithRetry(
+        graft.jobs.Jobs.RetryPolicy(maxAttempts = 2, intervalMs = 1),
+        sleep = _ => ()) { throw new RuntimeException("always") }
+    }
+    assert(ex.attempts == 2)
+  }
+
   test("streaming hourly window aggregates incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
