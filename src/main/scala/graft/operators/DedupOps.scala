@@ -49,6 +49,53 @@ object DedupOps {
     explodedShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
 
+  private val subplanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Memoize + persist a shared subplan per (session, dataset, key).
+    *
+    * d6/d8 reference the shingle pipeline from several subplans
+    * (signature agg, bucket self-join, exact-Jaccard verify, per-doc
+    * sizes); without materialization Catalyst re-evaluates the
+    * tokenize→shingle→hash pipeline at every reference — at 100 TB that
+    * is tokenizing the corpus ~8×. One persist bounds each shared stage
+    * to a single computation per job; consumers read the columnar cache
+    * (DISK-spillable — the cluster analogue is a checkpoint to the
+    * shuffle service / object store). The memo also spans queries, so
+    * d8 after d6 pays zero shingle cost. */
+  private def shared(spark: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame = subplanCache.synchronized {
+    // reentrant (shared stages build on each other), hence not computeIfAbsent
+    val k = (spark, dir, key)
+    Option(subplanCache.get(k)).getOrElse {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      subplanCache.put(k, df)
+      df
+    }
+  }
+
+  /** Materialized-once form of [[explodedShingleHashes]]. */
+  def sharedShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir, "shingles")(explodedShingleHashes(spark, dir))
+
+  /** doc_id → (128-long minhash signature, distinct-shingle count) in
+    * ONE aggregation pass over the shingle cache. Folding the count into
+    * the signature agg means the Jaccard denominator (sizes) is a free
+    * projection of this cache instead of a second groupBy(doc_id)
+    * exchange — d6 ends up with exactly two doc_id shuffles per job:
+    * the shingle window and this aggregate. */
+  def sharedSignatures(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir, "sigs")(
+      sharedShingleHashes(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(call_function("minhash128", col("shingle")).as("sig"),
+          count(lit(1)).as("sz")))
+
+  /** Per-doc distinct-shingle counts (both sides of the Jaccard
+    * denominator join read this projection of the signature cache). */
+  def sharedShingleSizes(spark: SparkSession, dir: String): DataFrame =
+    sharedSignatures(spark, dir).select(col("doc_id"), col("sz"))
+
   /** Exact |A∩B| / |A∪B| for given (doc_a, doc_b) pairs, computed
     * relationally: join the exploded shingle rows on shingle equality
     * and count — no fat array columns through the shuffle, everything
@@ -78,20 +125,22 @@ object DedupOps {
     * one compact array buffer instead of 128 aggregate columns. Values
     * are identical to min(xxhash64(shingle, k)) per seed k. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    explodedShingleHashes(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(call_function("minhash128", col("shingle")).as("sig"))
+    sharedSignatures(spark, dir).select(col("doc_id"), col("sig"))
 
-  /** (doc_id, band_hash) pairs, band index folded into the hash. */
-  def bandBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
-    val bandCols = (0 until NumBands).map { j =>
-      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand)
-        .map(i => element_at(col("sig"), i + 1))
-      xxhash64((lit(j) +: rows): _*)
+  /** (doc_id, band_hash) pairs, band index folded into the hash.
+    * Materialized once — the LSH bucket self-join reads this from cache
+    * on both sides, so the 128-seed signature aggregation runs exactly
+    * once per job. */
+  def bandBuckets(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir, "bands") {
+      val sigs = minhashSignatures(spark, dir)
+      val bandCols = (0 until NumBands).map { j =>
+        val rows = (j * RowsPerBand until (j + 1) * RowsPerBand)
+          .map(i => element_at(col("sig"), i + 1))
+        xxhash64((lit(j) +: rows): _*)
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
     }
-    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-  }
 
   /** d6: MinHash-LSH near-dup pairs, exact-Jaccard verified at τ=0.5.
     * Output ≡ all-pairs shingle Jaccard ≥ τ (the DuckDB oracle): with
@@ -103,8 +152,8 @@ object DedupOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val sh = explodedShingleHashes(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sh = sharedShingleHashes(spark, dir)
+    val sizes = sharedShingleSizes(spark, dir)
     jaccardForPairs(cand, sh, sizes)
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -144,8 +144,8 @@ object TextOps {
     * doc ids as the deterministic pair generator). Relational form —
     * intersection via shingle-equality join, no array columns. */
   def d8NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.explodedShingleHashes(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sh = DedupOps.sharedShingleHashes(spark, dir)
+    val sizes = DedupOps.sharedShingleSizes(spark, dir)
     val pairs = sizes.select(col("doc_id").as("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b")), col("doc_b") === col("doc_a") + 1)
     DedupOps.jaccardForPairs(pairs, sh, sizes).orderBy(col("doc_a"))
