@@ -130,17 +130,55 @@ class OperatorSpec extends GraftSpec {
   }
 
   test("d9/d10/d12: approximate ANN recall vs brute force is sane") {
-    val brute = VectorOps.d9CosineTopk(spark, sfDir)
-      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = VectorOps.d10AnnLsh(spark, sfDir)
-      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = VectorOps.d12AnnIvf(spark, sfDir)
-      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorOps.d9CosineTopk(spark, sfDir))
+    val lsh = pairs(VectorOps.d10AnnLsh(spark, sfDir))
+    val ivf = pairs(VectorOps.d12AnnIvf(spark, sfDir))
     assert(lsh.nonEmpty && ivf.nonEmpty)
     val lshRecall = (brute & lsh).size.toDouble / brute.size
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
     assert(lshRecall > 0.2, s"lsh recall=$lshRecall") // bucketed probe, small corpus
     assert(ivfRecall > 0.2, s"ivf recall=$ivfRecall")
+  }
+
+  test("d12: Lloyd refinement strictly improves recall over raw seeds") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorOps.d9CosineTopk(spark, sfDir))
+    val seeded = pairs(VectorOps.ivfWithCentroids(spark, sfDir,
+      VectorOps.centroidVectors(spark, sfDir, iters = 0)))
+    val refined = pairs(VectorOps.d12AnnIvf(spark, sfDir))
+    val r0 = (brute & seeded).size.toDouble / brute.size
+    val rN = (brute & refined).size.toDouble / brute.size
+    assert(rN > r0, s"refined recall=$rN not above seed recall=$r0")
+  }
+
+  test("d12: corpus assignment subplan has no vec_id exchange (in-row argmax)") {
+    val plan = VectorOps.d12AnnIvf(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(vec_id"), plan.take(3000))
+    assert(!plan.contains("hashpartitioning(neighbor_id"), plan.take(3000))
+  }
+
+  test("dot_product is bit-identical to the HOF fold; both folds null on length mismatch") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(2000)
+    val diff = pairs.select(
+      VectorOps.dot(col("ea"), col("eb")).as("native"),
+      VectorOps.dotHof(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // mismatched lengths → NULL, not a truncated plausible value
+    val short = pairs.select(VectorOps.dot(slice(col("ea"), 1, 32), col("eb")).as("d"),
+      VectorOps.cosine(slice(col("ea"), 1, 32), col("eb")).as("c"))
+    assert(short.filter(col("d").isNotNull || col("c").isNotNull).count() == 0)
+    // zero-norm vector → NaN by contract
+    val z = spark.range(1).select(
+      VectorOps.cosine(array((0 until 4).map(_ => lit(0.0f)): _*),
+        array((0 until 4).map(_ => lit(1.0f)): _*)).as("c"))
+    assert(z.filter(isnan(col("c"))).count() == 1)
   }
 
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
