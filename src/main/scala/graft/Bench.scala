@@ -33,8 +33,13 @@ object Bench {
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val total1 = pass1.values.filter(_ > 0).sum
+    // best-of-two over SUCCESSFUL runs only: -1.0 encodes failure, so a
+    // min() across passes must not let one failed pass mask a success.
     val best =
-      if (total1 < 180.0) names.map(n => n -> math.min(pass1(n), timeOne(n))).toMap
+      if (total1 < 180.0) names.map { n =>
+        val ts = Seq(pass1(n), timeOne(n)).filter(_ > 0)
+        n -> (if (ts.isEmpty) -1.0 else ts.min)
+      }.toMap
       else pass1
     val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
     val total = best.values.filter(_ > 0).sum

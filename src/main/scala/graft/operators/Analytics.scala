@@ -330,21 +330,21 @@ object Analytics {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
       .orderBy(col("l_returnflag"))
 
-  /** GROUPING SETS multi-granularity aggregation (via Spark SQL). */
-  def q18GroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
-    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
-    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
-    Tables.region(spark, dir).createOrReplaceTempView("g_region")
-    spark.sql(
-      """SELECT r_name, o_orderstatus, count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
-        |  JOIN g_nation ON c_nationkey = n_nationkey
-        |  JOIN g_region ON n_regionkey = r_regionkey
-        |GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
-        |ORDER BY r_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
-  }
+  /** GROUPING SETS multi-granularity aggregation, via the DataFrame
+    * groupingSets API — no temp views, no session-global state, safe
+    * under concurrent jobs in one session (single expand + agg plan,
+    * identical to the SQL form). */
+  def q18GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderstatus")), Seq(col("r_name")), Seq.empty),
+        col("r_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("r_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
   val q18Sql: String =
     """SELECT r_name, o_orderstatus, count(*) AS cnt,

@@ -204,6 +204,164 @@ object Etl {
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM e) t WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Staging object-key log: deterministic stand-in for the reference's
+    * staging bucket listing. Keys follow the reference's two layouts
+    * (process-staging.py:32-44): `manual/<file>.csv` drop-ins and
+    * `source/schema/table/load/<file>.parquet` replication loads. */
+  private def stagingKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), col("ts"),
+      when(pmod(col("user_id"), lit(7)) === 0,
+        concat(lit("manual/metrics_"), col("event_id").cast("string"), lit(".csv")))
+        .otherwise(concat(
+          col("event_type"), lit("/public/t"),
+          pmod(col("user_id"), lit(5)).cast("string"), lit("/"),
+          when(pmod(col("event_id"), lit(3)) === 0, lit("initial")).otherwise(lit("cdc")),
+          lit("/"), col("event_id").cast("string"), lit(".parquet"))).as("object_key"))
+
+  /** a8: staging→raw key-parsing promotion — the INVERSE of a3: parse an
+    * incoming object key into (source, schema, table, load, filename),
+    * classify `initial` vs `cdc`, and handle the `manual/` drop-in branch
+    * (manual keys promote as manual/misc/<table>/initial —
+    * process-staging.py:32-44). The promoted key re-partitions under
+    * y/m/d/h derived from the object's event time (the deterministic
+    * stand-in for the reference's wall-clock datetime.today()). Pure
+    * map-side string projection — no shuffle at any scale. */
+  def a8KeyPromote(spark: SparkSession, dir: String): DataFrame = {
+    val p = split(col("object_key"), "/")
+    val isManual = element_at(p, 1) === "manual"
+    val manualFile = element_at(p, 2)
+    val source = element_at(p, 1)
+    val schema = when(isManual, lit("misc")).otherwise(element_at(p, 2))
+    val table = when(isManual, regexp_replace(manualFile, "\\.csv$", "")).otherwise(element_at(p, 3))
+    val load = when(isManual, lit("initial")).otherwise(element_at(p, 4))
+    val filename = when(isManual, manualFile).otherwise(element_at(p, 5))
+    val pad2 = (c: Column) => lpad(c.cast("string"), 2, "0")
+    stagingKeys(spark, dir)
+      .select(
+        col("event_id"), col("object_key"),
+        source.as("source"), schema.as("schema_name"), table.as("table_name"),
+        load.as("load_type"), filename.as("filename"),
+        concat_ws("/", source, schema, table, load,
+          year(col("ts")).cast("string"), pad2(month(col("ts"))),
+          pad2(dayofmonth(col("ts"))), pad2(hour(col("ts"))), filename).as("promoted_key"))
+      .orderBy(col("event_id"))
+  }
+
+  val a8Sql: String =
+    """WITH staged AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN user_id % 7 = 0
+      |      THEN concat('manual/metrics_', CAST(event_id AS VARCHAR), '.csv')
+      |      ELSE concat(event_type, '/public/t', CAST(user_id % 5 AS VARCHAR), '/',
+      |        CASE WHEN event_id % 3 = 0 THEN 'initial' ELSE 'cdc' END, '/',
+      |        CAST(event_id AS VARCHAR), '.parquet') END AS object_key
+      |  FROM events),
+      |parsed AS (
+      |  SELECT event_id, ts, object_key, string_split(object_key, '/') AS p,
+      |    string_split(object_key, '/')[1] = 'manual' AS is_manual
+      |  FROM staged),
+      |fields AS (
+      |  SELECT event_id, ts, object_key,
+      |    p[1] AS source,
+      |    CASE WHEN is_manual THEN 'misc' ELSE p[2] END AS schema_name,
+      |    CASE WHEN is_manual THEN regexp_replace(p[2], '\.csv$', '') ELSE p[3] END AS table_name,
+      |    CASE WHEN is_manual THEN 'initial' ELSE p[4] END AS load_type,
+      |    CASE WHEN is_manual THEN p[2] ELSE p[5] END AS filename
+      |  FROM parsed)
+      |SELECT event_id, object_key, source, schema_name, table_name, load_type, filename,
+      |  concat_ws('/', source, schema_name, table_name, load_type,
+      |    CAST(year(ts) AS VARCHAR), lpad(CAST(month(ts) AS VARCHAR), 2, '0'),
+      |    lpad(CAST(day(ts) AS VARCHAR), 2, '0'), lpad(CAST(hour(ts) AS VARCHAR), 2, '0'),
+      |    filename) AS promoted_key
+      |FROM fields ORDER BY event_id""".stripMargin
+
+  /** Generic keyed status writeback: base LEFT JOIN updates on the key;
+    * a non-null update status wins, everything else passes through —
+    * the merge primitive behind both the success path (a2) and the
+    * reference's error writeback (collect-data.py:178-180 sets
+    * status='error' when collection fails). One shuffle on the key. */
+  def statusWriteback(base: DataFrame, updates: DataFrame,
+                      baseKey: Column, updKey: Column,
+                      baseStatus: Column, updStatus: Column,
+                      updCompletedAt: Column): DataFrame =
+    base.join(updates, baseKey === updKey, "left_outer")
+      .select(
+        baseKey.as("id"),
+        coalesce(updStatus, baseStatus).as("status"),
+        updCompletedAt.as("date_completed"))
+
+  /** a9: arbitrary-status control writeback — fully-shipped orders mark
+    * `completed` with their completion ts; orders with any returned
+    * lineitem mark `error` (error wins, no completion ts — the
+    * reference's failure branch); untouched orders keep their status. */
+  def a9ErrorWriteback(spark: SparkSession, dir: String): DataFrame = {
+    val upd = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        max(col("l_shipdate")).as("max_ship"),
+        countIf(col("l_returnflag") === "R").as("n_returned"))
+      .select(
+        col("l_orderkey"),
+        when(col("n_returned") > 0, lit("error"))
+          .when(col("max_ship") < lit("1997-01-01"), lit("completed"))
+          .as("new_status"),
+        when(col("n_returned") === 0 && col("max_ship") < lit("1997-01-01"), col("max_ship"))
+          .as("completed_at"))
+    statusWriteback(
+      Tables.orders(spark, dir), upd,
+      col("o_orderkey"), col("l_orderkey"),
+      col("o_orderstatus"), col("new_status"), col("completed_at"))
+      .orderBy(col("id"))
+  }
+
+  val a9Sql: String =
+    """WITH upd AS (
+      |  SELECT l_orderkey,
+      |    CASE WHEN count(CASE WHEN l_returnflag = 'R' THEN 1 END) > 0 THEN 'error'
+      |         WHEN max(l_shipdate) < TIMESTAMP '1997-01-01' THEN 'completed' END AS new_status,
+      |    CASE WHEN count(CASE WHEN l_returnflag = 'R' THEN 1 END) = 0
+      |           AND max(l_shipdate) < TIMESTAMP '1997-01-01'
+      |         THEN max(l_shipdate) END AS completed_at
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o_orderkey AS id,
+      |  coalesce(new_status, o_orderstatus) AS status,
+      |  completed_at AS date_completed
+      |FROM orders LEFT JOIN upd ON o_orderkey = l_orderkey
+      |ORDER BY id""".stripMargin
+
+  /** a10: URL templating — expand a source's `{}` url template into
+    * per-work-item URLs (the reference loads templates like
+    * `https://www.city-data.com/city/{}.html` from scraper_config.csv
+    * and formats them per (state, city) control row; collect-data.py
+    * consumes the expanded url column). Registry side is broadcast;
+    * expansion is map-side string work. */
+  def a10UrlExpand(spark: SparkSession, dir: String): DataFrame = {
+    val registry = Tables.region(spark, dir).select(
+      col("r_regionkey"),
+      concat(lit("https://data.example.org/"), lower(regexp_replace(col("r_name"), " ", "-")),
+        lit("/{}.html")).as("url_template"))
+    val slug = regexp_replace(lower(col("n_name")), " ", "-")
+    Tables.nation(spark, dir)
+      .join(broadcast(registry), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_nationkey").as("item_id"),
+        col("n_name").as("city"),
+        col("url_template"),
+        replace(col("url_template"), lit("{}"), slug).as("work_url"))
+      .orderBy(col("item_id"))
+  }
+
+  val a10Sql: String =
+    """WITH registry AS (
+      |  SELECT r_regionkey,
+      |    concat('https://data.example.org/', lower(replace(r_name, ' ', '-')), '/{}.html') AS url_template
+      |  FROM region)
+      |SELECT n_nationkey AS item_id, n_name AS city, url_template,
+      |  replace(url_template, '{}', replace(lower(n_name), ' ', '-')) AS work_url
+      |FROM nation JOIN registry ON n_regionkey = r_regionkey
+      |ORDER BY item_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_pending_filter" -> (a1PendingFilter _),
     "a2_control_merge" -> (a2ControlMerge _),
@@ -211,7 +369,10 @@ object Etl {
     "a4_registry_enrich" -> (a4RegistryEnrich _),
     "a5_city_score" -> (a5CityScore _),
     "a6_completion_stats" -> (a6CompletionStats _),
-    "a7_cdc_compact" -> (a7CdcCompact _))
+    "a7_cdc_compact" -> (a7CdcCompact _),
+    "a8_key_promote" -> (a8KeyPromote _),
+    "a9_error_writeback" -> (a9ErrorWriteback _),
+    "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
     "a1_pending_filter" -> a1Sql,
@@ -220,5 +381,8 @@ object Etl {
     "a4_registry_enrich" -> a4Sql,
     "a5_city_score" -> a5Sql,
     "a6_completion_stats" -> a6Sql,
-    "a7_cdc_compact" -> a7Sql)
+    "a7_cdc_compact" -> a7Sql,
+    "a8_key_promote" -> a8Sql,
+    "a9_error_writeback" -> a9Sql,
+    "a10_url_expand" -> a10Sql)
 }

@@ -82,7 +82,10 @@ object TextOps {
     val nTok = size(t)
     val stopCnt = size(filter(t, x => x.isin("the", "a", "of", "and", "to", "in")))
     val alphaChars = length(regexp_replace(col("text"), "[^a-z]", ""))
-    val tokLenSum = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    // Σ token lengths ≡ count of non-space chars (tokens are the text
+    // split on ' ' with empties dropped) — pure codegen'd arithmetic,
+    // replacing the interpreted aggregate() HOF fold (VERDICT r2 #9).
+    val tokLenSum = length(translate(col("text"), " ", ""))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),

@@ -69,7 +69,14 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // CLAMP vs the watermark: a late same-user event can leave
+              // lastTs + gap at/below the current watermark, and
+              // setTimeoutTimestamp rejects non-future timestamps with
+              // an IllegalArgumentException that kills the whole query.
+              // Clamped sessions time out on the next watermark advance —
+              // the same emission the un-clamped timestamp would produce.
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(s.lastTs + gapMs, floor))
             }
             closed.result().iterator
           }
@@ -77,9 +84,33 @@ object StreamingOps {
   }
 
   /** Streaming dedup on a content key with watermarked state —
-    * streaming twin of TextOps.d5DedupExact. */
+    * streaming twin of TextOps.d5DedupExact. Deduplicates on the KEY
+    * COLUMNS ALONE (same content at different event times collapses to
+    * its first arrival), with state bounded by the watermark:
+    * dropDuplicatesWithinWatermark expires a key's state once the
+    * watermark passes its event time + delay. */
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermarkCol: String,
                   delay: String = "1 hour"): DataFrame =
     events.withWatermark(watermarkCol, delay)
-      .dropDuplicates(keyCols :+ watermarkCol)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream interval join (the clicks⨝purchases
+    * shape): a left event matches right events with the same key whose
+    * timestamp falls in [left.ts, left.ts + window]. Both sides carry a
+    * watermark and the join condition bounds the time range in BOTH
+    * directions, so Spark can expire buffered rows — state stays
+    * O(window × rate), the only shape that survives unbounded streams.
+    * The two timestamp columns must be named differently. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   delay: String = "30 seconds",
+                   window: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay).withColumnRenamed(key, s"${key}_r")
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+      .drop(s"${key}_r")
+  }
 }
