@@ -37,7 +37,8 @@ class SourcesStreamingSpec extends GraftSpec {
   }
 
   test("SourceRegistry loads the reference's scraper_config.csv shape") {
-    val reg = SourceRegistry.fromCsv(spark, "/root/reference/data/scraper_config.csv", "website")
+    val cfg = getClass.getResource("/scraper_config.csv").getPath
+    val reg = SourceRegistry.fromCsv(spark, cfg, "website")
     assert(reg.count() == 2)
     assert(reg.filter(col("kind") === "website").count() == 2)
     val sites = reg.select("site").collect().map(_.getString(0)).toSet
@@ -60,6 +61,95 @@ class SourcesStreamingSpec extends GraftSpec {
       val rows = spark.sql("select content_key from dedup_test").collect().map(_.getString(0))
       assert(rows.sorted.toSeq == Seq("a", "b", "c"), rows.mkString(","))
     } finally q.stop()
+  }
+
+  test("streaming dedup collapses identical content at DIFFERENT event times") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "content_key")
+    val q = StreamingOps.dedupStream(df, Seq("content_key"), "ts").writeStream
+      .format("memory").queryName("dedup_ts_test").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+      mem.addData((t0, "a"), (t1, "a"), (t0, "b"))
+      q.processAllAvailable()
+      mem.addData((t1, "a"), (t1, "b"))
+      q.processAllAvailable()
+      val rows = spark.sql("select content_key from dedup_ts_test").collect().map(_.getString(0))
+      assert(rows.sorted.toSeq == Seq("a", "b"), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization survives a late same-user event (watermark clamp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.sessionize(spark, mem.toDS(), gapMs = 1000, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_late_test").outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      mem.addData(StreamingOps.EventRow(1, new java.sql.Timestamp(base), 7, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark FAR past user 7's lastTs + gap…
+      mem.addData(StreamingOps.EventRow(2, new java.sql.Timestamp(base + 600000), 8, "click", 1.0))
+      q.processAllAvailable()
+      // …then a LATE event for user 7: lastTs + gap ≤ watermark. Without
+      // the clamp, setTimeoutTimestamp throws and kills the query.
+      mem.addData(StreamingOps.EventRow(3, new java.sql.Timestamp(base + 1), 7, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.EventRow(4, new java.sql.Timestamp(base + 1200000), 9, "click", 1.0))
+      q.processAllAvailable()
+      assert(q.isActive, Option(q.exception).map(_.toString).getOrElse(""))
+      val rows = spark.sql("select * from sess_late_test").collect()
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 7), rows.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within the window, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("click_ts", "user_id"),
+      buys.toDF().toDF("buy_ts", "user_id", "amount"),
+      key = "user_id", leftTs = "click_ts", rightTs = "buy_ts",
+      delay = "10 seconds", window = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      buys.addData(
+        (ts("2024-01-01 10:02:00"), 1L, 9.99),  // in window for user 1
+        (ts("2024-01-01 10:20:00"), 2L, 5.0))   // outside the 5-min window
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      clicks.addData((ts("2024-01-01 11:00:00"), 99L))
+      buys.addData((ts("2024-01-01 11:00:00"), 98L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, amount from ssjoin_test").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 9.99)), rows.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("Ingest.collect drives a Connector in batches and captures per-item errors") {
+    import spark.implicits._
+    val items = spark.createDataset(Seq(
+      graft.sources.Ingest.WorkItem(1, "city-data", "https://x/birmingham-alabama.html"),
+      graft.sources.Ingest.WorkItem(2, "city-data", "https://x/invalid-city.html"),
+      graft.sources.Ingest.WorkItem(3, "usa", "https://y/huntsville.htm")))
+    val out = graft.sources.Ingest.collect(spark, items, new graft.sources.Ingest.StubConnector, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(out.map(_.status).toSeq == Seq("completed", "error", "completed"))
+    assert(out(0).body.startsWith("<html>payload:city-data:"))
+    assert(out(1).body.contains("fetch failed"))
+    // deterministic: a second run produces identical payloads
+    val again = graft.sources.Ingest.collect(spark, items, new graft.sources.Ingest.StubConnector, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(again.map(p => (p.id, p.status, p.body)).toSeq == out.map(p => (p.id, p.status, p.body)).toSeq)
   }
 
   test("Jobs.runWithRetry retries with backoff then succeeds (step-function semantics)") {
