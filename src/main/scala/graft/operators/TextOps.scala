@@ -45,35 +45,105 @@ object TextOps {
       |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS n_distinct_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Stopword lexicons for the n-gram/lexicon language-ID heuristic.
-    * Tiny on purpose: broadcast as literals into codegen. */
+  /** Stopword lexicons for the language-ID heuristic: 8 languages × 40
+    * high-frequency function words each (standard public stopword
+    * inventories). Inlined as literals so the per-token membership
+    * tests stay inside whole-stage codegen — the lexicon is effectively
+    * broadcast inside the generated code, no join, no shuffle. Order is
+    * the tie-break priority of the argmax. */
   private[graft] val lexicons: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"),
-    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "que", "por", "para"),
-    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "zu", "ist", "mit", "für"))
+    "en" -> Seq("the", "be", "to", "of", "and", "a", "in", "that", "have", "it",
+      "for", "not", "on", "with", "he", "as", "you", "do", "at", "this",
+      "but", "his", "by", "from", "they", "we", "say", "her", "she", "or",
+      "an", "will", "my", "one", "all", "would", "there", "their", "what", "so"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "un", "une", "et", "est",
+      "en", "que", "qui", "dans", "pour", "pas", "sur", "ne", "se", "ce",
+      "il", "elle", "nous", "vous", "ils", "je", "tu", "au", "aux", "avec",
+      "son", "sa", "ses", "mais", "ou", "où", "donc", "car", "si", "plus"),
+    "es" -> Seq("el", "la", "los", "las", "de", "del", "un", "una", "y", "es",
+      "en", "que", "no", "se", "por", "con", "para", "su", "al", "lo",
+      "como", "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+      "esta", "entre", "cuando", "muy", "sin", "sobre", "también", "me", "hasta", "hay"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit",
+      "sich", "des", "auf", "für", "nicht", "ein", "eine", "als", "auch", "es",
+      "an", "werden", "aus", "er", "hat", "dass", "sie", "nach", "wird", "bei",
+      "einer", "um", "am", "sind", "noch", "wie", "einem", "über", "so", "zum"),
+    "it" -> Seq("il", "la", "le", "lo", "gli", "di", "del", "della", "un", "una",
+      "e", "è", "che", "non", "per", "in", "con", "si", "da", "come",
+      "ma", "anche", "più", "sono", "ha", "questo", "questa", "su", "al", "nel",
+      "se", "io", "lui", "lei", "noi", "loro", "mi", "ci", "o", "tra"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "do", "da", "dos", "das", "um",
+      "uma", "e", "é", "que", "não", "em", "para", "com", "se", "por",
+      "mais", "como", "mas", "foi", "ao", "ele", "ela", "são", "tem", "à",
+      "seu", "sua", "ou", "quando", "muito", "nos", "já", "eu", "também", "só"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
+      "zijn", "met", "voor", "niet", "aan", "er", "om", "maar", "dan", "zij",
+      "hij", "ook", "als", "bij", "of", "uit", "naar", "door", "over", "ze",
+      "zich", "je", "wordt", "nog", "wel", "geen", "al", "dit", "deze", "heeft"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+      "den", "till", "inte", "om", "ett", "han", "var", "jag", "sig", "från",
+      "vi", "så", "kan", "man", "när", "år", "under", "också", "efter", "eller",
+      "nu", "sin", "där", "vid", "mot", "ska", "skulle", "kommer", "hon", "honom"))
 
-  /** d2: language ID — argmax of per-language stopword hits, with a CJK
-    * codepoint check for zh. Rows-only (heuristic; accuracy asserted in
-    * ScalaTest against the reference lang column). */
-  def d2LangId(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val hitCols = lexicons.map { case (lang, words) =>
-      size(filter(t, x => x.isin(words.map(lit(_)): _*))).as(s"hits_$lang")
+  /** Normalized letter-only tokens for language ID: lowercase, strip
+    * non-letters, split on whitespace. */
+  private def langTokens(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^\\p{L}\\s]", " "), "\\s+"), x => x =!= lit(""))
+
+  /** Language prediction for one text column: CJK codepoints → zh,
+    * otherwise argmax of per-lexicon stopword hits (ties break to the
+    * earlier lexicon; zero hits → und). Pure codegen'd projection —
+    * reusable over any corpus (the fixture-accuracy spec uses it too). */
+  def langPred(text: Column): Column = {
+    val t = langTokens(text)
+    val hits = lexicons.map { case (_, words) =>
+      size(filter(t, x => x.isin(words.map(lit(_)): _*)))
     }
-    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id") +: col("lang").as("lang_true") +: hasCjk.as("has_cjk") +: hitCols: _*)
-    val best = lexicons.map(_._1).foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestHits), lang) =>
-        val h = col(s"hits_$lang")
+    val best = lexicons.map(_._1).zip(hits).foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestHits), (lang, h)) =>
         (when(h > bestHits, lit(lang)).otherwise(bestLang),
           when(h > bestHits, h).otherwise(bestHits))
     }
-    base.select(
-      col("doc_id"), col("lang_true"),
-      when(col("has_cjk"), lit("zh")).otherwise(best._1).as("lang_pred"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(best._1)
+  }
+
+  /** d2: language ID over the documents corpus. Oracled: the DuckDB
+    * side replays the same normalize → stopword-hit → argmax pipeline
+    * (the corpus lang labels are synthetic, so lang_true is carried for
+    * reference, not asserted — real accuracy is asserted in ScalaTest
+    * against a human-labeled fixture in 8 languages). */
+  def d2LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("lang_true"),
+        langPred(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB replay of [[langPred]] over documents: same normalization,
+    * same hit counts, argmax as first-lexicon-attaining-the-max (≡ the
+    * foldLeft's strict-> update rule). */
+  val d2Sql: String = {
+    def toks =
+      """list_filter(string_split_regex(regexp_replace(lower(text), '[^\p{L}\s]', ' ', 'g'), '\s+'), x -> x <> '')"""
+    val hitCols = lexicons.map { case (lang, words) =>
+      val in = words.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($in))) AS h_$lang"
+    }.mkString(",\n    ")
+    val gmax = lexicons.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val pick = lexicons.map { case (l, _) => s"WHEN h_$l = $gmax THEN '$l'" }.mkString("\n      ")
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang AS lang_true, text, $toks AS toks FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang_true,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+       |    $hitCols
+       |  FROM norm)
+       |SELECT doc_id, lang_true,
+       |  CASE WHEN has_cjk THEN 'zh'
+       |       WHEN $gmax = 0 THEN 'und'
+       |      $pick
+       |      ELSE 'und' END AS lang_pred
+       |FROM hits ORDER BY doc_id""".stripMargin
   }
 
   /** d3: quality scoring — length/alpha/stopword ratios + flag. */
@@ -194,6 +264,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "d11_vocab" -> d11Sql,
     "d1_text_stats" -> d1Sql,
+    "d2_lang_id" -> d2Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
     "d5_dedup_exact" -> d5Sql,

@@ -83,6 +83,22 @@ class OperatorSpec extends GraftSpec {
     out.unpersist()
   }
 
+  test("d2 lang id accuracy >= 0.9 on the labeled 8-language fixture") {
+    val path = getClass.getResource("/langid_fixture.csv").getPath
+    val fx = spark.read.option("header", "true").csv(path)
+      .select(col("lang"), TextOps.langPred(col("text")).as("lang_pred"))
+      .cache()
+    val total = fx.count()
+    val correct = fx.filter(col("lang") === col("lang_pred")).count()
+    val acc = correct.toDouble / total
+    val wrong = fx.filter(col("lang") =!= col("lang_pred")).collect().mkString("; ")
+    assert(total == 40)
+    assert(acc >= 0.9, s"accuracy $acc ($correct/$total); misses: $wrong")
+    // every lexicon language is represented and predictable
+    assert(fx.filter(col("lang") === col("lang_pred")).select("lang").distinct().count() == 8)
+    fx.unpersist()
+  }
+
   test("d5 exact dedup: canonical ids are unique and counts sum to corpus") {
     val out = TextOps.d5DedupExact(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()
