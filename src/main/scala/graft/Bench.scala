@@ -44,6 +44,9 @@ object Bench {
     val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
     val total = best.values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // cache lifecycle contract: jobs release their shared subplans
+    graft.operators.DedupOps.release(spark, sfDir)
+    graft.operators.VectorOps.release(spark, sfDir)
     spark.stop()
   }
 }

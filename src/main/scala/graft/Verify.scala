@@ -40,6 +40,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // cache lifecycle contract: jobs release their shared subplans
+    graft.operators.DedupOps.release(spark, sfDir)
+    graft.operators.VectorOps.release(spark, sfDir)
     spark.stop()
   }
 }

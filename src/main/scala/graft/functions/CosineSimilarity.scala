@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics:
   *  - accepts `array<float>` regardless of containsNull flags (so
-  *    literal arrays compose with parquet columns); element nulls are
-  *    not expected (embedding vectors are dense).
+  *    literal arrays compose with parquet columns).
+  *  - a NULL element → NULL result, matching the HOF fold (null
+  *    propagates through `zip_with` product and `aggregate` sum). The
+  *    per-element null branch is only emitted into generated code when
+  *    a child's type admits null elements, so literal-weight paths
+  *    (LSH planes, IVF centroids) keep the branch-free loop.
   *  - mismatched lengths → NULL (corrupt input must not produce a
   *    plausible-but-wrong value; the HOF `zip_with` fold also nulls).
   *  - accumulation is sequential in array order starting from 0.0 —
@@ -26,6 +30,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *    mirror, so results are portable across engines.
   */
 abstract class FloatVectorFold extends BinaryExpression {
+  /** Whether any child's element type admits nulls — gates the
+    * per-element null check in codegen. */
+  protected def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
@@ -58,6 +68,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -72,6 +83,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       // generated function (e.g. C instances under greatest())
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -79,11 +92,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double xi = (double) $a.getFloat($i);
          |    double yi = (double) $b.getFloat($i);
          |    $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -108,6 +124,7 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -118,6 +135,8 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -125,9 +144,12 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

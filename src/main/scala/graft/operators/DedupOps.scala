@@ -74,6 +74,27 @@ object DedupOps {
     }
   }
 
+  /** Release every cached subplan for (session, dataset): unpersist the
+    * backing blocks and evict the memo entries. The cache lifecycle
+    * contract: a job that used the dedup family over `dir` calls this
+    * when done (Verify/Bench teardown do), so a long-lived session
+    * processing many datasets neither pins corpus-scale cached blocks
+    * indefinitely nor serves stale results after data under `dir`
+    * changes. */
+  def release(spark: SparkSession, dir: String): Unit = subplanCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    subplanCache.keySet().asScala
+      .filter(k => (k._1 eq spark) && k._2 == dir).toSeq
+      .foreach(k => subplanCache.remove(k).unpersist(blocking = true))
+  }
+
+  /** Release all cached subplans owned by `spark` (session shutdown). */
+  def releaseSession(spark: SparkSession): Unit = subplanCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    subplanCache.keySet().asScala.filter(_._1 eq spark).toSeq
+      .foreach(k => subplanCache.remove(k).unpersist(blocking = true))
+  }
+
   /** Materialized-once form of [[explodedShingleHashes]]. */
   def sharedShingleHashes(spark: SparkSession, dir: String): DataFrame =
     shared(spark, dir, "shingles")(explodedShingleHashes(spark, dir))

@@ -154,12 +154,25 @@ object VectorOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[(Int, Seq[Float])]]()
 
+  /** Evict memoized centroid sets for (session, dataset) — the IVF
+    * index is invalid once data under `dir` changes. (Centroids are
+    * small driver-side values, no persisted blocks to release.) */
+  def release(spark: SparkSession, dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    centroidCache.keySet().asScala
+      .filter(k => (k._1 eq spark) && k._2 == dir).toSeq
+      .foreach(centroidCache.remove)
+  }
+
   /** In-row nearest-centroid id over broadcast literal centroids:
     * greatest() over (csim, -cid) structs — pure projection, ZERO
     * shuffle of the corpus (the r1 plan shuffled every vector on
-    * vec_id just to run this argmax). Ties break to the smaller cid. */
+    * vec_id just to run this argmax). Ties break to the smaller cid.
+    * (greatest() needs ≥ 2 arguments, so a centroid set collapsed to
+    * one non-empty cluster short-circuits to that cid.) */
   private def nearestCid(cents: Seq[(Int, Seq[Float])], v: Column): Column =
-    -greatest(cents.map { case (cid, ce) =>
+    if (cents.sizeIs == 1) lit(cents.head._1)
+    else -greatest(cents.map { case (cid, ce) =>
       struct(cosine(v, floatArrayLit(ce)).as("csim"), lit(-cid).as("nc"))
     }: _*).getField("nc")
 
@@ -175,8 +188,13 @@ object VectorOps {
                       iters: Int = LloydIters): Seq[(Int, Seq[Float])] =
     centroidCache.computeIfAbsent((spark, dir, iters), { _ =>
       val emb = Tables.embeddings(spark, dir)
+      // seed hash operates on vec_id mod 2^31: keeps the Knuth product
+      // < 2^62.4, inside BIGINT range in EVERY engine — Spark would wrap
+      // silently on long overflow while DuckDB raises, so the oracle
+      // would diverge/err at vec_id ≥ ~3.5e9 without the pre-mask.
       val seeds = emb
-        .withColumn("h", pmod(col("vec_id") * lit(2654435761L), lit(4294967296L)))
+        .withColumn("h",
+          pmod(pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L)))
         .orderBy(col("h"), col("vec_id"))
         .limit(NumCentroids)
         .select(col("embedding"))
@@ -261,9 +279,9 @@ object VectorOps {
     }.mkString(",\n")
     val cFinal = s"cent$LloydIters"
     s"""WITH cent0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS INTEGER) - 1 AS cid,
+       |  SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS INTEGER) - 1 AS cid,
        |    embedding AS ce
-       |  FROM embeddings ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT $NumCentroids),
+       |  FROM embeddings ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT $NumCentroids),
        |$iters,
        |${assignCte(cFinal, "assigned")},
        |probes AS (

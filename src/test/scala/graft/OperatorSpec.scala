@@ -197,6 +197,33 @@ class OperatorSpec extends GraftSpec {
     assert(z.filter(isnan(col("c"))).count() == 1)
   }
 
+  test("null vector elements propagate to NULL (native ≡ HOF), not a silent 0.0") {
+    val withNull = array(lit(1.0f), lit(null).cast("float"), lit(3.0f))
+    val dense = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    val r = spark.range(1).select(
+      VectorOps.dot(withNull, dense).as("dn"),
+      VectorOps.cosine(withNull, dense).as("cn"),
+      VectorOps.dotHof(withNull, dense).as("dh"),
+      VectorOps.dot(dense, dense).as("dd")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 14.0)
+  }
+
+  test("DedupOps/VectorOps release unpins every cached block for the dataset") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupOps.d6DedupMinhash(spark, sfDir).count()
+    VectorOps.d12AnnIvf(spark, sfDir).count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty, "expected the shared subplan cache to persist blocks")
+    DedupOps.release(spark, sfDir)
+    VectorOps.release(spark, sfDir)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked persisted RDDs: ${after -- before}")
+    // released ⇒ next call rebuilds rather than serving an evicted frame
+    assert(DedupOps.d6DedupMinhash(spark, sfDir).count() >= 0)
+    DedupOps.release(spark, sfDir)
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
