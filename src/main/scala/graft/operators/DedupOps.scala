@@ -222,30 +222,86 @@ object DedupOps {
     sums.select(col("doc_id"), sh.as("sh"))
   }
 
+  /** Materialized-once simhash signatures (doc_id, sh) — one tiny row
+    * per doc. The x/y sides of the band self-join both build on this
+    * frame; without the cache the token-md5-aggregate pipeline (the
+    * entire d7 cost) evaluates TWICE per run. */
+  def sharedSimhashes(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir, "simhash")(simhashes(spark, dir))
+
   /** Scale guard for the band self-join: a 16-bit band key space is
     * only 65,536 buckets, so bucket population grows linearly with the
-    * corpus and the within-bucket join is O(|bucket|²). Docs beyond
-    * this rank in a bucket are excluded from that bucket's pairing —
-    * bounded worst-case work at 100 TB. Never reached at test scale
-    * (sf0.1 ≈ 8 docs/bucket), so the exact oracle is unaffected; at
-    * the sizes where it triggers, members above the cap are
-    * overwhelmingly near-identical spam that d5/d6 already collapse. */
-  val MaxBucketRank = 10000
+    * corpus and the within-bucket join is O(|bucket|²). Buckets above
+    * this size get SALTED SUB-BANDING: the join key is extended with 8
+    * signature bits from the adjacent band, splitting the bucket up to
+    * 256× while keeping any pair whose differing bits avoid the salt
+    * together (recall loss is confined to oversized buckets, and only
+    * when a flipped bit lands in the salt). Sub-buckets still above the
+    * cap (a flood of identical signatures that salting cannot split —
+    * content d5/d6 already collapse) are rank-capped as a hard bound on
+    * worst-case join work. Both events are observable via
+    * [[d7CapStats]] — nothing is dropped silently. Never reached at
+    * test scale (sf0.1 ≈ 8 docs/bucket), so the exact oracle is
+    * unaffected. */
+  val MaxBucketSize = 10000
+
+  /** Band rows (doc_id, sh, bh, salt, bsz, rnk) with oversized-bucket
+    * salting applied; cached once per (session, dataset) at the default
+    * cap. `salt` is −1 for normal buckets, else 8 bits of `sh` from the
+    * band after this one; `rnk` is the row's rank within its (bh, salt)
+    * sub-bucket — consumers filter `rnk <= cap` (the flood backstop).
+    * The bucket-size frame is bounded by the key space (≤ 4·2¹⁶ rows at
+    * ANY corpus size) → broadcast join, no extra corpus shuffle; the
+    * rank window shares the (bh, salt) partitioning the self-join
+    * needs. */
+  private[graft] def saltedBands(spark: SparkSession, dir: String,
+                                     maxBucket: Int = MaxBucketSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def build: DataFrame = {
+      val docs = sharedSimhashes(spark, dir)
+      val bandCols = (0 until 4).map(j => shiftright(col("sh"), j * 16).bitwiseAND(0xFFFFL) * 4 + j)
+      val banded = docs.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bh"))
+      val sizes = banded.groupBy(col("bh")).agg(count(lit(1)).as("bsz"))
+      val j = pmod(col("bh"), lit(4))
+      val saltBits = when(j === 0, shiftright(col("sh"), 16))
+        .when(j === 1, shiftright(col("sh"), 32))
+        .when(j === 2, shiftright(col("sh"), 48))
+        .otherwise(col("sh"))
+        .bitwiseAND(0xFFL)
+      val wB = Window.partitionBy(col("bh"), col("salt")).orderBy(col("doc_id"))
+      banded.join(broadcast(sizes), "bh")
+        .withColumn("salt", when(col("bsz") > maxBucket, saltBits).otherwise(lit(-1L)))
+        .withColumn("rnk", row_number().over(wB))
+    }
+    if (maxBucket == MaxBucketSize) shared(spark, dir, "simbands")(build) else build
+  }
+
+  /** Cap observability (VERDICT r2 #6): one row with the number of
+    * buckets that triggered salting and the number of band rows the
+    * flood backstop excluded from pairing. Zero/zero means the banded
+    * join is EXACTLY the all-pairs hamming ≤ 3 set; non-zero means
+    * bounded-recall mode — monitor this at scale. */
+  def d7CapStats(spark: SparkSession, dir: String,
+                 maxBucket: Int = MaxBucketSize): DataFrame =
+    saltedBands(spark, dir, maxBucket).agg(
+      count_distinct(when(col("bsz") > maxBucket, col("bh"))).as("oversized_buckets"),
+      sum(when(col("rnk") > maxBucket, 1L).otherwise(0L)).as("capped_band_rows"))
 
   /** d7: SimHash near-dup — 4×16-bit band buckets guarantee recall for
     * hamming distance ≤ 3 (pigeonhole: 3 flipped bits cannot touch all
-    * 4 bands), so the banded join + filter is EXACTLY the all-pairs
-    * hamming ≤ 3 set — which is what the DuckDB oracle computes. */
-  def d7DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = simhashes(spark, dir)
-    val bandCols = (0 until 4).map(j => shiftright(col("sh"), j * 16).bitwiseAND(0xFFFFL) * 4 + j)
-    val wB = Window.partitionBy(col("bh")).orderBy(col("doc_id"))
-    val banded = docs.select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bh"))
-      .withColumn("rnk", row_number().over(wB))
-      .filter(col("rnk") <= MaxBucketRank)
-      .select(col("doc_id"), col("sh"), col("bh"))
-    banded.as("x").join(banded.as("y"), col("x.bh") === col("y.bh"))
+    * 4 bands), so the banded join + filter equals the all-pairs
+    * hamming ≤ 3 set — which is what the DuckDB oracle computes —
+    * whenever [[d7CapStats]] reports zero salted/capped buckets
+    * (always true below [[MaxBucketSize]] docs per band bucket). */
+  def d7DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    d7Pairs(spark, dir, MaxBucketSize)
+
+  private[graft] def d7Pairs(spark: SparkSession, dir: String, maxBucket: Int): DataFrame = {
+    val banded = saltedBands(spark, dir, maxBucket)
+      .filter(col("rnk") <= maxBucket)
+      .select(col("doc_id"), col("sh"), col("bh"), col("salt"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bh") === col("y.bh") && col("x.salt") === col("y.salt"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
       .filter(col("doc_a") < col("doc_b") && col("hamming") <= 3)

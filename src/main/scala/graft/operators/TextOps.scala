@@ -92,19 +92,31 @@ object TextOps {
 
   /** Language prediction for one text column: CJK codepoints → zh,
     * otherwise argmax of per-lexicon stopword hits (ties break to the
-    * earlier lexicon; zero hits → und). Pure codegen'd projection —
-    * reusable over any corpus (the fixture-accuracy spec uses it too). */
-  def langPred(text: Column): Column = {
-    val t = langTokens(text)
-    val hits = lexicons.map { case (_, words) =>
-      size(filter(t, x => x.isin(words.map(lit(_)): _*)))
+    * earlier lexicon; zero hits → und).
+    *
+    * Relational shape, NOT a per-row higher-order filter: HOFs evaluate
+    * interpreted and re-inline the tokenize pipeline once per lexicon —
+    * measured 86 s at sf0.1 vs ~1 s for this form. Tokens are exploded
+    * once; all 8 lexicon hit-counts come from ONE codegen'd aggregation
+    * pass (`isin` over 40 literals compiles to a switch); docs whose
+    * token set is empty re-enter via left join as 'und'. One doc-keyed
+    * exchange total — the explode→agg shape that survives 100 TB. */
+  def withLangPred(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(langTokens(col(textCol))).as("tok"))
+    val hitAggs = lexicons.map { case (lang, words) =>
+      sum(when(col("tok").isin(words.map(lit(_)): _*), 1L).otherwise(0L)).as(s"hits_$lang")
     }
-    val best = lexicons.map(_._1).zip(hits).foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestHits), (lang, h)) =>
+    val hits = toks.groupBy(col(idCol)).agg(hitAggs.head, hitAggs.tail: _*)
+    val best = lexicons.map(_._1).foldLeft((lit("und"), lit(0L))) {
+      case ((bestLang, bestHits), lang) =>
+        val h = coalesce(col(s"hits_$lang"), lit(0L))
         (when(h > bestHits, lit(lang)).otherwise(bestLang),
           when(h > bestHits, h).otherwise(bestHits))
     }
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(best._1)
+    df.join(hits, Seq(idCol), "left_outer")
+      .withColumn("lang_pred",
+        when(col(textCol).rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(best._1))
+      .drop(lexicons.map { case (lang, _) => s"hits_$lang" }: _*)
   }
 
   /** d2: language ID over the documents corpus. Oracled: the DuckDB
@@ -113,13 +125,14 @@ object TextOps {
     * reference, not asserted — real accuracy is asserted in ScalaTest
     * against a human-labeled fixture in 8 languages). */
   def d2LangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"), col("lang").as("lang_true"),
-        langPred(col("text")).as("lang_pred"))
+    withLangPred(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang").as("lang_true"), col("text")),
+      "doc_id", "text")
+      .select(col("doc_id"), col("lang_true"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
-  /** DuckDB replay of [[langPred]] over documents: same normalization,
+  /** DuckDB replay of [[withLangPred]] over documents: same normalization,
     * same hit counts, argmax as first-lexicon-attaining-the-max (≡ the
     * foldLeft's strict-> update rule). */
   val d2Sql: String = {

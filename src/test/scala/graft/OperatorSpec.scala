@@ -85,8 +85,10 @@ class OperatorSpec extends GraftSpec {
 
   test("d2 lang id accuracy >= 0.9 on the labeled 8-language fixture") {
     val path = getClass.getResource("/langid_fixture.csv").getPath
-    val fx = spark.read.option("header", "true").csv(path)
-      .select(col("lang"), TextOps.langPred(col("text")).as("lang_pred"))
+    val raw = spark.read.option("header", "true").csv(path)
+      .withColumn("id", monotonically_increasing_id())
+    val fx = TextOps.withLangPred(raw, "id", "text")
+      .select(col("lang"), col("lang_pred"))
       .cache()
     val total = fx.count()
     val correct = fx.filter(col("lang") === col("lang_pred")).count()
@@ -131,6 +133,23 @@ class OperatorSpec extends GraftSpec {
       .count()
     val lsh = DedupOps.d6DedupMinhash(spark, sfDir).count()
     assert(lsh == exhaustive, s"lsh=$lsh exhaustive=$exhaustive")
+  }
+
+  test("d7 salting: caps are zero at the default size and observable under a tiny one") {
+    val dir01 = "/root/testdata/sf0.01" // enough docs for multi-member buckets
+    val stats = DedupOps.d7CapStats(spark, dir01).head()
+    assert(stats.getLong(0) == 0 && stats.getLong(1) == 0,
+      s"default cap should never trigger at test scale: $stats")
+    val defPairs = DedupOps.d7DedupSimhash(spark, dir01)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defPairs.nonEmpty)
+    // cap=1 makes every multi-member bucket oversized → salting + backstop fire
+    val tinyStats = DedupOps.d7CapStats(spark, dir01, maxBucket = 1).head()
+    assert(tinyStats.getLong(0) > 0, "expected oversized buckets under cap=1")
+    val tinyPairs = DedupOps.d7Pairs(spark, dir01, maxBucket = 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tinyPairs.subsetOf(defPairs), "salted/capped run must not invent pairs")
+    DedupOps.release(spark, dir01)
   }
 
   test("native cosine_sim expression is bit-identical to the HOF fold") {
