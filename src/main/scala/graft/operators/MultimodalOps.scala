@@ -43,24 +43,38 @@ object MultimodalOps {
     * extracted feature vector, batch-produced per partition. */
   case class DecodedMedia(doc_id: Long, n_bytes: Int, width: Int, height: Int, features: Array[Float])
 
-  /** Batch decode API: mapPartitions over (id, blob) rows, decoding in
-    * per-partition batches the way a native decoder binding would.
-    * The decoder itself is a deterministic stub — REPLACE with a real
-    * image/audio codec where available. */
-  def decodeBatch(spark: SparkSession, blobs: DataFrame, batchSize: Int = 64): Dataset[DecodedMedia] = {
+  /** Pluggable decoder seam: a real codec binding (JNI/FFI image or
+    * audio library) drops in here without any change to the Spark-side
+    * plumbing. Implementations must be Serializable (the instance ships
+    * to executors) and receive rows in partition-local batches of
+    * ≤ batchSize — the shape native bindings want for amortizing
+    * per-call overhead (one native call per batch, not per row). */
+  trait MediaDecoder extends Serializable {
+    def decode(batch: Seq[(Long, Array[Byte])]): Iterator[DecodedMedia]
+  }
+
+  /** Deterministic stand-in decoder: this sandbox has no codec
+    * libraries, so dimensions/features are pseudo-decoded from the blob
+    * hash. The schema, batching, and partitioning around it are real. */
+  object StubDecoder extends MediaDecoder {
+    def decode(batch: Seq[(Long, Array[Byte])]): Iterator[DecodedMedia] =
+      batch.iterator.map { case (id, bytes) =>
+        val h = java.util.Arrays.hashCode(bytes)
+        val feats = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15f)
+        DecodedMedia(id, bytes.length, 640 + (h & 0xF) * 80, 360 + ((h >>> 4) & 0xF) * 45, feats)
+      }
+  }
+
+  /** Batch decode API: mapPartitions over (id, blob) rows, feeding the
+    * decoder partition-local batches. Swap `decoder` for a real codec
+    * implementation of [[MediaDecoder]]; the default is the documented
+    * deterministic stub. */
+  def decodeBatch(spark: SparkSession, blobs: DataFrame, batchSize: Int = 64,
+                  decoder: MediaDecoder = StubDecoder): Dataset[DecodedMedia] = {
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // STUB decoder: deterministic pseudo-decode of each blob.
-          batch.map { case (id, bytes) =>
-            val h = java.util.Arrays.hashCode(bytes)
-            val feats = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15f)
-            DecodedMedia(id, bytes.length, 640 + (h & 0xF) * 80, 360 + ((h >>> 4) & 0xF) * 45, feats)
-          }
-        }
-      }
+      .mapPartitions(_.grouped(batchSize).flatMap(decoder.decode))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -250,4 +250,20 @@ class OperatorSpec extends GraftSpec {
     assert(out.count() == blobs.count())
     assert(out.head().features.length == 8)
   }
+
+  test("decodeBatch accepts an alternative MediaDecoder without plumbing changes") {
+    object ByteStatsDecoder extends MultimodalOps.MediaDecoder {
+      def decode(batch: Seq[(Long, Array[Byte])]): Iterator[MultimodalOps.DecodedMedia] =
+        batch.iterator.map { case (id, bytes) =>
+          MultimodalOps.DecodedMedia(id, bytes.length, bytes.length, 1,
+            Array(bytes.count(_ == ' ').toFloat))
+        }
+    }
+    val blobs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val out = MultimodalOps.decodeBatch(spark, blobs, decoder = ByteStatsDecoder)
+    assert(out.count() == blobs.count())
+    val r = out.orderBy(col("doc_id")).head()
+    assert(r.height == 1 && r.width == r.n_bytes && r.features.length == 1)
+  }
 }
