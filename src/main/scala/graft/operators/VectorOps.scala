@@ -300,13 +300,93 @@ object VectorOps {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---- d13: embedding-cosine near-duplicate detection ----------------
+
+  /** L independent hyperplane tables for near-dup candidate generation.
+    * Recall for a pair at cosine s is 1-(1-(1-θ/π)^P)^L (θ = acos s):
+    * ≈ 1-2e-8 at s=0.99, 0.97 at s=0.9 with L=8, P=4 — misses vanish in
+    * the near-dup regime the operator targets. P is sized for the test
+    * corpus (16 buckets/table); at 100 TB raise P (bucket count 2^P)
+    * and L together — work per table is Σ|bucket|²≈n²/2^P, so P=16
+    * bounds the self-join at ~n²/65536 candidate checks. */
+  val NumDupTables = 8
+  val DupPlanes = 4
+  /** Verification threshold. Near-dup means s→1; 0.4 also exercises the
+    * verify path on this corpus (whose max random cosine ≈ 0.5-0.6). */
+  val DupTau = 0.4
+
+  private[graft] def dupBucket(v: Column, table: Int): Column =
+    (0 until DupPlanes).map { p =>
+      when(dot(v, floatArrayLit(planeWeights(table * DupPlanes + p))) >= 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Candidate pairs ∩ exact cosine ≥ τ over ANY (id, embedding) frame:
+    * explode each vector into its L table buckets, self-join per
+    * (table, bucket), dedup candidate IDS first (each pair is verified
+    * once, not once per agreeing table), then join the vectors back and
+    * verify with the native cosine. Only ids cross the candidate
+    * shuffle — the 64-float payloads move once, in the verify join. */
+  private[graft] def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val tables = (0 until NumDupTables).map(t =>
+      struct(lit(t).as("t"), dupBucket(col(vecCol), t).as("b")))
+    val bucketed = emb.select(col(idCol).as("vid"),
+        explode(array(tables: _*)).as("tb"))
+      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"))
+      .distinct()
+    val ea = emb.select(col(idCol).as("vec_a"), col(vecCol).as("ea"))
+    val eb = emb.select(col(idCol).as("vec_b"), col(vecCol).as("eb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= DupTau)
+  }
+
+  /** d13: embedding-cosine near-dup pairs over the embeddings table.
+    * Oracled exactly: the plane weights are data-independent constants,
+    * so DuckDB replays the identical L-table bucketing + cosine verify
+    * (same semantics as the d10 oracle — exact wrt the declared
+    * candidate generation, with the recall bound documented above). */
+  def d13DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  val d13Sql: String = {
+    def duckDupBucket(v: String, table: Int): String =
+      (0 until DupPlanes).map { p =>
+        val w = planeWeights(table * DupPlanes + p)
+          .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"""(CASE WHEN list_reduce(list_transform(range(1, 65), i -> CAST($v[i] AS DOUBLE) * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1 << p} ELSE 0 END)"""
+      }.mkString("(", " + ", ")")
+    val bucketCols = (0 until NumDupTables)
+      .map(t => s"${duckDupBucket("embedding", t)} AS b$t").mkString(",\n    ")
+    val anyTable = (0 until NumDupTables).map(t => s"x.b$t = y.b$t").mkString(" OR ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketCols
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    x.embedding AS ea, y.embedding AS eb
+       |  FROM b x JOIN b y ON x.vec_id < y.vec_id AND ($anyTable))
+       |SELECT vec_a, vec_b, ${duckCosine("ea", "eb")} AS cos
+       |FROM cand
+       |WHERE ${duckCosine("ea", "eb")} >= $DupTau
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
-    "d12_ann_ivf" -> (d12AnnIvf _))
+    "d12_ann_ivf" -> (d12AnnIvf _),
+    "d13_dedup_embedding" -> (d13DedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
     "d9_cosine_topk" -> d9Sql,
     "d10_ann_lsh" -> d10Sql,
-    "d12_ann_ivf" -> d12Sql)
+    "d12_ann_ivf" -> d12Sql,
+    "d13_dedup_embedding" -> d13Sql)
 }

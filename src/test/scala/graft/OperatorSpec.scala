@@ -189,6 +189,27 @@ class OperatorSpec extends GraftSpec {
     assert(rN > r0, s"refined recall=$rN not above seed recall=$r0")
   }
 
+  test("d13 finds planted exact and near duplicates above tau") {
+    val base = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    // planted dups: +1000 = exact copy (cos = 1, identical buckets in
+    // every table); +2000 = first component nudged (cos ≈ 0.9999)
+    val exactCopy = base.select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val nearCopy = base.select((col("vec_id") + 2000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x + lit(0.05f)).cast("float")).otherwise(x)).as("embedding"))
+    val corpus = base.union(exactCopy).union(nearCopy)
+    val pairs = VectorOps.embeddingDupPairs(corpus, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ids = base.select("vec_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(pairs.contains((id, id + 1000)), s"missed exact dup of $id")
+      assert(pairs((id, id + 1000)) > 0.999)
+    }
+    val nearFound = ids.count(id => pairs.contains((id, id + 2000)))
+    assert(nearFound >= 45, s"found only $nearFound/50 planted near-dups")
+  }
+
   test("d12: corpus assignment subplan has no vec_id exchange (in-row argmax)") {
     val plan = VectorOps.d12AnnIvf(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning(vec_id"), plan.take(3000))
