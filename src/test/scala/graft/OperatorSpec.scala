@@ -250,15 +250,20 @@ class OperatorSpec extends GraftSpec {
   }
 
   test("DedupOps/VectorOps release unpins every cached block for the dataset") {
+    // start from a clean slate: earlier specs may have warmed the cache
+    DedupOps.release(spark, sfDir)
+    VectorOps.release(spark, sfDir)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     DedupOps.d6DedupMinhash(spark, sfDir).count()
     VectorOps.d12AnnIvf(spark, sfDir).count()
-    val during = spark.sparkContext.getPersistentRDDs.keySet
-    assert((during -- before).nonEmpty, "expected the shared subplan cache to persist blocks")
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty, "expected the shared subplan cache to persist blocks")
     DedupOps.release(spark, sfDir)
     VectorOps.release(spark, sfDir)
-    val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((after -- before).isEmpty, s"leaked persisted RDDs: ${after -- before}")
+    // only this test's blocks are asserted gone — parallel suites may
+    // legitimately persist their own frames meanwhile
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet & mine
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
     // released ⇒ next call rebuilds rather than serving an evicted frame
     assert(DedupOps.d6DedupMinhash(spark, sfDir).count() >= 0)
     DedupOps.release(spark, sfDir)
