@@ -418,7 +418,56 @@ object Analytics {
       |SELECT o_custkey, o_totalprice AS median_price FROM r
       |WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT) ORDER BY o_custkey""".stripMargin
 
+  /** TPC-H Q11-style global-threshold selection: parts whose total
+    * ordered quantity exceeds a fixed share of the corpus-wide total.
+    * The global total is a 1-row aggregate broadcast against the
+    * per-part aggregates (Catalyst plans the scalar side as a broadcast
+    * nested loop over one row — no corpus re-shuffle). The share
+    * comparison stays in DECIMAL (qty·2000 > total ⇔ qty > total/2000)
+    * so the boundary is exact and portable — no double rounding at the
+    * threshold. */
+  def q11GlobalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+    val total = perPart.agg(sum(col("qty_dec")).as("total_dec"))
+    perPart.join(broadcast(total))
+      .filter(col("qty_dec") * 2000 > col("total_dec"))
+      .select(col("l_partkey"), col("qty_dec").cast("double").as("sum_qty"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(qty_dec AS DOUBLE) AS sum_qty
+      |FROM per_part
+      |WHERE qty_dec * 2000 > (SELECT sum(qty_dec) FROM per_part)
+      |ORDER BY l_partkey""".stripMargin
+
+  /** Running (cumulative) revenue per customer over order date — the
+    * window-frame pattern (rows unbounded-preceding..current) q7's rank
+    * doesn't cover. Sum accumulates in DECIMAL over a total order
+    * (date, orderkey), so every prefix is exact and deterministic. */
+  def q23RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q23Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_global_threshold" -> (q11GlobalThreshold _),
+    "q23_running_total" -> (q23RunningTotal _),
     "q19_string_ops" -> (q19StringOps _),
     "q20_setops" -> (q20Setops _),
     "q21_median_disc" -> (q21MedianDisc _),
@@ -441,6 +490,8 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q11_global_threshold" -> q11Sql,
+    "q23_running_total" -> q23Sql,
     "q19_string_ops" -> q19Sql,
     "q20_setops" -> q20Sql,
     "q21_median_disc" -> q21Sql,

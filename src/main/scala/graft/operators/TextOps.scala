@@ -159,6 +159,34 @@ object TextOps {
        |FROM hits ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE-style pre-tokenizer pattern: letter runs, digit runs, or a
+    * single other non-space character — the split shape subword
+    * tokenizers (GPT-2/tiktoken-like) apply before merges. Plain
+    * character classes only, so Java regex and RE2 agree exactly. */
+  private val SubwordPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** d14: token counting under a BPE-ish regex (complements d1's
+    * whitespace counts): total pre-tokens, letter runs, digit runs,
+    * punctuation marks. Pure codegen'd projection — the regex engine
+    * runs inside whole-stage codegen, one pass per row. */
+  def d14SubwordTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(SubwordPattern), lit(0))).as("n_subwords"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).as("n_alpha_runs"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_digit_runs"),
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).as("n_punct"))
+      .orderBy(col("doc_id"))
+
+  val d14Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_subwords,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INTEGER) AS n_alpha_runs,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** d3: quality scoring — length/alpha/stopword ratios + flag. */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -269,6 +297,7 @@ object TextOps {
     "d11_vocab" -> (d11Vocab _),
     "d1_text_stats" -> (d1TextStats _),
     "d2_lang_id" -> (d2LangId _),
+    "d14_subword_tokens" -> (d14SubwordTokens _),
     "d3_quality_score" -> (d3QualityScore _),
     "d4_fingerprint" -> (d4Fingerprint _),
     "d5_dedup_exact" -> (d5DedupExact _),
@@ -278,6 +307,7 @@ object TextOps {
     "d11_vocab" -> d11Sql,
     "d1_text_stats" -> d1Sql,
     "d2_lang_id" -> d2Sql,
+    "d14_subword_tokens" -> d14Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
     "d5_dedup_exact" -> d5Sql,

@@ -40,6 +40,32 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q11 global threshold keeps only above-share parts; q23 runs monotone") {
+    val out = Analytics.q11GlobalThreshold(spark, sfDir).cache()
+    val totalShare = out.count()
+    assert(totalShare > 0)
+    // every kept part individually exceeds total/2000
+    val total = Tables.lineitem(spark, sfDir)
+      .agg(sum(graft.Cols.dec2(col("l_quantity"))).cast("double")).head.getDouble(0)
+    assert(out.filter(col("sum_qty") * 2000 <= total - 0.01).count() == 0)
+    out.unpersist()
+    // running total never decreases within a customer (prices > 0)
+    val rt = Analytics.q23RunningTotal(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val bad = rt.withColumn("prev", lag(col("running_total"), 1).over(w))
+      .filter(col("prev").isNotNull && col("running_total") < col("prev"))
+    assert(bad.count() == 0)
+  }
+
+  test("d14 subword counts: alternation partitions into its three classes") {
+    val out = TextOps.d14SubwordTokens(spark, sfDir)
+    val bad = out.filter(
+      col("n_subwords") =!= col("n_alpha_runs") + col("n_digit_runs") + col("n_punct"))
+    assert(bad.count() == 0)
+    assert(out.filter(col("n_subwords") > 0).count() > 0)
+  }
+
   test("a2 control merge keeps every base row exactly once") {
     val out = Etl.a2ControlMerge(spark, sfDir)
     val base = Tables.orders(spark, sfDir).count()
