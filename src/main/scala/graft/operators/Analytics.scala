@@ -465,9 +465,39 @@ object Analytics {
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** TPC-H Q17-style correlated aggregate: lineitems whose quantity is
+    * below 20% of their part's average quantity ("small orders"), summed.
+    * The correlated scalar subquery decorrelates into a per-part
+    * aggregate joined back on the part key — one shuffle each side,
+    * never a per-row re-scan. Threshold math stays in DECIMAL: qty·5 <
+    * sum/count avoids the division (and its double rounding) entirely. */
+  def q24CorrAvg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val perPart = l.groupBy(col("l_partkey").as("p_key"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+    l.join(perPart, col("l_partkey") === col("p_key"))
+      .filter(dec2(col("l_quantity")) * 5 * col("qty_cnt") < col("qty_sum"))
+      .agg(
+        sumMoney(col("l_extendedprice")).as("small_order_revenue"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val q24Sql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey AS p_key,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+      |    count(*) AS qty_cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_order_revenue,
+      |  count(*) AS n_small
+      |FROM lineitem JOIN per_part ON l_partkey = p_key
+      |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * qty_cnt < qty_sum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_global_threshold" -> (q11GlobalThreshold _),
     "q23_running_total" -> (q23RunningTotal _),
+    "q24_corr_avg" -> (q24CorrAvg _),
     "q19_string_ops" -> (q19StringOps _),
     "q20_setops" -> (q20Setops _),
     "q21_median_disc" -> (q21MedianDisc _),
@@ -492,6 +522,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q11_global_threshold" -> q11Sql,
     "q23_running_total" -> q23Sql,
+    "q24_corr_avg" -> q24Sql,
     "q19_string_ops" -> q19Sql,
     "q20_setops" -> q20Sql,
     "q21_median_disc" -> q21Sql,
