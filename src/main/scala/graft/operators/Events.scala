@@ -138,17 +138,62 @@ object Events {
       |     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts) AS n_recent_clicks
       |FROM e p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin
 
+  /** c6: ordered funnel analysis — users progressing view → click →
+    * purchase IN ORDER. A stage event qualifies if a qualified
+    * previous-stage event precedes it in (ts, event_id) order.
+    *
+    * Shape: ONE shuffle on user_id; the stage dependency is two
+    * cumulative-window passes over the SAME (partition, sort) spec —
+    * no self-joins, no per-stage re-scan of the events table (the
+    * classic 3-join funnel re-shuffles the corpus once per stage). */
+  def c6Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("qclick", col("event_type") === "click" && col("first_view").isNotNull)
+      .withColumn("first_qclick", min(when(col("qclick"), col("ts"))).over(w))
+    staged.agg(
+      countDistinct(when(col("event_type") === "view", col("user_id"))).as("users_view"),
+      countDistinct(when(col("qclick"), col("user_id"))).as("users_click"),
+      countDistinct(when(col("event_type") === "purchase" && col("first_qclick").isNotNull,
+        col("user_id"))).as("users_purchase"))
+  }
+
+  val c6Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS first_view
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, event_type = 'click' AND first_view IS NOT NULL AS qclick FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN qclick THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS first_qclick
+      |  FROM s2)
+      |SELECT
+      |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS users_view,
+      |  count(DISTINCT CASE WHEN qclick THEN user_id END) AS users_click,
+      |  count(DISTINCT CASE WHEN event_type = 'purchase' AND first_qclick IS NOT NULL
+      |    THEN user_id END) AS users_purchase
+      |FROM s3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_hourly_window" -> (c1HourlyWindow _),
     "c2_sessionize" -> (c2Sessionize _),
     "c3_asof_join" -> (c3AsofJoin _),
     "c4_json_extract" -> (c4JsonExtract _),
-    "c5_range_join" -> (c5RangeJoin _))
+    "c5_range_join" -> (c5RangeJoin _),
+    "c6_funnel" -> (c6Funnel _))
 
   val oracles: Map[String, String] = Map(
     "c1_hourly_window" -> c1Sql,
     "c2_sessionize" -> c2Sql,
     "c3_asof_join" -> c3Sql,
     "c4_json_extract" -> c4Sql,
-    "c5_range_join" -> c5Sql)
+    "c5_range_join" -> c5Sql,
+    "c6_funnel" -> c6Sql)
 }

@@ -84,6 +84,17 @@ class OperatorSpec extends GraftSpec {
     assert(bad.count() == 0)
   }
 
+  test("c6 funnel stages are monotone and the plan has one user_id exchange") {
+    val df = Events.c6Funnel(spark, sfDir)
+    val r = df.head()
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2),
+      s"funnel not monotone: $r")
+    assert(r.getLong(0) > 0)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("hashpartitioning(user_id")).toSeq
+    assert(exchanges.nonEmpty) // both window passes share the one user_id shuffle
+  }
+
   test("c3 as-of join: last_click_ts <= purchase ts") {
     val bad = Events.c3AsofJoin(spark, sfDir)
       .filter(col("last_click_ts") > col("ts"))
