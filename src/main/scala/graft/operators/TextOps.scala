@@ -254,6 +254,49 @@ object TextOps {
     """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  /** d15: training-corpus selection — the composition the D family
+    * exists for: keep a document iff it is the right language (en), of
+    * acceptable quality (d3's flag), and the canonical copy of its
+    * exact-dup group (d5's min-doc_id rule). Each signal is the same
+    * deterministic pipeline its standalone operator runs, so the
+    * composition inherits every oracle guarantee; one extra shuffle
+    * (the content-hash window) beyond the component costs. */
+  def d15CorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDup = Window.partitionBy(md5(trim(lower(col("text")))))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(wDup))
+      .select(col("doc_id"), col("is_canonical"))
+    val lang = withLangPred(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    val quality = d3QualityScore(spark, dir).select(col("doc_id"), col("quality_flag"))
+    base.join(lang, "doc_id").join(quality, "doc_id")
+      .select(col("doc_id"), col("lang_pred"), col("quality_flag"), col("is_canonical"),
+        (col("lang_pred") === "en" && col("quality_flag") === "ok" && col("is_canonical"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: the component oracles (d2Sql, d3Sql) embedded as
+    * subqueries plus the d5 canonical rule as a window — identical
+    * semantics by construction. */
+  val d15Sql: String =
+    s"""WITH lang AS (SELECT doc_id, lang_pred FROM ($d2Sql)),
+       |q AS (SELECT doc_id, quality_flag FROM ($d3Sql)),
+       |c AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS is_canonical
+       |  FROM documents)
+       |SELECT d.doc_id, lang.lang_pred, q.quality_flag, c.is_canonical,
+       |  (lang.lang_pred = 'en' AND q.quality_flag = 'ok' AND c.is_canonical) AS keep
+       |FROM documents d
+       |JOIN lang ON d.doc_id = lang.doc_id
+       |JOIN q ON d.doc_id = q.doc_id
+       |JOIN c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** d8: n-gram Jaccard scoring for given candidate pairs (consecutive
     * doc ids as the deterministic pair generator). Relational form —
     * intersection via shingle-equality join, no array columns. */
@@ -298,6 +341,7 @@ object TextOps {
     "d1_text_stats" -> (d1TextStats _),
     "d2_lang_id" -> (d2LangId _),
     "d14_subword_tokens" -> (d14SubwordTokens _),
+    "d15_corpus_filter" -> (d15CorpusFilter _),
     "d3_quality_score" -> (d3QualityScore _),
     "d4_fingerprint" -> (d4Fingerprint _),
     "d5_dedup_exact" -> (d5DedupExact _),
@@ -308,6 +352,7 @@ object TextOps {
     "d1_text_stats" -> d1Sql,
     "d2_lang_id" -> d2Sql,
     "d14_subword_tokens" -> d14Sql,
+    "d15_corpus_filter" -> d15Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
     "d5_dedup_exact" -> d5Sql,
