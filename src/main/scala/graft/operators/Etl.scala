@@ -362,7 +362,40 @@ object Etl {
       |FROM nation JOIN registry ON n_regionkey = r_regionkey
       |ORDER BY item_id""".stripMargin
 
+  /** a11: due-for-collection selection — the reference's per-source
+    * `scrape_interval` semantics (config.json: city-data 3600 s, usa
+    * 7200 s): a source is due when its last activity plus its interval
+    * precedes the as-of time. Intervals derive deterministically from
+    * the source name (the registry stand-in); the as-of time is the
+    * corpus max ts (no wall clock — reruns are reproducible). All time
+    * math in epoch micros: portable integer comparisons, no
+    * engine-specific interval types. */
+  def a11DueSources(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val per = e.groupBy(col("event_type").as("source"))
+      .agg(max(col("ts")).as("last_ts"))
+    val asof = e.agg(max(col("ts")).as("asof_ts"))
+    val intervalHours = (length(col("source")) % 3 + 1)
+    per.join(broadcast(asof))
+      .select(
+        col("source"), col("last_ts"),
+        intervalHours.as("interval_hours"),
+        (unix_micros(col("last_ts")) + intervalHours.cast("long") * 3600000000L <
+          unix_micros(col("asof_ts"))).as("due"))
+      .orderBy(col("source"))
+  }
+
+  val a11Sql: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |per AS (SELECT event_type AS source, max(ts) AS last_ts FROM e GROUP BY 1),
+      |g AS (SELECT max(ts) AS asof_ts FROM e)
+      |SELECT source, last_ts,
+      |  CAST(length(source) % 3 + 1 AS INTEGER) AS interval_hours,
+      |  (epoch_us(last_ts) + (length(source) % 3 + 1) * 3600000000 < epoch_us(asof_ts)) AS due
+      |FROM per CROSS JOIN g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_due_sources" -> (a11DueSources _),
     "a1_pending_filter" -> (a1PendingFilter _),
     "a2_control_merge" -> (a2ControlMerge _),
     "a3_promote_partition" -> (a3PromotePartition _),
@@ -375,6 +408,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a11_due_sources" -> a11Sql,
     "a1_pending_filter" -> a1Sql,
     "a2_control_merge" -> a2Sql,
     "a3_promote_partition" -> a3Sql,
