@@ -199,7 +199,7 @@ object DedupOps {
     * engine-private — SimHash VALUES are hash-dependent, so an exact
     * cross-engine oracle needs a portable hash (the DuckDB side replays
     * it with hex-digit arithmetic). */
-  private[operators] def md5Hash64(c: Column): Column = {
+  private[graft] def md5Hash64(c: Column): Column = {
     val hex = md5(c)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")

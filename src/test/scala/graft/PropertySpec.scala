@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the engine's scalar primitives: generated inputs,
+  * checked through the REAL Spark expressions against independent
+  * driver-side references. Fixed ScalaCheck seed — deterministic runs.
+  */
+class PropertySpec extends GraftSpec {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val vecGen: Gen[List[List[Float]]] =
+    Gen.listOfN(100, Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 7.0f)))
+
+  test("cosine/dot: symmetric, self-similar, and exactly the sequential fold") {
+    import spark.implicits._
+    val vs = sample(vecGen, 1L)
+    // driver reference: the same left-to-right double fold
+    def refDot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val pairs = vs.zip(vs.tail)
+    val df = pairs.toDF("a", "b")
+      .select(
+        VectorOps.dot(col("a"), col("b")).as("ab"),
+        VectorOps.dot(col("b"), col("a")).as("ba"),
+        VectorOps.cosine(col("a"), col("b")).as("cab"),
+        VectorOps.cosine(col("b"), col("a")).as("cba"),
+        VectorOps.cosine(col("a"), col("a")).as("self"))
+      .collect()
+    df.zip(pairs).foreach { case (r, (a, b)) =>
+      assert(r.getDouble(0) == refDot(a, b), "dot != sequential fold")
+      assert(r.getDouble(0) == r.getDouble(1), "dot not symmetric")
+      assert(r.getDouble(2) == r.getDouble(3), "cosine not symmetric")
+      if (a.exists(_ != 0.0f)) assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    }
+  }
+
+  test("jaccard: bounded, symmetric, identity on distinct arrays") {
+    import spark.implicits._
+    val arrGen = Gen.listOfN(60,
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))
+    val as = sample(arrGen, 2L).map(_.distinct)
+    val pairs = as.zip(as.tail).filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    val rows = pairs.toDF("a", "b")
+      .select(
+        TextOps.jaccard(col("a"), col("b")).as("jab"),
+        TextOps.jaccard(col("b"), col("a")).as("jba"),
+        TextOps.jaccard(col("a"), col("a")).as("self"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(0) == r.getDouble(1), "jaccard not symmetric")
+      assert(r.getDouble(2) == 1.0)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("md5Hash64 matches an independent driver-side MD5-prefix reference") {
+    import spark.implicits._
+    def refHash(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      (hi << 32) | lo
+    }
+    val ss = sample(Gen.listOfN(200, Gen.asciiPrintableStr), 3L).filter(_.nonEmpty)
+    val got = ss.toDF("s")
+      .select(col("s"), DedupOps.md5Hash64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ss.foreach(s => assert(got(s) == refHash(s), s"md5Hash64 mismatch for '$s'"))
+  }
+}
