@@ -83,6 +83,22 @@ object StreamingOps {
       }
   }
 
+  /** Gap-based sessionization via the NATIVE session_window aggregation
+    * — the declarative alternative to [[sessionize]]'s explicit state
+    * machine. Same 30-min-gap semantics, but Catalyst owns the session
+    * state (merge/expiry handled by the engine, works identically in
+    * batch and streaming). Prefer this form unless the session logic
+    * needs custom state the aggregation can't express. */
+  def sessionizeWindowed(events: DataFrame,
+                         gap: String = "30 minutes",
+                         watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
   /** Streaming dedup on a content key with watermarked state —
     * streaming twin of TextOps.d5DedupExact. Deduplicates on the KEY
     * COLUMNS ALONE (same content at different event times collapses to

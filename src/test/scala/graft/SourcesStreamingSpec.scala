@@ -191,6 +191,43 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(rows.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n_events") == 2))
   }
 
+  test("native session_window sessionization agrees with the batch sessionizer") {
+    // batch mode: session_window works on static frames — per-user
+    // session counts must equal c2's lag-based computation exactly
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.Events.c2Sessionize(spark, dir)
+      .select(col("user_id"), col("n_sessions"))
+    val windowed = StreamingOps.sessionizeWindowed(
+        Tables.events(spark, dir).select(col("user_id"), col("ts")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions_w"))
+    val joined = batch.join(windowed, "user_id")
+    assert(joined.count() == batch.count())
+    val disagree = joined.filter(col("n_sessions") =!= col("n_sessions_w"))
+    assert(disagree.count() == 0, disagree.take(5).mkString(";"))
+  }
+
+  test("native session_window sessionization runs incrementally on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.sessionizeWindowed(df, gap = "1 second", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessw_test").outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+      mem.addData((new java.sql.Timestamp(base), 7L), (new java.sql.Timestamp(base + 500), 7L))
+      q.processAllAvailable()
+      // watermark far past user 7's session → the merged session emits
+      mem.addData((new java.sql.Timestamp(base + 60000), 8L))
+      q.processAllAvailable()
+      mem.addData((new java.sql.Timestamp(base + 120000), 9L))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from sessw_test").collect()
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 7 && r.getAs[Long]("n_events") == 2),
+        rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes a session after the gap (event time)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
