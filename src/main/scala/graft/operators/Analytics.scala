@@ -494,10 +494,50 @@ object Analytics {
       |FROM lineitem JOIN per_part ON l_partkey = p_key
       |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * qty_cnt < qty_sum""".stripMargin
 
+  /** Per-nation customer spend deciles — the ntile window pattern.
+    * The window partitions by nation (never a global sort: a single
+    * ORDER BY over billions of customers is the scale-hostile form),
+    * with a (spend, custkey) total order inside each partition so tile
+    * assignment is deterministic. Output is the per-(nation, decile)
+    * aggregate. */
+  def q25SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("s_dec"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("s_dec").desc, col("o_custkey"))
+    spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("n_name"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("s_dec")).cast("double").as("decile_spend"))
+      .orderBy(col("n_name"), col("decile"))
+  }
+
+  val q25Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s_dec
+      |  FROM orders GROUP BY o_custkey),
+      |tiled AS (
+      |  SELECT n_name, s_dec,
+      |    CAST(ntile(10) OVER (PARTITION BY n_name ORDER BY s_dec DESC, o_custkey) AS INTEGER) AS decile
+      |  FROM spend
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_name, decile, count(*) AS n_customers,
+      |  CAST(sum(s_dec) AS DOUBLE) AS decile_spend
+      |FROM tiled GROUP BY n_name, decile
+      |ORDER BY n_name, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_global_threshold" -> (q11GlobalThreshold _),
     "q23_running_total" -> (q23RunningTotal _),
     "q24_corr_avg" -> (q24CorrAvg _),
+    "q25_spend_deciles" -> (q25SpendDeciles _),
     "q19_string_ops" -> (q19StringOps _),
     "q20_setops" -> (q20Setops _),
     "q21_median_disc" -> (q21MedianDisc _),
@@ -523,6 +563,7 @@ object Analytics {
     "q11_global_threshold" -> q11Sql,
     "q23_running_total" -> q23Sql,
     "q24_corr_avg" -> q24Sql,
+    "q25_spend_deciles" -> q25Sql,
     "q19_string_ops" -> q19Sql,
     "q20_setops" -> q20Sql,
     "q21_median_disc" -> q21Sql,

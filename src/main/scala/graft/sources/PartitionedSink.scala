@@ -31,4 +31,24 @@ object PartitionedSink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("source", "y", "m", "d")
       .parquet(outDir)
+
+  /** [[promote]] with a bounded file count per partition directory —
+    * the small-files guard: without it, every upstream task writes one
+    * file into every partition dir it touches, so a 10 000-task job
+    * over 1 000 (source, day) partitions can emit 10 M tiny files.
+    * Repartitioning on (partition cols, pmod(hash, filesPerDir))
+    * routes each partition dir's rows to exactly `filesPerDir` tasks
+    * → ≤ filesPerDir files per dir, sized by the data, one shuffle. */
+  def promoteCompacted(df: DataFrame, outDir: String, sourceCol: String, tsCol: String,
+                       filesPerDir: Int = 4): Unit = {
+    val parted = withDatePartitions(df, tsCol).withColumn("source", col(sourceCol))
+    val salt = pmod(hash(parted.columns.map(col): _*), lit(filesPerDir))
+    parted
+      .repartition(col("source"), col("y"), col("m"), col("d"), salt)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source", "y", "m", "d")
+      .parquet(outDir)
+  }
 }

@@ -22,6 +22,20 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(plan.contains("PartitionFilters"), plan.take(1500))
   }
 
+  test("promoteCompacted bounds files per partition dir (small-files guard)") {
+    val out = Files.createTempDirectory("graft_sink_c").toString
+    val events = Tables.events(spark, sfDir).repartition(16) // many writer tasks
+    PartitionedSink.promoteCompacted(events, out, "event_type", "ts", filesPerDir = 2)
+    assert(spark.read.parquet(out).count() == events.count())
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("source="))
+      .flatMap(_.listFiles()).flatMap(_.listFiles()).flatMap(_.listFiles()) // y/m/d
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 2, s"${d.getPath} has $files files (> 2)")
+    }
+  }
+
   test("SourceRegistry loads the reference-shaped JSON config") {
     val cfg = Files.createTempFile("graft_cfg", ".json")
     Files.writeString(cfg,
