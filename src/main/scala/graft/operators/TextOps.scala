@@ -297,6 +297,40 @@ object TextOps {
        |JOIN c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** d16: stratified (per-source) deterministic sampling — the
+    * downsampling step every training-data pipeline needs for
+    * overrepresented sources. A doc is kept iff a salted md5-derived
+    * bucket of its id falls under its source's permille rate: pure
+    * row-local projection + filter (no shuffle, no RNG state), the SAME
+    * rows survive on any cluster, any partitioning, any rerun — and in
+    * any engine (the hash is replayable SQL, unlike xxhash64/rand). */
+  def d16StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("graft-sample:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long"),
+      lit(1000L))
+    val rate = lit(250) +
+      (regexp_extract(col("source"), "[0-9]+", 0).cast("int") % 4) * 250
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("sample_bucket"),
+        rate.as("rate_permille"))
+      .filter(col("sample_bucket") < col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d16Sql: String = {
+    val pow16 = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    val digit = pow16.zipWithIndex.map { case (p, i) =>
+      s"CAST(strpos('0123456789abcdef', (md5(concat('graft-sample:', CAST(doc_id AS VARCHAR))))[${i + 1}]) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, ($digit) % 1000 AS sample_bucket,
+       |    250 + (CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 4) * 250 AS rate_permille
+       |  FROM documents)
+       |SELECT doc_id, source, sample_bucket, CAST(rate_permille AS INTEGER) AS rate_permille
+       |FROM h WHERE sample_bucket < rate_permille ORDER BY doc_id""".stripMargin
+  }
+
   /** d8: n-gram Jaccard scoring for given candidate pairs (consecutive
     * doc ids as the deterministic pair generator). Relational form —
     * intersection via shingle-equality join, no array columns. */
@@ -342,6 +376,7 @@ object TextOps {
     "d2_lang_id" -> (d2LangId _),
     "d14_subword_tokens" -> (d14SubwordTokens _),
     "d15_corpus_filter" -> (d15CorpusFilter _),
+    "d16_stratified_sample" -> (d16StratifiedSample _),
     "d3_quality_score" -> (d3QualityScore _),
     "d4_fingerprint" -> (d4Fingerprint _),
     "d5_dedup_exact" -> (d5DedupExact _),
@@ -353,6 +388,7 @@ object TextOps {
     "d2_lang_id" -> d2Sql,
     "d14_subword_tokens" -> d14Sql,
     "d15_corpus_filter" -> d15Sql,
+    "d16_stratified_sample" -> d16Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
     "d5_dedup_exact" -> d5Sql,

@@ -25,6 +25,24 @@ class OperatorSpec extends GraftSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("no query plans a CartesianProduct; nested-loop joins only where designed") {
+    // BroadcastNestedLoopJoin is legitimate ONLY for broadcast-scalar or
+    // non-equi-broadcast shapes; anything else is a scale killer.
+    val bnljAllowed = Set(
+      "q11_global_threshold", // 1-row global aggregate broadcast
+      "a11_due_sources",      // 1-row as-of aggregate broadcast
+      "q15_maxsub",           // scalar subquery
+      "d9_cosine_topk")       // broadcast 10-row query set, =!= condition
+    val bnljSeen = scala.collection.mutable.Set[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (plan.contains("BroadcastNestedLoopJoin")) bnljSeen += name
+    }
+    val unexpected = bnljSeen.toSet -- bnljAllowed
+    assert(unexpected.isEmpty, s"unexpected nested-loop joins in: $unexpected")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = Analytics.q1Agg(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan.take(2000))
@@ -56,6 +74,21 @@ class OperatorSpec extends GraftSpec {
     val bad = rt.withColumn("prev", lag(col("running_total"), 1).over(w))
       .filter(col("prev").isNotNull && col("running_total") < col("prev"))
     assert(bad.count() == 0)
+  }
+
+  test("d16 sampling: full-rate strata keep every doc; kept rows are stable") {
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy("source").count().withColumnRenamed("count", "total")
+    val kept = TextOps.d16StratifiedSample(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("kept"), max("rate_permille").as("rate"))
+    val j = docs.join(kept, Seq("source"), "left_outer")
+    // rate-1000 sources keep everything; no source keeps more than it has
+    assert(j.filter(col("rate") === 1000 && col("kept") =!= col("total")).count() == 0)
+    assert(j.filter(col("kept") > col("total")).count() == 0)
+    // determinism: identical row set across runs
+    val a = TextOps.d16StratifiedSample(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.d16StratifiedSample(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("d14 subword counts: alternation partitions into its three classes") {
