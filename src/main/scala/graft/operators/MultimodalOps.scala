@@ -77,6 +77,45 @@ object MultimodalOps {
       .mapPartitions(_.grouped(batchSize).flatMap(decoder.decode))
   }
 
+  /** One sampled frame of a (pseudo-)video blob: 1 blob → N rows. */
+  case class SampledFrame(doc_id: Long, frame_idx: Int, offset: Int, features: Array[Float])
+
+  /** Frame sampling seam: like [[MediaDecoder]] but 1 → N — a video
+    * codec emits every k-th frame's features. Implementations must be
+    * Serializable; they see partition-local batches. */
+  trait FrameSampler extends Serializable {
+    def sample(batch: Seq[(Long, Array[Byte])]): Iterator[SampledFrame]
+  }
+
+  /** Deterministic stand-in sampler: treats every `stride` bytes of the
+    * blob as one "frame" and emits a fixed-width feature per frame —
+    * the 1→N row shape, batching, and schema a real video codec needs,
+    * with the codec itself stubbed (none available in this sandbox). */
+  class StrideSampler(stride: Int = 256, maxFrames: Int = 8) extends FrameSampler {
+    def sample(batch: Seq[(Long, Array[Byte])]): Iterator[SampledFrame] =
+      batch.iterator.flatMap { case (id, bytes) =>
+        val n = math.min(maxFrames, math.max(1, bytes.length / stride))
+        (0 until n).iterator.map { i =>
+          val off = i * stride
+          val window = bytes.slice(off, math.min(off + stride, bytes.length))
+          val h = java.util.Arrays.hashCode(window)
+          SampledFrame(id, i, off, Array.tabulate(4)(j => ((h >>> (j * 8)) & 0xFF).toFloat / 255f))
+        }
+      }
+  }
+
+  /** Batch frame sampling over (id, blob) rows — mapPartitions with
+    * partition-local batches, exploding each blob into its sampled
+    * frames. Downstream (embedding, dedup, ANN) consumes the frame
+    * rows like any other corpus. */
+  def sampleFrames(spark: SparkSession, blobs: DataFrame, batchSize: Int = 64,
+                   sampler: FrameSampler = new StrideSampler()): Dataset[SampledFrame] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(sampler.sample))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_multimodal_meta" -> (e1MultimodalMeta _))
 

@@ -136,6 +136,49 @@ object VectorOps {
        |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** d17: multiprobe LSH ANN — each query probes its own hyperplane
+    * bucket AND every bucket at hamming distance 1 (one flipped plane
+    * sign): P+1 of the 2^P buckets. Catches the near-neighbors d10
+    * loses to a single borderline plane sign — recall rises from
+    * ~1-P·θ/π toward 1 at (P+1)/2^P of brute-force cost. Same
+    * exact-replay oracle story as d10 (probe set is pure bit
+    * arithmetic on the replayed signature). */
+  def d17AnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).withColumn("bucket", lshBucket(col("embedding")))
+    val probes = (lit(0) +: (0 until NumPlanes).map(p => lit(1 << p)))
+      .map(m => col("bucket").bitwiseXOR(m))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(probes: _*)).as("pb"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      col("bucket").as("cb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(cand, col("pb") === col("cb") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val d17Sql: String = {
+    val probeList = (Seq(0) ++ (0 until NumPlanes).map(1 << _))
+      .map(m => if (m == 0) "bucket" else s"xor(bucket, $m)").mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, unnest($probeList) AS pb
+       |      FROM b WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ne, bucket AS cb FROM b),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("qe", "ne")} AS cos
+       |  FROM q JOIN c ON pb = cb AND neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val NumCentroids = 16
   val NumProbes = 4
   /** Refinement rounds: measured recall@5 vs d9 at sf0.01 is 0.40 with
@@ -382,11 +425,13 @@ object VectorOps {
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
     "d12_ann_ivf" -> (d12AnnIvf _),
-    "d13_dedup_embedding" -> (d13DedupEmbedding _))
+    "d13_dedup_embedding" -> (d13DedupEmbedding _),
+    "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
     "d9_cosine_topk" -> d9Sql,
     "d10_ann_lsh" -> d10Sql,
     "d12_ann_ivf" -> d12Sql,
-    "d13_dedup_embedding" -> d13Sql)
+    "d13_dedup_embedding" -> d13Sql,
+    "d17_ann_multiprobe" -> d17Sql)
 }

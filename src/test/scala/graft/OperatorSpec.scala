@@ -247,6 +247,32 @@ class OperatorSpec extends GraftSpec {
     assert(ivfRecall > 0.2, s"ivf recall=$ivfRecall")
   }
 
+  test("d17 multiprobe recall is at least single-bucket LSH recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorOps.d9CosineTopk(spark, sfDir))
+    val single = (brute & pairs(VectorOps.d10AnnLsh(spark, sfDir))).size
+    val multi = (brute & pairs(VectorOps.d17AnnMultiprobe(spark, sfDir))).size
+    assert(multi >= single, s"multiprobe recall $multi < single-bucket $single")
+    assert(multi > 0)
+  }
+
+  test("sampleFrames explodes blobs into bounded deterministic frame rows") {
+    val blobs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val frames = MultimodalOps.sampleFrames(spark, blobs).cache()
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.count() == blobs.count())       // every blob yields >= 1 frame
+    assert(perDoc.filter(col("count") > 8).count() == 0) // maxFrames bound
+    val f = frames.orderBy(col("doc_id"), col("frame_idx")).head()
+    assert(f.frame_idx == 0 && f.offset == 0 && f.features.length == 4)
+    // deterministic across runs
+    val again = MultimodalOps.sampleFrames(spark, blobs)
+      .orderBy(col("doc_id"), col("frame_idx")).head()
+    assert(again.features.sameElements(f.features))
+    frames.unpersist()
+  }
+
   test("d12: Lloyd refinement strictly improves recall over raw seeds") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
