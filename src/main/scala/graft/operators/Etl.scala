@@ -394,7 +394,45 @@ object Etl {
       |  (epoch_us(last_ts) + (length(source) % 3 + 1) * 3600000000 < epoch_us(asof_ts)) AS due
       |FROM per CROSS JOIN g ORDER BY source""".stripMargin
 
+  /** a12: column profiling — the data-quality gate a pipeline runs
+    * before promoting a load (null counts, exact distinct counts,
+    * min/max ranges). ALL columns' stats come from ONE aggregation pass
+    * over ONE scan (Spark expands the multi-distinct internally), then
+    * the 1-row wide result is stacked into per-column rows — the
+    * per-column-query formulation would scan the fact table N times. */
+  def a12Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"${c}_nulls").as("n_nulls"),
+      col(s"${c}_distinct").as("n_distinct"),
+      col(s"${c}_min").as("min_val"),
+      col(s"${c}_max").as("max_val")))
+    wide.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_val"), col("p.max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  val a12Sql: String =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min($c) AS min_val, max($c) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_profile" -> (a12Profile _),
     "a11_due_sources" -> (a11DueSources _),
     "a1_pending_filter" -> (a1PendingFilter _),
     "a2_control_merge" -> (a2ControlMerge _),
@@ -408,6 +446,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a12_profile" -> a12Sql,
     "a11_due_sources" -> a11Sql,
     "a1_pending_filter" -> a1Sql,
     "a2_control_merge" -> a2Sql,

@@ -36,6 +36,24 @@ class SourcesStreamingSpec extends GraftSpec {
     }
   }
 
+  test("bucketed tables join with ZERO exchanges (write-once shuffle amortization)") {
+    import graft.sources.BucketedTables
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val lines = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    BucketedTables.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    BucketedTables.writeBucketed(lines, "b_lineitem", "l_orderkey", 8)
+    try {
+      val joined = BucketedTables.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey", "l_orderkey")
+      assert(joined.count() == lines.count()) // every lineitem matches its order
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan.take(2000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("SourceRegistry loads the reference-shaped JSON config") {
     val cfg = Files.createTempFile("graft_cfg", ".json")
     Files.writeString(cfg,
