@@ -99,6 +99,24 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming staging→raw promotion: continuous file-sink twin of
+    * PartitionedSink.promote — each micro-batch appends into the same
+    * hive date layout (source/y/m/d), exactly-once via the checkpoint.
+    * Downstream batch readers see the identical partition-pruned
+    * layout whether rows arrived in batch or on the stream. */
+  def promoteStream(events: DataFrame, outDir: String, checkpointDir: String,
+                    sourceCol: String = "event_type", tsCol: String = "ts") = {
+    import graft.sources.PartitionedSink
+    PartitionedSink.withDatePartitions(events, tsCol)
+      .withColumn("source", col(sourceCol))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("source", "y", "m", "d")
+      .outputMode(OutputMode.Append)
+  }
+
   /** Streaming dedup on a content key with watermarked state —
     * streaming twin of TextOps.d5DedupExact. Deduplicates on the KEY
     * COLUMNS ALONE (same content at different event times collapses to

@@ -36,6 +36,29 @@ class SourcesStreamingSpec extends GraftSpec {
     }
   }
 
+  test("promoteStream lands micro-batches in the hive date layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "event_type", "event_id")
+    val out = Files.createTempDirectory("graft_pstream").toString
+    val ckpt = Files.createTempDirectory("graft_pstream_ck").toString
+    val q = StreamingOps.promoteStream(df, out, ckpt).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData((ts("2024-01-05 10:00:00"), "click", 1L), (ts("2024-01-05 11:00:00"), "view", 2L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-06 09:00:00"), "click", 3L))
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.count() == 3)
+      // identical layout to the batch sink: partition dirs prune by path
+      assert(new java.io.File(s"$out/source=click/y=2024/m=1/d=5").exists())
+      assert(new java.io.File(s"$out/source=click/y=2024/m=1/d=6").exists())
+      assert(back.filter(col("source") === "click" && col("d") === 5).count() == 1)
+    } finally q.stop()
+  }
+
   test("bucketed tables join with ZERO exchanges (write-once shuffle amortization)") {
     import graft.sources.BucketedTables
     val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
