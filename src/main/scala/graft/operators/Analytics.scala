@@ -533,7 +533,52 @@ object Analytics {
       |FROM tiled GROUP BY n_name, decile
       |ORDER BY n_name, decile""".stripMargin
 
+  /** q26: Pearson correlation (order value vs line count per order) from
+    * EXACT integer/decimal moment sums. The built-in corr() accumulates
+    * doubles in partition order — nondeterministic across parallelism
+    * and never bit-equal cross-engine. Here every moment (n, Σx, Σy,
+    * Σxy, Σx², Σy²) is an exact DECIMAL/BIGINT aggregate; the formula
+    * is applied ONCE to the final sums in double — bit-identical at any
+    * parallelism, in any engine. */
+  def q26CorrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+    val xy = Tables.orders(spark, dir)
+      .join(lines, col("o_orderkey") === col("l_orderkey"))
+      .select(dec2(col("o_totalprice")).as("x"), col("y"))
+    val m = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(
+      col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("corr_price_lines"))
+  }
+
+  val q26Sql: String =
+    """WITH lines AS (
+      |  SELECT l_orderkey, count(*) AS y FROM lineitem GROUP BY l_orderkey),
+      |xy AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x, y
+      |  FROM orders JOIN lines ON o_orderkey = l_orderkey),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM xy)
+      |SELECT n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |    AS corr_price_lines
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_corr_moments" -> (q26CorrMoments _),
     "q11_global_threshold" -> (q11GlobalThreshold _),
     "q23_running_total" -> (q23RunningTotal _),
     "q24_corr_avg" -> (q24CorrAvg _),
@@ -560,6 +605,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q26_corr_moments" -> q26Sql,
     "q11_global_threshold" -> q11Sql,
     "q23_running_total" -> q23Sql,
     "q24_corr_avg" -> q24Sql,
