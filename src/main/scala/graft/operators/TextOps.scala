@@ -263,16 +263,19 @@ object TextOps {
     * (the content-hash window) beyond the component costs. */
   def d15CorpusFilter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // quality + canonicality share ONE corpus scan (the flag is a
+    // projection, the dup rule a window over the same rows); lang-ID
+    // needs its own explode→agg pass — two scans total, not one per
+    // signal (this composition is IO-bound at 100 TB).
     val wDup = Window.partitionBy(md5(trim(lower(col("text")))))
+    val nTok = size(tokens(col("text")))
+    val avgTokLen = length(translate(col("text"), " ", "")).cast("double") / nTok
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(wDup))
-      .select(col("doc_id"), col("is_canonical"))
-    val lang = withLangPred(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id", "text")
-      .select(col("doc_id"), col("lang_pred"))
-    val quality = d3QualityScore(spark, dir).select(col("doc_id"), col("quality_flag"))
-    base.join(lang, "doc_id").join(quality, "doc_id")
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") === min(col("doc_id")).over(wDup)).as("is_canonical"),
+        when(nTok.between(5, 1000) && avgTokLen.between(2.0, 12.0), lit("ok"))
+          .otherwise(lit("low")).as("quality_flag"))
+    withLangPred(base, "doc_id", "text")
       .select(col("doc_id"), col("lang_pred"), col("quality_flag"), col("is_canonical"),
         (col("lang_pred") === "en" && col("quality_flag") === "ok" && col("is_canonical"))
           .as("keep"))
