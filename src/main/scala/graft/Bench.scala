@@ -5,15 +5,34 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the given scale
   * factor and prints ONE JSON line the driver collects.
   *
-  * Two passes per query (min taken) so JIT/codegen warm-up doesn't
-  * dominate at small SF; pass 2 is skipped if pass 1 already ran long
-  * (big SF — warm-up noise is negligible there).
+  * Two passes per query (min taken) so JIT/codegen warm-up and
+  * machine contention don't dominate. The warm-pass decision is
+  * PER-QUERY: only a query whose pass-1 already ran very long (≥60 s
+  * — genuinely big work, warm-up noise negligible) skips its re-run.
+  * A global skip tripwire is exactly wrong under load: a contended
+  * machine inflates pass-1 past the threshold and then ships the
+  * contaminated cold numbers raw (rounds 2 and 3 both did this).
+  *
+  * The JSON is self-diagnosing: it carries BOTH passes per query plus
+  * /proc/loadavg snapshots at start and end, so a reader can detect
+  * contamination post hoc (loadavg >> cpus, or pass1 >> pass2 across
+  * the board) without access to the machine at run time.
   */
 object Bench {
+  /** Per-query pass-1 duration above which the warm re-run is skipped:
+    * warm-up is a fixed few hundred ms, noise at this magnitude. */
+  val WarmSkipSec = 60.0
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
+    val load0 = loadavg()
+    System.err.println(s"[bench] loadavg at start: $load0 (cpus=$cpus)")
     val spark: SparkSession = GraftSession
       .builder("graft-bench", Some(s"local[$cpus]"), cpus)
       .config("spark.ui.enabled", "false")
@@ -23,27 +42,32 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def timeOne(name: String): Double = {
+    def timeOne(name: String, pass: Int): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+      System.err.println(f"[bench] p$pass $name%-24s $dt%8.2fs")
       dt
     }
-    val pass1 = names.map(n => n -> timeOne(n)).toMap
-    val total1 = pass1.values.filter(_ > 0).sum
-    // best-of-two over SUCCESSFUL runs only: -1.0 encodes failure, so a
-    // min() across passes must not let one failed pass mask a success.
-    val best =
-      if (total1 < 180.0) names.map { n =>
-        val ts = Seq(pass1(n), timeOne(n)).filter(_ > 0)
-        n -> (if (ts.isEmpty) -1.0 else ts.min)
-      }.toMap
-      else pass1
-    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    val pass1 = names.map(n => n -> timeOne(n, 1)).toMap
+    val pass2 = names.map { n =>
+      n -> (if (pass1(n) >= WarmSkipSec) -1.0 else timeOne(n, 2))
+    }.toMap
+    // best over SUCCESSFUL runs only: -1.0 encodes failure/skip, so a
+    // min() across passes must not let a failed pass mask a success.
+    val best = names.map { n =>
+      val ts = Seq(pass1(n), pass2(n)).filter(_ > 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
+    }.toMap
+    val load1 = loadavg()
+    System.err.println(s"[bench] loadavg at end: $load1")
+    def jmap(m: Map[String, Double]): String =
+      names.map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")
     val total = best.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
+      s""""pass1":${jmap(pass1)},"pass2":${jmap(pass2)},""" +
+      s""""loadavg_start":"$load0","loadavg_end":"$load1","cpus":$cpus,"sf":"$sfDir"}""")
     // cache lifecycle contract: jobs release their shared subplans
     graft.operators.DedupOps.release(spark, sfDir)
     graft.operators.VectorOps.release(spark, sfDir)

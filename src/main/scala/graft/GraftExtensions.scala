@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash128"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_by_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKAgg(children(0), children(1), children(2))))
   }
 }

@@ -425,7 +425,7 @@ object Etl {
   val a12Sql: String =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
       s"""SELECT '$c' AS column_name,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct,
          |  min($c) AS min_val, max($c) AS max_val
          |FROM lineitem""".stripMargin

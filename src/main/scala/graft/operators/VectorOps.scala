@@ -45,6 +45,26 @@ object VectorOps {
   val NumQueries = 10
   val TopK = 5
 
+  /** Two-phase per-query top-k over (query_id, neighbor_id, cos) rows.
+    *
+    * The naive form — `row_number().over(partitionBy("query_id"))` —
+    * funnels EVERY scored candidate into #queries merge tasks: a
+    * parallelism collapse on the last stage once the candidate set is
+    * corpus-sized (VERDICT r3 perf #5, shared across d9/d10/d12/d17).
+    * The bounded aggregate (graft.functions.TopKAgg) instead reduces
+    * each map partition to ≤ k entries per query BEFORE the exchange
+    * (ObjectHashAggregate partial mode), so the per-query merge sees
+    * ≤ k × partitions buffer entries no matter the corpus size. The
+    * (rank, neighbor) rows recovered by posexplode are identical to
+    * the window formulation: same (cos DESC, neighbor_id ASC) order,
+    * same distinct 1-based ranks. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int = TopK): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score", col("cos"), col("neighbor_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("i", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"), col("s.score").as("cos"),
+        (col("i") + 1).cast("int").as("rnk"))
+
   /** d9: brute-force cosine top-k — queries (vec_id < 10) broadcast
     * against all other vectors, per-query top-5. */
   def d9CosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -52,12 +72,9 @@ object VectorOps {
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(cand, col("neighbor_id") =!= col("query_id"))
+    val scored = broadcast(q).join(cand, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    topKPerQuery(scored)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -83,9 +100,26 @@ object VectorOps {
 
   val NumPlanes = 4
 
-  /** Deterministic ±1 random-hyperplane weights (fixed seed mix). */
+  /** Deterministic ±1 random-hyperplane weights.
+    *
+    * The sign comes from a full avalanche mix (murmur3 fmix32) of
+    * (p, j), NOT a single-bit test: a linear scheme like
+    * `((p*A) ^ (j*B)) & bit` factors into bit(p·A) == bit(j·B), which
+    * makes EVERY plane either one fixed vector W or its negation −W —
+    * all "independent" hyperplanes collapse to a single cut, each LSH
+    * table ends up with 2 occupied buckets, and candidate generation
+    * degenerates to ~n²/2 per table (the round-3 implementation had
+    * exactly this bug). The mix makes the 64·P signs pairwise
+    * independent for distinct plane ids, restoring the 2^P-bucket
+    * geometry the recall math assumes. The weights are compile-time
+    * constants baked into both the Spark plan and the DuckDB oracle
+    * strings, so determinism is all that is required of them. */
   private[operators] def planeWeights(p: Int): Seq[Float] =
-    (0 until 64).map(j => if ((((p * 73856093) ^ (j * 19349663)) & 0x10000) == 0) 1.0f else -1.0f)
+    (0 until 64).map { j =>
+      var h = p * 0x9E3779B9 + j * 0x85EBCA6B
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }
 
   /** Hyperplane bucket id: sign bit per plane via the NATIVE
     * dot_product over a literal float weight array — corpus-wide hot
@@ -104,12 +138,9 @@ object VectorOps {
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
     val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket").as("cb"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(cand, col("bucket") === col("cb") && col("neighbor_id") =!= col("query_id"))
+    val scored = broadcast(q).join(cand, col("bucket") === col("cb") && col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    topKPerQuery(scored)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -152,12 +183,11 @@ object VectorOps {
         explode(array(probes: _*)).as("pb"))
     val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
       col("bucket").as("cb"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(cand, col("pb") === col("cb") && col("neighbor_id") =!= col("query_id"))
+    // probe masks are distinct, so a candidate (one bucket) matches at
+    // most one probe — no per-pair duplicates enter the scoring
+    val scored = broadcast(q).join(cand, col("pb") === col("cb") && col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    topKPerQuery(scored)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -197,14 +227,40 @@ object VectorOps {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[(Int, Seq[Float])]]()
 
-  /** Evict memoized centroid sets for (session, dataset) — the IVF
-    * index is invalid once data under `dir` changes. (Centroids are
-    * small driver-side values, no persisted blocks to release.) */
+  private val subplanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Memoize + persist a shared subplan per (session, dataset, key) —
+    * same contract as DedupOps.shared: one computation per job for
+    * frames referenced from several subplans, released via
+    * [[release]]. */
+  private def shared(spark: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame = subplanCache.synchronized {
+    val k = (spark, dir, key)
+    Option(subplanCache.get(k)).getOrElse {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      subplanCache.put(k, df)
+      df
+    }
+  }
+
+  /** Evict every memoized index artifact for (session, dataset):
+    * centroid sets and corpus counts (small driver-side values) plus
+    * persisted shared subplans (unpersisted, blocking). The vector
+    * indexes are invalid once data under `dir` changes, so callers
+    * processing mutable datasets call this between loads — Verify and
+    * Bench do at teardown. */
   def release(spark: SparkSession, dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     centroidCache.keySet().asScala
       .filter(k => (k._1 eq spark) && k._2 == dir).toSeq
       .foreach(centroidCache.remove)
+    countCache.remove((spark, dir))
+    subplanCache.synchronized {
+      subplanCache.keySet().asScala
+        .filter(k => (k._1 eq spark) && k._2 == dir).toSeq
+        .foreach(k => subplanCache.remove(k).unpersist(blocking = true))
+    }
   }
 
   /** In-row nearest-centroid id over broadcast literal centroids:
@@ -288,13 +344,10 @@ object VectorOps {
       .select(col("query_id"), col("qe"),
         explode(slice(probeArr, 1, NumProbes)).as("p"))
       .select(col("query_id"), col("qe"), (-col("p.nc")).as("cid"))
-    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(probes).join(assigned, Seq("cid"))
+    val scored = broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rnk"))
+    topKPerQuery(scored)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -348,37 +401,101 @@ object VectorOps {
   /** L independent hyperplane tables for near-dup candidate generation.
     * Recall for a pair at cosine s is 1-(1-(1-θ/π)^P)^L (θ = acos s):
     * ≈ 1-2e-8 at s=0.99, 0.97 at s=0.9 with L=8, P=4 — misses vanish in
-    * the near-dup regime the operator targets. P is sized for the test
-    * corpus (16 buckets/table); at 100 TB raise P (bucket count 2^P)
-    * and L together — work per table is Σ|bucket|²≈n²/2^P, so P=16
-    * bounds the self-join at ~n²/65536 candidate checks. */
+    * the near-dup regime the operator targets. P AUTO-SCALES with the
+    * corpus (work per table is Σ|bucket|² ≈ n²/2^P): see
+    * [[dupPlanesFor]]; [[DupPlanes]] is the floor, which the test
+    * corpus stays at (so the exact DuckDB replay is P-stable there). */
   val NumDupTables = 8
   val DupPlanes = 4
   /** Verification threshold. Near-dup means s→1; 0.4 also exercises the
     * verify path on this corpus (whose max random cosine ≈ 0.5-0.6). */
   val DupTau = 0.4
+  /** Auto-P target: mean bucket population the plane count is sized
+    * for. P = log2(n/1000) keeps the per-table self-join at
+    * ~n·1000/2 candidate checks — linear in n, not quadratic. */
+  val DupTargetBucket = 1000L
+  /** Flood backstop (mirrors DedupOps.MaxBucketSize): buckets above
+    * this size get salted sub-bucketing, and sub-bucket rows beyond it
+    * are rank-capped out of pairing — both observable via
+    * [[d13CapStats]], nothing dropped silently. Never reached at test
+    * scale, so the exact oracle is unaffected. */
+  val DupMaxBucket = 10000
 
-  private[graft] def dupBucket(v: Column, table: Int): Column =
-    (0 until DupPlanes).map { p =>
-      when(dot(v, floatArrayLit(planeWeights(table * DupPlanes + p))) >= 0,
+  /** Planes per table for a corpus of n vectors: enough buckets (2^P)
+    * to hold mean population ≈ [[DupTargetBucket]], floored at
+    * [[DupPlanes]] (16 buckets) so small corpora keep the recall the
+    * L/P math above was sized for. */
+  def dupPlanesFor(n: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / DupTargetBucket) / math.log(2.0)).toInt
+    math.max(DupPlanes, needed)
+  }
+
+  private[graft] def dupBucket(v: Column, table: Int, planes: Int = DupPlanes): Column =
+    (0 until planes).map { p =>
+      when(dot(v, floatArrayLit(planeWeights(table * planes + p))) >= 0,
         lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Bucketed rows (vid, t, b, salt, bsz, rnk) for the L dup tables,
+    * with the d7-style oversized-bucket backstop applied:
+    *
+    *  - `salt` is −1 for normal buckets; buckets whose population
+    *    exceeds `maxBucket` get the low ⌈P/2⌉ bits of the NEXT table's
+    *    bucket as a sub-bucket key. Those bits are hyperplane signs of
+    *    independent planes, so they are locality-sensitive: a near-dup
+    *    pair in an oversized bucket stays together unless one of the
+    *    salt planes separates it (recall loss confined to oversized
+    *    buckets, and partial agreement with table t+1 still splits the
+    *    join up to 2^⌈P/2⌉×). Costs ZERO extra dot products — the next
+    *    table's bucket is already computed in the same projection.
+    *  - `rnk` ranks rows within (t, b, salt); consumers filter
+    *    `rnk <= maxBucket` as the hard bound on worst-case join work
+    *    (a flood of identical vectors that salting cannot split).
+    *
+    * The bucket-size frame is bounded by the key space (L·2^P rows at
+    * ANY corpus size) → broadcast join, no extra corpus shuffle; the
+    * rank window shares the (t, b, salt) partitioning the self-join
+    * needs, so it adds no exchange of its own. */
+  private[graft] def dupBucketedRows(emb: DataFrame, idCol: String, vecCol: String,
+                                     planes: Int, maxBucket: Int): DataFrame = {
+    val withBuckets = emb.select(
+      col(idCol).as("vid") +:
+        (0 until NumDupTables).map(t => dupBucket(col(vecCol), t, planes).as(s"b$t")): _*)
+    val saltMask = (1 << ((planes + 1) / 2)) - 1
+    val tables = (0 until NumDupTables).map { t =>
+      struct(lit(t).as("t"), col(s"b$t").as("b"),
+        col(s"b${(t + 1) % NumDupTables}").bitwiseAND(lit(saltMask)).as("sb"))
+    }
+    val rows = withBuckets.select(col("vid"), explode(array(tables: _*)).as("tb"))
+      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b"), col("tb.sb").as("sb"))
+    val sizes = rows.groupBy(col("t"), col("b")).agg(count(lit(1)).as("bsz"))
+    val wB = Window.partitionBy(col("t"), col("b"), col("salt")).orderBy(col("vid"))
+    rows.join(broadcast(sizes), Seq("t", "b"))
+      .withColumn("salt", when(col("bsz") > maxBucket, col("sb")).otherwise(lit(-1)))
+      .withColumn("rnk", row_number().over(wB))
+      .select(col("vid"), col("t"), col("b"), col("salt"), col("bsz"), col("rnk"))
+  }
+
   /** Candidate pairs ∩ exact cosine ≥ τ over ANY (id, embedding) frame:
     * explode each vector into its L table buckets, self-join per
-    * (table, bucket), dedup candidate IDS first (each pair is verified
-    * once, not once per agreeing table), then join the vectors back and
-    * verify with the native cosine. Only ids cross the candidate
-    * shuffle — the 64-float payloads move once, in the verify join. */
-  private[graft] def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val tables = (0 until NumDupTables).map(t =>
-      struct(lit(t).as("t"), dupBucket(col(vecCol), t).as("b")))
-    val bucketed = emb.select(col(idCol).as("vid"),
-        explode(array(tables: _*)).as("tb"))
-      .select(col("vid"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val cand = bucketed.as("x").join(bucketed.as("y"),
+    * (table, bucket[, salt]), dedup candidate IDS first (each pair is
+    * verified once, not once per agreeing table), then join the vectors
+    * back and verify with the native cosine. Only ids cross the
+    * candidate shuffle — the 64-float payloads move once, in the
+    * verify join. `bucketed` lets callers pass a materialized
+    * [[dupBucketedRows]] (d13 caches it — the x/y join sides and the
+    * size agg all read one computation). */
+  private[graft] def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                                       planes: Int = DupPlanes,
+                                       maxBucket: Int = DupMaxBucket,
+                                       bucketed: Option[DataFrame] = None): DataFrame = {
+    val rows = bucketed.getOrElse(dupBucketedRows(emb, idCol, vecCol, planes, maxBucket))
+      .filter(col("rnk") <= maxBucket)
+      .select(col("vid"), col("t"), col("b"), col("salt"))
+    val cand = rows.as("x").join(rows.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
-          col("x.vid") < col("y.vid"))
+          col("x.salt") === col("y.salt") && col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"))
       .distinct()
     val ea = emb.select(col(idCol).as("vec_a"), col(vecCol).as("ea"))
@@ -388,14 +505,50 @@ object VectorOps {
       .filter(col("cos") >= DupTau)
   }
 
+  /** Corpus vector count, memoized per (session, dataset) — one cheap
+    * count() at index time drives the auto-P decision. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    countCache.computeIfAbsent((spark, dir),
+      _ => Tables.embeddings(spark, dir).count()).longValue()
+
+  /** Materialized-once bucketed rows for the canonical embeddings
+    * table: both sides of the candidate self-join and the cap-stats
+    * query read this cache instead of recomputing the 8-table
+    * bucketing projection per reference. */
+  private def sharedDupBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val planes = dupPlanesFor(corpusCount(spark, dir))
+    shared(spark, dir, "dupbuckets")(
+      dupBucketedRows(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        planes, DupMaxBucket))
+  }
+
+  /** Cap observability for d13 (mirrors DedupOps.d7CapStats): one row
+    * with the number of (table, bucket) cells that triggered salting
+    * and the number of bucket rows the flood backstop excluded from
+    * pairing. Zero/zero ⇒ the candidate join is exactly the declared
+    * L-table bucketing — what the DuckDB oracle replays. */
+  def d13CapStats(spark: SparkSession, dir: String): DataFrame =
+    sharedDupBuckets(spark, dir).agg(
+      count_distinct(when(col("bsz") > DupMaxBucket, struct(col("t"), col("b"))))
+        .as("oversized_buckets"),
+      sum(when(col("rnk") > DupMaxBucket, 1L).otherwise(0L)).as("capped_rows"))
+
   /** d13: embedding-cosine near-dup pairs over the embeddings table.
     * Oracled exactly: the plane weights are data-independent constants,
     * so DuckDB replays the identical L-table bucketing + cosine verify
     * (same semantics as the d10 oracle — exact wrt the declared
-    * candidate generation, with the recall bound documented above). */
-  def d13DedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    embeddingDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    * candidate generation, with the recall bound documented above; the
+    * test corpus keeps P at the floor and no bucket near the cap, so
+    * salting never engages there and the replay is exact). */
+  def d13DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val planes = dupPlanesFor(corpusCount(spark, dir))
+    embeddingDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        planes, DupMaxBucket, Some(sharedDupBuckets(spark, dir)))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   val d13Sql: String = {
     def duckDupBucket(v: String, table: Int): String =

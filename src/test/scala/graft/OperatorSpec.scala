@@ -243,7 +243,12 @@ class OperatorSpec extends GraftSpec {
     assert(lsh.nonEmpty && ivf.nonEmpty)
     val lshRecall = (brute & lsh).size.toDouble / brute.size
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
-    assert(lshRecall > 0.2, s"lsh recall=$lshRecall") // bucketed probe, small corpus
+    // single-probe 16-bucket LSH: P[query and neighbor share a bucket]
+    // = (1-θ/π)^4 ≈ 0.2 at this corpus's top-5 cosine (~0.55). The old
+    // 0.2 floor was calibrated against the degenerate 2-bucket
+    // planeWeights (half the corpus per probe); d17 multiprobe is the
+    // recall path, asserted >= d10 below.
+    assert(lshRecall > 0.1, s"lsh recall=$lshRecall")
     assert(ivfRecall > 0.2, s"ivf recall=$ivfRecall")
   }
 
@@ -310,6 +315,64 @@ class OperatorSpec extends GraftSpec {
     val plan = VectorOps.d12AnnIvf(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning(vec_id"), plan.take(3000))
     assert(!plan.contains("hashpartitioning(neighbor_id"), plan.take(3000))
+  }
+
+  test("ANN top-k merge is a bounded aggregate, not a #queries-partition window") {
+    // the row_number().over(partitionBy(query_id)) form collapses the
+    // merge to NumQueries tasks over the full candidate set; the TopKAgg
+    // form must show a PARTIAL aggregate feeding the query_id exchange
+    // (map-side reduction to <= k rows per query per partition) and no
+    // Window node at all.
+    val fams = Map(
+      "d9" -> VectorOps.d9CosineTopk(spark, sfDir),
+      "d10" -> VectorOps.d10AnnLsh(spark, sfDir),
+      "d12" -> VectorOps.d12AnnIvf(spark, sfDir),
+      "d17" -> VectorOps.d17AnnMultiprobe(spark, sfDir))
+    fams.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name still ranks through a window")
+      assert(plan.contains("partial_topk_by_score"),
+        s"$name lacks the map-side partial top-k reduction")
+    }
+  }
+
+  test("d13 auto-P: planes grow with corpus size from the floor") {
+    assert(VectorOps.dupPlanesFor(0) == VectorOps.DupPlanes)
+    assert(VectorOps.dupPlanesFor(2000) == VectorOps.DupPlanes)       // test scale
+    assert(VectorOps.dupPlanesFor(16000 * VectorOps.DupTargetBucket) == 14)
+    assert(VectorOps.dupPlanesFor(1000000000L) == 20)                 // 1e9 vectors
+    // bucket population stays near target: n / 2^P <= 2 * target
+    Seq(100000L, 10000000L, 1000000000L).foreach { n =>
+      val p = VectorOps.dupPlanesFor(n)
+      assert(n.toDouble / (1L << p) <= 2 * VectorOps.DupTargetBucket)
+    }
+  }
+
+  test("d13 oversized-bucket backstop: rank cap bounds identical floods; stats observable") {
+    // a flood of IDENTICAL vectors collides in every table bucket AND
+    // every salt sub-bucket (salting cannot split what content dedup
+    // should have collapsed) — the rank cap must bound the join.
+    val one = Tables.embeddings(spark, sfDir).limit(1).select(col("embedding"))
+    val flood = spark.range(120).select(col("id").as("vec_id")).crossJoin(one)
+    val rows = VectorOps.dupBucketedRows(flood, "vec_id", "embedding",
+      VectorOps.DupPlanes, maxBucket = 50)
+    assert(rows.filter(col("salt") === -1).count() == 0, "flood buckets not salted")
+    assert(rows.filter(col("rnk") > 50).count() > 0, "rank cap never engaged")
+    val pairs = VectorOps.embeddingDupPairs(flood, "vec_id", "embedding",
+      maxBucket = 50)
+    assert(pairs.count() == 50L * 49 / 2, "flood join not bounded to cap choose 2")
+    // real corpus at a tiny cap: salting engages and SPLITS buckets
+    // (distinct vectors disagree on salt planes), bounding bucket work
+    val salted = VectorOps.dupBucketedRows(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", VectorOps.DupPlanes, maxBucket = 10)
+    val splits = salted.filter(col("salt") =!= -1)
+      .groupBy(col("t"), col("b")).agg(countDistinct(col("salt")).as("nsub"))
+      .filter(col("nsub") > 1)
+    assert(splits.count() > 0, "salting never split an oversized bucket")
+    // at the DEFAULT cap the test corpus triggers nothing — the
+    // precondition for the exact DuckDB replay
+    val stats = VectorOps.d13CapStats(spark, sfDir).head()
+    assert(stats.getLong(0) == 0 && stats.getLong(1) == 0)
   }
 
   test("dot_product is bit-identical to the HOF fold; both folds null on length mismatch") {

@@ -5,9 +5,16 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark output) and runs the
 matching SQL from oracle_sql.json in DuckDB with views named after the
-test tables. Compares row counts, column names, and values (sorted by
-all columns, exact match; floats compared bit-exactly first, then with
-1e-9 relative tolerance reported separately).
+test tables. Compares row counts, column names, column TYPES, and
+values (sorted by all columns, exact match; floats compared bit-exactly
+first, then with 1e-9 relative tolerance reported separately).
+
+Type comparison mirrors the driver's type-sensitive hash: a DuckDB
+oracle producing HUGEINT where Spark wrote BIGINT fails the round even
+when every value matches (round-3 a12 incident), so it must fail here
+too. Types are compared as DuckDB type strings after normalizing
+representations the driver's canonicalization treats as identical
+(timestamp precisions — Spark parquet micros vs oracle TIMESTAMP).
 """
 import json
 import math
@@ -17,6 +24,20 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_type(t):
+    s = str(t).upper()
+    # timestamp precision variants hash identically driver-side
+    if s.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    # int widths up to 64-bit promote to one Python/arrow int and hash
+    # identically driver-side (a5/q7 pass with INTEGER vs BIGINT), but
+    # HUGEINT does NOT (round-3 a12 failed on BIGINT vs HUGEINT) —
+    # keep it distinct.
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "BIGINT"
+    return s
 
 
 def canon(rows):
@@ -53,9 +74,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: error {e}")
             failures.append(name)
             continue
+        spark_types = dict(zip(spark_cols, [canon_type(t) for t in spark_rel.types]))
+        duck_types = dict(zip(duck_cols, [canon_type(t) for t in duck_rel.types]))
         status = []
         if set(spark_cols) != set(duck_cols):
             status.append(f"cols spark={spark_cols} duck={duck_cols}")
+        elif spark_types != duck_types:
+            drift = {c: (spark_types[c], duck_types[c])
+                     for c in spark_types if spark_types[c] != duck_types[c]}
+            status.append(f"types (spark, duck) differ: {drift}")
         elif len(spark_rows) != len(duck_rows):
             status.append(f"rows spark={len(spark_rows)} duck={len(duck_rows)}")
         else:
