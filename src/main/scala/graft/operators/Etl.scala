@@ -205,14 +205,22 @@ object Etl {
       |  FROM e) t WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** Staging object-key log: deterministic stand-in for the reference's
-    * staging bucket listing. Keys follow the reference's two layouts
-    * (process-staging.py:32-44): `manual/<file>.csv` drop-ins and
-    * `source/schema/table/load/<file>.parquet` replication loads. */
+    * staging bucket listing. Keys follow the reference's three layouts:
+    * `manual/<file>.csv` drop-ins and
+    * `source/schema/table/load/<file>.parquet` replication loads
+    * (process-staging.py:32-44), plus the api collector's
+    * underscore-flat `{source}_{name}_{state}_{city}_{ts}.txt` objects
+    * (collect-data.py:206-210). */
   private def stagingKeys(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id"), col("ts"),
       when(pmod(col("user_id"), lit(7)) === 0,
         concat(lit("manual/metrics_"), col("event_id").cast("string"), lit(".csv")))
+        .when(pmod(col("user_id"), lit(7)) === 1,
+          concat(col("event_type"), lit("_metrics_t"),
+            pmod(col("user_id"), lit(5)).cast("string"), lit("_c"),
+            pmod(col("user_id"), lit(3)).cast("string"), lit("_"),
+            col("event_id").cast("string"), lit(".txt")))
         .otherwise(concat(
           col("event_type"), lit("/public/t"),
           pmod(col("user_id"), lit(5)).cast("string"), lit("/"),
@@ -223,19 +231,28 @@ object Etl {
     * incoming object key into (source, schema, table, load, filename),
     * classify `initial` vs `cdc`, and handle the `manual/` drop-in branch
     * (manual keys promote as manual/misc/<table>/initial —
-    * process-staging.py:32-44). The promoted key re-partitions under
-    * y/m/d/h derived from the object's event time (the deterministic
-    * stand-in for the reference's wall-clock datetime.today()). Pure
-    * map-side string projection — no shuffle at any scale. */
+    * process-staging.py:32-44) plus the api collector's underscore-flat
+    * `{source}_{name}_{state}_{city}_{ts}.txt` objects
+    * (collect-data.py:206-210: no slashes at all — classified by the
+    * absence of '/', parsed on '_', promoted as source/api/<name>/
+    * initial with the whole flat key as the filename). The promoted key
+    * re-partitions under y/m/d/h derived from the object's event time
+    * (the deterministic stand-in for the reference's wall-clock
+    * datetime.today()). Pure map-side string projection — no shuffle at
+    * any scale. */
   def a8KeyPromote(spark: SparkSession, dir: String): DataFrame = {
     val p = split(col("object_key"), "/")
+    val f = split(col("object_key"), "_")
+    val isFlat = !col("object_key").contains("/")
     val isManual = element_at(p, 1) === "manual"
     val manualFile = element_at(p, 2)
-    val source = element_at(p, 1)
-    val schema = when(isManual, lit("misc")).otherwise(element_at(p, 2))
-    val table = when(isManual, regexp_replace(manualFile, "\\.csv$", "")).otherwise(element_at(p, 3))
-    val load = when(isManual, lit("initial")).otherwise(element_at(p, 4))
-    val filename = when(isManual, manualFile).otherwise(element_at(p, 5))
+    val source = when(isFlat, element_at(f, 1)).otherwise(element_at(p, 1))
+    val schema = when(isManual, lit("misc")).when(isFlat, lit("api")).otherwise(element_at(p, 2))
+    val table = when(isManual, regexp_replace(manualFile, "\\.csv$", ""))
+      .when(isFlat, element_at(f, 2)).otherwise(element_at(p, 3))
+    val load = when(isManual || isFlat, lit("initial")).otherwise(element_at(p, 4))
+    val filename = when(isManual, manualFile).when(isFlat, col("object_key"))
+      .otherwise(element_at(p, 5))
     val pad2 = (c: Column) => lpad(c.cast("string"), 2, "0")
     stagingKeys(spark, dir)
       .select(
@@ -253,21 +270,27 @@ object Etl {
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
       |    CASE WHEN user_id % 7 = 0
       |      THEN concat('manual/metrics_', CAST(event_id AS VARCHAR), '.csv')
+      |    WHEN user_id % 7 = 1
+      |      THEN concat(event_type, '_metrics_t', CAST(user_id % 5 AS VARCHAR), '_c',
+      |        CAST(user_id % 3 AS VARCHAR), '_', CAST(event_id AS VARCHAR), '.txt')
       |      ELSE concat(event_type, '/public/t', CAST(user_id % 5 AS VARCHAR), '/',
       |        CASE WHEN event_id % 3 = 0 THEN 'initial' ELSE 'cdc' END, '/',
       |        CAST(event_id AS VARCHAR), '.parquet') END AS object_key
       |  FROM events),
       |parsed AS (
       |  SELECT event_id, ts, object_key, string_split(object_key, '/') AS p,
-      |    string_split(object_key, '/')[1] = 'manual' AS is_manual
+      |    string_split(object_key, '_') AS f,
+      |    string_split(object_key, '/')[1] = 'manual' AS is_manual,
+      |    strpos(object_key, '/') = 0 AS is_flat
       |  FROM staged),
       |fields AS (
       |  SELECT event_id, ts, object_key,
-      |    p[1] AS source,
-      |    CASE WHEN is_manual THEN 'misc' ELSE p[2] END AS schema_name,
-      |    CASE WHEN is_manual THEN regexp_replace(p[2], '\.csv$', '') ELSE p[3] END AS table_name,
-      |    CASE WHEN is_manual THEN 'initial' ELSE p[4] END AS load_type,
-      |    CASE WHEN is_manual THEN p[2] ELSE p[5] END AS filename
+      |    CASE WHEN is_flat THEN f[1] ELSE p[1] END AS source,
+      |    CASE WHEN is_manual THEN 'misc' WHEN is_flat THEN 'api' ELSE p[2] END AS schema_name,
+      |    CASE WHEN is_manual THEN regexp_replace(p[2], '\.csv$', '')
+      |         WHEN is_flat THEN f[2] ELSE p[3] END AS table_name,
+      |    CASE WHEN is_manual OR is_flat THEN 'initial' ELSE p[4] END AS load_type,
+      |    CASE WHEN is_manual THEN p[2] WHEN is_flat THEN object_key ELSE p[5] END AS filename
       |  FROM parsed)
       |SELECT event_id, object_key, source, schema_name, table_name, load_type, filename,
       |  concat_ws('/', source, schema_name, table_name, load_type,
@@ -276,20 +299,34 @@ object Etl {
       |    filename) AS promoted_key
       |FROM fields ORDER BY event_id""".stripMargin
 
-  /** Generic keyed status writeback: base LEFT JOIN updates on the key;
-    * a non-null update status wins, everything else passes through —
-    * the merge primitive behind both the success path (a2) and the
-    * reference's error writeback (collect-data.py:178-180 sets
-    * status='error' when collection fails). One shuffle on the key. */
+  /** Generic keyed status writeback over ARBITRARY match columns: base
+    * LEFT JOIN updates on every (base, update) key pair; a non-null
+    * update status wins, everything else passes through — the merge
+    * primitive behind the success path (a2), the reference's error
+    * writeback (collect-data.py:178-180), and the config-driven
+    * composite-key update (update-control.py:25-30 resolves WHICH
+    * columns identify a control row from the registry's s3_directory
+    * list — e.g. `state,city` — and a single event may update every
+    * row matching that composite filter). One shuffle on the key
+    * tuple; the updates side is pre-aggregated per key, so it stays
+    * broadcastable whenever the key space is. */
+  def statusWriteback(base: DataFrame, updates: DataFrame,
+                      keys: Seq[(Column, Column)], idCol: Column,
+                      baseStatus: Column, updStatus: Column,
+                      updCompletedAt: Column): DataFrame =
+    base.join(updates, keys.map { case (b, u) => b === u }.reduce(_ && _), "left_outer")
+      .select(
+        idCol.as("id"),
+        coalesce(updStatus, baseStatus).as("status"),
+        updCompletedAt.as("date_completed"))
+
+  /** Single-key convenience form (the id IS the match key). */
   def statusWriteback(base: DataFrame, updates: DataFrame,
                       baseKey: Column, updKey: Column,
                       baseStatus: Column, updStatus: Column,
                       updCompletedAt: Column): DataFrame =
-    base.join(updates, baseKey === updKey, "left_outer")
-      .select(
-        baseKey.as("id"),
-        coalesce(updStatus, baseStatus).as("status"),
-        updCompletedAt.as("date_completed"))
+    statusWriteback(base, updates, Seq(baseKey -> updKey), baseKey,
+      baseStatus, updStatus, updCompletedAt)
 
   /** a9: arbitrary-status control writeback — fully-shipped orders mark
     * `completed` with their completion ts; orders with any returned
@@ -431,7 +468,57 @@ object Etl {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  /** a13: config-driven composite-key writeback — the registry names
+    * WHICH columns identify a control row (update-control.py:25-30
+    * resolves them from s3_directory; greatschools_control.csv keys on
+    * city/state, not id), and every control row matching the composite
+    * filter takes the update's status. Here the registry binds
+    * orders' control rows to (custkey, priority): a (custkey,
+    * priority) group whose orders are all final archives with its
+    * completion date; one with stale activity marks `stale`; the rest
+    * pass through. */
+  def a13ConfigWriteback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val registry = Seq(
+      ("orders_ctl", "custkey, priority"),
+      ("events_ctl", "user_id, event_type")).toDF("name", "s3_directory")
+    val matchCols = graft.sources.SourceRegistry.matchCols(registry, "orders_ctl")
+    val binding: Map[String, (Column, Column)] = Map(
+      "custkey" -> (col("o_custkey"), col("u_custkey")),
+      "priority" -> (col("o_orderpriority"), col("u_priority")))
+    val upd = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("u_custkey"), col("o_orderpriority").as("u_priority"))
+      .agg(
+        countIf(col("o_orderstatus") =!= "F").as("open_cnt"),
+        max(col("o_orderdate")).as("last_date"))
+      .select(col("u_custkey"), col("u_priority"),
+        when(col("open_cnt") === 0, lit("archived"))
+          .when(col("last_date") < lit("1996-01-01"), lit("stale")).as("new_status"),
+        when(col("open_cnt") === 0, col("last_date")).as("completed_at"))
+    statusWriteback(
+      Tables.orders(spark, dir), upd,
+      matchCols.map(binding), col("o_orderkey"),
+      col("o_orderstatus"), col("new_status"), col("completed_at"))
+      .orderBy(col("id"))
+  }
+
+  val a13Sql: String =
+    """WITH upd AS (
+      |  SELECT o_custkey AS u_custkey, o_orderpriority AS u_priority,
+      |    CASE WHEN count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) = 0 THEN 'archived'
+      |         WHEN max(o_orderdate) < TIMESTAMP '1996-01-01' THEN 'stale' END AS new_status,
+      |    CASE WHEN count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) = 0
+      |         THEN max(o_orderdate) END AS completed_at
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderkey AS id,
+      |  coalesce(new_status, o_orderstatus) AS status,
+      |  completed_at AS date_completed
+      |FROM orders LEFT JOIN upd
+      |  ON o_custkey = u_custkey AND o_orderpriority = u_priority
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_config_writeback" -> (a13ConfigWriteback _),
     "a12_profile" -> (a12Profile _),
     "a11_due_sources" -> (a11DueSources _),
     "a1_pending_filter" -> (a1PendingFilter _),
@@ -446,6 +533,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a13_config_writeback" -> a13Sql,
     "a12_profile" -> a12Sql,
     "a11_due_sources" -> a11Sql,
     "a1_pending_filter" -> a1Sql,

@@ -46,4 +46,16 @@ object SourceRegistry {
   /** Enrich a work-item table with its source's registry row. */
   def enrich(items: DataFrame, registry: DataFrame, itemSourceCol: String): DataFrame =
     items.join(broadcast(registry), items(itemSourceCol) === registry("name"), "left_outer")
+
+  /** Resolve a source's control-row match columns from its registry
+    * row's `s3_directory` field (update-control.py:25-30: the
+    * comma-separated list of control columns — e.g. `state,city` —
+    * whose event values identify the rows one update applies to).
+    * Config lookup, one row — driver-side by design, like the
+    * reference's config_df read. */
+  def matchCols(registry: DataFrame, source: String,
+                nameCol: String = "name"): Seq[String] =
+    registry.filter(col(nameCol) === source)
+      .select(col("s3_directory")).head().getString(0)
+      .replace(" ", "").split(",").toSeq
 }

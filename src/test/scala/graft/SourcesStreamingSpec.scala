@@ -100,6 +100,35 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(sites == Set("city-data", "usa"))
   }
 
+  test("statusWriteback merges on registry-resolved composite keys") {
+    import spark.implicits._
+    // the reference's greatschools_control.csv shape: rows identified
+    // by (state, city) — the s3_directory columns — not by id
+    val cfg = getClass.getResource("/scraper_config.csv").getPath
+    val reg = SourceRegistry.fromCsv(spark, cfg, "website")
+    val keys = SourceRegistry.matchCols(reg, "city-data", nameCol = "site")
+    assert(keys == Seq("state", "city"))
+    val control = Seq(
+      (1L, "oh", "akron", "pending"),
+      (2L, "oh", "toledo", "pending"),
+      (3L, "tx", "akron", "pending"), // same city, other state — must NOT match
+      (4L, "oh", "akron", "pending")  // composite dup — one event updates BOTH rows
+    ).toDF("id", "state", "city", "status")
+    val updates = Seq(("oh", "akron", "complete", "2024-01-02"))
+      .toDF("u_state", "u_city", "new_status", "completed")
+    val binding = Map(
+      "state" -> (col("state"), col("u_state")),
+      "city" -> (col("city"), col("u_city")))
+    val merged = graft.operators.Etl.statusWriteback(
+      control, updates, keys.map(binding), col("id"),
+      col("status"), col("new_status"), col("completed"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(merged(1L) == ("complete", "2024-01-02"))
+    assert(merged(4L) == ("complete", "2024-01-02")) // every matching row updates
+    assert(merged(2L) == ("pending", null))
+    assert(merged(3L) == ("pending", null)) // partial key match is no match
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
