@@ -263,6 +263,20 @@ object VectorOps {
     }
   }
 
+  /** Release all cached artifacts owned by `spark` (session shutdown —
+    * parity with DedupOps.releaseSession). */
+  def releaseSession(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    centroidCache.keySet().asScala.filter(_._1 eq spark).toSeq
+      .foreach(centroidCache.remove)
+    countCache.keySet().asScala.filter(_._1 eq spark).toSeq
+      .foreach(countCache.remove)
+    subplanCache.synchronized {
+      subplanCache.keySet().asScala.filter(_._1 eq spark).toSeq
+        .foreach(k => subplanCache.remove(k).unpersist(blocking = true))
+    }
+  }
+
   /** In-row nearest-centroid id over broadcast literal centroids:
     * greatest() over (csim, -cid) structs — pure projection, ZERO
     * shuffle of the corpus (the r1 plan shuffled every vector on
