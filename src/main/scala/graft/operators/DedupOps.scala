@@ -29,9 +29,13 @@ object DedupOps {
     * higher-order functions (those evaluate interpreted), and the only
     * wide state through the shuffle is one token row, not per-doc
     * arrays — the shape that survives 100 TB. Output is identical. */
-  def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
+  def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+    explodedShinglesOf(Tables.documents(spark, dir))
+
+  /** Same pipeline over ANY (doc_id, text) frame. */
+  def explodedShinglesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(spark, dir)
+    val tok = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     tok.select(col("doc_id"), col("tok"),

@@ -373,7 +373,225 @@ object TextOps {
       |SELECT tok, count(*) AS freq FROM t GROUP BY tok
       |ORDER BY freq DESC, tok LIMIT 100""".stripMargin
 
+  /** PII patterns shared by the scrub operator and its oracle. Kept to
+    * syntax both Java regex (Spark codegen) and RE2 (DuckDB) implement
+    * identically — no lookaround, no backreferences, no word
+    * boundaries. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "555-[0-9]{4}"
+
+  /** PII scrubbing over ANY (doc_id, text) frame: count + redact
+    * emails and phone numbers with typed placeholders. Row-local
+    * regexp projections — zero shuffle at any scale. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+
+  /** d18: PII scrubbing — the redaction pass every training pipeline
+    * runs before release (emails → <EMAIL>, phones → <PHONE>). The
+    * synthetic corpus carries no PII, so the query deterministically
+    * INJECTS it first (every 10th doc gets a contact line) and both
+    * engines replay injection + scrub — the oracle therefore verifies
+    * the scrubbing on text that actually contains matches. Output
+    * hashes the scrubbed text (bulky column, value-checked via md5). */
+  def d18PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(lit(" contact agent"), col("doc_id").cast("string"),
+          lit("@example.org or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    piiScrub(Tables.documents(spark, dir).select(col("doc_id"), injected.as("text")))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("scrubbed")).as("scrub_md5"),
+        (col("n_emails") + col("n_phones") === 0).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Sql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    concat(text, CASE WHEN doc_id % 10 = 0
+       |      THEN concat(' contact agent', CAST(doc_id AS VARCHAR),
+       |        '@example.org or call 555-',
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+       |      ELSE '' END) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5,
+       |  (len(regexp_extract_all(text, '$EmailRe')) + len(regexp_extract_all(text, '$PhoneRe')) = 0) AS clean
+       |FROM injected ORDER BY doc_id""".stripMargin
+
+  /** d19: repetition-based quality filter (the Gopher/MassiveText
+    * repetition rules, adapted to this corpus's newline-free text):
+    * top-2-gram mass fraction, duplicate-2-gram fraction, type-token
+    * ratio, and a keep flag. Shapes: one posexplode → lead window
+    * builds 2-grams (the d6 shingle shape), two doc-keyed hash
+    * aggregations with map-side partials — everything integer until
+    * the final per-doc divisions, so the flags are bit-stable at any
+    * parallelism and in any engine. */
+  def d19RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok
+      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+    val stats = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_2g"), count(lit(1)).as("dist_2g"), max(col("c")).as("max_2g"))
+    val t = tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    base.join(stats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("ttr"),
+        coalesce(col("max_2g").cast("double") / col("total_2g"), lit(0.0)).as("frac_top_2gram"),
+        coalesce(lit(1.0) - col("dist_2g").cast("double") / col("total_2g"), lit(0.0))
+          .as("frac_dup_2grams"),
+        (col("ttr") >= 0.4 &&
+          coalesce(col("max_2g").cast("double") / col("total_2g"), lit(0.0)) <= 0.08).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d19Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM toks WHERE len(t) >= 2),
+      |per AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT doc_id, sum(c) AS total_2g, count(*) AS dist_2g, max(c) AS max_2g
+      |  FROM per GROUP BY 1),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+      |  FROM toks)
+      |SELECT b.doc_id, n_tokens, ttr,
+      |  coalesce(CAST(max_2g AS DOUBLE) / total_2g, 0.0) AS frac_top_2gram,
+      |  coalesce(1.0 - CAST(dist_2g AS DOUBLE) / total_2g, 0.0) AS frac_dup_2grams,
+      |  (ttr >= 0.4 AND coalesce(CAST(max_2g AS DOUBLE) / total_2g, 0.0) <= 0.08) AS keep
+      |FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** Benchmark-contamination check over ANY corpus/eval (doc_id, text)
+    * frames: corpus documents sharing at least one word-3-gram with any
+    * eval document, with shared-shingle and eval-doc counts. The join
+    * is an equi-join on the shingle STRING — no broadcast assumption
+    * (at 100 TB the eval side is small but its exploded shingles need
+    * not fit in memory; the shuffle join on shingle is the
+    * scale-correct plan, and Catalyst still broadcasts when the eval
+    * side is tiny). */
+  def contaminationAgainst(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val cs = DedupOps.explodedShinglesOf(corpus)
+    val es = DedupOps.explodedShinglesOf(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    cs.join(es, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("shingle")).as("n_shared_ngrams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** d20: test-set contamination — docs with doc_id % 97 = 0 stand in
+    * for the held-out benchmark; every other document sharing a
+    * 3-gram with any of them is reported. The real-world use: catch
+    * training documents that quote (or duplicate) eval data before a
+    * training run does. */
+  def d20Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationAgainst(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  val d20Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+      |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared_ngrams,
+      |  count(DISTINCT eval_id) AS n_eval_docs
+      |FROM corp c JOIN ev e ON c.shingle = e.shingle
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  /** d21: source-mixture weights — the sampling-weight table a
+    * training run uses to hit a target mixture (uniform here) from an
+    * imbalanced corpus: per-source doc/char counts, actual char
+    * share, the weight that equalizes shares, and the repeat factor
+    * capped at 4 epochs (the standard upsampling bound). One tiny
+    * aggregate; the windows run over |sources| rows, never the
+    * corpus. */
+  def d21MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("src_chars"))
+    val share = col("src_chars").cast("double") / sum(col("src_chars")).over(all)
+    val weight = (lit(1.0) / count(lit(1)).over(all)) / share
+    per.select(col("source"), col("n_docs"), col("src_chars"),
+        share.as("share"), weight.as("weight"),
+        least(lit(4.0), weight).as("repeat_factor"))
+      .orderBy(col("source"))
+  }
+
+  val d21Sql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS src_chars
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, src_chars,
+      |  CAST(src_chars AS DOUBLE) / sum(src_chars) OVER () AS share,
+      |  (1.0 / count(*) OVER ()) / (CAST(src_chars AS DOUBLE) / sum(src_chars) OVER ()) AS weight,
+      |  least(4.0, (1.0 / count(*) OVER ()) / (CAST(src_chars AS DOUBLE) / sum(src_chars) OVER ())) AS repeat_factor
+      |FROM per ORDER BY source""".stripMargin
+
+  /** d22: deterministic corpus shuffle + sharding — the global
+    * training-order permutation: sort key = salted md5 of the doc id
+    * (engine-portable, the d16 hash idiom), shard = key mod 64. Pure
+    * row-local projection, NO per-shard window: at 100 TB the writer
+    * realizes the order via repartition(shard) +
+    * sortWithinPartitions(sort_key, doc_id) — order within a shard
+    * file, parallelism = #shards, no global rank stage. Reruns and
+    * engines agree on every row's (shard, sort_key). */
+  def d22CorpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit("graft-shuffle:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pmod(h, lit(64L)).cast("int").as("shard"), h.as("sort_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d22Sql: String = {
+    val pow16 = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    val digit = pow16.zipWithIndex.map { case (p, i) =>
+      s"CAST(strpos('0123456789abcdef', (md5(concat('graft-shuffle:', CAST(doc_id AS VARCHAR))))[${i + 1}]) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST(($digit) % 64 AS INTEGER) AS shard, ($digit) AS sort_key
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_pii_scrub" -> (d18PiiScrub _),
+    "d19_repetition_filter" -> (d19RepetitionFilter _),
+    "d20_contamination" -> (d20Contamination _),
+    "d21_mixture_weights" -> (d21MixtureWeights _),
+    "d22_corpus_shuffle" -> (d22CorpusShuffle _),
     "d11_vocab" -> (d11Vocab _),
     "d1_text_stats" -> (d1TextStats _),
     "d2_lang_id" -> (d2LangId _),
@@ -386,6 +604,11 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d18_pii_scrub" -> d18Sql,
+    "d19_repetition_filter" -> d19Sql,
+    "d20_contamination" -> d20Sql,
+    "d21_mixture_weights" -> d21Sql,
+    "d22_corpus_shuffle" -> d22Sql,
     "d11_vocab" -> d11Sql,
     "d1_text_stats" -> d1Sql,
     "d2_lang_id" -> d2Sql,

@@ -311,6 +311,36 @@ class OperatorSpec extends GraftSpec {
     assert(nearFound >= 45, s"found only $nearFound/50 planted near-dups")
   }
 
+  test("piiScrub redacts planted emails/phones and leaves clean text byte-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail-host.co.uk or 555-0199 thanks"),
+      (2L, "two mails a@b.org c.d@e.io and phones 555-1234 555-9999"),
+      (3L, "no pii here, 1234-555 and user at host dot com do not count")
+    ).toDF("doc_id", "text")
+    val r = TextOps.piiScrub(docs).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(r(0) == ((1L, 1, 1, "reach me at <EMAIL> or <PHONE> thanks")))
+    assert(r(1) == ((2L, 2, 2, "two mails <EMAIL> <EMAIL> and phones <PHONE> <PHONE>")))
+    assert(r(2)._2 == 0 && r(2)._3 == 0 && r(2)._4 == docs.filter($"doc_id" === 3).head.getString(1))
+  }
+
+  test("contaminationAgainst flags a verbatim copy of an eval doc with full overlap") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (10L, evalDoc),                                    // verbatim dup of eval
+      (11L, "alpha beta gamma unrelated tail of words"), // partial overlap (1 shared 3-gram)
+      (12L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val ev = Seq((900L, evalDoc)).toDF("doc_id", "text")
+    val hits = TextOps.contaminationAgainst(corpus, ev)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hits(10L) == ((6L, 1L))) // 8 tokens -> 6 shingles, all shared
+    assert(hits(11L) == ((1L, 1L)))
+    assert(!hits.contains(12L))
+  }
+
   test("d12: corpus assignment subplan has no vec_id exchange (in-row argmax)") {
     val plan = VectorOps.d12AnnIvf(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning(vec_id"), plan.take(3000))
