@@ -41,11 +41,20 @@ object Bench {
     // warm the session: scheduler, codegen, parquet footer caches
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // local-iteration aid: SPARK_GRAFT_ONLY=d6_dedup_minhash,d7_dedup_simhash
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def timeOne(name: String, pass: Int): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case t: Throwable =>
+          // a silent -1.0 hid real failures in round 4; always say why
+          System.err.println(s"[bench] FAIL p$pass $name: $t")
+          t.printStackTrace()
+          return -1.0
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] p$pass $name%-24s $dt%8.2fs")
       dt
@@ -62,12 +71,27 @@ object Bench {
     }.toMap
     val load1 = loadavg()
     System.err.println(s"[bench] loadavg at end: $load1")
-    def jmap(m: Map[String, Double]): String =
-      names.map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")
+    def fmt(d: Double, dec: Int): String = if (d < 0) "-1.0" else s"%.${dec}f".format(d)
+    def jmap(m: Map[String, Double], dec: Int = 3): String =
+      names.map(n => "\"" + n + "\":" + fmt(m(n), dec)).mkString("{", ",", "}")
     val total = best.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
+    // The driver captures a bounded stdout tail (~2000 chars, and sbt
+    // appends its own "[success]" line after us), so the stdout line
+    // must stay SHORT: best-of-two per query at 2 decimals, no per-pass
+    // maps, no loadavg — full diagnostics live in BENCH_DETAIL.json.
+    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""queries":${jmap(best, 2)},"sf":"$sfDir"}"""
+    // Full diagnostics (both passes, load markers) go to a local file the
+    // judge can read, and to stderr — never onto the one parseable line.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
       s""""pass1":${jmap(pass1)},"pass2":${jmap(pass2)},""" +
-      s""""loadavg_start":"$load0","loadavg_end":"$load1","cpus":$cpus,"sf":"$sfDir"}""")
+      s""""loadavg_start":"$load0","loadavg_end":"$load1","cpus":$cpus,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(detail) finally w.close()
+    } catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
+    System.err.println(s"[bench] detail: $detail")
+    println(line)
     // cache lifecycle contract: jobs release their shared subplans
     graft.operators.DedupOps.release(spark, sfDir)
     graft.operators.VectorOps.release(spark, sfDir)
