@@ -13,12 +13,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Etl.queries ++ Events.queries ++
       TextOps.queries ++ DedupOps.queries ++ VectorOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ Etl.oracles ++ Events.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
-      MultimodalOps.oracles
+      MultimodalOps.oracles ++ CorpusOps.oracles
 }

@@ -43,6 +43,7 @@ object Verify {
     // cache lifecycle contract: jobs release their shared subplans
     graft.operators.DedupOps.release(spark, sfDir)
     graft.operators.VectorOps.release(spark, sfDir)
+    graft.operators.CorpusOps.release(spark, sfDir)
     spark.stop()
   }
 }

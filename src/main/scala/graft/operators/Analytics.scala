@@ -577,7 +577,51 @@ object Analytics {
       |    AS corr_price_lines
       |FROM m""".stripMargin
 
+  /** q27: lapsed high-balance customers by segment (the TPC-H Q22
+    * pattern): customers whose balance exceeds the positive-balance
+    * average and who placed NO order since the cutoff. The scalar
+    * average is a 1-row aggregate broadcast into a division-free
+    * DECIMAL comparison (bal·n > Σbal ⟺ bal > avg, no double
+    * rounding); the "no recent order" test is a left-anti join against
+    * the date-filtered orders — the filter pushes to the orders scan,
+    * so the anti-join's build side is only the recent slice. */
+  def q27BalanceGap(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+    val cutoff = "2000-01-01"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin(segs.map(lit(_)): _*))
+    val avgRow = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec2(col("c_acctbal"))).as("bal_sum"), count(lit(1)).as("bal_cnt"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgRow))
+      .filter(dec2(col("c_acctbal")) * col("bal_cnt") > col("bal_sum"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sumMoney(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q27Sql: String =
+    """WITH seg AS (
+      |  SELECT * FROM customer
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')),
+      |pos AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum, count(*) AS bal_cnt
+      |  FROM seg WHERE c_acctbal > 0),
+      |lapsed AS (
+      |  SELECT * FROM seg WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'))
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM lapsed, pos
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_cnt > bal_sum
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_balance_gap" -> (q27BalanceGap _),
     "q26_corr_moments" -> (q26CorrMoments _),
     "q11_global_threshold" -> (q11GlobalThreshold _),
     "q23_running_total" -> (q23RunningTotal _),
@@ -605,6 +649,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q27_balance_gap" -> q27Sql,
     "q26_corr_moments" -> q26Sql,
     "q11_global_threshold" -> q11Sql,
     "q23_running_total" -> q23Sql,

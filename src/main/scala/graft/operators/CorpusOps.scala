@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-construction operators for a training-data pipeline
+  * (SURVEY.md §2.D): span-level dedup, sequence packing, and dup-group
+  * clustering — the steps between "filtered documents" and "training
+  * shards".
+  */
+object CorpusOps {
+
+  /** Non-overlapping word chunks of this size drive d23. */
+  val ChunkWords = 10
+
+  /** Sequence length budget (tokens) for d24 packing. */
+  val SeqLen = 512L
+
+  /** Fixed-size non-overlapping token chunks per document, 1-based
+    * slices; the last chunk may be partial. Row-local, codegen'd. */
+  private[graft] def chunksOf(t: Column, w: Int): Column =
+    when(size(t) > 0,
+      transform(sequence(lit(0), floor((size(t) + lit(w - 1)) / lit(w)).cast("int") - 1),
+        i => concat_ws(" ", slice(t, i * w + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** d23: chunk-level duplication profile (boilerplate detection). Each
+    * document is cut into non-overlapping 10-word chunks; a chunk
+    * occurrence is "duplicated" when its exact text occurs anywhere
+    * else in the corpus (including again in the same document). Output
+    * is the per-document occurrence counts + dup ratio + keep flag —
+    * the span-level complement to d5/d6/d7's whole-document dedup.
+    *
+    * Shape: one corpus scan explodes chunks; chunk multiplicities come
+    * from a groupBy(chunk) with map-side partials; the join back to
+    * occurrences is an equi-join on the chunk string (shuffle-bucketed,
+    * never broadcast-assumed — the chunk dictionary at 100 TB is
+    * corpus-sized); final per-doc agg is a second doc_id exchange. */
+  def d23ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(chunksOf(TextOps.tokens(col("text")), ChunkWords)).as("chunk"))
+    val counts = occ.groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
+    val ratio = col("n_dup_chunks").cast("double") / col("n_chunks")
+    occ.join(counts, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("cnt") > 1, lit(1))).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        ratio.as("dup_chunk_ratio"),
+        (ratio <= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d23Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, CAST((len(t) + ${ChunkWords - 1}) // $ChunkWords AS INT)),
+       |    i -> array_to_string(t[i * $ChunkWords + 1 : i * $ChunkWords + $ChunkWords], ' '))) AS chunk
+       |  FROM toks WHERE len(t) > 0),
+       |counts AS (SELECT chunk, count(*) AS cnt FROM occ GROUP BY chunk),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_chunks,
+       |    count(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_chunks
+       |  FROM occ JOIN counts USING (chunk) GROUP BY doc_id)
+       |SELECT doc_id, n_chunks, n_dup_chunks,
+       |  CAST(n_dup_chunks AS DOUBLE) / n_chunks AS dup_chunk_ratio,
+       |  CAST(n_dup_chunks AS DOUBLE) / n_chunks <= 0.3 AS keep
+       |FROM per ORDER BY doc_id""".stripMargin
+
+  /** d24: sequence packing — the concat-and-chunk layout an LLM data
+    * loader uses: documents are concatenated in (source, doc_id) order
+    * and cut into fixed SeqLen-token training sequences; a document may
+    * straddle sequences. Output per doc: its token offset and the
+    * [first_seq, last_seq] range it lands in.
+    *
+    * Scale shape: the running offset is a window per SOURCE (each
+    * source packs independently) — parallelism = #sources, never one
+    * global ordered cumsum. At 100 TB each source further sub-shards
+    * (e.g. by d22's deterministic shard key) before packing; the math
+    * is unchanged because only in-shard offsets matter. All integer
+    * arithmetic — bit-stable at any parallelism and in any engine. */
+  def d24SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_tok", sum(col("n_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_tok") - col("n_tokens")).as("start_tok"),
+        floor((col("end_tok") - col("n_tokens")) / lit(SeqLen)).as("first_seq"),
+        floor((col("end_tok") - 1) / lit(SeqLen)).as("last_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d24Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_tok
+       |  FROM sized WHERE n_tokens > 0)
+       |SELECT doc_id, source, n_tokens,
+       |  end_tok - n_tokens AS start_tok,
+       |  (end_tok - n_tokens) // $SeqLen AS first_seq,
+       |  (end_tok - 1) // $SeqLen AS last_seq
+       |FROM packed ORDER BY doc_id""".stripMargin
+
+  /** Connected components over an undirected edge list via min-label
+    * propagation: every node starts as its own label; each round a node
+    * takes the min of its own and its neighbors' labels; fixed point =
+    * every node carries the min doc_id of its component. Convergence
+    * needs diameter(component) rounds — near-dup groups are dense
+    * (diameter ≲ 3), so this settles in 2–4 rounds; for high-diameter
+    * graphs the pointer-doubling (large-star/small-star) variant halves
+    * the exponent but is overkill here. The per-round driver action is
+    * ONE aggregated count (the convergence test) — no row data ever
+    * reaches the driver. Caches each round's labels and drops the
+    * previous round's; the FINAL labels frame stays cached for reuse
+    * within the job and is dropped by [[release]]. */
+  private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val msgs = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.union(msgs).groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lab") =!= col("o.lab"))
+        .count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** One materialized component labeling per (session, dir) — d25 is
+    * iterative, so rebuilding it per reference would redo the loop. */
+  private val ccCache = scala.collection.mutable.Map[(String, String), DataFrame]()
+
+  private def sharedClusters(spark: SparkSession, dir: String): DataFrame = ccCache.synchronized {
+    ccCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      connectedComponents(DedupOps.d6DedupMinhash(spark, dir)))
+  }
+
+  /** Release d25's cached labels for one (session, dir) job. */
+  def release(spark: SparkSession, dir: String): Unit = ccCache.synchronized {
+    ccCache.remove((spark.sparkContext.applicationId, dir)).foreach(_.unpersist(blocking = true))
+  }
+
+  /** Release every cached frame belonging to a session (test teardown). */
+  def releaseSession(spark: SparkSession): Unit = ccCache.synchronized {
+    val app = spark.sparkContext.applicationId
+    ccCache.keys.filter(_._1 == app).toSeq
+      .foreach(k => ccCache.remove(k).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** d25: duplicate-group clustering — connected components over the
+    * verified MinHash near-dup pairs (d6), labeling every involved
+    * document with its group's min doc_id and the group size. This is
+    * the step that turns pairwise near-dup output into "keep one doc
+    * per group": canonical = (doc_id == cluster_id). Transitivity
+    * matters: A≈B and B≈C must collapse to ONE group even when A and C
+    * are not direct near-dups — pairwise output alone can't say that. */
+  def d25DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = sharedClusters(spark, dir)
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: the d6 pair derivation verbatim, then a recursive
+    * label closure (node reaches lab) reduced by min — the same fixed
+    * point the distributed propagation converges to. */
+  val d25Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |cc AS (
+      |  SELECT DISTINCT src AS node, src AS lab FROM edges
+      |  UNION
+      |  SELECT e.dst AS node, cc.lab FROM cc JOIN edges e ON e.src = cc.node),
+      |labs AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY node),
+      |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labs GROUP BY cluster_id)
+      |SELECT doc_id, cluster_id, cluster_size
+      |FROM labs JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_chunk_dedup" -> (d23ChunkDedup _),
+    "d24_sequence_pack" -> (d24SequencePack _),
+    "d25_dedup_clusters" -> (d25DedupClusters _))
+
+  val oracles: Map[String, String] = Map(
+    "d23_chunk_dedup" -> d23Sql,
+    "d24_sequence_pack" -> d24Sql,
+    "d25_dedup_clusters" -> d25Sql)
+}

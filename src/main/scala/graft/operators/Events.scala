@@ -181,13 +181,45 @@ object Events {
       |    THEN user_id END) AS users_purchase
       |FROM s3""".stripMargin
 
+  /** c7: weekly cohort retention — the classic product-analytics
+    * matrix: users grouped by the week of their FIRST event (cohort),
+    * counted per subsequent week offset. Two user_id-keyed exchanges:
+    * the per-user min aggregate and the (cohort, offset) count-distinct;
+    * the per-user first-week frame joins back on user_id (shuffle-
+    * bucketed — at 100 TB the per-user side is user-cardinality-sized,
+    * not broadcastable). Week truncation and the day-diff/7 offset are
+    * integer-exact and engine-portable (both engines truncate weeks to
+    * Monday 00:00, so the day difference is always divisible by 7). */
+  def c7CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val c7Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+      |first AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM e JOIN first USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_hourly_window" -> (c1HourlyWindow _),
     "c2_sessionize" -> (c2Sessionize _),
     "c3_asof_join" -> (c3AsofJoin _),
     "c4_json_extract" -> (c4JsonExtract _),
     "c5_range_join" -> (c5RangeJoin _),
-    "c6_funnel" -> (c6Funnel _))
+    "c6_funnel" -> (c6Funnel _),
+    "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
     "c1_hourly_window" -> c1Sql,
@@ -195,5 +227,6 @@ object Events {
     "c3_asof_join" -> c3Sql,
     "c4_json_extract" -> c4Sql,
     "c5_range_join" -> c5Sql,
-    "c6_funnel" -> c6Sql)
+    "c6_funnel" -> c6Sql,
+    "c7_cohort_retention" -> c7Sql)
 }

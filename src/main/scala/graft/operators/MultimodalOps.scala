@@ -116,9 +116,54 @@ object MultimodalOps {
       .mapPartitions(_.grouped(batchSize).flatMap(sampler.sample))
   }
 
+  /** Byte budget per shard file for e2 (64 KiB at test scale; a real
+    * WebDataset-style layout uses ~100 MB–1 GB — only the constant
+    * changes). */
+  val ShardBytes = 65536L
+
+  /** e2: shard manifest for blob datasets — the WebDataset/tar-shard
+    * layout plan: blobs are laid out in (source, doc_id) order and each
+    * is assigned to the shard where its cumulative byte offset starts
+    * (greedy fill; a shard may overflow by at most one blob, so no blob
+    * is ever split). Per-SOURCE running offsets (the d24 packing shape)
+    * — parallelism = #sources, never one global cumsum; all integer
+    * arithmetic, so the manifest is bit-identical on any engine or
+    * parallelism. The writer then realizes shards via
+    * repartition(shard_idx) + sortWithinPartitions. */
+  def e2BlobShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+      .withColumn("end_byte", sum(col("n_bytes").cast("long")).over(w))
+      .select(col("doc_id"), col("source"), col("n_bytes"),
+        floor((col("end_byte") - col("n_bytes")) / lit(ShardBytes)).as("shard_idx"),
+        (col("end_byte") - col("n_bytes") - floor((col("end_byte") - col("n_bytes")) / lit(ShardBytes)) * lit(ShardBytes))
+          .as("offset_in_shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val e2Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+       |  FROM documents),
+       |laid AS (
+       |  SELECT doc_id, source, n_bytes,
+       |    CAST(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_bytes AS start_byte
+       |  FROM sized)
+       |SELECT doc_id, source, n_bytes,
+       |  start_byte // $ShardBytes AS shard_idx,
+       |  start_byte - (start_byte // $ShardBytes) * $ShardBytes AS offset_in_shard
+       |FROM laid ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e1_multimodal_meta" -> (e1MultimodalMeta _))
+    "e1_multimodal_meta" -> (e1MultimodalMeta _),
+    "e2_blob_shard" -> (e2BlobShard _))
 
   val oracles: Map[String, String] = Map(
-    "e1_multimodal_meta" -> e1Sql)
+    "e1_multimodal_meta" -> e1Sql,
+    "e2_blob_shard" -> e2Sql)
 }

@@ -32,6 +32,7 @@ class OperatorSpec extends GraftSpec {
       "q11_global_threshold", // 1-row global aggregate broadcast
       "a11_due_sources",      // 1-row as-of aggregate broadcast
       "q15_maxsub",           // scalar subquery
+      "q27_balance_gap",      // 1-row balance-average broadcast
       "d9_cosine_topk")       // broadcast 10-row query set, =!= condition
     val bnljSeen = scala.collection.mutable.Set[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -456,6 +457,129 @@ class OperatorSpec extends GraftSpec {
     // released ⇒ next call rebuilds rather than serving an evicted frame
     assert(DedupOps.d6DedupMinhash(spark, sfDir).count() >= 0)
     DedupOps.release(spark, sfDir)
+  }
+
+  test("d23: chunksOf cuts 1-based non-overlapping windows with a partial tail") {
+    val words = (1 to 23).map("w" + _).mkString(" ")
+    val arr = spark.range(1)
+      .select(CorpusOps.chunksOf(split(lit(words), " "), 10).as("c"))
+      .head().getSeq[String](0)
+    assert(arr.length == 3)
+    assert(arr(0) == (1 to 10).map("w" + _).mkString(" "))
+    assert(arr(2) == "w21 w22 w23")
+  }
+
+  test("d23 chunk dedup: bounds hold and near-dup docs carry duplicated chunks") {
+    val rows = CorpusOps.d23ChunkDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d) = (r.getLong(1), r.getLong(2))
+      assert(d >= 0 && d <= n)
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getBoolean(4) == (ratio <= 0.3))
+    }
+    // the corpus has verified near-dup pairs, so duplicated chunks exist
+    assert(rows.exists(_.getLong(2) > 0), "expected some duplicated chunks")
+  }
+
+  test("d24 packing is contiguous per source and integer-exact") {
+    val rows = CorpusOps.d24SequencePack(spark, sfDir).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      assert(sorted.head.getLong(3) == 0L, "first doc starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) == a.getLong(3) + a.getInt(2),
+            "next doc starts where the previous ended")
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      val (start, n) = (r.getLong(3), r.getInt(2))
+      assert(r.getLong(4) == start / CorpusOps.SeqLen)
+      assert(r.getLong(5) == (start + n - 1) / CorpusOps.SeqLen)
+      assert(r.getLong(4) <= r.getLong(5))
+    }
+  }
+
+  test("d25 clusters close d6 pairs transitively with min-id labels") {
+    val pairs = DedupOps.d6DedupMinhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus should contain near-dup pairs")
+    val lab = CorpusOps.d25DedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both endpoints of every pair share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(lab(a)._1 == lab(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // label = min member id; size = member count
+    lab.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(cid == members.keys.min)
+      members.values.foreach { case (_, sz) => assert(sz == members.size.toLong) }
+    }
+    // a chain a~b, b~c lands in ONE cluster even if (a,c) is not a pair
+    val adj: Map[Long, Set[Long]] = pairs.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    val chained = for {
+      (a, bs) <- adj.toSeq
+      b <- bs.toSeq
+      c <- adj.getOrElse(b, Set.empty[Long]).toSeq
+      if c != a && !adj(a).contains(c)
+    } yield (a, c)
+    chained.foreach { case (a, c) => assert(lab(a)._1 == lab(c)._1) }
+    CorpusOps.release(spark, sfDir)
+  }
+
+  test("CorpusOps.release unpins the d25 label cache") {
+    CorpusOps.release(spark, sfDir)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CorpusOps.d25DedupClusters(spark, sfDir).count()
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty, "expected d25 to persist its label frame")
+    CorpusOps.release(spark, sfDir)
+    DedupOps.release(spark, sfDir) // d25 warms d6's shared subplans too
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet & mine
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
+  test("c7 cohort retention: offset-0 row counts the full cohort") {
+    val rows = Events.c7CohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+      val byOff = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      assert(byOff.contains(0), "every cohort has its week-0 row")
+      assert(byOff.values.max == byOff(0), "no later week exceeds the cohort size")
+      byOff.keys.foreach(o => assert(o >= 0))
+    }
+  }
+
+  test("q27 returns only the selected segments with positive counts") {
+    val rows = Analytics.q27BalanceGap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val segs = Set("AUTOMOBILE", "BUILDING", "MACHINERY")
+    rows.foreach { r =>
+      assert(segs.contains(r.getString(0)))
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("e2 shard manifest: offsets bounded, shards monotone per source") {
+    val rows = MultimodalOps.e2BlobShard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getLong(4)
+      assert(off >= 0 && off < MultimodalOps.ShardBytes)
+    }
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0)).map(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, "shard index is nondecreasing")
+        case _ =>
+      }
+    }
   }
 
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
