@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -620,7 +620,102 @@ object Analytics {
       |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_cnt > bal_sum
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Exact revenue term: extendedprice·(1−discount) in DECIMAL. */
+  private def revenue: Column =
+    dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"), 4))
+
+  /** q28: promo revenue share (TPC-H Q14) — conditional fraction of one
+    * month's revenue from PROMO parts. The part dim broadcasts; both
+    * sums are exact DECIMAL and only the final share division runs in
+    * double, so the percentage is bit-stable at any parallelism. The
+    * shipdate window pushes into the lineitem scan. */
+  def q28PromoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", revenue)).cast("double") * 100 /
+          sum(revenue).cast("double")).as("promo_share_pct"),
+        sum(revenue).cast("double").as("total_revenue"))
+
+  val q28Sql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) * 100
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS promo_share_pct,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  /** q29: bilateral shipping volume (TPC-H Q7) — revenue between every
+    * (supplier nation, customer nation) pair per ship year. Snowflake
+    * shape: the supplier/customer/nation dims broadcast into the fact;
+    * the two-year window pushes to the lineitem scan; one exchange for
+    * the (pair, year) aggregate. */
+  def q29NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    l.join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revenue).cast("double").as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q29Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q30: disjunctive-predicate revenue (TPC-H Q19) — an OR of three
+    * (brand, size-range, quantity-range) conjunct branches over the
+    * part join. The part-side conjuncts (brand ∈ {...}, size bounds)
+    * prune the broadcast build side at the scan; the quantity ranges
+    * evaluate in the join filter — the pattern that turns a "three
+    * scans, three unions" naive form into ONE pass over lineitem. */
+  def q30Disjunct(spark: SparkSession, dir: String): DataFrame = {
+    val qty = col("l_quantity")
+    val branch1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && qty.between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && qty.between(10, 20)
+    val branch3 = col("p_brand") === "Brand#7" && col("p_size").between(1, 15) && qty.between(20, 30)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  val q30Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_promo_share" -> (q28PromoShare _),
+    "q29_nation_volume" -> (q29NationVolume _),
+    "q30_disjunct" -> (q30Disjunct _),
     "q27_balance_gap" -> (q27BalanceGap _),
     "q26_corr_moments" -> (q26CorrMoments _),
     "q11_global_threshold" -> (q11GlobalThreshold _),
@@ -649,6 +744,9 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q28_promo_share" -> q28Sql,
+    "q29_nation_volume" -> q29Sql,
+    "q30_disjunct" -> q30Sql,
     "q27_balance_gap" -> q27Sql,
     "q26_corr_moments" -> q26Sql,
     "q11_global_threshold" -> q11Sql,

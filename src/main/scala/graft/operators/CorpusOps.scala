@@ -214,13 +214,59 @@ object CorpusOps {
       |SELECT doc_id, cluster_id, cluster_size
       |FROM labs JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  /** Corpus document-frequency at or below which a token is "rare". */
+  val RareDf = 2L
+
+  /** d26: rare-token profile — the OOV/rarity signal data curation uses
+    * to spot noisy or misencoded documents (and to protect genuinely
+    * novel text from over-filtering): per doc, the fraction of token
+    * occurrences whose corpus document-frequency is ≤ RareDf, plus the
+    * distinct rare-type count. Rarity is defined by exact integer df
+    * (not an IDF float), so the profile is bit-stable cross-engine;
+    * only the final ratio divides. Shape: one exploded pass, a
+    * token-keyed df aggregate, an equi-join back on token (the df
+    * dictionary is corpus-sized at 100 TB — shuffle-bucketed, never
+    * broadcast-assumed), one doc-keyed final aggregate. */
+  /** Rare-token profile over any (doc_id, text) frame — see [[d26RareTokens]]. */
+  private[graft] def rareTokenProfile(docs: DataFrame, rareDf: Long = RareDf): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val dfreq = occ.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    occ.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"),
+        count(when(col("df") <= rareDf, lit(1))).as("n_rare_occ"),
+        countDistinct(when(col("df") <= rareDf, col("tok"))).as("n_rare_types"))
+      .select(col("doc_id"), col("n_occ"), col("n_rare_occ"), col("n_rare_types"),
+        (col("n_rare_occ").cast("double") / col("n_occ")).as("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def d26RareTokens(spark: SparkSession, dir: String): DataFrame =
+    rareTokenProfile(Tables.documents(spark, dir))
+
+  val d26Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM occ GROUP BY tok),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_occ,
+       |    count(CASE WHEN df <= $RareDf THEN 1 END) AS n_rare_occ,
+       |    count(DISTINCT CASE WHEN df <= $RareDf THEN tok END) AS n_rare_types
+       |  FROM occ JOIN dfreq USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_occ, n_rare_occ, n_rare_types,
+       |  CAST(n_rare_occ AS DOUBLE) / n_occ AS rare_ratio
+       |FROM per ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunk_dedup" -> (d23ChunkDedup _),
     "d24_sequence_pack" -> (d24SequencePack _),
-    "d25_dedup_clusters" -> (d25DedupClusters _))
+    "d25_dedup_clusters" -> (d25DedupClusters _),
+    "d26_rare_tokens" -> (d26RareTokens _))
 
   val oracles: Map[String, String] = Map(
     "d23_chunk_dedup" -> d23Sql,
     "d24_sequence_pack" -> d24Sql,
-    "d25_dedup_clusters" -> d25Sql)
+    "d25_dedup_clusters" -> d25Sql,
+    "d26_rare_tokens" -> d26Sql)
 }

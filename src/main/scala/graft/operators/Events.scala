@@ -191,10 +191,13 @@ object Events {
     * integer-exact and engine-portable (both engines truncate weeks to
     * Monday 00:00, so the day difference is always divisible by 7). */
   def c7CohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // cohort = min week over an unordered per-user window: ONE user_id
+    // exchange and ONE events scan (the agg+join-back form costs a
+    // second scan and a second user_id exchange for the same rows)
+    val perUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
-    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
-    ev.join(first, "user_id")
+      .withColumn("cohort_week", min(col("wk")).over(perUser))
       .groupBy(col("cohort_week"),
         (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))

@@ -582,6 +582,60 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("q28 promo share is a bounded percentage of positive revenue") {
+    val r = Analytics.q28PromoShare(spark, sfDir).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 100.0)
+    assert(r.getDouble(1) > 0.0)
+  }
+
+  test("q29 bilateral volume covers only the filtered years, positive sums") {
+    val rows = Analytics.q29NationVolume(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set(1996, 1997).contains(r.getInt(2)))
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("q30 disjunctive filter stays one pass: two scans, broadcast join") {
+    val df = Analytics.q30Disjunct(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected exactly lineitem+part scans, saw $scans")
+    val r = df.head()
+    assert(r.getDouble(0) >= 0.0 && r.getLong(1) >= 0L)
+  }
+
+  test("d26 rare-token profile bounds hold") {
+    val rows = CorpusOps.d26RareTokens(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (occ, rare, types) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rare >= 0 && rare <= occ)
+      assert(types <= rare)
+      val ratio = r.getDouble(4)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("d26 primitive flags planted rare tokens exactly") {
+    // "zzq" appears in one doc, "common" in all three; df threshold 2
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common alpha zzq zzq"),
+      (2L, "common alpha beta"),
+      (3L, "common alpha beta")).toDF("doc_id", "text")
+    val byId = CorpusOps.rareTokenProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: alpha df=3, common df=3, zzq df=1 → 2 rare occurrences, 1 type
+    assert(byId(1L).getLong(1) == 4 && byId(1L).getLong(2) == 2 && byId(1L).getLong(3) == 1)
+    assert(byId(1L).getDouble(4) == 0.5)
+    // beta df=2 is rare at the ≤2 threshold
+    assert(byId(2L).getLong(2) == 1 && byId(2L).getLong(3) == 1)
+    assert(byId(3L).getLong(2) == 1)
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
