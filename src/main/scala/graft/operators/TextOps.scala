@@ -187,6 +187,39 @@ object TextOps {
       |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** d27: tokenizer fertility per (source, lang) — subword pre-tokens
+    * per whitespace word, the standard tokenizer-health metric (a
+    * fertility spike flags text a subword vocab fits badly: wrong
+    * script, digit soup, minified markup). Counts are exact integers
+    * aggregated map-side; the single division happens once per output
+    * group, so the profile is bit-stable cross-engine. One corpus scan,
+    * one (source, lang) exchange over group-cardinality rows. */
+  def d27TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("words"),
+        size(regexp_extract_all(col("text"), lit(SubwordPattern), lit(0))).cast("long").as("subs"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("total_words"),
+        sum(col("subs")).as("total_subwords"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_words"),
+        col("total_subwords"),
+        (col("total_subwords").cast("double") / col("total_words")).as("fertility"))
+      .orderBy(col("source"), col("lang"))
+
+  val d27Sql: String =
+    """WITH sized AS (
+      |  SELECT source, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS words,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS subs
+      |  FROM documents)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(words) AS BIGINT) AS total_words,
+      |  CAST(sum(subs) AS BIGINT) AS total_subwords,
+      |  CAST(sum(subs) AS DOUBLE) / CAST(sum(words) AS DOUBLE) AS fertility
+      |FROM sized GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   /** d3: quality scoring — length/alpha/stopword ratios + flag. */
   def d3QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -596,6 +629,7 @@ object TextOps {
     "d1_text_stats" -> (d1TextStats _),
     "d2_lang_id" -> (d2LangId _),
     "d14_subword_tokens" -> (d14SubwordTokens _),
+    "d27_tokenizer_fertility" -> (d27TokenizerFertility _),
     "d15_corpus_filter" -> (d15CorpusFilter _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
     "d3_quality_score" -> (d3QualityScore _),
@@ -613,6 +647,7 @@ object TextOps {
     "d1_text_stats" -> d1Sql,
     "d2_lang_id" -> d2Sql,
     "d14_subword_tokens" -> d14Sql,
+    "d27_tokenizer_fertility" -> d27Sql,
     "d15_corpus_filter" -> d15Sql,
     "d16_stratified_sample" -> d16Sql,
     "d3_quality_score" -> d3Sql,

@@ -636,6 +636,17 @@ class OperatorSpec extends GraftSpec {
     assert(byId(3L).getLong(2) == 1)
   }
 
+  test("d27 fertility: at least one subword per word, exact doc totals") {
+    val rows = TextOps.d27TokenizerFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3), "subword splits can only refine words")
+      assert(r.getDouble(5) >= 1.0)
+    }
+    val totalDocs = rows.map(_.getLong(2)).sum
+    assert(totalDocs == Tables.documents(spark, sfDir).count())
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
