@@ -134,7 +134,7 @@ object CorpusOps {
     * the algorithm is unchanged. Checkpoint blocks are tracked by RDD
     * id: intermediate rounds are dropped as soon as they're replaced,
     * and the final round's blocks are freed by [[release]]. */
-  private[operators] def connectedComponents(spark: SparkSession, pairs: DataFrame,
+  private[graft] def connectedComponents(spark: SparkSession, pairs: DataFrame,
                                              maxRounds: Int = 25): (DataFrame, Set[Int]) = {
     val sc = spark.sparkContext
     def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet

@@ -146,10 +146,15 @@ object Events {
     * cumulative-window passes over the SAME (partition, sort) spec —
     * no self-joins, no per-stage re-scan of the events table (the
     * classic 3-join funnel re-shuffles the corpus once per stage). */
-  def c6Funnel(spark: SparkSession, dir: String): DataFrame = {
+  def c6Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  /** Funnel counts over ANY events-shaped frame (the batch reference the
+    * streaming twin cross-checks against). */
+  def funnelOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val staged = Tables.events(spark, dir)
+    val staged = events
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .withColumn("first_view",
         min(when(col("event_type") === "view", col("ts"))).over(w))

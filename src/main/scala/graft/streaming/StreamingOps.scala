@@ -117,6 +117,63 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
   }
 
+  case class FunnelState(viewTs: Long, clickTs: Long, purchaseTs: Long)
+  case class StageReach(user_id: Long, stage: String, ts: java.sql.Timestamp)
+
+  /** Streaming ordered funnel (view → click → purchase) — incremental
+    * twin of Events.c6Funnel/funnelOf. Per-user state keeps the first
+    * qualifying timestamp per stage; a STAGE-REACH record is emitted in
+    * append mode the first time a user attains each stage, so
+    * `count(distinct user) per stage` downstream equals the batch
+    * funnel counts. Stage order is enforced exactly like the batch
+    * cumulative windows: a click qualifies only with a view at-or-before
+    * it in (ts, event_id) order, a purchase only with a qualifying
+    * click at-or-before it.
+    *
+    * State is bounded: users idle past `horizon` (event time, judged
+    * against the watermark) have their state expired — an expiry emits
+    * nothing, it only frees memory. Events within one micro-batch are
+    * sorted by (ts, event_id); cross-batch regressions (a view arriving
+    * AFTER its user's click was already processed in an earlier batch)
+    * are a lateness artifact the watermark bounds, same contract as
+    * [[sessionize]]. */
+  def funnelStages(spark: SparkSession, events: Dataset[EventRow],
+                   watermarkDelay: String = "10 seconds",
+                   horizonMs: Long = 24L * 3600 * 1000): Dataset[StageReach] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = Seq.newBuilder[StageReach]
+            var lastTs = Long.MinValue
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              lastTs = math.max(lastTs, t)
+              e.event_type match {
+                case "view" if s.viewTs < 0 =>
+                  s = s.copy(viewTs = t); out += StageReach(userId, "view", e.ts)
+                case "click" if s.clickTs < 0 && s.viewTs >= 0 =>
+                  s = s.copy(clickTs = t); out += StageReach(userId, "click", e.ts)
+                case "purchase" if s.purchaseTs < 0 && s.clickTs >= 0 =>
+                  s = s.copy(purchaseTs = t); out += StageReach(userId, "purchase", e.ts)
+                case _ => ()
+              }
+            }
+            state.update(s)
+            val floor = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(math.max(
+              (if (lastTs == Long.MinValue) floor else lastTs) + horizonMs, floor))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming dedup on a content key with watermarked state —
     * streaming twin of TextOps.d5DedupExact. Deduplicates on the KEY
     * COLUMNS ALONE (same content at different event times collapses to

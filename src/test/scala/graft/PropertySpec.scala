@@ -75,4 +75,41 @@ class PropertySpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     ss.foreach(s => assert(got(s) == refHash(s), s"md5Hash64 mismatch for '$s'"))
   }
+
+  test("connected components ≡ driver-side union-find on random graphs") {
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    // random sparse edge lists over up to 60 nodes — multiple components,
+    // chains (high diameter), self-contained cliques, duplicate edges
+    // b ≠ a by construction (offset in 1..59 mod 60) — a filtered Gen
+    // inside listOfN can exhaust retries and yield None
+    val edgeGen = Gen.listOfN(80, for {
+      a <- Gen.chooseNum(0L, 59L); d <- Gen.chooseNum(1L, 59L)
+    } yield { val b = (a + d) % 60; (math.min(a, b), math.max(a, b)) })
+    def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node id in the component
+      val byRoot = nodes.groupBy(find)
+      byRoot.valuesIterator.flatMap(ns => ns.map(_ -> ns.min)).toMap
+    }
+    (10L to 12L).foreach { seed =>
+      val edges = sample(edgeGen, seed).distinct
+      val (labels, ids) = CorpusOps.connectedComponents(
+        spark, edges.toDF("doc_a", "doc_b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = refComponents(edges)
+      assert(got == want, s"seed $seed: distributed labels != union-find")
+      ids.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    }
+  }
 }

@@ -191,6 +191,39 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stage-reach counts ≡ batch funnelOf on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, offsetSec: Long, uid: Long, typ: String) =
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+          + offsetSec * 1000), uid, typ, 1.0)
+    // user 1: full ordered funnel; user 2: click BEFORE any view (click
+    // never qualifies, nor the later purchase); user 3: view+click, no
+    // purchase; user 4: purchase only
+    val batch1 = Seq(ev(1, 0, 1, "view"), ev(2, 10, 1, "click"),
+      ev(3, 5, 2, "click"), ev(4, 20, 2, "view"))
+    val batch2 = Seq(ev(5, 30, 1, "purchase"), ev(6, 40, 2, "purchase"),
+      ev(7, 50, 3, "view"), ev(8, 60, 3, "click"), ev(9, 70, 4, "purchase"))
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.funnelStages(spark, mem.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_test").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val reach = spark.sql("select stage, user_id from funnel_test").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).distinct.length.toLong).toMap
+      val b = graft.operators.Events.funnelOf((batch1 ++ batch2).toDS().toDF()).head()
+      assert(reach.getOrElse("view", 0L) == b.getLong(0), s"views: $reach vs $b")
+      assert(reach.getOrElse("click", 0L) == b.getLong(1), s"clicks: $reach vs $b")
+      assert(reach.getOrElse("purchase", 0L) == b.getLong(2), s"purchases: $reach vs $b")
+      // the stage-reach stream also names WHO converted
+      val purchasers = spark.sql("select user_id from funnel_test where stage = 'purchase'")
+        .collect().map(_.getLong(0)).toSet
+      assert(purchasers == Set(1L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
