@@ -664,7 +664,10 @@ object Analytics {
         col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("sn_key"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      // customer scales with the fact tables (SF×150k in TPC-H) — an
+      // equi-join shuffle, NOT a forced broadcast; Catalyst/AQE may
+      // still broadcast it at small SF where it fits the threshold
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir).select(
         col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
         col("c_nationkey") === col("cn_key"))
