@@ -33,17 +33,18 @@ object CorpusOps {
     * is the per-document occurrence counts + dup ratio + keep flag —
     * the span-level complement to d5/d6/d7's whole-document dedup.
     *
-    * Shape: one corpus scan explodes chunks; chunk multiplicities come
-    * from a groupBy(chunk) with map-side partials; the join back to
-    * occurrences is an equi-join on the chunk string (shuffle-bucketed,
-    * never broadcast-assumed — the chunk dictionary at 100 TB is
-    * corpus-sized); final per-doc agg is a second doc_id exchange. */
+    * Shape: ONE corpus scan explodes chunks; multiplicity is a count
+    * over an unordered window partitioned by the chunk string — the
+    * same single chunk-keyed exchange the groupBy(chunk)+join-back
+    * form needs TWICE (it also re-scans the corpus for the probe
+    * side); then one doc_id exchange for the per-doc aggregate. The
+    * chunk dictionary is corpus-sized at 100 TB — a shuffle either
+    * way, never broadcast-assumed. */
   def d23ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(chunksOf(TextOps.tokens(col("text")), ChunkWords)).as("chunk"))
-    val counts = occ.groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
     val ratio = col("n_dup_chunks").cast("double") / col("n_chunks")
-    occ.join(counts, "chunk")
+    occ.withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("chunk"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("cnt") > 1, lit(1))).as("n_dup_chunks"))
