@@ -258,15 +258,21 @@ object CorpusOps {
     * token-keyed df aggregate, an equi-join back on token (the df
     * dictionary is corpus-sized at 100 TB — shuffle-bucketed, never
     * broadcast-assumed), one doc-keyed final aggregate. */
-  /** Rare-token profile over any (doc_id, text) frame — see [[d26RareTokens]]. */
+  /** Rare-token profile over any (doc_id, text) frame — see
+    * [[d26RareTokens]]. Single-scan shape: reduce occurrences to
+    * (doc, token, count) first, then document frequency is a count
+    * over a token-partitioned window on those (distinct by
+    * construction) rows — the dictionary-join form scans the corpus
+    * twice and shuffles the full occurrence stream on the token for
+    * the probe side; this moves only the reduced (doc, token) pairs. */
   private[graft] def rareTokenProfile(docs: DataFrame, rareDf: Long = RareDf): DataFrame = {
-    val occ = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-    val dfreq = occ.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    occ.join(dfreq, "tok")
+    val per = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    per.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_occ"),
-        count(when(col("df") <= rareDf, lit(1))).as("n_rare_occ"),
-        countDistinct(when(col("df") <= rareDf, col("tok"))).as("n_rare_types"))
+      .agg(sum(col("c")).as("n_occ"),
+        sum(when(col("df") <= rareDf, col("c")).otherwise(lit(0L))).as("n_rare_occ"),
+        count(when(col("df") <= rareDf, lit(1))).as("n_rare_types"))
       .select(col("doc_id"), col("n_occ"), col("n_rare_occ"), col("n_rare_types"),
         (col("n_rare_occ").cast("double") / col("n_occ")).as("rare_ratio"))
       .orderBy(col("doc_id"))
