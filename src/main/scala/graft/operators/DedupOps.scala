@@ -352,11 +352,67 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** d28: fuzzy top-1 similarity join — for each held-out "query"
+    * document (doc_id % 97 = 0, the d20 eval split), its most-similar
+    * corpus document by exact trigram Jaccard. The candidate set is
+    * SPARSE: only pairs sharing ≥ 1 shingle hash ever meet (an
+    * equi-join on the shingle — docs with zero overlap, i.e. Jaccard
+    * 0, are never enumerated), which is what makes a fuzzy join
+    * feasible at corpus scale. The per-query winner comes from a
+    * `max_by` AGGREGATE with map-side partials — not a row_number
+    * window, whose #queries-partition merge stage is the ANN-family
+    * parallelism collapse (VERDICT r3). Tie-break: highest Jaccard,
+    * then lowest candidate id — deterministic because the Jaccard
+    * doubles are exact integer ratios, identical in any engine. */
+  def d28FuzzyTopk(spark: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingleHashes(spark, dir)
+    val sizes = sharedShingleSizes(spark, dir)
+    val q = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"), col("shingle"))
+    val c = sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id").as("cand_id"), col("shingle"))
+    val inter = q.join(c, "shingle")
+      .groupBy(col("query_id"), col("cand_id")).agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("query_id"), col("sz").as("szq")), "query_id")
+      .join(sizes.select(col("doc_id").as("cand_id"), col("sz").as("szc")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        (col("inter").cast("double") / (col("szq") + col("szc") - col("inter"))).as("jaccard"))
+    jac.groupBy(col("query_id"))
+      .agg(max_by(
+        struct(col("cand_id"), col("jaccard")),
+        struct(col("jaccard"), (-col("cand_id")).as("tie"))).as("best"))
+      .select(col("query_id"), col("best.cand_id").as("match_id"), col("best.jaccard").as("jaccard"))
+      .orderBy(col("query_id"))
+  }
+
+  val d28Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+      |    len(list_intersect(q.s, c.s)) AS inter,
+      |    CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(q.s, c.s))) AS jaccard
+      |  FROM sh q JOIN sh c ON q.doc_id % 97 = 0 AND c.doc_id % 97 <> 0),
+      |ranked AS (
+      |  SELECT query_id, cand_id AS match_id, jaccard,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, cand_id) AS rk
+      |  FROM pairs WHERE inter > 0)
+      |SELECT query_id, match_id, jaccard FROM ranked WHERE rk = 1
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_dedup_minhash" -> (d6DedupMinhash _),
-    "d7_dedup_simhash" -> (d7DedupSimhash _))
+    "d7_dedup_simhash" -> (d7DedupSimhash _),
+    "d28_fuzzy_topk" -> (d28FuzzyTopk _))
 
   val oracles: Map[String, String] = Map(
     "d6_dedup_minhash" -> d6Sql,
-    "d7_dedup_simhash" -> d7Sql)
+    "d7_dedup_simhash" -> d7Sql,
+    "d28_fuzzy_topk" -> d28Sql)
 }

@@ -647,6 +647,22 @@ class OperatorSpec extends GraftSpec {
     assert(totalDocs == Tables.documents(spark, sfDir).count())
   }
 
+  test("d28 fuzzy join: split respected, bounded scores, no window merge stage") {
+    val df = DedupOps.d28FuzzyTopk(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("row_number"),
+      "per-query winner must come from the max_by aggregate, not a window")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 == 0 && r.getLong(1) % 97 != 0)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // at most one winner per query
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    DedupOps.release(spark, sfDir)
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
