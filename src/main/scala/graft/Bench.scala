@@ -79,8 +79,12 @@ object Bench {
     // appends its own "[success]" line after us), so the stdout line
     // must stay SHORT: best-of-two per query at 2 decimals, no per-pass
     // maps, no loadavg — full diagnostics live in BENCH_DETAIL.json.
-    val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-      s""""queries":${jmap(best, 2)},"sf":"$sfDir"}"""
+    def mkLine(dec: Int) = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""queries":${jmap(best, dec)},"sf":"$sfDir"}"""
+    // adaptive precision: as the query count grows, drop decimals before
+    // the line outgrows the tail window (sbt's trailing "[success]" line
+    // eats ~80 of the ~2000 captured chars)
+    val line = Seq(2, 1).map(mkLine).find(_.length <= 1900).getOrElse(mkLine(0))
     // Full diagnostics (both passes, load markers) go to a local file the
     // judge can read, and to stderr — never onto the one parseable line.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
