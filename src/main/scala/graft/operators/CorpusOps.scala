@@ -135,18 +135,24 @@ object CorpusOps {
     * the algorithm is unchanged. Checkpoint blocks are tracked by RDD
     * id: intermediate rounds are dropped as soon as they're replaced,
     * and the final round's blocks are freed by [[release]]. */
+  private def persistedIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def dropIds(spark: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+
+  /** Truncate lineage + materialize; report which RDD ids it pinned. */
+  private def settleCheckpoint(spark: SparkSession, df: DataFrame): (DataFrame, Set[Int]) = {
+    val before = persistedIds(spark)
+    val out = df.localCheckpoint(eager = true)
+    (out, persistedIds(spark) -- before)
+  }
+
   private[graft] def connectedComponents(spark: SparkSession, pairs: DataFrame,
                                              maxRounds: Int = 25): (DataFrame, Set[Int]) = {
-    val sc = spark.sparkContext
-    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def drop(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
-    // truncate lineage + materialize; report which RDD ids it pinned
-    def settle(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = persisted
-      val out = df.localCheckpoint(eager = true)
-      (out, persisted -- before)
-    }
+    def drop(ids: Set[Int]): Unit = dropIds(spark, ids)
+    def settle(df: DataFrame): (DataFrame, Set[Int]) = settleCheckpoint(spark, df)
     // settle the pair derivation FIRST: both union branches below read
     // the checkpoint, so the (expensive) pair pipeline runs exactly once
     val (fwd, edgeIds) = settle(
@@ -172,6 +178,78 @@ object CorpusOps {
     }
     drop(edgeIds)
     (labels, labelIds)
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * contractions (the public MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the
+    * POINTER-DOUBLING scale path [[connectedComponents]]'s min-label
+    * propagation lacks: propagation needs diameter(component) rounds
+    * (a 10⁶-long chain = 10⁶ rounds), star contraction converges in
+    * O(log n) rounds on any topology because each round rewires nodes
+    * directly to (near-)roots rather than one hop closer.
+    *
+    * Per round: large-star points each node's LARGER neighbors at its
+    * current minimum (incl. itself); small-star then rewires each
+    * node and its SMALLER neighbors to their minimum. Both are
+    * groupBy-min + equi-join shapes — no adjacency-list collection, so
+    * a high-degree node never materializes a fat row. Fixed point =
+    * every edge is (node, component-root); convergence is an EXACT
+    * set comparison (count + anti-join count, two aggregated scalars).
+    * Same checkpoint-per-round lineage discipline as the propagation
+    * variant. Returns (labels, pinned RDD ids, rounds used).
+    *
+    * d25 stays on min-label propagation — near-dup groups are dense,
+    * diameter ≲ 3, so 2–4 cheap rounds beat the two-phase contraction;
+    * this variant is for adversarial/high-diameter graphs. */
+  private[graft] def connectedComponentsDoubling(spark: SparkSession, pairs: DataFrame,
+                                                 maxRounds: Int = 40): (DataFrame, Set[Int], Int) = {
+    def settle(df: DataFrame): (DataFrame, Set[Int]) = settleCheckpoint(spark, df)
+    def bothDir(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // min over Γ(u) ∪ {u}, from an adjacency DIRECTION frame (u=src)
+    def minsOf(adj: DataFrame): DataFrame =
+      adj.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
+        .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = bothDir(e)
+      adj.filter(col("dst") > col("src"))
+        .join(minsOf(adj), col("src") === col("u"))
+        .select(col("dst").as("a"), col("m").as("b"))
+        .transform(canonical)
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val smaller = bothDir(e).filter(col("dst") < col("src"))
+      val m = minsOf(smaller)
+      smaller.join(m, col("src") === col("u"))
+        .select(col("dst").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .transform(canonical)
+    }
+    var (edges, edgeIds) = settle(canonical(
+      pairs.select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))))
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val (next, nextIds) = settle(smallStar(largeStar(edges)))
+      // exact set equality: same cardinality and no edge outside the old set
+      stable = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").count() == 0
+      dropIds(spark, edgeIds)
+      edges = next
+      edgeIds = nextIds
+      round += 1
+    }
+    val adj = bothDir(edges)
+    val (labels, labelIds) = settle(
+      adj.groupBy(col("src").as("node")).agg(min(col("dst")).as("mn"))
+        .select(col("node"), least(col("mn"), col("node")).as("lab")))
+    dropIds(spark, edgeIds)
+    (labels, labelIds, round)
   }
 
   /** One materialized component labeling per (session, dir) — d25 is

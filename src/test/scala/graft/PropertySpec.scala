@@ -111,5 +111,21 @@ class PropertySpec extends GraftSpec {
       ids.foreach(id =>
         spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
     }
+
+    // star-contraction variant: same fixed point on a random graph AND
+    // on a 60-node chain — the adversarial high-diameter case, where it
+    // must converge in O(log n) rounds (min-propagation would need ~59)
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    val randomG = sample(edgeGen, 13L).distinct
+    Seq("chain" -> chain, "random" -> randomG).foreach { case (name, edges) =>
+      val (labels, ids, rounds) = CorpusOps.connectedComponentsDoubling(
+        spark, edges.toDF("doc_a", "doc_b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refComponents(edges), s"$name: doubling labels != union-find")
+      if (name == "chain")
+        assert(rounds <= 12, s"chain took $rounds rounds — not logarithmic")
+      ids.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    }
   }
 }
