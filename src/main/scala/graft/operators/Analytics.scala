@@ -715,7 +715,41 @@ object Analytics {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q31: returned-item revenue report (TPC-H Q10) — top 20 customers
+    * by revenue lost to returns in one quarter. Fact-fact join shuffles
+    * on the order key with both date/returnflag filters pushed to the
+    * scans; nation broadcasts; the top-20 compiles to
+    * TakeOrderedAndProject (per-partition top-k then a 20-row merge —
+    * never a global sort of the aggregate). */
+  def q31ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q31Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_returned_items" -> (q31ReturnedItems _),
     "q28_promo_share" -> (q28PromoShare _),
     "q29_nation_volume" -> (q29NationVolume _),
     "q30_disjunct" -> (q30Disjunct _),
@@ -747,6 +781,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q31_returned_items" -> q31Sql,
     "q28_promo_share" -> q28Sql,
     "q29_nation_volume" -> q29Sql,
     "q30_disjunct" -> q30Sql,

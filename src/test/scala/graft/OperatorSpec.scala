@@ -663,6 +663,17 @@ class OperatorSpec extends GraftSpec {
     DedupOps.release(spark, sfDir)
   }
 
+  test("q31 top-20 compiles to TakeOrderedAndProject, returns ≤ 20 rows") {
+    val df = Analytics.q31ReturnedItems(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // revenue is sorted descending with custkey tiebreak
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
