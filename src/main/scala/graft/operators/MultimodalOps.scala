@@ -159,6 +159,33 @@ object MultimodalOps {
        |  start_byte - (start_byte // $ShardBytes) * $ShardBytes AS offset_in_shard
        |FROM laid ORDER BY doc_id""".stripMargin
 
+  /** End-to-end frame near-dup pipeline over the sampler seam: sample
+    * frames from every blob (1→N), bucket frames by their quantized
+    * feature vector (the d13 LSH shape — an equi-join key, NEVER an
+    * all-pairs frame comparison), then verify candidates with the
+    * native codegen'd cosine Expression at `tau`. Output: frame pairs
+    * from DIFFERENT blobs that are near-identical — the cross-video
+    * duplicate-frame detector a video-dedup pass runs before training.
+    * Works unchanged over a real codec's features once one drops into
+    * [[FrameSampler]]; bucket quantization (`grid`) trades recall for
+    * candidate count exactly like d13's planes. */
+  def frameDupPairs(spark: SparkSession, blobs: DataFrame,
+                    batchSize: Int = 64, sampler: FrameSampler = new StrideSampler(),
+                    grid: Int = 8, tau: Double = 0.999): DataFrame = {
+    val frames = sampleFrames(spark, blobs, batchSize, sampler).toDF()
+      .withColumn("bkey",
+        concat_ws(",", transform(col("features"), f => round(f * grid).cast("int").cast("string"))))
+    val a = frames.select(col("doc_id").as("doc_a"), col("frame_idx").as("frame_a"),
+      col("features").as("fa"), col("bkey"))
+    val b = frames.select(col("doc_id").as("doc_b"), col("frame_idx").as("frame_b"),
+      col("features").as("fb"), col("bkey"))
+    a.join(b, "bkey")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", VectorOps.cosine(col("fa"), col("fb")))
+      .filter(col("cos") >= tau)
+      .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_multimodal_meta" -> (e1MultimodalMeta _),
     "e2_blob_shard" -> (e2BlobShard _))

@@ -674,6 +674,29 @@ class OperatorSpec extends GraftSpec {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("e3 frame pipeline: identical blobs pair per frame, via bucketed equi-join") {
+    import spark.implicits._
+    val text = ("x" * 600) + ("y" * 600) // 2 stride-256 frames minimum
+    val blobs = Seq((1L, text), (2L, text), (3L, "z" * 1200))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val pairs = MultimodalOps.frameDupPairs(spark, blobs)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the bucket equi-join")
+    val rows = pairs.collect()
+    assert(rows.nonEmpty, "identical blobs must produce frame pairs")
+    rows.foreach { r =>
+      assert(r.getLong(0) == 1L && r.getLong(2) == 2L, "only the identical blobs pair")
+      assert(r.getDouble(4) >= 0.999)
+    }
+    // every sampled frame of doc 1 finds its twin in doc 2
+    val matchedA = rows.map(_.getInt(1)).distinct.length
+    val framesPerDoc = MultimodalOps.sampleFrames(spark,
+      blobs.filter(col("doc_id") === 1L)).count()
+    assert(matchedA.toLong == framesPerDoc)
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
