@@ -748,8 +748,40 @@ object Analytics {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** q32: large-volume orders (TPC-H Q18) — orders whose total line
+    * quantity exceeds a threshold, with their customer, top 10 by
+    * quantity. The filter is an aggregated HAVING over the fact (exact
+    * DECIMAL sum — the threshold comparison never leaves decimal);
+    * survivors are a tiny set, so the customer/orders joins after the
+    * aggregate touch only qualifying keys. Top-10 via
+    * TakeOrderedAndProject. */
+  def q32LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 300)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("qty_dec").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q32Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  CAST(qty_dec AS DOUBLE) AS total_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_returned_items" -> (q31ReturnedItems _),
+    "q32_large_orders" -> (q32LargeOrders _),
     "q28_promo_share" -> (q28PromoShare _),
     "q29_nation_volume" -> (q29NationVolume _),
     "q30_disjunct" -> (q30Disjunct _),
@@ -782,6 +814,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q31_returned_items" -> q31Sql,
+    "q32_large_orders" -> q32Sql,
     "q28_promo_share" -> q28Sql,
     "q29_nation_volume" -> q29Sql,
     "q30_disjunct" -> q30Sql,

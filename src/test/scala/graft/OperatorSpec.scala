@@ -697,6 +697,14 @@ class OperatorSpec extends GraftSpec {
     assert(matchedA.toLong == framesPerDoc)
   }
 
+  test("q32 large orders: every row beats the DECIMAL threshold, sorted top-10") {
+    val rows = Analytics.q32LargeOrders(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r => assert(r.getDouble(4) > 300.0))
+    val qs = rows.map(_.getDouble(4))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
