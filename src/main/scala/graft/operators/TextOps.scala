@@ -333,6 +333,65 @@ object TextOps {
        |JOIN c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** d29: per-source dedup-rate summary — the dashboard a corpus owner
+    * reads before choosing mixture weights: per source, how much is
+    * exact-duplicate mass (non-canonical copies under d5's rule) and
+    * how much sits in verified near-dup groups (d6 membership). Both
+    * signals are the SAME deterministic pipelines their standalone
+    * operators run (d6 through the shared signature/band caches), so
+    * the summary inherits their oracle guarantees; the near-dup member
+    * set joins back by id only — no payloads move. */
+  def d29DedupSummary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDup = Window.partitionBy(md5(trim(lower(col("text")))))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") === min(col("doc_id")).over(wDup)).as("is_canonical"))
+    val pairs = DedupOps.d6DedupMinhash(spark, dir)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    base.join(members, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!col("is_canonical"), lit(1))).as("n_exact_dups"),
+        count(when(col("near_dup"), lit(1))).as("n_near_dup_members"))
+      .select(col("source"), col("n_docs"), col("n_exact_dups"), col("n_near_dup_members"),
+        (col("n_exact_dups").cast("double") / col("n_docs")).as("exact_dup_ratio"),
+        (col("n_near_dup_members").cast("double") / col("n_docs")).as("near_dup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val d29Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    doc_id = min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS is_canonical
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |members AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+      |per AS (
+      |  SELECT c.source, count(*) AS n_docs,
+      |    count(CASE WHEN NOT is_canonical THEN 1 END) AS n_exact_dups,
+      |    count(CASE WHEN m.doc_id IS NOT NULL THEN 1 END) AS n_near_dup_members
+      |  FROM c LEFT JOIN members m ON c.doc_id = m.doc_id GROUP BY c.source)
+      |SELECT source, n_docs, n_exact_dups, n_near_dup_members,
+      |  CAST(n_exact_dups AS DOUBLE) / n_docs AS exact_dup_ratio,
+      |  CAST(n_near_dup_members AS DOUBLE) / n_docs AS near_dup_ratio
+      |FROM per ORDER BY source""".stripMargin
+
   /** d16: stratified (per-source) deterministic sampling — the
     * downsampling step every training-data pipeline needs for
     * overrepresented sources. A doc is kept iff a salted md5-derived
@@ -630,6 +689,7 @@ object TextOps {
     "d2_lang_id" -> (d2LangId _),
     "d14_subword_tokens" -> (d14SubwordTokens _),
     "d27_tokenizer_fertility" -> (d27TokenizerFertility _),
+    "d29_dedup_summary" -> (d29DedupSummary _),
     "d15_corpus_filter" -> (d15CorpusFilter _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
     "d3_quality_score" -> (d3QualityScore _),
@@ -648,6 +708,7 @@ object TextOps {
     "d2_lang_id" -> d2Sql,
     "d14_subword_tokens" -> d14Sql,
     "d27_tokenizer_fertility" -> d27Sql,
+    "d29_dedup_summary" -> d29Sql,
     "d15_corpus_filter" -> d15Sql,
     "d16_stratified_sample" -> d16Sql,
     "d3_quality_score" -> d3Sql,

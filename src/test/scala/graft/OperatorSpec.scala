@@ -705,6 +705,22 @@ class OperatorSpec extends GraftSpec {
     assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("d29 dedup summary reconciles with the corpus and d6 membership") {
+    val rows = TextOps.d29DedupSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    val pairs = DedupOps.d6DedupMinhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+    val memberCount = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(rows.map(_.getLong(3)).sum == memberCount.toLong)
+    DedupOps.release(spark, sfDir)
+  }
+
   test("multimodal decodeBatch preserves ids and emits fixed-width features") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
