@@ -82,9 +82,11 @@ object Bench {
     def mkLine(dec: Int) = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
       s""""queries":${jmap(best, dec)},"sf":"$sfDir"}"""
     // adaptive precision: as the query count grows, drop decimals before
-    // the line outgrows the tail window (sbt's trailing "[success]" line
-    // eats ~80 of the ~2000 captured chars)
-    val line = Seq(2, 1).map(mkLine).find(_.length <= 1900).getOrElse(mkLine(0))
+    // the line outgrows the tail window. Budget 1600 chars: the driver
+    // keeps a ~2000-char stdout TAIL, and sbt's "[success] Total time"
+    // trailer plus margin must fit AFTER our line without pushing its
+    // head out of the window (r5's parse failed exactly this way).
+    val line = Seq(2, 1).map(mkLine).find(_.length <= 1600).getOrElse(mkLine(0))
     // Full diagnostics (both passes, load markers) go to a local file the
     // judge can read, and to stderr — never onto the one parseable line.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
@@ -95,11 +97,17 @@ object Bench {
       try w.println(detail) finally w.close()
     } catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
     System.err.println(s"[bench] detail: $detail")
-    println(line)
-    // cache lifecycle contract: jobs release their shared subplans
+    // Teardown BEFORE the parseable line: unpersisting d25's local
+    // checkpoint emits a WARN through the console appender (stdout), and
+    // in r5 those 223 trailing chars pushed the JSON head out of the
+    // driver's tail window. Silence expected teardown WARNs, release the
+    // shared caches, stop Spark — and only THEN print, so the JSON line
+    // is the last stdout this JVM produces.
+    spark.sparkContext.setLogLevel("ERROR")
     graft.operators.DedupOps.release(spark, sfDir)
     graft.operators.VectorOps.release(spark, sfDir)
     graft.operators.CorpusOps.release(spark, sfDir)
     spark.stop()
+    println(line)
   }
 }

@@ -90,10 +90,12 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("end_tok", sum(col("n_tokens").cast("long")).over(w))
+      // `div` is TRUE integer division (long → long); floor(a / n) would
+      // route through a double and only stay exact below 2^53 offsets
       .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("end_tok") - col("n_tokens")).as("start_tok"),
-        floor((col("end_tok") - col("n_tokens")) / lit(SeqLen)).as("first_seq"),
-        floor((col("end_tok") - 1) / lit(SeqLen)).as("last_seq"))
+        expr(s"(end_tok - n_tokens) div $SeqLen").as("first_seq"),
+        expr(s"(end_tok - 1) div $SeqLen").as("last_seq"))
       .orderBy(col("doc_id"))
   }
 
@@ -142,17 +144,37 @@ object CorpusOps {
     ids.foreach(id =>
       spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
 
-  /** Truncate lineage + materialize; report which RDD ids it pinned. */
-  private def settleCheckpoint(spark: SparkSession, df: DataFrame): (DataFrame, Set[Int]) = {
-    val before = persistedIds(spark)
-    val out = df.localCheckpoint(eager = true)
-    (out, persistedIds(spark) -- before)
+  /** Truncate lineage + materialize; report which RDD ids it pinned.
+    *
+    * `reliable = false` (the local-mode default) uses `localCheckpoint`:
+    * fast, but the blocks live on executors — ONE lost executor kills
+    * the whole iterative job past the point of recomputation. On a real
+    * cluster callers set `spark.sparkContext.setCheckpointDir(...)` (an
+    * HDFS/object-store path) and pass `reliable = true`: each round is
+    * written to fault-tolerant storage via `Dataset.checkpoint`, so an
+    * executor loss replays from the last round, not from scratch.
+    * Reliable checkpoints are FILES, not cached blocks — nothing to
+    * unpersist (we return an empty id set); stale round files are
+    * GC-cleaned when `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is on, or swept with the checkpoint dir at job end. */
+  private def settleCheckpoint(spark: SparkSession, df: DataFrame,
+                               reliable: Boolean = false): (DataFrame, Set[Int]) = {
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliable checkpointing needs spark.sparkContext.setCheckpointDir(...) first")
+      (df.checkpoint(eager = true), Set.empty[Int])
+    } else {
+      val before = persistedIds(spark)
+      val out = df.localCheckpoint(eager = true)
+      (out, persistedIds(spark) -- before)
+    }
   }
 
   private[graft] def connectedComponents(spark: SparkSession, pairs: DataFrame,
-                                             maxRounds: Int = 25): (DataFrame, Set[Int]) = {
+                                             maxRounds: Int = 25,
+                                             reliable: Boolean = false): (DataFrame, Set[Int]) = {
     def drop(ids: Set[Int]): Unit = dropIds(spark, ids)
-    def settle(df: DataFrame): (DataFrame, Set[Int]) = settleCheckpoint(spark, df)
+    def settle(df: DataFrame): (DataFrame, Set[Int]) = settleCheckpoint(spark, df, reliable)
     // settle the pair derivation FIRST: both union branches below read
     // the checkpoint, so the (expensive) pair pipeline runs exactly once
     val (fwd, edgeIds) = settle(
@@ -177,6 +199,13 @@ object CorpusOps {
       round += 1
     }
     drop(edgeIds)
+    // Unconverged labels are WRONG cluster ids — never hand them back
+    // silently. Propagation needs diameter(component) rounds; a graph
+    // deeper than maxRounds must raise the cap or switch to
+    // [[connectedComponentsDoubling]] (O(log n) rounds on any topology).
+    require(changed == 0,
+      s"connected components did not converge in $maxRounds rounds " +
+        s"($changed labels still changing); raise maxRounds or use the doubling variant")
     (labels, labelIds)
   }
 
@@ -203,8 +232,9 @@ object CorpusOps {
     * diameter ≲ 3, so 2–4 cheap rounds beat the two-phase contraction;
     * this variant is for adversarial/high-diameter graphs. */
   private[graft] def connectedComponentsDoubling(spark: SparkSession, pairs: DataFrame,
-                                                 maxRounds: Int = 40): (DataFrame, Set[Int], Int) = {
-    def settle(df: DataFrame): (DataFrame, Set[Int]) = settleCheckpoint(spark, df)
+                                                 maxRounds: Int = 40,
+                                                 reliable: Boolean = false): (DataFrame, Set[Int], Int) = {
+    def settle(df: DataFrame): (DataFrame, Set[Int]) = settleCheckpoint(spark, df, reliable)
     def bothDir(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // min over Γ(u) ∪ {u}, from an adjacency DIRECTION frame (u=src)
@@ -244,6 +274,10 @@ object CorpusOps {
       edgeIds = nextIds
       round += 1
     }
+    // Same contract as the propagation variant: an unstable edge set
+    // means the labels below would be wrong — refuse to return them.
+    require(stable,
+      s"star-contraction CC did not converge in $maxRounds rounds; raise maxRounds")
     val adj = bothDir(edges)
     val (labels, labelIds) = settle(
       adj.groupBy(col("src").as("node")).agg(min(col("dst")).as("mn"))
@@ -254,31 +288,37 @@ object CorpusOps {
 
   /** One materialized component labeling per (session, dir) — d25 is
     * iterative, so rebuilding it per reference would redo the loop.
+    * Keyed on session IDENTITY (eq), matching the DedupOps/VectorOps
+    * convention — applicationId would alias two sessions in one app.
     * The Set is the checkpoint-block RDD ids [[release]] must free. */
-  private val ccCache = scala.collection.mutable.Map[(String, String), (DataFrame, Set[Int])]()
+  private val ccCache = scala.collection.mutable.ListBuffer[((SparkSession, String), (DataFrame, Set[Int]))]()
 
   private def sharedClusters(spark: SparkSession, dir: String): DataFrame = ccCache.synchronized {
-    ccCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      connectedComponents(spark, DedupOps.d6DedupMinhash(spark, dir)))._1
+    ccCache.find(e => (e._1._1 eq spark) && e._1._2 == dir).map(_._2._1).getOrElse {
+      val built = connectedComponents(spark, DedupOps.sharedVerifiedPairs(spark, dir))
+      ccCache += (((spark, dir), built))
+      built._1
+    }
+  }
+
+  private def dropEntries(keep: ((SparkSession, String)) => Boolean): Unit = {
+    val (kept, dropped) = ccCache.partition(e => keep(e._1))
+    dropped.foreach { case ((spark, _), (_, ids)) =>
+      ids.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+    }
+    ccCache.clear()
+    ccCache ++= kept
   }
 
   /** Release d25's cached labels for one (session, dir) job. */
   def release(spark: SparkSession, dir: String): Unit = ccCache.synchronized {
-    ccCache.remove((spark.sparkContext.applicationId, dir)).foreach { case (_, ids) =>
-      ids.foreach(id =>
-        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
-    }
+    dropEntries { case (s, d) => !((s eq spark) && d == dir) }
   }
 
   /** Release every cached frame belonging to a session (test teardown). */
   def releaseSession(spark: SparkSession): Unit = ccCache.synchronized {
-    val app = spark.sparkContext.applicationId
-    ccCache.keys.filter(_._1 == app).toSeq.foreach { k =>
-      ccCache.remove(k).foreach { case (_, ids) =>
-        ids.foreach(id =>
-          spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
-      }
-    }
+    dropEntries { case (s, _) => !(s eq spark) }
   }
 
   /** d25: duplicate-group clustering — connected components over the

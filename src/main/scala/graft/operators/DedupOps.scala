@@ -167,22 +167,33 @@ object DedupOps {
       sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
     }
 
+  /** Verified near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5),
+    * materialized ONCE per (session, dataset). The bucket self-join →
+    * candidate dedup → exact-Jaccard verify is the expensive tail of the
+    * d6 pipeline, and it has three consumers — d6 itself, d25's cluster
+    * build, and d29's summary. Before this cache each consumer re-ran
+    * the join work (d29 was the slowest query in the r5 bench purely
+    * from re-derivation); now the verify join runs once and everyone
+    * reads a tiny (doc_a, doc_b, jaccard) frame. Released with the rest
+    * of the shared lifecycle. */
+  def sharedVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir, "pairs") {
+      val buckets = bandBuckets(spark, dir)
+      val cand = buckets.as("x").join(buckets.as("y"), col("x.bh") === col("y.bh"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+      val sh = sharedShingleHashes(spark, dir)
+      val sizes = sharedShingleSizes(spark, dir)
+      jaccardForPairs(cand, sh, sizes).filter(col("jaccard") >= 0.5)
+    }
+
   /** d6: MinHash-LSH near-dup pairs, exact-Jaccard verified at τ=0.5.
     * Output ≡ all-pairs shingle Jaccard ≥ τ (the DuckDB oracle): with
     * 32 bands × 4 rows, P[LSH misses a pair at Jaccard s] = (1-s⁴)³²,
     * ≈ 4e-15 at the s ≥ 0.9 where this corpus' true pairs live. */
-  def d6DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = bandBuckets(spark, dir)
-    val cand = buckets.as("x").join(buckets.as("y"), col("x.bh") === col("y.bh"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
-    val sh = sharedShingleHashes(spark, dir)
-    val sizes = sharedShingleSizes(spark, dir)
-    jaccardForPairs(cand, sh, sizes)
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  def d6DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    sharedVerifiedPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   val d6Sql: String =
     """WITH toks AS (
@@ -363,7 +374,16 @@ object DedupOps {
     * window, whose #queries-partition merge stage is the ANN-family
     * parallelism collapse (VERDICT r3). Tie-break: highest Jaccard,
     * then lowest candidate id — deterministic because the Jaccard
-    * doubles are exact integer ratios, identical in any engine. */
+    * doubles are exact integer ratios, identical in any engine.
+    *
+    * Collision caveat (stronger than d6's): Jaccard here is computed
+    * over xxhash64 SHINGLE HASHES while the oracle uses exact trigram
+    * strings. On the thresholded d6 path a 2⁻⁶⁴ collision merely
+    * perturbs a score; here a collision near a top-1 TIE can flip the
+    * argmax winner. The probability is negligible at any corpus size
+    * we target (birthday bound over per-doc shingle counts), so no
+    * code change — but an exactness-critical caller should re-verify
+    * the winning pair over raw shingles. */
   def d28FuzzyTopk(spark: SparkSession, dir: String): DataFrame = {
     val sh = sharedShingleHashes(spark, dir)
     val sizes = sharedShingleSizes(spark, dir)

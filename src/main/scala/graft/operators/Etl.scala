@@ -517,7 +517,74 @@ object Etl {
       |  ON o_custkey = u_custkey AND o_orderpriority = u_priority
       |ORDER BY id""".stripMargin
 
+  /** Staged page payloads: deterministic stand-in for the scraper's
+    * fetched HTML (collect-data.py:66-78 stores driver.page_source per
+    * work item). One synthetic page per event: elements with stable ids
+    * whose contents derive from event columns; the `m2` element is
+    * ABSENT on event_id % 5 = 0 pages — the real-world "element not on
+    * this page" case soup.find answers with None. */
+  private def stagedPages(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), col("event_type").as("source"),
+      concat(
+        lit("<html><body><div id=\"hdr\">city data</div><span id=\"m0\">"),
+        col("user_id").cast("string"),
+        lit("</span><span id=\"m1\">"),
+        col("event_type"), lit("-"), pmod(col("event_id"), lit(97)).cast("string"),
+        lit("</span>"),
+        when(pmod(col("event_id"), lit(5)) =!= 0,
+          concat(lit("<span id=\"m2\">"), col("event_id").cast("string"), lit("</span>")))
+          .otherwise(lit("")),
+        lit("<div id=\"ftr\">ok</div></body></html>")).as("payload"))
+
+  /** a14: HTML element extraction — the reference's scrape step pulls
+    * ONE element by id from each fetched page (collect-data.py:80-92:
+    * `soup.find(id=element_id)`, the id configured per source in
+    * scraper_config.csv). Relational form: the per-source registry
+    * names the element_id, staged payloads join it (broadcast — the
+    * registry is dims-sized), and regexp_extract with a per-row
+    * assembled pattern pulls the element text. The pattern is RE2-safe
+    * (no lookaround; ids are [A-Za-z0-9_], so no metacharacter
+    * escaping is needed) and `nullif(…, '')` normalizes "element not
+    * found" to NULL — the soup.find-returns-None branch. Map-side work
+    * after one broadcast join; no shuffle at any scale. */
+  def a14HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val registry = Tables.events(spark, dir)
+      .select(col("event_type").as("source")).distinct()
+      .select(col("source"),
+        concat(lit("m"), pmod(length(col("source")), lit(3)).cast("string")).as("element_id"))
+    stagedPages(spark, dir)
+      .join(broadcast(registry), "source")
+      .withColumn("content",
+        nullif(expr("""regexp_extract(payload, concat('id="', element_id, '">([^<]*)'), 1)"""),
+          lit("")))
+      .select(col("event_id"), col("source"), col("element_id"),
+        col("content"), col("content").isNotNull.as("found"))
+      .orderBy(col("event_id"))
+  }
+
+  val a14Sql: String =
+    """WITH pages AS (
+      |  SELECT event_id, event_type AS source,
+      |    concat('<html><body><div id="hdr">city data</div><span id="m0">',
+      |      CAST(user_id AS VARCHAR),
+      |      '</span><span id="m1">', event_type, '-', CAST(event_id % 97 AS VARCHAR), '</span>',
+      |      CASE WHEN event_id % 5 <> 0
+      |        THEN concat('<span id="m2">', CAST(event_id AS VARCHAR), '</span>') ELSE '' END,
+      |      '<div id="ftr">ok</div></body></html>') AS payload
+      |  FROM events),
+      |registry AS (
+      |  SELECT DISTINCT event_type AS source,
+      |    concat('m', CAST(length(event_type) % 3 AS VARCHAR)) AS element_id
+      |  FROM events)
+      |SELECT event_id, source, element_id,
+      |  nullif(regexp_extract(payload, concat('id="', element_id, '">([^<]*)'), 1), '') AS content,
+      |  nullif(regexp_extract(payload, concat('id="', element_id, '">([^<]*)'), 1), '') IS NOT NULL AS found
+      |FROM pages JOIN registry USING (source)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_html_extract" -> (a14HtmlExtract _),
     "a13_config_writeback" -> (a13ConfigWriteback _),
     "a12_profile" -> (a12Profile _),
     "a11_due_sources" -> (a11DueSources _),
@@ -533,6 +600,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a14_html_extract" -> a14Sql,
     "a13_config_writeback" -> a13Sql,
     "a12_profile" -> a12Sql,
     "a11_due_sources" -> a11Sql,

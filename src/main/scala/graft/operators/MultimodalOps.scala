@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.E): media payloads travel as
@@ -138,10 +138,12 @@ object MultimodalOps {
       .select(col("doc_id"), col("source"),
         octet_length(col("text").cast("binary")).as("n_bytes"))
       .withColumn("end_byte", sum(col("n_bytes").cast("long")).over(w))
+      // `div`/`%` are true long arithmetic — floor(a / n) would route
+      // through a double and only stay exact below 2^53 byte offsets
+      .withColumn("start_byte", col("end_byte") - col("n_bytes"))
       .select(col("doc_id"), col("source"), col("n_bytes"),
-        floor((col("end_byte") - col("n_bytes")) / lit(ShardBytes)).as("shard_idx"),
-        (col("end_byte") - col("n_bytes") - floor((col("end_byte") - col("n_bytes")) / lit(ShardBytes)) * lit(ShardBytes))
-          .as("offset_in_shard"))
+        expr(s"start_byte div $ShardBytes").as("shard_idx"),
+        expr(s"start_byte % $ShardBytes").as("offset_in_shard"))
       .orderBy(col("doc_id"))
   }
 
@@ -172,15 +174,31 @@ object MultimodalOps {
   def frameDupPairs(spark: SparkSession, blobs: DataFrame,
                     batchSize: Int = 64, sampler: FrameSampler = new StrideSampler(),
                     grid: Int = 8, tau: Double = 0.999): DataFrame = {
+    // TWO half-cell-offset grids: a near-identical pair whose quantized
+    // feature straddles a cell boundary in one grid shares a cell in the
+    // offset grid, closing the single-grid boundary-recall gap. The grid
+    // tag rides in the key so g0/g1 cells never cross-join; candidates
+    // matched by both grids are deduped before the cosine verify.
+    def gkey(off: Double): Column = concat_ws(",",
+      transform(col("features"), f => round(f * grid + lit(off)).cast("int").cast("string")))
+    // persist: the self-join reads the frame set twice, and without it
+    // the sampler/decode (the expensive step with a real codec) runs
+    // once per side per grid. Blocks are released with the plan —
+    // callers doing many dedup passes over the same frames should lift
+    // sampleFrames out and checkpoint it instead.
     val frames = sampleFrames(spark, blobs, batchSize, sampler).toDF()
-      .withColumn("bkey",
-        concat_ws(",", transform(col("features"), f => round(f * grid).cast("int").cast("string"))))
+      .select(col("doc_id"), col("frame_idx"), col("features"),
+        explode(array(concat_ws(":", lit("g0"), gkey(0.0)),
+          concat_ws(":", lit("g1"), gkey(0.5)))).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = frames.select(col("doc_id").as("doc_a"), col("frame_idx").as("frame_a"),
       col("features").as("fa"), col("bkey"))
     val b = frames.select(col("doc_id").as("doc_b"), col("frame_idx").as("frame_b"),
       col("features").as("fb"), col("bkey"))
     a.join(b, "bkey")
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("frame_a"), col("fa"), col("doc_b"), col("frame_b"), col("fb"))
+      .distinct()
       .withColumn("cos", VectorOps.cosine(col("fa"), col("fb")))
       .filter(col("cos") >= tau)
       .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"), col("cos"))

@@ -347,7 +347,7 @@ object TextOps {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         (col("doc_id") === min(col("doc_id")).over(wDup)).as("is_canonical"))
-    val pairs = DedupOps.d6DedupMinhash(spark, dir)
+    val pairs = DedupOps.sharedVerifiedPairs(spark, dir)
     val members = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()

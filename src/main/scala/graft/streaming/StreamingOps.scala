@@ -133,10 +133,20 @@ object StreamingOps {
     * State is bounded: users idle past `horizon` (event time, judged
     * against the watermark) have their state expired — an expiry emits
     * nothing, it only frees memory. Events within one micro-batch are
-    * sorted by (ts, event_id); cross-batch regressions (a view arriving
-    * AFTER its user's click was already processed in an earlier batch)
-    * are a lateness artifact the watermark bounds, same contract as
-    * [[sessionize]]. */
+    * sorted by (ts, event_id).
+    *
+    * Equivalence contract (STRONGER than a watermark bound): stage
+    * decisions are made per batch and never revisited, so exact
+    * equality with the batch funnel requires PER-USER IN-ORDER DELIVERY
+    * ACROSS BATCHES. Any cross-batch regression diverges — e.g. a view
+    * with an earlier ts arriving one batch after its user's click was
+    * rejected loses that click permanently here, while the batch funnel
+    * (which sees all events at once) counts it; this happens even when
+    * the view is NOT watermark-late. Sources that preserve per-key
+    * order (e.g. a log partitioned by user) satisfy the contract;
+    * otherwise buffer events per user until the watermark passes them
+    * before applying stage logic (costs one watermark delay of
+    * latency + state). */
   def funnelStages(spark: SparkSession, events: Dataset[EventRow],
                    watermarkDelay: String = "10 seconds",
                    horizonMs: Long = 24L * 3600 * 1000): Dataset[StageReach] = {
@@ -172,6 +182,49 @@ object StreamingOps {
             out.result().iterator
           }
       }
+  }
+
+  /** Streaming trending top-k: per sliding window, the k most frequent
+    * event types — the "what's hot right now" dashboard feed. TWO
+    * chained stateful aggregations in append mode (multiple-stateful-
+    * operator support, Spark ≥ 3.4): (1) counts per (sliding window,
+    * event_type); (2) per-window bounded top-k via the TopKAgg
+    * aggregate — map-side partials reduce each partition to ≤ k entries
+    * before the exchange, the same scale argument as the ANN ranking
+    * path (a collect_list+sort would buffer EVERY type per window).
+    *
+    * Chained streaming aggs re-window via window_time (window.end − 1µs),
+    * so the second agg buckets at `slide` granularity: distinct sliding
+    * windows have distinct ends (multiples of the slide), hence land in
+    * distinct slide buckets — no two windows ever merge — and the
+    * original bounds are recovered as [bucket.end − dur, bucket.end).
+    *
+    * TopKAgg carries LONG ids, so types ride through as
+    * xxhash64(event_type); names come back via a stream-static join on
+    * `typeDim` (the source registry's dims frame) — stateless and
+    * append-safe after the aggregation. */
+  def trendingTopK(events: DataFrame, typeDim: DataFrame, k: Int = 3,
+                   windowDur: String = "1 hour", slide: String = "30 minutes",
+                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val counts = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .select(col("w"), xxhash64(col("event_type")).as("type_hash"), col("n"))
+      .groupBy(window(col("w"), slide).as("wb"))
+      .agg(call_function("topk_by_score",
+        col("n").cast("double"), col("type_hash"), lit(k)).as("tk"))
+      .select(col("wb"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(
+        (col("wb.end") - expr(s"INTERVAL $windowDur")).as("window_start"),
+        col("wb.end").as("window_end"),
+        (col("i") + 1).as("rank"),
+        col("e.id").as("type_hash"),
+        col("e.score").cast("long").as("n_events"))
+      .join(typeDim.select(col("event_type"),
+        xxhash64(col("event_type")).as("type_hash")), "type_hash")
+      .drop("type_hash")
   }
 
   /** Streaming dedup on a content key with watermarked state —

@@ -128,4 +128,32 @@ class PropertySpec extends GraftSpec {
         spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
     }
   }
+
+  test("connected components: reliable-checkpoint path matches union-find") {
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    // cluster mode: rounds checkpoint to fault-tolerant storage instead
+    // of executor-local blocks; fixed point must be identical
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val hadOld = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val edges = ((0L until 10L).map(i => (i, i + 1)) :+ (40L, 41L) :+ (41L, 42L)).distinct
+      def refLabels: Map[Long, Long] =
+        (0L to 10L).map(_ -> 0L).toMap ++ Map(40L -> 40L, 41L -> 40L, 42L -> 40L)
+      val (l1, ids1) = CorpusOps.connectedComponents(
+        spark, edges.toDF("doc_a", "doc_b"), reliable = true)
+      assert(l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == refLabels)
+      assert(ids1.isEmpty, "reliable path must not pin cached blocks")
+      val (l2, ids2, _) = CorpusOps.connectedComponentsDoubling(
+        spark, edges.toDF("doc_a", "doc_b"), reliable = true)
+      assert(l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == refLabels)
+      assert(ids2.isEmpty, "reliable path must not pin cached blocks")
+      // checkpoint files actually landed in the reliable dir
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(ckptDir)).count() > 0)
+    } finally {
+      hadOld.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+  }
 }

@@ -224,6 +224,49 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming trending top-k ≡ batch sliding-window ranking") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    // hour 1 dominated by views, hour 2 by clicks — the trending set
+    // must flip between windows; "scroll" stays out of every top-2
+    val evs = Seq.tabulate(10)(i => (t(i * 5), "view")) ++
+      Seq.tabulate(4)(i => (t(i * 13 + 1), "click")) ++
+      Seq((t(7), "purchase"), (t(31), "scroll")) ++
+      Seq.tabulate(9)(i => (t(60 + i * 6), "click")) ++
+      Seq.tabulate(3)(i => (t(62 + i * 17), "view"))
+    val dim = Seq("view", "click", "purchase", "scroll").toDF("event_type")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingOps.trendingTopK(mem.toDF().toDF("ts", "event_type"), dim,
+        k = 2, windowDur = "1 hour", slide = "30 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("trend_test").outputMode("append").start()
+    try {
+      mem.addData(evs: _*); q.processAllAvailable()
+      // far-future flush: watermark passes every real window's end
+      mem.addData((t(600), "scroll")); q.processAllAvailable()
+      val got = spark.sql(
+          "select window_start, rank, event_type, n_events from trend_test").collect()
+        .map(r => (r.getTimestamp(0), r.getAs[Number](1).longValue, r.getString(2), r.getLong(3)))
+        .toSet
+      // batch twin over the same events (minus the flush): counts per
+      // sliding window, row_number under the identical tie-break
+      val want = evs.toDF("ts", "event_type")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("w"))
+          .orderBy(col("n").desc, xxhash64(col("event_type")))))
+        .filter(col("rank") <= 2)
+        .select(col("w.start"), col("rank").cast("long"), col("event_type"), col("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == want,
+        s"missing=${(want -- got).mkString(";")} extra=${(got -- want).mkString(";")}")
+      assert(!got.exists(_._3 == "scroll"), "scroll must never trend into a top-2")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
