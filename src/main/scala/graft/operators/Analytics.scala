@@ -779,7 +779,165 @@ object Analytics {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** q33: top revenue supplier (TPC-H Q15 pattern) — per-supplier
+    * revenue over one quarter, returning every supplier achieving the
+    * GLOBAL maximum. Q15's correlated `total_revenue = (SELECT
+    * max(...))` subquery decorrelates to a 1-row max over the
+    * per-supplier aggregate, broadcast into an equality filter —
+    * DECIMAL-exact on both sides, so "equals the max" never depends on
+    * double rounding or parallelism. The quarter filter pushes to the
+    * lineitem scan, and the max comes from an unpartitioned window over
+    * the ALREADY-AGGREGATED per-supplier frame — one row per supplier,
+    * never corpus rows, through that single merge partition — so
+    * lineitem is scanned ONCE (the broadcast-scalar form re-derives the
+    * aggregate: a second full fact scan at 100 TB). */
+  def q33TopSupplier(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("rev_dec"))
+      .withColumn("max_rev", max(col("rev_dec")).over(Window.partitionBy()))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+
+  val q33Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+      |  GROUP BY l_suppkey),
+      |mx AS (SELECT max(rev_dec) AS max_rev FROM rev)
+      |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+      |FROM rev CROSS JOIN mx JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = max_rev
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q34: product-line profit by supplier nation and order year (TPC-H
+    * Q9 pattern, minus partsupp which this schema lacks). The part
+    * filter (name contains 'gear') prunes the broadcast build side to
+    * keys only BEFORE the fact join — the scan-side projection is one
+    * column; supplier/nation broadcast; the orders join shuffles on the
+    * order key; one exchange for the (nation, year) aggregate. */
+  def q34ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val gearParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q34Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q35: national market share (TPC-H Q8 pattern) — NATION_7's share
+    * of ECONOMY-part revenue sold to ASIA customers, per order year.
+    * Two-level conditional aggregation: both the conditional and total
+    * sums stay DECIMAL and only the final share divides in double.
+    * Dims (part keys, supplier+nation, customer-region nation keys)
+    * broadcast; customer is fact-scaled and shuffles (q29 discipline);
+    * the two-year window pushes to the orders scan. */
+  def q35MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val econParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_7", revenue)).cast("double") /
+          sum(revenue).cast("double")).as("mkt_share"),
+        sum(revenue).cast("double").as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  val q35Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS mkt_share,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS total_volume
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND c_nationkey IN (
+      |    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'ASIA')
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** q36: supplier diversity per part line (TPC-H Q16 pattern, minus
+    * partsupp — supply relationships derive from lineitem). Counts
+    * DISTINCT suppliers per (brand, type, size) for selected sizes,
+    * excluding flagged suppliers (negative balance — the schema's
+    * stand-in for Q16's complaints filter) via a broadcast ANTI join
+    * on the pre-filtered tiny set. The part predicate prunes the
+    * broadcast build side; count_distinct runs with partial_merge
+    * two-phase aggregation — no row data concentrates on one node. */
+  def q36SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size").isin(1, 5, 9) && col("p_brand") =!= "Brand#9")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q36Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size IN (1, 5, 9) AND p_brand <> 'Brand#9'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_top_supplier" -> (q33TopSupplier _),
+    "q34_profit_by_nation" -> (q34ProfitByNation _),
+    "q35_market_share" -> (q35MarketShare _),
+    "q36_supplier_diversity" -> (q36SupplierDiversity _),
     "q31_returned_items" -> (q31ReturnedItems _),
     "q32_large_orders" -> (q32LargeOrders _),
     "q28_promo_share" -> (q28PromoShare _),
@@ -813,6 +971,10 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q33_top_supplier" -> q33Sql,
+    "q34_profit_by_nation" -> q34Sql,
+    "q35_market_share" -> q35Sql,
+    "q36_supplier_diversity" -> q36Sql,
     "q31_returned_items" -> q31Sql,
     "q32_large_orders" -> q32Sql,
     "q28_promo_share" -> q28Sql,

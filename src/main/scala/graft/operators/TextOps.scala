@@ -426,6 +426,51 @@ object TextOps {
        |FROM h WHERE sample_bucket < rate_permille ORDER BY doc_id""".stripMargin
   }
 
+  /** Docs kept per domain by d30. */
+  val DomainCap = 5
+
+  /** d30: per-domain crawl cap — the quota complement to d16's
+    * rate-based sampling: keep at most [[DomainCap]] documents per
+    * domain, chosen by a deterministic salted-hash rank (so "which N
+    * survive" is stable across clusters/reruns and uncorrelated with
+    * doc_id order — crawl order is usually correlated with content).
+    * Domains derive from (source, doc_id) here — the deterministic
+    * stand-in for a url host column. Unlike d16 (row-local, zero
+    * shuffle) a quota NEEDS the per-domain rank exchange; the window
+    * partitions on the domain key, so parallelism = #domains and no
+    * partition exceeds the true per-domain row count — at 100 TB a
+    * hot domain is bounded by the crawler itself, orders of magnitude
+    * under executor memory. The hash ranks as a STRING (hex md5) —
+    * portable to any engine, no integer conversion needed. */
+  def d30DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val domain = concat(col("source"), lit("-"),
+      pmod(col("doc_id"), lit(17)).cast("string"), lit(".example.org"))
+    val rank = row_number().over(
+      Window.partitionBy(col("domain"))
+        .orderBy(md5(concat(lit("graft-domain-cap:"), col("doc_id").cast("string"))),
+          col("doc_id")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), domain.as("domain"))
+      .withColumn("keep_rank", rank)
+      .filter(col("keep_rank") <= DomainCap)
+      .orderBy(col("doc_id"))
+  }
+
+  val d30Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    concat(source, '-', CAST(doc_id % 17 AS VARCHAR), '.example.org') AS domain
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source, domain,
+       |    CAST(row_number() OVER (PARTITION BY domain
+       |      ORDER BY md5(concat('graft-domain-cap:', CAST(doc_id AS VARCHAR))), doc_id) AS INTEGER)
+       |      AS keep_rank
+       |  FROM d)
+       |SELECT doc_id, source, domain, keep_rank
+       |FROM ranked WHERE keep_rank <= $DomainCap ORDER BY doc_id""".stripMargin
+
   /** d8: n-gram Jaccard scoring for given candidate pairs (consecutive
     * doc ids as the deterministic pair generator). Relational form —
     * intersection via shingle-equality join, no array columns. */
@@ -692,6 +737,7 @@ object TextOps {
     "d29_dedup_summary" -> (d29DedupSummary _),
     "d15_corpus_filter" -> (d15CorpusFilter _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
+    "d30_domain_cap" -> (d30DomainCap _),
     "d3_quality_score" -> (d3QualityScore _),
     "d4_fingerprint" -> (d4Fingerprint _),
     "d5_dedup_exact" -> (d5DedupExact _),
@@ -711,6 +757,7 @@ object TextOps {
     "d29_dedup_summary" -> d29Sql,
     "d15_corpus_filter" -> d15Sql,
     "d16_stratified_sample" -> d16Sql,
+    "d30_domain_cap" -> d30Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
     "d5_dedup_exact" -> d5Sql,

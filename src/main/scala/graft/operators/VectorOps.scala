@@ -225,7 +225,7 @@ object VectorOps {
   val QuantScale = 1048576.0 // 2^20
 
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[(Int, Seq[Float])]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Seq[(Int, Seq[Float])]]()
 
   private val subplanCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
@@ -296,10 +296,25 @@ object VectorOps {
     * shuffle); the update is a (cid, pos) aggregation of quantized
     * component sums — only C×dim aggregated rows ever reach the
     * driver, the corpus itself never moves. Empty clusters are dropped
-    * (k shrinks) — identical semantics in the SQL replay. */
+    * (k shrinks) — identical semantics in the SQL replay.
+    *
+    * `sampleRate < 1.0` is the 100 TB refinement path: each Lloyd
+    * round's assignment+update aggregation runs over a DETERMINISTIC
+    * per-round hash sample of the corpus (the d16 salted-bucket idiom —
+    * xxhash64(vec_id, round) permille bucket, row-local, no RNG state,
+    * identical rows on any cluster/rerun) instead of a full pass.
+    * Centroid estimates are means — a uniform sample's mean converges
+    * at 1/√n, so a few-permille sample of 10¹⁰ vectors loses nothing
+    * while cutting each round's scan 100-1000×. Seeds and the FINAL
+    * assignment still see the full corpus; only refinement subsamples.
+    * The default stays 1.0 — the d12 oracle replays full-pass Lloyd
+    * bit-for-bit; sampled refinement is recall-equivalent, not
+    * bit-identical. */
   def centroidVectors(spark: SparkSession, dir: String,
-                      iters: Int = LloydIters): Seq[(Int, Seq[Float])] =
-    centroidCache.computeIfAbsent((spark, dir, iters), { _ =>
+                      iters: Int = LloydIters,
+                      sampleRate: Double = 1.0): Seq[(Int, Seq[Float])] =
+    centroidCache.computeIfAbsent((spark, dir, s"$iters@$sampleRate"), { _ =>
+      require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate $sampleRate outside (0, 1]")
       val emb = Tables.embeddings(spark, dir)
       // seed hash operates on vec_id mod 2^31: keeps the Knuth product
       // < 2^62.4, inside BIGINT range in EVERY engine — Spark would wrap
@@ -315,8 +330,16 @@ object VectorOps {
         .zipWithIndex
         .map { case (r, i) => i -> r.getSeq[Float](0) }
         .toSeq
-      (1 to iters).foldLeft(seeds) { (cents, _) =>
-        emb
+      (1 to iters).foldLeft(seeds) { (cents, round) =>
+        // per-round salt: successive rounds refine against different
+        // (still deterministic) subsamples, so no single sample's bias
+        // compounds across rounds
+        val pass =
+          if (sampleRate >= 1.0) emb
+          else emb.filter(
+            pmod(xxhash64(col("vec_id"), lit(round)), lit(1000000L)) <
+              lit(math.round(sampleRate * 1000000L)))
+        val upd = pass
           .select(nearestCid(cents, col("embedding")).as("cid"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cid"), col("pos"))
@@ -331,6 +354,9 @@ object VectorOps {
             cid -> comps.toSeq
           }
           .sortBy(_._1)
+        // a pathologically tiny sample can see zero rows: keep refining
+        // from the previous round instead of collapsing to no centroids
+        if (upd.isEmpty) cents else upd
       }
     })
 

@@ -291,6 +291,34 @@ class OperatorSpec extends GraftSpec {
     assert(rN > r0, s"refined recall=$rN not above seed recall=$r0")
   }
 
+  test("d12: hash-sampled Lloyd refinement keeps full-pass recall") {
+    // the 100 TB refinement path: each round aggregates a deterministic
+    // per-round hash sample instead of the full corpus; centroids are
+    // means, so recall must hold at a fraction of the scan cost
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorOps.d9CosineTopk(spark, sfDir))
+    val seeded = pairs(VectorOps.ivfWithCentroids(spark, sfDir,
+      VectorOps.centroidVectors(spark, sfDir, iters = 0)))
+    val full = pairs(VectorOps.d12AnnIvf(spark, sfDir))
+    val sampled = pairs(VectorOps.ivfWithCentroids(spark, sfDir,
+      VectorOps.centroidVectors(spark, sfDir, sampleRate = 0.5)))
+    val r0 = (brute & seeded).size.toDouble / brute.size
+    val rF = (brute & full).size.toDouble / brute.size
+    val rS = (brute & sampled).size.toDouble / brute.size
+    // at 500 test vectors a half-corpus sample can't be expected to BEAT
+    // seeds the way a full pass does — the contract is no collapse:
+    // within 10% of full-pass refinement and never below the raw seeds
+    assert(rS >= r0, s"sampled recall=$rS regressed below seed recall=$r0")
+    assert(rS >= rF * 0.9, s"sampled recall=$rS fell >10% below full-pass=$rF")
+    // determinism: the hash sample is row-local state-free — same rows,
+    // same centroids, bit-for-bit, on any rerun
+    VectorOps.release(spark, sfDir)
+    val again = pairs(VectorOps.ivfWithCentroids(spark, sfDir,
+      VectorOps.centroidVectors(spark, sfDir, sampleRate = 0.5)))
+    assert(again == sampled, "sampled refinement is not deterministic across reruns")
+  }
+
   test("d13 finds planted exact and near duplicates above tau") {
     val base = Tables.embeddings(spark, sfDir).limit(50)
       .select(col("vec_id"), col("embedding"))
