@@ -471,6 +471,73 @@ object TextOps {
        |SELECT doc_id, source, domain, keep_rank
        |FROM ranked WHERE keep_rank <= $DomainCap ORDER BY doc_id""".stripMargin
 
+  /** d31: per-source distribution drift — L1 distance between each
+    * source's token distribution and the whole-corpus distribution; the
+    * drift dashboard behind mixture decisions (d21 assumes sources stay
+    * what they were — this measures when one moves). EXACT integer
+    * arithmetic until ONE final division: with per-source total N_s,
+    * corpus total N, per-(source,token) count c_st and corpus count
+    * c_t,  L1(s) = Σ_t |c_st/N_s − c_t/N|  over the token UNION.
+    * Tokens absent from s contribute c_t/N; summing only PRESENT tokens
+    * with the integer numerator |c_st·N − c_t·N_s| and adding the
+    * absent mass (N·N_s − Σ_present c_t·N_s) keeps every partial exact
+    * — bit-stable at any parallelism and in any engine. Products run in
+    * DECIMAL(38,0): long·long overflows past ~10⁹·10⁹, which a
+    * 100 TB corpus exceeds.
+    *
+    * Shape: one corpus scan → (source, token) reduce (the only
+    * token-stream exchange) → corpus counts derived FROM that reduce
+    * (no rescan) → token-keyed equi-join (corpus-sized dictionary:
+    * shuffle, never broadcast-assumed) → one source aggregate. */
+  def d31SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val nRow = ns.agg(sum(col("n_s")).as("n_tot"))
+    st.join(t, "tok")
+      .join(ns, "source")
+      .crossJoin(broadcast(nRow))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_s")).as("n_tokens"),
+        first(col("n_tot")).as("n_corpus"),
+        sum(abs(d38(col("c_st")) * d38(col("n_tot")) - d38(col("c_t")) * d38(col("n_s"))))
+          .as("present_num"),
+        sum(d38(col("c_t")) * d38(col("n_s"))).as("present_mass"))
+      .select(col("source"), col("n_tokens"),
+        ((col("present_num") +
+          (d38(col("n_tokens")) * d38(col("n_corpus")) - col("present_mass")))
+          .cast("double") /
+          (col("n_tokens").cast("double") * col("n_corpus").cast("double")))
+          .as("l1_divergence"))
+      .orderBy(col("source"))
+  }
+
+  val d31Sql: String =
+    """WITH st AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |cst AS (SELECT source, tok, count(*) AS c_st FROM st GROUP BY 1, 2),
+      |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+      |n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
+      |agg AS (
+      |  SELECT cst.source, max(n_s) AS n_tokens, max(n_tot) AS n_corpus,
+      |    sum(abs(CAST(c_st AS DECIMAL(38,0)) * CAST(n_tot AS DECIMAL(38,0))
+      |      - CAST(c_t AS DECIMAL(38,0)) * CAST(n_s AS DECIMAL(38,0)))) AS present_num,
+      |    sum(CAST(c_t AS DECIMAL(38,0)) * CAST(n_s AS DECIMAL(38,0))) AS present_mass
+      |  FROM cst JOIN ct USING (tok) JOIN ns ON cst.source = ns.source CROSS JOIN n
+      |  GROUP BY 1)
+      |SELECT source, n_tokens,
+      |  CAST(present_num + (CAST(n_tokens AS DECIMAL(38,0)) * CAST(n_corpus AS DECIMAL(38,0))
+      |    - present_mass) AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * CAST(n_corpus AS DOUBLE)) AS l1_divergence
+      |FROM agg ORDER BY source""".stripMargin
+
   /** d8: n-gram Jaccard scoring for given candidate pairs (consecutive
     * doc ids as the deterministic pair generator). Relational form —
     * intersection via shingle-equality join, no array columns. */
@@ -738,6 +805,7 @@ object TextOps {
     "d15_corpus_filter" -> (d15CorpusFilter _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
     "d30_domain_cap" -> (d30DomainCap _),
+    "d31_source_divergence" -> (d31SourceDivergence _),
     "d3_quality_score" -> (d3QualityScore _),
     "d4_fingerprint" -> (d4Fingerprint _),
     "d5_dedup_exact" -> (d5DedupExact _),
@@ -758,6 +826,7 @@ object TextOps {
     "d15_corpus_filter" -> d15Sql,
     "d16_stratified_sample" -> d16Sql,
     "d30_domain_cap" -> d30Sql,
+    "d31_source_divergence" -> d31Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
     "d5_dedup_exact" -> d5Sql,
