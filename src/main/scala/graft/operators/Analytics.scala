@@ -420,22 +420,22 @@ object Analytics {
 
   /** TPC-H Q11-style global-threshold selection: parts whose total
     * ordered quantity exceeds a fixed share of the corpus-wide total.
-    * The global total is a 1-row aggregate broadcast against the
-    * per-part aggregates (Catalyst plans the scalar side as a broadcast
-    * nested loop over one row — no corpus re-shuffle). The share
-    * comparison stays in DECIMAL (qty·2000 > total ⇔ qty > total/2000)
-    * so the boundary is exact and portable — no double rounding at the
-    * threshold. */
-  def q11GlobalThreshold(spark: SparkSession, dir: String): DataFrame = {
-    val perPart = Tables.lineitem(spark, dir)
+    * The global total comes from an unpartitioned window over the
+    * ALREADY-AGGREGATED per-part frame — one row per part through that
+    * single merge partition, never corpus rows — so lineitem is scanned
+    * ONCE (the broadcast-scalar form re-derived the per-part aggregate:
+    * a second full fact scan, 5.3 s of the query's r6 cold time). The
+    * share comparison stays in DECIMAL (qty·2000 > total ⇔
+    * qty > total/2000) so the boundary is exact and portable — no
+    * double rounding at the threshold. */
+  def q11GlobalThreshold(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
-    val total = perPart.agg(sum(col("qty_dec")).as("total_dec"))
-    perPart.join(broadcast(total))
+      .withColumn("total_dec", sum(col("qty_dec")).over(Window.partitionBy()))
       .filter(col("qty_dec") * 2000 > col("total_dec"))
       .select(col("l_partkey"), col("qty_dec").cast("double").as("sum_qty"))
       .orderBy(col("l_partkey"))
-  }
 
   val q11Sql: String =
     """WITH per_part AS (

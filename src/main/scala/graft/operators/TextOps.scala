@@ -485,21 +485,28 @@ object TextOps {
     * DECIMAL(38,0): long·long overflows past ~10⁹·10⁹, which a
     * 100 TB corpus exceeds.
     *
-    * Shape: one corpus scan → (source, token) reduce (the only
-    * token-stream exchange) → corpus counts derived FROM that reduce
-    * (no rescan) → token-keyed equi-join (corpus-sized dictionary:
-    * shuffle, never broadcast-assumed) → one source aggregate. */
+    * Shape: the HEAVY pipeline (explode → (source, token) reduce) runs
+    * ONCE, with c_t and N_s as windows chained on the same frame —
+    * Catalyst does not common-subexpression self-joins, so the
+    * aggregate-and-join-back form re-ran the explode+reduce per
+    * reference (4 corpus scans in the audited plan). The token window
+    * and source window are keyed exchanges of the REDUCED dictionary
+    * frame, and the final source aggregate reuses the source window's
+    * partitioning. N comes from a second, CHEAP scan (row-local token
+    * count, one column, no explode) broadcast as one row — the only
+    * N-dependent term sits inside the |·|, so N cannot be factored out
+    * and joined in later. */
   def d31SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     def d38(c: Column): Column = c.cast(DecimalType(38, 0))
-    val st = Tables.documents(spark, dir)
+    val nRow = Tables.documents(spark, dir)
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tot"))
+    Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
-    val t = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
-    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
-    val nRow = ns.agg(sum(col("n_s")).as("n_tot"))
-    st.join(t, "tok")
-      .join(ns, "source")
+      .withColumn("c_t", sum(col("c_st")).over(Window.partitionBy(col("tok"))))
+      .withColumn("n_s", sum(col("c_st")).over(Window.partitionBy(col("source"))))
       .crossJoin(broadcast(nRow))
       .groupBy(col("source"))
       .agg(
