@@ -264,19 +264,22 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Scalar subquery / argmax: supplier(s) with max quarterly revenue. */
-  def q15Maxsub(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
+  def q15Maxsub(spark: SparkSession, dir: String): DataFrame =
+    // global max via unpartitioned window over the per-supplier
+    // aggregate (one row per supplier through the merge partition) —
+    // ONE lineitem scan; the broadcast-scalar form re-derived the
+    // aggregate for the max side. Survivors are near-singleton, so the
+    // supplier join's other side stays trivially small.
+    Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"), 4)))
         .cast("double").as("total_revenue"))
-    val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
-    val s = Tables.supplier(spark, dir)
-    s.join(rev, col("s_suppkey") === col("l_suppkey"))
-      .join(broadcast(maxRev), col("total_revenue") === col("mr"))
+      .withColumn("mr", max(col("total_revenue")).over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("mr"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
-  }
 
   val q15Sql: String =
     """WITH revenue AS (
@@ -472,10 +475,14 @@ object Analytics {
     * never a per-row re-scan. Threshold math stays in DECIMAL: qty·5 <
     * sum/count avoids the division (and its double rounding) entirely. */
   def q24CorrAvg(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val perPart = l.groupBy(col("l_partkey").as("p_key"))
-      .agg(sum(dec2(col("l_quantity"))).as("qty_sum"), count(lit(1)).as("qty_cnt"))
-    l.join(perPart, col("l_partkey") === col("p_key"))
+    // per-part stats as a partitioned window, not agg + self-join: the
+    // join form scans lineitem twice and STILL shuffles it on the part
+    // key for the probe side — the window needs that one exchange and
+    // nothing else. Division-free DECIMAL threshold as before.
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .withColumn("qty_sum", sum(dec2(col("l_quantity"))).over(w))
+      .withColumn("qty_cnt", count(lit(1)).over(w))
       .filter(dec2(col("l_quantity")) * 5 * col("qty_cnt") < col("qty_sum"))
       .agg(
         sumMoney(col("l_extendedprice")).as("small_order_revenue"),
