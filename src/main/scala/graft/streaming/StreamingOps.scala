@@ -144,9 +144,10 @@ object StreamingOps {
     * (which sees all events at once) counts it; this happens even when
     * the view is NOT watermark-late. Sources that preserve per-key
     * order (e.g. a log partitioned by user) satisfy the contract;
-    * otherwise buffer events per user until the watermark passes them
-    * before applying stage logic (costs one watermark delay of
-    * latency + state). */
+    * otherwise use [[funnelStagesBuffered]], which buffers events per
+    * user until the watermark passes them before applying stage logic
+    * (exact batch equivalence for any non-late arrival order, at one
+    * watermark delay of latency + bounded in-flight state). */
   def funnelStages(spark: SparkSession, events: Dataset[EventRow],
                    watermarkDelay: String = "10 seconds",
                    horizonMs: Long = 24L * 3600 * 1000): Dataset[StageReach] = {
@@ -181,6 +182,69 @@ object StreamingOps {
               (if (lastTs == Long.MinValue) floor else lastTs) + horizonMs, floor))
             out.result().iterator
           }
+      }
+  }
+
+  case class FunnelEv(ts: Long, id: Long, typ: String)
+  case class FunnelBufState(viewTs: Long, clickTs: Long, purchaseTs: Long,
+                            pending: Seq[FunnelEv])
+
+  /** Watermark-buffered ordered funnel: the EXACT-equivalence variant of
+    * [[funnelStages]]. Plain funnelStages decides stages per batch and
+    * never revisits, so ANY cross-batch reordering diverges from the
+    * batch funnel (a view with an earlier ts arriving one batch after
+    * its user's click was rejected loses that click permanently). Here
+    * events BUFFER in state until the watermark passes them; only then
+    * does the stage machine consume them, in (ts, event_id) order — so
+    * the output equals the batch funnel for every input with no
+    * watermark-late events, under any arrival order. The price: one
+    * watermark delay of emission latency and O(events-in-flight) state
+    * per user (bounded by rate × delay).
+    *
+    * Timeout discipline: while events are pending the state re-arms at
+    * watermark+1 (process the newly-ready prefix each time the
+    * watermark advances); with an empty buffer it falls back to the
+    * idle horizon like funnelStages, so state stays bounded. */
+  def funnelStagesBuffered(spark: SparkSession, events: Dataset[EventRow],
+                           watermarkDelay: String = "10 seconds",
+                           horizonMs: Long = 24L * 3600 * 1000): Dataset[StageReach] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(FunnelBufState(-1L, -1L, -1L, Nil))
+          val all = (s.pending ++ rows.map(e => FunnelEv(e.ts.getTime, e.event_id, e.event_type)))
+            .sortBy(e => (e.ts, e.id))
+          val (ready, pending) = all.partition(_.ts <= wm)
+          val out = Seq.newBuilder[StageReach]
+          ready.foreach { e =>
+            e.typ match {
+              case "view" if s.viewTs < 0 =>
+                s = s.copy(viewTs = e.ts)
+                out += StageReach(userId, "view", new java.sql.Timestamp(e.ts))
+              case "click" if s.clickTs < 0 && s.viewTs >= 0 =>
+                s = s.copy(clickTs = e.ts)
+                out += StageReach(userId, "click", new java.sql.Timestamp(e.ts))
+              case "purchase" if s.purchaseTs < 0 && s.clickTs >= 0 =>
+                s = s.copy(purchaseTs = e.ts)
+                out += StageReach(userId, "purchase", new java.sql.Timestamp(e.ts))
+              case _ => ()
+            }
+          }
+          s = s.copy(pending = pending)
+          if (state.hasTimedOut && pending.isEmpty) {
+            state.remove()
+          } else {
+            state.update(s)
+            val lastSeen = (Seq(s.viewTs, s.clickTs, s.purchaseTs) ++ pending.map(_.ts)).max
+            val floor = wm + 1
+            state.setTimeoutTimestamp(
+              if (pending.nonEmpty) floor
+              else math.max(lastSeen + horizonMs, floor))
+          }
+          out.result().iterator
       }
   }
 

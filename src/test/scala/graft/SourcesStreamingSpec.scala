@@ -224,6 +224,46 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("buffered funnel ≡ batch under cross-batch reordering where plain funnel diverges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, offsetSec: Long, uid: Long, typ: String) =
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+          + offsetSec * 1000), uid, typ, 1.0)
+    // the ADVICE r5 scenario: user 1's click arrives in batch 1, its
+    // EARLIER view in batch 2 — within the watermark delay, merely
+    // reordered across batches. Batch semantics: view then click.
+    val batch1 = Seq(ev(2, 10, 1, "click"))
+    val batch2 = Seq(ev(1, 5, 1, "view"))
+    val flush = Seq(ev(99, 3600, 42, "view")) // advances watermark past user 1
+    def run(name: String,
+            f: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.Dataset[StreamingOps.EventRow]) =>
+              org.apache.spark.sql.Dataset[StreamingOps.StageReach]): Set[String] = {
+      val mem = MemoryStream[StreamingOps.EventRow]
+      val q = f(spark, mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+        mem.addData(flush: _*); q.processAllAvailable()
+        spark.sql(s"select stage from $name where user_id = 1")
+          .collect().map(_.getString(0)).toSet
+      } finally q.stop()
+    }
+    val plain = run("funnel_plain",
+      (s, ds) => StreamingOps.funnelStages(s, ds, watermarkDelay = "60 seconds"))
+    val buffered = run("funnel_buffered",
+      (s, ds) => StreamingOps.funnelStagesBuffered(s, ds, watermarkDelay = "60 seconds"))
+    // batch ground truth on the same events
+    val b = graft.operators.Events.funnelOf((batch1 ++ batch2).toDS().toDF()).head()
+    assert(b.getLong(0) == 1 && b.getLong(1) == 1, s"batch ground truth: $b")
+    assert(buffered == Set("view", "click"),
+      s"buffered funnel must match batch under reordering, got $buffered")
+    // the plain variant's documented contract gap: the click is lost
+    assert(plain == Set("view"), s"expected plain funnel to drop the click, got $plain")
+  }
+
   test("streaming trending top-k ≡ batch sliding-window ranking") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
