@@ -517,6 +517,58 @@ object Etl {
       |  ON o_custkey = u_custkey AND o_orderpriority = u_priority
       |ORDER BY id""".stripMargin
 
+  /** a15: staging↔control reconciliation — the audit a copy+delete
+    * promotion pipeline needs: the reference moves objects with a
+    * NON-ATOMIC copy-then-delete (process-staging.py:47-55), so a crash
+    * between the two leaves either an orphan object in staging (copied,
+    * control never updated) or a control row whose object is gone
+    * (deleted early / upload lost). Full-outer join the control rows
+    * (expected collections) against the staged-object listing on the
+    * work-item key and classify each row ok / missing_object /
+    * orphan_object — one key-partitioned join at any scale. Both sides
+    * are deterministic subsets of events (control expects
+    * user_id % 13 ≠ 0; staging holds event_id % 11 ≠ 0), so all three
+    * statuses occur in the test data. */
+  def a15ManifestReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val control = Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(13)) =!= 0)
+      .select(col("event_id").as("ctl_id"))
+    val staged = stagingKeys(spark, dir)
+      .filter(pmod(col("event_id"), lit(11)) =!= 0)
+      .select(col("event_id").as("obj_id"), col("object_key"))
+    control.join(staged, col("ctl_id") === col("obj_id"), "full_outer")
+      .select(
+        coalesce(col("ctl_id"), col("obj_id")).as("event_id"),
+        col("object_key"),
+        when(col("obj_id").isNull, lit("missing_object"))
+          .when(col("ctl_id").isNull, lit("orphan_object"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy(col("event_id"))
+  }
+
+  val a15Sql: String =
+    """WITH staged_keys AS (
+      |  SELECT event_id,
+      |    CASE WHEN user_id % 7 = 0
+      |      THEN concat('manual/metrics_', CAST(event_id AS VARCHAR), '.csv')
+      |    WHEN user_id % 7 = 1
+      |      THEN concat(event_type, '_metrics_t', CAST(user_id % 5 AS VARCHAR), '_c',
+      |        CAST(user_id % 3 AS VARCHAR), '_', CAST(event_id AS VARCHAR), '.txt')
+      |      ELSE concat(event_type, '/public/t', CAST(user_id % 5 AS VARCHAR), '/',
+      |        CASE WHEN event_id % 3 = 0 THEN 'initial' ELSE 'cdc' END, '/',
+      |        CAST(event_id AS VARCHAR), '.parquet') END AS object_key
+      |  FROM events),
+      |control AS (
+      |  SELECT event_id AS ctl_id FROM events WHERE user_id % 13 <> 0),
+      |staged AS (
+      |  SELECT event_id AS obj_id, object_key FROM staged_keys WHERE event_id % 11 <> 0)
+      |SELECT coalesce(ctl_id, obj_id) AS event_id, object_key,
+      |  CASE WHEN obj_id IS NULL THEN 'missing_object'
+      |       WHEN ctl_id IS NULL THEN 'orphan_object'
+      |       ELSE 'ok' END AS status
+      |FROM control FULL OUTER JOIN staged ON ctl_id = obj_id
+      |ORDER BY event_id""".stripMargin
+
   /** Staged page payloads: deterministic stand-in for the scraper's
     * fetched HTML (collect-data.py:66-78 stores driver.page_source per
     * work item). One synthetic page per event: elements with stable ids
@@ -585,6 +637,7 @@ object Etl {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_html_extract" -> (a14HtmlExtract _),
+    "a15_manifest_reconcile" -> (a15ManifestReconcile _),
     "a13_config_writeback" -> (a13ConfigWriteback _),
     "a12_profile" -> (a12Profile _),
     "a11_due_sources" -> (a11DueSources _),
@@ -601,6 +654,7 @@ object Etl {
 
   val oracles: Map[String, String] = Map(
     "a14_html_extract" -> a14Sql,
+    "a15_manifest_reconcile" -> a15Sql,
     "a13_config_writeback" -> a13Sql,
     "a12_profile" -> a12Sql,
     "a11_due_sources" -> a11Sql,

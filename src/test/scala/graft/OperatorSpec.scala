@@ -45,6 +45,23 @@ class OperatorSpec extends GraftSpec {
     assert(unexpected.isEmpty, s"unexpected nested-loop joins in: $unexpected")
   }
 
+  test("r6 plan shapes: single fact scans and map-side group limits hold") {
+    // regression guard for the r6 scan-count sweep: the global-scalar /
+    // agg-self-join forms quietly re-scan the fact table when edited
+    def scanCount(df: org.apache.spark.sql.DataFrame, table: String): Int = {
+      val s = df.queryExecution.executedPlan.toString
+      s.split(java.util.regex.Pattern.quote(s"$table.parquet"), -1).length - 1
+    }
+    assert(scanCount(Analytics.q11GlobalThreshold(spark, sfDir), "lineitem") == 1)
+    assert(scanCount(Analytics.q15Maxsub(spark, sfDir), "lineitem") == 1)
+    assert(scanCount(Analytics.q24CorrAvg(spark, sfDir), "lineitem") == 1)
+    assert(scanCount(Analytics.q33TopSupplier(spark, sfDir), "lineitem") == 1)
+    assert(scanCount(TextOps.d31SourceDivergence(spark, sfDir), "documents") == 2,
+      "d31 must stay at heavy-pipeline-once + cheap count scan")
+    val d30plan = TextOps.d30DomainCap(spark, sfDir).queryExecution.executedPlan.toString
+    assert(d30plan.contains("WindowGroupLimit"), d30plan.take(1500))
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = Analytics.q1Agg(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan.take(2000))
