@@ -185,6 +185,61 @@ object StreamingOps {
       }
   }
 
+  /** Latest record per key under (orderCols DESC) — the a7 compaction
+    * rule as a reusable transform. */
+  private def latestPerKey(df: DataFrame, keyCols: Seq[String],
+                           orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming CDC compaction into a keyed snapshot — the streaming
+    * twin of Etl.a7CdcCompact (latest record per key wins). "Latest per
+    * UNBOUNDED key" is inexpressible in append mode (keys never close)
+    * and complete mode re-emits the world, so production engines
+    * express it as an incremental UPSERT sink; this is that shape via
+    * foreachBatch: each micro-batch is compacted WITHIN the batch,
+    * merged latest-wins against the current snapshot, and the snapshot
+    * is swapped via write-to-tmp + rename. Batches execute serially
+    * under the checkpoint; a replayed batch re-merges idempotently
+    * (latest-wins over the same inputs is a fixed point), so the
+    * snapshot is exactly-once per committed batch.
+    *
+    * The tmp+rename swap is atomic on a real filesystem (local/HDFS) —
+    * demo-grade durability with one non-atomic window (between the two
+    * renames). On object stores, or for concurrent readers, swap the
+    * rename for a table format with atomic commit (Delta/Iceberg) —
+    * the merge logic is the seam and stays identical. At 100 TB the
+    * merge is one key-partitioned shuffle per batch of
+    * |snapshot| + |batch| rows; partition the snapshot on the key so
+    * AQE can skip untouched partitions. */
+  def compactStream(events: DataFrame, snapshotDir: String, checkpointDir: String,
+                    keyCols: Seq[String], orderCols: Seq[String]) =
+    events.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val newest = latestPerKey(batch, keyCols, orderCols)
+        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(snap))
+            latestPerKey(spark.read.parquet(snapshotDir).unionByName(newest),
+              keyCols, orderCols)
+          else newest
+        val tmp = new org.apache.hadoop.fs.Path(s"$snapshotDir.tmp-$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(s"$snapshotDir.old-$batchId")
+        if (fs.exists(snap)) fs.rename(snap, old)
+        fs.rename(tmp, snap)
+        fs.delete(old, true)
+        ()
+      }
+
   case class FunnelEv(ts: Long, id: Long, typ: String)
   case class FunnelBufState(viewTs: Long, clickTs: Long, purchaseTs: Long,
                             pending: Seq[FunnelEv])

@@ -224,6 +224,32 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("compactStream maintains the a7 latest-per-key snapshot incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft_cdc").toString + "/snap"
+    val ckptDir = Files.createTempDirectory("graft_cdc_ckpt").toString
+    def ts(sec: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.compactStream(df, snapDir, ckptDir,
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id")).start()
+    try {
+      mem.addData((1L, ts(10), 1L, "a", 1.0), (2L, ts(20), 2L, "b", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(snapDir).count() == 2)
+      // newer row replaces u1; OLDER row for u2 must lose; u3 is new
+      mem.addData((3L, ts(30), 1L, "c", 3.0), (4L, ts(5), 2L, "d", 4.0),
+        (5L, ts(1), 3L, "e", 5.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snapDir)
+        .select("user_id", "event_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 5L), s"snapshot: $got")
+    } finally q.stop()
+  }
+
   test("buffered funnel ≡ batch under cross-batch reordering where plain funnel diverges") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
