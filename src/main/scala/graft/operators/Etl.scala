@@ -569,6 +569,42 @@ object Etl {
       |FROM control FULL OUTER JOIN staged ON ctl_id = obj_id
       |ORDER BY event_id""".stripMargin
 
+  /** a16: packed work-item explosion — the reference's control rows
+    * pack a MULTI-VALUE column (greatschools_control.csv `zips`: one
+    * space-separated string of every zip in the city) that the api
+    * collector consumes one value at a time (api_config.csv parameters
+    * `state,zip`): deriving per-zip work items is split → explode →
+    * per-unit request URL, the relational form of that fan-out. Pure
+    * map-side (explode multiplies rows inside the stage, no shuffle);
+    * the zip stand-ins derive deterministically from user_id with
+    * disjoint ranges so in-row values never collide. */
+  def a16WorkitemExplode(spark: SparkSession, dir: String): DataFrame = {
+    val packed = concat_ws(" ",
+      (pmod(col("user_id"), lit(89)) + 10000).cast("string"),
+      (pmod(col("user_id"), lit(97)) + 20000).cast("string"),
+      (pmod(col("user_id"), lit(83)) + 30000).cast("string"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type").as("source"), packed.as("zips"))
+      .select(col("event_id"), col("source"), explode(split(col("zips"), " ")).as("zip"))
+      .select(col("event_id"), col("source"), col("zip"),
+        concat(lit("https://data.example.org/"), col("source"),
+          lit("/schools?zip="), col("zip")).as("work_url"))
+      .orderBy(col("event_id"), col("zip"))
+  }
+
+  val a16Sql: String =
+    """WITH packed AS (
+      |  SELECT event_id, event_type AS source,
+      |    concat(CAST(user_id % 89 + 10000 AS VARCHAR), ' ',
+      |      CAST(user_id % 97 + 20000 AS VARCHAR), ' ',
+      |      CAST(user_id % 83 + 30000 AS VARCHAR)) AS zips
+      |  FROM events),
+      |units AS (
+      |  SELECT event_id, source, unnest(string_split(zips, ' ')) AS zip FROM packed)
+      |SELECT event_id, source, zip,
+      |  concat('https://data.example.org/', source, '/schools?zip=', zip) AS work_url
+      |FROM units ORDER BY event_id, zip""".stripMargin
+
   /** Staged page payloads: deterministic stand-in for the scraper's
     * fetched HTML (collect-data.py:66-78 stores driver.page_source per
     * work item). One synthetic page per event: elements with stable ids
@@ -638,6 +674,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_html_extract" -> (a14HtmlExtract _),
     "a15_manifest_reconcile" -> (a15ManifestReconcile _),
+    "a16_workitem_explode" -> (a16WorkitemExplode _),
     "a13_config_writeback" -> (a13ConfigWriteback _),
     "a12_profile" -> (a12Profile _),
     "a11_due_sources" -> (a11DueSources _),
@@ -655,6 +692,7 @@ object Etl {
   val oracles: Map[String, String] = Map(
     "a14_html_extract" -> a14Sql,
     "a15_manifest_reconcile" -> a15Sql,
+    "a16_workitem_explode" -> a16Sql,
     "a13_config_writeback" -> a13Sql,
     "a12_profile" -> a12Sql,
     "a11_due_sources" -> a11Sql,
