@@ -413,15 +413,68 @@ object CorpusOps {
        |  CAST(n_rare_occ AS DOUBLE) / n_occ AS rare_ratio
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** d32: deduplicated-corpus materialization — the final "keep one doc
+    * per group" rewrite every training-data pipeline ends with. A doc
+    * survives iff it is BOTH the canonical copy under d5's exact rule
+    * (min doc_id per normalized-text hash) AND the canonical member of
+    * its d25 near-dup cluster (cluster_id == doc_id; docs in no cluster
+    * pass). Composes the shared caches the way d29 learned to: the
+    * cluster labels come from the memoized CC build over the cached
+    * verified pairs, so this prices as one corpus scan + one ids-only
+    * join — never a recompute of the dedup pipeline. */
+  def d32DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val wDup = Window.partitionBy(md5(trim(lower(col("text")))))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("doc_id") === min(col("doc_id")).over(wDup)).as("exact_canonical"))
+    val labels = sharedClusters(spark, dir)
+      .select(col("node").as("doc_id"), col("lab"))
+    base.join(labels, Seq("doc_id"), "left_outer")
+      .filter(col("exact_canonical") && (col("lab").isNull || col("lab") === col("doc_id")))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d32Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |cc AS (
+      |  SELECT DISTINCT src AS node, src AS lab FROM edges
+      |  UNION
+      |  SELECT e.dst AS node, cc.lab FROM cc JOIN edges e ON e.src = cc.node),
+      |labs AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY node),
+      |canon AS (
+      |  SELECT doc_id, source, n_chars,
+      |    doc_id = min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS exact_canonical
+      |  FROM documents)
+      |SELECT c.doc_id, c.source, c.n_chars
+      |FROM canon c LEFT JOIN labs l ON c.doc_id = l.doc_id
+      |WHERE exact_canonical AND (l.cluster_id IS NULL OR l.cluster_id = c.doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_chunk_dedup" -> (d23ChunkDedup _),
     "d24_sequence_pack" -> (d24SequencePack _),
     "d25_dedup_clusters" -> (d25DedupClusters _),
-    "d26_rare_tokens" -> (d26RareTokens _))
+    "d26_rare_tokens" -> (d26RareTokens _),
+    "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
     "d23_chunk_dedup" -> d23Sql,
     "d24_sequence_pack" -> d24Sql,
     "d25_dedup_clusters" -> d25Sql,
-    "d26_rare_tokens" -> d26Sql)
+    "d26_rare_tokens" -> d26Sql,
+    "d32_dedup_corpus" -> d32Sql)
 }
