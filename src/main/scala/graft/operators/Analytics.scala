@@ -940,7 +940,97 @@ object Analytics {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** q37: suppliers who alone held up multi-supplier orders (TPC-H Q21
+    * pattern, lateness re-expressed on this schema: a supplier is late
+    * on an order when its last shipment left more than 90 days after
+    * the order date — the schema has no commit/receipt dates). The
+    * textbook form needs TWO correlated lineitem subqueries (EXISTS
+    * another supplier / NOT EXISTS another LATE supplier); here both
+    * decorrelate into counts over an order-keyed window on the ALREADY
+    * REDUCED (order, supplier) frame — lineitem is scanned ONCE,
+    * reduced map-side before anything shuffles, and the window reuses
+    * the orders-join partitioning on the order key. The oracle keeps
+    * the textbook EXISTS/NOT-EXISTS form, proving the one-scan plan
+    * computes the classic semantics. */
+  def q37BlameSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perOrderSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    perOrderSupp.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("last_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late", sum(when(col("late"), 1L).otherwise(0L)).over(wOrd))
+      .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q37Sql: String =
+    """WITH os AS (
+      |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+      |  FROM lineitem GROUP BY 1, 2),
+      |flag AS (
+      |  SELECT os.*, (last_ship > o_orderdate + INTERVAL 90 DAY) AS late
+      |  FROM os JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, count(*) AS numwait
+      |FROM flag f JOIN supplier ON f.l_suppkey = s_suppkey
+      |WHERE f.late
+      |  AND EXISTS (SELECT 1 FROM flag f2
+      |    WHERE f2.l_orderkey = f.l_orderkey AND f2.l_suppkey <> f.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM flag f3
+      |    WHERE f3.l_orderkey = f.l_orderkey AND f3.l_suppkey <> f.l_suppkey AND f3.late)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  /** q38: supplier concentration per part (TPC-H Q20 flavor, minus
+    * partsupp): (part, supplier) pairs where one supplier shipped more
+    * than 20% of the part's total quantity — the supply-risk signal a
+    * sourcing pipeline flags. Lineitem reduces map-side to one row per
+    * (part, supplier) before the shuffle; the part total is a window
+    * over that reduced frame (only reduced rows re-exchange, never the
+    * corpus); the threshold compares qty*5 > total in exact DECIMAL
+    * (division-free — the one double division produces the reported
+    * share only). Dims broadcast after the tiny survivor filter. */
+  def q38PartShare(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+    ps.withColumn("tot_dec", sum(col("qty_dec")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty_dec") * 5 > col("tot_dec"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("qty_dec").cast("double").as("supp_qty"),
+        (col("qty_dec").cast("double") / col("tot_dec").cast("double")).as("share"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  val q38Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, sum(qty_dec) OVER (PARTITION BY l_partkey) AS tot_dec FROM ps)
+      |SELECT p_partkey, p_name, s_name,
+      |  CAST(qty_dec AS DOUBLE) AS supp_qty,
+      |  CAST(qty_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS share
+      |FROM w
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE qty_dec * 5 > tot_dec
+      |ORDER BY p_partkey, s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_blame_supplier" -> (q37BlameSupplier _),
+    "q38_part_share" -> (q38PartShare _),
     "q33_top_supplier" -> (q33TopSupplier _),
     "q34_profit_by_nation" -> (q34ProfitByNation _),
     "q35_market_share" -> (q35MarketShare _),
@@ -978,6 +1068,8 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q37_blame_supplier" -> q37Sql,
+    "q38_part_share" -> q38Sql,
     "q33_top_supplier" -> q33Sql,
     "q34_profit_by_nation" -> q34Sql,
     "q35_market_share" -> q35Sql,

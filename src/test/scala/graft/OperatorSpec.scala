@@ -62,6 +62,49 @@ class OperatorSpec extends GraftSpec {
     assert(d30plan.contains("WindowGroupLimit"), d30plan.take(1500))
   }
 
+  test("q37 window form equals the textbook EXISTS/NOT-EXISTS formulation") {
+    // independent reformulation: classic semi/anti joins instead of the
+    // order-keyed window — different plan, must produce identical rows
+    val perOS = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    val flag = perOS
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("last_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"), col("late"))
+      .cache()
+    val others = flag.select(col("ok").as("ok2"), col("sk").as("sk2"), col("late").as("late2"))
+    val classic = flag.filter(col("late"))
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(others.filter(col("late2")),
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+    val expected = classic
+      .join(Tables.supplier(spark, sfDir), col("sk") === col("s_suppkey"))
+      .select("s_name", "numwait").orderBy(col("numwait").desc, col("s_name")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Analytics.q37BlameSupplier(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    flag.unpersist()
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q38 keeps only >20% shares from a single reduced fact scan") {
+    val out = Analytics.q38PartShare(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("share") <= 0.2).count() == 0)
+    // one (part, supplier) row at most — the reduce happened
+    assert(out.groupBy("p_partkey", "s_name").count()
+      .filter(col("count") > 1).count() == 0)
+    out.unpersist()
+    val plan = Analytics.q38PartShare(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = plan.split(java.util.regex.Pattern.quote("lineitem.parquet"), -1).length - 1
+    assert(scans == 1, s"q38 must reduce lineitem in ONE scan, saw $scans")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = Analytics.q1Agg(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan.take(2000))
