@@ -671,7 +671,84 @@ object Etl {
       |FROM pages JOIN registry USING (source)
       |ORDER BY event_id""".stripMargin
 
+  /** Retry policy from the reference's state machine
+    * (stepfunction/definition.json Retry block: IntervalSeconds=30,
+    * MaxAttempts=10; ErrorEquals names the RETRYABLE error classes —
+    * anything else dead-letters immediately). The reference's
+    * BackoffRate is 1 (constant wait); the engine implements the
+    * general exponential form and a rate of 2 exercises it here: wait
+    * stays integer-exact as interval << (attempt-1) — never a double
+    * pow. */
+  val RetryIntervalSec = 30L
+  val RetryMaxAttempts = 10
+
+  /** a17: retry scheduling — the Step Function's Retry semantics as a
+    * relational operator over the control table. Failed work items
+    * (a9's error rule: any returned line; the failure time is the last
+    * returned shipment) classify into error kinds; kinds named by the
+    * policy's ErrorEquals are retryable, others dead-letter at once.
+    * Retryable items below MaxAttempts get next_due = failed_at +
+    * interval·2^(attempt−1), all in epoch-micros integer math (a11
+    * idiom — portable, no engine interval types); at or beyond the cap
+    * they dead-letter. Attempt counts derive deterministically from the
+    * item key (the control schema stores none). One fact reduce, then
+    * map-side classification — nothing shuffles after the groupBy. */
+  def a17RetrySchedule(spark: SparkSession, dir: String): DataFrame = {
+    val failed = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countIf(col("l_returnflag") === "R").as("n_returned"),
+        max(when(col("l_returnflag") === "R", col("l_shipdate"))).as("failed_at"))
+      .filter(col("n_returned") > 0)
+      .select(col("l_orderkey").as("item_id"), col("failed_at"))
+    val errorKind = when(pmod(col("item_id"), lit(3)) === 0, lit("states_timeout"))
+      .when(pmod(col("item_id"), lit(3)) === 1, lit("lambda_unknown"))
+      .otherwise(lit("access_denied"))
+    failed
+      .withColumn("attempt", (pmod(col("item_id"), lit(12)) + 1).cast("int"))
+      .withColumn("error_kind", errorKind)
+      .withColumn("retryable", col("error_kind").isin("states_timeout", "lambda_unknown"))
+      .withColumn("wait_seconds",
+        when(col("retryable") && col("attempt") < RetryMaxAttempts,
+          expr(s"shiftleft(CAST($RetryIntervalSec AS BIGINT), attempt - 1)")))
+      .withColumn("next_due",
+        timestamp_micros(unix_micros(col("failed_at").cast("timestamp")) +
+          col("wait_seconds") * 1000000L))
+      .withColumn("action",
+        when(col("wait_seconds").isNotNull, lit("retry_scheduled")).otherwise(lit("dead_letter")))
+      .select(col("item_id"), col("error_kind"), col("attempt"), col("retryable"),
+        col("wait_seconds"), col("next_due"), col("action"))
+      .orderBy(col("item_id"))
+  }
+
+  val a17Sql: String =
+    s"""WITH failed AS (
+       |  SELECT l_orderkey AS item_id,
+       |    max(CASE WHEN l_returnflag = 'R' THEN l_shipdate END) AS failed_at
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING count(CASE WHEN l_returnflag = 'R' THEN 1 END) > 0),
+       |cls AS (
+       |  SELECT item_id, failed_at,
+       |    CAST(item_id % 12 + 1 AS INTEGER) AS attempt,
+       |    CASE WHEN item_id % 3 = 0 THEN 'states_timeout'
+       |         WHEN item_id % 3 = 1 THEN 'lambda_unknown'
+       |         ELSE 'access_denied' END AS error_kind
+       |  FROM failed),
+       |sched AS (
+       |  SELECT *,
+       |    error_kind IN ('states_timeout', 'lambda_unknown') AS retryable,
+       |    CASE WHEN error_kind IN ('states_timeout', 'lambda_unknown')
+       |           AND attempt < $RetryMaxAttempts
+       |      THEN $RetryIntervalSec * (CAST(1 AS BIGINT) << (attempt - 1)) END AS wait_seconds
+       |  FROM cls)
+       |SELECT item_id, error_kind, attempt, retryable, wait_seconds,
+       |  make_timestamp(epoch_us(failed_at) + wait_seconds * 1000000) AS next_due,
+       |  CASE WHEN wait_seconds IS NOT NULL THEN 'retry_scheduled'
+       |       ELSE 'dead_letter' END AS action
+       |FROM sched ORDER BY item_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a17_retry_schedule" -> (a17RetrySchedule _),
     "a14_html_extract" -> (a14HtmlExtract _),
     "a15_manifest_reconcile" -> (a15ManifestReconcile _),
     "a16_workitem_explode" -> (a16WorkitemExplode _),
@@ -690,6 +767,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a17_retry_schedule" -> a17Sql,
     "a14_html_extract" -> a14Sql,
     "a15_manifest_reconcile" -> a15Sql,
     "a16_workitem_explode" -> a16Sql,

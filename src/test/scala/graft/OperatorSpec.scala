@@ -161,6 +161,24 @@ class OperatorSpec extends GraftSpec {
     assert(out.filter(col("n_subwords") > 0).count() > 0)
   }
 
+  test("a17 retry schedule: exponential ladder, caps, and dead letters") {
+    val out = Etl.a17RetrySchedule(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // non-retryable errors and at-cap attempts dead-letter with no due time
+    assert(out.filter(!col("retryable") && col("action") =!= "dead_letter").count() == 0)
+    assert(out.filter(col("attempt") >= Etl.RetryMaxAttempts &&
+      col("action") =!= "dead_letter").count() == 0)
+    assert(out.filter(col("action") === "dead_letter" && col("next_due").isNotNull).count() == 0)
+    // scheduled waits follow interval * 2^(attempt-1) exactly
+    val bad = out.filter(col("action") === "retry_scheduled" &&
+      col("wait_seconds") =!= lit(Etl.RetryIntervalSec) * pow(lit(2), col("attempt") - 1).cast("long"))
+    assert(bad.count() == 0)
+    // both branches occur on the test corpus
+    assert(out.filter(col("action") === "retry_scheduled").count() > 0)
+    assert(out.filter(col("action") === "dead_letter").count() > 0)
+    out.unpersist()
+  }
+
   test("a2 control merge keeps every base row exactly once") {
     val out = Etl.a2ControlMerge(spark, sfDir)
     val base = Tables.orders(spark, sfDir).count()
