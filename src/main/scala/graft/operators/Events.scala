@@ -220,7 +220,60 @@ object Events {
       |FROM e JOIN first USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** c8: inter-event gap distribution — per-user time between
+    * consecutive events (lag over a user-keyed window, (ts, event_id)
+    * tie-break for determinism), summarized per event type of the LATER
+    * event with EXACT discrete percentiles (q21's rank-selection idiom:
+    * the value at rank ⌈q·n⌉ — no interpolation, so results are
+    * integers both engines agree on bit-for-bit). Two exchanges: the
+    * user window, then the type window; the final per-type aggregate
+    * reuses the type partitioning. Exact per-type percentiles need a
+    * per-type total order — the ~handful of event types makes that the
+    * right price here; at 100 TB-per-type cardinalities the sketch twin
+    * (q22 approx_percentile) is the scale path, same as q21 vs q22. */
+  def c8InterEvent(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+    val wT = Window.partitionBy(col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(wT.orderBy(col("gap_us"))))
+      .withColumn("cnt", count(lit(1)).over(wT))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        max(when(col("rn") === ceil(col("cnt") / 2.0), col("gap_us"))).as("p50_us"),
+        max(when(col("rn") === ceil(col("cnt") * 9 / lit(10.0)), col("gap_us"))).as("p90_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val c8Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      |gaps AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      AS gap_us
+      |  FROM e),
+      |r AS (
+      |  SELECT event_type, gap_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM gaps WHERE gap_us IS NOT NULL)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |  max(CASE WHEN rn = CAST(ceil(cnt / 2.0) AS BIGINT) THEN gap_us END) AS p50_us,
+      |  max(CASE WHEN rn = CAST(ceil(cnt * 9 / 10.0) AS BIGINT) THEN gap_us END) AS p90_us
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_inter_event" -> (c8InterEvent _),
     "c1_hourly_window" -> (c1HourlyWindow _),
     "c2_sessionize" -> (c2Sessionize _),
     "c3_asof_join" -> (c3AsofJoin _),
@@ -230,6 +283,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c8_inter_event" -> c8Sql,
     "c1_hourly_window" -> c1Sql,
     "c2_sessionize" -> c2Sql,
     "c3_asof_join" -> c3Sql,

@@ -161,6 +161,21 @@ class OperatorSpec extends GraftSpec {
     assert(out.filter(col("n_subwords") > 0).count() > 0)
   }
 
+  test("c8 inter-event gaps: conservation, ordering, and percentile sanity") {
+    val out = Events.c8InterEvent(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // every user contributes (n_events - 1) gaps, attributed to later-event types
+    val totalGaps = out.agg(sum("n_gaps")).head.getLong(0)
+    val e = Tables.events(spark, sfDir)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(totalGaps == expected, s"gap conservation: $totalGaps != $expected")
+    // events are chronologically ordered per user, so gaps are non-negative
+    assert(out.filter(col("min_gap_us") < 0).count() == 0)
+    assert(out.filter(col("p50_us") > col("p90_us") ||
+      col("p90_us") > col("max_gap_us") || col("min_gap_us") > col("p50_us")).count() == 0)
+    out.unpersist()
+  }
+
   test("a17 retry schedule: exponential ladder, caps, and dead letters") {
     val out = Etl.a17RetrySchedule(spark, sfDir).cache()
     assert(out.count() > 0)
