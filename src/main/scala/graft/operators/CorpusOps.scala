@@ -464,7 +464,106 @@ object CorpusOps {
       |WHERE exact_canonical AND (l.cluster_id IS NULL OR l.cluster_id = c.doc_id)
       |ORDER BY c.doc_id""".stripMargin
 
+  /** Context-window size / stride (tokens) for d33. Stride < size ⇒
+    * consecutive windows overlap by WinTokens − WinStride tokens.
+    * (Sized so the test corpus — ≤ 99-token docs — actually exercises
+    * the multi-window overlap path; a real pipeline would run 2048/1536
+    * or similar. The arithmetic is scale-free.) */
+  val WinTokens = 32
+  val WinStride = 24
+
+  /** d33: overlapping context-window manifest — the long-document
+    * split every context-bounded training/eval pipeline needs (d24
+    * packs SHORT docs into sequences; this cuts LONG docs into
+    * overlapping windows, the sliding-window counterpart). Per doc:
+    * n_win = 1 + ⌈(n_tok − W)/S⌉ windows (all-integer ceiling — no
+    * float division anywhere), window i covering tokens
+    * [i·S, min(i·S + W, n_tok)). Row-local: one scan, sequence+explode
+    * per doc, zero shuffles — the manifest partitions wherever its
+    * consumer wants it. The derivation guarantees full coverage (first
+    * window starts at 0, last ends exactly at n_tok, adjacent windows
+    * overlap by W−S > 0) — asserted in the spec. */
+  def d33TrainWindows(spark: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_win", when(col("n_tok") <= WinTokens, lit(1))
+        .otherwise(expr(s"CAST((n_tok - $WinTokens + $WinStride - 1) div $WinStride AS INT) + 1")))
+    sized
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0), col("n_win") - 1)).as("win_id"))
+      .select(col("doc_id"), col("win_id"),
+        (col("win_id") * WinStride).as("start_tok"),
+        least(col("win_id") * WinStride + WinTokens, col("n_tok")).as("end_tok"),
+        col("n_tok"))
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
+  val d33Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tok
+       |  FROM documents),
+       |nw AS (
+       |  SELECT doc_id, n_tok,
+       |    CASE WHEN n_tok <= $WinTokens THEN 1
+       |         ELSE (n_tok - $WinTokens + $WinStride - 1) // $WinStride + 1 END AS n_win
+       |  FROM sized WHERE n_tok > 0),
+       |w AS (
+       |  SELECT doc_id, n_tok, unnest(generate_series(0, n_win - 1)) AS win_id FROM nw)
+       |SELECT doc_id, win_id,
+       |  win_id * $WinStride AS start_tok,
+       |  least(win_id * $WinStride + $WinTokens, n_tok) AS end_tok,
+       |  n_tok
+       |FROM w ORDER BY doc_id, win_id""".stripMargin
+
+  /** Integer idf scale and list size for d34. */
+  val IdfScale = 1000000L
+  val TopTerms = 5
+
+  /** d34: characteristic terms per source — the "what makes this
+    * source distinctive" dashboard behind mixture decisions (d21/d31
+    * tell you HOW MUCH of each source; this says WHAT each source
+    * contributes). Classic tf-idf ranking re-expressed bit-stable: the
+    * score is (tf · 10⁶) div df — integer division on exact integer
+    * term/document frequencies, so ranking never depends on float log
+    * rounding and both engines agree exactly. Shape: one corpus scan
+    * reduces occurrences to (source, token, tf) map-side; source-level
+    * df is a count over a token-partitioned window on that REDUCED
+    * frame (d26's idiom — only reduced pairs re-exchange); the
+    * per-source top-K rank filter compiles to WindowGroupLimit
+    * (map-side per-group limit before the final exchange, d30's
+    * shape). */
+  def d34IdfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("score", expr(s"(tf * $IdfScale) div df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= TopTerms)
+      .select(col("source"), col("rank"), col("tok").as("token"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val d34Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |d AS (SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+       |s AS (SELECT *, (tf * $IdfScale) // df AS score FROM d),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY score DESC, tok) AS rank FROM s)
+       |SELECT source, rank, tok AS token, tf, df, score
+       |FROM r WHERE rank <= $TopTerms ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_train_windows" -> (d33TrainWindows _),
+    "d34_idf_terms" -> (d34IdfTerms _),
     "d23_chunk_dedup" -> (d23ChunkDedup _),
     "d24_sequence_pack" -> (d24SequencePack _),
     "d25_dedup_clusters" -> (d25DedupClusters _),
@@ -472,6 +571,8 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d33_train_windows" -> d33Sql,
+    "d34_idf_terms" -> d34Sql,
     "d23_chunk_dedup" -> d23Sql,
     "d24_sequence_pack" -> d24Sql,
     "d25_dedup_clusters" -> d25Sql,

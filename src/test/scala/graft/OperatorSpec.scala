@@ -161,6 +161,47 @@ class OperatorSpec extends GraftSpec {
     assert(out.filter(col("n_subwords") > 0).count() > 0)
   }
 
+  test("d33 train windows: full coverage, overlap, and minimal window count") {
+    val out = CorpusOps.d33TrainWindows(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val perDoc = out.groupBy("doc_id").agg(
+      min("start_tok").as("first_start"), max("end_tok").as("last_end"),
+      max("n_tok").as("n_tok"), count(lit(1)).as("n_win"))
+    // first window starts at 0; last ends exactly at n_tok
+    assert(perDoc.filter(col("first_start") =!= 0 || col("last_end") =!= col("n_tok")).count() == 0)
+    // no empty windows: every start strictly precedes its doc's end
+    assert(out.filter(col("start_tok") >= col("end_tok")).count() == 0)
+    // adjacent windows overlap (stride < size) and leave no gaps
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_id"))
+    val gaps = out.withColumn("prev_end", lag(col("end_tok"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_tok") >= col("prev_end"))
+    assert(gaps.count() == 0)
+    // minimality: one fewer window could not reach n_tok
+    val tooMany = perDoc.filter(col("n_win") > 1 &&
+      (col("n_win") - 2) * CorpusOps.WinStride + CorpusOps.WinTokens >= col("n_tok"))
+    assert(tooMany.count() == 0)
+    out.unpersist()
+  }
+
+  test("d34 idf terms: exactly top-K per source, map-side group limit planned") {
+    val out = CorpusOps.d34IdfTerms(spark, sfDir).cache()
+    val sources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(out.count() == sources * CorpusOps.TopTerms)
+    // ranks are 1..K dense per source; scores non-increasing in rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rank"))
+    val bad = out.withColumn("prev_score", lag(col("score"), 1).over(w))
+      .filter(col("prev_score").isNotNull && col("score") > col("prev_score"))
+    assert(bad.count() == 0)
+    // score is the exact integer-division tf-idf
+    assert(out.filter(col("score") =!=
+      expr(s"(tf * ${CorpusOps.IdfScale}) div df")).count() == 0)
+    out.unpersist()
+    val plan = CorpusOps.d34IdfTerms(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
   test("c8 inter-event gaps: conservation, ordering, and percentile sanity") {
     val out = Events.c8InterEvent(spark, sfDir).cache()
     assert(out.count() > 0)
