@@ -561,7 +561,130 @@ object CorpusOps {
        |SELECT source, rank, tok AS token, tf, df, score
        |FROM r WHERE rank <= $TopTerms ORDER BY source, rank""".stripMargin
 
+  /** d35: corpus-curation funnel — the stage-by-stage survival report
+    * every pipeline owner reads before a training run: how many docs
+    * remain after language ID (d2), quality (d3), exact-dedup
+    * canonicality (d5), near-dup cluster canonicality (d25), and
+    * eval-set hygiene (held-out docs removed + d20 contamination).
+    * Stages are CUMULATIVE (each ANDs onto the previous), so the
+    * report reads as the funnel it is. Every signal is the SAME
+    * deterministic rule its standalone operator runs — the cluster
+    * labels come from the memoized CC build over the cached verified
+    * pairs, contamination joins back by id only — so the funnel
+    * prices as composition, not recomputation, and inherits the
+    * component oracles' guarantees. The 1-row wide aggregate stacks
+    * to per-stage rows (a12's idiom): 6 rows out, one corpus-scan
+    * base + the component passes. */
+  def d35CorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val wDup = Window.partitionBy(md5(trim(lower(col("text")))))
+    val nTok = size(TextOps.tokens(col("text")))
+    val avgTokLen = length(translate(col("text"), " ", "")).cast("double") / nTok
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      (col("doc_id") === min(col("doc_id")).over(wDup)).as("exact_canonical"),
+      (nTok.between(5, 1000) && avgTokLen.between(2.0, 12.0)).as("quality_ok"))
+    val flagged = TextOps.withLangPred(base, "doc_id", "text")
+      .select(col("doc_id"), (col("lang_pred") === "en").as("lang_ok"),
+        col("quality_ok"), col("exact_canonical"))
+    val labels = sharedClusters(spark, dir)
+      .select(col("node").as("doc_id"), col("lab"))
+    val contam = TextOps.d20Contamination(spark, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    val wide = flagged
+      .join(labels, Seq("doc_id"), "left_outer")
+      .join(contam, Seq("doc_id"), "left_outer")
+      .withColumn("s3", col("lang_ok") && col("quality_ok"))
+      .withColumn("s4", col("s3") && col("exact_canonical"))
+      .withColumn("s5", col("s4") && (col("lab").isNull || col("lab") === col("doc_id")))
+      .withColumn("s6", col("s5") && pmod(col("doc_id"), lit(97)) =!= 0 &&
+        coalesce(col("contaminated"), lit(false)) === false)
+      .agg(
+        count(lit(1)).as("n1"),
+        count(when(col("lang_ok"), 1)).as("n2"),
+        count(when(col("s3"), 1)).as("n3"),
+        count(when(col("s4"), 1)).as("n4"),
+        count(when(col("s5"), 1)).as("n5"),
+        count(when(col("s6"), 1)).as("n6"))
+    def stage(id: Int, name: String, n: Column, total: Column) =
+      struct(lit(id).as("stage_id"), lit(name).as("stage"), n.as("n_docs"),
+        (n.cast("double") / total.cast("double")).as("pct"))
+    wide.select(explode(array(
+        stage(1, "total", col("n1"), col("n1")),
+        stage(2, "lang_ok", col("n2"), col("n1")),
+        stage(3, "quality_ok", col("n3"), col("n1")),
+        stage(4, "exact_canonical", col("n4"), col("n1")),
+        stage(5, "near_dup_canonical", col("n5"), col("n1")),
+        stage(6, "eval_clean", col("n6"), col("n1")))).as("s"))
+      .select(col("s.stage_id"), col("s.stage"), col("s.n_docs"), col("s.pct"))
+      .orderBy(col("stage_id"))
+  }
+
+  val d35Sql: String = {
+    val clusterCtes =
+      """ctoks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |csh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM ctoks WHERE len(t) >= 3),
+        |cpairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |cedges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM cpairs),
+        |ccc AS (
+        |  SELECT DISTINCT src AS node, src AS lab FROM cedges
+        |  UNION
+        |  SELECT e.dst AS node, ccc.lab FROM ccc JOIN cedges e ON e.src = ccc.node),
+        |labs AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM ccc GROUP BY node)""".stripMargin
+    s"""WITH RECURSIVE lang AS (SELECT doc_id, lang_pred FROM (${TextOps.d2Sql})),
+       |q AS (SELECT doc_id, quality_flag FROM (${TextOps.d3Sql})),
+       |canon AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS exact_canonical
+       |  FROM documents),
+       |$clusterCtes,
+       |cont AS (SELECT doc_id FROM (${TextOps.d20Sql})),
+       |per AS (
+       |  SELECT d.doc_id,
+       |    (lang_pred = 'en') AS s2,
+       |    (lang_pred = 'en' AND quality_flag = 'ok') AS s3,
+       |    (lang_pred = 'en' AND quality_flag = 'ok' AND exact_canonical) AS s4,
+       |    (lang_pred = 'en' AND quality_flag = 'ok' AND exact_canonical
+       |      AND (cluster_id IS NULL OR cluster_id = d.doc_id)) AS s5,
+       |    (lang_pred = 'en' AND quality_flag = 'ok' AND exact_canonical
+       |      AND (cluster_id IS NULL OR cluster_id = d.doc_id)
+       |      AND d.doc_id % 97 <> 0 AND cont.doc_id IS NULL) AS s6
+       |  FROM documents d
+       |  JOIN lang ON d.doc_id = lang.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  JOIN canon ON d.doc_id = canon.doc_id
+       |  LEFT JOIN labs ON d.doc_id = labs.doc_id
+       |  LEFT JOIN cont ON d.doc_id = cont.doc_id),
+       |wide AS (
+       |  SELECT count(*) AS n1,
+       |    count(CASE WHEN s2 THEN 1 END) AS n2,
+       |    count(CASE WHEN s3 THEN 1 END) AS n3,
+       |    count(CASE WHEN s4 THEN 1 END) AS n4,
+       |    count(CASE WHEN s5 THEN 1 END) AS n5,
+       |    count(CASE WHEN s6 THEN 1 END) AS n6
+       |  FROM per)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage_id, 'total' AS stage, n1 AS n_docs,
+       |    CAST(n1 AS DOUBLE) / n1 AS pct FROM wide
+       |  UNION ALL SELECT 2, 'lang_ok', n2, CAST(n2 AS DOUBLE) / n1 FROM wide
+       |  UNION ALL SELECT 3, 'quality_ok', n3, CAST(n3 AS DOUBLE) / n1 FROM wide
+       |  UNION ALL SELECT 4, 'exact_canonical', n4, CAST(n4 AS DOUBLE) / n1 FROM wide
+       |  UNION ALL SELECT 5, 'near_dup_canonical', n5, CAST(n5 AS DOUBLE) / n1 FROM wide
+       |  UNION ALL SELECT 6, 'eval_clean', n6, CAST(n6 AS DOUBLE) / n1 FROM wide)
+       |ORDER BY stage_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d35_corpus_funnel" -> (d35CorpusFunnel _),
     "d33_train_windows" -> (d33TrainWindows _),
     "d34_idf_terms" -> (d34IdfTerms _),
     "d23_chunk_dedup" -> (d23ChunkDedup _),
@@ -571,6 +694,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d35_corpus_funnel" -> d35Sql,
     "d33_train_windows" -> d33Sql,
     "d34_idf_terms" -> d34Sql,
     "d23_chunk_dedup" -> d23Sql,

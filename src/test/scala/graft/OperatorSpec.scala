@@ -202,6 +202,24 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("d35 corpus funnel: monotone stages, pct consistency, d15 agreement") {
+    val out = CorpusOps.d35CorpusFunnel(spark, sfDir).cache()
+    val rows = out.orderBy("stage_id").collect()
+    assert(rows.length == 6)
+    // cumulative stages can only shrink
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.mkString(","))
+    // pct = n/total, total row at 1.0
+    val total = counts.head
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pct") - r.getAs[Long]("n_docs").toDouble / total) < 1e-12)
+    }
+    // stage 4 (lang ∧ quality ∧ exact-canonical) IS d15's keep rule
+    val d15Keep = TextOps.d15CorpusFilter(spark, sfDir).filter(col("keep")).count()
+    assert(counts(3) == d15Keep, s"funnel stage 4 ${counts(3)} != d15 keep $d15Keep")
+    out.unpersist()
+  }
+
   test("c8 inter-event gaps: conservation, ordering, and percentile sanity") {
     val out = Events.c8InterEvent(spark, sfDir).cache()
     assert(out.count() > 0)
