@@ -614,7 +614,52 @@ object VectorOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** d36: metadata-filtered vector search — the retrieval pattern a
+    * RAG/eval pipeline runs: top-k by cosine among only the documents
+    * passing a relational predicate (d3's quality rule here), i.e.
+    * "filter THEN search", with the filter evaluated as a relational
+    * semi-join on ids — never a post-filter of an oversized ANN result
+    * (which under-fills k when the predicate is selective). Shape: the
+    * quality ids come from one row-local documents scan; the semi-join
+    * prunes the candidate side BEFORE scoring (ids only — embeddings
+    * never move for rejected docs); then d9's broadcast-queries +
+    * native-cosine + bounded TopKAgg merge. Embeddings align 1:1 with
+    * documents by id in the test corpus (vec_id = doc_id). */
+  def d36FilteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val qualityIds = TextOps.d3QualityScore(spark, dir)
+      .filter(col("quality_flag") === "ok")
+      .select(col("doc_id"))
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cand = emb
+      .join(qualityIds, emb("vec_id") === qualityIds("doc_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = broadcast(q).join(cand, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
+    topKPerQuery(scored)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val d36Sql: String =
+    s"""WITH filt AS (
+       |  SELECT doc_id FROM (${TextOps.d3Sql}) WHERE quality_flag = 'ok'),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings
+       |  WHERE vec_id IN (SELECT doc_id FROM filt)),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("qe", "ne")} AS cos
+       |  FROM q JOIN c ON neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d36_filtered_search" -> (d36FilteredSearch _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
     "d12_ann_ivf" -> (d12AnnIvf _),
@@ -622,6 +667,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d36_filtered_search" -> d36Sql,
     "d9_cosine_topk" -> d9Sql,
     "d10_ann_lsh" -> d10Sql,
     "d12_ann_ivf" -> d12Sql,

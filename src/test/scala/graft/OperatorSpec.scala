@@ -202,6 +202,24 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("d36 filtered search: neighbors all pass the filter, k per query") {
+    val out = VectorOps.d36FilteredSearch(spark, sfDir).cache()
+    val nQueries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < VectorOps.NumQueries).count()
+    assert(out.count() == nQueries * VectorOps.TopK)
+    // every neighbor satisfies the relational predicate (filter-then-search)
+    val ok = TextOps.d3QualityScore(spark, sfDir)
+      .filter(col("quality_flag") === "ok").select(col("doc_id"))
+    val leaked = out.join(ok, out("neighbor_id") === ok("doc_id"), "left_anti")
+    assert(leaked.count() == 0)
+    // dense 1..k ranks per query
+    assert(out.groupBy("query_id").agg(min("rnk").as("mn"), max("rnk").as("mx"),
+      countDistinct("rnk").as("nd"))
+      .filter(col("mn") =!= 1 || col("mx") =!= VectorOps.TopK ||
+        col("nd") =!= VectorOps.TopK).count() == 0)
+    out.unpersist()
+  }
+
   test("d35 corpus funnel: monotone stages, pct consistency, d15 agreement") {
     val out = CorpusOps.d35CorpusFunnel(spark, sfDir).cache()
     val rows = out.orderBy("stage_id").collect()
