@@ -221,7 +221,21 @@ object TextOps {
       |FROM sized GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   /** d3: quality scoring — length/alpha/stopword ratios + flag. */
-  def d3QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** d3's keep/low rule as a single column over the raw text —
+    * shared by the batch profile and the streaming curation pipeline
+    * so the rule cannot drift between them. */
+  def qualityFlagOf(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t)
+    val avgTokLen = length(translate(text, " ", "")).cast("double") / nTok
+    when(nTok.between(5, 1000) && avgTokLen.between(2.0, 12.0), lit("ok"))
+      .otherwise(lit("low"))
+  }
+
+  /** d3's profile over any (doc_id, text) frame — stateless codegen'd
+    * projections only, so it runs unchanged over an unbounded stream
+    * (graft.streaming.StreamingOps.curateStream). */
+  def qualityProfile(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t)
     val stopCnt = size(filter(t, x => x.isin("the", "a", "of", "and", "to", "in")))
@@ -230,19 +244,18 @@ object TextOps {
     // split on ' ' with empties dropped) — pure codegen'd arithmetic,
     // replacing the interpreted aggregate() HOF fold (VERDICT r2 #9).
     val tokLenSum = length(translate(col("text"), " ", ""))
-    Tables.documents(spark, dir)
-      .select(
+    docs.select(
         col("doc_id"),
         nTok.as("n_tokens"),
         stopCnt.as("stop_cnt"),
         (alphaChars.cast("double") / length(col("text"))).as("alpha_ratio"),
         (stopCnt.cast("double") / nTok).as("stop_ratio"),
-        (tokLenSum.cast("double") / nTok).as("avg_token_len"))
-      .withColumn("quality_flag",
-        when(col("n_tokens").between(5, 1000) && col("avg_token_len").between(2.0, 12.0), lit("ok"))
-          .otherwise(lit("low")))
-      .orderBy(col("doc_id"))
+        (tokLenSum.cast("double") / nTok).as("avg_token_len"),
+        qualityFlagOf(col("text")).as("quality_flag"))
   }
+
+  def d3QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityProfile(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   val d3Sql: String =
     """WITH t AS (
@@ -399,19 +412,25 @@ object TextOps {
     * row-local projection + filter (no shuffle, no RNG state), the SAME
     * rows survive on any cluster, any partitioning, any rerun — and in
     * any engine (the hash is replayable SQL, unlike xxhash64/rand). */
-  def d16StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  /** d16's salted-bucket sample filter over any (doc_id, source, …)
+    * frame — row-local, stateless, stream-safe. */
+  def sampleFilter(docs: DataFrame): DataFrame = {
     val bucket = pmod(
       conv(substring(md5(concat(lit("graft-sample:"), col("doc_id").cast("string"))), 1, 8),
         16, 10).cast("long"),
       lit(1000L))
     val rate = lit(250) +
       (regexp_extract(col("source"), "[0-9]+", 0).cast("int") % 4) * 250
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), bucket.as("sample_bucket"),
-        rate.as("rate_permille"))
+    docs
+      .withColumn("sample_bucket", bucket)
+      .withColumn("rate_permille", rate)
       .filter(col("sample_bucket") < col("rate_permille"))
-      .orderBy(col("doc_id"))
   }
+
+  def d16StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFilter(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")))
+      .orderBy(col("doc_id"))
 
   val d16Sql: String = {
     val pow16 = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
@@ -594,13 +613,20 @@ object TextOps {
   /** PII scrubbing over ANY (doc_id, text) frame: count + redact
     * emails and phone numbers with typed placeholders. Row-local
     * regexp projections — zero shuffle at any scale. */
+  /** APPENDS the scrub columns, keeping the input columns — the
+    * stream-safe composition form (piiScrub below is the narrow
+    * batch projection of the same expressions). */
+  def withPiiScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col("text"), lit(PhoneRe)))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
   def piiScrub(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
-      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
-      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>").as("scrubbed"))
+    withPiiScrub(docs).select(
+      col("doc_id"), col("n_emails"), col("n_phones"), col("scrubbed"))
 
   /** d18: PII scrubbing — the redaction pass every training pipeline
     * runs before release (emails → <EMAIL>, phones → <PHONE>). The

@@ -346,6 +346,37 @@ object StreamingOps {
       .drop("type_hash")
   }
 
+  /** Streaming ingest-time corpus curation — the row-local subset of
+    * the batch curation pipeline applied to an UNBOUNDED document
+    * stream: quality flagging (d3's exact rule via
+    * TextOps.qualityProfile), deterministic per-source downsampling
+    * (d16's salted-md5 rule via TextOps.sampleFilter), and PII
+    * scrubbing (d18's regexes via TextOps.piiScrub). Every step is a
+    * STATELESS codegen'd projection/filter — no aggregation, no
+    * watermark, no state store — so the stream is append-mode by
+    * construction and matches the batch composition row-for-row on
+    * the same input (asserted in the spec across multiple
+    * micro-batches). The STATEFUL curation stages stay separate by
+    * design: exact dedup → dedupStream (watermarked state), near-dup
+    * clustering → the batch d6/d25 pipeline over compacted storage.
+    *
+    * Input: streaming frame with (doc_id long, source string,
+    * text string). Output: curated docs with quality + sampling
+    * provenance and the scrubbed text. */
+  def curateStream(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    // one linear projection pipeline — a self-join of stream
+    // projections would be a stream-stream join (state + watermarks)
+    // for rows that never needed one
+    TextOps.withPiiScrub(
+      TextOps.sampleFilter(docs)
+        .withColumn("quality_flag", TextOps.qualityFlagOf(col("text")))
+        .filter(col("quality_flag") === "ok"))
+      .select(col("doc_id"), col("source"), col("sample_bucket"),
+        col("rate_permille"), col("quality_flag"),
+        col("n_emails"), col("n_phones"), col("scrubbed"))
+  }
+
   /** Streaming dedup on a content key with watermarked state —
     * streaming twin of TextOps.d5DedupExact. Deduplicates on the KEY
     * COLUMNS ALONE (same content at different event times collapses to

@@ -129,6 +129,39 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(merged(3L) == ("pending", null)) // partial key match is no match
   }
 
+  test("streaming curation matches the batch composition across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus rows + injected PII (d18's rule) so the scrub branch
+    // actually fires; same input drives both the stream and the batch twin
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(lit(" contact agent"), col("doc_id").cast("string"),
+            lit("@example.org"))).otherwise(lit(""))).as("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.curateStream(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("curate_test").outputMode("append").start()
+    try {
+      // three micro-batches — curation is stateless, so batch boundaries must not matter
+      rows.grouped(math.max(1, rows.length / 3)).foreach { g =>
+        mem.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "select doc_id, quality_flag, n_emails, scrubbed from curate_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batch = StreamingOps.curateStream(docs)
+        .select(col("doc_id"), col("quality_flag"), col("n_emails"), col("scrubbed"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // the scrub branch fired: injected emails were found and replaced
+      assert(streamed.exists(_._3 > 0))
+      assert(!streamed.exists(_._4.contains("@example.org")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
