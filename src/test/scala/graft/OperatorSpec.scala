@@ -32,7 +32,8 @@ class OperatorSpec extends GraftSpec {
       "a11_due_sources",       // 1-row as-of aggregate broadcast
       "q27_balance_gap",       // 1-row balance-average broadcast
       "d31_source_divergence", // 1-row corpus-total broadcast
-      "d9_cosine_topk")        // broadcast 10-row query set, =!= condition
+      "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
+      "d36_filtered_search")   // same broadcast-query shape as d9
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
