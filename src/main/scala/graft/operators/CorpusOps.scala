@@ -683,7 +683,50 @@ object CorpusOps {
        |ORDER BY stage_id""".stripMargin
   }
 
+  /** d37: per-source document-length profile — the length-distribution
+    * dashboard curation reads before choosing truncation/packing
+    * budgets (d24/d33's W and S come from exactly this table). Exact
+    * discrete percentiles by rank selection (q21's idiom, c8's
+    * per-group form): value at rank ⌈q·n⌉ of the source's n_chars
+    * order — integers both engines agree on bit-for-bit, no
+    * interpolation. One scan; the rank window and the final aggregate
+    * share the source partitioning. Per-source exact order is the
+    * right price at |source| group sizes; corpus-wide percentile at
+    * 100 TB is q22's sketch. */
+  def d37LengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    val wS = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(wS.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(wS))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars"),
+        max(when(col("rn") === ceil(col("cnt") / lit(10.0)), col("n_chars"))).as("p10_chars"),
+        max(when(col("rn") === ceil(col("cnt") / 2.0), col("n_chars"))).as("p50_chars"),
+        max(when(col("rn") === ceil(col("cnt") * 9 / lit(10.0)), col("n_chars"))).as("p90_chars"))
+      .orderBy(col("source"))
+  }
+
+  val d37Sql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  max(CASE WHEN rn = CAST(ceil(cnt / 10.0) AS BIGINT) THEN n_chars END) AS p10_chars,
+      |  max(CASE WHEN rn = CAST(ceil(cnt / 2.0) AS BIGINT) THEN n_chars END) AS p50_chars,
+      |  max(CASE WHEN rn = CAST(ceil(cnt * 9 / 10.0) AS BIGINT) THEN n_chars END) AS p90_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d37_length_profile" -> (d37LengthProfile _),
     "d35_corpus_funnel" -> (d35CorpusFunnel _),
     "d33_train_windows" -> (d33TrainWindows _),
     "d34_idf_terms" -> (d34IdfTerms _),
@@ -694,6 +737,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d37_length_profile" -> d37Sql,
     "d35_corpus_funnel" -> d35Sql,
     "d33_train_windows" -> d33Sql,
     "d34_idf_terms" -> d34Sql,

@@ -747,7 +747,50 @@ object Etl {
        |       ELSE 'dead_letter' END AS action
        |FROM sched ORDER BY item_id""".stripMargin
 
+  /** Incremental-load horizon for a18 (hours before the corpus as-of). */
+  val IncrementalHorizonHours = 72L
+
+  /** a18: incremental-partition selection — which hive partitions
+    * (source/y/m/d/h, a3's layout) an incremental promotion/compaction
+    * run must re-process: exactly those with activity after the
+    * watermark (as-of − horizon). The watermark derives from the data
+    * (corpus max ts — reproducible, a11's rule), so the plan reduces
+    * the fact table to per-partition stats FIRST and takes the global
+    * max as an unpartitioned window over that reduced frame — one
+    * scan, no 1-row broadcast join, and the partition list is what
+    * PartitionedSink's dynamic overwrite consumes for idempotent
+    * re-runs. Epoch-micros integer comparison at the boundary. */
+  def a18IncrementalPartitions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        col("event_type").as("source"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .withColumn("asof_ts", max(col("last_ts")).over(Window.partitionBy()))
+      .filter(unix_micros(col("last_ts")) >
+        unix_micros(col("asof_ts")) - IncrementalHorizonHours * 3600000000L)
+      .select(col("source"), col("y"), col("m"), col("d"), col("h"),
+        col("n_events"), col("last_ts"))
+      .orderBy(col("source"), col("y"), col("m"), col("d"), col("h"))
+
+  val a18Sql: String =
+    s"""WITH per AS (
+       |  SELECT event_type AS source,
+       |    CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS y,
+       |    CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS m,
+       |    CAST(day(CAST(ts AS TIMESTAMP)) AS INTEGER) AS d,
+       |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS h,
+       |    count(*) AS n_events, max(CAST(ts AS TIMESTAMP)) AS last_ts
+       |  FROM events GROUP BY 1, 2, 3, 4, 5),
+       |w AS (SELECT *, max(last_ts) OVER () AS asof_ts FROM per)
+       |SELECT source, y, m, d, h, n_events, last_ts
+       |FROM w
+       |WHERE epoch_us(last_ts) > epoch_us(asof_ts) - $IncrementalHorizonHours * 3600000000
+       |ORDER BY source, y, m, d, h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a18_incremental_partitions" -> (a18IncrementalPartitions _),
     "a17_retry_schedule" -> (a17RetrySchedule _),
     "a14_html_extract" -> (a14HtmlExtract _),
     "a15_manifest_reconcile" -> (a15ManifestReconcile _),
@@ -767,6 +810,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a18_incremental_partitions" -> a18Sql,
     "a17_retry_schedule" -> a17Sql,
     "a14_html_extract" -> a14Sql,
     "a15_manifest_reconcile" -> a15Sql,

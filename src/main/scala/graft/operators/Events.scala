@@ -272,7 +272,62 @@ object Events {
       |  max(CASE WHEN rn = CAST(ceil(cnt * 9 / 10.0) AS BIGINT) THEN gap_us END) AS p90_us
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** c9: RFM segmentation — the user-value classification behind
+    * retention/marketing analytics: per user, Recency (days since last
+    * event vs the corpus as-of — max event date, no wall clock, a11's
+    * reproducibility rule), Frequency (event count) and Monetary
+    * (DECIMAL-exact value sum), each cut into quartiles and composed
+    * into the classic 3-digit segment. The as-of comes from an
+    * unpartitioned max over the ALREADY-REDUCED per-user frame (no
+    * 1-row broadcast join), and the ntile windows run over the same
+    * reduced frame — one corpus scan, one user exchange. Quartile
+    * ties break on user_id, so segments are deterministic. ntile
+    * needs a total order over users; at 100 TB-user cardinalities the
+    * scale path is sketch cutpoints (q22's approx_percentile) applied
+    * as a broadcast map — same output schema. */
+  def c9RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(to_date(col("ts"))).as("last_date"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("value"))).as("mon_dec"))
+      .withColumn("asof_date", max(col("last_date")).over(Window.partitionBy()))
+      .withColumn("recency_days", datediff(col("asof_date"), col("last_date")))
+    per
+      .withColumn("r_q", ntile(4).over(Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_q", ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m_q", ntile(4).over(Window.orderBy(col("mon_dec").desc, col("user_id"))))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("mon_dec").cast("double").as("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  val c9Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_date,
+      |    count(*) AS frequency,
+      |    sum(CAST(value AS DECIMAL(12,2))) AS mon_dec
+      |  FROM events GROUP BY user_id),
+      |w AS (
+      |  SELECT *, date_diff('day', last_date, max(last_date) OVER ()) AS recency_days
+      |  FROM per),
+      |q AS (
+      |  SELECT *,
+      |    ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+      |    ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+      |    ntile(4) OVER (ORDER BY mon_dec DESC, user_id) AS m_q
+      |  FROM w)
+      |SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days, frequency,
+      |  CAST(mon_dec AS DOUBLE) AS monetary,
+      |  CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q, CAST(m_q AS INTEGER) AS m_q,
+      |  concat(r_q, f_q, m_q) AS segment
+      |FROM q ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c9_rfm_segments" -> (c9RfmSegments _),
     "c8_inter_event" -> (c8InterEvent _),
     "c1_hourly_window" -> (c1HourlyWindow _),
     "c2_sessionize" -> (c2Sessionize _),
@@ -283,6 +338,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c9_rfm_segments" -> c9Sql,
     "c8_inter_event" -> c8Sql,
     "c1_hourly_window" -> c1Sql,
     "c2_sessionize" -> c2Sql,

@@ -203,6 +203,53 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("d37 length profile: percentile ordering and mass conservation") {
+    val out = CorpusOps.d37LengthProfile(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("min_chars") > col("p10_chars") ||
+      col("p10_chars") > col("p50_chars") || col("p50_chars") > col("p90_chars") ||
+      col("p90_chars") > col("max_chars")).count() == 0)
+    val total = out.agg(sum("total_chars")).head.getLong(0)
+    val expected = Tables.documents(spark, sfDir).agg(sum("n_chars")).head.getLong(0)
+    assert(total == expected)
+    out.unpersist()
+  }
+
+  test("c9 RFM: quartiles balanced, segment composed, monetary conserved") {
+    val out = Events.c9RfmSegments(spark, sfDir).cache()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.count() == users)
+    // ntile(4) buckets differ in size by at most 1
+    for (c <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = out.groupBy(c).count().collect().map(_.getLong(1))
+      assert(sizes.length == 4 && sizes.max - sizes.min <= 1, s"$c: ${sizes.mkString(",")}")
+    }
+    assert(out.filter(col("segment") =!=
+      concat(col("r_q"), col("f_q"), col("m_q"))).count() == 0)
+    // most-recent users sit in r_q quartile 1
+    val best = out.filter(col("r_q") === 1).agg(max("recency_days")).head.getInt(0)
+    val worst = out.filter(col("r_q") === 4).agg(min("recency_days")).head.getInt(0)
+    assert(best <= worst)
+    out.unpersist()
+  }
+
+  test("a18 selects exactly the partitions inside the horizon") {
+    val out = Etl.a18IncrementalPartitions(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // every selected partition's last activity is within the horizon of the global max
+    val asof = Tables.events(spark, sfDir).agg(max("ts")).head.getTimestamp(0)
+    val cut = new java.sql.Timestamp(asof.getTime - Etl.IncrementalHorizonHours * 3600 * 1000)
+    assert(out.filter(col("last_ts") <= lit(cut)).count() == 0)
+    // and the selection is complete: no in-horizon partition missing
+    val all = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), year(col("ts")), month(col("ts")),
+        dayofmonth(col("ts")), hour(col("ts")))
+      .agg(max(col("ts")).as("last_ts"))
+      .filter(col("last_ts") > lit(cut)).count()
+    assert(out.count() == all)
+    out.unpersist()
+  }
+
   test("d36 filtered search: neighbors all pass the filter, k per query") {
     val out = VectorOps.d36FilteredSearch(spark, sfDir).cache()
     val nQueries = Tables.embeddings(spark, sfDir)
