@@ -426,12 +426,60 @@ object DedupOps {
       |SELECT query_id, match_id, jaccard FROM ranked WHERE rk = 1
       |ORDER BY query_id""".stripMargin
 
+  /** Thresholds for d38's sensitivity sweep — all ≥ the pair cache's
+    * τ=0.5 floor, below which pairs are (by design) not materialized. */
+  val SweepTaus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** d38: dedup threshold-sensitivity report — how aggressive each
+    * candidate τ would be: verified-pair count and involved-doc count
+    * at each threshold. This is the tuning table a corpus owner reads
+    * before fixing the near-dup τ, and it prices as TWO aggregates
+    * over the cached (doc_a, doc_b, jaccard) frame — the expensive
+    * LSH+verify pipeline never re-runs (the cache is complete for
+    * jaccard ≥ 0.5, so every sweep point is exact, not an estimate).
+    * Thresholds explode against the tiny pairs frame; the member
+    * explode feeds an exact distinct-doc count. */
+  def d38DedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val sel = sharedVerifiedPairs(spark, dir)
+      .select(explode(array(SweepTaus.map(lit(_)): _*)).as("tau"),
+        col("jaccard"), col("doc_a"), col("doc_b"))
+      .filter(col("jaccard") >= col("tau"))
+    val perPairs = sel.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val perDocs = sel
+      .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("tau")).agg(count_distinct(col("doc")).as("n_docs"))
+    perPairs.join(perDocs, "tau")
+      .select(col("tau"), col("n_pairs"), col("n_docs"))
+      .orderBy(col("tau"))
+  }
+
+  val d38Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |taus AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau),
+      |sel AS (
+      |  SELECT tau, doc_a, doc_b FROM pairs JOIN taus ON jaccard >= tau),
+      |pp AS (SELECT tau, count(*) AS n_pairs FROM sel GROUP BY tau),
+      |mem AS (SELECT tau, unnest([doc_a, doc_b]) AS doc FROM sel),
+      |pd AS (SELECT tau, count(DISTINCT doc) AS n_docs FROM mem GROUP BY tau)
+      |SELECT tau, n_pairs, n_docs FROM pp JOIN pd USING (tau) ORDER BY tau""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d38_dedup_sensitivity" -> (d38DedupSensitivity _),
     "d6_dedup_minhash" -> (d6DedupMinhash _),
     "d7_dedup_simhash" -> (d7DedupSimhash _),
     "d28_fuzzy_topk" -> (d28FuzzyTopk _))
 
   val oracles: Map[String, String] = Map(
+    "d38_dedup_sensitivity" -> d38Sql,
     "d6_dedup_minhash" -> d6Sql,
     "d7_dedup_simhash" -> d7Sql,
     "d28_fuzzy_topk" -> d28Sql)

@@ -203,6 +203,23 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("d38 sensitivity sweep: monotone in tau and consistent with d6") {
+    val out = DedupOps.d38DedupSensitivity(spark, sfDir).cache()
+    val rows = out.orderBy("tau").collect()
+    assert(rows.nonEmpty)
+    // tighter thresholds can only shrink both counts
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a })
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a })
+    // the tau=0.5 row IS d6's full pair set
+    assert(rows.head.getAs[Double]("tau") == 0.5)
+    assert(pairs.head == DedupOps.d6DedupMinhash(spark, sfDir).count())
+    // a pair involves at most 2 new docs
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs")))
+    out.unpersist()
+  }
+
   test("d37 length profile: percentile ordering and mass conservation") {
     val out = CorpusOps.d37LengthProfile(spark, sfDir).cache()
     assert(out.count() > 0)
