@@ -83,10 +83,12 @@ object CorpusOps {
     * (e.g. by d22's deterministic shard key) before packing; the math
     * is unchanged because only in-shard offsets matter. All integer
     * arithmetic — bit-stable at any parallelism and in any engine. */
-  def d24SequencePack(spark: SparkSession, dir: String): DataFrame = {
+  /** Packing over any (doc_id, source, text) frame — the library-
+    * composition form (a curated subset packs with the same math). */
+  def packOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"), size(TextOps.tokens(col("text"))).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("end_tok", sum(col("n_tokens").cast("long")).over(w))
@@ -98,6 +100,9 @@ object CorpusOps {
         expr(s"(end_tok - 1) div $SeqLen").as("last_seq"))
       .orderBy(col("doc_id"))
   }
+
+  def d24SequencePack(spark: SparkSession, dir: String): DataFrame =
+    packOf(Tables.documents(spark, dir))
 
   val d24Sql: String =
     s"""WITH sized AS (

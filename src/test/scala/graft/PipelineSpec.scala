@@ -61,4 +61,35 @@ class PipelineSpec extends GraftSpec {
     PartitionedSink.promote(raw, out, "source", "ts")
     assert(spark.read.parquet(out).count() === 1)
   }
+
+  test("corpus pipeline: dedup-materialize -> pack survivors -> sharded write") {
+    import graft.operators.{CorpusOps, TextOps}
+    // 1. final keep set — d32's exact-canonical ∧ cluster-canonical rule
+    val kept = CorpusOps.d32DedupCorpus(spark, sfDir).select("doc_id")
+    val curated = Tables.documents(spark, sfDir).join(kept, "doc_id")
+    // 2. pack ONLY the survivors with the same math as d24
+    val packed = CorpusOps.packOf(curated).cache()
+    // token mass conserved survivor-for-survivor
+    val tokTotal = curated
+      .select(size(TextOps.tokens(col("text"))).as("n")).filter(col("n") > 0)
+      .agg(sum(col("n").cast("long"))).head.getLong(0)
+    assert(packed.agg(sum(col("n_tokens").cast("long"))).head.getLong(0) == tokTotal)
+    // per-source packing is gapless: last end_tok == token sum, and the
+    // sequence count is exactly ceil(tokens / SeqLen)
+    val perSrc = packed.groupBy("source").agg(
+      sum(col("n_tokens").cast("long")).as("toks"),
+      max(col("start_tok") + col("n_tokens")).as("last_end"),
+      max("last_seq").as("max_seq"))
+    assert(perSrc.filter(col("last_end") =!= col("toks")).count() == 0)
+    assert(perSrc.filter(col("max_seq") =!=
+      expr(s"(toks + ${CorpusOps.SeqLen - 1}) div ${CorpusOps.SeqLen} - 1")).count() == 0)
+    // 3. manifest lands source-partitioned and re-reads losslessly
+    val out = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    packed.write.mode("overwrite").partitionBy("source").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == packed.count())
+    assert(back.select("source").distinct().count() ==
+      packed.select("source").distinct().count())
+    packed.unpersist()
+  }
 }
