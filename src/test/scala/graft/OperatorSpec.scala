@@ -61,6 +61,16 @@ class OperatorSpec extends GraftSpec {
       "d31 must stay at heavy-pipeline-once + cheap count scan")
     val d30plan = TextOps.d30DomainCap(spark, sfDir).queryExecution.executedPlan.toString
     assert(d30plan.contains("WindowGroupLimit"), d30plan.take(1500))
+    // late-r6 additions: the reduce-first + window-over-reduced forms
+    // must keep their single fact scan (no scalar-broadcast re-derivation)
+    assert(scanCount(Etl.a18IncrementalPartitions(spark, sfDir), "events") == 1)
+    assert(scanCount(Events.c9RfmSegments(spark, sfDir), "events") == 1)
+    assert(scanCount(Events.c8InterEvent(spark, sfDir), "events") == 1)
+    assert(scanCount(CorpusOps.d37LengthProfile(spark, sfDir), "documents") == 1)
+    assert(scanCount(CorpusOps.d33TrainWindows(spark, sfDir), "documents") == 1)
+    assert(scanCount(CorpusOps.d34IdfTerms(spark, sfDir), "documents") == 1)
+    assert(scanCount(Analytics.q37BlameSupplier(spark, sfDir), "lineitem") == 1)
+    assert(scanCount(Analytics.q38PartShare(spark, sfDir), "lineitem") == 1)
   }
 
   test("q37 window form equals the textbook EXISTS/NOT-EXISTS formulation") {

@@ -129,6 +129,42 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(merged(3L) == ("pending", null)) // partial key match is no match
   }
 
+  test("jsonl/csv ingest: bad lines quarantine, good rows parse typed") {
+    import graft.sources.TextSources
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val dir = Files.createTempDirectory("graft_src").toString
+    // 3 good lines, 1 broken JSON, 1 type mismatch — neither may kill the load
+    Files.write(java.nio.file.Paths.get(s"$dir/docs.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "source": "web", "text": "alpha beta"}""",
+      """{"doc_id": 2, "source": "web", "text": "gamma"}""",
+      """{"doc_id": "not-a-number", "source": "web", "text": "bad type"}""",
+      """{"doc_id": 4, "source": "api"""",
+      """{"doc_id": 5, "source": "api", "text": "delta"}"""))
+    val load = TextSources.readJsonl(spark, s"$dir/docs.jsonl", schema)
+    try {
+      assert(load.good.count() == 3)
+      assert(load.good.schema("doc_id").dataType == LongType)
+      assert(load.quarantine.count() == 2)
+      // quarantine carries the raw line + the a9-style error status
+      assert(load.quarantine.filter(col("status") =!= "error").count() == 0)
+      assert(load.quarantine.filter(col("raw_line").contains("not-a-number")).count() == 1)
+    } finally load.release()
+    // CSV control-table shape under the same contract
+    Files.write(java.nio.file.Paths.get(s"$dir/control.csv"), java.util.Arrays.asList(
+      "id,city,status", "1,springfield,", "oops-no-id,x,pending", "3,shelbyville,done"))
+    val cschema = StructType(Seq(
+      StructField("id", LongType), StructField("city", StringType),
+      StructField("status", StringType)))
+    val cload = TextSources.readCsv(spark, s"$dir/control.csv", cschema)
+    try {
+      assert(cload.good.count() == 2)
+      assert(cload.quarantine.count() == 1)
+    } finally cload.release()
+  }
+
   test("streaming curation matches the batch composition across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
