@@ -593,7 +593,7 @@ object CorpusOps {
         col("quality_ok"), col("exact_canonical"))
     val labels = sharedClusters(spark, dir)
       .select(col("node").as("doc_id"), col("lab"))
-    val contam = TextOps.d20Contamination(spark, dir)
+    val contam = TextOps.sharedContamination(spark, dir)
       .select(col("doc_id"), lit(true).as("contaminated"))
     val wide = flagged
       .join(labels, Seq("doc_id"), "left_outer")

@@ -67,7 +67,7 @@ object DedupOps {
     * (DISK-spillable — the cluster analogue is a checkpoint to the
     * shuffle service / object store). The memo also spans queries, so
     * d8 after d6 pays zero shingle cost. */
-  private def shared(spark: SparkSession, dir: String, key: String)
+  private[operators] def shared(spark: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame = subplanCache.synchronized {
     // reentrant (shared stages build on each other), hence not computeIfAbsent
     val k = (spark, dir, key)

@@ -744,13 +744,22 @@ object TextOps {
     * 3-gram with any of them is reported. The real-world use: catch
     * training documents that quote (or duplicate) eval data before a
     * training run does. */
-  def d20Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    contaminationAgainst(
-      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
-      docs.filter(pmod(col("doc_id"), lit(97)) === 0))
-      .orderBy(col("doc_id"))
-  }
+  /** Contamination hits materialized ONCE per (session, dataset) in
+    * the shared-cache lifecycle (the d6 verified-pairs lesson applied
+    * here): the shingle equi-join runs once and its two consumers —
+    * d20's report and d35's funnel stage — read the tiny
+    * (doc_id, counts) frame. Released with the rest of the dedup
+    * caches. */
+  private[operators] def sharedContamination(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.shared(spark, dir, "contam") {
+      val docs = Tables.documents(spark, dir)
+      contaminationAgainst(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }
+
+  def d20Contamination(spark: SparkSession, dir: String): DataFrame =
+    sharedContamination(spark, dir).orderBy(col("doc_id"))
 
   val d20Sql: String =
     """WITH toks AS (
