@@ -1028,7 +1028,49 @@ object Analytics {
       |WHERE qty_dec * 5 > tot_dec
       |ORDER BY p_partkey, s_name""".stripMargin
 
+  /** q39: year-over-year revenue growth per customer nation — the
+    * trend report behind q29/q35's snapshots. The fact reduces to
+    * (nation, year) revenue in one pass (dims broadcast, one group
+    * exchange); growth is a lag window over the REDUCED frame
+    * (|nations|·|years| rows), DECIMAL sums with a single final double
+    * division per output row. NULL growth on each nation's first year
+    * (no prior), by construction in both engines. */
+  def q39YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenue).as("rev_dec"))
+    per
+      .withColumn("prev_dec",
+        lag(col("rev_dec"), 1).over(
+          Window.partitionBy(col("nation")).orderBy(col("o_year"))))
+      .select(col("nation"), col("o_year"),
+        col("rev_dec").cast("double").as("revenue"),
+        ((col("rev_dec") - col("prev_dec")).cast("double") /
+          col("prev_dec").cast("double")).as("yoy_growth"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val q39Sql: String =
+    """WITH per AS (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, lag(rev_dec) OVER (PARTITION BY nation ORDER BY o_year) AS prev_dec
+      |  FROM per)
+      |SELECT nation, o_year, CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(rev_dec - prev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE) AS yoy_growth
+      |FROM w ORDER BY nation, o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_yoy_growth" -> (q39YoyGrowth _),
     "q37_blame_supplier" -> (q37BlameSupplier _),
     "q38_part_share" -> (q38PartShare _),
     "q33_top_supplier" -> (q33TopSupplier _),
@@ -1068,6 +1110,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q39_yoy_growth" -> q39Sql,
     "q37_blame_supplier" -> q37Sql,
     "q38_part_share" -> q38Sql,
     "q33_top_supplier" -> q33Sql,

@@ -472,13 +472,64 @@ object DedupOps {
       |pd AS (SELECT tau, count(DISTINCT doc) AS n_docs FROM mem GROUP BY tau)
       |SELECT tau, n_pairs, n_docs FROM pp JOIN pd USING (tau) ORDER BY tau""".stripMargin
 
+  /** d39: cross-source duplicate leakage — WHICH sources copy from
+    * each other: verified near-dup pairs bucketed by their documents'
+    * (source_a, source_b), unordered pair normalized so (web,api) and
+    * (api,web) aggregate together. The provenance dashboard behind a
+    * crawl-overlap decision (two mirrors of the same site → drop one
+    * feed, not post-hoc dedup forever). Prices as the cached pairs
+    * frame + an ids-only join against the (doc_id, source) projection —
+    * the LSH+verify pipeline never re-runs; in-source pairs are
+    * reported too (the within/cross split is the point). */
+  def d39CrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = sharedVerifiedPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+    pairs
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .select(col("source_a"), col("source_b"),
+        (col("source_a") =!= col("source_b")).as("cross_source"),
+        col("n_pairs"), col("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val d39Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |verified AS (SELECT * FROM pairs WHERE jaccard >= 0.5),
+      |tagged AS (
+      |  SELECT least(da.source, db.source) AS source_a,
+      |    greatest(da.source, db.source) AS source_b, jaccard
+      |  FROM verified
+      |  JOIN documents da ON doc_a = da.doc_id
+      |  JOIN documents db ON doc_b = db.doc_id)
+      |SELECT source_a, source_b, source_a <> source_b AS cross_source,
+      |  count(*) AS n_pairs, max(jaccard) AS max_jaccard
+      |FROM tagged GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d39_cross_source_dups" -> (d39CrossSourceDups _),
     "d38_dedup_sensitivity" -> (d38DedupSensitivity _),
     "d6_dedup_minhash" -> (d6DedupMinhash _),
     "d7_dedup_simhash" -> (d7DedupSimhash _),
     "d28_fuzzy_topk" -> (d28FuzzyTopk _))
 
   val oracles: Map[String, String] = Map(
+    "d39_cross_source_dups" -> d39Sql,
     "d38_dedup_sensitivity" -> d38Sql,
     "d6_dedup_minhash" -> d6Sql,
     "d7_dedup_simhash" -> d7Sql,

@@ -213,6 +213,34 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("q39 YoY growth: first year NULL, growth reproduces revenue ratios") {
+    val out = Analytics.q39YoyGrowth(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation")).orderBy(col("o_year"))
+    val checked = out.withColumn("rn", row_number().over(w))
+      .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+    // exactly the first year per nation lacks growth
+    assert(checked.filter((col("rn") === 1) =!= col("yoy_growth").isNull).count() == 0)
+    // growth equals the double ratio of consecutive revenues
+    val bad = checked.filter(col("yoy_growth").isNotNull &&
+      abs(col("yoy_growth") - (col("revenue") - col("prev_rev")) / col("prev_rev")) > 1e-12)
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("d39 cross-source dups: pair mass conserved, sides ordered") {
+    val out = DedupOps.d39CrossSourceDups(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // every verified pair lands in exactly one (source_a, source_b) bucket
+    val totalPairs = out.agg(sum("n_pairs")).head.getLong(0)
+    assert(totalPairs == DedupOps.d6DedupMinhash(spark, sfDir).count())
+    assert(out.filter(col("source_a") > col("source_b")).count() == 0)
+    assert(out.filter(col("cross_source") =!= (col("source_a") =!= col("source_b"))).count() == 0)
+    assert(out.filter(col("max_jaccard") < 0.5).count() == 0)
+    out.unpersist()
+  }
+
   test("d38 sensitivity sweep: monotone in tau and consistent with d6") {
     val out = DedupOps.d38DedupSensitivity(spark, sfDir).cache()
     val rows = out.orderBy("tau").collect()
