@@ -1069,7 +1069,55 @@ object Analytics {
       |  CAST(rev_dec - prev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE) AS yoy_growth
       |FROM w ORDER BY nation, o_year""".stripMargin
 
+  /** q40: 90-day rolling revenue per customer nation (1997) — the
+    * RANGE-frame window capability (q23's cumulative frame is
+    * ROWS-based; this frame is VALUE-based: all days within 89 of the
+    * current day, present or not). The order key is an integer day
+    * number (epoch days), so the range frame is engine-portable —
+    * RANGE over raw timestamps drags engine-specific interval
+    * semantics into the frame boundary. One fact pass reduces to
+    * (nation, day) DECIMAL revenue; the window slides over that
+    * reduced frame. */
+  def q40RollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), to_date(col("o_orderdate")).as("o_date"))
+      .agg(sum(revenue).as("day_dec"))
+      .withColumn("day_num", datediff(col("o_date"), lit("1970-01-01").cast("date")))
+    per
+      .withColumn("roll_dec", sum(col("day_dec")).over(
+        Window.partitionBy(col("nation")).orderBy(col("day_num"))
+          .rangeBetween(-89, Window.currentRow)))
+      .select(col("nation"), col("o_date"),
+        col("day_dec").cast("double").as("day_revenue"),
+        col("roll_dec").cast("double").as("rolling_90d_revenue"))
+      .orderBy(col("nation"), col("o_date"))
+  }
+
+  val q40Sql: String =
+    """WITH per AS (
+      |  SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS o_date,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS day_dec,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2, 4)
+      |SELECT nation, o_date,
+      |  CAST(day_dec AS DOUBLE) AS day_revenue,
+      |  CAST(sum(day_dec) OVER (PARTITION BY nation ORDER BY day_num
+      |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_90d_revenue
+      |FROM per ORDER BY nation, o_date""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_rolling_revenue" -> (q40RollingRevenue _),
     "q39_yoy_growth" -> (q39YoyGrowth _),
     "q37_blame_supplier" -> (q37BlameSupplier _),
     "q38_part_share" -> (q38PartShare _),
@@ -1110,6 +1158,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q40_rolling_revenue" -> q40Sql,
     "q39_yoy_growth" -> q39Sql,
     "q37_blame_supplier" -> q37Sql,
     "q38_part_share" -> q38Sql,

@@ -213,6 +213,26 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("q40 rolling revenue: window bounds respected, spot-check via re-aggregation") {
+    val out = Analytics.q40RollingRevenue(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // rolling ≥ same-day revenue, and a 90-day window never exceeds the year total
+    assert(out.filter(col("rolling_90d_revenue") < col("day_revenue") - 1e-9).count() == 0)
+    // independent check: re-derive one nation's rolling sums from its daily rows
+    val nation = out.select("nation").head.getString(0)
+    val daily = out.filter(col("nation") === nation)
+      .select("o_date", "day_revenue").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1)))
+    val rolled = out.filter(col("nation") === nation)
+      .select("o_date", "rolling_90d_revenue").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1))).toMap
+    daily.foreach { case (day, _) =>
+      val expect = daily.filter(d => d._1 <= day && d._1 >= day - 89).map(_._2).sum
+      assert(math.abs(rolled(day) - expect) < 1e-6, s"day $day: ${rolled(day)} vs $expect")
+    }
+    out.unpersist()
+  }
+
   test("q39 YoY growth: first year NULL, growth reproduces revenue ratios") {
     val out = Analytics.q39YoyGrowth(spark, sfDir).cache()
     assert(out.count() > 0)
