@@ -204,11 +204,40 @@ object MultimodalOps {
       .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"), col("cos"))
   }
 
+  /** e3: shard-manifest efficiency report — what a dataloader owner
+    * checks before training: per (source, shard), blob count, used
+    * bytes, and the fill factor against the shard budget. Blobs are
+    * assigned by START offset (e2's rule), so a boundary-straddling
+    * blob's bytes count toward its start shard and fill can slightly
+    * exceed 1 — the honest accounting for "blob never split". A
+    * reduce over e2's manifest: same single scan + per-source window,
+    * one more group exchange over manifest rows. */
+  def e3ShardStats(spark: SparkSession, dir: String): DataFrame =
+    e2BlobShard(spark, dir)
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes").cast("long")).as("used_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill", col("used_bytes").cast("double") / lit(ShardBytes.toDouble))
+      .orderBy(col("source"), col("shard_idx"))
+
+  val e3Sql: String =
+    s"""WITH manifest AS ($e2Sql)
+       |SELECT source, shard_idx, count(*) AS n_blobs,
+       |  CAST(sum(n_bytes) AS BIGINT) AS used_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(sum(n_bytes) AS BIGINT) / CAST($ShardBytes AS DOUBLE) AS fill
+       |FROM manifest GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_multimodal_meta" -> (e1MultimodalMeta _),
-    "e2_blob_shard" -> (e2BlobShard _))
+    "e2_blob_shard" -> (e2BlobShard _),
+    "e3_shard_stats" -> (e3ShardStats _))
 
   val oracles: Map[String, String] = Map(
     "e1_multimodal_meta" -> e1Sql,
-    "e2_blob_shard" -> e2Sql)
+    "e2_blob_shard" -> e2Sql,
+    "e3_shard_stats" -> e3Sql)
 }

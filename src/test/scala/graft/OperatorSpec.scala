@@ -213,6 +213,20 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("e3 shard stats: byte mass conserved, shard indices contiguous") {
+    val out = MultimodalOps.e3ShardStats(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val total = out.agg(sum("used_bytes")).head.getLong(0)
+    val expected = Tables.documents(spark, sfDir)
+      .agg(sum(octet_length(col("text").cast("binary")).cast("long"))).head.getLong(0)
+    assert(total == expected)
+    // shards run 0..max with no holes within a source
+    val per = out.groupBy("source").agg(min("shard_idx").as("mn"),
+      max("shard_idx").as("mx"), count(lit(1)).as("n"))
+    assert(per.filter(col("mn") =!= 0 || col("n") =!= col("mx") + 1).count() == 0)
+    out.unpersist()
+  }
+
   test("q40 rolling revenue: window bounds respected, spot-check via re-aggregation") {
     val out = Analytics.q40RollingRevenue(spark, sfDir).cache()
     assert(out.count() > 0)
