@@ -445,6 +445,78 @@ object TextOps {
        |FROM h WHERE sample_bucket < rate_permille ORDER BY doc_id""".stripMargin
   }
 
+  /** d40: URL canonicalization dedup — the d5-for-URLs every crawl
+    * pipeline runs BEFORE fetching (collapsing scheme/host case,
+    * default ports, tracking params, and trailing slashes can kill a
+    * large fraction of a frontier without touching content). The test
+    * corpus carries no URL column, so each doc synthesizes a messy URL
+    * deterministically (case variance, :443, utm_* params, trailing
+    * slash — the d18 injection idiom, replayed identically by the
+    * oracle), and ~7 docs share each canonical target so real dup
+    * groups emerge. Canonicalization is a chained regexp projection
+    * (row-local, codegen'd; backreference-free patterns — Spark uses
+    * $1 where DuckDB uses \1, so portable rules avoid captures);
+    * groups form over one canonical-key exchange, min-id canonical
+    * (d5's rule). */
+  def d40UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scheme = when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://")).otherwise(lit("https://"))
+    val host = when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.example.org"))
+      .otherwise(lit("www.example.org"))
+    val port = when(pmod(col("doc_id"), lit(5)) === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/articles/"), pmod(col("doc_id"), lit(50)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")))
+    val query = concat(
+      when(pmod(col("doc_id"), lit(2)) === 1, lit("?utm_source=rss")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        when(pmod(col("doc_id"), lit(2)) === 1, lit("&page=2")).otherwise(lit("?page=2")))
+        .otherwise(lit("")))
+    val url = concat(scheme, host, port, path, query)
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), ":443/", "/"),
+            "utm_[a-z]+=[a-z0-9]*&?", ""),
+          "[?&]$", ""),
+        "/$", "")
+    val wC = Window.partitionBy(col("canonical_url"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"), canon.as("canonical_url"))
+      .withColumn("group_size", count(lit(1)).over(wC))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(wC))
+      .orderBy(col("doc_id"))
+  }
+
+  val d40Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    concat(
+      |      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+      |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.example.org' ELSE 'www.example.org' END,
+      |      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+      |      '/articles/', CAST(doc_id % 50 AS VARCHAR),
+      |      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      |      CASE WHEN doc_id % 2 = 1 THEN '?utm_source=rss' ELSE '' END,
+      |      CASE WHEN doc_id % 11 = 0 THEN
+      |        CASE WHEN doc_id % 2 = 1 THEN '&page=2' ELSE '?page=2' END
+      |      ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(lower(url), ':443/', '/', 'g'),
+      |          'utm_[a-z]+=[a-z0-9]*&?', '', 'g'),
+      |        '[?&]$', '', 'g'),
+      |      '/$', '', 'g') AS canonical_url
+      |  FROM u)
+      |SELECT doc_id, url, canonical_url,
+      |  count(*) OVER (PARTITION BY canonical_url) AS group_size,
+      |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_canonical
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Docs kept per domain by d30. */
   val DomainCap = 5
 
@@ -847,6 +919,7 @@ object TextOps {
     "d15_corpus_filter" -> (d15CorpusFilter _),
     "d16_stratified_sample" -> (d16StratifiedSample _),
     "d30_domain_cap" -> (d30DomainCap _),
+    "d40_url_canonical" -> (d40UrlCanonical _),
     "d31_source_divergence" -> (d31SourceDivergence _),
     "d3_quality_score" -> (d3QualityScore _),
     "d4_fingerprint" -> (d4Fingerprint _),
@@ -868,6 +941,7 @@ object TextOps {
     "d15_corpus_filter" -> d15Sql,
     "d16_stratified_sample" -> d16Sql,
     "d30_domain_cap" -> d30Sql,
+    "d40_url_canonical" -> d40Sql,
     "d31_source_divergence" -> d31Sql,
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,

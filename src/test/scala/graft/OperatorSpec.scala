@@ -213,6 +213,24 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("d40 url canonical: rules collapse noise, groups form, one canonical each") {
+    val out = TextOps.d40UrlCanonical(spark, sfDir).cache()
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    // canonical urls carry none of the stripped noise
+    val dirty = out.filter(col("canonical_url").contains(":443") ||
+      col("canonical_url").contains("utm_") || col("canonical_url").rlike("[?&]$") ||
+      col("canonical_url").rlike("/$") || col("canonical_url").rlike("[A-Z]"))
+    assert(dirty.count() == 0)
+    // real dedup happened (path sharing) and every group keeps exactly one canonical
+    assert(out.filter(col("group_size") > 1).count() > 0)
+    val perGroup = out.groupBy("canonical_url")
+      .agg(count(when(col("is_canonical"), 1)).as("n_canon"), count(lit(1)).as("n"))
+    assert(perGroup.filter(col("n_canon") =!= 1).count() == 0)
+    // kept params survive: page=2 urls stay distinct from their paramless twins
+    assert(out.filter(col("canonical_url").contains("page=2")).count() > 0)
+    out.unpersist()
+  }
+
   test("e3 shard stats: byte mass conserved, shard indices contiguous") {
     val out = MultimodalOps.e3ShardStats(spark, sfDir).cache()
     assert(out.count() > 0)
