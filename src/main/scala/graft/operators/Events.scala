@@ -326,7 +326,49 @@ object Events {
       |  concat(r_q, f_q, m_q) AS segment
       |FROM q ORDER BY user_id""".stripMargin
 
+  /** c10: per-session outcome stats — c2 counts sessions; this keeps
+    * the SESSION as the row (the grain funnel/conversion analytics
+    * live at): same 30-min-gap rule, session ids via a cumulative sum
+    * of c2's new-session flags over the SAME user window (both windows
+    * share one user_id exchange), then one (user, session) aggregate:
+    * event count, duration (integer epoch-micros math), and whether
+    * the session converted (contains a purchase). */
+  def c10SessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").as("duration_sec"),
+        (countIf(col("event_type") === "purchase") > 0).as("converted"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val c10Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS converted
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_session_stats" -> (c10SessionStats _),
     "c9_rfm_segments" -> (c9RfmSegments _),
     "c8_inter_event" -> (c8InterEvent _),
     "c1_hourly_window" -> (c1HourlyWindow _),
@@ -338,6 +380,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c10_session_stats" -> c10Sql,
     "c9_rfm_segments" -> c9Sql,
     "c8_inter_event" -> c8Sql,
     "c1_hourly_window" -> c1Sql,

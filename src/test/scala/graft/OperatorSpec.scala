@@ -213,6 +213,25 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("c10 session stats agree with c2's per-user session counts") {
+    val out = Events.c10SessionStats(spark, sfDir).cache()
+    // session grain reconciles exactly with c2's user grain
+    val fromC10 = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val c2 = Events.c2Sessionize(spark, sfDir)
+      .withColumnRenamed("n_sessions", "c2_sessions")
+      .withColumnRenamed("n_events", "c2_events")
+    val joined = fromC10.join(c2, "user_id")
+    assert(joined.filter(col("n_sessions") =!= col("c2_sessions") ||
+      col("n_events") =!= col("c2_events")).count() == 0)
+    // sessions are dense 1..n per user; durations non-negative; both outcomes occur
+    assert(out.filter(col("session_seq") < 1).count() == 0)
+    assert(out.filter(col("duration_sec") < 0).count() == 0)
+    assert(out.filter(col("converted")).count() > 0)
+    assert(out.filter(!col("converted")).count() > 0)
+    out.unpersist()
+  }
+
   test("d40 url canonical: rules collapse noise, groups form, one canonical each") {
     val out = TextOps.d40UrlCanonical(spark, sfDir).cache()
     assert(out.count() == Tables.documents(spark, sfDir).count())
