@@ -439,19 +439,19 @@ object DedupOps {
     * jaccard ≥ 0.5, so every sweep point is exact, not an estimate).
     * Thresholds explode against the tiny pairs frame; the member
     * explode feeds an exact distinct-doc count. */
-  def d38DedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
-    val sel = sharedVerifiedPairs(spark, dir)
+  def d38DedupSensitivity(spark: SparkSession, dir: String): DataFrame =
+    sharedVerifiedPairs(spark, dir)
       .select(explode(array(SweepTaus.map(lit(_)): _*)).as("tau"),
         col("jaccard"), col("doc_a"), col("doc_b"))
       .filter(col("jaccard") >= col("tau"))
-    val perPairs = sel.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
-    val perDocs = sel
+      // one aggregate over the member explode: each pair contributes
+      // exactly two member rows, so n_pairs = rows div 2 (integer-exact)
+      // — no second aggregate joined back on a floating-point tau key
       .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-      .groupBy(col("tau")).agg(count_distinct(col("doc")).as("n_docs"))
-    perPairs.join(perDocs, "tau")
-      .select(col("tau"), col("n_pairs"), col("n_docs"))
+      .groupBy(col("tau"))
+      .agg(expr("count(*) div 2").as("n_pairs"),
+        count_distinct(col("doc")).as("n_docs"))
       .orderBy(col("tau"))
-  }
 
   val d38Sql: String =
     """WITH toks AS (
