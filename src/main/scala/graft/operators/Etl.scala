@@ -789,7 +789,69 @@ object Etl {
        |WHERE epoch_us(last_ts) > epoch_us(asof_ts) - $IncrementalHorizonHours * 3600000000
        |ORDER BY source, y, m, d, h""".stripMargin
 
+  /** Lease horizon for a19 (hours a claimed item may run before it is
+    * presumed dead and reclaimed). */
+  val LeaseHours = 48L
+
+  /** a19: stale-lease reclamation — the control-table lifecycle piece
+    * between a1 (claim pending) and a2/a9 (write back results): a
+    * worker that claimed an item and died leaves it stuck
+    * "in progress" forever unless a reaper resets it. Claimed items =
+    * orders still open ('O' stands in for claimed) whose LAST activity
+    * (latest shipment — the worker's heartbeat) is older than the
+    * lease horizon at the data-derived as-of (a11's reproducibility
+    * rule: corpus max, no wall clock). Output is the writeback frame:
+    * expired leases → status 'pending' + incremented retry generation
+    * (a17's attempt derivation), live leases pass through. One fact
+    * reduce + one keyed join; epoch-micros integer comparison. */
+  def a19LeaseReclaim(spark: SparkSession, dir: String): DataFrame = {
+    val lastBeat = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_beat"))
+    val asof = max(unix_micros(col("last_beat").cast("timestamp"))).over(Window.partitionBy())
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .join(lastBeat, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .withColumn("asof_us", asof)
+      .select(
+        col("o_orderkey").as("item_id"),
+        col("last_beat"),
+        (col("last_beat").isNull ||
+          unix_micros(col("last_beat").cast("timestamp")) <
+            col("asof_us") - LeaseHours * 3600000000L).as("expired"))
+      .withColumn("new_status",
+        when(col("expired"), lit("pending")).otherwise(lit("in_progress")))
+      .withColumn("retry_generation",
+        when(col("expired"), (pmod(col("item_id"), lit(12)) + 1).cast("int") + 1)
+          .otherwise((pmod(col("item_id"), lit(12)) + 1).cast("int")))
+      .select(col("item_id"), col("last_beat"), col("expired"),
+        col("new_status"), col("retry_generation"))
+      .orderBy(col("item_id"))
+  }
+
+  val a19Sql: String =
+    s"""WITH beat AS (
+       |  SELECT l_orderkey, max(l_shipdate) AS last_beat
+       |  FROM lineitem GROUP BY l_orderkey),
+       |j AS (
+       |  SELECT o_orderkey AS item_id, last_beat
+       |  FROM orders LEFT JOIN beat ON o_orderkey = l_orderkey
+       |  WHERE o_orderstatus = 'O'),
+       |w AS (
+       |  SELECT *, max(epoch_us(CAST(last_beat AS TIMESTAMP))) OVER () AS asof_us FROM j),
+       |f AS (
+       |  SELECT item_id, last_beat,
+       |    (last_beat IS NULL OR epoch_us(CAST(last_beat AS TIMESTAMP))
+       |      < asof_us - $LeaseHours * 3600000000) AS expired
+       |  FROM w)
+       |SELECT item_id, last_beat, expired,
+       |  CASE WHEN expired THEN 'pending' ELSE 'in_progress' END AS new_status,
+       |  CAST(CASE WHEN expired THEN item_id % 12 + 2
+       |            ELSE item_id % 12 + 1 END AS INTEGER) AS retry_generation
+       |FROM f ORDER BY item_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a19_lease_reclaim" -> (a19LeaseReclaim _),
     "a18_incremental_partitions" -> (a18IncrementalPartitions _),
     "a17_retry_schedule" -> (a17RetrySchedule _),
     "a14_html_extract" -> (a14HtmlExtract _),
@@ -810,6 +872,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a19_lease_reclaim" -> a19Sql,
     "a18_incremental_partitions" -> a18Sql,
     "a17_retry_schedule" -> a17Sql,
     "a14_html_extract" -> a14Sql,

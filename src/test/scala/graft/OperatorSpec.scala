@@ -213,6 +213,23 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("a19 lease reclaim: expiry rule, generation bump, full claimed coverage") {
+    val out = Etl.a19LeaseReclaim(spark, sfDir).cache()
+    val claimed = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O").count()
+    assert(out.count() == claimed)
+    // status follows expiry; generation bumps exactly on expiry
+    assert(out.filter(col("expired") =!= (col("new_status") === "pending")).count() == 0)
+    val base = pmod(col("item_id"), lit(12)) + 1
+    assert(out.filter(col("retry_generation") =!=
+      when(col("expired"), base + 1).otherwise(base).cast("int")).count() == 0)
+    // an item with no heartbeat at all is always reclaimed
+    assert(out.filter(col("last_beat").isNull && !col("expired")).count() == 0)
+    // both branches occur
+    assert(out.filter(col("expired")).count() > 0)
+    assert(out.filter(!col("expired")).count() > 0)
+    out.unpersist()
+  }
+
   test("c10 session stats agree with c2's per-user session counts") {
     val out = Events.c10SessionStats(spark, sfDir).cache()
     // session grain reconciles exactly with c2's user grain
