@@ -17,6 +17,34 @@ class PropertySpec extends GraftSpec {
   private val vecGen: Gen[List[List[Float]]] =
     Gen.listOfN(100, Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 7.0f)))
 
+  test("topk_by_score aggregate ≡ driver-side sort-take under ties and short groups") {
+    import spark.implicits._
+    // adversarial shape: heavy score ties (quantized scores), duplicate
+    // ids across queries, and groups smaller than k
+    val rowGen: Gen[List[(Long, Long, Double)]] = Gen.listOfN(600,
+      for {
+        q <- Gen.chooseNum(0L, 9L)
+        id <- Gen.chooseNum(0L, 80L)
+        s <- Gen.chooseNum(0, 20).map(_ / 10.0)
+      } yield (q, id, s))
+    val rows = sample(rowGen, 7L).distinct // (query, id) must be unique per group
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+    val k = 5
+    val scored = rows.toDF("query_id", "neighbor_id", "cos")
+    val got = VectorOps.topKPerQuery(scored, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // reference: plain driver-side sort by (cos desc, id asc), take k
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (q, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+        .map { case ((_, id, s), i) => (q, id, s, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == expect)
+    // short groups surface all members (some queries have < k candidates)
+    assert(expect.groupBy(_._1).values.exists(_.size < k) ||
+      rows.groupBy(_._1).values.forall(_.size >= k))
+  }
+
   test("cosine/dot: symmetric, self-similar, and exactly the sequential fold") {
     import spark.implicits._
     val vs = sample(vecGen, 1L)
