@@ -730,7 +730,52 @@ object CorpusOps {
       |  max(CASE WHEN rn = CAST(ceil(cnt * 9 / 10.0) AS BIGINT) THEN n_chars END) AS p90_chars
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** d41: packing-efficiency report — the ROI table behind choosing
+    * d24's concat-and-chunk over naive one-doc-per-sequence batching:
+    * per source, the sequence count and padding waste of BOTH layouts
+    * at SeqLen. Packed needs ⌈Σtok/L⌉ sequences (docs share
+    * sequences); padded needs Σ⌈tok_i/L⌉ (each doc pads its own
+    * last sequence). All-integer arithmetic (`div` ceilings) until
+    * the two final waste ratios; one corpus scan, one source
+    * exchange. */
+  def d41PackingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val L = SeqLen
+    Tables.documents(spark, dir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        sum(expr(s"CAST((n_tok + ${L - 1}) div $L AS BIGINT)")).as("padded_seqs"))
+      .withColumn("packed_seqs", expr(s"(total_tokens + ${L - 1}) div $L"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("packed_seqs"), col("padded_seqs"),
+        ((col("packed_seqs") * L - col("total_tokens")).cast("double") /
+          (col("packed_seqs") * L)).as("packed_waste"),
+        ((col("padded_seqs") * L - col("total_tokens")).cast("double") /
+          (col("padded_seqs") * L)).as("padded_waste"))
+      .orderBy(col("source"))
+  }
+
+  val d41Sql: String =
+    s"""WITH sized AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tok
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |    CAST(sum((n_tok + ${SeqLen - 1}) // $SeqLen) AS BIGINT) AS padded_seqs
+       |  FROM sized WHERE n_tok > 0 GROUP BY source),
+       |w AS (SELECT *, (total_tokens + ${SeqLen - 1}) // $SeqLen AS packed_seqs FROM per)
+       |SELECT source, n_docs, total_tokens, packed_seqs, padded_seqs,
+       |  CAST(packed_seqs * $SeqLen - total_tokens AS DOUBLE) / (packed_seqs * $SeqLen) AS packed_waste,
+       |  CAST(padded_seqs * $SeqLen - total_tokens AS DOUBLE) / (padded_seqs * $SeqLen) AS padded_waste
+       |FROM w ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d41_packing_efficiency" -> (d41PackingEfficiency _),
     "d37_length_profile" -> (d37LengthProfile _),
     "d35_corpus_funnel" -> (d35CorpusFunnel _),
     "d33_train_windows" -> (d33TrainWindows _),
@@ -742,6 +787,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d41_packing_efficiency" -> d41Sql,
     "d37_length_profile" -> d37Sql,
     "d35_corpus_funnel" -> d35Sql,
     "d33_train_windows" -> d33Sql,

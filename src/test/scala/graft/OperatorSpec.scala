@@ -346,6 +346,20 @@ class OperatorSpec extends GraftSpec {
     out.unpersist()
   }
 
+  test("d41 packing efficiency reconciles exactly with d24's manifest") {
+    val out = CorpusOps.d41PackingEfficiency(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // packing can never need more sequences than padding, and wastes less
+    assert(out.filter(col("packed_seqs") > col("padded_seqs")).count() == 0)
+    assert(out.filter(col("packed_waste") > col("padded_waste") + 1e-12).count() == 0)
+    // packed_seqs agrees with the real d24 manifest (max last_seq + 1)
+    val fromD24 = CorpusOps.d24SequencePack(spark, sfDir)
+      .groupBy("source").agg((max("last_seq") + 1).as("seqs"))
+    val j = out.join(fromD24, "source")
+    assert(j.filter(col("packed_seqs") =!= col("seqs")).count() == 0)
+    out.unpersist()
+  }
+
   test("d37 length profile: percentile ordering and mass conservation") {
     val out = CorpusOps.d37LengthProfile(spark, sfDir).cache()
     assert(out.count() > 0)
