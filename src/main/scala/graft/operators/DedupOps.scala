@@ -426,6 +426,64 @@ object DedupOps {
       |SELECT query_id, match_id, jaccard FROM ranked WHERE rk = 1
       |ORDER BY query_id""".stripMargin
 
+  /** d42: incremental (snapshot-vs-corpus) dedup — the continuous-crawl
+    * operator: before ADMITTING a new batch of documents, flag each one
+    * that is a near-dup of the EXISTING corpus and name its best match.
+    * The batch is the deterministic doc_id % 10 = 7 split (a held-out
+    * "new crawl snapshot"); the existing corpus is everything else.
+    *
+    * Prices as a FILTER over the shared verified-pairs cache: the pairs
+    * frame is complete for jaccard ≥ 0.5 over batch ∪ corpus, so
+    * batch-vs-corpus dup status is exactly the pairs with one endpoint
+    * on each side — the LSH + verify pipeline never re-runs, and on a
+    * real deployment the incremental check reuses the corpus-side
+    * signatures/bands as-is (only the new batch gets shingled). Best
+    * match per batch doc via the d28 max_by idiom (map-side partials,
+    * (jaccard desc, match_id asc) tie-break); clean docs survive the
+    * left join with is_dup = false. */
+  def d42IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    def inBatch(c: Column): Column = pmod(c, lit(10)) === 7
+    val pairs = sharedVerifiedPairs(spark, dir)
+    val hits = pairs
+      .filter(inBatch(col("doc_a")) =!= inBatch(col("doc_b")))
+      .select(
+        when(inBatch(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        when(inBatch(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("cand"),
+        col("jaccard"))
+    val best = hits.groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("cand"), col("jaccard")),
+        struct(col("jaccard"), (-col("cand")).as("tie"))).as("best"))
+    Tables.documents(spark, dir)
+      .filter(inBatch(col("doc_id")))
+      .select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("best").isNotNull.as("is_dup"),
+        col("best.cand").as("match_id"), col("best.jaccard").as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d42Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |hits AS (
+      |  SELECT q.doc_id AS doc_id, c.doc_id AS cand,
+      |    CAST(len(list_intersect(q.s, c.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(q.s, c.s))) AS jaccard
+      |  FROM sh q JOIN sh c ON q.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+      |best AS (
+      |  SELECT doc_id, cand AS match_id, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, cand) AS rk
+      |  FROM hits WHERE jaccard >= 0.5)
+      |SELECT d.doc_id, b.match_id IS NOT NULL AS is_dup, b.match_id, b.jaccard
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+      |WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin
+
   /** Thresholds for d38's sensitivity sweep — all ≥ the pair cache's
     * τ=0.5 floor, below which pairs are (by design) not materialized. */
   val SweepTaus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
@@ -522,6 +580,7 @@ object DedupOps {
       |FROM tagged GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d42_incremental_dedup" -> (d42IncrementalDedup _),
     "d39_cross_source_dups" -> (d39CrossSourceDups _),
     "d38_dedup_sensitivity" -> (d38DedupSensitivity _),
     "d6_dedup_minhash" -> (d6DedupMinhash _),
@@ -529,6 +588,7 @@ object DedupOps {
     "d28_fuzzy_topk" -> (d28FuzzyTopk _))
 
   val oracles: Map[String, String] = Map(
+    "d42_incremental_dedup" -> d42Sql,
     "d39_cross_source_dups" -> d39Sql,
     "d38_dedup_sensitivity" -> d38Sql,
     "d6_dedup_minhash" -> d6Sql,

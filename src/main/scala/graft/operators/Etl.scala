@@ -850,7 +850,67 @@ object Etl {
        |            ELSE item_id % 12 + 1 END AS INTEGER) AS retry_generation
        |FROM f ORDER BY item_id""".stripMargin
 
+  /** Columns a20 profiles for drift. */
+  private val DriftCols = Seq("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+  /** a20: schema/profile drift between two loads — the regression gate
+    * a pipeline runs when a NEW batch arrives: compare each column's
+    * profile (a12's null/distinct/range stats) between the previous
+    * load and the incoming one and flag drift. Loads are the
+    * deterministic even/odd o_orderdate-year split (load A = even
+    * years, B = odd). ONE scan: both loads' stats come from a single
+    * conditional-aggregation pass (never one scan per load), stacked to
+    * per-column rows like a12. Flags are exact: `range_widened` = B
+    * observed values outside A's [min, max] (typed comparison before
+    * stacking — no lossy casts); `drifted` = distinct-count change
+    * beyond 20%, tested as 5·|Δ| > distinct_A in pure integers. */
+  def a20SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val loadA = year(col("o_orderdate")) % 2 === 0
+    val aggs = DriftCols.flatMap { c =>
+      def side(name: String, cond: Column) = Seq(
+        sum(when(cond && col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls_$name"),
+        count_distinct(when(cond, col(c))).as(s"${c}_distinct_$name"),
+        min(when(cond, col(c))).as(s"${c}_min_$name"),
+        max(when(cond, col(c))).as(s"${c}_max_$name"))
+      side("a", loadA) ++ side("b", !loadA)
+    }
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = DriftCols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"${c}_nulls_a").as("n_nulls_a"),
+        col(s"${c}_nulls_b").as("n_nulls_b"),
+        col(s"${c}_distinct_a").as("n_distinct_a"),
+        col(s"${c}_distinct_b").as("n_distinct_b"),
+        (col(s"${c}_min_b") < col(s"${c}_min_a") ||
+          col(s"${c}_max_b") > col(s"${c}_max_a")).as("range_widened"),
+        (abs(col(s"${c}_distinct_b") - col(s"${c}_distinct_a")) * 5 >
+          col(s"${c}_distinct_a")).as("drifted"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  val a20Sql: String =
+    DriftCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  count(CASE WHEN year(o_orderdate) % 2 = 0 AND $c IS NULL THEN 1 END) AS n_nulls_a,
+         |  count(CASE WHEN year(o_orderdate) % 2 = 1 AND $c IS NULL THEN 1 END) AS n_nulls_b,
+         |  count(DISTINCT CASE WHEN year(o_orderdate) % 2 = 0 THEN $c END) AS n_distinct_a,
+         |  count(DISTINCT CASE WHEN year(o_orderdate) % 2 = 1 THEN $c END) AS n_distinct_b,
+         |  min(CASE WHEN year(o_orderdate) % 2 = 1 THEN $c END)
+         |    < min(CASE WHEN year(o_orderdate) % 2 = 0 THEN $c END)
+         |  OR max(CASE WHEN year(o_orderdate) % 2 = 1 THEN $c END)
+         |    > max(CASE WHEN year(o_orderdate) % 2 = 0 THEN $c END) AS range_widened,
+         |  abs(count(DISTINCT CASE WHEN year(o_orderdate) % 2 = 1 THEN $c END)
+         |    - count(DISTINCT CASE WHEN year(o_orderdate) % 2 = 0 THEN $c END)) * 5
+         |    > count(DISTINCT CASE WHEN year(o_orderdate) % 2 = 0 THEN $c END) AS drifted
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_schema_drift" -> (a20SchemaDrift _),
     "a19_lease_reclaim" -> (a19LeaseReclaim _),
     "a18_incremental_partitions" -> (a18IncrementalPartitions _),
     "a17_retry_schedule" -> (a17RetrySchedule _),
@@ -872,6 +932,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a20_schema_drift" -> a20Sql,
     "a19_lease_reclaim" -> a19Sql,
     "a18_incremental_partitions" -> a18Sql,
     "a17_retry_schedule" -> a17Sql,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -367,7 +367,107 @@ object Events {
       |  count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS converted
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** c11: last-touch attribution — each purchase credited to the most
+    * recent preceding marketing touch (view or click) by the same user
+    * within a 7-day lookback, else 'none'. The c3 as-of shape: union
+    * the touch and purchase streams through ONE per-user cumulative
+    * window (`last` ignoreNulls over (ts, is_purchase, event_id) — a
+    * touch at exactly the purchase ts counts, ties between touches
+    * break on event_id), never a per-purchase range self-join. The two
+    * `last` columns pick from the same row because their null sets
+    * coincide. Output is the attribution report: purchases and
+    * DECIMAL-exact revenue per touch type. */
+  def c11Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+      .withColumn("touch_ts", when(col("is_purchase") === 0, col("ts")))
+      .withColumn("touch_kind", when(col("is_purchase") === 0, col("event_type")))
+      .withColumn("last_ts", last(col("touch_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_kind", last(col("touch_kind"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(
+        when(col("last_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("last_ts")) <= 7L * 86400L * 1000000L,
+          col("last_kind")).otherwise(lit("none")).as("touch_type"),
+        col("value"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  val c11Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |t AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+      |    CASE WHEN event_type <> 'purchase' THEN ts END AS touch_ts,
+      |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_kind
+      |  FROM e),
+      |lt AS (
+      |  SELECT *,
+      |    last_value(touch_ts IGNORE NULLS) OVER w AS last_ts,
+      |    last_value(touch_kind IGNORE NULLS) OVER w AS last_kind
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (
+      |  SELECT CASE WHEN last_ts IS NOT NULL
+      |      AND epoch_us(ts) - epoch_us(last_ts) <= 604800000000
+      |    THEN last_kind ELSE 'none' END AS touch_type, value
+      |  FROM lt WHERE is_purchase = 1)
+      |SELECT touch_type, count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** c12: daily volume anomalies — days whose event count deviates from
+    * the per-type mean by more than 2 population std-devs. The test is
+    * DIVISION- and SQRT-FREE: with n days, s = Σc, ssq = Σc², flag iff
+    * (c·n − s)² > 4·(n·ssq − s²) — algebraically |c − μ| > 2σ with both
+    * sides scaled by n², all in DECIMAL(38,0) integer arithmetic (long²
+    * overflows once daily counts pass ~3·10⁹ at 100 TB), so the flag is
+    * bit-identical in any engine at any parallelism. Shape: one scan →
+    * (type, day) map-side-combined count; the moment windows run over
+    * the REDUCED frame (≤ types × days rows), not the corpus. */
+  def c12DailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val wT = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("s", sum(col("cnt")).over(wT))
+      .withColumn("ssq", sum(d38(col("cnt")) * d38(col("cnt"))).over(wT))
+      .withColumn("dev", d38(col("cnt")) * d38(col("n")) - d38(col("s")))
+      .filter(col("dev") * col("dev") >
+        lit(4) * (d38(col("n")) * col("ssq") - d38(col("s")) * d38(col("s"))))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("s").cast("double") / col("n")).as("mean_cnt"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val c12Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT *, count(*) OVER w AS n, sum(cnt) OVER w AS s,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) OVER w AS ssq
+      |  FROM daily WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type, day, cnt, CAST(s AS DOUBLE) / n AS mean_cnt
+      |FROM m
+      |WHERE (CAST(cnt AS HUGEINT) * n - s) * (CAST(cnt AS HUGEINT) * n - s)
+      |  > 4 * (n * ssq - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_daily_anomaly" -> (c12DailyAnomaly _),
+    "c11_attribution" -> (c11Attribution _),
     "c10_session_stats" -> (c10SessionStats _),
     "c9_rfm_segments" -> (c9RfmSegments _),
     "c8_inter_event" -> (c8InterEvent _),
@@ -380,6 +480,8 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c12_daily_anomaly" -> c12Sql,
+    "c11_attribution" -> c11Sql,
     "c10_session_stats" -> c10Sql,
     "c9_rfm_segments" -> c9Sql,
     "c8_inter_event" -> c8Sql,

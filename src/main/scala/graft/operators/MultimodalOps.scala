@@ -231,13 +231,60 @@ object MultimodalOps {
        |  CAST(sum(n_bytes) AS BIGINT) / CAST($ShardBytes AS DOUBLE) AS fill
        |FROM manifest GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin
 
+  /** e4: modality/format profile — the dataset-card table a multimodal
+    * corpus publishes per (source, sniffed format): blob count, total /
+    * min / max bytes, and mean decoded dimensions from e1's metadata.
+    * A reduce over e1's row-local projection: one scan, one
+    * (source, format) group exchange, integer-exact sums with the two
+    * means as final divisions. At 100 TB this is the cheap audit pass
+    * that sizes the e2 shard plan. */
+  def e4FormatProfile(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    val h = md5(blob)
+    Tables.documents(spark, dir)
+      .select(
+        col("source"),
+        when(substring(col("text"), 1, 1).between("a", "z"), lit("text/plain"))
+          .otherwise(lit("application/octet-stream")).as("format"),
+        octet_length(blob).cast("long").as("n_bytes"),
+        (lit(640) + (ascii(substring(h, 1, 1)) % 16) * 80).cast("long").as("width"),
+        (lit(360) + (ascii(substring(h, 2, 1)) % 16) * 45).cast("long").as("height"))
+      .groupBy(col("source"), col("format"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        (sum(col("width")).cast("double") / count(lit(1))).as("mean_width"),
+        (sum(col("height")).cast("double") / count(lit(1))).as("mean_height"))
+      .orderBy(col("source"), col("format"))
+  }
+
+  val e4Sql: String =
+    """WITH meta AS (
+      |  SELECT source,
+      |    CASE WHEN substring(text, 1, 1) BETWEEN 'a' AND 'z' THEN 'text/plain'
+      |         ELSE 'application/octet-stream' END AS format,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CAST(640 + (ascii(substring(md5(text), 1, 1)) % 16) * 80 AS BIGINT) AS width,
+      |    CAST(360 + (ascii(substring(md5(text), 2, 1)) % 16) * 45 AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT source, format, count(*) AS n_blobs,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes,
+      |  CAST(sum(width) AS DOUBLE) / count(*) AS mean_width,
+      |  CAST(sum(height) AS DOUBLE) / count(*) AS mean_height
+      |FROM meta GROUP BY 1, 2 ORDER BY source, format""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_multimodal_meta" -> (e1MultimodalMeta _),
     "e2_blob_shard" -> (e2BlobShard _),
-    "e3_shard_stats" -> (e3ShardStats _))
+    "e3_shard_stats" -> (e3ShardStats _),
+    "e4_format_profile" -> (e4FormatProfile _))
 
   val oracles: Map[String, String] = Map(
     "e1_multimodal_meta" -> e1Sql,
     "e2_blob_shard" -> e2Sql,
-    "e3_shard_stats" -> e3Sql)
+    "e3_shard_stats" -> e3Sql,
+    "e4_format_profile" -> e4Sql)
 }

@@ -904,7 +904,55 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Rows kept by d43's top-k. */
+  val LmTopK = 50
+
+  /** d43: n-gram LM count table — the ingredients a count-based language
+    * model (the KenLM-style quality/perplexity filters train on) needs
+    * per bigram: raw count, left-context total (Σ over bigrams sharing
+    * w1 — the backoff denominator) and the Kneser–Ney CONTINUATION
+    * count of w2 (distinct left contexts — exactly the distinct (w1,w2)
+    * rows per w2, so it's a plain count window over the reduced frame,
+    * no DISTINCT-in-window needed). One corpus scan: posexplode + lead
+    * over the per-doc window (the shingle idiom at k=2, multiplicities
+    * KEPT — LM counts are not set-valued), reduce to the (w1, w2)
+    * dictionary, then two keyed windows over the REDUCED frame. Top-50
+    * by (count desc, w1, w2) compiles to TakeOrderedAndProject — no
+    * global sort materialization. All counts integer-exact. */
+  def d43NgramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+    bigrams
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+      .withColumn("left_total", sum(col("n_bigram")).over(Window.partitionBy(col("w1"))))
+      .withColumn("n_continuations", count(lit(1)).over(Window.partitionBy(col("w2"))))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(LmTopK)
+  }
+
+  val d43Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+       |  FROM toks WHERE len(t) >= 2),
+       |cnt AS (
+       |  SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+       |    count(*) AS n_bigram
+       |  FROM bg GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *, CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS left_total,
+       |    count(*) OVER (PARTITION BY w2) AS n_continuations
+       |  FROM cnt)
+       |SELECT w1, w2, n_bigram, left_total, n_continuations
+       |FROM w ORDER BY n_bigram DESC, w1, w2 LIMIT $LmTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d43_ngram_lm" -> (d43NgramLm _),
     "d18_pii_scrub" -> (d18PiiScrub _),
     "d19_repetition_filter" -> (d19RepetitionFilter _),
     "d20_contamination" -> (d20Contamination _),
@@ -927,6 +975,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d43_ngram_lm" -> d43Sql,
     "d18_pii_scrub" -> d18Sql,
     "d19_repetition_filter" -> d19Sql,
     "d20_contamination" -> d20Sql,

@@ -658,7 +658,97 @@ object VectorOps {
        |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Quantization levels for d44 (int8: codes 0..255). */
+  val QuantLevels = 256
+
+  /** Per-dimension (min, max) calibration stats — a map-side-combined
+    * aggregate to exactly `dim` rows. Shared by the d44 report and the
+    * quantized-search helpers below. */
+  private def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Quantized code for one (value, min, max): floor-scaled to 0..255,
+    * clamped at the top so x = mx lands on 255, degenerate dims (all
+    * values equal) collapse to code 0. Float→double widening is exact
+    * and the scale arithmetic is plain IEEE doubles evaluated in the
+    * same order in any engine, so codes replay bit-for-bit. */
+  private def quantCode(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0L)).otherwise(
+      least(floor((x - mn) * (QuantLevels - 1) / (mx - mn)), lit((QuantLevels - 1).toLong)))
+
+  /** d44: int8 embedding quantization calibration — the memory-scaling
+    * step an ANN/vector-search deployment runs before indexing (4 bytes
+    * → 1 byte per dimension): per-dim min/max calibration, then each
+    * value floor-scaled into 0..255. The report is the per-dimension
+    * calibration card: range, distinct code count (how much of the
+    * int8 budget the dim actually uses) and code extremes.
+    *
+    * Shape: TWO corpus scans by design — scan 1 reduces to `dim` stat
+    * rows (map-side combined), which broadcast back into scan 2's
+    * row-local code projection. The window alternative (stats over
+    * partitionBy(dim)) is one scan but shuffles the ENTIRE corpus into
+    * `dim` partitions — a parallelism collapse at 100 TB; broadcasting
+    * 64 stat rows is free. The ScalaTest spec asserts quantized-cosine
+    * top-k recall ≥ 0.9 vs the float path (d9's query set). */
+  def d44EmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val stats = dimStats(spark, dir)
+    val codes = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .join(broadcast(stats), "dim")
+      .select(col("dim"), col("mn"), col("mx"),
+        quantCode(col("x"), col("mn"), col("mx")).as("code"))
+    // (mn, mx) are functionally dependent on dim — grouping by all three
+    // keeps them in the output without a second stats join, which would
+    // re-derive the stats aggregate from a third scan (no self-join CSE)
+    codes.groupBy(col("dim"), col("mn"), col("mx"))
+      .agg(count_distinct(col("code")).as("n_codes"),
+        min(col("code")).as("min_code"), max(col("code")).as("max_code"))
+      .orderBy(col("dim"))
+  }
+
+  val d44Sql: String =
+    """WITH ex AS (
+      |  SELECT CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |stats AS (
+      |  SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+      |codes AS (
+      |  SELECT ex.dim,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE least(floor((x - mn) * 255 / (mx - mn)), 255) END AS code
+      |  FROM ex JOIN stats ON ex.dim = stats.dim)
+      |SELECT dim, mn, mx,
+      |  count(DISTINCT code) AS n_codes,
+      |  CAST(min(code) AS BIGINT) AS min_code, CAST(max(code) AS BIGINT) AS max_code
+      |FROM codes JOIN stats USING (dim)
+      |GROUP BY dim, mn, mx ORDER BY dim""".stripMargin
+
+  /** Quantized-embedding reconstruction: codes decoded back to the cell
+    * midpoint, for the spec's recall check (not an oracled query — the
+    * RECALL assertion is the contract, the calibration card above is
+    * the oracled part). Returns (vec_id, qembedding float array). */
+  private[graft] def dequantized(spark: SparkSession, dir: String): DataFrame = {
+    val stats = dimStats(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), col("mn"))
+          .otherwise(col("mn") + (quantCode(col("x"), col("mn"), col("mx")) + 0.5)
+            * (col("mx") - col("mn")) / (QuantLevels - 1)).as("xq"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("xq")))).as("pairs"))
+      .select(col("vec_id"),
+        transform(col("pairs"), p => p.getField("xq").cast("float")).as("qembedding"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d44_embed_quantize" -> (d44EmbedQuantize _),
     "d36_filtered_search" -> (d36FilteredSearch _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
@@ -667,6 +757,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d44_embed_quantize" -> d44Sql,
     "d36_filtered_search" -> d36Sql,
     "d9_cosine_topk" -> d9Sql,
     "d10_ann_lsh" -> d10Sql,

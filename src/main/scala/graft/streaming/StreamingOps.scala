@@ -388,6 +388,26 @@ object StreamingOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming admission filter against a STATIC corpus — the streaming
+    * twin of d42's incremental dedup at the exact-duplicate layer: drop
+    * incoming documents whose normalized content hash (d5's rule)
+    * already exists in the admitted corpus. A stream-static LEFT ANTI
+    * join is STATELESS on the stream side — no watermark, no state
+    * store; the static side is re-resolved per micro-batch — so the
+    * stream stays append-mode and the filter matches the batch
+    * anti-join row-for-row (asserted in the spec). The near-dup layer
+    * composes the same way: stream-static equi-join on the corpus band
+    * index, then the verify filter. At 100 TB the static side is a
+    * bucketed table on the hash key, so each micro-batch probes
+    * without a full-corpus shuffle. */
+  def admitAgainstCorpus(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    def contentHash(df: DataFrame): DataFrame =
+      df.withColumn("content_hash", md5(trim(lower(col("text")))))
+    contentHash(docs)
+      .join(contentHash(corpus).select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+  }
+
   /** Watermarked stream-stream interval join (the clicks⨝purchases
     * shape): a left event matches right events with the same key whose
     * timestamp falls in [left.ts, left.ts + window]. Both sides carry a

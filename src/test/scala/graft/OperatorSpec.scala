@@ -1148,4 +1148,130 @@ class OperatorSpec extends GraftSpec {
     val r = out.orderBy(col("doc_id")).head()
     assert(r.height == 1 && r.width == r.n_bytes && r.features.length == 1)
   }
+
+  test("c11 attribution: purchase and revenue mass conserved across touch types") {
+    val out = Events.c11Attribution(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    assert(out.map(_.getLong(1)).sum == purchases.count())
+    val totalRev = purchases.agg(
+      sum(Cols.dec2(col("value"))).cast("double")).head().getDouble(0)
+    assert(math.abs(out.map(_.getDouble(2)).sum - totalRev) < 1e-6)
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("view", "click", "none")))
+  }
+
+  test("c12 daily anomalies equal a direct integer two-sigma recomputation") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val expected = daily.groupBy(_.getString(0)).toSeq.flatMap { case (t, rows) =>
+      val cs = rows.map(_.getLong(2))
+      val n = cs.length
+      val s = cs.sum
+      val ssq = cs.map(c => BigInt(c) * BigInt(c)).sum
+      rows.filter { r =>
+        val dev = BigInt(r.getLong(2)) * n - s
+        dev * dev > 4 * (BigInt(n) * ssq - BigInt(s) * BigInt(s))
+      }.map(r => (t, r.getDate(1).toString))
+    }.toSet
+    val got = Events.c12DailyAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(got == expected)
+  }
+
+  test("d42 incremental dedup: batch coverage and agreement with the pair cache") {
+    val out = DedupOps.d42IncrementalDedup(spark, sfDir).cache()
+    val batchCount = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(10)) === 7).count()
+    assert(out.count() == batchCount)
+    val dups = out.filter(col("is_dup")).collect()
+    dups.foreach { r =>
+      assert(r.getDouble(3) >= 0.5)
+      assert(r.getLong(2) % 10 != 7, "match must come from the corpus side")
+    }
+    val expected = DedupOps.sharedVerifiedPairs(spark, sfDir).collect().flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      Seq(a, b).filter(x => x % 10 == 7) match {
+        case Seq(one) if (if (one == a) b else a) % 10 != 7 => Some(one)
+        case _ => None
+      }
+    }.toSet
+    assert(dups.map(_.getLong(0)).toSet == expected)
+    out.unpersist()
+    DedupOps.release(spark, sfDir)
+  }
+
+  test("d43 ngram LM: descending top-k, backoff and continuation invariants") {
+    val rows = TextOps.d43NgramLm(spark, sfDir).collect()
+    assert(rows.length == TextOps.LmTopK)
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), "left-context total bounds the bigram count")
+      assert(r.getLong(4) >= 1L, "every bigram is at least its own continuation")
+    }
+    // exact cross-check of the top bigram's count by direct recomputation
+    val top = rows.head
+    val direct = Tables.documents(spark, sfDir)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(t) - 1, 1)), i -> " +
+          "concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("b"))
+      .filter(col("b") === s"${top.getString(0)} ${top.getString(1)}")
+      .count()
+    assert(direct == top.getLong(2))
+  }
+
+  test("d44 quantization: calibration card sane; quantized top-k recall >= 0.9") {
+    val card = VectorOps.d44EmbedQuantize(spark, sfDir).collect()
+    assert(card.length == 64)
+    card.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= VectorOps.QuantLevels)
+      assert(r.getLong(4) >= 0 && r.getLong(5) <= (VectorOps.QuantLevels - 1))
+      assert(r.getDouble(1) <= r.getDouble(2))
+    }
+    val deq = VectorOps.dequantized(spark, sfDir).cache()
+    val q = deq.filter(col("vec_id") < VectorOps.NumQueries)
+      .select(col("vec_id").as("query_id"), col("qembedding").as("qe"))
+    val cand = deq.select(col("vec_id").as("neighbor_id"), col("qembedding").as("ne"))
+    val scored = broadcast(q).join(cand, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("ne")).as("cos"))
+    val approx = VectorOps.topKPerQuery(scored)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorOps.d9CosineTopk(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+    deq.unpersist()
+  }
+
+  test("a20 schema drift matches direct per-load profiling") {
+    val out = Etl.a20SchemaDrift(spark, sfDir).collect()
+    assert(out.length == 4)
+    val orders = Tables.orders(spark, sfDir)
+    val a = orders.filter(year(col("o_orderdate")) % 2 === 0)
+    val b = orders.filter(year(col("o_orderdate")) % 2 === 1)
+    val row = out.find(_.getString(0) == "o_orderpriority").get
+    assert(row.getLong(3) == a.select("o_orderpriority").distinct().count())
+    assert(row.getLong(4) == b.select("o_orderpriority").distinct().count())
+    assert(row.getLong(1) == 0 && row.getLong(2) == 0)
+  }
+
+  test("e4 format profile conserves blob count and byte mass vs the corpus") {
+    val out = MultimodalOps.e4FormatProfile(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.map(_.getLong(2)).sum == docs.count())
+    val totalBytes = docs.agg(
+      sum(octet_length(col("text").cast("binary")).cast("long"))).head().getLong(0)
+    assert(out.map(_.getLong(3)).sum == totalBytes)
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5), "min_bytes <= max_bytes")
+      assert(r.getDouble(6) >= 640 && r.getDouble(6) <= 640 + 15 * 80)
+    }
+  }
 }

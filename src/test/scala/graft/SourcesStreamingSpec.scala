@@ -198,6 +198,36 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus admission filter ≡ batch anti-join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus = docs with doc_id % 10 <> 7; the stream replays ALL docs,
+    // where the % 10 = 7 split plus two VERBATIM corpus copies simulate
+    // a crawl snapshot with exact re-fetches
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val incomingDf = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .unionByName(corpus.limit(2).withColumn("doc_id", col("doc_id") + 100000L))
+    val incoming = incomingDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.admitAgainstCorpus(
+        mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("admit_test").outputMode("append").start()
+    try {
+      incoming.grouped(math.max(1, incoming.length / 2)).foreach { g =>
+        mem.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql("select doc_id from admit_test")
+        .collect().map(_.getLong(0)).toSet
+      val batch = StreamingOps.admitAgainstCorpus(incomingDf, corpus)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // the two verbatim corpus re-fetches were refused admission
+      assert(incoming.length - streamed.size >= 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

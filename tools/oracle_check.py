@@ -1,115 +1,114 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage:
+  python3 tools/oracle_check.py <verify_out_dir> [sf_dir] [name ...]
 
-Reads each <verifyOutDir>/<name>/ parquet (Spark output) and runs the
-matching SQL from oracle_sql.json in DuckDB with views named after the
-test tables. Compares row counts, column names, column TYPES, and
-values (sorted by all columns, exact match; floats compared bit-exactly
-first, then with 1e-9 relative tolerance reported separately).
+1. graft.Verify has already dumped each SparkEntry query to
+   <verify_out_dir>/<name>/ (parquet) plus oracle_sql.json.
+2. For each oracled name, run the SQL in DuckDB over the raw testdata
+   parquet, sort columns by name (the driver's rule), sort rows, and
+   compare against the Spark parquet cell-by-cell (exact for
+   non-floats, 1e-9 relative for floats).
 
-Type comparison mirrors the driver's type-sensitive hash: a DuckDB
-oracle producing HUGEINT where Spark wrote BIGINT fails the round even
-when every value matches (round-3 a12 incident), so it must fail here
-too. Types are compared as DuckDB type strings after normalizing
-representations the driver's canonicalization treats as identical
-(timestamp precisions — Spark parquet micros vs oracle TIMESTAMP).
+Driver-side python env has duckdb+pandas+pyarrow; this never runs on
+the Spark classpath.
 """
 import json
 import math
 import sys
+from pathlib import Path
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
 
 
-def canon_type(t):
-    s = str(t).upper()
-    # timestamp precision variants hash identically driver-side
-    if s.startswith("TIMESTAMP"):
-        return "TIMESTAMP"
-    # int widths up to 64-bit promote to one Python/arrow int and hash
-    # identically driver-side (a5/q7 pass with INTEGER vs BIGINT), but
-    # HUGEINT does NOT (round-3 a12 failed on BIGINT vs HUGEINT) —
-    # keep it distinct.
-    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
-        return "BIGINT"
-    return s
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True,
+                          key=lambda s: s.map(lambda v: str(v)))
 
 
-def canon(rows):
-    def key(r):
-        return tuple((x is None, str(x)) for x in r)
-    return sorted(rows, key=key)
-
-
-def eq(a, b):
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-12)
+    except (TypeError, ValueError):
+        pass
+    if str(a) == str(b):
+        return True
+    # pandas NaN vs None
+    try:
+        if a != a and b != b:  # noqa: PLR0124 — NaN check
             return True
-        return a == b
-    return a == b
+    except Exception:
+        pass
+    return False
 
 
-def main(sf_dir, out_dir):
+def main():
+    out_dir = Path(sys.argv[1])
+    sf_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/root/testdata/sf0.01")
+    only = set(sys.argv[3:])
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle_sql = json.loads((out_dir / "oracle_sql.json").read_text())
+    names = sorted(n for n in oracle_sql if not only or n in only)
     failures = []
-    for name, sql in sorted(oracle.items()):
-        try:
-            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = [c.lower() for c in spark_rel.columns]
-            spark_rows = spark_rel.fetchall()
-            duck_rel = con.sql(sql)
-            duck_cols = [c.lower() for c in duck_rel.columns]
-            duck_rows = duck_rel.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: error {e}")
-            failures.append(name)
+    for name in names:
+        spark_dir = out_dir / name
+        if not spark_dir.exists():
+            failures.append((name, "missing spark dump"))
+            print(f"FAIL {name}: spark dump missing")
             continue
-        spark_types = dict(zip(spark_cols, [canon_type(t) for t in spark_rel.types]))
-        duck_types = dict(zip(duck_cols, [canon_type(t) for t in duck_rel.types]))
-        status = []
-        if set(spark_cols) != set(duck_cols):
-            status.append(f"cols spark={spark_cols} duck={duck_cols}")
-        elif spark_types != duck_types:
-            drift = {c: (spark_types[c], duck_types[c])
-                     for c in spark_types if spark_types[c] != duck_types[c]}
-            status.append(f"types (spark, duck) differ: {drift}")
-        elif len(spark_rows) != len(duck_rows):
-            status.append(f"rows spark={len(spark_rows)} duck={len(duck_rows)}")
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            ora_df = con.execute(oracle_sql[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"exec error: {e}"))
+            print(f"FAIL {name}: {e}")
+            continue
+        s, o = norm(spark_df), norm(ora_df)
+        if list(s.columns) != list(o.columns):
+            failures.append((name, f"schema {list(s.columns)} vs {list(o.columns)}"))
+            print(f"FAIL {name}: schema {list(s.columns)} vs {list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            failures.append((name, f"rows {len(s)} vs {len(o)}"))
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            continue
+        bad = None
+        for col in s.columns:
+            sv, ov = s[col].tolist(), o[col].tolist()
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                if not cells_equal(a, b):
+                    bad = (col, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, f"value {bad}"))
+            print(f"FAIL {name}: col={bad[0]} row={bad[1]} spark={bad[2]!r} oracle={bad[3]!r}")
         else:
-            # align column order by name (driver sorts columns by name)
-            sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
-            didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-            s = canon([[r[i] for i in sidx] for r in spark_rows])
-            d = canon([[r[i] for i in didx] for r in duck_rows])
-            nbad = 0
-            example = None
-            for rs, rd in zip(s, d):
-                for x, y in zip(rs, rd):
-                    if not eq(x, y):
-                        nbad += 1
-                        if example is None:
-                            example = (x, y)
-                        break
-            if nbad:
-                status.append(f"{nbad}/{len(s)} rows differ, e.g. {example}")
-        if status:
-            print(f"FAIL {name}: {'; '.join(status)}")
-            failures.append(name)
-        else:
-            print(f"OK   {name} ({len(spark_rows)} rows)")
-    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries match")
-    return 1 if failures else 0
+            print(f"ok   {name} ({len(s)} rows)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} pass")
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
