@@ -20,18 +20,46 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Per-query pass-1 duration above which the warm re-run is skipped:
-    * warm-up is a fixed few hundred ms, noise at this magnitude. */
-  val WarmSkipSec = 60.0
+    * warm-up is a fixed few hundred ms, noise at this magnitude. Set
+    * far above any true query time in this suite (max ~4 s quiet):
+    * this host exhibits multi-second VM pauses (wall time advances
+    * with near-zero guest CPU ticks), and the old 60 s skip locked a
+    * contaminated pass-1 in as the final number with no retry. */
+  val WarmSkipSec = 300.0
+
+  /** Best-of-two results above this are treated as contamination
+    * suspects and re-timed (true per-query times here are ≤ ~4 s at
+    * sf0.1; a host pause inflates random queries 10–50×). */
+  val SuspectSec = 10.0
+
+  /** Extra attempts per suspect. */
+  val SuspectRetries = 2
 
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "unknown" }
+
+  /** Aggregate guest CPU ticks (/proc/stat line 1, all fields summed
+    * minus idle+iowait = busy; plus idle). Recorded at start/end so a
+    * reader can detect HYPERVISOR PAUSES post hoc: during a pause wall
+    * time advances but guest ticks (busy AND idle) do not, so
+    * (wall_seconds × cpus × USER_HZ) ≫ tick delta ⇒ the run's numbers
+    * are contaminated by freezes, not by real work or guest load. */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      val idle = f(3) + f(4)
+      (f.sum - idle, idle)
+    } catch { case _: Throwable => (-1L, -1L) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val load0 = loadavg()
+    val (busy0, idle0) = cpuTicks()
+    val wall0 = System.nanoTime()
     System.err.println(s"[bench] loadavg at start: $load0 (cpus=$cpus)")
     val spark: SparkSession = GraftSession
       .builder("graft-bench", Some(s"local[$cpus]"), cpus)
@@ -65,10 +93,25 @@ object Bench {
     }.toMap
     // best over SUCCESSFUL runs only: -1.0 encodes failure/skip, so a
     // min() across passes must not let a failed pass mask a success.
-    val best = names.map { n =>
+    val best2 = names.map { n =>
       val ts = Seq(pass1(n), pass2(n)).filter(_ > 0)
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
+    // Contamination guard: this host pauses the whole VM for seconds at
+    // a time (observed: the same query measuring 1.4 s and 118 s in
+    // adjacent runs), so best-of-two can still be garbage when both
+    // passes hit a pause window. Any query whose best is implausibly
+    // high gets up to SuspectRetries more attempts; min survives.
+    val best = best2.map { case (n, b) =>
+      var cur = b
+      var tries = 0
+      while (cur > SuspectSec && tries < SuspectRetries) {
+        tries += 1
+        val t = timeOne(n, 2 + tries)
+        if (t > 0 && t < cur) cur = t
+      }
+      n -> cur
+    }
     val load1 = loadavg()
     System.err.println(s"[bench] loadavg at end: $load1")
     def fmt(d: Double, dec: Int): String = if (d < 0) "-1.0" else s"%.${dec}f".format(d)
@@ -105,9 +148,20 @@ object Bench {
       .view.map(_.apply()).find(_.length <= 1800).getOrElse(mkLine(1, 15))
     // Full diagnostics (both passes, load markers) go to a local file the
     // judge can read, and to stderr — never onto the one parseable line.
+    // pause forensics: fraction of the run's wall-clock the guest
+    // actually ticked (busy+idle vs wall × cpus × 100 Hz). ≈1.0 on a
+    // healthy host; well under 1.0 means the hypervisor froze the VM
+    // for part of the run and wall-clock timings are inflated.
+    val (busy1, idle1) = cpuTicks()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val tickFrac =
+      if (busy0 < 0 || busy1 < 0) -1.0
+      else ((busy1 - busy0) + (idle1 - idle0)) / (wallSec * cpus * 100.0)
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
       s""""pass1":${jmap(pass1)},"pass2":${jmap(pass2)},""" +
-      s""""loadavg_start":"$load0","loadavg_end":"$load1","cpus":$cpus,"sf":"$sfDir"}"""
+      s""""loadavg_start":"$load0","loadavg_end":"$load1","cpus":$cpus,""" +
+      s""""wall_sec":${fmt(wallSec, 1)},"guest_tick_fraction":${fmt(tickFrac, 3)},""" +
+      s""""sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()

@@ -465,7 +465,40 @@ object Events {
       |  > 4 * (n * ssq - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
       |ORDER BY event_type, day""".stripMargin
 
+  /** c13: event-type transition matrix — the first-order Markov view of
+    * user behavior (what follows what): per-user consecutive event
+    * pairs via ONE lag window ((ts, event_id) tie-break, c8's idiom),
+    * reduced to (prev, curr) counts, row-normalized into transition
+    * probabilities with a count window over the REDUCED matrix frame
+    * (≤ |types|² rows — never the corpus). One scan, one user
+    * exchange, integer counts with a single final division per cell. */
+  def c13Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("prev"))))
+      .orderBy(col("prev"), col("curr"))
+  }
+
+  val c13Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    event_type AS curr
+      |  FROM e),
+      |m AS (
+      |  SELECT prev, curr, count(*) AS n FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev, curr, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev) AS p
+      |FROM m ORDER BY prev, curr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_transitions" -> (c13Transitions _),
     "c12_daily_anomaly" -> (c12DailyAnomaly _),
     "c11_attribution" -> (c11Attribution _),
     "c10_session_stats" -> (c10SessionStats _),
@@ -480,6 +513,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c13_transitions" -> c13Sql,
     "c12_daily_anomaly" -> c12Sql,
     "c11_attribution" -> c11Sql,
     "c10_session_stats" -> c10Sql,

@@ -391,24 +391,45 @@ object VectorOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** DuckDB CTE helpers replaying the Lloyd pipeline — shared by the
+    * d12 and d45 oracles (same centroids, same assignment rule). */
+  private def duckAssignCte(cent: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, s.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCosine("e.embedding", "s.ce")} DESC, s.cid) AS rn
+       |    FROM embeddings e CROSS JOIN $cent s) t WHERE rn = 1)""".stripMargin
+
+  private def duckUpdateCte(assign: String, out: String): String =
+    s"""${out}_sums AS (
+       |  SELECT cid, pos, CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / (1048576.0 * count(*)) AS comp
+       |  FROM (SELECT cid, unnest(embedding) AS v, unnest(range(1, 65)) AS pos FROM $assign)
+       |  GROUP BY cid, pos),
+       |$out AS (
+       |  SELECT cid, list(CAST(comp AS FLOAT) ORDER BY pos) AS ce FROM ${out}_sums GROUP BY cid)""".stripMargin
+
+  /** cent0 … centN CTE chain + the final "assigned" CTE (full-corpus
+    * nearest-centroid assignment) — the shared oracle prefix. */
+  private def duckCentroidAndAssignCtes: String = {
+    val iters = (1 to LloydIters).map { i =>
+      val prev = if (i == 1) "cent0" else s"cent${i - 1}"
+      s"${duckAssignCte(prev, s"a$i")},\n${duckUpdateCte(s"a$i", s"cent$i")}"
+    }.mkString(",\n")
+    s"""cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS INTEGER) - 1 AS cid,
+       |    embedding AS ce
+       |  FROM embeddings ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT $NumCentroids),
+       |$iters,
+       |${duckAssignCte(s"cent$LloydIters", "assigned")}""".stripMargin
+  }
+
   /** DuckDB replay of the full IVF pipeline: same Knuth-hash seeds,
     * same quantized Lloyd updates, same assignment/probe/rank
     * arithmetic — bit-identical end to end. */
   val d12Sql: String = {
-    def assignCte(cent: String, out: String): String =
-      s"""$out AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT e.vec_id, e.embedding, s.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckCosine("e.embedding", "s.ce")} DESC, s.cid) AS rn
-         |    FROM embeddings e CROSS JOIN $cent s) t WHERE rn = 1)""".stripMargin
-    def updateCte(assign: String, out: String): String =
-      s"""${out}_sums AS (
-         |  SELECT cid, pos, CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
-         |      / (1048576.0 * count(*)) AS comp
-         |  FROM (SELECT cid, unnest(embedding) AS v, unnest(range(1, 65)) AS pos FROM $assign)
-         |  GROUP BY cid, pos),
-         |$out AS (
-         |  SELECT cid, list(CAST(comp AS FLOAT) ORDER BY pos) AS ce FROM ${out}_sums GROUP BY cid)""".stripMargin
+    def assignCte(cent: String, out: String): String = duckAssignCte(cent, out)
+    def updateCte(assign: String, out: String): String = duckUpdateCte(assign, out)
     val iters = (1 to LloydIters).map { i =>
       val prev = if (i == 1) "cent0" else s"cent${i - 1}"
       s"${assignCte(prev, s"a$i")},\n${updateCte(s"a$i", s"cent$i")}"
@@ -747,7 +768,66 @@ object VectorOps {
         transform(col("pairs"), p => p.getField("xq").cast("float")).as("qembedding"))
   }
 
+  /** d45: semantic dedup (the SemDeDup recipe — Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered (the d12 Lloyd
+    * centroids, in-row assignment — zero corpus shuffle), candidate
+    * pairs form ONLY within a cluster (the cluster equi-join replaces
+    * the all-pairs cosine matrix — the entire point of the method at
+    * corpus scale), and a document is DROPPED iff a lower-id document
+    * in its cluster is cosine-similar at ≥ [[DupTau]]. The kept set is
+    * therefore pairwise-dissimilar within every cluster (if two kept
+    * docs were similar, the higher id would be dominated) and the rule
+    * is a single relational EXISTS — deterministic, engine-replayable,
+    * no sequential greedy scan. Cross-cluster near-dups are invisible
+    * by design (the documented SemDeDup recall tradeoff; d13's
+    * multi-table LSH is the complementary high-recall path).
+    *
+    * Scale: the self-join partitions on cid, so parallelism = #clusters
+    * and per-cluster work is O(|cluster|²) cosines — C grows with the
+    * corpus (real SemDeDup uses ~50k clusters at web scale), and a
+    * flooded cluster takes d13's salted sub-bucket + cap treatment.
+    * The assigned frame is computed once (shared cache): the pair join
+    * reads both sides from it instead of re-running the 16-centroid
+    * argmax projection three times. */
+  def d45SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(spark, dir)
+    val assigned = shared(spark, dir, "semassign") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          nearestCid(cents, col("embedding")).as("cid"))
+    }
+    val dominated = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("dom"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= DupTau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dom")).as("dominated_by"), max(col("cos")).as("max_cos"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dominated, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        col("dominated_by").isNull.as("kept"),
+        col("dominated_by"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d45Sql: String =
+    s"""WITH $duckCentroidAndAssignCtes,
+       |sims AS (
+       |  SELECT x.vec_id AS vec_id, y.vec_id AS dom,
+       |    ${duckCosine("x.embedding", "y.embedding")} AS cos
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cid = y.cid AND y.vec_id < x.vec_id),
+       |dominated AS (
+       |  SELECT vec_id, min(dom) AS dominated_by, max(cos) AS max_cos
+       |  FROM sims WHERE cos >= $DupTau GROUP BY vec_id)
+       |SELECT a.vec_id, a.cid, d.dominated_by IS NULL AS kept,
+       |  d.dominated_by, d.max_cos
+       |FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d45_semdedup" -> (d45SemDedup _),
     "d44_embed_quantize" -> (d44EmbedQuantize _),
     "d36_filtered_search" -> (d36FilteredSearch _),
     "d9_cosine_topk" -> (d9CosineTopk _),
@@ -757,6 +837,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d45_semdedup" -> d45Sql,
     "d44_embed_quantize" -> d44Sql,
     "d36_filtered_search" -> d36Sql,
     "d9_cosine_topk" -> d9Sql,

@@ -388,6 +388,37 @@ object StreamingOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class DomainDoc(domain: String, doc_id: Long)
+
+  /** Streaming per-domain admission quota — the streaming twin of
+    * d30's crawl cap, applied at INGEST time: admit at most `cap`
+    * documents per domain over the stream's lifetime, then drop. One
+    * long of state per domain (flatMapGroupsWithState, no timeout —
+    * a crawl quota is permanent for the run; recycle via a new
+    * checkpoint), so state is bounded by #domains regardless of
+    * stream length. Semantics differ from batch d30 BY DESIGN and the
+    * contrast is the point: the batch cap selects a deterministic
+    * salted-hash subset (rerun-stable, order-free), while a streaming
+    * quota must decide ONLINE and admits in arrival order ((batch,
+    * doc_id) — doc_id-sorted within a micro-batch for determinism).
+    * The spec pins both: exact per-domain counts and
+    * first-arrival-wins across batches. */
+  def capStream(spark: SparkSession, docs: Dataset[DomainDoc],
+                cap: Int): Dataset[DomainDoc] = {
+    import spark.implicits._
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DomainDoc], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[DomainDoc]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (admitted < cap) { admitted += 1; out += d }
+          }
+          state.update(admitted)
+          out.result().iterator
+      }
+  }
+
   /** Streaming admission filter against a STATIC corpus — the streaming
     * twin of d42's incremental dedup at the exact-duplicate layer: drop
     * incoming documents whose normalized content hash (d5's rule)

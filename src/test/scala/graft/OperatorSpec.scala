@@ -1261,6 +1261,41 @@ class OperatorSpec extends GraftSpec {
     assert(row.getLong(1) == 0 && row.getLong(2) == 0)
   }
 
+  test("c13 transition matrix: rows normalize to 1, pair mass = events - users") {
+    val out = Events.c13Transitions(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // each prev-row's probabilities sum to 1 (exact n/total arithmetic)
+    out.groupBy(col("prev")).agg(sum(col("p")).as("s")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    // one transition per event except each user's first
+    val ev = Tables.events(spark, sfDir)
+    val expectedPairs = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expectedPairs)
+    out.unpersist()
+  }
+
+  test("d45 semdedup: kept set pairwise-dissimilar per cluster, drops justified") {
+    val out = VectorOps.d45SemDedup(spark, sfDir).cache()
+    assert(out.count() == Tables.embeddings(spark, sfDir).count())
+    val dropped = out.filter(!col("kept")).collect()
+    dropped.foreach { r =>
+      assert(r.getLong(3) < r.getLong(0), "dominator must have a lower id")
+      assert(r.getDouble(4) >= VectorOps.DupTau)
+    }
+    // no two KEPT vectors in the same cluster are similar at >= tau
+    val kept = out.filter(col("kept"))
+      .join(Tables.embeddings(spark, sfDir), "vec_id")
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val violations = kept.as("x").join(kept.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id"))
+      .filter(VectorOps.cosine(col("x.embedding"), col("y.embedding")) >= VectorOps.DupTau)
+      .count()
+    assert(violations == 0L)
+    out.unpersist()
+    VectorOps.release(spark, sfDir)
+  }
+
   test("e4 format profile conserves blob count and byte mass vs the corpus") {
     val out = MultimodalOps.e4FormatProfile(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -228,6 +228,33 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming domain quota admits first-arrived per domain, exact cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.DomainDoc]
+    val q = StreamingOps.capStream(spark, mem.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("cap_test").outputMode("append").start()
+    try {
+      // batch 1: two domains, a.com already over quota in one batch
+      mem.addData(
+        StreamingOps.DomainDoc("a.com", 11), StreamingOps.DomainDoc("a.com", 12),
+        StreamingOps.DomainDoc("a.com", 13), StreamingOps.DomainDoc("a.com", 14),
+        StreamingOps.DomainDoc("b.org", 21))
+      q.processAllAvailable()
+      // batch 2: later arrivals — a.com is closed, b.org has 2 slots left
+      mem.addData(
+        StreamingOps.DomainDoc("a.com", 10), StreamingOps.DomainDoc("b.org", 22),
+        StreamingOps.DomainDoc("b.org", 23), StreamingOps.DomainDoc("b.org", 24))
+      q.processAllAvailable()
+      val got = spark.sql("select domain, doc_id from cap_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // a.com: first batch's three lowest ids; doc 10 arrived too late.
+      // b.org: 21 from batch 1, then the two lowest later arrivals.
+      assert(got == Set(("a.com", 11L), ("a.com", 12L), ("a.com", 13L),
+        ("b.org", 21L), ("b.org", 22L), ("b.org", 23L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
