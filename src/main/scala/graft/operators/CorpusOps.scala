@@ -774,7 +774,86 @@ object CorpusOps {
        |  CAST(padded_seqs * $SeqLen - total_tokens AS DOUBLE) / (padded_seqs * $SeqLen) AS padded_waste
        |FROM w ORDER BY source""".stripMargin
 
+  /** d46: leakage-free train/val/test split — the assignment step every
+    * training pipeline runs, made DUP-AWARE: a near-identical document
+    * in train with its twin in test silently inflates eval, so the
+    * split must be decided per duplicate GROUP, never per document.
+    * Group key = near-dup cluster label (d25's memoized CC over the
+    * cached verified pairs) when present, else the exact-dup canonical
+    * min id (d5's md5 rule — covers sub-3-token docs that cannot
+    * shingle), else the doc's own id; the two rules agree on overlap
+    * because identical text yields identical shingle sets and thus
+    * identical cluster membership. The split itself is d16's salted-md5
+    * bucket of the GROUP key (row-local, rerun- and engine-stable):
+    * buckets 0–7 train, 8 val, 9 test.
+    *
+    * Shape: one corpus scan (md5-key window for the exact canonical =
+    * one exchange), ids-only left join against the cached labels, then
+    * row-local hashing — no per-doc RNG state, no global sort. */
+  def d46LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val wDup = Window.partitionBy(md5(trim(lower(col("text")))))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        min(col("doc_id")).over(wDup).as("exact_min"))
+    val labels = sharedClusters(spark, dir)
+      .select(col("node").as("doc_id"), col("lab"))
+    base.join(labels, Seq("doc_id"), "left_outer")
+      .withColumn("group_key", coalesce(col("lab"), col("exact_min")))
+      .withColumn("split_bucket", pmod(
+        conv(substring(md5(concat(lit("graft-split:"), col("group_key").cast("string"))), 1, 8),
+          16, 10).cast("long"),
+        lit(10L)))
+      .select(col("doc_id"), col("source"), col("group_key"), col("split_bucket"),
+        when(col("split_bucket") < 8, lit("train"))
+          .when(col("split_bucket") === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: d32's recursive label closure + the d16 hex-digit
+    * md5 arithmetic (DuckDB lacks conv(hex, 16, 10)) over the group
+    * key. */
+  val d46Sql: String = {
+    val pow16 = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    val digit = pow16.zipWithIndex.map { case (p, i) =>
+      s"CAST(strpos('0123456789abcdef', (md5(concat('graft-split:', CAST(group_key AS VARCHAR))))[${i + 1}]) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |cc AS (
+       |  SELECT DISTINCT src AS node, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, cc.lab FROM cc JOIN edges e ON e.src = cc.node),
+       |labs AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY node),
+       |base AS (
+       |  SELECT doc_id, source,
+       |    min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS exact_min
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT b.doc_id, b.source, coalesce(l.cluster_id, b.exact_min) AS group_key
+       |  FROM base b LEFT JOIN labs l ON b.doc_id = l.doc_id),
+       |h AS (
+       |  SELECT doc_id, source, group_key, ($digit) % 10 AS split_bucket FROM keyed)
+       |SELECT doc_id, source, group_key, split_bucket,
+       |  CASE WHEN split_bucket < 8 THEN 'train'
+       |       WHEN split_bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d46_leakage_split" -> (d46LeakageSplit _),
     "d41_packing_efficiency" -> (d41PackingEfficiency _),
     "d37_length_profile" -> (d37LengthProfile _),
     "d35_corpus_funnel" -> (d35CorpusFunnel _),
@@ -787,6 +866,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d46_leakage_split" -> d46Sql,
     "d41_packing_efficiency" -> d41Sql,
     "d37_length_profile" -> d37Sql,
     "d35_corpus_funnel" -> d35Sql,

@@ -497,7 +497,50 @@ object Events {
       |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev) AS p
       |FROM m ORDER BY prev, curr""".stripMargin
 
+  /** c14: hopping-window trending top-k — the batch/backfill twin of
+    * streaming `trendingTopK` (same 1 h window / 30 min slide): per
+    * overlapping window, the k most frequent event types. Batch
+    * `window()` explodes each event into exactly W/S = 2 hop windows
+    * (map-side, no self-join), counts reduce on (window, type), and the
+    * per-window top-k is a row_number ≤ k over the REDUCED counts frame
+    * — compiles to WindowGroupLimit, so each shuffle side keeps ≤ k
+    * rows per window. Boundaries ship as epoch-second longs: integer
+    * window identity is engine-portable, timestamp-vs-timezone
+    * semantics are not. Deterministic (n desc, event_type) tie-break —
+    * the streaming twin breaks ties by type hash, which is why the
+    * exact-equivalence cross-check lives there and the oracle here. */
+  def c14TrendingTopk(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("window_start"),
+        col("w.end").cast("long").as("window_end"), col("event_type"), col("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("window_start")).orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= k)
+      .select(col("window_start"), col("window_end"), col("rnk"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("rnk"))
+  }
+
+  val c14Sql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |hopped AS (
+      |  SELECT event_type, unnest([s0, s0 - 1]) AS slot
+      |  FROM (SELECT event_type, epoch_us(ts) // 1800000000 AS s0 FROM e)),
+      |counts AS (
+      |  SELECT slot * 1800 AS window_start, slot * 1800 + 3600 AS window_end,
+      |    event_type, count(*) AS n
+      |  FROM hopped GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY window_start
+      |    ORDER BY n DESC, event_type) AS rnk
+      |  FROM counts)
+      |SELECT window_start, window_end, rnk, event_type, n
+      |FROM ranked WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_trending_topk" -> (c14TrendingTopk _),
     "c13_transitions" -> (c13Transitions _),
     "c12_daily_anomaly" -> (c12DailyAnomaly _),
     "c11_attribution" -> (c11Attribution _),
@@ -513,6 +556,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c14_trending_topk" -> c14Sql,
     "c13_transitions" -> c13Sql,
     "c12_daily_anomaly" -> c12Sql,
     "c11_attribution" -> c11Sql,

@@ -276,15 +276,77 @@ object MultimodalOps {
       |  CAST(sum(height) AS DOUBLE) / count(*) AS mean_height
       |FROM meta GROUP BY 1, 2 ORDER BY source, format""".stripMargin
 
+  /** Square patch edge (pixels) for e5's vision-token cost model: an
+    * image contributes (width div patch) × (height div patch) patch
+    * tokens — the ViT-style accounting every interleaved multimodal
+    * trainer budgets sequences with. */
+  val PatchPx = 160L
+
+  /** e5: interleaved multimodal sequence packing — the d24/e2 idea at
+    * the MULTIMODAL grain: a training item is text tokens + the image's
+    * patch tokens + one image-boundary marker, and items are laid into
+    * fixed token-budget sequences in (source, doc_id) order with e2's
+    * start-offset rule (an item is assigned where its cumulative offset
+    * STARTS, so a sequence overflows by at most one item and an image's
+    * patches are never split across sequences — splitting patches,
+    * unlike splitting text, would orphan attention to the image). Patch
+    * counts derive from e1's stubbed decode dims (real codec drops in
+    * via MediaDecoder without touching this plan). Per-source window
+    * cumsum — parallelism = #sources, all-integer `div`/`%`,
+    * bit-identical on any engine or parallelism. */
+  def e5InterleavePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("text").cast("binary"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_text_tokens"),
+        (lit(640) + (ascii(substring(h, 1, 1)) % 16) * 80).cast("long").as("width"),
+        (lit(360) + (ascii(substring(h, 2, 1)) % 16) * 45).cast("long").as("height"))
+      // `div` is true long division — `/` on long Columns routes through
+      // a double (the d24/e2 bit-stability rule)
+      .withColumn("n_patches",
+        expr(s"(width div $PatchPx) * (height div $PatchPx)"))
+      .withColumn("item_tokens", col("n_text_tokens") + col("n_patches") + 1L)
+      .withColumn("end_tok", sum(col("item_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("item_tokens"))
+      .select(col("doc_id"), col("source"), col("n_text_tokens"), col("n_patches"),
+        col("item_tokens"),
+        expr(s"start_tok div ${CorpusOps.SeqLen}").as("seq_idx"),
+        expr(s"start_tok % ${CorpusOps.SeqLen}").as("offset_in_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val e5Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_text_tokens,
+       |    (CAST(640 + (ascii(substring(md5(text), 1, 1)) % 16) * 80 AS BIGINT) // $PatchPx) *
+       |      (CAST(360 + (ascii(substring(md5(text), 2, 1)) % 16) * 45 AS BIGINT) // $PatchPx) AS n_patches
+       |  FROM documents),
+       |item AS (
+       |  SELECT *, n_text_tokens + n_patches + 1 AS item_tokens FROM sized),
+       |laid AS (
+       |  SELECT *, CAST(sum(item_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - item_tokens AS start_tok
+       |  FROM item)
+       |SELECT doc_id, source, n_text_tokens, n_patches, item_tokens,
+       |  start_tok // ${CorpusOps.SeqLen} AS seq_idx,
+       |  start_tok % ${CorpusOps.SeqLen} AS offset_in_seq
+       |FROM laid ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_multimodal_meta" -> (e1MultimodalMeta _),
     "e2_blob_shard" -> (e2BlobShard _),
     "e3_shard_stats" -> (e3ShardStats _),
-    "e4_format_profile" -> (e4FormatProfile _))
+    "e4_format_profile" -> (e4FormatProfile _),
+    "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
     "e1_multimodal_meta" -> e1Sql,
     "e2_blob_shard" -> e2Sql,
     "e3_shard_stats" -> e3Sql,
-    "e4_format_profile" -> e4Sql)
+    "e4_format_profile" -> e4Sql,
+    "e5_interleave_pack" -> e5Sql)
 }

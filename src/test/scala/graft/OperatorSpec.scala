@@ -1296,6 +1296,76 @@ class OperatorSpec extends GraftSpec {
     VectorOps.release(spark, sfDir)
   }
 
+  test("c14 trending top-k: hop geometry and a recounted window's exact top-3") {
+    val out = Events.c14TrendingTopk(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // hop geometry: 1 h windows on 30 min boundaries, ranks 1..m<=3 descending by n
+    rows.foreach { r =>
+      assert(r.getLong(1) - r.getLong(0) == 3600L && r.getLong(0) % 1800 == 0)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { w =>
+      val byRank = w.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to byRank.length))
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0).getLong(4) >= p(1).getLong(4)))
+    }
+    // recount one window end-to-end: the busiest window's top-3 must match
+    val ws = rows.maxBy(_.getLong(4)).getLong(0)
+    val expected = Tables.events(spark, sfDir)
+      .filter(unix_timestamp(col("ts")) >= ws && unix_timestamp(col("ts")) < ws + 3600)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = rows.filter(_.getLong(0) == ws).sortBy(_.getInt(2))
+      .map(r => (r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    out.unpersist()
+  }
+
+  test("d46 leakage split: no dup pair or exact group straddles splits, all docs covered") {
+    val out = CorpusOps.d46LeakageSplit(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(out.count() == docs.count())
+    // no verified near-dup pair crosses a split boundary
+    val splits = out.select(col("doc_id"), col("split"))
+    val crossPairs = DedupOps.sharedVerifiedPairs(spark, sfDir)
+      .join(splits.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+      .join(splits.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossPairs == 0L)
+    // no exact-dup group straddles splits either
+    val straddling = docs.select(col("doc_id"), md5(trim(lower(col("text")))).as("k"))
+      .join(splits, "doc_id")
+      .groupBy(col("k")).agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddling == 0L)
+    // salted buckets land near 80/10/10 (loose bounds at 500 docs)
+    val frac = out.filter(col("split") === "train").count().toDouble / out.count()
+    assert(frac > 0.6 && frac < 0.95)
+    out.unpersist()
+    DedupOps.release(spark, sfDir)
+    CorpusOps.release(spark, sfDir)
+  }
+
+  test("e5 interleave pack: token accounting exact, local cumsum replay for one source") {
+    val out = MultimodalOps.e5InterleavePack(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val L = CorpusOps.SeqLen
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) + r.getLong(3) + 1)
+      assert(r.getLong(6) >= 0 && r.getLong(6) < L)
+    }
+    // replay the start-offset fill locally for the busiest source
+    val src = rows.groupBy(_.getString(1)).maxBy(_._2.length)._1
+    var off = 0L
+    rows.filter(_.getString(1) == src).sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(5) == off / L && r.getLong(6) == off % L)
+      off += r.getLong(4)
+    }
+    out.unpersist()
+  }
+
   test("e4 format profile conserves blob count and byte mass vs the corpus") {
     val out = MultimodalOps.e4FormatProfile(spark, sfDir).collect()
     assert(out.nonEmpty)
