@@ -909,7 +909,62 @@ object Etl {
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  /** a21: snapshot diff — the CDC audit between two compacted loads of
+    * a keyed table (what actually changed between yesterday's and
+    * today's a7 output): full outer join on the key, classified into
+    * insert (key new in B) / delete (key gone in B) / update (key in
+    * both, tracked column changed); unchanged rows are dropped so the
+    * output is the diff, not the table. Snapshots derive
+    * deterministically from orders (the a7/a20 idiom): A omits keys
+    * ≡ 5 (mod 13) — B's inserts; B omits keys ≡ 3 (mod 11) — B's
+    * deletes; B flags status on keys ≡ 2 (mod 7) — the updates.
+    *
+    * Shape: one key-partitioned sort-merge full outer join (both sides
+    * shuffle on the key once); at scale this is the standard
+    * snapshot-reconciliation plan — no broadcast assumption (both
+    * snapshots are fact-sized), AQE skew-handles hot keys. */
+  def a21SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def snap(df: DataFrame) = df.select(
+      col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    val base = Tables.orders(spark, dir)
+    val snapA = snap(base.filter(pmod(col("o_orderkey"), lit(13)) =!= 5))
+    val snapB = snap(base.filter(pmod(col("o_orderkey"), lit(11)) =!= 3))
+      .withColumn("status",
+        when(pmod(col("key"), lit(7)) === 2, concat(col("status"), lit("*")))
+          .otherwise(col("status")))
+    snapA.as("a").join(snapB.as("b"), col("a.key") === col("b.key"), "full_outer")
+      .select(
+        coalesce(col("a.key"), col("b.key")).as("key"),
+        when(col("a.key").isNull, lit("insert"))
+          .when(col("b.key").isNull, lit("delete"))
+          .when(col("a.status") =!= col("b.status"), lit("update"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        col("a.status").as("old_status"), col("b.status").as("new_status"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy(col("key"))
+  }
+
+  val a21Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 13 <> 5),
+      |b AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 7 = 2 THEN o_orderstatus || '*' ELSE o_orderstatus END AS status
+      |  FROM orders WHERE o_orderkey % 11 <> 3),
+      |d AS (
+      |  SELECT coalesce(a.key, b.key) AS key,
+      |    CASE WHEN a.key IS NULL THEN 'insert'
+      |         WHEN b.key IS NULL THEN 'delete'
+      |         WHEN a.status <> b.status THEN 'update'
+      |         ELSE 'unchanged' END AS change_type,
+      |    a.status AS old_status, b.status AS new_status
+      |  FROM a FULL OUTER JOIN b ON a.key = b.key)
+      |SELECT key, change_type, old_status, new_status
+      |FROM d WHERE change_type <> 'unchanged' ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_snapshot_diff" -> (a21SnapshotDiff _),
     "a20_schema_drift" -> (a20SchemaDrift _),
     "a19_lease_reclaim" -> (a19LeaseReclaim _),
     "a18_incremental_partitions" -> (a18IncrementalPartitions _),
@@ -932,6 +987,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a21_snapshot_diff" -> a21Sql,
     "a20_schema_drift" -> a20Sql,
     "a19_lease_reclaim" -> a19Sql,
     "a18_incremental_partitions" -> a18Sql,

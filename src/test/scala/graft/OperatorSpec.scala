@@ -1296,6 +1296,20 @@ class OperatorSpec extends GraftSpec {
     VectorOps.release(spark, sfDir)
   }
 
+  test("a21 snapshot diff: class counts match the derivation rules exactly") {
+    val out = Etl.a21SnapshotDiff(spark, sfDir).cache()
+    val byClass = out.groupBy(col("change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, sfDir).select(col("o_orderkey")).collect().map(_.getLong(0))
+    val inA = keys.filter(_ % 13 != 5).toSet
+    val inB = keys.filter(_ % 11 != 3).toSet
+    assert(byClass.getOrElse("insert", 0L) == (inB -- inA).size.toLong)
+    assert(byClass.getOrElse("delete", 0L) == (inA -- inB).size.toLong)
+    assert(byClass.getOrElse("update", 0L) == (inA & inB).count(_ % 7 == 2).toLong)
+    assert(!byClass.contains("unchanged"))
+    out.unpersist()
+  }
+
   test("c14 trending top-k: hop geometry and a recounted window's exact top-3") {
     val out = Events.c14TrendingTopk(spark, sfDir).cache()
     val rows = out.collect()
