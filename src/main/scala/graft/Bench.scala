@@ -29,8 +29,10 @@ object Bench {
 
   /** Best-of-two results above this are treated as contamination
     * suspects and re-timed (true per-query times here are ≤ ~4 s at
-    * sf0.1; a host pause inflates random queries 10–50×). */
-  val SuspectSec = 10.0
+    * sf0.1; host noise inflates random queries 2–50× — measured spikes
+    * land anywhere from 5 s to 90 s on queries whose quiet time is
+    * ~1 s, so the threshold sits just above the genuine ceiling). */
+  val SuspectSec = 6.0
 
   /** Extra attempts per suspect. */
   val SuspectRetries = 2
@@ -39,26 +41,32 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "unknown" }
 
-  /** Aggregate guest CPU ticks (/proc/stat line 1, all fields summed
-    * minus idle+iowait = busy; plus idle). Recorded at start/end so a
-    * reader can detect HYPERVISOR PAUSES post hoc: during a pause wall
-    * time advances but guest ticks (busy AND idle) do not, so
-    * (wall_seconds × cpus × USER_HZ) ≫ tick delta ⇒ the run's numbers
-    * are contaminated by freezes, not by real work or guest load. */
-  private def cpuTicks(): (Long, Long) =
+  /** Aggregate guest CPU ticks (/proc/stat line 1): (busy, idle,
+    * steal). Recorded at start/end so a reader can detect the two
+    * distinct host-noise modes post hoc:
+    *  - FULL VM PAUSE: wall time advances but ticks (busy AND idle) do
+    *    not → tick fraction ≪ 1.
+    *  - CPU STEAL: the hypervisor runs someone else on "our" cpus;
+    *    ticks land in the steal field, so the tick fraction stays ≈1
+    *    while real throughput drops — only steal_fraction shows it.
+    * Measured on this host: random 2–50× per-query inflation with tick
+    * fraction 0.99, i.e. the steal/noisy-neighbor mode, which is why
+    * the suspect-retry loop (not best-of-two alone) is load-bearing. */
+  private def cpuTicks(): (Long, Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
         .split("\\s+").drop(1).map(_.toLong)
       val idle = f(3) + f(4)
-      (f.sum - idle, idle)
-    } catch { case _: Throwable => (-1L, -1L) }
+      val steal = if (f.length > 7) f(7) else 0L
+      (f.sum - idle, idle, steal)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val load0 = loadavg()
-    val (busy0, idle0) = cpuTicks()
+    val (busy0, idle0, steal0) = cpuTicks()
     val wall0 = System.nanoTime()
     System.err.println(s"[bench] loadavg at start: $load0 (cpus=$cpus)")
     val spark: SparkSession = GraftSession
@@ -152,15 +160,19 @@ object Bench {
     // actually ticked (busy+idle vs wall × cpus × 100 Hz). ≈1.0 on a
     // healthy host; well under 1.0 means the hypervisor froze the VM
     // for part of the run and wall-clock timings are inflated.
-    val (busy1, idle1) = cpuTicks()
+    val (busy1, idle1, steal1) = cpuTicks()
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val tickFrac =
       if (busy0 < 0 || busy1 < 0) -1.0
       else ((busy1 - busy0) + (idle1 - idle0)) / (wallSec * cpus * 100.0)
+    val stealFrac =
+      if (steal0 < 0 || steal1 < 0) -1.0
+      else (steal1 - steal0) / (wallSec * cpus * 100.0)
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(best)},""" +
       s""""pass1":${jmap(pass1)},"pass2":${jmap(pass2)},""" +
       s""""loadavg_start":"$load0","loadavg_end":"$load1","cpus":$cpus,""" +
       s""""wall_sec":${fmt(wallSec, 1)},"guest_tick_fraction":${fmt(tickFrac, 3)},""" +
+      s""""steal_fraction":${fmt(stealFrac, 4)},""" +
       s""""sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
