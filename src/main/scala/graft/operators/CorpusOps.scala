@@ -852,7 +852,96 @@ object CorpusOps {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** d47: cross-split contamination audit — the check that CLOSES the
+    * d46 leakage story: the split is leak-free at the near-dup layer by
+    * construction (no verified pair straddles splits), but eval docs
+    * can still share raw word-3-grams with train docs (quotes,
+    * boilerplate, below-τ overlap), and a training run wants that
+    * surface measured before it trusts its eval numbers. Per non-train
+    * doc: distinct shared 3-grams, distinct train docs sharing them,
+    * and the contaminated flag — d20's shingle equi-join oriented at
+    * the EVAL side, with d46's split as the partition.
+    *
+    * Shape: the split frame prices as d46 (cached CC labels, ids-only
+    * join); shingles explode once per side and meet in one
+    * shingle-keyed shuffle equi-join (never broadcast-assumed — at
+    * 100 TB even the eval side's exploded shingles can exceed memory);
+    * the left join back is ids-only. */
+  def d47SplitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val split = d46LeakageSplit(spark, dir).select(col("doc_id"), col("split"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(split, "doc_id")
+    val hits = TextOps.contaminationAgainst(
+        docs.filter(col("split") =!= "train").select(col("doc_id"), col("text")),
+        docs.filter(col("split") === "train").select(col("doc_id"), col("text")))
+      .withColumnRenamed("n_eval_docs", "n_train_docs")
+    split.filter(col("split") =!= "train")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_train_docs"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: d46's split CTEs + d20's shingle join, eval side. */
+  val d47Sql: String = {
+    val pow16 = Seq(268435456L, 16777216L, 1048576L, 65536L, 4096L, 256L, 16L, 1L)
+    val digit = pow16.zipWithIndex.map { case (p, i) =>
+      s"CAST(strpos('0123456789abcdef', (md5(concat('graft-split:', CAST(group_key AS VARCHAR))))[${i + 1}]) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |cc AS (
+       |  SELECT DISTINCT src AS node, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, cc.lab FROM cc JOIN edges e ON e.src = cc.node),
+       |labs AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY node),
+       |base AS (
+       |  SELECT doc_id, source,
+       |    min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS exact_min
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT b.doc_id, coalesce(l.cluster_id, b.exact_min) AS group_key
+       |  FROM base b LEFT JOIN labs l ON b.doc_id = l.doc_id),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ($digit) % 10 < 8 THEN 'train'
+       |         WHEN ($digit) % 10 = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM keyed),
+       |shingles AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |ev AS (
+       |  SELECT g.doc_id, g.shingle FROM shingles g JOIN spl USING (doc_id)
+       |  WHERE spl.split <> 'train'),
+       |tr AS (
+       |  SELECT g.doc_id AS train_id, g.shingle FROM shingles g JOIN spl USING (doc_id)
+       |  WHERE spl.split = 'train'),
+       |hits AS (
+       |  SELECT e.doc_id, count(DISTINCT e.shingle) AS n_shared_ngrams,
+       |    count(DISTINCT t.train_id) AS n_train_docs
+       |  FROM ev e JOIN tr t ON e.shingle = t.shingle GROUP BY e.doc_id)
+       |SELECT s.doc_id, s.split,
+       |  coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+       |  coalesce(h.n_train_docs, 0) > 0 AS contaminated
+       |FROM spl s LEFT JOIN hits h ON s.doc_id = h.doc_id
+       |WHERE s.split <> 'train' ORDER BY s.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d47_split_contamination" -> (d47SplitContamination _),
     "d46_leakage_split" -> (d46LeakageSplit _),
     "d41_packing_efficiency" -> (d41PackingEfficiency _),
     "d37_length_profile" -> (d37LengthProfile _),
@@ -866,6 +955,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d47_split_contamination" -> d47Sql,
     "d46_leakage_split" -> d46Sql,
     "d41_packing_efficiency" -> d41Sql,
     "d37_length_profile" -> d37Sql,

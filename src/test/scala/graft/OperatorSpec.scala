@@ -1380,6 +1380,32 @@ class OperatorSpec extends GraftSpec {
     out.unpersist()
   }
 
+  test("d47 split contamination: full local recompute matches at test scale") {
+    val out = CorpusOps.d47SplitContamination(spark, sfDir).cache()
+    val split = CorpusOps.d46LeakageSplit(spark, sfDir)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tris(s: String): Set[String] = {
+      val t = s.split(" ").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val trainSh = texts.collect { case (id, tx) if split(id) == "train" => id -> tris(tx) }
+    val allTrain = trainSh.values.foldLeft(Set.empty[String])(_ ++ _)
+    val rows = out.collect()
+    assert(rows.length == split.count(_._2 != "train"))
+    rows.foreach { r =>
+      val my = tris(texts(r.getLong(0)))
+      assert(r.getLong(2) == (my & allTrain).size.toLong)
+      assert(r.getLong(3) == trainSh.count { case (_, s) => (s & my).nonEmpty }.toLong)
+      assert(r.getBoolean(4) == (r.getLong(3) > 0))
+    }
+    out.unpersist()
+    DedupOps.release(spark, sfDir)
+    CorpusOps.release(spark, sfDir)
+  }
+
   test("e4 format profile conserves blob count and byte mass vs the corpus") {
     val out = MultimodalOps.e4FormatProfile(spark, sfDir).collect()
     assert(out.nonEmpty)
