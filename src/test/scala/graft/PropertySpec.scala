@@ -45,6 +45,39 @@ class PropertySpec extends GraftSpec {
       rows.groupBy(_._1).values.forall(_.size >= k))
   }
 
+  test("custom aggregates are partition-invariant: merge order cannot change results") {
+    // At cluster scale the merge path (partial aggregates meeting in the
+    // exchange) runs under arbitrary row groupings; the signature and
+    // top-k results must be identical whatever the input partitioning.
+    // Repartitioning the INPUT changes which rows each partial fold
+    // sees, so comparing against a single-partition run exercises
+    // merge associativity/commutativity end-to-end.
+    import spark.implicits._
+    def sigs(parts: Int): Map[Long, Seq[Long]] =
+      DedupOps.explodedShingleHashes(spark, sfDir).repartition(parts)
+        .groupBy(col("doc_id"))
+        .agg(call_function("minhash128", col("shingle")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val one = sigs(1)
+    assert(one.nonEmpty)
+    assert(sigs(29) == one, "minhash128 not partition-invariant")
+    val rowGen: Gen[List[(Long, Long, Double)]] = Gen.listOfN(400,
+      for {
+        q <- Gen.chooseNum(0L, 7L)
+        id <- Gen.chooseNum(0L, 60L)
+        s <- Gen.chooseNum(0, 15).map(_ / 5.0)
+      } yield (q, id, s))
+    val rows = sample(rowGen, 11L)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+    def topk(parts: Int): Seq[(Long, Long, Double, Int)] =
+      VectorOps.topKPerQuery(rows.toDF("query_id", "neighbor_id", "cos").repartition(parts), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val t1 = topk(1)
+    assert(t1.nonEmpty)
+    assert(topk(23) == t1, "topk_by_score not partition-invariant")
+  }
+
   test("cosine/dot: symmetric, self-similar, and exactly the sequential fold") {
     import spark.implicits._
     val vs = sample(vecGen, 1L)
