@@ -388,6 +388,69 @@ object StreamingOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class MomState(n: Long, s: Long, ssq: BigDecimal,
+                      open: Map[Long, Long], closedUpTo: Long)
+  case class DayFlag(event_type: String, day: java.sql.Date, cnt: Long,
+                     flagged: Boolean, n_prior: Long, mean_prior: Double)
+
+  /** Streaming daily-volume anomaly flags — the ONLINE twin of batch
+    * c12: per event type, a day's count is flagged iff |c − μ| > 2σ
+    * against the moments of the days CLOSED BEFORE it (batch c12 tests
+    * against all-days stats — an online detector only has the past;
+    * the contrast is the point, like capStream vs d30). The test is
+    * division- and sqrt-free in exact integer arithmetic (BigInt dev²
+    * vs 4·variance-term, c12's rule), so flags are bit-deterministic.
+    *
+    * One fMGWS directly on the watermarked event stream (fMGWS after a
+    * windowed aggregation is an unsupported streaming shape): state per
+    * type = closed-day moments (n, s, ssq) + counts of the OPEN days
+    * still inside the watermark horizon — bounded by #types ×
+    * (horizon/day + 3 numbers), regardless of stream length. A day
+    * closes when the watermark passes its end (late stragglers are
+    * ignored exactly as a windowed agg would drop them); closures fold
+    * in ascending day order, so flag decisions never depend on batch
+    * boundaries. ssq rides a DECIMAL(38,18) state column — exact to
+    * ~10²⁰; a corpus beyond that swaps in a two-long 128-bit encoding
+    * without touching the plan. */
+  def anomalyStream(spark: SparkSession, events: Dataset[EventRow],
+                    watermarkDelay: String = "1 hour"): Dataset[DayFlag] = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[MomState]) =>
+          val st0 = state.getOption.getOrElse(
+            MomState(0L, 0L, BigDecimal(0), Map.empty, Long.MinValue))
+          var open = st0.open
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (d > st0.closedUpTo) open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val toClose = open.keys.filter(d => (d + 1) * DayMs <= wm).toSeq.sorted
+          var (n, s, ssq) = (st0.n, st0.s, st0.ssq)
+          var closedUpTo = st0.closedUpTo
+          val out = Seq.newBuilder[DayFlag]
+          toClose.foreach { d =>
+            val cnt = open(d)
+            val dev = BigInt(cnt) * BigInt(n) - BigInt(s)
+            val varTerm = BigInt(n) * ssq.toBigInt - BigInt(s) * BigInt(s)
+            val flagged = n >= 2 && dev * dev > 4 * varTerm
+            out += DayFlag(typ, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)),
+              cnt, flagged, n, if (n == 0) 0.0 else s.toDouble / n)
+            n += 1; s += cnt; ssq += BigDecimal(BigInt(cnt) * BigInt(cnt))
+            open -= d
+            closedUpTo = math.max(closedUpTo, d)
+          }
+          state.update(MomState(n, s, ssq, open, closedUpTo))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(open.keys.map(d => (d + 1) * DayMs).min, wm + 1))
+          out.result().iterator
+      }
+  }
+
   case class DomainDoc(domain: String, doc_id: Long)
 
   /** Streaming per-domain admission quota — the streaming twin of

@@ -228,6 +228,56 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming daily anomaly flags match a sequential driver replay, spike caught") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.anomalyStream(spark, mem.toDS(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("anomaly_test").outputMode("append").start()
+    def ev(id: Long, day: Int, hour: Int, typ: String) = StreamingOps.EventRow(
+      id, java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00"), id % 7, typ, 1.0)
+    try {
+      // days 1-4 steady (3/day), day 5 spikes to 12; "view" stays flat
+      var id = 0L
+      val batch1 = (1 to 4).flatMap { d =>
+        (1 to 3).map { h => id += 1; ev(id, d, h, "click") } :+ { id += 1; ev(id, d, 1, "view") }
+      }
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val batch2 = (1 to 12).map { h => id += 1; ev(id, 5, h, "click") } :+
+        { id += 1; ev(id, 5, 2, "view") }
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // advance the watermark past day 5's end, then once more to fire timeouts
+      mem.addData(ev(9001, 8, 12, "click"))
+      q.processAllAvailable()
+      mem.addData(ev(9002, 8, 13, "click"))
+      q.processAllAvailable()
+      val got = spark.sql("select event_type, day, cnt, flagged, n_prior from anomaly_test")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getBoolean(3), r.getLong(4)))
+        .toSet
+      // sequential replay of the online rule over the same closed days
+      val all = (batch1 ++ batch2).map(e =>
+        (e.event_type, Math.floorDiv(e.ts.getTime, 86400000L)))
+      val expected = all.groupBy(_._1).flatMap { case (typ, evs) =>
+        val days = evs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        var (n, s, ssq) = (0L, 0L, BigInt(0))
+        days.map { case (d, cnt) =>
+          val dev = BigInt(cnt) * n - s
+          val flagged = n >= 2 && dev * dev > 4 * (n * ssq - BigInt(s) * s)
+          val r = (typ, java.time.LocalDate.ofEpochDay(d).toString, cnt, flagged, n)
+          n += 1; s += cnt; ssq += BigInt(cnt) * cnt
+          r
+        }
+      }.toSet
+      assert(got == expected)
+      // the planted day-5 spike is flagged; steady days are not
+      assert(got.exists { case (t, day, cnt, f, _) => t == "click" && day == "2024-03-05" && cnt == 12 && f })
+      assert(got.count(_._4) == 1)
+    } finally q.stop()
+  }
+
   test("streaming domain quota admits first-arrived per domain, exact cap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
