@@ -1116,7 +1116,39 @@ object Analytics {
       |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_90d_revenue
       |FROM per ORDER BY nation, o_date""".stripMargin
 
+  /** q41: exact INTERPOLATED quartiles per group (percentile_cont
+    * semantics — q21's rank selection is the discrete variant; this is
+    * the linear-interpolation one: h = (n−1)p, value = v⌊h⌋ + frac·Δ).
+    * Spark's exact `percentile` aggregate is sort-based per group, not
+    * a float accumulation, so results are parallelism-independent; on
+    * l_quantity (small integers) with quarter positions the
+    * interpolation arithmetic is exactly representable in binary
+    * floats, which is what makes the cross-engine hash match exact
+    * rather than approximate. One scan, one group exchange; the 100 TB
+    * variant at hot group cardinalities is q22's quantile sketch. */
+  def q41QuartilesCont(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("median"),
+        element_at(col("qs"), 3).as("q3"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q41Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q1,
+      |  quantile_cont(l_quantity, 0.5) AS median,
+      |  quantile_cont(l_quantity, 0.75) AS q3,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_quartiles_cont" -> (q41QuartilesCont _),
     "q40_rolling_revenue" -> (q40RollingRevenue _),
     "q39_yoy_growth" -> (q39YoyGrowth _),
     "q37_blame_supplier" -> (q37BlameSupplier _),
@@ -1158,6 +1190,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q41_quartiles_cont" -> q41Sql,
     "q40_rolling_revenue" -> q40Sql,
     "q39_yoy_growth" -> q39Sql,
     "q37_blame_supplier" -> q37Sql,

@@ -1296,6 +1296,22 @@ class OperatorSpec extends GraftSpec {
     VectorOps.release(spark, sfDir)
   }
 
+  test("q41 interpolated quartiles: ordered, and the median matches a driver replay") {
+    val out = Analytics.q41QuartilesCont(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3)))
+    val flag = out.head.getString(0)
+    val vs = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === flag)
+      .select(col("l_quantity").cast("double")).collect().map(_.getDouble(0)).sorted
+    def interp(p: Double): Double = {
+      val h = (vs.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 < vs.length) vs(lo) + (h - lo) * (vs(lo + 1) - vs(lo)) else vs(lo)
+    }
+    assert(out.head.getDouble(2) == interp(0.5))
+    assert(out.head.getDouble(1) == interp(0.25) && out.head.getDouble(3) == interp(0.75))
+  }
+
   test("a21 snapshot diff: class counts match the derivation rules exactly") {
     val out = Etl.a21SnapshotDiff(spark, sfDir).cache()
     val byClass = out.groupBy(col("change_type")).count().collect()
