@@ -539,7 +539,67 @@ object Events {
       |SELECT window_start, window_end, rnk, event_type, n
       |FROM ranked WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin
 
+  /** c15: funnel conversion by signup cohort — c7's cohort rule (first
+    * event week) × c6's ordered-funnel rule (view → click-after-view →
+    * purchase-after-qualified-click), the "did later cohorts convert
+    * better?" table every growth dashboard starts with. The cohort
+    * window (unordered per-user min) and both funnel windows (ordered
+    * per-user cumulative) share ONE user_id exchange — same partition
+    * key, so Catalyst plans a single shuffle feeding all three Window
+    * nodes; then one reduce on the ≤ #weeks cohort frame. The final
+    * rate is a single double division per cohort row. */
+  def c15CohortFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("cohort_week",
+        min(date_trunc("week", col("ts")).cast("date")).over(perUser))
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("qclick", col("event_type") === "click" && col("first_view").isNotNull)
+      .withColumn("first_qclick", min(when(col("qclick"), col("ts"))).over(w))
+      .groupBy(col("cohort_week"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("users_view"),
+        countDistinct(when(col("qclick"), col("user_id"))).as("users_click"),
+        countDistinct(when(col("event_type") === "purchase" && col("first_qclick").isNotNull,
+          col("user_id"))).as("users_purchase"))
+      .withColumn("purchase_rate",
+        col("users_purchase").cast("double") / col("users"))
+      .orderBy(col("cohort_week"))
+  }
+
+  val c15Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |coh AS (
+      |  SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      |  FROM e GROUP BY user_id),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS first_view
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, event_type = 'click' AND first_view IS NOT NULL AS qclick FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN qclick THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS first_qclick
+      |  FROM s2)
+      |SELECT c.cohort_week,
+      |  count(DISTINCT s3.user_id) AS users,
+      |  count(DISTINCT CASE WHEN event_type = 'view' THEN s3.user_id END) AS users_view,
+      |  count(DISTINCT CASE WHEN qclick THEN s3.user_id END) AS users_click,
+      |  count(DISTINCT CASE WHEN event_type = 'purchase' AND first_qclick IS NOT NULL
+      |    THEN s3.user_id END) AS users_purchase,
+      |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase' AND first_qclick IS NOT NULL
+      |    THEN s3.user_id END) AS DOUBLE) / count(DISTINCT s3.user_id) AS purchase_rate
+      |FROM s3 JOIN coh c ON s3.user_id = c.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_cohort_funnel" -> (c15CohortFunnel _),
     "c14_trending_topk" -> (c14TrendingTopk _),
     "c13_transitions" -> (c13Transitions _),
     "c12_daily_anomaly" -> (c12DailyAnomaly _),
@@ -556,6 +616,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c15_cohort_funnel" -> c15Sql,
     "c14_trending_topk" -> c14Sql,
     "c13_transitions" -> c13Sql,
     "c12_daily_anomaly" -> c12Sql,

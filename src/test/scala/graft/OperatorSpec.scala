@@ -1326,6 +1326,26 @@ class OperatorSpec extends GraftSpec {
     out.unpersist()
   }
 
+  test("c15 cohort funnel: per-cohort stage counts sum exactly to c6's global funnel") {
+    val out = Events.c15CohortFunnel(spark, sfDir).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // each user belongs to exactly one cohort, so cohort sums = global funnel
+    val global = Events.c6Funnel(spark, sfDir).head
+    assert(rows.map(_.getLong(2)).sum == global.getLong(0)) // users_view
+    assert(rows.map(_.getLong(3)).sum == global.getLong(1)) // users_click
+    assert(rows.map(_.getLong(4)).sum == global.getLong(2)) // users_purchase
+    // funnel monotone within every cohort, rate consistent
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3) && r.getLong(3) >= r.getLong(4))
+      assert(r.getDouble(5) == r.getLong(4).toDouble / r.getLong(1))
+    }
+    // total distinct users conserved
+    val users = Tables.events(spark, sfDir).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+    out.unpersist()
+  }
+
   test("c14 trending top-k: hop geometry and a recounted window's exact top-3") {
     val out = Events.c14TrendingTopk(spark, sfDir).cache()
     val rows = out.collect()
