@@ -863,7 +863,18 @@ object Etl {
     * per-column rows like a12. Flags are exact: `range_widened` = B
     * observed values outside A's [min, max] (typed comparison before
     * stacking — no lossy casts); `drifted` = distinct-count change
-    * beyond 20%, tested as 5·|Δ| > distinct_A in pure integers. */
+    * beyond 20%, tested as 5·|Δ| > distinct_A in pure integers.
+    *
+    * Price adjudication (slowest bench query, ~3 s at sf0.1, both
+    * passes): 8 exact count_distinct aggregates in one Aggregate make
+    * Catalyst plan an Expand (factor 9) over the scan. That is still
+    * the right 100 TB shape — ONE pass over the fact table, and the
+    * partial aggregate dedups each (gid, value) map-side, so the
+    * post-expand shuffle carries per-column distinct VALUES, not rows.
+    * The alternatives are worse at scale: one aggregation per column
+    * = 4 full scans; approx_count_distinct (q17's HLL path) is the
+    * escape hatch when the gate can tolerate ±1% — exactness is the
+    * point of a regression gate, so a20 keeps the exact form. */
   def a20SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
     val loadA = year(col("o_orderdate")) % 2 === 0
     val aggs = DriftCols.flatMap { c =>
