@@ -951,7 +951,122 @@ object TextOps {
        |SELECT w1, w2, n_bigram, left_total, n_continuations
        |FROM w ORDER BY n_bigram DESC, w1, w2 LIMIT $LmTopK""".stripMargin
 
+  /** Integer probability scale for d48 (probabilities become ppm). */
+  val LmScale = 1000000L
+
+  /** d48: LM-familiarity scoring — the count-based quality filter d43's
+    * LM feeds (the CCNet-style idea: docs whose n-grams the corpus LM
+    * finds familiar are "in-distribution"; junk scores low). Per doc:
+    * the n_bigram-weighted mean of the corpus bigram probability
+    * P(w2|w1) = n_bigram/left_total, integer-scaled to ppm, so the
+    * whole computation is exact integer arithmetic (products ≤
+    * 10⁶·corpus_bigrams ≪ 2⁶³; one `div` per level) — bit-stable at
+    * any parallelism and identical in any engine.
+    *
+    * Shape for 100 TB: TWO corpus scans (plan-audited, the d15/d31
+    * adjudication), each reducing map-side before any exchange — the
+    * doc side to (doc_id, w1, w2, n), the LM side through the same
+    * reduction down to the (w1, w2) dictionary. A one-scan variant
+    * exists (n_bigram/left_total as windows over the doc-bigram frame)
+    * but its partition-by-w1 window runs over DOC-level rows and
+    * inherits Zipf skew — the corpus's hottest word lands on one
+    * partition; the dict join keeps the w1 window on the REDUCED
+    * frame, where skew is bounded by vocab fan-out. The dict join is
+    * an equi-join, never a broadcast assumption (vocab² can be huge).
+    * No interpreted HOFs anywhere. */
+  def d48LmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val lm = docBigrams
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n_bigram"))
+      .withColumn("left_total", sum(col("n_bigram")).over(Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"),
+        expr(s"(n_bigram * $LmScale) div left_total").as("p_ppm"))
+    docBigrams.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        expr("sum(n * p_ppm) div sum(n)").as("familiarity_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d48Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+       |  FROM toks WHERE len(t) >= 2),
+       |db AS (
+       |  SELECT doc_id, string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+       |    count(*) AS n
+       |  FROM bg GROUP BY 1, 2, 3),
+       |lm AS (
+       |  SELECT w1, w2,
+       |    (CAST(sum(n) AS BIGINT) * $LmScale)
+       |      // CAST(sum(CAST(sum(n) AS BIGINT)) OVER (PARTITION BY w1) AS BIGINT) AS p_ppm
+       |  FROM db GROUP BY w1, w2)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(n * p_ppm) AS BIGINT) // CAST(sum(n) AS BIGINT) AS familiarity_ppm
+       |FROM db JOIN lm USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-source token budget for d49 (greedy prefix in salted-hash
+    * order). 800 keeps a meaningful subset at every test SF: ~60% of
+    * each source at sf0.01 (~1.3k tokens/source), ~6% at sf0.1. */
+  val TokenBudget = 800L
+
+  /** d49: token-budget sampling — cap each source's contribution to a
+    * training mix by TOKENS, not documents (what mixture execution
+    * actually needs after d21 picks the weights): walk each source's
+    * docs in deterministic salted-hash order and keep the prefix whose
+    * cumulative token count stays within budget. Unbiased (hash order
+    * is independent of content), reproducible (no RNG state), and
+    * exactly budgeted. A doc larger than the remaining budget ends the
+    * kept prefix for that source (cum exceeds → dropped), matching the
+    * greedy contract.
+    *
+    * Shape: ONE scan; the only exchange is the per-SOURCE hash
+    * partition for the cumulative-sum window (d24's adjudicated shape —
+    * never a global ordered window; sources parallelize independently,
+    * and at 1000 executors each holds its own running sum). */
+  def d49TokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(concat(lit("graft-budget:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d49Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+       |    md5(concat('graft-budget:', CAST(doc_id AS VARCHAR))) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM d)
+       |SELECT doc_id, source, n_tok, cum_tok
+       |FROM c WHERE cum_tok <= $TokenBudget ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d48_lm_familiarity" -> (d48LmFamiliarity _),
+    "d49_token_budget" -> (d49TokenBudgetSample _),
     "d43_ngram_lm" -> (d43NgramLm _),
     "d18_pii_scrub" -> (d18PiiScrub _),
     "d19_repetition_filter" -> (d19RepetitionFilter _),
@@ -975,6 +1090,8 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d48_lm_familiarity" -> d48Sql,
+    "d49_token_budget" -> d49Sql,
     "d43_ngram_lm" -> d43Sql,
     "d18_pii_scrub" -> d18Sql,
     "d19_repetition_filter" -> d19Sql,

@@ -1223,6 +1223,48 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("d48 LM familiarity: ppm-bounded, covers every multi-token doc, bigram count exact") {
+    val rows = TextOps.d48LmFamiliarity(spark, sfDir).collect()
+    // every doc with >= 2 tokens has >= 1 bigram and must be scored
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      .filter(col("n_tok") >= 2).collect()
+    assert(rows.length == expected.length)
+    val nTok = expected.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, nBigrams, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nBigrams == nTok(id) - 1L, s"doc $id: bigram count must be n_tok - 1")
+      // each bigram's p_ppm is in [0, 1e6]; so is their weighted mean
+      assert(ppm >= 0L && ppm <= TextOps.LmScale, s"doc $id: familiarity $ppm out of range")
+    }
+    // a bigram occurring once under a unique left context has p = 1e6;
+    // the corpus-wide weighted mean must sit strictly inside (0, 1e6]
+    assert(rows.map(_.getLong(2)).max > 0L)
+  }
+
+  test("d49 token budget: per-source cap respected and kept set is the greedy hash prefix") {
+    val kept = TextOps.d49TokenBudgetSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    kept.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= TextOps.TokenBudget, s"$src over budget")
+      assert(rs.map(_._4).max == rs.map(_._3).sum, s"$src cum mismatch")
+    }
+    // greedy maximality: replay the prefix walk over the full frame
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        md5(concat(lit("graft-budget:"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val replay = all.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._4, r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= TextOps.TokenBudget) Some(r._1) else None
+      }
+    }.toSet
+    assert(kept.map(_._1).toSet == replay, "kept set must equal the greedy prefix replay")
+  }
+
   test("d44 quantization: calibration card sane; quantized top-k recall >= 0.9") {
     val card = VectorOps.d44EmbedQuantize(spark, sfDir).collect()
     assert(card.length == 64)
