@@ -1147,7 +1147,57 @@ object Analytics {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q42: min-cost supplier per part (the TPC-H Q2 correlated-subquery
+    * pattern, re-expressed without partsupp): among suppliers in one
+    * region, each part's cheapest observed line price and the
+    * supplier(s) offering it — ties kept, like Q2. Decorrelated form:
+    * aggregate (part, supplier) minima once, take the per-part min as a
+    * window over that REDUCED frame (fan-out = suppliers-per-part, not
+    * line count), keep equal rows. The correlated-subquery rewrite is
+    * exactly what Q2 needs at scale — never a per-row subquery. All
+    * comparisons in DECIMAL: min/equality on l_extendedprice are exact,
+    * so the argmin can't flip with parallelism (an avg-based cost would
+    * tie-break on float dust). Region suppliers broadcast (dim chain
+    * region→nation→supplier prunes before the fact join). */
+  def q42MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"))
+      .agg(min(col("l_extendedprice")).as("best_price_dec"))
+      .withColumn("part_min",
+        min(col("best_price_dec")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("best_price_dec") === col("part_min"))
+      .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
+        col("s_name"), col("n_name").as("nation"),
+        col("best_price_dec").cast("double").as("best_price"))
+      .orderBy(col("partkey"), col("suppkey"))
+  }
+
+  val q42Sql: String =
+    """WITH eu AS (
+      |  SELECT s_suppkey, s_name, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |agg AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name, n_name AS nation,
+      |    min(l_extendedprice) AS best_price_dec
+      |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2, 3, 4),
+      |w AS (
+      |  SELECT *, min(best_price_dec) OVER (PARTITION BY partkey) AS part_min FROM agg)
+      |SELECT partkey, suppkey, s_name, nation, CAST(best_price_dec AS DOUBLE) AS best_price
+      |FROM w WHERE best_price_dec = part_min
+      |ORDER BY partkey, suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_min_cost_supplier" -> (q42MinCostSupplier _),
     "q41_quartiles_cont" -> (q41QuartilesCont _),
     "q40_rolling_revenue" -> (q40RollingRevenue _),
     "q39_yoy_growth" -> (q39YoyGrowth _),
@@ -1190,6 +1240,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q42_min_cost_supplier" -> q42Sql,
     "q41_quartiles_cont" -> q41Sql,
     "q40_rolling_revenue" -> q40Sql,
     "q39_yoy_growth" -> q39Sql,

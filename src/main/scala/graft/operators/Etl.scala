@@ -974,7 +974,49 @@ object Etl {
       |SELECT key, change_type, old_status, new_status
       |FROM d WHERE change_type <> 'unchanged' ORDER BY key""".stripMargin
 
+  /** a22: partition-size skew report over the a3-derived (year, month)
+    * layout — the profile an ETL operator reads before deciding to salt
+    * or re-bucket a write (and the first question when a job's last
+    * task runs 10× longer than the rest). Per partition: rows, an
+    * estimated byte size (variable-width columns measured, fixed-width
+    * costed at 24 B/row), share in basis points, and a skew flag.
+    * All-integer: share = rows·10⁴ div total; skewed = rows·n_parts >
+    * 2·total (cross-multiplied 2×-mean test, no division). ONE scan +
+    * one exchange for the (y, m) aggregate; the totals come from
+    * unpartitioned windows over the ALREADY-AGGREGATED ~84-row frame
+    * (the adjudicated q11 idiom — never a second fact scan). */
+  def a22PartitionSkew(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("o_orderpriority")) + length(col("o_orderstatus")) + lit(24))
+          .cast("long").as("est_bytes"))
+      .withColumn("total_rows", sum(col("n_rows")).over(w))
+      .withColumn("n_parts", count(lit(1)).over(w))
+      .select(col("y"), col("m"), col("n_rows"), col("est_bytes"),
+        expr("(n_rows * 10000) div total_rows").as("share_bp"),
+        (col("n_rows") * col("n_parts") > col("total_rows") * 2).as("skewed"))
+      .orderBy(col("y"), col("m"))
+  }
+
+  val a22Sql: String =
+    """WITH p AS (
+      |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |    count(*) AS n_rows,
+      |    CAST(sum(length(o_orderpriority) + length(o_orderstatus) + 24) AS BIGINT) AS est_bytes
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (
+      |  SELECT *, CAST(sum(n_rows) OVER () AS BIGINT) AS total_rows,
+      |    count(*) OVER () AS n_parts
+      |  FROM p)
+      |SELECT y, m, n_rows, est_bytes,
+      |  (n_rows * 10000) // total_rows AS share_bp,
+      |  n_rows * n_parts > 2 * total_rows AS skewed
+      |FROM t ORDER BY y, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_partition_skew" -> (a22PartitionSkew _),
     "a21_snapshot_diff" -> (a21SnapshotDiff _),
     "a20_schema_drift" -> (a20SchemaDrift _),
     "a19_lease_reclaim" -> (a19LeaseReclaim _),
@@ -998,6 +1040,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a22_partition_skew" -> a22Sql,
     "a21_snapshot_diff" -> a21Sql,
     "a20_schema_drift" -> a20Sql,
     "a19_lease_reclaim" -> a19Sql,

@@ -1223,6 +1223,40 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("q42 min-cost supplier: per-part rows all carry the true minimum; ties kept") {
+    val rows = Analytics.q42MinCostSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per part: one price value only (the min), possibly several suppliers
+    rows.groupBy(_.getLong(0)).foreach { case (pk, rs) =>
+      assert(rs.map(_.getDouble(4)).distinct.length == 1, s"part $pk: mixed prices")
+    }
+    // direct recomputation for the first part: min EU line price matches
+    val pk = rows.head.getLong(0)
+    val eu = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val direct = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") === pk)
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
+      .agg(min(col("l_extendedprice")).cast("double")).collect()(0).getDouble(0)
+    assert(rows.head.getDouble(4) == direct)
+  }
+
+  test("a22 partition skew: shares sum to <= 10000 bp, totals exact, flag recomputed") {
+    val rows = Etl.a22PartitionSkew(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val totalRows = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_._3).sum == totalRows, "partition rows must partition the table")
+    val bp = rows.map(_._5).sum
+    assert(bp <= 10000L && bp > 10000L - rows.length, "floor-div shares must sum to just under 10000")
+    val nParts = rows.length.toLong
+    rows.foreach { case (y, m, n, _, _, skewed) =>
+      assert(skewed == (n * nParts > 2L * totalRows), s"flag mismatch at $y-$m")
+    }
+  }
+
   test("d48 LM familiarity: ppm-bounded, covers every multi-token doc, bigram count exact") {
     val rows = TextOps.d48LmFamiliarity(spark, sfDir).collect()
     // every doc with >= 2 tokens has >= 1 bigram and must be scored
