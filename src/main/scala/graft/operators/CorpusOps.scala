@@ -341,10 +341,12 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay: the d6 pair derivation verbatim, then a recursive
-    * label closure (node reaches lab) reduced by min — the same fixed
-    * point the distributed propagation converges to. */
-  val d25Sql: String =
+  /** Shared DuckDB CTE chain replaying the cluster labels: the d6 pair
+    * derivation verbatim, then a recursive label closure (node reaches
+    * lab) reduced by min — the same fixed point the distributed
+    * propagation converges to. Ends at `labs(doc_id, cluster_id)` and
+    * `sizes(cluster_id, cluster_size)`; d25/d50 append their SELECTs. */
+  private val ccSqlPrefix: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
       |sh AS (
@@ -364,9 +366,50 @@ object CorpusOps {
       |  UNION
       |  SELECT e.dst AS node, cc.lab FROM cc JOIN edges e ON e.src = cc.node),
       |labs AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY node),
-      |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labs GROUP BY cluster_id)
+      |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labs GROUP BY cluster_id)""".stripMargin
+
+  val d25Sql: String = ccSqlPrefix +
+    """
       |SELECT doc_id, cluster_id, cluster_size
       |FROM labs JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin
+
+  /** d50: dedup-cluster representative selection — the execution step
+    * after d25's clustering: within each near-dup cluster keep ONE doc,
+    * drop the rest. The keep rule is integer-deterministic: longest doc
+    * (token count) wins, ties to the smallest doc_id — an argmax that
+    * cannot flip with parallelism or engine (no float quality in the
+    * ranking key; d3's float score would tie-break on double dust).
+    * Reads the SHARED cluster labels (one closure per session/dir —
+    * the d25/d29 lifecycle); the only new work is a label⋈token-count
+    * equi-join and two cluster-partitioned windows over LABEL rows
+    * (bounded by cluster fan-out, never corpus-wide). */
+  def d50ClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = sharedClusters(spark, dir)
+    val ntok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val wSize = Window.partitionBy(col("lab"))
+    val wRank = Window.partitionBy(col("lab")).orderBy(col("n_tokens").desc, col("node"))
+    labels.join(ntok, col("node") === col("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("rn", row_number().over(wRank))
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"),
+        col("cluster_size"), col("n_tokens"), (col("rn") === 1).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d50Sql: String = ccSqlPrefix +
+    """,
+      |nt AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT l.doc_id, l.cluster_id, s.cluster_size, nt.n_tokens,
+      |    row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY nt.n_tokens DESC, l.doc_id) AS rn
+      |  FROM labs l JOIN sizes s USING (cluster_id) JOIN nt USING (doc_id))
+      |SELECT doc_id, cluster_id, cluster_size, n_tokens, rn = 1 AS kept
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** Corpus document-frequency at or below which a token is "rare". */
   val RareDf = 2L
@@ -950,6 +993,7 @@ object CorpusOps {
     "d34_idf_terms" -> (d34IdfTerms _),
     "d23_chunk_dedup" -> (d23ChunkDedup _),
     "d24_sequence_pack" -> (d24SequencePack _),
+    "d50_cluster_keep_best" -> (d50ClusterKeepBest _),
     "d25_dedup_clusters" -> (d25DedupClusters _),
     "d26_rare_tokens" -> (d26RareTokens _),
     "d32_dedup_corpus" -> (d32DedupCorpus _))
@@ -964,6 +1008,7 @@ object CorpusOps {
     "d34_idf_terms" -> d34Sql,
     "d23_chunk_dedup" -> d23Sql,
     "d24_sequence_pack" -> d24Sql,
+    "d50_cluster_keep_best" -> d50Sql,
     "d25_dedup_clusters" -> d25Sql,
     "d26_rare_tokens" -> d26Sql,
     "d32_dedup_corpus" -> d32Sql)

@@ -1223,6 +1223,20 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("d50 keep-best: one survivor per cluster, longest-then-min-id, covers d25 exactly") {
+    val rows = CorpusOps.d50ClusterKeepBest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
+    val d25Rows = CorpusOps.d25DedupClusters(spark, sfDir).count()
+    assert(rows.length.toLong == d25Rows, "keep-best must decide every clustered doc")
+    rows.groupBy(_._2).foreach { case (cid, rs) =>
+      assert(rs.count(_._5) == 1, s"cluster $cid: exactly one survivor")
+      assert(rs.forall(_._3 == rs.length.toLong), s"cluster $cid: size column")
+      val winner = rs.filter(_._5).head
+      val best = rs.sortBy(r => (-r._4, r._1)).head
+      assert(winner == best, s"cluster $cid: survivor must be longest-then-min-id")
+    }
+  }
+
   test("q42 min-cost supplier: per-part rows all carry the true minimum; ties kept") {
     val rows = Analytics.q42MinCostSupplier(spark, sfDir).collect()
     assert(rows.nonEmpty)
