@@ -985,6 +985,60 @@ object Etl {
     * one exchange for the (y, m) aggregate; the totals come from
     * unpartitioned windows over the ALREADY-AGGREGATED ~84-row frame
     * (the adjudicated q11 idiom — never a second fact scan). */
+  /** a23: declarative data-quality rule evaluation (the Deequ/dbt-test
+    * capability class): a rule set over the control table — not-null,
+    * value-range, date-range, and referential integrity — evaluated to
+    * per-rule violation counts + pass flags in ONE result. ALL four
+    * rules share a single fact scan: the FK rule rides the same pass
+    * as a row-preserving LEFT join against the broadcast dim key
+    * column (c_custkey is the dim's primary key, so the join can't
+    * fan out), folded into the same conditional aggregate — one scan,
+    * one broadcast, one 1-row aggregate, vs. the naive second
+    * fact scan for the anti-join. Counts are exact integers; stacking
+    * to rows is an explode over a 4-element literal array. */
+  def a23QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = Tables.customer(spark, dir).select(col("c_custkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(dec2(col("o_totalprice")) <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L).otherwise(0L))
+          .as("v_date"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk"))
+      .select(explode(array(
+        struct(lit("custkey_fk_exists").as("rule_name"), col("v_fk").as("n_violations")),
+        struct(lit("custkey_not_null").as("rule_name"), col("v_null").as("n_violations")),
+        struct(lit("orderdate_in_range").as("rule_name"), col("v_date").as("n_violations")),
+        struct(lit("totalprice_positive").as("rule_name"), col("v_price").as("n_violations"))))
+        .as("r"), col("n_rows"))
+      .select(col("r.rule_name"), col("r.n_violations"), col("n_rows"),
+        (col("r.n_violations") === 0L).as("passed"))
+      .orderBy(col("rule_name"))
+  }
+
+  val a23Sql: String =
+    """WITH s AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v_null,
+      |    count(CASE WHEN CAST(o_totalprice AS DECIMAL(12,2)) <= 0 THEN 1 END) AS v_price,
+      |    count(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+      |               OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 END) AS v_date
+      |  FROM orders),
+      |fk AS (
+      |  SELECT count(*) AS v_fk
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_custkey IS NULL),
+      |stacked AS (
+      |  SELECT 'custkey_fk_exists' AS rule_name, v_fk AS n_violations, n_rows FROM s CROSS JOIN fk
+      |  UNION ALL SELECT 'custkey_not_null', v_null, n_rows FROM s
+      |  UNION ALL SELECT 'orderdate_in_range', v_date, n_rows FROM s
+      |  UNION ALL SELECT 'totalprice_positive', v_price, n_rows FROM s)
+      |SELECT rule_name, n_violations, n_rows, n_violations = 0 AS passed
+      |FROM stacked ORDER BY rule_name""".stripMargin
+
   def a22PartitionSkew(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy()
     Tables.orders(spark, dir)
@@ -1016,6 +1070,7 @@ object Etl {
       |FROM t ORDER BY y, m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a23_quality_rules" -> (a23QualityRules _),
     "a22_partition_skew" -> (a22PartitionSkew _),
     "a21_snapshot_diff" -> (a21SnapshotDiff _),
     "a20_schema_drift" -> (a20SchemaDrift _),
@@ -1040,6 +1095,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a23_quality_rules" -> a23Sql,
     "a22_partition_skew" -> a22Sql,
     "a21_snapshot_diff" -> a21Sql,
     "a20_schema_drift" -> a20Sql,

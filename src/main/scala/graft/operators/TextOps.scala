@@ -1016,6 +1016,49 @@ object TextOps {
        |FROM db JOIN lm USING (w1, w2)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d51: n-gram novelty — d48's complement: per doc, the share of its
+    * bigram TYPES that occur in NO other document (document frequency
+    * 1), i.e. leave-one-out novelty. High novelty + low quality flags
+    * noise/misencoding; high novelty + high quality is the genuinely
+    * new text over-aggressive filtering destroys. Exact integer df
+    * (the d26 rarity idiom at bigram granularity): reduce to DISTINCT
+    * (doc, w1, w2) first, df as a count window over the bigram
+    * partition of that reduced frame (rows are distinct by
+    * construction — no DISTINCT-in-window), one doc-keyed aggregate;
+    * ratio reported in integer basis points. ONE corpus scan. */
+  def d51NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val types = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2")).distinct()
+    types
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_types"), col("n_novel"),
+        expr("(n_novel * 10000) div n_types").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d51Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+      |  FROM toks WHERE len(t) >= 2),
+      |bg AS (SELECT DISTINCT doc_id, b FROM occ),
+      |w AS (
+      |  SELECT doc_id, count(*) OVER (PARTITION BY b) AS df FROM bg)
+      |SELECT doc_id, count(*) AS n_types,
+      |  CAST(count(CASE WHEN df = 1 THEN 1 END) AS BIGINT) AS n_novel,
+      |  (count(CASE WHEN df = 1 THEN 1 END) * 10000) // count(*) AS novelty_bp
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-source token budget for d49 (greedy prefix in salted-hash
     * order). 800 keeps a meaningful subset at every test SF: ~60% of
     * each source at sf0.01 (~1.3k tokens/source), ~6% at sf0.1. */
@@ -1066,6 +1109,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d48_lm_familiarity" -> (d48LmFamiliarity _),
+    "d51_ngram_novelty" -> (d51NgramNovelty _),
     "d49_token_budget" -> (d49TokenBudgetSample _),
     "d43_ngram_lm" -> (d43NgramLm _),
     "d18_pii_scrub" -> (d18PiiScrub _),
@@ -1091,6 +1135,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "d48_lm_familiarity" -> d48Sql,
+    "d51_ngram_novelty" -> d51Sql,
     "d49_token_budget" -> d49Sql,
     "d43_ngram_lm" -> d43Sql,
     "d18_pii_scrub" -> d18Sql,

@@ -1223,6 +1223,51 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("a23 quality rules: four rules, counts recomputed, clean data passes") {
+    val rows = Etl.a23QualityRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == Seq(
+      "custkey_fk_exists", "custkey_not_null", "orderdate_in_range", "totalprice_positive"))
+    val total = Tables.orders(spark, sfDir).count()
+    rows.foreach { case (rule, v, n, passed) =>
+      assert(n == total, s"$rule: n_rows")
+      assert(passed == (v == 0L), s"$rule: pass flag")
+    }
+    // direct recomputation of the FK rule
+    val orphans = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    assert(rows.head._2 == orphans)
+  }
+
+  test("d51 novelty: df=1 definition recomputed; bounds hold; complements d48 coverage") {
+    val rows = TextOps.d51NgramNovelty(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, types, novel, bp) =>
+      assert(novel <= types, s"doc $id")
+      assert(bp == novel * 10000 / types, s"doc $id: bp")
+    }
+    // same doc coverage as d48 (every doc with >= 2 tokens)
+    assert(rows.length == TextOps.d48LmFamiliarity(spark, sfDir).count())
+    // recompute one doc's novel-type count directly
+    val (id0, _, novel0, _) = rows.head
+    val bigramsOf = (docId: Long) => Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === docId)
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(filter(split(text, ' '), x -> x != '')) - 1, 1)), " +
+          "i -> concat(element_at(filter(split(text, ' '), x -> x != ''), i), ' ', " +
+          "element_at(filter(split(text, ' '), x -> x != ''), i + 1)))")).as("b"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val mine = bigramsOf(id0)
+    assert(mine.nonEmpty)
+    val otherBigrams = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") =!= id0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .flatMap(bigramsOf(_)).toSet
+    assert(novel0 == mine.count(!otherBigrams.contains(_)))
+  }
+
   test("d50 keep-best: one survivor per cluster, longest-then-min-id, covers d25 exactly") {
     val rows = CorpusOps.d50ClusterKeepBest(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))
