@@ -983,7 +983,53 @@ object CorpusOps {
        |WHERE s.split <> 'train' ORDER BY s.doc_id""".stripMargin
   }
 
+  /** d52: frequency-of-frequencies corpus profile (the Good–Turing
+    * N_r table): for each occurrence count r, how many token TYPES
+    * occur exactly r times, the token mass r·N_r they carry, and the
+    * cumulative mass in basis points walking from the rarest bucket
+    * up. This is the vocabulary-saturation / Zipf-shape card a corpus
+    * build reads before choosing vocab size and smoothing (N_1 is the
+    * Good–Turing estimate of unseen-type mass), and it prices exactly:
+    * all counts are integers, only the running share divides — and as
+    * basis points via integer cross-multiplication, so the table is
+    * bit-identical at any parallelism.
+    *
+    * Shape: one corpus scan explodes tokens → token-keyed count
+    * (map-side partial) → freq-keyed count. The frame is ≤ #distinct
+    * frequencies (hundreds) after the second reduce, so the cumsum
+    * window is unpartitioned over a tiny frame (the adjudicated q11
+    * idiom — never a window over corpus-sized keys). */
+  def d52FreqOfFreqs(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+      .withColumn("token_mass", col("freq") * col("n_types"))
+    val w = Window.partitionBy().orderBy(col("freq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    nr.withColumn("cum_mass", sum(col("token_mass")).over(w))
+      .withColumn("total_mass", sum(col("token_mass")).over(wAll))
+      .select(col("freq"), col("n_types"), col("token_mass"),
+        expr("(cum_mass * 10000) div total_mass").as("cum_mass_bp"))
+      .orderBy(col("freq"))
+  }
+
+  val d52Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |occ AS (SELECT unnest(t) AS tok FROM toks),
+      |tf AS (SELECT tok, count(*) AS freq FROM occ GROUP BY tok),
+      |nr AS (SELECT freq, count(*) AS n_types, freq * count(*) AS token_mass
+      |       FROM tf GROUP BY freq)
+      |SELECT freq, n_types, token_mass,
+      |  (sum(token_mass) OVER (ORDER BY freq
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000)
+      |    // (sum(token_mass) OVER ()) AS cum_mass_bp
+      |FROM nr ORDER BY freq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d52_freq_of_freqs" -> (d52FreqOfFreqs _),
     "d47_split_contamination" -> (d47SplitContamination _),
     "d46_leakage_split" -> (d46LeakageSplit _),
     "d41_packing_efficiency" -> (d41PackingEfficiency _),
@@ -999,6 +1045,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d52_freq_of_freqs" -> d52Sql,
     "d47_split_contamination" -> d47Sql,
     "d46_leakage_split" -> d46Sql,
     "d41_packing_efficiency" -> d41Sql,

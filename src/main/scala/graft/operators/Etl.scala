@@ -1019,6 +1019,46 @@ object Etl {
       .orderBy(col("rule_name"))
   }
 
+  /** a24: SCD Type-2 dimension build from the change log — the history
+    * the reference's latest-wins compaction (a7) throws away, kept as
+    * validity intervals: per entity, consecutive identical states are
+    * collapsed (a record only opens a version when the tracked
+    * attribute actually changes), then each version gets
+    * [valid_from, valid_to) from its own ts and its successor's, a
+    * 1-based version number, and an is_current flag on the open
+    * interval. Both windows (the change-compression lag and the
+    * interval lead / version number) use the SAME (user_id; ts,
+    * event_id) partition+order, and the intervening filter preserves
+    * partitioning and order — ONE exchange + one sort total for the
+    * whole build. Ties on ts break by event_id, so versions are
+    * deterministic. */
+  def a24Scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), row_number().over(w).as("version"),
+        col("event_type"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val a24Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM e),
+      |f AS (SELECT * FROM ch WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, CAST(row_number() OVER w AS INT) AS version, event_type,
+      |  ts AS valid_from, lead(ts) OVER w AS valid_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val a23Sql: String =
     """WITH s AS (
       |  SELECT count(*) AS n_rows,
@@ -1070,6 +1110,7 @@ object Etl {
       |FROM t ORDER BY y, m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a24_scd2_build" -> (a24Scd2Build _),
     "a23_quality_rules" -> (a23QualityRules _),
     "a22_partition_skew" -> (a22PartitionSkew _),
     "a21_snapshot_diff" -> (a21SnapshotDiff _),
@@ -1095,6 +1136,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a24_scd2_build" -> a24Sql,
     "a23_quality_rules" -> a23Sql,
     "a22_partition_skew" -> a22Sql,
     "a21_snapshot_diff" -> a21Sql,

@@ -1223,6 +1223,54 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("a24 scd2: intervals chain, no same-state adjacency, one open version per entity") {
+    val rows = Etl.a24Scd2Build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to vs.length), s"user $uid: dense versions")
+      // exactly one open (current) interval, and it is the last version
+      assert(sorted.count(_._5.isEmpty) == 1 && sorted.last._5.isEmpty, s"user $uid")
+      sorted.foreach { v => assert(v._6 == v._5.isEmpty, s"user $uid: is_current") }
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5.contains(b._4), s"user $uid: valid_to chains to successor valid_from")
+        assert(a._3 != b._3, s"user $uid: consecutive versions differ in state")
+      }
+    }
+    // change-compression conserves the event stream: version count per user
+    // == number of state changes + 1, recomputed directly
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).map { case (uid, es) =>
+      val states = es.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      uid -> (1 + states.zip(states.tail).count { case (a, b) => a != b })
+    }
+    assert(rows.groupBy(_._1).map { case (u, vs) => u -> vs.length } == expected)
+  }
+
+  test("d52 freq-of-freqs: mass conservation, monotone cum share, N_r recomputed") {
+    val rows = CorpusOps.d52FreqOfFreqs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (freq, n, mass, _) => assert(mass == freq * n) }
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val bps = rows.map(_._4)
+    assert(bps.zip(bps.tail).forall { case (a, b) => a <= b } && bps.last == 10000L)
+    // total token mass == corpus token count; N_r for the min freq recomputed
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(sum(size(TextOps.tokens(col("text"))))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == totalTokens)
+    val minFreq = rows.head._1
+    val directN = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .filter(col("f") === minFreq).count()
+    assert(rows.head._2 == directN)
+  }
+
   test("a23 quality rules: four rules, counts recomputed, clean data passes") {
     val rows = Etl.a23QualityRules(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
