@@ -1196,7 +1196,56 @@ object Analytics {
       |FROM w WHERE best_price_dec = part_min
       |ORDER BY partkey, suppkey""".stripMargin
 
+  /** q43: dominant-supplier audit — the last TPC-H pattern (Q20's
+    * correlated nested aggregate comparing a supplier's quantity against
+    * a per-part aggregate threshold) not yet in the suite, decorrelated
+    * the Q2/Q42 way. Dominance is RELATIVE to the part's fair share —
+    * a supplier holding > 2x the uniform share (sq·n_suppliers > 2·total,
+    * all DECIMAL/integer-exact cross-multiplication, no float division)
+    * — because an absolute >50% cut degenerates as supplier counts grow
+    * with scale. The inner per-(supplier, part) aggregate runs ONCE over
+    * ONE fact scan; the per-part total and supplier count that Q20
+    * re-derives in a correlated subquery are windows over that
+    * already-reduced frame (never a second lineitem scan + join-back).
+    * Supplier→nation enrichment is a broadcast dim chain. */
+  def q43DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("sq"))
+    val wPart = Window.partitionBy(col("l_partkey"))
+    val dom = ps
+      .withColumn("part_total", sum(col("sq")).over(wPart))
+      .withColumn("n_supp", count(lit(1)).over(wPart))
+      .filter(col("sq") * col("n_supp") > col("part_total") * 2)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_dominated_parts"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    dom.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_dominated_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q43Sql: String =
+    """WITH ps AS (
+      |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT l_suppkey, sq, sum(sq) OVER (PARTITION BY l_partkey) AS part_total,
+      |    count(*) OVER (PARTITION BY l_partkey) AS n_supp
+      |  FROM ps),
+      |dom AS (
+      |  SELECT l_suppkey, count(*) AS n_dominated_parts FROM w
+      |  WHERE sq * n_supp > part_total * 2 GROUP BY 1)
+      |SELECT s_suppkey, s_name, n_name, n_dominated_parts
+      |FROM dom
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_dominant_supplier" -> (q43DominantSupplier _),
     "q42_min_cost_supplier" -> (q42MinCostSupplier _),
     "q41_quartiles_cont" -> (q41QuartilesCont _),
     "q40_rolling_revenue" -> (q40RollingRevenue _),
@@ -1240,6 +1289,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q43_dominant_supplier" -> q43Sql,
     "q42_min_cost_supplier" -> q42Sql,
     "q41_quartiles_cont" -> q41Sql,
     "q40_rolling_revenue" -> q40Sql,

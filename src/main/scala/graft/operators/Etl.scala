@@ -1019,6 +1019,53 @@ object Etl {
       .orderBy(col("rule_name"))
   }
 
+  /** a25: small-file compaction planner — the metadata-side fix for the
+    * small-files problem a copy-per-object promotion pipeline (the
+    * reference's layout, process-staging.py) creates: per partition
+    * dir, greedily pack files in deterministic file-id order into
+    * target-size compaction bins (start-offset fill, the e2/d24 cumsum
+    * idiom at the MANIFEST grain — the plan only ever shuffles manifest
+    * rows, never data bytes, so it prices by file COUNT at 100 TB).
+    * File sizes are a deterministic integer hash of the file id (a
+    * stand-in for a real listing's size column — swap the column, the
+    * plan is unchanged). Output: per (y, m, bin) file count, byte sum,
+    * and integer-basis-point fill vs the target — the exec plan a
+    * rewrite job consumes directly. */
+  def a25CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 4L * 1024 * 1024
+    val files = Tables.events(spark, dir).select(
+      year(col("ts")).as("y"), month(col("ts")).as("m"),
+      col("event_id").as("file_id"),
+      (pmod(col("event_id") * lit(2654435761L), lit(1048576L)) + lit(1024L)).as("bytes"))
+    val w = Window.partitionBy(col("y"), col("m")).orderBy(col("file_id"))
+    files.withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin_id", expr(s"(cum - bytes) div ${target}L"))
+      .groupBy(col("y"), col("m"), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"))
+      .select(col("y"), col("m"), col("bin_id"), col("n_files"), col("bin_bytes"),
+        expr(s"(bin_bytes * 10000) div ${target}L").as("fill_bp"))
+      .orderBy(col("y"), col("m"), col("bin_id"))
+  }
+
+  val a25Sql: String =
+    """WITH f AS (
+      |  SELECT year(CAST(ts AS TIMESTAMP)) AS y, month(CAST(ts AS TIMESTAMP)) AS m,
+      |    event_id AS file_id,
+      |    (event_id * 2654435761) % 1048576 + 1024 AS bytes
+      |  FROM events),
+      |c AS (
+      |  SELECT y, m, bytes,
+      |    sum(bytes) OVER (PARTITION BY y, m ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM f),
+      |b AS (
+      |  SELECT y, m, (cum - bytes) // 4194304 AS bin_id,
+      |    count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+      |  FROM c GROUP BY 1, 2, 3)
+      |SELECT y, m, bin_id, n_files, bin_bytes,
+      |  (bin_bytes * 10000) // 4194304 AS fill_bp
+      |FROM b ORDER BY y, m, bin_id""".stripMargin
+
   /** a24: SCD Type-2 dimension build from the change log — the history
     * the reference's latest-wins compaction (a7) throws away, kept as
     * validity intervals: per entity, consecutive identical states are
@@ -1110,6 +1157,7 @@ object Etl {
       |FROM t ORDER BY y, m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a25_compaction_plan" -> (a25CompactionPlan _),
     "a24_scd2_build" -> (a24Scd2Build _),
     "a23_quality_rules" -> (a23QualityRules _),
     "a22_partition_skew" -> (a22PartitionSkew _),
@@ -1136,6 +1184,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a25_compaction_plan" -> a25Sql,
     "a24_scd2_build" -> a24Sql,
     "a23_quality_rules" -> a23Sql,
     "a22_partition_skew" -> a22Sql,

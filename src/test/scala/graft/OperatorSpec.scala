@@ -1223,6 +1223,51 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("q43 dominant supplier: 2x-fair-share dominance recomputed per pair") {
+    val rows = Analytics.q43DominantSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // recompute the dominated-pair set directly from lineitem (exact
+    // cent-scaled integers — the same arithmetic, no float tolerance)
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(graft.Cols.dec2(col("l_quantity"))).as("sq")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDecimal(2).movePointRight(2).longValueExact()))
+    val byPart = pairs.groupBy(_._1._2)
+    val dominated = pairs.filter { case ((_, p), sq) =>
+      val xs = byPart(p); sq * xs.length > 2 * xs.map(_._2).sum }
+    val expected = dominated.groupBy(_._1._1).map { case (s, xs) => s -> xs.length.toLong }
+    assert(rows.map(r => r._1 -> r._4).toMap == expected)
+    // at most a minority of suppliers of a part can sit above 2x fair share
+    dominated.groupBy(_._1._2).foreach { case (p, xs) =>
+      assert(2 * xs.length < byPart(p).length, s"part $p") }
+  }
+
+  test("a25 compaction plan: byte conservation, dense bins, fill bounded by start-offset rule") {
+    val rows = Etl.a25CompactionPlan(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val target = 4L * 1024 * 1024
+    // total bytes across bins == total over the derived manifest
+    val manifestTotal = Tables.events(spark, sfDir)
+      .select(sum(pmod(col("event_id") * lit(2654435761L), lit(1048576L)) + lit(1024L)))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == manifestTotal)
+    rows.groupBy(_._1).foreach { case (part, bins) =>
+      val sorted = bins.sortBy(_._2)
+      // bins are dense from 0 within each partition
+      assert(sorted.map(_._2).toSeq == (0L until bins.length).toSeq, s"$part: dense bins")
+      // start-offset fill: a non-final bin spans its whole target window
+      // minus at most one max-sized file of overhang from the prior bin
+      sorted.init.foreach { b =>
+        assert(b._4 > target - (1048576L + 1024L), s"$part bin ${b._2}: underfill") }
+      bins.foreach { b =>
+        assert(b._4 < target + 1048576L + 1024L, s"$part bin ${b._2}: overfill bounded")
+        assert(b._5 == b._4 * 10000 / target, s"$part bin ${b._2}: fill_bp")
+      }
+    }
+  }
+
   test("a24 scd2: intervals chain, no same-state adjacency, one open version per entity") {
     val rows = Etl.a24Scd2Build(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
