@@ -598,7 +598,47 @@ object Events {
       |FROM s3 JOIN coh c ON s3.user_id = c.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** c16: frequent path mining — the sequence view one step past c13's
+    * first-order transitions: the top-K most common 3-event paths users
+    * actually walk (the "what funnels exist" discovery input c6/c15
+    * consume as a hand-written stage list). BOTH lookahead steps come
+    * from one (user_id; ts, event_id) window — a single exchange+sort,
+    * c8's tie-break idiom — then paths reduce to counts (≤ |types|³
+    * rows) and the share denominator is a window over that reduced
+    * frame (q11 idiom). Top-K is sort+limit → TakeOrderedAndProject,
+    * deterministic under count ties via the path itself. */
+  def c16TopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("s2", lead(col("event_type"), 1).over(wUser))
+      .withColumn("s3", lead(col("event_type"), 2).over(wUser))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("s2").as("step2"), col("s3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("step1"), col("step2"), col("step3"), col("n"),
+        expr("(n * 10000) div total").as("share_bp"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  val c16Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |hops AS (
+      |  SELECT user_id, event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |paths AS (
+      |  SELECT step1, step2, step3, count(*) AS n FROM hops
+      |  WHERE step3 IS NOT NULL GROUP BY 1, 2, 3),
+      |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM paths)
+      |SELECT step1, step2, step3, n, (n * 10000) // total AS share_bp
+      |FROM t ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_top_paths" -> (c16TopPaths _),
     "c15_cohort_funnel" -> (c15CohortFunnel _),
     "c14_trending_topk" -> (c14TrendingTopk _),
     "c13_transitions" -> (c13Transitions _),
@@ -616,6 +656,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c16_top_paths" -> c16Sql,
     "c15_cohort_funnel" -> c15Sql,
     "c14_trending_topk" -> c14Sql,
     "c13_transitions" -> c13Sql,

@@ -1223,6 +1223,31 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("c16 top paths: local replay of path counts, tie-break, and c13 consistency") {
+    val rows = Events.c16TopPaths(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // replay every user's event sequence locally
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val all = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(s => (s(0), s(1), s(2)))
+    }.toSeq.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val expected = all.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(rows.length)
+    assert(rows.map(r => (r._1, r._2)).toSeq == expected)
+    val total = all.values.sum
+    rows.foreach { case (_, n, bp) => assert(bp == n * 10000 / total) }
+    // consistency with c13: 3-paths starting (a,b) can't outnumber (a,b) transitions
+    val c13 = Events.c13Transitions(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    all.groupBy { case ((a, b, _), _) => (a, b) }.foreach { case (ab, ps) =>
+      assert(ps.values.sum <= c13(ab), s"$ab")
+    }
+  }
+
   test("q43 dominant supplier: 2x-fair-share dominance recomputed per pair") {
     val rows = Analytics.q43DominantSupplier(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
