@@ -1019,6 +1019,61 @@ object Etl {
       .orderBy(col("rule_name"))
   }
 
+  /** a26: TTL retention sweep planner — the partition-level expiry plan
+    * a lakehouse retention job executes over the a3 layout: an hour
+    * unit whose NEWEST row predates the TTL horizon (data-derived
+    * max ts − 72 h, the a11/a18 as-of idiom) is fully expired; a day
+    * partition then classifies `drop` when every hour is expired (a
+    * pure metadata delete — the cheap case a planner must separate),
+    * `rewrite` when mixed (row-level expiry inside a partition IS the
+    * rewrite case — priced honestly, never a hidden second scan), and
+    * `keep` when untouched. One fact scan, one hour-grain agg
+    * exchange; the horizon is an unpartitioned window over the
+    * ALREADY-REDUCED ~720-row frame, then day classification. */
+  def a26RetentionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_rows"), max(col("ts")).as("unit_max"))
+    val cutoff = max(col("unit_max")).over(Window.partitionBy()) -
+      expr("INTERVAL 72 HOURS")
+    hours.withColumn("expired", col("unit_max") < cutoff)
+      .groupBy(col("y"), col("m"), col("d"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(when(col("expired"), col("n_rows")).otherwise(0L)).as("n_expired_rows"),
+        count(lit(1)).as("n_hours"),
+        sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired_hours"))
+      .withColumn("action",
+        when(col("n_expired_hours") === col("n_hours"), lit("drop"))
+          .when(col("n_expired_hours") > 0, lit("rewrite"))
+          .otherwise(lit("keep")))
+      .orderBy(col("y"), col("m"), col("d"))
+  }
+
+  val a26Sql: String =
+    """WITH e AS (
+      |  SELECT year(CAST(ts AS TIMESTAMP)) AS y, month(CAST(ts AS TIMESTAMP)) AS m,
+      |    day(CAST(ts AS TIMESTAMP)) AS d, hour(CAST(ts AS TIMESTAMP)) AS h,
+      |    CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |units AS (
+      |  SELECT y, m, d, h, count(*) AS n_rows, max(ts) AS unit_max
+      |  FROM e GROUP BY 1, 2, 3, 4),
+      |flagged AS (
+      |  SELECT *, unit_max < max(unit_max) OVER () - INTERVAL 72 HOUR AS expired
+      |  FROM units),
+      |days AS (
+      |  SELECT y, m, d, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN expired THEN n_rows ELSE 0 END) AS BIGINT) AS n_expired_rows,
+      |    count(*) AS n_hours,
+      |    CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT) AS n_expired_hours
+      |  FROM flagged GROUP BY 1, 2, 3)
+      |SELECT y, m, d, n_rows, n_expired_rows, n_hours, n_expired_hours,
+      |  CASE WHEN n_expired_hours = n_hours THEN 'drop'
+      |       WHEN n_expired_hours > 0 THEN 'rewrite'
+      |       ELSE 'keep' END AS action
+      |FROM days ORDER BY y, m, d""".stripMargin
+
   /** a25: small-file compaction planner — the metadata-side fix for the
     * small-files problem a copy-per-object promotion pipeline (the
     * reference's layout, process-staging.py) creates: per partition
@@ -1157,6 +1212,7 @@ object Etl {
       |FROM t ORDER BY y, m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a26_retention_plan" -> (a26RetentionPlan _),
     "a25_compaction_plan" -> (a25CompactionPlan _),
     "a24_scd2_build" -> (a24Scd2Build _),
     "a23_quality_rules" -> (a23QualityRules _),
@@ -1184,6 +1240,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a26_retention_plan" -> a26Sql,
     "a25_compaction_plan" -> a25Sql,
     "a24_scd2_build" -> a24Sql,
     "a23_quality_rules" -> a23Sql,

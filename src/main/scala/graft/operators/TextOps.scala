@@ -1059,6 +1059,36 @@ object TextOps {
       |  (count(CASE WHEN df = 1 THEN 1 END) * 10000) // count(*) AS novelty_bp
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d53: language-ID confusion audit — the classifier-eval card for
+    * d2 against the corpus's labeled `lang` column: per (true,
+    * predicted) pair the doc count and the integer-basis-point recall
+    * within the true class. This is the operator that turns d2's spot
+    * accuracy fixture into a standing, per-class regression gate (which
+    * languages leak into `und`, which pair confuses). Rides d2's exact
+    * detection; new work = one group exchange over ≤ |langs|² reduced
+    * rows + a class-partitioned window on that reduced frame. Oracle
+    * composes d2's replayed SQL verbatim (the d15 composition idiom). */
+  def d53LangConfusion(spark: SparkSession, dir: String): DataFrame =
+    d2LangId(spark, dir)
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("true_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang_true"))))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        expr("(n * 10000) div true_total").as("recall_bp"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+
+  val d53Sql: String =
+    s"""WITH pred AS ($d2Sql),
+       |m AS (
+       |  SELECT lang_true, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *, CAST(sum(n) OVER (PARTITION BY lang_true) AS BIGINT) AS true_total
+       |  FROM m)
+       |SELECT lang_true, lang_pred, n, (n * 10000) // true_total AS recall_bp
+       |FROM t ORDER BY lang_true, lang_pred""".stripMargin
+
   /** Per-source token budget for d49 (greedy prefix in salted-hash
     * order). 800 keeps a meaningful subset at every test SF: ~60% of
     * each source at sf0.01 (~1.3k tokens/source), ~6% at sf0.1. */
@@ -1120,6 +1150,7 @@ object TextOps {
     "d11_vocab" -> (d11Vocab _),
     "d1_text_stats" -> (d1TextStats _),
     "d2_lang_id" -> (d2LangId _),
+    "d53_lang_confusion" -> (d53LangConfusion _),
     "d14_subword_tokens" -> (d14SubwordTokens _),
     "d27_tokenizer_fertility" -> (d27TokenizerFertility _),
     "d29_dedup_summary" -> (d29DedupSummary _),
@@ -1146,6 +1177,7 @@ object TextOps {
     "d11_vocab" -> d11Sql,
     "d1_text_stats" -> d1Sql,
     "d2_lang_id" -> d2Sql,
+    "d53_lang_confusion" -> d53Sql,
     "d14_subword_tokens" -> d14Sql,
     "d27_tokenizer_fertility" -> d27Sql,
     "d29_dedup_summary" -> d29Sql,

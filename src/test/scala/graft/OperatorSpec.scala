@@ -1223,6 +1223,58 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("d53 lang confusion: matrix ties out to d2 exactly; recall rows sum to 10000-ish") {
+    val rows = TextOps.d53LangConfusion(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the matrix must be exactly d2's output regrouped
+    val expected = TextOps.d2LangId(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == expected)
+    // per true class: recall_bp of the cells recomputed, and the diagonal
+    // dominates for every labeled language present in the lexicons
+    rows.groupBy(_._1._1).foreach { case (t, cells) =>
+      val tot = cells.map(_._2).sum
+      cells.foreach { c => assert(c._3 == c._2 * 10000 / tot, s"$t") }
+      val diag = cells.find(c => c._1._2 == t).map(_._2).getOrElse(0L)
+      if (cells.exists(c => c._1._2 == t))
+        assert(diag * 2 > tot, s"$t: diagonal majority")
+    }
+  }
+
+  test("a26 retention plan: hour-grain expiry replayed; terminal actions occur") {
+    val rows = Etl.a26RetentionPlan(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    // both terminal actions must occur (drop tail, keep head); `rewrite`
+    // appears only when the horizon splits an hour-populated day — the
+    // replay below decides that, not a hard-coded expectation
+    assert(Set("drop", "keep").subsetOf(rows.map(_._6).toSet))
+    rows.foreach { case (k, n, ne, nh, neh, action) =>
+      assert(ne <= n && neh <= nh, s"$k")
+      val expect = if (neh == nh) "drop" else if (neh > 0) "rewrite" else "keep"
+      assert(action == expect, s"$k")
+    }
+    // replay the hour-grain rule locally
+    val ev = Tables.events(spark, sfDir).select(col("ts")).collect().map(_.getTimestamp(0))
+    val cutoff = ev.map(_.getTime).max - 72L * 3600 * 1000
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    val byHour = ev.groupBy { t =>
+      cal.setTime(t)
+      (cal.get(java.util.Calendar.YEAR), cal.get(java.util.Calendar.MONTH) + 1,
+        cal.get(java.util.Calendar.DAY_OF_MONTH), cal.get(java.util.Calendar.HOUR_OF_DAY))
+    }
+    val expectedDays = byHour.toSeq.map { case ((y, m, d, h), ts) =>
+      ((y, m, d), ts.length.toLong, ts.map(_.getTime).max < cutoff)
+    }.groupBy(_._1).map { case (k, hs) =>
+      k -> (hs.map(_._2).sum, hs.filter(_._3).map(_._2).sum, hs.length.toLong,
+        hs.count(_._3).toLong)
+    }
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap == expectedDays)
+  }
+
   test("c16 top paths: local replay of path counts, tie-break, and c13 consistency") {
     val rows = Events.c16TopPaths(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3), r.getLong(4)))
