@@ -336,7 +336,54 @@ object MultimodalOps {
        |  start_tok % ${CorpusOps.SeqLen} AS offset_in_seq
        |FROM laid ORDER BY doc_id""".stripMargin
 
+  /** e6: content-addressed blob dedup ledger, reduced to the per-source
+    * storage-reclaim report (what a CAS-backed blob store dedupes): a
+    * blob's canonical copy is the min doc_id holding its content hash;
+    * every other reference is reclaimable. Per source: blob count,
+    * total bytes, canonical count, reclaimable bytes, and the
+    * integer-bp duplicate rate. ONE corpus scan → a hash-partitioned
+    * min window (the only corpus-keyed exchange — equivalently the
+    * groupBy(hash) ledger, kept at hash grain so canonical attribution
+    * is exact cross-source) → a ≤|sources| reduce. The e1 text-as-blob
+    * seam: a real binary column swaps in without a plan change. */
+  def e6BlobDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_md5"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(blob).as("content_md5"),
+        octet_length(blob).cast("long").as("n_bytes"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("doc_id") =!= col("canonical_id"), col("n_bytes")).otherwise(0L))
+          .as("reclaim_bytes"))
+      .select(col("source"), col("n_blobs"), col("total_bytes"), col("n_canonical"),
+        col("reclaim_bytes"),
+        expr("((n_blobs - n_canonical) * 10000) div n_blobs").as("dup_bp"))
+      .orderBy(col("source"))
+  }
+
+  val e6Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, md5(text) AS content_md5,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, min(doc_id) OVER (PARTITION BY content_md5) AS canonical_id FROM b),
+      |s AS (
+      |  SELECT source, count(*) AS n_blobs,
+      |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |    CAST(sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+      |    CAST(sum(CASE WHEN doc_id <> canonical_id THEN n_bytes ELSE 0 END) AS BIGINT) AS reclaim_bytes
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_blobs, total_bytes, n_canonical, reclaim_bytes,
+      |  ((n_blobs - n_canonical) * 10000) // n_blobs AS dup_bp
+      |FROM s ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_blob_dedup" -> (e6BlobDedup _),
     "e1_multimodal_meta" -> (e1MultimodalMeta _),
     "e2_blob_shard" -> (e2BlobShard _),
     "e3_shard_stats" -> (e3ShardStats _),
@@ -344,6 +391,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e6_blob_dedup" -> e6Sql,
     "e1_multimodal_meta" -> e1Sql,
     "e2_blob_shard" -> e2Sql,
     "e3_shard_stats" -> e3Sql,

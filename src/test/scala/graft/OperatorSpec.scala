@@ -1223,6 +1223,29 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("e6 blob dedup: canonical attribution replayed; conservation vs d5 exact dedup") {
+    val rows = MultimodalOps.e6BlobDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // replay: canonical = min doc_id per exact text (md5 is injective on this corpus)
+    val canon = docs.groupBy(_._3).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { case (src, nb, tb, nc, rb, bp) =>
+      val xs = bySource(src)
+      assert(nb == xs.length.toLong, s"$src: n_blobs")
+      assert(tb == xs.map(_._3.getBytes("UTF-8").length.toLong).sum, s"$src: bytes")
+      assert(nc == xs.count(d => canon(d._1)).toLong, s"$src: canonical")
+      assert(rb == xs.filter(d => !canon(d._1)).map(_._3.getBytes("UTF-8").length.toLong).sum)
+      assert(bp == (nb - nc) * 10000 / nb, s"$src: dup_bp")
+    }
+    // global canonical count == d5's distinct-text count
+    val distinctTexts = docs.map(_._3).distinct.length.toLong
+    assert(rows.map(_._4).sum == distinctTexts)
+  }
+
   test("d53 lang confusion: matrix ties out to d2 exactly; recall rows sum to 10000-ish") {
     val rows = TextOps.d53LangConfusion(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3)))
