@@ -336,6 +336,59 @@ object MultimodalOps {
        |  start_tok % ${CorpusOps.SeqLen} AS offset_in_seq
        |FROM laid ORDER BY doc_id""".stripMargin
 
+  /** Epoch count for the e7 schedule. */
+  val Epochs = 4
+
+  /** e7: epoch reshuffle schedule — the between-epochs shard
+    * permutation a training loader consumes (each epoch must visit
+    * every shard exactly once, in a different but fully deterministic
+    * order, with no coordinator state): shard set derived from e2's
+    * layout arithmetic (per-source byte total → dense shard ids — no
+    * window needed, the offsets are contiguous by construction), then
+    * each (shard, epoch) pair is ordered by a salted md5 of
+    * (source, shard, epoch) — epoch as the salt — and positioned by a
+    * row_number over the epoch partition. Everything past the one
+    * per-source byte aggregate is MANIFEST-grain (shards × epochs
+    * rows, never data rows); at 100 TB that is ~10⁶ rows of schedule
+    * for ~10⁹ blobs. Spec proves each epoch is a permutation of the
+    * same shard set and epochs genuinely reorder. */
+  def e7EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val wEpoch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"))
+      .orderBy(col("shuffle_key"), col("source"), col("shard_idx"))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(octet_length(col("text").cast("binary")).cast("long")).as("total_bytes"))
+      .select(col("source"), explode(expr(
+        s"sequence(0L, (total_bytes + ${ShardBytes - 1}L) div ${ShardBytes}L - 1L)"))
+        .as("shard_idx"))
+      .select(col("source"), col("shard_idx"),
+        explode(expr(s"sequence(0, ${Epochs - 1})")).as("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", col("source"), col("shard_idx"), col("epoch"))))
+      .select(col("epoch"), col("source"), col("shard_idx"),
+        row_number().over(wEpoch).as("position"))
+      .orderBy(col("epoch"), col("position"))
+  }
+
+  val e7Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       |  FROM documents GROUP BY 1),
+       |shards AS (
+       |  SELECT source,
+       |    unnest(range(0, (total_bytes + ${ShardBytes - 1}) // $ShardBytes)) AS shard_idx
+       |  FROM s),
+       |e AS (
+       |  SELECT source, shard_idx, unnest(range(0, $Epochs)) AS epoch FROM shards),
+       |k AS (
+       |  SELECT epoch, source, shard_idx,
+       |    md5(source || ':' || shard_idx || ':' || epoch) AS shuffle_key FROM e)
+       |SELECT epoch, source, shard_idx,
+       |  CAST(row_number() OVER (PARTITION BY epoch
+       |    ORDER BY shuffle_key, source, shard_idx) AS INT) AS position
+       |FROM k ORDER BY epoch, position""".stripMargin
+
   /** e6: content-addressed blob dedup ledger, reduced to the per-source
     * storage-reclaim report (what a CAS-backed blob store dedupes): a
     * blob's canonical copy is the min doc_id holding its content hash;
@@ -383,6 +436,7 @@ object MultimodalOps {
       |FROM s ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_epoch_schedule" -> (e7EpochSchedule _),
     "e6_blob_dedup" -> (e6BlobDedup _),
     "e1_multimodal_meta" -> (e1MultimodalMeta _),
     "e2_blob_shard" -> (e2BlobShard _),
@@ -391,6 +445,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e7_epoch_schedule" -> e7Sql,
     "e6_blob_dedup" -> e6Sql,
     "e1_multimodal_meta" -> e1Sql,
     "e2_blob_shard" -> e2Sql,

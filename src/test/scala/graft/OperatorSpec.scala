@@ -1223,6 +1223,30 @@ class OperatorSpec extends GraftSpec {
     assert(direct == top.getLong(2))
   }
 
+  test("e7 epoch schedule: every epoch a permutation of e2's shard set; epochs reorder") {
+    val rows = MultimodalOps.e7EpochSchedule(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (0 until MultimodalOps.Epochs).toSet)
+    // shard set must equal e2's distinct (source, shard_idx)
+    val e2Shards = MultimodalOps.e2BlobShard(spark, sfDir)
+      .select(col("source"), col("shard_idx")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    byEpoch.foreach { case (ep, xs) =>
+      assert(xs.map(x => (x._2, x._3)).toSet == e2Shards, s"epoch $ep: shard set")
+      assert(xs.map(_._4).sorted.toSeq == (1 to xs.length), s"epoch $ep: dense positions")
+    }
+    // adjacent epochs genuinely reorder (salted key differs)
+    val order0 = byEpoch(0).sortBy(_._4).map(x => (x._2, x._3)).toSeq
+    val order1 = byEpoch(1).sortBy(_._4).map(x => (x._2, x._3)).toSeq
+    assert(order0 != order1, "epoch 0 and 1 must differ in order")
+    // deterministic: a second evaluation is bit-identical
+    val again = MultimodalOps.e7EpochSchedule(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("e6 blob dedup: canonical attribution replayed; conservation vs d5 exact dedup") {
     val rows = MultimodalOps.e6BlobDedup(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
