@@ -1028,7 +1028,90 @@ object CorpusOps {
       |    // (sum(token_mass) OVER ()) AS cum_mass_bp
       |FROM nr ORDER BY freq""".stripMargin
 
+  /** Target source for d54 (the registry-designated exemplar domain a
+    * selection run wants MORE of; any source works — src0 is ~1/5 of
+    * the synthetic corpus at every SF). */
+  val TargetSource = "src0"
+
+  /** d54: target-domain affinity scoring — the data-selection step of a
+    * DSIR-style pipeline (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169): score every
+    * document by how strongly its hashed token features lean toward a
+    * TARGET domain versus the rest of the corpus, then keep/resample by
+    * that score. DSIR weighs each feature by log(p_target/p_raw); the
+    * cross-engine EXACT twin of the per-feature decision is the SIGN of
+    * that log-ratio, decided in integers with no logs and no division:
+    * feature f leans target  iff  cnt_t(f)·total_rest > cnt_rest(f)·total_t
+    * (DECIMAL cross-multiplication — BIGINT·BIGINT overflows at 100 TB
+    * token counts). Per doc, affinity_bp = 10000·(target-leaning token
+    * occurrences) div (token occurrences) — an integer rank a resampler
+    * thresholds or samples against.
+    *
+    * Features are 256 buckets keyed by the first two hex chars of
+    * md5(token) — the paper's hashed-feature trick, carried as a plain
+    * string key so any engine hashes identically (the d49 md5 idiom).
+    *
+    * Shape: 2 corpus scans (the adjudicated d15 budget). Scan A
+    * explodes tokens and reduces MAP-SIDE to the ≤256-row per-bucket
+    * (target, rest) count frame; the global totals it needs are an
+    * unpartitioned window over those 256 rows (q11 idiom), never over
+    * corpus keys. The classified map broadcasts. Scan B explodes again,
+    * joins the broadcast per token, and reduces to one row per doc via
+    * the single doc-keyed exchange. No corpus-sized window, no
+    * driver-side data, nothing interpreted. */
+  def d54DomainAffinity(spark: SparkSession, dir: String): DataFrame = {
+    def toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
+    val wAll = Window.partitionBy()
+    val cls = toks
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("source") === TargetSource, 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(col("source") =!= TargetSource, 1L).otherwise(0L)).as("cnt_r"))
+      .withColumn("total_t", sum(col("cnt_t")).over(wAll))
+      .withColumn("total_r", sum(col("cnt_r")).over(wAll))
+      .select(col("bucket"),
+        (col("cnt_t").cast("decimal(19,0)") * col("total_r").cast("decimal(19,0)") >
+          col("cnt_r").cast("decimal(19,0)") * col("total_t").cast("decimal(19,0)"))
+          .as("leans_target"))
+    toks.join(broadcast(cls), "bucket")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("leans_target"), 1L).otherwise(0L)).as("target_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("target_tok"),
+        expr("(target_tok * 10000) div n_tok").as("affinity_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d54Sql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, source, substr(md5(tok), 1, 2) AS bucket FROM occ),
+       |stats AS (
+       |  SELECT bucket,
+       |    CAST(count(CASE WHEN source = '$TargetSource' THEN 1 END) AS BIGINT) AS cnt_t,
+       |    CAST(count(CASE WHEN source <> '$TargetSource' THEN 1 END) AS BIGINT) AS cnt_r
+       |  FROM b GROUP BY bucket),
+       |cls AS (
+       |  SELECT bucket,
+       |    CAST(cnt_t AS HUGEINT) * (SELECT CAST(sum(cnt_r) AS HUGEINT) FROM stats)
+       |      > CAST(cnt_r AS HUGEINT) * (SELECT CAST(sum(cnt_t) AS HUGEINT) FROM stats)
+       |      AS leans_target
+       |  FROM stats),
+       |d AS (
+       |  SELECT doc_id, source, count(*) AS n_tok,
+       |    CAST(count(CASE WHEN leans_target THEN 1 END) AS BIGINT) AS target_tok
+       |  FROM b JOIN cls USING (bucket) GROUP BY doc_id, source)
+       |SELECT doc_id, source, n_tok, target_tok,
+       |  (target_tok * 10000) // n_tok AS affinity_bp
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d54_domain_affinity" -> (d54DomainAffinity _),
     "d52_freq_of_freqs" -> (d52FreqOfFreqs _),
     "d47_split_contamination" -> (d47SplitContamination _),
     "d46_leakage_split" -> (d46LeakageSplit _),
@@ -1045,6 +1128,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d54_domain_affinity" -> d54Sql,
     "d52_freq_of_freqs" -> d52Sql,
     "d47_split_contamination" -> d47Sql,
     "d46_leakage_split" -> d46Sql,

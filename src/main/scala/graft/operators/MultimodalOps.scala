@@ -435,7 +435,66 @@ object MultimodalOps {
       |  ((n_blobs - n_canonical) * 10000) // n_blobs AS dup_bp
       |FROM s ORDER BY source""".stripMargin
 
+  /** Aspect-ratio buckets for e8, as exact integer ratios (p:q = w:h).
+    * 144 = lcm of the q's, so |w·q − h·p| · (144/q) is a single exact
+    * integer sort key proportional to |w/h − p/q| (the common h·q
+    * denominator scaled out) — bucket choice never touches a float. */
+  val AspectBuckets: Seq[(Int, Int, String)] = Seq(
+    (1, 2, "1:2"), (9, 16, "9:16"), (3, 4, "3:4"), (1, 1, "1:1"),
+    (4, 3, "4:3"), (16, 9, "16:9"), (2, 1, "2:1"), (3, 1, "3:1"))
+
+  /** Images per training batch for e8's batch-count report. */
+  val BatchImages = 8L
+
+  /** e8: aspect-ratio bucketing — the diffusion-training batching step
+    * (public technique from NovelAI's aspect-ratio-bucketing writeup and
+    * the SDXL report, arXiv:2307.01952): group images by the nearest
+    * target aspect ratio so a batch never mixes shapes, then report per
+    * bucket how many full batches an epoch yields and the leftover that
+    * pads or drops. Nearest bucket = argmin over the fixed bucket list
+    * of the exact integer distance key above; ties break to the earlier
+    * bucket in the list (deterministic on any engine).
+    *
+    * Shape: bucket assignment is ROW-LOCAL — an `array_min` over a
+    * compile-time literal array of (key, idx, ratio) structs
+    * (lexicographic struct ordering), zero joins and zero shuffle on
+    * the corpus path; the only exchange is the final ≤|buckets| reduce
+    * with map-side partials. Rides e1's decoded-dimensions seam: a real
+    * decoder swaps in without a plan change. */
+  def e8AspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val barr = array(AspectBuckets.zipWithIndex.map { case ((p, q, nm), i) =>
+      struct(
+        (abs(col("width") * q - col("height") * p) * (144 / q)).cast("long").as("k"),
+        lit(i).as("i"), lit(nm).as("r"))
+    }: _*)
+    e1MultimodalMeta(spark, dir)
+      .select(col("doc_id"), array_min(barr).getField("r").as("ratio"))
+      .groupBy(col("ratio"))
+      .agg(count(lit(1)).as("n_imgs"))
+      .select(col("ratio"), col("n_imgs"),
+        expr(s"n_imgs div $BatchImages").as("n_batches"),
+        expr(s"n_imgs % $BatchImages").as("leftover"))
+      .orderBy(col("ratio"))
+  }
+
+  val e8Sql: String = {
+    val vals = AspectBuckets.zipWithIndex
+      .map { case ((p, q, nm), i) => s"($p, $q, '$nm', $i)" }.mkString(", ")
+    s"""WITH img AS ($e1Sql),
+       |bk(p, q, nm, i) AS (VALUES $vals),
+       |rk AS (
+       |  SELECT doc_id, nm, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY abs(width * q - height * p) * (144 // q), i) AS rn
+       |  FROM img CROSS JOIN bk),
+       |a AS (SELECT doc_id, nm AS ratio FROM rk WHERE rn = 1)
+       |SELECT ratio, count(*) AS n_imgs,
+       |  count(*) // $BatchImages AS n_batches,
+       |  count(*) % $BatchImages AS leftover
+       |FROM a GROUP BY ratio ORDER BY ratio""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_aspect_buckets" -> (e8AspectBuckets _),
     "e7_epoch_schedule" -> (e7EpochSchedule _),
     "e6_blob_dedup" -> (e6BlobDedup _),
     "e1_multimodal_meta" -> (e1MultimodalMeta _),
@@ -445,6 +504,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e8_aspect_buckets" -> e8Sql,
     "e7_epoch_schedule" -> e7Sql,
     "e6_blob_dedup" -> e6Sql,
     "e1_multimodal_meta" -> e1Sql,

@@ -1807,4 +1807,57 @@ class OperatorSpec extends GraftSpec {
       assert(r.getDouble(6) >= 640 && r.getDouble(6) <= 640 + 15 * 80)
     }
   }
+
+  test("d54 domain affinity: odds-vote pipeline replayed locally in exact integers") {
+    val rows = CorpusOps.d54DomainAffinity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(2).split(" ").filter(_.nonEmpty)
+          .map(t => (r.getLong(0), r.getString(1), md5hex(t).substring(0, 2)))
+      }
+    val byBucket = toks.groupBy(_._3).map { case (b, xs) =>
+      b -> (xs.count(_._2 == CorpusOps.TargetSource).toLong,
+        xs.count(_._2 != CorpusOps.TargetSource).toLong)
+    }
+    val totalT = byBucket.values.map(_._1).sum
+    val totalR = byBucket.values.map(_._2).sum
+    val leans = byBucket.map { case (b, (t, r)) =>
+      b -> (BigInt(t) * totalR > BigInt(r) * totalT) }
+    val expect = toks.groupBy(x => (x._1, x._2)).map { case ((id, src), xs) =>
+      val n = xs.length.toLong
+      val tv = xs.count(x => leans(x._3)).toLong
+      (id, src, n, tv, tv * 10000 / n)
+    }.toSet
+    assert(rows.toSet == expect)
+    rows.foreach(r => assert(r._5 >= 0 && r._5 <= 10000))
+    // both classes must actually occur or the score is degenerate
+    assert(leans.values.exists(identity) && leans.values.exists(!_))
+  }
+
+  test("e8 aspect buckets: exact-rational nearest bucket replayed; batch math ties out") {
+    val rows = MultimodalOps.e8AspectBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val meta = MultimodalOps.e1MultimodalMeta(spark, sfDir)
+      .select(col("width"), col("height")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // independent argmin: pairwise exact-rational comparison, no LCM key;
+    // strict improvement only, so ties keep the earlier bucket
+    val expect = meta.map { case (w, h) =>
+      MultimodalOps.AspectBuckets.reduceLeft { (a, b) =>
+        val na = BigInt((w.toLong * a._2 - h.toLong * a._1).abs) * b._2
+        val nb = BigInt((w.toLong * b._2 - h.toLong * b._1).abs) * a._2
+        if (nb < na) b else a
+      }._3
+    }.groupBy(identity).map { case (r, xs) => (r, xs.length.toLong) }
+    assert(rows.map(r => r._1 -> r._2).toMap == expect)
+    rows.foreach { case (_, n, nb, lo) =>
+      assert(nb == n / MultimodalOps.BatchImages && lo == n % MultimodalOps.BatchImages)
+    }
+  }
 }
