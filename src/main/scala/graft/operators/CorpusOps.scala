@@ -1110,7 +1110,77 @@ object CorpusOps {
        |  (target_tok * 10000) // n_tok AS affinity_bp
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** d55: source-overlap similarity card — the pairwise complement to
+    * d31's per-source-vs-corpus drift: for every SOURCE PAIR, the exact
+    * Jaccard (integer basis points) between the sources' distinct word
+    * 3-gram sets, plus both set sizes and the shared count. This is the
+    * card a mixture designer reads before weighting sources (near-clone
+    * sources waste mixture mass) and the corpus-level twin of d8's
+    * per-document-pair n-gram Jaccard.
+    *
+    * Shape: ONE corpus scan (d8/d20 need a corpus-wide self-join for
+    * their doc grain; at source grain we can do better). Explode
+    * shingles → distinct (source, shingle) → per-shingle sorted source
+    * set (≤|sources| elements) → ordered pairs generated ROW-LOCALLY
+    * (indexed transform × slice), with the diagonal (s,s) emitted
+    * alongside so set sizes ride the same frame → ONE tiny pair reduce
+    * (≤|sources|² rows). Sizes are recovered from the diagonal via two
+    * windows over that reduced frame — no second corpus scan, no
+    * corpus-sized self-join, no recompute. Zero-overlap pairs have no
+    * row (exact, documented). */
+  def d55SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairsWithDiag = {
+      val srcs = col("srcs")
+      val pairs = flatten(transform(srcs, (x, i) =>
+        transform(slice(srcs, i + lit(2), size(srcs)),
+          y => struct(x.as("a"), y.as("b")))))
+      val diag = transform(srcs, x => struct(x.as("a"), x.as("b")))
+      concat(pairs, diag)
+    }
+    val red = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+      .distinct()
+      .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(pairsWithDiag).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    red
+      .withColumn("n_a", max(when(col("a") === col("b"), col("cnt"))).over(wa))
+      .withColumn("n_b", max(when(col("a") === col("b"), col("cnt"))).over(wb))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("src_a"), col("b").as("src_b"),
+        col("cnt").as("n_shared"), col("n_a"), col("n_b"),
+        expr("(cnt * 10000) div (n_a + n_b - cnt)").as("jaccard_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val d55Sql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sv AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT source, count(*) AS n FROM sv GROUP BY 1),
+      |pr AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+      |  FROM sv x JOIN sv y ON x.sh = y.sh AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  za.n AS n_a, zb.n AS n_b,
+      |  (n_shared * 10000) // (za.n + zb.n - n_shared) AS jaccard_bp
+      |FROM pr
+      |JOIN sz za ON src_a = za.source
+      |JOIN sz zb ON src_b = zb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d55_source_overlap" -> (d55SourceOverlap _),
     "d54_domain_affinity" -> (d54DomainAffinity _),
     "d52_freq_of_freqs" -> (d52FreqOfFreqs _),
     "d47_split_contamination" -> (d47SplitContamination _),
@@ -1128,6 +1198,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d55_source_overlap" -> d55Sql,
     "d54_domain_affinity" -> d54Sql,
     "d52_freq_of_freqs" -> d52Sql,
     "d47_split_contamination" -> d47Sql,

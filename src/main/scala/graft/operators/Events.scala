@@ -637,7 +637,60 @@ object Events {
       |SELECT step1, step2, step3, n, (n * 10000) // total AS share_bp
       |FROM t ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin
 
+  /** c17: daily bounce rate — the engagement-quality card next to c10's
+    * per-session stats: a session that contains exactly ONE event is a
+    * bounce; per calendar day (of the session's first event) report
+    * session count, bounce count, and the integer-bp bounce share.
+    *
+    * Shape: rides c2/c10's single user-keyed exchange (lag → new_sess →
+    * running session_seq all share one Window sort), then the session
+    * grain reduce and a ≤#days reduce. No new corpus-sized exchange
+    * beyond the session-frame family's adjudicated one. */
+  def c17BounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+      .select(to_date(col("start_ts")).as("day"), col("n_events"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        expr("(n_bounces * 10000) div n_sessions").as("bounce_bp"))
+      .orderBy(col("day"))
+  }
+
+  val c17Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS start_ts
+      |  FROM s GROUP BY 1, 2),
+      |d AS (
+      |  SELECT CAST(start_ts AS DATE) AS day, count(*) AS n_sessions,
+      |    CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces
+      |  FROM sess GROUP BY 1)
+      |SELECT day, n_sessions, n_bounces,
+      |  (n_bounces * 10000) // n_sessions AS bounce_bp
+      |FROM d ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_bounce_rate" -> (c17BounceRate _),
     "c16_top_paths" -> (c16TopPaths _),
     "c15_cohort_funnel" -> (c15CohortFunnel _),
     "c14_trending_topk" -> (c14TrendingTopk _),
@@ -656,6 +709,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c17_bounce_rate" -> c17Sql,
     "c16_top_paths" -> c16Sql,
     "c15_cohort_funnel" -> c15Sql,
     "c14_trending_topk" -> c14Sql,

@@ -1860,4 +1860,58 @@ class OperatorSpec extends GraftSpec {
       assert(nb == n / MultimodalOps.BatchImages && lo == n % MultimodalOps.BatchImages)
     }
   }
+
+  test("c17 bounce rate: 30-min sessionization + day rollup replayed locally") {
+    val rows = Events.c17BounceRate(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(x => (x._2.getTime, x._3))
+      val sess = scala.collection.mutable.ArrayBuffer[List[java.sql.Timestamp]]()
+      sorted.foreach { x =>
+        if (sess.isEmpty || x._2.getTime - sess.last.last.getTime > 1800L * 1000)
+          sess += List(x._2)
+        else sess(sess.size - 1) = sess.last :+ x._2
+      }
+      sess
+    }.toSeq
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expect = sessions.groupBy(s => fmt.format(s.head)).map { case (d, ss) =>
+      val n = ss.size.toLong
+      val b = ss.count(_.size == 1).toLong
+      (d, n, b, b * 10000 / n)
+    }.toSet
+    assert(rows.toSet == expect)
+    rows.foreach(r => assert(r._3 <= r._2 && r._4 <= 10000))
+  }
+
+  test("d55 source overlap: pairwise trigram Jaccard replayed locally") {
+    val rows = CorpusOps.d55SourceOverlap(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(rows.nonEmpty)
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.flatMap { case (_, text) =>
+          val t = text.split(" ").filter(_.nonEmpty)
+          if (t.length < 3) Seq.empty
+          else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+        }.toSet
+      }
+    val srcs = bySource.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      a = srcs(i); b = srcs(j)
+      inter = (bySource(a) & bySource(b)).size.toLong if inter > 0
+    } yield {
+      val na = bySource(a).size.toLong; val nb = bySource(b).size.toLong
+      ((a, b), (inter, na, nb, inter * 10000 / (na + nb - inter)))
+    }).toMap
+    assert(rows.toMap == expect)
+  }
 }
