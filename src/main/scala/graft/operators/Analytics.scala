@@ -1244,7 +1244,48 @@ object Analytics {
       |JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q44: exact per-group MODE — the one basic order statistic the
+    * suite lacked beside median (q21/q41) and quantiles (q22/q25): the
+    * most frequent order priority per customer nation, with the
+    * deterministic tie rule (higher count wins, then lexicographically
+    * smaller priority — engines disagree on arbitrary-tie mode, so the
+    * rule is explicit and portable).
+    *
+    * Shape: orders ⋈ customer is a fact-fact shuffle on the customer
+    * key (q29's adjudication: customer is NOT broadcastable), nation
+    * broadcasts, then one (nation, priority) reduce to ≤ |nations|·
+    * |priorities| rows; the argmax is a row_number window over that
+    * reduced frame, never over fact rows. */
+  def q44ModePriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("n_orders").desc, col("o_orderpriority"))
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_name"), col("o_orderpriority").as("mode_priority"), col("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val q44Sql: String =
+    """WITH cnt AS (
+      |  SELECT n_name, o_orderpriority, count(*) AS n_orders
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY n_name
+      |    ORDER BY n_orders DESC, o_orderpriority) AS rn
+      |  FROM cnt)
+      |SELECT n_name, o_orderpriority AS mode_priority, n_orders
+      |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_mode_priority" -> (q44ModePriority _),
     "q43_dominant_supplier" -> (q43DominantSupplier _),
     "q42_min_cost_supplier" -> (q42MinCostSupplier _),
     "q41_quartiles_cont" -> (q41QuartilesCont _),
@@ -1289,6 +1330,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q44_mode_priority" -> q44Sql,
     "q43_dominant_supplier" -> q43Sql,
     "q42_min_cost_supplier" -> q42Sql,
     "q41_quartiles_cont" -> q41Sql,

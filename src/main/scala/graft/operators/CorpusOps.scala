@@ -1179,7 +1179,53 @@ object CorpusOps {
       |JOIN sz zb ON src_b = zb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** d56: quarantine expansion through near-dup clusters — the
+    * decontamination rule real pipelines apply but d20 alone cannot
+    * express: if a doc shares eval n-grams (d20 direct hit), its
+    * near-duplicate TWINS are contaminated too even when paraphrasing
+    * broke their own n-gram overlap. Quarantined = d20's direct set ∪
+    * every doc sharing a d25 cluster with a direct doc; `reason` says
+    * which rule fired ('direct' wins when both).
+    *
+    * Shape: pure composition over the SHARED cached frames (zero new
+    * corpus scans): d20's (doc, counts) via sharedContamination, d25's
+    * labels via sharedClusters. Hit-cluster ids reduce to ≤#clusters
+    * rows; the expansion is an equi-join on the label — never
+    * broadcast-assumed (at 100 TB the contaminated-cluster set can be
+    * corpus-shaped). Union → one doc-keyed reduce ('direct' > 'cluster'
+    * lexicographically, so max picks the stronger reason). */
+  def d56QuarantineExpand(spark: SparkSession, dir: String): DataFrame = {
+    val direct = TextOps.sharedContamination(spark, dir).select(col("doc_id"))
+    val labels = sharedClusters(spark, dir)
+    val hitClusters = labels
+      .join(direct, labels("node") === direct("doc_id"))
+      .select(col("lab")).distinct()
+    val viaCluster = labels.join(hitClusters, "lab")
+      .select(col("node").as("doc_id"))
+    direct.withColumn("reason", lit("direct"))
+      .unionByName(viaCluster.withColumn("reason", lit("cluster")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("reason")).as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d56Sql: String = ccSqlPrefix +
+    """,
+      |shu AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |ev AS (SELECT doc_id AS eval_id, shingle FROM shu WHERE doc_id % 97 = 0),
+      |corp AS (SELECT doc_id, shingle FROM shu WHERE doc_id % 97 <> 0),
+      |direct AS (SELECT DISTINCT c.doc_id FROM corp c JOIN ev e USING (shingle)),
+      |hitc AS (SELECT DISTINCT cluster_id FROM labs JOIN direct USING (doc_id)),
+      |via AS (SELECT doc_id FROM labs WHERE cluster_id IN (SELECT cluster_id FROM hitc)),
+      |u AS (
+      |  SELECT doc_id, 'direct' AS reason FROM direct
+      |  UNION ALL
+      |  SELECT doc_id, 'cluster' AS reason FROM via)
+      |SELECT doc_id, max(reason) AS reason
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d56_quarantine_expand" -> (d56QuarantineExpand _),
     "d55_source_overlap" -> (d55SourceOverlap _),
     "d54_domain_affinity" -> (d54DomainAffinity _),
     "d52_freq_of_freqs" -> (d52FreqOfFreqs _),
@@ -1198,6 +1244,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d56_quarantine_expand" -> d56Sql,
     "d55_source_overlap" -> d55Sql,
     "d54_domain_affinity" -> d54Sql,
     "d52_freq_of_freqs" -> d52Sql,

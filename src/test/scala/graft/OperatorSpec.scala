@@ -1914,4 +1914,47 @@ class OperatorSpec extends GraftSpec {
     }).toMap
     assert(rows.toMap == expect)
   }
+
+  test("q44 mode: per-nation modal priority replayed locally with the tie rule") {
+    val rows = Analytics.q44ModePriority(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    val custNation = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val nationName = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val expect = orders
+      .map { case (ck, pr) => (nationName(custNation(ck)), pr) }
+      .groupBy(_._1).map { case (n, xs) =>
+        val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        val (pr, c) = counts.minBy { case (p, cnt) => (-cnt, p) }
+        (n, pr, c)
+      }.toSet
+    assert(rows.toSet == expect)
+  }
+
+  test("d56 quarantine expand: consistent closure of d20 direct set over d25 clusters") {
+    val rows = CorpusOps.d56QuarantineExpand(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.nonEmpty)
+    val direct = TextOps.d20Contamination(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val clusters = CorpusOps.d25DedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val hit = byCluster.filter(_._2.exists(direct)).values.flatten.toSet
+    // exact membership + reason rule
+    assert(rows.keySet == (direct ++ hit))
+    rows.foreach { case (id, reason) =>
+      if (direct(id)) assert(reason == "direct", s"$id")
+      else assert(reason == "cluster" && hit(id), s"$id")
+    }
+    // the expansion must actually add someone at this SF or the test is vacuous
+    assert((hit -- direct).nonEmpty)
+  }
 }
