@@ -1224,7 +1224,126 @@ object CorpusOps {
       |SELECT doc_id, max(reason) AS reason
       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window gram width for d57 (matches ChunkWords so the two
+    * span grains are comparable). */
+  val SpanGram = 10
+
+  /** d57: exact repeated-SPAN detection — the overlapping-window
+    * refinement of d23's fixed-chunk profile, after the exact-substring
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499; their suffix-array span
+    * finder re-expressed relationally): every OVERLAPPING 10-token
+    * window that occurs verbatim anywhere else in the corpus marks its
+    * positions; overlapping/adjacent marked windows merge into maximal
+    * repeated spans (what a span-cutting dedup pass would actually
+    * excise). d23 cannot see a duplicated span that straddles its fixed
+    * chunk boundary; d57 can. Per doc: span count, covered tokens,
+    * integer-bp coverage — docs with no repeated span have no row.
+    *
+    * Shape: ONE corpus scan explodes overlapping windows (10× d23's
+    * row count, same asymptotics); multiplicity via the gram-keyed
+    * count window (d23's adjudicated exchange); islands via ONE
+    * doc-keyed ordered window (lag-gap break + running sum — fixed
+    * width makes interval union a gap test: spans merge iff
+    * pos − prev ≤ width); then the per-doc reduce rides the same
+    * doc partitioning. All integer. */
+  def d57RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(t).as("n_tok"),
+        explode(when(size(t) >= SpanGram,
+          transform(sequence(lit(1), size(t) - (SpanGram - 1)),
+            i => struct(i.as("pos"), concat_ws(" ", slice(t, i, lit(SpanGram))).as("gram"))))
+          .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("g"))
+      .select(col("doc_id"), col("n_tok"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wdRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("cnt") >= 2)
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(wd).isNull ||
+          col("pos") - lag(col("pos"), 1).over(wd) > SpanGram, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wdRun))
+      .groupBy(col("doc_id"), col("n_tok"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(SpanGram)).as("covered_tok"))
+      .select(col("doc_id"), col("n_spans"), col("covered_tok"), col("n_tok"),
+        expr("(covered_tok * 10000) div n_tok").as("covered_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d57Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tok,
+       |    unnest(list_transform(range(1, len(toks) - ${SpanGram - 2}),
+       |      i -> {'pos': i, 'gram': array_to_string(toks[i:i+${SpanGram - 1}], ' ')})) AS gs
+       |  FROM t WHERE len(toks) >= $SpanGram),
+       |p AS (SELECT doc_id, n_tok, gs.pos AS pos, gs.gram AS gram FROM g),
+       |r AS (SELECT *, count(*) OVER (PARTITION BY gram) AS cnt FROM p),
+       |f AS (SELECT doc_id, n_tok, pos FROM r WHERE cnt >= 2),
+       |i AS (
+       |  SELECT *, CASE WHEN lag(pos) OVER w IS NULL
+       |      OR pos - lag(pos) OVER w > $SpanGram THEN 1 ELSE 0 END AS brk
+       |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (
+       |  SELECT *, CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |  FROM i),
+       |sp AS (
+       |  SELECT doc_id, n_tok, island, min(pos) AS s, max(pos) AS e
+       |  FROM isl GROUP BY 1, 2, 3)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(e - s + $SpanGram) AS BIGINT) AS covered_tok, n_tok,
+       |  (CAST(sum(e - s + $SpanGram) AS BIGINT) * 10000) // n_tok AS covered_bp
+       |FROM sp GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin
+
+  /** Curriculum phases for d58. */
+  val CurriculumPhases = 4
+
+  /** d58: length-curriculum phase assignment — the schedule-construction
+    * step of length-based curriculum learning (the standard cheap
+    * difficulty proxy: train short-and-easy before long-and-hard;
+    * Bengio et al. 2009's curriculum framing, arXiv-era practice for
+    * LLM pretraining): within each SOURCE, docs sort by (token count,
+    * doc_id) and split into `CurriculumPhases` equal ntile phases.
+    * Per-source stratification keeps every phase's mixture composition
+    * equal to d21's weights — a global sort would let one verbose
+    * source dominate late phases. All integer, deterministic.
+    *
+    * Shape: ONE scan; the only exchange is the per-source window sort
+    * (the d22/d49 adjudicated shape — sources parallelize, never a
+    * global ordered window). ntile's rank arithmetic is engine-portable
+    * given the total (n_tokens, doc_id) order. */
+  def d58CurriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("phase", ntile(CurriculumPhases).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("phase"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d58Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(ntile($CurriculumPhases) OVER (PARTITION BY source
+       |    ORDER BY n_tokens, doc_id) AS INTEGER) AS phase
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d57_repeated_spans" -> (d57RepeatedSpans _),
+    "d58_curriculum_phases" -> (d58CurriculumPhases _),
     "d56_quarantine_expand" -> (d56QuarantineExpand _),
     "d55_source_overlap" -> (d55SourceOverlap _),
     "d54_domain_affinity" -> (d54DomainAffinity _),
@@ -1244,6 +1363,8 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d57_repeated_spans" -> d57Sql,
+    "d58_curriculum_phases" -> d58Sql,
     "d56_quarantine_expand" -> d56Sql,
     "d55_source_overlap" -> d55Sql,
     "d54_domain_affinity" -> d54Sql,

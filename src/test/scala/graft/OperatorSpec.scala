@@ -1957,4 +1957,60 @@ class OperatorSpec extends GraftSpec {
     // the expansion must actually add someone at this SF or the test is vacuous
     assert((hit -- direct).nonEmpty)
   }
+
+  test("d57 repeated spans: overlapping-window islands replayed locally") {
+    val rows = CorpusOps.d57RepeatedSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val w = CorpusOps.SpanGram
+    val grams = docs.flatMap { case (id, t) =>
+      if (t.length < w) Seq.empty
+      else (0 to t.length - w).map(i => (id, i + 1, t.slice(i, i + w).mkString(" ")))
+    }
+    val mult = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val expect = grams.filter(g => mult(g._3) >= 2).groupBy(_._1).map { case (id, xs) =>
+      val pos = xs.map(_._2).sorted
+      // interval union with fixed width: break when gap > w
+      val islands = pos.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+        acc match {
+          case (s, e) :: rest if p - e <= w => (s, p) :: rest
+          case _ => (p, p) :: acc
+        }
+      }
+      val nTok = docs.find(_._1 == id).get._2.length
+      val covered = islands.map { case (s, e) => e - s + w }.sum.toLong
+      (id, islands.size.toLong, covered, nTok, covered * 10000 / nTok)
+    }.toSet
+    assert(rows.toSet == expect)
+    // coverage sanity: spans never cover more than the doc
+    rows.foreach(r => assert(r._3 <= r._4 && r._5 <= 10000))
+  }
+
+  test("d58 curriculum phases: per-source ntile replayed; phases balanced") {
+    val rows = CorpusOps.d58CurriculumPhases(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val k = CorpusOps.CurriculumPhases
+    rows.groupBy(_._2).foreach { case (src, xs) =>
+      val ordered = xs.sortBy(x => (x._3, x._1))
+      val n = ordered.size
+      // ntile contract: first n%k tiles get n/k+1 rows, rest n/k
+      var idx = 0
+      (1 to k).foreach { tile =>
+        val sz = n / k + (if (tile <= n % k) 1 else 0)
+        ordered.slice(idx, idx + sz).foreach(x => assert(x._4 == tile, s"$src $tile"))
+        idx += sz
+      }
+      assert(idx == n)
+      // monotone: later phases never have shorter docs at the boundary
+      val maxByPhase = ordered.groupBy(_._4).view.mapValues(_.map(_._3).max).toMap
+      val minByPhase = ordered.groupBy(_._4).view.mapValues(_.map(_._3).min).toMap
+      (1 until k).foreach(ph =>
+        if (maxByPhase.contains(ph) && minByPhase.contains(ph + 1))
+          assert(maxByPhase(ph) <= minByPhase(ph + 1), s"$src $ph"))
+    }
+  }
 }
