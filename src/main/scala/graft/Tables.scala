@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the star-schema test tables (one parquet file per table).
   *
@@ -25,15 +25,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects; with
-    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long that
-    * we truncate to microseconds (integer div — same truncation DuckDB
-    * applies casting TIMESTAMP_NS → TIMESTAMP). */
+  /** events.ts has shipped as TIMESTAMP(NANOS) (arrives as a long under
+    * spark.sql.legacy.parquet.nanosAsLong=true — truncate to micros, the
+    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP)
+    * and as TIMESTAMP(MICROS) without UTC adjustment (arrives as
+    * TIMESTAMP_NTZ). Either way, normalize to TIMESTAMP: the session
+    * timezone is pinned UTC, so the NTZ→LTZ cast is a pure
+    * reinterpretation and every downstream unix_micros/window operator
+    * sees the one type the suite is built on. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -1284,7 +1284,103 @@ object Analytics {
       |SELECT n_name, o_orderpriority AS mode_priority, n_orders
       |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin
 
+  /** q45: equal-width HISTOGRAM per market segment — the fixed-bin
+    * density card next to the quantile family (q25 deciles, q41
+    * quartiles): order-value counts in $50k bins with each bin's share
+    * of its segment in integer basis points.
+    *
+    * Bin assignment is DECIMAL-exact: o_totalprice is a 2-decimal
+    * quantity, so `dec2(price)·100` is an exact integer cents value and
+    * the bin is integer division — never `floor(double/width)`, whose
+    * repr error (123.45·100 = 12344.999…) can misplace boundary values.
+    *
+    * Shape: orders⋈customer is a fact-fact shuffle on the customer key
+    * (q29's adjudication: customer is NOT broadcastable), reduced
+    * map-side to ≤ |segments|·|bins| rows; the per-segment total is a
+    * window over that reduced frame, never a second scan. */
+  def q45PriceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("cast(cast(o_totalprice AS decimal(12,2)) * 100 AS bigint) div 5000000").as("bin"),
+        dec2(col("o_totalprice")).as("price_dec"))
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+    o.groupBy(col("c_mktsegment"), col("bin"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_dec")).as("rev_dec"))
+      .withColumn("seg_total", sum(col("n_orders")).over(wSeg))
+      .select(col("c_mktsegment"), (col("bin") * 50000L).as("bucket_lo"),
+        col("n_orders"), col("rev_dec").cast("double").as("revenue"),
+        expr("(n_orders * 10000) div seg_total").as("share_bp"))
+      .orderBy(col("c_mktsegment"), col("bucket_lo"))
+  }
+
+  val q45Sql: String =
+    """WITH b AS (
+      |  SELECT c_mktsegment,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000000 AS bin,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (
+      |  SELECT c_mktsegment, bin, count(*) AS n_orders, sum(price_dec) AS rev_dec
+      |  FROM b GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, CAST(sum(n_orders) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_total
+      |  FROM g)
+      |SELECT c_mktsegment, bin * 50000 AS bucket_lo, n_orders,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  (n_orders * 10000) // seg_total AS share_bp
+      |FROM w ORDER BY c_mktsegment, bucket_lo""".stripMargin
+
+  /** q46: exact per-group WEIGHTED median — the weighted sibling of
+    * q21 (discrete median) and q41 (interpolated quartiles): per return
+    * flag, the smallest extended price at which cumulative shipped
+    * quantity reaches half the group total. The crossing test is the
+    * division-free DECIMAL form `2·cum ≥ total` (exact — never
+    * `cum ≥ total/2` through a double).
+    *
+    * Shape: lineitem reduces FIRST to (flag, price) quantity sums — the
+    * cumulative window then sorts the reduced frame, not fact rows
+    * (q21's adjudication: an exact order statistic needs one ordered
+    * pass per group; the 100 TB escape hatch is the q22 sketch). The
+    * winner per flag is a min over the qualifying suffix, not a second
+    * window. */
+  def q46WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), dec2(col("l_extendedprice")).as("price_dec"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("price_dec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    byPrice
+      .withColumn("cum", sum(col("qty")).over(wCum))
+      .withColumn("total", sum(col("qty")).over(wAll))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price_dec")).cast("double").as("weighted_median_price"),
+        min(col("total")).cast("double").as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q46Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT l_returnflag, price_dec, qty,
+      |    sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price_dec
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(qty) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM g)
+      |SELECT l_returnflag,
+      |  CAST(min(price_dec) AS DOUBLE) AS weighted_median_price,
+      |  CAST(min(total) AS DOUBLE) AS total_qty
+      |FROM w WHERE cum * 2 >= total
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_weighted_median" -> (q46WeightedMedian _),
+    "q45_price_histogram" -> (q45PriceHistogram _),
     "q44_mode_priority" -> (q44ModePriority _),
     "q43_dominant_supplier" -> (q43DominantSupplier _),
     "q42_min_cost_supplier" -> (q42MinCostSupplier _),
@@ -1330,6 +1426,8 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q46_weighted_median" -> q46Sql,
+    "q45_price_histogram" -> q45Sql,
     "q44_mode_priority" -> q44Sql,
     "q43_dominant_supplier" -> q43Sql,
     "q42_min_cost_supplier" -> q42Sql,
