@@ -34,6 +34,10 @@ object Tables {
     * reinterpretation and every downstream unix_micros/window operator
     * sees the one type the suite is built on. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the NTZ->LTZ ts cast is only a pure reinterpretation under UTC")
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -1297,7 +1297,14 @@ object Analytics {
     * Shape: orders⋈customer is a fact-fact shuffle on the customer key
     * (q29's adjudication: customer is NOT broadcastable), reduced
     * map-side to ≤ |segments|·|bins| rows; the per-segment total is a
-    * window over that reduced frame, never a second scan. */
+    * window over that reduced frame, never a second scan.
+    *
+    * PRECONDITION (r6 advice): the `div`/`//` equivalence here relies on
+    * Spark `div` truncating toward zero while DuckDB `//` floors —
+    * identical ONLY because o_totalprice and the counts are nonnegative
+    * and the cents value is an exact integer after the DECIMAL(12,2)
+    * cast. Do NOT reuse this idiom on signed or non-2-decimal data;
+    * use a pmod-based floor division in both engines instead. */
   def q45PriceHistogram(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))

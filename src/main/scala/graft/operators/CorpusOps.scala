@@ -1023,9 +1023,9 @@ object CorpusOps {
       |nr AS (SELECT freq, count(*) AS n_types, freq * count(*) AS token_mass
       |       FROM tf GROUP BY freq)
       |SELECT freq, n_types, token_mass,
-      |  (sum(token_mass) OVER (ORDER BY freq
+      |  CAST((sum(token_mass) OVER (ORDER BY freq
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000)
-      |    // (sum(token_mass) OVER ()) AS cum_mass_bp
+      |    // (sum(token_mass) OVER ()) AS BIGINT) AS cum_mass_bp
       |FROM nr ORDER BY freq""".stripMargin
 
   /** Target source for d54 (the registry-designated exemplar domain a

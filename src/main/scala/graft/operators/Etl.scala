@@ -1114,7 +1114,7 @@ object Etl {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM f),
       |b AS (
-      |  SELECT y, m, (cum - bytes) // 4194304 AS bin_id,
+      |  SELECT y, m, CAST((cum - bytes) // 4194304 AS BIGINT) AS bin_id,
       |    count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes
       |  FROM c GROUP BY 1, 2, 3)
       |SELECT y, m, bin_id, n_files, bin_bytes,
