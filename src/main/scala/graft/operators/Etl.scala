@@ -920,6 +920,53 @@ object Etl {
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  /** Relative standard deviation for a27's HLL distinct sketches. */
+  val DriftSketchRsd = 0.02
+
+  /** a27: the HLL sketch twin of a20 (r6 verdict #4) — the SAME drift
+    * report with `approx_count_distinct` in place of the 8 exact
+    * `count_distinct`s. Why it exists: a20's exact form plans an
+    * Expand ×9 over the scan (the suite's cost ceiling, ~3 s at
+    * sf0.1); at 100 TB, 8 exact distincts per load audit is the wrong
+    * default when the gate can tolerate ±2%. Here there are NO
+    * distinct aggregates, so Catalyst plans a single plain
+    * conditional-aggregation pass — no Expand at all — and the partial
+    * HLL sketches merge map-side like any other aggregate. Null
+    * counts and min/max (and thus `range_widened`) stay exact — only
+    * the distinct counts and the `drifted` flag derived from them are
+    * approximate. a20 remains the oracled exact gate; this entry is
+    * rows-only by design (sketch values are engine-specific, like
+    * q17/q22) and its agreement with a20 is spec-asserted within rsd
+    * bounds. */
+  def a27DriftSketch(spark: SparkSession, dir: String): DataFrame = {
+    val loadA = year(col("o_orderdate")) % 2 === 0
+    val aggs = DriftCols.flatMap { c =>
+      def side(name: String, cond: Column) = Seq(
+        sum(when(cond && col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls_$name"),
+        approx_count_distinct(when(cond, col(c)), DriftSketchRsd)
+          .as(s"${c}_distinct_$name"),
+        min(when(cond, col(c))).as(s"${c}_min_$name"),
+        max(when(cond, col(c))).as(s"${c}_max_$name"))
+      side("a", loadA) ++ side("b", !loadA)
+    }
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = DriftCols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"${c}_nulls_a").as("n_nulls_a"),
+        col(s"${c}_nulls_b").as("n_nulls_b"),
+        col(s"${c}_distinct_a").as("n_distinct_a"),
+        col(s"${c}_distinct_b").as("n_distinct_b"),
+        (col(s"${c}_min_b") < col(s"${c}_min_a") ||
+          col(s"${c}_max_b") > col(s"${c}_max_a")).as("range_widened"),
+        (abs(col(s"${c}_distinct_b") - col(s"${c}_distinct_a")) * 5 >
+          col(s"${c}_distinct_a")).as("drifted"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
   /** a21: snapshot diff — the CDC audit between two compacted loads of
     * a keyed table (what actually changed between yesterday's and
     * today's a7 output): full outer join on the key, classified into
@@ -1212,6 +1259,7 @@ object Etl {
       |FROM t ORDER BY y, m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a27_drift_sketch" -> (a27DriftSketch _),
     "a26_retention_plan" -> (a26RetentionPlan _),
     "a25_compaction_plan" -> (a25CompactionPlan _),
     "a24_scd2_build" -> (a24Scd2Build _),

@@ -2013,4 +2013,30 @@ class OperatorSpec extends GraftSpec {
           assert(maxByPhase(ph) <= minByPhase(ph + 1), s"$src $ph"))
     }
   }
+
+  test("a27 drift sketch: agrees with exact a20 within rsd bounds; no Expand") {
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))
+      }.toMap
+    val exact = byCol(Etl.a20SchemaDrift(spark, sfDir))
+    val sketch = byCol(Etl.a27DriftSketch(spark, sfDir))
+    assert(sketch.keySet == exact.keySet)
+    // 5-sigma band on the rsd: relative error beyond this is a bug,
+    // not HLL variance.
+    val tol = 5 * Etl.DriftSketchRsd
+    exact.foreach { case (c, (nA, nB, dA, dB, rw)) =>
+      val (sA, sB, eA, eB, srw) = sketch(c)
+      assert(sA == nA && sB == nB, s"$c null counts must stay exact")
+      assert(srw == rw, s"$c range_widened must stay exact")
+      assert(math.abs(eA - dA) <= math.max(1L, (tol * dA).toLong), s"$c distinct_a $eA vs $dA")
+      assert(math.abs(eB - dB) <= math.max(1L, (tol * dB).toLong), s"$c distinct_b $eB vs $dB")
+    }
+    // the point of the twin: the sketch plan has NO Expand node
+    val sketchPlan = Etl.a27DriftSketch(spark, sfDir).queryExecution.executedPlan.toString
+    val exactPlan = Etl.a20SchemaDrift(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!sketchPlan.contains("Expand"), "a27 must not plan an Expand")
+    assert(exactPlan.contains("Expand"), "a20's exact form plans the Expand (adjudicated)")
+  }
 }

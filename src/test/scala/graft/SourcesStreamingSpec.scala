@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.{PartitionedSink, SourceRegistry}
+import graft.sources.{PartitionedSink, Sinks, SourceRegistry}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -34,6 +34,98 @@ class SourcesStreamingSpec extends GraftSpec {
       val files = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(files <= 2, s"${d.getPath} has $files files (> 2)")
     }
+  }
+
+  test("session/window family survives a planted hot user key (r6 verdict #7)") {
+    // The suite's most skew-exposed shape at 100 TB is the user-keyed
+    // session window (c2/c10/c17 share the exchange). Plant one hot
+    // user holding ~10% of all events and assert the family completes
+    // and stays self-consistent. NOTE the scale posture: AQE's skew
+    // handling splits oversized SHUFFLE-JOIN partitions but can NOT
+    // split a window partition (a key's rows must be co-located for
+    // the sort), so a pathologically hot user is bounded by one
+    // executor's spill capacity. The escape hatch is salting the
+    // session window: pre-split the hot user on coarse time buckets
+    // (e.g. day), sessionize within buckets, then merge boundary
+    // sessions — the c2 gap rule only needs the previous event, so
+    // only the per-bucket first/last rows need the second pass.
+    val hot = 424242L
+    val src = Tables.events(spark, sfDir)
+    val total = src.count()
+    val skewDir = Files.createTempDirectory("graft_skew").toString
+    src.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) === 0, lit(hot)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(skewDir + "/events.parquet")
+    val planted = spark.read.parquet(skewDir + "/events.parquet")
+      .filter(col("user_id") === hot).count()
+    assert(planted >= total / 11, "hot key must hold ~10% of events")
+
+    val c2 = operators.Events.c2Sessionize(spark, skewDir).collect()
+    assert(c2.map(_.getLong(2)).sum == total, "c2 conserves events under skew")
+    assert(c2.find(_.getLong(0) == hot).map(_.getLong(2)).contains(planted))
+    val c10 = operators.Events.c10SessionStats(spark, skewDir)
+    val nSessions = c10.count()
+    assert(c10.filter(col("user_id") === hot)
+      .agg(sum(col("n_events"))).head.getLong(0) == planted)
+    val c17 = operators.Events.c17BounceRate(spark, skewDir)
+    assert(c17.agg(sum(col("n_sessions"))).head.getLong(0) == nSessions,
+      "c17 day rollup conserves c10's session count under skew")
+  }
+
+  test("dynamic partition pruning fires on the PartitionedSink layout (r6 verdict #5)") {
+    // The dominant scan-killer at 100x scale: a fact table stored in
+    // the hive layout, joined to a filtered dim on the partition
+    // column, must plan a DynamicPruningExpression partition filter so
+    // only the dim-selected partition dirs are read at runtime.
+    val out = Files.createTempDirectory("graft_dpp").toString
+    PartitionedSink.promote(
+      Tables.events(spark, sfDir), out, "event_type", "ts")
+    val fact = spark.read.parquet(out)
+    // dim: registry of sources with one admitted row. Must be a REAL
+    // file source — a local relation constant-folds the filter away and
+    // DPP's selective-predicate check never sees it.
+    import spark.implicits._
+    // ... and the predicate must survive as a comparison: a bare
+    // boolean attribute fails Catalyst's isLikelySelective test.
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("view", "admitted"), ("click", "blocked"), ("purchase", "blocked"))
+      .toDF("src", "status").write.mode("overwrite").parquet(dimDir)
+    val admitted = spark.read.parquet(dimDir)
+    val joined = fact.join(admitted.filter(col("status") === "admitted"),
+        col("source") === col("src"))
+      .groupBy(col("source")).count()
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "partitioned-fact ⋈ filtered-dim on the partition column must plan DPP")
+    // and the result only touched the admitted partition
+    val srcs = joined.collect().map(_.getString(0)).toSet
+    assert(srcs == Set("view"))
+  }
+
+  test("Sinks.mergeByKey: MERGE semantics, stale updates lose, rerun idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge").toString + "/control"
+    // seed table: (key, status, ver)
+    Sinks.mergeByKey(spark,  dir,
+      Seq((1L, "pending", 1L), (2L, "pending", 1L), (3L, "done", 1L)).toDF("k", "status", "ver"),
+      Seq("k"), Seq("ver"))
+    // batch 1: update k=1, insert k=4, STALE update for k=3 (ver 0 < 1)
+    val updates = Seq((1L, "done", 2L), (4L, "pending", 1L), (3L, "error", 0L))
+      .toDF("k", "status", "ver")
+    Sinks.mergeByKey(spark, dir, updates, Seq("k"), Seq("ver"))
+    def snap() = spark.read.parquet(dir).as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val expect = Seq((1L, "done", 2L), (2L, "pending", 1L), (3L, "done", 1L), (4L, "pending", 1L))
+    assert(snap() == expect)
+    // rerun the SAME merge (Step Function retry): fixed point
+    Sinks.mergeByKey(spark, dir, updates, Seq("k"), Seq("ver"))
+    assert(snap() == expect)
+    // no orderCols: updates side wins matched keys unconditionally
+    Sinks.mergeByKey(spark, dir, Seq((2L, "error", 1L)).toDF("k", "status", "ver"), Seq("k"))
+    assert(snap() == Seq((1L, "done", 2L), (2L, "error", 1L), (3L, "done", 1L), (4L, "pending", 1L)))
+    // exactly ONE key-partitioned exchange in the merge plan per input side
+    val plan = Sinks.mergePlan(spark.read.parquet(dir),
+      updates, Seq("k"), Seq("ver")).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("broadcast"), "merge must not assume a broadcastable side")
   }
 
   test("promoteStream lands micro-batches in the hive date layout") {
