@@ -1385,7 +1385,100 @@ object Analytics {
       |FROM w WHERE cum * 2 >= total
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q47: gaps-and-islands over each customer's order sequence — the
+    * classic inter-arrival analysis (reorder cadence): per customer
+    * with ≥ 2 orders, the day gaps between consecutive orders via one
+    * lag over the (o_orderdate, o_orderkey)-ordered per-customer
+    * window, reduced to count / max / mean gap. The mean is the exact
+    * double quotient of two integers (sum_gap_days / (n-1)) —
+    * bit-identical IEEE division in both engines, never an
+    * order-dependent double sum.
+    *
+    * Shape: ONE orders scan, one shuffle on o_custkey shared by the
+    * lag window and the groupBy (same key — Catalyst reuses the
+    * exchange), output is customer-sized. At 100 TB this is the only
+    * shape: the gap computation never leaves the per-customer
+    * partition. */
+  def q47OrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("gap_days")).as("max_gap_days"),
+        sum(col("gap_days")).as("sum_gap"))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_custkey"), col("n_orders"), col("max_gap_days"),
+        (col("sum_gap").cast("double") / (col("n_orders") - 1)).as("avg_gap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q47Sql: String =
+    """WITH g AS (
+      |  SELECT o_custkey, CAST(datediff('day',
+      |      lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS BIGINT) AS gap_days
+      |  FROM orders),
+      |a AS (
+      |  SELECT o_custkey, count(*) AS n_orders, max(gap_days) AS max_gap_days,
+      |    CAST(sum(gap_days) AS BIGINT) AS sum_gap
+      |  FROM g GROUP BY 1)
+      |SELECT o_custkey, n_orders, max_gap_days,
+      |  CAST(sum_gap AS DOUBLE) / (n_orders - 1) AS avg_gap_days
+      |FROM a WHERE n_orders >= 2 ORDER BY o_custkey""".stripMargin
+
+  /** q48: year-over-year revenue-decile transition matrix — the
+    * customer-migration report (who moved between spend tiers): per
+    * (customer, year) revenue reduces from ONE orders scan, ntile(10)
+    * assigns the decile inside each year (ties broken deterministically
+    * on (rev desc, custkey) — engines disagree on arbitrary-tie ntile),
+    * a per-customer lag pairs consecutive years, and the transition
+    * counts reduce to ≤ years·10·10 rows.
+    *
+    * Shape: two window passes over the ALREADY-REDUCED (customer,
+    * year) frame — never over order rows — then a tiny groupBy. The
+    * ntile window partitions by year (few partitions, each
+    * customer-sized): at extreme customer counts the in-year sort is
+    * the cost, and the sketch escape hatch is approx percentile
+    * bucketing (q22's machinery) — exactness is the point here. */
+  def q48DecileShift(spark: SparkSession, dir: String): DataFrame = {
+    val byYear = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val wD = Window.partitionBy(col("y")).orderBy(col("rev").desc, col("o_custkey"))
+    val wC = Window.partitionBy(col("o_custkey")).orderBy(col("y"))
+    byYear
+      .withColumn("decile", ntile(10).over(wD))
+      .withColumn("prev_y", lag(col("y"), 1).over(wC))
+      .withColumn("from_decile", lag(col("decile"), 1).over(wC))
+      .filter(col("prev_y") === col("y") - 1)
+      .groupBy(col("y"), col("from_decile"), col("decile").as("to_decile"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("y"), col("from_decile"), col("to_decile"))
+  }
+
+  val q48Sql: String =
+    """WITH by_year AS (
+      |  SELECT o_custkey, year(o_orderdate) AS y,
+      |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |d AS (
+      |  SELECT o_custkey, y,
+      |    ntile(10) OVER (PARTITION BY y ORDER BY rev DESC, o_custkey) AS decile
+      |  FROM by_year),
+      |t AS (
+      |  SELECT y, decile,
+      |    lag(y) OVER w AS prev_y, lag(decile) OVER w AS from_decile
+      |  FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY y))
+      |SELECT y, from_decile, decile AS to_decile, count(*) AS n_customers
+      |FROM t WHERE prev_y = y - 1
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_decile_shift" -> (q48DecileShift _),
+    "q47_order_gaps" -> (q47OrderGaps _),
     "q46_weighted_median" -> (q46WeightedMedian _),
     "q45_price_histogram" -> (q45PriceHistogram _),
     "q44_mode_priority" -> (q44ModePriority _),
@@ -1433,6 +1526,8 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q48_decile_shift" -> q48Sql,
+    "q47_order_gaps" -> q47Sql,
     "q46_weighted_median" -> q46Sql,
     "q45_price_histogram" -> q45Sql,
     "q44_mode_priority" -> q44Sql,

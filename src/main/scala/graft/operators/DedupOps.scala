@@ -579,7 +579,91 @@ object DedupOps {
       |  count(*) AS n_pairs, max(jaccard) AS max_jaccard
       |FROM tagged GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** Doc-frequency band for d60's candidate shingles: shared by ≥ 2
+    * docs (a unique shingle pairs nothing) but ≤ 5 (hot shingles are
+    * boilerplate, not quotes — and quadratic in bucket size). */
+  private val RareDfMin = 2
+  private val RareDfMax = 5
+
+  /** d60: quote/containment detection — the ASYMMETRIC sibling of the
+    * Jaccard family (d6/d8): a short doc pasted inside a longer one has
+    * low Jaccard (the union is big) but high CONTAINMENT
+    * |A∩B| / min(|A|,|B|) (Broder 1997's resemblance-vs-containment
+    * distinction). Candidate pairs come from RARE shingles only
+    * (corpus doc-frequency in [2,5], ≥ 2 shared): rarity kills the
+    * boilerplate-shingle quadratic blowup that makes naive
+    * shingle-join candidate generation explode — the same reason
+    * search engines drop stop-shingles — while any real quotation of
+    * ≥ a few sentences shares many rare shingles. The exact
+    * containment then comes from the full shingle intersection for
+    * candidates only.
+    *
+    * Shape: shingle-keyed equi-join on the DF-banded subset (bucket
+    * size ≤ 5 → ≤ 10 pairs per shingle, linear in corpus), then the
+    * d8 relational intersection join for the survivors. Everything
+    * rides the shared shingle cache; no all-pairs anywhere. */
+  def d60QuoteContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingleHashes(spark, dir)
+    val sizes = sharedShingleSizes(spark, dir)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(RareDfMin, RareDfMax))
+      .select(col("shingle"))
+    val rsh = sh.join(rare, "shingle")
+    val pairs = rsh.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(rsh.select(col("shingle"), col("doc_id").as("doc_b")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= 2)
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_rare"), col("shared"),
+        expr("(shared * 10000) div least(sza, szb)").as("containment_bp"),
+        (col("shared") * 5 >= least(col("sza"), col("szb")) * 4).as("contained"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d60Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |rare AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING count(*) BETWEEN 2 AND 5),
+      |rsh AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_rare
+      |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |inter AS (
+      |  SELECT p.doc_a, p.doc_b, count(*) AS shared
+      |  FROM pairs p
+      |  JOIN sh a ON a.doc_id = p.doc_a
+      |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b, p.shared_rare, i.shared,
+      |  (i.shared * 10000) // least(sa.sz, sb.sz) AS containment_bp,
+      |  i.shared * 5 >= least(sa.sz, sb.sz) * 4 AS contained
+      |FROM pairs p
+      |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      |JOIN sizes sa ON sa.doc_id = p.doc_a
+      |JOIN sizes sb ON sb.doc_id = p.doc_b
+      |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d60_quote_containment" -> (d60QuoteContainment _),
     "d42_incremental_dedup" -> (d42IncrementalDedup _),
     "d39_cross_source_dups" -> (d39CrossSourceDups _),
     "d38_dedup_sensitivity" -> (d38DedupSensitivity _),
@@ -588,6 +672,7 @@ object DedupOps {
     "d28_fuzzy_topk" -> (d28FuzzyTopk _))
 
   val oracles: Map[String, String] = Map(
+    "d60_quote_containment" -> d60Sql,
     "d42_incremental_dedup" -> d42Sql,
     "d39_cross_source_dups" -> d39Sql,
     "d38_dedup_sensitivity" -> d38Sql,

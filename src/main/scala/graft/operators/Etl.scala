@@ -1258,7 +1258,70 @@ object Etl {
       |  n_rows * n_parts > 2 * total_rows AS skewed
       |FROM t ORDER BY y, m""".stripMargin
 
+  /** a28: late-data audit — the watermark-sizing report a streaming or
+    * incremental-batch pipeline needs before choosing its lateness
+    * tolerance (the reference's hourly Step Function schedule implies
+    * exactly this question: how much of an hour's data hasn't arrived
+    * when the hour closes). Arrival lag is the deterministic synthetic
+    * delay pmod(event_id·2654435761, 7200) seconds (0..2 h; stands in
+    * for a real ingest log's load_ts − event_ts). Per event day:
+    * volume, count/share beyond the 1 h watermark (exact basis
+    * points), the max lag, and the exact discrete p95 lag via the
+    * crossing pattern (c18/q46): lags reduce FIRST to (day, lag_sec)
+    * counts, the quantile walks the reduced frame — never a
+    * row_number over fact rows.
+    *
+    * Shape: one scan → (day, lag) reduce (map-side combined; lag
+    * cardinality ≤ 7200 per day) → per-day windows over the reduced
+    * frame → per-day reduce. */
+  def a28LateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        pmod(col("event_id") * lit(2654435761L), lit(7200L)).as("lag_sec"))
+      .groupBy(col("day"), col("lag_sec")).agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("day")).orderBy(col("lag_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("day"))
+    byVal
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .groupBy(col("day"))
+      .agg(
+        max(col("total")).as("n_events"),
+        sum(when(col("lag_sec") > 3600L, col("n")).otherwise(0L)).as("n_late"),
+        max(col("lag_sec")).as("max_lag_sec"),
+        min(when(col("cum") * 20 >= col("total") * 19, col("lag_sec"))).as("p95_lag_sec"))
+      .select(col("day"), col("n_events"), col("n_late"),
+        expr("(n_late * 10000) div n_events").as("late_bp"),
+        col("max_lag_sec"), col("p95_lag_sec"))
+      .orderBy(col("day"))
+  }
+
+  val a28Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    (event_id * 2654435761) % 7200 AS lag_sec
+      |  FROM events),
+      |v AS (SELECT day, lag_sec, count(*) AS n FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY day ORDER BY lag_sec
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS total
+      |  FROM v),
+      |a AS (
+      |  SELECT day, max(total) AS n_events,
+      |    CAST(sum(CASE WHEN lag_sec > 3600 THEN n ELSE 0 END) AS BIGINT) AS n_late,
+      |    max(lag_sec) AS max_lag_sec,
+      |    min(CASE WHEN cum * 20 >= total * 19 THEN lag_sec END) AS p95_lag_sec
+      |  FROM r GROUP BY day)
+      |SELECT day, n_events, n_late,
+      |  (n_late * 10000) // n_events AS late_bp,
+      |  max_lag_sec, p95_lag_sec
+      |FROM a ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a28_late_data_audit" -> (a28LateDataAudit _),
     "a27_drift_sketch" -> (a27DriftSketch _),
     "a26_retention_plan" -> (a26RetentionPlan _),
     "a25_compaction_plan" -> (a25CompactionPlan _),
@@ -1288,6 +1351,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a28_late_data_audit" -> a28Sql,
     "a26_retention_plan" -> a26Sql,
     "a25_compaction_plan" -> a25Sql,
     "a24_scd2_build" -> a24Sql,

@@ -689,7 +689,258 @@ object Events {
       |  (n_bounces * 10000) // n_sessions AS bounce_bp
       |FROM d ORDER BY day""".stripMargin
 
+  /** c18: dwell-time profile — seconds from each event to the SAME
+    * user's next event (lead over the per-user window), profiled per
+    * event type: events with a successor, mean dwell (exact integer
+    * quotient through doubles), and the exact discrete p50/p95. The
+    * percentiles come from the q46 crossing pattern: dwell seconds
+    * reduce FIRST to (type, dwell_sec) counts (bounded cardinality —
+    * dwell is integer seconds), then one cumulative window over the
+    * reduced frame finds the smallest value whose cumulative count
+    * reaches the rank — never a row_number over fact rows.
+    *
+    * Shape: one events scan, one user-keyed exchange for the lead,
+    * then a two-level reduce; the percentile windows run over the
+    * ≤ |types|·|distinct seconds| frame. */
+  def c18DwellTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dwell = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000L").as("dwell_sec"))
+    val byVal = dwell.groupBy(col("event_type"), col("dwell_sec"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("dwell_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = byVal
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("wsum", sum(col("dwell_sec") * col("n")).over(wAll))
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("total")).as("n_dwells"),
+        (max(col("wsum")).cast("double") / max(col("total"))).as("mean_dwell_sec"),
+        min(when(col("cum") * 2 >= col("total"), col("dwell_sec"))).as("p50_dwell_sec"),
+        min(when(col("cum") * 20 >= col("total") * 19, col("dwell_sec"))).as("p95_dwell_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  val c18Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_us(ts)) // 1000000 AS dwell_sec
+      |  FROM e),
+      |v AS (
+      |  SELECT event_type, dwell_sec, count(*) AS n FROM d
+      |  WHERE dwell_sec IS NOT NULL GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY dwell_sec
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    CAST(sum(dwell_sec * n) OVER (PARTITION BY event_type) AS BIGINT) AS wsum
+      |  FROM v)
+      |SELECT event_type, max(total) AS n_dwells,
+      |  CAST(max(wsum) AS DOUBLE) / max(total) AS mean_dwell_sec,
+      |  min(CASE WHEN cum * 2 >= total THEN dwell_sec END) AS p50_dwell_sec,
+      |  min(CASE WHEN cum * 20 >= total * 19 THEN dwell_sec END) AS p95_dwell_sec
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** c19: peak session concurrency per day — the capacity-planning
+    * number (max simultaneously-active sessions): c10's sessions
+    * become [start_ts, end_ts] intervals, each interval is SPLIT at
+    * midnight boundaries (sequence-explode over its day span — the
+    * standard interval-to-partition alignment, so the sweep
+    * parallelizes by day instead of one global ordered pass), and a
+    * per-day sweep line (+1 at segment start, -1 at segment end,
+    * starts before ends at equal instants) takes the running-sum max.
+    *
+    * Shape: the sweep window partitions by DAY over ≤ 2·sessions
+    * rows — at 100 TB each day's boundary list is independent and the
+    * hot-day bound is sessions/day, not corpus size. Cross-midnight
+    * sessions count toward every day they touch (the capacity
+    * question's definition). */
+  def c19PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val segs = sess
+      .withColumn("day", explode(sequence(to_date(col("start_ts")), to_date(col("end_ts")))))
+      .select(col("day"),
+        greatest(col("start_ts"), col("day").cast("timestamp")).as("seg_start"),
+        least(col("end_ts"),
+          timestamp_micros(unix_micros(date_add(col("day"), 1).cast("timestamp")) - 1))
+          .as("seg_end"))
+    // explode, not union: unioning two projections of `segs` would
+    // re-evaluate the whole scan→window→explode lineage once per side
+    val deltas = segs
+      .select(col("day"), explode(array(
+        struct(col("seg_start").as("t"), lit(1).as("delta")),
+        struct(col("seg_end").as("t"), lit(-1).as("delta")))).as("x"))
+      .select(col("day"), col("x.t").as("t"), col("x.delta").as("delta"))
+    val wSweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("active", sum(col("delta")).over(wSweep))
+      .groupBy(col("day"))
+      .agg(max(col("active")).cast("long").as("peak_concurrency"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+      .orderBy(col("day"))
+  }
+
+  val c19Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, session_seq, min(ts) AS start_ts, max(ts) AS end_ts
+      |  FROM s GROUP BY 1, 2),
+      |segs AS (
+      |  SELECT unnest(generate_series(CAST(start_ts AS DATE), CAST(end_ts AS DATE),
+      |           INTERVAL 1 DAY))::DATE AS day, start_ts, end_ts
+      |  FROM sess),
+      |clipped AS (
+      |  SELECT day,
+      |    greatest(start_ts, CAST(day AS TIMESTAMP)) AS seg_start,
+      |    least(end_ts, CAST(day + 1 AS TIMESTAMP) - INTERVAL 1 MICROSECOND) AS seg_end
+      |  FROM segs),
+      |deltas AS (
+      |  SELECT day, seg_start AS t, 1 AS delta FROM clipped
+      |  UNION ALL
+      |  SELECT day, seg_end AS t, -1 AS delta FROM clipped),
+      |sw AS (
+      |  SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+      |  FROM deltas)
+      |SELECT day, max(active) AS peak_concurrency,
+      |  count(*) // 2 AS n_sessions
+      |FROM sw GROUP BY day ORDER BY day""".stripMargin
+
+  /** c20: longest weekly-activity streak per user — the engagement
+    * "islands" metric (consecutive active weeks): distinct active
+    * epoch-weeks per user, the classic week − row_number island key
+    * (consecutive weeks share one key), island lengths reduce to the
+    * per-user max + active-week count. Everything integer (epoch-day
+    * div 7 — no calendar-week engine disagreements).
+    *
+    * Shape: one scan → distinct (user, week) reduce (map-side
+    * combined) → row_number over the per-user ≤ |weeks| frame →
+    * two nested tiny reduces, all on the same user key — one corpus
+    * exchange total. */
+  def c20ActiveStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_date(to_date(ts)) div 7").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    weeks
+      .withColumn("island", col("wk") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_weeks"),
+        max(col("len")).as("max_streak_weeks"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
+  val c20Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |wks AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+      |  FROM e),
+      |isl AS (
+      |  SELECT user_id, wk,
+      |    wk - row_number() OVER (PARTITION BY user_id ORDER BY wk) AS island
+      |  FROM wks),
+      |lens AS (
+      |  SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_weeks,
+      |  max(len) AS max_streak_weeks, count(*) AS n_streaks
+      |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Day-bucket pre-split gap (seconds) shared by c21 and its spec. */
+  val SessionGapSec = 1800L
+
+  /** c21: SALTED sessionization — c2's documented skew escape hatch as
+    * working code, producing BIT-IDENTICAL results (its oracle IS
+    * c2Sql). The per-user window in c2 needs every event of a user in
+    * one partition — a pathologically hot user (bot, SDK key) is
+    * bounded by one executor. Here the window key is (user, DAY): the
+    * hot user's events split across days, sessionization runs within
+    * each bucket, and sessions that straddle midnight are stitched by
+    * counting boundary MERGES — consecutive-day buckets whose
+    * last/first events are within the gap — and subtracting:
+    * n_sessions = Σ within-bucket sessions − merges. A ≤ 30 min gap
+    * can only bridge ADJACENT days, so the merge join on
+    * (user, day+1) is exact, and chained multi-day sessions reduce
+    * correctly (each merge joins two distinct bucket-sessions:
+    * count −1 per merge, no cycles).
+    *
+    * Shape: the corpus exchange is keyed (user, day) — the skew bound
+    * drops from events-per-user to events-per-user-per-day; the merge
+    * join runs on the ≤ |user·active-days| reduced frame. The same
+    * stitch generalizes to any bucket grain (hour for streaming-rate
+    * bots). */
+  def c21SessionizeSalted(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = SessionGapSec * 1000000L
+    val wB = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val byBucket = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wB))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapUs, lit(1))
+          .otherwise(lit(0)))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("new_sess")).as("n_sess_b"), count(lit(1)).as("n_events_b"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    // boundary merges via a lag window over the REDUCED (user, day)
+    // frame — a (user, day+1) self-join would re-evaluate byBucket's
+    // whole scan+window lineage once per reference (3 scans); this is
+    // one pass, and the per-user window here is day-grain (≤ active
+    // days per user), not the event-grain window salting removed
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    byBucket
+      .withColumn("prev_day", lag(col("day"), 1).over(wU))
+      .withColumn("prev_last", lag(col("last_ts"), 1).over(wU))
+      .withColumn("merged",
+        when(col("prev_day") === date_sub(col("day"), 1) &&
+          unix_micros(col("first_ts")) - unix_micros(col("prev_last")) <= gapUs, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg((sum(col("n_sess_b")) - sum(col("merged"))).as("n_sessions"),
+        sum(col("n_events_b")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_sessionize_salted" -> (c21SessionizeSalted _),
+    "c20_active_streaks" -> (c20ActiveStreaks _),
+    "c19_peak_concurrency" -> (c19PeakConcurrency _),
+    "c18_dwell_time" -> (c18DwellTime _),
     "c17_bounce_rate" -> (c17BounceRate _),
     "c16_top_paths" -> (c16TopPaths _),
     "c15_cohort_funnel" -> (c15CohortFunnel _),
@@ -709,6 +960,13 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    // c21 is the salted PLAN for c2's semantics: same result frame by
+    // construction, so it shares c2's oracle — the correctness gate
+    // proving plan-equivalence cross-engine.
+    "c21_sessionize_salted" -> c2Sql,
+    "c20_active_streaks" -> c20Sql,
+    "c19_peak_concurrency" -> c19Sql,
+    "c18_dwell_time" -> c18Sql,
     "c17_bounce_rate" -> c17Sql,
     "c16_top_paths" -> c16Sql,
     "c15_cohort_funnel" -> c15Sql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.E): media payloads travel as
@@ -493,7 +494,67 @@ object MultimodalOps {
        |FROM a GROUP BY ratio ORDER BY ratio""".stripMargin
   }
 
+  /** e9: per-source modality-mix audit — the rebalancing report a
+    * multimodal training run reads before setting sampling weights:
+    * for each (source, modality), the blob count, the source-local
+    * share, the corpus-wide share of that modality (the de-facto
+    * target mix), and the signed delta — sources over/under-weighted
+    * in a modality stand out as the rows to re-sample. Modality is
+    * pseudo-decoded from doc_id (the e1 stub discipline: a real
+    * pipeline reads it from sniffed container metadata; the plan is
+    * identical).
+    *
+    * Shape: one scan → (source, modality) reduce; every share is a
+    * window over the ≤ |sources|·3 reduced frame; exact basis points
+    * throughout (share math in integers, never ratio doubles). */
+  def e9ModalityMix(spark: SparkSession, dir: String): DataFrame = {
+    // modulus 97 (prime, coprime to the doc_id stride): a power-of-10
+    // modulus degenerates — 2654435761 ≡ 1 (mod 10), so doc_id·k mod 10
+    // is just doc_id mod 10, constant within a source's interleaved ids
+    val modality = when(pmod(col("doc_id") * 2654435761L, lit(97L)) < 58, lit("text"))
+      .when(pmod(col("doc_id") * 2654435761L, lit(97L)) < 87, lit("image"))
+      .otherwise(lit("audio"))
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), modality.as("modality"))
+      .groupBy(col("source"), col("modality"))
+      .agg(count(lit(1)).as("n_blobs"))
+    val wSrc = Window.partitionBy(col("source"))
+    val wMod = Window.partitionBy(col("modality"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("src_total", sum(col("n_blobs")).over(wSrc))
+      .withColumn("mod_total", sum(col("n_blobs")).over(wMod))
+      .withColumn("all_total", sum(col("n_blobs")).over(wAll))
+      .select(col("source"), col("modality"), col("n_blobs"),
+        expr("(n_blobs * 10000) div src_total").as("src_bp"),
+        expr("(mod_total * 10000) div all_total").as("global_bp"),
+        expr("(n_blobs * 10000) div src_total - (mod_total * 10000) div all_total")
+          .as("delta_bp"))
+      .orderBy(col("source"), col("modality"))
+  }
+
+  val e9Sql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CASE WHEN (doc_id * 2654435761) % 97 < 58 THEN 'text'
+      |         WHEN (doc_id * 2654435761) % 97 < 87 THEN 'image'
+      |         ELSE 'audio' END AS modality
+      |  FROM documents),
+      |c AS (SELECT source, modality, count(*) AS n_blobs FROM m GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *,
+      |    CAST(sum(n_blobs) OVER (PARTITION BY source) AS BIGINT) AS src_total,
+      |    CAST(sum(n_blobs) OVER (PARTITION BY modality) AS BIGINT) AS mod_total,
+      |    CAST(sum(n_blobs) OVER () AS BIGINT) AS all_total
+      |  FROM c)
+      |SELECT source, modality, n_blobs,
+      |  (n_blobs * 10000) // src_total AS src_bp,
+      |  (mod_total * 10000) // all_total AS global_bp,
+      |  (n_blobs * 10000) // src_total - (mod_total * 10000) // all_total AS delta_bp
+      |FROM w ORDER BY source, modality""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_modality_mix" -> (e9ModalityMix _),
     "e8_aspect_buckets" -> (e8AspectBuckets _),
     "e7_epoch_schedule" -> (e7EpochSchedule _),
     "e6_blob_dedup" -> (e6BlobDedup _),
@@ -504,6 +565,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e9_modality_mix" -> e9Sql,
     "e8_aspect_buckets" -> e8Sql,
     "e7_epoch_schedule" -> e7Sql,
     "e6_blob_dedup" -> e6Sql,

@@ -1137,7 +1137,142 @@ object TextOps {
        |SELECT doc_id, source, n_tok, cum_tok
        |FROM c WHERE cum_tok <= $TokenBudget ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size for d59 — deliberately small against the tiny
+    * synthetic lexicon (~31 types) so the OOV signal is non-degenerate;
+    * a production run sets this to the tokenizer's vocab size. */
+  val OovVocabK = 20
+
+  /** d59: out-of-vocabulary rate — the tokenizer-coverage audit a
+    * pipeline runs before committing to a vocab: the corpus top-K
+    * types (ties at the cutoff broken (freq desc, token asc) — engines
+    * disagree on arbitrary-tie LIMIT) define the vocabulary, then each
+    * doc reports its share of token OCCURRENCES outside it, in exact
+    * basis points. High-OOV docs are foreign-language/garbage
+    * candidates the d15 gate wants to see.
+    *
+    * Shape: one explode scan reduced to type counts (map-side
+    * combine), top-K via TakeOrderedAndProject, vocab BROADCAST back
+    * against the token stream (a vocab is ≤ a few hundred thousand
+    * rows at any real scale — never a shuffle join), one doc-keyed
+    * reduce. */
+  def d59OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(OovVocabK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 10000) div n_tokens").as("oov_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d59Sql: String =
+    s"""WITH occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM occ GROUP BY tok
+      |  ORDER BY count(*) DESC, tok LIMIT ${OovVocabK}),
+      |j AS (
+      |  SELECT o.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM occ o LEFT JOIN vocab v ON o.tok = v.tok)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  (CAST(sum(oov) AS BIGINT) * 10000) // count(*) AS oov_bp
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d61: token burstiness — Church & Gale's variance-to-mean ratio
+    * (overdispersion) per type: function words spread evenly across
+    * docs (VMR ≈ 1, Poisson), content/topical words "burst" within few
+    * docs (VMR ≫ 1). Data-curation use: burstiness separates
+    * boilerplate/template tokens from topical ones where raw frequency
+    * can't. Exact form: per-type doc frequency, total count, and
+    * count-square sum reduce in integers over one explode scan;
+    * VMR = (N·Σc² − T²) / (N·T) with N = corpus doc count — one IEEE
+    * division of exact integers at the end (zeros-per-doc handled
+    * analytically, never materialized). Top-50 by total for a bounded
+    * report.
+    *
+    * Shape: (doc, tok) reduce → tok reduce → TakeOrderedAndProject;
+    * the corpus doc count rides a 1-row broadcast cross join. */
+  def d61TokenBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    perDoc
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("doc_freq"), col("total"),
+        ((col("n_docs") * col("sumsq") - col("total") * col("total")).cast("double") /
+          (col("n_docs") * col("total"))).as("vmr"))
+      .orderBy(col("total").desc, col("tok"))
+      .limit(50)
+  }
+
+  val d61Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |per_doc AS (SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT tok, count(*) AS doc_freq, CAST(sum(c) AS BIGINT) AS total,
+      |    CAST(sum(c * c) AS BIGINT) AS sumsq
+      |  FROM per_doc GROUP BY tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT tok, doc_freq, total,
+      |  CAST(n_docs * sumsq - total * total AS DOUBLE) / (n_docs * total) AS vmr
+      |FROM agg, n
+      |ORDER BY total DESC, tok LIMIT 50""".stripMargin
+
+  /** d62: per-source lexical diversity — the type/token audit beside
+    * d31's distribution divergence: per source, type count, token
+    * count, hapax count (types seen once — the productive-vocabulary
+    * signal), type-token ratio (one IEEE division of exact integers)
+    * and hapax share in exact basis points. Low-TTR sources are
+    * template/boilerplate farms; high-hapax sources are noisy OCR —
+    * both are what a mixture designer (d21) reweights.
+    *
+    * Shape: one scan → (source, type) reduce (map-side combined) →
+    * per-source reduce. The hapax test rides the same aggregate —
+    * never a second scan. */
+  def d62LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        expr("(n_hapax * 10000) div n_types").as("hapax_bp"))
+      .orderBy(col("source"))
+
+  val d62Sql: String =
+    """WITH occ AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT source, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM tf GROUP BY source)
+      |SELECT source, n_types, n_tokens, n_hapax,
+      |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+      |  (n_hapax * 10000) // n_types AS hapax_bp
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d62_lexical_diversity" -> (d62LexicalDiversity _),
+    "d61_token_burstiness" -> (d61TokenBurstiness _),
+    "d59_oov_rate" -> (d59OovRate _),
     "d48_lm_familiarity" -> (d48LmFamiliarity _),
     "d51_ngram_novelty" -> (d51NgramNovelty _),
     "d49_token_budget" -> (d49TokenBudgetSample _),
@@ -1165,6 +1300,9 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d62_lexical_diversity" -> d62Sql,
+    "d61_token_burstiness" -> d61Sql,
+    "d59_oov_rate" -> d59Sql,
     "d48_lm_familiarity" -> d48Sql,
     "d51_ngram_novelty" -> d51Sql,
     "d49_token_budget" -> d49Sql,

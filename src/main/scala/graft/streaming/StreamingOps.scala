@@ -502,6 +502,41 @@ object StreamingOps {
         Seq("content_hash"), "left_anti")
   }
 
+  case class OooOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                    out_of_order: Boolean, lag_sec: Long)
+
+  /** Out-of-order arrival monitor — the STREAMING twin of
+    * Etl.a28LateDataAudit: a28 profiles synthetic lag offline to size
+    * the watermark; this measures actual arrival disorder live. Per
+    * user, one long of state (the max event-time seen); each arriving
+    * event is flagged if its event time is behind that high-water mark,
+    * with the regression distance in seconds. Feed the flags into the
+    * a28-style day rollup to get the same report incrementally.
+    *
+    * Arrival order within a micro-batch is made deterministic by the
+    * generator's monotone ingest sequence (event_id) — the iterator
+    * order Spark hands the state function is not a contract.
+    * State: ONE long per user, no timeout needed — bounded by the user
+    * universe, the smallest state of any op in this family. */
+  def outOfOrderStream(spark: SparkSession, events: Dataset[EventRow]): Dataset[OooOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          var maxTs = state.getOption.getOrElse(Long.MinValue)
+          val out = sorted.map { e =>
+            val t = e.ts.getTime
+            val ooo = t < maxTs
+            val lag = if (ooo) (maxTs - t) / 1000 else 0L
+            if (t > maxTs) maxTs = t
+            OooOut(e.event_id, userId, e.ts, ooo, lag)
+          }
+          state.update(maxTs)
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join (the clicks⨝purchases
     * shape): a left event matches right events with the same key whose
     * timestamp falls in [left.ts, left.ts + window]. Both sides carry a

@@ -32,6 +32,7 @@ class OperatorSpec extends GraftSpec {
       "a11_due_sources",       // 1-row as-of aggregate broadcast
       "q27_balance_gap",       // 1-row balance-average broadcast
       "d31_source_divergence", // 1-row corpus-total broadcast
+      "d61_token_burstiness",  // 1-row corpus-doc-count broadcast
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search")   // same broadcast-query shape as d9
     // (q11/q15 left the list in r6: their scalar broadcasts became
@@ -2012,6 +2013,23 @@ class OperatorSpec extends GraftSpec {
         if (maxByPhase.contains(ph) && minByPhase.contains(ph + 1))
           assert(maxByPhase(ph) <= minByPhase(ph + 1), s"$src $ph"))
     }
+  }
+
+  test("c21 salted sessionize is bit-identical to c2, incl. planted hot key") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Events.c21SessionizeSalted(spark, sfDir)) ==
+      rows(Events.c2Sessionize(spark, sfDir)))
+    // same check on a frame with one hot user (~10% of events) — the
+    // scenario the salted plan exists for
+    val hot = 777L
+    val dir = java.nio.file.Files.createTempDirectory("graft_salt").toString
+    Tables.events(spark, sfDir)
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) === 0, lit(hot)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    assert(rows(Events.c21SessionizeSalted(spark, dir)) ==
+      rows(Events.c2Sessionize(spark, dir)))
   }
 
   test("a27 drift sketch: agrees with exact a20 within rsd bounds; no Expand") {

@@ -257,6 +257,30 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally cload.release()
   }
 
+  test("streaming out-of-order monitor flags regressions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: in-order, then a 100s regression arriving in a LATER
+    // batch; user 2: always in order. Sequential replay is the oracle.
+    def ev(id: Long, uid: Long, sec: Long) =
+      StreamingOps.EventRow(id, new java.sql.Timestamp(sec * 1000), uid, "view", 0.0)
+    val b1 = Seq(ev(1, 1, 1000), ev(2, 1, 1200), ev(3, 2, 500))
+    val b2 = Seq(ev(4, 1, 1100), ev(5, 1, 1300), ev(6, 2, 600))
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.outOfOrderStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ooo_test").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.sql("select event_id, out_of_order, lag_sec from ooo_test")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+      // sequential replay: event 4 (ts 1100) arrives after max 1200 → 100s behind
+      val expect = Seq((1L, false, 0L), (2L, false, 0L), (3L, false, 0L),
+        (4L, true, 100L), (5L, false, 0L), (6L, false, 0L))
+      assert(got.toSeq == expect)
+    } finally q.stop()
+  }
+
   test("streaming curation matches the batch composition across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
