@@ -72,6 +72,55 @@ class SourcesStreamingSpec extends GraftSpec {
       "c17 day rollup conserves c10's session count under skew")
   }
 
+  test("AQE splits a skewed sort-merge join partition (runtime skew evidence)") {
+    // Complements the window-family skew spec: for JOINS (snapshot
+    // diff a21, contamination d20, merge sink), AQE's OptimizeSkewedJoin
+    // CAN split an oversized partition at runtime — assert it actually
+    // fires on a planted hot key, with thresholds scaled down to test
+    // data (at 100 TB the defaults: 256 MB threshold, factor 5).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // the consuming aggregate shares the join key, so a skew split
+      // would cost it an extra shuffle and AQE skips it by default;
+      // force documents that tradeoff (split the straggler, re-shuffle
+      // the much smaller aggregate input — the right call at 100 TB)
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val hot = 99999L
+      // ~30% of both sides on one key, with a fat payload so the hot
+      // partition crosses the lowered byte threshold
+      def side(n: Int, tag: String) = spark.range(n).toDF("id")
+        .withColumn("k", when(pmod(col("id"), lit(3)) === 0, lit(hot)).otherwise(col("id")))
+        .withColumn(s"pay_$tag", concat_ws("", array((0 until 40).map(_ => md5(col("id").cast("string"))): _*)))
+      // aggregate over the payloads so column pruning can't drop them:
+      // a pruned hot partition is one repeated long that COMPRESSES
+      // below any byte threshold and never registers as skewed
+      val j = side(20000, "a").join(side(20000, "b").withColumnRenamed("id", "id_b"), "k")
+        .groupBy(col("k"))
+        .agg(sum(length(col("pay_a"))).as("la"), sum(length(col("pay_b"))).as("lb"))
+      // execute THIS QueryExecution (a sink write would run its own
+      // copy and leave j's adaptive plan unfinalized)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split SMJ in final plan:\n${plan.take(1500)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("dynamic partition pruning fires on the PartitionedSink layout (r6 verdict #5)") {
     // The dominant scan-killer at 100x scale: a fact table stored in
     // the hive layout, joined to a filtered dim on the partition
