@@ -936,7 +936,53 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** c22: FORWARD as-of join — time-to-conversion: for each click, the
+    * first purchase at-or-after it by the same user (c3 is the backward
+    * direction). Same union + single per-user window discipline — the
+    * mirror frame: `first` ignoreNulls over (current row →
+    * unbounded FOLLOWING) on the ascending (ts, is_purchase, event_id)
+    * order. Tie rule: a purchase at exactly the click ts counts, so
+    * clicks sort BEFORE purchases at equal ts (is_purchase ascending)
+    * and the click's following frame includes it. One shuffle, no
+    * per-click range probe — the only 100 TB shape.
+    */
+  def c22AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+      .withColumn("purchase_ts", when(col("event_type") === "purchase", col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_purchase_ts", first(col("purchase_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_purchase_ts"),
+        expr("(unix_micros(next_purchase_ts) - unix_micros(ts)) div 1000000")
+          .as("ttc_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  val c22Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |t AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+      |    CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts
+      |  FROM e),
+      |n AS (
+      |  SELECT *,
+      |    first_value(purchase_ts IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+      |  FROM t)
+      |SELECT event_id, user_id, ts, next_purchase_ts,
+      |  (epoch_us(next_purchase_ts) - epoch_us(ts)) // 1000000 AS ttc_sec
+      |FROM n WHERE is_purchase = 0 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c22_asof_forward" -> (c22AsofForward _),
     "c21_sessionize_salted" -> (c21SessionizeSalted _),
     "c20_active_streaks" -> (c20ActiveStreaks _),
     "c19_peak_concurrency" -> (c19PeakConcurrency _),
@@ -960,6 +1006,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c22_asof_forward" -> c22Sql,
     // c21 is the salted PLAN for c2's semantics: same result frame by
     // construction, so it shares c2's oracle — the correctness gate
     // proving plan-equivalence cross-engine.

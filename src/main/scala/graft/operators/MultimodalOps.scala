@@ -553,7 +553,63 @@ object MultimodalOps {
       |  (n_blobs * 10000) // src_total - (mod_total * 10000) // all_total AS delta_bp
       |FROM w ORDER BY source, modality""".stripMargin
 
+  /** Fill threshold (basis points) below which e10 schedules a shard
+    * for repacking. */
+  val RepackFillBp = 5000L
+
+  /** e10: shard repack plan — the small-files compaction pass at the
+    * SHARD-MANIFEST grain (the multimodal sibling of a25's file
+    * compaction): shards whose fill factor is below 50% of the budget
+    * are paired greedily per source — emptiest with next-emptiest —
+    * and each pair becomes one rewrite task with its combined fill.
+    * Greedy pairing is expressed relationally: rank underfilled shards
+    * by (fill, shard_idx) inside each source, pair = rank div 2 — a
+    * deterministic, engine-portable pairing with no iterative bin
+    * packer. An odd leftover shard pairs with nothing and is emitted
+    * with partner −1 (kept as-is this cycle).
+    *
+    * Shape: rides e3's manifest (reduced frame ≤ shards); the only
+    * work is a per-source window over that manifest — at 100 TB the
+    * manifest is millions of rows where the data is billions, the
+    * right grain for a planner. */
+  def e10ShardRepack(spark: SparkSession, dir: String): DataFrame = {
+    val under = e3ShardStats(spark, dir)
+      .select(col("source"), col("shard_idx"), col("used_bytes"),
+        expr(s"(used_bytes * 10000) div ${ShardBytes}L").as("fill_bp"))
+      .filter(col("fill_bp") < RepackFillBp)
+    under
+      .withColumn("pair", expr("(row_number() OVER (PARTITION BY source ORDER BY fill_bp, shard_idx) - 1) div 2"))
+      .groupBy(col("source"), col("pair"))
+      .agg(min(col("shard_idx")).as("shard_a"),
+        when(count(lit(1)) === 2, max(col("shard_idx"))).otherwise(lit(-1L)).as("shard_b"),
+        sum(col("fill_bp")).as("combined_fill_bp"),
+        sum(col("used_bytes")).as("combined_bytes"))
+      .select(col("source"), col("shard_a"), col("shard_b"),
+        col("combined_fill_bp"), col("combined_bytes"))
+      .orderBy(col("source"), col("shard_a"))
+  }
+
+  val e10Sql: String =
+    s"""WITH manifest AS ($e2Sql),
+       |st AS (
+       |  SELECT source, shard_idx, CAST(sum(n_bytes) AS BIGINT) AS used_bytes
+       |  FROM manifest GROUP BY 1, 2),
+       |under AS (
+       |  SELECT source, shard_idx, used_bytes,
+       |    (used_bytes * 10000) // $ShardBytes AS fill_bp
+       |  FROM st WHERE (used_bytes * 10000) // $ShardBytes < $RepackFillBp),
+       |ranked AS (
+       |  SELECT *, (row_number() OVER (PARTITION BY source ORDER BY fill_bp, shard_idx) - 1) // 2 AS pair
+       |  FROM under)
+       |SELECT source, min(shard_idx) AS shard_a,
+       |  CASE WHEN count(*) = 2 THEN max(shard_idx) ELSE -1 END AS shard_b,
+       |  CAST(sum(fill_bp) AS BIGINT) AS combined_fill_bp,
+       |  CAST(sum(used_bytes) AS BIGINT) AS combined_bytes
+       |FROM ranked GROUP BY source, pair
+       |ORDER BY source, shard_a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_shard_repack" -> (e10ShardRepack _),
     "e9_modality_mix" -> (e9ModalityMix _),
     "e8_aspect_buckets" -> (e8AspectBuckets _),
     "e7_epoch_schedule" -> (e7EpochSchedule _),
@@ -565,6 +621,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e10_shard_repack" -> e10Sql,
     "e9_modality_mix" -> e9Sql,
     "e8_aspect_buckets" -> e8Sql,
     "e7_epoch_schedule" -> e7Sql,
