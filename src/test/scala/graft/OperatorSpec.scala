@@ -72,6 +72,17 @@ class OperatorSpec extends GraftSpec {
     assert(scanCount(CorpusOps.d34IdfTerms(spark, sfDir), "documents") == 1)
     assert(scanCount(Analytics.q37BlameSupplier(spark, sfDir), "lineitem") == 1)
     assert(scanCount(Analytics.q38PartShare(spark, sfDir), "lineitem") == 1)
+    // r7 additions: c19's sweep deltas via explode (a union of two segs
+    // projections re-evaluated the whole session lineage per side) and
+    // c21's boundary merges via lag (a (user, day+1) self-join re-ran
+    // the scan+window three times)
+    assert(scanCount(Events.c19PeakConcurrency(spark, sfDir), "events") == 1)
+    assert(scanCount(Events.c21SessionizeSalted(spark, sfDir), "events") == 1)
+    assert(scanCount(Events.c22AsofForward(spark, sfDir), "events") == 1)
+    assert(scanCount(Analytics.q47OrderGaps(spark, sfDir), "orders") == 1)
+    assert(scanCount(Analytics.q48DecileShift(spark, sfDir), "orders") == 1)
+    assert(scanCount(TextOps.d62LexicalDiversity(spark, sfDir), "documents") == 1)
+    assert(scanCount(Etl.a28LateDataAudit(spark, sfDir), "events") == 1)
   }
 
   test("q37 window form equals the textbook EXISTS/NOT-EXISTS formulation") {

@@ -151,6 +151,27 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(srcs == Set("view"))
   }
 
+  test("Profiles: partials merge to the full-scan profile, any order") {
+    import graft.jobs.Profiles
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(spark, sfDir)
+    val full = Profiles.partial(li, cols)
+    // three disjoint batches by orderkey residue — ingest-partition stand-ins
+    val parts = (0 until 3).map(r => Profiles.partial(
+      li.filter(pmod(col("l_orderkey"), lit(3)) === r), cols))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("column_name")).collect().map(_.toSeq).toSeq
+    val merged = rows(Profiles.merge(parts: _*))
+    assert(merged == rows(full), "merged partials must equal the full-scan profile")
+    // commutative + associative: reversed order, nested fold — same result
+    assert(rows(Profiles.merge(parts.reverse: _*)) == merged)
+    assert(rows(Profiles.merge(Profiles.merge(parts(0), parts(1)), parts(2))) == merged)
+    // mean derives from the monoid fields
+    val m = Profiles.withMean(full).filter(col("column_name") === "l_discount")
+      .select(col("mean_val")).head.getDouble(0)
+    assert(m > 0 && m < 1)
+  }
+
   test("Sinks.mergeByKey: MERGE semantics, stale updates lose, rerun idempotent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_merge").toString + "/control"
