@@ -1137,10 +1137,15 @@ object CorpusOps {
       val diag = transform(srcs, x => struct(x.as("a"), x.as("b")))
       concat(pairs, diag)
     }
+    // One corpus exchange, not two: collect_set dedups (source) per
+    // shingle map-side, so a prior (source, shingle) DISTINCT is a
+    // wasted corpus-wide shuffle; and the shuffle carries 8-byte
+    // xxhash64 keys, not ~25-byte shingle strings (the d8 discipline —
+    // 2^-64 collision odds, counts unchanged).
     val red = Tables.documents(spark, dir)
       .select(col("source"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
-      .distinct()
+        explode(TextOps.shingles(TextOps.tokens(col("text")))).as("shs"))
+      .select(col("source"), xxhash64(col("shs")).as("sh"))
       .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("srcs"))
       .select(explode(pairsWithDiag).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
