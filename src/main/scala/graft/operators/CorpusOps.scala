@@ -1260,7 +1260,11 @@ object CorpusOps {
           transform(sequence(lit(1), size(t) - (SpanGram - 1)),
             i => struct(i.as("pos"), concat_ws(" ", slice(t, i, lit(SpanGram))).as("gram"))))
           .otherwise(array().cast("array<struct<pos:int,gram:string>>"))).as("g"))
-      .select(col("doc_id"), col("n_tok"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      // hash the gram BEFORE the corpus-frequency shuffle: the window
+      // partitions on this key, and 8-byte longs beat ~30-byte strings
+      // through the exchange (d8/d55 discipline, counts unchanged)
+      .select(col("doc_id"), col("n_tok"), col("g.pos").as("pos"),
+        xxhash64(col("g.gram")).as("gram"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wdRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grams
