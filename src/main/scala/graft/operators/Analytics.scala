@@ -1476,7 +1476,47 @@ object Analytics {
       |FROM t WHERE prev_y = y - 1
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** q49: relative standing — percent_rank and cume_dist per market
+    * segment (the two rank-family window functions the suite didn't
+    * yet exercise; q7 covers rank, q25 ntile, q48 decile lag): each
+    * order's standing by price inside its segment, sampled to every
+    * 100th order key AFTER ranking (the rank needs the full frame;
+    * the report doesn't). Both functions are exact IEEE quotients of
+    * rank integers — portable — but ONLY under a total order: ties in
+    * o_totalprice would make percent_rank engine-arbitrary, so the
+    * order key breaks them deterministically.
+    *
+    * Shape: orders⋈customer shuffles on the customer key (q29's
+    * adjudication), one segment-keyed window sort, filter after. */
+  def q49PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("c_mktsegment"), col("o_orderkey"))
+  }
+
+  val q49Sql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT *,
+      |    percent_rank() OVER w AS pct_rank,
+      |    cume_dist() OVER w AS cume
+      |  FROM j WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey))
+      |SELECT c_mktsegment, o_orderkey, o_totalprice, pct_rank, cume
+      |FROM r WHERE o_orderkey % 100 = 0
+      |ORDER BY c_mktsegment, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_percent_rank" -> (q49PercentRank _),
     "q48_decile_shift" -> (q48DecileShift _),
     "q47_order_gaps" -> (q47OrderGaps _),
     "q46_weighted_median" -> (q46WeightedMedian _),
@@ -1526,6 +1566,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q49_percent_rank" -> q49Sql,
     "q48_decile_shift" -> q48Sql,
     "q47_order_gaps" -> q47Sql,
     "q46_weighted_median" -> q46Sql,
