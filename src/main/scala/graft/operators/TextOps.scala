@@ -1269,7 +1269,71 @@ object TextOps {
       |  (n_hapax * 10000) // n_types AS hapax_bp
       |FROM a ORDER BY source""".stripMargin
 
+  /** Minimum pair count for a d63 collocation candidate. */
+  val CollocMinPairs = 5L
+
+  /** d63: collocation mining — adjacent-bigram association strength,
+    * the phrase detector a tokenizer-merges or stop-phrase list is
+    * built from. Score is the PMI RATIO in linear space, integer-exact:
+    * (n_ab · N · 10000) div (n_a · n_b) — monotone in PMI (log of a
+    * monotone map preserves rank), so the d34 discipline applies: no
+    * floating log in an oracled column, cross-engine rank ties broken
+    * on the bigram itself. Bigrams below [[CollocMinPairs]] are noise
+    * (PMI's known low-count pathology) and are cut before scoring.
+    *
+    * Shape: one scan builds positional bigrams row-locally (transform
+    * over the token array — no self-join on position), reduced
+    * map-side; unigram counts BROADCAST back (a vocab is broadcastable
+    * at any real scale); the corpus total rides a 1-row broadcast.
+    * Top-30 via TakeOrderedAndProject. Overflow note: the numerator is
+    * n_ab·N·10⁴ — move to DECIMAL if N approaches 10¹⁴ tokens. */
+  def d63Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val docs = Tables.documents(spark, dir)
+    val bi = docs.select(explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= CollocMinPairs)
+    val uni = docs.select(explode(t).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = uni.select(sum(col("cnt")).as("n_total"))
+    bi
+      .join(broadcast(uni.select(col("tok").as("a"), col("cnt").as("cnt_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("cnt").as("cnt_b"))), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("cnt_a"), col("cnt_b"),
+        expr("(n_ab * n_total * 10000) div (cnt_a * cnt_b)").as("pmi_ratio_bp"))
+      .orderBy(col("pmi_ratio_bp").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
+  val d63Sql: String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |bi AS (
+       |  SELECT gs.a AS a, gs.b AS b, count(*) AS n_ab FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)),
+       |      i -> {'a': toks[i], 'b': toks[i+1]})) AS gs
+       |    FROM t WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2 HAVING count(*) >= $CollocMinPairs),
+       |uni AS (
+       |  SELECT tok, count(*) AS cnt FROM (
+       |    SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni)
+       |SELECT bi.a, bi.b, bi.n_ab, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+       |  (bi.n_ab * n.n_total * 10000) // (ua.cnt * ub.cnt) AS pmi_ratio_bp
+       |FROM bi
+       |JOIN uni ua ON ua.tok = bi.a
+       |JOIN uni ub ON ub.tok = bi.b
+       |CROSS JOIN n
+       |ORDER BY pmi_ratio_bp DESC, bi.a, bi.b LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d63_collocations" -> (d63Collocations _),
     "d62_lexical_diversity" -> (d62LexicalDiversity _),
     "d61_token_burstiness" -> (d61TokenBurstiness _),
     "d59_oov_rate" -> (d59OovRate _),
@@ -1300,6 +1364,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d63_collocations" -> d63Sql,
     "d62_lexical_diversity" -> d62Sql,
     "d61_token_burstiness" -> d61Sql,
     "d59_oov_rate" -> d59Sql,

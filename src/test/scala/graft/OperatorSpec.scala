@@ -33,6 +33,7 @@ class OperatorSpec extends GraftSpec {
       "q27_balance_gap",       // 1-row balance-average broadcast
       "d31_source_divergence", // 1-row corpus-total broadcast
       "d61_token_burstiness",  // 1-row corpus-doc-count broadcast
+      "d63_collocations",      // 1-row corpus-token-total broadcast
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search")   // same broadcast-query shape as d9
     // (q11/q15 left the list in r6: their scalar broadcasts became
