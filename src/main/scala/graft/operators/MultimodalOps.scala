@@ -608,7 +608,55 @@ object MultimodalOps {
        |FROM ranked GROUP BY source, pair
        |ORDER BY source, shard_a""".stripMargin
 
+  /** Minimum token count for an e11 training pair. */
+  val PairMinTokens = 30L
+
+  /** e11: contrastive-pair manifest — the text⨝embedding admission
+    * gate a CLIP-style training run consumes: join the text corpus to
+    * its embedding table (vec_id ≡ doc_id — the cross-modal key), gate
+    * each pair on BOTH modalities (text length; embedding norm sanity
+    * |‖v‖²−1| < 1%), and emit the keep/reject manifest. Norm math is
+    * double-exact in both engines: each float element is cast to
+    * double BEFORE squaring (a float32 square rounds differently) and
+    * the left-to-right array fold order matches; only booleans and
+    * integers are emitted, so no float ever reaches the hash.
+    *
+    * Shape: one fact-fact equi-join on the id key (un-hinted: both
+    * sides corpus-sized at scale — SMJ with AQE; co-locate by
+    * bucketing both tables on the id for the zero-exchange plan,
+    * BucketedTables' seam). Row-local norm fold, no shuffle beyond
+    * the join. */
+  def e11PairManifest(spark: SparkSession, dir: String): DataFrame = {
+    val norm2 = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), norm2.as("n2")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+        (abs(col("n2") - 1.0) < 0.01).as("norm_ok"),
+        (abs(col("n2") - 1.0) < 0.01 && col("n_tokens") >= PairMinTokens).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val e11Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |  abs(n2 - 1.0) < 0.01 AS norm_ok,
+       |  abs(n2 - 1.0) < 0.01 AND n_tokens >= $PairMinTokens AS keep
+       |FROM d JOIN e ON doc_id = vec_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_pair_manifest" -> (e11PairManifest _),
     "e10_shard_repack" -> (e10ShardRepack _),
     "e9_modality_mix" -> (e9ModalityMix _),
     "e8_aspect_buckets" -> (e8AspectBuckets _),
@@ -621,6 +669,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e11_pair_manifest" -> e11Sql,
     "e10_shard_repack" -> e10Sql,
     "e9_modality_mix" -> e9Sql,
     "e8_aspect_buckets" -> e8Sql,

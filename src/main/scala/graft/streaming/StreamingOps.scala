@@ -502,6 +502,43 @@ object StreamingOps {
         Seq("content_hash"), "left_anti")
   }
 
+  /** Streaming incremental profile maintenance — the live form of the
+    * a12/a20 statistics: each micro-batch contributes one
+    * `Profiles.partial` (a per-column monoid row-set), which merges
+    * into the stored profile via the tmp+rename swap (compactStream's
+    * durability contract). Because every profile field is a
+    * commutative monoid (Profiles' invariant, spec-proven), the stored
+    * profile after N batches equals the batch profile of all data —
+    * replayed batches re-merge idempotently ONLY at the batch grain,
+    * so the checkpoint's exactly-once batch execution is what carries
+    * correctness (same contract as compactStream).
+    *
+    * At 100 TB: the profile table is |columns| rows — the merge cost
+    * per batch is the partial's aggregation of the batch alone; the
+    * historical data is never rescanned. That is the entire point. */
+  def profileStream(rows: DataFrame, cols: Seq[String],
+                    profileDir: String, checkpointDir: String) =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val part = graft.jobs.Profiles.partial(batch, cols)
+        val snap = new org.apache.hadoop.fs.Path(profileDir)
+        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(snap))
+            graft.jobs.Profiles.merge(spark.read.parquet(profileDir), part)
+          else part
+        val tmp = new org.apache.hadoop.fs.Path(s"$profileDir.tmp-$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(s"$profileDir.old-$batchId")
+        if (fs.exists(snap)) fs.rename(snap, old)
+        fs.rename(tmp, snap)
+        fs.delete(old, true)
+        ()
+      }
+
   case class OooOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
                     out_of_order: Boolean, lag_sec: Long)
 

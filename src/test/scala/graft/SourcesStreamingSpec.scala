@@ -327,6 +327,29 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally cload.release()
   }
 
+  test("streaming profile maintenance equals the batch profile of all data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val rows = li.as[(Long, Double, Double)].collect()
+    val dir = Files.createTempDirectory("graft_pstream").toString
+    val mem = MemoryStream[(Long, Double, Double)]
+    val q = StreamingOps.profileStream(
+      mem.toDF().toDF("l_orderkey", "l_quantity", "l_extendedprice"),
+      Seq("l_quantity", "l_extendedprice"), s"$dir/profile", s"$dir/ckpt")
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { g =>
+        mem.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("column_name")).collect().map(_.toSeq).toSeq
+    val expected = canon(graft.jobs.Profiles.partial(li, Seq("l_quantity", "l_extendedprice")))
+    assert(canon(spark.read.parquet(s"$dir/profile")) == expected)
+  }
+
   test("streaming out-of-order monitor flags regressions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
