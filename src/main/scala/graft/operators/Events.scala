@@ -981,7 +981,33 @@ object Events {
       |  (epoch_us(next_purchase_ts) - epoch_us(ts)) // 1000000 AS ttc_sec
       |FROM n WHERE is_purchase = 0 ORDER BY event_id""".stripMargin
 
+  /** c23: user lifetime card — the per-user lifecycle summary feeding
+    * churn/LTV models: first/last seen, tenure (inclusive days),
+    * distinct active days, event volume. ONE scan, one user-keyed
+    * exchange; the distinct-day count is exact (bounded per user) —
+    * at extreme churn cardinalities the sketch twin is q17's HLL. */
+  def c23UserLifetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("first_ts"), col("last_ts"),
+        (datediff(to_date(col("last_ts")), to_date(col("first_ts"))) + 1)
+          .cast("long").as("tenure_days"),
+        col("n_active_days"), col("n_events"))
+      .orderBy(col("user_id"))
+
+  val c23Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+      |  datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1 AS tenure_days,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+      |  count(*) AS n_events
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_user_lifetime" -> (c23UserLifetime _),
     "c22_asof_forward" -> (c22AsofForward _),
     "c21_sessionize_salted" -> (c21SessionizeSalted _),
     "c20_active_streaks" -> (c20ActiveStreaks _),
@@ -1006,6 +1032,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c23_user_lifetime" -> c23Sql,
     "c22_asof_forward" -> c22Sql,
     // c21 is the salted PLAN for c2's semantics: same result frame by
     // construction, so it shares c2's oracle — the correctness gate

@@ -1332,7 +1332,60 @@ object TextOps {
        |CROSS JOIN n
        |ORDER BY pmi_ratio_bp DESC, bi.a, bi.b LIMIT 30""".stripMargin
 
+  /** Prefix length (tokens) and sharing threshold for d64. */
+  val BoilerplatePrefixTokens = 5
+  val BoilerplateMinDocs = 3L
+
+  /** d64: boilerplate-template audit — per source, how much of the
+    * corpus opens with a SHARED template intro (the CCNet/trafilatura
+    * concern at the document grain: scraped sources prepend navigation
+    * or license blurbs; near-dup detection won't catch them when the
+    * bodies differ). A doc is template-flagged when its first
+    * [[BoilerplatePrefixTokens]]-token prefix is shared by ≥
+    * [[BoilerplateMinDocs]] docs of the SAME source. Output per
+    * source: doc count, template docs, distinct offending prefixes,
+    * exact bp share.
+    *
+    * Shape: prefix built row-locally, one (source, prefix) reduce,
+    * flags fold into the per-source reduce via a window over the
+    * reduced frame — one corpus exchange. */
+  def d64BoilerplatePrefixes(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val byPrefix = Tables.documents(spark, dir)
+      .select(col("source"),
+        concat_ws(" ", slice(t, 1, BoilerplatePrefixTokens)).as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs_prefix"))
+    byPrefix
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs_prefix")).as("n_docs"),
+        sum(when(col("n_docs_prefix") >= BoilerplateMinDocs, col("n_docs_prefix"))
+          .otherwise(0L)).as("n_template_docs"),
+        sum(when(col("n_docs_prefix") >= BoilerplateMinDocs, 1L).otherwise(0L))
+          .as("n_template_prefixes"))
+      .select(col("source"), col("n_docs"), col("n_template_docs"),
+        col("n_template_prefixes"),
+        expr("(n_template_docs * 10000) div n_docs").as("template_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d64Sql: String =
+    s"""WITH p AS (
+       |  SELECT source,
+       |    array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:$BoilerplatePrefixTokens], ' ') AS prefix
+       |  FROM documents),
+       |g AS (SELECT source, prefix, count(*) AS n_docs_prefix FROM p GROUP BY 1, 2),
+       |a AS (
+       |  SELECT source, CAST(sum(n_docs_prefix) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN n_docs_prefix >= $BoilerplateMinDocs THEN n_docs_prefix ELSE 0 END) AS BIGINT) AS n_template_docs,
+       |    CAST(sum(CASE WHEN n_docs_prefix >= $BoilerplateMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_template_prefixes
+       |  FROM g GROUP BY source)
+       |SELECT source, n_docs, n_template_docs, n_template_prefixes,
+       |  (n_template_docs * 10000) // n_docs AS template_bp
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d64_boilerplate_prefixes" -> (d64BoilerplatePrefixes _),
     "d63_collocations" -> (d63Collocations _),
     "d62_lexical_diversity" -> (d62LexicalDiversity _),
     "d61_token_burstiness" -> (d61TokenBurstiness _),
@@ -1364,6 +1417,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d64_boilerplate_prefixes" -> d64Sql,
     "d63_collocations" -> d63Sql,
     "d62_lexical_diversity" -> d62Sql,
     "d61_token_burstiness" -> d61Sql,

@@ -826,7 +826,51 @@ object VectorOps {
        |FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** d65: ANN recall audit — the evaluation harness an index owner
+    * runs before trusting an approximate path: per query, how much of
+    * the EXACT top-k (d9) the LSH index (d10) recovered, as integer
+    * basis points. Composes the two existing deterministic pipelines —
+    * a left semi-join on (query, neighbor) against the approximate
+    * set — so the recall number itself is oracled cross-engine (most
+    * eval harnesses can't be: both sides here are bit-deterministic).
+    * The spec-grade recall invariants live in OperatorSpec; this is
+    * the queryable REPORT form.
+    *
+    * Shape: both sides are ≤ queries·k rows after their own pipelines;
+    * the audit join is trivially broadcastable. */
+  def d65AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = d9CosineTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = d10AnnLsh(spark, dir)
+      .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+    exact
+      .join(broadcast(approx),
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+      .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
+        Seq("query_id"), "right_outer")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        expr("(coalesce(n_matched, 0L) * 10000) div n_exact").as("recall_bp"))
+      .orderBy(col("query_id"))
+  }
+
+  val d65Sql: String =
+    s"""WITH exact AS ($d9Sql),
+       |approx AS ($d10Sql),
+       |m AS (
+       |  SELECT e.query_id, count(*) AS n_matched
+       |  FROM exact e JOIN approx a
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY 1),
+       |t AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+       |SELECT t.query_id, t.n_exact,
+       |  coalesce(m.n_matched, 0) AS n_matched,
+       |  (coalesce(m.n_matched, 0) * 10000) // t.n_exact AS recall_bp
+       |FROM t LEFT JOIN m ON t.query_id = m.query_id
+       |ORDER BY t.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d65_ann_recall" -> (d65AnnRecall _),
     "d45_semdedup" -> (d45SemDedup _),
     "d44_embed_quantize" -> (d44EmbedQuantize _),
     "d36_filtered_search" -> (d36FilteredSearch _),
@@ -837,6 +881,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d65_ann_recall" -> d65Sql,
     "d45_semdedup" -> d45Sql,
     "d44_embed_quantize" -> d44Sql,
     "d36_filtered_search" -> d36Sql,
