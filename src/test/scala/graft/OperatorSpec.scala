@@ -35,7 +35,8 @@ class OperatorSpec extends GraftSpec {
       "d61_token_burstiness",  // 1-row corpus-doc-count broadcast
       "d63_collocations",      // 1-row corpus-token-total broadcast
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
-      "d36_filtered_search")   // same broadcast-query shape as d9
+      "d36_filtered_search",   // same broadcast-query shape as d9
+      "d65_ann_recall")        // composes d9+d10, inherits their shape
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
