@@ -1515,7 +1515,72 @@ object Analytics {
       |FROM r WHERE o_orderkey % 100 = 0
       |ORDER BY c_mktsegment, o_orderkey""".stripMargin
 
+  /** q50: shipping-delay profile per order priority — TPC-H Q12's
+    * question (does low priority mean slow shipping?) re-expressed on
+    * this schema's columns (no l_shipmode/commitdate here): delay =
+    * ship date − order date in days, profiled per priority class with
+    * volume, beyond-60-day share in exact bp, and the exact discrete
+    * median delay via the crossing pattern (c18/q46): delays reduce
+    * FIRST to (priority, delay) counts, the median walks that reduced
+    * frame.
+    *
+    * Shape: lineitem⋈orders is the fact-fact shuffle on the order key
+    * (neither side broadcastable), immediately reduced map-side to
+    * (priority, delay-day) counts — bounded cardinality — before any
+    * window. */
+  def q50ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("delay_days"))
+      .groupBy(col("o_orderpriority"), col("delay_days"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("delay_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    byVal
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("total")).as("n_items"),
+        sum(when(col("delay_days") > 60L, col("n")).otherwise(0L)).as("n_slow"),
+        min(when(col("cum") * 2 >= col("total"), col("delay_days"))).as("p50_delay_days"),
+        max(col("delay_days")).as("max_delay_days"))
+      .select(col("o_orderpriority"), col("n_items"), col("n_slow"),
+        expr("(n_slow * 10000) div n_items").as("slow_bp"),
+        col("p50_delay_days"), col("max_delay_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q50Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |      CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)) AS BIGINT) AS delay_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |v AS (SELECT o_orderpriority, delay_days, count(*) AS n FROM j GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY delay_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+      |  FROM v),
+      |a AS (
+      |  SELECT o_orderpriority, max(total) AS n_items,
+      |    CAST(sum(CASE WHEN delay_days > 60 THEN n ELSE 0 END) AS BIGINT) AS n_slow,
+      |    min(CASE WHEN cum * 2 >= total THEN delay_days END) AS p50_delay_days,
+      |    max(delay_days) AS max_delay_days
+      |  FROM r GROUP BY 1)
+      |SELECT o_orderpriority, n_items, n_slow,
+      |  (n_slow * 10000) // n_items AS slow_bp,
+      |  p50_delay_days, max_delay_days
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ship_delay" -> (q50ShipDelay _),
     "q49_percent_rank" -> (q49PercentRank _),
     "q48_decile_shift" -> (q48DecileShift _),
     "q47_order_gaps" -> (q47OrderGaps _),
@@ -1566,6 +1631,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q50_ship_delay" -> q50Sql,
     "q49_percent_rank" -> q49Sql,
     "q48_decile_shift" -> q48Sql,
     "q47_order_gaps" -> q47Sql,

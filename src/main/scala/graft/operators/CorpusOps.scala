@@ -1350,7 +1350,78 @@ object CorpusOps {
        |    ORDER BY n_tokens, doc_id) AS INTEGER) AS phase
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** d66: per-source length-outlier audit — Tukey fences on token
+    * counts (the robust truncation/garbage detector: a source whose
+    * docs fall outside [q1 − 1.5·IQR, q3 + 1.5·IQR] has scraper
+    * failures or concatenation bugs; d37 profiles the distribution,
+    * this flags its tails). Everything integer and division-free: the
+    * exact discrete quartiles come from crossing-pattern WINDOW
+    * aggregates over the reduced (source, n_tok) frame — `min(case
+    * when 4·cum ≥ total)` evaluates over the whole source partition,
+    * so the fences attach to every row WITHOUT a self-join (the c21
+    * lesson: joining a frame to its own aggregate re-evaluates the
+    * lineage) — and the fence tests cross-multiply by 2 to absorb the
+    * 1.5 factor.
+    *
+    * Shape: one scan → (source, n_tok) reduce → per-source windows
+    * over the reduced frame → per-source reduce. */
+  def d66LengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val byLen = graft.Tables.documents(spark, dir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    byLen
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("q1", min(when(col("cum") * 4 >= col("total"), col("n_tok"))).over(wAll))
+      .withColumn("q3", min(when(col("cum") * 4 >= col("total") * 3, col("n_tok"))).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("total")).as("n_docs"),
+        max(col("q1")).cast("long").as("q1_tok"),
+        max(col("q3")).cast("long").as("q3_tok"),
+        sum(when(col("n_tok") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3, col("n"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("n_tok") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3, col("n"))
+          .otherwise(0L)).as("n_high"))
+      .select(col("source"), col("n_docs"), col("q1_tok"), col("q3_tok"),
+        col("n_low"), col("n_high"),
+        expr("((n_low + n_high) * 10000) div n_docs").as("outlier_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d66Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tok
+      |  FROM documents),
+      |v AS (SELECT source, n_tok, count(*) AS n FROM d GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY source ORDER BY n_tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+      |  FROM v),
+      |q AS (
+      |  SELECT *,
+      |    min(CASE WHEN cum * 4 >= total THEN n_tok END)
+      |      OVER (PARTITION BY source) AS q1,
+      |    min(CASE WHEN cum * 4 >= total * 3 THEN n_tok END)
+      |      OVER (PARTITION BY source) AS q3
+      |  FROM r),
+      |a AS (
+      |  SELECT source, max(total) AS n_docs,
+      |    CAST(max(q1) AS BIGINT) AS q1_tok, CAST(max(q3) AS BIGINT) AS q3_tok,
+      |    CAST(sum(CASE WHEN n_tok * 2 < q1 * 2 - (q3 - q1) * 3 THEN n ELSE 0 END) AS BIGINT) AS n_low,
+      |    CAST(sum(CASE WHEN n_tok * 2 > q3 * 2 + (q3 - q1) * 3 THEN n ELSE 0 END) AS BIGINT) AS n_high
+      |  FROM q GROUP BY source)
+      |SELECT source, n_docs, q1_tok, q3_tok, n_low, n_high,
+      |  ((n_low + n_high) * 10000) // n_docs AS outlier_bp
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d66_length_outliers" -> (d66LengthOutliers _),
     "d57_repeated_spans" -> (d57RepeatedSpans _),
     "d58_curriculum_phases" -> (d58CurriculumPhases _),
     "d56_quarantine_expand" -> (d56QuarantineExpand _),
@@ -1372,6 +1443,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d66_length_outliers" -> d66Sql,
     "d57_repeated_spans" -> d57Sql,
     "d58_curriculum_phases" -> d58Sql,
     "d56_quarantine_expand" -> d56Sql,

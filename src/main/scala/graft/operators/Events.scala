@@ -1006,7 +1006,44 @@ object Events {
       |  count(*) AS n_events
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** c24: day-of-week seasonality profile per event type — the weekly
+    * rhythm card behind staffing/alert thresholds. The weekday index
+    * is CALENDAR-CONVENTION-FREE: epoch-day mod 7 (0 ≡ Thursday, the
+    * 1970-01-01 anchor) — `dayofweek`/`isodow` disagree across engines
+    * (Sunday=1 vs Monday=1) and a convention mismatch silently rotates
+    * the whole profile. Share within type in exact bp.
+    *
+    * Shape: one scan → (type, dow) reduce (≤ |types|·7 rows) → window
+    * over the reduced frame. */
+  def c24DowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"),
+        pmod(expr("unix_date(to_date(ts))"), lit(7)).as("dow_idx"))
+      .groupBy(col("event_type"), col("dow_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("total", sum(col("n_events")).over(w))
+      .select(col("event_type"), col("dow_idx"), col("n_events"),
+        expr("(n_events * 10000) div total").as("share_bp"))
+      .orderBy(col("event_type"), col("dow_idx"))
+  }
+
+  val c24Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS dow_idx
+      |  FROM events),
+      |c AS (SELECT event_type, dow_idx, count(*) AS n_events FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT *, CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM c)
+      |SELECT event_type, dow_idx, n_events,
+      |  (n_events * 10000) // total AS share_bp
+      |FROM t ORDER BY event_type, dow_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_dow_profile" -> (c24DowProfile _),
     "c23_user_lifetime" -> (c23UserLifetime _),
     "c22_asof_forward" -> (c22AsofForward _),
     "c21_sessionize_salted" -> (c21SessionizeSalted _),
@@ -1032,6 +1069,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c24_dow_profile" -> c24Sql,
     "c23_user_lifetime" -> c23Sql,
     "c22_asof_forward" -> c22Sql,
     // c21 is the salted PLAN for c2's semantics: same result frame by
