@@ -1320,7 +1320,41 @@ object Etl {
       |  max_lag_sec, p95_lag_sec
       |FROM a ORDER BY day""".stripMargin
 
+  /** a29: control-table status lifecycle report — the operational
+    * dashboard over the reference's control table (the counts an
+    * on-call reads before anything else: how much work is pending,
+    * done, stuck): per order year, the status breakdown with exact
+    * bp completion share and a year-over-year completion delta (lag
+    * over the ≤ |years| reduced frame). ONE conditional-aggregation
+    * scan — never one scan per status (the a20 adjudication). */
+  def a29StatusReport(spark: SparkSession, dir: String): DataFrame = {
+    val byYear = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_done"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
+      .withColumn("done_bp", expr("(n_done * 10000) div n_total"))
+    val w = Window.partitionBy().orderBy(col("y"))
+    byYear
+      .withColumn("done_bp_delta", col("done_bp") - lag(col("done_bp"), 1).over(w))
+      .orderBy(col("y"))
+  }
+
+  val a29Sql: String =
+    """WITH b AS (
+      |  SELECT year(o_orderdate) AS y, count(*) AS n_total,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+      |  FROM orders GROUP BY 1),
+      |d AS (SELECT *, (n_done * 10000) // n_total AS done_bp FROM b)
+      |SELECT y, n_total, n_open, n_done, n_partial, done_bp,
+      |  done_bp - lag(done_bp) OVER (ORDER BY y) AS done_bp_delta
+      |FROM d ORDER BY y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a29_status_report" -> (a29StatusReport _),
     "a28_late_data_audit" -> (a28LateDataAudit _),
     "a27_drift_sketch" -> (a27DriftSketch _),
     "a26_retention_plan" -> (a26RetentionPlan _),
@@ -1351,6 +1385,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a29_status_report" -> a29Sql,
     "a28_late_data_audit" -> a28Sql,
     "a26_retention_plan" -> a26Sql,
     "a25_compaction_plan" -> a25Sql,
