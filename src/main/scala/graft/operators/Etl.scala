@@ -1037,16 +1037,18 @@ object Etl {
     * value-range, date-range, and referential integrity — evaluated to
     * per-rule violation counts + pass flags in ONE result. ALL four
     * rules share a single fact scan: the FK rule rides the same pass
-    * as a row-preserving LEFT join against the broadcast dim key
-    * column (c_custkey is the dim's primary key, so the join can't
-    * fan out), folded into the same conditional aggregate — one scan,
-    * one broadcast, one 1-row aggregate, vs. the naive second
-    * fact scan for the anti-join. Counts are exact integers; stacking
-    * to rows is an explode over a 4-element literal array. */
+    * as a row-preserving LEFT join against the dim key column
+    * (c_custkey is the dim's primary key, so the join can't fan out),
+    * folded into the same conditional aggregate — one scan, one 1-row
+    * aggregate, vs. the naive second fact scan for the anti-join. The
+    * key column carries NO broadcast hint: billions of customer keys
+    * are tens of GB, so AQE broadcasts at test SF and shuffles at
+    * scale. Counts are exact integers; stacking to rows is an explode
+    * over a 4-element literal array. */
   def a23QualityRules(spark: SparkSession, dir: String): DataFrame = {
     val custKeys = Tables.customer(spark, dir).select(col("c_custkey"))
     Tables.orders(spark, dir)
-      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left")
+      .join(custKeys, col("o_custkey") === col("c_custkey"), "left")
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),

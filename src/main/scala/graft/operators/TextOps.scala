@@ -1283,10 +1283,17 @@ object TextOps {
     *
     * Shape: one scan builds positional bigrams row-locally (transform
     * over the token array — no self-join on position), reduced
-    * map-side; unigram counts BROADCAST back (a vocab is broadcastable
-    * at any real scale); the corpus total rides a 1-row broadcast.
-    * Top-30 via TakeOrderedAndProject. Overflow note: the numerator is
-    * n_ab·N·10⁴ — move to DECIMAL if N approaches 10¹⁴ tokens. */
+    * map-side; unigram counts join back as PLAIN token-keyed
+    * equi-joins — web-scale whitespace vocabularies run 10⁸–10⁹ types
+    * (typos, numbers, URLs), so the dictionary side is NEVER
+    * broadcast-assumed (the d26/d48 adjudication); the left side is
+    * the already-reduced, ≥[[CollocMinPairs]]-filtered bigram frame,
+    * so the joins are reduced-frame × dict and AQE still broadcasts
+    * at test SF. The corpus total rides a 1-row broadcast. Top-30 via
+    * TakeOrderedAndProject. The PMI numerator n_ab·N·10⁴ is computed
+    * in DECIMAL(38,0) (HUGEINT oracle-side): it exceeds BIGINT near
+    * N ≈ 10¹⁴ tokens, a scale this engine targets; `div` returns
+    * BIGINT in both engines and the ratio itself is small. */
   def d63Collocations(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val docs = Tables.documents(spark, dir)
@@ -1301,11 +1308,12 @@ object TextOps {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = uni.select(sum(col("cnt")).as("n_total"))
     bi
-      .join(broadcast(uni.select(col("tok").as("a"), col("cnt").as("cnt_a"))), "a")
-      .join(broadcast(uni.select(col("tok").as("b"), col("cnt").as("cnt_b"))), "b")
+      .join(uni.select(col("tok").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("cnt").as("cnt_b")), "b")
       .crossJoin(broadcast(total))
       .select(col("a"), col("b"), col("n_ab"), col("cnt_a"), col("cnt_b"),
-        expr("(n_ab * n_total * 10000) div (cnt_a * cnt_b)").as("pmi_ratio_bp"))
+        expr("(cast(n_ab as decimal(38,0)) * n_total * 10000) div (cast(cnt_a as decimal(38,0)) * cnt_b)")
+          .as("pmi_ratio_bp"))
       .orderBy(col("pmi_ratio_bp").desc, col("a"), col("b"))
       .limit(30)
   }
@@ -1325,7 +1333,8 @@ object TextOps {
        |    SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni)
        |SELECT bi.a, bi.b, bi.n_ab, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
-       |  (bi.n_ab * n.n_total * 10000) // (ua.cnt * ub.cnt) AS pmi_ratio_bp
+       |  CAST((CAST(bi.n_ab AS HUGEINT) * n.n_total * 10000)
+       |       // (CAST(ua.cnt AS HUGEINT) * ub.cnt) AS BIGINT) AS pmi_ratio_bp
        |FROM bi
        |JOIN uni ua ON ua.tok = bi.a
        |JOIN uni ub ON ub.tok = bi.b

@@ -145,6 +145,36 @@ class OperatorSpec extends GraftSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q3/a23/d63 carry no forced broadcast on fact-scaled sides (r7 verdict)") {
+    // With the broadcast threshold disabled, ONLY a forced broadcast()
+    // hint can still plan a BroadcastHashJoin. customer (q3/a23) and the
+    // unigram vocab (d63) scale with the corpus, so their joins must be
+    // un-hinted — AQE broadcasts them at test SF, SMJ at 100 TB (the
+    // q44/d48 adjudication). d63's 1-row corpus-total broadcast is a
+    // BroadcastNestedLoopJoin and stays allowed.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      Seq(
+        "q3" -> Analytics.q3JoinTopk(spark, sfDir),
+        "a23" -> Etl.a23QualityRules(spark, sfDir),
+        "d63" -> TextOps.d63Collocations(spark, sfDir)
+      ).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$name still forces a broadcast with threshold=-1:\n" + plan.take(2000))
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name lost its shuffle join under threshold=-1:\n" + plan.take(2000))
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q11 global threshold keeps only above-share parts; q23 runs monotone") {
     val out = Analytics.q11GlobalThreshold(spark, sfDir).cache()
     val totalShare = out.count()
