@@ -1140,7 +1140,10 @@ object Etl {
     val files = Tables.events(spark, dir).select(
       year(col("ts")).as("y"), month(col("ts")).as("m"),
       col("event_id").as("file_id"),
-      (pmod(col("event_id") * lit(2654435761L), lit(1048576L)) + lit(1024L)).as("bytes"))
+      // id pre-reduced before the multiply (a28 discipline): the raw
+      // product overflows int64 for ids >= ~3.5e9
+      (pmod(pmod(col("event_id"), lit(1048576L)) * lit(2654435761L % 1048576L),
+        lit(1048576L)) + lit(1024L)).as("bytes"))
     val w = Window.partitionBy(col("y"), col("m")).orderBy(col("file_id"))
     files.withColumn("cum", sum(col("bytes")).over(w))
       .withColumn("bin_id", expr(s"(cum - bytes) div ${target}L"))
@@ -1155,7 +1158,7 @@ object Etl {
     """WITH f AS (
       |  SELECT year(CAST(ts AS TIMESTAMP)) AS y, month(CAST(ts AS TIMESTAMP)) AS m,
       |    event_id AS file_id,
-      |    (event_id * 2654435761) % 1048576 + 1024 AS bytes
+      |    ((event_id % 1048576) * (2654435761 % 1048576)) % 1048576 + 1024 AS bytes
       |  FROM events),
       |c AS (
       |  SELECT y, m, bytes,
@@ -1265,7 +1268,9 @@ object Etl {
     * tolerance (the reference's hourly Step Function schedule implies
     * exactly this question: how much of an hour's data hasn't arrived
     * when the hour closes). Arrival lag is the deterministic synthetic
-    * delay pmod(event_id·2654435761, 7200) seconds (0..2 h; stands in
+    * delay ((event_id mod 7200)·(2654435761 mod 7200)) mod 7200 seconds
+    * — the id pre-reduced before the multiply so the product never
+    * overflows int64 (0..2 h; stands in
     * for a real ingest log's load_ts − event_ts). Per event day:
     * volume, count/share beyond the 1 h watermark (exact basis
     * points), the max lag, and the exact discrete p95 lag via the
@@ -1277,9 +1282,15 @@ object Etl {
     * cardinality ≤ 7200 per day) → per-day windows over the reduced
     * frame → per-day reduce. */
   def a28LateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    // id pre-reduced before the multiply (the VectorOps centroid-hash
+    // discipline): (a·k) mod m ≡ ((a mod m)·(k mod m)) mod m, and the
+    // raw product overflows int64 for ids ≥ ~3.5e9 — Spark would wrap
+    // silently while the DuckDB oracle errors, so neither engine may
+    // ever form it
     val byVal = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"),
-        pmod(col("event_id") * lit(2654435761L), lit(7200L)).as("lag_sec"))
+        pmod(pmod(col("event_id"), lit(7200L)) * lit(2654435761L % 7200L),
+          lit(7200L)).as("lag_sec"))
       .groupBy(col("day"), col("lag_sec")).agg(count(lit(1)).as("n"))
     val wCum = Window.partitionBy(col("day")).orderBy(col("lag_sec"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1302,7 +1313,7 @@ object Etl {
   val a28Sql: String =
     """WITH e AS (
       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-      |    (event_id * 2654435761) % 7200 AS lag_sec
+      |    ((event_id % 7200) * (2654435761 % 7200)) % 7200 AS lag_sec
       |  FROM events),
       |v AS (SELECT day, lag_sec, count(*) AS n FROM e GROUP BY 1, 2),
       |r AS (

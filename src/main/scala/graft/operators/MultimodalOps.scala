@@ -510,9 +510,12 @@ object MultimodalOps {
   def e9ModalityMix(spark: SparkSession, dir: String): DataFrame = {
     // modulus 97 (prime, coprime to the doc_id stride): a power-of-10
     // modulus degenerates — 2654435761 ≡ 1 (mod 10), so doc_id·k mod 10
-    // is just doc_id mod 10, constant within a source's interleaved ids
-    val modality = when(pmod(col("doc_id") * 2654435761L, lit(97L)) < 58, lit("text"))
-      .when(pmod(col("doc_id") * 2654435761L, lit(97L)) < 87, lit("image"))
+    // is just doc_id mod 10, constant within a source's interleaved ids.
+    // doc_id is pre-reduced before the multiply (a28/VectorOps
+    // discipline) — the raw product overflows int64 for ids ≥ ~3.5e9
+    val mixHash = pmod(pmod(col("doc_id"), lit(97L)) * lit(2654435761L % 97L), lit(97L))
+    val modality = when(mixHash < 58, lit("text"))
+      .when(mixHash < 87, lit("image"))
       .otherwise(lit("audio"))
     val counts = Tables.documents(spark, dir)
       .select(col("source"), modality.as("modality"))
@@ -536,8 +539,8 @@ object MultimodalOps {
   val e9Sql: String =
     """WITH m AS (
       |  SELECT source,
-      |    CASE WHEN (doc_id * 2654435761) % 97 < 58 THEN 'text'
-      |         WHEN (doc_id * 2654435761) % 97 < 87 THEN 'image'
+      |    CASE WHEN ((doc_id % 97) * (2654435761 % 97)) % 97 < 58 THEN 'text'
+      |         WHEN ((doc_id % 97) * (2654435761 % 97)) % 97 < 87 THEN 'image'
       |         ELSE 'audio' END AS modality
       |  FROM documents),
       |c AS (SELECT source, modality, count(*) AS n_blobs FROM m GROUP BY 1, 2),
@@ -633,9 +636,14 @@ object MultimodalOps {
       .select(col("doc_id"), col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), norm2.as("n2")),
         col("doc_id") === col("vec_id"))
+      // the norm gate compares INTEGER-scaled rounded norms, not raw
+      // doubles: Spark's aggregate() fold and DuckDB's list_sum may
+      // differ in the last ulp, and a raw |n2-1| < 0.01 on a value one
+      // ulp from the threshold would hash-diverge cross-engine
+      .withColumn("norm_ok", abs(round(col("n2") * 10000).cast("long") - 10000L) < 100L)
       .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"),
-        (abs(col("n2") - 1.0) < 0.01).as("norm_ok"),
-        (abs(col("n2") - 1.0) < 0.01 && col("n_tokens") >= PairMinTokens).as("keep"))
+        col("norm_ok"),
+        (col("norm_ok") && col("n_tokens") >= PairMinTokens).as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -650,8 +658,9 @@ object MultimodalOps {
        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
        |  FROM documents)
        |SELECT doc_id, lang, n_tokens,
-       |  abs(n2 - 1.0) < 0.01 AS norm_ok,
-       |  abs(n2 - 1.0) < 0.01 AND n_tokens >= $PairMinTokens AS keep
+       |  abs(CAST(round(n2 * 10000) AS BIGINT) - 10000) < 100 AS norm_ok,
+       |  abs(CAST(round(n2 * 10000) AS BIGINT) - 10000) < 100
+       |    AND n_tokens >= $PairMinTokens AS keep
        |FROM d JOIN e ON doc_id = vec_id
        |ORDER BY doc_id""".stripMargin
 

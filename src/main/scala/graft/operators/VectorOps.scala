@@ -837,37 +837,36 @@ object VectorOps {
     * the queryable REPORT form.
     *
     * Shape: both sides are ≤ queries·k rows after their own pipelines;
-    * the audit join is trivially broadcastable. */
+    * the audit join is trivially broadcastable. Each pipeline is
+    * evaluated ONCE (the d55/c21 lineage discipline — the first form
+    * ran d9 twice and d10 under a second hint): a left-outer join
+    * marks per-exact-row recovery, then one groupBy derives n_exact
+    * and n_matched together. (query, neighbor) is unique on both
+    * sides, so the outer join cannot fan out. */
   def d65AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = d9CosineTopk(spark, dir).select(col("query_id"), col("neighbor_id"))
     val approx = d10AnnLsh(spark, dir)
       .select(col("query_id").as("qa"), col("neighbor_id").as("na"))
     exact
       .join(broadcast(approx),
-        col("query_id") === col("qa") && col("neighbor_id") === col("na"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
-      .join(exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact")),
-        Seq("query_id"), "right_outer")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        expr("(coalesce(n_matched, 0L) * 10000) div n_exact").as("recall_bp"))
+        col("query_id") === col("qa") && col("neighbor_id") === col("na"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("qa")).as("n_matched"))
+      .select(col("query_id"), col("n_exact"), col("n_matched"),
+        expr("(n_matched * 10000) div n_exact").as("recall_bp"))
       .orderBy(col("query_id"))
   }
 
   val d65Sql: String =
     s"""WITH exact AS ($d9Sql),
-       |approx AS ($d10Sql),
-       |m AS (
-       |  SELECT e.query_id, count(*) AS n_matched
-       |  FROM exact e JOIN approx a
-       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-       |  GROUP BY 1),
-       |t AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
-       |SELECT t.query_id, t.n_exact,
-       |  coalesce(m.n_matched, 0) AS n_matched,
-       |  (coalesce(m.n_matched, 0) * 10000) // t.n_exact AS recall_bp
-       |FROM t LEFT JOIN m ON t.query_id = m.query_id
-       |ORDER BY t.query_id""".stripMargin
+       |approx AS ($d10Sql)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  count(a.query_id) AS n_matched,
+       |  (count(a.query_id) * 10000) // count(*) AS recall_bp
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d65_ann_recall" -> (d65AnnRecall _),

@@ -65,17 +65,35 @@ object Sinks {
                  token: String = "merge"): Unit = {
     val snap = new Path(targetDir)
     val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$targetDir.old-$token")
+    // Crash-window recovery: a failure between the two swap renames
+    // below leaves the table only under .old-<token>. Restore it before
+    // reading, or the merge would silently rebuild from updates alone.
+    if (!fs.exists(snap) && fs.exists(old)) Swap.renameOrThrow(fs, old, snap)
     val merged =
       if (fs.exists(snap))
         mergePlan(spark.read.parquet(targetDir), updates, keyCols, orderCols)
       else mergePlan(updates.limit(0), updates, keyCols, orderCols)
     val tmp = new Path(s"$targetDir.tmp-$token")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(s"$targetDir.old-$token")
+    // rename returns false (no exception) when the dest exists from a
+    // prior failed attempt or on RawLocalFileSystem quirks — an ignored
+    // false leaves a stale snapshot while the caller believes the merge
+    // committed, so every rename result is checked.
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(snap)) fs.rename(snap, old)
-    fs.rename(tmp, snap)
+    if (fs.exists(snap)) Swap.renameOrThrow(fs, snap, old)
+    Swap.renameOrThrow(fs, tmp, snap)
     fs.delete(old, true)
     ()
   }
+}
+
+/** Checked-rename helper shared by the tmp+swap sinks (mergeByKey,
+  * StreamingOps.profileStream): HDFS-style rename reports failure via
+  * a boolean, and a silently-false rename is a data-loss bug. */
+object Swap {
+  def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                    src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"atomic-swap rename failed: $src -> $dst")
 }

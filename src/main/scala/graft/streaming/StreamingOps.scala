@@ -508,10 +508,19 @@ object StreamingOps {
     * into the stored profile via the tmp+rename swap (compactStream's
     * durability contract). Because every profile field is a
     * commutative monoid (Profiles' invariant, spec-proven), the stored
-    * profile after N batches equals the batch profile of all data —
-    * replayed batches re-merge idempotently ONLY at the batch grain,
-    * so the checkpoint's exactly-once batch execution is what carries
-    * correctness (same contract as compactStream).
+    * profile after N batches equals the batch profile of all data.
+    *
+    * Replay safety: foreachBatch is AT-LEAST-ONCE — a batch replayed
+    * after the snapshot swap committed but before the checkpoint did
+    * would merge its additive counters (n_rows/n_nulls/sums) TWICE.
+    * Unlike compactStream's latest-wins merge, Profiles.merge is not a
+    * replay fixed point, so the last merged batchId is persisted IN the
+    * snapshot (`_batch_id` column, constant across rows) and any batch
+    * with batchId <= stored is skipped as a replay. A crash between the
+    * two swap renames is recovered at the next batch by restoring the
+    * newest `.old-<id>` dir; every rename result is checked
+    * (Sinks.Swap) so a silently-false rename can't strand a stale
+    * snapshot.
     *
     * At 100 TB: the profile table is |columns| rows — the merge cost
     * per batch is the partial's aggregation of the batch alone; the
@@ -522,22 +531,48 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val part = graft.jobs.Profiles.partial(batch, cols)
-        val snap = new org.apache.hadoop.fs.Path(profileDir)
-        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(snap))
-            graft.jobs.Profiles.merge(spark.read.parquet(profileDir), part)
-          else part
-        val tmp = new org.apache.hadoop.fs.Path(s"$profileDir.tmp-$batchId")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        val old = new org.apache.hadoop.fs.Path(s"$profileDir.old-$batchId")
-        if (fs.exists(snap)) fs.rename(snap, old)
-        fs.rename(tmp, snap)
-        fs.delete(old, true)
-        ()
+        profileMergeBatch(batch, batchId, cols, profileDir)
       }
+
+  /** One profileStream micro-batch merge, exposed so the replay path
+    * (same batchId twice) is directly testable. See [[profileStream]]
+    * for the contract. */
+  def profileMergeBatch(batch: DataFrame, batchId: Long, cols: Seq[String],
+                        profileDir: String): Unit = {
+    val spark = batch.sparkSession
+    val snap = new org.apache.hadoop.fs.Path(profileDir)
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(snap)) {
+      val olds = fs.globStatus(new org.apache.hadoop.fs.Path(s"$profileDir.old-*"))
+      if (olds != null && olds.nonEmpty) {
+        val prefix = snap.getName + ".old-"
+        val newest = olds.maxBy(_.getPath.getName.stripPrefix(prefix).toLong)
+        graft.sources.Swap.renameOrThrow(fs, newest.getPath, snap)
+      }
+    }
+    val stored =
+      if (fs.exists(snap)) Some(spark.read.parquet(profileDir)) else None
+    val lastMerged = stored
+      .filter(_.columns.contains("_batch_id"))
+      .map(_.agg(max(col("_batch_id"))).head.getLong(0))
+    if (!lastMerged.exists(_ >= batchId)) {
+      val part = graft.jobs.Profiles.partial(batch, cols)
+      val merged = stored match {
+        case Some(prev) => graft.jobs.Profiles.merge(prev.drop("_batch_id"), part)
+        case None       => part
+      }
+      val tmp = new org.apache.hadoop.fs.Path(s"$profileDir.tmp-$batchId")
+      val old = new org.apache.hadoop.fs.Path(s"$profileDir.old-$batchId")
+      fs.delete(tmp, true) // stale prior attempt of this very batch
+      fs.delete(old, true)
+      merged.withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(snap)) graft.sources.Swap.renameOrThrow(fs, snap, old)
+      graft.sources.Swap.renameOrThrow(fs, tmp, snap)
+      val doneOlds = fs.globStatus(new org.apache.hadoop.fs.Path(s"$profileDir.old-*"))
+      if (doneOlds != null) doneOlds.foreach(s => fs.delete(s.getPath, true))
+    }
+  }
 
   case class OooOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
                     out_of_order: Boolean, lag_sec: Long)

@@ -1418,7 +1418,8 @@ class OperatorSpec extends GraftSpec {
     val target = 4L * 1024 * 1024
     // total bytes across bins == total over the derived manifest
     val manifestTotal = Tables.events(spark, sfDir)
-      .select(sum(pmod(col("event_id") * lit(2654435761L), lit(1048576L)) + lit(1024L)))
+      .select(sum(pmod(pmod(col("event_id"), lit(1048576L)) * lit(2654435761L % 1048576L),
+        lit(1048576L)) + lit(1024L)))
       .collect()(0).getLong(0)
     assert(rows.map(_._4).sum == manifestTotal)
     rows.groupBy(_._1).foreach { case (part, bins) =>

@@ -345,9 +345,26 @@ class SourcesStreamingSpec extends GraftSpec {
       }
     } finally q.stop()
     def canon(df: org.apache.spark.sql.DataFrame) =
-      df.orderBy(col("column_name")).collect().map(_.toSeq).toSeq
+      df.drop("_batch_id").orderBy(col("column_name")).collect().map(_.toSeq).toSeq
     val expected = canon(graft.jobs.Profiles.partial(li, Seq("l_quantity", "l_extendedprice")))
     assert(canon(spark.read.parquet(s"$dir/profile")) == expected)
+    // At-least-once replay: re-merging an already-merged batchId must be
+    // a no-op (Profiles.merge is additive, NOT a replay fixed point —
+    // the stored _batch_id is the idempotence key), and a fresh batchId
+    // re-delivering the same rows must still merge. Replay the LAST
+    // micro-batch's rows under its own (already stored) id:
+    val snapBefore = canon(spark.read.parquet(s"$dir/profile"))
+    val lastId = spark.read.parquet(s"$dir/profile")
+      .agg(org.apache.spark.sql.functions.max(col("_batch_id"))).head.getLong(0)
+    val replay = li.limit(10)
+    StreamingOps.profileMergeBatch(replay, lastId,
+      Seq("l_quantity", "l_extendedprice"), s"$dir/profile")
+    assert(canon(spark.read.parquet(s"$dir/profile")) == snapBefore,
+      "replayed batchId must not double-merge the additive profile")
+    StreamingOps.profileMergeBatch(replay, lastId + 1,
+      Seq("l_quantity", "l_extendedprice"), s"$dir/profile")
+    assert(canon(spark.read.parquet(s"$dir/profile")) != snapBefore,
+      "a genuinely new batch must still merge")
   }
 
   test("streaming out-of-order monitor flags regressions across micro-batches") {
