@@ -1245,9 +1245,14 @@ object CorpusOps {
     * chunk boundary; d57 can. Per doc: span count, covered tokens,
     * integer-bp coverage — docs with no repeated span have no row.
     *
-    * Shape: ONE corpus scan explodes overlapping windows (10× d23's
-    * row count, same asymptotics); multiplicity via the gram-keyed
-    * count window (d23's adjudicated exchange); islands via ONE
+    * Shape: the gram stream (scan + explode) feeds a gram-keyed
+    * groupBy reduced map-side, and the ≥2 KEYS semi-join back against
+    * the stream. The semi-join re-derives the explode (Catalyst does
+    * not CSE self-joins) — accepted deliberately: the explode is
+    * map-only and scales linearly, while the previous gram-partitioned
+    * count window pinned a mega-repeated boilerplate gram onto ONE
+    * window partition that AQE cannot split; the join form is
+    * AQE-skew-splittable (r7 verdict watch item). Islands via ONE
     * doc-keyed ordered window (lag-gap break + running sum — fixed
     * width makes interval union a gap test: spans merge iff
     * pos − prev ≤ width); then the per-doc reduce rides the same
@@ -1267,9 +1272,17 @@ object CorpusOps {
         xxhash64(col("g.gram")).as("gram"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wdRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // corpus multiplicity via reduce + semi-join-back, NOT a
+    // gram-partitioned count window: a mega-repeated boilerplate gram
+    // is a hot window partition AQE cannot split, whereas the groupBy
+    // takes map-side partials and the semi-join is AQE-skew-splittable
+    // (r7 verdict watch item). Only the >= 2 KEYS survive the reduce.
+    val repeated = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
+      .select(col("gram"))
+    grams
+      .join(repeated, Seq("gram"), "left_semi")
       .withColumn("brk",
         when(lag(col("pos"), 1).over(wd).isNull ||
           col("pos") - lag(col("pos"), 1).over(wd) > SpanGram, 1).otherwise(0))

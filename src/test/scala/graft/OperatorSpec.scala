@@ -2004,6 +2004,14 @@ class OperatorSpec extends GraftSpec {
   }
 
   test("d57 repeated spans: overlapping-window islands replayed locally") {
+    // hot-gram hardening (r7 verdict): corpus multiplicity must come
+    // from reduce + semi-join-back, never a corpus-sized window keyed
+    // on the gram — that partition is unsplittable under skew
+    val plan = CorpusOps.d57RepeatedSpans(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(gram"),
+      "d57 regressed to a gram-partitioned window:\n" + plan.take(1500))
+    assert(plan.contains("LeftSemi"), plan.take(1500))
     val rows = CorpusOps.d57RepeatedSpans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
     assert(rows.nonEmpty)
