@@ -502,6 +502,117 @@ object StreamingOps {
         Seq("content_hash"), "left_anti")
   }
 
+  case class AdmitFlag(doc_id: Long, is_dup: Boolean,
+                       match_id: Option[Long], jaccard: Option[Double])
+
+  /** Static corpus near-dup index for [[admitAgainstCorpusNearDup]]:
+    * one row per (band hash, candidate) with the candidate's distinct
+    * shingle-hash set attached for the verify step. Built with the
+    * batch machinery (exploded shingles → one-pass minhash128 agg →
+    * 32×4 band keys — bit-identical to DedupOps.bandBuckets). Callers
+    * should persist this (or store it bucketed by `bh`) — a
+    * stream-static join re-resolves the static side every micro-batch. */
+  def corpusBandIndex(corpus: DataFrame): DataFrame = {
+    import graft.operators.DedupOps.{NumBands, RowsPerBand}
+    val sh = graft.operators.DedupOps.explodedShinglesOf(corpus)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(call_function("minhash128", col("shingle")).as("sig"),
+        collect_list(col("shingle")).as("cand_sh"))
+    val bandCols = (0 until NumBands).map { j =>
+      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    sigs.select(col("doc_id").as("cand_id"), col("cand_sh"),
+      explode(array(bandCols: _*)).as("bh"))
+  }
+
+  /** Streaming NEAR-dup admission against a static corpus — the
+    * missing layer above [[admitAgainstCorpus]] (r7 verdict gap #1):
+    * the exact-hash gate admits paraphrased dupes until the next batch
+    * sweep; this flags them at ingest with the SAME decision rule as
+    * batch d42 (MinHash 128-perm, 32×4 LSH bands, exact-Jaccard verify
+    * at τ). Output is one flag row per incoming doc — (is_dup,
+    * best match_id, jaccard), d42's report shape — so admission is
+    * `filter(!is_dup)` and the rejects keep their evidence.
+    *
+    * Shape, stream side (must stay stateless for append mode — no
+    * windows, no aggregates): shingle hashes, the 128-seed signature,
+    * and the 32 band keys are all computed ROW-LOCALLY with
+    * higher-order functions. The hash chain is bit-identical to the
+    * batch pipeline (xxhash64(shingle_hash, k) ≡ MinHashAgg's
+    * hashInt(k, hashLong(h, 42)); band keys reuse bandBuckets'
+    * xxhash64(j, sig…) construction), so stream band keys equi-join
+    * the batch-built index. HOFs evaluate interpreted — acceptable
+    * because they touch ONLY the incoming micro-batch, never the
+    * corpus (the batch side's explicit non-HOF adjudication stands).
+    *
+    * The probe is a stream-static LEFT OUTER equi-join on the band
+    * hash (stateless, no state store, no watermark); verification is
+    * row-local exact Jaccard over the two distinct shingle-hash sets
+    * (identical integer inter/union arithmetic to
+    * DedupOps.jaccardForPairs, so jaccard values match d42's to the
+    * bit). A doc's ≤32 band rows all derive from one input row — one
+    * micro-batch — so the per-doc regroup is a flatMapGroupsWithState
+    * that emits one flag row per doc and NEVER updates state: the
+    * state store stays empty, there is nothing to time out, and the
+    * query is append-safe. Each doc_id is assumed to appear once in
+    * the stream (the ingest grain, as capStream).
+    *
+    * At 100 TB: store the index bucketed on `bh` (BucketedTables) —
+    * each micro-batch then shuffles only its own band rows; candidate
+    * verification touches only colliding buckets, exactly the batch
+    * pipeline's economics. Spec proves flag-equality with batch d42
+    * across micro-batch splits plus a planted paraphrase. */
+  def admitAgainstCorpusNearDup(spark: SparkSession, docs: DataFrame,
+                                corpus: DataFrame,
+                                tau: Double = 0.5): Dataset[AdmitFlag] = {
+    import spark.implicits._
+    import graft.operators.DedupOps.{NumBands, RowsPerBand}
+    val index = corpusBandIndex(corpus)
+    val t = graft.operators.TextOps.tokens(col("text"))
+    val shArr = array_distinct(
+      when(size(t) >= 3, transform(sequence(lit(1), size(t) - 2),
+        i => xxhash64(concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+        .otherwise(array().cast("array<bigint>")))
+    val sigArr = transform(sequence(lit(0), lit(127)),
+      k => array_min(transform(col("sh"), x => xxhash64(x, k))))
+    val bandCols = (0 until NumBands).map { j =>
+      val rows = (j * RowsPerBand until (j + 1) * RowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
+      xxhash64((lit(j) +: rows): _*)
+    }
+    val banded = docs
+      .withColumn("sh", shArr)
+      .withColumn("sig", sigArr)
+      .withColumn("band", explode_outer(
+        when(size(col("sh")) > 0, array(bandCols: _*))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("sh"), col("band").as("bh"))
+    val inter = size(array_intersect(col("sh"), col("cand_sh")))
+    banded
+      .join(index, Seq("bh"), "left_outer")
+      .select(col("doc_id"), col("cand_id"),
+        (inter.cast("double") /
+          (size(col("sh")) + size(col("cand_sh")) - inter)).as("jacc"))
+      .as[(Long, Option[Long], Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: Long, rows: Iterator[(Long, Option[Long], Option[Double])],
+         _: GroupState[Boolean]) =>
+          val hits = rows
+            .flatMap(r => for (c <- r._2; j <- r._3 if j >= tau) yield (c, j))
+            .toSeq.distinct
+          if (hits.isEmpty) Iterator.single(AdmitFlag(doc, is_dup = false, None, None))
+          else {
+            val (cand, jac) = hits.minBy { case (c, j) => (-j, c) }
+            Iterator.single(AdmitFlag(doc, is_dup = true, Some(cand), Some(jac)))
+          }
+      }
+  }
+
   /** Streaming incremental profile maintenance — the live form of the
     * a12/a20 statistics: each micro-batch contributes one
     * `Profiles.partial` (a per-column monoid row-set), which merges

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import graft.operators.DedupOps
 import graft.sources.{PartitionedSink, Sinks, SourceRegistry}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -452,6 +453,65 @@ class SourcesStreamingSpec extends GraftSpec {
       // the two verbatim corpus re-fetches were refused admission
       assert(incoming.length - streamed.size >= 2)
     } finally q.stop()
+  }
+
+  test("streaming NEAR-dup admission ≡ batch d42 flags across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same split as batch d42: corpus = doc_id % 10 <> 7, stream = the
+    // % 10 = 7 snapshot. The stream side's row-local hash chain must
+    // reproduce the batch LSH's band keys and exact-Jaccard values, so
+    // the flags (is_dup, match_id, jaccard) must agree row-for-row
+    // regardless of where the micro-batch boundaries fall.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def flagsOf(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.admitAgainstCorpusNearDup(spark,
+        mem.toDF().toDF("doc_id", "text"), corpus)
+      .toDF().writeStream.format("memory").queryName("neardup_admit")
+      .outputMode("append").start()
+    try {
+      incoming.grouped(math.max(1, incoming.length / 3)).foreach { g =>
+        mem.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = flagsOf(spark.sql(
+        "select doc_id, is_dup, match_id, jaccard from neardup_admit").collect())
+      val want = flagsOf(DedupOps.d42IncrementalDedup(spark, sfDir).collect())
+      assert(got == want)
+      assert(got.size == incoming.length, "one flag row per incoming doc")
+    } finally q.stop()
+    DedupOps.release(spark, sfDir)
+    // Planted paraphrase: a corpus doc with its first token changed is
+    // NOT an exact dup (admitAgainstCorpus would admit it) but must be
+    // flagged here; an unrelated fresh doc must pass. Deterministic
+    // dup-branch coverage even if the real split has no near-dups.
+    val donor = corpus.orderBy(col("doc_id")).limit(1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).head
+    require(donor._2.split(" ").count(_.nonEmpty) >= 20, "donor doc too short to paraphrase")
+    val para = (900001L, "zzparaphrase " + donor._2.split(" ").filter(_.nonEmpty).drop(1).mkString(" "))
+    val fresh = (900002L, (1 to 30).map(i => s"uniquetok$i").mkString(" "))
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.admitAgainstCorpusNearDup(spark,
+        mem2.toDF().toDF("doc_id", "text"), corpus)
+      .toDF().writeStream.format("memory").queryName("neardup_admit2")
+      .outputMode("append").start()
+    try {
+      mem2.addData(para); q2.processAllAvailable()
+      mem2.addData(fresh); q2.processAllAvailable()
+      val rows = spark.sql(
+        "select doc_id, is_dup, match_id, jaccard from neardup_admit2").collect()
+      val byId = rows.map(r => r.getLong(0) -> r).toMap
+      assert(byId(900001L).getBoolean(1), "paraphrase of a corpus doc must be flagged")
+      assert(byId(900001L).getLong(2) == donor._1, "best match must be the donor")
+      assert(byId(900001L).getDouble(3) >= 0.5 && byId(900001L).getDouble(3) < 1.0)
+      assert(!byId(900002L).getBoolean(1), "an unrelated doc must be admitted")
+    } finally q2.stop()
   }
 
   test("streaming daily anomaly flags match a sequential driver replay, spike caught") {
