@@ -1393,7 +1393,123 @@ object TextOps {
        |  (n_template_docs * 10000) // n_docs AS template_bp
        |FROM a ORDER BY source""".stripMargin
 
+  /** Merge rounds for d67's BPE trainer. */
+  val BpeMergeRounds = 8
+
+  /** d67: BPE merge-rule training — the tokenizer-construction stage
+    * every training-data pipeline runs (r7 verdict gap #2; d14 counts
+    * the PRE-tokens this learner consumes, d63 scores pair association,
+    * but nothing learned the merge table until now). Classic Sennrich
+    * et al. 2016 (arXiv:1508.07909) byte-pair encoding over word types:
+    * k rounds of (count adjacent symbol pairs weighted by word
+    * frequency → merge the most frequent pair corpus-wide), emitting
+    * the per-round merge table (round, pair, merged symbol, count).
+    * Tie-break is deterministic in BOTH engines: count desc, then
+    * (left, right) lexicographic.
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus is
+    * scanned ONCE, reducing to the (word, freq) TYPE table (Heaps' law:
+    * vocabulary types, not corpus tokens). Every round then works on
+    * that reduced frame: segmentations update via a row-local fold
+    * (symbols are space-joined; merging appends the right symbol
+    * directly to a terminal left symbol), pair counts aggregate with
+    * map-side partials, and the round's winner is a ONE-row driver
+    * argmax (the bounded Lloyd-collect pattern, VectorOps:325). Each
+    * round's segmentation is persisted and the previous round's
+    * dropped — k materializations of the vocab frame, no lineage
+    * blow-up, no corpus rescan. The final round skips the (unused)
+    * re-segmentation. Pre-tokens are lowercase letter runs so the
+    * symbol alphabet is SQL-portable; the DuckDB oracle replays all k
+    * rounds via generated per-round CTEs with the same string-fold
+    * (list_reduce's first-element seeding ≡ the empty-string init
+    * branch of Spark's aggregate()). */
+  def d67BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val base = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"))
+    var seg = base.persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    try {
+      for (r <- 1 to BpeMergeRounds) {
+        val syms = split(col("seg"), " ")
+        val top = seg
+          .select(col("freq"), explode(when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        require(top.nonEmpty, s"corpus exhausted all adjacent pairs before round $r")
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        if (r < BpeMergeRounds) {
+          // greedy left-to-right merge: the accumulator is the
+          // space-joined output; a right symbol lands WITHOUT a space
+          // iff the accumulator currently ends in exactly the left
+          // symbol (start-of-word or after a space)
+          val applied = seg.withColumn("seg",
+            aggregate(split(col("seg"), " "), lit(""),
+              (acc, x) => when(acc === lit(""), x)
+                .when(x === lit(b) &&
+                  (acc === lit(a) || acc.endsWith(lit(" " + a))), concat(acc, x))
+                .otherwise(concat(acc, lit(" "), x))))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          applied.count() // materialize before releasing the parent
+          seg.unpersist()
+          seg = applied
+        }
+      }
+    } finally seg.unpersist()
+    merges.result()
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "n_pairs")
+      .orderBy(col("merge_round"))
+  }
+
+  val d67Sql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (
+             |  SELECT word, count(*) AS freq FROM (
+             |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             |    FROM documents)
+             |  GROUP BY word),
+             |seg0 AS (
+             |  SELECT word, freq,
+             |    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg
+             |  FROM w)""".stripMargin
+    for (r <- 1 to BpeMergeRounds) {
+      sb ++= s""",
+                |p$r AS (
+                |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                |    SELECT freq, unnest(list_transform(range(1, len(sy)),
+                |      i -> {'a': sy[i], 'b': sy[i+1]})) AS pr
+                |    FROM (SELECT freq, string_split(seg, ' ') AS sy FROM seg${r - 1}))
+                |  GROUP BY 1, 2),
+                |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      if (r < BpeMergeRounds)
+        sb ++= s""",
+                  |seg$r AS (
+                  |  SELECT s.word, s.freq,
+                  |    list_reduce(string_split(s.seg, ' '),
+                  |      (acc, x) -> CASE WHEN x = m.b AND (acc = m.a OR acc LIKE ('% ' || m.a))
+                  |                  THEN acc || x ELSE acc || ' ' || x END) AS seg
+                  |  FROM seg${r - 1} s CROSS JOIN m$r m)""".stripMargin
+    }
+    val union = (1 to BpeMergeRounds)
+      .map(r => s"SELECT $r AS merge_round, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, cnt AS n_pairs FROM m$r")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"\nSELECT * FROM (\n  $union)\nORDER BY merge_round"
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d67_bpe_merges" -> (d67BpeMerges _),
     "d64_boilerplate_prefixes" -> (d64BoilerplatePrefixes _),
     "d63_collocations" -> (d63Collocations _),
     "d62_lexical_diversity" -> (d62LexicalDiversity _),
@@ -1426,6 +1542,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d67_bpe_merges" -> d67Sql,
     "d64_boilerplate_prefixes" -> d64Sql,
     "d63_collocations" -> d63Sql,
     "d62_lexical_diversity" -> d62Sql,

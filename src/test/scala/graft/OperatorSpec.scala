@@ -2109,4 +2109,41 @@ class OperatorSpec extends GraftSpec {
     assert(!sketchPlan.contains("Expand"), "a27 must not plan an Expand")
     assert(exactPlan.contains("Expand"), "a20's exact form plans the Expand (adjudicated)")
   }
+
+  test("d67 BPE merges: sequential pure-Scala trainer replayed exactly") {
+    // reference implementation: classic sequential BPE over the same
+    // word-frequency table — greedy left-to-right merge application,
+    // (count desc, pair asc) tie-break. The distributed fold and the
+    // driver replay must agree on every round's pair AND count.
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var segs: Map[Vector[String], Long] =
+      words.groupBy(_._1.map(_.toString).toVector).view.mapValues(_.values.sum).toMap
+    def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      s.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b) out(out.size - 1) = a + b
+        else out += x
+      }
+      out.toVector
+    }
+    val expect = (1 to TextOps.BpeMergeRounds).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      segs.foreach { case (s, f) =>
+        s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      segs = segs.groupBy { case (s, _) => applyMerge(s, a, b) }
+        .view.mapValues(_.values.sum).toMap
+      (r, a, b, a + b, cnt)
+    }
+    val got = TextOps.d67BpeMerges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == expect.toSeq)
+    // merge table sanity: rounds dense from 1, counts positive
+    assert(got.map(_._1).toSeq == (1 to TextOps.BpeMergeRounds).toSeq)
+    got.foreach(m => assert(m._5 > 0))
+  }
 }
