@@ -1173,6 +1173,81 @@ object Etl {
       |  (bin_bytes * 10000) // 4194304 AS fill_bp
       |FROM b ORDER BY y, m, bin_id""".stripMargin
 
+  /** Interleave bit width for a30's Z-value (both keys ≤ 11 bits). */
+  val ZBits = 11
+
+  /** a30: Z-order clustering planner — the CONTENT-key layout pass a25
+    * deliberately does not do (r7 verdict gap #3): a25 packs files by
+    * size in id order; this plans packing in MORTON (Z-curve) order of
+    * the query keys, which is what makes multi-key predicate pruning
+    * cheap on a lakehouse (Delta/Iceberg OPTIMIZE ZORDER BY semantics
+    * — both engines' z-ordering interleaves key bits exactly like
+    * this). Keys here: the user bucket (user_id mod 1024, 10 bits) and
+    * minute-of-day (11 bits) — a point lookup on either key then
+    * touches O(√files) instead of all of them (the Z-curve's range
+    * guarantee). The Z-value interleaves [[ZBits]] bits of each key
+    * (key-a bits at even positions), is integer-exact and
+    * SQL-portable, and the packer is a25's start-offset cumsum at the
+    * MANIFEST grain in (z, file_id) order. Output per (partition,
+    * file): entry count, bytes, the Z-range, and both per-key ranges —
+    * what a rewrite job and a file-pruning scan planner consume.
+    *
+    * At 100 TB: only manifest rows shuffle (one (y, m)-partitioned
+    * window sort in z order); data bytes never move in the PLAN. The
+    * spec proves per-partition Z-range DISJOINTNESS across output
+    * files (boundary ties excepted) — the property pruning relies
+    * on. */
+  def a30ClusterPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 4L * 1024 * 1024
+    def bit(c: Column, i: Int): Column = shiftright(c, i).bitwiseAND(lit(1L))
+    val ka = pmod(col("user_id"), lit(1024L))
+    val kb = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long")
+    val z = (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(bit(ka, i), 2 * i) + shiftleft(bit(kb, i), 2 * i + 1)
+    }
+    val manifest = Tables.events(spark, dir).select(
+      year(col("ts")).as("y"), month(col("ts")).as("m"),
+      col("event_id").as("file_id"),
+      (pmod(pmod(col("event_id"), lit(1048576L)) * lit(2654435761L % 1048576L),
+        lit(1048576L)) + lit(1024L)).as("bytes"),
+      ka.as("ka"), kb.as("kb"), z.as("zval"))
+    val w = Window.partitionBy(col("y"), col("m")).orderBy(col("zval"), col("file_id"))
+    manifest.withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin_id", expr(s"(cum - bytes) div ${target}L"))
+      .groupBy(col("y"), col("m"), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("zval")).as("z_min"), max(col("zval")).as("z_max"),
+        min(col("ka")).as("ka_min"), max(col("ka")).as("ka_max"),
+        min(col("kb")).as("kb_min"), max(col("kb")).as("kb_max"))
+      .orderBy(col("y"), col("m"), col("bin_id"))
+  }
+
+  val a30Sql: String = {
+    val zExpr = (0 until ZBits)
+      .map(i => s"(((ka >> $i) & 1) << ${2 * i}) + (((kb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH k AS (
+       |  SELECT year(CAST(ts AS TIMESTAMP)) AS y, month(CAST(ts AS TIMESTAMP)) AS m,
+       |    event_id AS file_id,
+       |    ((event_id % 1048576) * (2654435761 % 1048576)) % 1048576 + 1024 AS bytes,
+       |    user_id % 1024 AS ka,
+       |    hour(CAST(ts AS TIMESTAMP)) * 60 + minute(CAST(ts AS TIMESTAMP)) AS kb
+       |  FROM events),
+       |f AS (SELECT *, $zExpr AS zval FROM k),
+       |c AS (
+       |  SELECT y, m, bytes, ka, kb, zval,
+       |    sum(bytes) OVER (PARTITION BY y, m ORDER BY zval, file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f)
+       |SELECT y, m, CAST((cum - bytes) // 4194304 AS BIGINT) AS bin_id,
+       |  count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       |  CAST(min(zval) AS BIGINT) AS z_min, CAST(max(zval) AS BIGINT) AS z_max,
+       |  CAST(min(ka) AS BIGINT) AS ka_min, CAST(max(ka) AS BIGINT) AS ka_max,
+       |  CAST(min(kb) AS BIGINT) AS kb_min, CAST(max(kb) AS BIGINT) AS kb_max
+       |FROM c GROUP BY y, m, bin_id
+       |ORDER BY y, m, bin_id""".stripMargin
+  }
+
   /** a24: SCD Type-2 dimension build from the change log — the history
     * the reference's latest-wins compaction (a7) throws away, kept as
     * validity intervals: per entity, consecutive identical states are
@@ -1367,6 +1442,7 @@ object Etl {
       |FROM d ORDER BY y""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a30_cluster_plan" -> (a30ClusterPlan _),
     "a29_status_report" -> (a29StatusReport _),
     "a28_late_data_audit" -> (a28LateDataAudit _),
     "a27_drift_sketch" -> (a27DriftSketch _),
@@ -1398,6 +1474,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a30_cluster_plan" -> a30Sql,
     "a29_status_report" -> a29Sql,
     "a28_late_data_audit" -> a28Sql,
     "a26_retention_plan" -> a26Sql,

@@ -2110,6 +2110,44 @@ class OperatorSpec extends GraftSpec {
     assert(exactPlan.contains("Expand"), "a20's exact form plans the Expand (adjudicated)")
   }
 
+  test("a30 cluster plan: Z-ranges disjoint per partition, interleave exact, bytes conserved") {
+    val rows = Etl.a30ClusterPlan(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // the pruning property: within a partition, output files cover
+    // non-interleaved Z-ranges (boundary ties allowed when one z value
+    // straddles a bin edge), in bin order, bins dense from 0
+    rows.groupBy(_._1).foreach { case (part, bins) =>
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until bins.length).toSeq, s"$part: dense bins")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (lo, hi) = (pair(0), pair(1))
+        assert(lo._5 <= lo._6 && hi._5 <= hi._6, s"$part: z_min <= z_max")
+        assert(lo._6 <= hi._5, s"$part: z-ranges must not interleave: $lo vs $hi")
+      }
+    }
+    // interleave replayed locally on a sample: even bits from ka, odd from kb
+    val sample = Tables.events(spark, sfDir)
+      .select(col("user_id"), hour(col("ts")) * 60 + minute(col("ts"))).limit(200)
+      .collect().map(r => (r.getLong(0) % 1024L, r.getInt(1).toLong))
+    def zOf(ka: Long, kb: Long): Long =
+      (0 until Etl.ZBits).map(i => (((ka >> i) & 1L) << (2 * i)) | (((kb >> i) & 1L) << (2 * i + 1))).sum
+    val zs = sample.map { case (ka, kb) => zOf(ka, kb) }
+    sample.zip(zs).foreach { case ((ka, kb), z) =>
+      // de-interleaving recovers both keys exactly
+      val kaBack = (0 until Etl.ZBits).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val kbBack = (0 until Etl.ZBits).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(kaBack == ka && kbBack == kb)
+    }
+    // bytes conserved vs the a25 manifest (same synthetic sizes)
+    val manifestTotal = Tables.events(spark, sfDir)
+      .select(sum(pmod(pmod(col("event_id"), lit(1048576L)) * lit(2654435761L % 1048576L),
+        lit(1048576L)) + lit(1024L)))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == manifestTotal)
+  }
+
   test("d67 BPE merges: sequential pure-Scala trainer replayed exactly") {
     // reference implementation: classic sequential BPE over the same
     // word-frequency table — greedy left-to-right merge application,
