@@ -189,6 +189,7 @@ object Bench {
     graft.operators.DedupOps.release(spark, sfDir)
     graft.operators.VectorOps.release(spark, sfDir)
     graft.operators.CorpusOps.release(spark, sfDir)
+    graft.operators.TextOps.release(spark, sfDir)
     spark.stop()
     println(line)
   }

@@ -49,6 +49,7 @@ object Verify {
     graft.operators.DedupOps.release(spark, sfDir)
     graft.operators.VectorOps.release(spark, sfDir)
     graft.operators.CorpusOps.release(spark, sfDir)
+    graft.operators.TextOps.release(spark, sfDir)
     spark.stop()
   }
 }

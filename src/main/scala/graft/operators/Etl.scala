@@ -1248,6 +1248,110 @@ object Etl {
        |ORDER BY y, m, bin_id""".stripMargin
   }
 
+  /** Deterministic user-bucket probe points for a31 (spread across the
+    * 1024-bucket key space, off the bin boundaries). */
+  val ZoneProbes: Seq[Long] = (0 until 8).map(i => i * 32L + 7L)
+
+  /** a31: zone-map pruning audit — the MEASUREMENT closing a30's layout
+    * story (Delta/Iceberg file skipping: a scan planner prunes a file
+    * when the predicate value falls outside the file's min/max zone
+    * map; clustering only pays off if those ranges are actually
+    * narrow). For each deterministic point-lookup probe on the user
+    * bucket, count the bins a planner must touch — and the bytes behind
+    * them — under BOTH layouts: a30's Z-order packing and a25's naive
+    * id-order packing, same file manifest, same bin target. The output
+    * is the before/after card that justifies (or rejects) a layout
+    * rewrite; the spec asserts the Z layout never touches more bins
+    * than the naive one in aggregate.
+    *
+    * Scale shape: the manifest frame builds once (one scan, row-local
+    * keys), each layout is one (y, m)-partitioned window sort at
+    * MANIFEST grain, zone maps reduce to the ≤ #bins frame, and the
+    * 8-row probe set cross-joins (broadcast) against that reduced frame
+    * only — data bytes never move, probes never see the corpus. */
+  def a31ZoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = 4L * 1024 * 1024
+    def bit(c: Column, i: Int): Column = shiftright(c, i).bitwiseAND(lit(1L))
+    val ka = pmod(col("user_id"), lit(1024L))
+    val kb = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long")
+    val z = (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(bit(ka, i), 2 * i) + shiftleft(bit(kb, i), 2 * i + 1)
+    }
+    val manifest = Tables.events(spark, dir).select(
+      year(col("ts")).as("y"), month(col("ts")).as("m"),
+      col("event_id").as("file_id"),
+      (pmod(pmod(col("event_id"), lit(1048576L)) * lit(2654435761L % 1048576L),
+        lit(1048576L)) + lit(1024L)).as("bytes"),
+      ka.as("ka"), z.as("zval"))
+    def zoneMaps(order: Seq[Column], tag: String): DataFrame = {
+      val w = Window.partitionBy(col("y"), col("m")).orderBy(order: _*)
+      manifest.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin_id", expr(s"(cum - bytes) div ${target}L"))
+        .groupBy(col("y"), col("m"), col("bin_id"))
+        .agg(min(col("ka")).as("ka_min"), max(col("ka")).as("ka_max"),
+          sum(col("bytes")).as("bin_bytes"))
+        .withColumn("layout", lit(tag))
+    }
+    val zones = zoneMaps(Seq(col("zval"), col("file_id")), "z")
+      .unionByName(zoneMaps(Seq(col("file_id")), "id"))
+    val hit = col("probe_ka").between(col("ka_min"), col("ka_max"))
+    zones.crossJoin(broadcast(ZoneProbes.toDF("probe_ka")))
+      .groupBy(col("probe_ka"))
+      .agg(
+        sum(when(col("layout") === "z", 1L).otherwise(0L)).as("n_bins_z"),
+        sum(when(col("layout") === "id", 1L).otherwise(0L)).as("n_bins_id"),
+        sum(when(col("layout") === "z" && hit, 1L).otherwise(0L)).as("n_hit_z"),
+        sum(when(col("layout") === "id" && hit, 1L).otherwise(0L)).as("n_hit_id"),
+        sum(when(col("layout") === "z" && hit, col("bin_bytes")).otherwise(0L)).as("bytes_hit_z"),
+        sum(when(col("layout") === "id" && hit, col("bin_bytes")).otherwise(0L)).as("bytes_hit_id"))
+      .orderBy(col("probe_ka"))
+  }
+
+  val a31Sql: String = {
+    val zExpr = (0 until ZBits)
+      .map(i => s"(((ka >> $i) & 1) << ${2 * i}) + (((kb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val probeList = ZoneProbes.mkString("[", ", ", "]")
+    s"""WITH k AS (
+       |  SELECT year(CAST(ts AS TIMESTAMP)) AS y, month(CAST(ts AS TIMESTAMP)) AS m,
+       |    event_id AS file_id,
+       |    ((event_id % 1048576) * (2654435761 % 1048576)) % 1048576 + 1024 AS bytes,
+       |    user_id % 1024 AS ka,
+       |    hour(CAST(ts AS TIMESTAMP)) * 60 + minute(CAST(ts AS TIMESTAMP)) AS kb
+       |  FROM events),
+       |f AS (SELECT *, $zExpr AS zval FROM k),
+       |cz AS (
+       |  SELECT y, m, ka, bytes,
+       |    sum(bytes) OVER (PARTITION BY y, m ORDER BY zval, file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f),
+       |zz AS (
+       |  SELECT 'z' AS layout, y, m, CAST((cum - bytes) // 4194304 AS BIGINT) AS bin_id,
+       |    min(ka) AS ka_min, max(ka) AS ka_max, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+       |  FROM cz GROUP BY 2, 3, 4),
+       |ci AS (
+       |  SELECT y, m, ka, bytes,
+       |    sum(bytes) OVER (PARTITION BY y, m ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f),
+       |zi AS (
+       |  SELECT 'id' AS layout, y, m, CAST((cum - bytes) // 4194304 AS BIGINT) AS bin_id,
+       |    min(ka) AS ka_min, max(ka) AS ka_max, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+       |  FROM ci GROUP BY 2, 3, 4),
+       |zones AS (SELECT * FROM zz UNION ALL SELECT * FROM zi),
+       |probes AS (SELECT unnest($probeList) AS probe_ka),
+       |j AS (SELECT * FROM zones CROSS JOIN probes)
+       |SELECT probe_ka,
+       |  CAST(sum(CASE WHEN layout = 'z' THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_z,
+       |  CAST(sum(CASE WHEN layout = 'id' THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_id,
+       |  CAST(sum(CASE WHEN layout = 'z' AND probe_ka BETWEEN ka_min AND ka_max THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_z,
+       |  CAST(sum(CASE WHEN layout = 'id' AND probe_ka BETWEEN ka_min AND ka_max THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_id,
+       |  CAST(sum(CASE WHEN layout = 'z' AND probe_ka BETWEEN ka_min AND ka_max THEN bin_bytes ELSE 0 END) AS BIGINT) AS bytes_hit_z,
+       |  CAST(sum(CASE WHEN layout = 'id' AND probe_ka BETWEEN ka_min AND ka_max THEN bin_bytes ELSE 0 END) AS BIGINT) AS bytes_hit_id
+       |FROM j GROUP BY probe_ka ORDER BY probe_ka""".stripMargin
+  }
+
   /** a24: SCD Type-2 dimension build from the change log — the history
     * the reference's latest-wins compaction (a7) throws away, kept as
     * validity intervals: per entity, consecutive identical states are
@@ -1442,6 +1546,7 @@ object Etl {
       |FROM d ORDER BY y""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a31_zone_map_audit" -> (a31ZoneMapAudit _),
     "a30_cluster_plan" -> (a30ClusterPlan _),
     "a29_status_report" -> (a29StatusReport _),
     "a28_late_data_audit" -> (a28LateDataAudit _),
@@ -1474,6 +1579,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a31_zone_map_audit" -> a31Sql,
     "a30_cluster_plan" -> a30Sql,
     "a29_status_report" -> a29Sql,
     "a28_late_data_audit" -> a28Sql,

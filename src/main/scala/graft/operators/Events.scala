@@ -1042,7 +1042,61 @@ object Events {
       |  (n_events * 10000) // total AS share_bp
       |FROM t ORDER BY event_type, dow_idx""".stripMargin
 
+  /** Trailing baseline span (hours) and minimum observed baseline hours
+    * for c25 — a burst needs an established rate to burst against. */
+  val BurstBaselineHours = 24
+  val BurstMinBaseline = 6
+
+  /** c25: hourly burst detection per event type (Kleinberg-lite — the
+    * rate-spike view c12's per-day z-test can't see: a 1-hour flood
+    * inside an average day disappears at day grain): an hour bursts
+    * when its count exceeds 3× the trailing-24h mean rate, with a
+    * ≥ [[BurstMinBaseline]]-hour observed baseline so cold starts never
+    * flag. The test is cross-multiplied integers
+    * (`cnt · base_hours > 3 · base_cnt`) — no float rate, engine-exact.
+    * Hours ride as integer epoch-hour indexes (the c14 portability
+    * idiom), and the trailing window is RANGE over that index, so
+    * missing hours (sparse types) count toward time correctly rather
+    * than sliding over 24 populated ROWS.
+    *
+    * Scale shape: one scan reduced map-side to (type, hour) counts;
+    * the range window runs over that ≤ |types|·|hours| frame — at
+    * 100 TB a year of hours × thousands of types is ~10⁷ rows, nothing
+    * against the corpus. Per-type partitions are hour-grain (bounded),
+    * so no hot-key hazard. */
+  def c25BurstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+      .rangeBetween(-BurstBaselineHours, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("base_hours", count(lit(1)).over(tw))
+      .withColumn("base_cnt", coalesce(sum(col("cnt")).over(tw), lit(0L)))
+      .filter(col("base_hours") >= BurstMinBaseline &&
+        col("cnt") * col("base_hours") > lit(3) * col("base_cnt"))
+      .select(col("event_type"), col("hour_idx"), col("cnt"),
+        col("base_hours"), col("base_cnt"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
+  val c25Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx
+       |  FROM events),
+       |h AS (SELECT event_type, hour_idx, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |b AS (
+       |  SELECT *, count(*) OVER tw AS base_hours,
+       |    COALESCE(sum(cnt) OVER tw, 0) AS base_cnt
+       |  FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour_idx
+       |    RANGE BETWEEN $BurstBaselineHours PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, hour_idx, cnt,
+       |  CAST(base_hours AS BIGINT) AS base_hours, CAST(base_cnt AS BIGINT) AS base_cnt
+       |FROM b WHERE base_hours >= $BurstMinBaseline AND cnt * base_hours > 3 * base_cnt
+       |ORDER BY event_type, hour_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c25_burst_detect" -> (c25BurstDetect _),
     "c24_dow_profile" -> (c24DowProfile _),
     "c23_user_lifetime" -> (c23UserLifetime _),
     "c22_asof_forward" -> (c22AsofForward _),
@@ -1069,6 +1123,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c25_burst_detect" -> c25Sql,
     "c24_dow_profile" -> c24Sql,
     "c23_user_lifetime" -> c23Sql,
     "c22_asof_forward" -> c22Sql,

@@ -1425,34 +1425,53 @@ object TextOps {
     * branch of Spark's aggregate()). */
   def d67BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.storage.StorageLevel
-    val base = Tables.documents(spark, dir)
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word"), col("freq"),
-        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"))
-    var seg = base.persist(StorageLevel.MEMORY_AND_DISK)
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    try {
-      for (r <- 1 to BpeMergeRounds) {
-        val syms = split(col("seg"), " ")
-        val top = seg
-          .select(col("freq"), explode(when(size(syms) >= 2,
-            transform(sequence(lit(1), size(syms) - 1),
-              i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
-            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
-        require(top.nonEmpty, s"corpus exhausted all adjacent pairs before round $r")
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, a, b, a + b, cnt))
-        if (r < BpeMergeRounds) {
+    bpeTrained(spark, dir)._1
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "n_pairs")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Memoized BPE training artifacts per (session, dataset): the k-round
+    * merge table plus the FINAL segmentation of the word-type table with
+    * ALL k merges applied (persisted — the trained tokenizer's encoding
+    * of every vocabulary type). d67 reads the merge table; d68 encodes
+    * the corpus against the final segmentation. Training runs once per
+    * (session, dir); [[release]] / [[releaseSession]] evict (the
+    * DedupOps shared-subplan lifecycle, DedupOps.scala:59). */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Int, String, String, String, Long)], DataFrame)]()
+
+  private[operators] def bpeTrained(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = bpeCache.synchronized {
+    val key = (spark, dir)
+    Option(bpeCache.get(key)).getOrElse {
+      import org.apache.spark.storage.StorageLevel
+      val base = Tables.documents(spark, dir)
+        .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"),
+          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seg"))
+      var seg = base.persist(StorageLevel.MEMORY_AND_DISK)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      try {
+        for (r <- 1 to BpeMergeRounds) {
+          val syms = split(col("seg"), " ")
+          val top = seg
+            .select(col("freq"), explode(when(size(syms) >= 2,
+              transform(sequence(lit(1), size(syms) - 1),
+                i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect()
+          require(top.nonEmpty, s"corpus exhausted all adjacent pairs before round $r")
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, a + b, cnt))
           // greedy left-to-right merge: the accumulator is the
           // space-joined output; a right symbol lands WITHOUT a space
           // iff the accumulator currently ends in exactly the left
-          // symbol (start-of-word or after a space)
+          // symbol (start-of-word or after a space). Round k's merge is
+          // applied too — the final frame IS the trained encoding.
           val applied = seg.withColumn("seg",
             aggregate(split(col("seg"), " "), lit(""),
               (acc, x) => when(acc === lit(""), x)
@@ -1464,14 +1483,73 @@ object TextOps {
           seg.unpersist()
           seg = applied
         }
-      }
-    } finally seg.unpersist()
-    merges.result()
-      .toDF("merge_round", "left_sym", "right_sym", "merged", "n_pairs")
-      .orderBy(col("merge_round"))
+      } catch { case t: Throwable => seg.unpersist(); throw t }
+      val out = (merges.result(), seg)
+      bpeCache.put(key, out)
+      out
+    }
   }
 
-  val d67Sql: String = {
+  /** Evict the BPE artifacts for (session, dataset) — unpersist the
+    * final segmentation and drop the memo entry. Same contract as
+    * DedupOps.release: jobs that trained over `dir` call this when done
+    * (Verify/Bench teardown do). */
+  def release(spark: SparkSession, dir: String): Unit = bpeCache.synchronized {
+    Option(bpeCache.remove((spark, dir))).foreach(_._2.unpersist(blocking = true))
+  }
+
+  /** Release all BPE artifacts owned by `spark` (session shutdown). */
+  def releaseSession(spark: SparkSession): Unit = bpeCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    bpeCache.keySet().asScala.filter(_._1 eq spark).toSeq
+      .foreach(k => bpeCache.remove(k)._2.unpersist(blocking = true))
+  }
+
+  /** d68: BPE corpus encoding + per-source fertility audit — the
+    * APPLICATION step closing d67's training loop (train → encode →
+    * audit; d27 audits the whitespace/regex pre-tokenizer, this audits
+    * the LEARNED subword tokenizer the pipeline would actually ship).
+    * Per source: word occurrences, BPE tokens emitted, distinct word
+    * types, fertility (BPE tokens per word) and the share of
+    * occurrences encoded as a single whole-word token — the two numbers
+    * a tokenizer owner reads per domain (high fertility = the merge
+    * table serves this source badly; training mixtures then reweight or
+    * the vocab grows).
+    *
+    * Scale shape: encoding is a VOCAB-grain dictionary lookup, not
+    * corpus work — the final segmentation frame is Heaps-law sized, so
+    * per-word token counts are row-local `size(split(seg))` over it.
+    * The corpus pays one scan reduced map-side to (source, word type,
+    * occurrences); the encode join is a token-keyed dictionary
+    * equi-join, never broadcast-assumed (the d26/d48 adjudication —
+    * web-scale type counts run 10⁸+), and AQE still broadcasts it at
+    * test SF. Per-source aggregates ride the join output's existing
+    * partitioning into a ≤|sources| reduce. Training itself is
+    * memoized ([[bpeTrained]]) — a session running d67+d68 trains
+    * once. */
+  def d68BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeTrained(spark, dir)._2
+      .select(col("word"), size(split(col("seg"), " ")).cast("long").as("n_sym"))
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("occ"))
+    sw.join(enc, Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("n_sym")).as("n_bpe_tokens"),
+        count(lit(1)).as("n_word_types"),
+        sum(when(col("n_sym") === 1L, col("occ")).otherwise(0L)).as("n_whole_word"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"), col("n_word_types"),
+        expr("(n_bpe_tokens * 10000) div n_words").as("fertility_bp"),
+        expr("(n_whole_word * 10000) div n_words").as("whole_word_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared DuckDB CTE chain replaying d67's k training rounds
+    * (w → seg0 → p_r/m_r[/seg_r]). `withFinalSeg` also applies round
+    * k's merge so seg$k is the trained encoding d68 consumes. */
+  private def bpeCtesSql(withFinalSeg: Boolean): String = {
     val sb = new StringBuilder
     sb ++= """WITH w AS (
              |  SELECT word, count(*) AS freq FROM (
@@ -1491,7 +1569,7 @@ object TextOps {
                 |    FROM (SELECT freq, string_split(seg, ' ') AS sy FROM seg${r - 1}))
                 |  GROUP BY 1, 2),
                 |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
-      if (r < BpeMergeRounds)
+      if (r < BpeMergeRounds || withFinalSeg)
         sb ++= s""",
                   |seg$r AS (
                   |  SELECT s.word, s.freq,
@@ -1500,15 +1578,42 @@ object TextOps {
                   |                  THEN acc || x ELSE acc || ' ' || x END) AS seg
                   |  FROM seg${r - 1} s CROSS JOIN m$r m)""".stripMargin
     }
+    sb.toString
+  }
+
+  val d67Sql: String = {
     val union = (1 to BpeMergeRounds)
       .map(r => s"SELECT $r AS merge_round, a AS left_sym, b AS right_sym, " +
         s"a || b AS merged, cnt AS n_pairs FROM m$r")
       .mkString("\n  UNION ALL ")
-    sb ++= s"\nSELECT * FROM (\n  $union)\nORDER BY merge_round"
-    sb.toString
+    bpeCtesSql(withFinalSeg = false) +
+      s"\nSELECT * FROM (\n  $union)\nORDER BY merge_round"
   }
 
+  val d68Sql: String =
+    bpeCtesSql(withFinalSeg = true) + s""",
+      |enc AS (
+      |  SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sym
+      |  FROM seg$BpeMergeRounds),
+      |sw AS (
+      |  SELECT source, word, count(*) AS occ FROM (
+      |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source,
+      |    CAST(sum(occ) AS BIGINT) AS n_words,
+      |    CAST(sum(occ * n_sym) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_word_types,
+      |    CAST(sum(CASE WHEN n_sym = 1 THEN occ ELSE 0 END) AS BIGINT) AS n_whole_word
+      |  FROM sw JOIN enc USING (word) GROUP BY source)
+      |SELECT source, n_words, n_bpe_tokens, n_word_types,
+      |  (n_bpe_tokens * 10000) // n_words AS fertility_bp,
+      |  (n_whole_word * 10000) // n_words AS whole_word_bp
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d68_bpe_encode" -> (d68BpeEncode _),
     "d67_bpe_merges" -> (d67BpeMerges _),
     "d64_boilerplate_prefixes" -> (d64BoilerplatePrefixes _),
     "d63_collocations" -> (d63Collocations _),
@@ -1542,6 +1647,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d68_bpe_encode" -> d68Sql,
     "d67_bpe_merges" -> d67Sql,
     "d64_boilerplate_prefixes" -> d64Sql,
     "d63_collocations" -> d63Sql,

@@ -255,6 +255,7 @@ object VectorOps {
     centroidCache.keySet().asScala
       .filter(k => (k._1 eq spark) && k._2 == dir).toSeq
       .foreach(centroidCache.remove)
+    pqCache.remove((spark, dir))
     countCache.remove((spark, dir))
     subplanCache.synchronized {
       subplanCache.keySet().asScala
@@ -269,6 +270,8 @@ object VectorOps {
     import scala.jdk.CollectionConverters._
     centroidCache.keySet().asScala.filter(_._1 eq spark).toSeq
       .foreach(centroidCache.remove)
+    pqCache.keySet().asScala.filter(_._1 eq spark).toSeq
+      .foreach(pqCache.remove)
     countCache.keySet().asScala.filter(_._1 eq spark).toSeq
       .foreach(countCache.remove)
     subplanCache.synchronized {
@@ -868,7 +871,243 @@ object VectorOps {
        |GROUP BY e.query_id
        |ORDER BY e.query_id""".stripMargin
 
+  // ---- d69: product-quantization ANN (the compression half of IVF-PQ,
+  // Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  // Search", IEEE TPAMI 33(1)) -------------------------------------------
+
+  /** Subspace count × sub-dimension tiles the 64-dim embedding. */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  /** Codes per subspace codebook. 16 codes × 8 subspaces (16⁸
+    * signatures) — enough resolution for the recall spec at
+    * test SF while keeping the oracle's CTE chain bounded; production
+    * tables run K=256 (1 byte per subspace) with the identical plan
+    * shape. */
+  val PqCodes = 16
+  /** Per-subspace Lloyd refinement rounds (d12's quantized-update
+    * discipline; each is an offline index-build pass). */
+  val PqLloydIters = 2
+  /** ADC shortlist size per query for the exact re-rank pass. */
+  val PqShortlist = 50
+
+  /** m-th subvector (1-based slice, matches DuckDB's `l[a:b]`). */
+  private def pqSlice(v: Column, m: Int): Column =
+    slice(v, m * PqSubDim + 1, PqSubDim)
+
+  /** Bit-portable squared-L2 via three NATIVE dot products:
+    * |a|² + |c|² − 2·a·c. No per-component HOF in the corpus path, and
+    * the identical three-term expression (same adds, same order)
+    * replays in DuckDB, so assignment argmins agree bit-for-bit. L2 is
+    * PQ's native metric — unlike cosine it needs no norm division, so
+    * no NaN corner on a zero subvector. */
+  private def l2sq(a: Column, c: Column): Column =
+    dot(a, a) + dot(c, c) - lit(2.0) * dot(a, c)
+
+  /** In-row nearest-code argmin over broadcast literal sub-centroids
+    * (ties to the smaller code) — zero shuffle, the nearestCid shape. */
+  private def pqAssign(cb: Seq[(Int, Seq[Float])], sub: Column): Column =
+    if (cb.sizeIs == 1) lit(cb.head._1)
+    else least(cb.map { case (code, ce) =>
+      struct(l2sq(sub, floatArrayLit(ce)).as("d"), lit(code).as("c"))
+    }: _*).getField("c")
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[(Int, Seq[Float])]]]()
+
+  /** All [[PqSubspaces]] codebooks, trained together and memoized: seed
+    * vectors (smallest Knuth hash — the d12 idiom, one bounded collect
+    * shared by every subspace) then [[PqLloydIters]] rounds of quantized
+    * Lloyd PER SUBSPACE. Each round's update aggregates ≤ K×subdim rows
+    * to the driver; the corpus never shuffles. Empty codes drop (k
+    * shrinks) — the oracle replays that too. */
+  private[operators] def pqCodebooks(spark: SparkSession, dir: String)
+      : Seq[Seq[(Int, Seq[Float])]] = pqCache.synchronized {
+    val key = (spark, dir)
+    Option(pqCache.get(key)).getOrElse {
+      val emb = Tables.embeddings(spark, dir)
+      val seedRows = emb
+        .withColumn("h",
+          pmod(pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L)))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(PqCodes)
+        .select(col("embedding"))
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Float](0) }
+        .toSeq
+      val out = (0 until PqSubspaces).map { m =>
+        val seeds = seedRows.map { case (code, v) =>
+          code -> v.slice(m * PqSubDim, (m + 1) * PqSubDim) }
+        (1 to PqLloydIters).foldLeft(seeds) { (cb, _) =>
+          val sub = pqSlice(col("embedding"), m)
+          val upd = emb
+            .select(pqAssign(cb, sub).as("code"), posexplode(sub).as(Seq("pos", "v")))
+            .groupBy(col("code"), col("pos"))
+            .agg(sum(floor(col("v").cast("double") * QuantScale).cast("long")).as("s"),
+              count(lit(1)).as("cnt"))
+            .collect()
+            .groupBy(_.getInt(0))
+            .toSeq
+            .map { case (code, rows) =>
+              code -> rows.sortBy(_.getInt(1))
+                .map(r => (r.getLong(2).toDouble / (QuantScale * r.getLong(3))).toFloat)
+                .toSeq
+            }
+            .sortBy(_._1)
+          if (upd.isEmpty) cb else upd
+        }
+      }
+      pqCache.put(key, out)
+      out
+    }
+  }
+
+  /** d69: PQ asymmetric-distance ANN — the MEMORY-bounded scale path the
+    * IVF family (d12/d17) doesn't cover: 64 float32 components (256 B)
+    * compress to [[PqSubspaces]] small codes (≤ 8 B, 4 B at K=256), so a 10¹⁰-vector
+    * corpus's index fits ~40 GB instead of 2.5 TB and scoring reads
+    * codes, never raw vectors. Encode is an in-row argmin per subspace
+    * (pure projection, zero shuffle). Queries (bounded: vec_id <
+    * [[NumQueries]]) collect to the driver and their ADC lookup tables
+    * — dot(query subvector, sub-centroid), M×K doubles per query — bake
+    * into LITERAL when-chains, so corpus scoring is one codegen'd
+    * projection over the code columns: no join at all, the classic ADC
+    * table-scan. Approximate score = Σ_m LUT[m][code_m] (fixed
+    * left-to-right add order, replayed verbatim in SQL); the per-query
+    * ADC top-[[PqShortlist]] shortlist (bounded TopKAgg merge) is then
+    * RE-RANKED exactly — only queries×R shortlist rows ever touch raw
+    * vectors again, via broadcast equi-joins — and the exact-cosine
+    * top-k ships (Jégou's IVFADC-R: codes prune, floats decide). At
+    * 100 TB this composes with d12's inverted lists (probe the IVF
+    * cell, ADC-scan its codes, re-rank the shortlist). */
+  def d69AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = pqCodebooks(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    def dotD(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val qs = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val codeCols = (0 until PqSubspaces).map(m =>
+      pqAssign(cbs(m), pqSlice(col("embedding"), m)).as(s"c$m"))
+    val encoded = emb.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    val scoreStructs = array(qs.map { case (qid, qv) =>
+      val adc = (0 until PqSubspaces).map { m =>
+        val qsub = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        val cb = cbs(m)
+        cb.tail.foldLeft(
+          when(col(s"c$m") === cb.head._1, lit(dotD(qsub, cb.head._2)))) {
+          case (acc, (code, ce)) => acc.when(col(s"c$m") === code, lit(dotD(qsub, ce)))
+        }
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("cos"))
+    }: _*)
+    val scored = encoded
+      .select(col("neighbor_id"), explode(scoreStructs).as("s"))
+      .select(col("s.query_id").as("query_id"), col("neighbor_id"), col("s.cos").as("cos"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    // ADC shortlist → exact re-rank (Jégou's IVFADC-R): only the
+    // queries×R shortlist ever touches raw vectors again — a broadcast
+    // equi-join against the corpus, then exact cosine on ≤ q·R rows.
+    val shortlist = topKPerQuery(scored, PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val qe = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = broadcast(shortlist)
+      .join(cand, Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("cos"))
+    topKPerQuery(exact)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private def duckDotSub(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def duckL2sq(a: String, b: String): String =
+    s"${duckDotSub(a, a)} + ${duckDotSub(b, b)} - 2.0 * ${duckDotSub(a, b)}"
+
+  /** DuckDB replay of the full PQ pipeline: same seeds, same quantized
+    * per-subspace Lloyd, same L2 argmin encode, same LUT join (the SQL
+    * form of the literal-baked when-chain), same fixed-order ADC sum. */
+  val d69Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS INTEGER) - 1 AS code,
+       |    embedding AS se
+       |  FROM embeddings ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT $PqCodes)""".stripMargin
+    for (m <- 0 until PqSubspaces) {
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      sb ++= s""",
+         |cb${m}_0 AS (SELECT code, se[$lo:$hi] AS ce FROM seeds)""".stripMargin
+      for (i <- 1 to PqLloydIters) {
+        sb ++= s""",
+           |asg${m}_$i AS (
+           |  SELECT vec_id, sub, code FROM (
+           |    SELECT e.vec_id, e.embedding[$lo:$hi] AS sub, c.code,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2sq(s"e.embedding[$lo:$hi]", "c.ce")} ASC, c.code) AS rn
+           |    FROM embeddings e CROSS JOIN cb${m}_${i - 1} c) t WHERE rn = 1),
+           |cb${m}_${i}_sums AS (
+           |  SELECT code, pos, CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+           |      / (1048576.0 * count(*)) AS comp
+           |  FROM (SELECT code, unnest(sub) AS v, unnest(range(1, ${PqSubDim + 1})) AS pos FROM asg${m}_$i)
+           |  GROUP BY code, pos),
+           |cb${m}_$i AS (
+           |  SELECT code, list(CAST(comp AS FLOAT) ORDER BY pos) AS ce FROM cb${m}_${i}_sums GROUP BY code)""".stripMargin
+      }
+      sb ++= s""",
+         |enc$m AS (
+         |  SELECT vec_id, code AS c$m FROM (
+         |    SELECT e.vec_id, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2sq(s"e.embedding[$lo:$hi]", "c.ce")} ASC, c.code) AS rn
+         |    FROM embeddings e CROSS JOIN cb${m}_$PqLloydIters c) t WHERE rn = 1),
+         |lut$m AS (
+         |  SELECT q.vec_id AS query_id, c.code, ${duckDotSub(s"q.embedding[$lo:$hi]", "c.ce")} AS v
+         |  FROM embeddings q CROSS JOIN cb${m}_$PqLloydIters c WHERE q.vec_id < $NumQueries)""".stripMargin
+    }
+    val encJoin = (1 until PqSubspaces)
+      .map(m => s"JOIN enc$m e$m USING (vec_id)").mkString(" ")
+    val encCols = (0 until PqSubspaces).map(m => s"e$m.c$m").mkString(", ")
+    val lutJoins = (0 until PqSubspaces).map { m =>
+      if (m == 0) s"JOIN lut0 l0 ON l0.code = e.c0"
+      else s"JOIN lut$m l$m ON l$m.query_id = l0.query_id AND l$m.code = e.c$m"
+    }.mkString("\n  ")
+    val adcSum = (0 until PqSubspaces).map(m => s"l$m.v").mkString(" + ")
+    sb ++= s""",
+       |enc AS (
+       |  SELECT vec_id, $encCols
+       |  FROM enc0 e0 $encJoin),
+       |scored AS (
+       |  SELECT l0.query_id, e.vec_id AS neighbor_id, $adcSum AS adc
+       |  FROM enc e
+       |  $lutJoins
+       |  WHERE e.vec_id <> l0.query_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+       |    FROM scored) t WHERE rnk <= $PqShortlist),
+       |exact AS (
+       |  SELECT s.query_id, s.neighbor_id, ${duckCosine("q.embedding", "n.embedding")} AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings n ON n.vec_id = s.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d69_ann_pq" -> (d69AnnPq _),
     "d65_ann_recall" -> (d65AnnRecall _),
     "d45_semdedup" -> (d45SemDedup _),
     "d44_embed_quantize" -> (d44EmbedQuantize _),
@@ -880,6 +1119,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d69_ann_pq" -> d69Sql,
     "d65_ann_recall" -> d65Sql,
     "d45_semdedup" -> d45Sql,
     "d44_embed_quantize" -> d44Sql,

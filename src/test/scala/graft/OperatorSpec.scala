@@ -739,6 +739,68 @@ class OperatorSpec extends GraftSpec {
     assert(again == sampled, "sampled refinement is not deterministic across reruns")
   }
 
+  test("d69 PQ-ADC: rank shape, recall floor vs exact, deterministic rerun") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqDf = VectorOps.d69AnnPq(spark, sfDir)
+    val rows = pqDf.collect()
+    // per query: exactly TopK ranked rows, ranks dense 1..k, adc
+    // non-increasing in rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, qr) =>
+      val byRank = qr.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to VectorOps.TopK).toSeq)
+      val adcs = byRank.map(_.getDouble(2)).toSeq
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a >= b })
+    }
+    // ADC shortlists, exact cosine re-ranks: recall@5 is bounded by
+    // ADC recall@50, measured 0.74 at sf0.01 — floor set conservatively
+    val brute = pairs(VectorOps.d9CosineTopk(spark, sfDir))
+    val pq = pairs(pqDf)
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.4, s"PQ recall@5 vs exact = $recall below floor")
+    // determinism: retrain from scratch → bit-identical result set
+    VectorOps.release(spark, sfDir)
+    assert(pairs(VectorOps.d69AnnPq(spark, sfDir)) == pq,
+      "PQ pipeline is not deterministic across retrains")
+  }
+
+  test("c25 burst detection: pure-Scala trailing-window replay") {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h").count().collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val expect = hourly.keys.toSeq.flatMap { case (t, h) =>
+      val base = (h - Events.BurstBaselineHours to h - 1)
+        .flatMap(hb => hourly.get((t, hb)))
+      val cnt = hourly((t, h))
+      if (base.size >= Events.BurstMinBaseline && cnt * base.size > 3 * base.sum)
+        Some((t, h, cnt, base.size.toLong, base.sum))
+      else None
+    }.sortBy(x => (x._1, x._2))
+    val got = Events.c25BurstDetect(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
+  test("a31 zone-map audit: Z layout prunes at least as well as id layout") {
+    val rows = Etl.a31ZoneMapAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // at least one probe must land inside the observed key space —
+    // a fully-vacuous probe set audits nothing
+    assert(rows.exists(_.getLong(3) > 0), "all probes vacuous (no bins hit)")
+    rows.foreach { r =>
+      val (nBinsZ, nBinsId, hitZ, hitId) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hitZ <= nBinsZ && hitId <= nBinsId)
+    }
+    // the clustering claim, in aggregate: Z-ordered zone maps never
+    // touch more bins or bytes than the naive id-order layout
+    val (sumZ, sumId) = (rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    val (byZ, byId) = (rows.map(_.getLong(5)).sum, rows.map(_.getLong(6)).sum)
+    assert(sumZ <= sumId, s"Z layout touched MORE bins ($sumZ) than id layout ($sumId)")
+    assert(byZ <= byId, s"Z layout touched MORE bytes ($byZ) than id layout ($byId)")
+  }
+
   test("d13 finds planted exact and near duplicates above tau") {
     val base = Tables.embeddings(spark, sfDir).limit(50)
       .select(col("vec_id"), col("embedding"))
@@ -2183,5 +2245,46 @@ class OperatorSpec extends GraftSpec {
     // merge table sanity: rounds dense from 1, counts positive
     assert(got.map(_._1).toSeq == (1 to TextOps.BpeMergeRounds).toSeq)
     got.foreach(m => assert(m._5 > 0))
+  }
+
+  test("d68 BPE encode: pure-Scala merge application + per-source fertility replay") {
+    // the merge table itself is proven ≡ the sequential trainer by the
+    // d67 spec; here we apply it greedily left-to-right in pure Scala to
+    // every word occurrence and recompute the per-source fertility card.
+    val merges = TextOps.d67BpeMerges(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      s.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b) out(out.size - 1) = a + b
+        else out += x
+      }
+      out.toVector
+    }
+    val enc = scala.collection.mutable.Map[String, Int]() // word -> n_sym
+    def nSym(w: String): Int = enc.getOrElseUpdate(w,
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (s, (a, b)) => applyMerge(s, a, b) }.size)
+    val occ = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).map(w => (r.getString(0), w))
+      }
+    val expect = occ.groupBy(_._1).map { case (src, ws) =>
+      val words = ws.map(_._2)
+      val nWords = words.length.toLong
+      val nTok = words.map(w => nSym(w).toLong).sum
+      val nTypes = words.distinct.length.toLong
+      val nWhole = words.count(w => nSym(w) == 1).toLong
+      (src, nWords, nTok, nTypes, nTok * 10000 / nWords, nWhole * 10000 / nWords)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.d68BpeEncode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // fertility sanity: every word emits ≥1 token and ≤ its char count
+    got.foreach { case (_, nw, nt, _, fert, _) =>
+      assert(nt >= nw); assert(fert >= 10000)
+    }
   }
 }
