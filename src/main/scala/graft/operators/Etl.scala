@@ -1545,7 +1545,68 @@ object Etl {
       |  done_bp - lag(done_bp) OVER (ORDER BY y) AS done_bp_delta
       |FROM d ORDER BY y""".stripMargin
 
+  /** a32: hourly backfill plan — the gap detector that closes the a18
+    * incremental story: a18 selects the partitions that ARRIVED
+    * recently; nothing yet finds the hours that never arrived at all (an
+    * upstream outage leaves silent holes a recency rule can't see).
+    * Per source: each maximal run of missing hours inside the source's
+    * own observed [min, max] hour span, as a backfill work item
+    * (run start/end/length) — the frame an orchestrator feeds straight
+    * into per-hour re-collection jobs, ordered oldest-first per source.
+    *
+    * Shape: the (source, hour) reduce derives twice (two map-side-
+    * reduced pruned scans — spine bounds and the anti-join side); the spine
+    * is sequence(min,max) per source — TIME-bounded, not data-bounded
+    * (a year is 8 760 rows/source at the manifest grain, regardless of
+    * corpus bytes); missing = spine anti-join observed; runs form via
+    * the gaps-and-islands constant `hour − row_number()` (the c20
+    * idiom) with per-source windows over the bounded missing frame.
+    * Engine-portable: integer epoch-hours only, no calendar functions. */
+  def a32BackfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    val observed = Tables.events(spark, dir)
+      .select(col("event_type").as("source"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      .groupBy(col("source"), col("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = observed.groupBy(col("source"))
+      .agg(min(col("hour_idx")).as("mn"), max(col("hour_idx")).as("mx"))
+      .select(col("source"), explode(sequence(col("mn"), col("mx"))).as("hour_idx"))
+    val missing = spine.join(observed.select(col("source"), col("hour_idx")),
+      Seq("source", "hour_idx"), "left_anti")
+    val w = Window.partitionBy(col("source")).orderBy(col("hour_idx"))
+    missing
+      .withColumn("island", col("hour_idx") - row_number().over(w))
+      .groupBy(col("source"), col("island"))
+      .agg(min(col("hour_idx")).as("gap_start_hour"),
+        max(col("hour_idx")).as("gap_end_hour"),
+        count(lit(1)).as("n_missing_hours"))
+      .select(col("source"), col("gap_start_hour"), col("gap_end_hour"),
+        col("n_missing_hours"))
+      .orderBy(col("source"), col("gap_start_hour"))
+  }
+
+  val a32Sql: String =
+    """WITH obs AS (
+      |  SELECT event_type AS source,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT source, min(hour_idx) AS mn, max(hour_idx) AS mx FROM obs GROUP BY 1),
+      |spine AS (
+      |  SELECT source, unnest(range(mn, mx + 1)) AS hour_idx FROM span),
+      |missing AS (
+      |  SELECT s.source, s.hour_idx FROM spine s
+      |  ANTI JOIN obs o ON o.source = s.source AND o.hour_idx = s.hour_idx),
+      |isl AS (
+      |  SELECT source, hour_idx,
+      |    hour_idx - row_number() OVER (PARTITION BY source ORDER BY hour_idx) AS island
+      |  FROM missing)
+      |SELECT source, min(hour_idx) AS gap_start_hour, max(hour_idx) AS gap_end_hour,
+      |  count(*) AS n_missing_hours
+      |FROM isl GROUP BY source, island
+      |ORDER BY source, gap_start_hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a32_backfill_plan" -> (a32BackfillPlan _),
     "a31_zone_map_audit" -> (a31ZoneMapAudit _),
     "a30_cluster_plan" -> (a30ClusterPlan _),
     "a29_status_report" -> (a29StatusReport _),
@@ -1579,6 +1640,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a32_backfill_plan" -> a32Sql,
     "a31_zone_map_audit" -> a31Sql,
     "a30_cluster_plan" -> a30Sql,
     "a29_status_report" -> a29Sql,

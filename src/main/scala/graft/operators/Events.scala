@@ -1095,7 +1095,99 @@ object Events {
        |FROM b WHERE base_hours >= $BurstMinBaseline AND cnt * base_hours > 3 * base_cnt
        |ORDER BY event_type, hour_idx""".stripMargin
 
+  /** Level-shift window span (days each side) and minimum observed days
+    * per side for c26 — a shift needs established levels on BOTH sides. */
+  val ShiftSpanDays = 7
+  val ShiftMinDays = 5
+  val ShiftTopK = 3
+
+  /** c26: level-shift (change-point) ranking per event type — the
+    * SUSTAINED regime change neither sibling sees: c12's per-day z-test
+    * flags single outlier days, c25 flags 1-hour floods; a deploy or
+    * traffic migration shifts the whole daily level and stays there.
+    * Each day is scored by the symmetric ratio of its trailing-7d vs
+    * leading-7d mean daily rate (max/min of the two cross-products, so
+    * up- and down-shifts rank on one scale), and the top
+    * [[ShiftTopK]] days per type are emitted with direction. The ratio
+    * is ONE IEEE division of exact int64 cross-products (the d62
+    * discipline — deterministic on any engine); ordering ties break on
+    * day_idx. Days are integer epoch-day indexes (the c24
+    * calendar-convention-free idiom) and both windows are RANGE over
+    * that index, so sparse types weight missing days correctly.
+    *
+    * Scale shape: one scan reduced map-side to (type, day) counts; all
+    * windows run over that ≤ |types|·|days| frame (~10⁶ rows for years
+    * × thousands of types — nothing against the corpus), partitioned by
+    * type so no single-partition collapse. */
+  def c26LevelShift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val wb = base.rangeBetween(-ShiftSpanDays, -1)
+    val wa = base.rangeBetween(1, ShiftSpanDays)
+    val scored = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_date(to_date(ts))").as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("before_days", count(lit(1)).over(wb))
+      .withColumn("before_cnt", coalesce(sum(col("cnt")).over(wb), lit(0L)))
+      .withColumn("after_days", count(lit(1)).over(wa))
+      .withColumn("after_cnt", coalesce(sum(col("cnt")).over(wa), lit(0L)))
+      .filter(col("before_days") >= ShiftMinDays && col("after_days") >= ShiftMinDays &&
+        col("before_cnt") > 0 && col("after_cnt") > 0)
+      .withColumn("up_x", col("after_cnt") * col("before_days"))
+      .withColumn("dn_x", col("before_cnt") * col("after_days"))
+      .withColumn("shift_ratio",
+        greatest(col("up_x"), col("dn_x")).cast("double") / least(col("up_x"), col("dn_x")))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("shift_ratio").desc, col("day_idx"))))
+      .filter(col("rnk") <= ShiftTopK)
+      .select(col("event_type"), col("day_idx"), col("cnt"),
+        col("before_days"), col("before_cnt"), col("after_days"), col("after_cnt"),
+        col("shift_ratio"),
+        when(col("up_x") >= col("dn_x"), lit("up")).otherwise(lit("down")).as("direction"),
+        col("rnk"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  val c26Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx
+       |  FROM events),
+       |d AS (SELECT event_type, day_idx, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *, count(*) OVER wb AS before_days,
+       |    COALESCE(sum(cnt) OVER wb, 0) AS before_cnt,
+       |    count(*) OVER wa AS after_days,
+       |    COALESCE(sum(cnt) OVER wa, 0) AS after_cnt
+       |  FROM d WINDOW
+       |    wb AS (PARTITION BY event_type ORDER BY day_idx
+       |      RANGE BETWEEN $ShiftSpanDays PRECEDING AND 1 PRECEDING),
+       |    wa AS (PARTITION BY event_type ORDER BY day_idx
+       |      RANGE BETWEEN 1 FOLLOWING AND $ShiftSpanDays FOLLOWING)),
+       |s AS (
+       |  SELECT event_type, day_idx, cnt,
+       |    CAST(before_days AS BIGINT) AS before_days, CAST(before_cnt AS BIGINT) AS before_cnt,
+       |    CAST(after_days AS BIGINT) AS after_days, CAST(after_cnt AS BIGINT) AS after_cnt,
+       |    CAST(after_cnt * before_days AS BIGINT) AS up_x,
+       |    CAST(before_cnt * after_days AS BIGINT) AS dn_x
+       |  FROM w
+       |  WHERE before_days >= $ShiftMinDays AND after_days >= $ShiftMinDays
+       |    AND before_cnt > 0 AND after_cnt > 0),
+       |r AS (
+       |  SELECT *, CAST(greatest(up_x, dn_x) AS DOUBLE) / least(up_x, dn_x) AS shift_ratio
+       |  FROM s),
+       |k AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+       |    ORDER BY shift_ratio DESC, day_idx) AS INTEGER) AS rnk
+       |  FROM r)
+       |SELECT event_type, day_idx, cnt, before_days, before_cnt, after_days, after_cnt,
+       |  shift_ratio, CASE WHEN up_x >= dn_x THEN 'up' ELSE 'down' END AS direction, rnk
+       |FROM k WHERE rnk <= $ShiftTopK
+       |ORDER BY event_type, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c26_level_shift" -> (c26LevelShift _),
     "c25_burst_detect" -> (c25BurstDetect _),
     "c24_dow_profile" -> (c24DowProfile _),
     "c23_user_lifetime" -> (c23UserLifetime _),
@@ -1123,6 +1215,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c26_level_shift" -> c26Sql,
     "c25_burst_detect" -> c25Sql,
     "c24_dow_profile" -> c24Sql,
     "c23_user_lifetime" -> c23Sql,

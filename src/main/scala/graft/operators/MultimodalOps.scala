@@ -664,7 +664,86 @@ object MultimodalOps {
        |FROM d JOIN e ON doc_id = vec_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Data-loader worker count for e12 (the world size of a distributed
+    * sampler; any W works — 4 exercises imbalance at test scale). */
+  val LoaderWorkers = 4L
+
+  /** e12: distributed-loader shard assignment — the step that turns
+    * e7's per-epoch shard permutation into what each of W training
+    * workers actually reads (the public DistributedSampler contract:
+    * rank r takes positions ≡ r mod W of the epoch order). Per
+    * (epoch, worker): shard count, assigned bytes (the LAST shard of a
+    * source is partial — byte-exact via least(budget, total − offset),
+    * e3's start-offset accounting), and the signed bp deviation from
+    * the epoch's perfect per-worker byte share — the skew card that
+    * says whether a slow-rank straggler is data imbalance or hardware.
+    *
+    * Shape: e7's layout arithmetic (one byte reduce per source, then
+    * pure sequence expansion at the MANIFEST grain), the same
+    * epoch-partitioned position window e7 prices, then a ≤|epochs|·W
+    * reduce; the deviation window runs over that reduced frame. */
+  def e12LoaderAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val wEpoch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"))
+      .orderBy(col("shuffle_key"), col("source"), col("shard_idx"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(octet_length(col("text").cast("binary")).cast("long")).as("total_bytes"))
+      .select(col("source"), col("total_bytes"), explode(expr(
+        s"sequence(0L, (total_bytes + ${ShardBytes - 1}L) div ${ShardBytes}L - 1L)"))
+        .as("shard_idx"))
+      .withColumn("shard_bytes",
+        least(lit(ShardBytes), col("total_bytes") - col("shard_idx") * ShardBytes))
+      .select(col("source"), col("shard_idx"), col("shard_bytes"),
+        explode(expr(s"sequence(0, ${Epochs - 1})")).as("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", col("source"), col("shard_idx"), col("epoch"))))
+      .withColumn("worker", pmod(row_number().over(wEpoch) - 1, lit(LoaderWorkers)))
+      .groupBy(col("epoch"), col("worker"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("shard_bytes")).as("assigned_bytes"))
+      .withColumn("epoch_bytes", sum(col("assigned_bytes")).over(wTot))
+      .select(col("epoch"), col("worker"), col("n_shards"), col("assigned_bytes"),
+        expr(s"(assigned_bytes * $LoaderWorkers * 10000) div epoch_bytes - 10000")
+          .as("skew_bp"))
+      .orderBy(col("epoch"), col("worker"))
+  }
+
+  val e12Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       |  FROM documents GROUP BY 1),
+       |shards AS (
+       |  SELECT source, total_bytes,
+       |    unnest(range(0, (total_bytes + ${ShardBytes - 1}) // $ShardBytes)) AS shard_idx
+       |  FROM s),
+       |sb AS (
+       |  SELECT source, shard_idx,
+       |    least($ShardBytes, total_bytes - shard_idx * $ShardBytes) AS shard_bytes
+       |  FROM shards),
+       |e AS (
+       |  SELECT source, shard_idx, shard_bytes, unnest(range(0, $Epochs)) AS epoch FROM sb),
+       |k AS (
+       |  SELECT epoch, source, shard_idx, shard_bytes,
+       |    md5(source || ':' || shard_idx || ':' || epoch) AS shuffle_key FROM e),
+       |pos AS (
+       |  SELECT epoch, shard_bytes,
+       |    (row_number() OVER (PARTITION BY epoch
+       |      ORDER BY shuffle_key, source, shard_idx) - 1) % $LoaderWorkers AS worker
+       |  FROM k),
+       |agg AS (
+       |  SELECT epoch, worker, count(*) AS n_shards,
+       |    CAST(sum(shard_bytes) AS BIGINT) AS assigned_bytes
+       |  FROM pos GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *, CAST(sum(assigned_bytes) OVER (PARTITION BY epoch) AS BIGINT) AS epoch_bytes
+       |  FROM agg)
+       |SELECT epoch, worker, n_shards, assigned_bytes,
+       |  (assigned_bytes * $LoaderWorkers * 10000) // epoch_bytes - 10000 AS skew_bp
+       |FROM t ORDER BY epoch, worker""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_loader_assignment" -> (e12LoaderAssignment _),
     "e11_pair_manifest" -> (e11PairManifest _),
     "e10_shard_repack" -> (e10ShardRepack _),
     "e9_modality_mix" -> (e9ModalityMix _),
@@ -678,6 +757,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e12_loader_assignment" -> e12Sql,
     "e11_pair_manifest" -> e11Sql,
     "e10_shard_repack" -> e10Sql,
     "e9_modality_mix" -> e9Sql,

@@ -1612,7 +1612,159 @@ object TextOps {
       |  (n_whole_word * 10000) // n_words AS whole_word_bp
       |FROM a ORDER BY source""".stripMargin
 
+  /** Affix width (tokens) and rarity cap for d71. The rarity gate is
+    * the d60 adjudication: an affix shared by many docs is boilerplate
+    * (d64's domain), not a cut point, and capping df at
+    * [[StitchMaxDf]] bounds the join at df² pairs per key — the
+    * template-affix quadratic never forms. */
+  val StitchAffix = 3
+  val StitchMaxDf = 5
+
+  /** d71: shard-boundary stitch detection — docs that are two halves of
+    * one original document (a crawler page split, a shard cut
+    * mid-document): doc A's last [[StitchAffix]] tokens equal doc B's
+    * first [[StitchAffix]] tokens. The dedup family can't see this
+    * (halves share ~nothing), yet training on split docs teaches
+    * truncated context. Emits candidate (doc_a, doc_b, bridge) stitch
+    * pairs for a repair/concat pass.
+    *
+    * Shape: one row-local projection to (doc_id, prefix, suffix); affix
+    * document frequencies come from affix-grain reduces JOINED BACK on
+    * the key (the d57 reduce+join-back adjudication — never a window
+    * over a corpus-sized raw-affix partition, never broadcast-assumed);
+    * rare-gated sides meet in one bounded equi-join (≤ df² ≤ 25 rows
+    * per key). Four references to the one-projection affix frame — each
+    * is a pruned (doc_id, text) scan; at 100 TB materializing `aff`
+    * (~2% of corpus bytes) turns them into one scan + reuse. */
+  def d71BoundaryStitch(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val aff = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2 * StitchAffix)
+      .select(col("doc_id"),
+        concat_ws(" ", (1 to StitchAffix).map(i => element_at(col("t"), i)): _*).as("pre"),
+        concat_ws(" ", (StitchAffix - 1 to 0 by -1)
+          .map(i => element_at(col("t"), size(col("t")) - i)): _*).as("suf"))
+    val sufDf = aff.groupBy(col("suf").as("k")).agg(count(lit(1)).as("suf_df"))
+      .filter(col("suf_df") <= StitchMaxDf)
+    val preDf = aff.groupBy(col("pre").as("k")).agg(count(lit(1)).as("pre_df"))
+      .filter(col("pre_df") <= StitchMaxDf)
+    val enders = aff.select(col("doc_id").as("doc_a"), col("suf").as("k"))
+      .join(sufDf, "k")
+    val starters = aff.select(col("doc_id").as("doc_b"), col("pre").as("k"))
+      .join(preDf, "k")
+    enders.join(starters, "k")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("k").as("bridge"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d71Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |aff AS (
+       |  SELECT doc_id,
+       |    t[1] || ' ' || t[2] || ' ' || t[3] AS pre,
+       |    t[len(t) - 2] || ' ' || t[len(t) - 1] || ' ' || t[len(t)] AS suf
+       |  FROM toks WHERE len(t) >= ${2 * StitchAffix}),
+       |sdf AS (SELECT suf AS k, count(*) AS suf_df FROM aff GROUP BY 1
+       |        HAVING count(*) <= $StitchMaxDf),
+       |pdf AS (SELECT pre AS k, count(*) AS pre_df FROM aff GROUP BY 1
+       |        HAVING count(*) <= $StitchMaxDf)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.suf AS bridge
+       |FROM aff a
+       |JOIN sdf ON sdf.k = a.suf
+       |JOIN aff b ON b.pre = a.suf AND b.doc_id <> a.doc_id
+       |JOIN pdf ON pdf.k = b.pre
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Target bucket count for d72's growth curve: the bucket width is
+    * data-derived as (max doc_id div 200) + 1, so the cumulative
+    * windows always run over ≤ ~200 rows at ANY corpus size — the
+    * curve's resolution is fixed, not its cost (the dupPlanesFor
+    * auto-scaling idiom). */
+  val VocabGrowthBuckets = 200
+
+  /** d72: vocabulary-growth (Heaps-law) curve — the saturation card
+    * read before sizing a tokenizer vocab or judging corpus breadth:
+    * cumulative distinct token TYPES vs cumulative token occurrences,
+    * sampled at doc-id bucket checkpoints. A flattening curve says new
+    * data adds occurrences but no new vocabulary (near-dup or
+    * template-heavy); a straight line says the corpus is still open.
+    * d52 profiles the END-state frequency spectrum; this is the
+    * trajectory.
+    *
+    * Shape: the (bucket, tok) reduce derives once per aggregate (two
+    * exploded corpus scans, each map-side combined — the d44
+    * adjudication: re-deriving a reduce beats collapsing the corpus
+    * into a window), plus doc_id-only pruned scans for the bucket
+    * width and doc counts. Cumulative sums are unpartitioned windows
+    * over the ≤ ~200-row bucket frame (the q11 idiom). */
+  def d72VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val bw = Tables.documents(spark, dir)
+      .agg(expr(s"(max(doc_id) div $VocabGrowthBuckets) + 1").as("bw"))
+    val reduced = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .crossJoin(broadcast(bw))
+      .select(expr("doc_id div bw").as("bucket"), col("tok"))
+      .groupBy(col("bucket"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val perBucket = reduced.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_tok"))
+    val newTypes = reduced.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val nDocs = Tables.documents(spark, dir)
+      .crossJoin(broadcast(bw))
+      .select(expr("doc_id div bw").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    nDocs
+      .join(perBucket, Seq("bucket"), "left_outer")
+      .join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  val d72Sql: String =
+    s"""WITH bw AS (
+       |  SELECT (max(doc_id) // $VocabGrowthBuckets) + 1 AS bw FROM documents),
+       |ex AS (
+       |  SELECT doc_id // (SELECT bw FROM bw) AS bucket,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |red AS (SELECT bucket, tok, count(*) AS cnt FROM ex GROUP BY 1, 2),
+       |pb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_tok FROM red GROUP BY 1),
+       |fs AS (SELECT tok, min(bucket) AS bucket FROM red GROUP BY 1),
+       |nt AS (SELECT bucket, count(*) AS new_types FROM fs GROUP BY 1),
+       |nd AS (
+       |  SELECT doc_id // (SELECT bw FROM bw) AS bucket, count(*) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |j AS (
+       |  SELECT nd.bucket, nd.n_docs,
+       |    COALESCE(pb.n_tok, 0) AS n_tok, COALESCE(nt.new_types, 0) AS new_types
+       |  FROM nd
+       |  LEFT JOIN pb ON pb.bucket = nd.bucket
+       |  LEFT JOIN nt ON nt.bucket = nd.bucket)
+       |SELECT bucket, n_docs, n_tok, new_types,
+       |  CAST(sum(n_tok) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(new_types) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+       |FROM j ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d72_vocab_growth" -> (d72VocabGrowth _),
+    "d71_boundary_stitch" -> (d71BoundaryStitch _),
     "d68_bpe_encode" -> (d68BpeEncode _),
     "d67_bpe_merges" -> (d67BpeMerges _),
     "d64_boilerplate_prefixes" -> (d64BoilerplatePrefixes _),
@@ -1647,6 +1799,8 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d72_vocab_growth" -> d72Sql,
+    "d71_boundary_stitch" -> d71Sql,
     "d68_bpe_encode" -> d68Sql,
     "d67_bpe_merges" -> d67Sql,
     "d64_boilerplate_prefixes" -> d64Sql,

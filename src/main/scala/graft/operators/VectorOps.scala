@@ -1106,7 +1106,72 @@ object VectorOps {
     sb.toString
   }
 
+  /** d70: embedding-level cross-split leakage audit — the check d47's
+    * word-3-gram contamination scan structurally cannot see: a
+    * paraphrased twin of a train doc shares no raw n-grams, but its
+    * embedding still lands within [[DupTau]] cosine. d46's split is
+    * leak-free at the TEXT near-dup layer by construction; this audit
+    * measures what leaks through at the EMBEDDING layer. Per eval
+    * (val/test) doc with at least one train neighbor at cos ≥ τ: the
+    * train-neighbor count and the worst (max) cosine.
+    *
+    * Shape: pure composition over the shared frames — d13's LSH-bucketed
+    * candidate pairs (the band equi-join, never all-pairs) and d46's
+    * split labels (cached CC clusters). The split frame is evaluated
+    * ONCE: pairs unpivot to (pair, side, doc_id) rows, one ids-keyed
+    * equi-join attaches labels, and a regroup per pair restores
+    * (split_a, split_b) — the d65 single-eval discipline, not a double
+    * join of the d46 lineage. Pairs are dup-rate-sized (fact-bounded),
+    * splits are ids-only; both shuffle on 8-byte keys. vec_id ≡ doc_id
+    * in the test corpus (the d36 alignment). */
+  def d70SplitEmbedLeak(spark: SparkSession, dir: String): DataFrame = {
+    val planes = dupPlanesFor(corpusCount(spark, dir))
+    val pairs = embeddingDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      planes, DupMaxBucket, Some(sharedDupBuckets(spark, dir)))
+    val splits = CorpusOps.d46LeakageSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val sides = pairs.select(col("vec_a"), col("vec_b"), col("cos"),
+        explode(array(
+          struct(col("vec_a").as("doc_id"), lit("a").as("side")),
+          struct(col("vec_b").as("doc_id"), lit("b").as("side")))).as("s"))
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        col("s.doc_id").as("doc_id"), col("s.side").as("side"))
+    val byPair = sides.join(splits, "doc_id")
+      .groupBy(col("vec_a"), col("vec_b"), col("cos"))
+      .agg(max(when(col("side") === "a", col("split"))).as("split_a"),
+        max(when(col("side") === "b", col("split"))).as("split_b"))
+    byPair
+      .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("vec_b")).otherwise(col("vec_a")).as("doc_id"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("split"),
+        col("cos"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_train_nbrs"), max(col("cos")).as("max_cos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: d13's full LSH pair SQL and d46's recursive-CC split
+    * SQL verbatim as subqueries (the d15 composition idiom). */
+  val d70Sql: String =
+    s"""WITH pairs AS (SELECT vec_a, vec_b, cos FROM ($d13Sql)),
+       |splits AS (SELECT doc_id, split FROM (${CorpusOps.d46Sql})),
+       |sided AS (
+       |  SELECT p.vec_a, p.vec_b, p.cos, sa.split AS split_a, sb.split AS split_b
+       |  FROM pairs p
+       |  JOIN splits sa ON sa.doc_id = p.vec_a
+       |  JOIN splits sb ON sb.doc_id = p.vec_b),
+       |leaks AS (
+       |  SELECT vec_b AS doc_id, split_b AS split, cos FROM sided
+       |  WHERE split_a = 'train' AND split_b <> 'train'
+       |  UNION ALL
+       |  SELECT vec_a AS doc_id, split_a AS split, cos FROM sided
+       |  WHERE split_b = 'train' AND split_a <> 'train')
+       |SELECT doc_id, split, count(*) AS n_train_nbrs, max(cos) AS max_cos
+       |FROM leaks GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d70_split_embed_leak" -> (d70SplitEmbedLeak _),
     "d69_ann_pq" -> (d69AnnPq _),
     "d65_ann_recall" -> (d65AnnRecall _),
     "d45_semdedup" -> (d45SemDedup _),
@@ -1119,6 +1184,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d70_split_embed_leak" -> d70Sql,
     "d69_ann_pq" -> d69Sql,
     "d65_ann_recall" -> d65Sql,
     "d45_semdedup" -> d45Sql,

@@ -34,6 +34,8 @@ class OperatorSpec extends GraftSpec {
       "d31_source_divergence", // 1-row corpus-total broadcast
       "d61_token_burstiness",  // 1-row corpus-doc-count broadcast
       "d63_collocations",      // 1-row corpus-token-total broadcast
+      "d72_vocab_growth",      // 1-row bucket-width broadcast
+      "a31_zone_map_audit",    // 8-row probe set × reduced zone-map frame
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search",   // same broadcast-query shape as d9
       "d65_ann_recall")        // composes d9+d10, inherits their shape
@@ -2286,5 +2288,99 @@ class OperatorSpec extends GraftSpec {
     got.foreach { case (_, nw, nt, _, fert, _) =>
       assert(nt >= nw); assert(fert >= 10000)
     }
+  }
+
+  test("c26 level shift: pure-Scala two-sided window replay") {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_date(to_date(ts))").as("d"))
+      .groupBy("event_type", "d").count().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val expect = daily.keys.toSeq.flatMap { case (t, d) =>
+      val before = (d - Events.ShiftSpanDays to d - 1).flatMap(x => daily.get((t, x)))
+      val after = (d + 1 to d + Events.ShiftSpanDays).flatMap(x => daily.get((t, x)))
+      if (before.size >= Events.ShiftMinDays && after.size >= Events.ShiftMinDays &&
+          before.sum > 0 && after.sum > 0) {
+        val up = after.sum * before.size
+        val dn = before.sum * after.size
+        val ratio = math.max(up, dn).toDouble / math.min(up, dn)
+        Some((t, d, ratio, if (up >= dn) "up" else "down"))
+      } else None
+    }.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(Events.ShiftTopK).zipWithIndex
+        .map { case ((tt, dd, r, dir), i) => (tt, dd, r, dir, i + 1) }
+    }.sortBy(x => (x._1, x._5))
+    val got = Events.c26LevelShift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(7), r.getString(8), r.getInt(9)))
+      .toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "level-shift ranking vacuous at test SF")
+  }
+
+  test("d71 boundary stitch: rare-affix replay, non-vacuous at sf0.01") {
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir01).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val aff = docs.collect { case (id, t) if t.length >= 2 * TextOps.StitchAffix =>
+      (id, t.take(TextOps.StitchAffix).mkString(" "),
+        t.takeRight(TextOps.StitchAffix).mkString(" ")) }
+    val sufDf = aff.groupBy(_._3).map { case (k, v) => k -> v.size }
+    val preDf = aff.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val expect = (for {
+      a <- aff; b <- aff
+      if a._1 != b._1 && a._3 == b._2
+      if sufDf(a._3) <= TextOps.StitchMaxDf && preDf(b._2) <= TextOps.StitchMaxDf
+    } yield (a._1, b._1, a._3)).sortBy(x => (x._1, x._2)).toSeq
+    val got = TextOps.d71BoundaryStitch(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "stitch detector vacuous at sf0.01")
+  }
+
+  test("d72 vocab growth: mass conservation and running-sum exactness") {
+    val rows = TextOps.d72VocabGrowth(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.VocabGrowthBuckets + 1)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    assert(rows.map(_.getLong(1)).sum == docs.length.toLong)
+    assert(rows.last.getLong(4) == docs.map(_._2.length.toLong).sum,
+      "cum_tokens != total token occurrences")
+    assert(rows.last.getLong(5) == docs.flatMap(_._2).distinct.length.toLong,
+      "cum_types != corpus distinct types")
+    rows.sliding(2).foreach {
+      case Array(p, n) =>
+        assert(n.getLong(4) == p.getLong(4) + n.getLong(2))
+        assert(n.getLong(5) == p.getLong(5) + n.getLong(3))
+      case _ => ()
+    }
+  }
+
+  test("d70 embedding split leak: eval-only rows, τ floor, d13/d46 consistency") {
+    val dir01 = "/root/testdata/sf0.01"
+    val leaks = VectorOps.d70SplitEmbedLeak(spark, dir01).collect()
+    assert(leaks.nonEmpty, "embedding leak audit vacuous at sf0.01")
+    val split = CorpusOps.d46LeakageSplit(spark, dir01)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = VectorOps.d13DedupEmbedding(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    leaks.foreach { r =>
+      val (id, sp, n, mx) = (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(sp == split(id) && sp != "train")
+      assert(mx >= VectorOps.DupTau)
+      val mates = pairs.collect {
+        case (a, b, c) if a == id && split(b) == "train" => c
+        case (a, b, c) if b == id && split(a) == "train" => c
+      }
+      assert(mates.length.toLong == n && mates.max == mx)
+    }
+    // completeness: every train↔eval d13 pair surfaces as exactly one leak row
+    val expectIds = pairs.flatMap { case (a, b, _) =>
+      (split(a) == "train", split(b) == "train") match {
+        case (true, false) => Some(b)
+        case (false, true) => Some(a)
+        case _ => None
+      }
+    }.toSet
+    assert(leaks.map(_.getLong(0)).toSet == expectIds)
   }
 }
