@@ -1433,7 +1433,58 @@ object CorpusOps {
       |  ((n_low + n_high) * 10000) // n_docs AS outlier_bp
       |FROM a ORDER BY source""".stripMargin
 
+  /** Global token budget for d73's curated selection (production sets
+    * this to the mixture's target token count; 800/source exercises
+    * partial-source truncation at test SF — the d49 calibration). */
+  val AffinityBudget = 800L
+
+  /** d73: affinity-ranked curation — the EXECUTION step closing d54's
+    * DSIR story (d54 scores target-domain affinity; a data-selection
+    * run must then pick the docs): per source, the greedy
+    * highest-affinity prefix until [[AffinityBudget]] tokens, ties at
+    * equal affinity broken by the d49 salted hash (unbiased and
+    * reproducible within an affinity level, never doc-id-ordered —
+    * id order correlates with crawl order). Per-source stratification
+    * keeps d21's mixture composition (a global rank would let the
+    * target source swallow the budget). The output manifest carries
+    * the running token count — exactly what a downstream packer (d24)
+    * consumes.
+    *
+    * Shape: d54's scoring pipeline (2 reduced corpus scans) + ONE
+    * per-source window sort over the ≤#docs scored frame (d49's
+    * shape) — the selection adds no corpus-grain exchange beyond the
+    * sort, and the sort key is 4 integers. */
+  def d73AffinityCuration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("affinity_bp").desc, col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d54DomainAffinity(spark, dir)
+      .withColumn("h", md5(concat(lit("graft-affinity:"), col("doc_id").cast("string"))))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= AffinityBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("affinity_bp"),
+        col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: d54's full scoring SQL verbatim + the d49 cum
+    * window (the d15 composition idiom). */
+  val d73Sql: String =
+    s"""WITH scored AS (SELECT * FROM ($d54Sql)),
+       |h AS (
+       |  SELECT *, md5(concat('graft-affinity:', CAST(doc_id AS VARCHAR))) AS hh
+       |  FROM scored),
+       |c AS (
+       |  SELECT doc_id, source, n_tok, affinity_bp,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY affinity_bp DESC, hh, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM h)
+       |SELECT doc_id, source, n_tok, affinity_bp, cum_tok
+       |FROM c WHERE cum_tok <= $AffinityBudget ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d73_affinity_curation" -> (d73AffinityCuration _),
     "d66_length_outliers" -> (d66LengthOutliers _),
     "d57_repeated_spans" -> (d57RepeatedSpans _),
     "d58_curriculum_phases" -> (d58CurriculumPhases _),
@@ -1456,6 +1507,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d73_affinity_curation" -> d73Sql,
     "d66_length_outliers" -> d66Sql,
     "d57_repeated_spans" -> d57Sql,
     "d58_curriculum_phases" -> d58Sql,

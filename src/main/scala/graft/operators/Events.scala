@@ -1186,7 +1186,61 @@ object Events {
        |FROM k WHERE rnk <= $ShiftTopK
        |ORDER BY event_type, rnk""".stripMargin
 
+  /** c27: audience-overlap card — per event-type pair, the exact
+    * distinct-USER Jaccard (plus both audience sizes): the frame a
+    * funnel designer or cross-sell targeter reads before assuming two
+    * behaviors share (or don't share) an audience. d55's one-exchange
+    * shape at (user, type) grain: ONE event scan, per-user sorted
+    * distinct type set (collect_set dedups map-side — a prior
+    * (user, type) DISTINCT would be a wasted corpus-wide shuffle),
+    * ordered pairs generated ROW-LOCALLY with the diagonal riding
+    * along so audience sizes come from two windows over the
+    * ≤ |types|² reduced frame — never a corpus self-join. Zero-overlap
+    * pairs have no row by construction. */
+  def c27AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairsWithDiag = {
+      val ts = col("typs")
+      val pairs = flatten(transform(ts, (x, i) =>
+        transform(slice(ts, i + lit(2), size(ts)),
+          y => struct(x.as("a"), y.as("b")))))
+      val diag = transform(ts, x => struct(x.as("a"), x.as("b")))
+      concat(pairs, diag)
+    }
+    val red = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id")).agg(sort_array(collect_set(col("event_type"))).as("typs"))
+      .select(explode(pairsWithDiag).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    red
+      .withColumn("n_a", max(when(col("a") === col("b"), col("cnt"))).over(wa))
+      .withColumn("n_b", max(when(col("a") === col("b"), col("cnt"))).over(wb))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("type_a"), col("b").as("type_b"),
+        col("cnt").as("n_shared_users"), col("n_a"), col("n_b"),
+        expr("(cnt * 10000) div (n_a + n_b - cnt)").as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val c27Sql: String =
+    """WITH uv AS (SELECT DISTINCT user_id, event_type FROM events),
+      |sz AS (SELECT event_type, count(*) AS n FROM uv GROUP BY 1),
+      |pr AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_shared_users
+      |  FROM uv x JOIN uv y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_shared_users,
+      |  za.n AS n_a, zb.n AS n_b,
+      |  (n_shared_users * 10000) // (za.n + zb.n - n_shared_users) AS jaccard_bp
+      |FROM pr
+      |JOIN sz za ON type_a = za.event_type
+      |JOIN sz zb ON type_b = zb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c27_audience_overlap" -> (c27AudienceOverlap _),
     "c26_level_shift" -> (c26LevelShift _),
     "c25_burst_detect" -> (c25BurstDetect _),
     "c24_dow_profile" -> (c24DowProfile _),
@@ -1215,6 +1269,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c27_audience_overlap" -> c27Sql,
     "c26_level_shift" -> c26Sql,
     "c25_burst_detect" -> c25Sql,
     "c24_dow_profile" -> c24Sql,

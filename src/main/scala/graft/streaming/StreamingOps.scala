@@ -451,6 +451,72 @@ object StreamingOps {
       }
   }
 
+  case class BurstState(open: Map[Long, Long], closed: Map[Long, Long],
+                        closedUpTo: Long)
+  case class HourFlag(event_type: String, hour_idx: Long, cnt: Long,
+                      base_hours: Long, base_cnt: Long, burst: Boolean)
+
+  /** Streaming hourly burst detection — the ONLINE twin of
+    * Events.c25BurstDetect: the batch form finds yesterday's floods;
+    * an alerting pipeline needs the flag when the hour CLOSES. Hours
+    * accumulate open counts; when the watermark passes an hour's end
+    * the hour closes IN ORDER and is tested against the same trailing
+    * rule as batch c25 — count over the OBSERVED hours of the trailing
+    * [[graft.operators.Events.BurstBaselineHours]]-hour window, the
+    * identical cross-multiplied integer test, ≥ BurstMinBaseline
+    * observed hours — so the flagged set is equal by construction
+    * (spec-proven across micro-batch splits). Every closed hour is
+    * emitted with its flag (the online consumer wants the negative
+    * rows too); filter `burst` for c25's frame.
+    *
+    * State per type is the open-hours map plus the trailing ≤ 24
+    * closed (hour, cnt) pairs — bounded regardless of stream length;
+    * closed hours older than the window prune on close. Late data
+    * beyond the watermark drops (the batch/stream delta is the
+    * watermark, measured by outOfOrderStream). */
+  def burstStream(spark: SparkSession, events: Dataset[EventRow],
+                  watermarkDelay: String = "1 hour"): Dataset[HourFlag] = {
+    import spark.implicits._
+    import graft.operators.Events.{BurstBaselineHours, BurstMinBaseline}
+    val HourMs = 3600000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[BurstState]) =>
+          val st0 = state.getOption.getOrElse(
+            BurstState(Map.empty, Map.empty, Long.MinValue))
+          var open = st0.open
+          rows.foreach { e =>
+            val h = Math.floorDiv(e.ts.getTime, HourMs)
+            if (h > st0.closedUpTo) open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val toClose = open.keys.filter(h => (h + 1) * HourMs <= wm).toSeq.sorted
+          var closed = st0.closed
+          var closedUpTo = st0.closedUpTo
+          val out = Seq.newBuilder[HourFlag]
+          toClose.foreach { h =>
+            val cnt = open(h)
+            val base = closed.filter { case (hb, _) =>
+              hb >= h - BurstBaselineHours && hb <= h - 1 }
+            val baseHours = base.size.toLong
+            val baseCnt = base.values.sum
+            val burst = baseHours >= BurstMinBaseline &&
+              cnt * baseHours > 3 * baseCnt
+            out += HourFlag(typ, h, cnt, baseHours, baseCnt, burst)
+            closed = closed.updated(h, cnt)
+              .filter { case (hb, _) => hb >= h - BurstBaselineHours + 1 }
+            open -= h
+            closedUpTo = math.max(closedUpTo, h)
+          }
+          state.update(BurstState(open, closed, closedUpTo))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(open.keys.map(h => (h + 1) * HourMs).min, wm + 1))
+          out.result().iterator
+      }
+  }
+
   case class DomainDoc(domain: String, doc_id: Long)
 
   /** Streaming per-domain admission quota — the streaming twin of

@@ -2290,6 +2290,61 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("c27 audience overlap: exact distinct-user Jaccard replayed per type pair") {
+    val uv = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = uv.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    val expect = (for {
+      a <- types; b <- types if a < b
+      shared = (byType(a) & byType(b)).size.toLong if shared > 0
+      na = byType(a).size.toLong; nb = byType(b).size.toLong
+    } yield (a, b, shared, na, nb, shared * 10000 / (na + nb - shared)))
+      .sortBy(x => (x._1, x._2))
+    val got = Events.c27AudienceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("d73 affinity curation: greedy per-source prefix replay over d54's scores") {
+    val scored = CorpusOps.d54DomainAffinity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    def h(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"graft-affinity:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      var cum = 0L
+      xs.sortBy(x => (-x._4, h(x._1), x._1)).flatMap { case (id, src, nTok, aff) =>
+        cum += nTok
+        if (cum <= CorpusOps.AffinityBudget) Some((id, src, nTok, aff, cum)) else None
+      }
+    }.sortBy(_._1)
+    val got = CorpusOps.d73AffinityCuration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // budget honored per source; selection is affinity-monotone: no
+    // rejected doc of a source out-scores an accepted one
+    val kept = got.groupBy(_._2)
+    kept.foreach { case (_, xs) => assert(xs.map(_._3).sum <= CorpusOps.AffinityBudget) }
+    scored.groupBy(_._2).foreach { case (src, xs) =>
+      val keptIds = kept.getOrElse(src, Seq.empty).map(_._1).toSet
+      val minKept = xs.filter(x => keptIds(x._1)).map(_._4).minOption
+      val maxRej = xs.filterNot(x => keptIds(x._1)).map(_._4).maxOption
+      (minKept, maxRej) match {
+        case (Some(mk), Some(mr)) => assert(mr <= mk,
+          s"$src: rejected affinity $mr above kept floor $mk")
+        case _ => ()
+      }
+    }
+  }
+
   test("c26 level shift: pure-Scala two-sided window replay") {
     val daily = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_date(to_date(ts))").as("d"))

@@ -937,4 +937,63 @@ class SourcesStreamingSpec extends GraftSpec {
       assert(rows.exists(r => r.getAs[Long]("user_id") == 7 && r.getAs[Long]("n_events") == 2), rows.mkString(";"))
     } finally q.stop()
   }
+
+  test("streaming burst flags ≡ c25's trailing-window rule, split across micro-batches") {
+    import spark.implicits._
+    import graft.operators.Events
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.burstStream(spark, mem.toDS(), watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("burst_test").outputMode("append").start()
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(id: Long, hour: Int, typ: String) = StreamingOps.EventRow(
+      id, new java.sql.Timestamp(base + hour * 3600000L + (id % 50) * 60000L),
+      id % 7, typ, 1.0)
+    try {
+      // hours 0-27 steady (2/hour for click, view every 3rd hour — a
+      // sparse type exercising missing-baseline-hours accounting)
+      var id = 0L
+      val batch1 = (0 to 27).flatMap { h =>
+        (1 to 2).map { _ => id += 1; ev(id, h, "click") } ++
+          (if (h % 3 == 0) { id += 1; Seq(ev(id, h, "view")) } else Nil)
+      }
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // hour 28 floods to 12 (the planted burst), 29-30 steady again
+      val batch2 = (1 to 12).map { _ => id += 1; ev(id, 28, "click") } ++
+        (29 to 30).flatMap { h => (1 to 2).map { _ => id += 1; ev(id, h, "click") } }
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // advance the watermark far past hour 30, then again to fire timeouts
+      mem.addData(ev(90001, 60, "click")); q.processAllAvailable()
+      mem.addData(ev(90002, 61, "click")); q.processAllAvailable()
+      val got = spark.sql(
+          "select event_type, hour_idx, cnt, base_hours, base_cnt, burst from burst_test")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      // sequential replay of c25's batch rule (same trailing-RANGE
+      // semantics the c25 spec proves against the batch operator) over
+      // the closed hours — the watermark-advance events never close
+      // and are excluded from the replay, like the stream's output
+      val all = (batch1 ++ batch2).map(e =>
+        (e.event_type, Math.floorDiv(e.ts.getTime, 3600000L)))
+      val expected = all.groupBy(_._1).flatMap { case (typ, evs) =>
+        val hmap = evs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        hmap.toSeq.sortBy(_._1).map { case (h, cnt) =>
+          val baseKeys = (h - Events.BurstBaselineHours to h - 1).filter(hmap.contains)
+          val bh = baseKeys.size.toLong
+          val bc = baseKeys.map(hmap).sum
+          (typ, h, cnt, bh, bc,
+            bh >= Events.BurstMinBaseline && cnt * bh > 3 * bc)
+        }
+      }.toSet
+      assert(got == expected)
+      // the planted hour-28 flood is flagged; nothing else bursts
+      val baseHour = Math.floorDiv(base, 3600000L)
+      assert(got.exists { case (t, h, cnt, _, _, f) =>
+        t == "click" && h == baseHour + 28 && cnt == 12 && f })
+      assert(got.count(_._6) == 1)
+    } finally q.stop()
+  }
 }
