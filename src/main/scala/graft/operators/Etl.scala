@@ -1269,8 +1269,11 @@ object Etl {
     * MANIFEST grain, zone maps reduce to the ≤ #bins frame, and the
     * 8-row probe set cross-joins (broadcast) against that reduced frame
     * only — data bytes never move, probes never see the corpus. */
-  def a31ZoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Per-bin (ka_min, ka_max, bytes) zone maps for BOTH layouts (a30's
+    * Z-order packing, tag "z", and a25's id-order packing, tag "id") —
+    * the shared reduced frame behind a31's probe audit and a33's
+    * overlap-depth card. Manifest grain throughout. */
+  private[graft] def layoutZones(spark: SparkSession, dir: String): DataFrame = {
     val target = 4L * 1024 * 1024
     def bit(c: Column, i: Int): Column = shiftright(c, i).bitwiseAND(lit(1L))
     val ka = pmod(col("user_id"), lit(1024L))
@@ -1293,8 +1296,13 @@ object Etl {
           sum(col("bytes")).as("bin_bytes"))
         .withColumn("layout", lit(tag))
     }
-    val zones = zoneMaps(Seq(col("zval"), col("file_id")), "z")
+    zoneMaps(Seq(col("zval"), col("file_id")), "z")
       .unionByName(zoneMaps(Seq(col("file_id")), "id"))
+  }
+
+  def a31ZoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zones = layoutZones(spark, dir)
     val hit = col("probe_ka").between(col("ka_min"), col("ka_max"))
     zones.crossJoin(broadcast(ZoneProbes.toDF("probe_ka")))
       .groupBy(col("probe_ka"))
@@ -1605,7 +1613,92 @@ object Etl {
       |FROM isl GROUP BY source, island
       |ORDER BY source, gap_start_hour""".stripMargin
 
+  /** a33: key-range overlap-depth card — the CLUSTERING-QUALITY metric
+    * behind a31's probe samples (Iceberg/Delta read amplification: when
+    * bin key ranges overlap, every point lookup pays every overlapping
+    * bin; a31 measures 8 sample probes, this measures the layout
+    * itself). Per (layout, partition): bin count, total overlapping
+    * bin PAIRS, and the maximum stacking depth of the ka key space.
+    *
+    * Shape: the pair count is exact WITHOUT an interval self-join
+    * (quadratic in bins at 100 TB): each bin emits (+1 at ka_min,
+    * −1 at ka_max+1) sweep events — c19's idiom at the zone-map
+    * grain — and every bin contributes (active-at-its-start − 1)
+    * pairs; ends sort before starts at equal positions (delta asc) so
+    * touching-only-at-a-point counts as the shared-point overlap it
+    * is. Ties among equal (pos, delta) rows permute cum values within
+    * the run, so the per-partition SUM and MAX are deterministic even
+    * though per-row attribution is not. Windows run over the reduced
+    * zone frame only. */
+  def a33OverlapDepth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = layoutZones(spark, dir)
+      .select(col("layout"), col("y"), col("m"),
+        explode(array(
+          struct(col("ka_min").as("pos"), lit(1L).as("delta")),
+          struct((col("ka_max") + 1L).as("pos"), lit(-1L).as("delta")))).as("e"))
+      .select(col("layout"), col("y"), col("m"),
+        col("e.pos").as("pos"), col("e.delta").as("delta"))
+    val w = Window.partitionBy(col("layout"), col("y"), col("m"))
+      .orderBy(col("pos"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("active", sum(col("delta")).over(w))
+      .filter(col("delta") === 1)
+      .groupBy(col("layout"), col("y"), col("m"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("active") - 1).as("overlap_pairs"),
+        max(col("active")).as("max_depth"))
+      .orderBy(col("layout"), col("y"), col("m"))
+  }
+
+  val a33Sql: String = {
+    val zExpr = (0 until ZBits)
+      .map(i => s"(((ka >> $i) & 1) << ${2 * i}) + (((kb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH k AS (
+       |  SELECT year(CAST(ts AS TIMESTAMP)) AS y, month(CAST(ts AS TIMESTAMP)) AS m,
+       |    event_id AS file_id,
+       |    ((event_id % 1048576) * (2654435761 % 1048576)) % 1048576 + 1024 AS bytes,
+       |    user_id % 1024 AS ka,
+       |    hour(CAST(ts AS TIMESTAMP)) * 60 + minute(CAST(ts AS TIMESTAMP)) AS kb
+       |  FROM events),
+       |f AS (SELECT *, $zExpr AS zval FROM k),
+       |cz AS (
+       |  SELECT y, m, ka, bytes,
+       |    sum(bytes) OVER (PARTITION BY y, m ORDER BY zval, file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f),
+       |zz AS (
+       |  SELECT 'z' AS layout, y, m, CAST((cum - bytes) // 4194304 AS BIGINT) AS bin_id,
+       |    min(ka) AS ka_min, max(ka) AS ka_max
+       |  FROM cz GROUP BY 2, 3, 4),
+       |ci AS (
+       |  SELECT y, m, ka, bytes,
+       |    sum(bytes) OVER (PARTITION BY y, m ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f),
+       |zi AS (
+       |  SELECT 'id' AS layout, y, m, CAST((cum - bytes) // 4194304 AS BIGINT) AS bin_id,
+       |    min(ka) AS ka_min, max(ka) AS ka_max
+       |  FROM ci GROUP BY 2, 3, 4),
+       |zones AS (SELECT * FROM zz UNION ALL SELECT * FROM zi),
+       |ev AS (
+       |  SELECT layout, y, m, ka_min AS pos, CAST(1 AS BIGINT) AS delta FROM zones
+       |  UNION ALL
+       |  SELECT layout, y, m, ka_max + 1 AS pos, CAST(-1 AS BIGINT) AS delta FROM zones),
+       |sw AS (
+       |  SELECT *, sum(delta) OVER (PARTITION BY layout, y, m
+       |    ORDER BY pos, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+       |  FROM ev)
+       |SELECT layout, y, m, count(*) AS n_bins,
+       |  CAST(sum(active - 1) AS BIGINT) AS overlap_pairs,
+       |  CAST(max(active) AS BIGINT) AS max_depth
+       |FROM sw WHERE delta = 1
+       |GROUP BY layout, y, m
+       |ORDER BY layout, y, m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a33_overlap_depth" -> (a33OverlapDepth _),
     "a32_backfill_plan" -> (a32BackfillPlan _),
     "a31_zone_map_audit" -> (a31ZoneMapAudit _),
     "a30_cluster_plan" -> (a30ClusterPlan _),
@@ -1640,6 +1733,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a33_overlap_depth" -> a33Sql,
     "a32_backfill_plan" -> a32Sql,
     "a31_zone_map_audit" -> a31Sql,
     "a30_cluster_plan" -> a30Sql,

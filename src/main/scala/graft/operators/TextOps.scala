@@ -1612,6 +1612,92 @@ object TextOps {
       |  (n_whole_word * 10000) // n_words AS whole_word_bp
       |FROM a ORDER BY source""".stripMargin
 
+  /** d74: filter-calibration matrix — do the CHEAP heuristic rules
+    * (d3's quality flags) agree with the LM-based signal (d48's
+    * familiarity)? Per (quality_flag, familiarity quartile): doc count
+    * and within-flag share in exact bp. 'ok'-flagged docs piling into
+    * the bottom familiarity quartile means the heuristics pass junk;
+    * flagged docs in the top quartile mean the heuristics destroy good
+    * text — the card every filtering pipeline reads before trusting a
+    * cheap gate at 100 TB (where only the cheap gate can run on
+    * everything).
+    *
+    * Shape: each input pipeline evaluates ONCE (the d65 discipline) —
+    * flags ⨝ familiarity at doc grain reduces immediately to the
+    * (flag, ppm) frame, which is VALUE-SPACE bounded (ppm ∈ [0, 10⁶],
+    * so ≤ |flags|·10⁶ rows at ANY corpus size); exact discrete
+    * quartile cuts come from q11-idiom unpartitioned windows over that
+    * reduced frame (cum via RANGE so ties across flags aggregate
+    * correctly), buckets assign row-locally, and the matrix is a tiny
+    * final reduce. Docs with no bigram (single-token) have no d48 row
+    * and are out of scope by construction. */
+  def d74QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flags = d3QualityScore(spark, dir).select(col("doc_id"), col("quality_flag"))
+    val fam = d48LmFamiliarity(spark, dir).select(col("doc_id"), col("familiarity_ppm"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("familiarity_ppm"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val graded = flags.join(fam, "doc_id")
+      .groupBy(col("quality_flag"), col("familiarity_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("c1",
+        min(when(col("cum") * 4 >= col("total"), col("familiarity_ppm"))).over(wAll))
+      .withColumn("c2",
+        min(when(col("cum") * 4 >= col("total") * 2, col("familiarity_ppm"))).over(wAll))
+      .withColumn("c3",
+        min(when(col("cum") * 4 >= col("total") * 3, col("familiarity_ppm"))).over(wAll))
+      .withColumn("fam_quartile",
+        lit(1) + (col("familiarity_ppm") > col("c1")).cast("int")
+          + (col("familiarity_ppm") > col("c2")).cast("int")
+          + (col("familiarity_ppm") > col("c3")).cast("int"))
+    val wf = Window.partitionBy(col("quality_flag"))
+    graded.groupBy(col("quality_flag"), col("fam_quartile"))
+      .agg(sum(col("cnt")).as("n_docs"))
+      .withColumn("flag_total", sum(col("n_docs")).over(wf))
+      .select(col("quality_flag"), col("fam_quartile"), col("n_docs"),
+        expr("(n_docs * 10000) div flag_total").as("share_bp"))
+      .orderBy(col("quality_flag"), col("fam_quartile"))
+  }
+
+  /** DuckDB replay: d3's and d48's full SQL verbatim + the same
+    * reduced-frame quartile windows (the d15 composition idiom). */
+  val d74Sql: String =
+    s"""WITH flags AS (SELECT doc_id, quality_flag FROM ($d3Sql)),
+       |fam AS (SELECT doc_id, familiarity_ppm FROM ($d48Sql)),
+       |red AS (
+       |  SELECT quality_flag, familiarity_ppm, count(*) AS cnt
+       |  FROM flags JOIN fam USING (doc_id) GROUP BY 1, 2),
+       |g AS (
+       |  SELECT *,
+       |    CAST(sum(cnt) OVER (ORDER BY familiarity_ppm
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+       |  FROM red),
+       |cuts AS (
+       |  SELECT *,
+       |    min(CASE WHEN cum * 4 >= total THEN familiarity_ppm END) OVER () AS c1,
+       |    min(CASE WHEN cum * 4 >= total * 2 THEN familiarity_ppm END) OVER () AS c2,
+       |    min(CASE WHEN cum * 4 >= total * 3 THEN familiarity_ppm END) OVER () AS c3
+       |  FROM g),
+       |b AS (
+       |  SELECT quality_flag,
+       |    1 + CAST(familiarity_ppm > c1 AS INT) + CAST(familiarity_ppm > c2 AS INT)
+       |      + CAST(familiarity_ppm > c3 AS INT) AS fam_quartile,
+       |    cnt
+       |  FROM cuts),
+       |m AS (
+       |  SELECT quality_flag, fam_quartile, CAST(sum(cnt) AS BIGINT) AS n_docs
+       |  FROM b GROUP BY 1, 2),
+       |t AS (
+       |  SELECT *, CAST(sum(n_docs) OVER (PARTITION BY quality_flag) AS BIGINT) AS flag_total
+       |  FROM m)
+       |SELECT quality_flag, fam_quartile, n_docs,
+       |  (n_docs * 10000) // flag_total AS share_bp
+       |FROM t ORDER BY quality_flag, fam_quartile""".stripMargin
+
   /** Affix width (tokens) and rarity cap for d71. The rarity gate is
     * the d60 adjudication: an affix shared by many docs is boilerplate
     * (d64's domain), not a cut point, and capping df at
@@ -1763,6 +1849,7 @@ object TextOps {
        |FROM j ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d74_quality_calibration" -> (d74QualityCalibration _),
     "d72_vocab_growth" -> (d72VocabGrowth _),
     "d71_boundary_stitch" -> (d71BoundaryStitch _),
     "d68_bpe_encode" -> (d68BpeEncode _),
@@ -1799,6 +1886,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d74_quality_calibration" -> d74Sql,
     "d72_vocab_growth" -> d72Sql,
     "d71_boundary_stitch" -> d71Sql,
     "d68_bpe_encode" -> d68Sql,

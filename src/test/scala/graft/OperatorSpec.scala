@@ -2290,6 +2290,60 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("a33 overlap depth: sweep-line pair count replayed, Z beats id layout") {
+    val zones = Etl.layoutZones(spark, sfDir).collect()
+      .map(r => (r.getString(6), r.getInt(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    val expect = zones.groupBy(z => (z._1, z._2, z._3)).map { case ((lay, y, m), bs) =>
+      val ranges = bs.map(b => (b._4, b._5))
+      // index pairs, not value combinations — Seq.combinations collapses
+      // bins that happen to share the same (min, max) range
+      val pairs = (for {
+        i <- ranges.indices; j <- ranges.indices if i < j
+        a = ranges(i); b = ranges(j)
+      } yield if (a._1 <= b._2 && b._1 <= a._2) 1L else 0L).sum
+      // max stacking depth: sweep over starts
+      val evs = ranges.flatMap(r => Seq((r._1, 1L), (r._2 + 1, -1L)))
+        .sortBy(e => (e._1, e._2))
+      var (act, mx) = (0L, 0L)
+      evs.foreach { e => act += e._2; if (e._2 == 1) mx = math.max(mx, act) }
+      (lay, y, m, ranges.size.toLong, pairs, mx)
+    }.toSeq.sortBy(x => (x._1, x._2, x._3))
+    val got = Etl.a33OverlapDepth(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // the clustering claim at the layout grain: Z never stacks worse
+    val byPart = got.groupBy(x => (x._2, x._3))
+    byPart.foreach { case (_, xs) =>
+      val z = xs.find(_._1 == "z").get
+      val id = xs.find(_._1 == "id").get
+      assert(z._5 <= id._5, s"Z layout has MORE overlap pairs: ${z._5} > ${id._5}")
+    }
+  }
+
+  test("d74 calibration matrix: quartile cuts and matrix replayed from d3 x d48") {
+    val flags = TextOps.d3QualityScore(spark, sfDir)
+      .select("doc_id", "quality_flag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fam = TextOps.d48LmFamiliarity(spark, sfDir)
+      .select("doc_id", "familiarity_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val joined = fam.collect { case (id, ppm) if flags.contains(id) => (flags(id), ppm) }
+    val vals = joined.map(_._2).sorted
+    val n = vals.length.toLong
+    def cut(k: Int) = vals(vals.indices.find(i => (i + 1) * 4L >= n * k).get)
+    val (c1, c2, c3) = (cut(1), cut(2), cut(3))
+    def q(p: Long) = 1 + (if (p > c1) 1 else 0) + (if (p > c2) 1 else 0) + (if (p > c3) 1 else 0)
+    val m = joined.groupBy(x => (x._1, q(x._2))).view.mapValues(_.length.toLong).toMap
+    val flagTot = m.groupBy(_._1._1).map { case (f, xs) => f -> xs.values.sum }
+    val expect = m.toSeq.map { case ((f, qt), cnt) =>
+      (f, qt, cnt, cnt * 10000 / flagTot(f)) }.sortBy(x => (x._1, x._2))
+    val got = TextOps.d74QualityCalibration(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(got.map(_._3).sum == joined.length.toLong)
+  }
+
   test("c27 audience overlap: exact distinct-user Jaccard replayed per type pair") {
     val uv = Tables.events(spark, sfDir)
       .select("user_id", "event_type").distinct().collect()
