@@ -1239,7 +1239,111 @@ object Events {
       |JOIN sz zb ON type_b = zb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** Rounds and score scale (parts-per-trillion) for c28's integer
+    * PageRank power iteration. */
+  val PageRankRounds = 10
+  val PageRankScale = 1000000000000L
+
+  /** c28: event-type PageRank — the stationary-importance ranking of
+    * the behavior graph c13's transition matrix only describes locally
+    * (c13 answers "where do users go FROM here"; this answers "where
+    * does the process CONCENTRATE"). Classic damped PageRank
+    * (d = 0.85, dangling mass redistributed uniformly) run for
+    * [[PageRankRounds]] rounds in EXACT integer arithmetic: scores are
+    * parts-per-trillion BIGINTs, every per-edge contribution is
+    * `(score · n) div out_total` and the damping update is
+    * `(15·base + 85·(contrib + dangling div N)) div 100` — no floats
+    * anywhere, so the fixed number of rounds is bit-identical on any
+    * engine and at any parallelism.
+    *
+    * Scale shape: the corpus pays ONE scan — the same per-user lag
+    * window as c13 — reducing to the ≤ |types|² edge-count matrix.
+    * The k-round fixed point then runs DRIVER-SIDE over that
+    * value-space-bounded aggregate (the bounded Lloyd-collect pattern,
+    * VectorOps:325: event-type vocabularies are dozens at any corpus
+    * size, so the collected frame is O(|types|²) regardless of SF;
+    * iterating relationally would schedule k no-op jobs over a
+    * 25-row frame). The DuckDB oracle replays all k rounds via
+    * generated per-round CTEs with the identical `//` arithmetic;
+    * every round CTE is MATERIALIZED — each round references the
+    * previous scores twice (contrib + dangling mass), so plain
+    * inlining would expand the chain 2^k-fold (the SQL-side twin of
+    * the d25 lineage lesson, CorpusOps.scala:336). */
+  def c28TypePagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edgeRows = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // ≤ |types|² aggregated rows — bounded by the type vocabulary
+    val edges = edgeRows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.toSeq
+    val nN = nodes.length.toLong
+    require(nN > 0, "c28: no transitions in the event stream")
+    val outN: Map[String, Long] =
+      edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = PageRankScale / nN
+    // BigInt ≡ DuckDB HUGEINT: products exceed int64 once corpus edge
+    // counts pass ~1e6 at this scale, so the wide type is load-bearing.
+    var score: Map[String, Long] = nodes.map(t => t -> base).toMap
+    for (_ <- 1 to PageRankRounds) {
+      val dang = nodes.filterNot(outN.contains).map(score).sum
+      val contrib = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      for ((s, d, n) <- edges)
+        contrib(d) += BigInt(score(s)) * n / outN(s)
+      score = nodes.map { t =>
+        t -> ((BigInt(base) * 15 + (contrib(t) + dang / nN) * 85) / 100).toLong
+      }.toMap
+    }
+    nodes.map(t => (t, score(t))).toDF("event_type", "score_ppt")
+      .orderBy(col("score_ppt").desc, col("event_type"))
+  }
+
+  val c28Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ev AS (
+              |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+              |eg AS MATERIALIZED (
+              |  SELECT prev AS src, event_type AS dst, count(*) AS n FROM (
+              |    SELECT event_type,
+              |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |    FROM ev)
+              |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+              |nodes AS MATERIALIZED (SELECT DISTINCT t AS type FROM
+              |  (SELECT src AS t FROM eg UNION ALL SELECT dst FROM eg)),
+              |nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+              |outn AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM eg GROUP BY src),
+              |s0 AS MATERIALIZED (SELECT type,
+              |  (SELECT CAST($PageRankScale // n_nodes AS BIGINT) FROM nn) AS score FROM nodes)""".stripMargin
+    for (r <- 1 to PageRankRounds) {
+      sb ++= s""",
+                |d$r AS MATERIALIZED (
+                |  SELECT COALESCE(CAST(sum(s.score) AS BIGINT), 0) AS dang
+                |  FROM s${r - 1} s LEFT JOIN outn o ON o.src = s.type WHERE o.src IS NULL),
+                |c$r AS MATERIALIZED (
+                |  SELECT e.dst AS type,
+                |    sum((CAST(s.score AS HUGEINT) * e.n) // o.out_n) AS contrib
+                |  FROM s${r - 1} s JOIN eg e ON e.src = s.type JOIN outn o ON o.src = e.src
+                |  GROUP BY 1),
+                |s$r AS MATERIALIZED (
+                |  SELECT n.type,
+                |    CAST(((SELECT $PageRankScale // n_nodes FROM nn) * 15
+                |      + (COALESCE(c.contrib, 0)
+                |         + (SELECT dang FROM d$r) // (SELECT n_nodes FROM nn)) * 85) // 100
+                |      AS BIGINT) AS score
+                |  FROM nodes n LEFT JOIN c$r c ON c.type = n.type)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT type AS event_type, score AS score_ppt FROM s$PageRankRounds
+              |ORDER BY score_ppt DESC, event_type""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c28_type_pagerank" -> (c28TypePagerank _),
     "c27_audience_overlap" -> (c27AudienceOverlap _),
     "c26_level_shift" -> (c26LevelShift _),
     "c25_burst_detect" -> (c25BurstDetect _),
@@ -1269,6 +1373,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c28_type_pagerank" -> c28Sql,
     "c27_audience_overlap" -> c27Sql,
     "c26_level_shift" -> c26Sql,
     "c25_burst_detect" -> c25Sql,

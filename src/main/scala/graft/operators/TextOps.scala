@@ -1848,7 +1848,137 @@ object TextOps {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
        |FROM j ORDER BY bucket""".stripMargin
 
+  /** d75: token-concentration card per source — exact Simpson
+    * (Herfindahl) repeat probability plus the top-token share, the
+    * DIVISION-FREE diversity complement to d62's TTR (TTR needs one
+    * IEEE division and collapses toward 0 as N grows; Simpson's
+    * λ = Σ nᵢ(nᵢ−1) / (N(N−1)) is scale-comparable across sources of
+    * different sizes, and unlike Shannon entropy needs NO logarithm —
+    * the reason it can be an exactly-oracled integer column at all).
+    * High λ or a fat top-token share = template/boilerplate farm;
+    * both feed d21's mixture reweighting alongside d62/d52.
+    *
+    * Shape: ONE corpus scan → (source, token) reduce (map-side
+    * combine) → per-source reduce; Σnᵢ², Σnᵢ and max nᵢ all ride the
+    * same aggregate. Products go through DECIMAL(38,0) ≡ HUGEINT —
+    * nᵢ² overflows int64 once a token passes ~3·10⁹ occurrences,
+    * which 100 TB of web text reaches. Single-token sources guard the
+    * N·(N−1) denominator with NULL (CASE in both engines). */
+  def d75TokenConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        sum(expr("cast(n as decimal(38,0)) * (n - 1)")).as("rep_mass"),
+        max(col("n")).as("top_n"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        expr("""case when n_tokens > 1
+                then cast((rep_mass * 10000) div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) as bigint)
+                end""").as("simpson_bp"),
+        expr("(top_n * 10000) div n_tokens").as("top_share_bp"))
+      .orderBy(col("source"))
+
+  val d75Sql: String =
+    """WITH tf AS (
+      |  SELECT source, tok, count(*) AS n FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    sum(CAST(n AS HUGEINT) * (n - 1)) AS rep_mass,
+      |    CAST(max(n) AS BIGINT) AS top_n
+      |  FROM tf GROUP BY source)
+      |SELECT source, n_types, n_tokens,
+      |  CASE WHEN n_tokens > 1
+      |    THEN CAST((rep_mass * 10000) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+      |  END AS simpson_bp,
+      |  (top_n * 10000) // n_tokens AS top_share_bp
+      |FROM s ORDER BY source""".stripMargin
+
+  /** d76: sentence-segmentation profile per source — the SENTENCE-grain
+    * length card beside d37's doc-grain one (sentence statistics are
+    * what sentence-level dedup, splitting-aware packing and readability
+    * scoring consume; a source whose "sentences" run hundreds of words
+    * is markup/code shipped as prose, one whose sentences are 2–3 words
+    * is menus/tag soup). Sentences are split on [.!?] — a deliberately
+    * SQL-portable rule (both engines regex-split identically; a real
+    * segmenter slots into the same shape). The test corpus ships
+    * punctuation-free, so terminators are INJECTED deterministically
+    * first (the d18/d40 injection idiom): a '.' lands after every token
+    * whose md5 opens below '3' (≈ 3/16 of tokens, content-driven — so
+    * sources with different vocab mixes profile differently and the
+    * split path is exercised for real, not on a 1-sentence-per-doc
+    * degenerate input). Per source: sentence count, words/sentence mean
+    * (ONE IEEE quotient of exact integers), exact discrete median via
+    * rank selection, max.
+    *
+    * Shape: injection + split + explode are row-local (no shuffle),
+    * empty/whitespace fragments dropped, then ONE (source)-keyed
+    * exchange shared by the rank window and the final aggregate (the
+    * d37 discipline). The median value at rank ⌈n/2⌉ is invariant
+    * under tie order, so the (n_words, doc_id) ordering is fully
+    * deterministic cross-engine. */
+  def d76SentenceProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy(col("source"))
+    val punct = concat_ws(" ", transform(tokens(col("text")),
+      x => when(substring(md5(x), 1, 1) < "3", concat(x, lit("."))).otherwise(x)))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(split(punct, "[.!?]")).as("sent"))
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("sent"))).cast("long").as("n_words"))
+      .filter(col("n_words") > 0)
+      .withColumn("rn", row_number().over(wS.orderBy(col("n_words"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(wS))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(col("n_words")).as("n_words_total"),
+        max(col("n_words")).as("max_words"),
+        max(when(col("rn") === ceil(col("cnt") / 2.0), col("n_words"))).as("p50_words"))
+      .select(col("source"), col("n_sentences"), col("n_words_total"),
+        (col("n_words_total").cast("double") / col("n_sentences")).as("mean_words"),
+        col("p50_words"), col("max_words"))
+      .orderBy(col("source"))
+  }
+
+  val d76Sql: String =
+    """WITH p AS (
+      |  SELECT source, doc_id,
+      |    array_to_string(list_transform(
+      |      list_filter(string_split(text, ' '), x -> x <> ''),
+      |      x -> CASE WHEN substr(md5(x), 1, 1) < '3' THEN x || '.' ELSE x END), ' ') AS text
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split(sent, ' '), x -> x <> '')) AS BIGINT) AS n_words
+      |  FROM (
+      |    SELECT source, doc_id, unnest(string_split_regex(text, '[.!?]')) AS sent
+      |    FROM p)
+      |  WHERE len(list_filter(string_split(sent, ' '), x -> x <> '')) > 0),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_words, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM s)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_sentences,
+      |  CAST(sum(n_words) AS BIGINT) AS n_words_total,
+      |  CAST(CAST(sum(n_words) AS DOUBLE) / count(*) AS DOUBLE) AS mean_words,
+      |  CAST(max(CASE WHEN rn = ceil(cnt / 2.0) THEN n_words END) AS BIGINT) AS p50_words,
+      |  CAST(max(n_words) AS BIGINT) AS max_words
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d76_sentence_profile" -> (d76SentenceProfile _),
+    "d75_token_concentration" -> (d75TokenConcentration _),
     "d74_quality_calibration" -> (d74QualityCalibration _),
     "d72_vocab_growth" -> (d72VocabGrowth _),
     "d71_boundary_stitch" -> (d71BoundaryStitch _),
@@ -1886,6 +2016,8 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d76_sentence_profile" -> d76Sql,
+    "d75_token_concentration" -> d75Sql,
     "d74_quality_calibration" -> d74Sql,
     "d72_vocab_growth" -> d72Sql,
     "d71_boundary_stitch" -> d71Sql,

@@ -1170,7 +1170,51 @@ object VectorOps {
        |SELECT doc_id, split, count(*) AS n_train_nbrs, max(cos) AS max_cos
        |FROM leaks GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
 
+  /** d77: IVF inverted-list balance audit — the index-health card
+    * behind d12's probe cost (a22's skew report at the VECTOR grain):
+    * per centroid, list population, exact bp share of the corpus, and
+    * a hot-list flag (population > 2× the uniform share — cross-
+    * multiplied integers, the a22 rule). IVF probe latency at scale is
+    * max(probed list), not the mean: a hot list means every query
+    * probing it scans far more than corpus/C vectors, and the fix
+    * (re-seed, split the list, raise C) starts from exactly this
+    * frame. Embedding-space clustering is NEVER uniform (real corpora
+    * concentrate), so shipping an IVF index without this audit is
+    * shipping unknown tail latency.
+    *
+    * Shape: assignment is d12's in-row nearest-centroid argmax over
+    * broadcast literal centroids (ZERO corpus shuffle, centroids from
+    * the session cache — a bench/pipeline running d12+d77 trains Lloyd
+    * once); one ≤C-row reduce, totals via q11-idiom unpartitioned
+    * windows over that reduced frame. DuckDB replays the full Lloyd
+    * chain bit-for-bit (the d12 oracle's CTE prefix, shared). */
+  def d77IvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(spark, dir)
+    val wAll = Window.partitionBy()
+    Tables.embeddings(spark, dir)
+      .select(nearestCid(cents, col("embedding")).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum(col("n_vecs")).over(wAll))
+      .withColumn("n_lists", count(lit(1)).over(wAll))
+      .select(col("cid"), col("n_vecs"),
+        expr("(n_vecs * 10000) div total").as("share_bp"),
+        (col("n_vecs") * col("n_lists") > col("total") * 2).as("hot_list"))
+      .orderBy(col("cid"))
+  }
+
+  val d77Sql: String =
+    s"""WITH $duckCentroidAndAssignCtes,
+       |l AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cid),
+       |t AS (SELECT *,
+       |  CAST(sum(n_vecs) OVER () AS BIGINT) AS total,
+       |  CAST(count(*) OVER () AS BIGINT) AS n_lists FROM l)
+       |SELECT cid, n_vecs,
+       |  (n_vecs * 10000) // total AS share_bp,
+       |  n_vecs * n_lists > total * 2 AS hot_list
+       |FROM t ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d77_ivf_balance" -> (d77IvfBalance _),
     "d70_split_embed_leak" -> (d70SplitEmbedLeak _),
     "d69_ann_pq" -> (d69AnnPq _),
     "d65_ann_recall" -> (d65AnnRecall _),
@@ -1184,6 +1228,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d77_ivf_balance" -> d77Sql,
     "d70_split_embed_leak" -> d70Sql,
     "d69_ann_pq" -> d69Sql,
     "d65_ann_recall" -> d65Sql,

@@ -2492,4 +2492,87 @@ class OperatorSpec extends GraftSpec {
     }.toSet
     assert(leaks.map(_.getLong(0)).toSet == expectIds)
   }
+
+  test("c28 type pagerank: sequential integer replay exact; mass conserved") {
+    val got = Events.c28TypePagerank(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // independent replay from raw events, sequential, same integer rules
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val edges = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.lazyZip(sorted.drop(1)).map((a, b) => (a, b))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSeq.distinct.sorted
+    val nN = nodes.length.toLong
+    val outN = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val base = Events.PageRankScale / nN
+    var score: Map[String, Long] = nodes.map(_ -> base).toMap
+    for (_ <- 1 to Events.PageRankRounds) {
+      val dang = nodes.filterNot(outN.contains).map(score).sum
+      val contrib = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      for (((s, d), n) <- edges) contrib(d) += BigInt(score(s)) * n / outN(s)
+      score = nodes.map(t =>
+        t -> ((BigInt(base) * 15 + (contrib(t) + dang / nN) * 85) / 100).toLong).toMap
+    }
+    val want = nodes.map(t => t -> score(t)).sortBy { case (t, s) => (-s, t) }
+    assert(got.toSeq == want, s"pagerank replay mismatch: got=${got.toSeq} want=$want")
+    // damped truncating updates lose < 100 ppt per node per round
+    val sum = got.map(_._2).sum
+    assert(sum <= Events.PageRankScale &&
+      sum >= Events.PageRankScale - nN * Events.PageRankRounds * 100)
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("d75 token concentration: per-source Simpson replayed exactly") {
+    val got = TextOps.d75TokenConcentration(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val bySource = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2))
+    assert(got.keySet == bySource.keySet.toSet)
+    bySource.foreach { case (src, toks) =>
+      val counts = toks.groupBy(identity).values.map(_.size.toLong).toSeq
+      val n = counts.sum
+      val rep = counts.map(c => BigInt(c) * (c - 1)).sum
+      val simpson = (rep * 10000 / (BigInt(n) * (n - 1))).toLong
+      val top = counts.max * 10000 / n
+      val (gTypes, gTok, gSimp, gTop) = got(src)
+      assert(gTypes == counts.length.toLong && gTok == n)
+      assert(gSimp == simpson && gTop == top, s"$src: ($gSimp,$gTop) != ($simpson,$top)")
+    }
+  }
+
+  test("d76 sentence profile: sentence words partition the token stream exactly") {
+    val got = TextOps.d76SentenceProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val total = ds.map(_._2.length.toLong).sum
+      val (nSents, nWords, p50, maxW) = got(src)
+      // injection adds terminators, never tokens: sentence words must
+      // partition the corpus token stream exactly
+      assert(nWords == total, s"$src: $nWords != $total")
+      assert(nSents >= ds.length.toLong, "splitting can only add segments")
+      assert(p50 >= 1L && p50 <= maxW && maxW <= ds.map(_._2.length.toLong).max)
+    }
+  }
+
+  test("d77 IVF balance: populations conserve the corpus; flags consistent") {
+    val rows = VectorOps.d77IvfBalance(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nVecs, "list populations must partition the corpus")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val total = nVecs
+    val nLists = rows.length.toLong
+    rows.foreach { case (cid, n, shareBp, hot) =>
+      assert(shareBp == n * 10000 / total)
+      assert(hot == (n * nLists > 2 * total), s"cid $cid flag inconsistent")
+    }
+    val bpSum = rows.map(_._3).sum
+    assert(bpSum <= 10000 && bpSum >= 10000 - nLists)
+  }
 }
