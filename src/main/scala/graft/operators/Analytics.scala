@@ -1582,7 +1582,88 @@ object Analytics {
       |  p50_delay_days, max_delay_days
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
+  /** Grid cell size for q51's spatial join (coordinate space 0..10⁶,
+    * so 10×10 cells at sf-independent density; at real scale the cell
+    * size is chosen from point density the same way). */
+  val GridCell = 100000L
+  private val GridSpan = 1000000L
+
+  /** q51: grid-bucketed nearest-neighbor join — the SPATIAL join class
+    * (nearest store/warehouse/city assignment; the reference's domain
+    * is literally city data). Each customer finds its nearest supplier
+    * in synthetic planar coordinates. No geometry columns ship in the
+    * star schema, so points derive row-locally from the keys (Knuth
+    * multiplicative hash onto a 10⁶×10⁶ grid — the d18/d40 injection
+    * idiom; the pre-mask keeps products < 2^63 in every engine,
+    * VectorOps:322). Distance is squared Euclidean in EXACT integer
+    * arithmetic (no sqrt — monotone, and portable where libm sin/cos
+    * tie-break differently across engines).
+    *
+    * Shape — the standard distributed spatial join: suppliers bucket
+    * to their grid cell ONCE; each customer explodes to its 3×3
+    * neighbor cells (bounded 9× fan-out of the probe side only, the
+    * multiprobe-LSH discipline) and meets suppliers in a plain
+    * equi-join on the cell key — NEVER a customer×supplier cross
+    * join. Winner per customer = lexicographic min(struct(d², key))
+    * — an aggregate with map-side partials (the d28 max_by idiom),
+    * no per-customer window. Search radius is one cell: customers
+    * with no supplier within the 3×3 neighborhood emit no row (the
+    * documented bounded-radius contract; a real deployment sizes
+    * cells from supplier density exactly like this testdata does).
+    * At 100 TB the only exchange is the cell-key shuffle; a hot cell
+    * bounds at cell population and salts like any hot join key. */
+  def q51NearestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    def px(k: Column): Column = pmod(pmod(k, lit(2147483648L)) * lit(2654435761L), lit(GridSpan))
+    def py(k: Column): Column = pmod(pmod(k, lit(2147483648L)) * lit(2246822519L), lit(GridSpan))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), px(col("s_suppkey")).as("sx"), py(col("s_suppkey")).as("sy"))
+      .withColumn("cell_x", expr(s"sx div $GridCell"))
+      .withColumn("cell_y", expr(s"sy div $GridCell"))
+    val probes = Tables.customer(spark, dir)
+      .select(col("c_custkey"), px(col("c_custkey")).as("cx"), py(col("c_custkey")).as("cy"))
+      .withColumn("d", explode(expr("sequence(-1, 1)")))
+      .withColumn("e", explode(expr("sequence(-1, 1)")))
+      .select(col("c_custkey"), col("cx"), col("cy"),
+        (expr(s"cx div $GridCell") + col("d")).as("cell_x"),
+        (expr(s"cy div $GridCell") + col("e")).as("cell_y"))
+    probes.join(sup, Seq("cell_x", "cell_y"))
+      .select(col("c_custkey"),
+        struct(
+          ((col("cx") - col("sx")) * (col("cx") - col("sx")) +
+            (col("cy") - col("sy")) * (col("cy") - col("sy"))).as("d2"),
+          col("s_suppkey")).as("cand"))
+      .groupBy(col("c_custkey"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
+        col("best.d2").as("dist2"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q51Sql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey,
+       |    ((c_custkey % 2147483648) * 2654435761) % $GridSpan AS cx,
+       |    ((c_custkey % 2147483648) * 2246822519) % $GridSpan AS cy
+       |  FROM customer),
+       |sup AS (
+       |  SELECT s_suppkey,
+       |    ((s_suppkey % 2147483648) * 2654435761) % $GridSpan AS sx,
+       |    ((s_suppkey % 2147483648) * 2246822519) % $GridSpan AS sy
+       |  FROM supplier),
+       |cand AS (
+       |  SELECT c.c_custkey, s.s_suppkey,
+       |    (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+       |  FROM cust c JOIN sup s
+       |    ON (s.sx // $GridCell) BETWEEN (c.cx // $GridCell) - 1 AND (c.cx // $GridCell) + 1
+       |   AND (s.sy // $GridCell) BETWEEN (c.cy // $GridCell) - 1 AND (c.cy // $GridCell) + 1),
+       |w AS (
+       |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+       |  FROM cand)
+       |SELECT c_custkey, s_suppkey, d2 AS dist2 FROM w WHERE rn = 1
+       |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_nearest_supplier" -> (q51NearestSupplier _),
     "q50_ship_delay" -> (q50ShipDelay _),
     "q49_percent_rank" -> (q49PercentRank _),
     "q48_decile_shift" -> (q48DecileShift _),
@@ -1634,6 +1715,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q51_nearest_supplier" -> q51Sql,
     "q50_ship_delay" -> q50Sql,
     "q49_percent_rank" -> q49Sql,
     "q48_decile_shift" -> q48Sql,

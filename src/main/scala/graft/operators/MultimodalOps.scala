@@ -742,7 +742,61 @@ object MultimodalOps {
        |  (assigned_bytes * $LoaderWorkers * 10000) // epoch_bytes - 10000 AS skew_bp
        |FROM t ORDER BY epoch, worker""".stripMargin
 
+  /** e13: shard integrity checksums — the verification ledger a blob
+    * pipeline publishes next to e2's shard manifest (a replica/transfer
+    * is verified by comparing ledger rows, never by re-reading blobs
+    * from the other side; WebDataset/tar-shard pipelines ship exactly
+    * this sidecar). Per (source, shard): blob count, byte total, and an
+    * ORDER-SENSITIVE rollup checksum — md5 over the doc_id-ordered
+    * concatenation of per-blob content md5s, so a reordered, dropped,
+    * duplicated or corrupted blob all change the shard digest.
+    *
+    * Shape: ONE corpus scan (e2's per-source cumsum window re-derived
+    * with the content hash riding along — a join back to documents
+    * would pay a second scan), then one (source, shard) reduce. The
+    * collect_list is bounded by shard capacity (≤ ShardBytes/blob —
+    * manifest-grain, not corpus-grain), and sort_array makes the fold
+    * order deterministic at any parallelism; 32-hex md5s concatenate
+    * below codegen string limits at any real shard size. */
+  def e13ShardChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("end_byte", sum(col("n_bytes").cast("long")).over(w))
+      .withColumn("start_byte", col("end_byte") - col("n_bytes"))
+      .select(col("source"), expr(s"start_byte div $ShardBytes").as("shard_idx"),
+        col("doc_id"), col("n_bytes"), col("h"))
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes").cast("long")).as("shard_bytes"),
+        md5(concat_ws("",
+          transform(sort_array(collect_list(struct(col("doc_id"), col("h")))),
+            p => p.getField("h"))).cast("binary")).as("shard_md5"))
+      .orderBy(col("source"), col("shard_idx"))
+  }
+
+  val e13Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    md5(text) AS h,
+       |    CAST(sum(octet_length(encode(text)))
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_byte
+       |  FROM documents)
+       |SELECT source, (end_byte - n_bytes) // $ShardBytes AS shard_idx,
+       |  CAST(count(*) AS BIGINT) AS n_blobs,
+       |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       |  md5(string_agg(h, '' ORDER BY doc_id)) AS shard_md5
+       |FROM b GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_shard_checksum" -> (e13ShardChecksum _),
     "e12_loader_assignment" -> (e12LoaderAssignment _),
     "e11_pair_manifest" -> (e11PairManifest _),
     "e10_shard_repack" -> (e10ShardRepack _),
@@ -757,6 +811,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e13_shard_checksum" -> e13Sql,
     "e12_loader_assignment" -> e12Sql,
     "e11_pair_manifest" -> e11Sql,
     "e10_shard_repack" -> e10Sql,

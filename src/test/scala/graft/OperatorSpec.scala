@@ -2560,6 +2560,34 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("q51 nearest supplier: local 3x3-grid brute-force replay exact") {
+    val got = Analytics.q51NearestSupplier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def px(k: Long) = (k % 2147483648L) * 2654435761L % 1000000L
+    def py(k: Long) = (k % 2147483648L) * 2246822519L % 1000000L
+    val cell = Analytics.GridCell
+    val sups = Tables.supplier(spark, sfDir).select("s_suppkey").collect()
+      .map(r => { val k = r.getLong(0); (k, px(k), py(k)) })
+    val custs = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0))
+    var matched = 0
+    custs.foreach { ck =>
+      val (cx, cy) = (px(ck), py(ck))
+      val cands = sups.filter { case (_, sx, sy) =>
+        math.abs(sx / cell - cx / cell) <= 1 && math.abs(sy / cell - cy / cell) <= 1
+      }
+      if (cands.isEmpty) assert(!got.contains(ck), s"$ck: row despite empty neighborhood")
+      else {
+        val want = cands.map { case (sk, sx, sy) =>
+          ((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy), sk)
+        }.min
+        assert(got(ck) == ((want._2, want._1)), s"$ck: ${got.get(ck)} != $want")
+        matched += 1
+      }
+    }
+    assert(matched > custs.length / 2, "grid too sparse to exercise the join")
+  }
+
   test("d77 IVF balance: populations conserve the corpus; flags consistent") {
     val rows = VectorOps.d77IvfBalance(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.operators.DedupOps
-import graft.sources.{PartitionedSink, Sinks, SourceRegistry}
+import graft.sources.{ColumnarSources, PartitionedSink, Sinks, SourceRegistry}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -995,5 +995,71 @@ class SourcesStreamingSpec extends GraftSpec {
         t == "click" && h == baseHour + 28 && cnt == 12 && f })
       assert(got.count(_._6) == 1)
     } finally q.stop()
+  }
+
+  test("ColumnarSources: ORC round-trip, pushdown, pruning, schema enforcement") {
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft_orc").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    ColumnarSources.writeOrc(orders, out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType), StructField("o_orderpriority", StringType)))
+    val back = ColumnarSources.readOrc(spark, out, schema)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // pushdown + pruning reach the ORC scan exactly like parquet
+    val q = back.filter(col("o_orderkey") === 42L).select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)"),
+      plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      plan.take(1500))
+    // additive evolution reads fine; a retyped column fails fast
+    val subset = ColumnarSources.readOrc(spark, out,
+      StructType(Seq(StructField("o_orderkey", LongType))))
+    assert(subset.columns.toSeq == Seq("o_orderkey"))
+    val bad = intercept[IllegalArgumentException] {
+      ColumnarSources.readOrc(spark, out,
+        StructType(Seq(StructField("o_orderkey", StringType))))
+    }
+    assert(bad.getMessage.contains("o_orderkey"))
+  }
+
+  test("e13 shard checksum: order-sensitive digest replayed locally") {
+    import graft.operators.MultimodalOps
+    val got = MultimodalOps.e13ShardChecksum(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val placed: Seq[(String, Long, Long, Long, String)] =
+      docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        var off = 0L
+        ds.sortBy(_._1).toSeq.map { case (id, _, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val row = (src, id, off / MultimodalOps.ShardBytes, bytes.length.toLong, md5hex(bytes))
+          off += bytes.length
+          row
+        }
+      }
+    val want = placed.groupBy(r => (r._1, r._3)).map { case (k, rows) =>
+      val ordered = rows.sortBy(_._2)
+      k -> (ordered.length.toLong, ordered.map(_._4).sum,
+        md5hex(ordered.map(_._5).mkString.getBytes("UTF-8")))
+    }
+    assert(got == want, s"checksum ledger mismatch: got=${got.size} want=${want.size}")
+    // order sensitivity: permuting two digests changes the rollup
+    val (k0, (_, _, digest)) = want.head
+    val rows0 = placed.filter(r => (r._1, r._3) == k0).sortBy(_._2)
+    if (rows0.length >= 2) {
+      val perm = rows0.take(2).reverse ++ rows0.drop(2)
+      val permDigest = md5hex(perm.map(_._5).mkString.getBytes("UTF-8"))
+      assert(permDigest != digest)
+    }
   }
 }
