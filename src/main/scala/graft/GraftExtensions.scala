@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashAgg, TopKAgg}
+import graft.functions.{CosineSimilarity, DotProduct, FreqSketchAgg, MinHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_by_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAgg(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FreqSketchAgg(children(0), children(1))))
   }
 }

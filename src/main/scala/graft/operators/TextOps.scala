@@ -1976,7 +1976,63 @@ object TextOps {
       |  CAST(max(n_words) AS BIGINT) AS max_words
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Misra–Gries capacity for d78 (undercount ≤ N/(cap+1) = N/4096)
+    * and the reporting threshold divisor (report share ≥ 1/1000). The
+    * guarantee chain that makes the output exact: every token with
+    * cnt ≥ N/1000 > N/4096 is GUARANTEED in the sketch's candidate
+    * set, so the exact join-back verification loses nothing. */
+  val HeavyCap = 4095
+  val HeavyShareDiv = 1000L
+
+  /** d78: corpus heavy hitters via sketch-then-verify — the
+    * bounded-memory frequent-items pattern (Misra–Gries; the d11 vocab
+    * top-k answers "which tokens", this answers "which tokens exceed a
+    * SHARE floor" without shuffling the vocabulary). The exact form
+    * (`groupBy(token) HAVING share ≥ 1/1000`) shuffles every distinct
+    * type — 10⁸–10⁹ keys on web-scale text — to keep at most 1000
+    * rows (pigeonhole). Here pass 1 reduces each partition to ≤
+    * [[HeavyCap]] counters inside the custom `freq_sketch` aggregate
+    * (map-side ObjectHashAggregate partials; merge-order-dependent
+    * counts, superset-guaranteed membership), and pass 2 verifies the
+    * ≤ HeavyCap candidates with EXACT counts — the candidate
+    * broadcast is bounded by the literal capacity, never by the data
+    * (the LSH-plane discipline), and the verify exchange carries only
+    * candidate tokens. Output = exactly the tokens with
+    * cnt·1000 ≥ N, deterministic although the sketch isn't — the MG
+    * bound proves no true heavy hitter can be absent, and the exact
+    * filter kills sketch noise; the DuckDB oracle is the plain exact
+    * HAVING query. Two corpus scans BY DESIGN (sketch + verify — the
+    * d44 two-scan adjudication; one exact scan would be the shuffle
+    * this operator exists to avoid). */
+  def d78HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val cands = toks
+      .agg(call_function("freq_sketch", col("tok"), lit(HeavyCap)).as("cand"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("cand")).as("c"), col("n_total"))
+      .select(col("c.item").as("tok"), col("n_total"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy(col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HeavyShareDiv >= col("n_total"))
+      .select(col("tok"), col("cnt"), expr("(cnt * 10000) div n_total").as("share_bp"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  val d78Sql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n_total FROM t),
+       |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
+       |SELECT tok, cnt, (cnt * 10000) // n_total AS share_bp
+       |FROM c CROSS JOIN n
+       |WHERE cnt * $HeavyShareDiv >= n_total
+       |ORDER BY cnt DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d78_heavy_hitters" -> (d78HeavyHitters _),
     "d76_sentence_profile" -> (d76SentenceProfile _),
     "d75_token_concentration" -> (d75TokenConcentration _),
     "d74_quality_calibration" -> (d74QualityCalibration _),
@@ -2016,6 +2072,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d78_heavy_hitters" -> d78Sql,
     "d76_sentence_profile" -> d76Sql,
     "d75_token_concentration" -> d75Sql,
     "d74_quality_calibration" -> d74Sql,

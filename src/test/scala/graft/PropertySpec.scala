@@ -217,4 +217,59 @@ class PropertySpec extends GraftSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
     }
   }
+
+  test("freq_sketch: MG guarantee holds under adversarial splits and merges") {
+    import graft.functions.FreqSketchBuffer
+    // Zipf-ish stream: item i appears ~N/i times, shuffled deterministically
+    val stream = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .shuffle((1 to 60).flatMap(i => Seq.fill(3000 / i)(s"tok$i")).toVector)
+    val n = stream.length.toLong
+    val k = 15
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // adversarial merge tree: many tiny buffers, pairwise-merged in waves
+    def runSplit(chunks: Seq[Seq[String]]): FreqSketchBuffer = {
+      var bufs = chunks.map { c =>
+        val b = new FreqSketchBuffer(k); c.foreach(b.add); b
+      }.toVector
+      while (bufs.length > 1)
+        bufs = bufs.grouped(2).map {
+          case Vector(a, b) => a.mergeFrom(b); a
+          case Vector(a) => a
+        }.toVector
+      bufs.head
+    }
+    for (chunkSize <- Seq(1000, 97, 7)) {
+      val merged = runSplit(stream.grouped(chunkSize).map(_.toSeq).toSeq)
+      val got = {
+        val m = scala.collection.mutable.Map[String, Long]()
+        merged.counts.forEach { (i: String, c: Long) => m(i) = c; () }
+        m.toMap
+      }
+      assert(got.size <= k)
+      val bound = n / (k + 1) + 1
+      exact.foreach { case (item, cnt) =>
+        if (cnt > bound) assert(got.contains(item), s"chunk $chunkSize: lost $item (cnt=$cnt > $bound)")
+      }
+      got.foreach { case (item, est) =>
+        val tru = exact(item)
+        assert(est <= tru && est >= tru - bound, s"chunk $chunkSize: $item est=$est true=$tru")
+      }
+    }
+  }
+
+  test("d78 heavy hitters ≡ exact groupBy filter; candidate join broadcast") {
+    val got = TextOps.d78HeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (_, c) => c * TextOps.HeavyShareDiv >= n }
+      .map { case (t, c) => (t, c, c * 10000 / n) }
+      .sortBy { case (t, c, _) => (-c, t) }
+    assert(got.toSeq == want.toSeq, s"got ${got.length} want ${want.length}")
+    val plan = TextOps.d78HeavyHitters(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "candidate verify join must broadcast the bounded candidate set")
+  }
 }
