@@ -1239,6 +1239,73 @@ object Events {
       |JOIN sz zb ON type_b = zb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** c29: conversion-latency profile by click hour-of-day — the card
+    * closing c22's per-click question at the cohort grain (is checkout
+    * slow at peak hours? does overnight traffic convert at all?): per
+    * hour 0-23, click volume, converted count + exact bp rate, and
+    * exact discrete p50/p90/max time-to-convert in MINUTES. Composes
+    * c22's forward as-of (one per-user window exchange — no new
+    * corpus work beyond it); latency reduces FIRST to (hour, minute)
+    * counts — the value-space-bounded frame (≤ 24 × observed-minutes
+    * rows at ANY corpus size, the c18/d74 discipline) — and the
+    * crossing-pattern quantile windows walk that reduced frame only.
+    * Never-converted clicks (no following purchase) count in the
+    * conversion rate and stay out of the quantiles by construction.
+    * The oracle composes c22's replayed SQL verbatim (d15 idiom). */
+  def c29TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.partitionBy(col("click_hour")).orderBy(col("ttc_min"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wH = Window.partitionBy(col("click_hour"))
+    c22AsofForward(spark, dir)
+      .select(hour(col("ts")).cast("long").as("click_hour"),
+        expr("ttc_sec div 60").as("ttc_min"))
+      .groupBy(col("click_hour"), col("ttc_min"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("conv", when(col("ttc_min").isNotNull, col("n")).otherwise(lit(0L)))
+      .withColumn("cum", sum(col("conv")).over(wCum))
+      .withColumn("total_conv", sum(col("conv")).over(wH))
+      .groupBy(col("click_hour"))
+      .agg(
+        sum(col("n")).as("n_clicks"),
+        sum(col("conv")).as("n_converted"),
+        min(when(col("ttc_min").isNotNull && col("cum") * 2 >= col("total_conv"),
+          col("ttc_min"))).as("p50_ttc_min"),
+        min(when(col("ttc_min").isNotNull && col("cum") * 10 >= col("total_conv") * 9,
+          col("ttc_min"))).as("p90_ttc_min"),
+        max(col("ttc_min")).as("max_ttc_min"))
+      .select(col("click_hour"), col("n_clicks"), col("n_converted"),
+        expr("(n_converted * 10000) div n_clicks").as("conv_bp"),
+        col("p50_ttc_min"), col("p90_ttc_min"), col("max_ttc_min"))
+      .orderBy(col("click_hour"))
+  }
+
+  val c29Sql: String =
+    s"""WITH c AS ($c22Sql),
+       |m AS (
+       |  SELECT hour(ts) AS click_hour, ttc_sec // 60 AS ttc_min, count(*) AS n
+       |  FROM c GROUP BY 1, 2),
+       |x AS (
+       |  SELECT *, CASE WHEN ttc_min IS NOT NULL THEN n ELSE 0 END AS conv
+       |  FROM m),
+       |w AS (
+       |  SELECT *,
+       |    CAST(sum(conv) OVER (PARTITION BY click_hour ORDER BY ttc_min
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(conv) OVER (PARTITION BY click_hour) AS BIGINT) AS total_conv
+       |  FROM x),
+       |a AS (
+       |  SELECT click_hour,
+       |    CAST(sum(n) AS BIGINT) AS n_clicks,
+       |    CAST(sum(conv) AS BIGINT) AS n_converted,
+       |    min(CASE WHEN ttc_min IS NOT NULL AND cum * 2 >= total_conv THEN ttc_min END) AS p50_ttc_min,
+       |    min(CASE WHEN ttc_min IS NOT NULL AND cum * 10 >= total_conv * 9 THEN ttc_min END) AS p90_ttc_min,
+       |    max(ttc_min) AS max_ttc_min
+       |  FROM w GROUP BY 1)
+       |SELECT click_hour, n_clicks, n_converted,
+       |  (n_converted * 10000) // n_clicks AS conv_bp,
+       |  p50_ttc_min, p90_ttc_min, max_ttc_min
+       |FROM a ORDER BY click_hour""".stripMargin
+
   /** Rounds and score scale (parts-per-trillion) for c28's integer
     * PageRank power iteration. */
   val PageRankRounds = 10
@@ -1343,6 +1410,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c29_time_to_convert" -> (c29TimeToConvert _),
     "c28_type_pagerank" -> (c28TypePagerank _),
     "c27_audience_overlap" -> (c27AudienceOverlap _),
     "c26_level_shift" -> (c26LevelShift _),
@@ -1373,6 +1441,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c29_time_to_convert" -> c29Sql,
     "c28_type_pagerank" -> c28Sql,
     "c27_audience_overlap" -> c27Sql,
     "c26_level_shift" -> c26Sql,

@@ -795,7 +795,83 @@ object MultimodalOps {
        |  md5(string_agg(h, '' ORDER BY doc_id)) AS shard_md5
        |FROM b GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin
 
+  /** Pyramid floor for e14: levels halve until a side would drop
+    * below this. */
+  val PyramidMinSide = 64
+
+  /** e14: resolution-ladder (mipmap/thumbnail pyramid) storage plan —
+    * the precompute every image-serving + multi-res training pipeline
+    * runs (progressive loading, low-res curriculum, augmentation at
+    * native scales): per source, how many pyramid levels the corpus
+    * generates and what the downscaled copies cost on top of the
+    * originals. Level i halves both dims (integer `div`, the exact
+    * arithmetic a real resizer's floor mode uses); levels exist while
+    * both sides stay ≥ [[PyramidMinSide]]; bytes are priced at RGB
+    * w·h·3 — the UNCOMPRESSED planning bound (codec output varies;
+    * capacity planning uses the bound).
+    *
+    * Shape: rides e1's decode seam row-locally — a bounded
+    * sequence-explode per image (≤ 6 levels at these dims; the d33
+    * window-manifest idiom), then ONE ≤|sources| reduce. The classic
+    * geometric-series check (pyramid ≈ ⅓ of original) falls out in
+    * the overhead_bp column. */
+  def e14ResolutionLadder(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = expr(
+      s"""explode(filter(
+         |  transform(sequence(0, 6),
+         |    i -> named_struct(
+         |      'level', cast(i as bigint),
+         |      'w', cast(width as bigint) div shiftleft(1, i),
+         |      'h', cast(height as bigint) div shiftleft(1, i))),
+         |  s -> least(s.w, s.h) >= $PyramidMinSide))""".stripMargin)
+    e1MultimodalMeta(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), lvl.as("l"))
+      .select(col("source"), col("l.level").as("level"),
+        (col("l.w") * col("l.h") * lit(3L)).as("lvl_bytes"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("level") === 0, 1L).otherwise(0L)).as("n_images"),
+        count(lit(1)).as("n_levels_total"),
+        max(col("level")).as("max_level"),
+        sum(when(col("level") === 0, col("lvl_bytes")).otherwise(0L)).as("orig_bytes"),
+        sum(when(col("level") > 0, col("lvl_bytes")).otherwise(0L)).as("pyramid_bytes"))
+      .select(col("source"), col("n_images"), col("n_levels_total"), col("max_level"),
+        col("orig_bytes"), col("pyramid_bytes"),
+        expr("(pyramid_bytes * 10000) div orig_bytes").as("overhead_bp"))
+      .orderBy(col("source"))
+  }
+
+  val e14Sql: String =
+    s"""WITH meta AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(640 + (ascii(substring(md5(d.text), 1, 1)) % 16) * 80 AS BIGINT) AS width,
+       |    CAST(360 + (ascii(substring(md5(d.text), 2, 1)) % 16) * 45 AS BIGINT) AS height
+       |  FROM documents d),
+       |lv AS (
+       |  SELECT doc_id, source, l.level AS level,
+       |    l.w * l.h * 3 AS lvl_bytes
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      unnest(list_filter(
+       |        list_transform(range(0, 7),
+       |          i -> {'level': i, 'w': width // (1 << i), 'h': height // (1 << i)}),
+       |        s -> least(s.w, s.h) >= $PyramidMinSide)) AS l
+       |    FROM meta)),
+       |a AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+       |    CAST(count(*) AS BIGINT) AS n_levels_total,
+       |    CAST(max(level) AS BIGINT) AS max_level,
+       |    CAST(sum(CASE WHEN level = 0 THEN lvl_bytes ELSE 0 END) AS BIGINT) AS orig_bytes,
+       |    CAST(sum(CASE WHEN level > 0 THEN lvl_bytes ELSE 0 END) AS BIGINT) AS pyramid_bytes
+       |  FROM lv GROUP BY source)
+       |SELECT source, n_images, n_levels_total, max_level, orig_bytes, pyramid_bytes,
+       |  (pyramid_bytes * 10000) // orig_bytes AS overhead_bp
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_resolution_ladder" -> (e14ResolutionLadder _),
     "e13_shard_checksum" -> (e13ShardChecksum _),
     "e12_loader_assignment" -> (e12LoaderAssignment _),
     "e11_pair_manifest" -> (e11PairManifest _),
@@ -811,6 +887,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e14_resolution_ladder" -> e14Sql,
     "e13_shard_checksum" -> e13Sql,
     "e12_loader_assignment" -> e12Sql,
     "e11_pair_manifest" -> e11Sql,

@@ -2588,6 +2588,54 @@ class OperatorSpec extends GraftSpec {
     assert(matched > custs.length / 2, "grid too sparse to exercise the join")
   }
 
+  test("c29 time-to-convert: hourly profile replayed from c22's per-click rows") {
+    val got = Events.c29TimeToConvert(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    val clicks = Events.c22AsofForward(spark, sfDir)
+      .select("ts", "ttc_sec").collect()
+      .map(r => (r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).getHour.toLong,
+        if (r.isNullAt(1)) None else Some(r.getLong(1) / 60)))
+    clicks.groupBy(_._1).foreach { case (h, rows) =>
+      val (nClicks, nConv, convBp, p50, p90) = got(h)
+      val mins = rows.flatMap(_._2).sorted
+      assert(nClicks == rows.length.toLong && nConv == mins.length.toLong)
+      assert(convBp == nConv * 10000 / nClicks)
+      def q(mult: Long, den: Long): Long = {
+        val cum = mins.groupBy(identity).toSeq.sortBy(_._1)
+          .scanLeft((0L, 0L)) { case ((_, c), (m, xs)) => (m, c + xs.length) }.drop(1)
+        cum.collectFirst { case (m, c) if c * den >= mins.length.toLong * mult => m }.getOrElse(-1L)
+      }
+      assert(p50 == q(1, 2), s"hour $h p50")
+      assert(p90 == q(9, 10), s"hour $h p90")
+    }
+  }
+
+  test("e14 resolution ladder: per-image pyramid replayed; geometric bound holds") {
+    val got = MultimodalOps.e14ResolutionLadder(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val meta = MultimodalOps.e1MultimodalMeta(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .select("source", "width", "height").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getInt(2).toLong))
+    meta.groupBy(_._1).foreach { case (src, imgs) =>
+      val levels = imgs.flatMap { case (_, w, h) =>
+        (0 to 6).map(i => (i.toLong, w >> i, h >> i))
+          .filter { case (_, lw, lh) => math.min(lw, lh) >= MultimodalOps.PyramidMinSide }
+      }
+      val orig = levels.filter(_._1 == 0).map { case (_, w, h) => w * h * 3 }.sum
+      val pyr = levels.filter(_._1 > 0).map { case (_, w, h) => w * h * 3 }.sum
+      val (nImg, nLvl, maxLvl, oB, pB, bp) = got(src)
+      assert(nImg == imgs.length.toLong && nLvl == levels.length.toLong)
+      assert(maxLvl == levels.map(_._1).max && oB == orig && pB == pyr)
+      assert(bp == pyr * 10000 / orig)
+      // halving every level bounds the pyramid below the 1/3 geometric sum
+      assert(bp < 3334, s"$src: pyramid share $bp bp breaks the geometric bound")
+    }
+  }
+
   test("d77 IVF balance: populations conserve the corpus; flags consistent") {
     val rows = VectorOps.d77IvfBalance(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
