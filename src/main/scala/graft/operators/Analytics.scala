@@ -1662,7 +1662,37 @@ object Analytics {
        |SELECT c_custkey, s_suppkey, d2 AS dist2 FROM w WHERE rn = 1
        |ORDER BY c_custkey""".stripMargin
 
+  /** q52: full CUBE aggregation — the last member of the
+    * multi-granularity family (q8 ROLLUP is the hierarchy prefix set,
+    * q18 GROUPING SETS the hand-picked set; CUBE is all 2ᵏ margins):
+    * revenue and volume for every (returnflag × linestatus) margin in
+    * one pass — Spark expands grouping sets map-side, so the corpus is
+    * scanned ONCE and only the expanded aggregate rows shuffle.
+    * Aggregation levels are reported via 'ALL' labels (both columns
+    * are non-null in the data, so coalesce is unambiguous) — portable
+    * where grouping_id bit order is engine-specific. Money stays
+    * DECIMAL until the final double cast (Cols.dec2 discipline). */
+  def q52Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), dec2(col("l_extendedprice")).as("p"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("p")).cast("double").as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("revenue"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q52Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_cube" -> (q52Cube _),
     "q51_nearest_supplier" -> (q51NearestSupplier _),
     "q50_ship_delay" -> (q50ShipDelay _),
     "q49_percent_rank" -> (q49PercentRank _),
@@ -1715,6 +1745,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q52_cube" -> q52Sql,
     "q51_nearest_supplier" -> q51Sql,
     "q50_ship_delay" -> q50Sql,
     "q49_percent_rank" -> q49Sql,

@@ -1697,7 +1697,63 @@ object Etl {
        |ORDER BY layout, y, m""".stripMargin
   }
 
+  /** a34: point-in-time dimension lookup against the a24 SCD2 build —
+    * the TEMPORAL join a versioned warehouse runs constantly ("which
+    * state was this entity in WHEN the fact happened"; a7's compaction
+    * answers only "now", c3's as-of joins two event streams — this
+    * probes validity INTERVALS). Probes are data-derived (per user,
+    * the midpoint of observed history — integer-micros midpoint, the
+    * a11 as-of idiom); the answer is the version whose
+    * [valid_from, valid_to) contains the probe.
+    *
+    * Shape — ONE scan, ONE user exchange (the c3 discipline taken one
+    * step further): the probe midpoint rides the SAME user partition
+    * as the a24 change-compression windows (unordered min/max window
+    * shares the ordered windows' exchange and sort), and the
+    * containing version is a per-user `max(struct(valid_from,
+    * version, state))` over changes at-or-before the probe — interval
+    * containment as an AGGREGATE, never a per-probe range join and
+    * never a second scan to build the probe set. Same-ts version
+    * pairs resolve to the higher version, exactly the empty-interval
+    * [t,t) semantics of the BETWEEN-join form the oracle uses.
+    * Probes can't precede version 1 by construction (midpoint ≥
+    * first event). */
+  def a34PitLookup(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wU = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .withColumn("mn_us", unix_micros(min(col("ts")).over(wU)))
+      .withColumn("mx_us", unix_micros(max(col("ts")).over(wU)))
+      .withColumn("probe_ts", timestamp_micros(expr("(mn_us + mx_us) div 2")))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(wOrd))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("probe_ts")).as("probe_ts"),
+        max(when(col("ts") <= col("probe_ts"),
+          struct(col("ts").as("valid_from"), col("version"), col("event_type")))).as("cur"))
+      .select(col("user_id"), col("probe_ts"),
+        col("cur.version").as("version"), col("cur.event_type").as("state"),
+        col("cur.valid_from").as("valid_from"))
+      .orderBy(col("user_id"))
+  }
+
+  val a34Sql: String =
+    s"""WITH pr AS (
+       |  SELECT user_id,
+       |    make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS probe_ts
+       |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+       |  GROUP BY user_id)
+       |SELECT p.user_id, p.probe_ts, s.version, s.event_type AS state, s.valid_from
+       |FROM pr p LEFT JOIN ($a24Sql) s
+       |  ON p.user_id = s.user_id AND p.probe_ts >= s.valid_from
+       |     AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)
+       |ORDER BY p.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a34_pit_lookup" -> (a34PitLookup _),
     "a33_overlap_depth" -> (a33OverlapDepth _),
     "a32_backfill_plan" -> (a32BackfillPlan _),
     "a31_zone_map_audit" -> (a31ZoneMapAudit _),
@@ -1733,6 +1789,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a34_pit_lookup" -> a34Sql,
     "a33_overlap_depth" -> a33Sql,
     "a32_backfill_plan" -> a32Sql,
     "a31_zone_map_audit" -> a31Sql,

@@ -2588,6 +2588,51 @@ class OperatorSpec extends GraftSpec {
     assert(matched > custs.length / 2, "grid too sparse to exercise the join")
   }
 
+  test("a34 PIT lookup: interval containment replayed against the SCD2 frame") {
+    val got = Etl.a34PitLookup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1).getTime, r.getInt(2), r.getString(3),
+        r.getTimestamp(4).getTime)).toMap
+    val scd = Etl.a24Scd2Build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getTimestamp(3).getTime,
+        if (r.isNullAt(4)) Long.MaxValue else r.getTimestamp(4).getTime))
+    val span = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(min("ts").as("mn"), max("ts").as("mx")).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)).toMap
+    assert(got.keySet == span.keySet)
+    got.foreach { case (u, (probeMs, ver, state, fromMs)) =>
+      val (mn, mx) = span(u)
+      // midpoint probe at millisecond grain (micros midpoint truncates)
+      assert(math.abs(probeMs - (mn + mx) / 2) <= 1, s"user $u probe not at midpoint")
+      val hits = scd.filter(v => v._1 == u && probeMs >= v._4 && probeMs < v._5)
+      assert(hits.length == 1, s"user $u: ${hits.length} containing intervals")
+      assert((hits.head._2, hits.head._3, hits.head._4) == ((ver, state, fromMs)))
+    }
+  }
+
+  test("q52 CUBE: every margin is the exact sum of its cells") {
+    val rows = Analytics.q52Cube(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val cells = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    def total(sel: ((String, String, Long, Double)) => Boolean): (Long, Double) = {
+      val s = cells.filter(sel)
+      (s.map(_._3).sum, s.map(_._4).sum)
+    }
+    rows.filter(r => r._1 == "ALL" || r._2 == "ALL").foreach {
+      case ("ALL", "ALL", n, rev) =>
+        val (wn, wrev) = total(_ => true)
+        assert(n == wn && math.abs(rev - wrev) < 1e-6 * math.abs(wrev))
+      case ("ALL", ls, n, rev) =>
+        val (wn, wrev) = total(_._2 == ls)
+        assert(n == wn && math.abs(rev - wrev) < 1e-6 * math.abs(wrev))
+      case (rf, "ALL", n, rev) =>
+        val (wn, wrev) = total(_._1 == rf)
+        assert(n == wn && math.abs(rev - wrev) < 1e-6 * math.abs(wrev))
+      case _ => ()
+    }
+    assert(rows.exists(r => r._1 == "ALL" && r._2 == "ALL"))
+    assert(cells.map(_._3).sum == Tables.lineitem(spark, sfDir).count())
+  }
+
   test("c29 time-to-convert: hourly profile replayed from c22's per-click rows") {
     val got = Events.c29TimeToConvert(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
