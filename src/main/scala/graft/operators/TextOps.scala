@@ -2031,7 +2031,155 @@ object TextOps {
        |WHERE cnt * $HeavyShareDiv >= n_total
        |ORDER BY cnt DESC, tok""".stripMargin
 
+  /** Steps in d79's loader schedule — the planning horizon, a literal
+    * (manifest grain: the schedule is ~steps·|sources| rows at any
+    * corpus size). */
+  val MixtureSteps = 1000L
+
+  /** d79: deterministic mixture interleaving schedule — the BATCH-grain
+    * execution of d21's mixture weights (d49 budgets tokens, d22
+    * shuffles order; this answers the data loader's actual question:
+    * "at step t, which source do I draw?"). Bresenham/largest-remainder
+    * pacing in exact integers: source s emits at step t iff
+    * ⌊(t+1)·w_s⌋ > ⌊t·w_s⌋ with w_s = src_chars/total_chars as an
+    * integer RATIO (never a float weight — floats drift off by a batch
+    * at long horizons and aren't engine-portable). Properties (spec-
+    * proven): after any prefix of t steps each source has emitted
+    * exactly ⌊t·w_s⌋ batches — pacing error < 1 batch always — and the
+    * full horizon emits ⌊S·w_s⌋ per source.
+    *
+    * Shape: one corpus reduce to per-source char totals (+ q11 window
+    * for the denominator), then a LITERAL step spine explodes per
+    * source — ≤ S·|sources| rows at any corpus size; emit test and
+    * seq are row-local integer arithmetic. */
+  def d79MixtureSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("src_chars"))
+      .withColumn("total_chars", sum(col("src_chars")).over(wAll))
+      .select(col("source"), col("src_chars"), col("total_chars"),
+        explode(sequence(lit(0L), lit(MixtureSteps - 1L))).as("step"))
+      .filter(expr("((step + 1) * src_chars) div total_chars > (step * src_chars) div total_chars"))
+      .select(col("step"), col("source"),
+        expr("((step + 1) * src_chars) div total_chars").as("emit_seq"))
+      .orderBy(col("step"), col("source"))
+  }
+
+  val d79Sql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars FROM documents GROUP BY source),
+       |t AS (SELECT *, CAST(sum(src_chars) OVER () AS BIGINT) AS total_chars FROM per),
+       |g AS (
+       |  SELECT source, src_chars, total_chars, CAST(step AS BIGINT) AS step
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, $MixtureSteps)) AS step))
+       |SELECT step, source,
+       |  ((step + 1) * src_chars) // total_chars AS emit_seq
+       |FROM g
+       |WHERE ((step + 1) * src_chars) // total_chars > (step * src_chars) // total_chars
+       |ORDER BY step, source""".stripMargin
+
+  /** d80: crawl-churn audit — token-grain revision delta between two
+    * loads of the same corpus (a21 diffs KEYS; a recrawl pipeline needs
+    * how much CONTENT moved: boilerplate rotation, template swaps,
+    * genuine edits — the signal behind re-fetch scheduling and
+    * incremental re-training). Load B derives deterministically from
+    * load A (the a7/a21 snapshot idiom; docs with doc_id ≡ 0 mod 7
+    * lose their first token and gain a revision marker — 7 is COPRIME
+    * to the per-source doc-id stride, so every source carries changed
+    * docs (the e9 modulus lesson: a divisor of the stride degenerates
+    * to all-or-none per source)), and the delta
+    * is the exact token MULTISET diff: added = Σ max(0, cntB − cntA),
+    * removed = Σ max(0, cntA − cntB) per (doc, token), rolled to per
+    * source with churn in bp of the load-A token mass.
+    *
+    * Shape: both loads reduce to (doc, token, cnt) and meet in ONE
+    * full-outer equi-join on the (doc, token) key — multiset diff as a
+    * join, never array diffing on fat columns (the d8 relational
+    * adjudication); per-source rollup rides the join output. Two
+    * corpus scans (one per load — inherent: real loads are two
+    * different files). */
+  def d80CrawlChurn(spark: SparkSession, dir: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val a = counts(Tables.documents(spark, dir))
+    val b = counts(Tables.documents(spark, dir)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(regexp_replace(col("text"), "^\\S+\\s*", ""),
+            lit(" rev"), col("doc_id").cast("string")))
+          .otherwise(col("text"))))
+    a.select(col("doc_id"), col("source"), col("tok"), col("cnt").as("cnt_a"))
+      .join(b.select(col("doc_id"), col("source"), col("tok"), col("cnt").as("cnt_b")),
+        Seq("doc_id", "source", "tok"), "full_outer")
+      .select(col("doc_id"), col("source"),
+        greatest(coalesce(col("cnt_b"), lit(0L)) - coalesce(col("cnt_a"), lit(0L)), lit(0L)).as("added"),
+        greatest(coalesce(col("cnt_a"), lit(0L)) - coalesce(col("cnt_b"), lit(0L)), lit(0L)).as("removed"),
+        coalesce(col("cnt_a"), lit(0L)).as("mass_a"))
+      // doc-grain reduce first (rides the join's (doc, source) partitioning),
+      // so "changed docs" is a cheap conditional count — never a corpus-wide
+      // DISTINCT rewrite at source grain
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("added")).as("added"), sum(col("removed")).as("removed"),
+        sum(col("mass_a")).as("mass_a"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("added") + col("removed") > 0, 1L).otherwise(0L)).as("n_docs_changed"),
+        sum(col("added")).as("tokens_added"),
+        sum(col("removed")).as("tokens_removed"),
+        sum(col("mass_a")).as("tokens_a"))
+      .select(col("source"), col("n_docs_changed"), col("tokens_added"), col("tokens_removed"),
+        col("tokens_a"),
+        expr("((tokens_added + tokens_removed) * 10000) div tokens_a").as("churn_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d80Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, source, tok, count(*) AS cnt FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |rev AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN regexp_replace(text, '^\S+\s*', '') || ' rev' || CAST(doc_id AS VARCHAR)
+      |      ELSE text END AS text
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source, tok, count(*) AS cnt FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |    FROM rev)
+      |  GROUP BY 1, 2, 3),
+      |d AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    COALESCE(a.source, b.source) AS source,
+      |    greatest(COALESCE(b.cnt, 0) - COALESCE(a.cnt, 0), 0) AS added,
+      |    greatest(COALESCE(a.cnt, 0) - COALESCE(b.cnt, 0), 0) AS removed,
+      |    COALESCE(a.cnt, 0) AS mass_a
+      |  FROM a FULL OUTER JOIN b
+      |    ON a.doc_id = b.doc_id AND a.source = b.source AND a.tok = b.tok),
+      |dd AS (
+      |  SELECT doc_id, source, sum(added) AS added, sum(removed) AS removed,
+      |    sum(mass_a) AS mass_a
+      |  FROM d GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN added + removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed,
+      |    CAST(sum(added) AS BIGINT) AS tokens_added,
+      |    CAST(sum(removed) AS BIGINT) AS tokens_removed,
+      |    CAST(sum(mass_a) AS BIGINT) AS tokens_a
+      |  FROM dd GROUP BY source)
+      |SELECT source, n_docs_changed, tokens_added, tokens_removed, tokens_a,
+      |  ((tokens_added + tokens_removed) * 10000) // tokens_a AS churn_bp
+      |FROM s ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d80_crawl_churn" -> (d80CrawlChurn _),
+    "d79_mixture_schedule" -> (d79MixtureSchedule _),
     "d78_heavy_hitters" -> (d78HeavyHitters _),
     "d76_sentence_profile" -> (d76SentenceProfile _),
     "d75_token_concentration" -> (d75TokenConcentration _),
@@ -2072,6 +2220,8 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d80_crawl_churn" -> d80Sql,
+    "d79_mixture_schedule" -> d79Sql,
     "d78_heavy_hitters" -> d78Sql,
     "d76_sentence_profile" -> d76Sql,
     "d75_token_concentration" -> d75Sql,

@@ -2588,6 +2588,53 @@ class OperatorSpec extends GraftSpec {
     assert(matched > custs.length / 2, "grid too sparse to exercise the join")
   }
 
+  test("d79 mixture schedule: Bresenham pacing exact at every prefix") {
+    val rows = TextOps.d79MixtureSchedule(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val chars = Tables.documents(spark, sfDir).groupBy("source")
+      .agg(sum("n_chars").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = chars.values.sum
+    val steps = TextOps.MixtureSteps
+    chars.foreach { case (src, c) =>
+      val emitted = rows.filter(_._2 == src).sortBy(_._1)
+      // full-horizon quota is exact
+      assert(emitted.length.toLong == steps * c / total, s"$src quota")
+      // every emission carries its running count, and pacing error < 1
+      emitted.zipWithIndex.foreach { case ((st, _, seq), i) =>
+        assert(seq == i + 1L, s"$src emit_seq gap at step $st")
+        assert(seq == (st + 1) * c / total, s"$src pacing at step $st")
+      }
+    }
+    assert(rows.map(_._3).nonEmpty && rows.length.toLong <= steps + chars.size)
+  }
+
+  test("d80 crawl churn: multiset diff replayed; only mod-7 docs change") {
+    val got = TextOps.d80CrawlChurn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def cnt(toks: Seq[String]) = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val per = docs.map { case (id, src, text) =>
+      val a = text.split(" ").filter(_.nonEmpty).toSeq
+      val b = if (id % 7 == 0) a.drop(1) :+ s"rev$id" else a
+      val (ca, cb) = (cnt(a), cnt(b))
+      val keys = ca.keySet ++ cb.keySet
+      val added = keys.toSeq.map(k => math.max(0L, cb.getOrElse(k, 0L) - ca.getOrElse(k, 0L))).sum
+      val removed = keys.toSeq.map(k => math.max(0L, ca.getOrElse(k, 0L) - cb.getOrElse(k, 0L))).sum
+      (src, id, added, removed, a.length.toLong)
+    }
+    per.groupBy(_._1).foreach { case (src, ds) =>
+      val (nCh, tAdd, tRem, tA, churnBp) = got(src)
+      assert(nCh == ds.count(d => d._3 + d._4 > 0).toLong, s"$src changed docs")
+      assert(nCh > 0, s"$src has no changed docs - modulus degenerated against the id stride")
+      assert(tAdd == ds.map(_._3).sum && tRem == ds.map(_._4).sum && tA == ds.map(_._5).sum)
+      assert(churnBp == (tAdd + tRem) * 10000 / tA)
+      // unchanged docs (id % 7 != 0) contribute zero churn
+      ds.filter(_._2 % 7 != 0).foreach(d => assert(d._3 == 0 && d._4 == 0))
+    }
+  }
+
   test("a34 PIT lookup: interval containment replayed against the SCD2 frame") {
     val got = Etl.a34PitLookup(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getTimestamp(1).getTime, r.getInt(2), r.getString(3),
