@@ -1306,6 +1306,81 @@ object Events {
        |  p50_ttc_min, p90_ttc_min, max_ttc_min
        |FROM a ORDER BY click_hour""".stripMargin
 
+  /** c31: rolling active users (DAU / trailing-7-day WAU / stickiness)
+    * — the canonical product-analytics card (c23 profiles lifetimes;
+    * this is the daily top-line). Exact distinct users per day and per
+    * trailing 7-day window, stickiness = DAU/WAU in exact bp.
+    *
+    * Shape — windowed DISTINCT without a windowed-distinct operator
+    * (which neither engine has): the corpus reduces ONCE to distinct
+    * (user, day) — the only corpus-sized exchange — then each row
+    * fans out row-locally to the ≤7 future days it keeps the user
+    * active in (c14's bounded hop-explode idiom), and a second
+    * distinct-reduce at (day, user) grain collapses multi-day users
+    * before the per-day count. Day boundaries are integer epoch-days
+    * (c24's convention-free rule). Days outside the observed span are
+    * clipped so the fan-out adds no phantom days. */
+  def c31ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val wAll = Window.partitionBy()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("max_day", max(col("day")).over(wAll))
+      .select(col("user_id"), explode(expr("sequence(day, least(day + 6, max_day))")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  val c31Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM ud),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |f AS (
+      |  SELECT DISTINCT user_id, unnest(range(day, least(day + 6, max_day) + 1)) AS day
+      |  FROM ud CROSS JOIN mx),
+      |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM f GROUP BY day)
+      |SELECT day, dau, wau, (dau * 10000) // wau AS stickiness_bp
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
+  /** c32: new-vs-returning daily split (acquisition vs retention — the
+    * second half of c31's top-line): per day, active users, first-ever-
+    * seen users, returning share in exact bp. The per-user first day is
+    * a min aggregate over the SAME distinct (user, day) reduce c31
+    * uses; the join back is ids-only. */
+  def c32NewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        expr("((n_active - n_new) * 10000) div n_active").as("returning_bp"))
+      .orderBy(col("day"))
+  }
+
+  val c32Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+      |SELECT day,
+      |  CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  ((count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)) * 10000) // count(*) AS returning_bp
+      |FROM ud JOIN fs USING (user_id)
+      |GROUP BY day ORDER BY day""".stripMargin
+
   /** Rounds and score scale (parts-per-trillion) for c28's integer
     * PageRank power iteration. */
   val PageRankRounds = 10
@@ -1410,6 +1485,8 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c31_active_users" -> (c31ActiveUsers _),
+    "c32_new_vs_returning" -> (c32NewVsReturning _),
     "c29_time_to_convert" -> (c29TimeToConvert _),
     "c28_type_pagerank" -> (c28TypePagerank _),
     "c27_audience_overlap" -> (c27AudienceOverlap _),
@@ -1441,6 +1518,8 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c31_active_users" -> c31Sql,
+    "c32_new_vs_returning" -> c32Sql,
     "c29_time_to_convert" -> c29Sql,
     "c28_type_pagerank" -> c28Sql,
     "c27_audience_overlap" -> c27Sql,

@@ -2588,6 +2588,35 @@ class OperatorSpec extends GraftSpec {
     assert(matched > custs.length / 2, "grid too sparse to exercise the join")
   }
 
+  test("c31/c32 active users: DAU/WAU/new replayed from raw (user, day) sets") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val maxDay = ud.map(_._2).max
+    val c31 = Events.c31ActiveUsers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ud.map(_._2).distinct.foreach { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(p => p._2 <= d && p._2 >= d - 6).map(_._1).distinct.length.toLong
+      val (gd, gw, gs) = c31(d)
+      assert(gd == dau && gw == wau, s"day $d: ($gd,$gw) != ($dau,$wau)")
+      assert(gs == dau * 10000 / wau)
+      assert(gw >= gd, "WAU is a superset of DAU")
+    }
+    assert(c31.keySet == ud.map(_._2).toSet, "fan-out must add no phantom days")
+    assert(maxDay == c31.keys.max)
+    val c32 = Events.c32NewVsReturning(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val firstDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    ud.map(_._2).distinct.foreach { d =>
+      val act = ud.filter(_._2 == d)
+      val nNew = act.count(p => firstDay(p._1) == d).toLong
+      assert(c32(d) == ((act.length.toLong, nNew)), s"day $d new/active")
+    }
+    // every user is new exactly once
+    assert(c32.values.map(_._2).sum == firstDay.size.toLong)
+  }
+
   test("d79 mixture schedule: Bresenham pacing exact at every prefix") {
     val rows = TextOps.d79MixtureSchedule(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
