@@ -1752,7 +1752,70 @@ object Etl {
        |     AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)
        |ORDER BY p.user_id""".stripMargin
 
+  /** a35: functional-dependency / candidate-key audit — the DISCOVERY
+    * half of the Deequ-class profiling story (a12 profiles columns,
+    * a23 evaluates DECLARED rules; this finds the structure: which
+    * columns key the table, which determine which). FD A→B holds iff
+    * |distinct A| = |distinct (A,B)|; a key is the FD to the row id.
+    * Output: one row per audited dependency with both distinct counts
+    * and the verdict — the input to primary-key inference, join-key
+    * validation and denormalization checks on an undocumented table.
+    *
+    * Shape: ONE orders scan; all six exact distincts ride one
+    * aggregate (an Expand ×6 — the a20 adjudication: exact-distinct
+    * Expand IS the oracled gate, and the 100 TB swap is
+    * approx_count_distinct per the a27 twin pattern, which turns the
+    * verdict into "holds within sketch error"); the audited-pair list
+    * stacks via the a23 literal-array explode. All audited columns
+    * are non-null in this schema — count(DISTINCT a, b) drops
+    * any-null rows in BOTH engines, so the null caveat is documented
+    * rather than papered over. */
+  def a35FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("d_ok"),
+      countDistinct(col("o_orderkey"), col("o_custkey")).as("d_ok_ck"),
+      countDistinct(col("o_custkey")).as("d_ck"),
+      countDistinct(col("o_custkey"), col("o_orderpriority")).as("d_ck_pr"),
+      countDistinct(col("o_orderpriority")).as("d_pr"),
+      countDistinct(col("o_orderpriority"), col("o_orderstatus")).as("d_pr_st"))
+    agg.select(explode(array(
+        struct(lit("orderkey_is_key").as("check_name"), lit("o_orderkey").as("lhs"),
+          lit("<row>").as("rhs"), col("d_ok").as("n_lhs"), col("n_rows").as("n_pairs")),
+        struct(lit("orderkey_det_custkey").as("check_name"), lit("o_orderkey").as("lhs"),
+          lit("o_custkey").as("rhs"), col("d_ok").as("n_lhs"), col("d_ok_ck").as("n_pairs")),
+        struct(lit("custkey_det_priority").as("check_name"), lit("o_custkey").as("lhs"),
+          lit("o_orderpriority").as("rhs"), col("d_ck").as("n_lhs"), col("d_ck_pr").as("n_pairs")),
+        struct(lit("priority_det_status").as("check_name"), lit("o_orderpriority").as("lhs"),
+          lit("o_orderstatus").as("rhs"), col("d_pr").as("n_lhs"), col("d_pr_st").as("n_pairs"))
+      )).as("c"))
+      .select(col("c.check_name"), col("c.lhs"), col("c.rhs"),
+        col("c.n_lhs"), col("c.n_pairs"),
+        (col("c.n_lhs") === col("c.n_pairs")).as("holds"))
+      .orderBy(col("check_name"))
+  }
+
+  val a35Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+      |    CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT) AS d_ok_ck,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_ck,
+      |    CAST(count(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT) AS d_ck_pr,
+      |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_pr,
+      |    CAST(count(DISTINCT (o_orderpriority, o_orderstatus)) AS BIGINT) AS d_pr_st
+      |  FROM orders),
+      |s AS (
+      |  SELECT 'orderkey_is_key' AS check_name, 'o_orderkey' AS lhs, '<row>' AS rhs,
+      |    d_ok AS n_lhs, n_rows AS n_pairs FROM a
+      |  UNION ALL SELECT 'orderkey_det_custkey', 'o_orderkey', 'o_custkey', d_ok, d_ok_ck FROM a
+      |  UNION ALL SELECT 'custkey_det_priority', 'o_custkey', 'o_orderpriority', d_ck, d_ck_pr FROM a
+      |  UNION ALL SELECT 'priority_det_status', 'o_orderpriority', 'o_orderstatus', d_pr, d_pr_st FROM a)
+      |SELECT check_name, lhs, rhs, n_lhs, n_pairs, n_lhs = n_pairs AS holds
+      |FROM s ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a35_fd_audit" -> (a35FdAudit _),
     "a34_pit_lookup" -> (a34PitLookup _),
     "a33_overlap_depth" -> (a33OverlapDepth _),
     "a32_backfill_plan" -> (a32BackfillPlan _),
@@ -1789,6 +1852,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a35_fd_audit" -> a35Sql,
     "a34_pit_lookup" -> a34Sql,
     "a33_overlap_depth" -> a33Sql,
     "a32_backfill_plan" -> a32Sql,

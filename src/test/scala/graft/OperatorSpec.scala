@@ -2588,6 +2588,31 @@ class OperatorSpec extends GraftSpec {
     assert(matched > custs.length / 2, "grid too sparse to exercise the join")
   }
 
+  test("a35 FD audit: verdicts replayed from raw distinct counts") {
+    val got = Etl.a35FdAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    def check(name: String, nLhs: Long, nPairs: Long): Unit = {
+      val (_, _, gl, gp, holds) = got(name)
+      assert(gl == nLhs && gp == nPairs, s"$name: ($gl,$gp) != ($nLhs,$nPairs)")
+      assert(holds == (nLhs == nPairs))
+    }
+    check("orderkey_is_key", rows.map(_._1).distinct.length.toLong, rows.length.toLong)
+    check("orderkey_det_custkey", rows.map(_._1).distinct.length.toLong,
+      rows.map(r => (r._1, r._2)).distinct.length.toLong)
+    check("custkey_det_priority", rows.map(_._2).distinct.length.toLong,
+      rows.map(r => (r._2, r._3)).distinct.length.toLong)
+    check("priority_det_status", rows.map(_._3).distinct.length.toLong,
+      rows.map(r => (r._3, r._4)).distinct.length.toLong)
+    // ground truth on this schema: orderkey keys the table and determines
+    // custkey; a customer has many priorities
+    assert(got("orderkey_is_key")._5 && got("orderkey_det_custkey")._5)
+    assert(!got("custkey_det_priority")._5)
+  }
+
   test("c31/c32 active users: DAU/WAU/new replayed from raw (user, day) sets") {
     val ud = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
