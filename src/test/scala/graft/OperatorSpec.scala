@@ -2588,6 +2588,21 @@ class OperatorSpec extends GraftSpec {
     assert(matched > custs.length / 2, "grid too sparse to exercise the join")
   }
 
+  test("c30 variant extract ≡ c4's legacy string-path stats; missing path counted") {
+    val v = Events.c30VariantExtract(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val legacy = Events.c4JsonExtract(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(v.keySet == legacy.keySet)
+    v.foreach { case (t, (n, kSum, kMin, kMax, nMissing)) =>
+      val (ln, lSum, lMin, lMax) = legacy(t)
+      assert((n, kSum, kMin, kMax) == ((ln, lSum, lMin, lMax)),
+        s"$t: variant path disagrees with the legacy string path")
+      assert(nMissing == n, "no event carries $.q - every row counts as missing")
+    }
+  }
+
   test("a35 FD audit: verdicts replayed from raw distinct counts") {
     val got = Etl.a35FdAudit(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(3),
