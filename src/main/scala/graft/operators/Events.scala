@@ -1411,7 +1411,7 @@ object Events {
       |SELECT day,
       |  CAST(count(*) AS BIGINT) AS n_active,
       |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-      |  ((count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)) * 10000) // count(*) AS returning_bp
+      |  CAST(((count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)) * 10000) // count(*) AS BIGINT) AS returning_bp
       |FROM ud JOIN fs USING (user_id)
       |GROUP BY day ORDER BY day""".stripMargin
 
