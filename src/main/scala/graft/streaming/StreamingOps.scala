@@ -805,4 +805,50 @@ object StreamingOps {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
       .drop(s"${key}_r")
   }
+
+  /** Streaming point-in-time dimension enrichment — a34's live twin
+    * (the CDC-consumer pattern: every incoming fact picks up the
+    * dimension version that was valid AT ITS EVENT TIME, not the
+    * current one — enriching a replayed backlog with `is_current`
+    * state is the classic silent corruption). Stream-static LEFT
+    * OUTER join against an a24-shaped SCD2 frame on
+    * (entity, ts ∈ [valid_from, valid_to)): stateless on the stream
+    * side (append-safe, no watermark needed), and the non-equi
+    * interval predicate is fine for stream-STATIC joins — the
+    * stream-stream variant would need [[intervalJoin]]'s bounded
+    * window instead. The static side is re-resolved every
+    * micro-batch: callers persist it (or store it bucketed by the
+    * entity key) exactly like [[corpusBandIndex]]. Events before the
+    * entity's first version (or for unknown entities) pass through
+    * with NULL version/state — the left-outer contract. */
+  def pitStream(events: DataFrame, scd2: DataFrame): DataFrame = {
+    val dim = scd2.select(col("user_id").as("pit_user_id"),
+      col("version"), col("event_type").as("state"),
+      col("valid_from"), col("valid_to"))
+    events.join(dim,
+        events("user_id") === dim("pit_user_id") &&
+          events("ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || events("ts") < dim("valid_to")),
+        "left_outer")
+      .drop("pit_user_id", "valid_to")
+  }
+
+  /** Incremental daily-active-users — c31's top-line metric live.
+    * Two chained stateful steps, both watermark-bounded: exact
+    * per-day user dedup (`dropDuplicatesWithinWatermark` on
+    * (user, epoch-day) — state evicts once the watermark passes the
+    * day) feeding a 1-day tumbling-window count. Day identity is the
+    * same UTC epoch-day integer the batch c31 uses, so the final
+    * per-day rows equal batch DAU for every day the watermark has
+    * closed; late events beyond `delay` are dropped exactly as the
+    * batch distinct would NOT drop them — the delay is the
+    * correctness horizon, sized like a28's late-data audit says. */
+  def dauStream(events: DataFrame, delay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(expr("unix_micros(w.start) div 86400000000").as("day"), col("dau"))
 }

@@ -1062,4 +1062,59 @@ class SourcesStreamingSpec extends GraftSpec {
       assert(permDigest != digest)
     }
   }
+
+  test("pitStream enriches each event with the version valid at its event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val scd2 = graft.operators.Etl.a24Scd2Build(spark, sfDir).persist()
+    val probe = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 20).select("event_id", "ts", "user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val (b1, b2) = probe.splitAt(probe.length / 2)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = StreamingOps.pitStream(df, scd2).writeStream
+      .format("memory").queryName("pit_test").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.sql("select event_id, version, state from pit_test").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      val vers = scd2.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3).getTime,
+        if (r.isNullAt(4)) Long.MaxValue else r.getTimestamp(4).getTime))
+      assert(got.size == probe.length, "exactly one enriched row per event")
+      probe.foreach { case (eid, ts, uid) =>
+        val want = vers.filter(v => v._1 == uid && ts.getTime >= v._4 && ts.getTime < v._5)
+        assert(want.length == 1)
+        assert(got(eid) == ((want.head._2, want.head._3)), s"event $eid")
+      }
+    } finally { q.stop(); scd2.unpersist() }
+  }
+
+  test("dauStream: closed days equal batch DAU across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(day: Int, hour: Int, user: Long) =
+      (new java.sql.Timestamp(base + day * 86400000L + hour * 3600000L), user)
+    // day 0: users 1,2,3 (user 1 twice); day 1: users 2,4; day 2 closes the watermark
+    val b1 = Seq(ev(0, 1, 1L), ev(0, 2, 2L), ev(0, 3, 1L))
+    val b2 = Seq(ev(0, 4, 3L), ev(1, 1, 2L), ev(1, 2, 4L))
+    val b3 = Seq(ev(3, 1, 9L)) // advances watermark past days 0 and 1
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.dauStream(df).writeStream
+      .format("memory").queryName("dau_test").outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.sql("select day, dau from dau_test").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val d0 = base / 86400000L
+      assert(got.get(d0).contains(3L), s"day0: $got")
+      assert(got.get(d0 + 1).contains(2L), s"day1: $got")
+    } finally q.stop()
+  }
 }
