@@ -1354,14 +1354,24 @@ object Events {
     * before the per-day count. Day boundaries are integer epoch-days
     * (c24's convention-free rule). Days outside the observed span are
     * clipped so the fan-out adds no phantom days. */
-  def c31ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
+  /** Distinct (user, epoch-day) activity pairs — the shared reduce
+    * c31 and c32 both ride (one definition so the day-boundary
+    * convention can never silently diverge between them). */
+  private def userDayDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
-    val wAll = Window.partitionBy()
+
+  def c31ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = userDayDistinct(spark, dir)
+    // span clip as a 1-row broadcast scalar (q27 idiom) — an
+    // unpartitioned max window here would single-partition the
+    // corpus-scale (user, day) frame (it is NOT value-space-bounded,
+    // unlike d77/d79's wAll frames)
+    val mx = ud.agg(max(col("day")).as("max_day"))
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = ud
-      .withColumn("max_day", max(col("day")).over(wAll))
+      .crossJoin(broadcast(mx))
       .select(col("user_id"), explode(expr("sequence(day, least(day + 6, max_day))")).as("day"))
       .distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("wau"))
@@ -1390,9 +1400,7 @@ object Events {
     * a min aggregate over the SAME distinct (user, day) reduce c31
     * uses; the join back is ids-only. */
   def c32NewVsReturning(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .distinct()
+    val ud = userDayDistinct(spark, dir)
     val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
     ud.join(first, "user_id")
       .groupBy(col("day"))

@@ -35,9 +35,14 @@ object ColumnarSources {
     * missing or retyped fields fail fast with a per-field message). */
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val df = spark.read.orc(path)
-    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    // honor the session's resolution mode: under the default
+    // case-INsensitive analyzer a Hive-era file with O_ORDERKEY must
+    // satisfy a declared o_orderkey, exactly as spark.read would
+    val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def keyOf(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val actual = df.schema.map(f => keyOf(f.name) -> f.dataType).toMap
     val problems = schema.fields.flatMap { f =>
-      actual.get(f.name) match {
+      actual.get(keyOf(f.name)) match {
         case None => Some(s"missing column ${f.name}")
         case Some(t) if t != f.dataType => Some(s"${f.name}: expected ${f.dataType}, file has $t")
         case _ => None

@@ -840,15 +840,26 @@ object StreamingOps {
     * day) feeding a 1-day tumbling-window count. Day identity is the
     * same UTC epoch-day integer the batch c31 uses, so the final
     * per-day rows equal batch DAU for every day the watermark has
-    * closed; late events beyond `delay` are dropped exactly as the
+    * closed; late events beyond the delay are dropped exactly as the
     * batch distinct would NOT drop them — the delay is the
-    * correctness horizon, sized like a28's late-data audit says. */
-  def dauStream(events: DataFrame, delay: String = "1 day"): DataFrame =
+    * correctness horizon, sized like a28's late-data audit says.
+    *
+    * `delayDays` is structurally ≥ 1: the dedup key spans a FULL day,
+    * so its state must outlive the day — with a sub-day watermark
+    * delay, a user active at 00:30 and 23:00 would lose the morning's
+    * dedup entry once the watermark passed it mid-day and be counted
+    * TWICE in a perfectly in-order stream. Days, not an arbitrary
+    * interval string, make that bug unrepresentable. */
+  def dauStream(events: DataFrame, delayDays: Int = 1): DataFrame = {
+    require(delayDays >= 1,
+      s"dauStream needs a watermark delay of >= 1 day (got $delayDays): " +
+        "the (user, day) dedup state must outlive the day it keys")
     events
-      .withWatermark("ts", delay)
+      .withWatermark("ts", s"$delayDays days")
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("dau"))
       .select(expr("unix_micros(w.start) div 86400000000").as("day"), col("dau"))
+  }
 }

@@ -36,6 +36,7 @@ class OperatorSpec extends GraftSpec {
       "d63_collocations",      // 1-row corpus-token-total broadcast
       "d72_vocab_growth",      // 1-row bucket-width broadcast
       "a31_zone_map_audit",    // 8-row probe set × reduced zone-map frame
+      "c31_active_users",      // 1-row max-day broadcast (span clip)
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search",   // same broadcast-query shape as d9
       "d65_ann_recall")        // composes d9+d10, inherits their shape

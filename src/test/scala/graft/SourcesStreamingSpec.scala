@@ -1025,6 +1025,15 @@ class SourcesStreamingSpec extends GraftSpec {
         StructType(Seq(StructField("o_orderkey", StringType))))
     }
     assert(bad.getMessage.contains("o_orderkey"))
+    // Hive-era uppercase file columns satisfy a lowercase declared schema
+    // under the session's default case-insensitive resolution
+    val upperOut = Files.createTempDirectory("graft_orc_upper").toString
+    ColumnarSources.writeOrc(
+      orders.select(orders.columns.map(c => col(c).as(c.toUpperCase)).toIndexedSeq: _*),
+      upperOut)
+    val viaUpper = ColumnarSources.readOrc(spark, upperOut,
+      StructType(Seq(StructField("o_orderkey", LongType))))
+    assert(viaUpper.count() == orders.count())
   }
 
   test("e13 shard checksum: order-sensitive digest replayed locally") {
