@@ -4,6 +4,7 @@ import graft.{Cols, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Analytics core: the query capabilities of the engine over the star
   * schema (SURVEY.md §2.B). Each query is a declarative DataFrame plan —
@@ -1691,7 +1692,191 @@ object Analytics {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q53: Gini coefficient of customer spend per nation — the INEQUALITY
+    * statistic behind mixture/curation decisions (d21/d30 cap domains by
+    * share; this measures how unequal the shares are). Exact integer
+    * arithmetic end-to-end: spend in cents, and the rank-weighted sum
+    * Σᵢ i·xᵢ computed from the VALUE-GROUPED distribution — tied spends
+    * collapse to one (nation, cents, cnt) row whose rank-sum is
+    * cnt·C_prev + cnt(cnt+1)/2 in closed form — so the per-nation window
+    * runs over the distinct-value frame, never the per-customer frame
+    * (the q45/q50 reduce-first discipline; distinct spend values are
+    * bounded by the price domain, not the corpus). G in basis points via
+    * one integral division of DECIMAL(38,0) sums — Σ i·xᵢ reaches
+    * n·S ≈ 10²³ at 100 TB, past BIGINT, inside DECIMAL(38,0).
+    *
+    * Shape: one fact agg (custkey), one key-partitioned customer join
+    * (customer is fact-sized — never broadcast, the q44 adjudication),
+    * one reduce to (nation, cents), window + final agg on the reduced
+    * frame. Gini: G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), ranks ascending. */
+  def q53Gini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val nat = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val byVal = spend.join(nat, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy(col("n_name")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("c_prev", coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      // rank-sum of a tied block in closed form; cnt·(cnt+1) is even so
+      // the integral division is exact. Products stay < 2^63 (counts),
+      // then promote to DECIMAL(38,0) for the value-weighted sums.
+      .withColumn("rank_sum", col("cnt") * col("c_prev") + expr("(cnt * (cnt + 1)) div 2"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("cnt")).as("s"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("rank_sum")).as("s1"))
+      .select(col("n_name"), col("n").as("n_cust"),
+        expr("(10000 * (2 * s1 - (n + 1) * s)) div (n * s)").as("gini_bp"))
+      .orderBy(col("n_name"))
+  }
+
+  val q53Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |nat AS (
+      |  SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |byval AS (
+      |  SELECT n_name, cents, count(*) AS cnt
+      |  FROM spend JOIN nat ON o_custkey = c_custkey GROUP BY 1, 2),
+      |wc AS (
+      |  SELECT n_name, cents, cnt,
+      |    coalesce(sum(cnt) OVER (PARTITION BY n_name ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev
+      |  FROM byval),
+      |m AS (
+      |  SELECT n_name, sum(cnt) AS n,
+      |    sum(CAST(cents AS HUGEINT) * cnt) AS s,
+      |    sum(CAST(cents AS HUGEINT) * (cnt * c_prev + (cnt * (cnt + 1)) // 2)) AS s1
+      |  FROM wc GROUP BY 1)
+      |SELECT n_name, CAST(n AS BIGINT) AS n_cust,
+      |  CAST((10000 * (2 * s1 - (n + 1) * s)) // (n * s) AS BIGINT) AS gini_bp
+      |FROM m ORDER BY n_name""".stripMargin
+
+  /** q54: revenue-concentration crossing per nation — the Pareto
+    * question ("how many top customers cover half the revenue") as the
+    * a28/q46 crossing pattern: rank customers by spend desc, walk the
+    * cumulative sum, report the first rank where 2·cum ≥ total plus
+    * that prefix's exact share in bp. The complement of q53: Gini is
+    * the whole curve, this is one actionable point on it.
+    *
+    * Shape: per-customer spend reduce, key-partitioned customer join,
+    * ONE per-nation window exchange serving both the ranked cumsum and
+    * the partition total; the crossing row is picked by a min(struct)
+    * aggregate (the d28 idiom), never a second window. The per-customer
+    * window frame is the honest cost of an exact crossing — the sketch
+    * escape is q22's percentile machinery (documented, not shipped
+    * here: exactness is the point). */
+  def q54ParetoCross(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val nat = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val wRank = Window.partitionBy(col("n_name")).orderBy(col("cents").desc, col("o_custkey"))
+    spend.join(nat, col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("cents"))
+        .over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy(col("n_name"))))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("n_name"))
+      .agg(min(struct(col("rn"), col("cum"), col("total"))).as("b"))
+      .select(col("n_name"), col("b.rn").as("n_top"),
+        expr("(10000 * CAST(b.cum AS DECIMAL(38,0))) div b.total").as("top_share_bp"))
+      .orderBy(col("n_name"))
+  }
+
+  val q54Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT n_name, o_custkey, cents
+      |  FROM spend JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |r AS (
+      |  SELECT n_name, cents,
+      |    row_number() OVER w AS rn,
+      |    sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cents) OVER (PARTITION BY n_name) AS total
+      |  FROM j WINDOW w AS (PARTITION BY n_name ORDER BY cents DESC, o_custkey)),
+      |x AS (
+      |  SELECT n_name, rn, cum, total,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY rn) AS pick
+      |  FROM r WHERE cum * 2 >= total)
+      |SELECT n_name, rn AS n_top,
+      |  CAST((10000 * CAST(cum AS HUGEINT)) // total AS BIGINT) AS top_share_bp
+      |FROM x WHERE pick = 1 ORDER BY n_name""".stripMargin
+
+  /** q55: chi-square association audit between market segment and order
+    * priority — the categorical-independence test a curation pipeline
+    * runs before trusting a stratification key (if segment and priority
+    * were associated, sampling by one would bias the other; the same
+    * audit d16/d21 presuppose). Emits the full contingency diagnostic:
+    * observed count, expected count, and the per-cell χ² contribution
+    * (o·N − r·c)²/(r·c·N), both milli-scaled through INTEGRAL division
+    * — deterministic in both engines, no float summation anywhere.
+    * Squares run in DECIMAL(38,0) (o·N reaches 2¹² past BIGINT at test
+    * scale already); beyond N ≈ 3·10⁸ rows the squared term needs a
+    * pre-scale of the deviation (dev div 10³ — relative error 10⁻⁶),
+    * the documented rescale.
+    *
+    * Shape: one fact-fact join on the customer key, immediate reduce to
+    * the ≤|segs|×|prios| contingency frame; margins via three windows
+    * over that 25-row frame (the q11/a22 idiom — never a second corpus
+    * scan per margin). */
+  def q55Chi2Assoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("obs"))
+    cells
+      .withColumn("r", sum(col("obs")).over(Window.partitionBy(col("seg"))))
+      .withColumn("c", sum(col("obs")).over(Window.partitionBy(col("prio"))))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+      .withColumn("dev",
+        col("obs").cast(DecimalType(38, 0)) * col("n") - col("r").cast(DecimalType(38, 0)) * col("c"))
+      .select(col("seg"), col("prio"), col("obs").as("observed"),
+        expr("(CAST(r AS DECIMAL(38,0)) * c * 1000) div n").as("expected_milli"),
+        expr("(dev * dev * 1000) div (CAST(r AS DECIMAL(38,0)) * c * n)").as("contrib_milli"))
+      .orderBy(col("seg"), col("prio"))
+  }
+
+  val q55Sql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS obs
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT seg, prio, obs,
+      |    sum(obs) OVER (PARTITION BY seg) AS r,
+      |    sum(obs) OVER (PARTITION BY prio) AS c,
+      |    sum(obs) OVER () AS n
+      |  FROM cells),
+      |d AS (
+      |  SELECT seg, prio, obs, r, c, n,
+      |    CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS dev
+      |  FROM t)
+      |SELECT seg, prio, CAST(obs AS BIGINT) AS observed,
+      |  CAST((CAST(r AS HUGEINT) * c * 1000) // n AS BIGINT) AS expected_milli,
+      |  CAST((dev * dev * 1000) // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_milli
+      |FROM d ORDER BY seg, prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_chi2_assoc" -> (q55Chi2Assoc _),
+    "q54_pareto_cross" -> (q54ParetoCross _),
+    "q53_gini" -> (q53Gini _),
     "q52_cube" -> (q52Cube _),
     "q51_nearest_supplier" -> (q51NearestSupplier _),
     "q50_ship_delay" -> (q50ShipDelay _),
@@ -1745,6 +1930,9 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q55_chi2_assoc" -> q55Sql,
+    "q54_pareto_cross" -> q54Sql,
+    "q53_gini" -> q53Sql,
     "q52_cube" -> q52Sql,
     "q51_nearest_supplier" -> q51Sql,
     "q50_ship_delay" -> q50Sql,

@@ -2813,4 +2813,76 @@ class OperatorSpec extends GraftSpec {
     val bpSum = rows.map(_._3).sum
     assert(bpSum <= 10000 && bpSum >= 10000 - nLists)
   }
+
+  /** Local replica of the per-customer spend-in-cents frame keyed by
+    * nation (shared by the q53/q54 replays). */
+  private def spendByNation(): Map[String, Seq[(Long, Long)]] = {
+    val cents = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) ->
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val nation = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cents.toSeq.flatMap { case (ck, c) => nation.get(ck).map(n => (n, (ck, c))) }
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
+  }
+
+  test("q53 gini: closed-form rank sum matches the brute-force sorted Gini") {
+    val got = Analytics.q53Gini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byNation = spendByNation()
+    assert(got.keySet == byNation.keySet)
+    byNation.foreach { case (nat, custs) =>
+      val xs = custs.map(_._2).sorted.map(BigInt(_))
+      val n = BigInt(xs.length)
+      val s = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      val gini = (BigInt(10000) * (2 * s1 - (n + 1) * s)) / (n * s)
+      assert(got(nat) == ((xs.length.toLong, gini.toLong)), s"$nat: ${got(nat)}")
+      assert(gini >= 0 && gini < 10000)
+    }
+  }
+
+  test("q54 pareto crossing: first rank with 2*cum >= total, exact share") {
+    val got = Analytics.q54ParetoCross(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byNation = spendByNation()
+    assert(got.keySet == byNation.keySet)
+    byNation.foreach { case (nat, custs) =>
+      // rank desc by cents, customer key breaks ties ascending
+      val sorted = custs.sortBy { case (ck, c) => (-c, ck) }.map(_._2).map(BigInt(_))
+      val total = sorted.sum
+      var cum = BigInt(0); var k = 0
+      while (cum * 2 < total) { cum += sorted(k); k += 1 }
+      val share = (BigInt(10000) * cum) / total
+      assert(got(nat) == ((k.toLong, share.toLong)), s"$nat: ${got(nat)} != ($k,$share)")
+      assert(k <= custs.length && share >= 5000)
+    }
+  }
+
+  test("q55 chi2: per-cell expected and contribution replayed with BigInt") {
+    val got = Analytics.q55Chi2Assoc(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val seg = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = Tables.orders(spark, sfDir).select("o_custkey", "o_orderpriority").collect()
+      .map(r => (seg(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).map { case (k, vs) => k -> BigInt(vs.length) }
+    assert(got.keySet == cells.keySet)
+    val n = cells.values.sum
+    cells.foreach { case ((s, p), o) =>
+      val r = cells.collect { case ((`s`, _), v) => v }.sum
+      val c = cells.collect { case ((_, `p`), v) => v }.sum
+      val dev = o * n - r * c
+      val want = (o.toLong, ((r * c * 1000) / n).toLong,
+        ((dev * dev * 1000) / (r * c * n)).toLong)
+      assert(got((s, p)) == want, s"($s,$p): ${got((s, p))} != $want")
+    }
+    // margins partition the total
+    assert(cells.collect { case ((s, _), v) => v }.sum == n)
+  }
 }
