@@ -4,6 +4,7 @@ import graft.{Cols, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series operators over the events stream table (SURVEY.md §2.C).
   * Batch forms here; Structured Streaming equivalents live in
@@ -1526,7 +1527,178 @@ object Events {
     sb.toString
   }
 
+  /** c33: calendar gap-fill — the dense daily spine every dashboard and
+    * every autocorrelation/seasonality model (c12/c24/c35) assumes but
+    * raw event data doesn't provide: days with zero events exist in the
+    * OUTPUT even though no row carries them. Per type, the spine spans
+    * [first observed day, last observed day]; `filled_n` forward-fills
+    * the last observed day's count across gaps (the standard ffill).
+    * Integer epoch-days end-to-end (the c31 day idiom — no date-type
+    * portability risk). See [[zeroFilledDays]] for the one-scan shape. */
+  /** Shared by c33/c35: the zero-filled daily spine from ONE corpus
+    * scan. Observed days reduce map-side to (type, day, n); each
+    * observed row then carries its preceding gap run inline —
+    * transform(sequence(prev_day+1, day)) builds the missing days plus
+    * itself as one array, exploded once — so there is no second scan,
+    * no union of a duplicated subtree (the static planner does not
+    * dedupe union branches; this keeps the plan at one scan + two
+    * reduced-frame exchanges), and the forward-fill is free: every gap
+    * day's last observed count IS the run's left endpoint (`prev_n`). */
+  private def zeroFilledDays(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    byDay
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), explode(transform(
+        sequence(coalesce(col("prev_day") + 1, col("day")), col("day")),
+        d => struct(
+          d.as("day"),
+          when(d === col("day"), col("n")).otherwise(lit(0L)).as("n_events"),
+          (d =!= col("day")).as("is_gap"),
+          when(d === col("day"), col("n")).otherwise(col("prev_n")).as("filled_n"))))
+        .as("r"))
+      .select(col("event_type"), col("r.day"), col("r.n_events"),
+        col("r.is_gap"), col("r.filled_n"))
+  }
+
+  def c33GapFill(spark: SparkSession, dir: String): DataFrame =
+    zeroFilledDays(spark, dir).orderBy(col("event_type"), col("day"))
+
+  val c33Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, b.n
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day))
+      |SELECT event_type, day, coalesce(n, 0) AS n_events, n IS NULL AS is_gap,
+      |  last_value(n IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_n
+      |FROM j ORDER BY event_type, day""".stripMargin
+
+  /** c34: interval-union coverage per user — total time actually covered
+    * when each event opens a 30-minute activity interval and overlaps
+    * merge (the "union of intervals" primitive behind billable-time,
+    * uptime, and exposure metrics; c2 counts sessions, this measures
+    * their union exactly). Classic sweep: a block opens when the event's
+    * start exceeds the running max end of everything before it
+    * (max-over-preceding window — ends can arrive out of order when a
+    * long interval swallows later short ones, so lag(end) alone is
+    * wrong); block id = running sum of opens; then two plain aggs.
+    * Epoch-micros integers end-to-end.
+    *
+    * Shape: ONE user-keyed exchange serves both windows (same
+    * partition+order); the block and user reductions ride map-side
+    * combine. Skewed users bound at user volume — the c21 salted
+    * sessionizer is the documented escape for pathological keys. */
+  def c34IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val lenUs = 1800L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("e_end", col("t") + lit(lenUs))
+      .withColumn("prev_end", max(col("e_end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nb", when(col("prev_end").isNull || col("t") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("blk", sum(col("nb")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("blk"))
+      .agg(min(col("t")).as("s"), max(col("e_end")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("e") - col("s")).as("covered_us"),
+        max(col("e") - col("s")).as("max_block_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val c34Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, t, t + 1800000000 AS e_end,
+      |    max(t + 1800000000) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, event_id, t, e_end,
+      |    CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END AS nb
+      |  FROM m),
+      |b AS (
+      |  SELECT user_id, t, e_end,
+      |    sum(nb) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+      |  FROM f),
+      |g AS (SELECT user_id, blk, min(t) AS s, max(e_end) AS e FROM b GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_blocks,
+      |  CAST(sum(e - s) AS BIGINT) AS covered_us,
+      |  max(e - s) AS max_block_us
+      |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** c35: lag-1 autocorrelation of the daily volume series per type —
+    * the "is today predictive of tomorrow" statistic behind anomaly
+    * thresholds (c12) and capacity forecasts. The series is c33's
+    * zero-filled spine (statistically honest: missing days are real
+    * zeros, and skipping them would pair non-adjacent days), so every
+    * (day, day+1) pair is consecutive by construction via lead over the
+    * spine. Pearson over the pairs from exact integer moments, the q26
+    * discipline: sums in DECIMAL(38,0) (daily-count products pass 2⁶³
+    * at 100 TB), ONE double formula application at the end — bit-stable
+    * at any parallelism, portable across engines.
+    *
+    * Shape: ONE corpus scan ([[zeroFilledDays]]); lead + moments run on
+    * the reduced spine frame. */
+  def c35DailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val filled = zeroFilledDays(spark, dir)
+      .select(col("event_type"), col("day"), col("n_events").cast(DecimalType(38, 0)).as("x"))
+    val wLead = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    filled
+      .withColumn("y", lead(col("x"), 1).over(wLead))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("autocorr"))
+      .orderBy(col("event_type"))
+  }
+
+  val c35Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |filled AS (
+      |  SELECT s.event_type, s.day, CAST(coalesce(b.n, 0) AS HUGEINT) AS x
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |pairs AS (
+      |  SELECT event_type, x,
+      |    lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+      |  FROM filled),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_pairs,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_pairs,
+      |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS autocorr
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c35_daily_autocorr" -> (c35DailyAutocorr _),
+    "c34_interval_union" -> (c34IntervalUnion _),
+    "c33_gap_fill" -> (c33GapFill _),
     "c30_variant_extract" -> (c30VariantExtract _),
     "c31_active_users" -> (c31ActiveUsers _),
     "c32_new_vs_returning" -> (c32NewVsReturning _),
@@ -1561,6 +1733,9 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c35_daily_autocorr" -> c35Sql,
+    "c34_interval_union" -> c34Sql,
+    "c33_gap_fill" -> c33Sql,
     "c30_variant_extract" -> c30Sql,
     "c31_active_users" -> c31Sql,
     "c32_new_vs_returning" -> c32Sql,

@@ -2830,6 +2830,75 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("c33 gap fill: dense spine, zeros on gaps, ffill carries last observed") {
+    val got = Events.c33GapFill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    val byDay = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val spans = byDay.keys.groupBy(_._1).map { case (t, ks) =>
+      t -> (ks.map(_._2).min, ks.map(_._2).max) }
+    // exactly one row per (type, day) across each type's observed span
+    assert(got.map(_._1).toSet ==
+      spans.toSeq.flatMap { case (t, (lo, hi)) => (lo to hi).map(t -> _) }.toSet)
+    var lastObs = Map.empty[String, Long]
+    got.sortBy(r => (r._1._1, r._1._2)).foreach { case ((t, d), (n, gap, filled)) =>
+      val want = byDay.getOrElse((t, d), 0L)
+      assert(n == want && gap == (want == 0L), s"($t,$d)")
+      if (want != 0L) lastObs += t -> want
+      assert(filled == lastObs(t), s"($t,$d): ffill $filled != ${lastObs(t)}")
+    }
+  }
+
+  test("c34 interval union: merged 30-min intervals replayed brute-force") {
+    val got = Events.c34IntervalUnion(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+    assert(got.keySet == evs.keySet)
+    evs.foreach { case (u, rows) =>
+      val len = 1800L * 1000000L
+      var blocks = List.empty[(Long, Long)] // (start, end), latest first
+      rows.map(_._2).sorted.foreach { t =>
+        blocks match {
+          case (s, e) :: rest if t <= e => blocks = (s, math.max(e, t + len)) :: rest
+          case _ => blocks = (t, t + len) :: blocks
+        }
+      }
+      val want = (blocks.length.toLong,
+        blocks.map { case (s, e) => e - s }.sum,
+        blocks.map { case (s, e) => e - s }.max)
+      assert(got(u) == want, s"user $u: ${got(u)} != $want")
+    }
+  }
+
+  test("c35 autocorr: Pearson over the zero-filled lag-1 pairs, |r| <= 1") {
+    val got = Events.c35DailyAutocorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byDay = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    byDay.keys.groupBy(_._1).foreach { case (t, ks) =>
+      val (lo, hi) = (ks.map(_._2).min, ks.map(_._2).max)
+      val series = (lo to hi).map(d => byDay.getOrElse((t, d), 0L).toDouble)
+      if (series.length < 2) assert(!got.contains(t))
+      else {
+        val xs = series.dropRight(1); val ys = series.drop(1)
+        val n = xs.length.toDouble
+        val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+        val den = math.sqrt(n * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+          math.sqrt(n * ys.map(y => y * y).sum - ys.sum * ys.sum)
+        val (nPairs, r) = got(t)
+        assert(nPairs == xs.length.toLong)
+        assert(math.abs(r) <= 1.0 + 1e-12)
+        assert(math.abs(r - num / den) < 1e-6, s"$t: $r != ${num / den}")
+      }
+    }
+  }
+
   test("q53 gini: closed-form rank sum matches the brute-force sorted Gini") {
     val got = Analytics.q53Gini(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
