@@ -662,7 +662,154 @@ object DedupOps {
       |JOIN sizes sb ON sb.doc_id = p.doc_b
       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  /** Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS fingerprinter): grams of [[WinnowK]] tokens (the d6/d8
+    * shingle width), fingerprint = the minimum gram hash in each run of
+    * [[WinnowW]] consecutive gram starts. Guarantee: any shared token
+    * run of ≥ W+K−1 tokens yields at least one shared fingerprint, while
+    * storage shrinks ~2/(W+1) of the gram stream. */
+  val WinnowK = 3
+  val WinnowW = 4
+  /** d82 candidate discipline: fingerprints seen in [2, cap] docs only
+    * (singletons pair with nothing; boilerplate prints pair with
+    * everything — the d60 rare-shingle rule), pairs must share ≥ 2. */
+  val WinnowDfCap = 10
+  val WinnowMinShared = 2
+
+  /** Selected winnow fingerprints per doc: (doc_id, n grams, sel hash),
+    * distinct. Positional relational form (the explodedShinglesOf
+    * discipline — no per-doc arrays through the shuffle): posexplode
+    * tokens, lead-compose grams, md5 per gram (md5, not xxhash64: the
+    * SELECTION depends on hash order, so the oracle must replay the
+    * same function — DuckDB has md5, and lowercase-hex compares
+    * identically in both engines), then one doc-keyed window pass picks
+    * min(hash) per W-run; starts past n−W+1 are truncated frames, not
+    * windows, and are filtered (a doc shorter than W keeps its single
+    * full-prefix window). ONE exchange on doc_id serves the gram
+    * windows, the count, and the selection sort. */
+  def sharedWinnowFps(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir, "winnow") {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val grams = tok.select(col("doc_id"), (col("p") + 1).as("pos"),
+          lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"),
+          col("tok"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, WinnowW - 1)
+      grams
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("sel", min(col("h")).over(wSel))
+        .filter(col("pos") <= greatest(lit(1L), col("n") - WinnowW + 1))
+        .select(col("doc_id"), col("n"), col("sel"))
+        .distinct()
+    }
+
+  /** d81: winnowing fingerprint profile per document — the
+    * position-robust local fingerprinting layer the hash-family ops
+    * don't cover (d4 hashes whole docs, d6/d8 use global shingle sets;
+    * winnowing guarantees shared-substring DETECTION with sublinear
+    * storage, which is what plagiarism/quote mining actually needs).
+    * Per doc: gram count, selected-fingerprint count, selection density
+    * in bp against the n−W+1 window count, and the minimum fingerprint
+    * (a stable content sample). All on the shared winnow cache. */
+  def d81Winnowing(spark: SparkSession, dir: String): DataFrame =
+    sharedWinnowFps(spark, dir)
+      .groupBy(col("doc_id"), col("n").as("n_grams"))
+      .agg(count(lit(1)).as("n_fp"), min(col("sel")).as("min_fp"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        expr(s"(n_fp * 10000) div greatest(1, n_grams - ${WinnowW - 1})").as("density_bp"),
+        col("min_fp"))
+      .orderBy(col("doc_id"))
+
+  val d81Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(t) - 2 AS n,
+       |    unnest(range(1, len(t) - 1)) AS pos,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS h
+       |  FROM toks WHERE len(t) >= 3),
+       |s AS (
+       |  SELECT doc_id, n, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS sel
+       |  FROM g),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, n, sel FROM s
+       |  WHERE pos <= greatest(1, n - ${WinnowW - 1}))
+       |SELECT doc_id, n AS n_grams, count(*) AS n_fp,
+       |  CAST((count(*) * 10000) // greatest(1, n - ${WinnowW - 1}) AS BIGINT) AS density_bp,
+       |  min(sel) AS min_fp
+       |FROM fp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  /** d82: winnow-match candidate pairs — MOSS's second half: documents
+    * sharing ≥ [[WinnowMinShared]] selected fingerprints, with overlap
+    * in bp of the smaller fingerprint set. The join key is the
+    * fingerprint (a band-key shuffle, the d6 shape — never all pairs),
+    * and the df∈[2, cap] filter bounds fan-out per fingerprint at
+    * cap·(cap−1)/2 pairs (the d60 discipline: boilerplate fingerprints
+    * are exactly the ones that would flood, and exactly the ones that
+    * don't indicate copying). */
+  def d82WinnowMatch(spark: SparkSession, dir: String): DataFrame = {
+    val fp = sharedWinnowFps(spark, dir)
+    val keep = fp.groupBy(col("sel")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, WinnowDfCap))
+      .select(col("sel"))
+    val rf = fp.join(keep, "sel").select(col("sel"), col("doc_id"))
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    rf.select(col("sel"), col("doc_id").as("doc_a"))
+      .join(rf.select(col("sel"), col("doc_id").as("doc_b")), "sel")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(n_shared * 10000) div least(nfa, nfb)").as("overlap_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d82Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(t) - 2 AS n,
+       |    unnest(range(1, len(t) - 1)) AS pos,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS h
+       |  FROM toks WHERE len(t) >= 3),
+       |s AS (
+       |  SELECT doc_id, n, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS sel
+       |  FROM g),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, sel FROM s
+       |  WHERE pos <= greatest(1, n - ${WinnowW - 1})),
+       |keep AS (
+       |  SELECT sel FROM fp GROUP BY sel HAVING count(*) BETWEEN 2 AND $WinnowDfCap),
+       |rf AS (SELECT fp.doc_id, fp.sel FROM fp JOIN keep ON fp.sel = keep.sel),
+       |sizes AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM rf a JOIN rf b ON a.sel = b.sel AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST((n_shared * 10000) // least(sa.nf, sb.nf) AS BIGINT) AS overlap_bp
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d82_winnow_match" -> (d82WinnowMatch _),
+    "d81_winnowing" -> (d81Winnowing _),
     "d60_quote_containment" -> (d60QuoteContainment _),
     "d42_incremental_dedup" -> (d42IncrementalDedup _),
     "d39_cross_source_dups" -> (d39CrossSourceDups _),
@@ -672,6 +819,8 @@ object DedupOps {
     "d28_fuzzy_topk" -> (d28FuzzyTopk _))
 
   val oracles: Map[String, String] = Map(
+    "d82_winnow_match" -> d82Sql,
+    "d81_winnowing" -> d81Sql,
     "d60_quote_containment" -> d60Sql,
     "d42_incremental_dedup" -> d42Sql,
     "d39_cross_source_dups" -> d39Sql,

@@ -2830,6 +2830,61 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  /** Local winnow replay shared by the d81/d82 specs: doc → selected
+    * fingerprint set via the same md5/min-window rule. */
+  private def localWinnow(): Map[Long, (Int, Set[String])] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (toks.length < 3) None
+        else {
+          val grams = toks.sliding(3).map(g => md5hex(g.mkString(" "))).toVector
+          val w = DedupOps.WinnowW
+          val nWin = math.max(1, grams.length - w + 1)
+          val sel = (0 until nWin).map(i => grams.slice(i, i + w).min).toSet
+          Some(r.getLong(0) -> (grams.length, sel))
+        }
+      }.toMap
+  }
+
+  test("d81 winnowing: selection replayed brute-force; guarantee density") {
+    val got = DedupOps.d81Winnowing(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val local = localWinnow()
+    assert(got.keySet == local.keySet)
+    local.foreach { case (id, (nGrams, sel)) =>
+      val nWin = math.max(1, nGrams - DedupOps.WinnowW + 1)
+      val want = (nGrams.toLong, sel.size.toLong,
+        sel.size.toLong * 10000 / nWin, sel.min)
+      assert(got(id) == want, s"doc $id: ${got(id)} != $want")
+      // winnowing picks at least one per window run and at most all starts
+      assert(sel.size.toLong <= nWin && sel.nonEmpty)
+    }
+  }
+
+  test("d82 winnow match: pairs replayed from local fingerprint sets") {
+    val got = DedupOps.d82WinnowMatch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val local = localWinnow()
+    val df = local.toSeq.flatMap { case (id, (_, sel)) => sel.map(_ -> id) }
+      .groupBy(_._1).map { case (h, vs) => h -> vs.map(_._2).toSet }
+    val keep = df.filter { case (_, ds) =>
+      ds.size >= 2 && ds.size <= DedupOps.WinnowDfCap }
+    val want = keep.toSeq.flatMap { case (h, ds) =>
+      ds.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) -> h } }
+      .groupBy(_._1).map { case (p, hs) => p -> hs.length.toLong }
+      .filter(_._2 >= DedupOps.WinnowMinShared)
+    assert(got.keySet == want.keySet)
+    want.foreach { case ((a, b), n) =>
+      val overlap = n * 10000 / math.min(local(a)._2.size, local(b)._2.size)
+      assert(got((a, b)) == ((n, overlap)), s"($a,$b)")
+    }
+  }
+
   test("c33 gap fill: dense spine, zeros on gaps, ffill carries last observed") {
     val got = Events.c33GapFill(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3), r.getLong(4)))
