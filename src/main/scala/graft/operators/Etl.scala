@@ -1814,7 +1814,82 @@ object Etl {
       |SELECT check_name, lhs, rhs, n_lhs, n_pairs, n_lhs = n_pairs AS holds
       |FROM s ORDER BY check_name""".stripMargin
 
+  /** a36: incremental aggregate maintenance — the MERGE of a
+    * materialized per-key aggregate state with a new delta batch,
+    * recomputing NOTHING (the mergeable-monoid discipline Profiles
+    * proves component-level, here as an oracled query — and the
+    * economics that make a 100 TB daily pipeline affordable: the base
+    * state is |keys|-sized, only the delta is corpus-priced). Base =
+    * orders before the data-derived watermark (max day − 30, the
+    * a11/a18 as-of idiom), delta = at-or-after; each side reduces to a
+    * per-customer (count, DECIMAL sum, min/max day) state and the
+    * states merge: counts/sums add, mins/maxes fold (least/greatest
+    * skip nulls in both engines), src labels the provenance. The oracle
+    * recomputes the same facts from scratch in an independent
+    * formulation (two subqueries + FULL OUTER JOIN) — so the gate IS
+    * the merge ≡ recompute theorem, per key, bit for bit. In
+    * production the base state is a |keys|-sized materialized frame
+    * and the merge is Sinks.mergeByKey's keyed join; here both sides
+    * derive from the same fact table, so they share ONE conditional-
+    * aggregation scan (the a20 adjudication — never a scan per side)
+    * and the merge algebra runs in the projection.
+    *
+    * Shape: one corpus scan + one key-partitioned agg exchange; the
+    * watermark scalar is a 1-row broadcast (q27 idiom). */
+  def a36IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val withDay = Tables.orders(spark, dir).select(col("o_custkey"),
+      // o_orderdate ships TIMESTAMP_NTZ; under the pinned-UTC session the
+      // LTZ cast is a pure reinterpretation (Tables.events discipline)
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+      dec2(col("o_totalprice")).as("p"))
+    val wm = withDay.agg(max(col("day")).as("mxd"))
+    val base = !col("is_delta")
+    withDay.crossJoin(broadcast(wm))
+      .withColumn("is_delta", col("day") >= col("mxd") - 30)
+      .groupBy(col("o_custkey"))
+      .agg(
+        countIf(base).as("bn"), countIf(col("is_delta")).as("dn"),
+        sum(when(base, col("p"))).as("bs"), sum(when(col("is_delta"), col("p"))).as("ds"),
+        min(when(base, col("day"))).as("bf"), min(when(col("is_delta"), col("day"))).as("df"),
+        max(when(base, col("day"))).as("bl"), max(when(col("is_delta"), col("day"))).as("dl"))
+      .select(
+        col("o_custkey"),
+        when(col("bn") === 0, lit("delta_only"))
+          .when(col("dn") === 0, lit("base_only"))
+          .otherwise(lit("both")).as("src"),
+        (col("bn") + col("dn")).as("n_orders"),
+        ((coalesce(col("bs"), lit(0)) + coalesce(col("ds"), lit(0))) * 100)
+          .cast("long").as("total_cents"),
+        least(col("bf"), col("df")).as("first_day"),
+        greatest(col("bl"), col("dl")).as("last_day"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val a36Sql: String =
+    """WITH d AS (
+      |  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders),
+      |mx AS (SELECT max(day) AS mxd FROM d),
+      |t AS (SELECT o_custkey, day, p, day >= mxd - 30 AS is_delta FROM d, mx),
+      |b AS (
+      |  SELECT o_custkey AS bk, count(*) AS bn, sum(p) AS bs, min(day) AS bf, max(day) AS bl
+      |  FROM t WHERE NOT is_delta GROUP BY 1),
+      |dl AS (
+      |  SELECT o_custkey AS dk, count(*) AS dn, sum(p) AS ds, min(day) AS df, max(day) AS dlx
+      |  FROM t WHERE is_delta GROUP BY 1)
+      |SELECT coalesce(bk, dk) AS o_custkey,
+      |  CASE WHEN bk IS NULL THEN 'delta_only'
+      |       WHEN dk IS NULL THEN 'base_only' ELSE 'both' END AS src,
+      |  coalesce(bn, 0) + coalesce(dn, 0) AS n_orders,
+      |  CAST((coalesce(bs, 0) + coalesce(ds, 0)) * 100 AS BIGINT) AS total_cents,
+      |  least(bf, df) AS first_day,
+      |  greatest(bl, dlx) AS last_day
+      |FROM b FULL OUTER JOIN dl ON bk = dk
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a36_incremental_agg" -> (a36IncrementalAgg _),
     "a35_fd_audit" -> (a35FdAudit _),
     "a34_pit_lookup" -> (a34PitLookup _),
     "a33_overlap_depth" -> (a33OverlapDepth _),
@@ -1852,6 +1927,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a36_incremental_agg" -> a36Sql,
     "a35_fd_audit" -> a35Sql,
     "a34_pit_lookup" -> a34Sql,
     "a33_overlap_depth" -> a33Sql,

@@ -870,7 +870,47 @@ object MultimodalOps {
        |  (pyramid_bytes * 10000) // orig_bytes AS overhead_bp
        |FROM a ORDER BY source""".stripMargin
 
+  /** e15: frame-sampling schedule at the manifest grain — the ORACLED
+    * twin of the [[sampleFrames]] executor seam: exactly the
+    * (frame_idx, offset, span) rows a [[StrideSampler]](256, 8) decode
+    * pass will execute per blob, as a query over blob LENGTHS only.
+    * This is the planning/execution split a 100 TB video pipeline
+    * needs: the schedule (what to decode, how many batches, byte spans
+    * to fetch) prices at the manifest grain and is exact — the codec
+    * only ever executes it. n_frames = min(8, max(1, len div 256));
+    * explode fans out ≤ 8 rows per BLOB row, never per byte. Spec
+    * proves schedule ≡ the sampler's emitted (idx, offset) stream. */
+  def e15FrameSamplePlan(spark: SparkSession, dir: String): DataFrame = {
+    val len = octet_length(col("text").cast("binary"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), len.cast("long").as("n_bytes"))
+      .withColumn("n_frames", least(lit(8L), greatest(lit(1L), expr("n_bytes div 256"))))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * 256).as("offset"),
+        least(lit(256L), col("n_bytes") - col("frame_idx") * 256).as("span"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val e15Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+      |n AS (
+      |  SELECT doc_id, n_bytes,
+      |    least(8, greatest(1, n_bytes // 256)) AS n_frames
+      |  FROM b),
+      |f AS (
+      |  SELECT doc_id, n_bytes, n_frames,
+      |    unnest(range(0, n_frames)) AS frame_idx
+      |  FROM n)
+      |SELECT doc_id, n_bytes, n_frames, frame_idx,
+      |  frame_idx * 256 AS offset,
+      |  least(256, n_bytes - frame_idx * 256) AS span
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_frame_sample_plan" -> (e15FrameSamplePlan _),
     "e14_resolution_ladder" -> (e14ResolutionLadder _),
     "e13_shard_checksum" -> (e13ShardChecksum _),
     "e12_loader_assignment" -> (e12LoaderAssignment _),
@@ -887,6 +927,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e15_frame_sample_plan" -> e15Sql,
     "e14_resolution_ladder" -> e14Sql,
     "e13_shard_checksum" -> e13Sql,
     "e12_loader_assignment" -> e12Sql,

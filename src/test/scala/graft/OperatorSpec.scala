@@ -2830,6 +2830,45 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("a36 incremental agg: merged base+delta state == full recompute") {
+    val got = Etl.a36IncrementalAgg(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val cutoff = rows.map(_._2).max - 30
+    assert(got.keySet == rows.map(_._1).toSet)
+    rows.groupBy(_._1).foreach { case (ck, os) =>
+      val (b, d) = os.partition(_._2 < cutoff)
+      val src = if (b.isEmpty) "delta_only" else if (d.isEmpty) "base_only" else "both"
+      val want = (src, os.length.toLong, os.map(_._3).sum,
+        os.map(_._2).min, os.map(_._2).max)
+      assert(got(ck) == want, s"cust $ck: ${got(ck)} != $want")
+    }
+    // the delta side must be non-trivial for the merge to be exercised
+    assert(got.values.exists(_._1 != "base_only"))
+    assert(got.values.exists(_._1 == "both"))
+  }
+
+  test("e15 frame-sample plan == the StrideSampler's executed schedule") {
+    val plan = MultimodalOps.e15FrameSamplePlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    val blobs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val executed = MultimodalOps.sampleFrames(spark, blobs).collect()
+      .map(f => (f.doc_id, f.frame_idx.toLong, f.offset.toLong)).toSet
+    assert(plan == executed, "schedule and sampler disagree")
+    // spans: full stride except a shorter final frame on short blobs
+    MultimodalOps.e15FrameSamplePlan(spark, sfDir).collect().foreach { r =>
+      val (nb, idx, off, span) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(span == math.min(256L, nb - off) && span > 0, s"row $r")
+      assert(off == idx * 256)
+    }
+  }
+
   /** Local winnow replay shared by the d81/d82 specs: doc → selected
     * fingerprint set via the same md5/min-window rule. */
   private def localWinnow(): Map[Long, (Int, Set[String])] = {
