@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Cols, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * whole-stage codegen at 100 TB.
   */
 object TextOps {
+  import Cols.countIf
 
   /** Whitespace tokens with empties dropped (leading/trailing spaces). */
   def tokens(text: Column): Column =
@@ -2177,7 +2178,90 @@ object TextOps {
       |  ((tokens_added + tokens_removed) * 10000) // tokens_a AS churn_bp
       |FROM s ORDER BY source""".stripMargin
 
+  /** d83 policy lexicon — stands in for any term blocklist (C4's
+    * badwords list, a compliance lexicon, a spam vocabulary). Two
+    * tiers, the standard gate: any hard term drops the doc; soft terms
+    * drop only at [[SoftHitCap]]+ occurrences. */
+  val HardTerms = Seq("dup", "crash", "panic")
+  val SoftTerms = Seq("slow", "error", "leak")
+  val SoftHitCap = 3
+
+  /** d83: blocklist/lexicon gate — the C4-style badword filter every
+    * web-scale curation pipeline runs (the one d-family gate still
+    * missing: d3 scores shape, d18 redacts spans; this DROPS on policy
+    * vocabulary). Per source: volume, hard/soft drop counts, survival
+    * rate in exact bp, and total hit mass per tier.
+    *
+    * Shape — the 100 TB lexicon join: tokens explode (the d11 stream)
+    * and LEFT-join the literal lexicon dim — a genuinely-fixed
+    * ≤dozens-row broadcast (the d78 literal-set discipline; never a
+    * regex alternation over megabyte rows, and never a corpus-keyed
+    * dictionary join — the lexicon is data-independent, which is what
+    * licenses the broadcast d26/d63 forbid for corpus vocabularies).
+    * Every doc keeps ≥1 token row, so the per-doc reduce sees zero-hit
+    * docs without a second scan; per-source report is a second reduce
+    * of the |docs| frame. */
+  def d83BlocklistGate(spark: SparkSession, dir: String): DataFrame = {
+    val lex = HardTerms.map((_, "hard")) ++ SoftTerms.map((_, "soft"))
+    val lexDf = spark.createDataFrame(lex).toDF("tok", "tier")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(lexDf), Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countIf(col("tier") === "hard").as("hard_hits"),
+        countIf(col("tier") === "soft").as("soft_hits"))
+    perDoc
+      .withColumn("verdict",
+        when(col("hard_hits") >= 1, lit("drop_hard"))
+          .when(col("soft_hits") >= SoftHitCap, lit("drop_soft"))
+          .otherwise(lit("keep")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countIf(col("verdict") === "drop_hard").as("n_drop_hard"),
+        countIf(col("verdict") === "drop_soft").as("n_drop_soft"),
+        countIf(col("verdict") === "keep").as("n_kept"),
+        sum(col("hard_hits")).as("hard_hits_total"),
+        sum(col("soft_hits")).as("soft_hits_total"))
+      .select(col("source"), col("n_docs"), col("n_drop_hard"), col("n_drop_soft"),
+        col("n_kept"), expr("(n_kept * 10000) div n_docs").as("kept_bp"),
+        col("hard_hits_total"), col("soft_hits_total"))
+      .orderBy(col("source"))
+  }
+
+  val d83Sql: String = {
+    val vals = (HardTerms.map(t => s"('$t','hard')") ++
+      SoftTerms.map(t => s"('$t','soft')")).mkString(", ")
+    s"""WITH lex(tok, tier) AS (VALUES $vals),
+       |t AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |pd AS (
+       |  SELECT doc_id, source,
+       |    count(CASE WHEN tier = 'hard' THEN 1 END) AS hard_hits,
+       |    count(CASE WHEN tier = 'soft' THEN 1 END) AS soft_hits
+       |  FROM t LEFT JOIN lex USING (tok) GROUP BY 1, 2),
+       |v AS (
+       |  SELECT *, CASE WHEN hard_hits >= 1 THEN 'drop_hard'
+       |                 WHEN soft_hits >= $SoftHitCap THEN 'drop_soft'
+       |                 ELSE 'keep' END AS verdict
+       |  FROM pd),
+       |s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    count(CASE WHEN verdict = 'drop_hard' THEN 1 END) AS n_drop_hard,
+       |    count(CASE WHEN verdict = 'drop_soft' THEN 1 END) AS n_drop_soft,
+       |    count(CASE WHEN verdict = 'keep' THEN 1 END) AS n_kept,
+       |    CAST(sum(hard_hits) AS BIGINT) AS hard_hits_total,
+       |    CAST(sum(soft_hits) AS BIGINT) AS soft_hits_total
+       |  FROM v GROUP BY 1)
+       |SELECT source, n_docs, n_drop_hard, n_drop_soft, n_kept,
+       |  (n_kept * 10000) // n_docs AS kept_bp,
+       |  hard_hits_total, soft_hits_total
+       |FROM s ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d83_blocklist_gate" -> (d83BlocklistGate _),
     "d80_crawl_churn" -> (d80CrawlChurn _),
     "d79_mixture_schedule" -> (d79MixtureSchedule _),
     "d78_heavy_hitters" -> (d78HeavyHitters _),
@@ -2220,6 +2304,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d83_blocklist_gate" -> d83Sql,
     "d80_crawl_churn" -> d80Sql,
     "d79_mixture_schedule" -> d79Sql,
     "d78_heavy_hitters" -> d78Sql,

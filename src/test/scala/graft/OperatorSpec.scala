@@ -2830,6 +2830,30 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("d83 blocklist gate: per-source verdicts replayed from raw tokens") {
+    val got = TextOps.d83BlocklistGate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val hard = TextOps.HardTerms.toSet; val soft = TextOps.SoftTerms.toSet
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getString(0), toks.count(hard), toks.count(soft))
+      }
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val dh = ds.count(_._2 >= 1)
+      val dsoft = ds.count(d => d._2 == 0 && d._3 >= TextOps.SoftHitCap)
+      val kept = ds.length - dh - dsoft
+      val want = (ds.length.toLong, dh.toLong, dsoft.toLong, kept.toLong,
+        kept.toLong * 10000 / ds.length,
+        ds.map(_._2.toLong).sum, ds.map(_._3.toLong).sum)
+      assert(got(src) == want, s"$src: ${got(src)} != $want")
+    }
+    // both tiers must actually fire on the corpus for the gate to be exercised
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._3).sum > 0)
+  }
+
   test("a36 incremental agg: merged base+delta state == full recompute") {
     val got = Etl.a36IncrementalAgg(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
