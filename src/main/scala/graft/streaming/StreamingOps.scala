@@ -862,4 +862,70 @@ object StreamingOps {
       .agg(count(lit(1)).as("dau"))
       .select(expr("unix_micros(w.start) div 86400000000").as("day"), col("dau"))
   }
+
+  /** One silence/recovery alert. `kind` ∈ {"silent", "resumed"};
+    * downtime_ms is the crossed threshold for "silent" (actual outage
+    * length unknown at detection time) and the measured last-seen →
+    * first-new gap for "resumed". */
+  case class SilenceOut(event_type: String, kind: String,
+                        last_seen: java.sql.Timestamp, n_events: Long,
+                        downtime_ms: Long)
+  case class SilenceState(lastTs: Long, nEvents: Long, silentEmitted: Boolean)
+
+  /** Heartbeat/silence detector per event type — the on-call alert a
+    * scheduled scraper fleet needs most ("source X stopped sending"; the
+    * reference polls sources on `scrape_interval`, a11 finds DUE
+    * sources batch-side — this detects DEAD ones live). A type that was
+    * flowing goes silent when the WATERMARK passes last_seen + the
+    * silence threshold — event-time timeouts, so detection is
+    * deterministic and replay-stable, never wall-clock — and emits ONE
+    * "silent" alert (no re-alerting while down: alert fatigue is a
+    * bug); the first event after a detected silence emits "resumed"
+    * with the measured downtime. State per type is three fields —
+    * |types|-bounded, trivially outliving 100 TB/day throughput; the
+    * only shuffle is the groupByKey on the type. */
+  def silenceStream(spark: SparkSession, events: Dataset[EventRow],
+                    silenceMs: Long = 3600000L,
+                    watermarkDelay: String = "10 seconds"): Dataset[SilenceOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[SilenceState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            // mark silent, keep state for the recovery edge; no new
+            // timeout — one alert per outage, the next event re-arms
+            state.update(s.copy(silentEmitted = true))
+            Iterator.single(SilenceOut(typ, "silent",
+              new java.sql.Timestamp(s.lastTs), s.nEvents, silenceMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[SilenceOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) =>
+                  if (s.silentEmitted)
+                    out += SilenceOut(typ, "resumed",
+                      new java.sql.Timestamp(s.lastTs), s.nEvents,
+                      math.max(0L, t - s.lastTs))
+                  cur = Some(SilenceState(math.max(s.lastTs, t), s.nEvents + 1,
+                    silentEmitted = false))
+                case None =>
+                  cur = Some(SilenceState(t, 1, silentEmitted = false))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // clamp vs the watermark (the sessionize discipline):
+              // non-future timeout timestamps kill the query
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(s.lastTs + silenceMs, floor))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -1126,4 +1126,37 @@ class SourcesStreamingSpec extends GraftSpec {
       assert(got.get(d0 + 1).contains(2L), s"day1: $got")
     } finally q.stop()
   }
+
+  test("silenceStream: one silent alert per outage, resumed with measured downtime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.silenceStream(spark, mem.toDS(), silenceMs = 3600000L)
+      .writeStream.format("memory").queryName("silence_test").outputMode("append").start()
+    val base = java.sql.Timestamp.valueOf("2024-04-01 00:00:00").getTime
+    def ev(id: Long, minute: Long, typ: String) = StreamingOps.EventRow(
+      id, new java.sql.Timestamp(base + minute * 60000L), id % 5, typ, 1.0)
+    try {
+      // hb beats every 10 min through minute 60; other keeps the watermark moving
+      mem.addData(((0 to 60 by 10).zipWithIndex.map { case (m, i) => ev(i + 1, m, "hb") } ++
+        (0 to 90 by 30).map(m => ev(100 + m, m, "other"))): _*)
+      q.processAllAvailable()
+      // hb goes dark; other advances the watermark past hb's last+1h
+      mem.addData((120 to 300 by 30).map(m => ev(100 + m, m, "other")): _*)
+      q.processAllAvailable()
+      mem.addData(ev(430, 330, "other")); q.processAllAvailable()
+      // hb resumes at minute 360 -> resumed with the measured 5h downtime
+      mem.addData(ev(8, 360, "hb")); q.processAllAvailable()
+      mem.addData(ev(520, 420, "other")); q.processAllAvailable()
+      val got = spark.sql(
+          "select event_type, kind, last_seen, n_events, downtime_ms from silence_test")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime,
+          r.getLong(3), r.getLong(4))).toSet
+      val lastSeen = base + 60 * 60000L
+      assert(got == Set(
+        ("hb", "silent", lastSeen, 7L, 3600000L),
+        ("hb", "resumed", lastSeen, 7L, base + 360 * 60000L - lastSeen)), s"got $got")
+    } finally q.stop()
+  }
 }
