@@ -2260,7 +2260,64 @@ object TextOps {
        |FROM s ORDER BY source""".stripMargin
   }
 
+  /** d84 dictionary capacity: 1-byte codes → 256 entries. A LITERAL
+    * capacity (the d78 discipline): whatever the corpus, the dictionary
+    * side of the join is ≤ 256 rows by construction. */
+  val DictSize = 256
+
+  /** d84: dictionary-coding storage estimate — the planning number
+    * behind token-level dictionary compression (shard size forecasts,
+    * loader bandwidth budgets; e2/e12 consume exactly this kind of
+    * estimate): give the [[DictSize]] globally most frequent tokens
+    * 1-unit codes, price every other token occurrence at its length + 1
+    * (the uncoded-marker cost), and report per source: token volume,
+    * raw vs coded cost, and exact savings in bp. Character-unit costs
+    * in BOTH engines (length(), not octet_length — the estimate is
+    * encoding-independent).
+    *
+    * Shape: the frequency pass reduces map-side to the vocab frame and
+    * takes its top-256 via TakeOrderedAndProject (never a global vocab
+    * sort — the d63 lesson); the costing pass LEFT-joins the 256-row
+    * dictionary (broadcast licensed by the literal capacity, NOT by a
+    * corpus-vocab assumption) and reduces to |sources| rows. Two corpus
+    * passes total — the irreducible dictionary-build shape (the
+    * dictionary needs global counts before any row can be priced). */
+  def d84DictCode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(DictSize)
+      .select(col("tok"), lit(1).as("coded"))
+    toks.join(broadcast(top), Seq("tok"), "left")
+      .select(col("source"), (length(col("tok")) + 1).as("raw"),
+        when(col("coded").isNotNull, lit(1))
+          .otherwise(length(col("tok")) + 1).as("cost"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("raw")).as("raw_cost"), sum(col("cost")).as("coded_cost"))
+      .select(col("source"), col("n_tokens"), col("raw_cost"), col("coded_cost"),
+        expr("((raw_cost - coded_cost) * 10000) div raw_cost").as("savings_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d84Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+       |top AS (SELECT tok FROM freq ORDER BY f DESC, tok LIMIT $DictSize),
+       |c AS (
+       |  SELECT source, length(t.tok) + 1 AS raw,
+       |    CASE WHEN top.tok IS NOT NULL THEN 1 ELSE length(t.tok) + 1 END AS cost
+       |  FROM toks t LEFT JOIN top ON t.tok = top.tok)
+       |SELECT source, count(*) AS n_tokens,
+       |  CAST(sum(raw) AS BIGINT) AS raw_cost,
+       |  CAST(sum(cost) AS BIGINT) AS coded_cost,
+       |  CAST(((sum(raw) - sum(cost)) * 10000) // sum(raw) AS BIGINT) AS savings_bp
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d84_dict_code" -> (d84DictCode _),
     "d83_blocklist_gate" -> (d83BlocklistGate _),
     "d80_crawl_churn" -> (d80CrawlChurn _),
     "d79_mixture_schedule" -> (d79MixtureSchedule _),
@@ -2304,6 +2361,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d84_dict_code" -> d84Sql,
     "d83_blocklist_gate" -> d83Sql,
     "d80_crawl_churn" -> d80Sql,
     "d79_mixture_schedule" -> d79Sql,

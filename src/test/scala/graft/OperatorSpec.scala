@@ -2830,6 +2830,26 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("d84 dict coding: per-source costs replayed with a local top-256") {
+    val got = TextOps.d84DictCode(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val toks = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map(r.getString(0) -> _))
+    val top = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(TextOps.DictSize).map(_._1).toSet
+    assert(got.keySet == toks.map(_._1).toSet)
+    toks.groupBy(_._1).foreach { case (src, ts) =>
+      val raw = ts.map(_._2.length.toLong + 1).sum
+      val coded = ts.map(t => if (top(t._2)) 1L else t._2.length.toLong + 1).sum
+      val want = (ts.length.toLong, raw, coded, (raw - coded) * 10000 / raw)
+      assert(got(src) == want, s"$src: ${got(src)} != $want")
+      assert(coded <= raw)
+    }
+    // the dictionary must be saving something for the estimate to mean anything
+    assert(got.values.forall(v => v._4 > 0))
+  }
+
   test("d83 blocklist gate: per-source verdicts replayed from raw tokens") {
     val got = TextOps.d83BlocklistGate(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
