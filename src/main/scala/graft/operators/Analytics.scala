@@ -1873,7 +1873,68 @@ object Analytics {
       |  CAST((dev * dev * 1000) // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS contrib_milli
       |FROM d ORDER BY seg, prio""".stripMargin
 
+  /** q56 bucket count (a CBO-typical histogram width). */
+  val HistBuckets = 16
+
+  /** q56: equi-depth histogram build — the optimizer-statistics
+    * primitive (ANALYZE ... COMPUTE STATISTICS histograms; the
+    * selectivity model zone maps (a31) and join planning read): 16
+    * buckets over order price in cents, each holding ~1/16 of the rows,
+    * with exact integer boundaries. Value-grouped like q53 (one row per
+    * DISTINCT price — bounded by the value domain, not the corpus), so
+    * the cumulative window runs over the reduced frame; a value lands
+    * in the bucket of its LAST row, ((cum−1)·B) div total + 1 — the
+    * deterministic discrete rule; heavy values make buckets uneven,
+    * which is equi-depth-with-ties reality and exactly what the
+    * optimizer needs to see. Per bucket: [lo, hi] bounds, distinct
+    * values, row count, exact depth share in bp. The q22
+    * approx_percentile sketch is the documented escape when even the
+    * value domain is too wide to reduce. */
+  def q56EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables.orders(spark, dir)
+      .groupBy((dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byVal
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("bucket", expr(s"((cum - 1) * $HistBuckets) div total") + 1)
+      .groupBy(col("bucket"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        count(lit(1)).as("n_values"), sum(col("cnt")).as("n_rows"),
+        max(col("total")).as("total"))
+      .select(col("bucket"), col("lo"), col("hi"), col("n_values"), col("n_rows"),
+        expr("(n_rows * 10000) div total").as("depth_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val q56Sql: String =
+    s"""WITH byval AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       |    count(*) AS cnt
+       |  FROM orders GROUP BY 1),
+       |c AS (
+       |  SELECT cents, cnt,
+       |    sum(cnt) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER () AS total
+       |  FROM byval),
+       |b AS (
+       |  SELECT cents, cnt, total,
+       |    ((cum - 1) * $HistBuckets) // total + 1 AS bucket
+       |  FROM c),
+       |g AS (
+       |  SELECT bucket, min(cents) AS lo, max(cents) AS hi,
+       |    count(*) AS n_values, sum(cnt) AS n_rows, max(total) AS total
+       |  FROM b GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, lo, hi, n_values,
+       |  CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST((n_rows * 10000) // total AS BIGINT) AS depth_bp
+       |FROM g ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_equidepth_hist" -> (q56EquidepthHist _),
     "q55_chi2_assoc" -> (q55Chi2Assoc _),
     "q54_pareto_cross" -> (q54ParetoCross _),
     "q53_gini" -> (q53Gini _),
@@ -1930,6 +1991,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q56_equidepth_hist" -> q56Sql,
     "q55_chi2_assoc" -> q55Sql,
     "q54_pareto_cross" -> q54Sql,
     "q53_gini" -> q53Sql,

@@ -2831,6 +2831,32 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("q56 equi-depth histogram: buckets partition rows, depths balanced") {
+    val got = Analytics.q56EquidepthHist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val cents = Tables.orders(spark, sfDir).select("o_totalprice").collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+    val total = cents.length.toLong
+    val byVal = cents.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    var cum = 0L
+    val assign = byVal.map { case (v, c) => cum += c; (v, c, (cum - 1) * Analytics.HistBuckets / total + 1) }
+    val want = assign.groupBy(_._3).map { case (b, vs) =>
+      b -> (vs.map(_._1).min, vs.map(_._1).max, vs.length.toLong,
+        vs.map(_._2).sum, vs.map(_._2).sum * 10000 / total)
+    }
+    assert(got == want)
+    // buckets tile the value axis in order and partition all rows
+    assert(got.values.map(_._4).sum == total)
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((_, hi1, _, _, _), (lo2, _, _, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // equi-depth sanity: every bucket within 3x of the ideal share
+    got.values.foreach { case (_, _, _, _, bp) => assert(bp <= 30000 / Analytics.HistBuckets) }
+  }
+
   test("d84 dict coding: per-source costs replayed with a local top-256") {
     val got = TextOps.d84DictCode(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
