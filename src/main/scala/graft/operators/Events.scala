@@ -1695,7 +1695,84 @@ object Events {
       |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS autocorr
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** c36 decay horizon in days, and the ppm weight of an offset-0 touch;
+    * offset d gets ppm >> d — exact integer exponential decay. */
+  val DecayDays = 7
+  val DecayPpm = 1048576L // 2^20: shifts stay exact through offset 6
+
+  /** c36: time-decay attribution — the third member of the attribution
+    * family (c11 does last-touch; this spreads credit over every touch
+    * in the window, halving per day of age — position-based models are
+    * a weight-vector swap away). DAY-grain decomposition makes it
+    * relational: touches reduce to (user, day, type, cnt), purchases to
+    * (user, day, np); each purchase-day probes its 0..6-day-old touch
+    * days via a bounded explode (the c31/q51 probe discipline — 7×
+    * fan-out of the REDUCED purchase frame, never a fact×fact range
+    * join), credit = np·cnt·(2²⁰ ppm >> age) in exact integers.
+    * Same-day touches count at full weight (day grain can't order
+    * within the day; the tie rule is documented, deterministic, and
+    * identical in both engines). Output per touch type: weighted
+    * credit, share in bp, touch volume.
+    *
+    * Shape: ONE corpus scan reduced map-side to the two day-grain
+    * frames (both projections of the same (user, day, type) reduce);
+    * the probe join shuffles only reduced frames; share via a window
+    * over the ≤|types| result. */
+  def c36DecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val touches = byDay.filter(col("event_type") =!= "purchase")
+    val purchases = byDay.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("day").as("pday"), col("cnt").as("np"))
+    val probes = purchases
+      .select(col("user_id"), col("pday"), col("np"),
+        explode(sequence(lit(0), lit(DecayDays - 1))).as("age"))
+      .select(col("user_id"), (col("pday") - col("age")).as("day"),
+        col("np"), col("age"))
+    val credit = probes.join(touches, Seq("user_id", "day"))
+      .select(col("event_type"),
+        // product promoted to DECIMAL(38,0): day-grain count products
+        // times the 2^20 ppm scale pass 2^63 on extreme keys at 100 TB
+        ((col("np") * col("cnt")).cast(DecimalType(38, 0)) *
+          expr(s"shiftright($DecayPpm" + "L, cast(age as int))")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("credit_ppm"), count(lit(1)).as("n_cells"))
+    credit
+      .withColumn("total", sum(col("credit_ppm")).over(Window.partitionBy()))
+      .select(col("event_type"), col("credit_ppm").cast("long").as("credit_ppm"),
+        expr("(credit_ppm * 10000) div total").as("share_bp"), col("n_cells"))
+      .orderBy(col("event_type"))
+  }
+
+  val c36Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type
+       |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+       |byday AS (
+       |  SELECT user_id, day, event_type, count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+       |touches AS (SELECT * FROM byday WHERE event_type <> 'purchase'),
+       |purch AS (
+       |  SELECT user_id, day AS pday, cnt AS np FROM byday WHERE event_type = 'purchase'),
+       |probes AS (
+       |  SELECT user_id, pday - age AS day, np, age
+       |  FROM purch, range(0, $DecayDays) AS u(age)),
+       |credit AS (
+       |  SELECT t.event_type,
+       |    sum(p.np * t.cnt * ($DecayPpm >> p.age)) AS credit_ppm,
+       |    count(*) AS n_cells
+       |  FROM probes p JOIN touches t ON t.user_id = p.user_id AND t.day = p.day
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(credit_ppm) AS total FROM credit)
+       |SELECT event_type, CAST(credit_ppm AS BIGINT) AS credit_ppm,
+       |  CAST((credit_ppm * 10000) // total AS BIGINT) AS share_bp,
+       |  n_cells
+       |FROM credit, tot ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c36_decay_attribution" -> (c36DecayAttribution _),
     "c35_daily_autocorr" -> (c35DailyAutocorr _),
     "c34_interval_union" -> (c34IntervalUnion _),
     "c33_gap_fill" -> (c33GapFill _),
@@ -1733,6 +1810,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c36_decay_attribution" -> c36Sql,
     "c35_daily_autocorr" -> c35Sql,
     "c34_interval_union" -> c34Sql,
     "c33_gap_fill" -> c33Sql,

@@ -2831,6 +2831,33 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("c36 decay attribution: day-grain 2^-age credit replayed locally") {
+    val got = Events.c36DecayAttribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val byDay = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val touches = byDay.collect { case ((u, d, t), c) if t != "purchase" => (u, d, t) -> c }.toMap
+    val purchases = byDay.collect { case ((u, d, "purchase"), c) => (u, d) -> c }
+    val cells = for {
+      ((u, pd), np) <- purchases.toSeq
+      age <- 0 until Events.DecayDays
+      ((tu, td, t), cnt) <- touches if tu == u && td == pd - age
+    } yield t -> BigInt(np) * cnt * (Events.DecayPpm >> age)
+    val want = cells.groupBy(_._1).map { case (t, cs) => t -> (cs.map(_._2).sum, cs.length.toLong) }
+    val total = want.values.map(_._1).sum
+    assert(got.keySet == want.keySet)
+    want.foreach { case (t, (credit, n)) =>
+      val (gc, gshare, gn) = got(t)
+      assert(BigInt(gc) == credit && gn == n, s"$t: ($gc,$gn) != ($credit,$n)")
+      assert(gshare == (credit * 10000 / total).toLong)
+    }
+    assert(got.values.map(_._2).sum <= 10000)
+  }
+
   test("q56 equi-depth histogram: buckets partition rows, depths balanced") {
     val got = Analytics.q56EquidepthHist(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
