@@ -1704,43 +1704,57 @@ object Events {
     * family (c11 does last-touch; this spreads credit over every touch
     * in the window, halving per day of age — position-based models are
     * a weight-vector swap away). DAY-grain decomposition makes it
-    * relational: touches reduce to (user, day, type, cnt), purchases to
-    * (user, day, np); each purchase-day probes its 0..6-day-old touch
-    * days via a bounded explode (the c31/q51 probe discipline — 7×
-    * fan-out of the REDUCED purchase frame, never a fact×fact range
-    * join), credit = np·cnt·(2²⁰ ppm >> age) in exact integers.
-    * Same-day touches count at full weight (day grain can't order
-    * within the day; the tie rule is documented, deterministic, and
-    * identical in both engines). Output per touch type: weighted
-    * credit, share in bp, touch volume.
+    * relational: one (user, day) reduce carries purchase and per-type
+    * touch counts side by side (the touch-type set is the operator's
+    * LITERAL config, so columns, not rows), and each purchase-day reads
+    * its 0..6-day-old touch counts through exact-offset RANGE frames
+    * (rangeBetween(−a, −a) on the integer day — day gaps can't
+    * misalign it the way lag(a) rows would) — ONE user exchange serves
+    * all 14 frames, and there is no purchase⋈touch join at all.
+    * credit = np·cnt·(2²⁰ ppm >> age) in exact integers; same-day
+    * touches count at full weight (day grain can't order within the
+    * day; the tie rule is documented, deterministic, identical in both
+    * engines). Output per touch type: weighted credit, share in bp,
+    * contributing (purchase-day, touch-day) cell count.
     *
-    * Shape: ONE corpus scan reduced map-side to the two day-grain
-    * frames (both projections of the same (user, day, type) reduce);
-    * the probe join shuffles only reduced frames; share via a window
-    * over the ≤|types| result. */
+    * Shape: ONE corpus scan → map-side (user, day) reduce → one user
+    * exchange for the windows → a23-style literal-array stacking →
+    * ≤|types| result rows. The oracle replays the INDEPENDENT
+    * probe-explode + join formulation — result equality across the two
+    * shapes is part of what the gate proves. */
   def c36DecayAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val byDay = Tables.events(spark, dir)
+    val perUD = Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
-        col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-    val touches = byDay.filter(col("event_type") =!= "purchase")
-    val purchases = byDay.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("day").as("pday"), col("cnt").as("np"))
-    val probes = purchases
-      .select(col("user_id"), col("pday"), col("np"),
-        explode(sequence(lit(0), lit(DecayDays - 1))).as("age"))
-      .select(col("user_id"), (col("pday") - col("age")).as("day"),
-        col("np"), col("age"))
-    val credit = probes.join(touches, Seq("user_id", "day"))
-      .select(col("event_type"),
-        // product promoted to DECIMAL(38,0): day-grain count products
-        // times the 2^20 ppm scale pass 2^63 on extreme keys at 100 TB
-        ((col("np") * col("cnt")).cast(DecimalType(38, 0)) *
-          expr(s"shiftright($DecayPpm" + "L, cast(age as int))")).as("c"))
-      .groupBy(col("event_type"))
-      .agg(sum(col("c")).as("credit_ppm"), count(lit(1)).as("n_cells"))
-    credit
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(countIf(col("event_type") === "purchase").as("np"),
+        countIf(col("event_type") === "view").as("nv"),
+        countIf(col("event_type") === "click").as("nc"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val shifted = (0 until DecayDays).foldLeft(perUD) { (df, a) =>
+      df.withColumn(s"v$a", sum(col("nv")).over(w.rangeBetween(-a, -a)))
+        .withColumn(s"c$a", sum(col("nc")).over(w.rangeBetween(-a, -a)))
+    }
+    // weighted sliding dot product over the shifted counts; DECIMAL(38,0)
+    // promotion because day-grain count products times the 2^20 ppm
+    // scale pass 2^63 on extreme keys at 100 TB
+    def credit(pfx: String): Column =
+      (0 until DecayDays).map(a =>
+        coalesce(col(s"$pfx$a"), lit(0L)) * lit(DecayPpm >> a)).reduce(_ + _)
+    def cells(pfx: String): Column =
+      (0 until DecayDays).map(a =>
+        when(coalesce(col(s"$pfx$a"), lit(0L)) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    shifted.filter(col("np") > 0)
+      .select(col("np").cast(DecimalType(38, 0)).as("np"),
+        credit("v").cast(DecimalType(38, 0)).as("cv"), cells("v").as("kv"),
+        credit("c").cast(DecimalType(38, 0)).as("cc"), cells("c").as("kc"))
+      .select(explode(array(
+        struct(lit("view").as("event_type"), (col("np") * col("cv")).as("credit"),
+          col("kv").as("k")),
+        struct(lit("click").as("event_type"), (col("np") * col("cc")).as("credit"),
+          col("kc").as("k")))).as("s"))
+      .groupBy(col("s.event_type").as("event_type"))
+      .agg(sum(col("s.credit")).as("credit_ppm"), sum(col("s.k")).as("n_cells"))
+      .filter(col("n_cells") > 0)
       .withColumn("total", sum(col("credit_ppm")).over(Window.partitionBy()))
       .select(col("event_type"), col("credit_ppm").cast("long").as("credit_ppm"),
         expr("(credit_ppm * 10000) div total").as("share_bp"), col("n_cells"))
