@@ -2316,7 +2316,80 @@ object TextOps {
        |  CAST(((sum(raw) - sum(cost)) * 10000) // sum(raw) AS BIGINT) AS savings_bp
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** d85 query — a LITERAL term set (the operator's config, like d83's
+    * lexicon): BM25 data selection runs a fixed query battery against
+    * the corpus (retrieve-for-pretraining / domain-targeting). */
+  val Bm25Query = Seq("spark", "join", "merge", "window")
+  val Bm25TopK = 20
+
+  /** d85: BM25 top-k retrieval scoring — the IR scorer behind
+    * retrieval-based data selection ("find the corpus docs most
+    * relevant to this domain battery"; d34's TF-IDF ranks terms within
+    * sources, this ranks DOCS against a query). Okapi BM25 with
+    * k1=1.2, b=0.75, made exact-integer by multiplying the per-term
+    * fraction through by 10·T (T = corpus tokens, D = docs, dl = doc
+    * length): score_term = (idf·tf·22·T) div (10·T·tf + 3·T + 9·dl·D),
+    * idf at the d34 (D·10⁴ div df) scale, numerator assembled BEFORE
+    * the single integral division (dividing first would truncate the
+    * ~2.2-range fraction to garbage) in DECIMAL(38,0) (idf·tf·22·T
+    * reaches 10²⁴ at 100 TB).
+    *
+    * Shape: ONE corpus scan → per-doc conditional aggregate (dl +
+    * one tf column per LITERAL query term — never a corpus-vocab
+    * join), a23-style stacking to (doc, term, tf) rows, df via a
+    * window over the stacked reduced frame, corpus scalars as a 1-row
+    * broadcast, top-k via TakeOrderedAndProject. */
+  def d85Bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val aggs = count(lit(1)).as("dl") +: Bm25Query.zipWithIndex.map { case (t, i) =>
+      countIf(col("tok") === t).as(s"tf_$i") }
+    val perDoc = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val scalars = perDoc.agg(sum(col("dl")).as("t_total"), count(lit(1)).as("d_total"))
+    val stacked = perDoc
+      .select(col("doc_id"), col("dl"), explode(array(Bm25Query.zipWithIndex.map {
+        case (t, i) => struct(lit(t).as("term"), col(s"tf_$i").as("tf")) }: _*)).as("s"))
+      .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
+      .filter(col("tf") > 0)
+    stacked
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        expr("""(((d_total * 10000) div df) * CAST(tf AS DECIMAL(38,0)) * 22 * t_total)
+                div (10 * CAST(t_total AS DECIMAL(38,0)) * tf + 3 * t_total + 9 * dl * d_total)""")
+          .as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("score_ppm"), count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), col("score_ppm").cast("long").as("score_ppm"), col("n_terms_hit"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val d85Sql: String = {
+    val inList = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |sc AS (SELECT sum(dl) AS t_total, count(*) AS d_total FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+       |  WHERE tok IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id,
+       |    (((sc.d_total * 10000) // df.df) * CAST(tf.tf AS HUGEINT) * 22 * sc.t_total)
+       |      // (10 * CAST(sc.t_total AS HUGEINT) * tf.tf + 3 * sc.t_total + 9 * dl.dl * sc.d_total)
+       |      AS sc_term
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), sc)
+       |SELECT doc_id, CAST(sum(sc_term) AS BIGINT) AS score_ppm, count(*) AS n_terms_hit
+       |FROM s GROUP BY 1
+       |ORDER BY score_ppm DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d85_bm25_topk" -> (d85Bm25Topk _),
     "d84_dict_code" -> (d84DictCode _),
     "d83_blocklist_gate" -> (d83BlocklistGate _),
     "d80_crawl_churn" -> (d80CrawlChurn _),
@@ -2361,6 +2434,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d85_bm25_topk" -> d85Sql,
     "d84_dict_code" -> d84Sql,
     "d83_blocklist_gate" -> d83Sql,
     "d80_crawl_churn" -> d80Sql,

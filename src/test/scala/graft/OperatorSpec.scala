@@ -2831,6 +2831,32 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("d85 bm25: integer-scaled Okapi scores replayed; ranking sane") {
+    val got = TextOps.d85Bm25Topk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val tTotal = BigInt(docs.map(_._2.length.toLong).sum)
+    val dTotal = BigInt(docs.length)
+    val q = TextOps.Bm25Query
+    val df = q.map(t => t -> BigInt(docs.count(_._2.contains(t)))).toMap
+    val scores = docs.map { case (id, toks) =>
+      val dl = BigInt(toks.length)
+      val terms = q.filter(t => toks.contains(t))
+      val s = terms.map { t =>
+        val tf = BigInt(toks.count(_ == t))
+        ((dTotal * 10000 / df(t)) * tf * 22 * tTotal) /
+          (10 * tTotal * tf + 3 * tTotal + 9 * dl * dTotal)
+      }.sum
+      (id, s.toLong, terms.length.toLong)
+    }.filter(_._3 > 0)
+    val want = scores.sortBy { case (id, s, _) => (-s, id) }.take(TextOps.Bm25TopK).toSeq
+    assert(got.toSeq == want)
+    // top-k is genuinely ranked and hits at least one multi-term doc
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    assert(got.exists(_._3 >= 2))
+  }
+
   test("c36 decay attribution: day-grain 2^-age credit replayed locally") {
     val got = Events.c36DecayAttribution(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
