@@ -2345,7 +2345,12 @@ object TextOps {
     val aggs = count(lit(1)).as("dl") +: Bm25Query.zipWithIndex.map { case (t, i) =>
       countIf(col("tok") === t).as(s"tf_$i") }
     val perDoc = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val scalars = perDoc.agg(sum(col("dl")).as("t_total"), count(lit(1)).as("d_total"))
+    // corpus scalars from a SLIM second scan (row-local size, no explode,
+    // no shuffle) — re-deriving them from perDoc would duplicate the
+    // whole tokenize+aggregate subtree (the static planner doesn't dedupe
+    // branches); D deliberately counts ALL docs, the IR convention
+    val scalars = Tables.documents(spark, dir)
+      .agg(sum(size(tokens(col("text")))).as("t_total"), count(lit(1)).as("d_total"))
     val stacked = perDoc
       .select(col("doc_id"), col("dl"), explode(array(Bm25Query.zipWithIndex.map {
         case (t, i) => struct(lit(t).as("term"), col(s"tf_$i").as("tf")) }: _*)).as("s"))
@@ -2372,7 +2377,10 @@ object TextOps {
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
        |  FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-       |sc AS (SELECT sum(dl) AS t_total, count(*) AS d_total FROM dl),
+       |sc AS (
+       |  SELECT sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS t_total,
+       |    count(*) AS d_total
+       |  FROM documents),
        |tf AS (
        |  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
        |  WHERE tok IN ($inList) GROUP BY 1, 2),
