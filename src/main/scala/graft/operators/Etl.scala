@@ -1888,7 +1888,63 @@ object Etl {
       |FROM b FULL OUTER JOIN dl ON bk = dk
       |ORDER BY o_custkey""".stripMargin
 
+  /** a37 synthetic erasure-request rule: every 97th customer key. A
+    * deterministic stand-in for the deletion-request TABLE a real
+    * pipeline joins; 97 is coprime to every id stride in the testdata
+    * (the e9 modulus lesson), so requests spread across partitions. */
+  val ErasureMod = 97
+
+  /** a37: right-to-be-forgotten erasure plan — the GDPR/CCPA executor's
+    * input (the lakehouse op a26's TTL sweep doesn't cover: deletes
+    * keyed by USER, not by age, so they land mid-partition and force
+    * row-level rewrites): per (y, m) partition of the a3 layout — total
+    * rows, affected rows (exact bp), affected distinct requesters, and
+    * the decision: untouched partitions are metadata-only `keep`,
+    * affected ones price a `rewrite` at bytes ≈ rows × est row width
+    * (a22's sizing discipline; the rewrite copies the WHOLE partition
+    * minus erased rows — that's what row-level delete costs without
+    * deletion vectors, which is the point of planning first).
+    *
+    * Shape: the request predicate is row-local here (a real request
+    * table is an ids-only broadcast or a key-partitioned semi-join —
+    * both documented), so the WHOLE plan is one conditional-aggregation
+    * scan at partition grain; one exact distinct rides the same
+    * aggregate (a12 discipline, a27-style sketch swap documented). */
+  def a37ErasurePlan(spark: SparkSession, dir: String): DataFrame = {
+    val rowBytes = 100L
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        col("o_custkey"), (pmod(col("o_custkey"), lit(ErasureMod)) === 0).as("hit"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n_rows"),
+        countIf(col("hit")).as("n_erased"),
+        countDistinct(when(col("hit"), col("o_custkey"))).as("n_requesters"))
+      .select(col("y"), col("m"), col("n_rows"), col("n_erased"), col("n_requesters"),
+        expr("(n_erased * 10000) div n_rows").as("erased_bp"),
+        when(col("n_erased") === 0, lit("keep")).otherwise(lit("rewrite")).as("decision"),
+        (when(col("n_erased") === 0, lit(0L))
+          .otherwise((col("n_rows") - col("n_erased")) * rowBytes)).as("rewrite_bytes"))
+      .orderBy(col("y"), col("m"))
+  }
+
+  val a37Sql: String =
+    s"""WITH t AS (
+       |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, o_custkey,
+       |    o_custkey % $ErasureMod = 0 AS hit
+       |  FROM orders),
+       |g AS (
+       |  SELECT y, m, count(*) AS n_rows,
+       |    count(CASE WHEN hit THEN 1 END) AS n_erased,
+       |    count(DISTINCT CASE WHEN hit THEN o_custkey END) AS n_requesters
+       |  FROM t GROUP BY 1, 2)
+       |SELECT CAST(y AS INTEGER) AS y, CAST(m AS INTEGER) AS m, n_rows, n_erased, n_requesters,
+       |  (n_erased * 10000) // n_rows AS erased_bp,
+       |  CASE WHEN n_erased = 0 THEN 'keep' ELSE 'rewrite' END AS decision,
+       |  CASE WHEN n_erased = 0 THEN 0 ELSE (n_rows - n_erased) * 100 END AS rewrite_bytes
+       |FROM g ORDER BY y, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a37_erasure_plan" -> (a37ErasurePlan _),
     "a36_incremental_agg" -> (a36IncrementalAgg _),
     "a35_fd_audit" -> (a35FdAudit _),
     "a34_pit_lookup" -> (a34PitLookup _),
@@ -1927,6 +1983,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a37_erasure_plan" -> a37Sql,
     "a36_incremental_agg" -> a36Sql,
     "a35_fd_audit" -> a35Sql,
     "a34_pit_lookup" -> a34Sql,

@@ -758,11 +758,13 @@ object MultimodalOps {
     * manifest-grain, not corpus-grain), and sort_array makes the fold
     * order deterministic at any parallelism; 32-hex md5s concatenate
     * below codegen string limits at any real shard size. */
-  def e13ShardChecksum(spark: SparkSession, dir: String): DataFrame = {
+  /** e13's checksum pipeline over ANY (doc_id, source, text) frame —
+    * shared with e16's two-manifest diff. */
+  private def shardChecksumsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"),
         octet_length(col("text").cast("binary")).as("n_bytes"),
         md5(col("text").cast("binary")).as("h"))
@@ -777,8 +779,11 @@ object MultimodalOps {
         md5(concat_ws("",
           transform(sort_array(collect_list(struct(col("doc_id"), col("h")))),
             p => p.getField("h"))).cast("binary")).as("shard_md5"))
-      .orderBy(col("source"), col("shard_idx"))
   }
+
+  def e13ShardChecksum(spark: SparkSession, dir: String): DataFrame =
+    shardChecksumsOf(Tables.documents(spark, dir))
+      .orderBy(col("source"), col("shard_idx"))
 
   val e13Sql: String =
     s"""WITH b AS (
@@ -909,7 +914,85 @@ object MultimodalOps {
       |  least(256, n_bytes - frame_idx * 256) AS span
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** e16 revision rule: every 13th blob is deleted in snapshot B — a
+    * deterministic stand-in for a curation pass between two dataset
+    * versions (13 is coprime to the id stride, the e9 modulus lesson). */
+  val SyncDropMod = 13
+
+  /** e16: shard sync plan between two dataset snapshots — the
+    * rsync/merkle question at shard grain ("version 2 of the dataset
+    * exists; which tar shards must re-ship to the training cluster?").
+    * Both snapshots run e13's order-sensitive checksum pipeline; a
+    * FULL OUTER join on (source, shard_idx) classifies each shard:
+    * `same` (checksum equal — skip), `changed` (re-ship B's bytes),
+    * `removed` (A-only — delete remotely). The demo edit is a DELETION
+    * precisely because greedy byte-offset sharding then SHIFTS every
+    * later blob — the plan honestly shows the cascade (most shards
+    * after the first edit re-ship), which is WHY content-defined
+    * chunk boundaries (a30/e2's discussion) matter for sync-heavy
+    * layouts; the operator measures the cost it plans around.
+    *
+    * Shape: two scans by design (two snapshots — a21's precedent; in
+    * production B is a different table version), each reduced at
+    * manifest grain; one (source, shard)-keyed full-outer SMJ of the
+    * two ≤|shards| frames. */
+  def e16ShardSyncPlan(spark: SparkSession, dir: String): DataFrame = {
+    val a = shardChecksumsOf(Tables.documents(spark, dir))
+      .select(col("source"), col("shard_idx"), col("shard_md5").as("md5_a"),
+        col("shard_bytes").as("bytes_a"))
+    val b = shardChecksumsOf(Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(SyncDropMod)) =!= 0))
+      .select(col("source").as("source_b"), col("shard_idx").as("shard_b"),
+        col("shard_md5").as("md5_b"), col("shard_bytes").as("bytes_b"))
+    a.join(b, col("source") === col("source_b") && col("shard_idx") === col("shard_b"),
+        "full_outer")
+      .select(
+        coalesce(col("source"), col("source_b")).as("source"),
+        coalesce(col("shard_idx"), col("shard_b")).as("shard_idx"),
+        when(col("md5_a").isNull, lit("added"))
+          .when(col("md5_b").isNull, lit("removed"))
+          .when(col("md5_a") === col("md5_b"), lit("same"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("bytes_b"), lit(0L)).as("ship_bytes"))
+      .orderBy(col("source"), col("shard_idx"))
+  }
+
+  val e16Sql: String =
+    s"""WITH ca AS (
+       |  SELECT source, (end_byte - n_bytes) // $ShardBytes AS shard_idx,
+       |    md5(string_agg(h, '' ORDER BY doc_id)) AS md5_a,
+       |    CAST(sum(n_bytes) AS BIGINT) AS bytes_a
+       |  FROM (
+       |    SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |      md5(text) AS h,
+       |      CAST(sum(octet_length(encode(text))) OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_byte
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT source, (end_byte - n_bytes) // $ShardBytes AS shard_idx,
+       |    md5(string_agg(h, '' ORDER BY doc_id)) AS md5_b,
+       |    CAST(sum(n_bytes) AS BIGINT) AS bytes_b
+       |  FROM (
+       |    SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |      md5(text) AS h,
+       |      CAST(sum(octet_length(encode(text))) OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_byte
+       |    FROM documents WHERE doc_id % $SyncDropMod <> 0)
+       |  GROUP BY 1, 2)
+       |SELECT coalesce(ca.source, cb.source) AS source,
+       |  coalesce(ca.shard_idx, cb.shard_idx) AS shard_idx,
+       |  CASE WHEN ca.md5_a IS NULL THEN 'added'
+       |       WHEN cb.md5_b IS NULL THEN 'removed'
+       |       WHEN ca.md5_a = cb.md5_b THEN 'same'
+       |       ELSE 'changed' END AS status,
+       |  coalesce(cb.bytes_b, 0) AS ship_bytes
+       |FROM ca FULL OUTER JOIN cb
+       |  ON ca.source = cb.source AND ca.shard_idx = cb.shard_idx
+       |ORDER BY source, shard_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_shard_sync_plan" -> (e16ShardSyncPlan _),
     "e15_frame_sample_plan" -> (e15FrameSamplePlan _),
     "e14_resolution_ladder" -> (e14ResolutionLadder _),
     "e13_shard_checksum" -> (e13ShardChecksum _),
@@ -927,6 +1010,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e16_shard_sync_plan" -> e16Sql,
     "e15_frame_sample_plan" -> e15Sql,
     "e14_resolution_ladder" -> e14Sql,
     "e13_shard_checksum" -> e13Sql,

@@ -2831,6 +2831,63 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("a37 erasure plan: partition verdicts replayed from raw orders") {
+    val got = Etl.a37ErasurePlan(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6), r.getLong(7))).toMap
+    val rows = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"), col("o_custkey"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    assert(got.keySet == rows.map(_._1).toSet)
+    rows.groupBy(_._1).foreach { case (p, os) =>
+      val hits = os.map(_._2).filter(_ % Etl.ErasureMod == 0)
+      val n = os.length.toLong
+      val want = (n, hits.length.toLong, hits.distinct.length.toLong,
+        hits.length.toLong * 10000 / n,
+        if (hits.isEmpty) "keep" else "rewrite",
+        if (hits.isEmpty) 0L else (n - hits.length) * 100L)
+      assert(got(p) == want, s"$p: ${got(p)} != $want")
+    }
+    // the request rule must actually fire somewhere
+    assert(got.values.exists(_._5 == "rewrite"))
+  }
+
+  test("e16 shard sync: full-outer checksum diff replayed locally") {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    def manifest(drop: Boolean): Map[(String, Long), (String, Long)] = {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .filter(d => !drop || d._1 % MultimodalOps.SyncDropMod != 0)
+      docs.groupBy(_._2).flatMap { case (src, ds) =>
+        var off = 0L
+        ds.sortBy(_._1).map { case (_, _, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val shard = off / MultimodalOps.ShardBytes
+          off += bytes.length
+          (shard, md5hex(bytes), bytes.length.toLong)
+        }.groupBy(_._1).map { case (shard, blobs) =>
+          (src, shard) -> (md5hex(blobs.map(_._2).mkString.getBytes("UTF-8")),
+            blobs.map(_._3).sum)
+        }
+      }
+    }
+    val a = manifest(drop = false); val b = manifest(drop = true)
+    val want = (a.keySet ++ b.keySet).map { k =>
+      val status = (a.get(k), b.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some((ha, _)), Some((hb, _))) => if (ha == hb) "same" else "changed"
+      }
+      k -> ((status, b.get(k).map(_._2).getOrElse(0L)))
+    }.toMap
+    val got = MultimodalOps.e16ShardSyncPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // the planted deletion must force at least one re-ship
+    assert(got.values.exists(_._1 == "changed"))
+  }
+
   test("d85 bm25: integer-scaled Okapi scores replayed; ranking sane") {
     val got = TextOps.d85Bm25Topk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
