@@ -1933,7 +1933,63 @@ object Analytics {
        |  CAST((n_rows * 10000) // total AS BIGINT) AS depth_bp
        |FROM g ORDER BY bucket""".stripMargin
 
+  /** q57: join-cardinality estimation audit — the CBO's core formula
+    * (|A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B), System R / Spark
+    * JoinEstimation) validated against ground truth per segment: what
+    * the optimizer WOULD predict for orders ⋈ customer_seg on the
+    * customer key vs the exact join size, error in bp. The stats
+    * consumer q56's histograms feed; running the audit is how a stats
+    * pipeline learns where uniform-frequency assumptions break.
+    *
+    * Shape: fact side reduces ONCE to (|A|, ndv_A) — a 1-row broadcast;
+    * per-segment |B| and ndv_B come from one customer aggregate (key is
+    * PK so ndv_B = |B|, still computed honestly as a distinct); actual
+    * sizes from the real key-partitioned join reduced to per-segment
+    * counts. Estimate arithmetic is integral (div), so the audit is
+    * engine-exact. */
+  def q57CardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val factStats = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_a"), countDistinct(col("o_custkey")).as("ndv_a"))
+    val segStats = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_b"), countDistinct(col("c_custkey")).as("ndv_b"))
+    val actual = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("actual_rows"))
+    segStats.crossJoin(broadcast(factStats))
+      .select(col("c_mktsegment").as("seg"), col("n_b"),
+        expr("(n_a * n_b) div greatest(ndv_a, ndv_b)").as("est_rows"))
+      .join(actual, Seq("seg"), "left")
+      .select(col("seg"), col("n_b"), col("est_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
+        expr("(abs(est_rows - coalesce(actual_rows, 0)) * 10000) div greatest(1, coalesce(actual_rows, 0))")
+          .as("err_bp"))
+      .orderBy(col("seg"))
+  }
+
+  val q57Sql: String =
+    """WITH fa AS (
+      |  SELECT count(*) AS n_a, count(DISTINCT o_custkey) AS ndv_a FROM orders),
+      |sb AS (
+      |  SELECT c_mktsegment AS seg, count(*) AS n_b,
+      |    count(DISTINCT c_custkey) AS ndv_b
+      |  FROM customer GROUP BY 1),
+      |act AS (
+      |  SELECT c_mktsegment AS seg, count(*) AS actual_rows
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |est AS (
+      |  SELECT seg, n_b, (n_a * n_b) // greatest(ndv_a, ndv_b) AS est_rows
+      |  FROM sb, fa)
+      |SELECT est.seg, est.n_b, CAST(est.est_rows AS BIGINT) AS est_rows,
+      |  coalesce(act.actual_rows, 0) AS actual_rows,
+      |  CAST((abs(est.est_rows - coalesce(act.actual_rows, 0)) * 10000)
+      |    // greatest(1, coalesce(act.actual_rows, 0)) AS BIGINT) AS err_bp
+      |FROM est LEFT JOIN act ON est.seg = act.seg
+      |ORDER BY est.seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_cardinality_audit" -> (q57CardinalityAudit _),
     "q56_equidepth_hist" -> (q56EquidepthHist _),
     "q55_chi2_assoc" -> (q55Chi2Assoc _),
     "q54_pareto_cross" -> (q54ParetoCross _),
@@ -1991,6 +2047,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q57_cardinality_audit" -> q57Sql,
     "q56_equidepth_hist" -> q56Sql,
     "q55_chi2_assoc" -> q55Sql,
     "q54_pareto_cross" -> q54Sql,

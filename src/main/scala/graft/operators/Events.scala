@@ -1785,7 +1785,62 @@ object Events {
        |  n_cells
        |FROM credit, tot ORDER BY event_type""".stripMargin
 
+  /** c37: seasonality-aware daily anomaly — c12's upgrade for data
+    * with a weekly rhythm (c24 shows this stream has one): a Monday is
+    * judged against OTHER MONDAYS, not the all-days mean that flags
+    * every normal weekend. Baseline per (type, day-of-week) is
+    * LEAVE-ONE-OUT (s′ = s − cnt, k′ = k − 1, ssq′ = ssq − cnt² — a
+    * genuinely extreme day must not vouch for itself by inflating its
+    * own σ), and the test is c12's division/sqrt-free cross-multiplied
+    * form on the deflated moments: (cnt·k′ − s′)² > 4·(k′·ssq′ − s′²),
+    * DECIMAL(38,0) throughout; dows with k′ < 2 can't flag (no
+    * variance estimate from one neighbor). Day-of-week from the
+    * integer epoch day ((day+4) mod 7, epoch day 0 = Thursday — no
+    * locale/WEEKSTART portability risk).
+    *
+    * Shape: one scan → (type, day) map-side reduce; the moment windows
+    * partition by (type, dow) over the reduced frame. */
+  def c37SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val wTD = Window.partitionBy(col("event_type"), col("dow"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+      .withColumn("k1", count(lit(1)).over(wTD) - 1)
+      .withColumn("s1", sum(col("cnt")).over(wTD) - col("cnt"))
+      .withColumn("ssq1",
+        sum(d38c(col("cnt")) * d38c(col("cnt"))).over(wTD) - d38c(col("cnt")) * d38c(col("cnt")))
+      .filter(col("k1") >= 2)
+      .withColumn("dev", d38c(col("cnt")) * d38c(col("k1")) - d38c(col("s1")))
+      .filter(col("dev") * col("dev") >
+        lit(4) * (d38c(col("k1")) * col("ssq1") - d38c(col("s1")) * d38c(col("s1"))))
+      .select(col("event_type"), col("day"), col("dow"), col("cnt"),
+        col("k1").as("peer_days"), col("s1").as("peer_total"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val c37Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+      |m AS (
+      |  SELECT *, count(*) OVER w - 1 AS k1,
+      |    sum(cnt) OVER w - cnt AS s1,
+      |    sum(CAST(cnt AS HUGEINT) * cnt) OVER w - CAST(cnt AS HUGEINT) * cnt AS ssq1
+      |  FROM d WINDOW w AS (PARTITION BY event_type, dow))
+      |SELECT event_type, day, dow, cnt,
+      |  CAST(k1 AS BIGINT) AS peer_days, CAST(s1 AS BIGINT) AS peer_total
+      |FROM m
+      |WHERE k1 >= 2
+      |  AND (CAST(cnt AS HUGEINT) * k1 - s1) * (CAST(cnt AS HUGEINT) * k1 - s1)
+      |    > 4 * (k1 * ssq1 - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c37_seasonal_anomaly" -> (c37SeasonalAnomaly _),
     "c36_decay_attribution" -> (c36DecayAttribution _),
     "c35_daily_autocorr" -> (c35DailyAutocorr _),
     "c34_interval_union" -> (c34IntervalUnion _),
@@ -1824,6 +1879,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c37_seasonal_anomaly" -> c37Sql,
     "c36_decay_attribution" -> c36Sql,
     "c35_daily_autocorr" -> c35Sql,
     "c34_interval_union" -> c34Sql,

@@ -2396,7 +2396,49 @@ object TextOps {
        |ORDER BY score_ppm DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** d86 probe phrases — literal MULTI-TOKEN substrings (the level d83's
+    * token gate can't see: a phrase is invisible to per-token joins). */
+  val ScanPhrases = Seq("merge sort", "hash join", "table scan")
+
+  /** d86: multi-pattern substring scan — contamination/quote probing at
+    * the SUBSTRING level (d20/d47 probe shingle hashes, d83 single
+    * tokens; canary strings, licensed phrases, and eval-set quotes are
+    * PHRASES): for each literal probe phrase, per source: docs
+    * containing it and total occurrence count. Occurrences via the
+    * replace-length identity ((len(text) − len(replace(text, p, '')))
+    * div len(p)) — exact, non-overlapping-left-to-right in BOTH engines,
+    * no regex engine in the hot path at all; one row-local projection
+    * per phrase (the phrase list is literal config, like d83's
+    * lexicon), a23-style stacking, one |sources|×|phrases| reduce.
+    * ONE corpus scan, zero joins. */
+  def d86SubstringScan(spark: SparkSession, dir: String): DataFrame = {
+    val occs = ScanPhrases.map { p =>
+      struct(lit(p).as("phrase"),
+        expr(s"(length(text) - length(replace(text, '$p', ''))) div ${p.length}")
+          .as("n_occ"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(array(occs: _*)).as("s"))
+      .groupBy(col("source"), col("s.phrase").as("phrase"))
+      .agg(countIf(col("s.n_occ") > 0).as("n_docs"),
+        sum(col("s.n_occ")).as("n_occurrences"))
+      .orderBy(col("source"), col("phrase"))
+  }
+
+  val d86Sql: String = {
+    val arms = ScanPhrases.map(p =>
+      s"SELECT source, '$p' AS phrase, " +
+        s"(length(text) - length(replace(text, '$p', ''))) // ${p.length} AS n_occ FROM documents")
+      .mkString(" UNION ALL ")
+    s"""WITH o AS ($arms)
+       |SELECT source, phrase,
+       |  count(CASE WHEN n_occ > 0 THEN 1 END) AS n_docs,
+       |  CAST(sum(n_occ) AS BIGINT) AS n_occurrences
+       |FROM o GROUP BY 1, 2 ORDER BY source, phrase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d86_substring_scan" -> (d86SubstringScan _),
     "d85_bm25_topk" -> (d85Bm25Topk _),
     "d84_dict_code" -> (d84DictCode _),
     "d83_blocklist_gate" -> (d83BlocklistGate _),
@@ -2442,6 +2484,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d86_substring_scan" -> d86Sql,
     "d85_bm25_topk" -> d85Sql,
     "d84_dict_code" -> d84Sql,
     "d83_blocklist_gate" -> d83Sql,

@@ -2831,6 +2831,73 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("c37 seasonal anomaly: leave-one-out same-dow rule replayed") {
+    val got = Events.c37SeasonalAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val byDay = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, vs) => k -> BigInt(vs.length) }
+    val flagged = byDay.keys.groupBy { case (t, d) => (t, (d + 4) % 7) }
+      .flatMap { case ((t, dow), ks) =>
+        ks.flatMap { case (_, d) =>
+          val cnt = byDay((t, d))
+          // ks is a Set — go through Seq BEFORE mapping to counts, or
+          // equal peer counts collapse and deflate the moments
+          val peers = ks.toSeq.filter(_._2 != d).map(k => byDay(k))
+          val k1 = BigInt(peers.length); val s1 = peers.sum
+          val ssq1 = peers.map(x => x * x).sum
+          val dev = cnt * k1 - s1
+          if (k1 >= 2 && dev * dev > 4 * (k1 * ssq1 - s1 * s1))
+            Some((t, d) -> (dow, cnt.toLong, k1.toLong, s1.toLong))
+          else None
+        }
+      }
+    assert(got == flagged, s"got ${got.keySet} want ${flagged.keySet}")
+  }
+
+  test("q57 cardinality audit: estimate formula and truth replayed") {
+    val got = Analytics.q57CardinalityAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val orders = Tables.orders(spark, sfDir).select("o_custkey").collect().map(_.getLong(0))
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nA = orders.length.toLong; val ndvA = orders.distinct.length.toLong
+    val segOf = cust.toMap
+    assert(got.keySet == cust.map(_._2).toSet)
+    cust.groupBy(_._2).foreach { case (seg, cs) =>
+      val nB = cs.length.toLong
+      val est = nA * nB / math.max(ndvA, nB)
+      val actual = orders.count(k => segOf.get(k).contains(seg)).toLong
+      val err = math.abs(est - actual) * 10000 / math.max(1, actual)
+      assert(got(seg) == ((nB, est, actual, err)), s"$seg: ${got(seg)}")
+    }
+  }
+
+  test("d86 substring scan: replace-length occurrence counts replayed") {
+    val got = TextOps.d86SubstringScan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def occ(text: String, p: String): Long = {
+      var n = 0L; var i = text.indexOf(p)
+      while (i >= 0) { n += 1; i = text.indexOf(p, i + p.length) }
+      n
+    }
+    val want = (for {
+      p <- TextOps.ScanPhrases
+      (src, ds) <- docs.groupBy(_._1)
+    } yield {
+      val os = ds.map(d => occ(d._2, p))
+      (src, p) -> (os.count(_ > 0).toLong, os.sum)
+    }).toMap
+    assert(got == want)
+    // phrases must actually occur somewhere for the probe to be exercised
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("a37 erasure plan: partition verdicts replayed from raw orders") {
     val got = Etl.a37ErasurePlan(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4),
