@@ -1941,12 +1941,13 @@ object Analytics {
     * consumer q56's histograms feed; running the audit is how a stats
     * pipeline learns where uniform-frequency assumptions break.
     *
-    * Shape: fact side reduces ONCE to (|A|, ndv_A) — a 1-row broadcast;
-    * per-segment |B| and ndv_B come from one customer aggregate (key is
-    * PK so ndv_B = |B|, still computed honestly as a distinct); actual
-    * sizes from the real key-partitioned join reduced to per-segment
-    * counts. Estimate arithmetic is integral (div), so the audit is
-    * engine-exact. */
+    * Shape: the stats passes (fact (|A|, ndv_A) 1-row broadcast,
+    * per-segment (|B|, ndv_B)) are separate scans from the truth join
+    * BY DESIGN — estimates must come from base-table statistics, never
+    * from the join they predict (circular), and in production they are
+    * catalog reads, not scans at all; the truth side is one real
+    * key-partitioned join reduced to per-segment counts. Estimate
+    * arithmetic is integral (div), so the audit is engine-exact. */
   def q57CardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
     val factStats = Tables.orders(spark, dir)
       .agg(count(lit(1)).as("n_a"), countDistinct(col("o_custkey")).as("ndv_a"))
