@@ -2437,7 +2437,77 @@ object TextOps {
        |FROM o GROUP BY 1, 2 ORDER BY source, phrase""".stripMargin
   }
 
+  /** d87: per-source quality-quantile cutoffs — the "keep the top 70%
+    * of each source" curation gate (thresholding per SOURCE, not
+    * globally, is what stops one clean source's scores from drowning a
+    * noisy one — the d30/d21 fairness discipline applied to quality):
+    * signal = stopword density in exact bp (the C4/Gopher fluency
+    * proxy d3 profiles), cutoff = the exact discrete p30 per source
+    * via the q46/q50 crossing pattern over the VALUE-GROUPED density
+    * frame, keep = density ≥ cutoff (ties keep — deterministic). Per
+    * source: cutoff, volumes, exact kept share in bp (> 7000 only
+    * through ties at the cutoff).
+    *
+    * Shape: ONE corpus scan → row-local density → (source, density)
+    * value-grouped reduce; windows and the min(struct) crossing pick
+    * run on the reduced frame; every per-source output value (total,
+    * kept) rides the crossing row, so there is no second aggregate
+    * branch (and no second scan). */
+  def d87QualityCutoffs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val stops = Seq("the", "a", "of", "and", "to", "in").map(lit(_))
+    val stopCnt = size(filter(toks, x => array_contains(array(stops: _*), x)))
+    val byVal = Tables.documents(spark, dir)
+      .select(col("source"), stopCnt.as("stop_cnt"), size(toks).as("n_tokens"))
+      .select(col("source"),
+        expr("(stop_cnt * 10000) div greatest(1, n_tokens)").as("stop_bp"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("stop_bp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    byVal
+      .groupBy(col("source"), col("stop_bp"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .filter(col("cum") * 10 >= col("total") * 3)
+      .groupBy(col("source"))
+      .agg(min(struct(col("stop_bp"), col("cum"), col("cnt"), col("total"))).as("x"))
+      .select(col("source"), col("x.stop_bp").as("cutoff_bp"),
+        col("x.total").as("n_docs"),
+        (col("x.total") - col("x.cum") + col("x.cnt")).as("n_kept"),
+        expr("((x.total - x.cum + x.cnt) * 10000) div x.total").as("kept_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d87Sql: String =
+    """WITH t AS (
+      |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |d AS (
+      |  SELECT source,
+      |    (len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) * 10000)
+      |      // greatest(1, len(toks)) AS stop_bp
+      |  FROM t),
+      |v AS (SELECT source, stop_bp, count(*) AS cnt FROM d GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, stop_bp, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY stop_bp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS total
+      |  FROM v),
+      |x AS (
+      |  SELECT source, stop_bp, cum, cnt, total,
+      |    row_number() OVER (PARTITION BY source ORDER BY stop_bp) AS pick
+      |  FROM c WHERE cum * 10 >= total * 3)
+      |SELECT source, CAST(stop_bp AS BIGINT) AS cutoff_bp,
+      |  CAST(total AS BIGINT) AS n_docs,
+      |  CAST(total - cum + cnt AS BIGINT) AS n_kept,
+      |  CAST(((total - cum + cnt) * 10000) // total AS BIGINT) AS kept_bp
+      |FROM x WHERE pick = 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d87_quality_cutoffs" -> (d87QualityCutoffs _),
     "d86_substring_scan" -> (d86SubstringScan _),
     "d85_bm25_topk" -> (d85Bm25Topk _),
     "d84_dict_code" -> (d84DictCode _),
@@ -2484,6 +2554,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d87_quality_cutoffs" -> d87Sql,
     "d86_substring_scan" -> d86Sql,
     "d85_bm25_topk" -> d85Sql,
     "d84_dict_code" -> d84Sql,

@@ -2831,6 +2831,30 @@ class OperatorSpec extends GraftSpec {
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
   }
 
+  test("d87 quality cutoffs: discrete p30 crossing replayed; keep >= 70%") {
+    val got = TextOps.d87QualityCutoffs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val stops = Set("the", "a", "of", "and", "to", "in")
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getString(0), toks.count(stops) * 10000L / math.max(1, toks.length))
+      }
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val vals = ds.map(_._2).sorted
+      val total = vals.length.toLong
+      // discrete p30: smallest density whose cumulative count crosses 30%
+      val idx = vals.indices.find(i => (i + 1) * 10L >= total * 3).get
+      val cutoff = vals(idx)
+      val kept = vals.count(_ >= cutoff).toLong
+      val want = (cutoff, total, kept, kept * 10000 / total)
+      assert(got(src) == want, s"$src: ${got(src)} != $want")
+      assert(kept * 10 >= total * 7 - 10, s"$src keeps <70% minus tie slack")
+    }
+  }
+
   test("c37 seasonal anomaly: leave-one-out same-dow rule replayed") {
     val got = Events.c37SeasonalAnomaly(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
