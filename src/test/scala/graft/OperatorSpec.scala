@@ -38,6 +38,8 @@ class OperatorSpec extends GraftSpec {
       "a31_zone_map_audit",    // 8-row probe set × reduced zone-map frame
       "c31_active_users",      // 1-row max-day broadcast (span clip)
       "a36_incremental_agg",   // 1-row watermark-scalar broadcast
+      "d85_bm25_topk",         // 1-row corpus-scalars (T, D) broadcast
+      "q57_cardinality_audit", // 1-row fact-stats (|A|, ndv_A) broadcast
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search",   // same broadcast-query shape as d9
       "d65_ann_recall")        // composes d9+d10, inherits their shape
