@@ -688,9 +688,14 @@ object DedupOps {
     * full-prefix window). ONE exchange on doc_id serves the gram
     * windows, the count, and the selection sort. */
   def sharedWinnowFps(spark: SparkSession, dir: String): DataFrame =
-    shared(spark, dir, "winnow") {
+    shared(spark, dir, "winnow")(winnowFpsOf(Tables.documents(spark, dir)))
+
+  /** The winnow pipeline over ANY (doc_id, text) frame (property tests
+    * drive it with planted shared runs to check the detection
+    * guarantee). */
+  def winnowFpsOf(docs: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(spark, dir)
+      val tok = docs
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val grams = tok.select(col("doc_id"), (col("p") + 1).as("pos"),

@@ -272,4 +272,46 @@ class PropertySpec extends GraftSpec {
     val plan = TextOps.d78HeavyHitters(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "candidate verify join must broadcast the bounded candidate set")
   }
+
+  test("winnowing guarantee: any shared W+K-1-token run yields a shared fingerprint") {
+    import spark.implicits._
+    // random docs over a small alphabet, with a planted shared run of
+    // EXACTLY WinnowW + WinnowK - 1 tokens (the guarantee's minimum)
+    // spliced into each pair at independent random positions — the
+    // detection must survive arbitrary repositioning, that's the point
+    // of winnowing over head-anchored hashing
+    val alpha = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val runLen = DedupOps.WinnowW + DedupOps.WinnowK - 1
+    val gen = for {
+      run <- Gen.listOfN(runLen, Gen.oneOf(alpha))
+      bgA <- Gen.listOfN(30, Gen.oneOf(alpha))
+      bgB <- Gen.listOfN(30, Gen.oneOf(alpha))
+      posA <- Gen.chooseNum(0, 30)
+      posB <- Gen.chooseNum(0, 30)
+    } yield (run, bgA, bgB, posA, posB)
+    val pairs = (1 to 20).map { i =>
+      val (run, bgA, bgB, posA, posB) = sample(gen, 1000L + i)
+      val docA = (bgA.take(posA) ++ run ++ bgA.drop(posA)).mkString(" ")
+      val docB = (bgB.take(posB) ++ run ++ bgB.drop(posB)).mkString(" ")
+      (2L * i, docA, 2L * i + 1, docB)
+    }
+    val docs = pairs.flatMap { case (ia, ta, ib, tb) => Seq((ia, ta), (ib, tb)) }
+      .toDF("doc_id", "text")
+    val fps = DedupOps.winnowFpsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    pairs.foreach { case (ia, _, ib, _) =>
+      assert((fps(ia) & fps(ib)).nonEmpty,
+        s"pair ($ia,$ib): shared $runLen-token run produced no shared fingerprint")
+    }
+    // density: the selection never exceeds the window-start count
+    val counts = DedupOps.winnowFpsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.length.toLong }
+    val grams = docs.collect().map(r =>
+      r.getLong(0) -> (r.getString(1).split(" ").length - DedupOps.WinnowK + 1).toLong).toMap
+    counts.foreach { case (id, nFp) =>
+      assert(nFp <= math.max(1L, grams(id) - DedupOps.WinnowW + 1))
+    }
+  }
 }
