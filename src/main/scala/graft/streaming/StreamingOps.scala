@@ -863,6 +863,62 @@ object StreamingOps {
       .select(expr("unix_micros(w.start) div 86400000000").as("day"), col("dau"))
   }
 
+  case class GapDay(event_type: String, day: Long, n_events: Long,
+                    is_gap: Boolean, filled_n: Long)
+  case class GapFillState(open: Map[Long, Long], lastClosed: Long, lastN: Long)
+
+  /** Streaming calendar gap-fill — c33's live twin (Events.c33GapFill):
+    * the dense daily series with zero rows for event-less days,
+    * maintained incrementally. Days close in ascending order when the
+    * WATERMARK passes their end; a closed day with no events emits the
+    * ZERO row batch c33 would synthesize (is_gap=true, forward-filled
+    * count) — the one row shape a downstream dashboard or c35-style
+    * autocorrelation needs but no event ever carries. Interior-only
+    * contract: a zero day closes only when a LATER event day is already
+    * open (so every emitted row lies inside c33's observed span and the
+    * closed prefix equals the batch frame by construction — spec-proven
+    * across micro-batch splits); trailing silence is [[silenceStream]]'s
+    * job, not a gap row. State per type: the open day-count map (bounded
+    * by the watermark horizon) + 2 longs. */
+  def gapFillStream(spark: SparkSession, events: Dataset[EventRow],
+                    watermarkDelay: String = "1 hour"): Dataset[GapDay] = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[GapFillState]) =>
+          val st0 = state.getOption.getOrElse(GapFillState(Map.empty, Long.MinValue, 0L))
+          var open = st0.open
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (d > st0.lastClosed) open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var lastClosed = st0.lastClosed
+          var lastN = st0.lastN
+          val out = Seq.newBuilder[GapDay]
+          if (open.nonEmpty) {
+            val maxOpen = open.keys.max
+            var d = if (lastClosed == Long.MinValue) open.keys.min else lastClosed + 1
+            while (d <= maxOpen && (d + 1) * DayMs <= wm) {
+              val cnt = open.getOrElse(d, 0L)
+              val gap = !open.contains(d)
+              if (!gap) lastN = cnt
+              out += GapDay(typ, d, cnt, gap, lastN)
+              open -= d
+              lastClosed = d
+              d += 1
+            }
+          }
+          state.update(GapFillState(open, lastClosed, lastN))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((open.keys.min + 1) * DayMs, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** One silence/recovery alert. `kind` ∈ {"silent", "resumed"};
     * downtime_ms is the crossed threshold for "silent" (actual outage
     * length unknown at detection time) and the measured last-seen →

@@ -1127,6 +1127,55 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("gapFillStream: closed prefix == batch gap-fill rows across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.gapFillStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("gapfill_test").outputMode("append").start()
+    val day0 = 19800L
+    def ev(id: Long, day: Long, typ: String, k: Int = 1) = StreamingOps.EventRow(
+      id, new java.sql.Timestamp(day * 86400000L + 12 * 3600000L + k * 60000L),
+      id % 3, typ, 1.0)
+    try {
+      // type A: days 0,1,4 (gap 2-3); type B: days 0,5 (gap 1-4) — split
+      // so a gap's endpoints land in different micro-batches
+      var id = 0L
+      def add(es: Seq[StreamingOps.EventRow]): Unit = { mem.addData(es: _*); q.processAllAvailable() }
+      add(Seq(ev({ id += 1; id }, day0, "A"), ev({ id += 1; id }, day0, "A", 2),
+        ev({ id += 1; id }, day0 + 1, "A"), ev({ id += 1; id }, day0, "B")))
+      add(Seq(ev({ id += 1; id }, day0 + 4, "A")))
+      add(Seq(ev({ id += 1; id }, day0 + 5, "B"), ev({ id += 1; id }, day0 + 5, "B", 2)))
+      // watermark driver: push far past day0+5 end so all interior days close
+      add(Seq(ev({ id += 1; id }, day0 + 9, "A")))
+      add(Seq(ev({ id += 1; id }, day0 + 10, "A")))
+      val got = spark.sql("select event_type, day, n_events, is_gap, filled_n from gapfill_test")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+      // batch replay: interior spine with zeros + ffill, closed prefix only
+      // (final watermark = last event ts - 1h => days through day0+8 closed)
+      val expect = Map(
+        ("A", day0) -> ((2L, false, 2L)), ("A", day0 + 1) -> ((1L, false, 1L)),
+        ("A", day0 + 2) -> ((0L, true, 1L)), ("A", day0 + 3) -> ((0L, true, 1L)),
+        ("A", day0 + 4) -> ((1L, false, 1L)),
+        ("A", day0 + 5) -> ((0L, true, 1L)), ("A", day0 + 6) -> ((0L, true, 1L)),
+        ("A", day0 + 7) -> ((0L, true, 1L)), ("A", day0 + 8) -> ((0L, true, 1L)),
+        // the final no-data micro-batch (watermark = day0+10 11:11) closes
+        // the observed day0+9; day0+10 stays open past the last watermark
+        ("A", day0 + 9) -> ((1L, false, 1L)),
+        ("B", day0) -> ((1L, false, 1L)),
+        ("B", day0 + 1) -> ((0L, true, 1L)), ("B", day0 + 2) -> ((0L, true, 1L)),
+        ("B", day0 + 3) -> ((0L, true, 1L)), ("B", day0 + 4) -> ((0L, true, 1L)),
+        ("B", day0 + 5) -> ((2L, false, 2L)))
+      assert(got == expect, s"got ${got.toSeq.sortBy(_._1)}")
+      // every emitted row must match what batch c33 computes on the same
+      // rows: zero days carry the last observed count, observed days their own
+      got.foreach { case ((_, _), (n, gap, filled)) =>
+        assert(if (gap) n == 0L else filled == n)
+      }
+    } finally q.stop()
+  }
+
   test("silenceStream: one silent alert per outage, resumed with measured downtime") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
