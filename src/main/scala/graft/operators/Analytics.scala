@@ -97,8 +97,10 @@ object Analytics {
       |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Snowflake 6-way join + agg (local supplier volume). Dimensions
-    * (supplier/nation/region) broadcast; only facts shuffle. */
+  /** Snowflake 6-way join + agg (local supplier volume). Only the
+    * SF-invariant dims (nation 25 rows, region 5) are hinted; supplier
+    * scales with SF (~1 B rows at 100 TB) and stays un-hinted — AQE
+    * broadcasts it at test SF, SMJ at scale. */
   def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -109,7 +111,7 @@ object Analytics {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -636,15 +638,17 @@ object Analytics {
     dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"), 4))
 
   /** q28: promo revenue share (TPC-H Q14) — conditional fraction of one
-    * month's revenue from PROMO parts. The part dim broadcasts; both
-    * sums are exact DECIMAL and only the final share division runs in
-    * double, so the percentage is bit-stable at any parallelism. The
-    * shipdate window pushes into the lineitem scan. */
+    * month's revenue from PROMO parts. The part side scales with SF
+    * (200k rows/SF, ~20 B at 100 TB) so it is NOT hinted — AQE
+    * broadcasts it at test SF where it fits the threshold, SMJ at
+    * scale. Both sums are exact DECIMAL and only the final share
+    * division runs in double, so the percentage is bit-stable at any
+    * parallelism. The shipdate window pushes into the lineitem scan. */
   def q28PromoShare(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO", revenue)).cast("double") * 100 /
           sum(revenue).cast("double")).as("promo_share_pct"),
@@ -663,14 +667,15 @@ object Analytics {
 
   /** q29: bilateral shipping volume (TPC-H Q7) — revenue between every
     * (supplier nation, customer nation) pair per ship year. Snowflake
-    * shape: the supplier/customer/nation dims broadcast into the fact;
-    * the two-year window pushes to the lineitem scan; one exchange for
-    * the (pair, year) aggregate. */
+    * shape: only the 25-row nation dim is hinted; supplier and customer
+    * both scale with SF and stay un-hinted (AQE broadcasts at test SF,
+    * SMJ at scale); the two-year window pushes to the lineitem scan;
+    * one exchange for the (pair, year) aggregate. */
   def q29NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-    l.join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+    l.join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir).select(
         col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("sn_key"))
@@ -703,16 +708,18 @@ object Analytics {
   /** q30: disjunctive-predicate revenue (TPC-H Q19) — an OR of three
     * (brand, size-range, quantity-range) conjunct branches over the
     * part join. The part-side conjuncts (brand ∈ {...}, size bounds)
-    * prune the broadcast build side at the scan; the quantity ranges
-    * evaluate in the join filter — the pattern that turns a "three
-    * scans, three unions" naive form into ONE pass over lineitem. */
+    * prune the build side at the scan; the quantity ranges evaluate in
+    * the join filter — the pattern that turns a "three scans, three
+    * unions" naive form into ONE pass over lineitem. part scales with
+    * SF, so the join carries no hint (AQE picks broadcast at test SF,
+    * SMJ at scale). */
   def q30Disjunct(spark: SparkSession, dir: String): DataFrame = {
     val qty = col("l_quantity")
     val branch1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && qty.between(1, 11)
     val branch2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && qty.between(10, 20)
     val branch3 = col("p_brand") === "Brand#7" && col("p_size").between(1, 15) && qty.between(20, 30)
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2 || branch3)
       .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
   }
@@ -810,7 +817,8 @@ object Analytics {
       .agg(sum(revenue).as("rev_dec"))
       .withColumn("max_rev", max(col("rev_dec")).over(Window.partitionBy()))
       .filter(col("rev_dec") === col("max_rev"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      // supplier scales with SF — no hint; AQE broadcasts it at test SF
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_rev"))
       .orderBy(col("s_suppkey"))
 
@@ -829,17 +837,20 @@ object Analytics {
 
   /** q34: product-line profit by supplier nation and order year (TPC-H
     * Q9 pattern, minus partsupp which this schema lacks). The part
-    * filter (name contains 'gear') prunes the broadcast build side to
-    * keys only BEFORE the fact join — the scan-side projection is one
-    * column; supplier/nation broadcast; the orders join shuffles on the
-    * order key; one exchange for the (nation, year) aggregate. */
+    * filter (name contains 'gear') prunes the build side to keys only
+    * BEFORE the fact join — the scan-side projection is one column;
+    * part and supplier both scale with SF so neither is hinted (the
+    * filtered key set shrinks by a constant factor only — AQE
+    * broadcasts at test SF, SMJ at scale); nation (25 rows) broadcasts;
+    * the orders join shuffles on the order key; one exchange for the
+    * (nation, year) aggregate. */
   def q34ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
     val gearParts = Tables.part(spark, dir)
       .filter(col("p_name").contains("gear"))
       .select(col("p_partkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(gearParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -862,9 +873,10 @@ object Analytics {
     * of ECONOMY-part revenue sold to ASIA customers, per order year.
     * Two-level conditional aggregation: both the conditional and total
     * sums stay DECIMAL and only the final share divides in double.
-    * Dims (part keys, supplier+nation, customer-region nation keys)
-    * broadcast; customer is fact-scaled and shuffles (q29 discipline);
-    * the two-year window pushes to the orders scan. */
+    * Only SF-invariant sides are hinted (nation selects, the 25-row
+    * ASIA nation-key set); part keys, supplier and customer all scale
+    * with SF and shuffle un-hinted (q29 discipline — AQE broadcasts
+    * them at test SF); the two-year window pushes to the orders scan. */
   def q35MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val econParts = Tables.part(spark, dir)
       .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
@@ -876,8 +888,8 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(econParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir).select(
         col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("sn_key"))
@@ -917,10 +929,12 @@ object Analytics {
     * partsupp — supply relationships derive from lineitem). Counts
     * DISTINCT suppliers per (brand, type, size) for selected sizes,
     * excluding flagged suppliers (negative balance — the schema's
-    * stand-in for Q16's complaints filter) via a broadcast ANTI join
-    * on the pre-filtered tiny set. The part predicate prunes the
-    * broadcast build side; count_distinct runs with partial_merge
-    * two-phase aggregation — no row data concentrates on one node. */
+    * stand-in for Q16's complaints filter) via an ANTI join on the
+    * pre-filtered set. Both part and the flagged-supplier set scale
+    * with SF (the filters shrink them by constant factors only), so
+    * neither join is hinted — AQE broadcasts at test SF, SMJ at scale;
+    * count_distinct runs with partial_merge two-phase aggregation —
+    * no row data concentrates on one node. */
   def q36SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
       .filter(col("p_size").isin(1, 5, 9) && col("p_brand") =!= "Brand#9")
@@ -928,8 +942,8 @@ object Analytics {
     val flagged = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -971,7 +985,8 @@ object Analytics {
       .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      // supplier scales with SF — un-hinted; AQE picks the strategy
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(10)
@@ -1002,15 +1017,17 @@ object Analytics {
     * over that reduced frame (only reduced rows re-exchange, never the
     * corpus); the threshold compares qty*5 > total in exact DECIMAL
     * (division-free — the one double division produces the reported
-    * share only). Dims broadcast after the tiny survivor filter. */
+    * share only). The part/supplier enrichment joins are un-hinted —
+    * both dims scale with SF (~20 B / ~1 B rows at 100 TB); AQE
+    * broadcasts them at test SF, SMJ at scale. */
   def q38PartShare(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
     ps.withColumn("tot_dec", sum(col("qty_dec")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("qty_dec") * 5 > col("tot_dec"))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
         col("qty_dec").cast("double").as("supp_qty"),
         (col("qty_dec").cast("double") / col("tot_dec").cast("double")).as("share"))
@@ -1161,8 +1178,10 @@ object Analytics {
     * exactly what Q2 needs at scale — never a per-row subquery. All
     * comparisons in DECIMAL: min/equality on l_extendedprice are exact,
     * so the argmin can't flip with parallelism (an avg-based cost would
-    * tie-break on float dust). Region suppliers broadcast (dim chain
-    * region→nation→supplier prunes before the fact join). */
+    * tie-break on float dust). The dim chain region→nation prunes the
+    * supplier side before the fact join, but the pruned supplier frame
+    * still scales with SF (a region keeps ~1/5 of ~1 B rows at 100 TB)
+    * so the fact join carries no hint — AQE broadcasts at test SF. */
   def q42MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val euSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -1170,7 +1189,7 @@ object Analytics {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(euSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"))
       .agg(min(col("l_extendedprice")).as("best_price_dec"))
       .withColumn("part_min",
@@ -1211,7 +1230,8 @@ object Analytics {
     * ONE fact scan; the per-part total and supplier count that Q20
     * re-derives in a correlated subquery are windows over that
     * already-reduced frame (never a second lineitem scan + join-back).
-    * Supplier→nation enrichment is a broadcast dim chain. */
+    * Only the 25-row nation dim is hinted in the enrichment chain;
+    * supplier scales with SF and joins un-hinted. */
   def q43DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey"), col("l_partkey"))
@@ -1226,7 +1246,7 @@ object Analytics {
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
-    dom.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    dom.join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_dominated_parts"))
       .orderBy(col("s_suppkey"))
   }
