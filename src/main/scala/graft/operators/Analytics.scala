@@ -1979,8 +1979,12 @@ object Analytics {
       .groupBy(col("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("actual_rows"))
     segStats.crossJoin(broadcast(factStats))
+      // n_a·n_b passes 2^63 at the 100 TB design point (|orders|·
+      // per-segment |customer| ≈ 1.5e11 × 2e8) — promote one side to
+      // DECIMAL(38,0) before the multiply (the q53/q55 discipline);
+      // the integral div brings the estimate back to BIGINT range
       .select(col("c_mktsegment").as("seg"), col("n_b"),
-        expr("(n_a * n_b) div greatest(ndv_a, ndv_b)").as("est_rows"))
+        expr("(n_a * cast(n_b as decimal(38,0))) div greatest(ndv_a, ndv_b)").as("est_rows"))
       .join(actual, Seq("seg"), "left")
       .select(col("seg"), col("n_b"), col("est_rows"),
         coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
@@ -2000,7 +2004,7 @@ object Analytics {
       |  SELECT c_mktsegment AS seg, count(*) AS actual_rows
       |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
       |est AS (
-      |  SELECT seg, n_b, (n_a * n_b) // greatest(ndv_a, ndv_b) AS est_rows
+      |  SELECT seg, n_b, (n_a * CAST(n_b AS HUGEINT)) // greatest(ndv_a, ndv_b) AS est_rows
       |  FROM sb, fa)
       |SELECT est.seg, est.n_b, CAST(est.est_rows AS BIGINT) AS est_rows,
       |  coalesce(act.actual_rows, 0) AS actual_rows,

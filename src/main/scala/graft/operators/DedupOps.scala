@@ -670,6 +670,10 @@ object DedupOps {
     * storage shrinks ~2/(W+1) of the gram stream. */
   val WinnowK = 3
   val WinnowW = 4
+  /** K-token gram in DuckDB list terms, derived from [[WinnowK]] like
+    * the plan's lead composition (t[i] is 1-based list indexing). */
+  private val WinnowGramSql: String =
+    (0 until WinnowK).map(i => if (i == 0) "t[i]" else s"t[i+$i]").mkString(" || ' ' || ")
   /** d82 candidate discipline: fingerprints seen in [2, cap] docs only
     * (singletons pair with nothing; boilerplate prints pair with
     * everything — the d60 rare-shingle rule), pairs must share ≥ 2. */
@@ -698,12 +702,20 @@ object DedupOps {
       val tok = docs
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val grams = tok.select(col("doc_id"), (col("p") + 1).as("pos"),
-          lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"),
-          col("tok"))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
+      // gram = WinnowK consecutive tokens, composed from leads 1..K−1
+      // DERIVED from [[WinnowK]] (so the ≥ W+K−1 guarantee really is
+      // parametric — changing WinnowK changes the grams here AND in the
+      // generated oracle SQL below); all leads share one window spec,
+      // so Spark plans a single Window node
+      val withLeads = (1 until WinnowK).foldLeft(
+          tok.withColumn("pos", (col("p") + 1).cast("long"))) {
+        (df, i) => df.withColumn(s"t$i", lead(col("tok"), i).over(w))
+      }
+      val gramCols = col("tok") +: (1 until WinnowK).map(i => col(s"t$i"))
+      val grams = withLeads
+        .filter(if (WinnowK > 1) col(s"t${WinnowK - 1}").isNotNull else lit(true))
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", gramCols: _*)).as("h"))
       val wDoc = Window.partitionBy(col("doc_id"))
       val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, WinnowW - 1)
@@ -736,11 +748,11 @@ object DedupOps {
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
        |g AS (
-       |  SELECT doc_id, len(t) - 2 AS n,
-       |    unnest(range(1, len(t) - 1)) AS pos,
-       |    unnest(list_transform(range(1, len(t) - 1),
-       |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS h
-       |  FROM toks WHERE len(t) >= 3),
+       |  SELECT doc_id, len(t) - ${WinnowK - 1} AS n,
+       |    unnest(range(1, len(t) - ${WinnowK - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(t) - ${WinnowK - 2}),
+       |      i -> md5($WinnowGramSql))) AS h
+       |  FROM toks WHERE len(t) >= $WinnowK),
        |s AS (
        |  SELECT doc_id, n, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS sel
@@ -785,11 +797,11 @@ object DedupOps {
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
        |g AS (
-       |  SELECT doc_id, len(t) - 2 AS n,
-       |    unnest(range(1, len(t) - 1)) AS pos,
-       |    unnest(list_transform(range(1, len(t) - 1),
-       |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS h
-       |  FROM toks WHERE len(t) >= 3),
+       |  SELECT doc_id, len(t) - ${WinnowK - 1} AS n,
+       |    unnest(range(1, len(t) - ${WinnowK - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(t) - ${WinnowK - 2}),
+       |      i -> md5($WinnowGramSql))) AS h
+       |  FROM toks WHERE len(t) >= $WinnowK),
        |s AS (
        |  SELECT doc_id, n, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS sel

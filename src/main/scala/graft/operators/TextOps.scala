@@ -2198,14 +2198,22 @@ object TextOps {
     * regex alternation over megabyte rows, and never a corpus-keyed
     * dictionary join — the lexicon is data-independent, which is what
     * licenses the broadcast d26/d63 forbid for corpus vocabularies).
-    * Every doc keeps ≥1 token row, so the per-doc reduce sees zero-hit
-    * docs without a second scan; per-source report is a second reduce
-    * of the |docs| frame. */
+    * Every doc keeps ≥1 token row — GUARANTEED by the sentinel pad
+    * below, not assumed of the corpus: a doc whose text tokenizes to
+    * zero tokens (empty/whitespace-only) explodes one "" row, which
+    * matches no lexicon term, so it lands in n_docs and kept_bp as the
+    * zero-hit keep it is instead of silently vanishing (plain explode
+    * drops empty arrays in both engines — the oracle could never catch
+    * the loss). The per-doc reduce then sees zero-hit docs without a
+    * second scan; per-source report is a second reduce of the |docs|
+    * frame. */
   def d83BlocklistGate(spark: SparkSession, dir: String): DataFrame = {
     val lex = HardTerms.map((_, "hard")) ++ SoftTerms.map((_, "soft"))
     val lexDf = spark.createDataFrame(lex).toDF("tok", "tier")
+    val toks = tokens(col("text"))
     val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        explode(when(size(toks) === 0, array(lit(""))).otherwise(toks)).as("tok"))
       .join(broadcast(lexDf), Seq("tok"), "left")
       .groupBy(col("doc_id"), col("source"))
       .agg(countIf(col("tier") === "hard").as("hard_hits"),
@@ -2234,7 +2242,9 @@ object TextOps {
     s"""WITH lex(tok, tier) AS (VALUES $vals),
        |t AS (
        |  SELECT doc_id, source,
-       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |    unnest(CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+       |           THEN ['']
+       |           ELSE list_filter(string_split(text, ' '), x -> x <> '') END) AS tok
        |  FROM documents),
        |pd AS (
        |  SELECT doc_id, source,
