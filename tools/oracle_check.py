@@ -2,7 +2,13 @@
 """Local replica of the driver's DuckDB correctness gate.
 
 Usage:
-  python3 tools/oracle_check.py <verify_out_dir> [sf_dir] [name ...]
+  python3 tools/oracle_check.py [--json <summary_path>] <verify_out_dir> [sf_dir] [name ...]
+
+--json writes a machine-readable summary ({"sf_dir", "total", "passed",
+"queries": {name: "pass" | "<failure reason>"}}) — the closing
+discipline writes it to bench_results/correctness_rN_closing.json so a
+round's hard correctness signal survives even if the driver-side
+artifact ships empty (the r8 lesson: CORRECTNESS_r08.json was {}).
 
 1. graft.Verify has already dumped each SparkEntry query to
    <verify_out_dir>/<name>/ (parquet) plus oracle_sql.json.
@@ -54,9 +60,14 @@ def cells_equal(a, b):
 
 
 def main():
-    out_dir = Path(sys.argv[1])
-    sf_dir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/root/testdata/sf0.01")
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = Path(argv[1])
+        argv = argv[2:]
+    out_dir = Path(argv[0])
+    sf_dir = Path(argv[1]) if len(argv) > 1 else Path("/root/testdata/sf0.01")
+    only = set(argv[2:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -106,6 +117,17 @@ def main():
             print(f"ok   {name} ({len(s)} rows)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} pass")
+    if json_out is not None:
+        failed = dict(failures)
+        summary = {
+            "sf_dir": str(sf_dir),
+            "total": len(names),
+            "passed": len(names) - len(failures),
+            "queries": {n: failed.get(n, "pass") for n in names},
+        }
+        json_out.parent.mkdir(parents=True, exist_ok=True)
+        json_out.write_text(json.dumps(summary, indent=1, sort_keys=True) + "\n")
+        print(f"summary -> {json_out}")
     if failures:
         sys.exit(1)
 
