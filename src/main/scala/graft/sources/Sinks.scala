@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   *    ties (and `orderCols = Nil`) resolve to the UPDATES side — the
   *    "WHEN MATCHED THEN UPDATE" default.
   *
-  * Durability: merged output is written to `<target>.tmp-<token>` then
-  * swapped via rename — atomic on local/HDFS filesystems, one
-  * non-atomic window between the two renames (same contract as
-  * compactStream, documented there). On object stores or with
-  * concurrent readers, swap the rename for a table format with atomic
-  * commit (Delta/Iceberg); the merge plan is the seam and is identical.
+  * Durability is delegated to a pluggable [[TableFormat]]: the default
+  * [[RenameTableFormat]] keeps the original tmp+rename swap (atomic on
+  * local/HDFS, one non-atomic crash window between the two renames,
+  * recovered on the next read); [[CommitLogTableFormat]] is the
+  * object-store-safe log-append protocol with NO window — pass it for
+  * concurrent readers or rename-less stores. The merge plan is
+  * format-independent.
   *
   * Idempotence: re-running the SAME merge is a fixed point — latest-
   * wins over (target ∪ updates) with updates-preference is stable once
@@ -55,36 +56,22 @@ object Sinks {
       .drop("__rn", "__pri")
   }
 
-  /** MERGE `updates` into the parquet table at `targetDir` in place.
-    * Creates the table if absent. `token` names the tmp/backup dirs so
+  /** MERGE `updates` into the table at `targetDir` in place. Creates
+    * the table if absent. `token` names the commit attempt so
     * concurrent merges to DIFFERENT tables never collide (concurrent
-    * merges to the same table are the caller's lock to take, exactly
-    * as with a table format's optimistic commit). */
+    * merges to the same table are the caller's lock to take — the
+    * format's optimistic commit detects a violated lock). Crash
+    * recovery and atomic visibility are the format's contract
+    * ([[TableFormat]]). */
   def mergeByKey(spark: SparkSession, targetDir: String, updates: DataFrame,
                  keyCols: Seq[String], orderCols: Seq[String] = Nil,
-                 token: String = "merge"): Unit = {
-    val snap = new Path(targetDir)
-    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"$targetDir.old-$token")
-    // Crash-window recovery: a failure between the two swap renames
-    // below leaves the table only under .old-<token>. Restore it before
-    // reading, or the merge would silently rebuild from updates alone.
-    if (!fs.exists(snap) && fs.exists(old)) Swap.renameOrThrow(fs, old, snap)
-    val merged =
-      if (fs.exists(snap))
-        mergePlan(spark.read.parquet(targetDir), updates, keyCols, orderCols)
-      else mergePlan(updates.limit(0), updates, keyCols, orderCols)
-    val tmp = new Path(s"$targetDir.tmp-$token")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // rename returns false (no exception) when the dest exists from a
-    // prior failed attempt or on RawLocalFileSystem quirks — an ignored
-    // false leaves a stale snapshot while the caller believes the merge
-    // committed, so every rename result is checked.
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(snap)) Swap.renameOrThrow(fs, snap, old)
-    Swap.renameOrThrow(fs, tmp, snap)
-    fs.delete(old, true)
-    ()
+                 token: String = "merge",
+                 format: TableFormat = RenameTableFormat): Unit = {
+    val merged = format.read(spark, targetDir) match {
+      case Some(target) => mergePlan(target, updates, keyCols, orderCols)
+      case None         => mergePlan(updates.limit(0), updates, keyCols, orderCols)
+    }
+    format.commit(spark, targetDir, merged, token)
   }
 }
 

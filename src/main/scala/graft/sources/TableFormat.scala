@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pluggable snapshot-table commit protocol — the seam the tmp+rename
+  * sinks documented ("on object stores or with concurrent readers,
+  * swap the rename for a table format with atomic commit") now AS
+  * working, tested code instead of a caveat. A TableFormat owns how a
+  * logical table's current snapshot is resolved and how a full
+  * replacement snapshot becomes visible; the MERGE/maintenance plans
+  * (Sinks.mergePlan, Profiles.merge, compactStream's latest-per-key)
+  * are format-independent and compose with any implementation.
+  *
+  * Contract:
+  *  - `read` returns the last successfully committed snapshot (None
+  *    before the first commit), recovering from any crash a prior
+  *    `commit` of the SAME format may have left behind.
+  *  - `commit` replaces the table content with `df`. After it returns,
+  *    `read` sees exactly `df`; if the process dies anywhere inside
+  *    `commit`, a later `read` sees either the previous snapshot or
+  *    the new one — never a mixture, never partial files.
+  *  - Concurrent commits to the SAME table are the caller's lock to
+  *    take (the batch sinks run single-writer; streaming sinks are
+  *    serialized by the checkpoint). [[CommitLogTableFormat]] detects
+  *    a lost race and throws [[ConcurrentCommitException]] instead of
+  *    silently dropping the other writer's commit — optimistic
+  *    concurrency, the Delta/Iceberg posture.
+  *
+  * Reference: this layer re-expresses what the reference trusts S3
+  * copy+delete to do for staged objects (process-staging.py:47-55 —
+  * which is exactly the non-atomic window RenameTableFormat still
+  * has, and CommitLogTableFormat closes). */
+trait TableFormat {
+
+  /** The current committed snapshot of `table`, or None if nothing has
+    * been committed yet. Performs crash recovery if needed. */
+  def read(spark: SparkSession, table: String): Option[DataFrame]
+
+  /** Atomically replace `table`'s content with `df`. `token` names the
+    * attempt (batch id / job token): retrying a failed commit with the
+    * SAME token must be safe, and tokens of concurrent commits to
+    * DIFFERENT tables never collide. */
+  def commit(spark: SparkSession, table: String, df: DataFrame, token: String): Unit
+
+  protected def fsOf(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
+
+/** Another writer committed between this writer's read and commit.
+  * The caller re-reads and re-derives its snapshot (or escalates —
+  * the sinks here are single-writer by contract, so seeing this means
+  * the caller's lock was violated). */
+class ConcurrentCommitException(msg: String) extends java.io.IOException(msg)
+
+/** The original tmp+rename swap as a TableFormat: the table IS a
+  * plain parquet directory at `table` (any outside reader can
+  * `spark.read.parquet` it), committed by write-to-tmp → rename the
+  * live dir aside → rename tmp in.
+  *
+  * Durability: atomic per rename on local/HDFS filesystems, with ONE
+  * non-atomic window between the two renames; a crash inside the
+  * window leaves the table only under `.old-<token>`, which `read`
+  * restores before resolving (and every rename result is checked —
+  * Swap.renameOrThrow — because HDFS reports failure via a boolean
+  * and a silently-false rename would strand a stale snapshot). This
+  * is the right format for a single-writer pipeline on a real
+  * filesystem where in-place readability matters more than a
+  * zero-window swap. */
+object RenameTableFormat extends TableFormat {
+
+  override def read(spark: SparkSession, table: String): Option[DataFrame] = {
+    val snap = new Path(table)
+    val fs = fsOf(spark, table)
+    if (!fs.exists(snap)) {
+      // crash-window recovery: restore the newest backup (tokens are
+      // compared length-then-lexicographic so numeric batch ids order
+      // numerically)
+      val olds = fs.globStatus(new Path(s"$table.old-*"))
+      if (olds != null && olds.nonEmpty) {
+        val newest = olds.maxBy { s =>
+          val t = s.getPath.getName
+          (t.length, t)
+        }
+        Swap.renameOrThrow(fs, newest.getPath, snap)
+      }
+    }
+    if (fs.exists(snap)) Some(spark.read.parquet(table)) else None
+  }
+
+  override def commit(spark: SparkSession, table: String, df: DataFrame,
+                      token: String): Unit = {
+    val snap = new Path(table)
+    val fs = fsOf(spark, table)
+    val tmp = new Path(s"$table.tmp-$token")
+    val old = new Path(s"$table.old-$token")
+    fs.delete(tmp, true) // stale prior attempt of this very token
+    fs.delete(old, true)
+    // `df` may read the live snapshot lazily (merge plans do): the
+    // write to tmp runs while the live dir is still in place
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(snap)) Swap.renameOrThrow(fs, snap, old)
+    Swap.renameOrThrow(fs, tmp, snap)
+    // committed: every backup is now stale
+    val olds = fs.globStatus(new Path(s"$table.old-*"))
+    if (olds != null) olds.foreach(s => fs.delete(s.getPath, true))
+  }
+}
+
+/** Log-based atomic commit: the table at `table/` is a directory of
+  * immutable snapshot dirs (`data-v<N>-<token>`) plus a commit log
+  * (`_log/<N>`, content = that version's data dir name). Readers
+  * resolve ONLY through the log: the highest log entry names the
+  * current snapshot.
+  *
+  * Commit = write the full new snapshot to a fresh data dir, then
+  * publish it with ONE atomic create-if-absent of `_log/<N+1>` — the
+  * Delta-lake commit primitive. There is NO non-atomic window: a crash
+  * before the log create leaves an orphan data dir that no reader can
+  * see (vacuumed by the next commit); a crash after it is a completed
+  * commit. Losing the create race (another writer published <N+1>
+  * first) throws [[ConcurrentCommitException]] — the snapshot this
+  * writer derived is stale by construction, so publishing it would
+  * silently drop the winner's commit.
+  *
+  * At 100 TB this is the object-store-safe shape: data files are
+  * written once and never renamed (S3 has no rename), visibility is a
+  * single small-file put, and the previous version stays readable for
+  * in-flight readers (the last two versions are retained, older ones
+  * vacuumed on commit). */
+object CommitLogTableFormat extends TableFormat {
+
+  private val LogDirName = "_log"
+
+  private def latest(fs: FileSystem, table: String): Option[(Long, String)] = {
+    val log = new Path(new Path(table), LogDirName)
+    val entries = fs.globStatus(new Path(log, "*"))
+    if (entries == null) None
+    else {
+      val versions = entries.toSeq.flatMap { e =>
+        scala.util.Try(e.getPath.getName.toLong).toOption.map(_ -> e.getPath)
+      }
+      if (versions.isEmpty) None
+      else {
+        val (v, p) = versions.maxBy(_._1)
+        val in = fs.open(p)
+        val dataName =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some((v, dataName))
+      }
+    }
+  }
+
+  override def read(spark: SparkSession, table: String): Option[DataFrame] = {
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (_, dataName) =>
+      spark.read.parquet(new Path(new Path(table), dataName).toString)
+    }
+  }
+
+  override def commit(spark: SparkSession, table: String, df: DataFrame,
+                      token: String): Unit = {
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    fs.mkdirs(new Path(root, LogDirName))
+    val v = latest(fs, table).map(_._1).getOrElse(0L) + 1L
+    val dataName = s"data-v$v-$token"
+    // snapshot first — invisible until logged; `df` may lazily read
+    // the current version, whose files are immutable, so no conflict
+    df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    val entry = new Path(new Path(root, LogDirName), v.toString)
+    val out =
+      try fs.create(entry, false) // atomic create-if-absent = the commit
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(new Path(root, dataName), true) // lost the race: orphan
+          throw new ConcurrentCommitException(
+            s"version $v of $table was committed concurrently: $e")
+      }
+    try out.write(dataName.getBytes(UTF_8)) finally out.close()
+    vacuum(fs, root, v)
+  }
+
+  /** Retain the committed and previous versions (in-flight readers);
+    * drop older versions and every unreferenced (orphan) data dir.
+    * Safe under the single-writer contract — there is no concurrent
+    * not-yet-logged data dir to destroy. */
+  private def vacuum(fs: FileSystem, root: Path, committed: Long): Unit = {
+    val keepEntries = (committed - 1L) to committed
+    val referenced = keepEntries.flatMap { v =>
+      val p = new Path(new Path(root, LogDirName), v.toString)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } else None
+    }.toSet
+    val dataDirs = fs.globStatus(new Path(root, "data-v*"))
+    if (dataDirs != null)
+      dataDirs.filterNot(d => referenced(d.getPath.getName))
+        .foreach(d => fs.delete(d.getPath, true))
+    val logEntries = fs.globStatus(new Path(new Path(root, LogDirName), "*"))
+    if (logEntries != null)
+      logEntries.filter(e =>
+          scala.util.Try(e.getPath.getName.toLong).toOption.exists(_ < committed - 1L))
+        .foreach(e => fs.delete(e.getPath, true))
+  }
+}

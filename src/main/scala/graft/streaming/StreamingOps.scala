@@ -208,36 +208,29 @@ object StreamingOps {
     * (latest-wins over the same inputs is a fixed point), so the
     * snapshot is exactly-once per committed batch.
     *
-    * The tmp+rename swap is atomic on a real filesystem (local/HDFS) —
-    * demo-grade durability with one non-atomic window (between the two
-    * renames). On object stores, or for concurrent readers, swap the
-    * rename for a table format with atomic commit (Delta/Iceberg) —
-    * the merge logic is the seam and stays identical. At 100 TB the
-    * merge is one key-partitioned shuffle per batch of
-    * |snapshot| + |batch| rows; partition the snapshot on the key so
-    * AQE can skip untouched partitions. */
+    * Durability is the pluggable [[graft.sources.TableFormat]]
+    * contract (the batch mergeByKey shares it): the default
+    * RenameTableFormat keeps the tmp+rename swap (atomic on
+    * local/HDFS, one non-atomic crash window, recovered on the next
+    * read); CommitLogTableFormat is the object-store-safe log-append
+    * protocol with NO window. The merge logic is the seam and stays
+    * identical. At 100 TB the merge is one key-partitioned shuffle per
+    * batch of |snapshot| + |batch| rows; partition the snapshot on the
+    * key so AQE can skip untouched partitions. */
   def compactStream(events: DataFrame, snapshotDir: String, checkpointDir: String,
-                    keyCols: Seq[String], orderCols: Seq[String]) =
+                    keyCols: Seq[String], orderCols: Seq[String],
+                    format: graft.sources.TableFormat = graft.sources.RenameTableFormat) =
     events.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val newest = latestPerKey(batch, keyCols, orderCols)
-        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
-        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(snap))
-            latestPerKey(spark.read.parquet(snapshotDir).unionByName(newest),
-              keyCols, orderCols)
-          else newest
-        val tmp = new org.apache.hadoop.fs.Path(s"$snapshotDir.tmp-$batchId")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        val old = new org.apache.hadoop.fs.Path(s"$snapshotDir.old-$batchId")
-        if (fs.exists(snap)) fs.rename(snap, old)
-        fs.rename(tmp, snap)
-        fs.delete(old, true)
-        ()
+        val merged = format.read(spark, snapshotDir) match {
+          case Some(snap) => latestPerKey(snap.unionByName(newest), keyCols, orderCols)
+          case None       => newest
+        }
+        format.commit(spark, snapshotDir, merged, batchId.toString)
       }
 
   case class FunnelEv(ts: Long, id: Long, typ: String)
@@ -693,42 +686,32 @@ object StreamingOps {
     * Unlike compactStream's latest-wins merge, Profiles.merge is not a
     * replay fixed point, so the last merged batchId is persisted IN the
     * snapshot (`_batch_id` column, constant across rows) and any batch
-    * with batchId <= stored is skipped as a replay. A crash between the
-    * two swap renames is recovered at the next batch by restoring the
-    * newest `.old-<id>` dir; every rename result is checked
-    * (Sinks.Swap) so a silently-false rename can't strand a stale
-    * snapshot.
+    * with batchId <= stored is skipped as a replay. Crash recovery and
+    * atomic visibility are the [[graft.sources.TableFormat]] contract
+    * (default RenameTableFormat: newest-`.old` restore + checked
+    * renames; CommitLogTableFormat has no crash window at all).
     *
     * At 100 TB: the profile table is |columns| rows — the merge cost
     * per batch is the partial's aggregation of the batch alone; the
     * historical data is never rescanned. That is the entire point. */
   def profileStream(rows: DataFrame, cols: Seq[String],
-                    profileDir: String, checkpointDir: String) =
+                    profileDir: String, checkpointDir: String,
+                    format: graft.sources.TableFormat = graft.sources.RenameTableFormat) =
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        profileMergeBatch(batch, batchId, cols, profileDir)
+        profileMergeBatch(batch, batchId, cols, profileDir, format)
       }
 
   /** One profileStream micro-batch merge, exposed so the replay path
     * (same batchId twice) is directly testable. See [[profileStream]]
     * for the contract. */
   def profileMergeBatch(batch: DataFrame, batchId: Long, cols: Seq[String],
-                        profileDir: String): Unit = {
+                        profileDir: String,
+                        format: graft.sources.TableFormat = graft.sources.RenameTableFormat): Unit = {
     val spark = batch.sparkSession
-    val snap = new org.apache.hadoop.fs.Path(profileDir)
-    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(snap)) {
-      val olds = fs.globStatus(new org.apache.hadoop.fs.Path(s"$profileDir.old-*"))
-      if (olds != null && olds.nonEmpty) {
-        val prefix = snap.getName + ".old-"
-        val newest = olds.maxBy(_.getPath.getName.stripPrefix(prefix).toLong)
-        graft.sources.Swap.renameOrThrow(fs, newest.getPath, snap)
-      }
-    }
-    val stored =
-      if (fs.exists(snap)) Some(spark.read.parquet(profileDir)) else None
+    val stored = format.read(spark, profileDir)
     val lastMerged = stored
       .filter(_.columns.contains("_batch_id"))
       .map(_.agg(max(col("_batch_id"))).head.getLong(0))
@@ -738,16 +721,8 @@ object StreamingOps {
         case Some(prev) => graft.jobs.Profiles.merge(prev.drop("_batch_id"), part)
         case None       => part
       }
-      val tmp = new org.apache.hadoop.fs.Path(s"$profileDir.tmp-$batchId")
-      val old = new org.apache.hadoop.fs.Path(s"$profileDir.old-$batchId")
-      fs.delete(tmp, true) // stale prior attempt of this very batch
-      fs.delete(old, true)
-      merged.withColumn("_batch_id", lit(batchId))
-        .write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(snap)) graft.sources.Swap.renameOrThrow(fs, snap, old)
-      graft.sources.Swap.renameOrThrow(fs, tmp, snap)
-      val doneOlds = fs.globStatus(new org.apache.hadoop.fs.Path(s"$profileDir.old-*"))
-      if (doneOlds != null) doneOlds.foreach(s => fs.delete(s.getPath, true))
+      format.commit(spark, profileDir,
+        merged.withColumn("_batch_id", lit(batchId)), batchId.toString)
     }
   }
 

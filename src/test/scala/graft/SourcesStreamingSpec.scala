@@ -199,6 +199,100 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(!plan.toLowerCase.contains("broadcast"), "merge must not assume a broadcastable side")
   }
 
+  test("TableFormat: merge semantics hold under BOTH commit protocols") {
+    import spark.implicits._
+    val formats: Seq[(String, graft.sources.TableFormat)] = Seq(
+      "rename" -> graft.sources.RenameTableFormat,
+      "commitlog" -> graft.sources.CommitLogTableFormat)
+    formats.foreach { case (tag, fmt) =>
+      val dir = Files.createTempDirectory(s"graft_tf_$tag").toString + "/control"
+      assert(fmt.read(spark, dir).isEmpty, tag)
+      Sinks.mergeByKey(spark, dir,
+        Seq((1L, "pending", 1L), (2L, "pending", 1L), (3L, "done", 1L))
+          .toDF("k", "status", "ver"),
+        Seq("k"), Seq("ver"), token = "seed", format = fmt)
+      val updates = Seq((1L, "done", 2L), (4L, "pending", 1L), (3L, "error", 0L))
+        .toDF("k", "status", "ver")
+      Sinks.mergeByKey(spark, dir, updates, Seq("k"), Seq("ver"),
+        token = "b1", format = fmt)
+      def snap() = fmt.read(spark, dir).get
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      val expect = Seq((1L, "done", 2L), (2L, "pending", 1L),
+        (3L, "done", 1L), (4L, "pending", 1L))
+      assert(snap() == expect, tag)
+      // retried merge (Step Function retry): fixed point under any format
+      Sinks.mergeByKey(spark, dir, updates, Seq("k"), Seq("ver"),
+        token = "b1r", format = fmt)
+      assert(snap() == expect, tag)
+    }
+  }
+
+  test("RenameTableFormat: crash between the swap renames is recovered on read") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.RenameTableFormat
+    val dir = Files.createTempDirectory("graft_tf_crash").toString + "/t"
+    fmt.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"), "t1")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate dying between rename(snap, old) and rename(tmp, snap):
+    // the live dir exists only under .old-<token>
+    assert(fs.rename(new Path(dir), new Path(s"$dir.old-t2")))
+    val recovered = fmt.read(spark, dir)
+    assert(recovered.isDefined && recovered.get.count() == 1)
+    assert(fs.exists(new Path(dir)), "recovery must restore the live dir")
+  }
+
+  test("CommitLogTableFormat: orphans invisible, atomic publish, vacuum keeps two") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_log").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fmt.commit(spark, dir, Seq((1L, "v1")).toDF("k", "v"), "a")
+    // crash BEFORE the log append: data dir written, never published —
+    // readers must still see v1 (there is no partial-visibility window)
+    Seq((9L, "crashed")).toDF("k", "v")
+      .write.parquet(s"$dir/data-v2-crashed")
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "v1")))
+    // the next commit publishes v2 and vacuums the orphan
+    fmt.commit(spark, dir, Seq((2L, "v2")).toDF("k", "v"), "b")
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().toSeq ==
+      Seq((2L, "v2")))
+    assert(!fs.exists(new Path(s"$dir/data-v2-crashed")), "orphan vacuumed")
+    // third commit: v1's data dir is vacuumed, v2 retained for in-flight
+    // readers, v3 live
+    fmt.commit(spark, dir, Seq((3L, "v3")).toDF("k", "v"), "c")
+    val dataDirs = fs.globStatus(new Path(s"$dir/data-v*"))
+      .map(_.getPath.getName).toSet
+    assert(dataDirs == Set("data-v2-b", "data-v3-c"), dataDirs.toString)
+    // the commit primitive: create-if-absent on an existing log entry
+    // fails (what turns a lost publish race into ConcurrentCommitException
+    // instead of a silently dropped commit)
+    intercept[java.io.IOException] {
+      fs.create(new Path(s"$dir/_log/3"), false).close()
+    }
+  }
+
+  test("profileMergeBatch over CommitLogTableFormat: merge + replay-skip hold") {
+    import graft.jobs.Profiles
+    val fmt = graft.sources.CommitLogTableFormat
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val pdir = Files.createTempDirectory("graft_tf_prof").toString + "/profile"
+    val b0 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+    val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+    StreamingOps.profileMergeBatch(b0, 0L, cols, pdir, fmt)
+    StreamingOps.profileMergeBatch(b1, 1L, cols, pdir, fmt)
+    // replayed batch (at-least-once foreachBatch): must be skipped
+    StreamingOps.profileMergeBatch(b1, 1L, cols, pdir, fmt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("column_name")).collect().map(_.toSeq).toSeq
+    val got = rows(fmt.read(spark, pdir).get.drop("_batch_id"))
+    assert(got == rows(Profiles.partial(li, cols)),
+      "streamed profile must equal the full-scan profile")
+  }
+
   test("promoteStream lands micro-batches in the hive date layout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
