@@ -378,11 +378,16 @@ object Events {
     * `last` columns pick from the same row because their null sets
     * coincide. Output is the attribution report: purchases and
     * DECIMAL-exact revenue per touch type. */
-  def c11Attribution(spark: SparkSession, dir: String): DataFrame = {
+  def c11Attribution(spark: SparkSession, dir: String): DataFrame =
+    c11AttributionOf(Tables.events(spark, dir))
+
+  /** c11 over ANY events frame (the streaming twin's equivalence spec
+    * drives it with the exact rows fed to attributionStream). */
+  def c11AttributionOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("is_purchase"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
       .withColumn("touch_ts", when(col("is_purchase") === 0, col("ts")))

@@ -296,6 +296,71 @@ object StreamingOps {
       }
   }
 
+  case class TouchEv(ts: Long, id: Long, typ: String, value: Double)
+  case class TouchState(lastTs: Long, lastKind: String, pending: Seq[TouchEv])
+  case class CreditOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                       touch_type: String, value: Double)
+
+  /** Streaming last-touch attribution — Events.c11's live twin: each
+    * purchase is credited to the user's latest prior view/click within
+    * the lookback window, 'none' otherwise, emitted as one credited
+    * row per purchase (the c11 report is a stateless rollup of these).
+    *
+    * Exact batch equivalence under ANY cross-batch arrival order (the
+    * funnelStagesBuffered discipline): events buffer in state until
+    * the watermark passes them, then the credit machine consumes them
+    * in (ts, is-purchase, event_id) order — the SAME total order as
+    * c11's window sort, so a purchase and its same-timestamp touch
+    * resolve identically (touch first), and among same-timestamp
+    * touches the highest event_id wins, in both engines. Emission
+    * therefore lags one watermark delay.
+    *
+    * State per user: ONE (ts, kind) last-touch pair plus the
+    * not-yet-ready buffer (bounded by rate × watermark delay). An idle
+    * user's state times out once the watermark passes lastTouch +
+    * lookback — at that point the touch could never credit again and
+    * a later purchase credits 'none' exactly as if the state were
+    * still there, so removal is invisible. State is NOT the 7-day
+    * event history: the lookback needs only the latest touch, which is
+    * what keeps this bounded at 100 TB event rates. */
+  def attributionStream(spark: SparkSession, events: Dataset[EventRow],
+                        watermarkDelay: String = "10 seconds",
+                        lookbackMs: Long = 7L * 86400L * 1000L): Dataset[CreditOut] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "click", "purchase")).as[EventRow]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[TouchState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(TouchState(-1L, "", Nil))
+          val all = (s.pending ++ rows.map(e =>
+              TouchEv(e.ts.getTime, e.event_id, e.event_type, e.value)))
+            .sortBy(e => (e.ts, if (e.typ == "purchase") 1 else 0, e.id))
+          val (ready, pending) = all.partition(_.ts <= wm)
+          val out = Seq.newBuilder[CreditOut]
+          ready.foreach { e =>
+            if (e.typ == "purchase") {
+              val t = if (s.lastTs >= 0 && e.ts - s.lastTs <= lookbackMs) s.lastKind
+                      else "none"
+              out += CreditOut(e.id, userId, new java.sql.Timestamp(e.ts), t, e.value)
+            } else s = s.copy(lastTs = e.ts, lastKind = e.typ)
+          }
+          s = s.copy(pending = pending)
+          if (state.hasTimedOut && pending.isEmpty) {
+            state.remove()
+          } else {
+            state.update(s)
+            val floor = wm + 1
+            state.setTimeoutTimestamp(
+              if (pending.nonEmpty) floor
+              else math.max(s.lastTs + lookbackMs, floor))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Streaming trending top-k: per sliding window, the k most frequent
     * event types — the "what's hot right now" dashboard feed. TWO
     * chained stateful aggregations in append mode (multiple-stateful-

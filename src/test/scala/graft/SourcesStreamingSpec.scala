@@ -846,6 +846,62 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(plain == Set("view"), s"expected plain funnel to drop the click, got $plain")
   }
 
+  test("attributionStream credits ≡ batch c11 across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-02-01 10:00:00").getTime
+    def ev(id: Long, offsetMin: Long, uid: Long, typ: String, v: Double = 0.0) =
+      StreamingOps.EventRow(id, new java.sql.Timestamp(base + offsetMin * 60000L),
+        uid, typ, v)
+    val day = 24L * 60
+    // u1: view then click then purchase (credit=click), then a second
+    //     purchase 8 days later (credit=none — lookback expired)
+    // u2: purchase with no touch at all (none)
+    // u3: click and purchase at the SAME timestamp (touch sorts first
+    //     in c11's window order → credit=click), purchase id < click id
+    //     to prove the is_purchase key, not event_id, decides it
+    // u4: two same-ts views (ids 40,41) then purchase — the higher
+    //     event_id view is "last" in both engines (kind is equal here,
+    //     so this exercises the tie path, and the later view at +2
+    //     overrides both)
+    val all = Seq(
+      ev(10, 0, 1, "view"), ev(11, 5, 1, "click"), ev(12, 9, 1, "purchase", 100.0),
+      ev(13, 9 + 8 * day, 1, "purchase", 50.0),
+      ev(20, 3, 2, "purchase", 10.0),
+      ev(31, 7, 3, "click"), ev(30, 7, 3, "purchase", 20.0),
+      ev(40, 1, 4, "view"), ev(41, 1, 4, "view"), ev(42, 2, 4, "view"),
+      ev(43, 4, 4, "purchase", 30.0))
+    // split with cross-batch REORDERING bounded by the watermark delay
+    // (beyond-watermark lateness is dropped by contract, like every
+    // buffered op here): u1's purchase lands a batch before its click;
+    // u3's same-ts pair splits across batches
+    val b1 = Seq(all(0), all(2), all(6), all(7), all(9))
+    val b2 = Seq(all(1), all(5), all(8), all(10))
+    val b3 = Seq(all(3), all(4))
+    val flush = Seq(ev(99, 20 * day, 42, "view"))
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.attributionStream(spark, mem.toDS(),
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("attr_test").outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, flush).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.sql(
+        """select touch_type, count(*) as n, cast(sum(cast(value as decimal(12,2))) as double) as v
+          |from attr_test group by 1 order by 1""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      // ground truth: the REAL batch operator over the same rows
+      val expect = graft.operators.Events.c11AttributionOf(
+          all.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expect, s"streaming $got vs batch $expect")
+      // and the scenario resolves the way the comments claim
+      val byType = got.map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(byType("click") == ((2L, 120.0)), byType.toString)
+      assert(byType("none") == ((2L, 60.0)), byType.toString)
+      assert(byType("view") == ((1L, 30.0)), byType.toString)
+    } finally q.stop()
+  }
+
   test("streaming trending top-k ≡ batch sliding-window ranking") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
