@@ -2237,6 +2237,93 @@ class OperatorSpec extends GraftSpec {
       rows(Events.c2Sessionize(spark, dir)))
   }
 
+  test("c34/c31 survive a planted hot user key (r8 verdict skew spec)") {
+    // The c21 planted-skew pattern extended to the newest per-user ops:
+    // one user takes ~25% of all events (the pathological key a salted
+    // variant would exist for); both operators must stay EXACTLY
+    // correct — c34's user-keyed sweep windows and c31's bounded 7-day
+    // fan-out concentrate the hot key on one task but never change
+    // results. Ground truth is an independent driver-side replay over
+    // the same rows (not the operator's own plan).
+    val hot = 777L
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotkey").toString
+    Tables.events(spark, sfDir)
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(4)) === 0, lit(hot)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(dir + "/events.parquet")
+    val raw = spark.read.parquet(dir + "/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // --- c34: brute-force interval union per user ---
+    val lenUs = 1800L * 1000000L
+    val expect34 = raw.groupBy(_._1).view.mapValues { evs =>
+      val sorted = evs.map(e => (e._3, e._2)).sortBy(identity).map(_._1)
+      val blocks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sorted.foreach { t =>
+        if (blocks.nonEmpty && t <= blocks.last._2)
+          blocks(blocks.size - 1) = (blocks.last._1, math.max(blocks.last._2, t + lenUs))
+        else blocks += ((t, t + lenUs))
+      }
+      (blocks.size.toLong, blocks.map(b => b._2 - b._1).sum, blocks.map(b => b._2 - b._1).max)
+    }.toMap
+    val got34 = Events.c34IntervalUnion(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got34 == expect34, s"c34 diverged under the hot key")
+    assert(got34.contains(hot) && got34(hot)._1 >= 1)
+
+    // --- c31: brute-force DAU / trailing-7-day WAU ---
+    val ud = raw.map(e => (e._1, Math.floorDiv(e._3, 86400000000L))).distinct
+    val maxDay = ud.map(_._2).max
+    val dau = ud.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wau = ud.flatMap { case (u, d) =>
+        (d to math.min(d + 6, maxDay)).map(dd => (dd, u))
+      }.distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect31 = dau.map { case (d, n) =>
+      d -> ((n, wau(d), n * 10000L / wau(d)))
+    }
+    val got31 = Events.c31ActiveUsers(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got31 == expect31, s"c31 diverged under the hot key")
+  }
+
+  test("d87 crossing survives a planted hot source (r8 verdict skew spec)") {
+    // Half the corpus lands in ONE source. d87's crossing windows run
+    // over the value-grouped (source, stop_bp) frame — bounded by the
+    // bp value space (≤10001 rows/source) no matter how hot the source
+    // — so the result must stay exactly right. Ground truth replays
+    // the cutoff from raw text driver-side.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotsrc").toString
+    Tables.documents(spark, sfDir)
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("hot_source")).otherwise(col("source")))
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val stops = Set("the", "a", "of", "and", "to", "in")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expect = docs.map { case (src, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val bp = toks.count(stops) * 10000L / math.max(1L, toks.length.toLong)
+        (src, bp)
+      }
+      .groupBy(_._1).view.mapValues { bps =>
+        val byVal = bps.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val total = byVal.map(_._2).sum
+        var cum = 0L
+        val (cutoff, cumAt, cntAt) = byVal.iterator.map { case (bp, cnt) =>
+          cum += cnt; (bp, cum, cnt)
+        }.find { case (_, c, _) => c * 10 >= total * 3 }.get
+        val kept = total - cumAt + cntAt
+        (cutoff, total, kept, kept * 10000L / total)
+      }.toMap
+    val got = TextOps.d87QualityCutoffs(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"d87 diverged under the hot source")
+    assert(got.contains("hot_source"))
+  }
+
   test("a27 drift sketch: agrees with exact a20 within rsd bounds; no Expand") {
     def byCol(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
