@@ -43,6 +43,38 @@ object Ingest {
       }
   }
 
+  /** File-backed HTTP connector — the requests-loop twin of the
+    * reference's API fetch (collect-data.py:100-140) against a LOCAL
+    * fixture root (this environment has no egress; in production the
+    * file read becomes the HTTP client call — the seam, batching, and
+    * error taxonomy are identical). The url's path resolves to a file
+    * under `fixtureRoot`; the response body is the file content.
+    *
+    * Error taxonomy mirrors HTTP status classes so downstream retry
+    * scheduling (a17's ErrorEquals semantics) can route them:
+    *  - missing fixture → `HTTP 404` — permanent, the dead-letter class;
+    *  - a `<file>.flaky` marker → `HTTP 503` ONCE; the marker is
+    *    consumed by the failing fetch, so the next attempt succeeds —
+    *    a deterministic transient, which is exactly what the retry
+    *    layer exists for. */
+  class FixtureHttpConnector(fixtureRoot: String) extends Connector {
+    override def fetchBatch(batch: Seq[WorkItem]): Seq[(WorkItem, Either[String, String])] =
+      batch.map { w =>
+        val rel = new java.net.URI(w.url).getPath.stripPrefix("/")
+        val f = new java.io.File(fixtureRoot, rel)
+        val flaky = new java.io.File(fixtureRoot, rel + ".flaky")
+        if (flaky.exists() && flaky.delete())
+          w -> Left(s"HTTP 503 service unavailable: ${w.url}")
+        else if (!f.isFile)
+          w -> Left(s"HTTP 404 not found: ${w.url}")
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          val body = try src.mkString finally src.close()
+          w -> Right(body)
+        }
+      }
+  }
+
   /** Drive a Connector over a work-item Dataset: per-partition batched
     * fetch, failures as error rows. Output feeds PartitionedSink (raw
     * payload staging) and Etl.statusWriteback (control-table update). */

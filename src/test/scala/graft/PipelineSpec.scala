@@ -62,6 +62,90 @@ class PipelineSpec extends GraftSpec {
     assert(spark.read.parquet(out).count() === 1)
   }
 
+  test("fixture HTTP loop: 404/503 taxonomy -> retry -> JSONL staging -> promote") {
+    import spark.implicits._
+    import graft.sources.TextSources
+    // --- the fixture "server": a directory standing in for the remote ---
+    val root = java.nio.file.Files.createTempDirectory("graft_httpfix")
+    def put(name: String, body: String) =
+      java.nio.file.Files.write(root.resolve(name), body.getBytes("UTF-8"))
+    put("cityA.html", """<html><div id="m1">alpha-metrics</div></html>""")
+    put("cityC.html", """<html><div id="m1">gamma-metrics</div></html>""")
+    put("cityC.html.flaky", "") // first fetch of cityC returns HTTP 503
+    val control = Seq(
+      (1L, "cityA", "https://fixture.local/cityA.html", ""),
+      (2L, "cityB", "https://fixture.local/cityB.html", ""), // no fixture → 404
+      (3L, "cityC", "https://fixture.local/cityC.html", ""))
+      .toDF("id", "source", "url", "status")
+    val conn = new Ingest.FixtureHttpConnector(root.toString)
+
+    // --- round 1 behind the job-level retry layer: first ATTEMPT dies
+    // (transient infra), the re-run fetches; per-ITEM failures come
+    // back as error rows, never exceptions ---
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    def collectPending(items: org.apache.spark.sql.Dataset[Ingest.WorkItem]) =
+      Jobs.runWithRetry(Jobs.RetryPolicy(intervalMs = 0), sleep = _ => ()) {
+        if (attempts.incrementAndGet() == 1) throw new RuntimeException("transient infra")
+        Ingest.collect(spark, items, conn).collect().toSeq
+      }
+    val pending = control.filter(col("status") === "")
+      .select(col("id"), col("source"), col("url")).as[Ingest.WorkItem]
+    val round1 = collectPending(pending)
+    assert(attempts.get == 2) // job-level retry exercised
+    assert(round1.find(_.source == "cityA").exists(_.status == "completed"))
+    assert(round1.find(_.source == "cityB").exists(p =>
+      p.status == "error" && p.body.contains("HTTP 404")))
+    assert(round1.find(_.source == "cityC").exists(p =>
+      p.status == "error" && p.body.contains("HTTP 503")))
+
+    // --- a17's ErrorEquals routing: 503 retries, 404 dead-letters ---
+    val retryable = round1.filter(p => p.status == "error" && p.body.contains("HTTP 503"))
+      .map(p => Ingest.WorkItem(p.id, p.source, p.url)).toDS()
+    val round2 = collectPending(retryable)
+    assert(round2.size == 1 && round2.head.status == "completed",
+      "the consumed .flaky marker must make the retry succeed")
+
+    // --- status writeback over both rounds (latest wins) ---
+    val all = (round1.filter(_.status == "completed") ++ round2 ++
+      round1.filter(p => p.body.contains("HTTP 404"))).toDF()
+    val upd = all.select(col("id").as("u_id"), col("status").as("new_status"),
+      when(col("status") === "completed", lit("2026-08-14")).as("completed_at"))
+    val merged = Etl.statusWriteback(control, upd,
+        col("id"), col("u_id"), col("status"), col("new_status"), col("completed_at"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "completed", 2L -> "error", 3L -> "completed"))
+
+    // --- JSONL staging of the fetched payloads, read back through
+    // TextSources' quarantine contract (one planted corrupt line) ---
+    val stage = java.nio.file.Files.createTempDirectory("graft_httpstage")
+    val lines = (round1.filter(_.status == "completed") ++ round2).map(p =>
+      s"""{"id":${p.id},"source":"${p.source}","body":"${p.body.replace("\"", "'")}"}""")
+    java.nio.file.Files.write(stage.resolve("staged.jsonl"),
+      (lines :+ """{"id":BROKEN,not json""").mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.StringType)))
+    val load = TextSources.readJsonl(spark, stage.resolve("staged.jsonl").toString, schema)
+    try {
+      assert(load.quarantine.count() == 1, "the corrupt line quarantines, never kills the load")
+      assert(load.good.count() == 2)
+      // a14-style element extraction works on the fetched bodies
+      val got = load.good
+        .withColumn("content", regexp_extract(col("body"), "id='m1'>([^<]*)", 1))
+        .select("source", "content").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("cityA" -> "alpha-metrics", "cityC" -> "gamma-metrics"))
+      // --- promotion into the hive date layout (a3), idempotent ---
+      val out = java.nio.file.Files.createTempDirectory("graft_httpraw").toString
+      val raw = load.good.withColumn("ts", lit("2026-08-14 09:00:00").cast("timestamp"))
+      PartitionedSink.promote(raw, out, "source", "ts")
+      PartitionedSink.promote(raw, out, "source", "ts") // re-run: dynamic overwrite
+      assert(spark.read.parquet(out).count() == 2)
+      assert(new java.io.File(s"$out/source=cityA/y=2026/m=8/d=14").exists())
+    } finally load.release()
+  }
+
   test("corpus pipeline: dedup-materialize -> pack survivors -> sharded write") {
     import graft.operators.{CorpusOps, TextOps}
     // 1. final keep set — d32's exact-canonical ∧ cluster-canonical rule
