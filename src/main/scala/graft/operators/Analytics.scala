@@ -2013,7 +2013,81 @@ object Analytics {
       |FROM est LEFT JOIN act ON est.seg = act.seg
       |ORDER BY est.seg""".stripMargin
 
+  /** q58: supplier SKYLINE (Pareto frontier) — the multi-objective
+    * selection operator (Börzsönyi et al., "The Skyline Operator",
+    * ICDE 2001) the suite lacked: suppliers where no other supplier is
+    * at-least-as-good on BOTH objectives (revenue ↑, worst ship delay
+    * ↓) and strictly better on one — the "efficient frontier" a
+    * sourcing decision reads directly.
+    *
+    * Decorrelated to a champion sweep (never the quadratic all-pairs
+    * dominance join, and never an unpartitioned window over the
+    * SF-scaled per-supplier frame — the c31 prohibition): the
+    * per-supplier reduce keys one exchange; tier maxima come from a
+    * delay-PARTITIONED window (delay is a bounded business quantity
+    * like q50's, so partitions are balanced); only tier CHAMPIONS
+    * (rev = tier max — equal-delay dominance needs strictly larger
+    * revenue, so champions are exactly the within-tier survivors,
+    * exact ties both kept, the standard skyline rule) reach the
+    * global prefix-max window — ≤ |delay domain| + ties rows through
+    * the single partition. A champion is on the frontier iff it
+    * strictly beats every faster tier's best (a faster dominator
+    * needs only ≥ revenue). Revenue compares in exact DECIMAL, delay
+    * in integer days — dominance can't flip with parallelism. ONE
+    * fact-fact scan pair (lineitem ⋈ orders on the order key);
+    * supplier enrichment joins un-hinted (SF-scaled — AQE broadcasts
+    * at test SF). */
+  def q58Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("rev_dec"),
+        max(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long")).as("max_delay_days"))
+    // ONE lineage (a tier-aggregate + join-back would re-derive `per`
+    // and re-scan the facts — the c33/a36 branch-duplication trap):
+    // tier maxima via a delay-partitioned window over `per`, then the
+    // global prefix-max ONLY over the tier champions — ≤ |delay
+    // domain| + ties rows through the single-partition window, never
+    // the SF-scaled supplier frame
+    val champs = per
+      .withColumn("tier_best",
+        max(col("rev_dec")).over(Window.partitionBy(col("max_delay_days"))))
+      .filter(col("rev_dec") === col("tier_best"))
+      .withColumn("best_faster",
+        max(col("rev_dec")).over(Window.orderBy(col("max_delay_days"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .filter(col("best_faster").isNull || col("rev_dec") > col("best_faster"))
+    champs
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("max_delay_days"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("max_delay_days"), col("s_suppkey"))
+  }
+
+  val q58Sql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec,
+      |    max(CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |      CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)) AS BIGINT)) AS max_delay_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT *, max(rev_dec) OVER (PARTITION BY max_delay_days) AS tier_best
+      |  FROM per),
+      |c AS (SELECT * FROM t WHERE rev_dec = tier_best),
+      |f AS (
+      |  SELECT *, max(rev_dec) OVER (ORDER BY max_delay_days
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_faster
+      |  FROM c)
+      |SELECT s_suppkey, s_name, max_delay_days, CAST(rev_dec AS DOUBLE) AS revenue
+      |FROM f JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE best_faster IS NULL OR rev_dec > best_faster
+      |ORDER BY max_delay_days, s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_skyline" -> (q58Skyline _),
     "q57_cardinality_audit" -> (q57CardinalityAudit _),
     "q56_equidepth_hist" -> (q56EquidepthHist _),
     "q55_chi2_assoc" -> (q55Chi2Assoc _),
@@ -2072,6 +2146,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q58_skyline" -> q58Sql,
     "q57_cardinality_audit" -> q57Sql,
     "q56_equidepth_hist" -> q56Sql,
     "q55_chi2_assoc" -> q55Sql,

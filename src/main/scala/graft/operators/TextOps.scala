@@ -2516,7 +2516,63 @@ object TextOps {
       |  CAST(((total - cum + cnt) * 10000) // total AS BIGINT) AS kept_bp
       |FROM x WHERE pick = 1 ORDER BY source""".stripMargin
 
+  /** d88: temperature-scaled mixture weights — the α-sampling knob
+    * every multi-source/multilingual LM mixture uses (p_s ∝ n_s^α;
+    * α=1 is proportional, α→0 uniform — the exponentiated-share
+    * scheme of multilingual BERT / XLM-R / mT5 data sampling): per
+    * source, exact token mass, exact proportional share in bp, and
+    * the relative sampling weight vs the LARGEST source at α ∈
+    * {0.25, 0.5, 0.75}.
+    *
+    * Determinism discipline: weights are reported RELATIVE TO THE MAX
+    * source, not normalized — normalizing needs Σ n_s^α, a sum of
+    * irrational doubles whose value depends on fold order (the no-
+    * ln/pow rule's summation sibling); n_s/n_max is one exact-rounded
+    * IEEE division and α powers compose from sqrt (α=.5 → sqrt, .25 →
+    * sqrt∘sqrt, .75 → their product) — every step correctly rounded
+    * in both engines, so the hash match is exact. The consumer
+    * normalizes driver-side over its ≤|sources| rows.
+    *
+    * Shape: ONE corpus scan reduced map-side to |sources| rows; the
+    * total/max are unpartitioned windows over that reduced frame (the
+    * q11 idiom — integer-exact sums). */
+  def d88TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+    val r = col("n_tokens").cast("double") / col("n_max").cast("double")
+    per
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("n_max", max(col("n_tokens")).over(all))
+      .select(col("source"), col("n_tokens"),
+        expr("(n_tokens * 10000) div total").as("share_bp"),
+        sqrt(sqrt(r)).as("rel_w25"),
+        sqrt(r).as("rel_w50"),
+        (sqrt(r) * sqrt(sqrt(r))).as("rel_w75"))
+      .orderBy(col("source"))
+  }
+
+  val d88Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT *, sum(n_tokens) OVER () AS total, max(n_tokens) OVER () AS n_max
+      |  FROM per)
+      |SELECT source, n_tokens,
+      |  CAST((n_tokens * 10000) // total AS BIGINT) AS share_bp,
+      |  sqrt(sqrt(CAST(n_tokens AS DOUBLE) / n_max)) AS rel_w25,
+      |  sqrt(CAST(n_tokens AS DOUBLE) / n_max) AS rel_w50,
+      |  sqrt(CAST(n_tokens AS DOUBLE) / n_max)
+      |    * sqrt(sqrt(CAST(n_tokens AS DOUBLE) / n_max)) AS rel_w75
+      |FROM w ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d88_temperature_mix" -> (d88TemperatureMix _),
     "d87_quality_cutoffs" -> (d87QualityCutoffs _),
     "d86_substring_scan" -> (d86SubstringScan _),
     "d85_bm25_topk" -> (d85Bm25Topk _),
@@ -2564,6 +2620,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d88_temperature_mix" -> d88Sql,
     "d87_quality_cutoffs" -> d87Sql,
     "d86_substring_scan" -> d86Sql,
     "d85_bm25_topk" -> d85Sql,

@@ -2324,6 +2324,57 @@ class OperatorSpec extends GraftSpec {
     assert(got.contains("hot_source"))
   }
 
+  test("q58 skyline equals brute-force dominance; windows run over the reduced frame") {
+    // independent replay: exact BigDecimal revenue + LocalDate delays,
+    // frontier by the quadratic dominance definition the operator
+    // deliberately avoids planning
+    val raw = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("l_extendedprice").cast("string"),
+        col("l_discount").cast("string"),
+        to_date(col("l_shipdate")).cast("string"), to_date(col("o_orderdate")).cast("string"))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getString(1)).setScale(2),
+        BigDecimal(r.getString(2)).setScale(2), r.getString(3), r.getString(4)))
+    val per = raw.groupBy(_._1).view.mapValues { ls =>
+      val rev = ls.map(l => l._2 * (BigDecimal(1) - l._3)).sum
+      val delay = ls.map(l => java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(l._5), java.time.LocalDate.parse(l._4))).max
+      (rev, delay)
+    }.toMap
+    val frontier = per.keySet.filter { s =>
+      val (rs, ds) = per(s)
+      !per.exists { case (o, (ro, dor)) =>
+        o != s && dor <= ds && ro >= rs && (dor < ds || ro > rs)
+      }
+    }
+    val got = Analytics.q58Skyline(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == frontier, s"skyline ${got.toSeq.sorted} vs brute ${frontier.toSeq.sorted}")
+    assert(got.nonEmpty)
+    // one lineitem scan; dominance never plans an all-pairs join
+    val plan = Analytics.q58Skyline(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.split(java.util.regex.Pattern.quote("lineitem.parquet"), -1).length - 1 == 1)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d88 temperature weights: exact shares, sqrt-composed alphas, max-source unit") {
+    val rows = TextOps.d88TemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val nMax = rows.map(_._2).max
+    rows.foreach { case (src, n, bp, w25, w50, w75) =>
+      assert(bp == n * 10000L / total, s"$src share_bp")
+      val r = n.toDouble / nMax.toDouble
+      assert(w50 == math.sqrt(r) && w25 == math.sqrt(math.sqrt(r)) &&
+        w75 == math.sqrt(r) * math.sqrt(math.sqrt(r)), s"$src weights")
+      // α-monotone: closer to uniform as α falls (r ≤ 1)
+      assert(w25 >= w50 && w50 >= w75, src)
+      if (n == nMax) assert(w25 == 1.0 && w50 == 1.0 && w75 == 1.0, src)
+    }
+  }
+
   test("a27 drift sketch: agrees with exact a20 within rsd bounds; no Expand") {
     def byCol(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
