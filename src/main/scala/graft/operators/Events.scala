@@ -1601,10 +1601,15 @@ object Events {
     * partition+order); the block and user reductions ride map-side
     * combine. Skewed users bound at user volume — the c21 salted
     * sessionizer is the documented escape for pathological keys. */
-  def c34IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+  def c34IntervalUnion(spark: SparkSession, dir: String): DataFrame =
+    c34IntervalUnionOf(Tables.events(spark, dir))
+
+  /** c34 over ANY events frame (coverageStream's equivalence spec
+    * drives it with the exact rows fed to the stream). */
+  def c34IntervalUnionOf(events: DataFrame): DataFrame = {
     val lenUs = 1800L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
       .withColumn("e_end", col("t") + lit(lenUs))
       .withColumn("prev_end", max(col("e_end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))

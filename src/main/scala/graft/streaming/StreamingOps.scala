@@ -361,6 +361,69 @@ object StreamingOps {
       }
   }
 
+  case class CoverState(blkStart: Long, blkEnd: Long, nEvents: Long,
+                        pending: Seq[(Long, Long)])
+  case class CoverBlock(user_id: Long, block_start_us: Long, block_end_us: Long,
+                        n_events: Long)
+
+  /** Streaming interval-union coverage — Events.c34's live twin: each
+    * event opens a 30-minute activity interval; overlapping intervals
+    * merge into blocks, and each CLOSED block is emitted once (the c34
+    * per-user report — n_blocks / covered / max block — is a stateless
+    * rollup of these rows).
+    *
+    * The buffered exact-equivalence discipline (funnelStagesBuffered /
+    * attributionStream): events buffer until the watermark passes
+    * them, then merge in (t, event_id) order — the same total order as
+    * c34's sweep windows. A block closes either when a ready event
+    * starts past its end (within-order, exact) or when the WATERMARK
+    * passes its end with nothing pending — at that point no admissible
+    * future event can extend it (anything later-arriving below the
+    * watermark is dropped by contract), so emission is final and
+    * append-safe. State per user: one open block triple + the bounded
+    * not-yet-ready buffer — never the event history. */
+  def coverageStream(spark: SparkSession, events: Dataset[EventRow],
+                     watermarkDelay: String = "10 seconds",
+                     lenUs: Long = 1800L * 1000000L): Dataset[CoverBlock] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[CoverState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var s = state.getOption.getOrElse(CoverState(-1L, -1L, 0L, Nil))
+          val all = (s.pending ++ rows.map(e => (e.ts.getTime * 1000L, e.event_id)))
+            .sortBy(identity)
+          val (ready, pending) = all.partition(_._1 <= wmUs)
+          val out = Seq.newBuilder[CoverBlock]
+          ready.foreach { case (t, _) =>
+            if (s.blkStart >= 0 && t <= s.blkEnd)
+              s = s.copy(blkEnd = math.max(s.blkEnd, t + lenUs), nEvents = s.nEvents + 1)
+            else {
+              if (s.blkStart >= 0)
+                out += CoverBlock(userId, s.blkStart, s.blkEnd, s.nEvents)
+              s = CoverState(t, t + lenUs, 1L, Nil)
+            }
+          }
+          // watermark already past the open block's end: final, emit now
+          if (s.blkStart >= 0 && s.blkEnd <= wmUs && pending.isEmpty) {
+            out += CoverBlock(userId, s.blkStart, s.blkEnd, s.nEvents)
+            s = CoverState(-1L, -1L, 0L, Nil)
+          }
+          s = s.copy(pending = pending)
+          if (s.blkStart < 0 && pending.isEmpty) {
+            state.remove()
+          } else {
+            state.update(s)
+            val floorMs = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(
+              if (pending.nonEmpty) floorMs
+              else math.max(s.blkEnd / 1000L + 1, floorMs))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Streaming trending top-k: per sliding window, the k most frequent
     * event types — the "what's hot right now" dashboard feed. TWO
     * chained stateful aggregations in append mode (multiple-stateful-

@@ -902,6 +902,50 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("coverageStream blocks ≡ batch c34 across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-04-01 08:00:00").getTime
+    def ev(id: Long, offsetMin: Long, uid: Long) =
+      StreamingOps.EventRow(id, new java.sql.Timestamp(base + offsetMin * 60000L),
+        uid, "view", 0.0)
+    // u1: chain 0,20,45 merges into ONE block (each within 30 min of
+    //     the running end) then an isolated event at 300
+    // u2: two events 10 min apart (one block), where the later event
+    //     arrives a micro-batch EARLIER than the first (reordering)
+    // u3: single event — block closes by watermark timeout, no
+    //     follow-up event ever arrives for the user
+    val all = Seq(ev(1, 0, 1), ev(2, 20, 1), ev(3, 45, 1), ev(4, 300, 1),
+      ev(20, 15, 2), ev(21, 5, 2), ev(30, 50, 3))
+    val b1 = Seq(all(0), all(4))           // u1@0, u2@15
+    val b2 = Seq(all(1), all(5), all(6))   // u1@20, u2@5 (reordered), u3@50
+    val b3 = Seq(all(2), all(3))           // u1@45, u1@300
+    val flush = Seq(ev(99, 3000, 42))      // watermark far past everything
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.coverageStream(spark, mem.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("cover_test").outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, flush).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.sql(
+        """select user_id, count(*) as n_blocks,
+          |  sum(block_end_us - block_start_us) as covered_us,
+          |  max(block_end_us - block_start_us) as max_block_us
+          |from cover_test group by 1 order by 1""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val expect = graft.operators.Events.c34IntervalUnionOf(
+          all.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"streaming $got vs batch $expect")
+      // block-level sanity: u1 merged 0-45 into one block plus the
+      // isolated 300; every emitted block is closed exactly once
+      val blocks = spark.sql("select user_id, block_start_us from cover_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(blocks.length == blocks.distinct.length, "no block may emit twice")
+      assert(blocks.count(_._1 == 1L) == 2)
+      assert(blocks.count(_._1 == 3L) == 1, "u3's block must close by timeout")
+    } finally q.stop()
+  }
+
   test("streaming trending top-k ≡ batch sliding-window ranking") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
