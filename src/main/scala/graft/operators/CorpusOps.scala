@@ -1483,7 +1483,80 @@ object CorpusOps {
        |SELECT doc_id, source, n_tok, affinity_bp, cum_tok
        |FROM c WHERE cum_tok <= $AffinityBudget ORDER BY doc_id""".stripMargin
 
+  /** d89: duplicated-n-gram coverage per source — the memorization-risk
+    * dashboard from the dedup literature (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: token spans
+    * repeated across documents are what models memorize): per source,
+    * the share of 3-gram occurrences whose gram also appears in ≥ 2
+    * DISTINCT documents corpus-wide, plus the distinct duplicated gram
+    * vocabulary the source touches. d57 surfaces the hot spans
+    * themselves; this is the per-source exposure rollup a curation run
+    * tracks before/after dedup (d29's dashboard sibling at gram grain).
+    *
+    * Shape — the adjudicated d57 budget: TWO map-only explode scans
+    * (grams inline via transform+slice, keys pre-hashed to 8-byte
+    * longs for the exchanges — the d8/d55 discipline; counts are
+    * hash-collision-exact at 2⁻⁶⁴). Scan A reduces (gram, doc) →
+    * gram doc-frequency with map-side partials (never a gram-
+    * partitioned window — a boilerplate gram would pin one partition,
+    * the d57 lesson) and keeps only the ≥2-doc KEYS; scan B reduces to
+    * the (source, gram) occurrence frame; the flag join runs between
+    * the two REDUCED frames, g-keyed and AQE-skew-splittable. On the
+    * joined frame each (source, gram) row is unique, so the duplicated
+    * vocabulary count is a plain conditional sum — no count_distinct. */
+  def d89DupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    def grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(when(size(t) >= 3,
+          transform(sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", slice(t, i, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), col("source"), xxhash64(col("gram")).as("g"))
+    val dup = grams.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("g"), lit(true).as("is_dup"))
+    grams.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .join(dup, Seq("g"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_gram_occ"),
+        sum(when(col("is_dup"), col("c")).otherwise(0L)).as("n_dup_occ"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_types"))
+      .select(col("source"), col("n_gram_occ"), col("n_dup_occ"),
+        expr("(n_dup_occ * 10000) div greatest(1, n_gram_occ)").as("dup_bp"),
+        col("n_dup_types"))
+      .orderBy(col("source"))
+  }
+
+  val d89Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      |  FROM toks WHERE len(t) >= 3),
+      |dup AS (
+      |  SELECT gram FROM (SELECT gram, doc_id FROM g GROUP BY 1, 2)
+      |  GROUP BY gram HAVING count(*) >= 2),
+      |occ AS (SELECT source, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |j AS (
+      |  SELECT o.source, o.c, d.gram IS NOT NULL AS is_dup
+      |  FROM occ o LEFT JOIN dup d ON o.gram = d.gram),
+      |s AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_gram_occ,
+      |    CAST(sum(CASE WHEN is_dup THEN c ELSE 0 END) AS BIGINT) AS n_dup_occ,
+      |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_types
+      |  FROM j GROUP BY 1)
+      |SELECT source, n_gram_occ, n_dup_occ,
+      |  CAST((n_dup_occ * 10000) // greatest(1, n_gram_occ) AS BIGINT) AS dup_bp,
+      |  n_dup_types
+      |FROM s ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d89_dup_ngram_coverage" -> (d89DupNgramCoverage _),
     "d73_affinity_curation" -> (d73AffinityCuration _),
     "d66_length_outliers" -> (d66LengthOutliers _),
     "d57_repeated_spans" -> (d57RepeatedSpans _),
@@ -1507,6 +1580,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d89_dup_ngram_coverage" -> d89Sql,
     "d73_affinity_curation" -> d73Sql,
     "d66_length_outliers" -> d66Sql,
     "d57_repeated_spans" -> d57Sql,

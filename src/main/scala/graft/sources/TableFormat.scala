@@ -161,6 +161,33 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Committed versions still resolvable (the retained window —
+    * current and previous after any commit's vacuum), ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val fs = fsOf(spark, table)
+    val listed = fs.globStatus(new Path(new Path(table, LogDirName), "*"))
+    if (listed == null) Seq.empty
+    else listed.toSeq.flatMap(e => scala.util.Try(e.getPath.getName.toLong).toOption).sorted
+  }
+
+  /** Time travel: read a specific committed version, None if it was
+    * never committed or has been vacuumed out of the retained window.
+    * This is what the log layout buys over rename-in-place — an
+    * auditor can diff the current snapshot against the previous one
+    * (the a21 snapshot-diff input) without racing the writer. */
+  def readVersion(spark: SparkSession, table: String, version: Long): Option[DataFrame] = {
+    val fs = fsOf(spark, table)
+    val entry = new Path(new Path(table, LogDirName), version.toString)
+    if (!fs.exists(entry)) None
+    else {
+      val in = fs.open(entry)
+      val dataName =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(spark.read.parquet(new Path(new Path(table), dataName).toString))
+    }
+  }
+
   override def commit(spark: SparkSession, table: String, df: DataFrame,
                       token: String): Unit = {
     val root = new Path(table)

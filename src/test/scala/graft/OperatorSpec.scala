@@ -2375,6 +2375,33 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("d89 dup-ngram coverage replays exactly; keeps the two-scan d57 budget") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = docs.flatMap { case (id, src, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      t.sliding(3).filter(_.length == 3).map(g => (id, src, g.mkString(" ")))
+    }.toSeq
+    val dupSet = grams.map(g => (g._3, g._1)).distinct
+      .groupBy(_._1).filter(_._2.size >= 2).keySet
+    val expect = grams.groupBy(_._2).view.mapValues { gs =>
+      val occ = gs.size.toLong
+      val dupOcc = gs.count(g => dupSet(g._3)).toLong
+      val dupTypes = gs.filter(g => dupSet(g._3)).map(_._3).distinct.size.toLong
+      (occ, dupOcc, dupOcc * 10000L / math.max(1L, occ), dupTypes)
+    }.toMap
+    val got = CorpusOps.d89DupNgramCoverage(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"d89 diverged from the driver replay")
+    assert(got.values.exists(_._2 > 0), "testdata must contain cross-doc duplicate grams")
+    // two documents scans (the adjudicated d57 reduce+join budget), no more
+    val plan = CorpusOps.d89DupNgramCoverage(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = plan.split(java.util.regex.Pattern.quote("documents.parquet"), -1).length - 1
+    assert(scans == 2, s"d89 must stay at the two-scan budget, saw $scans")
+  }
+
   test("a27 drift sketch: agrees with exact a20 within rsd bounds; no Expand") {
     def byCol(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>

@@ -272,6 +272,14 @@ class SourcesStreamingSpec extends GraftSpec {
     intercept[java.io.IOException] {
       fs.create(new Path(s"$dir/_log/3"), false).close()
     }
+    // time travel over the retained window: v2 readable as committed,
+    // v1 vacuumed, v3 current
+    assert(fmt.versions(spark, dir) == Seq(2L, 3L))
+    assert(fmt.readVersion(spark, dir, 2L).get.as[(Long, String)].collect().toSeq ==
+      Seq((2L, "v2")))
+    assert(fmt.readVersion(spark, dir, 1L).isEmpty, "vacuumed version must be gone")
+    assert(fmt.readVersion(spark, dir, 3L).get.as[(Long, String)].collect().toSeq ==
+      Seq((3L, "v3")))
   }
 
   test("profileMergeBatch over CommitLogTableFormat: merge + replay-skip hold") {
