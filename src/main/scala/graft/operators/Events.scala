@@ -1849,7 +1849,64 @@ object Events {
       |    > 4 * (k1 * ssq1 - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
       |ORDER BY event_type, day""".stripMargin
 
+  /** c38: robust daily anomaly count — the median/MAD twin of c12's
+    * mean/σ rule (Hampel's robust statistics: one outlier day inflates
+    * the mean AND the σ that is supposed to catch it, so z-score rules
+    * go blind exactly when they matter; the median and the median
+    * absolute deviation have 50% breakdown). Per type, over c33's
+    * zero-filled daily spine (missing days are real zeros — skipping
+    * them would bias the median): med, MAD, and how many days deviate
+    * beyond 3·MAD.
+    *
+    * Exactness: Spark's sort-based `percentile` is the q41 adjudication
+    * (parallelism-independent, and interpolation between INTEGERS
+    * yields dyadic doubles — .5 steps for med, .25 for the MAD — so
+    * every downstream comparison is exact in both engines; DuckDB's
+    * quantile_cont interpolates identically). No mean, no σ, no
+    * overflow-prone squares — the c12 DECIMAL(38,0) machinery simply
+    * disappears under the robust rule.
+    *
+    * Shape: ONE corpus scan ([[zeroFilledDays]]); both percentile
+    * windows and the final reduce share the single event_type
+    * exchange over the days-bounded spine frame. */
+  def c38MadAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val wT = Window.partitionBy(col("event_type"))
+    zeroFilledDays(spark, dir)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("med", expr("percentile(n_events, 0.5D)").over(wT))
+      .withColumn("dev", abs(col("n_events").cast("double") - col("med")))
+      .withColumn("mad", expr("percentile(dev, 0.5D)").over(wT))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"))
+  }
+
+  val c38Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |daily AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |m AS (
+      |  SELECT *, quantile_cont(n_events, 0.5) OVER (PARTITION BY event_type) AS med
+      |  FROM daily),
+      |d AS (SELECT *, abs(n_events - med) AS dev FROM m),
+      |md AS (
+      |  SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY event_type) AS mad
+      |  FROM d)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  max(med) AS med, max(mad) AS mad,
+      |  CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM md GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c38_mad_anomaly" -> (c38MadAnomaly _),
     "c37_seasonal_anomaly" -> (c37SeasonalAnomaly _),
     "c36_decay_attribution" -> (c36DecayAttribution _),
     "c35_daily_autocorr" -> (c35DailyAutocorr _),
@@ -1889,6 +1946,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c38_mad_anomaly" -> c38Sql,
     "c37_seasonal_anomaly" -> c37Sql,
     "c36_decay_attribution" -> c36Sql,
     "c35_daily_autocorr" -> c35Sql,

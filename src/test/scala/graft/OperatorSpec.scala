@@ -2402,6 +2402,30 @@ class OperatorSpec extends GraftSpec {
     assert(scans == 2, s"d89 must stay at the two-scan budget, saw $scans")
   }
 
+  test("c38 MAD anomalies replay exactly over the zero-filled spine") {
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expect = raw.groupBy(_._1).view.mapValues { evs =>
+      val byDay = evs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val series = (byDay.keys.min to byDay.keys.max).map(d => byDay.getOrElse(d, 0L))
+      val med = medianOf(series.map(_.toDouble))
+      val devs = series.map(n => math.abs(n.toDouble - med))
+      val mad = medianOf(devs)
+      (series.size.toLong, med, mad, devs.count(_ > 3 * mad).toLong)
+    }.toMap
+    val got = Events.c38MadAnomaly(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expect, s"c38 $got vs replay $expect")
+    assert(got.nonEmpty)
+  }
+
   test("a27 drift sketch: agrees with exact a20 within rsd bounds; no Expand") {
     def byCol(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
