@@ -1905,7 +1905,73 @@ object Events {
       |  CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
       |FROM md GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** c39: A/B conversion report with Wilson 95% intervals — the
+    * experimentation-analytics readout (the capability c30's variant
+    * extraction feeds): per variant, users, converters, exact
+    * conversion bp, and the Wilson score interval (Wilson 1927 — the
+    * standard small-n-safe binomial CI; the normal approximation lies
+    * near 0/1 rates). The experimental UNIT is the user, not the
+    * event (per-event rates double-count heavy users — the classic
+    * A/B analysis bug), so the corpus reduces to per-user conversion
+    * flags first. Variant = user_id mod 2, the deterministic
+    * hash-bucket stand-in for an assignment table (d16's salted-md5
+    * idiom is the production form; mod keeps the oracle trivial).
+    *
+    * Determinism: the CI uses only +,−,×,÷,sqrt on identical operand
+    * trees — every step correctly rounded in both engines (the d88
+    * rule; no pow, no ln) — so even the float bounds hash-match
+    * exactly. Shape: one scan, per-user reduce (map-side combinable),
+    * per-variant reduce to 2 rows, CI math row-local. */
+  def c39AbLift(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("variant"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"), col("variant"))
+      .agg(max(col("p")).as("conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / n
+    val z = lit(1.96)
+    val z2 = z * z
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val half = z * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .select(col("variant"), col("n_users"), col("n_conv"),
+        expr("(n_conv * 10000) div n_users").as("conv_bp"),
+        ((center - half) / denom).as("ci_lo"),
+        ((center + half) / denom).as("ci_hi"))
+      .orderBy(col("variant"))
+  }
+
+  val c39Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |v AS (
+      |  SELECT variant, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv
+      |  FROM per GROUP BY 1)
+      |SELECT variant, n_users, n_conv,
+      |  CAST((n_conv * 10000) // n_users AS BIGINT) AS conv_bp,
+      |  ((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |      + (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+      |    - 1.96 * sqrt(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |        * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+      |        / CAST(n_users AS DOUBLE)
+      |      + (1.96 * 1.96) / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+      |    / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) AS ci_lo,
+      |  ((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |      + (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+      |    + 1.96 * sqrt(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |        * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+      |        / CAST(n_users AS DOUBLE)
+      |      + (1.96 * 1.96) / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+      |    / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) AS ci_hi
+      |FROM v ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c39_ab_lift" -> (c39AbLift _),
     "c38_mad_anomaly" -> (c38MadAnomaly _),
     "c37_seasonal_anomaly" -> (c37SeasonalAnomaly _),
     "c36_decay_attribution" -> (c36DecayAttribution _),
@@ -1946,6 +2012,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c39_ab_lift" -> c39Sql,
     "c38_mad_anomaly" -> c38Sql,
     "c37_seasonal_anomaly" -> c37Sql,
     "c36_decay_attribution" -> c36Sql,

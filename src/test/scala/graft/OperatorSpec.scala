@@ -2426,6 +2426,35 @@ class OperatorSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("c39 Wilson intervals: replayed bounds, coverage shape, user-grain units") {
+    val raw = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = raw.groupBy(_._1).view
+      .mapValues(_.exists(_._2 == "purchase")).toMap
+    val expect = perUser.groupBy(_._1 % 2).view.mapValues { us =>
+      val n = us.size.toLong
+      val k = us.count(_._2).toLong
+      val nd = n.toDouble; val p = k.toDouble / nd
+      val z = 1.96; val z2 = z * z
+      val denom = 1.0 + z2 / nd
+      val center = p + z2 / (2.0 * nd)
+      val half = z * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+      (n, k, k * 10000L / n, (center - half) / denom, (center + half) / denom)
+    }.toMap
+    val got = Events.c39AbLift(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expect.keySet && got.keySet == Set(0L, 1L))
+    got.foreach { case (v, (n, k, bp, lo, hi)) =>
+      val (en, ek, ebp, elo, ehi) = expect(v)
+      assert((n, k, bp) == ((en, ek, ebp)), s"variant $v counts")
+      assert(math.abs(lo - elo) < 1e-12 && math.abs(hi - ehi) < 1e-12, s"variant $v CI")
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= k.toDouble / n && k.toDouble / n <= hi,
+        s"variant $v Wilson bounds must bracket the rate inside [0,1]")
+    }
+  }
+
   test("a27 drift sketch: agrees with exact a20 within rsd bounds; no Expand") {
     def byCol(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
