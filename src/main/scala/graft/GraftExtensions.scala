@@ -6,12 +6,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Engine extension point (SURVEY.md §3): custom Catalyst expressions
-  * registered into the session's FunctionRegistry. Activate with
+  * registered into the session's FunctionRegistry, plus the
+  * [[graft.plans.StripScaledBroadcastHints]] optimizer rule (the
+  * forced-broadcast safety net). Activate with
   * .withExtensions(new GraftExtensions) or
   * spark.sql.extensions=graft.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(s => new graft.plans.StripScaledBroadcastHints(s))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

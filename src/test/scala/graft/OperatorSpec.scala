@@ -220,6 +220,42 @@ class OperatorSpec extends GraftSpec {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("StripScaledBroadcastHints: oversized forced broadcasts degrade to planner choice") {
+    // the engine-side twin of the static hint sweep: a broadcast()
+    // hint whose side exceeds spark.graft.broadcastHint.maxBytes is
+    // stripped by the injected optimizer rule, so the planner (and
+    // AQE) pick from real sizes instead of obeying a stale-scale hint
+    val conf = spark.conf
+    val saved = Seq("spark.graft.broadcastHint.maxBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    def hinted() = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    try {
+      // disable size-based broadcasting: ONLY the hint can plan a BHJ
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.graft.broadcastHint.maxBytes", "-1") // rule disabled
+      assert(hinted().contains("BroadcastHashJoin"),
+        "with the rule off, the forced hint must still win")
+      conf.set("spark.graft.broadcastHint.maxBytes", "1") // 1-byte bound
+      val stripped = hinted()
+      assert(!stripped.contains("BroadcastHashJoin"),
+        "an oversized hint must be stripped:\n" + stripped.take(1500))
+      assert(stripped.contains("SortMergeJoin") || stripped.contains("ShuffledHashJoin"))
+      // sanctioned tiny hints survive the DEFAULT bound
+      conf.unset("spark.graft.broadcastHint.maxBytes")
+      assert(Analytics.q5Multijoin(spark, sfDir).queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "nation/region hints must survive the default 512 MiB bound")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("threshold=-1: un-hinted fact joins fall back to shuffle joins") {
     // Physical counterpart of the sweep above for the adjudicated
     // un-hinted joins (r7: q3 customer, a23 custKeys, d63 vocab; r8:
