@@ -2086,7 +2086,76 @@ object Analytics {
       |WHERE best_faster IS NULL OR rev_dec > best_faster
       |ORDER BY max_delay_days, s_suppkey""".stripMargin
 
+  /** Pair support floor for q59 (pairs co-purchased by fewer baskets
+    * are noise at any scale). */
+  val BasketMinSupport = 2L
+
+  /** q59: market-basket co-purchase pairs with LIFT (Agrawal/Srikant
+    * association-rule mining, the 2-itemset core): parts bought by the
+    * same customer, scored by lift = P(a,b)/(P(a)·P(b)) — the classic
+    * "frequently bought together" signal, top-20 by support.
+    *
+    * Shape — the bounded pair fan-out discipline (q51/d82's): baskets
+    * = distinct (customer, part) from ONE fact-fact join; the pair
+    * generator self-joins that frame on the customer key with p1<p2 —
+    * fan-out per customer is (parts-per-customer choose 2), and
+    * parts-per-customer is SF-INVARIANT in a TPC-H-shaped schema
+    * (order count per customer and lines per order are constants), so
+    * pair volume stays linear in customers. Both join sides are the
+    * SAME windowed lineage, so physical planning dedupes them via
+    * exchange reuse (asserted in the spec — the scan runs once). The
+    * per-part basket counts ride a part-partitioned window BEFORE the
+    * pair join, so lift needs no separate count join; the basket
+    * total is a 1-row aggregate off a SLIM column-pruned orders scan
+    * (the a36/d85 scalar-side adjudication). Counts exact; lift is
+    * the single final double expression; top-20 ordered by
+    * (support desc, p1, p2) — a deterministic total order compiling
+    * to TakeOrderedAndProject. */
+  def q59BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .withColumn("c_i", count(lit(1)).over(Window.partitionBy(col("part"))))
+    val a = baskets.select(col("cust"), col("part").as("p1"), col("c_i").as("c_a"))
+    val b = baskets.select(col("cust"), col("part").as("p2"), col("c_i").as("c_b"))
+    val nRow = Tables.orders(spark, dir)
+      .agg(count_distinct(col("o_custkey")).as("n_baskets"))
+    a.join(b, "cust")
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"), col("c_a"), col("c_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= BasketMinSupport)
+      .crossJoin(broadcast(nRow))
+      .select(col("p1"), col("p2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
+      .orderBy(col("c_ab").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val q59Sql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |w AS (
+       |  SELECT *, count(*) OVER (PARTITION BY part) AS c_i FROM baskets),
+       |p AS (
+       |  SELECT a.p1, a.p2, a.c_a, a.c_b, count(*) AS c_ab FROM (
+       |    SELECT x.cust, x.part AS p1, y.part AS p2, x.c_i AS c_a, y.c_i AS c_b
+       |    FROM w x JOIN w y ON x.cust = y.cust AND x.part < y.part) a
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING count(*) >= $BasketMinSupport),
+       |n AS (SELECT count(DISTINCT o_custkey) AS n_baskets FROM orders)
+       |SELECT p1, p2, CAST(c_ab AS BIGINT) AS c_ab,
+       |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       |  (CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+       |    / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) AS lift
+       |FROM p CROSS JOIN n
+       |ORDER BY c_ab DESC, p1, p2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_basket_pairs" -> (q59BasketPairs _),
     "q58_skyline" -> (q58Skyline _),
     "q57_cardinality_audit" -> (q57CardinalityAudit _),
     "q56_equidepth_hist" -> (q56EquidepthHist _),
@@ -2146,6 +2215,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q59_basket_pairs" -> q59Sql,
     "q58_skyline" -> q58Sql,
     "q57_cardinality_audit" -> q57Sql,
     "q56_equidepth_hist" -> q56Sql,

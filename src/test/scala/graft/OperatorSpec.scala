@@ -40,6 +40,7 @@ class OperatorSpec extends GraftSpec {
       "a36_incremental_agg",   // 1-row watermark-scalar broadcast
       "d85_bm25_topk",         // 1-row corpus-scalars (T, D) broadcast
       "q57_cardinality_audit", // 1-row fact-stats (|A|, ndv_A) broadcast
+      "q59_basket_pairs",      // 1-row basket-count scalar broadcast
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search",   // same broadcast-query shape as d9
       "d65_ann_recall")        // composes d9+d10, inherits their shape
@@ -177,6 +178,7 @@ class OperatorSpec extends GraftSpec {
     val capacityBounded: Map[String, Set[String]] = Map(
       "q27_balance_gap"       -> Set("customer"),   // 1-row avg-balance scalar
       "q57_cardinality_audit" -> Set("orders"),     // 1-row (|A|, ndv) stats
+      "q59_basket_pairs"      -> Set("orders"),     // 1-row basket-count scalar
       "a11_due_sources"       -> Set("events"),     // 1-row as-of scalar
       "a14_html_extract"      -> Set("events"),     // registry keyed by the event-type ENUM (value-space bounded)
       "a36_incremental_agg"   -> Set("orders"),     // 1-row watermark scalar
@@ -2436,6 +2438,39 @@ class OperatorSpec extends GraftSpec {
     val plan = CorpusOps.d89DupNgramCoverage(spark, sfDir).queryExecution.executedPlan.toString
     val scans = plan.split(java.util.regex.Pattern.quote("documents.parquet"), -1).length - 1
     assert(scans == 2, s"d89 must stay at the two-scan budget, saw $scans")
+  }
+
+  test("q59 basket pairs: brute-force lift replay; self-join reuses the exchange") {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cI = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nBaskets = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    val pairCnt = baskets.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.size) yield (parts(i), parts(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = pairCnt.filter(_._2 >= Analytics.BasketMinSupport).toSeq
+      .map { case ((p1, p2), cab) =>
+        (p1, p2, cab, cI(p1), cI(p2),
+          cab.toDouble * nBaskets.toDouble / (cI(p1).toDouble * cI(p2).toDouble))
+      }
+      .sortBy(t => (-t._3, t._1, t._2)).take(20)
+    val got = Analytics.q59BasketPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"q59 ${got.take(3)}... vs replay ${expect.take(3)}...")
+    assert(got.nonEmpty, "testdata must contain co-purchased pairs at min support")
+    // the two pair-join sides are the SAME windowed lineage: AQE must
+    // dedupe them at runtime (one basket computation, not two) — reuse
+    // shows in the FINAL adaptive plan, so execute before inspecting
+    val df = Analytics.q59BasketPairs(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "pair self-join must reuse the basket exchange:\n" + plan.take(2000))
   }
 
   test("c38 MAD anomalies replay exactly over the zero-filled spine") {
