@@ -2113,7 +2113,13 @@ object Analytics {
     * column-pruned orders scan (the a36/d85 scalar-side
     * adjudication). Counts exact; lift is the single final double
     * expression; top-20 ordered by (support desc, p1, p2) — a
-    * deterministic total order compiling to TakeOrderedAndProject. */
+    * deterministic total order compiling to TakeOrderedAndProject.
+    *
+    * Plan-audit note: the STATIC formatted plan prints the basket
+    * lineage once per reference (pair sides + counts branch) because
+    * AQE defers exchange reuse to runtime — the FINAL adaptive plan
+    * (what actually executes, asserted in the spec) reuses the one
+    * basket exchange for all three. */
   def q59BasketPairs(spark: SparkSession, dir: String): DataFrame = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))

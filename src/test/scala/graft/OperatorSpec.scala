@@ -2473,6 +2473,36 @@ class OperatorSpec extends GraftSpec {
       "pair self-join must reuse the basket exchange:\n" + plan.take(2000))
   }
 
+  test("d89 survives a planted boilerplate gram present in EVERY doc") {
+    // the hot-key scenario the reduce+join shape exists for: one gram
+    // with df = |docs| would pin a gram-partitioned window; through
+    // the groupBy (map-side partials) + keyed join it is just another
+    // key, and the result must stay exact
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    Tables.documents(spark, sfDir)
+      .withColumn("text", concat(lit("common legal boilerplate "), col("text")))
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = docs.flatMap { case (id, src, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      t.sliding(3).filter(_.length == 3).map(g => (id, src, g.mkString(" ")))
+    }.toSeq
+    val dupSet = grams.map(g => (g._3, g._1)).distinct
+      .groupBy(_._1).filter(_._2.size >= 2).keySet
+    val expect = grams.groupBy(_._2).view.mapValues { gs =>
+      val occ = gs.size.toLong
+      val dupOcc = gs.count(g => dupSet(g._3)).toLong
+      (occ, dupOcc, dupOcc * 10000L / math.max(1L, occ),
+        gs.filter(g => dupSet(g._3)).map(_._3).distinct.size.toLong)
+    }.toMap
+    val got = CorpusOps.d89DupNgramCoverage(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, "d89 diverged under the planted boilerplate gram")
+  }
+
   test("c38 MAD anomalies replay exactly over the zero-filled spine") {
     val raw = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
