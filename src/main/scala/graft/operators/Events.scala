@@ -1970,7 +1970,161 @@ object Events {
       |    / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)) AS ci_hi
       |FROM v ORDER BY variant""".stripMargin
 
+  /** Channel universe for c40 (the event-type taxonomy minus the
+    * conversion event — pinned like c6/c16 pin theirs; in production
+    * this comes from the source registry). */
+  val AttributionChannels = Seq("click", "error", "signup", "view")
+  /** Finite iteration horizon for the absorption solve: paths longer
+    * than this contribute no mass. The ORACLE replays the same k, so
+    * the gate is exact regardless of convergence distance. */
+  val AttributionRounds = 24
+
+  /** c40: Markov removal-effect attribution — the data-driven channel
+    * attribution model (Anderl et al. 2016; the standard upgrade from
+    * rule-based credit): user journeys become a first-order Markov
+    * chain over channels with CONV/NULL absorbing states; a channel's
+    * credit is its REMOVAL EFFECT — how much total conversion
+    * probability disappears when every visit to it is treated as
+    * failing — normalized across channels. Completes the attribution
+    * triad: c11 last-touch (positional), c36 time-decay (heuristic),
+    * this one causal-ish from observed transitions.
+    *
+    * Exactness: the absorption system is solved by [[AttributionRounds]]
+    * fixed-point rounds in integer ppm — per state,
+    * Σ cnt(s→t)·p(t) div row_total(s), floor division on nonnegative
+    * operands — bit-identical in Scala and the DuckDB oracle's
+    * MATERIALIZED per-round CTEs (the c28 replay pattern; plain CTE
+    * inlining would blow up exponentially). Removal pins the
+    * channel's p to 0 inside the same iteration; all five scenarios
+    * (full + 4 removals) iterate over one (scenario, state) table.
+    *
+    * Shape: ONE corpus scan; journeys truncate at the first purchase
+    * (prefix property keeps lag valid after the filter); each event
+    * row emits its step edge — and, via a conditional array explode
+    * (never a union of branches — the c33 lesson), the terminal
+    * →NULL edge on last non-converting rows; the corpus reduces to
+    * the ≤(channels+1)×(channels+2) edge matrix; the solve runs
+    * driver-side over that value-space-bounded aggregate (the c28/
+    * Lloyd bounded-collect pattern — never corpus rows). */
+  def c40MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAllU = Window.partitionBy(col("user_id"))
+    val kept = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(wU))
+      .withColumn("firstp",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wAllU))
+      .filter(col("firstp").isNull || col("rn") <= col("firstp"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wU))
+      .withColumn("last_rn", max(col("rn")).over(wAllU))
+    val stepEdge = struct(
+      when(col("rn") === 1, lit("START")).otherwise(col("prev_type")).as("from_state"),
+      when(col("event_type") === "purchase", lit("CONV")).otherwise(col("event_type")).as("to_state"))
+    val termEdge = struct(col("event_type").as("from_state"), lit("NULL").as("to_state"))
+    val edgeRows = kept
+      .select(explode(when(col("rn") === col("last_rn") && col("event_type") =!= "purchase",
+        array(stepEdge, termEdge)).otherwise(array(stepEdge))).as("e"))
+      .groupBy(col("e.from_state").as("from_state"), col("e.to_state").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val rowTotals = edgeRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def solve(pinned: Option[String]): Long = {
+      val states = "START" +: AttributionChannels :+ "CONV" :+ "NULL"
+      var p = states.map(s => s -> (if (s == "CONV") 1000000L else 0L)).toMap
+      for (_ <- 1 to AttributionRounds) {
+        p = p.map { case (s, _) =>
+          s -> (s match {
+            case "CONV" => 1000000L
+            case "NULL" => 0L
+            case x if pinned.contains(x) => 0L
+            case x => rowTotals.get(x) match {
+              case Some(tot) =>
+                edgeRows.filter(_._1 == x).map(e => e._3 * p.getOrElse(e._2, 0L)).sum / tot
+              case None => 0L
+            }
+          })
+        }
+      }
+      p("START")
+    }
+    val pFull = solve(None)
+    val removals = AttributionChannels.map(c => c -> (pFull - solve(Some(c))))
+    val totRem = math.max(1L, removals.map(_._2).sum)
+    import spark.implicits._
+    removals.map { case (c, rc) =>
+      (c, pFull, pFull - rc, rc, rc * 10000L / totRem)
+    }.toDF("channel", "p_conv_ppm", "p_without_ppm", "removal_ppm", "attribution_bp")
+      .orderBy(col("channel"))
+  }
+
+  val c40Sql: String = {
+    val chans = AttributionChannels
+    val stateVals = ("START" +: chans :+ "CONV" :+ "NULL").map(s => s"('$s')").mkString(",")
+    val scenVals = ("none" +: chans).map(s => s"('$s')").mkString(",")
+    val rounds = (1 to AttributionRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s.scenario, s.state,
+         |    CASE WHEN s.state = 'CONV' THEN 1000000
+         |         WHEN s.state = 'NULL' THEN 0
+         |         WHEN s.state = s.scenario THEN 0
+         |         ELSE coalesce((
+         |           SELECT CAST(sum(e.cnt * pp.ppm) // max(e.row_total) AS BIGINT)
+         |           FROM edges e JOIN p${r - 1} pp
+         |             ON pp.state = e.to_state AND pp.scenario = s.scenario
+         |           WHERE e.from_state = s.state), 0)
+         |    END AS ppm
+         |  FROM p${r - 1} s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM ev),
+       |fp AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |    OVER (PARTITION BY user_id) AS firstp
+       |  FROM r),
+       |kept AS (SELECT * FROM fp WHERE firstp IS NULL OR rn <= firstp),
+       |lagd AS (
+       |  SELECT user_id, rn, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS prev_type,
+       |    max(rn) OVER (PARTITION BY user_id) AS last_rn
+       |  FROM kept),
+       |edges0 AS (
+       |  SELECT CASE WHEN rn = 1 THEN 'START' ELSE prev_type END AS from_state,
+       |         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS to_state
+       |  FROM lagd
+       |  UNION ALL
+       |  SELECT event_type, 'NULL' FROM lagd WHERE rn = last_rn AND event_type <> 'purchase'),
+       |edges AS (
+       |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(count(*)) OVER (PARTITION BY from_state) AS BIGINT) AS row_total
+       |  FROM edges0 GROUP BY 1, 2),
+       |states(state) AS (VALUES $stateVals),
+       |scen(scenario) AS (VALUES $scenVals),
+       |p0 AS (
+       |  SELECT scenario, state, CASE WHEN state = 'CONV' THEN 1000000 ELSE 0 END AS ppm
+       |  FROM scen CROSS JOIN states),
+       |$rounds,
+       |fin AS (
+       |  SELECT scenario AS channel, ppm AS p_without
+       |  FROM p$AttributionRounds WHERE state = 'START' AND scenario <> 'none'),
+       |pf AS (
+       |  SELECT ppm AS p_full FROM p$AttributionRounds
+       |  WHERE state = 'START' AND scenario = 'none'),
+       |remv AS (
+       |  SELECT channel, p_full, p_without, p_full - p_without AS removal_ppm
+       |  FROM fin CROSS JOIN pf),
+       |tot AS (SELECT greatest(1, sum(removal_ppm)) AS t FROM remv)
+       |SELECT channel, CAST(p_full AS BIGINT) AS p_conv_ppm,
+       |  CAST(p_without AS BIGINT) AS p_without_ppm,
+       |  CAST(removal_ppm AS BIGINT) AS removal_ppm,
+       |  CAST((removal_ppm * 10000) // t AS BIGINT) AS attribution_bp
+       |FROM remv CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c40_markov_attribution" -> (c40MarkovAttribution _),
     "c39_ab_lift" -> (c39AbLift _),
     "c38_mad_anomaly" -> (c38MadAnomaly _),
     "c37_seasonal_anomaly" -> (c37SeasonalAnomaly _),
@@ -2012,6 +2166,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c40_markov_attribution" -> c40Sql,
     "c39_ab_lift" -> c39Sql,
     "c38_mad_anomaly" -> c38Sql,
     "c37_seasonal_anomaly" -> c37Sql,

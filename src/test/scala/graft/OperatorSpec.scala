@@ -2503,6 +2503,64 @@ class OperatorSpec extends GraftSpec {
     assert(got == expect, "d89 diverged under the planted boilerplate gram")
   }
 
+  test("c40 Markov attribution: independent journey replay; removal monotone") {
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // journeys: per user sort by (ts, event_id), truncate at first purchase
+    val edges = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    raw.groupBy(_._1).values.foreach { evs =>
+      val path0 = evs.sortBy(e => (e._3, e._2)).map(_._4)
+      val cut = path0.indexOf("purchase")
+      val path = if (cut >= 0) path0.take(cut + 1) else path0
+      var prev = "START"
+      path.foreach { ch =>
+        val to = if (ch == "purchase") "CONV" else ch
+        edges((prev, to)) += 1L
+        prev = to
+      }
+      if (prev != "CONV") edges((prev, "NULL")) += 1L
+    }
+    val totals = edges.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    def solve(pinned: Option[String]): Long = {
+      val states = "START" +: Events.AttributionChannels :+ "CONV" :+ "NULL"
+      var p = states.map(s => s -> (if (s == "CONV") 1000000L else 0L)).toMap
+      (1 to Events.AttributionRounds).foreach { _ =>
+        p = p.map { case (s, _) =>
+          s -> (s match {
+            case "CONV" => 1000000L
+            case "NULL" => 0L
+            case x if pinned.contains(x) => 0L
+            case x => totals.get(x) match {
+              case Some(tot) => edges.toSeq.filter(_._1._1 == x)
+                .map { case ((_, to), c) => c * p.getOrElse(to, 0L) }.sum / tot
+              case None => 0L
+            }
+          })
+        }
+      }
+      p("START")
+    }
+    val pFull = solve(None)
+    val rem = Events.AttributionChannels.map(c => c -> (pFull - solve(Some(c))))
+    val totRem = math.max(1L, rem.map(_._2).sum)
+    val expect = rem.map { case (c, rc) =>
+      c -> ((pFull, pFull - rc, rc, rc * 10000L / totRem))
+    }.toMap
+    val got = Events.c40MarkovAttribution(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"c40 $got vs replay $expect")
+    // structural: removal never negative (pinning can only lose mass),
+    // credits use the whole 10000 bp up to integer floor
+    got.values.foreach { case (pf, pw, rc, _) =>
+      assert(rc >= 0 && pw <= pf)
+    }
+    assert(got.values.map(_._4).sum <= 10000)
+    assert(got.values.exists(_._3 > 0), "some channel must carry removal effect")
+  }
+
   test("c38 MAD anomalies replay exactly over the zero-filled spine") {
     val raw = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
