@@ -1943,7 +1943,70 @@ object Etl {
        |  CASE WHEN n_erased = 0 THEN 0 ELSE (n_rows - n_erased) * 100 END AS rewrite_bytes
        |FROM g ORDER BY y, m""".stripMargin
 
+  /** k thresholds the a38 report prices (the values privacy reviews
+    * actually ask about). A literal array — the a23 stacking idiom. */
+  val KAnonThresholds = Seq(2L, 5L, 10L, 20L)
+
+  /** a38: k-anonymity audit over a quasi-identifier tuple — the
+    * re-identification-risk report (Sweeney 2002) a governance review
+    * runs before any data release, completing the privacy family
+    * (d18 redacts direct identifiers, a37 plans erasure; this
+    * measures what the INDIRECT identifiers still leak): customers
+    * grouped by the QI tuple (nation, market segment, coarse balance
+    * bucket) form equivalence classes; a row in a class smaller than
+    * k is re-identifiable among fewer than k candidates. Per k
+    * threshold: classes below k, rows at risk (exact bp), and the
+    * global minimum class size (the dataset's actual k).
+    *
+    * Determinism: the balance bucket offsets cents to NONNEGATIVE
+    * before the integral division (Spark `div` truncates toward zero
+    * while DuckDB `//` floors — they agree only on nonnegative
+    * operands, the documented rule; acctbal can be negative).
+    *
+    * Shape: ONE scan → QI-grain reduce (map-side combinable) → the
+    * 4-element literal threshold explode fans the ≤|QI classes| frame
+    * → per-k conditional aggregation. Nothing corpus-sized past the
+    * first reduce. */
+  def a38KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val balBucket =
+      expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 100000")
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"), balBucket.as("bal_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    classes
+      .select(col("sz"),
+        explode(array(KAnonThresholds.map(lit(_)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        countIf(col("sz") < col("k")).as("classes_below"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("rows_below"),
+        sum(col("sz")).as("n_rows"),
+        min(col("sz")).as("min_class_size"))
+      .select(col("k"), col("n_classes"), col("classes_below"), col("rows_below"),
+        expr("(rows_below * 10000) div n_rows").as("risk_bp"),
+        col("min_class_size"))
+      .orderBy(col("k"))
+  }
+
+  val a38Sql: String = {
+    val ks = KAnonThresholds.mkString(", ")
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_bucket,
+       |    count(*) AS sz
+       |  FROM customer GROUP BY 1, 2, 3),
+       |f AS (SELECT sz, unnest([$ks]) AS k FROM cls)
+       |SELECT k, count(*) AS n_classes,
+       |  CAST(count(CASE WHEN sz < k THEN 1 END) AS BIGINT) AS classes_below,
+       |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_below,
+       |  CAST((sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 10000) // sum(sz) AS BIGINT) AS risk_bp,
+       |  min(sz) AS min_class_size
+       |FROM f GROUP BY 1 ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a38_k_anonymity" -> (a38KAnonymity _),
     "a37_erasure_plan" -> (a37ErasurePlan _),
     "a36_incremental_agg" -> (a36IncrementalAgg _),
     "a35_fd_audit" -> (a35FdAudit _),
@@ -1983,6 +2046,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a38_k_anonymity" -> a38Sql,
     "a37_erasure_plan" -> a37Sql,
     "a36_incremental_agg" -> a36Sql,
     "a35_fd_audit" -> a35Sql,

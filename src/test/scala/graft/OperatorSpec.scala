@@ -2561,6 +2561,29 @@ class OperatorSpec extends GraftSpec {
     assert(got.values.exists(_._3 > 0), "some channel must carry removal effect")
   }
 
+  test("a38 k-anonymity replays exactly; risk monotone in k") {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal").cast("string"))
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        (BigDecimal(r.getString(2)).setScale(2) * 100).toLongExact))
+    val classes = rows.groupBy { case (n, s, cents) =>
+      (n, s, (cents + 100000L) / 100000L)
+    }.view.mapValues(_.size.toLong).values.toSeq
+    val nRows = classes.sum
+    val expect = Etl.KAnonThresholds.map { k =>
+      val below = classes.filter(_ < k)
+      k -> ((classes.size.toLong, below.size.toLong, below.sum,
+        below.sum * 10000L / nRows, classes.min))
+    }.toMap
+    val got = Etl.a38KAnonymity(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"a38 $got vs replay $expect")
+    // risk can only grow with k
+    val byK = Etl.KAnonThresholds.map(got(_)._4)
+    assert(byK == byK.sorted)
+  }
+
   test("c38 MAD anomalies replay exactly over the zero-filled spine") {
     val raw = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
