@@ -2005,7 +2005,78 @@ object Etl {
        |FROM f GROUP BY 1 ORDER BY k""".stripMargin
   }
 
+  /** l thresholds for a39 (sensitive-value diversity floors). */
+  val LDivThresholds = Seq(2L, 3L, 4L)
+
+  /** a39: l-diversity audit — a38's companion (Machanavajjhala et al.
+    * 2007): k-anonymity alone falls to the HOMOGENEITY attack (a
+    * class of 50 where every member shares the sensitive value leaks
+    * it despite k=50). Sensitive attribute = the customer's observed
+    * order priorities (transaction-derived, the realistic case — it
+    * rides in from a second table, not the release row). Per QI class
+    * (a38's tuple): member count, distinct sensitive values l; per
+    * literal l threshold: classes below, members at risk in exact bp.
+    *
+    * Shape: TWO genuine inputs (customer QI frame + orders sensitive
+    * frame — the a21 two-scan precedent), joined un-hinted on the
+    * customer key (fact-fact SMJ at scale, AQE broadcast at test SF);
+    * orders reduce FIRST to distinct (customer, priority) so the join
+    * fans out at most |priorities| per customer; the QI reduce runs
+    * both count_distincts in one aggregate (a12 discipline); the
+    * literal l explode fans the ≤|QI classes| frame only. */
+  def a39LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val balBucket =
+      expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 100000")
+    val qi = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        balBucket.as("bal_bucket"))
+    val sens = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority")).distinct()
+    val classes = qi
+      .join(sens, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(countDistinct(col("c_custkey")).as("n_members"),
+        countDistinct(col("o_orderpriority")).as("l_div"))
+    classes
+      .select(col("n_members"), col("l_div"),
+        explode(array(LDivThresholds.map(lit(_)): _*)).as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        countIf(col("l_div") < col("l")).as("classes_below"),
+        sum(when(col("l_div") < col("l"), col("n_members")).otherwise(0L)).as("members_below"),
+        sum(col("n_members")).as("n_members"),
+        min(col("l_div")).as("min_l"))
+      .select(col("l"), col("n_classes"), col("classes_below"), col("members_below"),
+        expr("(members_below * 10000) div n_members").as("risk_bp"),
+        col("min_l"))
+      .orderBy(col("l"))
+  }
+
+  val a39Sql: String = {
+    val ls = LDivThresholds.mkString(", ")
+    s"""WITH qi AS (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_bucket
+       |  FROM customer),
+       |sens AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+       |    count(DISTINCT c_custkey) AS n_members,
+       |    count(DISTINCT o_orderpriority) AS l_div
+       |  FROM qi JOIN sens ON c_custkey = o_custkey
+       |  GROUP BY 1, 2, 3),
+       |f AS (SELECT n_members, l_div, unnest([$ls]) AS l FROM cls)
+       |SELECT l, count(*) AS n_classes,
+       |  CAST(count(CASE WHEN l_div < l THEN 1 END) AS BIGINT) AS classes_below,
+       |  CAST(sum(CASE WHEN l_div < l THEN n_members ELSE 0 END) AS BIGINT) AS members_below,
+       |  CAST((sum(CASE WHEN l_div < l THEN n_members ELSE 0 END) * 10000)
+       |    // sum(n_members) AS BIGINT) AS risk_bp,
+       |  min(l_div) AS min_l
+       |FROM f GROUP BY 1 ORDER BY l""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a39_l_diversity" -> (a39LDiversity _),
     "a38_k_anonymity" -> (a38KAnonymity _),
     "a37_erasure_plan" -> (a37ErasurePlan _),
     "a36_incremental_agg" -> (a36IncrementalAgg _),
@@ -2046,6 +2117,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a39_l_diversity" -> a39Sql,
     "a38_k_anonymity" -> a38Sql,
     "a37_erasure_plan" -> a37Sql,
     "a36_incremental_agg" -> a36Sql,

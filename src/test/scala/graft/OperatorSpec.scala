@@ -2584,6 +2584,33 @@ class OperatorSpec extends GraftSpec {
     assert(byK == byK.sorted)
   }
 
+  test("a39 l-diversity replays exactly against a joined driver ground truth") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getString(2),
+        (BigDecimal(r.getString(3)).setScale(2) * 100).toLongExact))
+    val prios = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val classes = cust.filter(c => prios.contains(c._1))
+      .groupBy(c => (c._2, c._3, (c._4 + 100000L) / 100000L)).values.map { ms =>
+        (ms.map(_._1).distinct.size.toLong,
+          ms.flatMap(c => prios(c._1)).distinct.size.toLong)
+      }.toSeq
+    val totalMembers = classes.map(_._1).sum
+    val expect = Etl.LDivThresholds.map { l =>
+      val below = classes.filter(_._2 < l)
+      l -> ((classes.size.toLong, below.size.toLong, below.map(_._1).sum,
+        below.map(_._1).sum * 10000L / totalMembers, classes.map(_._2).min))
+    }.toMap
+    val got = Etl.a39LDiversity(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"a39 $got vs replay $expect")
+  }
+
   test("c38 MAD anomalies replay exactly over the zero-filled spine") {
     val raw = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
