@@ -2075,7 +2075,150 @@ object Etl {
        |FROM f GROUP BY 1 ORDER BY l""".stripMargin
   }
 
+  /** t thresholds (milli) for a40. */
+  val TCloseThresholds = Seq(100L, 200L, 300L)
+  /** The sensitive-attribute domain (a fixed enum like c40's channel
+    * universe; registry-provided in production). */
+  val TClosePriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** a40: t-closeness audit — the third rung of the release-privacy
+    * ladder (Li/Li/Venkatasubramanian 2007): l-diversity still leaks
+    * by SKEWNESS (a class can be diverse yet wildly over-represent
+    * one sensitive value); t-closeness bounds the distance between
+    * each class's sensitive distribution and the corpus distribution.
+    * Distance = the ordered-EMD prefix form Σ_p |F_class(p) − F(p)|
+    * over the (lexicographically ordered) priority domain, evaluated
+    * EXACTLY by cross-multiplication: Σ|cum_cp·N − cum_gp·n_c| with
+    * the products in DECIMAL(38,0) (cum·N passes 2⁶³ at the design
+    * point), compared against t via one more integer cross-multiply —
+    * no float distribution arithmetic anywhere. Per literal t ∈
+    * {0.1, 0.2, 0.3}: classes above t, members at risk in exact bp;
+    * plus the max observed distance in milli.
+    *
+    * Shape: a39's two inputs and join; the corpus then reduces to the
+    * (QI class × priority) frame — VALUE-BOUNDED (nations × segments ×
+    * fixed balance-bucket range × ≤5 priorities), so every window
+    * (class prefix, global prefix, class size, N) runs over a ≤~7k-row
+    * frame; the threshold explode fans that frame only. */
+  def a40TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val balBucket =
+      expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 100000")
+    val qi = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        balBucket.as("bal_bucket"))
+    val sens = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority")).distinct()
+    // DENSE (class × priority) frame: the EMD prefix sum must include
+    // priorities a class never exhibits (their flat-prefix terms are
+    // exactly where skew shows), so the per-class counts aggregate
+    // into one conditional-agg row (a20 discipline) and explode back
+    // over the LITERAL priority domain (pinned like c40's channels —
+    // in production it comes from the registry) with m = 0 fill
+    val prios = TClosePriorities.zipWithIndex
+    val cp = qi.join(sens, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(prios.map { case (p, i) =>
+        countIf(col("o_orderpriority") === p).as(s"m$i")
+      }.head, prios.tail.map { case (p, i) =>
+        countIf(col("o_orderpriority") === p).as(s"m$i")
+      }: _*)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        explode(array(prios.map { case (p, i) =>
+          struct(lit(p).as("o_orderpriority"), col(s"m$i").as("m"))
+        }: _*)).as("e"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        col("e.o_orderpriority").as("o_orderpriority"), col("e.m").as("m"))
+    val cls = Seq(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+    val wCum = Window.partitionBy(cls: _*).orderBy(col("o_orderpriority"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCls = Window.partitionBy(cls: _*)
+    val wGCum = Window.orderBy(col("o_orderpriority"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val terms = cp
+      .withColumn("cum_cp", sum(col("m")).over(wCum))
+      .withColumn("n_c", sum(col("m")).over(wCls))
+      .withColumn("cum_gp", sum(col("m")).over(wGCum))
+      .withColumn("n_all", sum(col("m")).over(wAll))
+      .groupBy(cls :+ col("n_c") :+ col("n_all"): _*)
+      .agg(sum(abs(d38(col("cum_cp")) * d38(col("n_all")) -
+        d38(col("cum_gp")) * d38(col("n_c")))).as("emd_scaled"))
+    terms
+      .select(col("n_c"), col("n_all"), col("emd_scaled"),
+        expr("cast((emd_scaled * 1000) div (cast(n_c as decimal(38,0)) * n_all) as bigint)")
+          .as("emd_milli"),
+        explode(array(TCloseThresholds.map(lit(_)): _*)).as("t_milli"))
+      .withColumn("above",
+        col("emd_scaled") * 1000 > d38(col("n_c")) * d38(col("n_all")) * col("t_milli"))
+      .groupBy(col("t_milli"))
+      .agg(count(lit(1)).as("n_classes"),
+        countIf(col("above")).as("classes_above"),
+        sum(when(col("above"), col("n_c")).otherwise(0L)).as("members_above"),
+        sum(col("n_c")).as("n_members"),
+        max(col("emd_milli")).as("max_emd_milli"))
+      .select(col("t_milli"), col("n_classes"), col("classes_above"),
+        col("members_above"),
+        expr("(members_above * 10000) div n_members").as("risk_bp"),
+        col("max_emd_milli"))
+      .orderBy(col("t_milli"))
+  }
+
+  val a40Sql: String = {
+    val ts = TCloseThresholds.mkString(", ")
+    s"""WITH qi AS (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_bucket
+       |  FROM customer),
+       |sens AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+       |cpd AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+       |    ${TClosePriorities.zipWithIndex.map { case (p, i) =>
+              s"count(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS m$i"
+            }.mkString(",\n       |    ")}
+       |  FROM qi JOIN sens ON c_custkey = o_custkey
+       |  GROUP BY 1, 2, 3),
+       |cp AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+       |    unnest([${TClosePriorities.map(p => s"'$p'").mkString(", ")}]) AS o_orderpriority,
+       |    unnest([${TClosePriorities.indices.map(i => s"m$i").mkString(", ")}]) AS m
+       |  FROM cpd),
+       |w AS (
+       |  SELECT *,
+       |    sum(m) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_bucket
+       |      ORDER BY o_orderpriority
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cp,
+       |    sum(m) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_bucket) AS n_c,
+       |    sum(m) OVER (ORDER BY o_orderpriority
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gp,
+       |    sum(m) OVER () AS n_all
+       |  FROM cp),
+       |cls AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_bucket, n_c, n_all,
+       |    sum(abs(CAST(cum_cp AS DECIMAL(38,0)) * n_all
+       |      - CAST(cum_gp AS DECIMAL(38,0)) * n_c)) AS emd_scaled
+       |  FROM w GROUP BY 1, 2, 3, 4, 5),
+       |f AS (
+       |  SELECT n_c, n_all, emd_scaled,
+       |    CAST((emd_scaled * 1000) // (CAST(n_c AS DECIMAL(38,0)) * n_all) AS BIGINT) AS emd_milli,
+       |    unnest([$ts]) AS t_milli
+       |  FROM cls)
+       |SELECT t_milli, count(*) AS n_classes,
+       |  CAST(count(CASE WHEN emd_scaled * 1000
+       |    > CAST(n_c AS DECIMAL(38,0)) * n_all * t_milli THEN 1 END) AS BIGINT) AS classes_above,
+       |  CAST(sum(CASE WHEN emd_scaled * 1000
+       |    > CAST(n_c AS DECIMAL(38,0)) * n_all * t_milli THEN n_c ELSE 0 END) AS BIGINT) AS members_above,
+       |  CAST((sum(CASE WHEN emd_scaled * 1000
+       |    > CAST(n_c AS DECIMAL(38,0)) * n_all * t_milli THEN n_c ELSE 0 END) * 10000)
+       |    // sum(n_c) AS BIGINT) AS risk_bp,
+       |  max(emd_milli) AS max_emd_milli
+       |FROM f GROUP BY 1 ORDER BY t_milli""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a40_t_closeness" -> (a40TCloseness _),
     "a39_l_diversity" -> (a39LDiversity _),
     "a38_k_anonymity" -> (a38KAnonymity _),
     "a37_erasure_plan" -> (a37ErasurePlan _),
@@ -2117,6 +2260,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a40_t_closeness" -> a40Sql,
     "a39_l_diversity" -> a39Sql,
     "a38_k_anonymity" -> a38Sql,
     "a37_erasure_plan" -> a37Sql,

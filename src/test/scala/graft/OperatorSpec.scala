@@ -2611,6 +2611,48 @@ class OperatorSpec extends GraftSpec {
     assert(got == expect, s"a39 $got vs replay $expect")
   }
 
+  test("a40 t-closeness: dense-domain EMD replay; skew flags monotone in t") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getString(2),
+        (BigDecimal(r.getString(3)).setScale(2) * 100).toLongExact))
+    val pairs = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val qiOf = cust.map(c => c._1 -> ((c._2, c._3, (c._4 + 100000L) / 100000L))).toMap
+    val byClass = pairs.filter(p => qiOf.contains(p._1))
+      .groupBy(p => qiOf(p._1))
+    val dom = Etl.TClosePriorities
+    val mAll = dom.map(p => p ->
+      pairs.count(x => qiOf.contains(x._1) && x._2 == p).toLong).toMap
+    val nAll = mAll.values.sum
+    val classes = byClass.values.map { ms =>
+      val mC = dom.map(p => p -> ms.count(_._2 == p).toLong).toMap
+      val nC = mC.values.sum
+      var cumC = 0L; var cumG = 0L
+      val emd = dom.map { p =>
+        cumC += mC(p); cumG += mAll(p)
+        (BigInt(cumC) * nAll - BigInt(cumG) * nC).abs
+      }.sum
+      (nC, emd)
+    }.toSeq
+    val totalMembers = classes.map(_._1).sum
+    val expect = Etl.TCloseThresholds.map { t =>
+      val above = classes.filter { case (nC, emd) => emd * 1000 > BigInt(nC) * nAll * t }
+      t -> ((classes.size.toLong, above.size.toLong, above.map(_._1).sum,
+        above.map(_._1).sum * 10000L / totalMembers,
+        classes.map { case (nC, emd) => (emd * 1000 / (BigInt(nC) * nAll)).toLong }.max))
+    }.toMap
+    val got = Etl.a40TCloseness(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"a40 $got vs replay $expect")
+    // flags can only shrink as t grows
+    val above = Etl.TCloseThresholds.map(got(_)._2)
+    assert(above == above.sorted.reverse)
+  }
+
   test("c38 MAD anomalies replay exactly over the zero-filled spine") {
     val raw = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
