@@ -2166,7 +2166,103 @@ object Analytics {
        |CROSS JOIN n
        |ORDER BY c_ab DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** First-significant-digit expectations under Benford's law,
+    * log10(1+1/d) as literal PPM (they sum to exactly 1,000,000) —
+    * literals so neither engine evaluates a logarithm (the no-ln/pow
+    * determinism rule). */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Nigrini MAD conformity thresholds for first-digit tests, in PPM of
+    * proportion deviation (Nigrini 2012: <0.006 close, <0.012
+    * acceptable, <0.015 marginally acceptable, else nonconformity). */
+  val BenfordMadClosePpm = 6000L
+  val BenfordMadAcceptablePpm = 12000L
+  val BenfordMadMarginalPpm = 15000L
+
+  /** q60: Benford first-digit audit over order totals — the classic
+    * forensic data-quality test (Benford 1938; Nigrini's audit
+    * formulation): naturally-occurring multi-scale amounts follow
+    * P(d) = log10(1+1/d), and fabricated or truncated feeds don't.
+    * Per digit 1–9: observed count, observed share (ppm), Benford
+    * expectation (ppm), absolute deviation; plus the suite-level MAD
+    * (mean absolute deviation of proportions) and its Nigrini
+    * conformity verdict. A synthetic uniform-ish price column is
+    * expected to NONCONFORM — the audit's point is measuring how far.
+    *
+    * Determinism: the first digit is extracted from the BIGINT cents
+    * rendering (integer→string agrees across engines; double→string
+    * does not), shares via the truncating integer div both engines
+    * apply to nonnegatives, expectations as literal ppm so no engine
+    * computes a log.
+    *
+    * Shape: ONE column-pruned orders scan → map-side digit → one
+    * 10-column conditional-aggregate row (count + 9 countIfs) → the
+    * 9-element literal-domain explode (a40's pinned-enum idiom: a
+    * digit absent from the data still gets its row) → the MAD window
+    * runs over the 9-row frame (value-bounded, the c31 rule). Nothing
+    * past the map-side reduce is corpus-sized. */
+  def q60BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digit = expr(
+      "cast(substring(cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string), 1, 1) as int)")
+    val row = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(digit.as("d"))
+      .agg(count(lit(1)).as("n"),
+        BenfordPpm.map { case (d, _) => countIf(col("d") === d).as(s"c$d") }: _*)
+    val stacked = row.select(
+      col("n"),
+      explode(array(BenfordPpm.map { case (d, ppm) =>
+        struct(lit(d).as("digit"), col(s"c$d").as("observed"), lit(ppm).as("exp_ppm"))
+      }: _*)).as("x"))
+      .select(col("x.digit").as("digit"), col("x.observed").as("observed"),
+        expr("(x.observed * 1000000) div n").as("obs_ppm"),
+        col("x.exp_ppm").as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+    stacked
+      .withColumn("mad_ppm",
+        expr("sum(dev_ppm) over () div 9"))
+      .withColumn("conformity",
+        when(col("mad_ppm") < BenfordMadClosePpm, "close")
+          .when(col("mad_ppm") < BenfordMadAcceptablePpm, "acceptable")
+          .when(col("mad_ppm") < BenfordMadMarginalPpm, "marginal")
+          .otherwise("nonconformity"))
+      .orderBy(col("digit"))
+  }
+
+  val q60Sql: String = {
+    val digits = BenfordPpm.map(_._1).mkString(", ")
+    val ppms = BenfordPpm.map(_._2).mkString(", ")
+    val countCases = BenfordPpm.map { case (d, _) =>
+      s"count(CASE WHEN d = $d THEN 1 END) AS c$d"
+    }.mkString(", ")
+    val obsCases = BenfordPpm.map { case (d, _) =>
+      s"WHEN digit = $d THEN c$d"
+    }.mkString(" ")
+    s"""WITH src AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+       |  FROM orders WHERE o_totalprice > 0),
+       |agg AS (SELECT count(*) AS n, $countCases FROM src),
+       |spine AS (SELECT unnest([$digits]) AS digit, unnest([$ppms]) AS exp_ppm),
+       |j AS (
+       |  SELECT digit, CAST(CASE $obsCases END AS BIGINT) AS observed, exp_ppm, n
+       |  FROM spine CROSS JOIN agg),
+       |k AS (
+       |  SELECT digit, observed, CAST((observed * 1000000) // n AS BIGINT) AS obs_ppm, exp_ppm,
+       |    CAST(abs((observed * 1000000) // n - exp_ppm) AS BIGINT) AS dev_ppm
+       |  FROM j)
+       |SELECT digit, observed, obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm, dev_ppm,
+       |  CAST(sum(dev_ppm) OVER () // 9 AS BIGINT) AS mad_ppm,
+       |  CASE WHEN sum(dev_ppm) OVER () // 9 < $BenfordMadClosePpm THEN 'close'
+       |       WHEN sum(dev_ppm) OVER () // 9 < $BenfordMadAcceptablePpm THEN 'acceptable'
+       |       WHEN sum(dev_ppm) OVER () // 9 < $BenfordMadMarginalPpm THEN 'marginal'
+       |       ELSE 'nonconformity' END AS conformity
+       |FROM k ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_benford_audit" -> (q60BenfordAudit _),
     "q59_basket_pairs" -> (q59BasketPairs _),
     "q58_skyline" -> (q58Skyline _),
     "q57_cardinality_audit" -> (q57CardinalityAudit _),
@@ -2227,6 +2323,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q60_benford_audit" -> q60Sql,
     "q59_basket_pairs" -> q59Sql,
     "q58_skyline" -> q58Sql,
     "q57_cardinality_audit" -> q57Sql,

@@ -3876,4 +3876,35 @@ class OperatorSpec extends GraftSpec {
     // margins partition the total
     assert(cells.collect { case ((s, _), v) => v }.sum == n)
   }
+
+  test("q60 benford: digit shares and MAD replay exactly; expectations sum to 1e6") {
+    assert(Analytics.BenfordPpm.map(_._2).sum == 1000000L)
+    val cents = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 0)
+      .select(col("o_totalprice").cast("string")).collect()
+      .map(r => (BigDecimal(r.getString(0)).setScale(2) * 100).toLongExact)
+    val digits = cents.map(_.toString.head.asDigit)
+    val n = digits.length.toLong
+    val counts = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val devs = Analytics.BenfordPpm.map { case (d, ppm) =>
+      val obs = counts.getOrElse(d, 0L)
+      d -> ((obs, obs * 1000000L / n, ppm, (obs * 1000000L / n - ppm).abs))
+    }
+    val mad = devs.map(_._2._4).sum / 9L
+    val verdict =
+      if (mad < Analytics.BenfordMadClosePpm) "close"
+      else if (mad < Analytics.BenfordMadAcceptablePpm) "acceptable"
+      else if (mad < Analytics.BenfordMadMarginalPpm) "marginal"
+      else "nonconformity"
+    val got = Analytics.q60BenfordAudit(spark, sfDir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    val expect = devs.map { case (d, (obs, op, ep, dev)) =>
+      d -> ((obs, op, ep, dev, mad, verdict))
+    }.toMap
+    assert(got == expect, s"q60 $got vs replay $expect")
+    // the 9 rows partition the corpus
+    assert(got.values.map(_._1).sum == n)
+  }
 }
