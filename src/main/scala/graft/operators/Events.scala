@@ -2123,7 +2123,77 @@ object Events {
        |FROM remv CROSS JOIN tot ORDER BY channel""".stripMargin
   }
 
+  /** c41 burn-in: days of history the EWMA baseline requires before a
+    * day is judged (standard control-chart practice — partial windows
+    * produce unstable limits). Also the number of dyadic weight terms. */
+  val EwmaDays = 8
+  /** Multiplicative spike threshold (today > 3× baseline). */
+  val EwmaSpikeFactor = 3L
+  /** Floor below which a day never flags — a 3×-of-nothing spike on a
+    * near-zero series is noise, not an incident. */
+  val EwmaMinCount = 5L
+
+  /** c41: EWMA control chart over daily volumes per type — the
+    * exponentially-weighted smoothing baseline (Roberts 1959;
+    * Hunter 1986) that completes the anomaly triad: c12 flags against
+    * a global mean/σ, c38 against median/MAD, this against a RECENCY-
+    * WEIGHTED local baseline that adapts to drift (a level shift stops
+    * flagging once absorbed, which the global detectors never do).
+    *
+    * Determinism — the dyadic-α trick: α = 1/2 makes every EWMA weight
+    * a power of two, so the 8-term truncated EWMA is the INTEGER
+    * weighted sum Σ n_{t-k}·2^(8-k) over denominator 255 — no doubles,
+    * no pow(), identical in both engines; the spike test cross-
+    * multiplies (n·255 > 3·num) instead of dividing. The spine is
+    * c33's zero-filled one (missing days are real zeros — skipping
+    * them would compare today against week-old volume).
+    *
+    * Shape: ONE corpus scan (the shared zeroFilledDays spine: map-side
+    * (type, day) reduce + inline gap explode), then the 8 lags ride a
+    * single type-keyed window exchange over the days-bounded frame.
+    * First EwmaDays days per type are burn-in (dropped, as a control
+    * chart does). */
+  def c41EwmaControl(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = zeroFilledDays(spark, dir)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("num",
+        (1 to EwmaDays).map(k =>
+          lag(col("n_events"), k).over(w) * lit(1L << (EwmaDays - k))).reduce(_ + _))
+    lagged
+      .filter(col("num").isNotNull)
+      .select(col("event_type"), col("day"), col("n_events"),
+        expr("(num * 1000) div 255").as("baseline_milli"),
+        (col("n_events") * lit(255L) > lit(EwmaSpikeFactor) * col("num") &&
+          col("n_events") >= EwmaMinCount).as("spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val c41Sql: String = {
+    val lagCols = (1 to EwmaDays).map(k => s"lag(n_events, $k) OVER w AS l$k").mkString(", ")
+    val numExpr = (1 to EwmaDays).map(k => s"l$k * ${1L << (EwmaDays - k)}").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+       |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+       |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+       |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+       |j AS (
+       |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+       |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+       |l AS (
+       |  SELECT event_type, day, n_events, $lagCols
+       |  FROM j WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |k AS (
+       |  SELECT event_type, day, n_events, $numExpr AS num
+       |  FROM l WHERE l$EwmaDays IS NOT NULL)
+       |SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       |  CAST((num * 1000) // 255 AS BIGINT) AS baseline_milli,
+       |  (n_events * 255 > $EwmaSpikeFactor * num AND n_events >= $EwmaMinCount) AS spike
+       |FROM k ORDER BY event_type, day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c41_ewma_control" -> (c41EwmaControl _),
     "c40_markov_attribution" -> (c40MarkovAttribution _),
     "c39_ab_lift" -> (c39AbLift _),
     "c38_mad_anomaly" -> (c38MadAnomaly _),
@@ -2166,6 +2236,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c41_ewma_control" -> c41Sql,
     "c40_markov_attribution" -> c40Sql,
     "c39_ab_lift" -> c39Sql,
     "c38_mad_anomaly" -> c38Sql,

@@ -3907,4 +3907,27 @@ class OperatorSpec extends GraftSpec {
     // the 9 rows partition the corpus
     assert(got.values.map(_._1).sum == n)
   }
+
+  test("c41 ewma: dyadic baseline and spike flags replay exactly after burn-in") {
+    val byDay = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val expect = byDay.keys.groupBy(_._1).toSeq.flatMap { case (t, ks) =>
+      val lo = ks.map(_._2).min
+      val hi = ks.map(_._2).max
+      val cnt = (lo to hi).map(d => d -> byDay.getOrElse((t, d), 0L)).toMap
+      (lo + Events.EwmaDays to hi).map { d =>
+        val num = (1 to Events.EwmaDays)
+          .map(k => cnt(d - k) * (1L << (Events.EwmaDays - k))).sum
+        val spike = cnt(d) * 255L > Events.EwmaSpikeFactor * num &&
+          cnt(d) >= Events.EwmaMinCount
+        (t, d) -> ((cnt(d), num * 1000L / 255L, spike))
+      }
+    }.toMap
+    val got = Events.c41EwmaControl(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect, s"c41 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+  }
 }
