@@ -2192,7 +2192,125 @@ object Events {
        |FROM k ORDER BY event_type, day""".stripMargin
   }
 
+  /** Terminal life-table bucket for c42: session durations clamp to
+    * this many minutes, so the life-table domain is LITERAL-bounded
+    * (a pathological always-on key cannot grow the frame the
+    * unpartitioned windows and ppm folds run over). */
+  val KmMaxDurationMin = 240L
+
+  /** c42: Kaplan–Meier survival life table over SESSION durations
+    * (Kaplan & Meier 1958) — "how long does a session last", with
+    * RIGHT-CENSORING done honestly: a session whose last event is
+    * within the 30-min session gap of the corpus end may still be
+    * running, so counting it as ended biases survival down (the c7/
+    * c23 class of retention error, here fixed by the censoring
+    * column rather than by construction). Sessions are c2's (30-min
+    * inactivity gap); duration = last−first event, integer minutes,
+    * clamped to the [[KmMaxDurationMin]] terminal bucket. Per
+    * duration t: ended d_t, censored c_t, at-risk n_t (sessions with
+    * duration ≥ t), hazard d_t/n_t, and the KM survival estimate
+    * Π_{s≤t}(1 − d_s/n_s).
+    *
+    * Determinism — the c40 integer-ppm discipline: hazards are ppm by
+    * truncating div, the survival product is a left fold in ppm
+    * (acc·(1e6−h) div 1e6), identical in both engines; no doubles, no
+    * product-of-float windows.
+    *
+    * Shape: one corpus scan → the c2 user-keyed session window →
+    * per-session reduce (both ride ONE user exchange) + the a36/d85
+    * slim scalar scan for the corpus-end broadcast (1-row BNLJ,
+    * allowlisted); durations then reduce to the ≤[[KmMaxDurationMin]]
+    * literal-bounded life table, where the suffix-sum window, the
+    * collect into ONE bounded array row, and the per-row ppm folds
+    * (≤|buckets|² long ops total) all run — nothing corpus-sized past
+    * the session reduce. */
+  def c42SurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = SessionGapSec * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val endRow = Tables.events(spark, dir).agg(max(unix_micros(col("ts"))).as("end_t"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("nb",
+        when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum(col("nb")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("t")).as("s_start"), max(col("t")).as("s_end"))
+    val tbl = sessions.crossJoin(broadcast(endRow))
+      .select(
+        least(expr("(s_end - s_start) div 60000000"), lit(KmMaxDurationMin)).as("t"),
+        (col("s_end") + gapUs <= col("end_t")).as("ev"))
+      .groupBy(col("t"))
+      .agg(countIf(col("ev")).as("churned"), countIf(!col("ev")).as("censored"))
+    val life = tbl
+      .withColumn("n_at_risk",
+        sum(col("churned") + col("censored")).over(
+          Window.orderBy(col("t").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("hazard_ppm", expr("(churned * 1000000) div n_at_risk"))
+    life
+      .agg(sort_array(collect_list(struct(
+        col("t"), col("churned"), col("censored"),
+        col("n_at_risk"), col("hazard_ppm")))).as("rows"))
+      .withColumn("hs", expr("transform(rows, x -> x.hazard_ppm)"))
+      .select(col("hs"), posexplode(col("rows")).as(Seq("pos", "r")))
+      .select(col("r.t").as("duration_days"), col("r.churned").as("churned"),
+        col("r.censored").as("censored"), col("r.n_at_risk").as("n_at_risk"),
+        col("r.hazard_ppm").as("hazard_ppm"),
+        expr("""aggregate(slice(hs, 1, pos + 1), cast(1000000 as bigint),
+                (acc, h) -> (acc * (1000000 - h)) div 1000000)""").as("survival_ppm"))
+      .orderBy(col("duration_days"))
+  }
+
+  val c42Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+       |endr AS (SELECT max(t) AS end_t FROM e),
+       |m AS (
+       |  SELECT user_id, event_id, t,
+       |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_t
+       |  FROM e),
+       |f AS (
+       |  SELECT user_id, t,
+       |    CASE WHEN prev_t IS NULL OR t - prev_t > ${SessionGapSec * 1000000L}
+       |         THEN 1 ELSE 0 END AS nb,
+       |    event_id
+       |  FROM m),
+       |b AS (
+       |  SELECT user_id, t,
+       |    sum(nb) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM f),
+       |s AS (SELECT user_id, sess, min(t) AS s_start, max(t) AS s_end FROM b GROUP BY 1, 2),
+       |dur AS (
+       |  SELECT least((s_end - s_start) // 60000000, $KmMaxDurationMin) AS t,
+       |    s_end + ${SessionGapSec * 1000000L} <= end_t AS ev
+       |  FROM s CROSS JOIN endr),
+       |tbl AS (
+       |  SELECT t, count(CASE WHEN ev THEN 1 END) AS churned,
+       |    count(CASE WHEN NOT ev THEN 1 END) AS censored
+       |  FROM dur GROUP BY 1),
+       |life AS (
+       |  SELECT t, churned, censored,
+       |    sum(churned + censored) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+       |  FROM tbl),
+       |h AS (
+       |  SELECT t, churned, censored, n_at_risk,
+       |    (churned * 1000000) // n_at_risk AS hazard_ppm,
+       |    row_number() OVER (ORDER BY t) AS rn
+       |  FROM life),
+       |arr AS (SELECT list(hazard_ppm ORDER BY t) AS hs FROM h)
+       |SELECT t AS duration_days, CAST(churned AS BIGINT) AS churned,
+       |  CAST(censored AS BIGINT) AS censored, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       |  CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       |  CAST(list_reduce(list_prepend(CAST(1000000 AS BIGINT), list_slice(hs, 1, rn)),
+       |    (acc, x) -> (acc * (1000000 - x)) // 1000000) AS BIGINT) AS survival_ppm
+       |FROM h CROSS JOIN arr ORDER BY duration_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c42_survival_km" -> (c42SurvivalKm _),
     "c41_ewma_control" -> (c41EwmaControl _),
     "c40_markov_attribution" -> (c40MarkovAttribution _),
     "c39_ab_lift" -> (c39AbLift _),
@@ -2236,6 +2354,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c42_survival_km" -> c42Sql,
     "c41_ewma_control" -> c41Sql,
     "c40_markov_attribution" -> c40Sql,
     "c39_ab_lift" -> c39Sql,

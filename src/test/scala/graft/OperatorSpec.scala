@@ -43,7 +43,8 @@ class OperatorSpec extends GraftSpec {
       "q59_basket_pairs",      // 1-row basket-count scalar broadcast
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search",   // same broadcast-query shape as d9
-      "d65_ann_recall")        // composes d9+d10, inherits their shape
+      "d65_ann_recall",        // composes d9+d10, inherits their shape
+      "c42_survival_km")       // 1-row corpus-end-day scalar broadcast
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -200,7 +201,8 @@ class OperatorSpec extends GraftSpec {
       "d73_affinity_curation" -> Set("documents"),  // composes d54's 256-bucket map
       "d78_heavy_hitters"     -> Set("documents"),  // HeavyCap-bounded sketch candidates
       "d84_dict_code"         -> Set("documents"),  // top-256 dictionary
-      "d85_bm25_topk"         -> Set("documents"))  // 1-row (T, D) corpus scalars
+      "d85_bm25_topk"         -> Set("documents"),  // 1-row (T, D) corpus scalars
+      "c42_survival_km"       -> Set("events"))     // 1-row corpus-end scalar
     def factLeaves(p: LogicalPlan): Set[String] = p.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
@@ -3929,5 +3931,44 @@ class OperatorSpec extends GraftSpec {
       .map(r => (r.getString(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(got == expect, s"c41 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+  }
+
+  test("c42 kaplan-meier: session life table and ppm survival fold replay exactly") {
+    val gapUs = Events.SessionGapSec * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val endT = evs.map(_._2).max
+    // independent sessionization per user
+    val durations = evs.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.tail.foldLeft(List((ts.head, ts.head))) {
+        case ((s, e) :: rest, t) if t - e <= gapUs => (s, t) :: rest
+        case (acc, t) => (t, t) :: acc
+      }
+      sessions.map { case (s, e) =>
+        (math.min((e - s) / 60000000L, Events.KmMaxDurationMin), e + gapUs <= endT)
+      }
+    }
+    val tbl = durations.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, ds) =>
+      (t, ds.count(_._2).toLong, ds.count(!_._2).toLong)
+    }
+    var atRisk = durations.size.toLong
+    var surv = 1000000L
+    val expect = tbl.map { case (t, d, c) =>
+      val h = d * 1000000L / atRisk
+      surv = surv * (1000000L - h) / 1000000L
+      val row = t -> ((d, c, atRisk, h, surv))
+      atRisk -= d + c
+      row
+    }.toMap
+    val got = Events.c42SurvivalKm(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"c42 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    // survival is non-increasing in t; everyone is at risk at the smallest duration
+    val byT = got.toSeq.sortBy(_._1).map(_._2)
+    assert(byT.map(_._5) == byT.map(_._5).sorted.reverse)
+    assert(byT.head._3 == durations.size.toLong)
   }
 }
