@@ -2217,7 +2217,92 @@ object Etl {
        |FROM f GROUP BY 1 ORDER BY t_milli""".stripMargin
   }
 
+  /** Privacy budgets the a41 plan prices, as ppm of ε (0.1, 0.5, 1.0 —
+    * the range real DP deployments debate). */
+  val DpEpsilonsPpm = Seq(100000L, 500000L, 1000000L)
+  /** ln(10) as a literal ppm multiplier: the 95th percentile of
+    * |Laplace(b)| is b·ln(10) (P(|X|>t) = e^(−t/b); e^(−ln 10) = 5%).
+    * A literal so neither engine evaluates a logarithm. */
+  val DpQ95LnPpm = 2302585L
+  /** Relative-error ceiling above which a released class count is
+    * noise-swamped (10%). */
+  val DpSwampRelErrPpm = 100000L
+
+  /** a41: ε-differential-privacy release plan for the QI-class count
+    * histogram — the fourth rung of the release-privacy ladder
+    * (Dwork/McSherry/Nissim/Smith 2006 Laplace mechanism; a38
+    * measures k-anonymity of the release, a39/a40 its attribute
+    * leakage, this PLANS the noise a DP release would add and prices
+    * the utility cost): each class count is a sensitivity-1 counting
+    * query, so Laplace noise has scale b = 1/ε. Per literal ε: the
+    * noise scale (ppm), its 95th-percentile magnitude (b·ln10 via the
+    * literal [[DpQ95LnPpm]]), how many classes the noise SWAMPS
+    * (expected |noise| > [[DpSwampRelErrPpm]] of the true count — the
+    * small classes k-anonymity would suppress are exactly the ones DP
+    * drowns), members in swamped classes (bp), and the worst relative
+    * error. A plan operator like a25/a26/a30/a32: deterministic —
+    * noise is PRICED, never sampled, so both engines agree exactly.
+    *
+    * Shape: a38's ONE scan → QI reduce, then the literal ε explode
+    * fans only the ≤|classes| frame into per-ε conditional aggs. */
+  def a41DpReleasePlan(spark: SparkSession, dir: String): DataFrame = {
+    val balBucket =
+      expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 100000")
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"), balBucket.as("bal_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    classes
+      .select(col("sz"), explode(array(DpEpsilonsPpm.map(lit(_)): _*)).as("eps_ppm"))
+      // b = 1/ε in ppm: 1e6/(eps_ppm/1e6) = 1e12 div eps_ppm; rel err
+      // per class = b/sz; swamped iff b > ceil(sz·10%) ⇔ b_ppm > sz·1e5
+      .withColumn("b_ppm", expr("1000000000000 div eps_ppm"))
+      .withColumn("swamped", col("b_ppm") > col("sz") * DpSwampRelErrPpm)
+      .groupBy(col("eps_ppm"))
+      .agg(count(lit(1)).as("n_classes"),
+        max(col("b_ppm")).as("noise_b_ppm"),
+        countIf(col("swamped")).as("swamped_classes"),
+        sum(when(col("swamped"), col("sz")).otherwise(0L)).as("swamped_members"),
+        sum(col("sz")).as("n_rows"),
+        min(col("sz")).as("min_sz"))
+      .select(col("eps_ppm"), col("n_classes"), col("noise_b_ppm"),
+        expr(s"(noise_b_ppm * $DpQ95LnPpm) div 1000000").as("noise_q95_ppm"),
+        col("swamped_classes"), col("swamped_members"),
+        expr("(swamped_members * 10000) div n_rows").as("swamped_bp"),
+        expr("noise_b_ppm div min_sz").as("max_rel_err_ppm"))
+      .orderBy(col("eps_ppm"))
+  }
+
+  val a41Sql: String = {
+    val eps = DpEpsilonsPpm.mkString(", ")
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_bucket,
+       |    count(*) AS sz
+       |  FROM customer GROUP BY 1, 2, 3),
+       |f AS (SELECT sz, unnest([$eps]) AS eps_ppm FROM cls),
+       |g AS (
+       |  SELECT sz, eps_ppm, 1000000000000 // eps_ppm AS b_ppm,
+       |    1000000000000 // eps_ppm > sz * $DpSwampRelErrPpm AS swamped
+       |  FROM f),
+       |h AS (
+       |  SELECT eps_ppm, count(*) AS n_classes, max(b_ppm) AS noise_b_ppm,
+       |    count(CASE WHEN swamped THEN 1 END) AS swamped_classes,
+       |    sum(CASE WHEN swamped THEN sz ELSE 0 END) AS swamped_members,
+       |    sum(sz) AS n_rows, min(sz) AS min_sz
+       |  FROM g GROUP BY 1)
+       |SELECT CAST(eps_ppm AS BIGINT) AS eps_ppm, n_classes,
+       |  CAST(noise_b_ppm AS BIGINT) AS noise_b_ppm,
+       |  CAST((noise_b_ppm * $DpQ95LnPpm) // 1000000 AS BIGINT) AS noise_q95_ppm,
+       |  CAST(swamped_classes AS BIGINT) AS swamped_classes,
+       |  CAST(swamped_members AS BIGINT) AS swamped_members,
+       |  CAST((swamped_members * 10000) // n_rows AS BIGINT) AS swamped_bp,
+       |  CAST(noise_b_ppm // min_sz AS BIGINT) AS max_rel_err_ppm
+       |FROM h ORDER BY eps_ppm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a41_dp_release_plan" -> (a41DpReleasePlan _),
     "a40_t_closeness" -> (a40TCloseness _),
     "a39_l_diversity" -> (a39LDiversity _),
     "a38_k_anonymity" -> (a38KAnonymity _),
@@ -2260,6 +2345,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a41_dp_release_plan" -> a41Sql,
     "a40_t_closeness" -> a40Sql,
     "a39_l_diversity" -> a39Sql,
     "a38_k_anonymity" -> a38Sql,

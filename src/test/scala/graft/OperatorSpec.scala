@@ -3971,4 +3971,30 @@ class OperatorSpec extends GraftSpec {
     assert(byT.map(_._5) == byT.map(_._5).sorted.reverse)
     assert(byT.head._3 == durations.size.toLong)
   }
+
+  test("a41 dp plan: Laplace pricing replays exactly; utility monotone in epsilon") {
+    val rows = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal").cast("string"))
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        (BigDecimal(r.getString(2)).setScale(2) * 100).toLongExact))
+    val classes = rows.groupBy { case (n, s, cents) =>
+      (n, s, (cents + 100000L) / 100000L)
+    }.view.mapValues(_.size.toLong).values.toSeq
+    val nRows = classes.sum
+    val expect = Etl.DpEpsilonsPpm.map { eps =>
+      val b = 1000000000000L / eps
+      val swamped = classes.filter(sz => b > sz * Etl.DpSwampRelErrPpm)
+      eps -> ((classes.size.toLong, b, b * Etl.DpQ95LnPpm / 1000000L,
+        swamped.size.toLong, swamped.sum, swamped.sum * 10000L / nRows,
+        b / classes.min))
+    }.toMap
+    val got = Etl.a41DpReleasePlan(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == expect, s"a41 $got vs replay $expect")
+    // more budget -> less noise, fewer swamped classes
+    val byEps = Etl.DpEpsilonsPpm.map(got(_))
+    assert(byEps.map(_._2) == byEps.map(_._2).sorted.reverse)
+    assert(byEps.map(_._4) == byEps.map(_._4).sorted.reverse)
+  }
 }
