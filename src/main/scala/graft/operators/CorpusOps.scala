@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * shards".
   */
 object CorpusOps {
+  import graft.Cols.countIf
 
   /** Non-overlapping word chunks of this size drive d23. */
   val ChunkWords = 10
@@ -1555,7 +1556,56 @@ object CorpusOps {
       |  n_dup_types
       |FROM s ORDER BY source""".stripMargin
 
+  /** d90: Good–Turing missing mass per source (Good 1953; the simple
+    * Gale & Sampson 1995 estimator) — the "how much of this source's
+    * distribution have we NOT seen yet" readout that tells a crawl
+    * scheduler which sources still pay to fetch: the probability the
+    * next token drawn from a source is a NEVER-SEEN type is estimated
+    * by its singleton share N₁/N. Per source: token mass N, vocabulary
+    * V, singletons N₁, missing mass (ppm), its complement coverage,
+    * and the singleton share of the vocabulary (a fat-tail indicator —
+    * d52 slices the same tail globally by frequency; this prices it
+    * per-source as an actionable crawl signal).
+    *
+    * Exact integer ppm/bp throughout (truncating div both engines).
+    *
+    * Shape: one corpus scan → token explode → (source, token) count
+    * (map-side partial) → per-source conditional agg. The output is
+    * ≤|sources| rows; nothing wider than the (source, token) reduce
+    * ever shuffles. */
+  def d90MissingMass(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("freq"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        countIf(col("freq") === 1L).as("n_singletons"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_singletons"),
+        expr("(n_singletons * 1000000) div n_tokens").as("missing_mass_ppm"),
+        expr("1000000 - (n_singletons * 1000000) div n_tokens").as("coverage_ppm"),
+        expr("(n_singletons * 10000) div n_types").as("singleton_vocab_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d90Sql: String =
+    """WITH occ AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT source, tok, count(*) AS freq FROM occ GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source, sum(freq) AS n_tokens, count(*) AS n_types,
+      |    count(CASE WHEN freq = 1 THEN 1 END) AS n_singletons
+      |  FROM tf GROUP BY 1)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+      |  CAST(n_singletons AS BIGINT) AS n_singletons,
+      |  CAST((n_singletons * 1000000) // n_tokens AS BIGINT) AS missing_mass_ppm,
+      |  CAST(1000000 - (n_singletons * 1000000) // n_tokens AS BIGINT) AS coverage_ppm,
+      |  CAST((n_singletons * 10000) // n_types AS BIGINT) AS singleton_vocab_bp
+      |FROM s ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d90_missing_mass" -> (d90MissingMass _),
     "d89_dup_ngram_coverage" -> (d89DupNgramCoverage _),
     "d73_affinity_curation" -> (d73AffinityCuration _),
     "d66_length_outliers" -> (d66LengthOutliers _),
@@ -1580,6 +1630,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d90_missing_mass" -> d90Sql,
     "d89_dup_ngram_coverage" -> d89Sql,
     "d73_affinity_curation" -> d73Sql,
     "d66_length_outliers" -> d66Sql,

@@ -3997,4 +3997,25 @@ class OperatorSpec extends GraftSpec {
     assert(byEps.map(_._2) == byEps.map(_._2).sorted.reverse)
     assert(byEps.map(_._4) == byEps.map(_._4).sorted.reverse)
   }
+
+  test("d90 good-turing: per-source singleton mass replays exactly") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val tf = toks.groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+      val n = tf.sum
+      val v = tf.size.toLong
+      val n1 = tf.count(_ == 1L).toLong
+      src -> ((n, v, n1, n1 * 1000000L / n, 1000000L - n1 * 1000000L / n,
+        n1 * 10000L / v))
+    }
+    val got = CorpusOps.d90MissingMass(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"d90 $got vs replay $expect")
+    // missing mass and coverage partition ppm space up to div truncation
+    got.values.foreach { case (_, _, _, mm, cov, _) => assert(mm + cov == 1000000L) }
+  }
 }
