@@ -2309,7 +2309,117 @@ object Events {
        |    (acc, x) -> (acc * (1000000 - x)) // 1000000) AS BIGINT) AS survival_ppm
        |FROM h CROSS JOIN arr ORDER BY duration_days""".stripMargin
 
+  /** c43 error budget: allowed error share in ppm. Production SLOs run
+    * 99.9%+ (budget 1000 ppm); the synthetic corpus carries a ~20%
+    * uniform error-type share, so the demo budget is 25% — the
+    * arithmetic is identical, only the literal moves. */
+  val SloBudgetPpm = 250000L
+  /** Fast/slow burn thresholds in milli-budget (Google SRE workbook
+    * multi-window multi-burn-rate alerting, adapted to the 1h/6h
+    * grain): page only when BOTH the last hour burns >2× budget and
+    * the trailing 6h burns >1.5× — the two-window AND suppresses both
+    * blips (fast-only) and stale pages (slow-only). */
+  val SloFastBurnMilli = 2000L
+  val SloSlowBurnMilli = 1500L
+  val SloSlowWindowHours = 6
+
+  /** c43: SLO error-budget burn-rate alerting over the event stream —
+    * the SRE readout (Beyer et al., Site Reliability Workbook ch. 5)
+    * that turns c12/c38/c41-style anomaly counts into an actionable
+    * page signal: per hour, the error share of all events, the burn
+    * rate (error share ÷ budget, milli: 1000 = exactly on budget),
+    * the trailing-6h burn, and the multi-window page flag.
+    *
+    * Determinism: shares in ppm and burns in milli via the truncating
+    * integer div; empty hours are real zero-traffic hours (burn 0 by
+    * the explicit CASE, not engine-specific NULL propagation).
+    *
+    * Shape: ONE corpus scan → hourly conditional agg (map-side) →
+    * the c33 inline gap explode densifies the spine — so the rolling
+    * 6h frame is 6 ROWS exactly — and every window (gap lag, rolling
+    * sums) is unpartitioned over the ≤|span-hours| reduced frame
+    * (value-bounded; the c31 rule). */
+  def c43SloBurn(spark: SparkSession, dir: String): DataFrame =
+    c43SloBurnOf(Tables.events(spark, dir))
+
+  /** c43 over ANY events-shaped frame (the planted-error-storm spec
+    * drives the page path, which the steady synthetic mix never
+    * reaches: its slow burn sits at ~0.8× budget by construction). */
+  def c43SloBurnOf(events: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("hr"))
+    val byHour = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"), countIf(col("event_type") === "error").as("err"))
+    val dense = byHour
+      .withColumn("prev_hr", lag(col("hr"), 1).over(w))
+      .select(explode(transform(
+        sequence(coalesce(col("prev_hr") + 1, col("hr")), col("hr")),
+        h => struct(
+          h.as("hour"),
+          when(h === col("hr"), col("n")).otherwise(lit(0L)).as("n_events"),
+          when(h === col("hr"), col("err")).otherwise(lit(0L)).as("n_errors"))))
+        .as("r"))
+      .select(col("r.hour").as("hour"), col("r.n_events").as("n_events"),
+        col("r.n_errors").as("n_errors"))
+    val wSlow = Window.orderBy(col("hour"))
+      .rowsBetween(-(SloSlowWindowHours - 1), Window.currentRow)
+    dense
+      .withColumn("n6", sum(col("n_events")).over(wSlow))
+      .withColumn("err6", sum(col("n_errors")).over(wSlow))
+      .select(col("hour"), col("n_events"), col("n_errors"),
+        expr("case when n_events = 0 then 0 else (n_errors * 1000000) div n_events end")
+          .as("err_ppm"),
+        expr(s"""case when n_events = 0 then 0
+                 else ((n_errors * 1000000) div n_events) * 1000 div $SloBudgetPpm end""")
+          .as("burn_fast_milli"),
+        expr(s"""case when n6 = 0 then 0
+                 else ((err6 * 1000000) div n6) * 1000 div $SloBudgetPpm end""")
+          .as("burn_slow_milli"))
+      .withColumn("page",
+        col("burn_fast_milli") > SloFastBurnMilli &&
+          col("burn_slow_milli") > SloSlowBurnMilli)
+      .orderBy(col("hour"))
+  }
+
+  val c43Sql: String =
+    s"""WITH byhour AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+       |    count(*) AS n, count(CASE WHEN event_type = 'error' THEN 1 END) AS err
+       |  FROM events GROUP BY 1),
+       |l AS (SELECT *, lag(hr) OVER (ORDER BY hr) AS prev_hr FROM byhour),
+       |dense AS (
+       |  SELECT unnest(generate_series(coalesce(prev_hr + 1, hr), hr)) AS hour,
+       |    hr, n, err FROM l),
+       |d AS (
+       |  SELECT hour,
+       |    CASE WHEN hour = hr THEN n ELSE 0 END AS n_events,
+       |    CASE WHEN hour = hr THEN err ELSE 0 END AS n_errors
+       |  FROM dense),
+       |r AS (
+       |  SELECT hour, n_events, n_errors,
+       |    sum(n_events) OVER (ORDER BY hour
+       |      ROWS BETWEEN ${SloSlowWindowHours - 1} PRECEDING AND CURRENT ROW) AS n6,
+       |    sum(n_errors) OVER (ORDER BY hour
+       |      ROWS BETWEEN ${SloSlowWindowHours - 1} PRECEDING AND CURRENT ROW) AS err6
+       |  FROM d),
+       |k AS (
+       |  SELECT hour, n_events, n_errors,
+       |    CASE WHEN n_events = 0 THEN 0
+       |         ELSE (n_errors * 1000000) // n_events END AS err_ppm,
+       |    CASE WHEN n_events = 0 THEN 0
+       |         ELSE ((n_errors * 1000000) // n_events) * 1000 // $SloBudgetPpm END AS burn_fast_milli,
+       |    CASE WHEN n6 = 0 THEN 0
+       |         ELSE ((err6 * 1000000) // n6) * 1000 // $SloBudgetPpm END AS burn_slow_milli
+       |  FROM r)
+       |SELECT hour, CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(n_errors AS BIGINT) AS n_errors, CAST(err_ppm AS BIGINT) AS err_ppm,
+       |  CAST(burn_fast_milli AS BIGINT) AS burn_fast_milli,
+       |  CAST(burn_slow_milli AS BIGINT) AS burn_slow_milli,
+       |  burn_fast_milli > $SloFastBurnMilli AND burn_slow_milli > $SloSlowBurnMilli AS page
+       |FROM k ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c43_slo_burn" -> (c43SloBurn _),
     "c42_survival_km" -> (c42SurvivalKm _),
     "c41_ewma_control" -> (c41EwmaControl _),
     "c40_markov_attribution" -> (c40MarkovAttribution _),
@@ -2354,6 +2464,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c43_slo_burn" -> c43Sql,
     "c42_survival_km" -> c42Sql,
     "c41_ewma_control" -> c41Sql,
     "c40_markov_attribution" -> c40Sql,

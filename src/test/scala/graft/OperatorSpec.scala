@@ -4018,4 +4018,59 @@ class OperatorSpec extends GraftSpec {
     // missing mass and coverage partition ppm space up to div truncation
     got.values.foreach { case (_, _, _, mm, cov, _) => assert(mm + cov == 1000000L) }
   }
+
+  /** Independent c43 replay over (hour, isError) pairs. */
+  private def sloReplay(evs: Seq[(Long, Boolean)]): Map[Long, (Long, Long, Long, Long, Long, Boolean)] = {
+    val byHour = evs.groupBy(_._1)
+    val lo = byHour.keys.min
+    val hi = byHour.keys.max
+    val dense = (lo to hi).map { h =>
+      val rows = byHour.getOrElse(h, Seq.empty)
+      (h, rows.size.toLong, rows.count(_._2).toLong)
+    }
+    dense.zipWithIndex.map { case ((h, n, e), i) =>
+      val win = dense.slice(math.max(0, i - Events.SloSlowWindowHours + 1), i + 1)
+      val n6 = win.map(_._2).sum
+      val e6 = win.map(_._3).sum
+      val ppm = if (n == 0) 0L else e * 1000000L / n
+      val fast = if (n == 0) 0L else ppm * 1000L / Events.SloBudgetPpm
+      val slow = if (n6 == 0) 0L else (e6 * 1000000L / n6) * 1000L / Events.SloBudgetPpm
+      h -> ((n, e, ppm, fast, slow,
+        fast > Events.SloFastBurnMilli && slow > Events.SloSlowBurnMilli))
+    }.toMap
+  }
+
+  test("c43 slo burn: hourly burn rates replay exactly on the corpus") {
+    val evs = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 3600000000"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "error")).toSeq
+    val expect = sloReplay(evs)
+    val got = Events.c43SloBurn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got == expect, s"c43 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+  }
+
+  test("c43 slo burn: a planted error storm pages, the steady state does not") {
+    import spark.implicits._
+    // 10 steady hours at 10% errors, then 3 storm hours at 90% — the
+    // fast window crosses immediately, the slow window only once the
+    // storm has burned long enough: the multi-window AND in action.
+    val rows = (0 until 13).flatMap { h =>
+      val errs = if (h >= 10) 90 else 10
+      (0 until 100).map { i =>
+        (h * 3600000000L + i * 1000000L, if (i < errs) "error" else "view")
+      }
+    }
+    val df = rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = Events.c43SloBurnOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val expect = sloReplay(rows.map { case (us, t) =>
+      (us / 3600000000L, t == "error")
+    })
+    assert(got == expect.view.mapValues(v => (v._4, v._5, v._6)).toMap)
+    assert(!got(9)._3 && !got(10)._3, "steady state and storm onset must not page")
+    assert(got(12)._3, "sustained storm must page")
+  }
 }
