@@ -1549,8 +1549,11 @@ object Events {
     * dedupe union branches; this keeps the plan at one scan + two
     * reduced-frame exchanges), and the forward-fill is free: every gap
     * day's last observed count IS the run's left endpoint (`prev_n`). */
-  private def zeroFilledDays(spark: SparkSession, dir: String): DataFrame = {
-    val byDay = Tables.events(spark, dir)
+  private def zeroFilledDays(spark: SparkSession, dir: String): DataFrame =
+    zeroFilledDaysOf(Tables.events(spark, dir))
+
+  private[graft] def zeroFilledDaysOf(events: DataFrame): DataFrame = {
+    val byDay = events
       .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -2153,9 +2156,14 @@ object Events {
     * single type-keyed window exchange over the days-bounded frame.
     * First EwmaDays days per type are burn-in (dropped, as a control
     * chart does). */
-  def c41EwmaControl(spark: SparkSession, dir: String): DataFrame = {
+  def c41EwmaControl(spark: SparkSession, dir: String): DataFrame =
+    c41EwmaControlOf(Tables.events(spark, dir))
+
+  /** c41 over ANY events-shaped frame (ewmaStream's equivalence spec
+    * drives it with the exact rows fed to the stream). */
+  def c41EwmaControlOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val lagged = zeroFilledDays(spark, dir)
+    val lagged = zeroFilledDaysOf(events)
       .select(col("event_type"), col("day"), col("n_events"))
       .withColumn("num",
         (1 to EwmaDays).map(k =>

@@ -1022,6 +1022,73 @@ object StreamingOps {
       }
   }
 
+  case class EwmaFlag(event_type: String, day: Long, n_events: Long,
+                      baseline_milli: Long, spike: Boolean)
+  case class EwmaState(open: Map[Long, Long], closed: Map[Long, Long],
+                       firstDay: Long, lastClosed: Long)
+
+  /** Streaming EWMA control chart — c41's live twin
+    * (Events.c41EwmaControl): the dyadic-weighted recency baseline,
+    * maintained incrementally so the spike flag exists when the day
+    * CLOSES, not on tomorrow's batch run. Days close in ascending
+    * order when the watermark passes their end (gapFillStream's
+    * interior-only contract, so gap days enter the baseline as the
+    * real zeros batch c41 sees on the spine); the first
+    * [[graft.operators.Events.EwmaDays]] days per type are burn-in
+    * exactly as in batch. State per type: the open day-count map +
+    * the trailing ≤[[graft.operators.Events.EwmaDays]] closed counts
+    * + 2 longs — bounded regardless of stream length. The closed
+    * prefix equals the batch frame by construction (spec-proven
+    * against the REAL batch operator across micro-batch splits);
+    * late data beyond the watermark drops, the one batch/stream
+    * delta (measured by outOfOrderStream). */
+  def ewmaStream(spark: SparkSession, events: Dataset[EventRow],
+                 watermarkDelay: String = "1 hour"): Dataset[EwmaFlag] = {
+    import spark.implicits._
+    import graft.operators.Events.{EwmaDays, EwmaMinCount, EwmaSpikeFactor}
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[EwmaState]) =>
+          val st0 = state.getOption.getOrElse(
+            EwmaState(Map.empty, Map.empty, Long.MinValue, Long.MinValue))
+          var open = st0.open
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (d > st0.lastClosed) open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var closed = st0.closed
+          var firstDay = st0.firstDay
+          var lastClosed = st0.lastClosed
+          val out = Seq.newBuilder[EwmaFlag]
+          if (open.nonEmpty) {
+            val maxOpen = open.keys.max
+            if (firstDay == Long.MinValue) firstDay = open.keys.min
+            var d = if (lastClosed == Long.MinValue) firstDay else lastClosed + 1
+            while (d <= maxOpen && (d + 1) * DayMs <= wm) {
+              val cnt = open.getOrElse(d, 0L)
+              if (d - firstDay >= EwmaDays) {
+                val num = (1 to EwmaDays)
+                  .map(k => closed.getOrElse(d - k, 0L) * (1L << (EwmaDays - k))).sum
+                val spike = cnt * 255L > EwmaSpikeFactor * num && cnt >= EwmaMinCount
+                out += EwmaFlag(typ, d, cnt, num * 1000L / 255L, spike)
+              }
+              closed = closed.updated(d, cnt).filter(_._1 >= d - EwmaDays + 1)
+              open -= d
+              lastClosed = d
+              d += 1
+            }
+          }
+          state.update(EwmaState(open, closed, firstDay, lastClosed))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((open.keys.min + 1) * DayMs, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** One silence/recovery alert. `kind` ∈ {"silent", "resumed"};
     * downtime_ms is the crossed threshold for "silent" (actual outage
     * length unknown at detection time) and the measured last-seen →

@@ -1378,6 +1378,58 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream: closed prefix == the real batch c41 across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.ewmaStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ewma_test").outputMode("append").start()
+    val day0 = 19800L
+    var id = 0L
+    def ev(day: Long, typ: String, k: Int = 1) = { id += 1; StreamingOps.EventRow(
+      id, new java.sql.Timestamp(day * 86400000L + 12 * 3600000L + k * 60000L),
+      id % 3, typ, 1.0) }
+    def evs(day: Long, typ: String, n: Int) = (1 to n).map(k => ev(day, typ, k))
+    // A: burn-in days 0-7 with a gap at day 4, a judged quiet day 8, a
+    // 30x spike day 9, gaps 10, a recovery day 11; B: a shorter steady
+    // series proving per-type burn-in. Split so the lag window and the
+    // spike cross micro-batch boundaries.
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // feed in day order: a day behind the global watermark is LATE and
+      // drops (the documented batch/stream delta, not what this spec tests)
+      add(evs(day0, "A", 1) ++ evs(day0, "B", 1) ++ evs(day0 + 1, "A", 2) ++
+        evs(day0 + 1, "B", 1) ++ evs(day0 + 2, "A", 1) ++ evs(day0 + 2, "B", 1))
+      add(evs(day0 + 3, "A", 1) ++ evs(day0 + 3, "B", 1) ++ evs(day0 + 4, "B", 1))
+      add(evs(day0 + 5, "A", 1) ++ evs(day0 + 5, "B", 1) ++
+        evs(day0 + 6, "A", 1) ++ evs(day0 + 6, "B", 1))
+      add(evs(day0 + 7, "A", 2) ++ evs(day0 + 7, "B", 1) ++
+        evs(day0 + 8, "A", 1) ++ evs(day0 + 8, "B", 1))
+      add(evs(day0 + 9, "A", 30) ++ evs(day0 + 9, "B", 1))
+      add(evs(day0 + 11, "A", 2))
+      // watermark drivers: first advances wm past day 10, second past day 15
+      add(evs(day0 + 15, "A", 1))
+      add(evs(day0 + 16, "A", 1))
+      val got = spark.sql(
+          "select event_type, day, n_events, baseline_milli, spike from ewma_test")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      // the REAL batch operator over every fed row, restricted to the
+      // closed prefix (final watermark passed day 15's end; day 16 open)
+      val expect = graft.operators.Events.c41EwmaControlOf(fed.result().toDF())
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .filter(_._1._2 <= day0 + 15).toMap
+      assert(got == expect,
+        s"ewma ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+      assert(got(("A", day0 + 9))._3, "the 30x day must flag")
+      assert(got.count(_._2._3) == 1, "only the planted spike flags")
+    } finally q.stop()
+  }
+
   test("silenceStream: one silent alert per outage, resumed with measured downtime") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
