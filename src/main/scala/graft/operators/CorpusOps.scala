@@ -1604,7 +1604,86 @@ object CorpusOps {
       |  CAST((n_singletons * 10000) // n_types AS BIGINT) AS singleton_vocab_bp
       |FROM s ORDER BY source""".stripMargin
 
+  /** d91: content-defined chunking (CDC) dedup profile per source —
+    * the rolling-boundary chunking of LBFS (Muthitacharoen et al.
+    * SOSP 2001) / FastCDC (Xia et al. ATC 2016) that storage and
+    * corpus dedup both use because FIXED chunks (d23) break at every
+    * insertion: a boundary falls after char i iff the fingerprint of
+    * the trailing 4-gram lands in 1/64 of hash space (substr(md5,1,2)
+    * < '04' — md5 so the oracle replays the SAME boundaries, the d4
+    * discipline), so an edit only redraws the chunks it touches. Per
+    * source: chunk count, distinct chunks, duplicated-chunk share
+    * (bp), mean chunk length (milli-chars; expected ≈64 by the 1/64
+    * rate). Production adds min/max chunk clamps; the demo keeps the
+    * bare gear rule. Empty docs carry no chunks (the d83 corpus
+    * assumption: n_chars > 0 throughout).
+    *
+    * Shape: ONE scan; boundaries, ends, and chunk hashes are all
+    * row-local array expressions (filter/transform over an inline
+    * char-position sequence — narrow rows, no text duplication past
+    * the projection), so the ONLY exchange is the final (source,
+    * chunk-hash) reduce for the exact distinct count. The len >= 4
+    * guard exists because Spark's sequence(4, len) runs DESCENDING
+    * when len < 4 (a silent wrong-boundary bug, not an error). */
+  def d91CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val prepared = Tables.documents(spark, dir)
+      .select(col("source"), col("text"), length(col("text")).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("bnd", expr(
+        """case when len >= 4 then
+             filter(sequence(4L, len),
+               i -> substring(md5(substring(text, cast(i - 3 as int), 4)), 1, 2) < '04')
+           else cast(array() as array<bigint>) end"""))
+      .withColumn("ends", expr(
+        """case when size(bnd) > 0 and element_at(bnd, -1) = len then bnd
+           else concat(bnd, array(len)) end"""))
+      .withColumn("ch", expr(
+        """transform(ends, (e, i) -> named_struct(
+             'h', md5(substring(text, cast(if(i = 0, 0L, element_at(ends, i)) + 1 as int),
+                      cast(e - if(i = 0, 0L, element_at(ends, i)) as int))),
+             'clen', e - if(i = 0, 0L, element_at(ends, i))))"""))
+    prepared
+      .select(col("source"), explode(col("ch")).as("c"))
+      .select(col("source"), col("c.h").as("h"), col("c.clen").as("clen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_uniq"),
+        sum(col("clen")).as("total_len"))
+      .select(col("source"), col("n_chunks"), col("n_uniq"),
+        expr("((n_chunks - n_uniq) * 10000) div n_chunks").as("dup_bp"),
+        expr("(total_len * 1000) div n_chunks").as("avg_len_milli"))
+      .orderBy(col("source"))
+  }
+
+  val d91Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text, length(text) AS len FROM documents),
+      |b AS (
+      |  SELECT doc_id, source, text, len,
+      |    list_filter(CAST(generate_series(4, len) AS BIGINT[]),
+      |      i -> substr(md5(substring(text, CAST(i - 3 AS INT), 4)), 1, 2) < '04') AS bnd
+      |  FROM d),
+      |e AS (
+      |  SELECT doc_id, source, text,
+      |    CASE WHEN len(bnd) > 0 AND bnd[-1] = len THEN bnd
+      |         ELSE list_append(bnd, len) END AS ends
+      |  FROM b WHERE len > 0),
+      |u AS (
+      |  SELECT source, text, ends, unnest(ends) AS en, generate_subscripts(ends, 1) AS i
+      |  FROM e),
+      |c AS (
+      |  SELECT source,
+      |    md5(substring(text, CAST(coalesce(ends[i-1], 0) + 1 AS INT),
+      |      CAST(en - coalesce(ends[i-1], 0) AS INT))) AS h,
+      |    en - coalesce(ends[i-1], 0) AS clen
+      |  FROM u)
+      |SELECT source, count(*) AS n_chunks, count(DISTINCT h) AS n_uniq,
+      |  CAST(((count(*) - count(DISTINCT h)) * 10000) // count(*) AS BIGINT) AS dup_bp,
+      |  CAST((sum(clen) * 1000) // count(*) AS BIGINT) AS avg_len_milli
+      |FROM c GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d91_cdc_chunks" -> (d91CdcChunks _),
     "d90_missing_mass" -> (d90MissingMass _),
     "d89_dup_ngram_coverage" -> (d89DupNgramCoverage _),
     "d73_affinity_curation" -> (d73AffinityCuration _),
@@ -1630,6 +1709,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d91_cdc_chunks" -> d91Sql,
     "d90_missing_mass" -> d90Sql,
     "d89_dup_ngram_coverage" -> d89Sql,
     "d73_affinity_curation" -> d73Sql,

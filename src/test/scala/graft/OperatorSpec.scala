@@ -4019,6 +4019,40 @@ class OperatorSpec extends GraftSpec {
     got.values.foreach { case (_, _, _, mm, cov, _) => assert(mm + cov == 1000000L) }
   }
 
+  /** Independent CDC replay: gear boundaries + chunk texts. */
+  private def cdcChunks(s: String): Seq[String] = {
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bnd = (4 to s.length).filter(i => md5hex(s.substring(i - 4, i)).substring(0, 2) < "04")
+    val ends = if (bnd.nonEmpty && bnd.last == s.length) bnd else bnd :+ s.length
+    val starts = 0 +: ends.dropRight(1)
+    starts.zip(ends).map { case (p, e) => s.substring(p, e) }
+  }
+
+  test("d91 cdc: per-source chunk stats replay exactly; edits only redraw local chunks") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).filter(_._2.nonEmpty)
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val chunks = ds.flatMap(d => cdcChunks(d._2))
+      val n = chunks.size.toLong
+      val u = chunks.distinct.size.toLong
+      src -> ((n, u, (n - u) * 10000L / n, chunks.map(_.length.toLong).sum * 1000L / n))
+    }
+    val got = CorpusOps.d91CdcChunks(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"d91 $got vs replay $expect")
+    // the CDC property fixed chunking lacks: prepending text leaves every
+    // chunk after the first boundary intact (boundaries are local 4-grams)
+    val sample = docs.map(_._2).maxBy(_.length)
+    val orig = cdcChunks(sample)
+    val edited = cdcChunks("inserted preamble " + sample)
+    assert(orig.size > 2, "sample doc must chunk")
+    assert(edited.containsSlice(orig.drop(1)),
+      "all chunks after the first must survive a front insertion")
+  }
+
   /** Independent c43 replay over (hour, isError) pairs. */
   private def sloReplay(evs: Seq[(Long, Boolean)]): Map[Long, (Long, Long, Long, Long, Long, Boolean)] = {
     val byHour = evs.groupBy(_._1)
