@@ -2261,7 +2261,90 @@ object Analytics {
        |FROM k ORDER BY digit""".stripMargin
   }
 
+  /** q61: per-nation daily-revenue OLS trend — the least-squares slope
+    * (and fit quality) behind every "revenue is growing X/day" claim;
+    * the q26/q53 exact-moment discipline applied to regression: all
+    * five moments (Σx, Σy, Σxx, Σxy, Σyy) accumulate as DECIMAL(38,0)
+    * integers over (day-offset, daily cents), so they are bit-stable
+    * at any parallelism; slope and r² are FINAL double expressions
+    * composed only of decimal→double casts, ÷ and × (the c39
+    * correctly-rounded-ops rule — r² is (num/den)·(num/syy-term), not
+    * num²/... , so no decimal product ever squares the numerator: at
+    * the 100 TB design point num ≈ 1.5e23 and num² would overflow
+    * DECIMAL(38,0) while every retained product stays inside).
+    *
+    * x is the day offset from each nation's first observed day (window
+    * over the reduced frame), keeping Σxx span-bounded instead of
+    * epoch-sized.
+    *
+    * Shape: orders⨝customer un-hinted on the customer key (SMJ at
+    * scale, AQE-broadcast at test SF), nation dim broadcast
+    * (SF-invariant); one (nation, day) reduce → per-nation moment agg;
+    * windows only over the ≤|nations×days| frame. */
+  def q61OlsTrend(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val byDay = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)")).as("y"))
+    val wN = Window.partitionBy(col("n_name"))
+    val moments = byDay
+      .withColumn("x", col("day") - min(col("day")).over(wN))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(d38(col("x"))).as("sx"),
+        sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
+      .filter(col("n_days") >= 2)
+    moments
+      .withColumn("num", d38(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", d38(col("n_days")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("syyc", d38(col("n_days")) * col("syy") - col("sy") * col("sy"))
+      .select(col("n_name"), col("n_days"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("slope_cents_per_day"),
+        ((col("num").cast("double") / col("den").cast("double")) *
+          (col("num").cast("double") / col("syyc").cast("double"))).as("r2"))
+      .orderBy(col("n_name"))
+  }
+
+  val q61Sql: String =
+    """WITH byday AS (
+      |  SELECT n_name,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |xs AS (
+      |  SELECT n_name, day - min(day) OVER (PARTITION BY n_name) AS x, y FROM byday),
+      |m AS (
+      |  SELECT n_name, count(*) AS n_days,
+      |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+      |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+      |  FROM xs GROUP BY 1 HAVING count(*) >= 2),
+      |k AS (
+      |  SELECT n_name, n_days,
+      |    CAST(n_days AS DECIMAL(38,0)) * sxy - sx * sy AS num,
+      |    CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx AS den,
+      |    CAST(n_days AS DECIMAL(38,0)) * syy - sy * sy AS syyc
+      |  FROM m)
+      |SELECT n_name, n_days,
+      |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_cents_per_day,
+      |  (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |    * (CAST(num AS DOUBLE) / CAST(syyc AS DOUBLE)) AS r2
+      |FROM k ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_ols_trend" -> (q61OlsTrend _),
     "q60_benford_audit" -> (q60BenfordAudit _),
     "q59_basket_pairs" -> (q59BasketPairs _),
     "q58_skyline" -> (q58Skyline _),
@@ -2323,6 +2406,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q61_ols_trend" -> q61Sql,
     "q60_benford_audit" -> q60Sql,
     "q59_basket_pairs" -> q59Sql,
     "q58_skyline" -> q58Sql,

@@ -4053,6 +4053,38 @@ class OperatorSpec extends GraftSpec {
       "all chunks after the first must survive a front insertion")
   }
 
+  test("q61 ols: slope and r2 replay from BigInt moments; r2 bracketed in [0,1]") {
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    val custNat = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> nat(r.getAs[Number](1).longValue())).toMap
+    val byDay = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        col("o_totalprice").cast("string")).collect()
+      .map(r => ((custNat(r.getLong(0)), r.getLong(1)),
+        (BigDecimal(r.getString(2)).setScale(2) * 100).toLongExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val expect = byDay.groupBy(_._1._1).collect { case (name, ds) if ds.size >= 2 =>
+      val lo = ds.map(_._1._2).min
+      val pts = ds.map { case ((_, d), y) => (BigInt(d - lo), BigInt(y)) }
+      val n = BigInt(pts.size)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val syyc = n * syy - sy * sy
+      val slope = num.toDouble / den.toDouble
+      name -> ((pts.size.toLong, slope, slope * (num.toDouble / syyc.toDouble)))
+    }
+    val got = Analytics.q61OlsTrend(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expect, s"q61 ${got.toSeq.diff(expect.toSeq)}")
+    got.values.foreach { case (_, _, r2) => assert(r2 >= 0.0 && r2 <= 1.0) }
+  }
+
   /** Independent c43 replay over (hour, isError) pairs. */
   private def sloReplay(evs: Seq[(Long, Boolean)]): Map[Long, (Long, Long, Long, Long, Long, Boolean)] = {
     val byHour = evs.groupBy(_._1)
