@@ -65,6 +65,49 @@ object VectorOps {
       .select(col("query_id"), col("s.id").as("neighbor_id"), col("s.score").as("cos"),
         (col("i") + 1).cast("int").as("rnk"))
 
+  /** d92: maximum-inner-product search (MIPS) top-k — retrieval when
+    * the model's score IS the raw dot product (recommender factor
+    * models, unnormalized two-tower retrieval), where cosine (d9) is
+    * the WRONG objective because it erases the magnitude a popularity
+    * or confidence dimension encodes. Brute force here = the exact
+    * baseline, same broadcast-query/TopKAgg shape as d9 (one corpus
+    * scan, no shuffle of candidates, bounded per-query state). The
+    * 100 TB sublinear path is the Bachrach et al. (RecSys 2014)
+    * norm-augmentation reduction — append sqrt(M² − ‖x‖²) to each
+    * candidate (M = max norm) and 0 to the query, and cosine order
+    * equals dot order — which plugs MIPS straight into the existing
+    * d10/d17 LSH-bucket machinery; the spec proves the order
+    * equivalence on real vectors. */
+  def d92MipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = broadcast(q).join(cand, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qe"), col("ne")).as("cos"))
+    topKPerQuery(scored)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("ip"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB raw inner product, bit-identical to dot_product's
+    * sequential left fold over CAST-to-double products. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  val d92Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckDot("qe", "ne")} AS ip
+       |  FROM q JOIN c ON neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, ip,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, ip, rnk FROM ranked WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** d9: brute-force cosine top-k — queries (vec_id < 10) broadcast
     * against all other vectors, per-query top-5. */
   def d9CosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -1221,6 +1264,7 @@ object VectorOps {
     "d45_semdedup" -> (d45SemDedup _),
     "d44_embed_quantize" -> (d44EmbedQuantize _),
     "d36_filtered_search" -> (d36FilteredSearch _),
+    "d92_mips_topk" -> (d92MipsTopk _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
     "d12_ann_ivf" -> (d12AnnIvf _),
@@ -1235,6 +1279,7 @@ object VectorOps {
     "d45_semdedup" -> d45Sql,
     "d44_embed_quantize" -> d44Sql,
     "d36_filtered_search" -> d36Sql,
+    "d92_mips_topk" -> d92Sql,
     "d9_cosine_topk" -> d9Sql,
     "d10_ann_lsh" -> d10Sql,
     "d12_ann_ivf" -> d12Sql,

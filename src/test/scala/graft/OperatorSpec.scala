@@ -44,7 +44,8 @@ class OperatorSpec extends GraftSpec {
       "d9_cosine_topk",        // broadcast 10-row query set, =!= condition
       "d36_filtered_search",   // same broadcast-query shape as d9
       "d65_ann_recall",        // composes d9+d10, inherits their shape
-      "c42_survival_km")       // 1-row corpus-end-day scalar broadcast
+      "c42_survival_km",       // 1-row corpus-end-day scalar broadcast
+      "d92_mips_topk")         // broadcast 10-row query set, =!= condition (d9's shape)
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -202,7 +203,8 @@ class OperatorSpec extends GraftSpec {
       "d78_heavy_hitters"     -> Set("documents"),  // HeavyCap-bounded sketch candidates
       "d84_dict_code"         -> Set("documents"),  // top-256 dictionary
       "d85_bm25_topk"         -> Set("documents"),  // 1-row (T, D) corpus scalars
-      "c42_survival_km"       -> Set("events"))     // 1-row corpus-end scalar
+      "c42_survival_km"       -> Set("events"),     // 1-row corpus-end scalar
+      "d92_mips_topk"         -> Set("embeddings")) // 10-row query set (literal id cut)
     def factLeaves(p: LogicalPlan): Set[String] = p.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
@@ -4083,6 +4085,42 @@ class OperatorSpec extends GraftSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got == expect, s"q61 ${got.toSeq.diff(expect.toSeq)}")
     got.values.foreach { case (_, _, r2) => assert(r2 >= 0.0 && r2 <= 1.0) }
+  }
+
+  test("d92 mips: dot top-k replays; norm augmentation preserves the order") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotL(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val got = VectorOps.d92MipsTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    (0L until VectorOps.NumQueries).foreach { qid =>
+      val q = vecs(qid)
+      val ranked = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, dotL(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(VectorOps.TopK)
+      ranked.zipWithIndex.foreach { case ((id, s), i) =>
+        assert(got((qid, i + 1)) == ((id, s)), s"q$qid rank ${i + 1}")
+      }
+    }
+    // Bachrach et al. reduction: with M = max norm, augmenting candidates
+    // with sqrt(M^2 - |x|^2) (query with 0) makes cosine order = dot order
+    val m2 = vecs.values.map(v => dotL(v, v)).max
+    val q = vecs(0L)
+    val qn = math.sqrt(dotL(q, q))
+    val cands = vecs.toSeq.filter(_._1 != 0L)
+    val pairs = for (a <- cands; b <- cands if a._1 < b._1) yield (a, b)
+    pairs.foreach { case ((ia, va), (ib, vb)) =>
+      val (da, db) = (dotL(q, va), dotL(q, vb))
+      // augmented candidate norm is exactly M, so cosAug = dot/(|q|*M)
+      def cosAug(v: Array[Float], d: Double): Double = d / (qn * math.sqrt(m2))
+      if (da != db)
+        assert((da > db) == (cosAug(va, da) > cosAug(vb, db)), s"$ia vs $ib")
+    }
   }
 
   /** Independent c43 replay over (hour, isError) pairs. */
