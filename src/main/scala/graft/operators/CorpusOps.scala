@@ -1604,45 +1604,93 @@ object CorpusOps {
       |  CAST((n_singletons * 10000) // n_types AS BIGINT) AS singleton_vocab_bp
       |FROM s ORDER BY source""".stripMargin
 
+  /** Minimum chunk length for d91: a gear boundary closer than this
+    * to the previous cut is skipped (FastCDC's min clamp — it thins
+    * boundary density and bounds per-chunk overhead at 100 TB). */
+  val CdcMinChunk = 16L
+
+  /** Maximum chunk length for d91: a cut is FORCED every this many
+    * chars when the gear rule stays silent (FastCDC's max clamp — it
+    * bounds worst-case chunk size on low-entropy runs). */
+  val CdcMaxChunk = 256L
+
   /** d91: content-defined chunking (CDC) dedup profile per source —
     * the rolling-boundary chunking of LBFS (Muthitacharoen et al.
     * SOSP 2001) / FastCDC (Xia et al. ATC 2016) that storage and
     * corpus dedup both use because FIXED chunks (d23) break at every
-    * insertion: a boundary falls after char i iff the fingerprint of
-    * the trailing 4-gram lands in 1/64 of hash space (substr(md5,1,2)
-    * < '04' — md5 so the oracle replays the SAME boundaries, the d4
-    * discipline), so an edit only redraws the chunks it touches. Per
-    * source: chunk count, distinct chunks, duplicated-chunk share
-    * (bp), mean chunk length (milli-chars; expected ≈64 by the 1/64
-    * rate). Production adds min/max chunk clamps; the demo keeps the
-    * bare gear rule. Empty docs carry no chunks (the d83 corpus
+    * insertion: a gear boundary falls after char i iff the fingerprint
+    * of the trailing 4-gram lands in 1/64 of hash space (substr(md5,
+    * 1,2) < '04' — md5 so the oracle replays the SAME boundaries, the
+    * d4 discipline), so an edit only redraws the chunks it touches.
+    * FastCDC's clamps are applied greedily over the sorted candidate
+    * list: a candidate closer than CdcMinChunk to the last cut is
+    * skipped, and a cut is forced every CdcMaxChunk chars when no
+    * candidate lands (the final remainder chunk is exempt from the
+    * min clamp, as in FastCDC). Per source: chunk count, distinct
+    * chunks, duplicated-chunk share (bp), mean chunk length
+    * (milli-chars). Empty docs carry no chunks (the d83 corpus
     * assumption: n_chars > 0 throughout).
     *
-    * Shape: ONE scan; boundaries, ends, and chunk hashes are all
-    * row-local array expressions (filter/transform over an inline
-    * char-position sequence — narrow rows, no text duplication past
-    * the projection), so the ONLY exchange is the final (source,
-    * chunk-hash) reduce for the exact distinct count. The len >= 4
-    * guard exists because Spark's sequence(4, len) runs DESCENDING
-    * when len < 4 (a silent wrong-boundary bug, not an error). */
+    * Shape (the d2/§8 restructure — the round-9 form evaluated an
+    * INTERPRETED filter lambda with an md5 per character, 77 s at
+    * sf0.1): the per-char gear test now runs as a codegen'd
+    * Generate(explode position spine) → Filter(md5 projection) — the
+    * whole hot pass is WholeStageCodegen, asserted by spec. Position
+    * len is always a candidate, so every doc survives the filter and
+    * the single per-doc reduce (collect_list of surviving positions +
+    * the text once) needs no join-back second scan. The clamp fold,
+    * ends array, and chunk hashing are row-local HOFs over the
+    * BOUNDED candidate array (~len/64 elements — interpreted is fine
+    * there, the d57 budget). Exchanges: one doc_id reduce (text
+    * crosses once), one (source, chunk-hash) distinct reduce.
+    * sequence(least(4,len), len) stays ascending for len < 4 (Spark's
+    * sequence(4, len) runs DESCENDING when len < 4 — a silent
+    * wrong-boundary bug, not an error). */
   def d91CdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val prepared = Tables.documents(spark, dir)
-      .select(col("source"), col("text"), length(col("text")).cast("long").as("len"))
+    val mn = CdcMinChunk
+    val mx = CdcMaxChunk
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("len"))
       .filter(col("len") > 0)
-      .withColumn("bnd", expr(
-        """case when len >= 4 then
-             filter(sequence(4L, len),
-               i -> substring(md5(substring(text, cast(i - 3 as int), 4)), 1, 2) < '04')
-           else cast(array() as array<bigint>) end"""))
+      .select(col("doc_id"), col("source"), col("text"), col("len"),
+        explode(expr("sequence(least(4L, len), len)")).as("i"))
+      .filter(expr(
+        """i = len or (i >= 4 and
+             substring(md5(substring(text, cast(i - 3 as int), 4)), 1, 2) < '04')"""))
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"), first(col("text")).as("text"),
+        first(col("len")).as("len"),
+        sort_array(collect_list(col("i"))).as("cand"))
+    // Greedy clamp fold over the candidate array: acc starts [0] (the
+    // virtual cut before char 1); per candidate c, force cuts every
+    // CdcMaxChunk until c is in range, then accept c iff >= CdcMinChunk
+    // past the last cut. len is always the final candidate, so after
+    // the fold the only possible tail is the min-exempt remainder.
+    val chunks = perDoc
+      .withColumn("cuts", expr(
+        s"""aggregate(cand, array(0L), (acc, c) -> concat(
+              acc,
+              if(c - element_at(acc, -1) > ${mx}L,
+                 sequence(element_at(acc, -1) + ${mx}L,
+                   element_at(acc, -1)
+                     + ((c - element_at(acc, -1) - 1L) div ${mx}L) * ${mx}L,
+                   ${mx}L),
+                 cast(array() as array<bigint>)),
+              if(c - element_at(acc, -1)
+                   - (if(c - element_at(acc, -1) > ${mx}L,
+                         ((c - element_at(acc, -1) - 1L) div ${mx}L) * ${mx}L,
+                         0L)) >= ${mn}L,
+                 array(c), cast(array() as array<bigint>))))"""))
       .withColumn("ends", expr(
-        """case when size(bnd) > 0 and element_at(bnd, -1) = len then bnd
-           else concat(bnd, array(len)) end"""))
+        """case when element_at(cuts, -1) = len then slice(cuts, 2, size(cuts) - 1)
+                else concat(slice(cuts, 2, size(cuts) - 1), array(len)) end"""))
       .withColumn("ch", expr(
         """transform(ends, (e, i) -> named_struct(
              'h', md5(substring(text, cast(if(i = 0, 0L, element_at(ends, i)) + 1 as int),
                       cast(e - if(i = 0, 0L, element_at(ends, i)) as int))),
              'clen', e - if(i = 0, 0L, element_at(ends, i))))"""))
-    prepared
+    chunks
       .select(col("source"), explode(col("ch")).as("c"))
       .select(col("source"), col("c.h").as("h"), col("c.clen").as("clen"))
       .groupBy(col("source"))
@@ -1657,21 +1705,36 @@ object CorpusOps {
 
   val d91Sql: String =
     """WITH d AS (
-      |  SELECT doc_id, source, text, length(text) AS len FROM documents),
-      |b AS (
+      |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS len
+      |  FROM documents WHERE length(text) > 0),
+      |c AS (
       |  SELECT doc_id, source, text, len,
-      |    list_filter(CAST(generate_series(4, len) AS BIGINT[]),
-      |      i -> substr(md5(substring(text, CAST(i - 3 AS INT), 4)), 1, 2) < '04') AS bnd
+      |    list_sort(list_filter(CAST(generate_series(least(4, len), len) AS BIGINT[]),
+      |      i -> i = len OR (i >= 4 AND
+      |        substr(md5(substring(text, CAST(i - 3 AS INT), 4)), 1, 2) < '04'))) AS cand
       |  FROM d),
+      |f AS (
+      |  SELECT doc_id, source, text, len,
+      |    list_reduce(list_concat([[CAST(0 AS BIGINT)]], list_transform(cand, c -> [c])),
+      |      (acc, x) -> list_concat(list_concat(acc,
+      |        CASE WHEN x[1] - acc[-1] > 256 THEN
+      |          CAST(generate_series(acc[-1] + 256,
+      |            acc[-1] + ((x[1] - acc[-1] - 1) // 256) * 256, 256) AS BIGINT[])
+      |        ELSE CAST([] AS BIGINT[]) END),
+      |        CASE WHEN x[1] - acc[-1] -
+      |          (CASE WHEN x[1] - acc[-1] > 256 THEN ((x[1] - acc[-1] - 1) // 256) * 256
+      |           ELSE 0 END) >= 16
+      |        THEN [x[1]] ELSE CAST([] AS BIGINT[]) END)) AS cuts
+      |  FROM c),
       |e AS (
-      |  SELECT doc_id, source, text,
-      |    CASE WHEN len(bnd) > 0 AND bnd[-1] = len THEN bnd
-      |         ELSE list_append(bnd, len) END AS ends
-      |  FROM b WHERE len > 0),
+      |  SELECT doc_id, source, text, len,
+      |    CASE WHEN cuts[-1] = len THEN cuts[2:]
+      |         ELSE list_append(cuts[2:], len) END AS ends
+      |  FROM f),
       |u AS (
       |  SELECT source, text, ends, unnest(ends) AS en, generate_subscripts(ends, 1) AS i
       |  FROM e),
-      |c AS (
+      |ch AS (
       |  SELECT source,
       |    md5(substring(text, CAST(coalesce(ends[i-1], 0) + 1 AS INT),
       |      CAST(en - coalesce(ends[i-1], 0) AS INT))) AS h,
@@ -1680,7 +1743,7 @@ object CorpusOps {
       |SELECT source, count(*) AS n_chunks, count(DISTINCT h) AS n_uniq,
       |  CAST(((count(*) - count(DISTINCT h)) * 10000) // count(*) AS BIGINT) AS dup_bp,
       |  CAST((sum(clen) * 1000) // count(*) AS BIGINT) AS avg_len_milli
-      |FROM c GROUP BY 1 ORDER BY source""".stripMargin
+      |FROM ch GROUP BY 1 ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d91_cdc_chunks" -> (d91CdcChunks _),

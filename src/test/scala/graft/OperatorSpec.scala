@@ -4021,12 +4021,24 @@ class OperatorSpec extends GraftSpec {
     got.values.foreach { case (_, _, _, mm, cov, _) => assert(mm + cov == 1000000L) }
   }
 
-  /** Independent CDC replay: gear boundaries + chunk texts. */
+  /** Independent CDC replay: gear candidates + FastCDC min/max clamp
+    * fold + chunk texts, mirroring d91's greedy cut semantics. */
   private def cdcChunks(s: String): Seq[String] = {
     def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val bnd = (4 to s.length).filter(i => md5hex(s.substring(i - 4, i)).substring(0, 2) < "04")
-    val ends = if (bnd.nonEmpty && bnd.last == s.length) bnd else bnd :+ s.length
+    val mn = CorpusOps.CdcMinChunk.toInt
+    val mx = CorpusOps.CdcMaxChunk.toInt
+    val cand = (math.min(4, s.length) to s.length).filter(i =>
+      i == s.length || (i >= 4 && md5hex(s.substring(i - 4, i)).substring(0, 2) < "04"))
+    var cuts = Vector(0)
+    cand.foreach { c =>
+      val last = cuts.last
+      val f = if (c - last <= mx) 0 else (c - last - 1) / mx
+      (1 to f).foreach(k => cuts :+= last + k * mx)
+      if (c - (last + f * mx) >= mn) cuts :+= c
+    }
+    val body = cuts.drop(1)
+    val ends = if (body.nonEmpty && body.last == s.length) body else body :+ s.length
     val starts = 0 +: ends.dropRight(1)
     starts.zip(ends).map { case (p, e) => s.substring(p, e) }
   }
@@ -4045,14 +4057,52 @@ class OperatorSpec extends GraftSpec {
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got == expect, s"d91 $got vs replay $expect")
-    // the CDC property fixed chunking lacks: prepending text leaves every
-    // chunk after the first boundary intact (boundaries are local 4-grams)
+    // clamps hold on every chunk: none above max, none below min except
+    // each doc's min-exempt final remainder chunk
+    docs.foreach { case (_, t) =>
+      val cs = cdcChunks(t)
+      assert(cs.forall(_.length <= CorpusOps.CdcMaxChunk),
+        s"chunk above max clamp in doc of len ${t.length}")
+      assert(cs.dropRight(1).forall(_.length >= CorpusOps.CdcMinChunk),
+        s"non-final chunk below min clamp in doc of len ${t.length}")
+      assert(cs.map(_.length.toLong).sum == t.length.toLong)
+    }
+    // the CDC property fixed chunking lacks: a front insertion redraws
+    // only a local prefix of chunks — the chains re-sync at a gear
+    // boundary and the whole remaining suffix survives verbatim
     val sample = docs.map(_._2).maxBy(_.length)
     val orig = cdcChunks(sample)
     val edited = cdcChunks("inserted preamble " + sample)
     assert(orig.size > 2, "sample doc must chunk")
-    assert(edited.containsSlice(orig.drop(1)),
-      "all chunks after the first must survive a front insertion")
+    val survived = orig.reverse.zip(edited.reverse).takeWhile(p => p._1 == p._2).length
+    assert(survived >= orig.size / 2,
+      s"only $survived of ${orig.size} trailing chunks survived a front insertion")
+  }
+
+  test("d91 cdc: the per-char gear pass has no interpreted lambda before the doc reduce") {
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val opt = CorpusOps.d91CdcChunks(spark, sfDir).queryExecution.optimizedPlan
+    // locate the doc_id reduce: the Aggregate whose subtree holds the
+    // position-spine Generate (the per-char hot path)
+    val docReduce = opt.collect {
+      case a: Aggregate if a.child.collect { case g: Generate => g }.nonEmpty => a }
+    assert(docReduce.nonEmpty, "doc-reduce Aggregate over the spine Generate must exist")
+    val hot = docReduce.minBy(_.collect { case p => p }.size) // innermost
+    val spine = hot.child.collect { case g: Generate => g }
+    assert(spine.size == 1, s"exactly one spine explode below the doc reduce, got ${spine.size}")
+    // the round-9 form evaluated an INTERPRETED ArrayFilter lambda with
+    // an md5 per character (77 s at sf0.1); the hot path below the doc
+    // reduce must stay codegen'd — no higher-order function anywhere
+    val hofs = (hot.child +: hot.child.collect { case p => p }).flatMap(_.expressions)
+      .flatMap(_.collect { case h: HigherOrderFunction => h })
+    assert(hofs.isEmpty,
+      s"no interpreted higher-order function may run on the per-char path: $hofs")
+    // the gear test itself must be present as a plain filter predicate
+    val gearFilter = hot.child.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("md5") => f }
+    assert(gearFilter.nonEmpty, "gear md5 predicate must be a plain Filter above the spine")
   }
 
   test("q61 ols: slope and r2 replay from BigInt moments; r2 bracketed in [0,1]") {
