@@ -2263,12 +2263,12 @@ object Events {
         col("n_at_risk"), col("hazard_ppm")))).as("rows"))
       .withColumn("hs", expr("transform(rows, x -> x.hazard_ppm)"))
       .select(col("hs"), posexplode(col("rows")).as(Seq("pos", "r")))
-      .select(col("r.t").as("duration_days"), col("r.churned").as("churned"),
+      .select(col("r.t").as("duration_min"), col("r.churned").as("churned"),
         col("r.censored").as("censored"), col("r.n_at_risk").as("n_at_risk"),
         col("r.hazard_ppm").as("hazard_ppm"),
         expr("""aggregate(slice(hs, 1, pos + 1), cast(1000000 as bigint),
                 (acc, h) -> (acc * (1000000 - h)) div 1000000)""").as("survival_ppm"))
-      .orderBy(col("duration_days"))
+      .orderBy(col("duration_min"))
   }
 
   val c42Sql: String =
@@ -2310,12 +2310,12 @@ object Events {
        |    row_number() OVER (ORDER BY t) AS rn
        |  FROM life),
        |arr AS (SELECT list(hazard_ppm ORDER BY t) AS hs FROM h)
-       |SELECT t AS duration_days, CAST(churned AS BIGINT) AS churned,
+       |SELECT t AS duration_min, CAST(churned AS BIGINT) AS churned,
        |  CAST(censored AS BIGINT) AS censored, CAST(n_at_risk AS BIGINT) AS n_at_risk,
        |  CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
        |  CAST(list_reduce(list_prepend(CAST(1000000 AS BIGINT), list_slice(hs, 1, rn)),
        |    (acc, x) -> (acc * (1000000 - x)) // 1000000) AS BIGINT) AS survival_ppm
-       |FROM h CROSS JOIN arr ORDER BY duration_days""".stripMargin
+       |FROM h CROSS JOIN arr ORDER BY duration_min""".stripMargin
 
   /** c43 error budget: allowed error share in ppm. Production SLOs run
     * 99.9%+ (budget 1000 ppm); the synthetic corpus carries a ~20%
