@@ -115,24 +115,37 @@ object RenameTableFormat extends TableFormat {
   * resolve ONLY through the log: the highest log entry names the
   * current snapshot.
   *
-  * Commit = write the full new snapshot to a fresh data dir, then
-  * publish it with ONE atomic create-if-absent of `_log/<N+1>` — the
-  * Delta-lake commit primitive. There is NO non-atomic window: a crash
-  * before the log create leaves an orphan data dir that no reader can
-  * see (vacuumed by the next commit); a crash after it is a completed
-  * commit. Losing the create race (another writer published <N+1>
-  * first) throws [[ConcurrentCommitException]] — the snapshot this
-  * writer derived is stale by construction, so publishing it would
-  * silently drop the winner's commit.
+  * Commit = write the full new snapshot to a fresh data dir, stage
+  * the log entry's CONTENT to `_log/.tmp-*`, then publish with ONE
+  * rename to `_log/<N+1>` — the Delta-lake commit primitive. There is
+  * NO non-atomic window: the entry is never visible without its
+  * content (rename is atomic), a crash before the rename leaves only
+  * an orphan data dir + tmp that no reader resolves (vacuumed by the
+  * next commit), and a crash after it is a completed commit. Losing
+  * the publish race (rename-fails-if-exists per the HDFS rename
+  * contract, plus an exists pre-check for local filesystems whose
+  * rename overwrites) throws [[ConcurrentCommitException]] — the
+  * snapshot this writer derived is stale by construction, so
+  * publishing it would silently drop the winner's commit. Readers
+  * skip empty log entries (crashed commits from the legacy
+  * create-then-write protocol) and fall back to the previous version.
   *
-  * At 100 TB this is the object-store-safe shape: data files are
-  * written once and never renamed (S3 has no rename), visibility is a
-  * single small-file put, and the previous version stays readable for
-  * in-flight readers (the last two versions are retained, older ones
-  * vacuumed on commit). */
+  * At 100 TB this is the object-store-friendly shape: data files are
+  * written once and never renamed, visibility is one small-file move,
+  * and the previous version stays readable for in-flight readers (the
+  * last two versions are retained, older ones vacuumed on commit).
+  * True object stores lack atomic rename-if-absent — there the
+  * publish step needs the store's conditional-put or an external
+  * lock, as Delta on S3 does; the HDFS-family contract is atomic. */
 object CommitLogTableFormat extends TableFormat {
 
   private val LogDirName = "_log"
+
+  private def entryContent(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
 
   private def latest(fs: FileSystem, table: String): Option[(Long, String)] = {
     val log = new Path(new Path(table), LogDirName)
@@ -142,15 +155,12 @@ object CommitLogTableFormat extends TableFormat {
       val versions = entries.toSeq.flatMap { e =>
         scala.util.Try(e.getPath.getName.toLong).toOption.map(_ -> e.getPath)
       }
-      if (versions.isEmpty) None
-      else {
-        val (v, p) = versions.maxBy(_._1)
-        val in = fs.open(p)
-        val dataName =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        Some((v, dataName))
-      }
+      // an empty entry is a crashed legacy create-then-write commit —
+      // skip it and fall back to the previous version (the current
+      // tmp+rename protocol never publishes an entry without content)
+      versions.sortBy(-_._1).iterator
+        .map { case (v, p) => (v, entryContent(fs, p)) }
+        .find(_._2.nonEmpty)
     }
   }
 
@@ -180,11 +190,9 @@ object CommitLogTableFormat extends TableFormat {
     val entry = new Path(new Path(table, LogDirName), version.toString)
     if (!fs.exists(entry)) None
     else {
-      val in = fs.open(entry)
-      val dataName =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      Some(spark.read.parquet(new Path(new Path(table), dataName).toString))
+      val dataName = entryContent(fs, entry)
+      if (dataName.isEmpty) None // crashed legacy commit, never published
+      else Some(spark.read.parquet(new Path(new Path(table), dataName).toString))
     }
   }
 
@@ -193,21 +201,40 @@ object CommitLogTableFormat extends TableFormat {
     val root = new Path(table)
     val fs = fsOf(spark, table)
     fs.mkdirs(new Path(root, LogDirName))
+    // recovery: delete empty numeric entries (crashed legacy
+    // create-then-write commits) so they can't collide with the next
+    // version; safe because the tmp+rename protocol never has an
+    // empty entry in flight (log is <= 2 entries post-vacuum)
+    val listed = fs.globStatus(new Path(new Path(root, LogDirName), "*"))
+    if (listed != null)
+      listed.filter(e => scala.util.Try(e.getPath.getName.toLong).isSuccess &&
+          entryContent(fs, e.getPath).isEmpty)
+        .foreach(e => fs.delete(e.getPath, true))
     val v = latest(fs, table).map(_._1).getOrElse(0L) + 1L
     val dataName = s"data-v$v-$token"
     // snapshot first — invisible until logged; `df` may lazily read
     // the current version, whose files are immutable, so no conflict
     df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
     val entry = new Path(new Path(root, LogDirName), v.toString)
-    val out =
-      try fs.create(entry, false) // atomic create-if-absent = the commit
-      catch {
-        case e: java.io.IOException =>
-          fs.delete(new Path(root, dataName), true) // lost the race: orphan
-          throw new ConcurrentCommitException(
-            s"version $v of $table was committed concurrently: $e")
-      }
+    // stage the entry CONTENT first, then publish with one rename: the
+    // log entry is never visible without its content (a create-then-
+    // write protocol exposes an empty highest version to readers and
+    // bricks the next commit if the writer crashes mid-write). The
+    // dot prefix keeps the tmp out of the version glob.
+    val tmp = new Path(new Path(root, LogDirName), s".tmp-$v-$token")
+    val out = fs.create(tmp, true)
     try out.write(dataName.getBytes(UTF_8)) finally out.close()
+    // rename-fails-if-exists is the commit point (the HDFS rename
+    // contract); the exists pre-check covers local filesystems whose
+    // rename overwrites. Losing either way = a concurrent commit.
+    val won = !fs.exists(entry) &&
+      (try fs.rename(tmp, entry) catch { case _: java.io.IOException => false })
+    if (!won) {
+      fs.delete(tmp, true)
+      fs.delete(new Path(root, dataName), true) // lost the race: orphan
+      throw new ConcurrentCommitException(
+        s"version $v of $table was committed concurrently")
+    }
     vacuum(fs, root, v)
   }
 
@@ -234,5 +261,10 @@ object CommitLogTableFormat extends TableFormat {
       logEntries.filter(e =>
           scala.util.Try(e.getPath.getName.toLong).toOption.exists(_ < committed - 1L))
         .foreach(e => fs.delete(e.getPath, true))
+    // staged entries from crashed writers (ours was renamed away); a
+    // concurrent writer losing its tmp here would have lost the
+    // version race to this commit anyway
+    val tmps = fs.globStatus(new Path(new Path(root, LogDirName), ".tmp-*"))
+    if (tmps != null) tmps.foreach(t => fs.delete(t.getPath, true))
   }
 }

@@ -265,7 +265,7 @@ object StreamingOps {
           var s = state.getOption.getOrElse(FunnelBufState(-1L, -1L, -1L, Nil))
           val all = (s.pending ++ rows.map(e => FunnelEv(e.ts.getTime, e.event_id, e.event_type)))
             .sortBy(e => (e.ts, e.id))
-          val (ready, pending) = all.partition(_.ts <= wm)
+          val (ready, pending) = all.partition(_.ts < wm)
           val out = Seq.newBuilder[StageReach]
           ready.foreach { e =>
             e.typ match {
@@ -338,7 +338,7 @@ object StreamingOps {
           val all = (s.pending ++ rows.map(e =>
               TouchEv(e.ts.getTime, e.event_id, e.event_type, e.value)))
             .sortBy(e => (e.ts, if (e.typ == "purchase") 1 else 0, e.id))
-          val (ready, pending) = all.partition(_.ts <= wm)
+          val (ready, pending) = all.partition(_.ts < wm)
           val out = Seq.newBuilder[CreditOut]
           ready.foreach { e =>
             if (e.typ == "purchase") {
@@ -394,7 +394,7 @@ object StreamingOps {
           var s = state.getOption.getOrElse(CoverState(-1L, -1L, 0L, Nil))
           val all = (s.pending ++ rows.map(e => (e.ts.getTime * 1000L, e.event_id)))
             .sortBy(identity)
-          val (ready, pending) = all.partition(_._1 <= wmUs)
+          val (ready, pending) = all.partition(_._1 < wmUs)
           val out = Seq.newBuilder[CoverBlock]
           ready.foreach { case (t, _) =>
             if (s.blkStart >= 0 && t <= s.blkEnd)
@@ -406,7 +406,7 @@ object StreamingOps {
             }
           }
           // watermark already past the open block's end: final, emit now
-          if (s.blkStart >= 0 && s.blkEnd <= wmUs && pending.isEmpty) {
+          if (s.blkStart >= 0 && s.blkEnd < wmUs && pending.isEmpty) {
             out += CoverBlock(userId, s.blkStart, s.blkEnd, s.nEvents)
             s = CoverState(-1L, -1L, 0L, Nil)
           }

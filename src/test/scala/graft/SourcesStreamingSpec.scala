@@ -266,9 +266,9 @@ class SourcesStreamingSpec extends GraftSpec {
     val dataDirs = fs.globStatus(new Path(s"$dir/data-v*"))
       .map(_.getPath.getName).toSet
     assert(dataDirs == Set("data-v2-b", "data-v3-c"), dataDirs.toString)
-    // the commit primitive: create-if-absent on an existing log entry
-    // fails (what turns a lost publish race into ConcurrentCommitException
-    // instead of a silently dropped commit)
+    // the lost-race guard: an existing log entry blocks a second
+    // publish of the same version (create-if-absent shown here; commit
+    // itself uses exists + rename-fails-if-exists)
     intercept[java.io.IOException] {
       fs.create(new Path(s"$dir/_log/3"), false).close()
     }
@@ -280,6 +280,21 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(fmt.readVersion(spark, dir, 1L).isEmpty, "vacuumed version must be gone")
     assert(fmt.readVersion(spark, dir, 3L).get.as[(Long, String)].collect().toSeq ==
       Seq((3L, "v3")))
+    // crash window of the legacy create-then-write protocol: an EMPTY
+    // highest log entry must not brick the table — readers skip it and
+    // fall back, time travel reports it unpublished, and the next
+    // commit recovers the version slot instead of throwing
+    fs.create(new Path(s"$dir/_log/4"), false).close()
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().toSeq ==
+      Seq((3L, "v3")), "reader must fall back past an empty entry")
+    assert(fmt.readVersion(spark, dir, 4L).isEmpty, "empty entry is not a version")
+    fmt.commit(spark, dir, Seq((4L, "v4")).toDF("k", "v"), "d")
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().toSeq ==
+      Seq((4L, "v4")), "commit after a crashed entry must publish normally")
+    assert(fmt.versions(spark, dir) == Seq(3L, 4L))
+    // no staged tmp survives a successful commit
+    assert(fs.globStatus(new Path(s"$dir/_log/.tmp-*")).isEmpty,
+      "staged entries must be vacuumed")
   }
 
   test("profileMergeBatch over CommitLogTableFormat: merge + replay-skip hold") {
