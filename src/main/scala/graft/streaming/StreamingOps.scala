@@ -1015,9 +1015,13 @@ object StreamingOps {
             }
           }
           state.update(GapFillState(open, lastClosed, lastN))
+          // next pending close boundary: lastClosed+1 may be an interior
+          // gap day with no open entry (the sloBurnStream fix)
           if (open.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max((open.keys.min + 1) * DayMs, wm + 1))
+            state.setTimeoutTimestamp(math.max(
+              if (lastClosed == Long.MinValue) (open.keys.min + 1) * DayMs
+              else (lastClosed + 2) * DayMs,
+              wm + 1))
           out.result().iterator
       }
   }
@@ -1082,9 +1086,103 @@ object StreamingOps {
             }
           }
           state.update(EwmaState(open, closed, firstDay, lastClosed))
+          // next pending close boundary: lastClosed+1 may be an interior
+          // gap day with no open entry (the sloBurnStream fix)
           if (open.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max((open.keys.min + 1) * DayMs, wm + 1))
+            state.setTimeoutTimestamp(math.max(
+              if (lastClosed == Long.MinValue) (open.keys.min + 1) * DayMs
+              else (lastClosed + 2) * DayMs,
+              wm + 1))
+          out.result().iterator
+      }
+  }
+
+  case class SloHourOut(hour: Long, n_events: Long, n_errors: Long,
+                        err_ppm: Long, burn_fast_milli: Long,
+                        burn_slow_milli: Long, page: Boolean)
+  case class SloState(open: Map[Long, (Long, Long)],
+                      closed: Map[Long, (Long, Long)], lastClosed: Long)
+
+  /** Streaming SLO burn-rate pager — c43's live twin
+    * (Events.c43SloBurnOf): the multi-window burn-rate alert (Google
+    * SRE Workbook ch.5) evaluated when each hour CLOSES, because an
+    * SLO pager that only runs in backfill is not a pager. Hours close
+    * in ascending event-time order once the watermark passes their
+    * end (the ewmaStream/gapFillStream contract); interior gap hours
+    * close as the real zeros batch c43 puts on its dense spine, so
+    * the trailing-[[graft.operators.Events.SloSlowWindowHours]]h slow
+    * window sums the SAME values and every closed hour's
+    * fast/slow/page fields equal the batch row by construction
+    * (spec-proven across micro-batch splits, planted error storm
+    * included). Identical integer arithmetic — truncating div on ppm
+    * and milli, no floats.
+    *
+    * The SLO series is GLOBAL, so the state machine is one group
+    * (key = unit): open hour → (n, err) pairs + the trailing ≤
+    * SloSlowWindowHours closed pairs — bounded regardless of stream
+    * length. At 100 TB event rates the single-group funnel is the
+    * honest cost of an exact global alert; production shards an
+    * upstream keyed pre-count per (shard, hour) and feeds the merged
+    * per-hour partials here (the per-hour traffic into this state
+    * machine is then |shards| rows/hour, not the event stream). Late
+    * data beyond the watermark drops — the one batch/stream delta
+    * (measured by outOfOrderStream). */
+  def sloBurnStream(spark: SparkSession, events: Dataset[EventRow],
+                    watermarkDelay: String = "1 hour"): Dataset[SloHourOut] = {
+    import spark.implicits._
+    import graft.operators.Events.{SloBudgetPpm, SloFastBurnMilli,
+      SloSlowBurnMilli, SloSlowWindowHours}
+    val HourMs = 3600000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Int, rows: Iterator[EventRow], state: GroupState[SloState]) =>
+          val st0 = state.getOption.getOrElse(
+            SloState(Map.empty, Map.empty, Long.MinValue))
+          var open = st0.open
+          rows.foreach { e =>
+            val h = Math.floorDiv(e.ts.getTime, HourMs)
+            if (h > st0.lastClosed) {
+              val (n, err) = open.getOrElse(h, (0L, 0L))
+              open = open.updated(h,
+                (n + 1L, err + (if (e.event_type == "error") 1L else 0L)))
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var closed = st0.closed
+          var lastClosed = st0.lastClosed
+          val out = Seq.newBuilder[SloHourOut]
+          if (open.nonEmpty) {
+            val maxOpen = open.keys.max
+            var h = if (lastClosed == Long.MinValue) open.keys.min else lastClosed + 1
+            while (h <= maxOpen && (h + 1) * HourMs <= wm) {
+              val (n, err) = open.getOrElse(h, (0L, 0L))
+              closed = closed.updated(h, (n, err))
+              val win = (0 until SloSlowWindowHours)
+                .map(k => closed.getOrElse(h - k, (0L, 0L)))
+              val n6 = win.map(_._1).sum
+              val err6 = win.map(_._2).sum
+              val errPpm = if (n == 0L) 0L else err * 1000000L / n
+              val fast = if (n == 0L) 0L else errPpm * 1000L / SloBudgetPpm
+              val slow = if (n6 == 0L) 0L
+                         else (err6 * 1000000L / n6) * 1000L / SloBudgetPpm
+              out += SloHourOut(h, n, err, errPpm, fast, slow,
+                fast > SloFastBurnMilli && slow > SloSlowBurnMilli)
+              closed = closed.filter(_._1 >= h - SloSlowWindowHours + 1)
+              open -= h
+              lastClosed = h
+              h += 1
+            }
+          }
+          state.update(SloState(open, closed, lastClosed))
+          // wake at the NEXT pending close boundary — lastClosed+1 may
+          // be an interior gap hour with no open entry, and keying the
+          // timeout to open.keys.min would skip past its close time
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              if (lastClosed == Long.MinValue) (open.keys.min + 1) * HourMs
+              else (lastClosed + 2) * HourMs,
+              wm + 1))
           out.result().iterator
       }
   }

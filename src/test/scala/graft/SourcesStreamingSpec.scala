@@ -1445,6 +1445,58 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("sloBurnStream: closed hours == the real batch c43 across micro-batch splits; storm pages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.sloBurnStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("slo_test").outputMode("append").start()
+    val hr0 = 480000L
+    var id = 0L
+    def evs(off: Long, n: Int, errs: Int) = (1 to n).map { k =>
+      id += 1
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp((hr0 + off) * 3600000L + k * 60000L),
+        id % 5, if (k <= errs) "error" else "view", 1.0)
+    }
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // steady 5% error baseline, a 2-hour observation gap (hours 5-6,
+      // interior zeros on the batch spine), then a 3-hour 80% error
+      // storm split across micro-batches, then recovery
+      add(evs(0, 20, 1) ++ evs(1, 20, 1) ++ evs(2, 20, 1))
+      add(evs(3, 20, 1) ++ evs(4, 20, 1))
+      add(evs(7, 20, 1) ++ evs(8, 30, 24))
+      add(evs(9, 30, 24))
+      add(evs(10, 30, 24) ++ evs(11, 20, 1))
+      add(evs(12, 20, 1))
+      // watermark drivers: the trailing empty batch after the second
+      // closes hours through hr0+14 (the ewmaStream precedent)
+      add(evs(15, 1, 0))
+      add(evs(16, 1, 0))
+      val got = spark.sql("select * from slo_test").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+      // the REAL batch operator over every fed row, closed prefix only
+      val expect = graft.operators.Events.c43SloBurnOf(fed.result().toDF())
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+        .filter(_._1 <= hr0 + 14).toMap
+      assert(got == expect,
+        s"slo ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+      // flag-for-flag: both engines page the storm's tail, where fast
+      // (>50% hourly) AND slow (6h window) burn exceed budget
+      assert(got(hr0 + 10)._6, "the storm's third hour must page")
+      assert(got.filter(_._2._6).keys.toSet == Set(hr0 + 9, hr0 + 10),
+        "exactly the storm tail pages")
+      // gap hours are real zeros in the slow window, same as the spine
+      assert(got(hr0 + 5)._1 == 0L && got(hr0 + 6)._1 == 0L)
+    } finally q.stop()
+  }
+
   test("silenceStream: one silent alert per outage, resumed with measured downtime") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
