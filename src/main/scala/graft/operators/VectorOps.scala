@@ -108,6 +108,101 @@ object VectorOps {
        |SELECT query_id, neighbor_id, ip, rnk FROM ranked WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** 65-dim ±1 hyperplane weights for the norm-augmented MIPS space —
+    * same fmix32 avalanche scheme as [[planeWeights]] (see its
+    * degeneracy warning), one extra component for the augmentation
+    * dimension. */
+  private[operators] def planeWeights65(p: Int): Seq[Float] =
+    (0 until 65).map { j =>
+      var h = p * 0x9E3779B9 + j * 0x85EBCA6B
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }
+
+  /** Hyperplane bucket id over a 65-dim augmented vector — the
+    * [[lshBucket]] shape with the 65-dim weights; native dot, stays
+    * in codegen. */
+  private def lshBucket65(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      when(dot(v, floatArrayLit(planeWeights65(p))) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** d93: sublinear MIPS — d92's exact reduction made into a real
+    * sub-corpus search by plugging the Bachrach et al. (RecSys 2014)
+    * norm augmentation into the d17 multiprobe hyperplane-LSH
+    * machinery. Each candidate x becomes [x, sqrt(M² − ‖x‖²)] (M² =
+    * the corpus max squared norm, an exact 1-row scalar), each query
+    * q becomes [q, 0]; every augmented candidate then has norm
+    * exactly M, so the ANGLE between q' and x' orders identically to
+    * the raw inner product ⟨q, x⟩ — which is precisely what
+    * hyperplane LSH buckets approximate. A query probes its own
+    * 65-dim bucket plus every bucket at hamming distance 1 (the d17
+    * probe set: (P+1)/2^P of the corpus ≈ 31%), and the survivors are
+    * ranked by the NATIVE raw dot — monotone with the augmented
+    * cosine, so no augmented arithmetic leaks into scoring. Oracled
+    * end-to-end: the augmentation component rounds through FLOAT in
+    * both engines (IEEE), M² and the signature arithmetic replay
+    * exactly (the d10 oracle pattern).
+    *
+    * Shape: ONE corpus-wide augmentation pass (the 1-row M² scalar is
+    * an allowlisted literal-capacity broadcast), bucket ids in
+    * codegen, the probe join touches ~(P+1)/2^P of the corpus per
+    * query, TopKAgg bounds the merge. The corpus is never shuffled —
+    * the same 100 TB story as d10/d17, now for recommender-style
+    * retrieval where magnitude is signal. */
+  def d93MipsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val m2 = emb.agg(max(dot(col("embedding"), col("embedding"))).as("m2"))
+    val cand = emb.crossJoin(broadcast(m2))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        lshBucket65(concat(col("embedding"),
+          array(sqrt(col("m2") - dot(col("embedding"), col("embedding")))
+            .cast("float")))).as("cb"))
+    val probes = (lit(0) +: (0 until NumPlanes).map(p => lit(1 << p)))
+      .map(m => col("bucket").bitwiseXOR(m))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        lshBucket65(concat(col("embedding"), array(lit(0.0f)))).as("bucket"))
+      .select(col("query_id"), col("qe"), explode(array(probes: _*)).as("pb"))
+    val scored = broadcast(q)
+      .join(cand, col("pb") === col("cb") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qe"), col("ne")).as("cos"))
+    topKPerQuery(scored)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("ip"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB mirror of [[lshBucket65]] with the 65-dim weights
+    * inlined. */
+  private def duckBucket65(v: String): String =
+    (0 until NumPlanes).map { p =>
+      val w = planeWeights65(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_transform(range(1, 66), i -> CAST($v[i] AS DOUBLE) * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1 << p} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
+  lazy val d93Sql: String =
+    s"""WITH m AS (SELECT max(${duckDot("embedding", "embedding")}) AS m2 FROM embeddings),
+       |cand AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ne,
+       |    ${duckBucket65(s"list_append(embedding, CAST(sqrt(m2 - ${duckDot("embedding", "embedding")}) AS FLOAT))")} AS cb
+       |  FROM embeddings CROSS JOIN m),
+       |q0 AS (
+       |  SELECT vec_id AS query_id, embedding AS qe,
+       |    ${duckBucket65("list_append(embedding, CAST(0.0 AS FLOAT))")} AS bucket
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |q AS (
+       |  SELECT query_id, qe, xor(bucket, mask) AS pb
+       |  FROM q0 CROSS JOIN (SELECT unnest([${(0 +: (0 until NumPlanes).map(1 << _).toList).mkString(", ")}]) AS mask)),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckDot("qe", "ne")} AS ip
+       |  FROM q JOIN cand ON pb = cb AND neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, ip,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, ip, rnk FROM ranked WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** d9: brute-force cosine top-k — queries (vec_id < 10) broadcast
     * against all other vectors, per-query top-5. */
   def d9CosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -1265,6 +1360,7 @@ object VectorOps {
     "d44_embed_quantize" -> (d44EmbedQuantize _),
     "d36_filtered_search" -> (d36FilteredSearch _),
     "d92_mips_topk" -> (d92MipsTopk _),
+    "d93_mips_lsh" -> (d93MipsLsh _),
     "d9_cosine_topk" -> (d9CosineTopk _),
     "d10_ann_lsh" -> (d10AnnLsh _),
     "d12_ann_ivf" -> (d12AnnIvf _),
@@ -1280,6 +1376,7 @@ object VectorOps {
     "d44_embed_quantize" -> d44Sql,
     "d36_filtered_search" -> d36Sql,
     "d92_mips_topk" -> d92Sql,
+    "d93_mips_lsh" -> d93Sql,
     "d9_cosine_topk" -> d9Sql,
     "d10_ann_lsh" -> d10Sql,
     "d12_ann_ivf" -> d12Sql,

@@ -45,7 +45,8 @@ class OperatorSpec extends GraftSpec {
       "d36_filtered_search",   // same broadcast-query shape as d9
       "d65_ann_recall",        // composes d9+d10, inherits their shape
       "c42_survival_km",       // 1-row corpus-end-day scalar broadcast
-      "d92_mips_topk")         // broadcast 10-row query set, =!= condition (d9's shape)
+      "d92_mips_topk",         // broadcast 10-row query set, =!= condition (d9's shape)
+      "d93_mips_lsh")          // 1-row max-norm scalar broadcast (the augmentation M2)
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -204,7 +205,8 @@ class OperatorSpec extends GraftSpec {
       "d84_dict_code"         -> Set("documents"),  // top-256 dictionary
       "d85_bm25_topk"         -> Set("documents"),  // 1-row (T, D) corpus scalars
       "c42_survival_km"       -> Set("events"),     // 1-row corpus-end scalar
-      "d92_mips_topk"         -> Set("embeddings")) // 10-row query set (literal id cut)
+      "d92_mips_topk"         -> Set("embeddings"), // 10-row query set (literal id cut)
+      "d93_mips_lsh"          -> Set("embeddings")) // 1-row M2 scalar + 10-row probe set
     def factLeaves(p: LogicalPlan): Set[String] = p.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
@@ -4171,6 +4173,52 @@ class OperatorSpec extends GraftSpec {
       if (da != db)
         assert((da > db) == (cosAug(va, da) > cosAug(vb, db)), s"$ia vs $ib")
     }
+  }
+
+  test("d93 mips-lsh: recall vs the exact d92 baseline holds; probe set is sublinear") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.d92MipsTopk(spark, sfDir))
+    val approx = pairs(VectorOps.d93MipsLsh(spark, sfDir))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // the d10-equivalent floor: 4-plane multiprobe LSH on this corpus
+    // (measured 0.50 at sf0.01; d10's single-probe floor is 0.1)
+    assert(recall > 0.25, s"d93 recall=$recall")
+    // independent replay of the augmented signatures: the probe set
+    // must be a sublinear slice of the corpus and must contain every
+    // returned neighbor (soundness of the bucket join)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dotL(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val m2 = vecs.map(v => dotL(v._2, v._2)).max
+    def w65(p: Int): Array[Float] = (0 until 65).map { j =>
+      var h = p * 0x9E3779B9 + j * 0x85EBCA6B
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }.toArray
+    def bucket(v: Array[Float], aug: Float): Int =
+      (0 until VectorOps.NumPlanes).map { p =>
+        if (dotL(v :+ aug, w65(p)) >= 0) 1 << p else 0
+      }.sum
+    val cb = vecs.map { case (id, v) =>
+      id -> bucket(v, math.sqrt(m2 - dotL(v, v)).toFloat) }.toMap
+    assert(cb.values.toSet.size > 8, "plane degeneracy: buckets collapsed")
+    val qProbes = (0L until VectorOps.NumQueries).map { qid =>
+      val qb = bucket(vecs.find(_._1 == qid).get._2, 0.0f)
+      qid -> (0 +: (0 until VectorOps.NumPlanes).map(1 << _)).map(qb ^ _).toSet
+    }.toMap
+    val fracs = qProbes.map { case (qid, probes) =>
+      cb.count { case (id, b) => id != qid && probes(b) }.toDouble / (vecs.length - 1) }
+    val mean = fracs.sum / fracs.size
+    // expected (P+1)/2^P ≈ 0.31 of the corpus per query
+    assert(mean < 0.55, s"probe fraction $mean is not sublinear")
+    approx.foreach { case (qid, nb) =>
+      assert(qProbes(qid)(cb(nb)), s"neighbor $nb of q$qid outside its probe set") }
   }
 
   /** Independent c43 replay over (hour, isError) pairs. */
