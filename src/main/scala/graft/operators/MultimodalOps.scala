@@ -66,6 +66,90 @@ object MultimodalOps {
       }
   }
 
+  /** REAL pure-JVM codec for the [[MediaDecoder]] seam: Netpbm PPM,
+    * P6 (binary) and P3 (ASCII), maxval ≤ 255 — the one raster format
+    * a from-scratch parser can decode with zero native deps, proving
+    * the seam end-to-end on real pixels (the stub's dims are
+    * hash-derived; these are measured). Header = magic, then
+    * whitespace/`#`-comment-separated width, height, maxval; P6 pixel
+    * data starts after exactly one whitespace byte. Features (8
+    * floats, each normalized by maxval): mean R, G, B, global mean
+    * luma ((r+g+b)/3), and the four quadrant mean lumas (top/left
+    * halves take the ceiling split; an empty quadrant reads 0).
+    * Undecodable or truncated blobs are DROPPED — a real pipeline
+    * quarantines them, and the row-count delta is the observable. */
+  object PpmDecoder extends MediaDecoder {
+    private def parse(id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+      if (bytes.length < 2 || bytes(0) != 'P'.toByte) return None
+      val kind = bytes(1).toChar
+      if (kind != '3' && kind != '6') return None
+      var pos = 2
+      def skipWs(): Unit = {
+        var more = true
+        while (more && pos < bytes.length) {
+          val c = bytes(pos).toChar
+          if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n'.toByte) pos += 1 }
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
+          else more = false
+        }
+      }
+      def nextInt(): Int = {
+        skipWs()
+        val st = pos
+        while (pos < bytes.length && bytes(pos) >= '0'.toByte && bytes(pos) <= '9'.toByte)
+          pos += 1
+        if (pos == st || pos - st > 9) -1
+        else new String(bytes, st, pos - st, "US-ASCII").toInt
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      val n = w.toLong * h
+      if (n > Int.MaxValue / 3) return None
+      val px = new Array[Int](3 * n.toInt)
+      if (kind == '6') {
+        pos += 1 // the single post-maxval whitespace byte
+        if (bytes.length - pos < 3 * n) return None
+        var i = 0
+        while (i < 3 * n) { px(i) = bytes(pos + i) & 0xFF; i += 1 }
+      } else {
+        var i = 0
+        while (i < 3 * n) {
+          val v = nextInt()
+          if (v < 0 || v > maxval) return None
+          px(i) = v; i += 1
+        }
+      }
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val qSum = new Array[Long](4); val qCnt = new Array[Long](4)
+      val ch = (h + 1) / 2; val cw = (w + 1) / 2
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = 3 * (y * w + x)
+          val r = px(o); val g = px(o + 1); val b = px(o + 2)
+          sr += r; sg += g; sb += b
+          val q = (if (y < ch) 0 else 2) + (if (x < cw) 0 else 1)
+          qSum(q) += r + g + b; qCnt(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feats = Array(
+        (sr.toDouble / n / maxval).toFloat,
+        (sg.toDouble / n / maxval).toFloat,
+        (sb.toDouble / n / maxval).toFloat,
+        ((sr + sg + sb).toDouble / 3.0 / n / maxval).toFloat,
+        quadLuma(qSum(0), qCnt(0), maxval), quadLuma(qSum(1), qCnt(1), maxval),
+        quadLuma(qSum(2), qCnt(2), maxval), quadLuma(qSum(3), qCnt(3), maxval))
+      Some(DecodedMedia(id, bytes.length, w, h, feats))
+    }
+    private def quadLuma(s: Long, c: Long, maxval: Int): Float =
+      if (c == 0) 0f else (s.toDouble / 3.0 / c / maxval).toFloat
+    def decode(batch: Seq[(Long, Array[Byte])]): Iterator[DecodedMedia] =
+      batch.iterator.flatMap { case (id, b) => parse(id, b) }
+  }
+
   /** Batch decode API: mapPartitions over (id, blob) rows, feeding the
     * decoder partition-local batches. Swap `decoder` for a real codec
     * implementation of [[MediaDecoder]]; the default is the documented
@@ -462,13 +546,19 @@ object MultimodalOps {
     * the corpus path; the only exchange is the final ≤|buckets| reduce
     * with map-side partials. Rides e1's decoded-dimensions seam: a real
     * decoder swaps in without a plan change. */
-  def e8AspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def e8AspectBuckets(spark: SparkSession, dir: String): DataFrame =
+    e8AspectBucketsOf(e1MultimodalMeta(spark, dir))
+
+  /** e8 over ANY (doc_id, width, height) frame — the decoded-dims
+    * seam: the query entry feeds e1's stub meta, the [[PpmDecoder]]
+    * spec feeds REAL measured dims through the same plan. */
+  def e8AspectBucketsOf(meta: DataFrame): DataFrame = {
     val barr = array(AspectBuckets.zipWithIndex.map { case ((p, q, nm), i) =>
       struct(
         (abs(col("width") * q - col("height") * p) * (144 / q)).cast("long").as("k"),
         lit(i).as("i"), lit(nm).as("r"))
     }: _*)
-    e1MultimodalMeta(spark, dir)
+    meta
       .select(col("doc_id"), array_min(barr).getField("r").as("ratio"))
       .groupBy(col("ratio"))
       .agg(count(lit(1)).as("n_imgs"))
@@ -820,7 +910,14 @@ object MultimodalOps {
     * window-manifest idiom), then ONE ≤|sources| reduce. The classic
     * geometric-series check (pyramid ≈ ⅓ of original) falls out in
     * the overhead_bp column. */
-  def e14ResolutionLadder(spark: SparkSession, dir: String): DataFrame = {
+  def e14ResolutionLadder(spark: SparkSession, dir: String): DataFrame =
+    e14ResolutionLadderOf(e1MultimodalMeta(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id"))
+
+  /** e14 over ANY (source, width, height) frame — the decoded-dims
+    * seam ([[e8AspectBucketsOf]]'s twin; the [[PpmDecoder]] spec
+    * reconciles the priced ladder against hand-computed levels). */
+  def e14ResolutionLadderOf(meta: DataFrame): DataFrame = {
     val lvl = expr(
       s"""explode(filter(
          |  transform(sequence(0, 6),
@@ -829,8 +926,7 @@ object MultimodalOps {
          |      'w', cast(width as bigint) div shiftleft(1, i),
          |      'h', cast(height as bigint) div shiftleft(1, i))),
          |  s -> least(s.w, s.h) >= $PyramidMinSide))""".stripMargin)
-    e1MultimodalMeta(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    meta
       .select(col("source"), lvl.as("l"))
       .select(col("source"), col("l.level").as("level"),
         (col("l.w") * col("l.h") * lit(3L)).as("lvl_bytes"))

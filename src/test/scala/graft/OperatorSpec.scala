@@ -815,6 +815,61 @@ class OperatorSpec extends GraftSpec {
     assert(multi > 0)
   }
 
+  test("PpmDecoder: real PPM pixels decode through the seam; e8/e14 price the measured dims") {
+    import spark.implicits._
+    def p6(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+      val head = s"P6\n# fixture comment\n$w $h\n255\n".getBytes("US-ASCII")
+      head ++ Array.fill(w * h)(
+        Array(rgb._1.toByte, rgb._2.toByte, rgb._3.toByte)).flatten
+    }
+    def p3(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] =
+      (s"P3\n$w $h\n255\n" +
+        Seq.fill(w * h)(s"${rgb._1} ${rgb._2} ${rgb._3}").mkString("\n"))
+        .getBytes("US-ASCII")
+    val blobs = Seq(
+      (1L, p6(128, 128, (200, 100, 50))),
+      (2L, p3(192, 96, (10, 20, 30))),
+      (3L, p6(256, 144, (255, 0, 0))),
+      (4L, "definitely not an image".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val decoded = MultimodalOps.decodeBatch(spark, blobs,
+      decoder = MultimodalOps.PpmDecoder).collect().sortBy(_.doc_id)
+    // the corrupt blob is dropped, the three real images decode their
+    // MEASURED dims (the stub would have hash-derived both)
+    assert(decoded.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(decoded.map(d => (d.width, d.height)).toSeq ==
+      Seq((128, 128), (192, 96), (256, 144)))
+    // uniform fixtures: channel means are the planted colors, all four
+    // quadrant lumas equal the global luma
+    val d1 = decoded(0)
+    assert(d1.features(0) == (200.0 / 255.0).toFloat &&
+      d1.features(1) == (100.0 / 255.0).toFloat &&
+      d1.features(2) == (50.0 / 255.0).toFloat)
+    val luma1 = ((200.0 + 100.0 + 50.0) / 3.0 / 255.0).toFloat
+    assert(d1.features(3) == luma1 && (4 to 7).forall(d1.features(_) == luma1))
+    val d2 = decoded(1)
+    assert(d2.features(1) == (20.0 / 255.0).toFloat, "P3 ASCII pixels must parse")
+    // e8 on the REAL dims: each fixture sits exactly on one target
+    // ratio (key 0 by hand: 128·1=128·1, 192·1=96·2, 256·9=144·16)
+    val buckets = MultimodalOps.e8AspectBucketsOf(
+        spark.createDataFrame(decoded.toSeq.map(d => (d.doc_id, d.width, d.height)))
+          .toDF("doc_id", "width", "height"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(buckets == Map(
+      "1:1" -> ((1L, 0L, 1L)), "2:1" -> ((1L, 0L, 1L)), "16:9" -> ((1L, 0L, 1L))))
+    // e14 on the REAL dims, reconciled against the hand-computed
+    // pyramid: 128² halves once (64² ≥ 64), 192×96 stops at level 0
+    // (48 < 64), 256×144 halves once (128×72); bytes = 3wh
+    val ladder = MultimodalOps.e14ResolutionLadderOf(
+        spark.createDataFrame(decoded.toSeq.map(d =>
+          (if (d.doc_id <= 2) "s1" else "s2", d.width, d.height)))
+          .toDF("source", "width", "height"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(ladder("s1") == ((2L, 3L, 1L, 128L * 128 * 3 + 192L * 96 * 3, 64L * 64 * 3,
+      64L * 64 * 3 * 10000L / (128L * 128 * 3 + 192L * 96 * 3))))
+    assert(ladder("s2") == ((1L, 2L, 1L, 256L * 144 * 3, 128L * 72 * 3, 2500L)))
+  }
+
   test("sampleFrames explodes blobs into bounded deterministic frame rows") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
