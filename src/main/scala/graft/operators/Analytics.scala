@@ -2203,11 +2203,21 @@ object Analytics {
     * digit absent from the data still gets its row) → the MAD window
     * runs over the 9-row frame (value-bounded, the c31 rule). Nothing
     * past the map-side reduce is corpus-sized. */
-  def q60BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
-    val digit = expr(
-      "cast(substring(cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string), 1, 1) as int)")
-    val row = Tables.orders(spark, dir)
+  def q60BenfordAudit(spark: SparkSession, dir: String): DataFrame =
+    q60BenfordAuditOf(Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 0)
+      .select(col("o_totalprice").as("v")))
+
+  /** q60 over ANY positive value column `v` — the audit seam: the
+    * query entry feeds o_totalprice (uniform by construction, so the
+    * suite pins the `nonconformity` verdict); the spec feeds planted
+    * log-uniform and blended fixtures that land in the `close` and
+    * `acceptable` bands, exercising every branch of the Nigrini
+    * scale. */
+  def q60BenfordAuditOf(values: DataFrame): DataFrame = {
+    val digit = expr(
+      "cast(substring(cast(cast(cast(v as decimal(18,2)) * 100 as bigint) as string), 1, 1) as int)")
+    val row = values
       .select(digit.as("d"))
       .agg(count(lit(1)).as("n"),
         BenfordPpm.map { case (d, _) => countIf(col("d") === d).as(s"c$d") }: _*)

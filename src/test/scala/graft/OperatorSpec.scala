@@ -3969,6 +3969,32 @@ class OperatorSpec extends GraftSpec {
     assert(got.values.map(_._1).sum == n)
   }
 
+  test("q60 benford: planted fixtures exercise the close and acceptable bands") {
+    import spark.implicits._
+    def verdictOf(vals: Seq[Double]): (String, Long) = {
+      val r = Analytics.q60BenfordAuditOf(vals.toDF("v")).head()
+      (r.getString(6), r.getLong(5))
+    }
+    // log-uniform over 4 decades IS Benford's law — the audit must say
+    // close (measured MAD ~823 ppm vs the 6000 close bound)
+    val n = 2000
+    val logUniform = (0 until n).map(i => math.pow(10.0, i * 4.0 / n))
+    val (vClose, madClose) = verdictOf(logUniform)
+    assert(vClose == "close" && madClose < Analytics.BenfordMadClosePpm,
+      s"log-uniform must conform: $vClose mad=$madClose")
+    // blending 10% uniform [1,10) values drags MAD into the acceptable
+    // band (~7653 ppm) without reaching marginal
+    val k = n / 10
+    val blended = logUniform.dropRight(k) ++ (0 until k).map(j => 1.0 + 9.0 * j / k)
+    val (vAcc, madAcc) = verdictOf(blended)
+    assert(vAcc == "acceptable" &&
+      madAcc >= Analytics.BenfordMadClosePpm && madAcc < Analytics.BenfordMadAcceptablePpm,
+      s"blend must be acceptable: $vAcc mad=$madAcc")
+    // the corpus price column is uniform by construction: nonconformity
+    // (the branch the suite already pins via the oracled entry)
+    assert(Analytics.q60BenfordAudit(spark, sfDir).head().getString(6) == "nonconformity")
+  }
+
   test("c41 ewma: dyadic baseline and spike flags replay exactly after burn-in") {
     val byDay = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")).collect()
