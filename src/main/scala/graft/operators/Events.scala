@@ -2426,7 +2426,121 @@ object Events {
        |  burn_fast_milli > $SloFastBurnMilli AND burn_slow_milli > $SloSlowBurnMilli AS page
        |FROM k ORDER BY hour""".stripMargin
 
+  /** c44 burn-in: days whose mean sets the CUSUM target. */
+  val CusumBaselineDays = 7
+  /** c44 slack: the drift allowance k = max(1, target/4) — shifts
+    * smaller than a quarter of the baseline rate are noise. */
+  val CusumSlackDenom = 4L
+  /** c44 decision interval: alarm when S exceeds h = 8·slack (the
+    * ~4σ-equivalent of the classic tabular CUSUM at these rates). */
+  val CusumHFactor = 8L
+
+  def c44CusumShift(spark: SparkSession, dir: String): DataFrame =
+    c44CusumShiftOf(Tables.events(spark, dir))
+
+  /** c44: tabular CUSUM changepoint detection per event type (Page
+    * 1954; Montgomery's tabular form) — the sequential drift detector
+    * c26's two-window contrast cannot replace: a level shift SMALLER
+    * than the window contrast threshold still accumulates in the
+    * one-sided CUSUM until it alarms, with provably optimal average
+    * detection delay. Per type: the first [[CusumBaselineDays]] dense
+    * days set target = mean (integer div) and slack k = max(1,
+    * target/[[CusumSlackDenom]]); each later day contributes
+    * y = cnt − target − k, and the alarm statistic is the classic
+    * recursion S_t = max(0, S_{t−1} + y_t) — computed RELATIONALLY via
+    * the prefix identity S_t = cum_t − min(0, min_{j≤t} cum_j), which
+    * turns the sequential recursion into two windows over the reduced
+    * day spine (the q23 running-total discipline; no iterative state
+    * anywhere). Alarm when S > h = [[CusumHFactor]]·k. All integer
+    * arithmetic — counts, sums, truncating div — so both engines and
+    * the local replay agree bit-for-bit.
+    *
+    * Shape: ONE corpus scan → (type, day) reduce with map-side
+    * partials → the c33 inline gap explode densifies each type's
+    * spine (gap days are real zeros — a silent feed going dark MUST
+    * drive the statistic down) → every window (gap lag, baseline sum,
+    * prefix cum/min) is over the ≤|types|·|span-days| reduced frame
+    * (the c31 rule). Types with fewer than [[CusumBaselineDays]]+1
+    * dense days emit nothing (burn-in only). */
+  def c44CusumShiftOf(events: DataFrame): DataFrame = {
+    val wSpine = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val byDay = events
+      .groupBy(col("event_type"), expr("unix_date(to_date(ts))").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val dense = byDay
+      .withColumn("prev_day", lag(col("day_idx"), 1).over(wSpine))
+      .select(col("event_type"), explode(transform(
+        sequence(coalesce(col("prev_day") + 1, col("day_idx")), col("day_idx")),
+        d => struct(d.as("day_idx"),
+          when(d === col("day_idx"), col("cnt")).otherwise(lit(0L)).as("cnt"))))
+        .as("r"))
+      .select(col("event_type"), col("r.day_idx").as("day_idx"), col("r.cnt").as("cnt"))
+    val wType = Window.partitionBy(col("event_type"))
+    val withBase = dense
+      .withColumn("rn", row_number().over(wSpine) - 1)
+      .withColumn("base_sum",
+        sum(when(col("rn") < CusumBaselineDays, col("cnt")).otherwise(lit(0L))).over(wType))
+      .withColumn("n_days", count(lit(1)).over(wType))
+      .filter(col("n_days") > CusumBaselineDays && col("rn") >= CusumBaselineDays)
+      .withColumn("target", expr(s"base_sum div $CusumBaselineDays"))
+      .withColumn("slack", greatest(lit(1L), expr(s"target div $CusumSlackDenom")))
+    val wCum = wSpine.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBase
+      .withColumn("cum", sum(col("cnt") - col("target") - col("slack")).over(wCum))
+      .withColumn("s_cusum", col("cum") - least(min(col("cum")).over(wCum), lit(0L)))
+      .select(col("event_type"), col("day_idx"), col("cnt"), col("target"),
+        col("slack"), col("s_cusum"),
+        (col("s_cusum") > col("slack") * CusumHFactor).as("alarm"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  val c44Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx
+       |  FROM events),
+       |d AS (SELECT event_type, day_idx, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |l AS (SELECT *, lag(day_idx) OVER (PARTITION BY event_type ORDER BY day_idx) AS prev_day FROM d),
+       |dense AS (
+       |  SELECT event_type,
+       |    unnest(generate_series(coalesce(prev_day + 1, day_idx), day_idx)) AS day,
+       |    day_idx, cnt FROM l),
+       |z AS (
+       |  SELECT event_type, day AS day_idx,
+       |    CASE WHEN day = day_idx THEN cnt ELSE 0 END AS cnt
+       |  FROM dense),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day_idx) - 1 AS rn
+       |  FROM z),
+       |b AS (
+       |  SELECT *,
+       |    sum(CASE WHEN rn < $CusumBaselineDays THEN cnt ELSE 0 END)
+       |      OVER (PARTITION BY event_type) AS base_sum,
+       |    count(*) OVER (PARTITION BY event_type) AS n_days
+       |  FROM r),
+       |t AS (
+       |  SELECT event_type, day_idx, cnt,
+       |    CAST(base_sum // $CusumBaselineDays AS BIGINT) AS target,
+       |    greatest(1, CAST(base_sum // $CusumBaselineDays AS BIGINT) // $CusumSlackDenom) AS slack
+       |  FROM b WHERE n_days > $CusumBaselineDays AND rn >= $CusumBaselineDays),
+       |c AS (
+       |  SELECT *,
+       |    sum(cnt - target - slack) OVER (PARTITION BY event_type ORDER BY day_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |s AS (
+       |  SELECT event_type, day_idx, cnt, target, slack,
+       |    CAST(cum - least(min(cum) OVER (PARTITION BY event_type ORDER BY day_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS s_cusum,
+       |    slack AS sl
+       |  FROM c)
+       |SELECT event_type, day_idx, CAST(cnt AS BIGINT) AS cnt, target,
+       |  CAST(slack AS BIGINT) AS slack, s_cusum,
+       |  s_cusum > slack * $CusumHFactor AS alarm
+       |FROM s ORDER BY event_type, day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c44_cusum_shift" -> (c44CusumShift _),
     "c43_slo_burn" -> (c43SloBurn _),
     "c42_survival_km" -> (c42SurvivalKm _),
     "c41_ewma_control" -> (c41EwmaControl _),
@@ -2472,6 +2586,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c44_cusum_shift" -> c44Sql,
     "c43_slo_burn" -> c43Sql,
     "c42_survival_km" -> c42Sql,
     "c41_ewma_control" -> c41Sql,

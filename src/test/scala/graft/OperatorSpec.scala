@@ -4356,4 +4356,60 @@ class OperatorSpec extends GraftSpec {
     assert(!got(9)._3 && !got(10)._3, "steady state and storm onset must not page")
     assert(got(12)._3, "sustained storm must page")
   }
+
+  /** Independent c44 replay running the TRUE sequential recursion
+    * S_t = max(0, S_{t-1} + y_t) — proving the relational prefix-min
+    * identity against the textbook form. */
+  private def cusumReplay(days: Seq[(Long, Long)]): Map[Long, (Long, Long, Long, Long, Boolean)] = {
+    val byDay = days.toMap
+    val lo = byDay.keys.min; val hi = byDay.keys.max
+    val dense = (lo to hi).map(d => d -> byDay.getOrElse(d, 0L))
+    if (dense.size <= Events.CusumBaselineDays) Map.empty
+    else {
+      val target = dense.take(Events.CusumBaselineDays).map(_._2).sum / Events.CusumBaselineDays
+      val slack = math.max(1L, target / Events.CusumSlackDenom)
+      var s = 0L
+      dense.drop(Events.CusumBaselineDays).map { case (d, cnt) =>
+        s = math.max(0L, s + cnt - target - slack)
+        d -> ((cnt, target, slack, s, s > slack * Events.CusumHFactor))
+      }.toMap
+    }
+  }
+
+  test("c44 cusum: relational prefix-min form equals the sequential recursion on the corpus") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_date(to_date(ts))")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val days = rows.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }.toSeq
+      cusumReplay(days).map { case (d, v) => (t, d) -> v }
+    }.toMap
+    val got = Events.c44CusumShift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got == expect, s"c44 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    // CUSUM invariant: the statistic is never negative
+    assert(got.values.forall(_._4 >= 0L))
+  }
+
+  test("c44 cusum: a planted sustained shift alarms, a one-day spike resets") {
+    import spark.implicits._
+    // baseline 20/day (target 20, slack 5, h 40); a single 60-event
+    // spike at day 8 lifts S to 35 < h (no alarm) and seven quiet days
+    // drain it 5/day back to 0; a sustained 40/day shift from day 16
+    // accumulates 15/day and alarms on its third day (45 > 40)
+    def burst(day: Int, n: Int) = (0 until n).map(i => (day.toLong * 86400000000L + i * 1000000L, "view"))
+    val rows = (0 until 16).flatMap(d => burst(d, if (d == 8) 60 else 20)) ++
+      (16 until 22).flatMap(d => burst(d, 40))
+    val df = rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = Events.c44CusumShiftOf(df).collect()
+      .map(r => r.getAs[Number](1).longValue() -> ((r.getLong(5), r.getBoolean(6)))).toMap
+    val expect = cusumReplay(rows.map(_._1 / 86400000000L -> 1L)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toSeq)
+    assert(got == expect.view.mapValues(v => (v._4, v._5)).toMap)
+    assert(got(8) == ((35L, false)), "one-day spike accumulates but must not alarm")
+    assert(got(15) == ((0L, false)), "quiet days after the spike drain S to zero")
+    assert(!got(17)._2 && got(18)._2, "the sustained shift alarms on its third day")
+  }
 }
