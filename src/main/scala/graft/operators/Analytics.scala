@@ -2353,7 +2353,71 @@ object Analytics {
       |    * (CAST(num AS DOUBLE) / CAST(syyc AS DOUBLE)) AS r2
       |FROM k ORDER BY n_name""".stripMargin
 
+  /** DOJ/FTC 2010 merger-guideline HHI thresholds, on the bp² scale
+    * (percent² × 10⁴): < 1500 pct² unconcentrated, < 2500 moderate. */
+  val HhiUnconcentratedBp2 = 15000000L
+  val HhiModerateBp2 = 25000000L
+
+  /** q62: Herfindahl–Hirschman supplier-concentration index per part
+    * brand — the antitrust/supply-chain-risk readout behind "how
+    * captive is this part line to its top suppliers": per brand, each
+    * supplier's share of shipped QUANTITY in truncated basis points,
+    * HHI = Σ share_bp² (bp² scale: ×10⁴ the familiar percent² HHI),
+    * the top supplier's share, and the DOJ concentration class. The
+    * bp-truncation convention makes the statistic integer-exact and
+    * engine-identical (the q53/q60 discipline) — quantity, not
+    * revenue, so every sum is a bigint, never a decimal rounding
+    * question.
+    *
+    * Shape: lineitem⨝part un-hinted on the part key (SMJ at scale,
+    * AQE-broadcast at test SF — both sides SF-scaled, never a forced
+    * hint), ONE (brand, supplier) reduce with map-side partials, then
+    * a brand window + brand reduce over the ≤|brands|·|suppliers|
+    * reduced frame. Nothing corpus-sized past the first reduce. */
+  def q62HhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val vol = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val wB = Window.partitionBy(col("p_brand"))
+    vol
+      .withColumn("total", sum(col("q")).over(wB))
+      .withColumn("share_bp", expr("(q * 10000) div total"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max(col("total")).as("total_qty"),
+        sum(col("share_bp") * col("share_bp")).as("hhi_bp2"),
+        max(col("share_bp")).as("top_share_bp"))
+      .select(col("p_brand"), col("n_suppliers"), col("total_qty"),
+        col("hhi_bp2"), col("top_share_bp"),
+        when(col("hhi_bp2") < HhiUnconcentratedBp2, "unconcentrated")
+          .when(col("hhi_bp2") < HhiModerateBp2, "moderate")
+          .otherwise("high").as("concentration"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q62Sql: String =
+    s"""WITH v AS (
+       |  SELECT p_brand, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |w AS (SELECT *, CAST(sum(q) OVER (PARTITION BY p_brand) AS BIGINT) AS total FROM v),
+       |s AS (SELECT p_brand, q, total, CAST((q * 10000) // total AS BIGINT) AS share_bp FROM w),
+       |a AS (
+       |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+       |    CAST(max(total) AS BIGINT) AS total_qty,
+       |    CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi_bp2,
+       |    CAST(max(share_bp) AS BIGINT) AS top_share_bp
+       |  FROM s GROUP BY 1)
+       |SELECT p_brand, n_suppliers, total_qty, hhi_bp2, top_share_bp,
+       |  CASE WHEN hhi_bp2 < $HhiUnconcentratedBp2 THEN 'unconcentrated'
+       |       WHEN hhi_bp2 < $HhiModerateBp2 THEN 'moderate'
+       |       ELSE 'high' END AS concentration
+       |FROM a ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_hhi_concentration" -> (q62HhiConcentration _),
     "q61_ols_trend" -> (q61OlsTrend _),
     "q60_benford_audit" -> (q60BenfordAudit _),
     "q59_basket_pairs" -> (q59BasketPairs _),
@@ -2416,6 +2480,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q62_hhi_concentration" -> q62Sql,
     "q61_ols_trend" -> q61Sql,
     "q60_benford_audit" -> q60Sql,
     "q59_basket_pairs" -> q59Sql,

@@ -3995,6 +3995,34 @@ class OperatorSpec extends GraftSpec {
     assert(Analytics.q60BenfordAudit(spark, sfDir).head().getString(6) == "nonconformity")
   }
 
+  test("q62 hhi: concentration replays from a local share fold; bounds hold") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_suppkey"), col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (brand, rs) =>
+      val perSupp = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).values.toSeq
+      val total = perSupp.sum
+      val shares = perSupp.map(q => q * 10000L / total)
+      val hhi = shares.map(s => s * s).sum
+      val cls = if (hhi < Analytics.HhiUnconcentratedBp2) "unconcentrated"
+                else if (hhi < Analytics.HhiModerateBp2) "moderate" else "high"
+      brand -> ((perSupp.size.toLong, total, hhi, shares.max, cls))
+    }
+    val got = Analytics.q62HhiConcentration(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got == expect, s"q62 $got vs replay $expect")
+    // HHI bounds: between the perfectly-even floor 10000^2/n (up to
+    // bp truncation) and the monopoly ceiling 10000^2
+    got.values.foreach { case (n, _, hhi, top, _) =>
+      assert(hhi <= 100000000L && top <= 10000L)
+      assert(hhi >= (10000L / n) * (10000L / n) * n - 10000L * n,
+        s"HHI $hhi below even-split floor for n=$n")
+    }
+  }
+
   test("c41 ewma: dyadic baseline and spike flags replay exactly after burn-in") {
     val byDay = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day")).collect()
