@@ -2416,7 +2416,138 @@ object Analytics {
        |       ELSE 'high' END AS concentration
        |FROM a ORDER BY p_brand""".stripMargin
 
+  /** q63 KS rejection coefficient at α = 0.05 (the asymptotic
+    * two-sample critical value c(α) = 1.358), on the ppm scale. */
+  val KsAlphaCoefPpm = 1358000.0
+
+  def q63KsDelay(spark: SparkSession, dir: String): DataFrame =
+    q63KsDelayOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag").as("grp"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("delay_days")))
+
+  /** q63: exact two-sample Kolmogorov–Smirnov test, each group's
+    * ship-delay distribution against the rest of the corpus pooled —
+    * the distribution-shift audit behind "does this segment ship
+    * differently", where mean-based contrasts (c26) miss shape
+    * changes. D = max over jump points of |F̂₁ − F̂₂|, computed in
+    * exact integers: per-side ECDFs as truncating-div ppm
+    * (cum·10⁶ div n — int64-safe at any corpus size, unlike the
+    * cross-product form c₁·n₂ which overflows at ~10¹² rows), the
+    * argmax reported at the SMALLEST achieving delay (total order,
+    * engine-identical). The reject flag compares D against the
+    * asymptotic α=0.05 critical value 1.358·√((n₁+n₂)/(n₁n₂)) — the
+    * one double in the query, built from identically-rounded casts,
+    * √ and × only (the IEEE determinism rules; no ln/pow).
+    *
+    * Shape: lineitem⨝orders un-hinted (the q50 delay join: SMJ at
+    * scale, AQE-broadcast at test SF) → ONE (grp, delay) reduce with
+    * map-side partials; everything after runs on reduced frames — the
+    * global per-delay cum is an unpartitioned window over the
+    * ≤|calendar-span| rows (value-bounded, the c31 rule), each
+    * group's spine gap-fills via the c33 inline explode so its
+    * cumulative count is defined at every global jump point, and the
+    * per-group argmax is a window, not a sort. */
+  def q63KsDelayOf(pairs: DataFrame): DataFrame = {
+    val byVal = pairs.groupBy(col("grp"), col("delay_days"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAllRows = Window.partitionBy()
+    val wGlobCum = Window.orderBy(col("delay_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globals = byVal.groupBy(col("delay_days"))
+      .agg(sum(col("cnt")).as("g_cnt"))
+      .withColumn("cum_all", sum(col("g_cnt")).over(wGlobCum))
+      .withColumn("n_all", sum(col("g_cnt")).over(wAllRows))
+      .select(col("delay_days"), col("cum_all"), col("n_all"))
+    val wGrp = Window.partitionBy(col("grp")).orderBy(col("delay_days"))
+    val dense = byVal
+      .withColumn("gmin", min(col("delay_days")).over(wAllRows))
+      .withColumn("prev", lag(col("delay_days"), 1).over(wGrp))
+      .select(col("grp"), explode(transform(
+        sequence(coalesce(col("prev") + 1, col("gmin")), col("delay_days")),
+        d => struct(d.as("delay_days"),
+          when(d === col("delay_days"), col("cnt")).otherwise(lit(0L)).as("cnt"))))
+        .as("r"))
+      .select(col("grp"), col("r.delay_days").as("delay_days"), col("r.cnt").as("cnt"))
+    val wGrpCum = wGrp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = dense
+      .withColumn("cum_g", sum(col("cnt")).over(wGrpCum))
+      .withColumn("n_grp", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .join(globals, Seq("delay_days"))
+      .filter(col("n_all") > col("n_grp"))
+      .withColumn("d_ppm", abs(
+        expr("(cum_g * 1000000) div n_grp") -
+          expr("((cum_all - cum_g) * 1000000) div (n_all - n_grp)")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("d_ppm").desc, col("delay_days"))))
+      .filter(col("rnk") === 1)
+      .select(col("grp"), col("n_grp"), (col("n_all") - col("n_grp")).as("n_rest"),
+        col("delay_days").as("d_delay_days"), col("d_ppm"),
+        (lit(KsAlphaCoefPpm) * sqrt(
+          (col("n_all").cast("double")) /
+            (col("n_grp").cast("double") * (col("n_all") - col("n_grp")).cast("double"))))
+          .as("crit_ppm"),
+        (col("d_ppm").cast("double") > lit(KsAlphaCoefPpm) * sqrt(
+          (col("n_all").cast("double")) /
+            (col("n_grp").cast("double") * (col("n_all") - col("n_grp")).cast("double"))))
+          .as("reject"))
+      .orderBy(col("grp"))
+  }
+
+  val q63Sql: String =
+    s"""WITH j AS (
+       |  SELECT l_returnflag AS grp,
+       |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+       |      CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)) AS BIGINT) AS delay_days
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |v AS (SELECT grp, delay_days, count(*) AS cnt FROM j GROUP BY 1, 2),
+       |g AS (
+       |  SELECT delay_days,
+       |    CAST(sum(sum(cnt)) OVER (ORDER BY delay_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+       |    CAST(sum(sum(cnt)) OVER () AS BIGINT) AS n_all
+       |  FROM v GROUP BY delay_days),
+       |l AS (
+       |  SELECT *, lag(delay_days) OVER (PARTITION BY grp ORDER BY delay_days) AS prev,
+       |    min(delay_days) OVER () AS gmin
+       |  FROM v),
+       |dense AS (
+       |  SELECT grp, unnest(generate_series(coalesce(prev + 1, gmin), delay_days)) AS day,
+       |    delay_days, cnt FROM l),
+       |z AS (
+       |  SELECT grp, day AS delay_days,
+       |    CASE WHEN day = delay_days THEN cnt ELSE 0 END AS cnt
+       |  FROM dense),
+       |c AS (
+       |  SELECT grp, delay_days,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY delay_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+       |  FROM z),
+       |s AS (
+       |  SELECT c.grp, c.delay_days, c.cum_g, c.n_grp, g.cum_all, g.n_all,
+       |    abs((c.cum_g * 1000000) // c.n_grp
+       |      - ((g.cum_all - c.cum_g) * 1000000) // (g.n_all - c.n_grp)) AS d_ppm
+       |  FROM c JOIN g ON c.delay_days = g.delay_days
+       |  WHERE g.n_all > c.n_grp),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY grp
+       |    ORDER BY d_ppm DESC, delay_days) AS rnk
+       |  FROM s)
+       |SELECT grp, n_grp, CAST(n_all - n_grp AS BIGINT) AS n_rest,
+       |  delay_days AS d_delay_days, CAST(d_ppm AS BIGINT) AS d_ppm,
+       |  $KsAlphaCoefPpm * sqrt(CAST(n_all AS DOUBLE)
+       |    / (CAST(n_grp AS DOUBLE) * CAST(n_all - n_grp AS DOUBLE))) AS crit_ppm,
+       |  CAST(d_ppm AS DOUBLE) > $KsAlphaCoefPpm * sqrt(CAST(n_all AS DOUBLE)
+       |    / (CAST(n_grp AS DOUBLE) * CAST(n_all - n_grp AS DOUBLE))) AS reject
+       |FROM r WHERE rnk = 1 ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_ks_delay" -> (q63KsDelay _),
     "q62_hhi_concentration" -> (q62HhiConcentration _),
     "q61_ols_trend" -> (q61OlsTrend _),
     "q60_benford_audit" -> (q60BenfordAudit _),
@@ -2480,6 +2611,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q63_ks_delay" -> q63Sql,
     "q62_hhi_concentration" -> q62Sql,
     "q61_ols_trend" -> q61Sql,
     "q60_benford_audit" -> q60Sql,

@@ -3995,6 +3995,53 @@ class OperatorSpec extends GraftSpec {
     assert(Analytics.q60BenfordAudit(spark, sfDir).head().getString(6) == "nonconformity")
   }
 
+  test("q63 ks: statistic and argmax replay exactly; a planted shift rejects") {
+    import spark.implicits._
+    def replay(pairs: Seq[(String, Long)]): Map[String, (Long, Long, Long, Long, Boolean)] = {
+      val glob = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val gdelays = glob.keys.toSeq.sorted
+      val nAll = pairs.size.toLong
+      pairs.groupBy(_._1).map { case (grp, rs) =>
+        val cnts = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val nG = rs.size.toLong
+        val grpMax = cnts.keys.max
+        var cumG = 0L; var cumAll = 0L
+        var bestD = -1L; var bestX = 0L
+        gdelays.foreach { x =>
+          cumAll += glob(x); cumG += cnts.getOrElse(x, 0L)
+          if (x <= grpMax) {
+            val d = math.abs(cumG * 1000000L / nG - (cumAll - cumG) * 1000000L / (nAll - nG))
+            if (d > bestD) { bestD = d; bestX = x }
+          }
+        }
+        val crit = Analytics.KsAlphaCoefPpm * math.sqrt(
+          nAll.toDouble / (nG.toDouble * (nAll - nG).toDouble))
+        grp -> ((nG, nAll - nG, bestX, bestD, bestD.toDouble > crit))
+      }
+    }
+    val corpus = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Analytics.q63KsDelay(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(got == replay(corpus), s"q63 $got vs ${replay(corpus)}")
+    // D is a ppm-scaled ECDF gap: bracketed in [0, 1e6]
+    assert(got.values.forall(v => v._4 >= 0L && v._4 <= 1000000L))
+    // planted shift: two groups uniform over [0,100) and [50,150) —
+    // D = 0.5 exactly, first attained at delay 49, far past critical
+    val planted = (0 until 1000).map(i => ("a", (i % 100).toLong)) ++
+      (0 until 1000).map(i => ("b", (50 + i % 100).toLong))
+    val gotP = Analytics.q63KsDelayOf(planted.toDF("grp", "delay_days")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(gotP == Map("a" -> ((49L, 500000L, true)), "b" -> ((49L, 500000L, true))),
+      s"planted $gotP")
+  }
+
   test("q62 hhi: concentration replays from a local share fold; bounds hold") {
     val rows = Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
