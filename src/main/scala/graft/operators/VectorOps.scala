@@ -1351,7 +1351,67 @@ object VectorOps {
        |  n_vecs * n_lists > total * 2 AS hot_list
        |FROM t ORDER BY cid""".stripMargin
 
+  /** d94: topic-mix audit — the e9 modality-mix report rebuilt on REAL
+    * content clusters instead of pseudo-decoded labels: every document
+    * embedding is assigned to its nearest IVF centroid (the d12
+    * Lloyd-refined codebook — "topics" in the k-means sense), then per
+    * (source, topic): the document count, the source-local share, the
+    * corpus-wide share of that topic (the de-facto target mix), and
+    * the signed delta in exact basis points. A mixture designer reads
+    * the delta column to find sources over/under-weighted in a topic
+    * BEFORE setting d21/d88 sampling weights — content-aware where d21
+    * is volume-aware.
+    *
+    * Shape: centroid assignment is the d12 in-row argmax (broadcast
+    * literal codebook, zero corpus shuffle); embeddings⨝documents is
+    * an un-hinted id-keyed join (both SF-scaled: SMJ at scale, AQE at
+    * test SF); ONE (source, cid) reduce; every share is a window over
+    * the ≤|sources|·|centroids| reduced frame. Oracled end-to-end —
+    * the DuckDB replay re-derives the SAME codebook (seed hash +
+    * quantized Lloyd) before mixing. */
+  def d94TopicMix(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(spark, dir)
+    val assigned = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), nearestCid(cents, col("embedding")).as("cid"))
+    val counts = assigned
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .groupBy(col("source"), col("cid")).agg(count(lit(1)).as("n_docs"))
+    val wSrc = Window.partitionBy(col("source"))
+    val wCid = Window.partitionBy(col("cid"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("src_total", sum(col("n_docs")).over(wSrc))
+      .withColumn("cid_total", sum(col("n_docs")).over(wCid))
+      .withColumn("all_total", sum(col("n_docs")).over(wAll))
+      .select(col("source"), col("cid"), col("n_docs"),
+        expr("(n_docs * 10000) div src_total").as("src_share_bp"),
+        expr("(cid_total * 10000) div all_total").as("corpus_share_bp"),
+        expr("(n_docs * 10000) div src_total - (cid_total * 10000) div all_total")
+          .as("delta_bp"))
+      .orderBy(col("source"), col("cid"))
+  }
+
+  lazy val d94Sql: String =
+    s"""WITH $duckCentroidAndAssignCtes,
+       |c AS (
+       |  SELECT d.source, a.cid, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *,
+       |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_total,
+       |    CAST(sum(n_docs) OVER (PARTITION BY cid) AS BIGINT) AS cid_total,
+       |    CAST(sum(n_docs) OVER () AS BIGINT) AS all_total
+       |  FROM c)
+       |SELECT source, cid, n_docs,
+       |  CAST((n_docs * 10000) // src_total AS BIGINT) AS src_share_bp,
+       |  CAST((cid_total * 10000) // all_total AS BIGINT) AS corpus_share_bp,
+       |  CAST((n_docs * 10000) // src_total - (cid_total * 10000) // all_total AS BIGINT) AS delta_bp
+       |FROM w ORDER BY source, cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d94_topic_mix" -> (d94TopicMix _),
     "d77_ivf_balance" -> (d77IvfBalance _),
     "d70_split_embed_leak" -> (d70SplitEmbedLeak _),
     "d69_ann_pq" -> (d69AnnPq _),
@@ -1368,6 +1428,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d94_topic_mix" -> d94Sql,
     "d77_ivf_balance" -> d77Sql,
     "d70_split_embed_leak" -> d70Sql,
     "d69_ann_pq" -> d69Sql,

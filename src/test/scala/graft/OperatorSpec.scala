@@ -4331,6 +4331,27 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("d94 topic mix: per-cid totals reconcile with d77; share identities hold") {
+    val rows = VectorOps.d94TopicMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // cross-operator consistency: summing d94's (source, cid) counts
+    // over sources must give exactly d77's per-list populations
+    // (vec_id ≡ doc_id is total in the corpus)
+    val d77 = VectorOps.d77IvfBalance(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perCid = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(perCid == d77, s"d94 per-cid $perCid vs d77 $d77")
+    // share identities: delta = src_share - corpus_share row-by-row;
+    // per-source shares sum to 10000 up to truncation slack
+    rows.foreach { case (_, _, _, srcBp, corpBp, delta) =>
+      assert(delta == srcBp - corpBp) }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val tot = rs.map(_._4).sum
+      assert(tot <= 10000L && tot > 10000L - rs.size,
+        s"$src shares sum $tot outside truncation band") }
+  }
+
   test("d93 mips-lsh: recall vs the exact d92 baseline holds; probe set is sublinear") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
