@@ -2539,7 +2539,95 @@ object Events {
        |  s_cusum > slack * $CusumHFactor AS alarm
        |FROM s ORDER BY event_type, day_idx""".stripMargin
 
+  /** c45 backtest lookback: same-weekday observations per forecast. */
+  val BacktestWeeks = 4
+
+  def c45DowBacktest(spark: SparkSession, dir: String): DataFrame =
+    c45DowBacktestOf(Tables.events(spark, dir))
+
+  /** c45: seasonal-naive forecast backtest per event type — the
+    * capacity-planning loop every ops team runs before trusting a
+    * volume forecast: predict each day's count as the mean of the
+    * previous [[BacktestWeeks]] same-weekday counts (the seasonal
+    * naive baseline every fancier model must beat), then score the
+    * whole history: MAPE and signed bias in exact basis points, plus
+    * the worst single day. Division-free error arithmetic — the
+    * comparison is |4·actual − Σforecast| against Σforecast, so the
+    * mean never truncates before the error does (one final
+    * truncating div per row, identical in both engines).
+    *
+    * Gap days are real zeros on the c33 dense spine — a dark feed
+    * must wreck the forecast score, not vanish from it. Only days
+    * with a FULL lookback (all [[BacktestWeeks]] prior same-weekday
+    * spine days) are scored, so early-history rows never dilute.
+    *
+    * Shape: ONE corpus scan → (type, day) reduce → dense spine
+    * (inline gap explode) → the lookback is a RANGE window over the
+    * (type, dow) partition (rows 7 apart, frame [-28, -7] catches
+    * exactly the 4 prior weeks) → final ≤|types| reduce. Every window
+    * runs on the reduced day spine (the c31 rule). */
+  def c45DowBacktestOf(events: DataFrame): DataFrame = {
+    val wSpine = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val byDay = events
+      .groupBy(col("event_type"), expr("unix_date(to_date(ts))").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val dense = byDay
+      .withColumn("prev_day", lag(col("day_idx"), 1).over(wSpine))
+      .select(col("event_type"), explode(transform(
+        sequence(coalesce(col("prev_day") + 1, col("day_idx")), col("day_idx")),
+        d => struct(d.as("day_idx"),
+          when(d === col("day_idx"), col("cnt")).otherwise(lit(0L)).as("cnt"))))
+        .as("r"))
+      .select(col("event_type"), col("r.day_idx").as("day_idx"), col("r.cnt").as("cnt"))
+    val wDow = Window.partitionBy(col("event_type"), expr("day_idx % 7"))
+      .orderBy(col("day_idx")).rangeBetween(-7L * BacktestWeeks, -7L)
+    dense
+      .withColumn("f_sum", sum(col("cnt")).over(wDow))
+      .withColumn("f_cnt", count(lit(1)).over(wDow))
+      .filter(col("f_cnt") === BacktestWeeks)
+      .withColumn("err", col("cnt") * BacktestWeeks - col("f_sum"))
+      .withColumn("ae_bp", expr("(abs(err) * 10000) div greatest(1L, f_sum)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(ae_bp) div count(1)").as("mape_bp"),
+        expr("(sum(err) * 10000) div greatest(1L, sum(f_sum))").as("bias_bp"),
+        max(col("ae_bp")).as("worst_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val c45Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_idx
+       |  FROM events),
+       |d AS (SELECT event_type, day_idx, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |l AS (SELECT *, lag(day_idx) OVER (PARTITION BY event_type ORDER BY day_idx) AS prev_day FROM d),
+       |dense AS (
+       |  SELECT event_type,
+       |    unnest(generate_series(coalesce(prev_day + 1, day_idx), day_idx)) AS day,
+       |    day_idx, cnt FROM l),
+       |z AS (
+       |  SELECT event_type, day AS day_idx,
+       |    CASE WHEN day = day_idx THEN cnt ELSE 0 END AS cnt
+       |  FROM dense),
+       |f AS (
+       |  SELECT *,
+       |    sum(cnt) OVER w AS f_sum, count(*) OVER w AS f_cnt
+       |  FROM z WINDOW w AS (PARTITION BY event_type, day_idx % 7 ORDER BY day_idx
+       |    RANGE BETWEEN ${7 * BacktestWeeks} PRECEDING AND 7 PRECEDING)),
+       |s AS (
+       |  SELECT event_type, cnt * $BacktestWeeks - f_sum AS err,
+       |    (abs(cnt * $BacktestWeeks - f_sum) * 10000) // greatest(1, f_sum) AS ae_bp,
+       |    f_sum
+       |  FROM f WHERE f_cnt = $BacktestWeeks)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(sum(ae_bp) // count(*) AS BIGINT) AS mape_bp,
+       |  CAST((sum(err) * 10000) // greatest(1, sum(f_sum)) AS BIGINT) AS bias_bp,
+       |  CAST(max(ae_bp) AS BIGINT) AS worst_bp
+       |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c45_dow_backtest" -> (c45DowBacktest _),
     "c44_cusum_shift" -> (c44CusumShift _),
     "c43_slo_burn" -> (c43SloBurn _),
     "c42_survival_km" -> (c42SurvivalKm _),
@@ -2586,6 +2674,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c45_dow_backtest" -> c45Sql,
     "c44_cusum_shift" -> c44Sql,
     "c43_slo_burn" -> c43Sql,
     "c42_survival_km" -> c42Sql,

@@ -4453,6 +4453,49 @@ class OperatorSpec extends GraftSpec {
     assert(got(12)._3, "sustained storm must page")
   }
 
+  test("c45 backtest: replay matches; perfect weekly periodicity scores zero error") {
+    import spark.implicits._
+    def replay(days: Seq[(String, Long)]): Map[String, (Long, Long, Long, Long)] = {
+      days.groupBy(_._1).map { case (t, rows) =>
+        val byDay = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val lo = byDay.keys.min; val hi = byDay.keys.max
+        val dense = (lo to hi).map(d => d -> byDay.getOrElse(d, 0L)).toMap
+        val scored = (lo to hi).flatMap { d =>
+          val prior = (1 to Events.BacktestWeeks).map(w => d - 7L * w).filter(_ >= lo)
+          if (prior.size < Events.BacktestWeeks) None
+          else {
+            val f = prior.map(dense).sum
+            val err = dense(d) * Events.BacktestWeeks - f
+            Some((err, err.abs * 10000L / math.max(1L, f), f))
+          }
+        }
+        t -> ((scored.size.toLong, scored.map(_._2).sum / scored.size,
+          scored.map(_._1).sum * 10000L / math.max(1L, scored.map(_._3).sum),
+          scored.map(_._2).max))
+      }
+    }
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_date(to_date(ts))")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+    val got = Events.c45DowBacktest(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == replay(evs), s"c45 $got vs ${replay(evs)}")
+    // a perfectly weekly-periodic planted stream forecasts itself: MAPE,
+    // bias, and worst are all exactly zero; a planted +50%/week growth
+    // stream shows positive bias (actuals above the trailing mean)
+    def mk(daily: Long => Int) = (0 until 42).flatMap { d =>
+      (0 until daily(d.toLong)).map(i =>
+        (d * 86400000000L + i * 1000000L, "x"))
+    }.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val periodic = Events.c45DowBacktestOf(mk(d => 10 + (d % 7).toInt)).head()
+    assert((periodic.getLong(2), periodic.getLong(3), periodic.getLong(4)) == ((0L, 0L, 0L)),
+      s"periodic stream must self-forecast: $periodic")
+    val growing = Events.c45DowBacktestOf(mk(d => (10 * (d / 7 + 1)).toInt)).head()
+    assert(growing.getLong(3) > 0L, s"growth must bias positive: $growing")
+  }
+
   /** Independent c44 replay running the TRUE sequential recursion
     * S_t = max(0, S_{t-1} + y_t) — proving the relational prefix-min
     * identity against the textbook form. */
