@@ -1410,7 +1410,117 @@ object VectorOps {
        |  CAST((n_docs * 10000) // src_total - (cid_total * 10000) // all_total AS BIGINT) AS delta_bp
        |FROM w ORDER BY source, cid""".stripMargin
 
+  /** d95: label-coherence audit in embedding space — the
+    * mislabeled-data detector (Northcutt et al.'s confident-learning
+    * intuition, made relational): if labels mean anything, a vector's
+    * LSH-bucket neighbors should share its label far above the
+    * label's base rate. Per label: the exact probability that an
+    * ordered (vector, bucket-neighbor) pair is same-label —
+    * Σ_b c_bl·(c_bl−1) over Σ_b c_bl·(n_b−1) in truncated bp — the
+    * label's corpus base rate, and the lift. A label whose lift ~ 0
+    * is noise (its vectors' neighborhoods ignore it); a low-lift
+    * label is where to spend relabeling budget.
+    *
+    * NO pair join anywhere: the pair counts collapse algebraically to
+    * per-(bucket, label) counts — one corpus scan, one (bucket,
+    * label) reduce (codegen'd signature), windows over the ≤2^P·|labels|
+    * reduced frame. The same-bucket neighbor definition IS the d10
+    * probe geometry, so the audit prices exactly what d10-style
+    * retrieval would serve. */
+  def d95LabelCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, dir)
+      .select(col("label"), lshBucket(col("embedding")).as("bucket"))
+      .groupBy(col("bucket"), col("label")).agg(count(lit(1)).as("c"))
+    val wB = Window.partitionBy(col("bucket"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("n_b", sum(col("c")).over(wB))
+      .withColumn("n_all", sum(col("c")).over(wAll))
+      .groupBy(col("label"))
+      .agg(sum(col("c")).as("n_vecs"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("c") * (col("c") - 1)).as("same_pairs"),
+        sum(col("c") * (col("n_b") - 1)).as("all_pairs"),
+        max(col("n_all")).as("n_all"))
+      .select(col("label"), col("n_vecs"), col("n_buckets"),
+        expr("(same_pairs * 10000) div greatest(1L, all_pairs)").as("agree_bp"),
+        expr("(n_vecs * 10000) div n_all").as("base_bp"),
+        expr("(same_pairs * 10000) div greatest(1L, all_pairs) - (n_vecs * 10000) div n_all")
+          .as("lift_bp"))
+      .orderBy(col("label"))
+  }
+
+  lazy val d95Sql: String =
+    s"""WITH b AS (
+       |  SELECT label, ${duckBucket("embedding")} AS bucket FROM embeddings),
+       |c AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *,
+       |    CAST(sum(c) OVER (PARTITION BY bucket) AS BIGINT) AS n_b,
+       |    CAST(sum(c) OVER () AS BIGINT) AS n_all
+       |  FROM c),
+       |a AS (
+       |  SELECT label, CAST(sum(c) AS BIGINT) AS n_vecs,
+       |    CAST(count(*) AS BIGINT) AS n_buckets,
+       |    CAST(sum(c * (c - 1)) AS BIGINT) AS same_pairs,
+       |    CAST(sum(c * (n_b - 1)) AS BIGINT) AS all_pairs,
+       |    CAST(max(n_all) AS BIGINT) AS n_all
+       |  FROM w GROUP BY 1)
+       |SELECT label, n_vecs, n_buckets,
+       |  CAST((same_pairs * 10000) // greatest(1, all_pairs) AS BIGINT) AS agree_bp,
+       |  CAST((n_vecs * 10000) // n_all AS BIGINT) AS base_bp,
+       |  CAST((same_pairs * 10000) // greatest(1, all_pairs)
+       |    - (n_vecs * 10000) // n_all AS BIGINT) AS lift_bp
+       |FROM a ORDER BY label""".stripMargin
+
+  /** d96: cluster-purity audit per IVF list — d95's question asked of
+    * the d12 codebook instead of LSH buckets: per centroid, the
+    * majority label, its share (purity, truncated bp), and the
+    * distinct-label count. Pure lists mean the codebook's partition
+    * tracks the labels (curation can trust per-list sampling); mixed
+    * lists flag centroids whose region spans classes. Majority ties
+    * break to the smallest label (total order, engine-identical).
+    *
+    * Shape: the d12 in-row assignment (broadcast literal codebook,
+    * zero corpus shuffle) → one (cid, label) reduce → per-cid argmax
+    * via window over the ≤|C|·|labels| reduced frame. */
+  def d96CentroidPurity(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidVectors(spark, dir)
+    val counts = Tables.embeddings(spark, dir)
+      .select(col("label"), nearestCid(cents, col("embedding")).as("cid"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("c"))
+    val wC = Window.partitionBy(col("cid"))
+    counts
+      .withColumn("n_vecs", sum(col("c")).over(wC))
+      .withColumn("n_labels", count(lit(1)).over(wC))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("c").desc, col("label"))))
+      .filter(col("rnk") === 1)
+      .select(col("cid"), col("n_vecs"), col("n_labels"),
+        col("label").as("majority_label"), col("c").as("majority_n"),
+        expr("(c * 10000) div n_vecs").as("purity_bp"))
+      .orderBy(col("cid"))
+  }
+
+  lazy val d96Sql: String =
+    s"""WITH $duckCentroidAndAssignCtes,
+       |lab AS (
+       |  SELECT a.cid, e.label, CAST(count(*) AS BIGINT) AS c
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT *,
+       |    CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs,
+       |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_labels,
+       |    row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rnk
+       |  FROM lab)
+       |SELECT cid, n_vecs, n_labels, label AS majority_label, c AS majority_n,
+       |  CAST((c * 10000) // n_vecs AS BIGINT) AS purity_bp
+       |FROM w WHERE rnk = 1 ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d95_label_coherence" -> (d95LabelCoherence _),
+    "d96_centroid_purity" -> (d96CentroidPurity _),
     "d94_topic_mix" -> (d94TopicMix _),
     "d77_ivf_balance" -> (d77IvfBalance _),
     "d70_split_embed_leak" -> (d70SplitEmbedLeak _),
@@ -1428,6 +1538,8 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d95_label_coherence" -> d95Sql,
+    "d96_centroid_purity" -> d96Sql,
     "d94_topic_mix" -> d94Sql,
     "d77_ivf_balance" -> d77Sql,
     "d70_split_embed_leak" -> d70Sql,

@@ -4331,6 +4331,71 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("d95 label coherence: bucket replay matches; pair-count identities hold") {
+    def w64(p: Int): Array[Float] = (0 until 64).map { j =>
+      var h = p * 0x9E3779B9 + j * 0x85EBCA6B
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }.toArray
+    def dotL(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val buckets = vecs.map { case (l, v) =>
+      (l, (0 until VectorOps.NumPlanes).map(p => if (dotL(v, w64(p)) >= 0) 1 << p else 0).sum)
+    }
+    val byBucket = buckets.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nAll = vecs.length.toLong
+    val expect = buckets.map(_._1).distinct.sorted.map { l =>
+      val samePairs = byBucket.values.map(ls => { val c = ls.count(_ == l).toLong; c * (c - 1) }).sum
+      val allPairs = byBucket.values.map(ls => { val c = ls.count(_ == l).toLong; c * (ls.size - 1) }).sum
+      val nL = buckets.count(_._1 == l).toLong
+      val agree = samePairs * 10000L / math.max(1L, allPairs)
+      l -> ((nL, byBucket.values.count(_.contains(l)).toLong, agree,
+        nL * 10000L / nAll, agree - nL * 10000L / nAll))
+    }.toMap
+    val got = VectorOps.d95LabelCoherence(spark, sfDir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"d95 $got vs $expect")
+    assert(got.values.map(_._1).sum == nAll)
+  }
+
+  test("d96 centroid purity: local nearest-centroid replay matches; purity bracketed") {
+    def dotL(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
+    val cents = VectorOps.centroidVectors(spark, sfDir)
+    val assigned = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val cid = cents.map { case (c, ce) => (cos(v, ce), -c) }.max._2 * -1
+        (cid, r.getInt(0))
+      }
+    val expect = assigned.groupBy(_._1).map { case (cid, rs) =>
+      val byLabel = rs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (majL, majN) = byLabel.minBy { case (l, c) => (-c, l) }
+      cid -> ((rs.size.toLong, byLabel.size.toLong, majL, majN,
+        majN * 10000L / rs.size))
+    }
+    val got = VectorOps.d96CentroidPurity(spark, sfDir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"d96 $got vs $expect")
+    // purity is at least the even-mix floor and at most 10000
+    got.values.foreach { case (n, nl, _, _, p) =>
+      assert(p <= 10000L && p >= 10000L / nl - 1) }
+  }
+
   test("d94 topic mix: per-cid totals reconcile with d77; share identities hold") {
     val rows = VectorOps.d94TopicMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
