@@ -40,5 +40,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FreqSketchAgg(children(0), children(1))))
+    // Spark ships codegen'd Bloom expressions for its own runtime join
+    // filtering but does not register them as SQL functions; exposing
+    // them powers the DedupOps.BloomAdmission prefilter (100 TB dedup
+    // admission without a full exact anti-join on every batch).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }

@@ -845,4 +845,43 @@ object DedupOps {
     "d6_dedup_minhash" -> d6Sql,
     "d7_dedup_simhash" -> d7Sql,
     "d28_fuzzy_topk" -> d28Sql)
+
+  /** Bloom-filter admission prefilter — the 100 TB front door for the
+    * d42 exact-dedup admission path: the corpus's key set is folded
+    * into ONE Bloom filter (Spark's own codegen'd BloomFilterAggregate,
+    * surfaced as `bloom_agg` by [[graft.GraftExtensions]] — the same
+    * sketch Spark injects for runtime join filtering), and each
+    * incoming batch probes it row-locally. A `false` probe is a
+    * GUARANTEED-new document (Bloom filters have no false negatives)
+    * that skips the exact anti-join entirely; only `true` probes — the
+    * true dups plus an FPR-bounded sliver of new docs — pay for exact
+    * verification. At a well-sized bits/item budget that is a ~99%
+    * reduction of the expensive path's input. The filter itself is
+    * bounded by numBits/8 bytes (a LITERAL-capacity driver value, the
+    * broadcast-discipline sketch exception), independent of corpus
+    * size.
+    *
+    * ScalaTest-gated component (the sketch bytes are
+    * engine-internal, so no DuckDB oracle — the spec proves zero
+    * false negatives, the FPR bound, and that prefilter + exact
+    * verify ≡ the plain exact anti-join). */
+  object BloomAdmission {
+    /** Fold `keys` (any hashable column) into serialized Bloom bytes.
+      * One aggregate pass, map-side partials, ≤ numBits/8 bytes to the
+      * driver. */
+    def build(df: DataFrame, key: Column, expectedItems: Long, numBits: Long): Array[Byte] =
+      df.select(call_function("bloom_agg", xxhash64(key), lit(expectedItems), lit(numBits))
+          .as("bf"))
+        .head().getAs[Array[Byte]](0)
+
+    /** Row-local membership probe against serialized Bloom bytes. */
+    def mightContain(bloom: Array[Byte], key: Column): Column =
+      call_function("bloom_might_contain", lit(bloom), xxhash64(key))
+
+    /** Split an incoming batch: rows with `maybe_dup` = false are
+      * guaranteed new (admit immediately); only the rest need the
+      * exact d42-style verification join. */
+    def prefilter(incoming: DataFrame, bloom: Array[Byte], key: Column): DataFrame =
+      incoming.withColumn("maybe_dup", mightContain(bloom, key))
+  }
 }

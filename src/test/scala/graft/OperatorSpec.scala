@@ -4331,6 +4331,38 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("BloomAdmission: zero false negatives, FPR inside budget, composed admission exact") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sfDir).select(col("text"))
+    val bloom = DedupOps.BloomAdmission.build(corpus, col("text"), 1000L, 16384L)
+    assert(bloom.length <= 16384 / 8 + 64, "filter bytes bounded by the bit budget")
+    val dups = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(100)
+    val fresh = (0 until 400).map(i =>
+      (1000000L + i, s"genuinely new admission candidate $i with its own payload"))
+      .toDF("doc_id", "text")
+    val incoming = dups.union(fresh)
+    val flagged = DedupOps.BloomAdmission.prefilter(incoming, bloom, col("text"))
+      .select(col("doc_id"), col("maybe_dup")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // Bloom guarantee: every true duplicate must probe true
+    val dupIds = dups.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupIds.forall(flagged(_)), "a false negative breaks dedup admission")
+    // FPR on the genuinely-new half stays inside the 16-bits/item budget
+    val falsePos = flagged.count { case (id, m) => id >= 1000000L && m }
+    assert(falsePos <= 20, s"FPR ${falsePos / 400.0} above budget")
+    // composed admission (bloom fast path + exact verify on suspects)
+    // equals the plain exact anti-join
+    val exactNew = incoming.join(corpus, Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val suspects = incoming
+      .filter(DedupOps.BloomAdmission.mightContain(bloom, col("text")))
+    val composedNew = flagged.collect { case (id, false) => id }.toSet ++
+      suspects.join(corpus, Seq("text"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(composedNew == exactNew, "prefilter must not change admission semantics")
+  }
+
   test("d95 label coherence: bucket replay matches; pair-count identities hold") {
     def w64(p: Int): Array[Float] = (0 until 64).map { j =>
       var h = p * 0x9E3779B9 + j * 0x85EBCA6B
