@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Cols, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents corpus (SURVEY.md §2.D).
@@ -2571,7 +2572,151 @@ object TextOps {
       |    * sqrt(sqrt(CAST(n_tokens AS DOUBLE) / n_max)) AS rel_w75
       |FROM w ORDER BY source""".stripMargin
 
+  /** d97 noise density: share of tokens masked, in percent (T5's 15). */
+  val CorruptNoisePct = 15L
+  /** d97 mean corrupted-span length in tokens (T5's 3). */
+  val CorruptMeanSpan = 3L
+
+  /** d97: span-corruption length plan (T5 denoising; Raffel et al.
+    * JMLR 2020 §3.1.4) — the sizing pass a seq2seq pretraining
+    * pipeline runs BEFORE building batches: masking
+    * [[CorruptNoisePct]]% of each document's tokens in mean-
+    * [[CorruptMeanSpan]] spans replaces each span with one sentinel,
+    * so encoder input shrinks to n − n_corrupt + n_spans and decoder
+    * target is n_corrupt + n_spans + 1. Those two lengths — not the
+    * raw token count — are what the d24/d41 packing budget must pack,
+    * and their corpus totals price a training run's true step count.
+    * Per source: docs, raw tokens, corrupted tokens, sentinels
+    * (spans), the exact input/target token totals, and the
+    * input-shrink in bp. Closed-form integer arithmetic per doc
+    * (n_corrupt = n·pct div 100; n_spans = ceil div; empty docs carry
+    * zeros), one (source) reduce — nothing wider than the token count
+    * ever computed, no per-token work at all.
+    *
+    * Shape: ONE scan, map-side partials into a ≤|sources| reduce. */
+  def d97SpanCorruptionPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .select(col("source"), col("n"),
+        expr(s"(n * $CorruptNoisePct) div 100").as("nc"))
+      .select(col("source"), col("n"), col("nc"),
+        expr(s"(nc + ${CorruptMeanSpan - 1}) div $CorruptMeanSpan").as("ns"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("nc")).as("n_corrupt"),
+        sum(col("ns")).as("n_sentinels"),
+        sum(col("n") - col("nc") + col("ns")).as("input_tokens"),
+        sum(when(col("n") > 0, col("nc") + col("ns") + 1).otherwise(0L)).as("target_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_corrupt"),
+        col("n_sentinels"), col("input_tokens"), col("target_tokens"),
+        expr("((n_tokens - input_tokens) * 10000) div greatest(1L, n_tokens)")
+          .as("input_shrink_bp"))
+      .orderBy(col("source"))
+
+  val d97Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |p AS (
+       |  SELECT source, n, (n * $CorruptNoisePct) // 100 AS nc FROM d),
+       |q AS (
+       |  SELECT source, n, nc, (nc + ${CorruptMeanSpan - 1}) // $CorruptMeanSpan AS ns FROM p)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(nc) AS BIGINT) AS n_corrupt,
+       |  CAST(sum(ns) AS BIGINT) AS n_sentinels,
+       |  CAST(sum(n - nc + ns) AS BIGINT) AS input_tokens,
+       |  CAST(sum(CASE WHEN n > 0 THEN nc + ns + 1 ELSE 0 END) AS BIGINT) AS target_tokens,
+       |  CAST((sum(nc - ns) * 10000) // greatest(1, sum(n)) AS BIGINT) AS input_shrink_bp
+       |FROM q GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** d98 candidate-vocab cap: ranks beyond this are never inspected
+    * (bounded TakeOrdered — the literal-capacity sketch discipline). */
+  val VocabCoverageCap = 16384
+  /** d98 vocab-size ladder to price. */
+  val VocabLadder = Seq(256, 1024, 4096, 16384)
+
+  /** d98: vocabulary coverage curve — the tokenizer-sizing readout:
+    * for each candidate vocab size k on [[VocabLadder]], how much of
+    * the corpus token mass the top-k types cover (exact ppm), plus
+    * the smallest k reaching 99% coverage (NULL when it lies beyond
+    * [[VocabCoverageCap]] — reported, never silently truncated).
+    * Coverage mass is TIE-INDEPENDENT: types tied at the k boundary
+    * contribute the same mass whichever the rank order picks, so the
+    * ladder replays exactly even though the tie order itself is just
+    * a convention ((freq DESC, token) in both engines).
+    *
+    * Shape: ONE scan → global (token) reduce (map-side partials) →
+    * bounded TakeOrderedAndProject of the top [[VocabCoverageCap]]
+    * types (never a full vocab sort-shuffle) → windows and the ladder
+    * explode over that ≤cap frame (value-bounded, the c31 rule). The
+    * corpus-totals branch shares the token-reduce lineage, so AQE
+    * reuses its shuffle stage (ReusedExchange, spec-asserted — the
+    * q59 rule): one corpus scan executes. The totals then ride a
+    * 1-row scalar broadcast (allowlisted). At
+    * 100 TB the vocab is corpus-derived and huge — everything past
+    * the reduce is capped by the literal, so the plan cost is the
+    * token reduce alone. */
+  def d98VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val totals = freqs.agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val wRank = Window.orderBy(col("n").desc, col("tok"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = freqs.orderBy(col("n").desc, col("tok")).limit(VocabCoverageCap)
+      .crossJoin(broadcast(totals))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("k99", min(when(col("cum") * 100 >= col("n_tokens") * 99, col("rn")))
+        .over(Window.partitionBy()))
+    ranked
+      .select(col("rn"), col("cum"), col("k99"), col("n_tokens"), col("n_types"),
+        explode(array(VocabLadder.map(lit(_)): _*)).as("vocab_k"))
+      .filter(col("rn") <= col("vocab_k"))
+      .groupBy(col("vocab_k"))
+      .agg(max(col("rn")).as("k_used"),
+        max(col("cum")).as("covered_tokens"),
+        max(col("k99")).as("k99"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_types")).as("n_types"))
+      .select(col("vocab_k"), col("k_used"), col("covered_tokens"),
+        expr("(covered_tokens * 1000000) div n_tokens").as("coverage_ppm"),
+        col("k99"), col("n_tokens"), col("n_types"))
+      .orderBy(col("vocab_k"))
+  }
+
+  val d98Sql: String =
+    s"""WITH occ AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT tok, count(*) AS n FROM occ GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types FROM tf),
+       |r0 AS (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rn,
+       |    CAST(sum(n) OVER (ORDER BY n DESC, tok
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM tf ORDER BY n DESC, tok LIMIT $VocabCoverageCap),
+       |r AS (
+       |  SELECT r0.*, n_tokens, n_types,
+       |    min(CASE WHEN cum * 100 >= n_tokens * 99 THEN rn END) OVER () AS k99
+       |  FROM r0 CROSS JOIN tot),
+       |lad AS (SELECT unnest([${VocabLadder.mkString(", ")}]) AS vocab_k)
+       |SELECT CAST(vocab_k AS INTEGER) AS vocab_k,
+       |  CAST(max(rn) AS INTEGER) AS k_used,
+       |  CAST(max(cum) AS BIGINT) AS covered_tokens,
+       |  CAST((max(cum) * 1000000) // max(n_tokens) AS BIGINT) AS coverage_ppm,
+       |  CAST(max(k99) AS INTEGER) AS k99,
+       |  CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(max(n_types) AS BIGINT) AS n_types
+       |FROM lad JOIN r ON rn <= vocab_k
+       |GROUP BY lad.vocab_k ORDER BY vocab_k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d98_vocab_coverage" -> (d98VocabCoverage _),
+    "d97_span_corruption_plan" -> (d97SpanCorruptionPlan _),
     "d88_temperature_mix" -> (d88TemperatureMix _),
     "d87_quality_cutoffs" -> (d87QualityCutoffs _),
     "d86_substring_scan" -> (d86SubstringScan _),
@@ -2620,6 +2765,8 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d98_vocab_coverage" -> d98Sql,
+    "d97_span_corruption_plan" -> d97Sql,
     "d88_temperature_mix" -> d88Sql,
     "d87_quality_cutoffs" -> d87Sql,
     "d86_substring_scan" -> d86Sql,

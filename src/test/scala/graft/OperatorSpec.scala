@@ -46,7 +46,8 @@ class OperatorSpec extends GraftSpec {
       "d65_ann_recall",        // composes d9+d10, inherits their shape
       "c42_survival_km",       // 1-row corpus-end-day scalar broadcast
       "d92_mips_topk",         // broadcast 10-row query set, =!= condition (d9's shape)
-      "d93_mips_lsh")          // 1-row max-norm scalar broadcast (the augmentation M2)
+      "d93_mips_lsh",          // 1-row max-norm scalar broadcast (the augmentation M2)
+      "d98_vocab_coverage")    // 1-row corpus-totals scalar broadcast
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -206,7 +207,8 @@ class OperatorSpec extends GraftSpec {
       "d85_bm25_topk"         -> Set("documents"),  // 1-row (T, D) corpus scalars
       "c42_survival_km"       -> Set("events"),     // 1-row corpus-end scalar
       "d92_mips_topk"         -> Set("embeddings"), // 10-row query set (literal id cut)
-      "d93_mips_lsh"          -> Set("embeddings")) // 1-row M2 scalar + 10-row probe set
+      "d93_mips_lsh"          -> Set("embeddings"), // 1-row M2 scalar + 10-row probe set
+      "d98_vocab_coverage"    -> Set("documents"))  // 1-row corpus-totals scalar
     def factLeaves(p: LogicalPlan): Set[String] = p.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
@@ -4329,6 +4331,62 @@ class OperatorSpec extends GraftSpec {
       if (da != db)
         assert((da > db) == (cosAug(va, da) > cosAug(vb, db)), s"$ia vs $ib")
     }
+  }
+
+  test("d97 span corruption: closed-form lengths replay; packing identities hold") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").count(_.nonEmpty).toLong))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val per = ds.map { case (_, n) =>
+        val nc = n * TextOps.CorruptNoisePct / 100L
+        val ns = (nc + TextOps.CorruptMeanSpan - 1) / TextOps.CorruptMeanSpan
+        (n, nc, ns)
+      }
+      val (tn, tc, ts) = (per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum)
+      src -> ((per.size.toLong, tn, tc, ts,
+        per.map { case (n, nc, ns) => n - nc + ns }.sum,
+        per.collect { case (n, nc, ns) if n > 0 => nc + ns + 1 }.sum,
+        (tc - ts) * 10000L / math.max(1L, tn)))
+    }
+    val got = TextOps.d97SpanCorruptionPlan(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == expect, s"d97 $got vs $expect")
+    // seq2seq identity: input + target = raw + 2 sentinels + one EOS
+    // per non-empty doc (here all docs are non-empty)
+    got.values.foreach { case (docs, n, _, ns, in, tgt, _) =>
+      assert(in + tgt == n + 2 * ns + docs) }
+  }
+
+  test("d98 vocab coverage: ladder replays; curve is monotone and k99 consistent") {
+    val freqs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val nTokens = freqs.map(_._2).sum
+    val nTypes = freqs.size.toLong
+    val sorted = freqs.sortBy { case (t, n) => (-n, t) }.take(TextOps.VocabCoverageCap)
+    val cums = sorted.scanLeft(0L)(_ + _._2).drop(1)
+    val k99 = cums.zipWithIndex.collectFirst {
+      case (c, i) if c * 100 >= nTokens * 99 => i + 1 }
+    val expect = TextOps.VocabLadder.map { k =>
+      val used = math.min(k, sorted.size)
+      k -> ((used, cums(used - 1), cums(used - 1) * 1000000L / nTokens, k99,
+        nTokens, nTypes))
+    }.toMap
+    val df = TextOps.d98VocabCoverage(spark, sfDir)
+    val got = df.collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)), r.getLong(5), r.getLong(6)))).toMap
+    // the totals branch must ride the ranked branch's token-reduce
+    // exchange (AQE stage reuse, the q59 rule) — one corpus scan runs
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "totals must reuse the token-reduce exchange")
+    assert(got == expect, s"d98 $got vs $expect")
+    // the curve is monotone in k and never exceeds the corpus mass
+    val curve = TextOps.VocabLadder.map(got(_)._3)
+    assert(curve == curve.sorted && curve.last <= 1000000L)
   }
 
   test("BloomAdmission: zero false negatives, FPR inside budget, composed admission exact") {
