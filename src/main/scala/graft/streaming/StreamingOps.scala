@@ -1187,6 +1187,90 @@ object StreamingOps {
       }
   }
 
+  case class CusumOut(event_type: String, day_idx: Long, cnt: Long,
+                      target: Long, slack: Long, s_cusum: Long, alarm: Boolean)
+  case class CusumState(open: Map[Long, Long], firstDay: Long,
+                        lastClosed: Long, baseSum: Long, cum: Long,
+                        minCum: Long)
+
+  /** Streaming tabular CUSUM changepoint detector — c44's live twin
+    * (Events.c44CusumShiftOf): the sequential drift alarm evaluated
+    * the moment each day CLOSES, which is the whole point of CUSUM —
+    * its guarantee is optimal average DETECTION DELAY, and a detector
+    * whose delay includes "wait for tomorrow's batch run" forfeits it.
+    * Days close per type in ascending event-time order at the
+    * watermark (the ewmaStream contract; interior gap days close as
+    * the real zeros batch c44 puts on its dense spine — a dark feed
+    * must drive the statistic down). The first
+    * [[graft.operators.Events.CusumBaselineDays]] dense days fold
+    * into the baseline sum; from then on the state carries the classic
+    * recursion directly — S_t = max(0, S_{t−1} + y_t) via the same
+    * prefix identity the batch form windows (cum and its running min,
+    * two longs) — so every closed day's (target, slack, s_cusum,
+    * alarm) equals the batch row by construction (spec-proven against
+    * the REAL batch operator across micro-batch splits, planted level
+    * shift included). All integer arithmetic, truncating div.
+    *
+    * State per type: the open day-count map (bounded by the watermark
+    * horizon) + 5 longs — bounded regardless of stream length. Late
+    * data beyond the watermark drops, the one batch/stream delta
+    * (measured by outOfOrderStream). */
+  def cusumStream(spark: SparkSession, events: Dataset[EventRow],
+                  watermarkDelay: String = "1 hour"): Dataset[CusumOut] = {
+    import spark.implicits._
+    import graft.operators.Events.{CusumBaselineDays, CusumHFactor, CusumSlackDenom}
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[CusumState]) =>
+          val st0 = state.getOption.getOrElse(
+            CusumState(Map.empty, Long.MinValue, Long.MinValue, 0L, 0L, Long.MaxValue))
+          var open = st0.open
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (d > st0.lastClosed) open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var firstDay = st0.firstDay
+          var lastClosed = st0.lastClosed
+          var baseSum = st0.baseSum
+          var cum = st0.cum
+          var minCum = st0.minCum
+          val out = Seq.newBuilder[CusumOut]
+          if (open.nonEmpty) {
+            val maxOpen = open.keys.max
+            if (firstDay == Long.MinValue) firstDay = open.keys.min
+            var d = if (lastClosed == Long.MinValue) firstDay else lastClosed + 1
+            while (d <= maxOpen && (d + 1) * DayMs <= wm) {
+              val cnt = open.getOrElse(d, 0L)
+              if (d - firstDay < CusumBaselineDays) baseSum += cnt
+              else {
+                val target = baseSum / CusumBaselineDays
+                val slack = math.max(1L, target / CusumSlackDenom)
+                cum += cnt - target - slack
+                minCum = math.min(minCum, cum)
+                val s = cum - math.min(minCum, 0L)
+                out += CusumOut(typ, d, cnt, target, slack, s,
+                  s > slack * CusumHFactor)
+              }
+              open -= d
+              lastClosed = d
+              d += 1
+            }
+          }
+          state.update(CusumState(open, firstDay, lastClosed, baseSum, cum, minCum))
+          // next pending close boundary: lastClosed+1 may be an interior
+          // gap day with no open entry (the sloBurnStream fix)
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              if (lastClosed == Long.MinValue) (open.keys.min + 1) * DayMs
+              else (lastClosed + 2) * DayMs,
+              wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** One silence/recovery alert. `kind` ∈ {"silent", "resumed"};
     * downtime_ms is the crossed threshold for "silent" (actual outage
     * length unknown at detection time) and the measured last-seen →

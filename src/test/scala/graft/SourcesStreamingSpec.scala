@@ -1445,6 +1445,59 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("cusumStream: closed prefix == the real batch c44 across micro-batch splits; shift alarms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.cusumStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("cusum_test").outputMode("append").start()
+    val day0 = 19900L
+    var id = 0L
+    def evs(day: Long, typ: String, n: Int) = (1 to n).map { k =>
+      id += 1
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(day * 86400000L + 12 * 3600000L + k * 60000L),
+        id % 3, typ, 1.0)
+    }
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // A: 3/day baseline with a burn-in gap at day 2 (a real zero that
+      // lowers the target), quiet judged days 7-8, then a sustained +4
+      // shift from day 9 — small enough that no single day spikes, the
+      // exact case CUSUM exists for; B: 6 days only (burn-in, no rows).
+      // Splits put the baseline/judged boundary and the accumulating
+      // shift across micro-batch boundaries.
+      add(evs(day0, "A", 3) ++ evs(day0, "B", 2) ++ evs(day0 + 1, "A", 3) ++
+        evs(day0 + 1, "B", 2))
+      add(evs(day0 + 3, "A", 3) ++ evs(day0 + 3, "B", 2) ++ evs(day0 + 4, "A", 3))
+      add(evs(day0 + 5, "A", 3) ++ evs(day0 + 5, "B", 2) ++ evs(day0 + 6, "A", 3))
+      add(evs(day0 + 7, "A", 3) ++ evs(day0 + 8, "A", 3))
+      add(evs(day0 + 9, "A", 7) ++ evs(day0 + 10, "A", 7))
+      add(evs(day0 + 11, "A", 7) ++ evs(day0 + 12, "A", 7))
+      add(evs(day0 + 13, "A", 7) ++ evs(day0 + 15, "A", 3))
+      // watermark driver: closes days through day0+15; day0+16 stays open
+      add(evs(day0 + 16, "A", 1))
+      val got = spark.sql(
+          "select event_type, day_idx, cnt, target, slack, s_cusum, alarm from cusum_test")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+      val expect = graft.operators.Events.c44CusumShiftOf(fed.result().toDF())
+        .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue()) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+        .filter(_._1._2 <= day0 + 15).toMap
+      assert(got == expect,
+        s"cusum ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+      // the planted shift must alarm once S crosses h, and not before:
+      // target 18/7=2, slack 1, y(7)=+4 => S after days 9,10,11 = 4,8,12
+      assert(!got(("A", day0 + 9))._5 && !got(("A", day0 + 10))._5)
+      assert(got(("A", day0 + 11))._5, "the accumulated shift must alarm")
+      assert(got.keys.forall(_._1 == "A"), "B is burn-in only")
+    } finally q.stop()
+  }
+
   test("sloBurnStream: closed hours == the real batch c43 across micro-batch splits; storm pages") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
