@@ -2546,7 +2546,105 @@ object Analytics {
        |    / (CAST(n_grp AS DOUBLE) * CAST(n_all - n_grp AS DOUBLE))) AS reject
        |FROM r WHERE rnk = 1 ORDER BY grp""".stripMargin
 
+  /** q64: open-order backlog profile — the operational WIP curve
+    * ("how many orders are in flight, worth how much, on each day")
+    * behind capacity planning and cash-conversion readouts: an order
+    * is OPEN from its order date until the day its last line ships;
+    * per calendar day: orders opened, orders fully shipped, and the
+    * running open count + open value (exact cents). The c19 sweep-line
+    * idea at ORDER grain with join-derived interval ends — each order
+    * contributes a +1/−1 delta pair, so the curve is two running sums
+    * over the day spine, never a day×order containment join (which is
+    * quadratic in span and the naive form everyone writes first).
+    *
+    * Determinism: integer day indices (epoch days), exact cents via
+    * the DECIMAL(12,2)·100 idiom (q53), running sums of longs. The
+    * curve ends at exactly 0 open orders / 0 cents — every joined
+    * order closes — a spec-pinned conservation invariant.
+    *
+    * Shape: TWO genuine inputs (a21 precedent): lineitem reduces
+    * map-side to per-order last ship day, joins orders un-hinted on
+    * the order key (SMJ at scale, AQE-broadcast at test SF), the
+    * ±delta pair explodes ROW-LOCALLY, and everything after the
+    * ≤|span-days| (day) reduce — gap explode (c33), running sums —
+    * is value-bounded windows over the ~2.4k-row calendar frame (the
+    * c31 rule: unpartitioned windows only over reduced frames). */
+  def q64BacklogProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ends = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_date(to_date(l_shipdate))").cast("long")).as("end_day"))
+    val byDay = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("unix_date(to_date(o_orderdate))").cast("long").as("start_day"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .join(ends, col("o_orderkey") === col("l_orderkey"))
+      .select(explode(array(
+        struct(col("start_day").as("day"), lit(1L).as("dn"), col("cents").as("dc")),
+        struct(col("end_day").as("day"), lit(-1L).as("dn"), (-col("cents")).as("dc"))))
+        .as("e"))
+      .select(col("e.day").as("day"), col("e.dn").as("dn"), col("e.dc").as("dc"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("dn") > 0, 1L).otherwise(0L)).as("n_opened"),
+        sum(when(col("dn") < 0, 1L).otherwise(0L)).as("n_closed"),
+        sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    val wDay = Window.orderBy(col("day"))
+    val dense = byDay
+      .withColumn("prev_day", lag(col("day"), 1).over(wDay))
+      .select(explode(transform(
+        sequence(coalesce(col("prev_day") + 1, col("day")), col("day")),
+        d => struct(d.as("day"),
+          when(d === col("day"), col("n_opened")).otherwise(lit(0L)).as("n_opened"),
+          when(d === col("day"), col("n_closed")).otherwise(lit(0L)).as("n_closed"),
+          when(d === col("day"), col("dn")).otherwise(lit(0L)).as("dn"),
+          when(d === col("day"), col("dc")).otherwise(lit(0L)).as("dc")))).as("r"))
+      .select(col("r.day").as("day"), col("r.n_opened").as("n_opened"),
+        col("r.n_closed").as("n_closed"), col("r.dn").as("dn"), col("r.dc").as("dc"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("open_orders", sum(col("dn")).over(wCum))
+      .withColumn("open_cents", sum(col("dc")).over(wCum))
+      .select(col("day"), col("n_opened"), col("n_closed"),
+        col("open_orders"), col("open_cents"))
+      .orderBy(col("day"))
+  }
+
+  val q64Sql: String =
+    """WITH ends AS (
+      |  SELECT l_orderkey,
+      |    CAST(max(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS end_day
+      |  FROM lineitem GROUP BY 1),
+      |d0 AS (
+      |  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS start_day,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, end_day
+      |  FROM orders JOIN ends ON o_orderkey = l_orderkey),
+      |deltas AS (
+      |  SELECT start_day AS day, 1 AS dn, cents AS dc FROM d0
+      |  UNION ALL
+      |  SELECT end_day AS day, -1 AS dn, -cents AS dc FROM d0),
+      |byday AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN dn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+      |    CAST(sum(CASE WHEN dn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+      |    CAST(sum(dn) AS BIGINT) AS dn, CAST(sum(dc) AS BIGINT) AS dc
+      |  FROM deltas GROUP BY 1),
+      |span AS (SELECT min(day) AS lo, max(day) AS hi FROM byday),
+      |spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+      |j AS (
+      |  SELECT s.day, coalesce(b.n_opened, 0) AS n_opened,
+      |    coalesce(b.n_closed, 0) AS n_closed,
+      |    coalesce(b.dn, 0) AS dn, coalesce(b.dc, 0) AS dc
+      |  FROM spine s LEFT JOIN byday b USING (day))
+      |SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+      |  CAST(n_closed AS BIGINT) AS n_closed,
+      |  CAST(sum(dn) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) AS BIGINT) AS open_orders,
+      |  CAST(sum(dc) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) AS BIGINT) AS open_cents
+      |FROM j ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_backlog_profile" -> (q64BacklogProfile _),
     "q63_ks_delay" -> (q63KsDelay _),
     "q62_hhi_concentration" -> (q62HhiConcentration _),
     "q61_ols_trend" -> (q61OlsTrend _),
@@ -2611,6 +2709,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q64_backlog_profile" -> q64Sql,
     "q63_ks_delay" -> q63Sql,
     "q62_hhi_concentration" -> q62Sql,
     "q61_ols_trend" -> q61Sql,

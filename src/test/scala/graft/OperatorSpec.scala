@@ -4333,6 +4333,33 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("q64 backlog: curve replays brute force; conservation closes at zero") {
+    val ends = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(max(expr("unix_date(to_date(l_shipdate))").cast("long")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), expr("unix_date(to_date(o_orderdate))").cast("long"),
+        (Cols.dec2(col("o_totalprice")) * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(o => ends.contains(o._1))
+    val deltas = orders.flatMap { case (k, s, c) =>
+      Seq((s, 1L, c), (ends(k), -1L, -c)) }
+    val lo = deltas.map(_._1).min
+    val hi = deltas.map(_._1).max
+    var (openN, openC) = (0L, 0L)
+    val expect = (lo to hi).map { d =>
+      val todays = deltas.filter(_._1 == d)
+      openN += todays.map(_._2).sum; openC += todays.map(_._3).sum
+      d -> ((todays.count(_._2 > 0).toLong, todays.count(_._2 < 0).toLong, openN, openC))
+    }.toMap
+    val got = Analytics.q64BacklogProfile(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"q64 sizes ${got.size}/${expect.size}")
+    // conservation: every joined order closes, so the curve ends at zero
+    assert(got(hi)._3 == 0L && got(hi)._4 == 0L)
+    assert(got.values.forall(v => v._3 >= 0L && v._4 >= 0L))
+  }
+
   test("d97 span corruption: closed-form lengths replay; packing identities hold") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("source"), col("text")).collect()
