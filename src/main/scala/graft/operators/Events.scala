@@ -2626,7 +2626,79 @@ object Events {
        |  CAST(max(ae_bp) AS BIGINT) AS worst_bp
        |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** c46 outage threshold: idle minutes between consecutive ACTIVE
+    * minutes at which a silence becomes an outage (1 hour). */
+  val OutageIdleMin = 60L
+
+  def c46DowntimeReport(spark: SparkSession, dir: String): DataFrame =
+    c46DowntimeReportOf(Tables.events(spark, dir))
+
+  /** c46: downtime/availability report per event type — the batch SLA
+    * rollup behind silenceStream's live alerts (alerting says "it is
+    * down NOW"; this answers the monthly-review question "how down
+    * WAS it"): activity is quantized to MINUTE grain (any event in a
+    * minute makes it active), a run of ≥[[OutageIdleMin]] fully-idle
+    * minutes between consecutive active minutes is an outage, and the
+    * report gives per type: active minutes, observed span, outage
+    * count, total + longest downtime, and availability in exact ppm
+    * over the span. Quantization is the SCALE decision, not a
+    * shortcut: gaps computed by lag over raw events would need a
+    * per-TYPE window over the corpus — \|types\| is tiny, so those
+    * partitions are exactly the hot keys the c31 rule exists to keep
+    * out of window sorts. The minute reduce first makes the window
+    * frame ≤\|types\|·span-minutes — calendar-bounded at any SF — for
+    * the price of sub-minute blindness an SLA report never needed.
+    *
+    * All integer: epoch minutes, idle = gap − 1 full idle minutes,
+    * truncating-div ppm. Boundary exact: idle == threshold IS an
+    * outage (spec-pinned). Leading/trailing silence is out of scope
+    * by construction (span starts/ends at observed activity —
+    * detecting a feed that never came back is silenceStream's job).
+    *
+    * Shape: ONE scan → distinct (type, minute) reduce (map-side
+    * partial) → per-type lag + conditional agg over the reduced
+    * frame → ≤\|types\| rows. */
+  def c46DowntimeReportOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+    events
+      .select(col("event_type"), expr("unix_micros(ts) div 60000000").as("minute"))
+      .distinct()
+      .withColumn("idle", col("minute") - lag(col("minute"), 1).over(w) - 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("active_min"),
+        (max(col("minute")) - min(col("minute")) + 1).as("span_min"),
+        countIf(col("idle") >= OutageIdleMin).as("n_outages"),
+        sum(when(col("idle") >= OutageIdleMin, col("idle")).otherwise(0L)).as("downtime_min"),
+        max(when(col("idle") >= OutageIdleMin, col("idle")).otherwise(0L)).as("longest_min"))
+      .select(col("event_type"), col("active_min"), col("span_min"),
+        col("n_outages"), col("downtime_min"), col("longest_min"),
+        expr("((span_min - downtime_min) * 1000000) div span_min").as("availability_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val c46Sql: String =
+    s"""WITH m AS (
+       |  SELECT DISTINCT event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |    minute - lag(minute) OVER (PARTITION BY event_type ORDER BY minute) - 1 AS idle,
+       |    minute
+       |  FROM m),
+       |a AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS active_min,
+       |    CAST(max(minute) - min(minute) + 1 AS BIGINT) AS span_min,
+       |    CAST(sum(CASE WHEN idle >= $OutageIdleMin THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+       |    CAST(sum(CASE WHEN idle >= $OutageIdleMin THEN idle ELSE 0 END) AS BIGINT) AS downtime_min,
+       |    CAST(max(CASE WHEN idle >= $OutageIdleMin THEN idle ELSE 0 END) AS BIGINT) AS longest_min
+       |  FROM g GROUP BY 1)
+       |SELECT event_type, active_min, span_min, n_outages, downtime_min, longest_min,
+       |  CAST(((span_min - downtime_min) * 1000000) // span_min AS BIGINT) AS availability_ppm
+       |FROM a ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c46_downtime_report" -> (c46DowntimeReport _),
     "c45_dow_backtest" -> (c45DowBacktest _),
     "c44_cusum_shift" -> (c44CusumShift _),
     "c43_slo_burn" -> (c43SloBurn _),
@@ -2674,6 +2746,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c46_downtime_report" -> c46Sql,
     "c45_dow_backtest" -> c45Sql,
     "c44_cusum_shift" -> c44Sql,
     "c43_slo_burn" -> c43Sql,

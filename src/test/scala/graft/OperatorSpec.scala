@@ -4333,6 +4333,42 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("c46 downtime: replays real data; threshold boundary exact on planted outages") {
+    import spark.implicits._
+    // planted frame: minutes 0,1 then a 59-idle gap (NOT an outage),
+    // then a 60-idle gap (exactly threshold => outage), then a 120-idle
+    // gap; a second type with one active minute (no gaps at all)
+    val mins = Seq(0L, 1L, 61L, 122L, 243L).map(m => ("api", m)) :+ (("job", 7L))
+    val planted = mins.zipWithIndex.map { case ((t, m), i) =>
+      graft.streaming.StreamingOps.EventRow(i.toLong,
+        new java.sql.Timestamp(m * 60000L + 30000L), 1L, t, 1.0)
+    }.toDF()
+    val gotP = Events.c46DowntimeReportOf(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // api: idles 0, 59, 60, 120 => outages 60+120, span 244
+    assert(gotP("api") == ((5L, 244L, 2L, 180L, 120L, (244L - 180L) * 1000000L / 244L)))
+    assert(gotP("job") == ((1L, 1L, 0L, 0L, 0L, 1000000L)))
+    // real-data replay
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 60000000")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = raw.groupBy(_._1).map { case (t, rs) =>
+      val ms = rs.map(_._2).distinct.sorted
+      val idles = ms.zip(ms.tail).map { case (a, b) => b - a - 1 }
+        .filter(_ >= Events.OutageIdleMin)
+      val span = ms.last - ms.head + 1
+      val down = idles.sum
+      t -> ((ms.size.toLong, span, idles.size.toLong, down,
+        if (idles.isEmpty) 0L else idles.max, (span - down) * 1000000L / span))
+    }
+    val got = Events.c46DowntimeReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"c46 $got vs $expect")
+    assert(got.values.exists(_._3 > 0L), "real data must show outages at test SF")
+  }
+
   test("q64 backlog: curve replays brute force; conservation closes at zero") {
     val ends = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey")).agg(max(expr("unix_date(to_date(l_shipdate))").cast("long")).as("e"))
