@@ -2697,7 +2697,108 @@ object Events {
        |  CAST(((span_min - downtime_min) * 1000000) // span_min AS BIGINT) AS availability_ppm
        |FROM a ORDER BY event_type""".stripMargin
 
+  def c47AnomalyEnsemble(spark: SparkSession, dir: String): DataFrame =
+    c47AnomalyEnsembleOf(Tables.events(spark, dir))
+
+  /** c47: anomaly ENSEMBLE feed — the pager-noise answer to "which of
+    * my three detectors do I believe": the c12 global-moment rule, the
+    * c38 MAD rule, and the c41 EWMA recency rule all scored per
+    * (type, day) over ONE shared zero-filled day spine, emitting only
+    * flagged days with a `page` consensus bit (≥2 of 3 agree). Running
+    * detectors in committee is the standard on-call de-noising move —
+    * a single detector's false positives rarely survive a vote, while
+    * a real incident trips the moment AND robust AND recency views at
+    * once. Sharing the spine is deliberate: each member sees the SAME
+    * series (c12 standalone scores observed days only; here gap days
+    * are real zeros for all three — a silent feed can page).
+    *
+    * Determinism: the moment rule is DECIMAL(38)-exact (c12's
+    * dev² > 4·(n·ssq − s²) form); MAD compares doubles built from the
+    * identical operand tree in both engines (c38 rule); EWMA is the
+    * c41 dyadic-integer test with burn-in rows scoring false (FALSE
+    * AND NULL = FALSE in both engines — no coalesce needed).
+    *
+    * Shape: ONE scan → (type, day) reduce (map-side partial) → the
+    * c33 inline gap explode densifies the spine → all three detectors
+    * as windows PARTITIONED BY type over the calendar-bounded frame
+    * (the c31 rule: day grain, never corpus grain) → filter to the
+    * alert feed. No detector re-scans the corpus; the committee costs
+    * one extra percentile window over the spine vs running c41 alone. */
+  def c47AnomalyEnsembleOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val wT = Window.partitionBy(col("event_type"))
+    val wD = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dev12 = d38c(col("n_events")) * d38c(col("n_days")) - d38c(col("s"))
+    zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("n_days", count(lit(1)).over(wT))
+      .withColumn("s", sum(col("n_events")).over(wT))
+      .withColumn("ssq", sum(d38c(col("n_events")) * d38c(col("n_events"))).over(wT))
+      .withColumn("z_flag", dev12 * dev12 >
+        lit(4) * (d38c(col("n_days")) * col("ssq") - d38c(col("s")) * d38c(col("s"))))
+      .withColumn("med", expr("percentile(n_events, 0.5D)").over(wT))
+      .withColumn("dev", abs(col("n_events").cast("double") - col("med")))
+      .withColumn("mad", expr("percentile(dev, 0.5D)").over(wT))
+      .withColumn("mad_flag", col("dev") > col("mad") * 3)
+      .withColumn("num",
+        (1 to EwmaDays).map(k =>
+          lag(col("n_events"), k).over(wD) * lit(1L << (EwmaDays - k))).reduce(_ + _))
+      .withColumn("ewma_flag",
+        col("num").isNotNull &&
+          col("n_events") * lit(255L) > lit(EwmaSpikeFactor) * col("num") &&
+          col("n_events") >= EwmaMinCount)
+      .withColumn("n_flags", col("z_flag").cast("long") +
+        col("mad_flag").cast("long") + col("ewma_flag").cast("long"))
+      .filter(col("n_flags") >= 1)
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("z_flag"), col("mad_flag"), col("ewma_flag"),
+        col("n_flags"), (col("n_flags") >= 2).as("page"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val c47Sql: String = {
+    val lagCols = (1 to EwmaDays).map(k => s"lag(n_events, $k) OVER wd AS l$k").mkString(", ")
+    val numExpr = (1 to EwmaDays).map(k => s"l$k * ${1L << (EwmaDays - k)}").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+       |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+       |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+       |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+       |j AS (
+       |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+       |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+       |m AS (
+       |  SELECT *, count(*) OVER wt AS n_days, sum(n_events) OVER wt AS s,
+       |    sum(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) OVER wt AS ssq,
+       |    quantile_cont(n_events, 0.5) OVER wt AS med,
+       |    $lagCols
+       |  FROM j WINDOW wt AS (PARTITION BY event_type),
+       |    wd AS (PARTITION BY event_type ORDER BY day)),
+       |d AS (SELECT *, abs(n_events - med) AS dev, $numExpr AS num FROM m),
+       |md AS (
+       |  SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY event_type) AS mad
+       |  FROM d),
+       |f AS (
+       |  SELECT event_type, day, n_events,
+       |    (CAST(n_events AS HUGEINT) * n_days - s) * (CAST(n_events AS HUGEINT) * n_days - s)
+       |      > 4 * (n_days * ssq - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS z_flag,
+       |    dev > 3 * mad AS mad_flag,
+       |    (num IS NOT NULL AND n_events * 255 > $EwmaSpikeFactor * num
+       |      AND n_events >= $EwmaMinCount) AS ewma_flag
+       |  FROM md),
+       |g AS (
+       |  SELECT *, CAST((CASE WHEN z_flag THEN 1 ELSE 0 END)
+       |    + (CASE WHEN mad_flag THEN 1 ELSE 0 END)
+       |    + (CASE WHEN ewma_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+       |  FROM f)
+       |SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       |  z_flag, mad_flag, ewma_flag, n_flags, n_flags >= 2 AS page
+       |FROM g WHERE n_flags >= 1 ORDER BY event_type, day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c47_anomaly_ensemble" -> (c47AnomalyEnsemble _),
     "c46_downtime_report" -> (c46DowntimeReport _),
     "c45_dow_backtest" -> (c45DowBacktest _),
     "c44_cusum_shift" -> (c44CusumShift _),
@@ -2746,6 +2847,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c47_anomaly_ensemble" -> c47Sql,
     "c46_downtime_report" -> c46Sql,
     "c45_dow_backtest" -> c45Sql,
     "c44_cusum_shift" -> c44Sql,

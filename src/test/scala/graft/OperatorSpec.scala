@@ -4769,4 +4769,79 @@ class OperatorSpec extends GraftSpec {
     assert(got(15) == ((0L, false)), "quiet days after the spike drain S to zero")
     assert(!got(17)._2 && got(18)._2, "the sustained shift alarms on its third day")
   }
+
+  /** Interpolating median matching Spark `percentile(x, 0.5)` /
+    * DuckDB `quantile_cont(x, 0.5)`. */
+  private def medianCont(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val h = (s.size - 1) * 0.5
+    val lo = h.toInt
+    if (lo + 1 < s.size) s(lo) + (h - lo) * (s(lo + 1) - s(lo)) else s(lo)
+  }
+
+  /** Independent c47 replay: all three member rules (c12 moments, c38
+    * MAD, c41 EWMA) computed sequentially over the zero-filled spine. */
+  private def ensembleReplay(days: Seq[(Long, Long)])
+      : Map[Long, (Long, Boolean, Boolean, Boolean, Long, Boolean)] = {
+    val byDay = days.toMap
+    val lo = byDay.keys.min; val hi = byDay.keys.max
+    val dense = (lo to hi).map(d => d -> byDay.getOrElse(d, 0L))
+    val n = BigInt(dense.size)
+    val s = BigInt(dense.map(_._2).sum)
+    val ssq = dense.map(c => BigInt(c._2) * BigInt(c._2)).sum
+    val med = medianCont(dense.map(_._2.toDouble))
+    val mad = medianCont(dense.map(c => math.abs(c._2.toDouble - med)))
+    dense.zipWithIndex.map { case ((d, cnt), i) =>
+      val dev = BigInt(cnt) * n - s
+      val zf = dev * dev > 4 * (n * ssq - s * s)
+      val mf = math.abs(cnt.toDouble - med) > mad * 3
+      val ef = i >= Events.EwmaDays && {
+        val num = (1 to Events.EwmaDays)
+          .map(k => dense(i - k)._2 * (1L << (Events.EwmaDays - k))).sum
+        cnt * 255L > Events.EwmaSpikeFactor * num && cnt >= Events.EwmaMinCount
+      }
+      val nf = Seq(zf, mf, ef).count(identity).toLong
+      d -> ((cnt, zf, mf, ef, nf, nf >= 2))
+    }.filter(_._2._5 >= 1).toMap
+  }
+
+  test("c47 ensemble: replays all three member rules on the corpus") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val days = rows.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }.toSeq
+      ensembleReplay(days).map { case (d, v) => (t, d) -> v }
+    }.toMap
+    val got = Events.c47AnomalyEnsemble(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got == expect, s"c47 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    assert(got.nonEmpty, "real data must flag something at test SF")
+  }
+
+  test("c47 ensemble: a planted flood pages with unanimous flags; burn-in scores 2 of 3") {
+    import spark.implicits._
+    def burst(day: Int, n: Int) = (0 until n).map(i => (day.toLong * 86400000000L + i * 1000000L, "api"))
+    // 20 steady days then a 10x flood: z (moments), MAD, and EWMA all
+    // trip on day 20 => n_flags 3, page
+    val rows = (0 until 20).flatMap(d => burst(d, 10)) ++ burst(20, 100)
+    val df = rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = Events.c47AnomalyEnsembleOf(df).collect()
+      .map(r => r.getLong(1) -> ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got(20L) == ((true, true, true, 3L, true)), s"flood day: ${got.get(20L)}")
+    assert(!got.contains(10L), "steady days must not appear in the alert feed")
+    // same flood on day 5 (inside EWMA burn-in): only z + MAD can score
+    // it, consensus still pages — the committee is not EWMA-gated
+    val rows2 = (0 until 20).flatMap(d => burst(d, if (d == 5) 100 else 10))
+    val df2 = rows2.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got2 = Events.c47AnomalyEnsembleOf(df2).collect()
+      .map(r => r.getLong(1) -> ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got2(5L) == ((true, true, false, 2L, true)), s"burn-in flood: ${got2.get(5L)}")
+  }
 }
