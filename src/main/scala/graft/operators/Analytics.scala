@@ -2643,7 +2643,85 @@ object Analytics {
       |    AND CURRENT ROW) AS BIGINT) AS open_cents
       |FROM j ORDER BY day""".stripMargin
 
+  /** q65: ABC revenue classification per brand — the inventory-control
+    * cut (Pareto's 80/95 bands; Dickie 1951's "ABC analysis") every
+    * merchandising/supply team runs: within each brand, parts sorted by
+    * revenue split into A (first 80% of cumulative revenue), B (to
+    * 95%), C (tail), reported as a per-(brand, class) rollup — part
+    * count, exact revenue, and share. Class is decided on the
+    * cumulative EXCLUSIVE of the part itself (cross-multiplied
+    * integers: A iff cumExcl·5 < total·4, B iff cumExcl·20 < total·19)
+    * so the part that CROSSES a boundary still belongs to the upper
+    * class and the first part is always A — the textbook convention,
+    * spec-pinned.
+    *
+    * Determinism: revenue in exact e4 integer units (DECIMAL sum ×
+    * 10000), ties in the revenue sort broken by partkey, share via
+    * DECIMAL(38) integral div — no doubles anywhere.
+    *
+    * Shape: ONE lineitem scan joins part un-hinted (part scales with
+    * SF — AQE broadcasts at test SF, SMJ at scale) → (brand, part)
+    * reduce (map-side partial) → q54's per-brand window ladder over
+    * the REDUCED per-part frame (|brands| = 25 partitions of |parts|/25
+    * rows — never the corpus) → ≤ 25×3-row rollup. */
+  def q65AbcClass(spark: SparkSession, dir: String): DataFrame =
+    q65AbcClassOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  /** q65 over ANY lineitem/part-shaped frames (the spec plants exact
+    * boundary fixtures). */
+  def q65AbcClassOf(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val wB = Window.partitionBy(col("p_brand"))
+    val wCum = wB.orderBy(col("rev_e4").desc, col("l_partkey"))
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg((sum(revenue) * 10000).cast("long").as("rev_e4"))
+      .withColumn("cum_excl", coalesce(sum(col("rev_e4"))
+        .over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("rev_e4")).over(wB))
+      // cross-multiplied class test in DECIMAL(38): total·20 can pass
+      // Long at 100 TB brand revenue (e4 units), mirrored HUGEINT-side
+      .withColumn("abc_class",
+        when(col("cum_excl").cast(DecimalType(38, 0)) * 5 <
+            col("total").cast(DecimalType(38, 0)) * 4, lit("A"))
+          .when(col("cum_excl").cast(DecimalType(38, 0)) * 20 <
+            col("total").cast(DecimalType(38, 0)) * 19, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy(col("p_brand"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_e4")).as("class_rev_e4"),
+        max(col("total")).as("t"))
+      .select(col("p_brand"), col("abc_class"), col("n_parts"), col("class_rev_e4"),
+        expr("(10000 * CAST(class_rev_e4 AS DECIMAL(38,0))) div t").as("share_bp"))
+      .orderBy(col("p_brand"), col("abc_class"))
+  }
+
+  val q65Sql: String =
+    """WITH rev AS (
+      |  SELECT p_brand, l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS rev_e4
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT p_brand, rev_e4,
+      |    COALESCE(sum(rev_e4) OVER (PARTITION BY p_brand
+      |      ORDER BY rev_e4 DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+      |    sum(rev_e4) OVER (PARTITION BY p_brand) AS total
+      |  FROM rev),
+      |c AS (
+      |  SELECT p_brand, rev_e4, total,
+      |    CASE WHEN CAST(cum_excl AS HUGEINT) * 5 < CAST(total AS HUGEINT) * 4 THEN 'A'
+      |         WHEN CAST(cum_excl AS HUGEINT) * 20 < CAST(total AS HUGEINT) * 19 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM w)
+      |SELECT p_brand, abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rev_e4) AS BIGINT) AS class_rev_e4,
+      |  CAST((10000 * CAST(sum(rev_e4) AS HUGEINT)) // max(total) AS BIGINT) AS share_bp
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_abc_class" -> (q65AbcClass _),
     "q64_backlog_profile" -> (q64BacklogProfile _),
     "q63_ks_delay" -> (q63KsDelay _),
     "q62_hhi_concentration" -> (q62HhiConcentration _),
@@ -2709,6 +2787,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q65_abc_class" -> q65Sql,
     "q64_backlog_profile" -> q64Sql,
     "q63_ks_delay" -> q63Sql,
     "q62_hhi_concentration" -> q62Sql,

@@ -4844,4 +4844,51 @@ class OperatorSpec extends GraftSpec {
         r.getLong(6), r.getBoolean(7)))).toMap
     assert(got2(5L) == ((true, true, false, 2L, true)), s"burn-in flood: ${got2.get(5L)}")
   }
+
+  test("q65 abc: replays brute force; boundary part belongs to the upper class") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg((sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"))
+        * 10000).cast("long").as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (b, ps) =>
+      val sorted = ps.toSeq.sortBy(p => (-p._3, p._2))
+      val total = sorted.map(x => BigInt(x._3)).sum
+      var cum = BigInt(0)
+      val classed = sorted.map { p =>
+        val cls = if (cum * 5 < total * 4) "A"
+          else if (cum * 20 < total * 19) "B" else "C"
+        cum += p._3
+        (cls, p._3)
+      }
+      classed.groupBy(_._1).map { case (cls, xs) =>
+        val crev = xs.map(x => BigInt(x._2)).sum
+        (b, cls) -> ((xs.size.toLong, crev.toLong, (BigInt(10000) * crev / total).toLong))
+      }
+    }.toMap
+    val got = Analytics.q65AbcClass(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"q65 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    val brands = expect.keySet.map(_._1)
+    // the first part of every brand is A by the exclusive-cum convention
+    assert(brands.forall(b => expect.contains((b, "A"))))
+  }
+
+  test("q65 abc: planted revenues pin the boundary convention exactly") {
+    import spark.implicits._
+    // one brand, parts with revenue 50/30/15/4/1 (total 100):
+    // cum_excl 0, 50 => A,A; 80 (5x80 == 4x100, NOT <) => B;
+    // 95 (20x95 == 19x100, NOT <) => C; 99 => C
+    val li = Seq((1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 4.0), (5L, 1.0))
+      .toDF("l_partkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val pt = (1L to 5L).toDF("p_partkey").withColumn("p_brand", lit("BR#1"))
+    val got = Analytics.q65AbcClassOf(li, pt).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((2L, 800000L, 8000L)), s"A: ${got.get("A")}")
+    assert(got("B") == ((1L, 150000L, 1500L)), s"B: ${got.get("B")}")
+    assert(got("C") == ((2L, 50000L, 500L)), s"C: ${got.get("C")}")
+  }
 }
