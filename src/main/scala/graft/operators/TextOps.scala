@@ -2714,7 +2714,77 @@ object TextOps {
        |FROM lad JOIN r ON rn <= vocab_k
        |GROUP BY lad.vocab_k ORDER BY vocab_k""".stripMargin
 
+  def d99DupQuality(spark: SparkSession, dir: String): DataFrame =
+    d99DupQualityOf(Tables.documents(spark, dir))
+
+  /** d99: duplication × quality interaction audit — the ORDERING
+    * decision every curation pipeline makes once ("dedup before or
+    * after the quality filter?") answered with data: if duplicated
+    * documents skew low-quality (boilerplate, error pages, scraped
+    * chrome — the common case, Penedo et al. 2023's FineWeb ablations),
+    * dedup-first is cheaper because the quality model never scores
+    * copies; if dups skew HIGH quality (popular canonical pages),
+    * quality-first risks keeping N copies of the same passing doc.
+    * Emits the dup-class × quality-flag contingency: docs, tokens,
+    * and each flag's share WITHIN its dup class (bp) — the column you
+    * read across classes to see the skew. Classes: unique (1 copy),
+    * small (2–4), large (5+); quality is d3's flag, the same
+    * deterministic rule its standalone operator oracles.
+    *
+    * Shape: ONE documents scan → row-local flag + d5's content hash →
+    * count window over the hash partition (the d15 idiom — group
+    * sizes without losing the row grain) → reduce to the ≤3×2
+    * contingency frame, where the share window runs (c31-safe). */
+  def d99DupQualityOf(docs: DataFrame): DataFrame = {
+    val wH = Window.partitionBy(col("content_hash"))
+    val wC = Window.partitionBy(col("dup_class"))
+    docs
+      .select(
+        qualityFlagOf(col("text")).as("quality_flag"),
+        md5(trim(lower(col("text")))).as("content_hash"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("grp", count(lit(1)).over(wH))
+      .withColumn("dup_class",
+        when(col("grp") === 1, lit("unique"))
+          .when(col("grp") <= 4, lit("small"))
+          .otherwise(lit("large")))
+      .groupBy(col("dup_class"), col("quality_flag"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("class_total", sum(col("n_docs")).over(wC))
+      .select(col("dup_class"), col("quality_flag"), col("n_docs"), col("n_tokens"),
+        expr("(10000 * n_docs) div class_total").as("class_share_bp"))
+      .orderBy(col("dup_class"), col("quality_flag"))
+  }
+
+  val d99Sql: String =
+    """WITH f AS (
+      |  SELECT md5(trim(lower(text))) AS content_hash,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_len
+      |  FROM documents),
+      |q AS (
+      |  SELECT content_hash, n_toks,
+      |    CASE WHEN n_toks BETWEEN 5 AND 1000 AND avg_len BETWEEN 2.0 AND 12.0
+      |         THEN 'ok' ELSE 'low' END AS quality_flag
+      |  FROM f),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY content_hash) AS grp FROM q),
+      |c AS (
+      |  SELECT quality_flag, n_toks,
+      |    CASE WHEN grp = 1 THEN 'unique' WHEN grp <= 4 THEN 'small'
+      |         ELSE 'large' END AS dup_class
+      |  FROM g),
+      |a AS (
+      |  SELECT dup_class, quality_flag, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |  FROM c GROUP BY 1, 2)
+      |SELECT dup_class, quality_flag, n_docs, n_tokens,
+      |  CAST((10000 * n_docs) // (sum(n_docs) OVER (PARTITION BY dup_class)) AS BIGINT)
+      |    AS class_share_bp
+      |FROM a ORDER BY dup_class, quality_flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d99_dup_quality" -> (d99DupQuality _),
     "d98_vocab_coverage" -> (d98VocabCoverage _),
     "d97_span_corruption_plan" -> (d97SpanCorruptionPlan _),
     "d88_temperature_mix" -> (d88TemperatureMix _),
@@ -2765,6 +2835,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d99_dup_quality" -> d99Sql,
     "d98_vocab_coverage" -> d98Sql,
     "d97_span_corruption_plan" -> d97Sql,
     "d88_temperature_mix" -> d88Sql,

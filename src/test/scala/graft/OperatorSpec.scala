@@ -4891,4 +4891,25 @@ class OperatorSpec extends GraftSpec {
     assert(got("B") == ((1L, 150000L, 1500L)), s"B: ${got.get("B")}")
     assert(got("C") == ((2L, 50000L, 500L)), s"C: ${got.get("C")}")
   }
+
+  test("d99 dup-quality: planted clusters land in the right cells; normalization folds copies") {
+    import spark.implicits._
+    val base = "the cat sat of the mat and ran to a tree in town" // 13 toks, ok
+    val docs = Seq(
+      base, base.toUpperCase, base + "  ", base, base, // large cluster (5, fold-tested)
+      "a b", "a b",                                    // small cluster, low quality (2 toks)
+      "alpha beta gamma delta one",                    // uniques, ok (5 toks each)
+      "alpha beta gamma delta two",
+      "alpha beta gamma delta three",
+      "x"                                              // unique, low (1 tok)
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.d99DupQualityOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("large", "ok") -> ((5L, 65L, 10000L)),
+      ("small", "low") -> ((2L, 4L, 10000L)),
+      ("unique", "ok") -> ((3L, 15L, 7500L)),
+      ("unique", "low") -> ((1L, 1L, 2500L))), s"d99 $got")
+  }
 }
