@@ -2301,7 +2301,92 @@ object Etl {
        |FROM h ORDER BY eps_ppm""".stripMargin
   }
 
+  /** a42: subject-access export manifest (GDPR Art. 15 / CCPA "right
+    * to know") — a37's sibling: erasure plans the DELETE, this plans
+    * the EXPORT a data-subject request triggers. Per requesting
+    * subject (a37's deterministic `custkey % ErasureMod` stand-in for
+    * the request queue) and per table holding their data: exact row
+    * count, exact payload bytes (measured octet_length of the string
+    * columns + the literal fixed-width field footprint — a real
+    * export sizer, not a rowBytes guess), and the activity span in
+    * epoch days (NULL for the static profile row). The manifest is
+    * what the DSAR tooling turns into files, and what the compliance
+    * clock ("respond within 30 days, scoped to what we actually
+    * hold") is sized against.
+    *
+    * Shape: three GENUINE inputs (a21 precedent): customer, orders,
+    * lineitem. The orders lineage is read twice but the join side is
+    * the SLIM 2-column (o_orderkey, o_custkey) scan (the d85/a36
+    * slim-second-scan form — plan-audited ReadSchema), so the wide
+    * order columns are scanned once; lineitem joins those subject
+    * pairs un-hinted (1/97 of orders — AQE broadcasts at test SF,
+    * SMJ at scale) and reduces per subject before the 3-way union of
+    * REDUCED frames. Nothing corpus-sized survives any reduce. */
+  def a42AccessExport(spark: SparkSession, dir: String): DataFrame = {
+    val isSubject = (c: Column) => pmod(c, lit(ErasureMod)) === 0
+    val cust = Tables.customer(spark, dir)
+      .filter(isSubject(col("c_custkey")))
+      .select(col("c_custkey").as("subject_key"), lit("customer").as("table_name"),
+        lit(1L).as("n_rows"),
+        (octet_length(col("c_name")) + octet_length(col("c_mktsegment")) + lit(24L))
+          .cast("long").as("est_bytes"),
+        lit(null).cast("long").as("first_day"), lit(null).cast("long").as("last_day"))
+    val subjOrders = Tables.orders(spark, dir)
+      .filter(isSubject(col("o_custkey")))
+    val ord = subjOrders
+      .groupBy(col("o_custkey").as("subject_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(col("o_orderstatus")) + octet_length(col("o_orderpriority"))
+          + lit(32L)).as("est_bytes"),
+        min(expr("unix_date(to_date(o_orderdate))").cast("long")).as("first_day"),
+        max(expr("unix_date(to_date(o_orderdate))").cast("long")).as("last_day"))
+      .select(col("subject_key"), lit("orders").as("table_name"), col("n_rows"),
+        col("est_bytes"), col("first_day"), col("last_day"))
+    val li = Tables.lineitem(spark, dir)
+      .join(subjOrders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("subject_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(col("l_returnflag")) + octet_length(col("l_linestatus"))
+          + lit(72L)).as("est_bytes"),
+        min(expr("unix_date(to_date(l_shipdate))").cast("long")).as("first_day"),
+        max(expr("unix_date(to_date(l_shipdate))").cast("long")).as("last_day"))
+      .select(col("subject_key"), lit("lineitem").as("table_name"), col("n_rows"),
+        col("est_bytes"), col("first_day"), col("last_day"))
+    cust.unionByName(ord).unionByName(li)
+      .orderBy(col("subject_key"), col("table_name"))
+  }
+
+  val a42Sql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey AS subject_key, 'customer' AS table_name,
+       |    CAST(1 AS BIGINT) AS n_rows,
+       |    CAST(octet_length(encode(c_name)) + octet_length(encode(c_mktsegment)) + 24 AS BIGINT)
+       |      AS est_bytes,
+       |    CAST(NULL AS BIGINT) AS first_day, CAST(NULL AS BIGINT) AS last_day
+       |  FROM customer WHERE c_custkey % $ErasureMod = 0),
+       |so AS (SELECT * FROM orders WHERE o_custkey % $ErasureMod = 0),
+       |ord AS (
+       |  SELECT o_custkey AS subject_key, 'orders' AS table_name,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(octet_length(encode(o_orderstatus))
+       |      + octet_length(encode(o_orderpriority)) + 32) AS BIGINT) AS est_bytes,
+       |    CAST(min(datediff('day', DATE '1970-01-01', CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE))) AS BIGINT) AS first_day,
+       |    CAST(max(datediff('day', DATE '1970-01-01', CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE))) AS BIGINT) AS last_day
+       |  FROM so GROUP BY 1),
+       |li AS (
+       |  SELECT o_custkey AS subject_key, 'lineitem' AS table_name,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(octet_length(encode(l_returnflag))
+       |      + octet_length(encode(l_linestatus)) + 72) AS BIGINT) AS est_bytes,
+       |    CAST(min(datediff('day', DATE '1970-01-01', CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE))) AS BIGINT) AS first_day,
+       |    CAST(max(datediff('day', DATE '1970-01-01', CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE))) AS BIGINT) AS last_day
+       |  FROM lineitem JOIN so ON l_orderkey = o_orderkey GROUP BY 1)
+       |SELECT * FROM (SELECT * FROM cust UNION ALL SELECT * FROM ord UNION ALL SELECT * FROM li)
+       |ORDER BY subject_key, table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a42_access_export" -> (a42AccessExport _),
     "a41_dp_release_plan" -> (a41DpReleasePlan _),
     "a40_t_closeness" -> (a40TCloseness _),
     "a39_l_diversity" -> (a39LDiversity _),
@@ -2345,6 +2430,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a42_access_export" -> a42Sql,
     "a41_dp_release_plan" -> a41Sql,
     "a40_t_closeness" -> a40Sql,
     "a39_l_diversity" -> a39Sql,

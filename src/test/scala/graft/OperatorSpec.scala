@@ -4912,4 +4912,40 @@ class OperatorSpec extends GraftSpec {
       ("unique", "ok") -> ((3L, 15L, 7500L)),
       ("unique", "low") -> ((1L, 1L, 2500L))), s"d99 $got")
   }
+
+  test("a42 access export: manifest replays brute force across all three tables") {
+    val subj = (k: Long) => k % Etl.ErasureMod == 0
+    val custRows = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), octet_length(col("c_name")) + octet_length(col("c_mktsegment")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val ordRows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        octet_length(col("o_orderstatus")) + octet_length(col("o_orderpriority")),
+        expr("unix_date(to_date(o_orderdate))").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue(), r.getLong(3)))
+      .filter(t => subj(t._1))
+    val orderOwner = ordRows.map(t => t._2 -> t._1).toMap
+    val liRows = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        octet_length(col("l_returnflag")) + octet_length(col("l_linestatus")),
+        expr("unix_date(to_date(l_shipdate))").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+      .filter(t => orderOwner.contains(t._1))
+    val expect =
+      custRows.keys.filter(subj).map(k =>
+        (k, "customer") -> ((1L, custRows(k) + 24L, Option.empty[Long], Option.empty[Long]))).toMap ++
+      ordRows.groupBy(_._1).map { case (k, xs) =>
+        (k, "orders") -> ((xs.size.toLong, xs.map(_._3 + 32L).sum,
+          Some(xs.map(_._4).min), Some(xs.map(_._4).max))) } ++
+      liRows.groupBy(t => orderOwner(t._1)).map { case (k, xs) =>
+        (k, "lineitem") -> ((xs.size.toLong, xs.map(_._2 + 72L).sum,
+          Some(xs.map(_._3).min), Some(xs.map(_._3).max))) }
+    val got = Etl.a42AccessExport(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(got == expect, s"a42 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    assert(got.keySet.exists(_._2 == "lineitem"), "subjects must hold lineitem data at test SF")
+  }
 }
