@@ -2783,7 +2783,100 @@ object TextOps {
       |    AS class_share_bp
       |FROM a ORDER BY dup_class, quality_flag""".stripMargin
 
+  def d100DecontamPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    d100DecontamPlanOf(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+  }
+
+  /** d100: span-level DECONTAMINATION plan — d20 detects training docs
+    * that share 3-gram shingles with the eval split; this plans the
+    * surgical fix: cut the contaminated token spans and KEEP the rest
+    * of the document (the Lee et al. 2022 / PaLM-style move — dropping
+    * whole docs over one quoted benchmark line wastes clean tokens at
+    * corpus scale). Per contaminated doc: hit-shingle count, tokens
+    * cut (the UNION of the 3-token windows at every contaminated
+    * position — overlapping hits must not double-count), tokens kept,
+    * keep share (bp), and the decision: `cut_spans` when ≥80% of the
+    * doc survives, `drop` when the doc is too shredded to be worth
+    * stitching (the standard contamination-density cutoff).
+    *
+    * The span union is exact and integer: for the sorted hit
+    * positions, each contributes min(next − pos, 3) tokens (3 for the
+    * last) — the c34 sweep at token grain, as a lag window over HIT
+    * rows only (never the corpus; hits are the reduced frame).
+    *
+    * Shape: corpus scan → positional shingle explode (the
+    * explodedShinglesOf transform+sequence form with the position
+    * riding in a struct — map-only); eval scan → distinct shingle set
+    * (reduced); LEFT SEMI join keeps each contaminated position once;
+    * per-doc lead window + reduce over hit rows. Two scans = two
+    * genuine inputs (corpus vs eval split — the d20/a21 precedent). */
+  def d100DecontamPlanOf(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val posShingles = corpus
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        explode(transform(sequence(lit(1), size(t) - 2),
+          i => struct(i.as("pos"), concat_ws(" ", element_at(t, i),
+            element_at(t, i + 1), element_at(t, i + 2)).as("shingle")))).as("z"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("z.pos").as("pos"), col("z.shingle").as("shingle"))
+    val evalShingles = DedupOps.explodedShinglesOf(evalDocs)
+      .select(col("shingle")).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    posShingles
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_hit_shingles"),
+        sum(when(col("nxt").isNull, lit(3L))
+          .otherwise(least(col("nxt") - col("pos"), lit(3)).cast("long"))).as("tokens_cut"))
+      .withColumn("tokens_kept", col("n_tokens") - col("tokens_cut"))
+      .withColumn("keep_bp", expr("(tokens_kept * 10000) div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hit_shingles"), col("tokens_cut"),
+        col("tokens_kept"), col("keep_bp"),
+        when(col("keep_bp") >= 8000, lit("cut_spans")).otherwise(lit("drop")).as("decision"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d100Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |corp AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    unnest(range(1, len(t) - 1)) AS pos,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks WHERE doc_id % 97 <> 0 AND len(t) >= 3),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 3),
+      |hits AS (
+      |  SELECT doc_id, n_tokens, pos FROM corp
+      |  WHERE shingle IN (SELECT shingle FROM ev)),
+      |lagged AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM hits),
+      |a AS (
+      |  SELECT doc_id, max(n_tokens) AS n_tokens, count(*) AS n_hit_shingles,
+      |    sum(CASE WHEN nxt IS NULL THEN 3 ELSE least(nxt - pos, 3) END) AS tokens_cut
+      |  FROM lagged GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_hit_shingles AS BIGINT) AS n_hit_shingles,
+      |  CAST(tokens_cut AS BIGINT) AS tokens_cut,
+      |  CAST(n_tokens - tokens_cut AS BIGINT) AS tokens_kept,
+      |  CAST(((n_tokens - tokens_cut) * 10000) // n_tokens AS BIGINT) AS keep_bp,
+      |  CASE WHEN ((n_tokens - tokens_cut) * 10000) // n_tokens >= 8000
+      |       THEN 'cut_spans' ELSE 'drop' END AS decision
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d100_decontam_plan" -> (d100DecontamPlan _),
     "d99_dup_quality" -> (d99DupQuality _),
     "d98_vocab_coverage" -> (d98VocabCoverage _),
     "d97_span_corruption_plan" -> (d97SpanCorruptionPlan _),
@@ -2835,6 +2928,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d100_decontam_plan" -> d100Sql,
     "d99_dup_quality" -> d99Sql,
     "d98_vocab_coverage" -> d98Sql,
     "d97_span_corruption_plan" -> d97Sql,

@@ -4948,4 +4948,27 @@ class OperatorSpec extends GraftSpec {
     assert(got == expect, s"a42 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
     assert(got.keySet.exists(_._2 == "lineitem"), "subjects must hold lineitem data at test SF")
   }
+
+  test("d100 decontam: overlapping hit windows union exactly; doc set matches d20's") {
+    import spark.implicits._
+    val evalD = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // overlapping hits at pos 3 and 4: union = 4 tokens, keeps 6/10 => drop
+      (1L, "x x alpha beta gamma delta y y y y"),
+      // one hit at pos 5 of 20 tokens: cut 3, keep 17 => 8500 bp, cut_spans
+      (2L, ("a b c d " + "alpha beta gamma " + "e f g h i j k l m n o p q").trim),
+      (3L, "no shared grams here at all")).toDF("doc_id", "text")
+    val got = TextOps.d100DecontamPlanOf(corpus, evalD).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(got(1L) == ((10L, 2L, 4L, 6L, 6000L, "drop")), s"doc1: ${got.get(1L)}")
+    assert(got(2L) == ((20L, 1L, 3L, 17L, 8500L, "cut_spans")), s"doc2: ${got.get(2L)}")
+    assert(!got.contains(3L), "clean docs have no plan row")
+    // cross-operator consistency: the planned doc set is exactly d20's
+    val d20Docs = TextOps.d20Contamination(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val d100Docs = TextOps.d100DecontamPlan(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(d100Docs == d20Docs, "d100 must plan exactly the docs d20 flags")
+  }
 }
