@@ -2797,7 +2797,79 @@ object Events {
        |FROM g WHERE n_flags >= 1 ORDER BY event_type, day""".stripMargin
   }
 
+  def c48Dispersion(spark: SparkSession, dir: String): DataFrame =
+    c48DispersionOf(Tables.events(spark, dir))
+
+  /** c48: index-of-dispersion (Fano factor) per event type — the
+    * PROCESS classifier the per-day detectors (c12/c38/c41/c47)
+    * presuppose but never test: is this stream Poisson-like (variance
+    * ≈ mean, dispersion ≈ 1), BURSTY (over-dispersed — arrivals
+    * clump, so day-grain thresholds fire on clumps that are normal
+    * for this feed), or REGULAR (under-dispersed — a scheduler, not
+    * organic traffic)? Cox & Lewis 1966's first diagnostic for point
+    * processes; the answer decides whether c25's burst test or c41's
+    * EWMA is even the right tool per feed. Per type over the
+    * zero-filled day spine: days, total, mean (milli), population
+    * variance→Fano = n·(n·ssq − s²) / (n²·s) in milli by DECIMAL(38)
+    * integral cross-multiplication — no doubles, no divide-then-
+    * divide rounding drift — and the verdict at the ±20% band
+    * (spec-pinned boundaries).
+    *
+    * Shape: ONE scan → (type, day) reduce → c33 inline gap explode
+    * (zeros are real days — omitting them inflates regularity) →
+    * per-type 1-row aggregate. ≤|types| rows out. */
+  def c48DispersionOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    zeroFilledDaysOf(events)
+      .select(col("event_type"), col("n_events"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("total"),
+        sum(d38c(col("n_events")) * d38c(col("n_events"))).as("ssq"))
+      .filter(col("total") > 0)
+      .withColumn("num",
+        lit(1000) * (d38c(col("n_days")) * col("ssq") - d38c(col("total")) * d38c(col("total"))))
+      .withColumn("den", d38c(col("n_days")) * d38c(col("total")))
+      .select(col("event_type"), col("n_days"), col("total"),
+        expr("(total * 1000) div n_days").as("mean_milli"),
+        // fano_milli = 1000·var/mean = 1000·(n·ssq − s²) div (n·s) —
+        // integral div (nonnegative operands), not decimal `/` whose
+        // scale-6 HALF_UP could bump across the truncation boundary
+        expr("num div den").as("fano_milli"))
+      .withColumn("verdict",
+        when(col("fano_milli") > 1200, lit("bursty"))
+          .when(col("fano_milli") < 800, lit("regular"))
+          .otherwise(lit("poisson_like")))
+      .orderBy(col("event_type"))
+  }
+
+  val c48Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |a AS (
+      |  SELECT event_type, count(*) AS n_days, sum(n_events) AS total,
+      |    sum(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS ssq
+      |  FROM j GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total,
+      |    CAST((total * 1000) // n_days AS BIGINT) AS mean_milli,
+      |    CAST((1000 * (n_days * ssq - CAST(total AS HUGEINT) * CAST(total AS HUGEINT)))
+      |      // (CAST(n_days AS HUGEINT) * total) AS BIGINT) AS fano_milli
+      |  FROM a WHERE total > 0)
+      |SELECT event_type, n_days, total, mean_milli, fano_milli,
+      |  CASE WHEN fano_milli > 1200 THEN 'bursty'
+      |       WHEN fano_milli < 800 THEN 'regular'
+      |       ELSE 'poisson_like' END AS verdict
+      |FROM f ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c48_dispersion" -> (c48Dispersion _),
     "c47_anomaly_ensemble" -> (c47AnomalyEnsemble _),
     "c46_downtime_report" -> (c46DowntimeReport _),
     "c45_dow_backtest" -> (c45DowBacktest _),
@@ -2847,6 +2919,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c48_dispersion" -> c48Sql,
     "c47_anomaly_ensemble" -> c47Sql,
     "c46_downtime_report" -> c46Sql,
     "c45_dow_backtest" -> c45Sql,

@@ -4971,4 +4971,30 @@ class OperatorSpec extends GraftSpec {
       .collect().map(_.getLong(0)).toSet
     assert(d100Docs == d20Docs, "d100 must plan exactly the docs d20 flags")
   }
+
+  test("c48 dispersion: replays exact moments; planted processes classify correctly") {
+    import spark.implicits._
+    // regular: exactly 7/day for 10 days => var 0, fano 0 ("regular");
+    // bursty: 20 events on day 0 and day 5, zero between (mean 40/11,
+    // var >> mean => "bursty")
+    def burst(t: String, day: Int, n: Int) =
+      (0 until n).map(i => (day.toLong * 86400000000L + i * 1000000L, t))
+    val rows = (0 until 10).flatMap(d => burst("cron", d, 7)) ++
+      burst("flash", 0, 20) ++ burst("flash", 5, 20) ++ burst("flash", 10, 4)
+    val df = rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = Events.c48DispersionOf(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(got("cron") == ((10L, 70L, 7000L, 0L, "regular")), s"cron: ${got.get("cron")}")
+    val fl = got("flash")
+    assert(fl._1 == 11L && fl._2 == 44L && fl._5 == "bursty", s"flash: $fl")
+    // exact check: fano = 1000*(n*ssq - s^2)/(n*s); n=11, s=44, ssq=2*400+16
+    val expFano = 1000L * (11L * 816L - 44L * 44L) / (11L * 44L)
+    assert(fl._4 == expFano, s"fano ${fl._4} vs $expFano")
+    // real data: every type gets exactly one verdict row
+    val real = Events.c48Dispersion(spark, sfDir).collect()
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(real.length == types.toInt)
+  }
 }
