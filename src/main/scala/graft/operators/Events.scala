@@ -2868,7 +2868,86 @@ object Events {
       |       ELSE 'poisson_like' END AS verdict
       |FROM f ORDER BY event_type""".stripMargin
 
+  def c49CoBurst(spark: SparkSession, dir: String): DataFrame =
+    c49CoBurstOf(Tables.events(spark, dir))
+
+  /** c49: co-burst correlation matrix — "which feeds flood TOGETHER":
+    * for every ordered pair of event types, the Jaccard overlap of
+    * their c41 spike-day sets (plus both marginals and the joint
+    * count). The on-call read: a high co-burst pair shares a root
+    * cause (one incident, one page — route them to the same alert
+    * group); a type that bursts alone is its own failure domain. The
+    * member flags are EXACTLY c41's (same spine, same dyadic-integer
+    * test, same burn-in), so the matrix is consistent with the
+    * control chart the operator already watches.
+    *
+    * Shape: ONE scan — the c27/d55 idiom, because a naive self-join +
+    * two marginal joins re-derives the c41 lineage FOUR times (the
+    * static planner does not dedupe branches; plan-audited): filter
+    * the c41 frame to SPIKE days (reduced — flags are rare by
+    * construction) → per-day sorted type set → ordered pairs
+    * generated ROW-LOCALLY with the diagonal riding along → pair
+    * reduce → marginals read off the diagonal rows by two windows
+    * over the ≤|types|² frame. Zero-overlap pairs have no row (the
+    * c27 convention). */
+  def c49CoBurstOf(events: DataFrame): DataFrame = {
+    val spikes = c41EwmaControlOf(events)
+      .filter(col("spike"))
+      .select(col("event_type"), col("day"))
+    val ts = col("ts")
+    val pairsWithDiag = flatten(transform(ts, (x, i) =>
+      transform(slice(ts, i + lit(1), size(ts)),
+        y => struct(x.as("t1"), y.as("t2")))))
+    val w1 = Window.partitionBy(col("t1"))
+    val w2 = Window.partitionBy(col("t2"))
+    spikes
+      .groupBy(col("day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(pairsWithDiag).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("n_joint"))
+      .withColumn("n1", max(when(col("t1") === col("t2"), col("n_joint"))).over(w1))
+      .withColumn("n2", max(when(col("t1") === col("t2"), col("n_joint"))).over(w2))
+      .filter(col("t1") < col("t2"))
+      .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_joint"),
+        expr("(n_joint * 10000) div (n1 + n2 - n_joint)").as("jaccard_bp"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val c49Sql: String = {
+    val lagCols = (1 to EwmaDays).map(k => s"lag(n_events, $k) OVER w AS l$k").mkString(", ")
+    val numExpr = (1 to EwmaDays).map(k => s"l$k * ${1L << (EwmaDays - k)}").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+       |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+       |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+       |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+       |j AS (
+       |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+       |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+       |l AS (
+       |  SELECT event_type, day, n_events, $lagCols
+       |  FROM j WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |k AS (
+       |  SELECT event_type, day, n_events, $numExpr AS num
+       |  FROM l WHERE l$EwmaDays IS NOT NULL),
+       |sp AS (
+       |  SELECT event_type, day FROM k
+       |  WHERE n_events * 255 > $EwmaSpikeFactor * num AND n_events >= $EwmaMinCount),
+       |cnt AS (SELECT event_type, count(*) AS n FROM sp GROUP BY 1),
+       |pr AS (
+       |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_joint
+       |  FROM sp a JOIN sp b ON a.day = b.day AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT t1, t2, CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2,
+       |  CAST(n_joint AS BIGINT) AS n_joint,
+       |  CAST((n_joint * 10000) // (c1.n + c2.n - n_joint) AS BIGINT) AS jaccard_bp
+       |FROM pr JOIN cnt c1 ON t1 = c1.event_type JOIN cnt c2 ON t2 = c2.event_type
+       |ORDER BY t1, t2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c49_co_burst" -> (c49CoBurst _),
     "c48_dispersion" -> (c48Dispersion _),
     "c47_anomaly_ensemble" -> (c47AnomalyEnsemble _),
     "c46_downtime_report" -> (c46DowntimeReport _),
@@ -2919,6 +2998,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c49_co_burst" -> c49Sql,
     "c48_dispersion" -> c48Sql,
     "c47_anomaly_ensemble" -> c47Sql,
     "c46_downtime_report" -> c46Sql,

@@ -4997,4 +4997,24 @@ class OperatorSpec extends GraftSpec {
     val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
     assert(real.length == types.toInt)
   }
+
+  test("c49 co-burst: planted joint flood pairs; lone burster stays out; flags are c41's") {
+    import spark.implicits._
+    def burst(t: String, day: Int, n: Int) =
+      (0 until n).map(i => (day.toLong * 86400000000L + i * 1000000L, t))
+    def steady(t: String, floods: Set[Int]) =
+      (0 until 20).flatMap(d => burst(t, d, if (floods(d)) 100 else 10))
+    val rows = steady("api", Set(15, 18)) ++ steady("db", Set(15)) ++ steady("lone", Set(10))
+    val df = rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    // cross-check the member flags against the real c41 operator
+    val spikes = Events.c41EwmaControlOf(df).filter(col("spike"))
+      .select(col("event_type"), col("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(spikes == Set(("api", 15L), ("api", 18L), ("db", 15L), ("lone", 10L)), s"$spikes")
+    val got = Events.c49CoBurstOf(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(("api", "db") -> ((2L, 1L, 1L, 5000L))), s"c49 $got")
+  }
 }
