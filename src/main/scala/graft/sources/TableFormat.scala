@@ -196,6 +196,25 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Maintenance: rewrite the CURRENT snapshot into `targetFiles`
+    * files and commit it as a new version with identical content — the
+    * OPTIMIZE/small-file-compaction primitive (a25 *plans* which
+    * partitions are worth this; this executes one). Rides the normal
+    * commit path, so it inherits every guarantee: readers see the old
+    * file layout or the new one, never a mixture; a concurrent real
+    * commit wins the race and the compaction (whose snapshot would be
+    * stale) throws [[ConcurrentCommitException]] instead of
+    * resurrecting overwritten data. `coalesce` (narrow, no shuffle)
+    * does the rewrite — compaction must not pay a corpus exchange.
+    * None (no-op) before the first commit; otherwise the new version. */
+  def compact(spark: SparkSession, table: String, token: String,
+              targetFiles: Int = 1): Option[Long] = {
+    read(spark, table).map { df =>
+      commit(spark, table, df.coalesce(targetFiles), token)
+      latest(fsOf(spark, table), table).get._1
+    }
+  }
+
   override def commit(spark: SparkSession, table: String, df: DataFrame,
                       token: String): Unit = {
     val root = new Path(table)

@@ -297,6 +297,31 @@ class SourcesStreamingSpec extends GraftSpec {
       "staged entries must be vacuumed")
   }
 
+  test("CommitLogTableFormat.compact: same rows, fewer files, old version retained") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_compact").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fmt.compact(spark, dir, "noop").isEmpty, "compact before first commit is a no-op")
+    // a fragmented snapshot: 8 parquet files for 100 rows
+    val rows = (1L to 100L).map(i => (i, s"r$i"))
+    fmt.commit(spark, dir, rows.toDF("k", "v").repartition(8), "frag")
+    def files(name: String) =
+      fs.globStatus(new Path(s"$dir/$name/*.parquet")).length
+    val fragDir = fmt.versions(spark, dir).max
+    assert(files(s"data-v$fragDir-frag") == 8)
+    val v = fmt.compact(spark, dir, "opt", targetFiles = 1)
+    assert(v.contains(2L), s"compact version: $v")
+    // identical content, one file
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().sorted.toSeq ==
+      rows.sorted)
+    assert(files("data-v2-opt") == 1, "compaction must produce the target file count")
+    // the fragmented version stays readable for in-flight readers
+    assert(fmt.readVersion(spark, dir, 1L).get.count() == 100L)
+    assert(fmt.versions(spark, dir) == Seq(1L, 2L))
+  }
+
   test("profileMergeBatch over CommitLogTableFormat: merge + replay-skip hold") {
     import graft.jobs.Profiles
     val fmt = graft.sources.CommitLogTableFormat
