@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, FreqSketchAgg, MinHashAgg, TopKAgg}
+import graft.functions.{CosineSimilarity, DotProduct, FreqSketchAgg, KmvAgg, MinHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_by_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAgg(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvAgg(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),

@@ -2946,7 +2946,122 @@ object Events {
        |ORDER BY t1, t2""".stripMargin
   }
 
+  /** Sketch size for c50 — 256 min-values ⇒ ~1/√256 ≈ 6% relative
+    * error on distinct estimates (Beyer et al. 2007), 2 KB per key. */
+  val KmvK = 256
+  private val KmvH = 1152921504606846976L // 2^60 — the 15-hex-digit hash space
+
+  def c50OverlapSketch(spark: SparkSession, dir: String): DataFrame =
+    c50OverlapSketchOf(Tables.events(spark, dir))
+
+  /** c50: audience-overlap SKETCH card — c27's 100 TB twin: per type
+    * pair, distinct-user and union estimates plus the KMV-estimated
+    * Jaccard, from k-minimum-values sketches (Bar-Yossef et al. 2002;
+    * Beyer et al. 2007's (k−1)/U_(k) estimator) instead of exact
+    * distinct sets. c27 is exact because (user, type) reduces small at
+    * any SF; the SKETCH is what survives when the overlap question is
+    * asked of a key that does NOT reduce (pages, queries, items): each
+    * group folds to k=[[KmvK]] longs in ONE pass through the custom
+    * [[graft.functions.KmvAgg]] TypedImperativeAggregate — bounded
+    * buffer, map-side combinable, no per-key sort window (the
+    * relational distinct→row_number form is exactly the c31-banned
+    * hot-partition sort at scale). All set math afterwards is
+    * row-local over ≤2k-element arrays on the ≤|types|² frame.
+    *
+    * Determinism: the hash is the d22 md5-prefix idiom (60-bit,
+    * nonnegative) so DuckDB replays the EXACT sketch, estimates and
+    * all — a sketch operator with a hash-exact oracle, not a
+    * tolerance check; estimates use integral div in DECIMAL(38)
+    * ((k−1)·2⁶⁰ overflows Long). Union estimate from the merged
+    * sketch's k-th min; Jaccard = |K ∩ A ∩ B| / |K| (the standard KMV
+    * set-operation rule). Sub-k keys fall back to exact counts.
+    *
+    * Shape: ONE scan → per-type kmv_sketch aggregate (|types| rows of
+    * k longs) → ONE collected row → row-local pair explode (c27's
+    * idiom) → pair math. Nothing corpus-sized past the aggregate. */
+  def c50OverlapSketchOf(events: DataFrame): DataFrame = {
+    val estOf = (sk: String) => when(size(col(sk)) < KmvK, size(col(sk)).cast("long"))
+      .otherwise(expr(s"(cast(${KmvK - 1} as decimal(38,0)) * $KmvH) " +
+        s"div element_at($sk, size($sk))"))
+    val arr = col("arr")
+    val pairs = flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)),
+        y => struct(x.as("a"), y.as("b")))))
+    events
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy(col("event_type"))
+      .agg(expr(s"kmv_sketch(h, $KmvK)").as("sk"))
+      .select(col("event_type"), col("sk"), estOf("sk").as("est_users"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("event_type"), col("sk"),
+        col("est_users")))).as("arr"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.a.event_type").as("t1"), col("p.b.event_type").as("t2"),
+        col("p.a.est_users").as("est_users_1"), col("p.b.est_users").as("est_users_2"),
+        col("p.a.sk").as("sa"), col("p.b.sk").as("sb"))
+      .withColumn("ku", slice(array_sort(array_distinct(concat(col("sa"), col("sb")))),
+        1, KmvK))
+      .withColumn("kk", size(col("ku")).cast("long"))
+      .withColumn("inter_k",
+        size(array_intersect(array_intersect(col("ku"), col("sa")), col("sb"))).cast("long"))
+      .select(col("t1"), col("t2"), col("est_users_1"), col("est_users_2"),
+        when(col("kk") < KmvK, col("kk"))
+          .otherwise(expr(s"(cast(${KmvK - 1} as decimal(38,0)) * $KmvH) " +
+            "div element_at(ku, size(ku))")).as("est_union"),
+        col("inter_k"),
+        expr("(10000 * inter_k) div kk").as("jaccard_bp"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val c50Sql: String = {
+    val pow16 = (0 until 15).map(i => math.pow(16, 14 - i).toLong)
+    val digit = pow16.zipWithIndex.map { case (p, i) =>
+      s"CAST(strpos('0123456789abcdef', m[${i + 1}]) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""WITH hx AS (
+       |  SELECT DISTINCT event_type, ($digit) AS h
+       |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS m FROM events)),
+       |r AS (
+       |  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS nh
+       |  FROM hx),
+       |sk AS (SELECT event_type, h, nh FROM r WHERE rn <= $KmvK),
+       |est AS (
+       |  SELECT event_type,
+       |    CAST(CASE WHEN max(nh) < $KmvK THEN max(nh)
+       |      ELSE (CAST(${KmvK - 1} AS HUGEINT) * $KmvH) // max(h) END AS BIGINT) AS est_users
+       |  FROM sk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type AS t1, b.event_type AS t2
+       |  FROM est a JOIN est b ON a.event_type < b.event_type),
+       |pu AS (
+       |  SELECT p.t1, p.t2, s.h,
+       |    max(CASE WHEN s.event_type = p.t1 THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN s.event_type = p.t2 THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.event_type = p.t1 OR s.event_type = p.t2
+       |  GROUP BY 1, 2, 3),
+       |pr AS (
+       |  SELECT t1, t2, h, in_a, in_b,
+       |    row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+       |  FROM pu),
+       |ks AS (
+       |  SELECT t1, t2, count(*) AS kk,
+       |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS inter_k,
+       |    max(h) AS maxh
+       |  FROM pr WHERE rn <= $KmvK GROUP BY 1, 2)
+       |SELECT t1, t2, e1.est_users AS est_users_1, e2.est_users AS est_users_2,
+       |  CAST(CASE WHEN kk < $KmvK THEN kk
+       |    ELSE (CAST(${KmvK - 1} AS HUGEINT) * $KmvH) // maxh END AS BIGINT) AS est_union,
+       |  CAST(inter_k AS BIGINT) AS inter_k,
+       |  CAST((10000 * inter_k) // kk AS BIGINT) AS jaccard_bp
+       |FROM ks JOIN est e1 ON t1 = e1.event_type JOIN est e2 ON t2 = e2.event_type
+       |ORDER BY t1, t2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c50_overlap_sketch" -> (c50OverlapSketch _),
     "c49_co_burst" -> (c49CoBurst _),
     "c48_dispersion" -> (c48Dispersion _),
     "c47_anomaly_ensemble" -> (c47AnomalyEnsemble _),
@@ -2998,6 +3113,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c50_overlap_sketch" -> c50Sql,
     "c49_co_burst" -> c49Sql,
     "c48_dispersion" -> c48Sql,
     "c47_anomaly_ensemble" -> c47Sql,

@@ -5017,4 +5017,43 @@ class OperatorSpec extends GraftSpec {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(got == Map(("api", "db") -> ((2L, 1L, 1L, 5000L))), s"c49 $got")
   }
+
+  test("kmv_sketch: k smallest distinct hashes, invariant under partitioning") {
+    import spark.implicits._
+    val vals = (1L to 5000L).map(i => (i * 2654435761L) % 1000000007L) ++ Seq(7L, 7L, 7L)
+    val expect = vals.distinct.sorted.take(64)
+    Seq(1, 7).foreach { parts =>
+      val got = vals.toDF("h").repartition(parts)
+        .agg(expr("kmv_sketch(h, 64)")).collect()(0).getSeq[Long](0)
+      assert(got == expect, s"parts=$parts")
+    }
+    // sub-k input: the sketch IS the distinct set
+    val small = Seq(5L, 3L, 5L, 9L).toDF("h")
+      .agg(expr("kmv_sketch(h, 64)")).collect()(0).getSeq[Long](0)
+    assert(small == Seq(3L, 5L, 9L))
+  }
+
+  test("c50 overlap sketch: estimates track planted truth; sub-k keys are exact") {
+    import spark.implicits._
+    // "big" = users 0..1999, "half" = users 0..999 (a subset):
+    // truth: d1 2000, d2 1000, union 2000, jaccard 0.5
+    val rows = (0L until 2000L).map(u => ("big", u)) ++ (0L until 1000L).map(u => ("half", u))
+    val df = rows.toDF("event_type", "user_id")
+      .select(col("event_type"), lit(0L).as("event_id"),
+        timestamp_micros(col("user_id") * 1000000L).as("ts"), col("user_id"))
+    val r = Events.c50OverlapSketchOf(df).collect()
+    assert(r.length == 1)
+    val (e1, e2, eu, jbp) = (r(0).getLong(2), r(0).getLong(3), r(0).getLong(4), r(0).getLong(6))
+    // k=256 => ~6% relative error; allow 4 sigma ~ 25%
+    assert(math.abs(e1 - 2000L) < 500, s"est big $e1")
+    assert(math.abs(e2 - 1000L) < 250, s"est half $e2")
+    assert(math.abs(eu - 2000L) < 500, s"est union $eu")
+    assert(math.abs(jbp - 5000L) < 1500, s"jaccard $jbp")
+    // sub-k: tiny audiences estimate exactly
+    val tiny = (0L until 50L).map(u => ("a", u)) ++ (25L until 75L).map(u => ("b", u))
+    val dfT = tiny.toDF("event_type", "user_id")
+    val rt = Events.c50OverlapSketchOf(dfT).collect()(0)
+    assert((rt.getLong(2), rt.getLong(3), rt.getLong(4), rt.getLong(5), rt.getLong(6)) ==
+      ((50L, 50L, 75L, 25L, 3333L)), s"tiny: $rt")
+  }
 }
