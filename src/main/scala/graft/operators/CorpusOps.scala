@@ -1745,7 +1745,85 @@ object CorpusOps {
       |  CAST((sum(clen) * 1000) // count(*) AS BIGINT) AS avg_len_milli
       |FROM ch GROUP BY 1 ORDER BY source""".stripMargin
 
+  def d101NgramCardinality(spark: SparkSession, dir: String): DataFrame =
+    d101NgramCardinalityOf(Tables.documents(spark, dir))
+
+  /** d101: n-gram cardinality sketch AUDIT — the calibration run for
+    * the vocabulary-scale question ("how many distinct 3-grams does
+    * each source contribute?") whose exact answer is a corpus-wide
+    * DISTINCT that gets expensive precisely when it matters (d26/d52
+    * pay it exactly; at 100 TB you want the [[graft.functions.KmvAgg]]
+    * sketch instead — this operator proves, per source, how far the
+    * sketch lands from truth). Per source: exact distinct-gram count
+    * (the audit baseline, computed in the SAME aggregate — one scan,
+    * one exchange), the KMV estimate (k=256, the c50 machinery on a
+    * key that genuinely does NOT reduce), and the error in bp.
+    * Production runs the sketch alone; this audit is the evidence the
+    * estimate deserves trust.
+    *
+    * Determinism: the d22 md5-prefix hash (60-bit) makes the sketch —
+    * and therefore the ESTIMATE — bit-replayable in DuckDB; exact and
+    * estimate compare in integral arithmetic (DECIMAL(38) div; the
+    * (k−1)·2⁶⁰ numerator overflows Long).
+    *
+    * Shape: ONE scan → per-doc distinct shingle explode (the d20
+    * form) → md5-prefix hash projection → ONE groupBy(source)
+    * computing kmv_sketch and count_distinct together → row-local
+    * estimate math on ≤|sources| rows. */
+  def d101NgramCardinalityOf(docs: DataFrame): DataFrame = {
+    val k = 256
+    val H = 1152921504606846976L // 2^60
+    val t = TextOps.tokens(col("text"))
+    docs
+      .filter(size(t) >= 3)
+      .select(col("source"), explode(TextOps.shingles(t)).as("shingle"))
+      .select(col("source"),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("h"))
+      .groupBy(col("source"))
+      .agg(expr(s"kmv_sketch(h, $k)").as("sk"),
+        count_distinct(col("h")).as("exact_grams"))
+      .select(col("source"), col("exact_grams"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"(cast(${k - 1} as decimal(38,0)) * $H) " +
+            "div element_at(sk, size(sk))")).as("est_grams"))
+      .withColumn("err_bp", expr("(abs(est_grams - exact_grams) * 10000) div exact_grams"))
+      .orderBy(col("source"))
+  }
+
+  val d101Sql: String = {
+    val pow16 = (0 until 15).map(i => math.pow(16, 14 - i).toLong)
+    val digit = pow16.zipWithIndex.map { case (p, i) =>
+      s"CAST(strpos('0123456789abcdef', m[${i + 1}]) - 1 AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |hx AS (
+       |  SELECT source, ($digit) AS h
+       |  FROM (SELECT source, md5(shingle) AS m FROM sh)),
+       |e AS (SELECT source, count(DISTINCT h) AS exact_grams FROM hx GROUP BY 1),
+       |r AS (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT source, h FROM hx)),
+       |sk AS (SELECT source, h FROM r WHERE rn <= 256),
+       |est AS (
+       |  SELECT source,
+       |    CAST(CASE WHEN count(*) < 256 THEN count(*)
+       |      ELSE (CAST(255 AS HUGEINT) * 1152921504606846976) // max(h) END AS BIGINT)
+       |      AS est_grams
+       |  FROM sk GROUP BY 1)
+       |SELECT e.source AS source, CAST(exact_grams AS BIGINT) AS exact_grams, est_grams,
+       |  CAST((abs(est_grams - exact_grams) * 10000) // exact_grams AS BIGINT) AS err_bp
+       |FROM e JOIN est ON e.source = est.source
+       |ORDER BY e.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d101_ngram_cardinality" -> (d101NgramCardinality _),
     "d91_cdc_chunks" -> (d91CdcChunks _),
     "d90_missing_mass" -> (d90MissingMass _),
     "d89_dup_ngram_coverage" -> (d89DupNgramCoverage _),
@@ -1772,6 +1850,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d101_ngram_cardinality" -> d101Sql,
     "d91_cdc_chunks" -> d91Sql,
     "d90_missing_mass" -> d90Sql,
     "d89_dup_ngram_coverage" -> d89Sql,

@@ -5056,4 +5056,16 @@ class OperatorSpec extends GraftSpec {
     assert((rt.getLong(2), rt.getLong(3), rt.getLong(4), rt.getLong(5), rt.getLong(6)) ==
       ((50L, 50L, 75L, 25L, 3333L)), s"tiny: $rt")
   }
+
+  test("d101 gram cardinality: sketch error bounded on real data; sub-k sources exact") {
+    val rows = CorpusOps.d101NgramCardinality(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, exact, est, err) =>
+      assert(err == math.abs(est - exact) * 10000 / exact, s"$src err accounting")
+      if (exact < 256) assert(est == exact && err == 0L, s"$src sub-k must be exact")
+      else assert(err < 2500, s"$src err $err bp exceeds the 4-sigma band (exact=$exact est=$est)")
+    }
+    assert(rows.exists(_._2 >= 256), "test SF must saturate at least one source's sketch")
+  }
 }
