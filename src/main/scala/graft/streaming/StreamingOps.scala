@@ -1046,6 +1046,57 @@ object StreamingOps {
     * against the REAL batch operator across micro-batch splits);
     * late data beyond the watermark drops, the one batch/stream
     * delta (measured by outOfOrderStream). */
+  case class KmvEstimate(event_type: String, sketch_size: Int, est_distinct: Long)
+
+  /** The c50/d101 hash, computed JVM-side: first 15 hex chars of the
+    * md5 of the key's decimal string, as a 60-bit long — bit-identical
+    * to Spark's `conv(substring(md5(cast(x as string)), 1, 15), 16, 10)`
+    * so streaming and batch sketches agree element-for-element. */
+  private[graft] def kmvHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars, need 15
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Streaming KMV distinct-cardinality maintenance — the live twin of
+    * the c50/d101 sketch layer (real-time "how many distinct users has
+    * this feed seen", the question exact distinct can only answer with
+    * an unbounded state set): per key, the k smallest distinct hashes
+    * ride in LITERAL-bounded state (≤k longs — state size never grows
+    * with true cardinality, the whole point of the sketch), and every
+    * micro-batch that touches a key re-emits its current estimate
+    * (Update mode — a monitoring feed, not a changelog). Because a KMV
+    * sketch is a set union (order-free, idempotent per element), the
+    * state after ANY micro-batch split equals the batch [[graft.functions.KmvAgg]]
+    * fold over the same rows — equivalence by construction, spec-proven
+    * across splits. Estimates are the same integral
+    * (k−1)·2⁶⁰ div kth-min rule (BigInt here; DECIMAL(38) in batch),
+    * with sub-k keys exact. */
+  def kmvStream(spark: SparkSession, events: Dataset[EventRow],
+                k: Int = 256): Dataset[KmvEstimate] = {
+    import spark.implicits._
+    val H = BigInt(1152921504606846976L) // 2^60
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[EventRow], state: GroupState[Array[Long]]) =>
+          var set = scala.collection.immutable.TreeSet.empty[Long] ++
+            state.getOption.getOrElse(Array.empty[Long])
+          rows.foreach { r =>
+            val h = kmvHash(r.user_id.toString)
+            if (set.size < k || h < set.max) {
+              set += h
+              if (set.size > k) set -= set.max
+            }
+          }
+          state.update(set.toArray)
+          val est =
+            if (set.size < k) set.size.toLong
+            else ((BigInt(k - 1) * H) / BigInt(set.max)).toLong
+          Iterator.single(KmvEstimate(t, set.size, est))
+      }
+  }
+
   def ewmaStream(spark: SparkSession, events: Dataset[EventRow],
                  watermarkDelay: String = "1 hour"): Dataset[EwmaFlag] = {
     import spark.implicits._

@@ -733,6 +733,50 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("kmvStream: sketch state equals the batch KmvAgg fold across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(t: String, u: Long) = StreamingOps.EventRow(
+      u, new java.sql.Timestamp(u * 1000L), u, t, 1.0)
+    // api: 30 distinct users (saturates k=8); job: 5 (sub-k, exact);
+    // users 1..6 repeat in batch 2 (sketch adds are idempotent)
+    val api = (1L to 30L).map(ev("api", _))
+    val job = (1L to 5L).map(ev("job", _))
+    val all = api ++ job
+    def runSplit(splitAt: Int, name: String): Map[String, (Int, Long)] = {
+      val mem = MemoryStream[StreamingOps.EventRow]
+      val q = StreamingOps.kmvStream(spark, mem.toDS(), k = 8)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        mem.addData(all.take(splitAt))
+        q.processAllAvailable()
+        mem.addData(all.drop(splitAt) ++ all.take(6)) // replayed users
+        q.processAllAvailable()
+        // est is monotone nondecreasing (size grows to k, then the kth
+        // min only decreases), so max = the final state's estimate
+        spark.sql(s"select event_type, max(sketch_size), max(est_distinct) from $name group by 1")
+          .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      } finally q.stop()
+    }
+    val s1 = runSplit(12, "kmv_s1")
+    val s2 = runSplit(27, "kmv_s2")
+    assert(s1 == s2, s"split invariance: $s1 vs $s2")
+    // batch truth: the KmvAgg aggregate over the same rows
+    val batch = all.toDF()
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+      .groupBy(col("event_type")).agg(expr("kmv_sketch(h, 8)").as("sk"))
+      .collect().map { r =>
+        val sk = r.getSeq[Long](1)
+        val est = if (sk.size < 8) sk.size.toLong
+          else ((BigInt(7) * BigInt(1152921504606846976L)) / BigInt(sk.max)).toLong
+        r.getString(0) -> ((sk.size, est))
+      }.toMap
+    assert(s1 == batch, s"stream vs batch: $s1 vs $batch")
+    assert(s1("job") == ((5, 5L)), "sub-k key must be exact")
+    assert(s1("api")._1 == 8, "api sketch must saturate at k")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
