@@ -2720,7 +2720,65 @@ object Analytics {
       |  CAST((10000 * CAST(sum(rev_e4) AS HUGEINT)) // max(total) AS BIGINT) AS share_bp
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q66: monthly top-K revenue leaderboard with CHURN — the
+    * "trending items" card (c14's sliding top-k, here at calendar
+    * grain over the sales facts): per month, the top 5 parts by exact
+    * revenue with rank, revenue, and `is_new` — whether the part was
+    * absent from the PREVIOUS month's board. Leaderboard churn is the
+    * merchandising pulse read: a stable board means entrenched
+    * winners; high churn means demand is rotating and yesterday's
+    * stocking plan is stale.
+    *
+    * `is_new` comes from ONE more window over the ≤K·|months| board
+    * frame (lag of month partitioned BY PART: new iff the part's
+    * previous board appearance is not month−1) — never a self-join of
+    * the board against itself, which would re-derive the corpus
+    * lineage twice (the branch-duplication trap, plan-audited to one
+    * scan). First month is all-new by convention.
+    *
+    * Shape: ONE lineitem scan joins part un-hinted → (month, part)
+    * reduce (map-side partial) → per-month rank window over the
+    * REDUCED frame → filter to K → the churn lag over the ≤K·|months|
+    * board. Total order (revenue desc, partkey) makes ranks exact. */
+  def q66TopkChurn(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val wM = Window.partitionBy(col("m")).orderBy(col("rev_e4").desc, col("l_partkey"))
+    val wP = Window.partitionBy(col("l_partkey")).orderBy(col("m"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("m"),
+        col("l_partkey"))
+      .agg((sum(revenue) * 10000).cast("long").as("rev_e4"))
+      .withColumn("rnk", row_number().over(wM))
+      .filter(col("rnk") <= K)
+      .withColumn("prev_m", lag(col("m"), 1).over(wP))
+      .select(col("m").cast("long").as("month_idx"), col("rnk"), col("l_partkey"), col("rev_e4"),
+        (col("prev_m").isNull || col("prev_m") =!= col("m") - 1).as("is_new"))
+      .orderBy(col("month_idx"), col("rnk"))
+  }
+
+  val q66Sql: String =
+    """WITH rev AS (
+      |  SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m, l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS rev_e4
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT m, l_partkey, rev_e4,
+      |    row_number() OVER (PARTITION BY m ORDER BY rev_e4 DESC, l_partkey) AS rnk
+      |  FROM rev),
+      |board AS (SELECT * FROM r WHERE rnk <= 5),
+      |c AS (
+      |  SELECT m, rnk, l_partkey, rev_e4,
+      |    lag(m) OVER (PARTITION BY l_partkey ORDER BY m) AS prev_m
+      |  FROM board)
+      |SELECT CAST(m AS BIGINT) AS month_idx, CAST(rnk AS INTEGER) AS rnk, l_partkey, rev_e4,
+      |  (prev_m IS NULL OR prev_m <> m - 1) AS is_new
+      |FROM c ORDER BY month_idx, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_topk_churn" -> (q66TopkChurn _),
     "q65_abc_class" -> (q65AbcClass _),
     "q64_backlog_profile" -> (q64BacklogProfile _),
     "q63_ks_delay" -> (q63KsDelay _),
@@ -2787,6 +2845,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q66_topk_churn" -> q66Sql,
     "q65_abc_class" -> q65Sql,
     "q64_backlog_profile" -> q64Sql,
     "q63_ks_delay" -> q63Sql,

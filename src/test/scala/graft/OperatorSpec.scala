@@ -5068,4 +5068,30 @@ class OperatorSpec extends GraftSpec {
     }
     assert(rows.exists(_._2 >= 256), "test SF must saturate at least one source's sketch")
   }
+
+  test("q66 topk churn: board replays brute force; churn flags match set diffs") {
+    val rev = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("m"),
+        col("l_partkey"))
+      .agg((sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"))
+        * 10000).cast("long").as("rev"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val board = rev.groupBy(_._1).toSeq.flatMap { case (m, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex
+        .map { case ((_, pk, rv), i) => (m.toLong, i + 1, pk, rv) }
+    }
+    val byMonth = board.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val expect = board.map { case (m, rnk, pk, rv) =>
+      (m, rnk) -> ((pk, rv, !byMonth.get(m - 1).exists(_.contains(pk))))
+    }.toMap
+    val got = Analytics.q66TopkChurn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect, s"q66 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    // the first month's board is all-new; later boards show real churn
+    val firstM = got.keySet.map(_._1).min
+    assert(got.filter(_._1._1 == firstM).values.forall(_._3))
+    assert(got.exists { case ((m, _), v) => m > firstM && !v._3 }, "some part must persist")
+  }
 }
