@@ -3060,7 +3060,101 @@ object Events {
        |ORDER BY t1, t2""".stripMargin
   }
 
+  def c51Diurnality(spark: SparkSession, dir: String): DataFrame =
+    c51DiurnalityOf(Tables.events(spark, dir))
+
+  /** c51: diurnality strength — "is this feed actually diurnal?", the
+    * one-way variance decomposition (η², Fisher's correlation ratio)
+    * of hourly counts by hour-of-day: η² = SS_between/SS_total over
+    * the (day × hour) cell grid, in exact milli. c24 SHOWS the
+    * day-of-week profile and c37 models seasonality; this puts a
+    * NUMBER on how much of the hourly variance the clock explains —
+    * the gate before fitting any seasonal baseline at all (η² ≈ 0
+    * means c37's seasonal model is noise-fitting; η² high means
+    * un-deseasonalized thresholds will page every rush hour).
+    *
+    * Exactness without a spine: zero cells contribute nothing to any
+    * hour-group sum or to Σcnt², so the grid never materializes —
+    * only observed (day, hod) cells reduce; D comes from the day
+    * span, and absent hour-of-day GROUPS enter SS_between analytically
+    * as (24−present)·S² (each missing group's (24·s_h − S)² with
+    * s_h = 0). Everything integral: with equal group sizes D,
+    * η²_milli = 1000·Σ_h(24·s_h − S)² div (24·(24D·Σcnt² − S²)) — one
+    * DECIMAL(38) division, no floats (the c48 discipline).
+    *
+    * Shape: ONE scan → (type, day, hod) reduce (map-side partial) →
+    * (type, hod) reduce carrying day extremes → per-type 1-row fold
+    * over ≤24 rows. ≤|types| rows out. */
+  def c51DiurnalityOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("cnt")).as("s_h"),
+        sum(d38c(col("cnt")) * d38c(col("cnt"))).as("ssq_h"),
+        min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("present_hours"),
+        sum(col("s_h")).as("total"),
+        sum(col("ssq_h")).as("ssq"),
+        (max(col("hi")) - min(col("lo")) + 1).as("n_days"),
+        sum(d38c(col("s_h")) * d38c(col("s_h"))).as("sh2"))
+      // Σ_h(24·s_h − S)² over ALL 24 groups (absent groups contribute
+      // S²) collapses via Σ_present s_h = S to 576·Σs_h² − 24·S²
+      .withColumn("num",
+        lit(1000) * (lit(576) * col("sh2")
+          - lit(24) * d38c(col("total")) * d38c(col("total"))))
+      .withColumn("den",
+        lit(24) * (lit(24) * d38c(col("n_days")) * col("ssq")
+          - d38c(col("total")) * d38c(col("total"))))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("n_days"), col("total"), col("present_hours"),
+        expr("num div den").as("eta2_milli"))
+      .withColumn("verdict",
+        when(col("eta2_milli") >= 300, lit("diurnal"))
+          .when(col("eta2_milli") >= 100, lit("weakly_diurnal"))
+          .otherwise(lit("flat")))
+      .orderBy(col("event_type"))
+  }
+
+  val c51Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod
+      |  FROM events),
+      |cells AS (SELECT event_type, day, hod, count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+      |hg AS (
+      |  SELECT event_type, hod, sum(cnt) AS s_h,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS ssq_h,
+      |    min(day) AS lo, max(day) AS hi
+      |  FROM cells GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, count(*) AS present_hours, sum(s_h) AS total,
+      |    sum(ssq_h) AS ssq, max(hi) - min(lo) + 1 AS n_days,
+      |    sum(CAST(s_h AS HUGEINT) * CAST(s_h AS HUGEINT)) AS sh2
+      |  FROM hg GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, n_days, total, present_hours,
+      |    1000 * (576 * sh2 - 24 * CAST(total AS HUGEINT) * total) AS num,
+      |    24 * (24 * CAST(n_days AS HUGEINT) * ssq
+      |      - CAST(total AS HUGEINT) * total) AS den
+      |  FROM t)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total,
+      |  CAST(present_hours AS BIGINT) AS present_hours,
+      |  CAST(num // den AS BIGINT) AS eta2_milli,
+      |  CASE WHEN num // den >= 300 THEN 'diurnal'
+      |       WHEN num // den >= 100 THEN 'weakly_diurnal'
+      |       ELSE 'flat' END AS verdict
+      |FROM f WHERE den > 0 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c51_diurnality" -> (c51Diurnality _),
     "c50_overlap_sketch" -> (c50OverlapSketch _),
     "c49_co_burst" -> (c49CoBurst _),
     "c48_dispersion" -> (c48Dispersion _),
@@ -3113,6 +3207,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c51_diurnality" -> c51Sql,
     "c50_overlap_sketch" -> c50Sql,
     "c49_co_burst" -> c49Sql,
     "c48_dispersion" -> c48Sql,

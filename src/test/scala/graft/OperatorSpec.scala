@@ -5094,4 +5094,40 @@ class OperatorSpec extends GraftSpec {
     assert(got.filter(_._1._1 == firstM).values.forall(_._3))
     assert(got.exists { case ((m, _), v) => m > firstM && !v._3 }, "some part must persist")
   }
+
+  test("c51 diurnality: replays the exact decomposition; planted clock signal scores high") {
+    import spark.implicits._
+    // replay on real data
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        expr("(unix_micros(ts) div 3600000000) % 24")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = cells.groupBy(_._1).map { case (t, xs) =>
+      val byCell = xs.groupBy(c => (c._2, c._3)).view.mapValues(_.size.toLong).toMap
+      val d = byCell.keys.map(_._1).max - byCell.keys.map(_._1).min + 1
+      val byH = byCell.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+      val s = BigInt(byH.values.sum)
+      val ssq = byCell.values.map(c => BigInt(c) * BigInt(c)).sum
+      val sh2 = byH.values.map(v => BigInt(v) * BigInt(v)).sum
+      val num = 1000 * (576 * sh2 - 24 * s * s)
+      val den = 24 * (24 * BigInt(d) * ssq - s * s)
+      t -> ((d, s.toLong, byH.size.toLong, (num / den).toLong))
+    }
+    val got = Events.c51Diurnality(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"c51 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    // planted: a pure 9am-only feed is maximally diurnal; a feed with
+    // identical counts in every (day, hour) cell is exactly flat (eta2 0)
+    val rows =
+      (0 until 10).flatMap(d => (0 until 6).map(i =>
+        (d * 86400000000L + 9L * 3600000000L + i, "rush"))) ++
+      (0 until 10).flatMap(d => (0 until 24).flatMap(h =>
+        (0 until 2).map(i => (d * 86400000000L + h * 3600000000L + i, "steady"))))
+    val df = rows.toDF("us", "event_type")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val p = Events.c51DiurnalityOf(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(p("rush") == ((1000L, "diurnal")), s"rush: ${p.get("rush")}")
+    assert(!p.contains("steady"), "an exactly-constant grid has zero variance (den=0, no row)")
+  }
 }
