@@ -2777,7 +2777,96 @@ object Analytics {
       |  (prev_m IS NULL OR prev_m <> m - 1) AS is_new
       |FROM c ORDER BY month_idx, rnk""".stripMargin
 
+  /** q67: growth accounting — the revenue-retention decomposition
+    * (the SaaS "GRR/NRR" table, equally the wholesale account-health
+    * read): per year, ending revenue explained as starting revenue
+    * + NEW (customers with no revenue last year) + EXPANSION (grew)
+    * − CONTRACTION (shrank) − CHURNED (no revenue this year), all in
+    * exact cents. The conservation identity
+    * `ending = starting + new + expansion − contraction − churned`
+    * holds EXACTLY by construction (spec-pinned) — the property the
+    * float version of this table never quite has.
+    *
+    * Churn needs a row in the year the revenue is MISSING: rather
+    * than a (customer × year) spine join (|custs|·|years| at scale),
+    * each (customer, year) row also emits its SUCCESSOR-year stub via
+    * lead() — a churn event exists only where a prior-year row exists
+    * to emit it, so the frame stays ≤2× the reduced (cust, year)
+    * frame and zero-revenue years never materialize globally.
+    *
+    * Shape: ONE orders scan → (cust, year) reduce (map-side partial)
+    * → lead window partitioned by customer over the reduced frame →
+    * row-local explode of (current row + churn stub) → per-year
+    * conditional agg to ≤|years| rows. */
+  def q67GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val wC = Window.partitionBy(col("o_custkey")).orderBy(col("y"))
+    val rows = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .withColumn("prev_y", lag(col("y"), 1).over(wC))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(wC))
+      .withColumn("next_y", lead(col("y"), 1).over(wC))
+      .select(col("o_custkey"), col("y"), col("cents"),
+        when(col("prev_y") === col("y") - 1, col("prev_cents")).otherwise(lit(0L))
+          .as("base"),
+        // churn stub: revenue existed in y but not in y+1
+        (col("next_y").isNull || col("next_y") =!= col("y") + 1).as("emits_churn"))
+    rows
+      .select(col("y"), col("cents"), col("base"), col("emits_churn"),
+        explode(when(col("emits_churn"),
+          array(lit("cur"), lit("churn"))).otherwise(array(lit("cur")))).as("kind"))
+      .select(
+        when(col("kind") === "churn", col("y") + 1).otherwise(col("y")).as("yy"),
+        when(col("kind") === "churn", lit(0L)).otherwise(col("cents")).as("cur_cents"),
+        when(col("kind") === "churn", col("cents")).otherwise(col("base")).as("base_cents"),
+        col("kind"))
+      .groupBy(col("yy").as("y"))
+      .agg(
+        sum(col("base_cents")).as("starting_cents"),
+        sum(when(col("kind") === "cur" && col("base_cents") === 0, col("cur_cents"))
+          .otherwise(0L)).as("new_cents"),
+        sum(when(col("kind") === "cur" && col("base_cents") > 0,
+          greatest(col("cur_cents") - col("base_cents"), lit(0L))).otherwise(0L))
+          .as("expansion_cents"),
+        sum(when(col("kind") === "cur" && col("base_cents") > 0,
+          greatest(col("base_cents") - col("cur_cents"), lit(0L))).otherwise(0L))
+          .as("contraction_cents"),
+        sum(when(col("kind") === "churn", col("base_cents")).otherwise(0L))
+          .as("churned_cents"),
+        sum(col("cur_cents")).as("ending_cents"))
+      // the spine's last churn stub lands one year past the data — a
+      // real churn fact (that year starts with the churned base and
+      // ends at whatever the remaining customers spent)
+      .orderBy(col("y"))
+  }
+
+  val q67Sql: String =
+    """WITH cy AS (
+      |  SELECT o_custkey, year(o_orderdate) AS y,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |w AS (
+      |  SELECT o_custkey, y, cents,
+      |    CASE WHEN lag(y) OVER wc = y - 1 THEN lag(cents) OVER wc ELSE 0 END AS base,
+      |    (lead(y) OVER wc IS NULL OR lead(y) OVER wc <> y + 1) AS emits_churn
+      |  FROM cy WINDOW wc AS (PARTITION BY o_custkey ORDER BY y)),
+      |x AS (
+      |  SELECT y AS yy, cents AS cur_cents, base AS base_cents, 'cur' AS kind FROM w
+      |  UNION ALL
+      |  SELECT y + 1, 0, cents, 'churn' FROM w WHERE emits_churn)
+      |SELECT CAST(yy AS INTEGER) AS y,
+      |  CAST(sum(base_cents) AS BIGINT) AS starting_cents,
+      |  CAST(sum(CASE WHEN kind = 'cur' AND base_cents = 0 THEN cur_cents ELSE 0 END) AS BIGINT) AS new_cents,
+      |  CAST(sum(CASE WHEN kind = 'cur' AND base_cents > 0
+      |    THEN greatest(cur_cents - base_cents, 0) ELSE 0 END) AS BIGINT) AS expansion_cents,
+      |  CAST(sum(CASE WHEN kind = 'cur' AND base_cents > 0
+      |    THEN greatest(base_cents - cur_cents, 0) ELSE 0 END) AS BIGINT) AS contraction_cents,
+      |  CAST(sum(CASE WHEN kind = 'churn' THEN base_cents ELSE 0 END) AS BIGINT) AS churned_cents,
+      |  CAST(sum(cur_cents) AS BIGINT) AS ending_cents
+      |FROM x GROUP BY 1 ORDER BY y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_growth_accounting" -> (q67GrowthAccounting _),
     "q66_topk_churn" -> (q66TopkChurn _),
     "q65_abc_class" -> (q65AbcClass _),
     "q64_backlog_profile" -> (q64BacklogProfile _),
@@ -2845,6 +2934,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q67_growth_accounting" -> q67Sql,
     "q66_topk_churn" -> q66Sql,
     "q65_abc_class" -> q65Sql,
     "q64_backlog_profile" -> q64Sql,

@@ -5130,4 +5130,32 @@ class OperatorSpec extends GraftSpec {
     assert(p("rush") == ((1000L, "diurnal")), s"rush: ${p.get("rush")}")
     assert(!p.contains("steady"), "an exactly-constant grid has zero variance (den=0, no row)")
   }
+
+  test("q67 growth accounting: conservation holds exactly; components replay brute force") {
+    val cy = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .agg((sum(expr("CAST(o_totalprice AS DECIMAL(12,2))")) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCust = cy.groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    val years = cy.map(_._2)
+    val expect = ((years.min + 0) to (years.max + 1)).map { y =>
+      var (st, nw, ex, ct, ch, en) = (0L, 0L, 0L, 0L, 0L, 0L)
+      byCust.values.foreach { m =>
+        val cur = m.getOrElse(y, 0L); val prev = m.getOrElse(y - 1, 0L)
+        st += prev; en += cur
+        if (cur > 0 && prev == 0) nw += cur
+        if (cur > 0 && prev > 0) { ex += math.max(cur - prev, 0L); ct += math.max(prev - cur, 0L) }
+        if (cur == 0 && prev > 0) ch += prev
+      }
+      y -> ((st, nw, ex, ct, ch, en))
+    }.filter { case (_, v) => v != ((0L, 0L, 0L, 0L, 0L, 0L)) }.toMap
+    val got = Analytics.q67GrowthAccounting(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"q67 ${got.toSeq.diff(expect.toSeq)} / ${expect.toSeq.diff(got.toSeq)}")
+    // conservation: ending = starting + new + expansion - contraction - churned
+    got.foreach { case (y, (st, nw, ex, ct, ch, en)) =>
+      assert(en == st + nw + ex - ct - ch, s"conservation broken in $y")
+    }
+  }
 }
