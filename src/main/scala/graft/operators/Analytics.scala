@@ -2865,7 +2865,75 @@ object Analytics {
       |  CAST(sum(cur_cents) AS BIGINT) AS ending_cents
       |FROM x GROUP BY 1 ORDER BY y""".stripMargin
 
+  /** q68: discount elasticity per brand — "does discounting actually
+    * move volume for this brand?": the OLS slope of line quantity on
+    * discount (q61's exact-decimal-moments discipline, here with
+    * x = discount in integer bp so every moment is integral), plus R²
+    * — the evidence a pricing review wants before renewing a promo
+    * budget. A near-zero slope with tiny R² (the honest answer on
+    * uncorrelated data) is itself the finding: the discount ladder is
+    * not buying volume.
+    *
+    * Determinism: all six moments are DECIMAL(38)-exact sums of
+    * integers; only the final slope/R² divisions run in double on
+    * identical operand trees (the q61/c39 rule — no pow, no ln).
+    *
+    * Shape: ONE lineitem scan joins part un-hinted (AQE at test SF,
+    * SMJ at scale) → per-brand moment reduce (map-side partial) →
+    * row-local algebra on ≤|brands| rows. */
+  def q68DiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("cast(cast(l_discount as decimal(4,2)) * 10000 as bigint)").as("x"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("y"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("y")) * d38(col("y"))).as("syy"))
+      .filter(col("n_lines") >= 2)
+      .withColumn("num", d38(col("n_lines")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", d38(col("n_lines")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("syyc", d38(col("n_lines")) * col("syy") - col("sy") * col("sy"))
+      .select(col("p_brand"), col("n_lines"),
+        // slope in qty per FULL discount unit: per-bp slope x 10000
+        (col("num").cast("double") / col("den").cast("double") * 10000)
+          .as("slope_qty_per_disc"),
+        ((col("num").cast("double") / col("den").cast("double")) *
+          (col("num").cast("double") / col("syyc").cast("double"))).as("r2"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q68Sql: String =
+    """WITH pts AS (
+      |  SELECT p_brand,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT) AS x,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |m AS (
+      |  SELECT p_brand, count(*) AS n_lines,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pts GROUP BY 1),
+      |k AS (
+      |  SELECT p_brand, n_lines,
+      |    n_lines * sxy - sx * sy AS num,
+      |    n_lines * sxx - sx * sx AS den,
+      |    n_lines * syy - sy * sy AS syyc
+      |  FROM m WHERE n_lines >= 2)
+      |SELECT p_brand, CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 AS slope_qty_per_disc,
+      |  (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |    * (CAST(num AS DOUBLE) / CAST(syyc AS DOUBLE)) AS r2
+      |FROM k ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_discount_elasticity" -> (q68DiscountElasticity _),
     "q67_growth_accounting" -> (q67GrowthAccounting _),
     "q66_topk_churn" -> (q66TopkChurn _),
     "q65_abc_class" -> (q65AbcClass _),
@@ -2934,6 +3002,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q68_discount_elasticity" -> q68Sql,
     "q67_growth_accounting" -> q67Sql,
     "q66_topk_churn" -> q66Sql,
     "q65_abc_class" -> q65Sql,

@@ -5158,4 +5158,32 @@ class OperatorSpec extends GraftSpec {
       assert(en == st + nw + ex - ct - ch, s"conservation broken in $y")
     }
   }
+
+  test("q68 elasticity: planted linear demand recovers the exact slope with r2 = 1") {
+    import spark.implicits._
+    // qty = 10 + 200*discount exactly: slope 200, r2 1.0
+    val li = Seq(0.00, 0.02, 0.04, 0.06, 0.08, 0.10).zipWithIndex.map { case (d, i) =>
+      (i.toLong + 1, d, 10.0 + 200.0 * d)
+    }.toDF("l_partkey", "l_discount", "l_quantity")
+    val pt = (1L to 6L).toDF("p_partkey").withColumn("p_brand", lit("BR#9"))
+    // run the operator's moment pipeline on the planted frames
+    val got = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("cast(cast(l_discount as decimal(4,2)) * 10000 as bigint)").as("x"),
+        expr("cast(cast(l_quantity as decimal(12,2)) as bigint)").as("y"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .collect()(0)
+    val (n, sx, sy, sxx, sxy) =
+      (got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5))
+    // planted y values quantize to integers, so fit the quantized truth
+    val slopePerBp = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(math.abs(slopePerBp * 10000 - 200.0) < 1.0, s"slope ${slopePerBp * 10000}")
+    // real data: every brand reports, r2 in [0, 1]
+    val real = Analytics.q68DiscountElasticity(spark, sfDir).collect()
+    assert(real.length == 25)
+    real.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12,
+      s"${r.getString(0)} r2 ${r.getDouble(3)}"))
+  }
 }
