@@ -232,6 +232,69 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** e17: tar-framed shard layout — the WebDataset-style physical
+    * manifest (tar is THE loader interchange for multimodal training
+    * shards): e2 assigns blobs to shards by raw bytes; this prices the
+    * actual archive layout — per member, the tar framing (one 512-byte
+    * header + data padded to the 512 boundary), the member's byte
+    * offset inside its shard archive, and the finished archive size
+    * (members + the two 512-byte end-of-archive blocks). The offsets
+    * are what an index-based loader seeks to; the framed sizes are
+    * what capacity planning must use (raw bytes under-count small-blob
+    * shards by up to ~2× — header+padding dominates tiny members,
+    * which is the real reason WebDataset shards want big members).
+    *
+    * All integral: ceil via `(n + 511) div 512`, offsets by running
+    * sums — `div`, never a float floor. Shape: ONE scan → e2's
+    * per-source running-sum window (the shard assignment — unchanged,
+    * so e2 and e17 agree row-for-row) → a second window partitioned by
+    * (source, shard) in the same doc_id order for member offsets +
+    * the shard-total window. Both windows ride ONE source exchange
+    * (same partitioning lineage, e2 precedent). */
+  def e17TarLayout(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShard = Window.partitionBy(col("source"), col("shard_idx")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wShardAll = Window.partitionBy(col("source"), col("shard_idx"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("end_byte", sum(col("n_bytes")).over(wSrc))
+      .withColumn("shard_idx", expr(s"(end_byte - n_bytes) div $ShardBytes"))
+      .withColumn("framed_bytes", expr("512 + ((n_bytes + 511) div 512) * 512"))
+      .withColumn("member_offset", sum(col("framed_bytes")).over(wShard) - col("framed_bytes"))
+      .withColumn("shard_tar_bytes", sum(col("framed_bytes")).over(wShardAll) + lit(1024L))
+      .select(col("doc_id"), col("source"), col("shard_idx"), col("n_bytes"),
+        col("framed_bytes"), col("member_offset"), col("shard_tar_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val e17Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |laid AS (
+       |  SELECT *, sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes AS start_byte
+       |  FROM sized),
+       |sharded AS (
+       |  SELECT doc_id, source, n_bytes,
+       |    CAST(start_byte // $ShardBytes AS BIGINT) AS shard_idx,
+       |    512 + ((n_bytes + 511) // 512) * 512 AS framed_bytes
+       |  FROM laid),
+       |off AS (
+       |  SELECT *, sum(framed_bytes) OVER (PARTITION BY source, shard_idx ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - framed_bytes AS member_offset,
+       |    sum(framed_bytes) OVER (PARTITION BY source, shard_idx) + 1024 AS shard_tar_bytes
+       |  FROM sharded)
+       |SELECT doc_id, source, shard_idx, n_bytes,
+       |  CAST(framed_bytes AS BIGINT) AS framed_bytes,
+       |  CAST(member_offset AS BIGINT) AS member_offset,
+       |  CAST(shard_tar_bytes AS BIGINT) AS shard_tar_bytes
+       |FROM off ORDER BY doc_id""".stripMargin
+
   val e2Sql: String =
     s"""WITH sized AS (
        |  SELECT doc_id, source, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
@@ -1088,6 +1151,7 @@ object MultimodalOps {
        |ORDER BY source, shard_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_tar_layout" -> (e17TarLayout _),
     "e16_shard_sync_plan" -> (e16ShardSyncPlan _),
     "e15_frame_sample_plan" -> (e15FrameSamplePlan _),
     "e14_resolution_ladder" -> (e14ResolutionLadder _),
@@ -1106,6 +1170,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e17_tar_layout" -> e17Sql,
     "e16_shard_sync_plan" -> e16Sql,
     "e15_frame_sample_plan" -> e15Sql,
     "e14_resolution_ladder" -> e14Sql,

@@ -5186,4 +5186,29 @@ class OperatorSpec extends GraftSpec {
     real.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12,
       s"${r.getString(0)} r2 ${r.getDouble(3)}"))
   }
+
+  test("e17 tar layout: framing math exact, offsets contiguous, totals reconcile") {
+    val rows = MultimodalOps.e17TarLayout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, _, n, framed, _, _) =>
+      assert(framed == 512 + ((n + 511) / 512) * 512, s"doc $id framing")
+    }
+    // within each (source, shard): offsets start at 0, are contiguous in
+    // doc_id order, and the archive total = sum(framed) + 1024
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((src, sh), ms) =>
+      val sorted = ms.sortBy(_._1)
+      var off = 0L
+      sorted.foreach { m =>
+        assert(m._6 == off, s"$src/$sh offset ${m._6} != $off")
+        off += m._5
+      }
+      assert(ms.forall(_._7 == off + 1024L), s"$src/$sh total")
+    }
+    // e17's shard assignment agrees with e2's row-for-row
+    val e2 = MultimodalOps.e2BlobShard(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, _, sh, _, _, _, _) => assert(e2(id) == sh, s"doc $id shard") }
+  }
 }
