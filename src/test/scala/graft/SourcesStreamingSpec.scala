@@ -1462,6 +1462,76 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("diurnalityStream: final closed-prefix row == batch c51 across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day0 = 19800L
+    var id = 0L
+    def ev(day: Long, hod: Int, typ: String, k: Int) = { id += 1; StreamingOps.EventRow(
+      id, new java.sql.Timestamp(day * 86400000L + hod * 3600000L + k * 60000L),
+      id % 3, typ, 1.0) }
+    def hour(day: Long, hod: Int, typ: String, n: Int) = (1 to n).map(ev(day, hod, typ, _))
+    // "rush": 9am-heavy with noise hours; "mix": spread; gap day 2 for rush
+    def dayRows(d: Long) =
+      hour(day0 + d, 9, "rush", 6) ++ (if (d % 2 == 0) hour(day0 + d, 15, "rush", 1) else Seq()) ++
+        (0 until 8).flatMap(h => hour(day0 + d, h * 3, "mix", 1 + ((d + h) % 3).toInt))
+    val batches = Seq(
+      dayRows(0) ++ dayRows(1),
+      dayRows(3), // day 2 is a gap for both types
+      dayRows(4) ++ dayRows(5),
+      hour(day0 + 9, 0, "rush", 1), // watermark driver: closes through day 8
+      hour(day0 + 10, 0, "rush", 1))
+    def run(name: String, groups: Seq[Seq[StreamingOps.EventRow]]) = {
+      val mem = MemoryStream[StreamingOps.EventRow]
+      val q = StreamingOps.diurnalityStream(spark, mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        groups.foreach { g => if (g.nonEmpty) mem.addData(g: _*); q.processAllAvailable() }
+        spark.sql(s"select * from $name").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      } finally q.stop()
+    }
+    val fed = batches.flatten
+    val got = run("diurnal_a", batches)
+    // different split boundaries, same rows — prefix splits of the
+    // ts-SORTED feed, so no row can land behind the 1h watermark
+    val sorted = fed.sortBy(_.ts.getTime)
+    val got2 = run("diurnal_b", Seq(sorted.take(7), sorted.slice(7, 30), sorted.drop(30)))
+    assert(got == got2, "split invariance")
+    val finalRows = got.groupBy(_._1._1).map { case (t, m) =>
+      t -> ((m.keySet.map(_._2).max, m.maxBy(_._1._2)._2))
+    }
+    // mix's data ENDS exactly at its last closed day, so its final row
+    // equals the REAL batch c51 over its rows verbatim
+    val mixBatch = graft.operators.Events.c51DiurnalityOf(
+        fed.filter(_.event_type == "mix").toDF())
+      .collect().map(r => ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).head
+    assert(finalRows("mix")._2 == mixBatch, s"mix ${finalRows("mix")} vs $mixBatch")
+    // rush's closed prefix ends in TRAILING interior gap days (days 6-8
+    // are zeros only because the day-9 driver proves them interior — a
+    // truncated batch cannot know that); replay the formula with the
+    // stream's span instead
+    val (rushLast, rushRow) = finalRows("rush")
+    val cellsR = fed.filter(e => e.event_type == "rush" &&
+        Math.floorDiv(e.ts.getTime, 86400000L) <= rushLast)
+      .groupBy(e => (Math.floorDiv(e.ts.getTime, 86400000L),
+        Math.floorDiv(e.ts.getTime, 3600000L) % 24))
+      .view.mapValues(_.size.toLong).toMap
+    val dR = rushLast - cellsR.keys.map(_._1).min + 1
+    val byH = cellsR.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val sR = BigInt(byH.values.sum)
+    val ssqR = cellsR.values.map(c => BigInt(c) * BigInt(c)).sum
+    val sh2R = byH.values.map(v => BigInt(v) * BigInt(v)).sum
+    val etaR = (1000 * (576 * sh2R - 24 * sR * sR)) /
+      (24 * (24 * BigInt(dR) * ssqR - sR * sR))
+    assert(rushRow == ((dR, sR.toLong, byH.size.toLong, etaR.toLong)),
+      s"rush $rushRow vs (${dR}, $sR, ${byH.size}, $etaR)")
+    // the gap day is a real day: n_days advances across day 2
+    assert(got.contains(("mix", day0 + 3)) &&
+      got(("mix", day0 + 3))._1 == 4L, s"${got.get(("mix", day0 + 3))}")
+  }
+
   test("ewmaStream: closed prefix == the real batch c41 across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
