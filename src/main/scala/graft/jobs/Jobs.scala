@@ -1,6 +1,10 @@
 package graft.jobs
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import scala.annotation.tailrec
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Job execution layer — the engine's form of the reference's Step
   * Function orchestration (stepfunction/definition.json:14-24: retry on
@@ -40,5 +44,58 @@ object Jobs {
       }
     }
     attempt(1, policy.intervalMs)
+  }
+
+  final case class PipelineReport(ran: Seq[String], skipped: Seq[String])
+
+  /** Run an ordered CHAIN of named idempotent steps with crash-resume —
+    * the full shape of the reference's Step Function (definition.json:
+    * collect → update-control → process-staging, each with its Retry
+    * block): every step runs under [[runWithRetry]], and a durable
+    * LEDGER (one completed step name per line, replaced atomically via
+    * tmp+rename after each step) records progress so a re-run after a
+    * crash — or after [[RetriesExhausted]] — SKIPS the already-completed
+    * prefix and resumes at the failed step, exactly the "restart the
+    * execution" operator move. The ledger is deleted on full success,
+    * so the next scheduled run starts clean. Steps must be idempotent
+    * (the engine's sinks are — dynamic partition overwrite, MERGE,
+    * commit-log replace): a step that completed but crashed BEFORE the
+    * ledger rename re-runs and converges.
+    *
+    * Resume matches by NAME PREFIX in order: if the ledger disagrees
+    * with the step list's order (a renamed/reordered pipeline), the
+    * first mismatch invalidates the rest of the ledger — completed
+    * work whose position moved is re-run rather than mis-skipped. */
+  def runPipeline(fs: FileSystem, ledger: Path,
+                  steps: Seq[(String, () => Unit)],
+                  policy: RetryPolicy = RetryPolicy(),
+                  sleep: Long => Unit = Thread.sleep): PipelineReport = {
+    val done: Seq[String] =
+      if (!fs.exists(ledger)) Seq.empty
+      else {
+        val in = fs.open(ledger)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    val validPrefix = done.zip(steps.map(_._1)).takeWhile { case (a, b) => a == b }.size
+    val skipped = steps.take(validPrefix).map(_._1)
+    var completed = skipped.toList
+    def writeLedger(): Unit = {
+      val tmp = new Path(ledger.getParent, s".${ledger.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((completed.mkString("\n") + "\n").getBytes(UTF_8))
+      finally out.close()
+      fs.delete(ledger, false)
+      if (!fs.rename(tmp, ledger))
+        throw new java.io.IOException(s"cannot publish pipeline ledger $ledger")
+    }
+    val ran = steps.drop(validPrefix).map { case (name, step) =>
+      runWithRetry(policy, sleep)(step())
+      completed = completed :+ name
+      writeLedger()
+      name
+    }
+    fs.delete(ledger, false)
+    PipelineReport(ran, skipped)
   }
 }

@@ -1146,6 +1146,51 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(ex.attempts == 2)
   }
 
+  test("Jobs.runPipeline: crash-resume skips the completed prefix; success clears the ledger") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_pipeline").toString
+    val ledger = new Path(s"$dir/_pipeline")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    var failProcess = true
+    def steps: Seq[(String, () => Unit)] = Seq(
+      "collect" -> (() => log += "collect"),
+      "update-control" -> (() => log += "update-control"),
+      "process-staging" -> (() => {
+        if (failProcess) throw new RuntimeException("transient")
+        log += "process-staging"
+      }))
+    val pol = graft.jobs.Jobs.RetryPolicy(maxAttempts = 2, intervalMs = 1)
+    // run 1: first two steps complete, the third exhausts its retries
+    intercept[graft.jobs.Jobs.RetriesExhausted] {
+      graft.jobs.Jobs.runPipeline(fs, ledger, steps, pol, sleep = _ => ())
+    }
+    assert(log.toSeq == Seq("collect", "update-control"))
+    assert(fs.exists(ledger), "ledger must survive the crash")
+    // run 2 (the step-function restart): completed prefix SKIPPED
+    failProcess = false
+    val r = graft.jobs.Jobs.runPipeline(fs, ledger, steps, pol, sleep = _ => ())
+    assert(r.skipped == Seq("collect", "update-control") && r.ran == Seq("process-staging"))
+    assert(log.toSeq == Seq("collect", "update-control", "process-staging"))
+    assert(!fs.exists(ledger), "full success must clear the ledger")
+    // run 3: clean ledger reruns everything
+    val r3 = graft.jobs.Jobs.runPipeline(fs, ledger, steps, pol, sleep = _ => ())
+    assert(r3.skipped.isEmpty && r3.ran.size == 3)
+    // a REORDERED pipeline invalidates the stale ledger suffix: complete
+    // step A only, then swap the first two steps — nothing mis-skips
+    var failB = true
+    def ab: Seq[(String, () => Unit)] = Seq(
+      "a" -> (() => log += "a"),
+      "b" -> (() => { if (failB) throw new RuntimeException("boom"); log += "b" }))
+    intercept[graft.jobs.Jobs.RetriesExhausted] {
+      graft.jobs.Jobs.runPipeline(fs, ledger, ab, pol, sleep = _ => ())
+    }
+    failB = false
+    val swapped = graft.jobs.Jobs.runPipeline(fs, ledger, ab.reverse, pol, sleep = _ => ())
+    assert(swapped.skipped.isEmpty && swapped.ran == Seq("b", "a"),
+      s"reordered pipeline must not mis-skip: $swapped")
+  }
+
   test("streaming hourly window aggregates incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
