@@ -2932,7 +2932,69 @@ object Analytics {
       |    * (CAST(num AS DOUBLE) / CAST(syyc AS DOUBLE)) AS r2
       |FROM k ORDER BY p_brand""".stripMargin
 
+  /** q69: returns p-chart — the Shewhart attribute control chart
+    * (Shewhart 1931; the p-chart for fraction nonconforming) over
+    * monthly return rates: per month, lines shipped, lines returned,
+    * the return fraction, and the 3σ binomial control limits
+    * UCL/LCL = p̄ ± 3·√(p̄(1−p̄)/n) around the process-wide center
+    * line, with the out-of-control flag — the quality-ops read
+    * ("did returns BREAK this month or is it just binomial noise")
+    * that a bare monthly-rate report cannot give, because a small
+    * month wobbles more than a big one and the limits must widen
+    * accordingly (the whole point of the p-chart).
+    *
+    * Determinism: center line from EXACT window totals (longs); the
+    * fraction, σ and limits are doubles built from identical operand
+    * trees in both engines — +,−,×,÷,√ only (the c39 Wilson rule; no
+    * pow, no ln). LCL clamps at 0 (a fraction cannot go negative).
+    *
+    * Shape: ONE lineitem scan → month reduce (map-side partial) →
+    * two window sums over the ≤|months| frame for the center line →
+    * row-local limits. */
+  def q69ReturnPchart(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    Tables.lineitem(spark, dir)
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("month_idx"))
+      .agg(count(lit(1)).as("n_lines"),
+        countIf(col("l_returnflag") === "R").as("n_returned"))
+      .withColumn("pbar",
+        (sum(col("n_returned")).over(wAll).cast("double") /
+          sum(col("n_lines")).over(wAll).cast("double")))
+      .withColumn("sigma",
+        sqrt(col("pbar") * (lit(1.0) - col("pbar")) / col("n_lines").cast("double")))
+      .select(col("month_idx"), col("n_lines"), col("n_returned"),
+        (col("n_returned").cast("double") / col("n_lines").cast("double")).as("p_ret"),
+        col("pbar"),
+        (col("pbar") + lit(3.0) * col("sigma")).as("ucl"),
+        greatest(col("pbar") - lit(3.0) * col("sigma"), lit(0.0)).as("lcl"))
+      .withColumn("ooc", col("p_ret") > col("ucl") || col("p_ret") < col("lcl"))
+      .orderBy(col("month_idx"))
+  }
+
+  val q69Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS month_idx,
+      |    CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT *,
+      |    CAST(sum(n_returned) OVER () AS DOUBLE) / CAST(sum(n_lines) OVER () AS DOUBLE) AS pbar
+      |  FROM m),
+      |s AS (
+      |  SELECT *, sqrt(pbar * (1.0 - pbar) / CAST(n_lines AS DOUBLE)) AS sigma FROM c)
+      |SELECT month_idx, n_lines, n_returned,
+      |  CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p_ret, pbar,
+      |  pbar + 3.0 * sigma AS ucl,
+      |  greatest(pbar - 3.0 * sigma, 0.0) AS lcl,
+      |  (CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) > pbar + 3.0 * sigma
+      |   OR CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+      |      < greatest(pbar - 3.0 * sigma, 0.0)) AS ooc
+      |FROM s ORDER BY month_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_return_pchart" -> (q69ReturnPchart _),
     "q68_discount_elasticity" -> (q68DiscountElasticity _),
     "q67_growth_accounting" -> (q67GrowthAccounting _),
     "q66_topk_churn" -> (q66TopkChurn _),
@@ -3002,6 +3064,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q69_return_pchart" -> q69Sql,
     "q68_discount_elasticity" -> q68Sql,
     "q67_growth_accounting" -> q67Sql,
     "q66_topk_churn" -> q66Sql,

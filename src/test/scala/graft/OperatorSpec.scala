@@ -5211,4 +5211,25 @@ class OperatorSpec extends GraftSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     rows.foreach { case (id, _, sh, _, _, _, _) => assert(e2(id) == sh, s"doc $id shard") }
   }
+
+  test("q69 p-chart: limits replay the binomial formula; small months get wider limits") {
+    val rows = Analytics.q69ReturnPchart(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    val pbar = rows.map(_._3).sum.toDouble / rows.map(_._2).sum.toDouble
+    rows.foreach { case (m, n, d, p, pb, ucl, lcl, ooc) =>
+      assert(pb == pbar, s"month $m center line")
+      val sigma = math.sqrt(pbar * (1.0 - pbar) / n.toDouble)
+      assert(ucl == pbar + 3.0 * sigma && lcl == math.max(pbar - 3.0 * sigma, 0.0),
+        s"month $m limits")
+      assert(p == d.toDouble / n.toDouble && ooc == (p > ucl || p < lcl), s"month $m flag")
+    }
+    // monotone width: the smallest month has the widest band
+    val byN = rows.sortBy(_._2)
+    assert(byN.head._6 - byN.head._7 >= byN.last._6 - byN.last._7 - 1e-12,
+      "smaller n must not have tighter limits")
+    // control-chart sanity: most in-process months are inside the band
+    assert(rows.count(!_._8) * 2 > rows.length, "a healthy process is mostly in control")
+  }
 }
