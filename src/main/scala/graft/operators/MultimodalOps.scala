@@ -232,6 +232,82 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Pure-JVM POSIX ustar archive codec — the REAL bytes behind e17's
+    * layout math (the WebDataset interchange: a training shard IS a
+    * tar whose members a loader seeks into by offset). From-scratch
+    * ustar (IEEE 1003.1): 512-byte header (name, octal size/mode/
+    * mtime, checksum-over-spaces, `ustar\0` magic), data padded to
+    * the 512 boundary, two zero end-of-archive blocks. [[tarBytes]]
+    * and [[readTar]] round-trip; the spec additionally proves e17's
+    * per-member offsets point at the EXACT header of the named member
+    * inside the real archive — the manifest is seek-accurate, not
+    * just arithmetic. Kept deterministic for content-addressing:
+    * mode/mtime/uid/gid are fixed zeros, so identical members yield
+    * identical archive bytes (e6/e13's checksum ledger applies to
+    * shards too). */
+  object Tar {
+    private def octal(v: Long, width: Int): Array[Byte] = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (width - 1 - s.length)) + s + "\u0000"
+      padded.getBytes("US-ASCII")
+    }
+
+    private def header(name: String, size: Long): Array[Byte] = {
+      require(name.getBytes("US-ASCII").length <= 100, s"tar member name too long: $name")
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      System.arraycopy(octal(0L, 8), 0, h, 100, 8)   // mode (deterministic zeros)
+      System.arraycopy(octal(0L, 8), 0, h, 108, 8)   // uid
+      System.arraycopy(octal(0L, 8), 0, h, 116, 8)   // gid
+      System.arraycopy(octal(size, 12), 0, h, 124, 12)
+      System.arraycopy(octal(0L, 12), 0, h, 136, 12) // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces first
+      h(156) = '0'                                   // typeflag: regular file
+      System.arraycopy(("ustar" + "\u0000" + "00").getBytes("US-ASCII"), 0, h, 257, 8)
+      val sum = h.map(_ & 0xFF).sum.toLong
+      val cs = java.lang.Long.toOctalString(sum)
+      val csb = (("0" * (6 - cs.length)) + cs + "\u0000 ").getBytes("US-ASCII")
+      System.arraycopy(csb, 0, h, 148, 8)
+      h
+    }
+
+    /** Serialize members (in order) into one ustar archive. */
+    def tarBytes(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      members.foreach { case (name, data) =>
+        out.write(header(name, data.length.toLong))
+        out.write(data)
+        val pad = (512 - data.length % 512) % 512
+        out.write(new Array[Byte](pad))
+      }
+      out.write(new Array[Byte](1024)) // end-of-archive blocks
+      out.toByteArray
+    }
+
+    /** Parse a ustar archive back into (name, data) members, verifying
+      * each header checksum; stops at the zero end-of-archive block. */
+    def readTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      var pos = 0
+      while (pos + 512 <= bytes.length && bytes(pos) != 0) {
+        val h = java.util.Arrays.copyOfRange(bytes, pos, pos + 512)
+        val stored = new String(h, 148, 6, "US-ASCII").trim
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        val sum = h.map(_ & 0xFF).sum.toLong
+        require(java.lang.Long.parseLong(stored, 8) == sum, s"tar checksum at $pos")
+        val name = new String(h.take(100).takeWhile(_ != 0), "US-ASCII")
+        val size = java.lang.Long.parseLong(
+          new String(h, 124, 11, "US-ASCII").trim, 8)
+        val data = java.util.Arrays.copyOfRange(
+          bytes, pos + 512, pos + 512 + size.toInt)
+        out += ((name, data))
+        pos += 512 + ((size + 511) / 512).toInt * 512
+      }
+      out.result()
+    }
+  }
+
   /** e17: tar-framed shard layout — the WebDataset-style physical
     * manifest (tar is THE loader interchange for multimodal training
     * shards): e2 assigns blobs to shards by raw bytes; this prices the

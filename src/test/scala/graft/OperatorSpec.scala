@@ -5233,6 +5233,41 @@ class OperatorSpec extends GraftSpec {
     assert(rows.count(!_._8) * 2 > rows.length, "a healthy process is mostly in control")
   }
 
+  test("Tar: ustar round-trips; e17 offsets are seek-accurate in the real archive") {
+    // padding edge cases: empty, exactly one block, one block + 1 byte
+    val members = Seq(
+      "a.txt" -> Array[Byte](),
+      "b.bin" -> Array.fill[Byte](512)(7),
+      "c.bin" -> Array.fill[Byte](513)(9),
+      "d.txt" -> "hello graft".getBytes("US-ASCII"))
+    val bytes = MultimodalOps.Tar.tarBytes(members)
+    val back = MultimodalOps.Tar.readTar(bytes)
+    assert(back.map(_._1) == members.map(_._1))
+    assert(back.zip(members).forall { case ((_, g), (_, e)) => java.util.Arrays.equals(g, e) })
+    // archive size obeys exactly e17's framing formula
+    val expected = members.map { case (_, d) => 512 + ((d.length + 511) / 512) * 512 }.sum + 1024
+    assert(bytes.length == expected)
+    // deterministic bytes (content-addressable shards)
+    assert(java.util.Arrays.equals(bytes, MultimodalOps.Tar.tarBytes(members)))
+    // e17's manifest against a REAL archive of one (source, shard) group:
+    // the predicted size is the file size and every member offset lands
+    // on that member's header
+    val manifest = MultimodalOps.e17TarLayout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(5), r.getLong(6)))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val (src, shard) = (manifest.head._2, manifest.head._3)
+    val grp = manifest.filter(m => m._2 == src && m._3 == shard).sortBy(_._1)
+    assert(grp.size > 1, "pick a shard with multiple members")
+    val archive = MultimodalOps.Tar.tarBytes(grp.map(m => s"${m._1}.bin" -> docs(m._1)))
+    assert(archive.length.toLong == grp.head._5, "shard_tar_bytes must equal the real size")
+    grp.foreach { m =>
+      val at = m._4.toInt
+      val name = new String(archive.slice(at, at + 100).takeWhile(_ != 0), "US-ASCII")
+      assert(name == s"${m._1}.bin", s"offset ${m._4} must point at doc ${m._1}'s header")
+    }
+  }
+
   test("round-10 operators hold their scan budgets (the branch-duplication lock)") {
     // Locks the adjudicated one-pass shapes mechanically, the q30/d89
     // idiom: a future edit that re-derives a lineage (the c49 naive
