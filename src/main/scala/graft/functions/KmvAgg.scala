@@ -46,7 +46,14 @@ case class KmvAgg(child: Expression, kExpr: Expression,
       TypeCheckResult.TypeCheckFailure(s"kmv_sketch expects BIGINT, got ${child.dataType}")
     else if (kExpr.dataType != IntegerType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("kmv_sketch k must be a literal INT")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // fail at analysis, not as an opaque executor NoSuchElementException
+      // from buf.last() on the empty TreeSet (TopKAgg's capacity guard)
+      val kv = kExpr.eval(InternalRow.empty)
+      if (kv == null || kv.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure("kmv_sketch k must be >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

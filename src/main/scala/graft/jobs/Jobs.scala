@@ -52,8 +52,11 @@ object Jobs {
     * the full shape of the reference's Step Function (definition.json:
     * collect → update-control → process-staging, each with its Retry
     * block): every step runs under [[runWithRetry]], and a durable
-    * LEDGER (one completed step name per line, replaced atomically via
-    * tmp+rename after each step) records progress so a re-run after a
+    * LEDGER (one completed step name per line, published via
+    * content-complete tmp → delete → rename after each step, with the
+    * tmp consulted on resume when a crash lands inside the
+    * delete/rename window — the prefix is never lost) records progress
+    * so a re-run after a
     * crash — or after [[RetriesExhausted]] — SKIPS the already-completed
     * prefix and resumes at the failed step, exactly the "restart the
     * execution" operator move. The ledger is deleted on full success,
@@ -70,18 +73,28 @@ object Jobs {
                   steps: Seq[(String, () => Unit)],
                   policy: RetryPolicy = RetryPolicy(),
                   sleep: Long => Unit = Thread.sleep): PipelineReport = {
+    val tmp = new Path(ledger.getParent, s".${ledger.getName}.tmp")
+    def readLines(p: Path): Seq[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    // Publish is write-tmp → delete-ledger → rename, and HDFS rename
+    // won't overwrite, so there is an instant where only the tmp holds
+    // the completed prefix. The tmp is always content-complete before
+    // the delete (written + closed first), so recovery falls back to it
+    // when the ledger is absent — a completed prefix is never lost and
+    // the resume guarantee holds across a crash anywhere in publish.
+    // (A partial tmp from a crash mid-write is never consulted: the
+    // ledger it would have replaced still exists and wins.)
     val done: Seq[String] =
-      if (!fs.exists(ledger)) Seq.empty
-      else {
-        val in = fs.open(ledger)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
+      if (fs.exists(ledger)) readLines(ledger)
+      else if (fs.exists(tmp)) readLines(tmp)
+      else Seq.empty
     val validPrefix = done.zip(steps.map(_._1)).takeWhile { case (a, b) => a == b }.size
     val skipped = steps.take(validPrefix).map(_._1)
     var completed = skipped.toList
     def writeLedger(): Unit = {
-      val tmp = new Path(ledger.getParent, s".${ledger.getName}.tmp")
       val out = fs.create(tmp, true)
       try out.write((completed.mkString("\n") + "\n").getBytes(UTF_8))
       finally out.close()
@@ -96,6 +109,7 @@ object Jobs {
       name
     }
     fs.delete(ledger, false)
+    fs.delete(tmp, false) // full success: next scheduled run starts clean
     PipelineReport(ran, skipped)
   }
 }

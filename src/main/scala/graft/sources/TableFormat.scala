@@ -245,10 +245,19 @@ object CommitLogTableFormat extends TableFormat {
     try out.write(dataName.getBytes(UTF_8)) finally out.close()
     // rename-fails-if-exists is the commit point (the HDFS rename
     // contract); the exists pre-check covers local filesystems whose
-    // rename overwrites. Losing either way = a concurrent commit.
+    // rename overwrites. On POSIX/RawLocal rename(2) OVERWRITES, so two
+    // racers can both pass the pre-check and both rename "successfully"
+    // — the later one silently replacing the earlier entry. Close that
+    // TOCTOU window by re-reading the published entry: only the writer
+    // whose CONTENT survived actually committed; the other sees a
+    // foreign dataName and aborts instead of reporting a dropped commit
+    // as success.
     val won = !fs.exists(entry) &&
       (try fs.rename(tmp, entry) catch { case _: java.io.IOException => false })
-    if (!won) {
+    val published = won &&
+      (try entryContent(fs, entry) == dataName
+       catch { case _: java.io.IOException => false })
+    if (!published) {
       fs.delete(tmp, true)
       fs.delete(new Path(root, dataName), true) // lost the race: orphan
       throw new ConcurrentCommitException(
@@ -280,10 +289,20 @@ object CommitLogTableFormat extends TableFormat {
       logEntries.filter(e =>
           scala.util.Try(e.getPath.getName.toLong).toOption.exists(_ < committed - 1L))
         .foreach(e => fs.delete(e.getPath, true))
-    // staged entries from crashed writers (ours was renamed away); a
-    // concurrent writer losing its tmp here would have lost the
-    // version race to this commit anyway
+    // staged entries from crashed writers (ours was renamed away).
+    // Scope the sweep to stages AT OR BELOW the just-committed version
+    // (the version is encoded in the `.tmp-<v>-<token>` name): a
+    // concurrent writer may already have staged version v+1 between
+    // this writer's rename and its vacuum, and deleting that fresh tmp
+    // would force a spurious ConcurrentCommitException on a commit
+    // that had no real version conflict.
     val tmps = fs.globStatus(new Path(new Path(root, LogDirName), ".tmp-*"))
-    if (tmps != null) tmps.foreach(t => fs.delete(t.getPath, true))
+    if (tmps != null)
+      tmps.filter { t =>
+        t.getPath.getName.stripPrefix(".tmp-").takeWhile(_ != '-') match {
+          case v if v.nonEmpty && v.forall(_.isDigit) => v.toLong <= committed
+          case _ => true // malformed stage name: legacy junk, sweep it
+        }
+      }.foreach(t => fs.delete(t.getPath, true))
   }
 }

@@ -5031,6 +5031,14 @@ class OperatorSpec extends GraftSpec {
     val small = Seq(5L, 3L, 5L, 9L).toDF("h")
       .agg(expr("kmv_sketch(h, 64)")).collect()(0).getSeq[Long](0)
     assert(small == Seq(3L, 5L, 9L))
+    // k < 1 fails at ANALYSIS (not as an executor NoSuchElementException
+    // from the empty TreeSet mid-update)
+    Seq("kmv_sketch(h, 0)", "kmv_sketch(h, -3)").foreach { bad =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq(1L).toDF("h").agg(expr(bad)).collect()
+      }
+      assert(e.getMessage.contains("k must be >= 1"), s"$bad: ${e.getMessage}")
+    }
   }
 
   test("c50 overlap sketch: estimates track planted truth; sub-k keys are exact") {

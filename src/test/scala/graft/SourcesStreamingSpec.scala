@@ -297,6 +297,29 @@ class SourcesStreamingSpec extends GraftSpec {
       "staged entries must be vacuumed")
   }
 
+  test("CommitLogTableFormat: vacuum spares a concurrent writer's higher-version stage") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_stage").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fmt.commit(spark, dir, Seq((1L, "v1")).toDF("k", "v"), "a")
+    // a concurrent writer has already STAGED version 3 (between this
+    // writer's publish and its vacuum in real interleavings); a stale
+    // crashed stage for version 1 also lies around
+    fs.create(new Path(s"$dir/_log/.tmp-3-other"), true).close()
+    fs.create(new Path(s"$dir/_log/.tmp-1-dead"), true).close()
+    fmt.commit(spark, dir, Seq((2L, "v2")).toDF("k", "v"), "b")
+    // the v<=2 stage is swept; the v3 stage (the OTHER writer's live
+    // publish attempt) must survive — deleting it would force a
+    // spurious ConcurrentCommitException with no real version conflict
+    assert(!fs.exists(new Path(s"$dir/_log/.tmp-1-dead")), "stale stage swept")
+    assert(fs.exists(new Path(s"$dir/_log/.tmp-3-other")),
+      "a higher-version stage belongs to a live writer and must survive vacuum")
+    // that writer's publish then succeeds via one rename
+    assert(fs.rename(new Path(s"$dir/_log/.tmp-3-other"), new Path(s"$dir/_log/3")))
+  }
+
   test("CommitLogTableFormat.compact: same rows, fewer files, old version retained") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
@@ -1189,6 +1212,32 @@ class SourcesStreamingSpec extends GraftSpec {
     val swapped = graft.jobs.Jobs.runPipeline(fs, ledger, ab.reverse, pol, sleep = _ => ())
     assert(swapped.skipped.isEmpty && swapped.ran == Seq("b", "a"),
       s"reordered pipeline must not mis-skip: $swapped")
+  }
+
+  test("Jobs.runPipeline: a crash inside the ledger publish window cannot lose the prefix") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_pipeline_crash").toString
+    val ledger = new Path(s"$dir/_pipeline")
+    val tmp = new Path(s"$dir/._pipeline.tmp")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the publish crash point: the content-complete tmp was
+    // written and the old ledger deleted, but the rename never ran —
+    // the instant the old delete-then-rename protocol would lose the
+    // whole completed prefix and re-run it
+    val out = fs.create(tmp, true)
+    try out.write("collect\nupdate-control\n".getBytes("UTF-8")) finally out.close()
+    assert(!fs.exists(ledger))
+    val log = scala.collection.mutable.ArrayBuffer[String]()
+    val steps: Seq[(String, () => Unit)] = Seq(
+      "collect" -> (() => log += "collect"),
+      "update-control" -> (() => log += "update-control"),
+      "process-staging" -> (() => log += "process-staging"))
+    val pol = graft.jobs.Jobs.RetryPolicy(maxAttempts = 1, intervalMs = 1)
+    val r = graft.jobs.Jobs.runPipeline(fs, ledger, steps, pol, sleep = _ => ())
+    assert(r.skipped == Seq("collect", "update-control") && r.ran == Seq("process-staging"),
+      s"the tmp fallback must preserve the resume guarantee: $r")
+    assert(log.toSeq == Seq("process-staging"), "the completed prefix must not re-run")
+    assert(!fs.exists(ledger) && !fs.exists(tmp), "full success starts the next run clean")
   }
 
   test("streaming hourly window aggregates incrementally") {
