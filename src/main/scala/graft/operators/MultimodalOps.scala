@@ -272,17 +272,70 @@ object MultimodalOps {
       h
     }
 
-    /** Serialize members (in order) into one ustar archive. */
-    def tarBytes(members: Seq[(String, Array[Byte])]): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
+    /** Stream members (in order) into `out` as one ustar archive and
+      * return the archive's byte count. Constant memory per MEMBER (one
+      * blob at a time), never per archive — the shape a real ~1 GB
+      * WebDataset shard needs; [[tarBytes]] is this over a byte buffer.
+      * The caller owns closing `out`. */
+    def writeTo(out: java.io.OutputStream, members: Iterator[(String, Array[Byte])]): Long = {
+      var written = 0L
       members.foreach { case (name, data) =>
         out.write(header(name, data.length.toLong))
         out.write(data)
         val pad = (512 - data.length % 512) % 512
         out.write(new Array[Byte](pad))
+        written += 512L + data.length + pad
       }
       out.write(new Array[Byte](1024)) // end-of-archive blocks
+      written + 1024L
+    }
+
+    /** Serialize members (in order) into one in-memory ustar archive. */
+    def tarBytes(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      writeTo(out, members.iterator)
       out.toByteArray
+    }
+
+    /** Walk an archive STREAM header-by-header without materializing
+      * member data: emits (name, size, header_offset) per member,
+      * skipping each member's data+padding — constant memory, exactly
+      * what a loader's index builder does over a multi-GB shard.
+      * Verifies each header checksum like [[readTar]]. */
+    def walkStream(in: java.io.InputStream): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      val h = new Array[Byte](512)
+      var pos = 0L
+      var done = false
+      while (!done) {
+        var got = 0
+        var r = 0
+        while (got < 512 && r >= 0) {
+          r = in.read(h, got, 512 - got)
+          if (r > 0) got += r
+        }
+        if (got < 512 || h(0) == 0) done = true
+        else {
+          val stored = new String(h, 148, 6, "US-ASCII").trim
+          val hv = h.clone()
+          java.util.Arrays.fill(hv, 148, 156, ' '.toByte)
+          val sum = hv.map(_ & 0xFF).sum.toLong
+          require(java.lang.Long.parseLong(stored, 8) == sum, s"tar checksum at $pos")
+          val name = new String(h.take(100).takeWhile(_ != 0), "US-ASCII")
+          val size = java.lang.Long.parseLong(new String(h, 124, 11, "US-ASCII").trim, 8)
+          out += ((name, size, pos))
+          var toSkip = ((size + 511L) / 512L) * 512L
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s <= 0) { // skip() may return 0 on some streams: read instead
+              if (in.read() < 0) throw new java.io.EOFException(s"truncated tar at $pos")
+              toSkip -= 1
+            } else toSkip -= s
+          }
+          pos += 512L + ((size + 511L) / 512L) * 512L
+        }
+      }
+      out.result()
     }
 
     /** Parse a ustar archive back into (name, data) members, verifying
@@ -1227,6 +1280,8 @@ object MultimodalOps {
        |ORDER BY source, shard_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_written_shards" ->
+      ((s: SparkSession, d: String) => graft.sources.TarShardSink.e18WrittenShards(s, d)),
     "e17_tar_layout" -> (e17TarLayout _),
     "e16_shard_sync_plan" -> (e16ShardSyncPlan _),
     "e15_frame_sample_plan" -> (e15FrameSamplePlan _),
@@ -1246,6 +1301,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e18_written_shards" -> graft.sources.TarShardSink.e18Sql,
     "e17_tar_layout" -> e17Sql,
     "e16_shard_sync_plan" -> e16Sql,
     "e15_frame_sample_plan" -> e15Sql,

@@ -5276,6 +5276,65 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("TarShardSink: written archives match e17 byte-for-byte and seek-accurately") {
+    import graft.sources.TarShardSink
+    val out = java.nio.file.Files.createTempDirectory("graft_tarsink").toString
+    TarShardSink.write(spark, sfDir, out)
+    val manifest = MultimodalOps.e17TarLayout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(5), r.getLong(6)))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val byShard = manifest.groupBy(m => (m._2, m._3))
+    assert(byShard.size > 2, "sf0.001 must produce multiple shards")
+    byShard.foreach { case ((src, shard), ms) =>
+      val f = new java.io.File(f"$out/$src/shard-$shard%05d.tar")
+      assert(f.isFile, s"$src/$shard must be written")
+      // 1. predicted shard_tar_bytes IS the written file's size
+      assert(f.length() == ms.head._5, s"$src/$shard size ${f.length()} != ${ms.head._5}")
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      // 2. full round-trip: members in doc order with exact payloads
+      val back = MultimodalOps.Tar.readTar(bytes)
+      val expect = ms.sortBy(_._1)
+      assert(back.map(_._1) == expect.map(m => s"${m._1}.bin").toSeq, s"$src/$shard members")
+      back.zip(expect).foreach { case ((_, data), m) =>
+        assert(java.util.Arrays.equals(data, docs(m._1)), s"doc ${m._1} payload")
+      }
+      // 3. every e17 member_offset seeks onto that member's header IN
+      // THE WRITTEN FILE (the loader contract the manifest promises)
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try expect.foreach { m =>
+        raf.seek(m._4)
+        val hdr = new Array[Byte](100)
+        raf.readFully(hdr)
+        val name = new String(hdr.takeWhile(_ != 0), "US-ASCII")
+        assert(name == s"${m._1}.bin", s"offset ${m._4} of $src/$shard -> $name")
+      } finally raf.close()
+      // 4. the streaming header walk sees the same members + offsets
+      val in = new java.io.FileInputStream(f)
+      val walked = try MultimodalOps.Tar.walkStream(in) finally in.close()
+      assert(walked.map(w => (w._1, w._3)) ==
+        expect.map(m => (s"${m._1}.bin", m._4)).toSeq, s"$src/$shard walk")
+    }
+    // no unexpected files: every written archive is in the manifest
+    val written = new java.io.File(out).listFiles.flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => (f.getParentFile.getName, f.getName)).toSet
+    assert(written == byShard.keySet.map { case (s, i) => (s, f"shard-$i%05d.tar") },
+      "written set must equal the manifest's shard set")
+    // 5. idempotent republish: byte-identical archives
+    val probe = byShard.keys.head
+    val pFile = new java.io.File(f"$out/${probe._1}/shard-${probe._2}%05d.tar")
+    val before = java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(pFile.toPath))
+    TarShardSink.write(spark, sfDir, out)
+    val after = java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(pFile.toPath))
+    assert(before == after, "re-run must republish byte-identical content")
+    // 6. the measured manifest agrees with the predictions, group-level
+    val measured = TarShardSink.writtenManifest(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(measured == byShard.map { case (k, ms) => k -> ((ms.length.toLong, ms.head._5)) },
+      "measured (n_members, tar_bytes) must equal e17's per-shard predictions")
+  }
+
   test("round-10 operators hold their scan budgets (the branch-duplication lock)") {
     // Locks the adjudicated one-pass shapes mechanically, the q30/d89
     // idiom: a future edit that re-derives a lineage (the c49 naive
