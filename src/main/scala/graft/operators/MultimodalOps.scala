@@ -119,33 +119,88 @@ object MultimodalOps {
           px(i) = v; i += 1
         }
       }
-      var sr = 0L; var sg = 0L; var sb = 0L
-      val qSum = new Array[Long](4); val qCnt = new Array[Long](4)
-      val ch = (h + 1) / 2; val cw = (w + 1) / 2
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val o = 3 * (y * w + x)
-          val r = px(o); val g = px(o + 1); val b = px(o + 2)
-          sr += r; sg += g; sb += b
-          val q = (if (y < ch) 0 else 2) + (if (x < cw) 0 else 1)
-          qSum(q) += r + g + b; qCnt(q) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val feats = Array(
-        (sr.toDouble / n / maxval).toFloat,
-        (sg.toDouble / n / maxval).toFloat,
-        (sb.toDouble / n / maxval).toFloat,
-        ((sr + sg + sb).toDouble / 3.0 / n / maxval).toFloat,
-        quadLuma(qSum(0), qCnt(0), maxval), quadLuma(qSum(1), qCnt(1), maxval),
-        quadLuma(qSum(2), qCnt(2), maxval), quadLuma(qSum(3), qCnt(3), maxval))
-      Some(DecodedMedia(id, bytes.length, w, h, feats))
+      Some(DecodedMedia(id, bytes.length, w, h, rgbFeatures(px, w, h, maxval)))
     }
-    private def quadLuma(s: Long, c: Long, maxval: Int): Float =
+    def decode(batch: Seq[(Long, Array[Byte])]): Iterator[DecodedMedia] =
+      batch.iterator.flatMap { case (id, b) => parse(id, b) }
+  }
+
+  /** The shared 8-float feature contract over interleaved RGB pixels
+    * (3wh ints, row-major): mean R, G, B, global mean luma, and the
+    * four quadrant mean lumas (ceiling split for the top/left halves),
+    * each normalized by `maxval`. Every raster decoder on the
+    * [[MediaDecoder]] seam emits THIS vector, so downstream frame-dedup
+    * / ANN over the features is codec-agnostic. */
+  private[operators] def rgbFeatures(px: Array[Int], w: Int, h: Int, maxval: Int): Array[Float] = {
+    val n = w.toLong * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val qSum = new Array[Long](4); val qCnt = new Array[Long](4)
+    val ch = (h + 1) / 2; val cw = (w + 1) / 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 3 * (y * w + x)
+        val r = px(o); val g = px(o + 1); val b = px(o + 2)
+        sr += r; sg += g; sb += b
+        val q = (if (y < ch) 0 else 2) + (if (x < cw) 0 else 1)
+        qSum(q) += r + g + b; qCnt(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def quadLuma(s: Long, c: Long): Float =
       if (c == 0) 0f else (s.toDouble / 3.0 / c / maxval).toFloat
+    Array(
+      (sr.toDouble / n / maxval).toFloat,
+      (sg.toDouble / n / maxval).toFloat,
+      (sb.toDouble / n / maxval).toFloat,
+      ((sr + sg + sb).toDouble / 3.0 / n / maxval).toFloat,
+      quadLuma(qSum(0), qCnt(0)), quadLuma(qSum(1), qCnt(1)),
+      quadLuma(qSum(2), qCnt(2)), quadLuma(qSum(3), qCnt(3)))
+  }
+
+  /** REAL-WORLD raster codec for the [[MediaDecoder]] seam: PNG, JPEG,
+    * GIF, BMP via `javax.imageio` — pure JVM, zero extra dependencies,
+    * the formats an actual image corpus arrives in (PpmDecoder proved
+    * the seam on Netpbm; this prices e8/e14 on measured dims of real
+    * formats). Same 8-float [[rgbFeatures]] contract at maxval 255,
+    * alpha ignored (ImageIO premultiplies nothing here — we read the
+    * sRGB channels). Undecodable / truncated / unrecognized blobs are
+    * DROPPED like PpmDecoder's (quarantine-by-row-count observable).
+    * `ImageIO.setUseCache(false)` keeps executors off disk-backed
+    * stream caches — decode stays in-memory per batch. */
+  object ImageIoDecoder extends MediaDecoder {
+    private def parse(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w.toLong * h > Int.MaxValue / 3) None
+          else {
+            // one row at a time keeps the int buffer bounded by width
+            val px = new Array[Int](3 * w * h)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val argb = row(x)
+                val o = 3 * (y * w + x)
+                px(o) = (argb >>> 16) & 0xFF
+                px(o + 1) = (argb >>> 8) & 0xFF
+                px(o + 2) = argb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            Some(DecodedMedia(id, bytes.length, w, h, rgbFeatures(px, w, h, 255)))
+          }
+        }
+      } catch { case _: Exception => None }
     def decode(batch: Seq[(Long, Array[Byte])]): Iterator[DecodedMedia] =
       batch.iterator.flatMap { case (id, b) => parse(id, b) }
   }

@@ -872,6 +872,72 @@ class OperatorSpec extends GraftSpec {
     assert(ladder("s2") == ((1L, 2L, 1L, 256L * 144 * 3, 128L * 72 * 3, 2500L)))
   }
 
+  test("ImageIoDecoder: real PNG/JPEG blobs decode through the seam; features match PPM's contract") {
+    import spark.implicits._
+    def img(w: Int, h: Int, rgb: (Int, Int, Int), fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val c = (rgb._1 << 16) | (rgb._2 << 8) | rgb._3
+      (0 until h).foreach(y => (0 until w).foreach(x => bi.setRGB(x, y, c)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    // a split image: left half red, right half blue — quadrant features differ
+    val split = {
+      val bi = new java.awt.image.BufferedImage(64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(y => (0 until 64).foreach(x =>
+        bi.setRGB(x, y, if (x < 32) 0xFF0000 else 0x0000FF)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", out)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, img(128, 128, (200, 100, 50), "png")),
+      (2L, img(192, 96, (10, 20, 30), "jpg")),
+      (3L, img(256, 144, (255, 0, 0), "png")),
+      (4L, split),
+      (5L, "not an image at all".getBytes("US-ASCII"))).toDF("doc_id", "blob")
+    val decoded = MultimodalOps.decodeBatch(spark, blobs,
+      decoder = MultimodalOps.ImageIoDecoder).collect().sortBy(_.doc_id)
+    // corrupt blob dropped; real formats decode their MEASURED dims
+    assert(decoded.map(_.doc_id).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(decoded.map(d => (d.width, d.height)).toSeq ==
+      Seq((128, 128), (192, 96), (256, 144), (64, 32)))
+    // PNG is lossless: channel means are EXACTLY the planted color, all
+    // quadrant lumas equal the global luma (the PpmDecoder contract)
+    val d1 = decoded(0)
+    assert(d1.features(0) == (200.0 / 255.0).toFloat &&
+      d1.features(1) == (100.0 / 255.0).toFloat &&
+      d1.features(2) == (50.0 / 255.0).toFloat)
+    val luma1 = ((200.0 + 100.0 + 50.0) / 3.0 / 255.0).toFloat
+    assert(d1.features(3) == luma1 && (4 to 7).forall(d1.features(_) == luma1))
+    // JPEG is lossy: dims exact (asserted above), features NEAR the
+    // planted color (uniform images compress almost perfectly)
+    val d2 = decoded(1)
+    Seq(10.0, 20.0, 30.0).zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(d2.features(i) - v / 255.0) < 0.02, s"jpeg ch$i ${d2.features(i)}")
+    }
+    // split image: left quadrants pure red luma, right quadrants pure
+    // blue luma, global mean in between — quadrant split is measured
+    val d4 = decoded(3)
+    val third = (255.0 / 3.0 / 255.0).toFloat
+    assert(d4.features(4) == third && d4.features(5) == third &&
+      d4.features(6) == third && d4.features(7) == third)
+    assert(d4.features(0) == 0.5f && d4.features(2) == 0.5f && d4.features(1) == 0f)
+    // e8 pricing reconciled on the measured dims of the real formats
+    val buckets = MultimodalOps.e8AspectBucketsOf(
+        spark.createDataFrame(decoded.take(3).toSeq.map(d => (d.doc_id, d.width, d.height)))
+          .toDF("doc_id", "width", "height"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets == Map("1:1" -> 1L, "2:1" -> 1L, "16:9" -> 1L))
+    // the two codecs agree feature-for-feature on identical pixels
+    val viaPpm = MultimodalOps.PpmDecoder.decode(Seq(9L ->
+      (s"P6\n128 128\n255\n".getBytes("US-ASCII") ++
+        Array.fill(128 * 128)(Array(200.toByte, 100.toByte, 50.toByte)).flatten))).next()
+    assert(viaPpm.features.sameElements(d1.features),
+      "PNG and PPM of the same pixels must produce identical features")
+  }
+
   test("sampleFrames explodes blobs into bounded deterministic frame rows") {
     val blobs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
