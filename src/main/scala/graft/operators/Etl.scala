@@ -1894,25 +1894,41 @@ object Etl {
     * (the e9 modulus lesson), so requests spread across partitions. */
   val ErasureMod = 97
 
+  /** a37 policy knob: erased density (basis points) up to which a
+    * partition takes the deletion-vector path; at or above it, the
+    * partition is worth a physical rewrite (merge-on-read read
+    * amplification + compliance purge policy). */
+  val DvMaxBp = 100L
+
+  /** Priced bytes per DV entry (file-name dictionary share + 8-byte
+    * position — CommitLogTableFormat's sidecar row). */
+  val DvEntryBytes = 16L
+
   /** a37: right-to-be-forgotten erasure plan — the GDPR/CCPA executor's
     * input (the lakehouse op a26's TTL sweep doesn't cover: deletes
-    * keyed by USER, not by age, so they land mid-partition and force
-    * row-level rewrites): per (y, m) partition of the a3 layout — total
-    * rows, affected rows (exact bp), affected distinct requesters, and
-    * the decision: untouched partitions are metadata-only `keep`,
-    * affected ones price a `rewrite` at bytes ≈ rows × est row width
-    * (a22's sizing discipline; the rewrite copies the WHOLE partition
-    * minus erased rows — that's what row-level delete costs without
-    * deletion vectors, which is the point of planning first).
+    * keyed by USER, not by age, so they land mid-partition): per (y, m)
+    * partition of the a3 layout — total rows, affected rows (exact bp),
+    * affected distinct requesters, and a THREE-WAY decision matching
+    * what [[graft.sources.CommitLogTableFormat]] can actually execute:
+    * untouched partitions are metadata-only `keep`; lightly affected
+    * ones (< [[DvMaxBp]]) take the `dv` path — `CommitLogTableFormat
+    * .erase` publishes a deletion-vector sidecar, cost O(erased rows ×
+    * [[DvEntryBytes]]), zero data-file IO; densely affected ones price
+    * a `rewrite` at bytes ≈ surviving rows × est row width (a22's
+    * sizing discipline — merge-on-read amplification makes dense DVs a
+    * poor steady state, and a compliance purge wants the bytes gone).
     *
     * Shape: the request predicate is row-local here (a real request
     * table is an ids-only broadcast or a key-partitioned semi-join —
     * both documented), so the WHOLE plan is one conditional-aggregation
     * scan at partition grain; one exact distinct rides the same
     * aggregate (a12 discipline, a27-style sketch swap documented). */
-  def a37ErasurePlan(spark: SparkSession, dir: String): DataFrame = {
+  def a37ErasurePlan(spark: SparkSession, dir: String): DataFrame =
+    a37ErasurePlanOf(Tables.orders(spark, dir))
+
+  def a37ErasurePlanOf(orders: DataFrame): DataFrame = {
     val rowBytes = 100L
-    Tables.orders(spark, dir)
+    orders
       .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
         col("o_custkey"), (pmod(col("o_custkey"), lit(ErasureMod)) === 0).as("hit"))
       .groupBy(col("y"), col("m"))
@@ -1920,10 +1936,15 @@ object Etl {
         countIf(col("hit")).as("n_erased"),
         countDistinct(when(col("hit"), col("o_custkey"))).as("n_requesters"))
       .select(col("y"), col("m"), col("n_rows"), col("n_erased"), col("n_requesters"),
-        expr("(n_erased * 10000) div n_rows").as("erased_bp"),
-        when(col("n_erased") === 0, lit("keep")).otherwise(lit("rewrite")).as("decision"),
-        (when(col("n_erased") === 0, lit(0L))
-          .otherwise((col("n_rows") - col("n_erased")) * rowBytes)).as("rewrite_bytes"))
+        expr("(n_erased * 10000) div n_rows").as("erased_bp"))
+      .withColumn("decision",
+        when(col("n_erased") === 0, lit("keep"))
+          .when(col("erased_bp") < DvMaxBp, lit("dv"))
+          .otherwise(lit("rewrite")))
+      .withColumn("cost_bytes",
+        when(col("n_erased") === 0, lit(0L))
+          .when(col("erased_bp") < DvMaxBp, col("n_erased") * DvEntryBytes)
+          .otherwise((col("n_rows") - col("n_erased")) * rowBytes))
       .orderBy(col("y"), col("m"))
   }
 
@@ -1936,12 +1957,18 @@ object Etl {
        |  SELECT y, m, count(*) AS n_rows,
        |    count(CASE WHEN hit THEN 1 END) AS n_erased,
        |    count(DISTINCT CASE WHEN hit THEN o_custkey END) AS n_requesters
-       |  FROM t GROUP BY 1, 2)
+       |  FROM t GROUP BY 1, 2),
+       |p AS (
+       |  SELECT *, (n_erased * 10000) // n_rows AS erased_bp FROM g)
        |SELECT CAST(y AS INTEGER) AS y, CAST(m AS INTEGER) AS m, n_rows, n_erased, n_requesters,
-       |  (n_erased * 10000) // n_rows AS erased_bp,
-       |  CASE WHEN n_erased = 0 THEN 'keep' ELSE 'rewrite' END AS decision,
-       |  CASE WHEN n_erased = 0 THEN 0 ELSE (n_rows - n_erased) * 100 END AS rewrite_bytes
-       |FROM g ORDER BY y, m""".stripMargin
+       |  erased_bp,
+       |  CASE WHEN n_erased = 0 THEN 'keep'
+       |       WHEN erased_bp < $DvMaxBp THEN 'dv'
+       |       ELSE 'rewrite' END AS decision,
+       |  CAST(CASE WHEN n_erased = 0 THEN 0
+       |       WHEN erased_bp < $DvMaxBp THEN n_erased * $DvEntryBytes
+       |       ELSE (n_rows - n_erased) * 100 END AS BIGINT) AS cost_bytes
+       |FROM p ORDER BY y, m""".stripMargin
 
   /** k thresholds the a38 report prices (the values privacy reviews
     * actually ask about). A literal array — the a23 stacking idiom. */

@@ -111,9 +111,25 @@ object RenameTableFormat extends TableFormat {
 
 /** Log-based atomic commit: the table at `table/` is a directory of
   * immutable snapshot dirs (`data-v<N>-<token>`) plus a commit log
-  * (`_log/<N>`, content = that version's data dir name). Readers
-  * resolve ONLY through the log: the highest log entry names the
-  * current snapshot.
+  * (`_log/<N>`, content = that version's data dir name, optionally
+  * followed by a second line naming a deletion-vector sidecar
+  * `dv-v<N>-<token>`). Readers resolve ONLY through the log: the
+  * highest log entry names the current snapshot.
+  *
+  * DELETION VECTORS (merge-on-read row deletes): [[erase]] hides rows
+  * matching a predicate WITHOUT rewriting any data file — it computes
+  * the matching rows' physical positions (parquet file name +
+  * `_metadata.row_index`), unions them into the prior DV, writes the
+  * result as a small parquet sidecar, and publishes a new version
+  * whose entry references the SAME data dir plus the new DV. The read
+  * path subtracts the DV with an anti-join on (file, pos) — the DV
+  * side is bounded by the deleted row count, so AQE picks a broadcast
+  * at runtime for the GDPR-scale case. Time travel still resolves the
+  * pre-erase version (its entry carries the older/no DV), and
+  * [[compact]] reads MERGED rows, so compaction doubles as the
+  * physical purge step a retention policy eventually requires. File
+  * names (not full paths) key the DV, so a relocated table keeps its
+  * deletes — the Delta/Iceberg DV posture on this format's log.
   *
   * Commit = write the full new snapshot to a fresh data dir, stage
   * the log entry's CONTENT to `_log/.tmp-*`, then publish with ONE
@@ -164,10 +180,41 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** A resolved snapshot reference: the data dir plus the optional
+    * deletion-vector sidecar (entry line 2). */
+  private case class Snap(dataName: String, dvName: Option[String])
+
+  private def parseSnap(content: String): Snap = {
+    val lines = content.split('\n').map(_.trim).filter(_.nonEmpty)
+    Snap(lines(0), lines.lift(1))
+  }
+
+  /** Merge-on-read: the data dir's rows minus the DV's (file, pos)
+    * set. The hidden `_metadata` parquet columns provide the physical
+    * identity; only the file NAME is kept (relocation-safe, unique —
+    * data files are written once per immutable dir). */
+  private def resolve(spark: SparkSession, table: String, snap: Snap): DataFrame = {
+    val data = spark.read.parquet(new Path(new Path(table), snap.dataName).toString)
+    snap.dvName match {
+      case None => data
+      case Some(dvName) =>
+        val dv = spark.read.parquet(new Path(new Path(table), dvName).toString)
+        val keyed = data
+          .withColumn("__graft_file",
+            org.apache.spark.sql.functions.expr("substring_index(_metadata.file_path, '/', -1)"))
+          .withColumn("__graft_pos",
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+        keyed.join(dv,
+            keyed("__graft_file") === dv("file") && keyed("__graft_pos") === dv("pos"),
+            "left_anti")
+          .drop("__graft_file", "__graft_pos")
+    }
+  }
+
   override def read(spark: SparkSession, table: String): Option[DataFrame] = {
     val fs = fsOf(spark, table)
-    latest(fs, table).map { case (_, dataName) =>
-      spark.read.parquet(new Path(new Path(table), dataName).toString)
+    latest(fs, table).map { case (_, content) =>
+      resolve(spark, table, parseSnap(content))
     }
   }
 
@@ -190,9 +237,9 @@ object CommitLogTableFormat extends TableFormat {
     val entry = new Path(new Path(table, LogDirName), version.toString)
     if (!fs.exists(entry)) None
     else {
-      val dataName = entryContent(fs, entry)
-      if (dataName.isEmpty) None // crashed legacy commit, never published
-      else Some(spark.read.parquet(new Path(new Path(table), dataName).toString))
+      val content = entryContent(fs, entry)
+      if (content.isEmpty) None // crashed legacy commit, never published
+      else Some(resolve(spark, table, parseSnap(content)))
     }
   }
 
@@ -215,75 +262,143 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
-  override def commit(spark: SparkSession, table: String, df: DataFrame,
-                      token: String): Unit = {
+  /** Recovery (delete crashed-legacy empty entries so they can't
+    * collide with the next version) and the next version number. Safe
+    * because the tmp+rename protocol never has an empty entry in
+    * flight (log is <= 2 entries post-vacuum). */
+  private def recoverLatest(fs: FileSystem, table: String): Option[(Long, String)] = {
     val root = new Path(table)
-    val fs = fsOf(spark, table)
     fs.mkdirs(new Path(root, LogDirName))
-    // recovery: delete empty numeric entries (crashed legacy
-    // create-then-write commits) so they can't collide with the next
-    // version; safe because the tmp+rename protocol never has an
-    // empty entry in flight (log is <= 2 entries post-vacuum)
     val listed = fs.globStatus(new Path(new Path(root, LogDirName), "*"))
     if (listed != null)
       listed.filter(e => scala.util.Try(e.getPath.getName.toLong).isSuccess &&
           entryContent(fs, e.getPath).isEmpty)
         .foreach(e => fs.delete(e.getPath, true))
-    val v = latest(fs, table).map(_._1).getOrElse(0L) + 1L
-    val dataName = s"data-v$v-$token"
-    // snapshot first — invisible until logged; `df` may lazily read
-    // the current version, whose files are immutable, so no conflict
-    df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    latest(fs, table)
+  }
+
+  /** Atomic publish of version `v` with entry `content`; on a lost
+    * race, deletes `orphans` (the sidecar/data dirs staged for this
+    * commit) and throws. Stage the entry CONTENT first, then publish
+    * with one rename: the log entry is never visible without its
+    * content (a create-then-write protocol exposes an empty highest
+    * version to readers and bricks the next commit if the writer
+    * crashes mid-write). The dot prefix keeps the tmp out of the
+    * version glob. rename-fails-if-exists is the commit point (the
+    * HDFS rename contract); the exists pre-check covers local
+    * filesystems whose rename overwrites. On POSIX/RawLocal rename(2)
+    * OVERWRITES, so two racers can both pass the pre-check and both
+    * rename "successfully" — the later one silently replacing the
+    * earlier entry. Close that TOCTOU window by re-reading the
+    * published entry: only the writer whose CONTENT survived actually
+    * committed; the other sees foreign content and aborts instead of
+    * reporting a dropped commit as success. */
+  private def publish(fs: FileSystem, root: Path, v: Long, content: String,
+                      token: String, orphans: Seq[Path]): Unit = {
     val entry = new Path(new Path(root, LogDirName), v.toString)
-    // stage the entry CONTENT first, then publish with one rename: the
-    // log entry is never visible without its content (a create-then-
-    // write protocol exposes an empty highest version to readers and
-    // bricks the next commit if the writer crashes mid-write). The
-    // dot prefix keeps the tmp out of the version glob.
     val tmp = new Path(new Path(root, LogDirName), s".tmp-$v-$token")
     val out = fs.create(tmp, true)
-    try out.write(dataName.getBytes(UTF_8)) finally out.close()
-    // rename-fails-if-exists is the commit point (the HDFS rename
-    // contract); the exists pre-check covers local filesystems whose
-    // rename overwrites. On POSIX/RawLocal rename(2) OVERWRITES, so two
-    // racers can both pass the pre-check and both rename "successfully"
-    // — the later one silently replacing the earlier entry. Close that
-    // TOCTOU window by re-reading the published entry: only the writer
-    // whose CONTENT survived actually committed; the other sees a
-    // foreign dataName and aborts instead of reporting a dropped commit
-    // as success.
+    try out.write(content.getBytes(UTF_8)) finally out.close()
     val won = !fs.exists(entry) &&
       (try fs.rename(tmp, entry) catch { case _: java.io.IOException => false })
     val published = won &&
-      (try entryContent(fs, entry) == dataName
+      (try entryContent(fs, entry) == content
        catch { case _: java.io.IOException => false })
     if (!published) {
       fs.delete(tmp, true)
-      fs.delete(new Path(root, dataName), true) // lost the race: orphan
+      orphans.foreach(p => fs.delete(p, true)) // lost the race
       throw new ConcurrentCommitException(
-        s"version $v of $table was committed concurrently")
+        s"version $v of $root was committed concurrently")
     }
     vacuum(fs, root, v)
   }
 
+  override def commit(spark: SparkSession, table: String, df: DataFrame,
+                      token: String): Unit = {
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    val v = recoverLatest(fs, table).map(_._1).getOrElse(0L) + 1L
+    val dataName = s"data-v$v-$token"
+    // snapshot first — invisible until logged; `df` may lazily read
+    // the current version, whose files are immutable, so no conflict
+    df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    publish(fs, root, v, dataName, token, Seq(new Path(root, dataName)))
+  }
+
+  /** Row-level delete WITHOUT rewriting data files: hide every row of
+    * the current snapshot matching `predicate` by publishing a new
+    * version whose entry references the SAME data dir plus a deletion-
+    * vector sidecar (`dv-v<N>-<token>`, parquet of (file, pos) — file
+    * name + `_metadata.row_index`). The new DV is the union of the
+    * prior one and the fresh hits, so erasures accumulate across
+    * calls; re-running the same predicate is a no-op (returns 0, no
+    * new version). Returns the count of NEWLY hidden rows.
+    *
+    * This is the GDPR executor shape a37 prices as its `dv` decision:
+    * cost is O(deleted rows), not O(partition bytes); the physical
+    * purge happens on the next [[compact]] (which reads merged rows
+    * and rewrites — the DV-density policy decides when that's worth
+    * it). Single-writer contract as [[commit]]; a lost publish race
+    * throws [[ConcurrentCommitException]] and deletes the staged DV. */
+  def erase(spark: SparkSession, table: String,
+            predicate: org.apache.spark.sql.Column, token: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    recoverLatest(fs, table) match {
+      case None => 0L
+      case Some((v, content)) =>
+        val snap = parseSnap(content)
+        val keyed = spark.read
+          .parquet(new Path(root, snap.dataName).toString)
+          .withColumn("__graft_file", expr("substring_index(_metadata.file_path, '/', -1)"))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+        val hits = keyed.filter(predicate)
+          .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+        val prior = snap.dvName.map(n =>
+          spark.read.parquet(new Path(root, n).toString))
+        val merged = prior.map(hits.unionByName(_)).getOrElse(hits).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val newCount = merged.count()
+          val priorCount = prior.map(_.count()).getOrElse(0L)
+          if (newCount == priorCount) 0L
+          else {
+            val nv = v + 1
+            val dvName = s"dv-v$nv-$token"
+            merged.write.mode("overwrite").parquet(new Path(root, dvName).toString)
+            publish(fs, root, nv, s"${snap.dataName}\n$dvName", token,
+              Seq(new Path(root, dvName)))
+            newCount - priorCount
+          }
+        } finally { merged.unpersist(); () }
+    }
+  }
+
   /** Retain the committed and previous versions (in-flight readers);
-    * drop older versions and every unreferenced (orphan) data dir.
-    * Safe under the single-writer contract — there is no concurrent
-    * not-yet-logged data dir to destroy. */
+    * drop older versions and every unreferenced (orphan) data dir or
+    * DV sidecar. An entry references every line of its content (data
+    * dir + optional DV), and DV-only versions share their predecessor's
+    * data dir — sharing is why the sweep is reference-based, not
+    * version-arithmetic. Safe under the single-writer contract — there
+    * is no concurrent not-yet-logged dir to destroy. */
   private def vacuum(fs: FileSystem, root: Path, committed: Long): Unit = {
     val keepEntries = (committed - 1L) to committed
     val referenced = keepEntries.flatMap { v =>
       val p = new Path(new Path(root, LogDirName), v.toString)
       if (fs.exists(p)) {
         val in = fs.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
         finally in.close()
-      } else None
+      } else Seq.empty
     }.toSet
-    val dataDirs = fs.globStatus(new Path(root, "data-v*"))
-    if (dataDirs != null)
-      dataDirs.filterNot(d => referenced(d.getPath.getName))
-        .foreach(d => fs.delete(d.getPath, true))
+    Seq("data-v*", "dv-v*").foreach { pat =>
+      val dirs = fs.globStatus(new Path(root, pat))
+      if (dirs != null)
+        dirs.filterNot(d => referenced(d.getPath.getName))
+          .foreach(d => fs.delete(d.getPath, true))
+    }
     val logEntries = fs.globStatus(new Path(new Path(root, LogDirName), "*"))
     if (logEntries != null)
       logEntries.filter(e =>

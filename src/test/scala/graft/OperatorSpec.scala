@@ -3618,14 +3618,38 @@ class OperatorSpec extends GraftSpec {
     rows.groupBy(_._1).foreach { case (p, os) =>
       val hits = os.map(_._2).filter(_ % Etl.ErasureMod == 0)
       val n = os.length.toLong
-      val want = (n, hits.length.toLong, hits.distinct.length.toLong,
-        hits.length.toLong * 10000 / n,
-        if (hits.isEmpty) "keep" else "rewrite",
-        if (hits.isEmpty) 0L else (n - hits.length) * 100L)
+      val bp = hits.length.toLong * 10000 / n
+      val decision =
+        if (hits.isEmpty) "keep"
+        else if (bp < Etl.DvMaxBp) "dv"
+        else "rewrite"
+      val cost = decision match {
+        case "keep" => 0L
+        case "dv" => hits.length.toLong * Etl.DvEntryBytes
+        case _ => (n - hits.length) * 100L
+      }
+      val want = (n, hits.length.toLong, hits.distinct.length.toLong, bp, decision, cost)
       assert(got(p) == want, s"$p: ${got(p)} != $want")
     }
-    // the request rule must actually fire somewhere
-    assert(got.values.exists(_._5 == "rewrite"))
+    // sf0.001 months are tiny (one hit already exceeds DvMaxBp), so
+    // exercise all three tiers on planted orders: a month with no
+    // hits (keep), one with 1 hit in 200 rows = 50bp (dv), one with
+    // 5 hits in 50 rows = 1000bp (rewrite)
+    import spark.implicits._
+    val m = Etl.ErasureMod
+    val clean = (i: Long) => i * 2 * m + 1 // ≡ 1 (mod ErasureMod): never a hit
+    val planted =
+      ((1L to 30L).map(i => (clean(i), "1995-01-15")) ++
+        (1L to 200L).map(i => (if (i == 1) m.toLong else clean(i), "1995-02-15")) ++
+        (1L to 50L).map(i => (if (i <= 5) i * m else clean(i), "1995-03-15")))
+        .toDF("o_custkey", "d")
+        .select(col("o_custkey"), col("d").cast("date").as("o_orderdate"))
+    val tiers = Etl.a37ErasurePlanOf(planted).collect()
+      .map(r => r.getInt(1) -> ((r.getString(6), r.getLong(7)))).toMap
+    assert(tiers == Map(
+      1 -> (("keep", 0L)),
+      2 -> (("dv", 1L * Etl.DvEntryBytes)),
+      3 -> (("rewrite", 45L * 100L))), s"tiers: $tiers")
   }
 
   test("e16 shard sync: full-outer checksum diff replayed locally") {

@@ -320,6 +320,55 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(fs.rename(new Path(s"$dir/_log/.tmp-3-other"), new Path(s"$dir/_log/3")))
   }
 
+  test("CommitLogTableFormat.erase: deletion vectors hide rows without rewriting files") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_dv").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = (1L to 100L).map(i => (i, s"r$i"))
+    fmt.commit(spark, dir, rows.toDF("k", "v").repartition(4), "base")
+    def dataFiles(): Map[String, Long] =
+      fs.globStatus(new Path(s"$dir/data-v1-base/*.parquet"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val filesBefore = dataFiles()
+    // 1. erase by key predicate: rows vanish from read()...
+    val n1 = fmt.erase(spark, dir, col("k") % 10 === 0, "gdpr1")
+    assert(n1 == 10L, s"newly hidden: $n1")
+    val visible = fmt.read(spark, dir).get.as[(Long, String)].collect().toSeq
+    assert(visible.size == 90 && visible.forall(_._1 % 10 != 0))
+    // ...with ZERO data-file rewrite (same files, same mtimes) — the
+    // whole point of the DV path vs a37's whole-partition rewrite
+    assert(dataFiles() == filesBefore, "erase must not touch data files")
+    // 2. time travel: the pre-erase version still sees every row
+    assert(fmt.versions(spark, dir) == Seq(1L, 2L))
+    assert(fmt.readVersion(spark, dir, 1L).get.count() == 100L,
+      "the pre-erase version must still resolve the erased rows")
+    // 3. erasures ACCUMULATE; schema of read() is unchanged (no leak of
+    // the internal __graft columns)
+    val n2 = fmt.erase(spark, dir, col("k") <= 7, "gdpr2")
+    assert(n2 == 7L)
+    val after2 = fmt.read(spark, dir).get
+    assert(after2.columns.toSeq == Seq("k", "v"))
+    assert(after2.count() == 83L)
+    assert(dataFiles() == filesBefore)
+    // 4. re-running a covered predicate is a no-op: no new version
+    assert(fmt.erase(spark, dir, col("k") === 70, "gdpr3") == 0L)
+    assert(fmt.versions(spark, dir) == Seq(2L, 3L))
+    // 5. merge semantics survive a normal commit on top (full replace
+    // drops the DV — new snapshot, fresh content)
+    fmt.commit(spark, dir, fmt.read(spark, dir).get, "rebase")
+    assert(fmt.read(spark, dir).get.count() == 83L)
+    // 6. compact = the physical purge: merged rows rewritten, and the
+    // old dv sidecars vacuumed once out of the retained window
+    fmt.compact(spark, dir, "purge", targetFiles = 1)
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().toSeq.sorted ==
+      rows.filter(r => r._1 % 10 != 0 && r._1 > 7).sorted)
+    val leftoverDvs = fs.globStatus(new Path(s"$dir/dv-v*"))
+    assert(leftoverDvs == null || leftoverDvs.isEmpty,
+      "dv sidecars outside the retained window must be vacuumed")
+  }
+
   test("CommitLogTableFormat.compact: same rows, fewer files, old version retained") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
