@@ -1073,6 +1073,45 @@ object StreamingOps {
     * across splits. Estimates are the same integral
     * (k−1)·2⁶⁰ div kth-min rule (BigInt here; DECIMAL(38) in batch),
     * with sub-k keys exact. */
+  case class DocBlob(doc_id: Long, source: String, n_bytes: Long)
+  case class ShardAssign(doc_id: Long, source: String, n_bytes: Long,
+                         shard_idx: Long, offset_in_shard: Long)
+
+  /** Streaming shard assignment — the live twin of
+    * [[graft.operators.MultimodalOps.e2BlobShard]] for a continuously
+    * arriving multimodal corpus (the ingest loop that feeds
+    * [[graft.sources.TarShardSink]] without waiting for a batch
+    * horizon): per SOURCE, a single running byte offset rides in state
+    * (ONE long — bounded regardless of stream length), and every
+    * arriving blob is assigned the shard its start byte falls in plus
+    * its offset inside that shard, e2's greedy-fill rule verbatim.
+    *
+    * Ordering contract: blobs arrive append-only per source in doc_id
+    * order ACROSS micro-batches (the ingest sequence); WITHIN a
+    * micro-batch the group iterator carries no order, so rows sort by
+    * doc_id before assignment — making the output invariant under any
+    * micro-batch split and equal to the batch manifest row-for-row
+    * (spec-proven against the real e2 operator). The per-batch sort is
+    * bounded by the micro-batch's rows for one (source) group. */
+  def shardStream(spark: SparkSession, docs: Dataset[DocBlob],
+                  shardBytes: Long = graft.operators.MultimodalOps.ShardBytes
+                 ): Dataset[ShardAssign] = {
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[DocBlob], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val a = ShardAssign(d.doc_id, src, d.n_bytes,
+              off / shardBytes, off % shardBytes)
+            off += d.n_bytes
+            a
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   def kmvStream(spark: SparkSession, events: Dataset[EventRow],
                 k: Int = 256): Dataset[KmvEstimate] = {
     import spark.implicits._

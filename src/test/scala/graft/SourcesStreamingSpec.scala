@@ -849,6 +849,40 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(s1("api")._1 == 8, "api sketch must saturate at k")
   }
 
+  test("shardStream: assignments equal the batch e2 manifest across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL corpus at sf0.001, streamed in per-source doc order
+    // (the ingest contract) — truth is the actual batch operator
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+      .as[StreamingOps.DocBlob].collect().toSeq
+    val truth = graft.operators.MultimodalOps.e2BlobShard(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2).toLong, r.getLong(3), r.getLong(4))))
+      .toMap
+    def runSplit(splits: Seq[Int], name: String): Map[Long, (String, Long, Long, Long)] = {
+      val mem = MemoryStream[StreamingOps.DocBlob]
+      val q = StreamingOps.shardStream(spark, mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        (splits :+ docs.size).foldLeft(0) { (from, to) =>
+          mem.addData(docs.slice(from, to)); q.processAllAvailable(); to
+        }
+        spark.sql(s"select * from $name").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+          .toMap
+      } finally q.stop()
+    }
+    val s1 = runSplit(Seq(100, 101, 350), "shard_s1")
+    assert(s1.size == docs.size)
+    assert(s1 == truth, "stream assignment must equal the batch e2 manifest")
+    // a different split (including a 1-row batch) produces the same rows
+    val s2 = runSplit(Seq(7), "shard_s2")
+    assert(s2 == s1, "split invariance")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
