@@ -5425,31 +5425,37 @@ class OperatorSpec extends GraftSpec {
       "measured (n_members, tar_bytes) must equal e17's per-shard predictions")
   }
 
-  test("round-10 operators hold their scan budgets (the branch-duplication lock)") {
-    // Locks the adjudicated one-pass shapes mechanically, the q30/d89
-    // idiom: a future edit that re-derives a lineage (the c49 naive
-    // form read the corpus 4x) fails HERE, not in a judge's plan read.
-    def scansOf(df: org.apache.spark.sql.DataFrame): Int =
-      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
-    val budgets: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
-      ("c47 one spine scan", Events.c47AnomalyEnsemble(spark, sfDir), 1),
-      ("c48 one spine scan", Events.c48Dispersion(spark, sfDir), 1),
-      ("c49 one scan via day-keyed pair sets", Events.c49CoBurst(spark, sfDir), 1),
-      ("c50 one scan into the sketch agg", Events.c50OverlapSketch(spark, sfDir), 1),
-      ("c51 one scan", Events.c51Diurnality(spark, sfDir), 1),
-      ("q65 lineitem+part", Analytics.q65AbcClass(spark, sfDir), 2),
-      ("q66 lineitem+part", Analytics.q66TopkChurn(spark, sfDir), 2),
-      ("q67 one orders scan", Analytics.q67GrowthAccounting(spark, sfDir), 1),
-      ("q68 lineitem+part", Analytics.q68DiscountElasticity(spark, sfDir), 2),
-      ("q69 one lineitem scan", Analytics.q69ReturnPchart(spark, sfDir), 1),
-      ("d99 one documents scan", TextOps.d99DupQuality(spark, sfDir), 1),
-      ("d100 corpus+eval (two genuine inputs)", TextOps.d100DecontamPlan(spark, sfDir), 2),
-      ("d101 one documents scan", CorpusOps.d101NgramCardinality(spark, sfDir), 1),
-      ("e17 one documents scan", MultimodalOps.e17TarLayout(spark, sfDir), 1),
-      ("a42 3 tables + the slim orders join side", Etl.a42AccessExport(spark, sfDir), 4))
-    budgets.foreach { case (name, df, n) =>
-      val got = scansOf(df)
-      assert(got == n, s"$name: expected $n scans, saw $got")
+  test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
+    // Locks every registered query's physical parquet-scan count to the
+    // adjudicated value in src/test/resources/scan_budgets.txt — the
+    // r10 lock (15 operators) extended suite-wide. A future edit that
+    // re-derives a lineage (the c49 naive form read the corpus 4x)
+    // fails HERE, not in a judge's plan read; a NEW query without a
+    // budget row fails the completeness assert. Metric =
+    // PlanAudit.uniqueScans: FileSourceScan nodes + each distinct
+    // cached relation's inner scans once (actual I/O per execution;
+    // checkpointed subplans legitimately count 0 — their corpus read
+    // happened at materialization). Regenerate candidates with
+    //   sbt "runMain graft.ScanBudgetGen /root/testdata/sf0.001 /tmp/sb.txt"
+    // then ADJUDICATE the diff before updating the resource — a higher
+    // count is a regression unless the new scan is a genuine new input
+    // (the a21/q57/d89 two-input precedent).
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/scan_budgets.txt"), "UTF-8")
+    val budgets = try src.getLines().filter(_.trim.nonEmpty).map { l =>
+      val Array(n, c) = l.trim.split("\\s+"); n -> c.toInt
+    }.toMap finally src.close()
+    val missing = SparkEntry.queries.keySet -- budgets.keySet
+    assert(missing.isEmpty,
+      s"queries with NO adjudicated scan budget (run ScanBudgetGen, adjudicate, append): $missing")
+    val stale = budgets.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"budget rows for unregistered queries: $stale")
+    val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val got =
+        try PlanAudit.uniqueScans(fn(spark, sfDir))
+        catch { case e: Throwable => fail(s"$name failed to build: $e") }
+      if (got != budgets(name)) Some(s"$name: budget ${budgets(name)}, saw $got") else None
     }
+    assert(diffs.isEmpty, diffs.mkString("; "))
   }
 }
