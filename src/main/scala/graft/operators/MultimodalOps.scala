@@ -1335,6 +1335,8 @@ object MultimodalOps {
        |ORDER BY source, shard_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_tar_index" ->
+      ((s: SparkSession, d: String) => graft.sources.TarShardSink.e19TarIndex(s, d)),
     "e18_written_shards" ->
       ((s: SparkSession, d: String) => graft.sources.TarShardSink.e18WrittenShards(s, d)),
     "e17_tar_layout" -> (e17TarLayout _),
@@ -1356,6 +1358,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e19_tar_index" -> graft.sources.TarShardSink.e19Sql,
     "e18_written_shards" -> graft.sources.TarShardSink.e18Sql,
     "e17_tar_layout" -> e17Sql,
     "e16_shard_sync_plan" -> e16Sql,

@@ -155,6 +155,63 @@ object TarShardSink {
     writtenManifest(spark, out)
   }
 
+  /** Member-grain index of the archives on disk under `outDir`: one
+    * row per tar member with its MEASURED header offset and size from
+    * the streaming header walk — exactly the seek index a WebDataset
+    * loader builds once per shard and then random-accesses by. Same
+    * distribution shape as [[writtenManifest]] (bounded driver listing,
+    * distributed walks). */
+  def tarIndex(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val bconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.globStatus(new Path(outDir, "*/shard-*.tar"))
+    val files = if (listed == null) Seq.empty[String] else listed.toSeq.map(_.getPath.toString)
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices).flatMap { p =>
+      val path = new Path(p)
+      val shard = path.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+      val src = path.getParent.getName
+      val in = path.getFileSystem(bconf.value.value).open(path)
+      val members = try Tar.walkStream(in) finally in.close()
+      members.map { case (name, size, off) => (src, shard, name, off, size) }
+    }.toDF("source", "shard_idx", "member_name", "member_offset", "member_bytes")
+      .orderBy(col("source"), col("shard_idx"), col("member_offset"))
+  }
+
+  /** e19: write the real shard archives (idempotent republish over
+    * e18's export dir), then return the MEASURED member-grain seek
+    * index. The oracle derives the same rows from the documents table
+    * via e17's framing math — a pass proves every member's on-disk
+    * offset and size, member-for-member, not just per-shard totals. */
+  def e19TarIndex(spark: SparkSession, dir: String): DataFrame = {
+    val out = shardOutDir(dir)
+    write(spark, dir, out)
+    tarIndex(spark, out)
+  }
+
+  val e19Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |laid AS (
+       |  SELECT *, sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes AS start_byte
+       |  FROM sized),
+       |sharded AS (
+       |  SELECT doc_id, source, n_bytes,
+       |    CAST(start_byte // ${MultimodalOps.ShardBytes} AS BIGINT) AS shard_idx,
+       |    512 + ((n_bytes + 511) // 512) * 512 AS framed
+       |  FROM laid)
+       |SELECT source, shard_idx,
+       |  doc_id || '.bin' AS member_name,
+       |  CAST(sum(framed) OVER (PARTITION BY source, shard_idx ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - framed AS BIGINT)
+       |    AS member_offset,
+       |  n_bytes AS member_bytes
+       |FROM sharded ORDER BY source, shard_idx, member_offset""".stripMargin
+
   val e18Sql: String =
     s"""WITH sized AS (
        |  SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
