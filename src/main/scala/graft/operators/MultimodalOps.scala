@@ -393,6 +393,46 @@ object MultimodalOps {
       out.result()
     }
 
+    /** Fold over an archive STREAM member-by-member: each member's
+      * payload is read fully (memory bounded by the LARGEST member,
+      * never the archive — a ~1 GB shard streams through), passed to
+      * `f` with its name, and discarded. Header checksums verified
+      * like [[readTar]]. The shard-integrity audit shape: hash every
+      * member without ever holding two. */
+    def mapMembersStream[T](in: java.io.InputStream,
+                            f: (String, Array[Byte]) => T): Seq[T] = {
+      val out = Seq.newBuilder[T]
+      val h = new Array[Byte](512)
+      var done = false
+      def readFully(buf: Array[Byte], len: Int): Int = {
+        var got = 0
+        var r = 0
+        while (got < len && r >= 0) {
+          r = in.read(buf, got, len - got)
+          if (r > 0) got += r
+        }
+        got
+      }
+      while (!done) {
+        if (readFully(h, 512) < 512 || h(0) == 0) done = true
+        else {
+          val stored = new String(h, 148, 6, "US-ASCII").trim
+          val hv = h.clone()
+          java.util.Arrays.fill(hv, 148, 156, ' '.toByte)
+          require(java.lang.Long.parseLong(stored, 8) == hv.map(_ & 0xFF).sum.toLong,
+            "tar member checksum")
+          val name = new String(h.take(100).takeWhile(_ != 0), "US-ASCII")
+          val size = java.lang.Long.parseLong(new String(h, 124, 11, "US-ASCII").trim, 8)
+          val data = new Array[Byte](size.toInt)
+          require(readFully(data, size.toInt) == size.toInt, s"truncated member $name")
+          val pad = ((size + 511L) / 512L * 512L - size).toInt
+          if (pad > 0) require(readFully(new Array[Byte](pad), pad) == pad, "truncated padding")
+          out += f(name, data)
+        }
+      }
+      out.result()
+    }
+
     /** Parse a ustar archive back into (name, data) members, verifying
       * each header checksum; stops at the zero end-of-archive block. */
     def readTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
@@ -1335,6 +1375,8 @@ object MultimodalOps {
        |ORDER BY source, shard_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_shard_integrity" ->
+      ((s: SparkSession, d: String) => graft.sources.TarShardSink.e20ShardIntegrity(s, d)),
     "e19_tar_index" ->
       ((s: SparkSession, d: String) => graft.sources.TarShardSink.e19TarIndex(s, d)),
     "e18_written_shards" ->
@@ -1358,6 +1400,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e20_shard_integrity" -> graft.sources.TarShardSink.e20Sql,
     "e19_tar_index" -> graft.sources.TarShardSink.e19Sql,
     "e18_written_shards" -> graft.sources.TarShardSink.e18Sql,
     "e17_tar_layout" -> e17Sql,
