@@ -233,6 +233,32 @@ object StreamingOps {
         format.commit(spark, snapshotDir, merged, batchId.toString)
       }
 
+  /** Streaming right-to-be-forgotten executor: erasure REQUESTS (one
+    * key per row) arrive on a stream, and each micro-batch applies one
+    * deletion-vector erase to the governed commit-log table — a37's
+    * `dv` decision wired to a live request feed, completing the
+    * GDPR path end-to-end (plan → executor → stream). Requests are
+    * collected per batch (bounded: a legal-request feed is human-rate,
+    * orders of magnitude below corpus rate — for a bulk backfill use
+    * `CommitLogTableFormat.erase` with a semi-join predicate directly)
+    * and applied as ONE `isin` predicate, so each micro-batch costs
+    * one data-dir scan + one small sidecar write, never a rewrite.
+    * At-least-once replay is safe: an erase whose keys are already
+    * covered is a no-op (no new version, returns 0). */
+  def eraseStream(requests: DataFrame, table: String, checkpointDir: String,
+                  requestKeyCol: String, tableKeyCol: String) =
+    requests.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keys = batch.select(col(requestKeyCol)).distinct().collect().map(_.get(0))
+        if (keys.nonEmpty) {
+          graft.sources.CommitLogTableFormat.erase(
+            batch.sparkSession, table, col(tableKeyCol).isin(keys.toSeq: _*), s"req$batchId")
+          ()
+        }
+      }
+
   case class FunnelEv(ts: Long, id: Long, typ: String)
   case class FunnelBufState(viewTs: Long, clickTs: Long, purchaseTs: Long,
                             pending: Seq[FunnelEv])

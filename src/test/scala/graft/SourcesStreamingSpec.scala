@@ -369,6 +369,39 @@ class SourcesStreamingSpec extends GraftSpec {
       "dv sidecars outside the retained window must be vacuumed")
   }
 
+  test("eraseStream: streamed requests hide rows via deletion vectors, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_erase_stream").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_erase_ckpt").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fmt.commit(spark, dir, (1L to 100L).map(i => (i, s"r$i")).toDF("k", "v").repartition(4), "base")
+    val filesBefore = fs.globStatus(new Path(s"$dir/data-v1-base/*.parquet"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.eraseStream(mem.toDF().toDF("subject"), dir, ckpt, "subject", "k").start()
+    try {
+      mem.addData(10L, 20L)
+      q.processAllAvailable()
+      assert(fmt.read(spark, dir).get.count() == 98L)
+      // batch 2: one new subject, one already covered — accumulates
+      mem.addData(20L, 30L)
+      q.processAllAvailable()
+      val left = fmt.read(spark, dir).get.as[(Long, String)].collect().map(_._1).toSet
+      assert(left.size == 97 && !left(10L) && !left(20L) && !left(30L))
+      // an EMPTY batch and a fully-covered batch publish nothing new
+      val versionsBefore = fmt.versions(spark, dir)
+      mem.addData(30L)
+      q.processAllAvailable()
+      assert(fmt.versions(spark, dir) == versionsBefore, "covered request must be a no-op")
+      // zero data-file IO across the whole stream
+      assert(fs.globStatus(new Path(s"$dir/data-v1-base/*.parquet"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap == filesBefore)
+    } finally q.stop()
+  }
+
   test("CommitLogTableFormat.compact: same rows, fewer files, old version retained") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
