@@ -3153,7 +3153,122 @@ object Events {
       |       ELSE 'flat' END AS verdict
       |FROM f WHERE den > 0 ORDER BY event_type""".stripMargin
 
+  def c52RunsTest(spark: SparkSession, dir: String): DataFrame =
+    c52RunsTestOf(Tables.events(spark, dir))
+
+  /** c52: Wald–Wolfowitz runs test on the daily series — the
+    * RANDOMNESS diagnostic completing the process-classifier family
+    * (c48 asks "Poisson or bursty?" from the count DISTRIBUTION; this
+    * asks "is the day-to-day ORDERING random?", which distribution
+    * stats can't see — a rising trend and a random shuffle can share
+    * identical daily counts): per type over the zero-filled day spine,
+    * each day classifies above/≤ the exact discrete median (q21's
+    * lower-median rule — deterministic under ties); R = number of
+    * maximal same-side runs in day order. Under H0, E[R] = 1+2·n1·n2/n
+    * and Var[R] = 2n1n2(2n1n2−n)/(n²(n−1)) (Wald & Wolfowitz 1940);
+    * too FEW runs = clustering/trend (regime drift the c44 CUSUM
+    * should then locate), too MANY = oscillation (load-balancer
+    * flapping, day-parity batch jobs).
+    *
+    * Determinism: the 5% two-sided test |R−E| > 1.96·√Var runs as an
+    * EXACT integer comparison — with A = R·n−(2n1n2+n) (sign of R−E,
+    * ×n), the verdict inequality squares to 625·A²·(n−1) >
+    * 4802·n1·n2·(2n1n2−n) (1.96² = 2401/625 exact) in DECIMAL(38) —
+    * no doubles anywhere, both engines agree bit-for-bit.
+    *
+    * Shape: ONE scan → (type, day) reduce → c33 inline gap explode →
+    * median + lag windows over the day spine (value-bounded frames,
+    * the c31 rule) → per-type 1-row aggregate. ≤|types| rows out. */
+  def c52RunsTestOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val days = zeroFilledDaysOf(events).select(col("event_type"), col("day"), col("n_events"))
+    val wVal = Window.partitionBy(col("event_type")).orderBy(col("n_events"), col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val classified = days
+      .withColumn("rn", row_number().over(wVal))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      // lower median: the value at ascending position (n+1) div 2
+      .withColumn("median",
+        max(when(col("rn") === expr("(n_days + 1) div 2"), col("n_events"))).over(wAll))
+      .withColumn("above", col("n_events") > col("median"))
+      .withColumn("run_start",
+        when(lag(col("above"), 1).over(wDay).isNull ||
+          lag(col("above"), 1).over(wDay) =!= col("above"), 1L).otherwise(0L))
+    classified
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        countIf(col("above")).as("n_above"),
+        sum(col("run_start")).as("runs"))
+      .withColumn("n_below", col("n_days") - col("n_above"))
+      .withColumn("expected_runs_milli",
+        lit(1000L) + expr("(2000 * n_above * n_below) div n_days"))
+      // A = R·n − (2·n1·n2 + n); test 625·A²·(n−1) > 4802·n1·n2·(2n1n2−n)
+      .withColumn("a_num",
+        d38c(col("runs")) * d38c(col("n_days")) -
+          (lit(2) * d38c(col("n_above")) * d38c(col("n_below")) + d38c(col("n_days"))))
+      .withColumn("lhs", lit(625) * col("a_num") * col("a_num") * (d38c(col("n_days")) - 1))
+      .withColumn("rhs",
+        lit(4802) * d38c(col("n_above")) * d38c(col("n_below")) *
+          (lit(2) * d38c(col("n_above")) * d38c(col("n_below")) - d38c(col("n_days"))))
+      .withColumn("verdict",
+        when(col("n_above") === 0 || col("n_below") === 0, lit("degenerate"))
+          .when(col("a_num") < 0 && col("lhs") > col("rhs"), lit("clustered"))
+          .when(col("a_num") > 0 && col("lhs") > col("rhs"), lit("oscillating"))
+          .otherwise(lit("random")))
+      .select(col("event_type"), col("n_days"), col("n_above"), col("n_below"),
+        col("runs"), col("expected_runs_milli"), col("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val c52Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |cl AS (
+      |  SELECT event_type, day, n_events,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY n_events, day) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n_days
+      |  FROM j),
+      |med AS (
+      |  SELECT *, max(CASE WHEN rn = (n_days + 1) // 2 THEN n_events END)
+      |      OVER (PARTITION BY event_type) AS median
+      |  FROM cl),
+      |runs AS (
+      |  SELECT event_type, n_days, n_events > median AS above,
+      |    CASE WHEN lag(n_events > median) OVER (PARTITION BY event_type ORDER BY day)
+      |      IS DISTINCT FROM (n_events > median) THEN 1 ELSE 0 END AS run_start
+      |  FROM med),
+      |g AS (
+      |  SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+      |    CAST(count(CASE WHEN above THEN 1 END) AS BIGINT) AS n_above,
+      |    CAST(sum(run_start) AS BIGINT) AS runs
+      |  FROM runs GROUP BY 1),
+      |f AS (
+      |  SELECT *, n_days - n_above AS n_below,
+      |    CAST(runs AS HUGEINT) * n_days
+      |      - (2 * CAST(n_above AS HUGEINT) * (n_days - n_above) + n_days) AS a_num
+      |  FROM g)
+      |SELECT event_type, n_days, n_above, n_below, runs,
+      |  CAST(1000 + (2000 * n_above * n_below) // n_days AS BIGINT) AS expected_runs_milli,
+      |  CASE WHEN n_above = 0 OR n_below = 0 THEN 'degenerate'
+      |       WHEN a_num < 0 AND 625 * a_num * a_num * (n_days - 1)
+      |         > 4802 * CAST(n_above AS HUGEINT) * n_below
+      |           * (2 * CAST(n_above AS HUGEINT) * n_below - n_days) THEN 'clustered'
+      |       WHEN a_num > 0 AND 625 * a_num * a_num * (n_days - 1)
+      |         > 4802 * CAST(n_above AS HUGEINT) * n_below
+      |           * (2 * CAST(n_above AS HUGEINT) * n_below - n_days) THEN 'oscillating'
+      |       ELSE 'random' END AS verdict
+      |FROM f ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c52_runs_test" -> (c52RunsTest _),
     "c51_diurnality" -> (c51Diurnality _),
     "c50_overlap_sketch" -> (c50OverlapSketch _),
     "c49_co_burst" -> (c49CoBurst _),
@@ -3207,6 +3322,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c52_runs_test" -> c52Sql,
     "c51_diurnality" -> c51Sql,
     "c50_overlap_sketch" -> c50Sql,
     "c49_co_burst" -> c49Sql,

@@ -5425,6 +5425,34 @@ class OperatorSpec extends GraftSpec {
       "measured (n_members, tar_bytes) must equal e17's per-shard predictions")
   }
 
+  test("c52 runs test: planted orderings hit all four verdicts; stats replay exactly") {
+    import spark.implicits._
+    def series(t: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        Seq.fill(c)((t, new java.sql.Timestamp(day.toLong * 86400000L)))
+      }
+    // trend: clustered (2 runs where ~11 expected); flip: oscillating
+    // (20 runs); rand: inside the 5% band; flat: degenerate (no side)
+    val rows = series("trend", Seq.fill(10)(1) ++ Seq.fill(10)(3)) ++
+      series("flip", (0 until 20).map(i => if (i % 2 == 0) 1 else 3)) ++
+      series("rand", Seq(1, 3, 3, 1, 3, 1, 1, 3, 1, 3)) ++
+      series("flat", Seq.fill(8)(2))
+    val got = Events.c52RunsTestOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))))
+      .toMap
+    // hand math: E[R]·1000 = 1000 + 2000·n1·n2 div n
+    assert(got("trend") == ((20L, 10L, 10L, 2L, 11000L, "clustered")), got("trend").toString)
+    assert(got("flip") == ((20L, 10L, 10L, 20L, 11000L, "oscillating")), got("flip").toString)
+    assert(got("rand") == ((10L, 5L, 5L, 8L, 6000L, "random")), got("rand").toString)
+    assert(got("flat")._6 == "degenerate" && got("flat")._2 == 0L)
+    // real data: every type classifies, runs within [1, n_days]
+    val real = Events.c52RunsTest(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(4) >= 1L && r.getLong(4) <= r.getLong(1),
+      s"${r.getString(0)} runs ${r.getLong(4)}"))
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
