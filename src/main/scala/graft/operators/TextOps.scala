@@ -2875,7 +2875,80 @@ object TextOps {
       |       THEN 'cut_spans' ELSE 'drop' END AS decision
       |FROM a ORDER BY doc_id""".stripMargin
 
+  def d102PiiDensity(spark: SparkSession, dir: String): DataFrame =
+    d102PiiDensityOf(Tables.documents(spark, dir))
+
+  /** d102: per-SOURCE PII density report — the compliance dashboard
+    * grain d18 (per-doc scrub) feeds but doesn't provide: a curation
+    * owner decides per SOURCE whether to scrub, quarantine, or drop,
+    * and that decision wants density, not rows. Per source: docs,
+    * docs with any hit (exact bp), email/phone hit totals, hits per
+    * MiB (integral — the cross-corpus-comparable rate: raw counts
+    * just restate corpus size), and the worst single doc's hit count
+    * (the tail drives legal risk, not the mean). Same deterministic
+    * injection rule as d18 so the testdata carries planted truth;
+    * same cross-engine regexes (RE2-safe classes, no lookarounds).
+    *
+    * Shape: ONE scan, row-local regexp counts (codegen'd, zero
+    * shuffle until the |sources|-row reduce). */
+  def d102PiiDensityOf(docs: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(lit(" contact agent"), col("doc_id").cast("string"),
+          lit("@example.org or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("text")
+    docs.select(col("doc_id"), col("source"), injected)
+      .select(col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("e"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countIf(col("e") + col("p") > 0).as("docs_with_pii"),
+        sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("e") + col("p")).as("max_doc_hits"))
+      .select(col("source"), col("n_docs"), col("docs_with_pii"),
+        expr("(docs_with_pii * 10000) div n_docs").as("pii_bp"),
+        col("n_emails"), col("n_phones"),
+        expr("((n_emails + n_phones) * 1048576) div total_bytes").as("hits_per_mib"),
+        col("max_doc_hits"))
+      .orderBy(col("source"))
+  }
+
+  val d102Sql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id, source,
+       |    concat(text, CASE WHEN doc_id % 10 = 0
+       |      THEN concat(' contact agent', CAST(doc_id AS VARCHAR),
+       |        '@example.org or call 555-',
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+       |      ELSE '' END) AS text
+       |  FROM documents),
+       |hits AS (
+       |  SELECT source,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS e,
+       |    CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS p
+       |  FROM injected),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(CASE WHEN e + p > 0 THEN 1 END) AS BIGINT) AS docs_with_pii,
+       |    CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(p) AS BIGINT) AS n_phones,
+       |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |    CAST(max(e + p) AS BIGINT) AS max_doc_hits
+       |  FROM hits GROUP BY 1)
+       |SELECT source, n_docs, docs_with_pii,
+       |  (docs_with_pii * 10000) // n_docs AS pii_bp,
+       |  n_emails, n_phones,
+       |  ((n_emails + n_phones) * 1048576) // total_bytes AS hits_per_mib,
+       |  max_doc_hits
+       |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d102_pii_density" -> (d102PiiDensity _),
     "d100_decontam_plan" -> (d100DecontamPlan _),
     "d99_dup_quality" -> (d99DupQuality _),
     "d98_vocab_coverage" -> (d98VocabCoverage _),
@@ -2928,6 +3001,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d102_pii_density" -> d102Sql,
     "d100_decontam_plan" -> d100Sql,
     "d99_dup_quality" -> d99Sql,
     "d98_vocab_coverage" -> d98Sql,

@@ -5453,6 +5453,31 @@ class OperatorSpec extends GraftSpec {
       s"${r.getString(0)} runs ${r.getLong(4)}"))
   }
 
+  test("d102 PII density: planted hits replay per source; injection rule matches d18's") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "hello a@b.co x"),
+      (2L, "s1", "call 555-1234 now"),
+      (3L, "s1", "clean text"),
+      (10L, "s2", "clean")) // %10==0: injection appends 1 email + 1 phone
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.d102PiiDensityOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val s1Bytes = 14L + 17L + 10L
+    assert(got("s1") == ((3L, 2L, 6666L, 1L, 1L, 2L * 1048576L / s1Bytes, 1L)),
+      got("s1").toString)
+    val s2Bytes = "clean contact agent10@example.org or call 555-0010".length.toLong
+    assert(got("s2") == ((1L, 1L, 10000L, 1L, 1L, 2L * 1048576L / s2Bytes, 2L)),
+      got("s2").toString)
+    // real data: every source reports; the injection guarantees hits
+    // SOMEWHERE (doc_ids stripe by source, so only sources holding
+    // %10==0 ids carry them); emails == phones (injected pairwise)
+    val real = TextOps.d102PiiDensity(spark, sfDir).collect()
+    assert(real.nonEmpty && real.map(_.getLong(2)).sum > 0)
+    assert(real.map(_.getLong(4)).sum == real.map(_.getLong(5)).sum)
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
