@@ -2993,7 +2993,98 @@ object Analytics {
       |      < greatest(pbar - 3.0 * sigma, 0.0)) AS ooc
       |FROM s ORDER BY month_idx""".stripMargin
 
+  def q70Spearman(spark: SparkSession, dir: String): DataFrame =
+    q70SpearmanOf(Tables.lineitem(spark, dir))
+
+  /** q70: Spearman rank correlation between discount and quantity per
+    * return flag — the ROBUST companion to q26's Pearson (rank
+    * correlation sees any monotone relation and shrugs at outliers;
+    * pricing tails wreck a raw-moment corr). The scale trick: never
+    * rank 6 B rows. Discount and quantity live in TINY value spaces
+    * (≤11 and ≤50 distinct values), so the row-grain ranking
+    * compresses to the VALUE-GRAIN frequency table: the tie-averaged
+    * rank of value v is cum_before(v) + (t_v + 1)/2 — computable with
+    * a window over the ≤50-row marginal frame (c31-compliant; a
+    * per-flag rank window over the corpus would pin |flags| hot
+    * partitions). Ranks are kept INTEGRAL by doubling (r2 = 2·cum +
+    * t + 1); Pearson is scale-invariant, so ρ(r2x, r2y) = ρ(rank_x,
+    * rank_y) exactly. Moments are frequency-weighted sums over the
+    * ≤flag·11·50 joint cells in DECIMAL(38,0) — exact until the final
+    * double sqrt/divide (the q26 IEEE discipline). Σ cnt·r2x·r2y ≤
+    * 4n³: inside DECIMAL(38) up to n ≈ 2.9e12 rows — the 100 TB
+    * corpus fits.
+    *
+    * Shape: ONE scan → (flag, disc, qty) map-side reduce (≤1650
+    * cells) → marginal tie/cum windows over the SAME cell lineage
+    * (re-aggregating per axis would re-scan the corpus per marginal —
+    * the c49 trap; exact-offset RANGE frames, the c36 idiom) →
+    * per-flag 1-row aggregate. No joins at all. */
+  def q70SpearmanOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val cells = lineitem
+      .select(col("l_returnflag").as("flag"),
+        (dec2(col("l_discount")) * 100).cast("bigint").as("dx"),
+        col("l_quantity").cast("bigint").as("qy"))
+      .groupBy(col("flag"), col("dx"), col("qy"))
+      .agg(count(lit(1)).as("cnt"))
+    // marginal tie counts and cum-before as WINDOWS over the same cell
+    // lineage (re-aggregating `cells` per axis would re-scan lineitem
+    // per marginal — the c49 branch-duplication trap; exact-offset
+    // RANGE frames on the integer value are the c36 idiom)
+    def r2(valCol: String): Column = {
+      val t = sum(col("cnt")).over(Window.partitionBy(col("flag"), col(valCol)))
+      val cumBefore = coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("flag")).orderBy(col(valCol))
+          .rangeBetween(Window.unboundedPreceding, -1)), lit(0L))
+      lit(2) * cumBefore + t + 1
+    }
+    cells
+      .withColumn("rx", d38c(r2("dx")))
+      .withColumn("ry", d38c(r2("qy")))
+      .select(col("flag"), d38c(col("cnt")).as("c"), col("rx"), col("ry"))
+      .groupBy(col("flag"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * col("rx")).as("sx"),
+        sum(col("c") * col("ry")).as("sy"),
+        sum(col("c") * col("rx") * col("ry")).as("sxy"),
+        sum(col("c") * col("rx") * col("rx")).as("sxx"),
+        sum(col("c") * col("ry") * col("ry")).as("syy"))
+      .select(col("flag").as("l_returnflag"), col("n").cast("bigint").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q70Sql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS dx,
+      |    CAST(l_quantity AS BIGINT) AS qy, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT flag, CAST(cnt AS HUGEINT) AS c,
+      |    CAST(2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY dx
+      |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + sum(cnt) OVER (PARTITION BY flag, dx) + 1 AS HUGEINT) AS rx,
+      |    CAST(2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY qy
+      |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + sum(cnt) OVER (PARTITION BY flag, qy) + 1 AS HUGEINT) AS ry
+      |  FROM cells),
+      |m AS (
+      |  SELECT flag, sum(c) AS n, sum(c * rx) AS sx, sum(c * ry) AS sy,
+      |    sum(c * rx * ry) AS sxy, sum(c * rx * rx) AS sxx, sum(c * ry * ry) AS syy
+      |  FROM j GROUP BY 1)
+      |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |    AS spearman
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_spearman" -> (q70Spearman _),
     "q69_return_pchart" -> (q69ReturnPchart _),
     "q68_discount_elasticity" -> (q68DiscountElasticity _),
     "q67_growth_accounting" -> (q67GrowthAccounting _),
@@ -3064,6 +3155,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q70_spearman" -> q70Sql,
     "q69_return_pchart" -> q69Sql,
     "q68_discount_elasticity" -> q68Sql,
     "q67_growth_accounting" -> q67Sql,

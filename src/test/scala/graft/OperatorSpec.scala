@@ -5478,6 +5478,29 @@ class OperatorSpec extends GraftSpec {
     assert(real.map(_.getLong(4)).sum == real.map(_.getLong(5)).sum)
   }
 
+  test("q70 Spearman: monotone=±1, tie-averaged ranks replay the textbook value") {
+    import spark.implicits._
+    def li(flag: String, rows: Seq[(Double, Long)]) =
+      rows.map { case (d, q) => (flag, BigDecimal(d), BigDecimal(q)) }
+    val planted = (
+      li("M", Seq(0.01 -> 10L, 0.02 -> 20L, 0.03 -> 30L, 0.04 -> 40L, 0.05 -> 50L)) ++
+      li("I", Seq(0.01 -> 50L, 0.02 -> 40L, 0.03 -> 30L, 0.04 -> 20L, 0.05 -> 10L)) ++
+      li("T", Seq(0.01 -> 10L, 0.01 -> 20L, 0.02 -> 20L, 0.03 -> 30L)))
+      .toDF("l_returnflag", "l_discount", "l_quantity")
+    val got = Analytics.q70SpearmanOf(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // sqrt(a)*sqrt(a) rounds one ulp short of a: tolerance, not equality
+    assert(got("M")._1 == 5L && math.abs(got("M")._2 - 1.0) < 1e-12, got("M").toString)
+    assert(got("I")._1 == 5L && math.abs(got("I")._2 + 1.0) < 1e-12, got("I").toString)
+    // x=[1,1,2,3], y=[10,20,20,30]: tie-averaged Spearman = 60/72
+    assert(got("T")._1 == 4L && math.abs(got("T")._2 - 60.0 / 72.0) < 1e-15,
+      got("T").toString)
+    // real data: every flag reports, rho in [-1, 1]
+    val real = Analytics.q70Spearman(spark, sfDir).collect()
+    assert(real.length == 3)
+    real.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
