@@ -1822,7 +1822,58 @@ object CorpusOps {
        |ORDER BY e.source""".stripMargin
   }
 
+  /** d103: near-dup cluster size profile — the dedup-paper figure
+    * (Lee et al. 2022 fig. 2 class) a curation owner reads before
+    * choosing d50's keep policy: the histogram of d25's cluster
+    * sizes, plus the singleton row (docs in NO near-dup cluster —
+    * d25's labels cover only graph nodes, so singletons come from the
+    * corpus total, the one extra genuine input). Per size: clusters,
+    * docs, share of the corpus in exact bp. The shape of this
+    * histogram decides policy: a fat head of giant clusters means
+    * boilerplate/mirrors (drop whole clusters); a long size-2 tail
+    * means fuzzy re-posts (keep-best suffices).
+    *
+    * Shape: shared d25 labels (session-cached closure) → size reduce
+    * → size histogram (≤ distinct-size rows); one corpus scan for the
+    * total-docs scalar (1-row broadcast). */
+  def d103ClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val labels = sharedClusters(spark, dir)
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("total_docs"))
+    val withSingletons = hist
+      .unionByName(
+        hist.agg(sum(col("n_docs")).as("clustered")).crossJoin(total)
+          .select(lit(1L).as("cluster_size"),
+            (col("total_docs") - coalesce(col("clustered"), lit(0L))).as("n_clusters"),
+            (col("total_docs") - coalesce(col("clustered"), lit(0L))).as("n_docs")))
+    withSingletons.crossJoin(total)
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("(n_docs * 10000) div total_docs").as("docs_bp"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val d103Sql: String = ccSqlPrefix +
+    """,
+      |hist AS (
+      |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |    CAST(sum(cluster_size) AS BIGINT) AS n_docs
+      |  FROM sizes GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM documents),
+      |full_hist AS (
+      |  SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters, n_docs FROM hist
+      |  UNION ALL
+      |  SELECT 1, total_docs - coalesce((SELECT sum(n_docs) FROM hist), 0),
+      |    total_docs - coalesce((SELECT sum(n_docs) FROM hist), 0)
+      |  FROM tot)
+      |SELECT cluster_size, n_clusters, n_docs,
+      |  (n_docs * 10000) // (SELECT total_docs FROM tot) AS docs_bp
+      |FROM full_hist ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d103_cluster_profile" -> (d103ClusterProfile _),
     "d101_ngram_cardinality" -> (d101NgramCardinality _),
     "d91_cdc_chunks" -> (d91CdcChunks _),
     "d90_missing_mass" -> (d90MissingMass _),
@@ -1850,6 +1901,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d103_cluster_profile" -> d103Sql,
     "d101_ngram_cardinality" -> d101Sql,
     "d91_cdc_chunks" -> d91Sql,
     "d90_missing_mass" -> d90Sql,

@@ -3267,7 +3267,103 @@ object Events {
       |       ELSE 'random' END AS verdict
       |FROM f ORDER BY event_type""".stripMargin
 
+  def c53MannKendall(spark: SparkSession, dir: String): DataFrame =
+    c53MannKendallOf(Tables.events(spark, dir))
+
+  /** c53: Mann–Kendall trend test on the daily series — the DIRECTED
+    * companion to c52 (the runs test rejects randomness without saying
+    * which way; MK is the standard nonparametric monotone-trend test —
+    * Mann 1945, Kendall 1975 — the one capacity planning actually
+    * wants answered: "is this feed growing?"). Per type over the
+    * zero-filled day spine: S = Σ_{i<j} sgn(x_j − x_i), tie-corrected
+    * variance 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the 5%
+    * verdict with the standard ±1 continuity correction, evaluated as
+    * the EXACT integer comparison 11250·(|S|−1)² > 2401·var18
+    * (1.96² = 2401/625; ×18 clears the variance denominator) in
+    * DECIMAL(38) — no doubles, bit-identical across engines.
+    *
+    * Scale shape: the O(d²) pair sweep runs on the (type, day) REDUCED
+    * frame, never the corpus — the day spine is CALENDAR-bounded
+    * (≤ ~3.7k rows/type even for a 10-year feed; ~7M pairs worst
+    * case), so the cost is fixed regardless of corpus size. The
+    * reduced frame is `localCheckpoint`ed (the sharedClusters idiom,
+    * CorpusOps.scala:155 — on a cluster a reliable checkpoint dir
+    * takes over) so its three consumers (pairs × 2 sides, tie groups)
+    * share ONE materialized corpus reduce instead of re-deriving the
+    * lineage (the c49 branch-duplication trap); a plain persist would
+    * not survive the self-join's attribute disambiguation in the
+    * scan-budget lock's cache-dedup, and the checkpoint truncates the
+    * O(corpus) lineage below a tiny calendar-bounded frame anyway.
+    * The pair join is an equi-join on type with a day inequality
+    * filter — never a cartesian. */
+  def c53MannKendallOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val days = zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .localCheckpoint(true)
+    val a = days.select(col("event_type"), col("day").as("di"), col("n_events").as("xi"))
+    val b = days.select(col("event_type"), col("day").as("dj"), col("n_events").as("xj"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+    val ties = days.groupBy(col("event_type"), col("n_events"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_values"), sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    ties.join(s, Seq("event_type"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) - col("tie_term"))
+      .withColumn("lhs",
+        lit(11250) * d38c(abs(col("s_stat")) - 1) * d38c(abs(col("s_stat")) - 1))
+      .withColumn("verdict",
+        when(col("var18") === 0, lit("degenerate"))
+          .when(col("s_stat") > 0 && col("lhs") > lit(2401) * d38c(col("var18")),
+            lit("trend_up"))
+          .when(col("s_stat") < 0 && col("lhs") > lit(2401) * d38c(col("var18")),
+            lit("trend_down"))
+          .otherwise(lit("no_trend")))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"), col("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val c53Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.n_events > a.n_events THEN 1
+      |                  WHEN b.n_events < a.n_events THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM j a JOIN j b ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, n_events, count(*) AS t FROM j GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT t.event_type, t.n_days, p.s_stat,
+      |    t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS var18
+      |  FROM ties t JOIN pairs p ON t.event_type = p.event_type)
+      |SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+      |  CASE WHEN var18 = 0 THEN 'degenerate'
+      |       WHEN s_stat > 0 AND 11250 * CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+      |         > 2401 * CAST(var18 AS HUGEINT) THEN 'trend_up'
+      |       WHEN s_stat < 0 AND 11250 * CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+      |         > 2401 * CAST(var18 AS HUGEINT) THEN 'trend_down'
+      |       ELSE 'no_trend' END AS verdict
+      |FROM f ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c53_mann_kendall" -> (c53MannKendall _),
     "c52_runs_test" -> (c52RunsTest _),
     "c51_diurnality" -> (c51Diurnality _),
     "c50_overlap_sketch" -> (c50OverlapSketch _),
@@ -3322,6 +3418,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c53_mann_kendall" -> c53Sql,
     "c52_runs_test" -> c52Sql,
     "c51_diurnality" -> c51Sql,
     "c50_overlap_sketch" -> c50Sql,

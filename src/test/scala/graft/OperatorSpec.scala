@@ -47,7 +47,8 @@ class OperatorSpec extends GraftSpec {
       "c42_survival_km",       // 1-row corpus-end-day scalar broadcast
       "d92_mips_topk",         // broadcast 10-row query set, =!= condition (d9's shape)
       "d93_mips_lsh",          // 1-row max-norm scalar broadcast (the augmentation M2)
-      "d98_vocab_coverage")    // 1-row corpus-totals scalar broadcast
+      "d98_vocab_coverage",    // 1-row corpus-totals scalar broadcast
+      "d103_cluster_profile")  // 1-row corpus-doc-count broadcast (×2: hist + singleton row)
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -5499,6 +5500,59 @@ class OperatorSpec extends GraftSpec {
     val real = Analytics.q70Spearman(spark, sfDir).collect()
     assert(real.length == 3)
     real.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+  }
+
+  test("c53 Mann-Kendall: planted monotone/flat/noise series replay S, var and verdicts") {
+    import spark.implicits._
+    def series(t: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        Seq.fill(c)((t, new java.sql.Timestamp(day.toLong * 86400000L)))
+      }
+    val rows = series("up", (1 to 10).toSeq) ++
+      series("down", (1 to 10).reverse) ++
+      series("noise", Seq(1, 2, 1, 2, 1, 2, 1, 2, 1, 2))
+    val got = Events.c53MannKendallOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // up: S=45 (all 45 pairs concordant), no ties: var18 = 10*9*25
+    assert(got("up") == ((10L, 45L, 2250L, "trend_up")), got("up").toString)
+    assert(got("down") == ((10L, -45L, 2250L, "trend_down")), got("down").toString)
+    // alternating: S=5; ties 5x1s+5x2s: tie_term=2*(5*4*15)=600
+    assert(got("noise") == ((10L, 5L, 1650L, "no_trend")), got("noise").toString)
+    // a constant series is degenerate (variance 0 after tie correction)
+    val flat = Events.c53MannKendallOf(series("flat", Seq.fill(8)(3))
+      .toDF("event_type", "ts")).collect()
+    assert(flat.head.getString(4) == "degenerate" && flat.head.getLong(3) == 0L)
+    // real data: every type classifies; S bounded by n(n-1)/2
+    val real = Events.c53MannKendall(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (n, s) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(s) <= n * (n - 1) / 2, s"${r.getString(0)} S=$s n=$n")
+    }
+  }
+
+  test("d103 cluster profile: histogram ties out against d25's labels plus singletons") {
+    val prof = CorpusOps.d103ClusterProfile(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val d25 = CorpusOps.d25DedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = Tables.documents(spark, sfDir).count()
+    // clustered sizes (>=2) match d25's grouping exactly
+    val expect = d25.groupBy(_._3).map { case (size, rows) =>
+      size -> ((rows.map(_._2).distinct.length.toLong, rows.length.toLong))
+    }
+    expect.foreach { case (size, (nc, nd)) =>
+      assert(prof(size)._1 == nc && prof(size)._2 == nd, s"size $size: ${prof(size)}")
+    }
+    // the singleton row accounts for every unclustered doc
+    assert(prof(1L)._2 == total - d25.length, s"singletons ${prof(1L)}")
+    // doc mass conserved and bp sums to ~10000 (floor rounding)
+    assert(prof.values.map(_._2).sum == total)
+    val bpSum = prof.values.map(_._3).sum
+    assert(bpSum <= 10000 && bpSum > 10000 - prof.size, s"bp sum $bpSum")
+    // every cluster row is size >= 2 except the singleton row
+    assert(prof.keySet.filter(_ != 1L).forall(_ >= 2L))
   }
 
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
