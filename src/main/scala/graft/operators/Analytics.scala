@@ -3083,7 +3083,100 @@ object Analytics {
       |    AS spearman
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  def q71KendallTau(spark: SparkSession, dir: String): DataFrame =
+    q71KendallTauOf(Tables.lineitem(spark, dir))
+
+  /** q71: Kendall tau-b between discount and quantity per return flag —
+    * the PAIRWISE companion to q70's Spearman (tau counts concordant
+    * vs discordant pairs directly, so its value is interpretable as a
+    * probability difference and its small-sample behavior is the
+    * textbook reason analysts ask for both). The naive statistic is an
+    * O(n²) sweep over row pairs — 1.8e19 pairs at 6 B rows. The scale
+    * trick is q70's value-space compression taken one step further:
+    * both axes live in tiny value spaces (≤11 discounts × ≤50
+    * quantities), so ALL pair information collapses onto the joint
+    * frequency table. C − D = Σ_{cells a,b: dx_a<dx_b} c_a·c_b·
+    * sgn(qy_b − qy_a) over cell PAIRS (≤550² per flag — fixed cost
+    * regardless of corpus size), and the tau-b tie corrections need
+    * only the marginal tie counts: n1 = Σ_x t_x(t_x−1)/2, n2 likewise
+    * on y, n0 = n(n−1)/2, tau_b = (C−D)/√((n0−n1)(n0−n2)). Products
+    * reach n² — DECIMAL(38,0) throughout (exact to n ≈ 1.3e19), one
+    * IEEE divide/sqrt at the end (the q26 discipline).
+    *
+    * Shape: ONE corpus scan → (flag, dx, qy) map-side reduce, then
+    * `localCheckpoint` of the ≤1650-row cell frame (the c53 idiom) so
+    * its four consumers — pair-join both sides, two marginals — share
+    * the materialized reduce instead of re-deriving the corpus lineage
+    * (the c49 trap). The pair join is an equi-join on flag between two
+    * value-bounded frames; never a cartesian. */
+  def q71KendallTauOf(lineitem: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val cells = lineitem
+      .select(col("l_returnflag").as("flag"),
+        (dec2(col("l_discount")) * 100).cast("bigint").as("dx"),
+        col("l_quantity").cast("bigint").as("qy"))
+      .groupBy(col("flag"), col("dx"), col("qy"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val a = cells.select(col("flag"), col("dx").as("dxa"), col("qy").as("qya"),
+      col("cnt").as("ca"))
+    val b = cells.select(col("flag"), col("dx").as("dxb"), col("qy").as("qyb"),
+      col("cnt").as("cb"))
+    val cd = a.join(b, Seq("flag")).filter(col("dxa") < col("dxb"))
+      .groupBy(col("flag"))
+      .agg(sum(d38(col("ca")) * d38(col("cb")) *
+        signum(col("qyb") - col("qya")).cast("int")).as("cmd"))
+    def tiePairs(axis: String, out: String): DataFrame = cells
+      .groupBy(col("flag"), col(axis)).agg(sum(col("cnt")).as("t"))
+      .groupBy(col("flag"))
+      .agg(sum((d38(col("t")) * (d38(col("t")) - 1)) / 2).cast(DecimalType(38, 0))
+        .as(out))
+    val n0 = cells.groupBy(col("flag"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("flag"), col("n"),
+        ((d38(col("n")) * (d38(col("n")) - 1)) / 2).cast(DecimalType(38, 0)).as("n0"))
+    n0.join(tiePairs("dx", "n1"), Seq("flag"))
+      .join(tiePairs("qy", "n2"), Seq("flag"))
+      .join(cd, Seq("flag"))
+      .select(col("flag").as("l_returnflag"), col("n").cast("bigint").as("n"),
+        (col("cmd").cast("double") /
+          (sqrt((col("n0") - col("n1")).cast("double")) *
+            sqrt((col("n0") - col("n2")).cast("double")))).as("tau_b"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q71Sql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS dx,
+      |    CAST(l_quantity AS BIGINT) AS qy, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |cd AS (
+      |  SELECT a.flag,
+      |    sum(CAST(a.cnt AS HUGEINT) * b.cnt *
+      |      CASE WHEN b.qy > a.qy THEN 1 WHEN b.qy < a.qy THEN -1 ELSE 0 END) AS cmd
+      |  FROM cells a JOIN cells b ON a.flag = b.flag AND a.dx < b.dx
+      |  GROUP BY 1),
+      |tx AS (
+      |  SELECT flag, sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1
+      |  FROM (SELECT flag, dx, sum(cnt) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+      |ty AS (
+      |  SELECT flag, sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2
+      |  FROM (SELECT flag, qy, sum(cnt) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+      |nn AS (
+      |  SELECT flag, sum(cnt) AS n,
+      |    CAST(sum(cnt) AS HUGEINT) * (sum(cnt) - 1) // 2 AS n0
+      |  FROM cells GROUP BY 1)
+      |SELECT nn.flag AS l_returnflag, CAST(nn.n AS BIGINT) AS n,
+      |  CAST(cd.cmd AS DOUBLE) /
+      |    (sqrt(CAST(nn.n0 - tx.n1 AS DOUBLE)) * sqrt(CAST(nn.n0 - ty.n2 AS DOUBLE)))
+      |    AS tau_b
+      |FROM nn JOIN tx ON nn.flag = tx.flag JOIN ty ON nn.flag = ty.flag
+      |  JOIN cd ON nn.flag = cd.flag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_kendall_tau" -> (q71KendallTau _),
     "q70_spearman" -> (q70Spearman _),
     "q69_return_pchart" -> (q69ReturnPchart _),
     "q68_discount_elasticity" -> (q68DiscountElasticity _),
@@ -3155,6 +3248,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q71_kendall_tau" -> q71Sql,
     "q70_spearman" -> q70Sql,
     "q69_return_pchart" -> q69Sql,
     "q68_discount_elasticity" -> q68Sql,

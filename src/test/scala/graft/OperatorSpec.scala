@@ -5502,6 +5502,38 @@ class OperatorSpec extends GraftSpec {
     real.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
   }
 
+  test("q71 Kendall tau-b: monotone=±1, independence=0, textbook 1/3 and tie case replay") {
+    import spark.implicits._
+    def li(flag: String, rows: Seq[(Double, Long)]) =
+      rows.map { case (d, q) => (flag, BigDecimal(d), BigDecimal(q)) }
+    val planted = (
+      li("M", Seq(0.01 -> 10L, 0.02 -> 20L, 0.03 -> 30L, 0.04 -> 40L)) ++
+      li("I", Seq(0.01 -> 40L, 0.02 -> 30L, 0.03 -> 20L, 0.04 -> 10L)) ++
+      // x=[1,2,3], y=[10,30,20]: C-D = 1, n0 = 3, no ties -> tau = 1/3
+      li("P", Seq(0.01 -> 10L, 0.02 -> 30L, 0.03 -> 20L)) ++
+      // the 2x2 independence grid: C-D = 0 -> tau-b = 0 despite ties
+      li("Z", Seq(0.01 -> 10L, 0.01 -> 20L, 0.02 -> 10L, 0.02 -> 20L)))
+      .toDF("l_returnflag", "l_discount", "l_quantity")
+    val got = Analytics.q71KendallTauOf(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("M")._1 == 4L && math.abs(got("M")._2 - 1.0) < 1e-12, got("M").toString)
+    assert(got("I")._1 == 4L && math.abs(got("I")._2 + 1.0) < 1e-12, got("I").toString)
+    assert(got("P")._1 == 3L && math.abs(got("P")._2 - 1.0 / 3.0) < 1e-15, got("P").toString)
+    assert(got("Z")._1 == 4L && got("Z")._2 == 0.0, got("Z").toString)
+    // real data: every flag reports, tau in [-1, 1], same sign as q70's rho
+    // on the same axes (both are monotone-association measures; on this
+    // data the association is weak but their SIGNS must agree)
+    val real = Analytics.q71KendallTau(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rho = Analytics.q70Spearman(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(real.size == 3)
+    real.foreach { case (f, t) =>
+      assert(math.abs(t) <= 1.0 + 1e-12)
+      assert(t.sign == rho(f).sign || math.abs(t) < 1e-6, s"$f: tau=$t rho=${rho(f)}")
+    }
+  }
+
   test("c53 Mann-Kendall: planted monotone/flat/noise series replay S, var and verdicts") {
     import spark.implicits._
     def series(t: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
