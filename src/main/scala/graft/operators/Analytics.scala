@@ -3175,7 +3175,103 @@ object Analytics {
       |  JOIN cd ON nn.flag = cd.flag
       |ORDER BY l_returnflag""".stripMargin
 
+  def q72MannWhitney(spark: SparkSession, dir: String): DataFrame =
+    q72MannWhitneyOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("grp"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("delay"),
+        (col("l_returnflag") === "R").as("is_ret")))
+
+  /** q72: Mann–Whitney U test per order priority — do RETURNED items
+    * sit on a different ship-delay distribution than kept ones? The
+    * rank-sum test is the standard nonparametric two-sample location
+    * test (Mann & Whitney 1947); q63's KS answers "any shape change",
+    * this answers the sharper "stochastically larger" question QA
+    * actually asks about returns. Never ranks the corpus: delays live
+    * in a small integer value space (ship − order ≤ ~4 months), so
+    * the row-grain rank sum collapses onto the per-priority delay
+    * histogram with a conditional aggregate per side (the a20/a36
+    * one-scan idiom — no returned/kept branch split). 2U = Σ_v
+    * ret(v)·(2·cum_kept_before(v) + kept(v)) keeps half-tie credits
+    * integral; the tie-corrected z uses T = (n+1)n(n−1) − Σ(t³−t) in
+    * DECIMAL(38,0) (exact to n ≈ 6.9e9 per group), then ONE IEEE
+    * divide/sqrt — numerator and denominator are each a correctly-
+    * rounded cast of an exact integer, so z is engine-identical
+    * bit-for-bit. u2 is int64-exact while ret·kept < 4.6e18 (~2e9
+    * rows per side per group); past that emit DECIMAL instead.
+    *
+    * Shape: two scans = two genuine inputs (lineitem ⨝ orders on the
+    * natural key, the q63 precedent) → (priority, delay) map-side
+    * reduce with per-side conditional counts (≤ priorities ×
+    * delay-span cells) → exact-offset RANGE window (c36 idiom) →
+    * per-group 1-row aggregate. */
+  def q72MannWhitneyOf(pairs: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val cells = pairs
+      .groupBy(col("grp"), col("delay"))
+      .agg(sum(when(col("is_ret"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_ret"), 0L).otherwise(1L)).as("cb"))
+    val wBefore = Window.partitionBy(col("grp")).orderBy(col("delay"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val scored = cells
+      .withColumn("cumb", coalesce(sum(col("cb")).over(wBefore), lit(0L)))
+      .withColumn("t", col("ca") + col("cb"))
+    val m = scored.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(d38(col("ca")) * (lit(2) * col("cumb") + col("cb"))).as("u2"),
+        sum(d38(col("t")) * col("t") * col("t") - col("t")).as("tie3"))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("tt",
+        (d38(col("n")) + 1) * col("n") * (col("n") - 1) - col("tie3"))
+    m.select(col("grp").as("o_orderpriority"),
+      col("na").cast("bigint").as("n_ret"), col("nb").cast("bigint").as("n_kept"),
+      col("u2").cast("bigint").as("u2"),
+      when(col("na") === 0 || col("nb") === 0 || col("tt") === 0, lit(null))
+        .otherwise((col("u2") - d38(col("na")) * d38(col("nb"))).cast("double") /
+          sqrt(((d38(col("na")) * d38(col("nb"))).cast("double") *
+            col("tt").cast("double")) /
+            (lit(3.0) * (d38(col("n")) * (d38(col("n")) - 1)).cast("double"))))
+        .as("z"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q72Sql: String =
+    """WITH cells AS (
+      |  SELECT o.o_orderpriority AS grp,
+      |    date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay,
+      |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT grp, ca, cb, ca + cb AS t,
+      |    coalesce(sum(cb) OVER (PARTITION BY grp ORDER BY delay
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM cells),
+      |m AS (
+      |  SELECT grp, sum(ca) AS na, sum(cb) AS nb,
+      |    sum(CAST(ca AS HUGEINT) * (2 * cumb + cb)) AS u2,
+      |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+      |  FROM scored GROUP BY 1),
+      |f AS (
+      |  SELECT grp, na, nb, na + nb AS n, u2,
+      |    (CAST(na + nb AS HUGEINT) + 1) * (na + nb) * (na + nb - 1) - tie3 AS tt
+      |  FROM m)
+      |SELECT grp AS o_orderpriority, CAST(na AS BIGINT) AS n_ret,
+      |  CAST(nb AS BIGINT) AS n_kept, CAST(u2 AS BIGINT) AS u2,
+      |  CASE WHEN na = 0 OR nb = 0 OR tt = 0 THEN NULL
+      |    ELSE CAST(u2 - CAST(na AS HUGEINT) * nb AS DOUBLE) /
+      |      sqrt((CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) * CAST(tt AS DOUBLE))
+      |        / (3.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))
+      |  END AS z
+      |FROM f ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_mann_whitney" -> (q72MannWhitney _),
     "q71_kendall_tau" -> (q71KendallTau _),
     "q70_spearman" -> (q70Spearman _),
     "q69_return_pchart" -> (q69ReturnPchart _),
@@ -3248,6 +3344,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q72_mann_whitney" -> q72Sql,
     "q71_kendall_tau" -> q71Sql,
     "q70_spearman" -> q70Sql,
     "q69_return_pchart" -> q69Sql,

@@ -5534,6 +5534,39 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("q72 Mann-Whitney: planted separations and tie case replay U and z exactly") {
+    import spark.implicits._
+    def li(grp: String, ret: Boolean, delays: Seq[Int]) =
+      delays.map(d => (grp, d.toLong, ret))
+    // SEP: ret=[1,2] kept=[3,4] -> 2U=0, n=4, T=5*4*3=60,
+    //      z = -4/sqrt(4*60/(3*12)) = -1.549...
+    // TIE: ret=[1,2,2] kept=[2,3] -> 2U=2, n=5, T=6*5*4-24=96,
+    //      z = -4/sqrt(6*96/(3*20)) = -1.291...
+    // ONE: kept only -> degenerate (z null)
+    val planted = (li("SEP", ret = true, Seq(1, 2)) ++ li("SEP", ret = false, Seq(3, 4)) ++
+      li("TIE", ret = true, Seq(1, 2, 2)) ++ li("TIE", ret = false, Seq(2, 3)) ++
+      li("ONE", ret = false, Seq(1, 2, 3)))
+      .toDF("grp", "delay", "is_ret")
+    val got = Analytics.q72MannWhitneyOf(planted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    val sep = got("SEP")
+    assert(sep._1 == 2L && sep._2 == 2L && sep._3 == 0L, sep.toString)
+    assert(math.abs(sep._4 - (-4.0 / math.sqrt(4.0 * 60 / (3 * 12)))) < 1e-12)
+    val tie = got("TIE")
+    assert(tie._1 == 3L && tie._2 == 2L && tie._3 == 2L, tie.toString)
+    assert(math.abs(tie._4 - (-4.0 / math.sqrt(6.0 * 96 / (3 * 20)))) < 1e-12)
+    assert(got("ONE")._4.isNaN, got("ONE").toString)
+    // real data: every priority reports; 2U bounded by 2*na*nb; z finite
+    val real = Analytics.q72MannWhitney(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 2 * r.getLong(1) * r.getLong(2))
+      assert(!r.isNullAt(4) && !r.getDouble(4).isNaN)
+    }
+  }
+
   test("c53 Mann-Kendall: planted monotone/flat/noise series replay S, var and verdicts") {
     import spark.implicits._
     def series(t: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
