@@ -3362,7 +3362,78 @@ object Events {
       |       ELSE 'no_trend' END AS verdict
       |FROM f ORDER BY event_type""".stripMargin
 
+  def c54TheilSen(spark: SparkSession, dir: String): DataFrame =
+    c54TheilSenOf(Tables.events(spark, dir))
+
+  /** c54: Theil–Sen trend slope on the daily series — the MAGNITUDE
+    * companion to c53 (Mann–Kendall says "growing"; Theil–Sen says
+    * "by how much per day", robustly — the median of all pairwise
+    * slopes tolerates up to ~29% outlier days, where OLS (q61) is
+    * wrecked by one logging burst). Per type over the zero-filled day
+    * spine: slope = lower median of (x_j − x_i)/(d_j − d_i) over all
+    * day pairs i<j (the q21 discrete-median idiom — row_number =
+    * ceil(cnt/2), engine-identical; each slope is ONE IEEE division
+    * of two exactly-represented integers, so the sorted value set is
+    * bit-identical across engines and ties collapse to the same
+    * value). Direction calls `up`/`down`/`flat` on the exact-zero
+    * boundary of that double.
+    *
+    * Scale shape: identical to c53 — the O(d²) pair frame lives on
+    * the calendar-bounded (type, day) REDUCED frame (≤ ~3.7k
+    * days/type → ≤ ~7M pairs even for a 10-year feed), cost fixed
+    * regardless of corpus size. The reduced frame is
+    * `localCheckpoint`ed so the pair join's two sides share the ONE
+    * materialized corpus reduce (the c53 idiom); the median window
+    * partitions by type over the value-bounded pair frame —
+    * c31-compliant. */
+  def c54TheilSenOf(events: DataFrame): DataFrame = {
+    val days = zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .localCheckpoint(true)
+    val a = days.select(col("event_type"), col("day").as("di"), col("n_events").as("xi"))
+    val b = days.select(col("event_type"), col("day").as("dj"), col("n_events").as("xj"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"),
+        ((col("xj") - col("xi")).cast("double") /
+          (col("dj") - col("di")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(w.orderBy(col("slope"))))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .filter(col("rn") === ceil(col("n_pairs") / 2.0))
+      .select(col("event_type"), col("n_pairs"), col("slope").as("slope_per_day"),
+        when(col("slope") > 0, lit("up")).when(col("slope") < 0, lit("down"))
+          .otherwise(lit("flat")).as("direction"))
+      .orderBy(col("event_type"))
+  }
+
+  val c54Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b.n_events - a.n_events AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM j a JOIN j b ON a.event_type = b.event_type AND a.day < b.day),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+      |  FROM pairs)
+      |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs, slope AS slope_per_day,
+      |  CASE WHEN slope > 0 THEN 'up' WHEN slope < 0 THEN 'down'
+      |       ELSE 'flat' END AS direction
+      |FROM r WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c54_theil_sen" -> (c54TheilSen _),
     "c53_mann_kendall" -> (c53MannKendall _),
     "c52_runs_test" -> (c52RunsTest _),
     "c51_diurnality" -> (c51Diurnality _),
@@ -3418,6 +3489,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c54_theil_sen" -> c54Sql,
     "c53_mann_kendall" -> c53Sql,
     "c52_runs_test" -> c52Sql,
     "c51_diurnality" -> c51Sql,

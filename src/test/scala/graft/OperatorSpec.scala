@@ -5597,6 +5597,29 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("c54 Theil-Sen: outlier-robust median slope replays; OLS would not survive the burst") {
+    import spark.implicits._
+    def series(t: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
+      counts.zipWithIndex.flatMap { case (c, day) =>
+        Seq.fill(c)((t, new java.sql.Timestamp(day.toLong * 86400000L)))
+      }
+    // up: [1,2,3,4,100] -> 10 pair slopes, 6 of them exactly 1.0; the
+    // burst day pushes only ranks 7-10 -> lower median (rank 5) = 1.0
+    val rows = series("up", Seq(1, 2, 3, 4, 100)) ++
+      series("down", Seq(10, 8, 6, 4, 2)) ++
+      series("flat", Seq(3, 3, 3, 3))
+    val got = Events.c54TheilSenOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(got("up") == ((10L, 1.0, "up")), got("up").toString)
+    assert(got("down") == ((10L, -2.0, "down")), got("down").toString)
+    assert(got("flat") == ((6L, 0.0, "flat")), got("flat").toString)
+    // real data: every type reports; n_pairs = d(d-1)/2 for its day span
+    val real = Events.c54TheilSen(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(1) > 0L && !r.getDouble(2).isNaN))
+  }
+
   test("d103 cluster profile: histogram ties out against d25's labels plus singletons") {
     val prof = CorpusOps.d103ClusterProfile(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
