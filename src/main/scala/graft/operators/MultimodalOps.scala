@@ -1374,7 +1374,103 @@ object MultimodalOps {
        |  ON ca.source = cb.source AND ca.shard_idx = cb.shard_idx
        |ORDER BY source, shard_idx""".stripMargin
 
+  /** Loader-fleet size for e21's rendezvous placement (and the +1
+    * elasticity probe). 16 mirrors a modest reader tier; the MATH is
+    * what scales — HRW is O(shards × nodes) with no coordination
+    * state, the standard cache/loader placement since Thaler &
+    * Ravishankar 1998. */
+  val PlacementNodes = 16
+
+  def e21RendezvousPlacement(spark: SparkSession, dir: String): DataFrame = {
+    val n = PlacementNodes
+    // e12's shard derivation: per-source byte totals -> ceil-div shard
+    // spine. One corpus scan; everything after is shard-grain (slim:
+    // corpus_bytes / ShardBytes rows - ~100k at 100 TB with 1 GiB
+    // shards, trivially repartitionable).
+    val owners = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(octet_length(col("text").cast("binary")).cast("long")).as("total_bytes"))
+      .select(col("source"), explode(expr(
+        s"sequence(0L, (total_bytes + ${ShardBytes - 1}L) div ${ShardBytes}L - 1L)"))
+        .as("shard_idx"))
+      .select(col("source"), col("shard_idx"),
+        explode(expr(s"sequence(0, $n)")).as("node"))
+      .withColumn("wt", md5(concat_ws(":", col("source"), col("shard_idx"), col("node"))))
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(
+        max(when(col("node") < n, struct(col("wt"), col("node")))).as("s16"),
+        max(struct(col("wt"), col("node"))).as("s17"))
+      .select(col("s16.node").as("o16"), col("s17.node").as("o17"))
+    // (o16, o17) pair counts are <= nodes x 2 rows (HRW: the owner
+    // changes ONLY if the new node wins) - then both per-node roles
+    // ride ONE lineage via a role explode, no join-back, no second scan
+    val spine = spark.range(n + 1).select(col("id").as("node"))
+    spine.join(
+      owners.groupBy(col("o16"), col("o17")).agg(count(lit(1)).as("cnt"))
+        .select(explode(array(
+          struct(col("o16").as("node"), col("cnt").as("c16"),
+            lit(0L).as("c17"), lit(0L).as("mov")),
+          struct(col("o17").as("node"), lit(0L).as("c16"),
+            col("cnt").as("c17"),
+            when(col("o16") =!= col("o17"), col("cnt")).otherwise(lit(0L)).as("mov"))))
+          .as("r"))
+        .groupBy(col("r.node").as("node"))
+        .agg(sum(col("r.c16")).as("s16"), sum(col("r.c17")).as("s17"),
+          sum(col("r.mov")).as("smov")),
+      Seq("node"), "left")
+      .select(col("node"), coalesce(col("s16"), lit(0L)).as("n_shards_16"),
+        coalesce(col("s17"), lit(0L)).as("n_shards_17"),
+        coalesce(col("smov"), lit(0L)).as("moved_in"))
+      .orderBy(col("node"))
+  }
+
+  /** e21: rendezvous (highest-random-weight) shard->loader placement
+    * with an elasticity audit — the placement policy e12's round-robin
+    * is NOT: modulo assignment reshuffles nearly every shard when the
+    * fleet grows by one, while HRW provably moves only the shards the
+    * NEW node wins (~1/(N+1) of them) and nothing else. Per shard, the
+    * owner is argmax over nodes of md5(source:shard:node); the query
+    * reports each node's shard count at N=16, at N=17, and the
+    * moved-in count — the spec asserts every move lands on the new
+    * node and the moved fraction is near 1/17. Stateless, per-shard
+    * parallel, no coordination — the 1000-loader fleet shape. */
+  val e21Sql: String = {
+    val n = PlacementNodes
+    s"""WITH totals AS (
+       |  SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       |  FROM documents GROUP BY 1),
+       |shards AS (
+       |  SELECT source,
+       |    unnest(generate_series(0, (total_bytes + ${ShardBytes - 1}) // $ShardBytes - 1))
+       |      AS shard_idx
+       |  FROM totals),
+       |h AS (
+       |  SELECT source, shard_idx, node,
+       |    md5(source || ':' || CAST(shard_idx AS VARCHAR) || ':' || CAST(node AS VARCHAR)) AS wt
+       |  FROM (SELECT source, shard_idx, unnest(generate_series(0, $n)) AS node FROM shards)),
+       |own AS (
+       |  SELECT source, shard_idx,
+       |    arg_max(node, wt) FILTER (WHERE node < $n) AS o16,
+       |    arg_max(node, wt) AS o17
+       |  FROM h GROUP BY 1, 2),
+       |pairs AS (SELECT o16, o17, count(*) AS cnt FROM own GROUP BY 1, 2),
+       |roles AS (
+       |  SELECT o16 AS node, cnt AS c16, 0 AS c17, 0 AS mov FROM pairs
+       |  UNION ALL
+       |  SELECT o17, 0, cnt, CASE WHEN o16 <> o17 THEN cnt ELSE 0 END FROM pairs),
+       |agg AS (
+       |  SELECT node, sum(c16) AS s16, sum(c17) AS s17, sum(mov) AS smov
+       |  FROM roles GROUP BY 1)
+       |SELECT s.node, CAST(coalesce(agg.s16, 0) AS BIGINT) AS n_shards_16,
+       |  CAST(coalesce(agg.s17, 0) AS BIGINT) AS n_shards_17,
+       |  CAST(coalesce(agg.smov, 0) AS BIGINT) AS moved_in
+       |FROM (SELECT unnest(generate_series(0, $n)) AS node) s
+       |LEFT JOIN agg ON s.node = agg.node
+       |ORDER BY s.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e21_rendezvous_placement" -> (e21RendezvousPlacement _),
     "e20_shard_integrity" ->
       ((s: SparkSession, d: String) => graft.sources.TarShardSink.e20ShardIntegrity(s, d)),
     "e19_tar_index" ->
@@ -1400,6 +1496,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e21_rendezvous_placement" -> e21Sql,
     "e20_shard_integrity" -> graft.sources.TarShardSink.e20Sql,
     "e19_tar_index" -> graft.sources.TarShardSink.e19Sql,
     "e18_written_shards" -> graft.sources.TarShardSink.e18Sql,

@@ -5620,6 +5620,25 @@ class OperatorSpec extends GraftSpec {
     real.foreach(r => assert(r.getLong(1) > 0L && !r.getDouble(2).isNaN))
   }
 
+  test("e21 rendezvous placement: adding a node moves ONLY shards the new node wins") {
+    val rows = MultimodalOps.e21RendezvousPlacement(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size == MultimodalOps.PlacementNodes + 1)
+    val total16 = rows.values.map(_._1).sum
+    val total17 = rows.values.map(_._2).sum
+    assert(total16 == total17 && total16 > 0, s"shards conserved: $total16 vs $total17")
+    // the new node starts empty at N=16 and every shard it holds at
+    // N=17 is a move; no OTHER node ever gains (HRW minimal disruption)
+    val nw = rows(MultimodalOps.PlacementNodes.toLong)
+    assert(nw._1 == 0L && nw._3 == nw._2, nw.toString)
+    rows.filterKeys(_ < MultimodalOps.PlacementNodes).foreach { case (n, (c16, c17, mov)) =>
+      assert(mov == 0L, s"node $n gained $mov on grow")
+      assert(c17 <= c16, s"node $n grew from $c16 to $c17 when the fleet expanded")
+    }
+    // the disruption is bounded: far fewer moves than a modulo remap
+    assert(nw._2 < total16 / 2, s"moved ${nw._2} of $total16")
+  }
+
   test("d103 cluster profile: histogram ties out against d25's labels plus singletons") {
     val prof = CorpusOps.d103ClusterProfile(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
