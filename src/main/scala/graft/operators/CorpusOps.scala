@@ -1872,7 +1872,92 @@ object CorpusOps {
       |  (n_docs * 10000) // (SELECT total_docs FROM tot) AS docs_bp
       |FROM full_hist ORDER BY cluster_size""".stripMargin
 
+  /** Head size and band threshold for d104's Zipf audit. A true Zipf
+    * head has rank·freq constant; real web corpora hold it within a
+    * small factor over the top ~100 types, while template-flooded or
+    * synthetic sources blow the band wide open. 4.0x (40000 bp) is the
+    * documented, adjustable gate. */
+  val ZipfHead = 100
+  val ZipfBandBp = 40000L
+
+  /** d104: Zipf band audit per source — does the frequency head obey
+    * rank·freq ≈ C (Zipf 1949)? The standard log-log slope fit needs
+    * ln() (banned by the cross-engine determinism rules), but the
+    * CONSTANCY of r·f over the head is the same signal in pure integer
+    * math: per source, the top-[[ZipfHead]] types by frequency (d34's
+    * rank-window precedent; tok tiebreak keeps the order
+    * engine-identical), their r·f min/median/max, and the band ratio
+    * (max·10⁴ div min) against [[ZipfBandBp]]. A source failing the
+    * band is template spam, boilerplate flooding, or machine output —
+    * the curation signal d3/d87 quality scores miss because their
+    * features are per-document, not distributional.
+    *
+    * Shape: ONE scan → (source, tok) map-side reduce (vocab-grain,
+    * sublinear in corpus by Heaps' law) → per-source rank window →
+    * head filter (≤ [[ZipfHead]]·|sources| rows) → median/extremes as
+    * WINDOW columns on the same lineage before the final 1-row-per-
+    * source aggregate (an agg+join-back would re-derive the corpus
+    * lineage — the c49 trap). */
+  def d104ZipfBand(spark: SparkSession, dir: String): DataFrame =
+    d104ZipfBandOf(Tables.documents(spark, dir))
+
+  def d104ZipfBandOf(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    val wSrc = Window.partitionBy(col("source"))
+    val head = tf
+      .withColumn("rank", row_number().over(
+        wSrc.orderBy(col("freq").desc, col("tok"))))
+      .filter(col("rank") <= ZipfHead)
+      .withColumn("rf", col("rank") * col("freq"))
+      .withColumn("rn", row_number().over(wSrc.orderBy(col("rf"), col("rank"))))
+      .withColumn("n_head", count(lit(1)).over(wSrc))
+    head.groupBy(col("source"))
+      .agg(max(col("n_head")).as("n_head"),
+        min(col("rf")).as("rf_min"),
+        max(when(col("rn") === ceil(col("n_head") / 2.0), col("rf"))).as("rf_med"),
+        max(col("rf")).as("rf_max"))
+      .select(col("source"), col("n_head"), col("rf_min"), col("rf_med"), col("rf_max"),
+        expr("(rf_max * 10000) div rf_min").as("band_bp"),
+        when(expr("(rf_max * 10000) div rf_min") <= ZipfBandBp, lit("zipfian"))
+          .otherwise(lit("non_zipfian")).as("verdict"))
+      .orderBy(col("source"))
+  }
+
+  val d104Sql: String =
+    s"""WITH tf AS (
+       |  SELECT source, tok, count(*) AS freq
+       |  FROM (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT source, freq,
+       |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok) AS rank
+       |  FROM tf),
+       |head AS (
+       |  SELECT source, rank, CAST(rank * freq AS BIGINT) AS rf
+       |  FROM ranked WHERE rank <= $ZipfHead),
+       |scored AS (
+       |  SELECT source, rf,
+       |    row_number() OVER (PARTITION BY source ORDER BY rf, rank) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n_head
+       |  FROM head),
+       |agg AS (
+       |  SELECT source, CAST(max(n_head) AS BIGINT) AS n_head,
+       |    min(rf) AS rf_min,
+       |    max(CASE WHEN rn = CAST(ceil(n_head / 2.0) AS BIGINT) THEN rf END) AS rf_med,
+       |    max(rf) AS rf_max
+       |  FROM scored GROUP BY 1)
+       |SELECT source, n_head, rf_min, rf_med, rf_max,
+       |  (rf_max * 10000) // rf_min AS band_bp,
+       |  CASE WHEN (rf_max * 10000) // rf_min <= $ZipfBandBp
+       |       THEN 'zipfian' ELSE 'non_zipfian' END AS verdict
+       |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d104_zipf_band" -> (d104ZipfBand _),
     "d103_cluster_profile" -> (d103ClusterProfile _),
     "d101_ngram_cardinality" -> (d101NgramCardinality _),
     "d91_cdc_chunks" -> (d91CdcChunks _),
@@ -1901,6 +1986,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d104_zipf_band" -> d104Sql,
     "d103_cluster_profile" -> d103Sql,
     "d101_ngram_cardinality" -> d101Sql,
     "d91_cdc_chunks" -> d91Sql,

@@ -5639,6 +5639,32 @@ class OperatorSpec extends GraftSpec {
     assert(nw._2 < total16 / 2, s"moved ${nw._2} of $total16")
   }
 
+  test("d104 Zipf band: exact-Zipf head passes, flat head fails; median replays") {
+    import spark.implicits._
+    def doc(src: String, toks: Seq[(String, Int)]) =
+      (src, toks.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" "))
+    // zipf: freq = 12/r exactly -> rf constant 12 -> band 10000 bp
+    // flat: 5 equal tokens -> rf = 5r -> band 50000 bp > 40000 gate
+    val planted = Seq(
+      doc("zipf", Seq("a" -> 12, "b" -> 6, "c" -> 4, "d" -> 3)),
+      doc("flat", Seq("e" -> 5, "f" -> 5, "g" -> 5, "h" -> 5, "i" -> 5)))
+      .toDF("source", "text")
+    val got = CorpusOps.d104ZipfBandOf(planted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6)))).toMap
+    assert(got("zipf") == ((4L, 12L, 12L, 12L, 10000L, "zipfian")), got("zipf").toString)
+    assert(got("flat") == ((5L, 5L, 15L, 25L, 50000L, "non_zipfian")), got("flat").toString)
+    // real data: every source reports; head bounded; band >= 10000 always
+    val real = CorpusOps.d104ZipfBand(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(1) <= CorpusOps.ZipfHead)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+      assert(r.getLong(5) >= 10000L)
+    }
+  }
+
   test("d103 cluster profile: histogram ties out against d25's labels plus singletons") {
     val prof = CorpusOps.d103ClusterProfile(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
