@@ -1475,6 +1475,94 @@ object StreamingOps {
       }
   }
 
+  case class MkOut(event_type: String, day_idx: Long, n_days: Long,
+                   s_stat: Long, var18: Long, verdict: String)
+  case class MkState(open: Map[Long, Long], closedVals: Map[Long, Long],
+                     firstDay: Long, lastClosed: Long, s: Long)
+
+  /** Streaming Mann–Kendall trend monitor — c53's live twin
+    * (Events.c53MannKendallOf): the directed monotone-trend verdict
+    * re-evaluated the moment each day CLOSES, so "this feed started
+    * growing" pages while it is still growing, not in tomorrow's
+    * batch. The O(d²) pair sweep batch c53 runs is replaced by the
+    * incremental identity: when a day with count x joins a series
+    * whose closed daily counts have value-multiset M, S gains
+    * #{v ∈ M: v < x} − #{v ∈ M: v > x} — the new day's pairs against
+    * every older day, nothing else changes. Days close per type in
+    * ascending event-time order at the watermark; interior gap days
+    * close as the real zeros c53 puts on its dense spine (a dark feed
+    * IS a trend signal). The tie-corrected variance and the exact
+    * ±1-continuity 5% verdict (11250·(|S|−1)² vs 2401·var18, BigInt —
+    * the batch integers verbatim) are recomputed per close from the
+    * value-count map, so every emitted row equals batch c53 run over
+    * the closed prefix by construction (spec-proven across
+    * micro-batch splits).
+    *
+    * State per type: open day-counts (watermark-horizon-bounded) + the
+    * closed VALUE-count map — bounded by distinct daily totals, ≤ the
+    * calendar day count, never corpus-sized — + 3 longs. */
+  def mannKendallStream(spark: SparkSession, events: Dataset[EventRow],
+                        watermarkDelay: String = "1 hour"): Dataset[MkOut] = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[MkState]) =>
+          val st0 = state.getOption.getOrElse(
+            MkState(Map.empty, Map.empty, Long.MinValue, Long.MinValue, 0L))
+          var open = st0.open
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (d > st0.lastClosed) open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var closedVals = st0.closedVals
+          var firstDay = st0.firstDay
+          var lastClosed = st0.lastClosed
+          var s = st0.s
+          val out = Seq.newBuilder[MkOut]
+          if (open.nonEmpty) {
+            val maxOpen = open.keys.max
+            if (firstDay == Long.MinValue) firstDay = open.keys.min
+            var d = if (lastClosed == Long.MinValue) firstDay else lastClosed + 1
+            while (d <= maxOpen && (d + 1) * DayMs <= wm) {
+              val cnt = open.getOrElse(d, 0L)
+              var below = 0L
+              var above = 0L
+              closedVals.foreach { case (v, c) =>
+                if (v < cnt) below += c else if (v > cnt) above += c
+              }
+              s += below - above
+              closedVals = closedVals.updated(cnt, closedVals.getOrElse(cnt, 0L) + 1L)
+              open -= d
+              lastClosed = d
+              val n = lastClosed - firstDay + 1
+              var tieTerm = BigInt(0)
+              closedVals.valuesIterator.foreach { t =>
+                tieTerm += BigInt(t) * (t - 1) * (2 * t + 5)
+              }
+              val var18 = BigInt(n) * (n - 1) * (2 * n + 5) - tieTerm
+              val lhs = BigInt(11250) * (s.abs - 1) * (s.abs - 1)
+              val verdict =
+                if (var18 == 0) "degenerate"
+                else if (s > 0 && lhs > BigInt(2401) * var18) "trend_up"
+                else if (s < 0 && lhs > BigInt(2401) * var18) "trend_down"
+                else "no_trend"
+              out += MkOut(typ, d, n, s, var18.toLong, verdict)
+              d += 1
+            }
+          }
+          state.update(MkState(open, closedVals, firstDay, lastClosed, s))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              if (lastClosed == Long.MinValue) (open.keys.min + 1) * DayMs
+              else (lastClosed + 2) * DayMs,
+              wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** One silence/recovery alert. `kind` ∈ {"silent", "resumed"};
     * downtime_ms is the crossed threshold for "silent" (actual outage
     * length unknown at detection time) and the measured last-seen →

@@ -1794,6 +1794,77 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("mannKendallStream: every closed day == the real batch c53 on that prefix; verdicts turn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.mannKendallStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("mk_test").outputMode("append").start()
+    val day0 = 19900L
+    var id = 0L
+    def evs(day: Long, typ: String, n: Int) = (1 to n).map { k =>
+      id += 1
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(day * 86400000L + 12 * 3600000L + k * 60000L),
+        id % 3, typ, 1.0)
+    }
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // G grows 1..12 (the verdict must flip no_trend -> trend_up as
+      // evidence accumulates); F is flat 3s (all-tie degenerate); Z
+      // zigzags around an interior gap day that closes as a real zero.
+      // Splits land mid-series so S accumulates across micro-batches;
+      // every type advances in event-time lockstep (rows behind the
+      // global watermark would be DROPPED as late — that is the
+      // operator's contract, not a spec harness freedom)
+      add((0 to 3).flatMap(i => evs(day0 + i, "G", 1 + i)) ++
+        (0 to 3).flatMap(i => evs(day0 + i, "F", 3)) ++
+        evs(day0, "Z", 2) ++ evs(day0 + 1, "Z", 1) ++ evs(day0 + 3, "Z", 2))
+      add((4 to 8).flatMap(i => evs(day0 + i, "G", 1 + i)) ++
+        evs(day0 + 4, "F", 3) ++ evs(day0 + 4, "Z", 1))
+      add((9 to 12).flatMap(i => evs(day0 + i, "G", 1 + i)))
+      // watermark driver on its OWN type (W never closes, emits
+      // nothing): G/F/Z close exactly their observed spines — appending
+      // a G driver would rightly extend G's spine with trailing zeros
+      add(evs(day0 + 14, "W", 1))
+      val got = spark.sql(
+          "select event_type, day_idx, n_days, s_stat, var18, verdict from mk_test")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+      // every type's LAST closed row equals the real batch operator on
+      // the same prefix (the fed rows minus the open watermark driver)
+      val allFed = fed.result()
+      for (typ <- Seq("G", "F", "Z")) {
+        val prefix = allFed.filter(e =>
+          e.event_type == typ && e.ts.getTime < (day0 + 13) * 86400000L)
+        val batch = graft.operators.Events.c53MannKendallOf(prefix.toDF())
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+          .head
+        val lastDay = got.keys.filter(_._1 == typ).map(_._2).max
+        assert(got((typ, lastDay)) == batch, s"$typ: ${got((typ, lastDay))} vs $batch")
+      }
+      // interior prefix: G at day0+8 equals batch over days 0..8 only —
+      // the incremental S identity, not just the final state
+      val gPrefix = allFed.filter(e =>
+        e.event_type == "G" && e.ts.getTime < (day0 + 9) * 86400000L)
+      val gBatch = graft.operators.Events.c53MannKendallOf(gPrefix.toDF())
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .head
+      assert(got(("G", day0 + 8)) == gBatch, s"${got(("G", day0 + 8))} vs $gBatch")
+      // the story the operator exists for: early uncertainty, later verdict
+      assert(got(("G", day0 + 3))._4 == "no_trend")
+      assert(got(("G", day0 + 12))._4 == "trend_up")
+      assert(got(("F", day0 + 4))._4 == "degenerate")
+      assert(got(("Z", day0 + 4))._4 == "no_trend")
+      // the interior gap day closed as a real zero on Z's spine
+      assert(got.contains(("Z", day0 + 2)) && got(("Z", day0 + 2))._1 == 3L)
+      assert(!got.keys.exists(_._1 == "W"), "the driver type never closes a day")
+    } finally q.stop()
+  }
+
   test("cusumStream: closed prefix == the real batch c44 across micro-batch splits; shift alarms") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
