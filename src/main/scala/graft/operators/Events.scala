@@ -3432,7 +3432,69 @@ object Events {
       |FROM r WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
       |ORDER BY event_type""".stripMargin
 
+  def c55Drawdown(spark: SparkSession, dir: String): DataFrame =
+    c55DrawdownOf(Tables.events(spark, dir))
+
+  /** c55: maximum drawdown of the daily series — the INCIDENT-DEPTH
+    * metric the trend family (c53/c54) doesn't report: how far below
+    * its own running peak did this feed fall, and when? The finance
+    * formulation (peak-to-trough) applied to volume: per type over the
+    * zero-filled day spine, running peak, drawdown = peak − count, the
+    * single worst day (earliest at ties — total order), and the depth
+    * as exact bp of the peak at that moment. A 10000 bp drawdown is an
+    * outage (c46's downtime report says WHEN; this ranks how bad),
+    * persistent mid-size drawdowns are demand loss the mean-based c26
+    * level-shift test averages away.
+    *
+    * Shape: ONE scan → calendar-bounded (type, day) reduce → two
+    * cumulative windows (running peak, then argmax pick) over the
+    * SAME reduced lineage — no joins, no checkpoint needed. Running
+    * peak starts at the type's first spine day (≥1 event by
+    * construction), so the bp division is always defined. */
+  def c55DrawdownOf(events: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("peak", max(col("n_events")).over(wCum))
+      .withColumn("dd", col("peak") - col("n_events"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("dd").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("trough_day"),
+        col("peak").as("peak_n"), col("n_events").as("trough_n"),
+        col("dd").as("drawdown"),
+        expr("(dd * 10000) div peak").as("drawdown_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val c55Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |scored AS (
+      |  SELECT event_type, day, n_events,
+      |    max(n_events) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM j),
+      |r AS (
+      |  SELECT event_type, day, n_events, peak, peak - n_events AS dd,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY peak - n_events DESC, day) AS rn
+      |  FROM scored)
+      |SELECT event_type, day AS trough_day, peak AS peak_n,
+      |  n_events AS trough_n, dd AS drawdown,
+      |  (dd * 10000) // peak AS drawdown_bp
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c55_drawdown" -> (c55Drawdown _),
     "c54_theil_sen" -> (c54TheilSen _),
     "c53_mann_kendall" -> (c53MannKendall _),
     "c52_runs_test" -> (c52RunsTest _),
@@ -3489,6 +3551,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c55_drawdown" -> c55Sql,
     "c54_theil_sen" -> c54Sql,
     "c53_mann_kendall" -> c53Sql,
     "c52_runs_test" -> c52Sql,

@@ -2947,7 +2947,92 @@ object TextOps {
        |  max_doc_hits
        |FROM g ORDER BY source""".stripMargin
 
+  /** Cross-engine markup patterns (RE2 ∩ Java regex — no lookarounds,
+    * no word boundaries, the EmailRe discipline). */
+  private[graft] val TagRe = "</?[a-z][a-z0-9]*"
+  private[graft] val UrlRe = "https?://[a-zA-Z0-9./?=&_-]+"
+  private[graft] val FenceRe = "```"
+
+  def d105MarkupProfile(spark: SparkSession, dir: String): DataFrame =
+    d105MarkupProfileOf(Tables.documents(spark, dir))
+
+  /** d105: structural markup density per source — the C4/RefinedWeb
+    * curation axis (Raffel et al. 2020 strip code/markup lines;
+    * Penedo et al. 2023 gate on symbol ratios) that d3's per-doc
+    * quality features don't report at decision grain: whether a
+    * SOURCE needs an HTML-strip / code-separation pass is decided
+    * from its tag/URL/code-fence density, not from row counts. Per
+    * source: docs, docs with any markup (exact bp), tag/url/fence hit
+    * totals, and markup hits per MiB (the cross-corpus-comparable
+    * rate). Synthetic docs carry no markup, so a deterministic
+    * doc_id-keyed injection plants ground truth the oracle AND the
+    * spec replay (the d18/d102 discipline); patterns are RE2 ∩ Java
+    * regex so both engines count identical hits.
+    *
+    * Shape: ONE scan, row-local codegen'd regexp counts, zero shuffle
+    * until the |sources|-row reduce. */
+  def d105MarkupProfileOf(docs: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit(" <div class=m>planted</div>")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" see https://example.org/d"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        lit(" ```code``` ")).otherwise(lit(""))).as("text")
+    docs.select(col("doc_id"), col("source"), injected)
+      .select(col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        regexp_count(col("text"), lit(TagRe)).cast("long").as("t"),
+        regexp_count(col("text"), lit(UrlRe)).cast("long").as("u"),
+        regexp_count(col("text"), lit(FenceRe)).cast("long").as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countIf(col("t") + col("u") + col("f") > 0).as("docs_with_markup"),
+        sum(col("t")).as("n_tags"),
+        sum(col("u")).as("n_urls"),
+        sum(col("f")).as("n_fences"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .select(col("source"), col("n_docs"), col("docs_with_markup"),
+        expr("(docs_with_markup * 10000) div n_docs").as("markup_bp"),
+        col("n_tags"), col("n_urls"), col("n_fences"),
+        expr("((n_tags + n_urls + n_fences) * 1048576) div total_bytes")
+          .as("hits_per_mib"))
+      .orderBy(col("source"))
+  }
+
+  val d105Sql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id, source,
+       |    concat(text,
+       |      CASE WHEN doc_id % 7 = 0 THEN ' <div class=m>planted</div>' ELSE '' END,
+       |      CASE WHEN doc_id % 5 = 0
+       |        THEN concat(' see https://example.org/d', CAST(doc_id AS VARCHAR))
+       |        ELSE '' END,
+       |      CASE WHEN doc_id % 9 = 0 THEN ' ```code``` ' ELSE '' END) AS text
+       |  FROM documents),
+       |hits AS (
+       |  SELECT source,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    CAST(len(regexp_extract_all(text, '$TagRe')) AS BIGINT) AS t,
+       |    CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS u,
+       |    CAST(len(regexp_extract_all(text, '$FenceRe')) AS BIGINT) AS f
+       |  FROM injected),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(CASE WHEN t + u + f > 0 THEN 1 END) AS BIGINT) AS docs_with_markup,
+       |    CAST(sum(t) AS BIGINT) AS n_tags, CAST(sum(u) AS BIGINT) AS n_urls,
+       |    CAST(sum(f) AS BIGINT) AS n_fences,
+       |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+       |  FROM hits GROUP BY 1)
+       |SELECT source, n_docs, docs_with_markup,
+       |  (docs_with_markup * 10000) // n_docs AS markup_bp,
+       |  n_tags, n_urls, n_fences,
+       |  ((n_tags + n_urls + n_fences) * 1048576) // total_bytes AS hits_per_mib
+       |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d105_markup_profile" -> (d105MarkupProfile _),
     "d102_pii_density" -> (d102PiiDensity _),
     "d100_decontam_plan" -> (d100DecontamPlan _),
     "d99_dup_quality" -> (d99DupQuality _),
@@ -3001,6 +3086,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d105_markup_profile" -> d105Sql,
     "d102_pii_density" -> d102Sql,
     "d100_decontam_plan" -> d100Sql,
     "d99_dup_quality" -> d99Sql,

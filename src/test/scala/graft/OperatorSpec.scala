@@ -5665,6 +5665,58 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("c55 drawdown: planted trough, outage gap day and flat series replay exactly") {
+    import spark.implicits._
+    def series(t: String, dayCounts: Seq[(Int, Int)]): Seq[(String, java.sql.Timestamp)] =
+      dayCounts.flatMap { case (day, c) =>
+        Seq.fill(c)((t, new java.sql.Timestamp(day.toLong * 86400000L)))
+      }
+    // V: counts [5,3,7,2,6] -> worst dd 5 at day 3 (peak 7, trough 2)
+    // O: [4, <gap>, 5] -> the gap day IS the trough: dd 4 of peak 4 = 10000 bp
+    // U: rising -> dd 0, earliest day wins the tie
+    val rows = series("V", Seq(0 -> 5, 1 -> 3, 2 -> 7, 3 -> 2, 4 -> 6)) ++
+      series("O", Seq(0 -> 4, 2 -> 5)) ++
+      series("U", Seq(0 -> 1, 1 -> 2, 2 -> 3))
+    val got = Events.c55DrawdownOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("V") == ((3L, 7L, 2L, 5L, 7142L)), got("V").toString)
+    assert(got("O") == ((1L, 4L, 0L, 4L, 10000L)), got("O").toString)
+    assert(got("U") == ((0L, 1L, 1L, 0L, 0L)), got("U").toString)
+    // real data: every type reports; drawdown within [0, peak]
+    val real = Events.c55Drawdown(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= r.getLong(2))
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 10000L)
+    }
+  }
+
+  test("d105 markup profile: planted tag/url/fence hits and byte-exact per-MiB rates") {
+    import spark.implicits._
+    val base = "plain words"
+    def inj(id: Long) = base +
+      (if (id % 7 == 0) " <div class=m>planted</div>" else "") +
+      (if (id % 5 == 0) s" see https://example.org/d$id" else "") +
+      (if (id % 9 == 0) " ```code``` " else "")
+    // A: id 1 clean, id 35 (tags+url); B: id 63 (tags+fences), id 45
+    // (url+fences), id 2 clean
+    val ids = Map("A" -> Seq(1L, 35L), "B" -> Seq(63L, 45L, 2L))
+    val planted = ids.toSeq.flatMap { case (s, xs) => xs.map(id => (id, s, base)) }
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.d105MarkupProfileOf(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    def mib(hits: Long, src: String) =
+      hits * 1048576L / ids(src).map(id => inj(id).getBytes("UTF-8").length.toLong).sum
+    assert(got("A") == ((2L, 1L, 5000L, 2L, 1L, 0L, mib(3, "A"))), got("A").toString)
+    assert(got("B") == ((3L, 2L, 6666L, 2L, 1L, 4L, mib(7, "B"))), got("B").toString)
+    // real data: every source reports, rates bounded
+    val real = TextOps.d105MarkupProfile(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(3) <= 10000L && r.getLong(2) <= r.getLong(1)))
+  }
+
   test("d103 cluster profile: histogram ties out against d25's labels plus singletons") {
     val prof = CorpusOps.d103ClusterProfile(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
