@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, FreqSketchAgg, KmvAgg, MinHashAgg, TopKAgg}
+import graft.functions.{BitmapAgg, BitmapCount, BitmapUnionCountAgg, CosineSimilarity, DotProduct, FreqSketchAgg, KmvAgg, MinHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -40,6 +40,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvAgg(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bitset_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitset_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bitset_union_count"),
+      new ExpressionInfo(classOf[BitmapUnionCountAgg].getName, "bitset_union_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapUnionCountAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bitset_count"),
+      new ExpressionInfo(classOf[BitmapCount].getName, "bitset_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapCount(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),

@@ -3270,7 +3270,146 @@ object Analytics {
       |  END AS z
       |FROM f ORDER BY o_orderpriority""".stripMargin
 
+  def q73AnovaTwoWay(spark: SparkSession, dir: String): DataFrame =
+    q73AnovaTwoWayOf(Tables.lineitem(spark, dir))
+
+  /** q73: two-way ANOVA of line price by return flag × line status —
+    * the FACTORIAL extension of c51's one-way η²: does the flag move
+    * price, does status, and do they INTERACT (the question one-way
+    * contrasts structurally cannot ask)? Classic weighted-means
+    * (Type I) decomposition on the unbalanced design, documented as
+    * such: SS_A = Σ_a S_a²/n_a − C, SS_B likewise, SS_cells from the
+    * (a,b) cells, SS_AB and SS_err by subtraction; F = mean-square
+    * ratios.
+    *
+    * Determinism: Σ(S²/n) terms are RATIONALS, and IEEE double
+    * summation is order-sensitive — a cross-engine hash would flake on
+    * aggregation order. So every SS term is truncated to integral
+    * MILLI-cents² FIRST (S²·1000 div n — the q63 d_ppm idiom):
+    * integer terms sum order-free and engine-identically; the bounded
+    * truncation error (≤ 1 milli per group) is documentation, not
+    * noise. Each F is then ONE IEEE division of two exact integer
+    * products ((SS_A·df_err) / (df_A·SS_err)) — bit-identical. All
+    * moments are DECIMAL(38,0) over cents (Σy² ≈ 2.4e24 at 6 B rows;
+    * ·1000 stays inside DECIMAL(38)).
+    *
+    * Shape: ONE scan → (flag, status) cell reduce (≤6 rows),
+    * `localCheckpoint`ed (the c53/q71 idiom) so the four marginal
+    * consumers (A, B, cells, totals) share the materialized reduce;
+    * the 1-row moment frames combine by literal-capacity crossJoin
+    * (BNLJ-allowlisted) and explode to the 5 effect rows. */
+  def q73AnovaTwoWayOf(lineitem: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    // floor division that STAYS DECIMAL(38,0): Spark's `div` returns
+    // LONG, and S²·1000/n ≈ 1.8e20 already overflows int64 at sf0.01.
+    // (a − a mod b)/b is exactly integral, so the decimal divide is
+    // exact and the (38,0) cast is lossless — DuckDB's HUGEINT `//`
+    // mirrors it for positive operands.
+    def fdiv(a: Column, b: Column): Column =
+      ((a - (a % b)) / b).cast(DecimalType(38, 0))
+    val cells = lineitem
+      .select(col("l_returnflag").as("fa"), col("l_linestatus").as("fb"),
+        (dec2(col("l_extendedprice")) * 100).cast("bigint").as("y"))
+      .groupBy(col("fa"), col("fb"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("y"))).as("s"),
+        sum(d38(col("y")) * col("y")).as("ssq"))
+      .localCheckpoint(true)
+    def termSum(grouped: DataFrame, levels: String): DataFrame = grouped
+      .agg(sum(fdiv(col("s") * col("s") * 1000, d38(col("n"))))
+          .cast(DecimalType(38, 0)).as(s"t_$levels"),
+        count(lit(1)).cast("long").as(s"k_$levels"))
+    val ma = termSum(cells.groupBy(col("fa"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s")), "a")
+    val mb = termSum(cells.groupBy(col("fb"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s")), "b")
+    val mc = termSum(cells, "c")
+    val tot = cells.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      sum(col("ssq")).as("sq"))
+      .select(col("nn"),
+        fdiv(col("ss") * col("ss") * 1000, d38(col("nn"))).as("corr"),
+        (d38(col("sq")) * 1000).cast(DecimalType(38, 0)).as("sqm"))
+    val m = tot.crossJoin(ma).crossJoin(mb).crossJoin(mc)
+      .withColumn("ss_a", col("t_a") - col("corr"))
+      .withColumn("ss_b", col("t_b") - col("corr"))
+      .withColumn("ss_ab", col("t_c") - col("t_a") - col("t_b") + col("corr"))
+      .withColumn("ss_err", col("sqm") - col("t_c"))
+      .withColumn("ss_tot", col("sqm") - col("corr"))
+      .withColumn("df_a", col("k_a") - 1)
+      .withColumn("df_b", col("k_b") - 1)
+      .withColumn("df_ab", (col("k_a") - 1) * (col("k_b") - 1))
+      .withColumn("df_err", col("nn") - col("k_c"))
+      .withColumn("df_tot", col("nn") - 1)
+    def fOf(ss: String, df: String): Column =
+      when(col(df) > 0 && col("ss_err") > 0 && col("df_err") > 0,
+        (col(ss) * col("df_err")).cast("double") /
+          (col(df) * col("ss_err")).cast("double"))
+    m.select(explode(array(
+        struct(lit("returnflag").as("effect"), col("ss_a").cast("double").as("ss_milli"),
+          col("df_a").cast("long").as("df"), fOf("ss_a", "df_a").as("f")),
+        struct(lit("linestatus").as("effect"), col("ss_b").cast("double").as("ss_milli"),
+          col("df_b").cast("long").as("df"), fOf("ss_b", "df_b").as("f")),
+        struct(lit("interaction").as("effect"), col("ss_ab").cast("double").as("ss_milli"),
+          col("df_ab").cast("long").as("df"), fOf("ss_ab", "df_ab").as("f")),
+        struct(lit("error").as("effect"), col("ss_err").cast("double").as("ss_milli"),
+          col("df_err").cast("long").as("df"), lit(null).cast("double").as("f")),
+        struct(lit("total").as("effect"), col("ss_tot").cast("double").as("ss_milli"),
+          col("df_tot").cast("long").as("df"), lit(null).cast("double").as("f"))))
+        .as("r"))
+      .select(col("r.effect").as("effect"), col("r.ss_milli"), col("r.df"), col("r.f"))
+      .orderBy(col("effect"))
+  }
+
+  val q73Sql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS fa, l_linestatus AS fb,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS s,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS ssq
+      |  FROM lineitem GROUP BY 1, 2),
+      |ma AS (
+      |  SELECT sum((s * s * 1000) // n) AS t_a, count(*) AS k_a
+      |  FROM (SELECT fa, sum(n) AS n, sum(s) AS s FROM cells GROUP BY 1)),
+      |mb AS (
+      |  SELECT sum((s * s * 1000) // n) AS t_b, count(*) AS k_b
+      |  FROM (SELECT fb, sum(n) AS n, sum(s) AS s FROM cells GROUP BY 1)),
+      |mc AS (SELECT sum((s * s * 1000) // n) AS t_c, count(*) AS k_c FROM cells),
+      |tot AS (
+      |  SELECT sum(n) AS nn, (sum(s) * sum(s) * 1000) // sum(n) AS corr,
+      |    sum(ssq) * 1000 AS sqm
+      |  FROM cells),
+      |m AS (
+      |  SELECT nn, corr, sqm, t_a, k_a, t_b, k_b, t_c, k_c,
+      |    t_a - corr AS ss_a, t_b - corr AS ss_b,
+      |    t_c - t_a - t_b + corr AS ss_ab,
+      |    sqm - t_c AS ss_err, sqm - corr AS ss_tot,
+      |    k_a - 1 AS df_a, k_b - 1 AS df_b, (k_a - 1) * (k_b - 1) AS df_ab,
+      |    nn - k_c AS df_err, nn - 1 AS df_tot
+      |  FROM tot, ma, mb, mc)
+      |SELECT effect, ss_milli, df, f FROM (
+      |  SELECT 'returnflag' AS effect, CAST(ss_a AS DOUBLE) AS ss_milli,
+      |    CAST(df_a AS BIGINT) AS df,
+      |    CASE WHEN df_a > 0 AND ss_err > 0 AND df_err > 0
+      |      THEN CAST(ss_a * df_err AS DOUBLE) / CAST(df_a * ss_err AS DOUBLE) END AS f
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'linestatus', CAST(ss_b AS DOUBLE), CAST(df_b AS BIGINT),
+      |    CASE WHEN df_b > 0 AND ss_err > 0 AND df_err > 0
+      |      THEN CAST(ss_b * df_err AS DOUBLE) / CAST(df_b * ss_err AS DOUBLE) END
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'interaction', CAST(ss_ab AS DOUBLE), CAST(df_ab AS BIGINT),
+      |    CASE WHEN df_ab > 0 AND ss_err > 0 AND df_err > 0
+      |      THEN CAST(ss_ab * df_err AS DOUBLE) / CAST(df_ab * ss_err AS DOUBLE) END
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'error', CAST(ss_err AS DOUBLE), CAST(df_err AS BIGINT), NULL FROM m
+      |  UNION ALL
+      |  SELECT 'total', CAST(ss_tot AS DOUBLE), CAST(df_tot AS BIGINT), NULL FROM m)
+      |ORDER BY effect""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_anova_two_way" -> (q73AnovaTwoWay _),
     "q72_mann_whitney" -> (q72MannWhitney _),
     "q71_kendall_tau" -> (q71KendallTau _),
     "q70_spearman" -> (q70Spearman _),
@@ -3344,6 +3483,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q73_anova_two_way" -> q73Sql,
     "q72_mann_whitney" -> q72Sql,
     "q71_kendall_tau" -> q71Sql,
     "q70_spearman" -> q70Sql,

@@ -3493,7 +3493,71 @@ object Events {
       |  (dd * 10000) // peak AS drawdown_bp
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  def c56WeeklyStickiness(spark: SparkSession, dir: String): DataFrame =
+    c56WeeklyStickinessOf(Tables.events(spark, dir))
+
+  /** c56: weekly stickiness (DAU/WAU) via the exact-bitmap rollup —
+    * the two-level distinct problem `count(distinct)` plans BADLY: a
+    * week's WAU is NOT the sum of its DAUs (returning users double-
+    * count), and computing day AND week distincts relationally either
+    * scans the corpus twice or pays the grouping-sets Expand (row
+    * duplication per grouping). The `bitset_agg` family
+    * (functions/BitmapAgg.scala — the ClickHouse/Doris exact tier of
+    * the sketch ladder) does it in ONE pass: day-grain bitmaps fold
+    * map-side, `bitset_count` reads each day's exact DAU off the
+    * reduced frame, and `bitset_union_count` RE-AGGREGATES the day
+    * bitmaps to the exact WAU — no rescan, no Expand, no estimate.
+    * Stickiness = avg-DAU/WAU in truncated bp (the DAU/MAU engagement
+    * metric at week grain).
+    *
+    * Memory honesty: a day bitmap is O(active ids)/64 words — the
+    * exact tier is for day-bounded active sets; the unbounded-domain
+    * tier is kmv_sketch (c50). Buffers merge map-side like every
+    * aggregate in the family.
+    *
+    * Shape: ONE scan → (week, day) bitmap reduce → scalar counts on
+    * the calendar-bounded frame → week re-aggregate. Single lineage,
+    * two exchanges (day grain, week grain). */
+  def c56WeeklyStickinessOf(events: DataFrame): DataFrame = {
+    events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .withColumn("week", expr("day div 7"))
+      .groupBy(col("week"), col("day"))
+      .agg(expr("bitset_agg(user_id)").as("bm"), count(lit(1)).as("n_events"))
+      .withColumn("dau", expr("bitset_count(bm)"))
+      .groupBy(col("week"))
+      .agg(expr("bitset_union_count(bm)").as("wau"),
+        count(lit(1)).as("n_days"),
+        sum(col("dau")).as("dau_sum"),
+        sum(col("n_events")).as("n_events"))
+      .select(col("week"), col("n_days"), col("n_events"), col("wau"),
+        col("dau_sum"),
+        expr("(dau_sum * 10000) div (n_days * wau)").as("stickiness_bp"))
+      .orderBy(col("week"))
+  }
+
+  val c56Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id FROM events),
+      |d AS (
+      |  SELECT day // 7 AS week, day, count(DISTINCT user_id) AS dau,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM e GROUP BY 1, 2),
+      |w AS (
+      |  SELECT day // 7 AS week, count(DISTINCT user_id) AS wau
+      |  FROM e GROUP BY 1),
+      |g AS (
+      |  SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(n_events) AS BIGINT) AS n_events,
+      |    CAST(sum(dau) AS BIGINT) AS dau_sum
+      |  FROM d GROUP BY 1)
+      |SELECT g.week, g.n_days, g.n_events, CAST(w.wau AS BIGINT) AS wau,
+      |  g.dau_sum, (g.dau_sum * 10000) // (g.n_days * w.wau) AS stickiness_bp
+      |FROM g JOIN w ON g.week = w.week
+      |ORDER BY g.week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c56_weekly_stickiness" -> (c56WeeklyStickiness _),
     "c55_drawdown" -> (c55Drawdown _),
     "c54_theil_sen" -> (c54TheilSen _),
     "c53_mann_kendall" -> (c53MannKendall _),
@@ -3551,6 +3615,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c56_weekly_stickiness" -> c56Sql,
     "c55_drawdown" -> c55Sql,
     "c54_theil_sen" -> c54Sql,
     "c53_mann_kendall" -> c53Sql,

@@ -48,7 +48,8 @@ class OperatorSpec extends GraftSpec {
       "d92_mips_topk",         // broadcast 10-row query set, =!= condition (d9's shape)
       "d93_mips_lsh",          // 1-row max-norm scalar broadcast (the augmentation M2)
       "d98_vocab_coverage",    // 1-row corpus-totals scalar broadcast
-      "d103_cluster_profile")  // 1-row corpus-doc-count broadcast (×2: hist + singleton row)
+      "d103_cluster_profile",  // 1-row corpus-doc-count broadcast (×2: hist + singleton row)
+      "q73_anova_two_way")     // 1-row moment frames (tot×ma×mb×mc) combined for 5 effect rows
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -5567,6 +5568,80 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("q73 two-way ANOVA: balanced 2x2 textbook decomposition replays exactly") {
+    import spark.implicits._
+    // cents: (R,O)=10,12 (R,F)=20,22 (N,O)=11,13 (N,F)=25,27
+    // SS (cents^2): A=18, B=288, AB=8, err=8, tot=322; F: 9, 144, 4
+    val rows = Seq(
+      ("R", "O", 0.10), ("R", "O", 0.12), ("R", "F", 0.20), ("R", "F", 0.22),
+      ("N", "O", 0.11), ("N", "O", 0.13), ("N", "F", 0.25), ("N", "F", 0.27))
+      .map { case (a, b, p) => (a, b, BigDecimal(p)) }
+      .toDF("l_returnflag", "l_linestatus", "l_extendedprice")
+    val got = Analytics.q73AnovaTwoWayOf(rows).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got("returnflag") == ((18000.0, 1L, 9.0)), got("returnflag").toString)
+    assert(got("linestatus") == ((288000.0, 1L, 144.0)), got("linestatus").toString)
+    assert(got("interaction") == ((8000.0, 1L, 4.0)), got("interaction").toString)
+    assert(got("error")._1 == 8000.0 && got("error")._2 == 4L && got("error")._3.isNaN)
+    assert(got("total")._1 == 322000.0 && got("total")._2 == 7L)
+    // decomposition identity holds on real data too (within the
+    // documented <=1-milli-per-group truncation of each term)
+    val real = Analytics.q73AnovaTwoWay(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val parts = real("returnflag") + real("linestatus") + real("interaction") + real("error")
+    assert(math.abs(parts - real("total")) <= 8.0, s"$parts vs ${real("total")}")
+    real.values.foreach(v => assert(v >= -8.0))
+  }
+
+  test("bitmap family: exact distinct under partition splits, negatives, sparse words") {
+    import spark.implicits._
+    // ids span negative words, dense runs, and >64-apart sparse words;
+    // repartition(7) forces map-side partials through merge()
+    val ids = (Seq(-130L, -129L, -1L, 0L, 1L, 63L, 64L, 65L, 1000000L, 1000001L) ++
+      (0L until 200L) ++ Seq(5000L)).map(Tuple1(_))
+    val df = ids.toDF("id").repartition(7)
+    df.createOrReplaceTempView("bm_ids")
+    val got = spark.sql(
+      """select bitset_count(bitset_agg(id)) as c1 from bm_ids""").head().getLong(0)
+    val exact = spark.sql("select count(distinct id) from bm_ids").head().getLong(0)
+    assert(got == exact, s"$got vs $exact")
+    // two-level: per-bucket bitmaps re-aggregate to the exact union
+    val two = spark.sql(
+      """select bitset_union_count(bm) from
+        |  (select id % 5 as b, bitset_agg(id) as bm from bm_ids group by 1)""".stripMargin)
+      .head().getLong(0)
+    assert(two == exact, s"union $two vs $exact")
+  }
+
+  test("c56 weekly stickiness: bitmap rollup equals count-distinct truth; planted weeks") {
+    import spark.implicits._
+    def ev(day: Long, users: Seq[Long]) = users.map(u =>
+      (new java.sql.Timestamp(day * 86400000L + 3600000L), u))
+    // week 0: days 0,1 with users {1,2},{2,3} -> dau 2+2, wau 3,
+    // stickiness 40000/(2*3) = 6666; week 1: one day, one user -> 10000
+    val rows = ev(0, Seq(1L, 2L)) ++ ev(1, Seq(2L, 3L)) ++ ev(7, Seq(5L))
+    val got = Events.c56WeeklyStickinessOf(rows.toDF("ts", "user_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) == ((2L, 4L, 3L, 4L, 6666L)), got(0L).toString)
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 10000L)), got(1L).toString)
+    // real data: the bitmap WAU equals the relational count(distinct)
+    // truth per week, and invariants hold
+    val real = Events.c56WeeklyStickiness(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    val truth = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000 div 7").as("week"), col("user_id"))
+      .groupBy(col("week")).agg(countDistinct(col("user_id")).as("wau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    real.foreach { r =>
+      assert(r.getLong(3) == truth(r.getLong(0)),
+        s"week ${r.getLong(0)}: ${r.getLong(3)} vs ${truth(r.getLong(0))}")
+      assert(r.getLong(4) >= r.getLong(3) && r.getLong(4) <= r.getLong(1) * r.getLong(3))
+      assert(r.getLong(5) > 0L && r.getLong(5) <= 10000L)
+    }
+  }
+
   test("c53 Mann-Kendall: planted monotone/flat/noise series replay S, var and verdicts") {
     import spark.implicits._
     def series(t: String, counts: Seq[Int]): Seq[(String, java.sql.Timestamp)] =
@@ -5760,6 +5835,17 @@ class OperatorSpec extends GraftSpec {
     val budgets = try src.getLines().filter(_.trim.nonEmpty).map { l =>
       val Array(n, c) = l.trim.split("\\s+"); n -> c.toInt
     }.toMap finally src.close()
+    // Budgets are generated by ScanBudgetGen: one FRESH session, queries
+    // built in sorted-name order, family memo caches warming as it goes.
+    // Earlier specs in a full-suite run pre-warm those caches (e.g. the
+    // d103 spec materializes the shared cluster checkpoint, dropping
+    // d56's count to 0), so replay the generator's state: reset every
+    // family cache + the SQL cache, then walk the same sorted order.
+    CorpusOps.releaseSession(spark)
+    TextOps.releaseSession(spark)
+    DedupOps.releaseSession(spark)
+    VectorOps.releaseSession(spark)
+    spark.catalog.clearCache()
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty,
       s"queries with NO adjudicated scan budget (run ScanBudgetGen, adjudicate, append): $missing")
