@@ -1956,7 +1956,99 @@ object CorpusOps {
        |       THEN 'zipfian' ELSE 'non_zipfian' END AS verdict
        |FROM agg ORDER BY source""".stripMargin
 
+  /** d106 repetitiveness gate: a doc whose distinct-bigram ratio falls
+    * below this is "repetitive" (the compression-ratio filter class —
+    * CCNet/RefinedWeb drop highly compressible text; distinct-bigram
+    * share is the log-free exact proxy for compressibility). */
+  val RepetitiveBp = 6000L
+
+  def d106Compressibility(spark: SparkSession, dir: String): DataFrame =
+    d106CompressibilityOf(Tables.documents(spark, dir))
+
+  /** d106: bigram-compressibility profile per source — the curation
+    * signal behind "drop text a compressor crushes" without shipping a
+    * compressor into the plan OR an oracle-hostile codec: a document's
+    * distinct-bigram share (types·10⁴ div occurrences) is monotone in
+    * its repetition structure — template spam and token loops score
+    * low, natural prose high. d19 flags single-doc repetition by max
+    * n-gram count; this gives the SOURCE-grain distribution a mixture
+    * designer reads: per source, scored docs (≥ 2 tokens), the exact
+    * MEDIAN ratio, repetitive docs below [[RepetitiveBp]] and their
+    * share.
+    *
+    * Exact median at corpus scale: ratio_bp lives in [0, 10000], so
+    * the per-source median compresses to the VALUE-GRAIN histogram
+    * (the q70 trick — never a corpus-grain rank): cum windows over
+    * ≤10001 rows per source.
+    *
+    * Shape: ONE scan → bigram explode (d89's transform+sequence
+    * codegen shape) → (doc, gram) reduce → doc-grain ratio →
+    * (source, ratio) histogram → cum windows → per-source reduce.
+    * Single lineage, gram-tier cost (adjudicated d89/d57 class). */
+  def d106CompressibilityOf(documents: DataFrame): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val grams = documents
+      .select(col("doc_id"), col("source"),
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", slice(t, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), col("source"), xxhash64(col("gram")).as("g"))
+    val docRatio = grams
+      .groupBy(col("doc_id"), col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_types"))
+      .select(col("source"), expr("(n_types * 10000) div n_occ").as("ratio_bp"))
+    val wSrc = Window.partitionBy(col("source"))
+    val cells = docRatio
+      .groupBy(col("source"), col("ratio_bp")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wSrc.orderBy(col("ratio_bp"))
+          .rangeBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_docs", sum(col("cnt")).over(wSrc))
+    cells.groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(when(col("cum") * 2 >= col("n_docs"), col("ratio_bp"))).as("med_ratio_bp"),
+        sum(when(col("ratio_bp") < RepetitiveBp, col("cnt")).otherwise(0L))
+          .as("repetitive_docs"))
+      .select(col("source"), col("n_docs"), col("med_ratio_bp"),
+        col("repetitive_docs"),
+        expr("(repetitive_docs * 10000) div n_docs").as("repetitive_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d106Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM toks WHERE len(t) >= 2),
+       |per AS (
+       |  SELECT doc_id, source, count(*) AS c FROM g GROUP BY doc_id, source, gram),
+       |doc AS (
+       |  SELECT source,
+       |    (count(*) * 10000) // CAST(sum(c) AS BIGINT) AS ratio_bp
+       |  FROM per GROUP BY doc_id, source),
+       |cells AS (
+       |  SELECT source, ratio_bp, CAST(count(*) AS BIGINT) AS cnt FROM doc GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT source, ratio_bp, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY ratio_bp
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+       |  FROM cells)
+       |SELECT source, max(n_docs) AS n_docs,
+       |  min(CASE WHEN cum * 2 >= n_docs THEN ratio_bp END) AS med_ratio_bp,
+       |  CAST(sum(CASE WHEN ratio_bp < $RepetitiveBp THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS repetitive_docs,
+       |  (CAST(sum(CASE WHEN ratio_bp < $RepetitiveBp THEN cnt ELSE 0 END) AS BIGINT)
+       |    * 10000) // max(n_docs) AS repetitive_bp
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d106_compressibility" -> (d106Compressibility _),
     "d104_zipf_band" -> (d104ZipfBand _),
     "d103_cluster_profile" -> (d103ClusterProfile _),
     "d101_ngram_cardinality" -> (d101NgramCardinality _),
@@ -1986,6 +2078,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d106_compressibility" -> d106Sql,
     "d104_zipf_band" -> d104Sql,
     "d103_cluster_profile" -> d103Sql,
     "d101_ngram_cardinality" -> d101Sql,

@@ -5792,6 +5792,34 @@ class OperatorSpec extends GraftSpec {
     real.foreach(r => assert(r.getLong(3) <= 10000L && r.getLong(2) <= r.getLong(1)))
   }
 
+  test("d106 compressibility: repetitive loop scores low, prose high; median replays") {
+    import spark.implicits._
+    // loop: "a b a b a b a b" -> 7 bigrams, 2 distinct -> 2857 bp (repetitive)
+    // prose: 6 tokens all distinct bigrams -> 10000 bp
+    // half: "x y x y z w" -> 5 bigrams {xy,yx,xy,yz,zw} -> 4 types -> 8000
+    val planted = Seq(
+      (1L, "L", "a b a b a b a b"),
+      (2L, "L", "c d c d c d"),          // 5 bigrams, 2 types -> 4000
+      (3L, "P", "one two three four five six"),
+      (4L, "P", "x y x y z w"),
+      (5L, "P", "solo"))                 // < 2 tokens: not scored
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.d106CompressibilityOf(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // L: ratios [2857, 4000] -> lower median 2857, both repetitive
+    assert(got("L") == ((2L, 2857L, 2L, 10000L)), got("L").toString)
+    // P: ratios [8000, 10000] -> lower median 8000, none repetitive
+    assert(got("P") == ((2L, 8000L, 0L, 0L)), got("P").toString)
+    // real data: ratios in range; repetitive share consistent
+    val real = CorpusOps.d106Compressibility(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
+    }
+  }
+
   test("d103 cluster profile: histogram ties out against d25's labels plus singletons") {
     val prof = CorpusOps.d103ClusterProfile(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
