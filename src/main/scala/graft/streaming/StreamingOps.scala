@@ -1475,6 +1475,73 @@ object StreamingOps {
       }
   }
 
+  case class DrawdownOut(event_type: String, day_idx: Long, n_events: Long,
+                         peak_n: Long, drawdown: Long, drawdown_bp: Long,
+                         is_worst: Boolean)
+  case class DrawdownState(open: Map[Long, Long], firstDay: Long,
+                           lastClosed: Long, peak: Long, worstDd: Long,
+                           worstDay: Long)
+
+  /** Streaming drawdown monitor — c55's live twin: "how far below its
+    * own peak is this feed RIGHT NOW" evaluated as each day closes,
+    * because a demand-loss signal read in tomorrow's backfill is a
+    * post-mortem, not a monitor. Days close per type in ascending
+    * event-time order at the watermark (interior gap days close as
+    * the real zeros of c55's dense spine — a dark day IS the deepest
+    * drawdown); state carries the running peak and the worst
+    * (drawdown, earliest-day) seen, so each emitted row's
+    * peak/drawdown/bp equal the batch prefix by construction and
+    * `is_worst` marks rows that set a new maximum — the alert edge.
+    * State per type: the open day map (watermark-bounded) + 4 longs. */
+  def drawdownStream(spark: SparkSession, events: Dataset[EventRow],
+                     watermarkDelay: String = "1 hour"): Dataset[DrawdownOut] = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[DrawdownState]) =>
+          val st0 = state.getOption.getOrElse(
+            DrawdownState(Map.empty, Long.MinValue, Long.MinValue, 0L, -1L, Long.MinValue))
+          var open = st0.open
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (d > st0.lastClosed) open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var firstDay = st0.firstDay
+          var lastClosed = st0.lastClosed
+          var peak = st0.peak
+          var worstDd = st0.worstDd
+          var worstDay = st0.worstDay
+          val out = Seq.newBuilder[DrawdownOut]
+          if (open.nonEmpty) {
+            val maxOpen = open.keys.max
+            if (firstDay == Long.MinValue) firstDay = open.keys.min
+            var d = if (lastClosed == Long.MinValue) firstDay else lastClosed + 1
+            while (d <= maxOpen && (d + 1) * DayMs <= wm) {
+              val cnt = open.getOrElse(d, 0L)
+              peak = math.max(peak, cnt)
+              val dd = peak - cnt
+              val isWorst = dd > worstDd
+              if (isWorst) { worstDd = dd; worstDay = d }
+              out += DrawdownOut(typ, d, cnt, peak, dd,
+                if (peak > 0) dd * 10000 / peak else 0L, isWorst)
+              open -= d
+              lastClosed = d
+              d += 1
+            }
+          }
+          state.update(DrawdownState(open, firstDay, lastClosed, peak, worstDd, worstDay))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              if (lastClosed == Long.MinValue) (open.keys.min + 1) * DayMs
+              else (lastClosed + 2) * DayMs,
+              wm + 1))
+          out.result().iterator
+      }
+  }
+
   case class MkOut(event_type: String, day_idx: Long, n_days: Long,
                    s_stat: Long, var18: Long, verdict: String)
   case class MkState(open: Map[Long, Long], closedVals: Map[Long, Long],

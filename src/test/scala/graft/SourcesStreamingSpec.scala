@@ -1865,6 +1865,56 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("drawdownStream: per-day peaks/depths replay; worst rows track the real batch c55") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.drawdownStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("dd_test").outputMode("append").start()
+    val day0 = 19900L
+    var id = 0L
+    def evs(day: Long, typ: String, n: Int) = (1 to n).map { k =>
+      id += 1
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(day * 86400000L + 12 * 3600000L + k * 60000L),
+        id % 3, typ, 1.0)
+    }
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // V: [5,3,7,2,6] (worst dd 5 at day 3); O: [4,<gap>,5] (gap day
+      // closes as the 10000 bp outage); splits land mid-series
+      add(evs(day0, "V", 5) ++ evs(day0, "O", 4) ++ evs(day0 + 1, "V", 3))
+      add(evs(day0 + 2, "V", 7) ++ evs(day0 + 2, "O", 5))
+      add(evs(day0 + 3, "V", 2) ++ evs(day0 + 4, "V", 6))
+      add(evs(day0 + 6, "W", 1)) // watermark driver on its own type
+      val got = spark.sql(
+          "select event_type, day_idx, n_events, peak_n, drawdown, drawdown_bp, is_worst" +
+            " from dd_test")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+      assert(got(("V", day0 + 2)) == ((7L, 7L, 0L, 0L, false)))
+      assert(got(("V", day0 + 3)) == ((2L, 7L, 5L, 7142L, true)))
+      assert(got(("V", day0 + 4)) == ((6L, 7L, 1L, 1428L, false)))
+      assert(got(("O", day0 + 1)) == ((0L, 4L, 4L, 10000L, true)),
+        got(("O", day0 + 1)).toString)
+      // the last is_worst row per type IS the batch c55 row (trough
+      // day, peak at that moment, depth, bp) on the same prefix
+      val batch = graft.operators.Events.c55DrawdownOf(
+        fed.result().filter(_.event_type != "W").toDF())
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      for (typ <- Seq("V", "O")) {
+        val worstDay = got.keys.filter(k => k._1 == typ && got(k)._5).map(_._2).max
+        val w = got((typ, worstDay))
+        assert(batch(typ) == ((worstDay, w._2, w._1, w._3, w._4)),
+          s"$typ: ${batch(typ)} vs stream worst $w at $worstDay")
+      }
+    } finally q.stop()
+  }
+
   test("cusumStream: closed prefix == the real batch c44 across micro-batch splits; shift alarms") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
