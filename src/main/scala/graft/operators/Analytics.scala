@@ -3408,7 +3408,134 @@ object Analytics {
       |  SELECT 'total', CAST(ss_tot AS DOUBLE), CAST(df_tot AS BIGINT), NULL FROM m)
       |ORDER BY effect""".stripMargin
 
+  def q74KruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    q74KruskalWallisOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+        col("o_orderpriority").as("grp"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("delay")))
+
+  /** q74: Kruskal–Wallis H per order year — do the FIVE priorities sit
+    * on one ship-delay distribution, or does at least one differ? The
+    * k-sample extension of q72's two-sample rank test (Kruskal &
+    * Wallis 1952): q73 answers the parametric mean question, this is
+    * the distribution-free one an SLA audit wants when delays are
+    * skewed. Never ranks the corpus: delays live in a small integer
+    * value space, so row-grain midranks collapse onto the (year,
+    * priority, delay) histogram — 2·midrank(v) = 2·cum_before(v) +
+    * t_v + 1 keeps half-tie credits integral, and the per-value tie
+    * term folds into the SAME pass as c·(t²−1) (Σ_groups c over a
+    * value is t, so the sum telescopes to Σ(t³−t) with no second
+    * value-grain consumer — single lineage, no checkpoint).
+    * H = 3·ΣR2_i²/n_i / (N(N+1)) − 3(N+1) on doubled rank sums;
+    * tie-adjusted by (N³−N)/(N³−N−Σ(t³−t)).
+    *
+    * Determinism: ΣR2_i²/n_i is rational → milli-truncated per group
+    * first (R2²·1000 div n, the q73 idiom) so the year aggregate sums
+    * exact DECIMAL(38,0) terms order-free; h/h_adj are then fixed-
+    * shape scalar IEEE expressions over exact integers — engine-
+    * identical. Exact while R2²·1000 < 1e38, i.e. ≤ ~5.6e8 rows per
+    * (year, priority); past that move the milli factor into the
+    * final doubles. The Σ2R_i = N(N+1) conservation identity ships as
+    * `rank_check` — a free full-ranking audit.
+    *
+    * Shape: two scans = two genuine inputs (lineitem ⨝ orders on the
+    * natural key, the q63/q72 precedent) → (year, priority, delay)
+    * map-side reduce → two windows on the value-bounded frame (t at
+    * (year, delay) grain; exact-offset RANGE cum at year grain) →
+    * (year, priority) reduce → per-year 1-row aggregate. */
+  def q74KruskalWallisOf(rows: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    def fdiv(a: Column, b: Column): Column =
+      ((a - (a % b)) / b).cast(DecimalType(38, 0))
+    val cells = rows.groupBy(col("yr"), col("grp"), col("delay"))
+      .agg(count(lit(1)).as("c"))
+    val scored = cells
+      .withColumn("t", sum(col("c")).over(
+        Window.partitionBy(col("yr"), col("delay"))))
+      .withColumn("cumb", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("yr")).orderBy(col("delay"))
+          .rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val byGrp = scored.groupBy(col("yr"), col("grp"))
+      .agg(sum(col("c")).as("ni"),
+        sum(d38(col("c")) * (lit(2) * col("cumb") + col("t") + 1)).as("r2"),
+        sum(d38(col("c")) * (d38(col("t")) * col("t") - 1)).as("tiep"))
+    val byYr = byGrp.groupBy(col("yr"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("k"),
+        sum(fdiv(col("r2") * col("r2") * 1000, d38(col("ni")))).as("s"),
+        sum(col("tiep")).as("tie3"), sum(col("r2")).as("r2sum"))
+      .withColumn("cub", d38(col("n")) * col("n") * col("n") - col("n"))
+    byYr
+      .withColumn("h",
+        when(col("k") > 1 && col("cub") > col("tie3"),
+          (col("s") * 3).cast("double") /
+            (d38(col("n")) * (col("n") + 1) * 1000).cast("double") -
+            (col("n") + 1).cast("double") * 3.0))
+      .withColumn("h_adj",
+        col("h") * (col("cub").cast("double") /
+          (col("cub") - col("tie3")).cast("double")))
+      .select(col("yr").as("order_year"),
+        col("n").cast("bigint").as("n_rows"),
+        col("k").cast("bigint").as("k_groups"),
+        (col("r2sum") === d38(col("n")) * (col("n") + 1)).as("rank_check"),
+        col("h"), col("h_adj"),
+        (col("h_adj") > when(col("k") === 2, 3.841)
+          .when(col("k") === 3, 5.991).when(col("k") === 4, 7.815)
+          .when(col("k") === 5, 9.488).when(col("k") === 6, 11.070))
+          .as("significant"))
+      .orderBy(col("order_year"))
+  }
+
+  val q74Sql: String =
+    """WITH rows_in AS (
+      |  SELECT year(CAST(o.o_orderdate AS DATE)) AS yr,
+      |    o.o_orderpriority AS grp,
+      |    date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cells AS (
+      |  SELECT yr, grp, delay, CAST(count(*) AS BIGINT) AS c
+      |  FROM rows_in GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT yr, grp, c,
+      |    sum(c) OVER (PARTITION BY yr, delay) AS t,
+      |    coalesce(sum(c) OVER (PARTITION BY yr ORDER BY delay
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM cells),
+      |by_grp AS (
+      |  SELECT yr, grp, sum(c) AS ni,
+      |    sum(CAST(c AS HUGEINT) * (2 * cumb + t + 1)) AS r2,
+      |    sum(CAST(c AS HUGEINT) * (CAST(t AS HUGEINT) * t - 1)) AS tiep
+      |  FROM scored GROUP BY 1, 2),
+      |by_yr AS (
+      |  SELECT yr, sum(ni) AS n, count(*) AS k,
+      |    sum((r2 * r2 * 1000) // CAST(ni AS HUGEINT)) AS s,
+      |    sum(tiep) AS tie3, sum(r2) AS r2sum
+      |  FROM by_grp GROUP BY 1),
+      |f AS (
+      |  SELECT yr, n, k, s, tie3, r2sum,
+      |    CAST(n AS HUGEINT) * n * n - n AS cub
+      |  FROM by_yr),
+      |g AS (
+      |  SELECT yr, n, k, r2sum = CAST(n AS HUGEINT) * (n + 1) AS rank_check,
+      |    CASE WHEN k > 1 AND cub > tie3 THEN
+      |      CAST(s * 3 AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n + 1) * 1000 AS DOUBLE)
+      |        - CAST(n + 1 AS DOUBLE) * 3.0 END AS h,
+      |    cub, tie3
+      |  FROM f)
+      |SELECT yr AS order_year, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(k AS BIGINT) AS k_groups, rank_check, h,
+      |  h * (CAST(cub AS DOUBLE) / CAST(cub - tie3 AS DOUBLE)) AS h_adj,
+      |  h * (CAST(cub AS DOUBLE) / CAST(cub - tie3 AS DOUBLE)) >
+      |    CASE k WHEN 2 THEN 3.841 WHEN 3 THEN 5.991 WHEN 4 THEN 7.815
+      |           WHEN 5 THEN 9.488 WHEN 6 THEN 11.070 END AS significant
+      |FROM g ORDER BY order_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_kruskal_wallis" -> (q74KruskalWallis _),
     "q73_anova_two_way" -> (q73AnovaTwoWay _),
     "q72_mann_whitney" -> (q72MannWhitney _),
     "q71_kendall_tau" -> (q71KendallTau _),
@@ -3483,6 +3610,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q74_kruskal_wallis" -> q74Sql,
     "q73_anova_two_way" -> q73Sql,
     "q72_mann_whitney" -> q72Sql,
     "q71_kendall_tau" -> q71Sql,

@@ -2047,7 +2047,109 @@ object CorpusOps {
        |    * 10000) // max(n_docs) AS repetitive_bp
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** Quartile threshold: docs shorter than this can't split head/tail. */
+  val DriftMinTokens = 8
+
+  def d107PositionalDrift(spark: SparkSession, dir: String): DataFrame =
+    d107PositionalDriftOf(Tables.documents(spark, dir))
+
+  /** d107: positional vocabulary drift — does a source's OPENING
+    * vocabulary differ from its CLOSING vocabulary? Templated corpora
+    * (scraped pages with navigation headers, generated docs with
+    * fixed preambles/licenses) show high head↔tail drift even when no
+    * single literal prefix repeats — the STATISTICAL complement to
+    * d64's exact boilerplate prefixes: d64 catches verbatim templates,
+    * this catches paraphrased/rotating ones. Per source: unigram
+    * distribution of first-quartile positions vs last-quartile, exact
+    * total-variation distance in bp, and the single most drifted word
+    * with its side (the template's anchor token — what a cleaning rule
+    * would target).
+    *
+    * Determinism: TV is rational — numerator Σ_w |c0·n3 − c3·n0| and
+    * denominator n0·n3 are exact integers (DECIMAL(38,0)/HUGEINT), so
+    * tv_bp = 5000·num div (n0·n3) is engine-identical; the argmax
+    * breaks drift ties lexicographically (total order). Exact while
+    * 5000·num < 1e38 (n0·n3 ≤ 1e34 — beyond any corpus).
+    *
+    * Shape: ONE scan → positional explode filtered to the two
+    * quartile bands (map-only — half the corpus tokens never shuffle)
+    * → (source, word) reduce → per-source windows on the vocab-
+    * bounded frame (d55's window discipline) → argmax row carries the
+    * per-source scalars out. */
+  def d107PositionalDriftOf(documents: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val x = documents
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DriftMinTokens)
+      .select(col("source"), size(col("toks")).cast("long").as("n"),
+        posexplode(col("toks")).as(Seq("p", "w")))
+      .filter(col("p") * 4 < col("n") || col("p") * 4 >= col("n") * 3)
+    val b = x.groupBy(col("source"), col("w"))
+      .agg(countIf(col("p") * 4 < col("n")).as("c0"),
+        countIf(col("p") * 4 >= col("n") * 3).as("c3"))
+    val wS = Window.partitionBy(col("source"))
+    b
+      .withColumn("n0", sum(col("c0")).over(wS))
+      .withColumn("n3", sum(col("c3")).over(wS))
+      .withColumn("drift", abs(d38(col("c0")) * col("n3") - d38(col("c3")) * col("n0")))
+      .withColumn("num", sum(col("drift")).over(wS))
+      .withColumn("head_vocab", sum(when(col("c0") > 0, 1L).otherwise(0L)).over(wS))
+      .withColumn("tail_vocab", sum(when(col("c3") > 0, 1L).otherwise(0L)).over(wS))
+      .withColumn("rn", row_number().over(wS.orderBy(col("drift").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n0").cast("bigint").as("n_head"),
+        col("n3").cast("bigint").as("n_tail"),
+        col("head_vocab"), col("tail_vocab"),
+        expr("cast((num * 5000) div (cast(n0 as decimal(38,0)) * n3) as bigint)")
+          .as("tv_bp"),
+        col("w").as("top_drift_word"),
+        when(d38(col("c0")) * col("n3") >= d38(col("c3")) * col("n0"), lit("head"))
+          .otherwise(lit("tail")).as("drift_side"))
+      .orderBy(col("source"))
+  }
+
+  val d107Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |x AS (
+       |  SELECT source, len(toks) AS n, unnest(toks) AS w,
+       |    generate_subscripts(toks, 1) - 1 AS p
+       |  FROM t WHERE len(toks) >= $DriftMinTokens),
+       |b AS (
+       |  SELECT source, w,
+       |    CAST(sum(CASE WHEN p * 4 < n THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |    CAST(sum(CASE WHEN p * 4 >= n * 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+       |  FROM x WHERE p * 4 < n OR p * 4 >= n * 3 GROUP BY 1, 2),
+       |d AS (
+       |  SELECT source, w, c0, c3,
+       |    sum(c0) OVER (PARTITION BY source) AS n0,
+       |    sum(c3) OVER (PARTITION BY source) AS n3
+       |  FROM b),
+       |s AS (
+       |  SELECT source, w, c0, c3, n0, n3,
+       |    abs(CAST(c0 AS HUGEINT) * n3 - CAST(c3 AS HUGEINT) * n0) AS drift
+       |  FROM d),
+       |f AS (
+       |  SELECT source, w, c0, c3, n0, n3, drift,
+       |    sum(drift) OVER (PARTITION BY source) AS num,
+       |    sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY source) AS head_vocab,
+       |    sum(CASE WHEN c3 > 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY source) AS tail_vocab,
+       |    row_number() OVER (PARTITION BY source ORDER BY drift DESC, w) AS rn
+       |  FROM s)
+       |SELECT source, CAST(n0 AS BIGINT) AS n_head, CAST(n3 AS BIGINT) AS n_tail,
+       |  CAST(head_vocab AS BIGINT) AS head_vocab,
+       |  CAST(tail_vocab AS BIGINT) AS tail_vocab,
+       |  CAST((num * 5000) // (CAST(n0 AS HUGEINT) * n3) AS BIGINT) AS tv_bp,
+       |  w AS top_drift_word,
+       |  CASE WHEN CAST(c0 AS HUGEINT) * n3 >= CAST(c3 AS HUGEINT) * n0
+       |    THEN 'head' ELSE 'tail' END AS drift_side
+       |FROM f WHERE rn = 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d107_positional_drift" -> (d107PositionalDrift _),
     "d106_compressibility" -> (d106Compressibility _),
     "d104_zipf_band" -> (d104ZipfBand _),
     "d103_cluster_profile" -> (d103ClusterProfile _),
@@ -2078,6 +2180,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d107_positional_drift" -> d107Sql,
     "d106_compressibility" -> d106Sql,
     "d104_zipf_band" -> d104Sql,
     "d103_cluster_profile" -> d103Sql,

@@ -3556,7 +3556,92 @@ object Events {
       |FROM g JOIN w ON g.week = w.week
       |ORDER BY g.week""".stripMargin
 
+  def c57CohortHalfLife(spark: SparkSession, dir: String): DataFrame =
+    c57CohortHalfLifeOf(Tables.events(spark, dir))
+
+  /** c57: cohort activity half-life — the DECAY-SPEED scalar the
+    * cohort family doesn't report: c7's retention matrix says what
+    * share of a cohort returns each week, c23 says how long single
+    * users last; a growth review wants ONE number per cohort — how
+    * many days until half of everything this cohort will EVER do is
+    * behind it. Front-loaded cohorts (half-life ≈ 0) churned on
+    * arrival; long half-lives mark durable acquisition channels.
+    * half_life = min age with 2·cum ≥ total (median-of-mass in event
+    * time), plus the exact bp of mass inside it.
+    *
+    * Shape: ONE scan → (user, day) map-side reduce → per-USER min-day
+    * window (each partition a user's day set — bounded, skew-free) →
+    * (cohort_week, age) reduce → cumulative/total windows on the
+    * calendar-bounded cohort×age frame (c31-compliant) → first
+    * qualifying row per cohort. All-integer: half_mass_bp is exact
+    * floor division; cohort size reads off the age-0 row for free
+    * ((user, day) is distinct, so exactly one row per user at its own
+    * age 0 — no second distinct pass). */
+  def c57CohortHalfLifeOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("first_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val byAge = ud
+      .groupBy(expr("first_day div 7").as("cohort_week"),
+        (col("day") - col("first_day")).as("age"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_user_days"))
+    val wC = Window.partitionBy(col("cohort_week"))
+    val scored = byAge
+      .withColumn("cum", sum(col("n_events")).over(
+        wC.orderBy(col("age")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("n_events")).over(wC))
+      .withColumn("max_age", max(col("age")).over(wC))
+      .withColumn("n_users",
+        max(when(col("age") === 0, col("n_user_days"))).over(wC))
+    scored
+      .filter(col("cum") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(wC.orderBy(col("age"))))
+      .filter(col("rn") === 1)
+      .select(col("cohort_week"), col("n_users").cast("bigint").as("n_users"),
+        col("tot").cast("bigint").as("n_events"),
+        (col("max_age") + 1).cast("bigint").as("span_days"),
+        col("age").cast("bigint").as("half_life_days"),
+        expr("(cum * 10000) div tot").as("half_mass_bp"))
+      .orderBy(col("cohort_week"))
+  }
+
+  val c57Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id FROM events),
+      |ud AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+      |f AS (
+      |  SELECT user_id, day, n,
+      |    min(day) OVER (PARTITION BY user_id) AS first_day
+      |  FROM ud),
+      |ba AS (
+      |  SELECT first_day // 7 AS cohort_week, day - first_day AS age,
+      |    sum(n) AS n_events, CAST(count(*) AS BIGINT) AS n_user_days
+      |  FROM f GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT cohort_week, age,
+      |    sum(n_events) OVER (PARTITION BY cohort_week ORDER BY age
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(n_events) OVER (PARTITION BY cohort_week) AS tot,
+      |    max(age) OVER (PARTITION BY cohort_week) AS max_age,
+      |    max(CASE WHEN age = 0 THEN n_user_days END)
+      |      OVER (PARTITION BY cohort_week) AS n_users
+      |  FROM ba),
+      |r AS (
+      |  SELECT cohort_week, age, cum, tot, max_age, n_users,
+      |    row_number() OVER (PARTITION BY cohort_week ORDER BY age) AS rn
+      |  FROM sc WHERE 2 * cum >= tot)
+      |SELECT cohort_week, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(tot AS BIGINT) AS n_events,
+      |  CAST(max_age + 1 AS BIGINT) AS span_days,
+      |  CAST(age AS BIGINT) AS half_life_days,
+      |  (cum * 10000) // tot AS half_mass_bp
+      |FROM r WHERE rn = 1 ORDER BY cohort_week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c57_cohort_half_life" -> (c57CohortHalfLife _),
     "c56_weekly_stickiness" -> (c56WeeklyStickiness _),
     "c55_drawdown" -> (c55Drawdown _),
     "c54_theil_sen" -> (c54TheilSen _),
@@ -3615,6 +3700,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c57_cohort_half_life" -> c57Sql,
     "c56_weekly_stickiness" -> c56Sql,
     "c55_drawdown" -> c55Sql,
     "c54_theil_sen" -> c54Sql,

@@ -5594,6 +5594,41 @@ class OperatorSpec extends GraftSpec {
     real.values.foreach(v => assert(v >= -8.0))
   }
 
+  test("q74 Kruskal-Wallis: textbook three-group separation and tie adjustment replay") {
+    import spark.implicits._
+    // classic separated groups: ranks ARE the values -> H = 7.2, no ties
+    val sep = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L))
+      .map { case (g, d) => (1995L, g, d) }.toDF("yr", "grp", "delay")
+    val g1 = Analytics.q74KruskalWallisOf(sep).collect()
+    assert(g1.length == 1)
+    assert(g1(0).getLong(1) == 9L && g1(0).getLong(2) == 3L && g1(0).getBoolean(3))
+    assert(math.abs(g1(0).getDouble(4) - 7.2) < 1e-12, g1(0).toString)
+    assert(math.abs(g1(0).getDouble(5) - 7.2) < 1e-12)
+    assert(g1(0).getBoolean(6)) // df=2 crit 5.991
+    // tie adjustment: A=[1,2] B=[1,3] -> H=0.15, tie3=6, adj 0.15*60/54
+    val tied = Seq((1L, "a", 1L), (1L, "a", 2L), (1L, "b", 1L), (1L, "b", 3L))
+      .toDF("yr", "grp", "delay")
+    val g2 = Analytics.q74KruskalWallisOf(tied).collect()
+    assert(math.abs(g2(0).getDouble(4) - 0.15) < 1e-12, g2(0).toString)
+    assert(math.abs(g2(0).getDouble(5) - 0.15 * 60.0 / 54.0) < 1e-12)
+    assert(!g2(0).getBoolean(6))
+    // degenerate: everything tied at one value -> H undefined (null)
+    val flat = Seq((1L, "a", 5L), (1L, "a", 5L), (1L, "b", 5L), (1L, "b", 5L))
+      .toDF("yr", "grp", "delay")
+    assert(Analytics.q74KruskalWallisOf(flat).collect()(0).isNullAt(4))
+    // real data: all 5 priorities per year, ranking conserved, H finite
+    // and nonnegative up to the documented milli truncation
+    val real = Analytics.q74KruskalWallis(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) == 5L, r.toString)
+      assert(r.getBoolean(3), s"rank conservation failed: $r")
+      assert(!r.isNullAt(4) && r.getDouble(4) > -1e-3 && !r.getDouble(4).isNaN)
+      assert(r.getDouble(5) >= r.getDouble(4) - 1e-12)
+    }
+  }
+
   test("bitmap family: exact distinct under partition splits, negatives, sparse words") {
     import spark.implicits._
     // ids span negative words, dense runs, and >64-apart sparse words;
@@ -5639,6 +5674,56 @@ class OperatorSpec extends GraftSpec {
         s"week ${r.getLong(0)}: ${r.getLong(3)} vs ${truth(r.getLong(0))}")
       assert(r.getLong(4) >= r.getLong(3) && r.getLong(4) <= r.getLong(1) * r.getLong(3))
       assert(r.getLong(5) > 0L && r.getLong(5) <= 10000L)
+    }
+  }
+
+  test("d107 positional drift: disjoint template vocab hits 10000 bp, symmetric doc 0") {
+    import spark.implicits._
+    // "tpl": head vocab {h1,h2} never appears in the tail -> full TV;
+    // drift ties at 8 break lexicographically -> h1/head
+    // "flat": head {a,b} == tail {a,b} -> 0 bp; short doc excluded
+    val docs = Seq(
+      ("tpl", "h1 h2 m m m m t1 t2"), ("tpl", "h1 h2 m m m m t1 t2"),
+      ("flat", "a b c c c c a b"), ("flat", "x y"))
+      .toDF("source", "text")
+    val got = CorpusOps.d107PositionalDriftOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getString(7)))).toMap
+    assert(got("tpl") == ((4L, 4L, 2L, 2L, 10000L, "h1", "head")), got("tpl").toString)
+    assert(got("flat") == ((2L, 2L, 2L, 2L, 0L, "a", "head")), got("flat").toString)
+    // real data: bands are ceil(n/4)/floor(n/4) so head >= tail; TV in
+    // range; vocab never exceeds its band's token count
+    val real = CorpusOps.d107PositionalDrift(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) > 0L, r.toString)
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 10000L)
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2))
+      assert(r.getString(7) == "head" || r.getString(7) == "tail")
+    }
+  }
+
+  test("c57 cohort half-life: front-loaded vs spread cohorts replay; mass bounds hold") {
+    import spark.implicits._
+    def ev(day: Long, u: Long, n: Int) = Seq.fill(n)(
+      (new java.sql.Timestamp(day * 86400000L + 60000L), u))
+    // cohort 0 (users 1,2 @ day 0): age0 mass 4 of 6 -> half-life 0, 6666 bp
+    // cohort 1 (user 5 @ day 7): masses 1,1,2 -> half-life 1, 5000 bp
+    val rows = ev(0, 1, 3) ++ ev(1, 1, 1) ++ ev(0, 2, 1) ++ ev(2, 2, 1) ++
+      ev(7, 5, 1) ++ ev(8, 5, 1) ++ ev(9, 5, 2)
+    val got = Events.c57CohortHalfLifeOf(rows.toDF("ts", "user_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) == ((2L, 6L, 3L, 0L, 6666L)), got(0L).toString)
+    assert(got(1L) == ((1L, 4L, 3L, 1L, 5000L)), got(1L).toString)
+    // real data: half-life inside the span, mass share in [half, all],
+    // cohort size positive and never above its event count
+    val real = Events.c57CohortHalfLife(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(2) >= r.getLong(1), r.toString)
+      assert(r.getLong(4) >= 0L && r.getLong(4) < r.getLong(3))
+      assert(r.getLong(5) >= 5000L && r.getLong(5) <= 10000L)
     }
   }
 
