@@ -3534,7 +3534,133 @@ object Analytics {
       |           WHEN 5 THEN 9.488 WHEN 6 THEN 11.070 END AS significant
       |FROM g ORDER BY order_year""".stripMargin
 
+  def q75Levene(spark: SparkSession, dir: String): DataFrame =
+    q75LeveneOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+        col("o_orderpriority").as("grp"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("delay")))
+
+  /** q75: Brown–Forsythe (median-centered Levene) test per order year
+    * — do the priorities differ in delay SPREAD? The scale complement
+    * to q74's location test, and the homogeneity-of-variance check
+    * q73's F silently assumes: one-way ANOVA on |y − median_i|, with
+    * the median (not the mean) center for robustness under the skew
+    * delays actually have (Brown & Forsythe 1974).
+    *
+    * All-integer trick: F is scale-invariant in the transformed
+    * values, so it's computed on w = |2y − 2m_i| — the DOUBLED median
+    * (lower+upper middle) is always integral, no .5 anywhere. Group
+    * medians come off the (year, priority, delay) histogram with two
+    * stacked windows (cum, then min-where — never a corpus rank);
+    * sum-of-squares terms milli-truncate like q73 so year aggregates
+    * sum order-free; F is ONE IEEE division of exact integer
+    * products. Critical values are the df₂=∞ row (n−k is huge at any
+    * real SF), documented as such.
+    *
+    * Shape: two scans (lineitem ⨝ orders, the q63/q72/q74 precedent)
+    * → (year, priority, delay) map-side reduce → three windows on the
+    * value-bounded frame (all same partition key — one exchange) →
+    * (year, priority) reduce → per-year 1-row. */
+  def q75LeveneOf(rows: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    def fdiv(a: Column, b: Column): Column =
+      ((a - (a % b)) / b).cast(DecimalType(38, 0))
+    val wg = Window.partitionBy(col("yr"), col("grp"))
+    val cells = rows.groupBy(col("yr"), col("grp"), col("delay"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("ni", sum(col("c")).over(wg))
+      .withColumn("cum", sum(col("c")).over(wg.orderBy(col("delay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val centered = cells
+      .withColumn("lo", min(when(col("cum") >= expr("(ni + 1) div 2"),
+        col("delay"))).over(wg))
+      .withColumn("hi", min(when(col("cum") >= expr("(ni + 2) div 2"),
+        col("delay"))).over(wg))
+      .withColumn("wv", abs(lit(2) * col("delay") - col("lo") - col("hi")))
+    val byGrp = centered.groupBy(col("yr"), col("grp"))
+      .agg(max(col("ni")).as("ni"),
+        sum(d38(col("c")) * col("wv")).as("s"),
+        sum(d38(col("c")) * col("wv") * col("wv")).as("q"))
+    val byYr = byGrp.groupBy(col("yr"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("k"),
+        sum(col("q")).as("qq"), sum(col("s")).as("ssum"),
+        sum(fdiv(col("s") * col("s") * 1000, d38(col("ni")))).as("t"))
+      .withColumn("ss_b", col("t") - fdiv(col("ssum") * col("ssum") * 1000, d38(col("n"))))
+      .withColumn("ss_w", d38(col("qq")) * 1000 - col("t"))
+    byYr
+      .withColumn("f",
+        when(col("k") > 1 && col("ss_w") > 0,
+          (col("ss_b") * (col("n") - col("k"))).cast("double") /
+            ((col("k") - 1) * col("ss_w")).cast("double")))
+      .select(col("yr").as("order_year"),
+        col("n").cast("bigint").as("n_rows"),
+        col("k").cast("bigint").as("k_groups"),
+        col("ss_b").cast("double").as("ss_between_milli"),
+        col("ss_w").cast("double").as("ss_within_milli"),
+        col("f"),
+        (col("f") > when(col("k") === 2, 3.841).when(col("k") === 3, 2.996)
+          .when(col("k") === 4, 2.605).when(col("k") === 5, 2.372)
+          .when(col("k") === 6, 2.214)).as("significant"))
+      .orderBy(col("order_year"))
+  }
+
+  val q75Sql: String =
+    """WITH rows_in AS (
+      |  SELECT year(CAST(o.o_orderdate AS DATE)) AS yr,
+      |    o.o_orderpriority AS grp,
+      |    date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cells AS (
+      |  SELECT yr, grp, delay, CAST(count(*) AS BIGINT) AS c
+      |  FROM rows_in GROUP BY 1, 2, 3),
+      |w1 AS (
+      |  SELECT yr, grp, delay, c,
+      |    sum(c) OVER (PARTITION BY yr, grp) AS ni,
+      |    sum(c) OVER (PARTITION BY yr, grp ORDER BY delay
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM cells),
+      |w2 AS (
+      |  SELECT yr, grp, delay, c, ni,
+      |    min(CASE WHEN cum >= (ni + 1) // 2 THEN delay END)
+      |      OVER (PARTITION BY yr, grp) AS lo,
+      |    min(CASE WHEN cum >= (ni + 2) // 2 THEN delay END)
+      |      OVER (PARTITION BY yr, grp) AS hi
+      |  FROM w1),
+      |g AS (
+      |  SELECT yr, grp, max(ni) AS ni,
+      |    sum(CAST(c AS HUGEINT) * abs(2 * delay - lo - hi)) AS s,
+      |    sum(CAST(c AS HUGEINT) * abs(2 * delay - lo - hi)
+      |      * abs(2 * delay - lo - hi)) AS q
+      |  FROM w2 GROUP BY 1, 2),
+      |y AS (
+      |  SELECT yr, sum(ni) AS n, count(*) AS k, sum(q) AS qq, sum(s) AS ssum,
+      |    sum((s * s * 1000) // CAST(ni AS HUGEINT)) AS t
+      |  FROM g GROUP BY 1),
+      |fin AS (
+      |  SELECT yr, n, k,
+      |    t - (ssum * ssum * 1000) // CAST(n AS HUGEINT) AS ss_b,
+      |    1000 * qq - t AS ss_w
+      |  FROM y),
+      |ff AS (
+      |  SELECT yr, n, k, ss_b, ss_w,
+      |    CASE WHEN k > 1 AND ss_w > 0 THEN
+      |      CAST(ss_b * (n - k) AS DOUBLE) / CAST((k - 1) * ss_w AS DOUBLE) END AS f
+      |  FROM fin)
+      |SELECT yr AS order_year, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(k AS BIGINT) AS k_groups,
+      |  CAST(ss_b AS DOUBLE) AS ss_between_milli,
+      |  CAST(ss_w AS DOUBLE) AS ss_within_milli, f,
+      |  f > CASE k WHEN 2 THEN 3.841 WHEN 3 THEN 2.996 WHEN 4 THEN 2.605
+      |             WHEN 5 THEN 2.372 WHEN 6 THEN 2.214 END AS significant
+      |FROM ff ORDER BY order_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_levene" -> (q75Levene _),
     "q74_kruskal_wallis" -> (q74KruskalWallis _),
     "q73_anova_two_way" -> (q73AnovaTwoWay _),
     "q72_mann_whitney" -> (q72MannWhitney _),
@@ -3610,6 +3736,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q75_levene" -> q75Sql,
     "q74_kruskal_wallis" -> q74Sql,
     "q73_anova_two_way" -> q73Sql,
     "q72_mann_whitney" -> q72Sql,

@@ -2148,7 +2148,89 @@ object CorpusOps {
        |    THEN 'head' ELSE 'tail' END AS drift_side
        |FROM f WHERE rn = 1 ORDER BY source""".stripMargin
 
+  def d108EntropyRate(spark: SparkSession, dir: String): DataFrame =
+    d108EntropyRateOf(Tables.documents(spark, dir))
+
+  /** d108: token entropy rate per source — how PREDICTABLE is the
+    * next token given the current one? The information-theoretic
+    * repetitiveness measure the structural family (d106's distinct-
+    * bigram share, d61's burstiness) brackets but doesn't compute:
+    * conditional entropy H(w₂|w₁) = H₂ − H₁ in nats, with perplexity
+    * exp(H) — the number a data-mixture designer quotes ("source X is
+    * ~N-way branching"). Near-zero rate = deterministic templates /
+    * loops; rate near ln(vocab) = no sequential structure.
+    *
+    * Float honesty (a DELIBERATE departure from the gram family's
+    * log-free discipline, safe here): entropies need ln, but every
+    * aggregated term (c·ln c, c·ln r) is SAME-SIGN, so cross-engine
+    * aggregation-order differences cost ≤ ~n·ulp relative — ~1e-12 at
+    * corpus scale, three orders under the oracle's 1e-9 float gate.
+    * Identities used: H₂ = ln N − Σc·ln c/N (joint), H₁ = ln N −
+    * Σc·ln r/N (first-token marginal; r = Σ_w₂ c rides a window, so
+    * Σ_rows c·ln r ≡ Σ_w₁ r·ln r — no second reduce), rate = (B−A)/N
+    * with B−A = Σ c·ln(r/c) ≥ 0 termwise.
+    *
+    * Shape: ONE scan → bigram explode (d106's transform+sequence
+    * shape, pair pre-hashed to two longs — the d8 shuffle discipline)
+    * → (source, w₁, w₂) reduce → marginal window + first-row marker
+    * on the gram-bounded frame → per-source 1-row. Gram-tier cost
+    * (adjudicated d89/d57/d106 class). */
+  def d108EntropyRateOf(documents: DataFrame): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val pairs = documents
+      .select(col("source"),
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("source"), xxhash64(col("p.w1")).as("h1"),
+        xxhash64(col("p.w2")).as("h2"))
+    val w1 = Window.partitionBy(col("source"), col("h1"))
+    pairs
+      .groupBy(col("source"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", sum(col("c")).over(w1))
+      .withColumn("rn", row_number().over(w1.orderBy(col("h2"))))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("bigram_types"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("vocab_first"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("a"),
+        sum(col("c").cast("double") * log(col("r").cast("double"))).as("b"))
+      .select(col("source"), col("n").cast("bigint").as("n_bigrams"),
+        col("vocab_first"), col("bigram_types").cast("bigint").as("bigram_types"),
+        (log(col("n").cast("double")) - col("b") / col("n")).as("h_unigram"),
+        ((col("b") - col("a")) / col("n")).as("h_cond"),
+        exp((col("b") - col("a")) / col("n")).as("ppl_cond"))
+      .orderBy(col("source"))
+  }
+
+  val d108Sql: String =
+    """WITH t AS (
+      |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |b AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      |  FROM t WHERE len(t) >= 2),
+      |c AS (
+      |  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT source, c,
+      |    sum(c) OVER (PARTITION BY source, w1) AS r,
+      |    row_number() OVER (PARTITION BY source, w1 ORDER BY w2) AS rn
+      |  FROM c)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_first,
+      |  CAST(count(*) AS BIGINT) AS bigram_types,
+      |  ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(r)) / sum(c) AS h_unigram,
+      |  (sum(c * ln(r)) - sum(c * ln(c))) / sum(c) AS h_cond,
+      |  exp((sum(c * ln(r)) - sum(c * ln(c))) / sum(c)) AS ppl_cond
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d108_entropy_rate" -> (d108EntropyRate _),
     "d107_positional_drift" -> (d107PositionalDrift _),
     "d106_compressibility" -> (d106Compressibility _),
     "d104_zipf_band" -> (d104ZipfBand _),
@@ -2180,6 +2262,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d108_entropy_rate" -> d108Sql,
     "d107_positional_drift" -> d107Sql,
     "d106_compressibility" -> d106Sql,
     "d104_zipf_band" -> d104Sql,

@@ -5677,6 +5677,64 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("q75 Brown-Forsythe: hand-computed two-group F=64 replays; doubled medians exact") {
+    import spark.implicits._
+    // a: delays [0,2,10,10] -> 2m=12, w=[12,8,8,8]; b: [5,5,6,6] -> 2m=11,
+    // w=[1,1,1,1]; SS_b=128000 milli, SS_w=12000, F = 128000*6/12000 = 64
+    val rows = Seq((1L, "a", 0L), (1L, "a", 2L), (1L, "a", 10L), (1L, "a", 10L),
+      (1L, "b", 5L), (1L, "b", 5L), (1L, "b", 6L), (1L, "b", 6L))
+      .toDF("yr", "grp", "delay")
+    val g = Analytics.q75LeveneOf(rows).collect()
+    assert(g.length == 1)
+    assert(g(0).getLong(1) == 8L && g(0).getLong(2) == 2L)
+    assert(g(0).getDouble(3) == 128000.0 && g(0).getDouble(4) == 12000.0, g(0).toString)
+    assert(math.abs(g(0).getDouble(5) - 64.0) < 1e-12)
+    assert(g(0).getBoolean(6)) // df1=1 crit 3.841
+    // identical spreads -> SS_b 0 (up to milli truncation), F ~ 0
+    val same = Seq((1L, "a", 0L), (1L, "a", 4L), (1L, "b", 10L), (1L, "b", 14L))
+      .toDF("yr", "grp", "delay")
+    val g2 = Analytics.q75LeveneOf(same).collect()
+    assert(math.abs(g2(0).getDouble(3)) <= 2.0, g2(0).toString)
+    // real data: 5 priorities, positive within-SS, finite nonneg F
+    val real = Analytics.q75Levene(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) == 5L, r.toString)
+      assert(r.getDouble(4) > 0.0)
+      assert(!r.isNullAt(5) && r.getDouble(5) >= -1e-6 && !r.getDouble(5).isNaN)
+    }
+  }
+
+  test("d108 entropy rate: deterministic chain 0 nats, branching chain replays exactly") {
+    import spark.implicits._
+    // loop: a->b->a->... transitions fully determined -> h_cond 0, ppl 1
+    // rand: "a a a b b" -> h_cond = (3ln3 - 2ln2)/4, the textbook value
+    val docs = Seq(("loop", "a b a b a b a b"), ("rand", "a a a b b"))
+      .toDF("source", "text")
+    val got = CorpusOps.d108EntropyRateOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lp = got("loop")
+    assert(lp.getLong(1) == 7L && lp.getLong(2) == 2L && lp.getLong(3) == 2L)
+    assert(math.abs(lp.getDouble(5)) < 1e-12 && math.abs(lp.getDouble(6) - 1.0) < 1e-12)
+    val expU = math.log(7) - (4 * math.log(4) + 3 * math.log(3)) / 7.0
+    assert(math.abs(lp.getDouble(4) - expU) < 1e-12, lp.toString)
+    val rd = got("rand")
+    assert(rd.getLong(1) == 4L && rd.getLong(2) == 2L && rd.getLong(3) == 3L)
+    val expC = (3 * math.log(3) - 2 * math.log(2)) / 4.0
+    assert(math.abs(rd.getDouble(5) - expC) < 1e-12, rd.toString)
+    assert(math.abs(rd.getDouble(6) - math.exp(expC)) < 1e-12)
+    // real data: 0 <= h_cond <= h of a uniform next-token distribution;
+    // ppl consistent with rate; marginal vocab never exceeds pair types
+    val real = CorpusOps.d108EntropyRate(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && !r.getDouble(5).isNaN, r.toString)
+      assert(r.getDouble(4) > 0.0)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(1))
+      assert(math.abs(r.getDouble(6) - math.exp(r.getDouble(5))) < 1e-9)
+    }
+  }
+
   test("d107 positional drift: disjoint template vocab hits 10000 bp, symmetric doc 0") {
     import spark.implicits._
     // "tpl": head vocab {h1,h2} never appears in the tail -> full TV;
