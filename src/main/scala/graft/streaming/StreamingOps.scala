@@ -1651,6 +1651,60 @@ object StreamingOps {
     * with the measured downtime. State per type is three fields —
     * |types|-bounded, trivially outliving 100 TB/day throughput; the
     * only shuffle is the groupByKey on the type. */
+  case class StickOut(week: Long, n_days: Long, n_events: Long, wau: Long,
+                      dau_sum: Long, stickiness_bp: Long)
+  case class StickState(days: Map[Long, Set[Long]], counts: Map[Long, Long])
+
+  /** Streaming weekly stickiness — c56's live twin
+    * (Events.c56WeeklyStickinessOf): the DAU/WAU engagement row emitted
+    * the moment a week CLOSES (watermark past its last day), instead
+    * of in the next batch run. Keyed by week, so a week's group folds
+    * exactly the events batch c56 would give it; the next week's
+    * traffic advances the watermark and the closed week emits via
+    * event-time timeout — one row per week, append-mode clean.
+    *
+    * State per OPEN week (typically one, two at a boundary): per-day
+    * active-id sets + per-day counts — the c56 exact-tier bound
+    * (O(weekly active ids); the same sets `bitset_agg` holds as
+    * 1/64th-size word maps — encode them so if weekly actives warrant
+    * it; the unbounded-domain tier remains kmvStream). Every emitted
+    * row equals batch c56 over that week by construction — the fold
+    * IS the definition (exact distinct per day, exact union per
+    * week), spec-proven across micro-batch splits. */
+  def stickinessStream(spark: SparkSession, events: Dataset[EventRow],
+                       watermarkDelay: String = "1 hour"): Dataset[StickOut] = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(Math.floorDiv(e.ts.getTime, DayMs), 7L))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (week: Long, rows: Iterator[EventRow], state: GroupState[StickState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val nDays = s.days.size.toLong
+            val dauSum = s.days.valuesIterator.map(_.size.toLong).sum
+            val wau = s.days.valuesIterator.foldLeft(Set.empty[Long])(_ ++ _).size.toLong
+            Iterator.single(StickOut(week, nDays, s.counts.valuesIterator.sum,
+              wau, dauSum,
+              if (nDays > 0 && wau > 0) dauSum * 10000 / (nDays * wau) else 0L))
+          } else {
+            var s = state.getOption.getOrElse(StickState(Map.empty, Map.empty))
+            rows.foreach { e =>
+              val d = Math.floorDiv(e.ts.getTime, DayMs)
+              s = StickState(
+                s.days.updated(d, s.days.getOrElse(d, Set.empty[Long]) + e.user_id),
+                s.counts.updated(d, s.counts.getOrElse(d, 0L) + 1L))
+            }
+            state.update(s)
+            // close when the watermark passes the week's last day
+            state.setTimeoutTimestamp(math.max((week + 1) * 7 * DayMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def silenceStream(spark: SparkSession, events: Dataset[EventRow],
                     silenceMs: Long = 3600000L,
                     watermarkDelay: String = "10 seconds"): Dataset[SilenceOut] = {

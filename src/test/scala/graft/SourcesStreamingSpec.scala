@@ -1915,6 +1915,47 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stickinessStream: closed weeks equal batch c56 across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.stickinessStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("stick_test").outputMode("append").start()
+    val day0 = 19901L // first day of week 2843
+    var id = 0L
+    def ev(day: Long, user: Long) = {
+      id += 1
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(day * 86400000L + 3600000L + id * 1000L), user, "X", 1.0)
+    }
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // week 2843: day0 users {1 (twice), 2}, day0+1 users {2,3}
+      //   -> dau 2+2, wau 3, 5 events, 6666 bp; split lands mid-week
+      // week 2844: one day, one user -> 10000 bp
+      add(Seq(ev(day0, 1L), ev(day0, 1L), ev(day0, 2L)))
+      add(Seq(ev(day0 + 1, 2L), ev(day0 + 1, 3L)))
+      add(Seq(ev(day0 + 7, 5L)))
+      add(Seq(ev(day0 + 19, 9L))) // watermark driver closes both weeks
+      val got = spark.sql(
+          "select week, n_days, n_events, wau, dau_sum, stickiness_bp from stick_test")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got(2843L) == ((2L, 5L, 3L, 4L, 6666L)), got.toString)
+      assert(got(2844L) == ((1L, 1L, 1L, 1L, 10000L)), got.toString)
+      // every emitted week row equals the real batch c56 on the same data
+      val batch = graft.operators.Events.c56WeeklyStickinessOf(fed.result().toDF())
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3),
+          r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+      got.foreach { case (wk, (nd, ne, wau, ds, bp)) =>
+        assert(batch(wk) == ((nd, wau, ne, ds, bp)), s"week $wk: ${batch(wk)}")
+      }
+    } finally q.stop()
+  }
+
   test("cusumStream: closed prefix == the real batch c44 across micro-batch splits; shift alarms") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
