@@ -1469,7 +1469,100 @@ object MultimodalOps {
        |ORDER BY s.node""".stripMargin
   }
 
+  def e22ScheduleMixing(spark: SparkSession, dir: String): DataFrame =
+    e22ScheduleMixingOf(e7EpochSchedule(spark, dir))
+
+  /** e22: epoch-schedule mixing audit — is e7's shuffled shard order
+    * actually WELL-MIXED, or does a dominant source still arrive in
+    * runs? Correlated batches are the failure mode epoch shuffling
+    * exists to prevent (gradient noise collapses when consecutive
+    * steps see one source), so the audit a training job runs on its
+    * schedule: per epoch, observed source-switch count vs the EXACT
+    * expected switches of a uniform random permutation of the same
+    * source multiset — E = (n−1) − Σc_s(c_s−1)/n, a rational with no
+    * distributional hand-waving — plus the longest same-source run
+    * (the worst correlated stretch a loader will see). mixing_ok
+    * gates at ≥90% of expected (md5-shuffle should sit at ~100%;
+    * a sorted schedule craters to ~k/expected).
+    *
+    * All-integer: expected is milli-truncated via exact DECIMAL(38,0)
+    * floor-division (q73 idiom), the gate cross-multiplies — no
+    * floats anywhere. Run-length encoding rides lag + cumsum windows;
+    * per-source counts REGROUP from the run-level frame (c_s = Σ run
+    * lengths), so the whole audit is a single lineage over the
+    * schedule — no second consumer, no checkpoint.
+    *
+    * Shape: e7's schedule build (one scan, bounded shards×epochs
+    * frame) → two epoch-partitioned windows → run reduce → source
+    * reduce → per-epoch 1-row. */
+  def e22ScheduleMixingOf(sched: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def fdiv(a: Column, b: Column): Column =
+      ((a - (a % b)) / b).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val wOrd = Window.partitionBy(col("epoch")).orderBy(col("position"))
+    val runs = sched
+      .withColumn("prev", lag(col("source"), 1).over(wOrd))
+      .withColumn("new_run",
+        when(col("prev").isNull || col("prev") =!= col("source"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("new_run")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("epoch"), col("run_id"), col("source"))
+      .agg(count(lit(1)).as("len"))
+    val perSrc = runs.groupBy(col("epoch"), col("source"))
+      .agg(sum(col("len")).as("c"), count(lit(1)).as("nr"), max(col("len")).as("ml"))
+    perSrc.groupBy(col("epoch"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sum(col("nr")).as("n_runs"), max(col("ml")).as("longest"),
+        sum(d38(col("c")) * (col("c") - 1)).as("sumc2"))
+      .withColumn("exp_milli",
+        fdiv(d38(lit(1000)) * (col("n") - 1) * col("n") - d38(col("sumc2")) * 1000,
+          d38(col("n"))))
+      .select(col("epoch"), col("n").cast("bigint").as("n_shards"),
+        col("k").cast("bigint").as("n_sources"),
+        col("n_runs").cast("bigint").as("n_runs"),
+        (col("n_runs") - 1).cast("bigint").as("n_switches"),
+        col("longest").cast("bigint").as("longest_run"),
+        col("exp_milli").cast("bigint").as("expected_switches_milli"),
+        (d38(col("n_runs") - 1) * 10000 >= col("exp_milli") * 9).as("mixing_ok"))
+      .orderBy(col("epoch"))
+  }
+
+  val e22Sql: String =
+    s"""WITH sched AS (
+       |${e7Sql}
+       |),
+       |r AS (
+       |  SELECT epoch, source, position,
+       |    CASE WHEN lag(source) OVER (PARTITION BY epoch ORDER BY position)
+       |      IS DISTINCT FROM source THEN 1 ELSE 0 END AS new_run
+       |  FROM sched),
+       |rid AS (
+       |  SELECT epoch, source,
+       |    sum(new_run) OVER (PARTITION BY epoch ORDER BY position
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM r),
+       |runs AS (
+       |  SELECT epoch, run_id, source, CAST(count(*) AS BIGINT) AS len
+       |  FROM rid GROUP BY 1, 2, 3),
+       |per_src AS (
+       |  SELECT epoch, source, sum(len) AS c, count(*) AS nr, max(len) AS ml
+       |  FROM runs GROUP BY 1, 2),
+       |g AS (
+       |  SELECT epoch, sum(c) AS n, count(*) AS k, sum(nr) AS n_runs,
+       |    max(ml) AS longest, sum(CAST(c AS HUGEINT) * (c - 1)) AS sumc2
+       |  FROM per_src GROUP BY 1)
+       |SELECT epoch, CAST(n AS BIGINT) AS n_shards, CAST(k AS BIGINT) AS n_sources,
+       |  CAST(n_runs AS BIGINT) AS n_runs,
+       |  CAST(n_runs - 1 AS BIGINT) AS n_switches,
+       |  CAST(longest AS BIGINT) AS longest_run,
+       |  CAST((1000 * (CAST(n AS HUGEINT) - 1) * n - 1000 * sumc2) // n AS BIGINT)
+       |    AS expected_switches_milli,
+       |  CAST(n_runs - 1 AS HUGEINT) * 10000 >=
+       |    ((1000 * (CAST(n AS HUGEINT) - 1) * n - 1000 * sumc2) // n) * 9 AS mixing_ok
+       |FROM g ORDER BY epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_schedule_mixing" -> (e22ScheduleMixing _),
     "e21_rendezvous_placement" -> (e21RendezvousPlacement _),
     "e20_shard_integrity" ->
       ((s: SparkSession, d: String) => graft.sources.TarShardSink.e20ShardIntegrity(s, d)),
@@ -1496,6 +1589,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e22_schedule_mixing" -> e22Sql,
     "e21_rendezvous_placement" -> e21Sql,
     "e20_shard_integrity" -> graft.sources.TarShardSink.e20Sql,
     "e19_tar_index" -> graft.sources.TarShardSink.e19Sql,

@@ -5677,6 +5677,30 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("e22 schedule mixing: alternating passes the 90% gate, clumped fails; exact E") {
+    import spark.implicits._
+    // both epochs share multiset {a,a,b,b} -> E[switches] = 2.000 exactly;
+    // alternation observes 3 (ok), clumping observes 1 (fails the gate)
+    val sched = Seq(
+      (0L, "a", 1), (0L, "b", 2), (0L, "a", 3), (0L, "b", 4),
+      (1L, "a", 1), (1L, "a", 2), (1L, "b", 3), (1L, "b", 4))
+      .toDF("epoch", "source", "position")
+    val got = MultimodalOps.e22ScheduleMixingOf(sched).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(got(0L) == ((4L, 2L, 4L, 3L, 1L, 2000L, true)), got(0L).toString)
+    assert(got(1L) == ((4L, 2L, 2L, 1L, 2L, 2000L, false)), got(1L).toString)
+    // real schedule: every epoch same shard multiset, md5 shuffle mixes
+    val real = MultimodalOps.e22ScheduleMixing(spark, sfDir).collect()
+    assert(real.length == MultimodalOps.Epochs)
+    val n0 = real(0).getLong(1)
+    real.foreach { r =>
+      assert(r.getLong(1) == n0 && r.getLong(4) == r.getLong(3) - 1, r.toString)
+      assert(r.getLong(5) >= 1L && r.getLong(5) <= r.getLong(1))
+      assert(r.getLong(6) > 0L)
+    }
+  }
+
   test("q75 Brown-Forsythe: hand-computed two-group F=64 replays; doubled medians exact") {
     import spark.implicits._
     // a: delays [0,2,10,10] -> 2m=12, w=[12,8,8,8]; b: [5,5,6,6] -> 2m=11,
