@@ -3640,7 +3640,103 @@ object Events {
       |  (cum * 10000) // tot AS half_mass_bp
       |FROM r WHERE rn = 1 ORDER BY cohort_week""".stripMargin
 
+  def c58Comovement(spark: SparkSession, dir: String): DataFrame =
+    c58ComovementOf(Tables.events(spark, dir))
+
+  /** c58: daily-volume comovement matrix — which feeds MOVE TOGETHER?
+    * Pairwise Pearson r of daily counts over the shared day spine:
+    * the incident-correlation question c49's burst-coincidence asks
+    * only at the extremes ("did they spike together"), answered over
+    * the whole series — a strong-negative pair is a substitution
+    * signal (traffic migrating), strong-positive a shared upstream.
+    *
+    * Determinism: the five moments are exact DECIMAL(38,0) integers
+    * over the zero-filled spine; r is a fixed-shape IEEE expression
+    * (exact-int numerator / sqrt of a product of two exact-int-cast
+    * variance terms) — division, multiply and sqrt are all correctly
+    * rounded, so both engines produce the same bits and the 0.7/0.3
+    * class gates cannot straddle. Zero-variance series report NULL r
+    * and class 'flat'.
+    *
+    * Shape: ONE scan → calendar-bounded (type, day) dense reduce,
+    * `localCheckpoint`ed so the pair join's two sides share the one
+    * materialized corpus reduce (the c53/c54 idiom) → day equi-join
+    * (≤ k² rows per day, k = |types|) → per-pair 1-row moments. */
+  def c58ComovementOf(events: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val days = zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .localCheckpoint(true)
+    val a = days.select(col("event_type").as("type_a"), col("day"),
+      col("n_events").as("x"))
+    val b = days.select(col("event_type").as("type_b"), col("day"),
+      col("n_events").as("y"))
+    val m = a.join(b, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * col("x")).as("sxx"),
+        sum(d38(col("y")) * col("y")).as("syy"))
+      .withColumn("vx", d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", d38(col("n")) * col("syy") - col("sy") * col("sy"))
+      .withColumn("r",
+        when(col("vx") > 0 && col("vy") > 0,
+          (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("vx").cast("double") * col("vy").cast("double"))))
+    m.select(col("type_a"), col("type_b"), col("n").cast("bigint").as("n_days"),
+        col("r"),
+        when(col("r").isNull, lit("flat"))
+          .when(col("r") >= 0.7, lit("strong_pos"))
+          .when(col("r") <= -0.7, lit("strong_neg"))
+          .when(col("r") >= 0.3, lit("moderate_pos"))
+          .when(col("r") <= -0.3, lit("moderate_neg"))
+          .otherwise(lit("weak")).as("relation"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val c58Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(a.n_events AS HUGEINT)) AS sx,
+      |    sum(CAST(b.n_events AS HUGEINT)) AS sy,
+      |    sum(CAST(a.n_events AS HUGEINT) * b.n_events) AS sxy,
+      |    sum(CAST(a.n_events AS HUGEINT) * a.n_events) AS sxx,
+      |    sum(CAST(b.n_events AS HUGEINT) * b.n_events) AS syy
+      |  FROM j a JOIN j b ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |v AS (
+      |  SELECT type_a, type_b, n, sx, sy, sxy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS vy
+      |  FROM m),
+      |r AS (
+      |  SELECT type_a, type_b, n,
+      |    CASE WHEN vx > 0 AND vy > 0 THEN
+      |      CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |        sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r
+      |  FROM v)
+      |SELECT type_a, type_b, n AS n_days, r,
+      |  CASE WHEN r IS NULL THEN 'flat'
+      |       WHEN r >= 0.7 THEN 'strong_pos'
+      |       WHEN r <= -0.7 THEN 'strong_neg'
+      |       WHEN r >= 0.3 THEN 'moderate_pos'
+      |       WHEN r <= -0.3 THEN 'moderate_neg'
+      |       ELSE 'weak' END AS relation
+      |FROM r ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c58_comovement" -> (c58Comovement _),
     "c57_cohort_half_life" -> (c57CohortHalfLife _),
     "c56_weekly_stickiness" -> (c56WeeklyStickiness _),
     "c55_drawdown" -> (c55Drawdown _),
@@ -3700,6 +3796,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c58_comovement" -> c58Sql,
     "c57_cohort_half_life" -> c57Sql,
     "c56_weekly_stickiness" -> c56Sql,
     "c55_drawdown" -> c55Sql,

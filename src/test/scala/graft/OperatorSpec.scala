@@ -5785,6 +5785,37 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("c58 comovement: planted anti-phase pair hits r=-1; flat series classify flat") {
+    import spark.implicits._
+    def series(t: String, counts: Seq[Int], day0: Long = 0L) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)((t, new java.sql.Timestamp((day0 + d) * 86400000L + 1000L)))
+      }
+    // U=[1,2,3] vs D=[3,2,1] -> exact r=-1 strong_neg; F=[5,5,5] has zero
+    // variance -> null r, 'flat' against both
+    val rows = series("U", Seq(1, 2, 3)) ++ series("D", Seq(3, 2, 1)) ++
+      series("F", Seq(5, 5, 5))
+    val got = Events.c58ComovementOf(rows.toDF("event_type", "ts")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+          r.getString(4)))).toMap
+    assert(got(("D", "U"))._1 == 3L && got(("D", "U"))._2 == -1.0)
+    assert(got(("D", "U"))._3 == "strong_neg", got(("D", "U")).toString)
+    assert(got(("D", "F"))._3 == "flat" && got(("D", "F"))._2.isNaN)
+    assert(got(("F", "U"))._3 == "flat")
+    // real data: symmetric pair list (a<b once), |r| <= 1, class matches r
+    val real = Events.c58Comovement(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getString(0) < r.getString(1), r.toString)
+      if (!r.isNullAt(3)) {
+        val v = r.getDouble(3)
+        assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12)
+        assert(r.getString(4) != "flat")
+      } else assert(r.getString(4) == "flat")
+    }
+  }
+
   test("c57 cohort half-life: front-loaded vs spread cohorts replay; mass bounds hold") {
     import spark.implicits._
     def ev(day: Long, u: Long, n: Int) = Seq.fill(n)(
