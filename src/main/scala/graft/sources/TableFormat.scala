@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -372,6 +373,138 @@ object CommitLogTableFormat extends TableFormat {
             newCount - priorCount
           }
         } finally { merged.unpersist(); () }
+    }
+  }
+
+  /** MEASURED per-file zone map of the CURRENT snapshot: one row per
+    * (data file, integer-typed leaf column) with min/max/null-count
+    * read from the parquet FOOTERS — no data pages touched, cost is
+    * one footer round-trip per file, run distributed (bounded driver
+    * listing, the TarShardSink manifest shape). INT64/INT32 columns
+    * only (keys, ids, dates-as-days — what a 100 TB table actually
+    * prunes on); a column missing stats in ANY row group of a file is
+    * omitted for that file, so every reported range is a TRUE bound.
+    * This is a31's zone map as working engine machinery instead of an
+    * effectiveness prediction — [[readPruned]] consumes it. */
+  def fileStats(spark: SparkSession, table: String): Option[DataFrame] = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (_, content) =>
+      val dataDir = new Path(new Path(table), parseSnap(content).dataName)
+      val files = dataFiles(fs, dataDir)
+      val bconf = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, slices)
+        .flatMap(p => footerStats(new Path(p), bconf.value.value).map {
+          case (col, mn, mx, nulls, rows) =>
+            (new Path(p).getName, col, mn, mx, nulls, rows)
+        })
+        .toDF("file", "column", "min_long", "max_long", "null_count", "n_rows")
+        .orderBy(org.apache.spark.sql.functions.col("file"),
+          org.apache.spark.sql.functions.col("column"))
+    }
+  }
+
+  /** Data files of a snapshot dir (parquet parts only, no markers). */
+  private def dataFiles(fs: FileSystem, dataDir: Path): Seq[String] = {
+    val listed = fs.globStatus(new Path(dataDir, "*.parquet"))
+    if (listed == null) Seq.empty else listed.toSeq.map(_.getPath.toString)
+  }
+
+  /** Footer-only stats walk of one parquet file: for each INT64/INT32
+    * leaf column present with valid statistics in EVERY row group,
+    * the file-level (min, max, nulls); plus total rows under the
+    * reserved pseudo-column name. */
+  private def footerStats(path: Path,
+                          conf: Configuration): Seq[(String, Long, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val perChunk = blocks.flatMap(_.getColumns.asScala.map { c =>
+        val tn = c.getPrimitiveType.getPrimitiveTypeName
+        val st = c.getStatistics
+        val ok = (tn == INT64 || tn == INT32) && st != null && !st.isEmpty &&
+          st.hasNonNullValue
+        (c.getPath.toDotString,
+          if (ok) Some((st.genericGetMin.asInstanceOf[Number].longValue,
+            st.genericGetMax.asInstanceOf[Number].longValue,
+            st.getNumNulls)) else None)
+      })
+      perChunk.groupBy(_._1).toSeq.collect {
+        // a true bound requires stats in EVERY row-group chunk
+        case (col, chunks) if chunks.forall(_._2.isDefined) =>
+          val s = chunks.flatMap(_._2)
+          (col, s.map(_._1).min, s.map(_._2).max, s.map(_._3).sum, rows)
+      }.sortBy(_._1)
+    } finally reader.close()
+  }
+
+  /** The current snapshot's data files that can contain a row with
+    * `column` ∈ [lo, hi], per the footer zone map: (kept, total).
+    * Files without a usable bound for the column are KEPT — pruning
+    * must never lose rows. */
+  def prunedFiles(spark: SparkSession, table: String, column: String,
+                  lo: Long, hi: Long): Option[(Seq[String], Int)] = {
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (_, content) =>
+      val dataDir = new Path(new Path(table), parseSnap(content).dataName)
+      val files = dataFiles(fs, dataDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val kept = files.filter { p =>
+        footerStats(new Path(p), conf).find(_._1 == column) match {
+          case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
+          case None => true
+        }
+      }
+      (kept, files.size)
+    }
+  }
+
+  /** Stats-pruned read: the rows of the current snapshot with
+    * `column` ∈ [lo, hi], READING ONLY the data files whose footer
+    * zone map admits the range — the scan-skipping a lakehouse buys
+    * once stats ride the snapshot (Delta/Iceberg data skipping; here
+    * measured from footers at read time, so no stale-stats hazard by
+    * construction). Merge-on-read still applies: the DV anti-join
+    * keys on file NAME, so erased rows in kept files stay hidden and
+    * rows in pruned files were never read at all. The residual
+    * predicate is applied regardless — pruning is an optimization,
+    * never a correctness dependency. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+                 lo: Long, hi: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (_, content) =>
+      val snap = parseSnap(content)
+      val dataDir = new Path(new Path(table), snap.dataName)
+      val (kept, _) = prunedFiles(spark, table, column, lo, hi).get
+      val base =
+        if (kept.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            spark.read.parquet(dataDir.toString).schema)
+        else {
+          val data = spark.read.parquet(kept: _*)
+          snap.dvName match {
+            case None => data
+            case Some(dvName) =>
+              val dv = spark.read.parquet(new Path(new Path(table), dvName).toString)
+              val keyed = data
+                .withColumn("__graft_file", org.apache.spark.sql.functions
+                  .expr("substring_index(_metadata.file_path, '/', -1)"))
+                .withColumn("__graft_pos",
+                  org.apache.spark.sql.functions.col("_metadata.row_index"))
+              keyed.join(dv,
+                  keyed("__graft_file") === dv("file") && keyed("__graft_pos") === dv("pos"),
+                  "left_anti")
+                .drop("__graft_file", "__graft_pos")
+          }
+        }
+      base.filter(col(column).between(lo, hi))
     }
   }
 

@@ -297,6 +297,46 @@ class SourcesStreamingSpec extends GraftSpec {
       "staged entries must be vacuumed")
   }
 
+  test("CommitLogTableFormat: footer zone map prunes files; pruned reads stay exact") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_stats").toString + "/t"
+    // 4 range-partitioned files over k = 0..99 -> disjoint footer ranges
+    val df = (0L until 100L).map(k => (k, s"row$k")).toDF("k", "v")
+      .repartitionByRange(4, $"k")
+    fmt.commit(spark, dir, df, "a")
+    val stats = fmt.fileStats(spark, dir).get
+      .filter($"column" === "k")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(stats.length == 4, stats.mkString(", "))
+    assert(stats.map(_._6).sum == 100L && stats.forall(_._5 == 0L))
+    // ranges are disjoint and cover 0..99
+    val ranges = stats.map(s => (s._3, s._4)).sortBy(_._1)
+    assert(ranges.head._1 == 0L && ranges.last._2 == 99L)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlap: $hi vs $lo")
+    }
+    // a narrow range keeps exactly one file; the pruned read equals truth
+    val someLo = ranges(2)._1
+    val (kept, total) = fmt.prunedFiles(spark, dir, "k", someLo, someLo + 1).get
+    assert(total == 4 && kept.length == 1, s"kept ${kept.length} of $total")
+    val pruned = fmt.readPruned(spark, dir, "k", someLo, someLo + 1).get
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(pruned.toSeq == Seq((someLo, s"row$someLo"), (someLo + 1, s"row${someLo + 1}")))
+    // an unknown column prunes nothing (never lose rows)
+    val (keptAll, _) = fmt.prunedFiles(spark, dir, "nope", 0L, 0L).get
+    assert(keptAll.length == 4)
+    // an empty range reads an empty frame with the right schema
+    val none = fmt.readPruned(spark, dir, "k", 1000L, 2000L).get
+    assert(none.collect().isEmpty && none.columns.toSeq == Seq("k", "v"))
+    // DV interplay: erase a row inside the kept file -> still hidden
+    // through the pruned read path (merge-on-read keys on file name)
+    assert(fmt.erase(spark, dir, $"k" === someLo, "e1") == 1L)
+    val afterErase = fmt.readPruned(spark, dir, "k", someLo, someLo + 1).get
+      .as[(Long, String)].collect().toSeq
+    assert(afterErase == Seq((someLo + 1, s"row${someLo + 1}")), afterErase.toString)
+  }
+
   test("CommitLogTableFormat: vacuum spares a concurrent writer's higher-version stage") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
