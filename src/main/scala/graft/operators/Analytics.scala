@@ -3659,7 +3659,85 @@ object Analytics {
       |             WHEN 5 THEN 2.372 WHEN 6 THEN 2.214 END AS significant
       |FROM ff ORDER BY order_year""".stripMargin
 
+  def q76CohortLtv(spark: SparkSession, dir: String): DataFrame =
+    q76CohortLtvOf(Tables.orders(spark, dir))
+
+  /** q76: customer-cohort lifetime-value curves — the REVENUE twin of
+    * the event-side cohort family (c7 retention counts users, c57
+    * halves event mass; finance wants dollars): customers cohorted by
+    * first-order year, revenue accumulated by cohort age, cumulative
+    * LTV per cohort member in exact cents. The curve shape is the
+    * acquisition-quality readout — a cohort whose age-1 increment
+    * collapses is churn the age-0 revenue hides.
+    *
+    * All-integer: money in cents via DECIMAL(12,2)·100 (the q73
+    * idiom), cumulative window sums exact, ltv_cents = cum div
+    * cohort size. Cohort size reads off the age-0 row for free (every
+    * customer's first order is at its own age 0 — the c57 trick at
+    * customer grain; a customer orders at most once per... no, MANY
+    * orders per year, so size = distinct customers at age 0 needs the
+    * first-order rows only: count rows where o_orderdate year equals
+    * the customer's first-order year AND it's the customer's FIRST
+    * order — row_number over customer keeps exactly one).
+    *
+    * Shape: ONE scan → per-customer min-date window (skew-free
+    * customer partitions) + first-row marker → (cohort, age) reduce →
+    * cum/size windows on the calendar-bounded cohort×age frame →
+    * direct emit. */
+  def q76CohortLtvOf(orders: DataFrame): DataFrame = {
+    val wCust = Window.partitionBy(col("o_custkey"))
+    val keyed = orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("first_d", min(col("d")).over(wCust))
+      .withColumn("rn", row_number().over(wCust.orderBy(col("d"))))
+      .select(year(col("first_d")).cast("long").as("cohort_year"),
+        (year(col("d")) - year(col("first_d"))).cast("long").as("age"),
+        col("cents"), when(col("rn") === 1, 1L).otherwise(0L).as("is_first"))
+    val byAge = keyed.groupBy(col("cohort_year"), col("age"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_orders"),
+        sum(col("is_first")).as("n_new"))
+    val wC = Window.partitionBy(col("cohort_year"))
+    byAge
+      .withColumn("cum", sum(col("revenue_cents")).over(
+        wC.orderBy(col("age")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_customers", max(when(col("age") === 0, col("n_new"))).over(wC))
+      .select(col("cohort_year"), col("age"), col("n_customers"),
+        col("n_orders"), col("revenue_cents"),
+        col("cum").as("cum_revenue_cents"),
+        expr("cum div n_customers").as("ltv_cents"))
+      .orderBy(col("cohort_year"), col("age"))
+  }
+
+  val q76Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |k AS (
+      |  SELECT o_custkey, d, cents,
+      |    min(d) OVER (PARTITION BY o_custkey) AS first_d,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS rn
+      |  FROM o),
+      |ba AS (
+      |  SELECT year(first_d) AS cohort_year, year(d) - year(first_d) AS age,
+      |    sum(cents) AS revenue_cents, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM k GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT cohort_year, age, revenue_cents, n_orders,
+      |    sum(revenue_cents) OVER (PARTITION BY cohort_year ORDER BY age
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    max(CASE WHEN age = 0 THEN n_new END)
+      |      OVER (PARTITION BY cohort_year) AS n_customers
+      |  FROM ba)
+      |SELECT CAST(cohort_year AS BIGINT) AS cohort_year, CAST(age AS BIGINT) AS age,
+      |  n_customers, n_orders, revenue_cents,
+      |  cum AS cum_revenue_cents, cum // n_customers AS ltv_cents
+      |FROM sc ORDER BY cohort_year, age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_cohort_ltv" -> (q76CohortLtv _),
     "q75_levene" -> (q75Levene _),
     "q74_kruskal_wallis" -> (q74KruskalWallis _),
     "q73_anova_two_way" -> (q73AnovaTwoWay _),
@@ -3736,6 +3814,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q76_cohort_ltv" -> q76Sql,
     "q75_levene" -> q75Sql,
     "q74_kruskal_wallis" -> q74Sql,
     "q73_anova_two_way" -> q73Sql,

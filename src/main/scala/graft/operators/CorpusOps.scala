@@ -2229,7 +2229,103 @@ object CorpusOps {
       |  exp((sum(c * ln(r)) - sum(c * ln(c))) / sum(c)) AS ppl_cond
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Gap (in doc_id units ≈ ingest order) under which a duplicate
+    * pair counts as re-ingest locality rather than a far mirror. */
+  val DupLocalityNearGap = 100L
+
+  def d109DupLocality(spark: SparkSession, dir: String): DataFrame =
+    d109DupLocalityOf(Tables.documents(spark, dir))
+
+  /** d109: duplicate locality — WHERE do exact duplicates sit
+    * relative to each other in ingest order? The dedup family says
+    * how many (d5/d29) and who owns the canonical (d39); this says
+    * how FAR apart, which is the operational knob: near pairs
+    * (gap ≤ 100 ids) are re-crawls/re-fetches a bounded streaming
+    * admission window (d42's horizon) would already catch; far pairs
+    * are mirrors/plagiarism that only a full-corpus index catches.
+    * The median/p90 gap per source IS the sizing input for that
+    * window — "p90 = 40" means a 100-id admission buffer dedups 90%
+    * of this source's duplication at a fraction of the index cost.
+    *
+    * Per source (of the LATER copy — the re-ingested one): dup-pair
+    * count, exact median and p90 of id gaps (value-grain histogram,
+    * never a corpus rank — the q21/d106 discipline), and the near
+    * share in bp. Consecutive pairs within a hash group (sorted by
+    * doc_id) rather than all pairs, so a k-copy group contributes
+    * k−1 gaps — the chain a streaming deduper actually walks.
+    *
+    * Shape: ONE scan → per-HASH lag window (partition = dup group:
+    * tiny, hash-distributed, skew-free unless one text repeats
+    * corpus-wide — the d25 cluster-size audit's job to flag) →
+    * (source, gap) reduce → per-source cum windows on the bounded
+    * gap histogram → 1-row per source. */
+  def d109DupLocalityOf(documents: DataFrame): DataFrame = {
+    val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    // keep EVERY doc: group-first rows carry a null gap, so the same
+    // reduced frame yields the per-source doc count and a zero-pair
+    // row for dup-free sources (no second scan, no source-list join)
+    val gaps = documents
+      .select(col("source"), col("doc_id"), md5(trim(lower(col("text")))).as("h"))
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(wH))
+      .select(col("source"), (col("doc_id") - col("prev_id")).as("gap"))
+    val wS = Window.partitionBy(col("source"))
+    // nulls sort FIRST: every non-null row's cum includes all firsts,
+    // so pair-space ranks are (cum - n_firsts) over (tot - n_firsts)
+    val cells = gaps.groupBy(col("source"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wS.orderBy(col("gap").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(wS))
+      .withColumn("nf", sum(when(col("gap").isNull, col("cnt")).otherwise(0L)).over(wS))
+    cells.groupBy(col("source"))
+      .agg(max(col("tot")).as("n_docs"),
+        (max(col("tot")) - max(col("nf"))).as("n_dup_pairs"),
+        min(when(col("gap").isNotNull &&
+          (col("cum") - col("nf")) * 2 >= col("tot") - col("nf"), col("gap")))
+          .as("med_gap"),
+        min(when(col("gap").isNotNull &&
+          (col("cum") - col("nf")) * 10 >= (col("tot") - col("nf")) * 9, col("gap")))
+          .as("p90_gap"),
+        sum(when(col("gap") <= DupLocalityNearGap, col("cnt")).otherwise(0L))
+          .as("near_pairs"))
+      .select(col("source"), col("n_docs"), col("n_dup_pairs"),
+        col("med_gap"), col("p90_gap"),
+        when(col("n_dup_pairs") > 0,
+          expr("(near_pairs * 10000) div n_dup_pairs")).as("near_share_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d109Sql: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id, md5(trim(lower(text))) AS h FROM documents),
+       |g AS (
+       |  SELECT source, doc_id - lag(doc_id) OVER (PARTITION BY h ORDER BY doc_id) AS gap
+       |  FROM h),
+       |cells AS (
+       |  SELECT source, gap, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM g GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT source, gap, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY gap ASC NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS tot,
+       |    sum(CASE WHEN gap IS NULL THEN cnt ELSE 0 END)
+       |      OVER (PARTITION BY source) AS nf
+       |  FROM cells)
+       |SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+       |  CAST(max(tot) - max(nf) AS BIGINT) AS n_dup_pairs,
+       |  min(CASE WHEN gap IS NOT NULL AND (cum - nf) * 2 >= tot - nf
+       |    THEN gap END) AS med_gap,
+       |  min(CASE WHEN gap IS NOT NULL AND (cum - nf) * 10 >= (tot - nf) * 9
+       |    THEN gap END) AS p90_gap,
+       |  CASE WHEN max(tot) - max(nf) > 0 THEN
+       |    (CAST(sum(CASE WHEN gap <= $DupLocalityNearGap THEN cnt ELSE 0 END) AS BIGINT)
+       |      * 10000) // (max(tot) - max(nf)) END AS near_share_bp
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d109_dup_locality" -> (d109DupLocality _),
     "d108_entropy_rate" -> (d108EntropyRate _),
     "d107_positional_drift" -> (d107PositionalDrift _),
     "d106_compressibility" -> (d106Compressibility _),
@@ -2262,6 +2358,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d109_dup_locality" -> d109Sql,
     "d108_entropy_rate" -> d108Sql,
     "d107_positional_drift" -> d107Sql,
     "d106_compressibility" -> d106Sql,

@@ -5677,6 +5677,71 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("d109 dup locality: planted gap chains replay median/p90/near share exactly") {
+    import spark.implicits._
+    // source "re": dup chains give gaps [1,1,1,1000] -> med 1, p90 1000,
+    // near share 7500 bp; a cross-source pair attributes to the LATER copy
+    val docs = Seq(
+      (10L, "re", "x x"), (11L, "re", "x x"),
+      (20L, "re", "y y"), (21L, "re", "y y"), (22L, "re", "y y"),
+      (30L, "re", "z z"), (1030L, "re", "z z"),
+      (5L, "a", "w w"), (50005L, "b", "w w"),
+      (7L, "a", "unique one"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.d109DupLocalityOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))
+    assert(vals(got("re")) == ((7L, 4L, 1L, 1000L, 7500L)), got("re").toString)
+    assert(vals(got("b")) == ((1L, 1L, 50000L, 50000L, 0L)), got("b").toString)
+    // a dup-free source still reports, with nulls (the sizing answer
+    // "no admission window needed" is a real answer)
+    assert(vals(got("a")) == ((2L, 0L, -1L, -1L, -1L)), got("a").toString)
+    // real data: every source reports; med <= p90 when pairs exist
+    val real = CorpusOps.d109DupLocality(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(1) > 0L && r.getLong(2) >= 0L, r.toString)
+      if (r.getLong(2) > 0L) {
+        assert(r.getLong(3) <= r.getLong(4))
+        assert(r.getLong(5) >= 0L && r.getLong(5) <= 10000L)
+      } else assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
+
+  test("q76 cohort LTV: planted two-cohort curves replay in exact cents") {
+    import spark.implicits._
+    // cohort 1995 = {c1, c2}: age0 rev 170.00 over 3 orders, age1 +30.00
+    // -> ltv 8500 then 10000 cents; cohort 1996 = {c3}: 10.00
+    val rows = Seq(
+      (1L, "1995-03-01", 100.0), (1L, "1995-07-01", 50.0), (1L, "1996-02-01", 30.0),
+      (2L, "1995-05-01", 20.0), (3L, "1996-06-01", 10.0))
+      .map { case (c, d, p) => (c, d, BigDecimal(p)) }
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.q76CohortLtvOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got((1995L, 0L)) == ((2L, 3L, 17000L, 17000L, 8500L)), got.toString)
+    assert(got((1995L, 1L)) == ((2L, 1L, 3000L, 20000L, 10000L)))
+    assert(got((1996L, 0L)) == ((1L, 1L, 1000L, 1000L, 1000L)))
+    // real data: age-0 row per cohort, cum monotone, ltv = cum div size
+    val real = Analytics.q76CohortLtv(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    val byCohort = real.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(5) > a.getLong(5))
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getLong(6) == r.getLong(5) / r.getLong(2)))
+    }
+  }
+
   test("e22 schedule mixing: alternating passes the 90% gate, clumped fails; exact E") {
     import spark.implicits._
     // both epochs share multiset {a,a,b,b} -> E[switches] = 2.000 exactly;
