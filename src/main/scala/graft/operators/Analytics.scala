@@ -3736,7 +3736,93 @@ object Analytics {
       |  cum AS cum_revenue_cents, cum // n_customers AS ltv_cents
       |FROM sc ORDER BY cohort_year, age""".stripMargin
 
+  def q77ReorderCadence(spark: SparkSession, dir: String): DataFrame =
+    q77ReorderCadenceOf(Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_custkey").as("cust"), col("d")))
+
+  /** q77: purchase cadence per market segment — the inter-ORDER gap
+    * distribution (c8's inter-event analysis lifted to the star
+    * schema): how many days between a customer's consecutive orders,
+    * exactly? Replenishment businesses read the median as the natural
+    * reorder cycle and p90 as the churn horizon — "no order for >p90
+    * days" is the winback trigger that doesn't misfire on normal
+    * cadence. Consecutive per-customer gaps (the chain, not all
+    * pairs), value-grain exact median/p90 (q21/d106 discipline —
+    * never a corpus rank), mean in exact milli-days; single-order
+    * customers ride the same reduce as null-gap rows (the d109
+    * trick), so customer counts come for free.
+    *
+    * Shape: two scans (orders ⨝ customer on the natural key) →
+    * per-customer lag window (skew-free) → (segment, gap) value-grain
+    * reduce → per-segment cum windows on the bounded histogram →
+    * 1-row per segment. */
+  def q77ReorderCadenceOf(rows: DataFrame): DataFrame = {
+    val wCust = Window.partitionBy(col("cust")).orderBy(col("d"))
+    val gaps = rows
+      .withColumn("prev", lag(col("d"), 1).over(wCust))
+      .select(col("seg"), datediff(col("d"), col("prev")).cast("long").as("gap"))
+    val wS = Window.partitionBy(col("seg"))
+    val cells = gaps.groupBy(col("seg"), col("gap"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wS.orderBy(col("gap").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(wS))
+      .withColumn("nf", sum(when(col("gap").isNull, col("cnt")).otherwise(0L)).over(wS))
+    cells.groupBy(col("seg").as("c_mktsegment"))
+      .agg(max(col("nf")).as("n_customers"),
+        (max(col("tot")) - max(col("nf"))).as("n_repeat_pairs"),
+        min(when(col("gap").isNotNull &&
+          (col("cum") - col("nf")) * 2 >= col("tot") - col("nf"), col("gap")))
+          .as("med_gap_days"),
+        min(when(col("gap").isNotNull &&
+          (col("cum") - col("nf")) * 10 >= (col("tot") - col("nf")) * 9, col("gap")))
+          .as("p90_gap_days"),
+        sum(when(col("gap").isNotNull, col("gap") * col("cnt")).otherwise(0L))
+          .as("gap_sum"))
+      .select(col("c_mktsegment"), col("n_customers"), col("n_repeat_pairs"),
+        col("med_gap_days"), col("p90_gap_days"),
+        when(col("n_repeat_pairs") > 0,
+          expr("(gap_sum * 1000) div n_repeat_pairs")).as("mean_gap_milli"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q77Sql: String =
+    """WITH r AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+      |    CAST(o.o_orderdate AS DATE) AS d
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |g AS (
+      |  SELECT seg,
+      |    date_diff('day', lag(d) OVER (PARTITION BY cust ORDER BY d), d) AS gap
+      |  FROM r),
+      |cells AS (
+      |  SELECT seg, gap, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT seg, gap, cnt,
+      |    sum(cnt) OVER (PARTITION BY seg ORDER BY gap ASC NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY seg) AS tot,
+      |    sum(CASE WHEN gap IS NULL THEN cnt ELSE 0 END)
+      |      OVER (PARTITION BY seg) AS nf
+      |  FROM cells)
+      |SELECT seg AS c_mktsegment, CAST(max(nf) AS BIGINT) AS n_customers,
+      |  CAST(max(tot) - max(nf) AS BIGINT) AS n_repeat_pairs,
+      |  min(CASE WHEN gap IS NOT NULL AND (cum - nf) * 2 >= tot - nf
+      |    THEN CAST(gap AS BIGINT) END) AS med_gap_days,
+      |  min(CASE WHEN gap IS NOT NULL AND (cum - nf) * 10 >= (tot - nf) * 9
+      |    THEN CAST(gap AS BIGINT) END) AS p90_gap_days,
+      |  CASE WHEN max(tot) - max(nf) > 0 THEN
+      |    (sum(CASE WHEN gap IS NOT NULL THEN CAST(gap AS BIGINT) * cnt ELSE 0 END)
+      |      * 1000) // (max(tot) - max(nf)) END AS mean_gap_milli
+      |FROM sc GROUP BY seg ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_reorder_cadence" -> (q77ReorderCadence _),
     "q76_cohort_ltv" -> (q76CohortLtv _),
     "q75_levene" -> (q75Levene _),
     "q74_kruskal_wallis" -> (q74KruskalWallis _),
@@ -3814,6 +3900,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q77_reorder_cadence" -> q77Sql,
     "q76_cohort_ltv" -> q76Sql,
     "q75_levene" -> q75Sql,
     "q74_kruskal_wallis" -> q74Sql,

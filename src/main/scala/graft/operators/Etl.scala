@@ -2412,7 +2412,58 @@ object Etl {
        |SELECT * FROM (SELECT * FROM cust UNION ALL SELECT * FROM ord UNION ALL SELECT * FROM li)
        |ORDER BY subject_key, table_name""".stripMargin
 
+  def a43CdcConflicts(spark: SparkSession, dir: String): DataFrame =
+    a43CdcConflictsOf(Tables.events(spark, dir))
+
+  /** a43: CDC delivery-quality audit at the VERSION grain — the data
+    * contract a7's latest-per-key compaction silently assumes: a key
+    * version (user, ts) arriving twice is a benign at-least-once
+    * RE-SEND only if the payload is identical; the same version with
+    * DIFFERENT payloads is an upstream bug (two writers, clock
+    * collision, non-deterministic serializer) that a7 then resolves
+    * by event_id tiebreak — silently. This audit makes that
+    * resolution visible per day: version groups, re-sent groups,
+    * conflicting groups, and the conflict share in bp — the number
+    * that decides whether the tiebreak is hygiene or data loss.
+    * (Reference analog: update-control.py's upsert-by-id assumes
+    * exactly this idempotence.)
+    *
+    * Shape: ONE scan → (user, ts) version reduce with count +
+    * distinct-payload count (map-side; payload identity via the
+    * (event_type, value) pair) → day reduce. All-integer. */
+  def a43CdcConflictsOf(events: DataFrame): DataFrame = {
+    val versions = events
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("event_type"), col("value")).as("payloads"))
+    versions
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_versions"),
+        countIf(col("cnt") > 1).as("resend_groups"),
+        countIf(col("payloads") > 1).as("conflict_groups"))
+      .select(col("day"), col("n_versions"), col("resend_groups"),
+        col("conflict_groups"),
+        expr("(conflict_groups * 10000) div n_versions").as("conflict_bp"))
+      .orderBy(col("day"))
+  }
+
+  val a43Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(count(DISTINCT (event_type, value)) AS BIGINT) AS payloads
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n_versions,
+      |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS resend_groups,
+      |    CAST(sum(CASE WHEN payloads > 1 THEN 1 ELSE 0 END) AS BIGINT) AS conflict_groups
+      |  FROM v GROUP BY 1)
+      |SELECT day, n_versions, resend_groups, conflict_groups,
+      |  (conflict_groups * 10000) // n_versions AS conflict_bp
+      |FROM d ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a43_cdc_conflicts" -> (a43CdcConflicts _),
     "a42_access_export" -> (a42AccessExport _),
     "a41_dp_release_plan" -> (a41DpReleasePlan _),
     "a40_t_closeness" -> (a40TCloseness _),
@@ -2457,6 +2508,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a43_cdc_conflicts" -> a43Sql,
     "a42_access_export" -> a42Sql,
     "a41_dp_release_plan" -> a41Sql,
     "a40_t_closeness" -> a40Sql,

@@ -5677,6 +5677,56 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("a43 CDC conflicts: re-sends vs conflicting payloads split exactly per day") {
+    import spark.implicits._
+    def ev(u: Long, tsMs: Long, t: String, v: Double) =
+      (1L, new java.sql.Timestamp(tsMs), u, t, v)
+    // day 0: clean version, a benign re-send (same payload twice), and a
+    // CONFLICT (same version, different value); day 1: clean only
+    val rows = Seq(
+      ev(1L, 1000L, "a", 1.0),
+      ev(2L, 2000L, "a", 1.0), ev(2L, 2000L, "a", 1.0),
+      ev(3L, 3000L, "a", 1.0), ev(3L, 3000L, "a", 2.0),
+      ev(4L, 86400000L + 500L, "b", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Etl.a43CdcConflictsOf(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(0L) == ((3L, 2L, 1L, 3333L)), got(0L).toString)
+    assert(got(1L) == ((1L, 0L, 0L, 0L)), got(1L).toString)
+    // real data: conflicts are a subset of re-sends; shares bounded
+    val real = Etl.a43CdcConflicts(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1), r.toString)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
+    }
+  }
+
+  test("q77 reorder cadence: planted per-segment gap chains replay; null-gap customers counted") {
+    import spark.implicits._
+    import java.sql.Date
+    // seg A: cust 1 gaps [10, 20], cust 2 single order -> med 10, p90 20,
+    // mean 15000 milli; seg B: one gap of 7
+    val rows = Seq(
+      ("A", 1L, "1995-01-01"), ("A", 1L, "1995-01-11"), ("A", 1L, "1995-01-31"),
+      ("A", 2L, "1995-02-01"), ("B", 3L, "1995-01-01"), ("B", 3L, "1995-01-08"))
+      .map { case (s, c, d) => (s, c, Date.valueOf(d)) }
+      .toDF("seg", "cust", "d")
+    val got = Analytics.q77ReorderCadenceOf(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("A") == ((2L, 2L, 10L, 20L, 15000L)), got("A").toString)
+    assert(got("B") == ((1L, 1L, 7L, 7L, 7000L)), got("B").toString)
+    // real data: med <= p90, pairs consistent with customers
+    val real = Analytics.q77ReorderCadence(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(1) > 0L, r.toString)
+      if (r.getLong(2) > 0L) assert(r.getLong(3) <= r.getLong(4))
+    }
+  }
+
   test("d109 dup locality: planted gap chains replay median/p90/near share exactly") {
     import spark.implicits._
     // source "re": dup chains give gaps [1,1,1,1000] -> med 1, p90 1000,
