@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BitmapAgg, BitmapCount, BitmapUnionCountAgg, CosineSimilarity, DotProduct, FreqSketchAgg, KmvAgg, MinHashAgg, TopKAgg}
+import graft.functions.{BitmapAgg, BitmapCount, BitmapOverlap, BitmapUnionCountAgg, CosineSimilarity, DotProduct, FreqSketchAgg, KmvAgg, MinHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BitmapCount].getName, "bitset_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BitmapCount(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bitset_overlap"),
+      new ExpressionInfo(classOf[BitmapOverlap].getName, "bitset_overlap"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapOverlap(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),

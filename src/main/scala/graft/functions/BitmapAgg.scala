@@ -180,6 +180,53 @@ case class BitmapUnionCountAgg(child: Expression,
     copy(child = newChildren(0))
 }
 
+/** `bitset_overlap(BINARY, BINARY) -> BIGINT`: exact intersection
+  * cardinality of two serialized bitmaps — the pairwise tier the
+  * aggregate family can't express without a re-group (set algebra:
+  * \|A∩B\| directly, rather than \|A\|+\|B\|−\|A∪B\| through a second
+  * aggregation). Two-pointer AND-walk over the sorted wire formats,
+  * O(words). CodegenFallback for the same reason as bitset_count:
+  * consumed on already-reduced frames (one row per group pair), never
+  * the corpus path. */
+case class BitmapOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitset_overlap"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bitset_overlap expects (BINARY, BINARY), got (${left.dataType}, ${right.dataType})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = ByteBuffer.wrap(a.asInstanceOf[Array[Byte]])
+    val bb = ByteBuffer.wrap(b.asInstanceOf[Array[Byte]])
+    val na = ba.getInt
+    val nb = bb.getInt
+    var i = 0
+    var j = 0
+    var c = 0L
+    var wa = 0L; var va = 0L; var wb = 0L; var vb = 0L
+    var haveA = false; var haveB = false
+    while ((i < na || haveA) && (j < nb || haveB)) {
+      if (!haveA) { wa = ba.getLong; va = ba.getLong; i += 1; haveA = true }
+      if (!haveB) { wb = bb.getLong; vb = bb.getLong; j += 1; haveB = true }
+      if (wa == wb) {
+        c += java.lang.Long.bitCount(va & vb); haveA = false; haveB = false
+      } else if (wa < wb) haveA = false
+      else haveB = false
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `bitset_count(BINARY) -> BIGINT`: scalar cardinality of one
   * serialized bitmap. CodegenFallback is deliberate: this reads
   * ALREADY-AGGREGATED rows (one per group), never the corpus path, so

@@ -3735,7 +3735,71 @@ object Events {
       |       ELSE 'weak' END AS relation
       |FROM r ORDER BY type_a, type_b""".stripMargin
 
+  def c59UserTurnover(spark: SparkSession, dir: String): DataFrame =
+    c59UserTurnoverOf(Tables.events(spark, dir))
+
+  /** c59: day-over-day active-set turnover — of yesterday's users,
+    * how many came back TODAY? c31 counts actives, c32 splits
+    * new/returning vs all history; this is the velocity form product
+    * teams page on (retained/churned/new per day against the
+    * IMMEDIATELY previous day). The set intersection rides the exact-
+    * bitmap family end-to-end: day bitmaps fold map-side
+    * (`bitset_agg`), and `bitset_overlap` — the pairwise scalar tier
+    * added for exactly this shape — reads \|A∩B\| straight off two
+    * adjacent serialized bitmaps, no second-level re-group, no
+    * count(distinct) Expand, no corpus self-join.
+    *
+    * Calendar honesty: "previous" means day−1 — the first day and
+    * days after a dark gap report NULL prev/retention rather than
+    * comparing across the gap (a gap IS churn, but of a different
+    * kind — c46's downtime report owns it).
+    *
+    * Shape: ONE scan → (day) bitmap reduce (state O(DAU)/64 words per
+    * day) → one unpartitioned lag window over the calendar-bounded
+    * day frame (c31 rule) → per-day set algebra, all exact. */
+  def c59UserTurnoverOf(events: DataFrame): DataFrame = {
+    val wD = Window.orderBy(col("day"))
+    events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("bitset_agg(user_id)").as("bm"))
+      .withColumn("dau", expr("bitset_count(bm)"))
+      .withColumn("prev_day", lag(col("day"), 1).over(wD))
+      .withColumn("prev_bm", lag(col("bm"), 1).over(wD))
+      .withColumn("prev_dau", when(col("prev_day") === col("day") - 1,
+        expr("bitset_count(prev_bm)")))
+      .withColumn("common", when(col("prev_day") === col("day") - 1,
+        expr("bitset_overlap(bm, prev_bm)")))
+      .select(col("day"), col("dau"), col("prev_dau"), col("common"),
+        expr("(common * 10000) div prev_dau").as("retained_bp"),
+        (col("dau") - col("common")).as("new_users"),
+        (col("prev_dau") - col("common")).as("churned_users"))
+      .orderBy(col("day"))
+  }
+
+  val c59Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+      |  FROM events),
+      |c AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+      |o AS (
+      |  SELECT a.day, CAST(count(*) AS BIGINT) AS common
+      |  FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day - 1
+      |  GROUP BY 1)
+      |SELECT c.day, c.dau, p.dau AS prev_dau,
+      |  CASE WHEN p.dau IS NOT NULL THEN coalesce(o.common, 0) END AS common,
+      |  CASE WHEN p.dau IS NOT NULL
+      |    THEN (coalesce(o.common, 0) * 10000) // p.dau END AS retained_bp,
+      |  c.dau - CASE WHEN p.dau IS NOT NULL THEN coalesce(o.common, 0) END AS new_users,
+      |  p.dau - CASE WHEN p.dau IS NOT NULL THEN coalesce(o.common, 0) END
+      |    AS churned_users
+      |FROM c
+      |LEFT JOIN c p ON p.day = c.day - 1
+      |LEFT JOIN o ON o.day = c.day
+      |ORDER BY c.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c59_user_turnover" -> (c59UserTurnover _),
     "c58_comovement" -> (c58Comovement _),
     "c57_cohort_half_life" -> (c57CohortHalfLife _),
     "c56_weekly_stickiness" -> (c56WeeklyStickiness _),
@@ -3796,6 +3860,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c59_user_turnover" -> c59Sql,
     "c58_comovement" -> c58Sql,
     "c57_cohort_half_life" -> c57Sql,
     "c56_weekly_stickiness" -> c56Sql,

@@ -5900,6 +5900,40 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("c59 user turnover: overlap scalar exact; gap days report null prev") {
+    import spark.implicits._
+    def ev(day: Long, users: Seq[Long]) = users.map(u =>
+      (new java.sql.Timestamp(day * 86400000L + 7200000L), u))
+    // day0 {1,2,3} -> day1 {2,3,4,5}: retained 2 (6666 bp), new 2,
+    // churned 1; day3 after a dark day -> null prev
+    val rows = ev(0, Seq(1L, 2L, 3L)) ++ ev(1, Seq(2L, 3L, 4L, 5L)) ++
+      ev(3, Seq(9L, 70L, 130L))
+    val got = Events.c59UserTurnoverOf(rows.toDF("ts", "user_id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 4L && d1.getLong(2) == 3L && d1.getLong(3) == 2L)
+    assert(d1.getLong(4) == 6666L && d1.getLong(5) == 2L && d1.getLong(6) == 1L)
+    assert(got(0L).isNullAt(2) && got(0L).isNullAt(4))
+    assert(got(3L).isNullAt(2) && got(3L).getLong(1) == 3L)
+    // word-boundary coverage: users 9/70/130 live in different bitmap
+    // words; overlap of disjoint sets is 0 when days are adjacent
+    val rows2 = ev(0, Seq(9L, 70L)) ++ ev(1, Seq(130L, 200L))
+    val g2 = Events.c59UserTurnoverOf(rows2.toDF("ts", "user_id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(g2(1L).getLong(3) == 0L && g2(1L).getLong(4) == 0L)
+    // real data: overlap bounded by both days; identities hold
+    val real = Events.c59UserTurnover(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)), r.toString)
+        assert(r.getLong(5) == r.getLong(1) - r.getLong(3))
+        assert(r.getLong(6) == r.getLong(2) - r.getLong(3))
+        assert(r.getLong(4) >= 0L && r.getLong(4) <= 10000L)
+      }
+    }
+  }
+
   test("c58 comovement: planted anti-phase pair hits r=-1; flat series classify flat") {
     import spark.implicits._
     def series(t: String, counts: Seq[Int], day0: Long = 0L) =
