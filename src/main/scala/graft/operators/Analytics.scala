@@ -3821,7 +3821,93 @@ object Analytics {
       |      * 1000) // (max(tot) - max(nf)) END AS mean_gap_milli
       |FROM sc GROUP BY seg ORDER BY c_mktsegment""".stripMargin
 
+  def q78PriceIndex(spark: SparkSession, dir: String): DataFrame =
+    q78PriceIndexOf(Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("part"),
+        year(to_date(col("l_shipdate"))).cast("long").as("yr"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("rev_c")))
+
+  /** q78: matched-basket price index per ship year — the economics
+    * question none of the revenue family asks: did PRICES move, or
+    * just volume? Laspeyres (base-year basket at current prices),
+    * Paasche (current basket at base prices) and their Fisher
+    * geometric mean, all against the first year of data, restricted
+    * to parts traded in BOTH years (the matched basket — entering/
+    * exiting parts are mix shift, not inflation).
+    *
+    * All-integer core: unit price is the rational R/Q, so Laspeyres'
+    * numerator Σ_p P_t·Q_b milli-truncates per part as
+    * (R_t·Q_b·1000) div Q_t (exact DECIMAL(38,0), the q73 idiom) while
+    * its denominator Σ_p P_b·Q_b = Σ R_b·1000 EXACTLY (the identity
+    * that makes base-weighted indexes integral); Paasche mirrors with
+    * the roles swapped. Index bp are exact floor divisions; only
+    * Fisher's sqrt is IEEE (fixed shape, correctly rounded).
+    *
+    * Shape: two scans... no — ONE scan → (part, year) reduce,
+    * `localCheckpoint`ed (c53 idiom) so the base-year slice and the
+    * current-year rows share the materialized reduce → 1-row min-year
+    * frame by literal crossJoin (BNLJ-allowlisted, q73 idiom — never
+    * an unpartitioned window over the part-grain frame) → part
+    * equi-join base↔year → per-year 1-row. */
+  def q78PriceIndexOf(rows: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    def fdiv(a: Column, b: Column): Column =
+      ((a - (a % b)) / b).cast(DecimalType(38, 0))
+    val py = rows.groupBy(col("part"), col("yr"))
+      .agg(sum(col("qty_c")).as("q"), sum(col("rev_c")).as("r"))
+      .localCheckpoint(true)
+    val base = py.crossJoin(broadcast(py.agg(min(col("yr")).as("base_yr"))))
+      .filter(col("yr") === col("base_yr"))
+      .select(col("part"), col("base_yr"), col("q").as("qb"), col("r").as("rb"))
+    py.join(base, Seq("part"))
+      .filter(col("yr") > col("base_yr"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"), max(col("base_yr")).as("base_yr"),
+        sum(fdiv(d38(col("r")) * col("qb") * 1000, d38(col("q")))).as("l_num"),
+        sum(d38(col("rb")) * 1000).as("l_den"),
+        sum(d38(col("r")) * 1000).as("p_num"),
+        sum(fdiv(d38(col("rb")) * col("q") * 1000, d38(col("qb")))).as("p_den"))
+      .select(col("yr").as("ship_year"), col("base_yr"), col("n_parts"),
+        fdiv(col("l_num") * 10000, col("l_den")).cast("bigint").as("laspeyres_bp"),
+        fdiv(col("p_num") * 10000, col("p_den")).cast("bigint").as("paasche_bp"),
+        sqrt((col("l_num") * 10000).cast("double") / col("l_den").cast("double") *
+          ((col("p_num") * 10000).cast("double") / col("p_den").cast("double")))
+          .as("fisher_bp"))
+      .orderBy(col("ship_year"))
+  }
+
+  val q78Sql: String =
+    """WITH rows_in AS (
+      |  SELECT l_partkey AS part, year(CAST(l_shipdate AS DATE)) AS yr,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty_c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem),
+      |py AS (
+      |  SELECT part, yr, sum(qty_c) AS q, sum(rev_c) AS r
+      |  FROM rows_in GROUP BY 1, 2),
+      |b AS (SELECT min(yr) AS base_yr FROM py),
+      |base AS (
+      |  SELECT part, base_yr, q AS qb, r AS rb FROM py, b WHERE yr = base_yr),
+      |j AS (
+      |  SELECT py.yr, base.base_yr,
+      |    CAST(py.q AS HUGEINT) AS q, CAST(py.r AS HUGEINT) AS r,
+      |    CAST(base.qb AS HUGEINT) AS qb, CAST(base.rb AS HUGEINT) AS rb
+      |  FROM py JOIN base USING (part) WHERE py.yr > base.base_yr),
+      |g AS (
+      |  SELECT yr, max(base_yr) AS base_yr, CAST(count(*) AS BIGINT) AS n_parts,
+      |    sum((r * qb * 1000) // q) AS l_num, sum(rb * 1000) AS l_den,
+      |    sum(r * 1000) AS p_num, sum((rb * q * 1000) // qb) AS p_den
+      |  FROM j GROUP BY 1)
+      |SELECT yr AS ship_year, CAST(base_yr AS BIGINT) AS base_yr, n_parts,
+      |  CAST((l_num * 10000) // l_den AS BIGINT) AS laspeyres_bp,
+      |  CAST((p_num * 10000) // p_den AS BIGINT) AS paasche_bp,
+      |  sqrt(CAST(l_num * 10000 AS DOUBLE) / CAST(l_den AS DOUBLE) *
+      |    (CAST(p_num * 10000 AS DOUBLE) / CAST(p_den AS DOUBLE))) AS fisher_bp
+      |FROM g ORDER BY ship_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_price_index" -> (q78PriceIndex _),
     "q77_reorder_cadence" -> (q77ReorderCadence _),
     "q76_cohort_ltv" -> (q76CohortLtv _),
     "q75_levene" -> (q75Levene _),
@@ -3900,6 +3986,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q78_price_index" -> q78Sql,
     "q77_reorder_cadence" -> q77Sql,
     "q76_cohort_ltv" -> q76Sql,
     "q75_levene" -> q75Sql,

@@ -3031,7 +3031,127 @@ object TextOps {
        |  ((n_tags + n_urls + n_fences) * 1048576) // total_bytes AS hits_per_mib
        |FROM g ORDER BY source""".stripMargin
 
+  def d110CodeSwitch(spark: SparkSession, dir: String): DataFrame =
+    d110CodeSwitchOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** d110: intra-document code-switch detection — documents whose
+    * first and second HALVES identify as different languages. In a
+    * crawled corpus these are overwhelmingly concatenation artifacts
+    * (boilerplate in the site language glued to content in another,
+    * two pages merged by a bad extractor) that doc-level lang-id (d2)
+    * assigns confidently to ONE language, poisoning monolingual
+    * training splits. Per source: docs checked, switched docs, share
+    * in bp, and the dominant switch direction (the from→to pair a
+    * cleaning rule would target).
+    *
+    * Reuses d2's exact predictor ([[withLangPred]] — CJK override,
+    * stopword-hit argmax, first-lexicon tie rule) verbatim on each
+    * half, so batch lang-id and this audit CANNOT drift. Halves are
+    * token halves (≥4 tokens to split meaningfully); an 'und' half
+    * counts as a switch only against a non-'und' half — two
+    * unidentifiable halves agree.
+    *
+    * Shape: ONE scan → half explode (2 rows/doc) → the d2 hit
+    * aggregation (one doc-half-keyed exchange) → doc regroup →
+    * (source, from, to) reduce → per-source windows (d107 argmax
+    * idiom) → 1-row per source. */
+  def d110CodeSwitchOf(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val halves = documents
+      .filter(size(t) >= 4)
+      .select(col("doc_id"), col("source"),
+        explode(array(
+          struct(lit(0L).as("half"),
+            concat_ws(" ", slice(t, lit(1), (size(t) / 2))).as("htext")),
+          struct(lit(1L).as("half"),
+            concat_ws(" ", slice(t, size(t) / 2 + 1, size(t))).as("htext"))))
+          .as("h"))
+      .select(col("doc_id"), col("source"), col("h.half").as("half"),
+        col("h.htext").as("htext"))
+      .withColumn("hid", col("doc_id") * 2 + col("half"))
+    val perDoc = withLangPred(halves, "hid", "htext")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(when(col("half") === 0, col("lang_pred"))).as("l0"),
+        max(when(col("half") === 1, col("lang_pred"))).as("l1"))
+    val wS = Window.partitionBy(col("source"))
+    perDoc
+      .groupBy(col("source"), col("l0"), col("l1"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(wS))
+      .withColumn("switched",
+        sum(when(col("l0") =!= col("l1"), col("cnt")).otherwise(0L)).over(wS))
+      .withColumn("rn", row_number().over(wS.orderBy(
+        when(col("l0") =!= col("l1"), col("cnt")).otherwise(lit(-1L)).desc,
+        col("l0"), col("l1"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("tot").as("n_docs"),
+        col("switched").as("switched_docs"),
+        expr("(switched * 10000) div tot").as("switched_bp"),
+        when(col("l0") =!= col("l1"), col("l0")).as("top_from"),
+        when(col("l0") =!= col("l1"), col("l1")).as("top_to"))
+      .orderBy(col("source"))
+  }
+
+  val d110Sql: String = {
+    def langToks(e: String) =
+      s"""list_filter(string_split_regex(regexp_replace(lower($e), '[^\\p{L}\\s]', ' ', 'g'), '\\s+'), x -> x <> '')"""
+    val hitCols = lexicons.map { case (lang, words) =>
+      val in = words.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($in))) AS h_$lang"
+    }.mkString(",\n    ")
+    val gmax = lexicons.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val pick = lexicons.map { case (l, _) => s"WHEN h_$l = $gmax THEN '$l'" }.mkString("\n      ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, source, 0 AS half,
+       |    array_to_string(t[1:len(t)//2], ' ') AS htext
+       |  FROM t0 WHERE len(t) >= 4
+       |  UNION ALL
+       |  SELECT doc_id, source, 1, array_to_string(t[len(t)//2+1:len(t)], ' ')
+       |  FROM t0 WHERE len(t) >= 4),
+       |norm AS (
+       |  SELECT doc_id, source, half, htext, ${langToks("htext")} AS toks FROM h),
+       |hits AS (
+       |  SELECT doc_id, source, half,
+       |    regexp_matches(htext, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+       |    $hitCols
+       |  FROM norm),
+       |pred AS (
+       |  SELECT doc_id, source, half,
+       |    CASE WHEN has_cjk THEN 'zh'
+       |         WHEN $gmax = 0 THEN 'und'
+       |        $pick
+       |        ELSE 'und' END AS lang_pred
+       |  FROM hits),
+       |doc AS (
+       |  SELECT doc_id, source,
+       |    max(CASE WHEN half = 0 THEN lang_pred END) AS l0,
+       |    max(CASE WHEN half = 1 THEN lang_pred END) AS l1
+       |  FROM pred GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT source, l0, l1, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM doc GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT source, l0, l1, cnt,
+       |    sum(cnt) OVER (PARTITION BY source) AS tot,
+       |    sum(CASE WHEN l0 <> l1 THEN cnt ELSE 0 END)
+       |      OVER (PARTITION BY source) AS switched,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      CASE WHEN l0 <> l1 THEN cnt ELSE -1 END DESC, l0, l1) AS rn
+       |  FROM cells)
+       |SELECT source, CAST(tot AS BIGINT) AS n_docs,
+       |  CAST(switched AS BIGINT) AS switched_docs,
+       |  (switched * 10000) // tot AS switched_bp,
+       |  CASE WHEN l0 <> l1 THEN l0 END AS top_from,
+       |  CASE WHEN l0 <> l1 THEN l1 END AS top_to
+       |FROM sc WHERE rn = 1 ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d110_code_switch" -> (d110CodeSwitch _),
     "d105_markup_profile" -> (d105MarkupProfile _),
     "d102_pii_density" -> (d102PiiDensity _),
     "d100_decontam_plan" -> (d100DecontamPlan _),
@@ -3088,6 +3208,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "d105_markup_profile" -> d105Sql,
     "d102_pii_density" -> d102Sql,
+    "d110_code_switch" -> d110Sql,
     "d100_decontam_plan" -> d100Sql,
     "d99_dup_quality" -> d99Sql,
     "d98_vocab_coverage" -> d98Sql,

@@ -5677,6 +5677,60 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("d110 code switch: en|fr concatenation flagged, pure and und docs agree") {
+    import spark.implicits._
+    // "mix": en stopwords then fr stopwords -> halves disagree (en->fr)
+    // "pure": an all-en doc and an unidentifiable doc -> no switches
+    val docs = Seq(
+      (1L, "mix", "the of and that have it la le les de des du"),
+      (2L, "pure", "the of and that the of and that"),
+      (3L, "pure", "xyzq qqqz wwwk zzzp"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.d110CodeSwitchOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m = got("mix")
+    assert(m.getLong(1) == 1L && m.getLong(2) == 1L && m.getLong(3) == 10000L)
+    assert(m.getString(4) == "en" && m.getString(5) == "fr", m.toString)
+    val p = got("pure")
+    assert(p.getLong(1) == 2L && p.getLong(2) == 0L && p.getLong(3) == 0L)
+    assert(p.isNullAt(4) && p.isNullAt(5))
+    // real data: share bounded; pair null iff no switches
+    val real = TextOps.d110CodeSwitch(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), r.toString)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+      if (r.getLong(2) == 0L) assert(r.isNullAt(4) && r.isNullAt(5))
+      else assert(!r.isNullAt(4) && !r.isNullAt(5) &&
+        r.getString(4) != r.getString(5))
+    }
+  }
+
+  test("q78 price index: textbook Laspeyres/Paasche replay; basket matching enforced") {
+    import spark.implicits._
+    // base 1995: A p=100 q=1, B p=100 q=2; 1996: A p=110 q=1, B p=90 q=4
+    // -> L = 290/300 (9666 bp), P = 470/500 (9400 bp); C/D unmatched
+    val rows = Seq(
+      (1L, 1995L, 100L, 10000L), (2L, 1995L, 200L, 20000L),
+      (1L, 1996L, 100L, 11000L), (2L, 1996L, 400L, 36000L),
+      (3L, 1996L, 100L, 5000L), (4L, 1995L, 100L, 7000L))
+      .toDF("part", "yr", "qty_c", "rev_c")
+    val got = Analytics.q78PriceIndexOf(rows).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1996L && r.getLong(1) == 1995L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 9666L && r.getLong(4) == 9400L, r.toString)
+    assert(math.abs(r.getDouble(5) - math.sqrt(29.0e6 * 1e4 / 3e7 * 9400.0)) < 1e-9)
+    // real data: indexes positive, Fisher between L and P (geometric mean)
+    val real = Analytics.q78PriceIndex(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { rr =>
+      val (l, p, f) = (rr.getLong(3), rr.getLong(4), rr.getDouble(5))
+      assert(l > 0L && p > 0L && rr.getLong(2) > 0L, rr.toString)
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1)
+    }
+  }
+
   test("a43 CDC conflicts: re-sends vs conflicting payloads split exactly per day") {
     import spark.implicits._
     def ev(u: Long, tsMs: Long, t: String, v: Double) =
