@@ -1705,6 +1705,72 @@ object StreamingOps {
       }
   }
 
+  case class TurnoverOut(day: Long, dau: Long, prev_dau: java.lang.Long,
+                         common: java.lang.Long, retained_bp: java.lang.Long,
+                         new_users: java.lang.Long, churned_users: java.lang.Long)
+  case class TurnoverState(open: Map[Long, Set[Long]], lastClosed: Long,
+                           prevSet: Set[Long])
+
+  /** Streaming day-over-day turnover — c59's live twin
+    * (Events.c59UserTurnoverOf): retained/churned/new user counts
+    * emitted the moment each day CLOSES at the watermark, so "we
+    * churned half of yesterday" pages today. Days close in event-time
+    * order; each closed day's active set is intersected with the
+    * previous CLOSED day's set only when they are calendar-adjacent —
+    * a dark gap reports NULLs exactly as batch c59 does (same
+    * calendar-honesty contract), and the gap itself is silence/
+    * downtime territory.
+    *
+    * Global series = one state group (the sloBurn honesty note): open
+    * day id-sets + ONE previous closed set — O(DAU) per open day, the
+    * c59/c56 exact-tier bound; production shards an upstream keyed
+    * pre-aggregation. Every emitted row equals the batch operator
+    * over the closed prefix by construction (the fold IS the
+    * definition), spec-proven across micro-batch splits. */
+  def turnoverStream(spark: SparkSession, events: Dataset[EventRow],
+                     watermarkDelay: String = "1 hour"): Dataset[TurnoverOut] = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Int, rows: Iterator[EventRow], state: GroupState[TurnoverState]) =>
+          val st0 = state.getOption.getOrElse(
+            TurnoverState(Map.empty, Long.MinValue, Set.empty))
+          var open = st0.open
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (d > st0.lastClosed)
+              open = open.updated(d, open.getOrElse(d, Set.empty[Long]) + e.user_id)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var lastClosed = st0.lastClosed
+          var prevSet = st0.prevSet
+          val out = Seq.newBuilder[TurnoverOut]
+          open.keys.toSeq.sorted.foreach { d =>
+            if ((d + 1) * DayMs <= wm) {
+              val cur = open(d)
+              val adjacent = lastClosed == d - 1
+              if (adjacent) {
+                val common = (cur & prevSet).size.toLong
+                val prevN = prevSet.size.toLong
+                out += TurnoverOut(d, cur.size.toLong, prevN, common,
+                  if (prevN > 0) common * 10000 / prevN else 0L,
+                  cur.size.toLong - common, prevN - common)
+              } else
+                out += TurnoverOut(d, cur.size.toLong, null, null, null, null, null)
+              prevSet = cur
+              lastClosed = d
+              open -= d
+            }
+          }
+          state.update(TurnoverState(open, lastClosed, prevSet))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max((open.keys.min + 1) * DayMs, wm + 1))
+          out.result().iterator
+      }
+  }
+
   def silenceStream(spark: SparkSession, events: Dataset[EventRow],
                     silenceMs: Long = 3600000L,
                     watermarkDelay: String = "10 seconds"): Dataset[SilenceOut] = {

@@ -45,6 +45,33 @@ class PropertySpec extends GraftSpec {
       rows.groupBy(_._1).values.forall(_.size >= k))
   }
 
+  test("bitset_overlap ≡ driver-side set intersection on random id sets") {
+    import spark.implicits._
+    // ids span negative words, word boundaries, and sparse far words —
+    // the two-pointer AND-walk must agree with plain Set intersection
+    val idGen = Gen.listOfN(120, Gen.oneOf(
+      Gen.chooseNum(-200L, 200L), Gen.chooseNum(-5L, 5L).map(_ * 64L),
+      Gen.chooseNum(0L, 20L).map(_ * 1000003L)))
+    (1L to 6L).foreach { seed =>
+      val a = sample(idGen, seed).toSet
+      val b = sample(idGen, seed + 100).toSet
+      val df = a.toSeq.map(("a", _)).++(b.toSeq.map(("b", _))).toDF("side", "id")
+      df.createOrReplaceTempView("bo_ids")
+      val got = spark.sql(
+        """select bitset_overlap(
+          |  (select bitset_agg(id) from bo_ids where side = 'a'),
+          |  (select bitset_agg(id) from bo_ids where side = 'b'))""".stripMargin)
+        .head().getLong(0)
+      assert(got == (a & b).size.toLong, s"seed $seed: $got vs ${(a & b).size}")
+    }
+    // disjoint and empty-side edges
+    val e = Seq(("a", 1L)).toDF("side", "id")
+    e.createOrReplaceTempView("bo_one")
+    assert(spark.sql(
+      """select bitset_overlap(bitset_agg(id), bitset_agg(id + 64)) from bo_one""")
+      .head().getLong(0) == 0L)
+  }
+
   test("custom aggregates are partition-invariant: merge order cannot change results") {
     // At cluster scale the merge path (partial aggregates meeting in the
     // exchange) runs under arbitrary row groupings; the signature and

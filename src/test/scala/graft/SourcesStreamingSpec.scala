@@ -1955,6 +1955,52 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("turnoverStream: closed days equal batch c59 across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.turnoverStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("to_test").outputMode("append").start()
+    val day0 = 19900L
+    var id = 0L
+    def ev(day: Long, users: Seq[Long]) = users.map { u =>
+      id += 1
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(day * 86400000L + 7200000L + id * 1000L), u, "X", 1.0)
+    }
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // day0 {1,2,3} -> day1 {2,3,4,5} (retained 2), dark day2,
+      // day3 {9} (null prev); splits land mid-day
+      add(ev(day0, Seq(1L, 2L)))
+      add(ev(day0, Seq(3L)) ++ ev(day0 + 1, Seq(2L, 3L)))
+      add(ev(day0 + 1, Seq(4L, 5L)) ++ ev(day0 + 3, Seq(9L)))
+      add(ev(day0 + 9, Seq(99L))) // watermark driver
+      val got = spark.sql(
+          "select day, dau, prev_dau, common, retained_bp, new_users, churned_users" +
+            " from to_test")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(got(day0 + 1).getLong(1) == 4L && got(day0 + 1).getLong(2) == 3L)
+      assert(got(day0 + 1).getLong(3) == 2L && got(day0 + 1).getLong(4) == 6666L)
+      assert(got(day0 + 1).getLong(5) == 2L && got(day0 + 1).getLong(6) == 1L)
+      assert(got(day0).isNullAt(2) && got(day0 + 3).isNullAt(2))
+      // every closed row equals the real batch operator on the same data
+      val batch = graft.operators.Events.c59UserTurnoverOf(
+        fed.result().filter(_.user_id != 99L).toDF())
+        .collect().map(r => r.getLong(0) -> r).toMap
+      got.foreach { case (d, s) =>
+        val b = batch(d)
+        assert(b.getLong(1) == s.getLong(1))
+        assert(b.isNullAt(2) == s.isNullAt(2), s"day $d null mismatch")
+        if (!b.isNullAt(2))
+          (2 to 6).foreach(i => assert(b.getLong(i) == s.getLong(i), s"day $d col $i"))
+      }
+    } finally q.stop()
+  }
+
   test("stickinessStream: closed weeks equal batch c56 across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
