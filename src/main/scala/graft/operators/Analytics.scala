@@ -3906,7 +3906,101 @@ object Analytics {
       |    (CAST(p_num * 10000 AS DOUBLE) / CAST(p_den AS DOUBLE))) AS fisher_bp
       |FROM g ORDER BY ship_year""".stripMargin
 
+  def q79AbcMigration(spark: SparkSession, dir: String): DataFrame =
+    q79AbcMigrationOf(Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(to_date(col("l_shipdate"))).cast("long").as("yr"),
+        col("p_brand"), col("l_partkey"))
+      .agg((sum(revenue) * 10000).cast("long").as("rev_e4")))
+
+  /** q79: year-over-year ABC-class migration — q65 gives the
+    * Pareto classing of one period; inventory management acts on the
+    * TRANSITIONS: a part sliding A→C is dying demand (stop stocking),
+    * C→A is a breakout (q65 next year is too late). Classes are
+    * computed per (year, brand) with q65's EXACT cross-multiplied
+    * boundaries (same 80/95 thresholds, same tie rule — the two
+    * operators cannot disagree on a class), then consecutive years
+    * join on (brand, part) and the matrix aggregates globally to
+    * (year_to, from, to) with the move direction.
+    *
+    * Shape: the (year, brand, part) revenue reduce arrives as input
+    * (lineitem ⨝ part, two genuine scans), classing windows ride
+    * (year, brand) partitions — q65's adjudicated partition size, a
+    * year never sorts globally — and the frame is `localCheckpoint`ed
+    * (c53 idiom) so the year↔year+1 self-join shares one
+    * materialization. */
+  def q79AbcMigrationOf(rev: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val wB = Window.partitionBy(col("yr"), col("p_brand"))
+    val wCum = wB.orderBy(col("rev_e4").desc, col("l_partkey"))
+    val classed = rev
+      .withColumn("cum_excl", coalesce(sum(col("rev_e4"))
+        .over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("rev_e4")).over(wB))
+      .withColumn("abc_class",
+        when(d38(col("cum_excl")) * 5 < d38(col("total")) * 4, lit("A"))
+          .when(d38(col("cum_excl")) * 20 < d38(col("total")) * 19, lit("B"))
+          .otherwise(lit("C")))
+      .select(col("yr"), col("p_brand"), col("l_partkey"),
+        col("abc_class"), col("rev_e4"))
+      .localCheckpoint(true)
+    val from = classed.select(col("yr"), col("p_brand"), col("l_partkey"),
+      col("abc_class").as("class_from"))
+    val to = classed.select((col("yr") - 1).as("yr"), col("p_brand"),
+      col("l_partkey"), col("abc_class").as("class_to"),
+      col("rev_e4").as("rev_to_e4"))
+    def rank(c: Column): Column =
+      when(c === "A", 0).when(c === "B", 1).otherwise(2)
+    from.join(to, Seq("yr", "p_brand", "l_partkey"))
+      .groupBy((col("yr") + 1).as("year_to"), col("class_from"), col("class_to"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_to_e4")).as("rev_to_e4"))
+      .withColumn("move",
+        when(rank(col("class_to")) < rank(col("class_from")), lit("up"))
+          .when(rank(col("class_to")) > rank(col("class_from")), lit("down"))
+          .otherwise(lit("stay")))
+      .orderBy(col("year_to"), col("class_from"), col("class_to"))
+  }
+
+  val q79Sql: String =
+    """WITH rev AS (
+      |  SELECT year(CAST(l_shipdate AS DATE)) AS yr, p_brand, l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS rev_e4
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2, 3),
+      |w AS (
+      |  SELECT yr, p_brand, l_partkey, rev_e4,
+      |    COALESCE(sum(rev_e4) OVER (PARTITION BY yr, p_brand
+      |      ORDER BY rev_e4 DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+      |    sum(rev_e4) OVER (PARTITION BY yr, p_brand) AS total
+      |  FROM rev),
+      |c AS (
+      |  SELECT yr, p_brand, l_partkey, rev_e4,
+      |    CASE WHEN CAST(cum_excl AS HUGEINT) * 5 < CAST(total AS HUGEINT) * 4 THEN 'A'
+      |         WHEN CAST(cum_excl AS HUGEINT) * 20 < CAST(total AS HUGEINT) * 19 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM w),
+      |j AS (
+      |  SELECT f.yr + 1 AS year_to, f.abc_class AS class_from,
+      |    t.abc_class AS class_to, t.rev_e4 AS rev_to_e4
+      |  FROM c f JOIN c t ON f.p_brand = t.p_brand
+      |    AND f.l_partkey = t.l_partkey AND t.yr = f.yr + 1),
+      |g AS (
+      |  SELECT year_to, class_from, class_to,
+      |    CAST(count(*) AS BIGINT) AS n_parts, sum(rev_to_e4) AS rev_to_e4
+      |  FROM j GROUP BY 1, 2, 3)
+      |SELECT CAST(year_to AS BIGINT) AS year_to, class_from, class_to, n_parts,
+      |  CAST(rev_to_e4 AS BIGINT) AS rev_to_e4,
+      |  CASE WHEN (CASE class_to WHEN 'A' THEN 0 WHEN 'B' THEN 1 ELSE 2 END) <
+      |            (CASE class_from WHEN 'A' THEN 0 WHEN 'B' THEN 1 ELSE 2 END) THEN 'up'
+      |       WHEN (CASE class_to WHEN 'A' THEN 0 WHEN 'B' THEN 1 ELSE 2 END) >
+      |            (CASE class_from WHEN 'A' THEN 0 WHEN 'B' THEN 1 ELSE 2 END) THEN 'down'
+      |       ELSE 'stay' END AS move
+      |FROM g ORDER BY year_to, class_from, class_to""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_abc_migration" -> (q79AbcMigration _),
     "q78_price_index" -> (q78PriceIndex _),
     "q77_reorder_cadence" -> (q77ReorderCadence _),
     "q76_cohort_ltv" -> (q76CohortLtv _),
@@ -3986,6 +4080,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q79_abc_migration" -> q79Sql,
     "q78_price_index" -> q78Sql,
     "q77_reorder_cadence" -> q77Sql,
     "q76_cohort_ltv" -> q76Sql,

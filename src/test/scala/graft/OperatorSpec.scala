@@ -5677,6 +5677,35 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("q79 ABC migration: planted boundary classes migrate up/down/stay exactly") {
+    import spark.implicits._
+    // year 1: p1=80 A, p2=15 B, p3=5 C; year 2: p2=85 A, p1=10 B, p3=5 C
+    // -> p1 A->B down, p2 B->A up, p3 C->C stay (q65's exact boundaries)
+    val rev = Seq(
+      (1L, "B1", 1L, 800000L), (1L, "B1", 2L, 150000L), (1L, "B1", 3L, 50000L),
+      (2L, "B1", 1L, 100000L), (2L, "B1", 2L, 850000L), (2L, "B1", 3L, 50000L))
+      .toDF("yr", "p_brand", "l_partkey", "rev_e4")
+    val got = Analytics.q79AbcMigrationOf(rev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got((2L, "A", "B")) == ((1L, 100000L, "down")), got.toString)
+    assert(got((2L, "B", "A")) == ((1L, 850000L, "up")))
+    assert(got((2L, "C", "C")) == ((1L, 50000L, "stay")))
+    assert(got.size == 3)
+    // real data: move labels consistent with the class pair
+    val real = Analytics.q79AbcMigration(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    val rk = Map("A" -> 0, "B" -> 1, "C" -> 2)
+    real.foreach { r =>
+      val expect = Integer.compare(rk(r.getString(2)), rk(r.getString(1))) match {
+        case c if c < 0 => "up"
+        case 0 => "stay"
+        case _ => "down"
+      }
+      assert(r.getString(5) == expect && r.getLong(3) > 0L, r.toString)
+    }
+  }
+
   test("d110 code switch: en|fr concatenation flagged, pure and und docs agree") {
     import spark.implicits._
     // "mix": en stopwords then fr stopwords -> halves disagree (en->fr)
