@@ -3732,8 +3732,9 @@ object Analytics {
       |      OVER (PARTITION BY cohort_year) AS n_customers
       |  FROM ba)
       |SELECT CAST(cohort_year AS BIGINT) AS cohort_year, CAST(age AS BIGINT) AS age,
-      |  n_customers, n_orders, revenue_cents,
-      |  cum AS cum_revenue_cents, cum // n_customers AS ltv_cents
+      |  n_customers, n_orders, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+      |  CAST(cum AS BIGINT) AS cum_revenue_cents,
+      |  CAST(cum // n_customers AS BIGINT) AS ltv_cents
       |FROM sc ORDER BY cohort_year, age""".stripMargin
 
   def q77ReorderCadence(spark: SparkSession, dir: String): DataFrame =
@@ -3816,9 +3817,9 @@ object Analytics {
       |    THEN CAST(gap AS BIGINT) END) AS med_gap_days,
       |  min(CASE WHEN gap IS NOT NULL AND (cum - nf) * 10 >= (tot - nf) * 9
       |    THEN CAST(gap AS BIGINT) END) AS p90_gap_days,
-      |  CASE WHEN max(tot) - max(nf) > 0 THEN
+      |  CAST(CASE WHEN max(tot) - max(nf) > 0 THEN
       |    (sum(CASE WHEN gap IS NOT NULL THEN CAST(gap AS BIGINT) * cnt ELSE 0 END)
-      |      * 1000) // (max(tot) - max(nf)) END AS mean_gap_milli
+      |      * 1000) // (max(tot) - max(nf)) END AS BIGINT) AS mean_gap_milli
       |FROM sc GROUP BY seg ORDER BY c_mktsegment""".stripMargin
 
   def q78PriceIndex(spark: SparkSession, dir: String): DataFrame =

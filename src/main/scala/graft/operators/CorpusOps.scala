@@ -2319,9 +2319,9 @@ object CorpusOps {
        |    THEN gap END) AS med_gap,
        |  min(CASE WHEN gap IS NOT NULL AND (cum - nf) * 10 >= (tot - nf) * 9
        |    THEN gap END) AS p90_gap,
-       |  CASE WHEN max(tot) - max(nf) > 0 THEN
+       |  CAST(CASE WHEN max(tot) - max(nf) > 0 THEN
        |    (CAST(sum(CASE WHEN gap <= $DupLocalityNearGap THEN cnt ELSE 0 END) AS BIGINT)
-       |      * 10000) // (max(tot) - max(nf)) END AS near_share_bp
+       |      * 10000) // (max(tot) - max(nf)) END AS BIGINT) AS near_share_bp
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

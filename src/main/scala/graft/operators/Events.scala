@@ -3637,7 +3637,7 @@ object Events {
       |  CAST(tot AS BIGINT) AS n_events,
       |  CAST(max_age + 1 AS BIGINT) AS span_days,
       |  CAST(age AS BIGINT) AS half_life_days,
-      |  (cum * 10000) // tot AS half_mass_bp
+      |  CAST((cum * 10000) // tot AS BIGINT) AS half_mass_bp
       |FROM r WHERE rn = 1 ORDER BY cohort_week""".stripMargin
 
   def c58Comovement(spark: SparkSession, dir: String): DataFrame =

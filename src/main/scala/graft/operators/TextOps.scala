@@ -3144,7 +3144,7 @@ object TextOps {
        |  FROM cells)
        |SELECT source, CAST(tot AS BIGINT) AS n_docs,
        |  CAST(switched AS BIGINT) AS switched_docs,
-       |  (switched * 10000) // tot AS switched_bp,
+       |  CAST((switched * 10000) // tot AS BIGINT) AS switched_bp,
        |  CASE WHEN l0 <> l1 THEN l0 END AS top_from,
        |  CASE WHEN l0 <> l1 THEN l1 END AS top_to
        |FROM sc WHERE rn = 1 ORDER BY source""".stripMargin
