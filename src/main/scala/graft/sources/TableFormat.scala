@@ -407,42 +407,12 @@ object CommitLogTableFormat extends TableFormat {
   }
 
   /** Data files of a snapshot dir (parquet parts only, no markers). */
-  private def dataFiles(fs: FileSystem, dataDir: Path): Seq[String] = {
-    val listed = fs.globStatus(new Path(dataDir, "*.parquet"))
-    if (listed == null) Seq.empty else listed.toSeq.map(_.getPath.toString)
-  }
+  private def dataFiles(fs: FileSystem, dataDir: Path): Seq[String] =
+    ParquetFooters.dataFiles(fs, dataDir)
 
-  /** Footer-only stats walk of one parquet file: for each INT64/INT32
-    * leaf column present with valid statistics in EVERY row group,
-    * the file-level (min, max, nulls); plus total rows under the
-    * reserved pseudo-column name. */
   private def footerStats(path: Path,
-                          conf: Configuration): Seq[(String, Long, Long, Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      val rows = blocks.map(_.getRowCount).sum
-      val perChunk = blocks.flatMap(_.getColumns.asScala.map { c =>
-        val tn = c.getPrimitiveType.getPrimitiveTypeName
-        val st = c.getStatistics
-        val ok = (tn == INT64 || tn == INT32) && st != null && !st.isEmpty &&
-          st.hasNonNullValue
-        (c.getPath.toDotString,
-          if (ok) Some((st.genericGetMin.asInstanceOf[Number].longValue,
-            st.genericGetMax.asInstanceOf[Number].longValue,
-            st.getNumNulls)) else None)
-      })
-      perChunk.groupBy(_._1).toSeq.collect {
-        // a true bound requires stats in EVERY row-group chunk
-        case (col, chunks) if chunks.forall(_._2.isDefined) =>
-          val s = chunks.flatMap(_._2)
-          (col, s.map(_._1).min, s.map(_._2).max, s.map(_._3).sum, rows)
-      }.sortBy(_._1)
-    } finally reader.close()
-  }
+                          conf: Configuration): Seq[(String, Long, Long, Long, Long)] =
+    ParquetFooters.footerStats(path, conf)
 
   /** The current snapshot's data files that can contain a row with
     * `column` ∈ [lo, hi], per the footer zone map: (kept, total).

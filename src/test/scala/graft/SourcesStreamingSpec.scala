@@ -337,6 +337,39 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(afterErase == Seq((someLo + 1, s"row${someLo + 1}")), afterErase.toString)
   }
 
+  test("ZOrderLayout: interleave exact; z-clustered files prune the second key, linear sort cannot") {
+    import spark.implicits._
+    // hand-checked Morton interleave (a bits at even positions)
+    val zdf = Seq((3L, 1L), (0L, 3L), (0L, 0L)).toDF("a", "b")
+      .select(graft.sources.ZOrderLayout.zvalue($"a", $"b", 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zdf == Seq(7L, 10L, 0L), zdf.toString)
+    // full 64x64 key grid, 16 files: z-order vs single-key clustering
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val grid = (0L until 4096L).map(id => (id, id / 64L, id % 64L))
+      .toDF("id", "ka", "kb")
+    graft.sources.ZOrderLayout.write(grid, "ka", "kb", 6, 16, s"$dir/z")
+    grid.repartitionByRange(16, $"ka").sortWithinPartitions($"ka")
+      .write.mode("overwrite").parquet(s"$dir/naive")
+    // a kb-only range: the ka-sorted layout cannot prune AT ALL,
+    // the z layout reads a strict subset
+    val (zk, zt) = graft.sources.ZOrderLayout
+      .pruneCount(spark, s"$dir/z", "ka", "kb", 0L, 63L, 8L, 15L)
+    val (nk, nt) = graft.sources.ZOrderLayout
+      .pruneCount(spark, s"$dir/naive", "ka", "kb", 0L, 63L, 8L, 15L)
+    assert(zt == 16 && nt == 16, s"$zt / $nt files")
+    assert(nk == 16, "single-key layout must admit every file on the other key")
+    assert(zk < nk, s"z admitted $zk of $zt")
+    // a two-key box prunes at least as hard as the single-key query
+    val (zb, _) = graft.sources.ZOrderLayout
+      .pruneCount(spark, s"$dir/z", "ka", "kb", 8L, 15L, 8L, 15L)
+    assert(zb <= zk)
+    // layout change moved bytes, not rows: both layouts read back equal
+    val back = spark.read.parquet(s"$dir/z")
+      .filter($"kb".between(8, 15)).count()
+    assert(back == grid.filter($"kb".between(8, 15)).count())
+  }
+
   test("CommitLogTableFormat: vacuum spares a concurrent writer's higher-version stage") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
