@@ -2435,7 +2435,12 @@ object Etl {
     val versions = events
       .groupBy(col("user_id"), col("ts"))
       .agg(count(lit(1)).as("cnt"),
-        countDistinct(col("event_type"), col("value")).as("payloads"))
+        // distinct over the STRUCT, not the column pair: multi-arg
+        // countDistinct drops rows where ANY argument is NULL, while
+        // the DuckDB oracle's count(DISTINCT (event_type, value))
+        // counts tuples that merely CONTAIN a NULL field — a struct()
+        // value is itself never NULL, so the two agree on null payloads
+        countDistinct(struct(col("event_type"), col("value"))).as("payloads"))
     versions
       .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(count(lit(1)).as("n_versions"),

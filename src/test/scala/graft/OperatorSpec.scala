@@ -5372,6 +5372,8 @@ class OperatorSpec extends GraftSpec {
     import graft.sources.TarShardSink
     val out = java.nio.file.Files.createTempDirectory("graft_tarsink").toString
     TarShardSink.write(spark, sfDir, out)
+    val setDir = TarShardSink.currentShardDir(spark, out)
+      .getOrElse(fail("a completed write must publish a shard-set version"))
     val manifest = MultimodalOps.e17TarLayout(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(5), r.getLong(6)))
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).collect()
@@ -5379,7 +5381,7 @@ class OperatorSpec extends GraftSpec {
     val byShard = manifest.groupBy(m => (m._2, m._3))
     assert(byShard.size > 2, "sf0.001 must produce multiple shards")
     byShard.foreach { case ((src, shard), ms) =>
-      val f = new java.io.File(f"$out/$src/shard-$shard%05d.tar")
+      val f = new java.io.File(f"$setDir/$src/shard-$shard%05d.tar")
       assert(f.isFile, s"$src/$shard must be written")
       // 1. predicted shard_tar_bytes IS the written file's size
       assert(f.length() == ms.head._5, s"$src/$shard size ${f.length()} != ${ms.head._5}")
@@ -5408,23 +5410,97 @@ class OperatorSpec extends GraftSpec {
         expect.map(m => (s"${m._1}.bin", m._4)).toSeq, s"$src/$shard walk")
     }
     // no unexpected files: every written archive is in the manifest
-    val written = new java.io.File(out).listFiles.flatMap(_.listFiles)
+    val written = new java.io.File(setDir).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles)
       .filter(_.getName.endsWith(".tar"))
       .map(f => (f.getParentFile.getName, f.getName)).toSet
     assert(written == byShard.keySet.map { case (s, i) => (s, f"shard-$i%05d.tar") },
       "written set must equal the manifest's shard set")
-    // 5. idempotent republish: byte-identical archives
+    // 5. idempotent republish: a NEW version with byte-identical archives
     val probe = byShard.keys.head
-    val pFile = new java.io.File(f"$out/${probe._1}/shard-${probe._2}%05d.tar")
+    val pFile = new java.io.File(f"$setDir/${probe._1}/shard-${probe._2}%05d.tar")
     val before = java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(pFile.toPath))
     TarShardSink.write(spark, sfDir, out)
-    val after = java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(pFile.toPath))
+    val setDir2 = TarShardSink.currentShardDir(spark, out).get
+    assert(setDir2 != setDir, "republish must land in a fresh version dir")
+    val pFile2 = new java.io.File(f"$setDir2/${probe._1}/shard-${probe._2}%05d.tar")
+    val after = java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(pFile2.toPath))
     assert(before == after, "re-run must republish byte-identical content")
     // 6. the measured manifest agrees with the predictions, group-level
     val measured = TarShardSink.writtenManifest(spark, out).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(measured == byShard.map { case (k, ms) => k -> ((ms.length.toLong, ms.head._5)) },
       "measured (n_members, tar_bytes) must equal e17's per-shard predictions")
+  }
+
+  test("TarShardSink: payload never rides a window; slim frame carries no binary") {
+    import graft.sources.TarShardSink
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.types.BinaryType
+    // 1. the payload-side plan has NO Window node at all: the only wide
+    // op between the parquet scan and the writers is the final
+    // (source, shard_idx) repartition — corpus bytes move exactly once
+    val payloadPlan = TarShardSink.assignedPayloads(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val windows = payloadPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty,
+      s"payload plan must not contain a Window node:\n$payloadPlan")
+    // 2. the slim assignment plan's Window subtree carries no binary
+    // column anywhere beneath it (the r11 defect was exactly a payload
+    // column riding the per-source window sort)
+    val slimPlan = TarShardSink.shardAssignments(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val slimWindows = slimPlan.collect { case w: LWindow => w }
+    assert(slimWindows.nonEmpty, "the slim frame is where the window belongs")
+    def subtree(p: LogicalPlan): Seq[LogicalPlan] = p +: p.children.flatMap(subtree)
+    slimWindows.foreach { w =>
+      subtree(w).foreach { node =>
+        assert(!node.output.exists(_.dataType == BinaryType),
+          s"binary column below the Window node:\n$slimPlan")
+      }
+    }
+    // 3. the assignment the broadcast binary search reproduces IS e2's
+    // window assignment, doc-for-doc
+    val viaWindow = TarShardSink.shardAssignments(spark, sfDir)
+      .select(col("doc_id"), col("shard_idx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSearch = TarShardSink.assignedPayloads(spark, sfDir)
+      .select(col("doc_id"), col("shard_idx")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSearch == viaWindow,
+      "binary-search assignment must equal the window assignment exactly")
+  }
+
+  test("TarShardSink: a crashed half-export is invisible; the previous set stays current") {
+    import graft.sources.TarShardSink
+    val out = java.nio.file.Files.createTempDirectory("graft_tarsink_atomic").toString
+    // before any publish: no current set, readers return empty
+    assert(TarShardSink.currentShardDir(spark, out).isEmpty)
+    assert(TarShardSink.writtenManifest(spark, out).count() == 0L)
+    TarShardSink.write(spark, sfDir, out)
+    val v1 = TarShardSink.currentShardDir(spark, out).get
+    val manifest1 = TarShardSink.writtenManifest(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(manifest1.nonEmpty)
+    // simulate a crash mid-export: a staging dir appears with PARTIAL
+    // content (one corrupt archive of a would-be v2) but no log entry
+    val staged = new java.io.File(out, "shards-v2-crashed/srcA")
+    assert(staged.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(staged, "shard-00000.tar").toPath,
+      Array.fill[Byte](1024)(3))
+    // readers resolve ONLY through the log: same version, same manifest,
+    // the partial stage contributes nothing
+    assert(TarShardSink.currentShardDir(spark, out).contains(v1),
+      "a stage without a log entry must not become current")
+    val manifest1b = TarShardSink.writtenManifest(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(manifest1b == manifest1, "manifest must be the committed set only")
+    // the next successful publish vacuums the crashed orphan stage
+    TarShardSink.write(spark, sfDir, out)
+    assert(!new java.io.File(out, "shards-v2-crashed").exists(),
+      "publish must vacuum orphaned stages")
+    assert(TarShardSink.currentShardDir(spark, out).exists(_ != v1))
   }
 
   test("c52 runs test: planted orderings hit all four verdicts; stats replay exactly") {
