@@ -2467,7 +2467,73 @@ object Etl {
       |  (conflict_groups * 10000) // n_versions AS conflict_bp
       |FROM d ORDER BY day""".stripMargin
 
+  /** Deterministic per-dataset table location for the a44/a45 entries
+    * (re-runs commit fresh versions in place — idempotent). */
+  private def lakeDir(dir: String, name: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_lake_${name}_$h"
+  }
+
+  /** a44: the LAKEHOUSE READ PATH as an oracled query — commit a slim
+    * orders snapshot to a CommitLog table clustered on o_orderkey
+    * (range-shuffle → disjoint footer ranges), hide every 97th key
+    * with a deletion-vector erase, then read a key range back through
+    * the footer zone map (`readPruned`). The oracle predicts the same
+    * rows from the raw parquet alone, so a pass proves the whole
+    * chain — atomic commit, DV merge-on-read, file skipping, residual
+    * filter — returns exactly what a plain filtered scan would, while
+    * reading only the files whose footers admit the range (pruning
+    * effectiveness is ScalaTest-gated; THIS gate is end-to-end
+    * equivalence, a31/a33's audits turned into engine machinery the
+    * correctness gate exercises every round). */
+  def a44PrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = lakeDir(dir, "a44")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    graft.sources.CommitLogTableFormat.commit(spark, table, slim, "a44")
+    graft.sources.CommitLogTableFormat.erase(
+      spark, table, col("o_orderkey") % 97 === 0, "a44e")
+    graft.sources.CommitLogTableFormat.readPruned(spark, table, "o_orderkey", 100L, 700L)
+      .get.orderBy(col("o_orderkey"))
+  }
+
+  val a44Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 100 AND 700 AND o_orderkey % 97 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** a45: the STRING zone map through the same end-to-end gate —
+    * commit documents clustered on `source` (the key a city-data
+    * pipeline actually filters by: reference partitions staging by
+    * source, process-staging.py:20-27), then read a source range back
+    * through `readPrunedString`'s truncated-bound file skipping. The
+    * oracle is the plain filtered scan; a pass proves truncated
+    * lower/upper bounds never lose or invent rows. */
+  def a45PrunedSourceRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = lakeDir(dir, "a45")
+    val slim = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), length(col("text")).as("n_chars"))
+      .repartitionByRange(4, col("source"))
+      .sortWithinPartitions(col("source"))
+    graft.sources.CommitLogTableFormat.commit(spark, table, slim, "a45")
+    graft.sources.CommitLogTableFormat
+      .readPrunedString(spark, table, "source", "src2", "src4")
+      .get.orderBy(col("doc_id"))
+  }
+
+  val a45Sql: String =
+    """SELECT doc_id, source, CAST(length(text) AS INTEGER) AS n_chars
+      |FROM documents
+      |WHERE source BETWEEN 'src2' AND 'src4'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a45_pruned_source_read" -> (a45PrunedSourceRead _),
+    "a44_pruned_read" -> (a44PrunedRead _),
     "a43_cdc_conflicts" -> (a43CdcConflicts _),
     "a42_access_export" -> (a42AccessExport _),
     "a41_dp_release_plan" -> (a41DpReleasePlan _),
@@ -2513,6 +2579,8 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a45_pruned_source_read" -> a45Sql,
+    "a44_pruned_read" -> a44Sql,
     "a43_cdc_conflicts" -> a43Sql,
     "a42_access_export" -> a42Sql,
     "a41_dp_release_plan" -> a41Sql,

@@ -73,6 +73,25 @@ object Sinks {
     }
     format.commit(spark, targetDir, merged, token)
   }
+
+  /** [[mergeByKey]] under OPTIMISTIC concurrency: rides
+    * [[CommitLogTableFormat.commitWithRetry]], so a merge that loses a
+    * commit race re-reads the winner's snapshot and re-merges instead
+    * of aborting — concurrent merge sinks to the same table both land
+    * without an external lock. Correct because the merge IS the rebase:
+    * latest-per-key over (current ∪ updates) applied to the winner's
+    * result preserves both writers' rows (the merge is commutative up
+    * to the order keys, and a replay is a fixed point — the same
+    * idempotence the retry contract already relies on). */
+  def mergeByKeyRetrying(spark: SparkSession, targetDir: String, updates: DataFrame,
+                         keyCols: Seq[String], orderCols: Seq[String] = Nil,
+                         token: String = "merge", maxAttempts: Int = 5): Unit =
+    CommitLogTableFormat.commitWithRetry(spark, targetDir,
+      {
+        case Some(target) => mergePlan(target, updates, keyCols, orderCols)
+        case None         => mergePlan(updates.limit(0), updates, keyCols, orderCols)
+      },
+      token, maxAttempts)
 }
 
 /** Checked-rename helper shared by the tmp+swap sinks (mergeByKey,

@@ -326,6 +326,84 @@ object CommitLogTableFormat extends TableFormat {
     publish(fs, root, v, dataName, token, Seq(new Path(root, dataName)))
   }
 
+  /** The current committed (version, snapshot), resolved together so a
+    * caller can later validate a commit against exactly the state it
+    * read — the read half of optimistic concurrency. */
+  def readVersioned(spark: SparkSession, table: String): Option[(Long, DataFrame)] = {
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (v, content) =>
+      (v, resolve(spark, table, parseSnap(content)))
+    }
+  }
+
+  /** Commit `df` as the SUCCESSOR of `baseVersion` (None = first
+    * commit): publishes at baseVersion+1 and throws
+    * [[ConcurrentCommitException]] if ANY commit landed after the
+    * base — validate-at-publish against the snapshot the caller READ,
+    * which is what [[commit]] (targeting latest+1, detecting only
+    * races inside its own write window) cannot promise: a writer that
+    * derived `df` from a snapshot another commit has since replaced
+    * would silently drop that winner's rows. Conflict detection is the
+    * latest-version re-check immediately before the atomic
+    * rename-if-absent; the residual window is one driver-side rename,
+    * during which a conflicting FULL commit (a parquet write + its own
+    * rename) cannot complete — and vacuum retains the immediate
+    * successor entry, so the rename guard itself cannot be evaded by
+    * entry deletion. */
+  def commitFrom(spark: SparkSession, table: String, baseVersion: Option[Long],
+                 df: DataFrame, token: String): Unit = {
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    recoverLatest(fs, table) // mkdirs + sweep crashed-legacy empties
+    val v = baseVersion.getOrElse(0L) + 1L
+    val dataName = s"data-v$v-$token"
+    df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    val latestNow = latest(fs, table).map(_._1)
+    if (latestNow != baseVersion) {
+      fs.delete(new Path(root, dataName), true)
+      throw new ConcurrentCommitException(
+        s"table $root moved from $baseVersion to $latestNow during the commit")
+    }
+    publish(fs, root, v, dataName, token, Seq(new Path(root, dataName)))
+  }
+
+  /** Optimistic-concurrency commit (the Delta/Iceberg retry loop):
+    * derive the new snapshot FROM the current one, publish it as that
+    * exact version's successor ([[commitFrom]]), and on a lost race
+    * re-read the winner's snapshot and RE-DERIVE instead of aborting —
+    * so two concurrent merge sinks both land without an external lock,
+    * serialized by the log's atomic publish. `derive` receives the
+    * snapshot the attempt is based on (None before the first commit)
+    * and MUST be a pure function of it — it re-runs per attempt
+    * against fresher state, which is exactly what makes the rebase
+    * correct: the loser's derivation was stale by construction, so
+    * replaying it over the winner's result preserves both writers'
+    * effects (lost-update-free for commutative merges like
+    * latest-per-key). Attempt tokens are suffixed `-r<i>` so retried
+    * stages never collide with the loser's vacuumed dirs. Throws the
+    * final [[ConcurrentCommitException]] after `maxAttempts`
+    * consecutive lost races. */
+  def commitWithRetry(spark: SparkSession, table: String,
+                      derive: Option[DataFrame] => DataFrame, token: String,
+                      maxAttempts: Int = 5): Unit = {
+    require(maxAttempts >= 1, "commitWithRetry needs at least one attempt")
+    var attempt = 1
+    var done = false
+    while (!done) {
+      val versioned = readVersioned(spark, table)
+      val df = derive(versioned.map(_._2))
+      try {
+        commitFrom(spark, table, versioned.map(_._1), df,
+          if (attempt == 1) token else s"$token-r$attempt")
+        done = true
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+  }
+
   /** Row-level delete WITHOUT rewriting data files: hide every row of
     * the current snapshot matching `predicate` by publishing a new
     * version whose entry references the SAME data dir plus a deletion-
@@ -342,7 +420,27 @@ object CommitLogTableFormat extends TableFormat {
     * it). Single-writer contract as [[commit]]; a lost publish race
     * throws [[ConcurrentCommitException]] and deletes the staged DV. */
   def erase(spark: SparkSession, table: String,
-            predicate: org.apache.spark.sql.Column, token: String): Long = {
+            predicate: org.apache.spark.sql.Column, token: String): Long =
+    eraseWhere(spark, table, keyed => keyed.filter(predicate), token)
+
+  /** Join-form erase: hide every row whose `tableKeyCol` appears in
+    * the `keys` FRAME (column `requestKeyCol`). The hit scan is a LEFT
+    * SEMI join against the distributed request set, so a GDPR batch of
+    * 10⁶ subject keys stays a co-partitioned join — never a 10⁶-term
+    * `isin` literal assembled on the driver (the predicate overload's
+    * only way to express a key set). AQE broadcasts the request side
+    * when it is small, which is the common legal-feed case. Same
+    * accumulate/no-op/race contracts as the predicate overload. */
+  def erase(spark: SparkSession, table: String, keys: DataFrame,
+            requestKeyCol: String, tableKeyCol: String, token: String): Long = {
+    import org.apache.spark.sql.functions.col
+    eraseWhere(spark, table, keyed =>
+      keyed.join(keys.select(col(requestKeyCol).as(tableKeyCol)).distinct(),
+        Seq(tableKeyCol), "left_semi"), token)
+  }
+
+  private def eraseWhere(spark: SparkSession, table: String,
+                         hitsOf: DataFrame => DataFrame, token: String): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val root = new Path(table)
     val fs = fsOf(spark, table)
@@ -354,7 +452,7 @@ object CommitLogTableFormat extends TableFormat {
           .parquet(new Path(root, snap.dataName).toString)
           .withColumn("__graft_file", expr("substring_index(_metadata.file_path, '/', -1)"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
-        val hits = keyed.filter(predicate)
+        val hits = hitsOf(keyed)
           .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
         val prior = snap.dvName.map(n =>
           spark.read.parquet(new Path(root, n).toString))
@@ -414,24 +512,140 @@ object CommitLogTableFormat extends TableFormat {
                           conf: Configuration): Seq[(String, Long, Long, Long, Long)] =
     ParquetFooters.footerStats(path, conf)
 
+  /** Distributed footer-predicate evaluation: which of `files` does
+    * `keep` admit? One footer round-trip per file, fanned across the
+    * cluster (the fileStats shape) — at the 100 TB/many-file scale a
+    * sequential driver loop here is O(files) serial round-trips on the
+    * QUERY path, which is exactly where pruning must stay cheap. The
+    * collected result is file NAMES only — bounded by the snapshot's
+    * file count, the same driver-grain as the listing itself. */
+  private def keptFiles(spark: SparkSession, files: Seq[String],
+                        keep: (Path, Configuration) => Boolean): Seq[String] = {
+    if (files.isEmpty) Seq.empty
+    else {
+      val bconf = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, slices)
+        .filter(p => keep(new Path(p), bconf.value.value))
+        .collect().toSeq.sorted
+    }
+  }
+
+  /** Prune `snap`'s files against `column` ∈ [lo, hi]: (kept, total).
+    * Takes the RESOLVED snapshot so one public call resolves the log
+    * exactly once — resolving again per step would let a concurrent
+    * commit slide a DIFFERENT snapshot under the second read and mix
+    * two versions' files/DV, breaking the isolation the format
+    * guarantees everywhere else. Files without a usable bound for the
+    * column are KEPT — pruning must never lose rows. */
+  private def pruneSnap(spark: SparkSession, table: String, snap: Snap,
+                        column: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val fs = fsOf(spark, table)
+    val files = dataFiles(fs, new Path(new Path(table), snap.dataName))
+    val kept = keptFiles(spark, files, (p, conf) =>
+      ParquetFooters.footerStats(p, conf).find(_._1 == column) match {
+        case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
+        case None => true
+      })
+    (kept, files.size)
+  }
+
+  /** String-key variant of [[pruneSnap]]: bounds come from the
+    * truncated string zone map ([[ParquetFooters.footerStringStats]] —
+    * Iceberg truncate-16 lower/upper), so the `source`/url/state keys
+    * a city-data pipeline actually filters by prune too, not just
+    * integer ids. Truncated bounds are conservative by construction;
+    * non-ASCII or missing bounds keep the file. */
+  private def pruneSnapString(spark: SparkSession, table: String, snap: Snap,
+                              column: String, lo: String,
+                              hi: String): (Seq[String], Int) = {
+    val fs = fsOf(spark, table)
+    val files = dataFiles(fs, new Path(new Path(table), snap.dataName))
+    val kept = keptFiles(spark, files, (p, conf) =>
+      ParquetFooters.footerStringStats(p, conf).find(_._1 == column) match {
+        case Some((_, lower, upper, _, _)) => !(upper < lo || lower > hi)
+        case None => true
+      })
+    (kept, files.size)
+  }
+
   /** The current snapshot's data files that can contain a row with
-    * `column` ∈ [lo, hi], per the footer zone map: (kept, total).
-    * Files without a usable bound for the column are KEPT — pruning
-    * must never lose rows. */
+    * `column` ∈ [lo, hi], per the footer zone map: (kept, total). */
   def prunedFiles(spark: SparkSession, table: String, column: String,
                   lo: Long, hi: Long): Option[(Seq[String], Int)] = {
     val fs = fsOf(spark, table)
     latest(fs, table).map { case (_, content) =>
+      pruneSnap(spark, table, parseSnap(content), column, lo, hi)
+    }
+  }
+
+  /** [[prunedFiles]] on a STRING key via the truncated string bounds. */
+  def prunedFilesString(spark: SparkSession, table: String, column: String,
+                        lo: String, hi: String): Option[(Seq[String], Int)] = {
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (_, content) =>
+      pruneSnapString(spark, table, parseSnap(content), column, lo, hi)
+    }
+  }
+
+  /** MEASURED truncated-string zone map of the current snapshot — the
+    * string twin of [[fileStats]]: one row per (data file, string leaf
+    * column) with Iceberg-style lower/upper bounds from the parquet
+    * footers. */
+  def fileStatsStrings(spark: SparkSession, table: String): Option[DataFrame] = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (_, content) =>
       val dataDir = new Path(new Path(table), parseSnap(content).dataName)
       val files = dataFiles(fs, dataDir)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val kept = files.filter { p =>
-        footerStats(new Path(p), conf).find(_._1 == column) match {
-          case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
-          case None => true
-        }
+      val bconf = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, slices)
+        .flatMap(p => ParquetFooters.footerStringStats(new Path(p), bconf.value.value).map {
+          case (col, lower, upper, nulls, rows) =>
+            (new Path(p).getName, col, lower, upper, nulls, rows)
+        })
+        .toDF("file", "column", "lower_bound", "upper_bound", "null_count", "n_rows")
+        .orderBy(org.apache.spark.sql.functions.col("file"),
+          org.apache.spark.sql.functions.col("column"))
+    }
+  }
+
+  /** The merge-on-read frame over an explicit KEPT file list of `snap`
+    * (the tail both pruned reads share). Empty snapshots short-circuit:
+    * a snapshot with zero data files has no footer to infer a schema
+    * from, so the caller gets an empty single-column frame of the
+    * requested key instead of an AnalysisException; when only the
+    * PRUNE emptied the list, the schema comes from one known data
+    * file — never from the directory read that throws on empty dirs. */
+  private def resolveKept(spark: SparkSession, table: String, snap: Snap,
+                          kept: Seq[String], all: Seq[String],
+                          column: String,
+                          keyType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    if (all.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(column, keyType))))
+    else if (kept.isEmpty)
+      spark.read.parquet(all.head).limit(0)
+    else {
+      val data = spark.read.parquet(kept: _*)
+      snap.dvName match {
+        case None => data
+        case Some(dvName) =>
+          val dv = spark.read.parquet(new Path(new Path(table), dvName).toString)
+          val keyed = data
+            .withColumn("__graft_file", org.apache.spark.sql.functions
+              .expr("substring_index(_metadata.file_path, '/', -1)"))
+            .withColumn("__graft_pos",
+              org.apache.spark.sql.functions.col("_metadata.row_index"))
+          keyed.join(dv,
+              keyed("__graft_file") === dv("file") && keyed("__graft_pos") === dv("pos"),
+              "left_anti")
+            .drop("__graft_file", "__graft_pos")
       }
-      (kept, files.size)
     }
   }
 
@@ -440,41 +654,45 @@ object CommitLogTableFormat extends TableFormat {
     * zone map admits the range — the scan-skipping a lakehouse buys
     * once stats ride the snapshot (Delta/Iceberg data skipping; here
     * measured from footers at read time, so no stale-stats hazard by
-    * construction). Merge-on-read still applies: the DV anti-join
-    * keys on file NAME, so erased rows in kept files stay hidden and
-    * rows in pruned files were never read at all. The residual
-    * predicate is applied regardless — pruning is an optimization,
-    * never a correctness dependency. */
+    * construction). The log resolves ONCE and the parsed snapshot
+    * threads through prune and resolve, so a concurrent commit can
+    * never mix two versions' data files and DV sidecar. Merge-on-read
+    * still applies: the DV anti-join keys on file NAME, so erased rows
+    * in kept files stay hidden and rows in pruned files were never
+    * read at all. The residual predicate is applied regardless —
+    * pruning is an optimization, never a correctness dependency. */
   def readPruned(spark: SparkSession, table: String, column: String,
                  lo: Long, hi: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val fs = fsOf(spark, table)
     latest(fs, table).map { case (_, content) =>
       val snap = parseSnap(content)
-      val dataDir = new Path(new Path(table), snap.dataName)
-      val (kept, _) = prunedFiles(spark, table, column, lo, hi).get
-      val base =
-        if (kept.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            spark.read.parquet(dataDir.toString).schema)
-        else {
-          val data = spark.read.parquet(kept: _*)
-          snap.dvName match {
-            case None => data
-            case Some(dvName) =>
-              val dv = spark.read.parquet(new Path(new Path(table), dvName).toString)
-              val keyed = data
-                .withColumn("__graft_file", org.apache.spark.sql.functions
-                  .expr("substring_index(_metadata.file_path, '/', -1)"))
-                .withColumn("__graft_pos",
-                  org.apache.spark.sql.functions.col("_metadata.row_index"))
-              keyed.join(dv,
-                  keyed("__graft_file") === dv("file") && keyed("__graft_pos") === dv("pos"),
-                  "left_anti")
-                .drop("__graft_file", "__graft_pos")
-          }
-        }
-      base.filter(col(column).between(lo, hi))
+      val (kept, total) = pruneSnap(spark, table, snap, column, lo, hi)
+      val all =
+        if (kept.size == total) kept
+        else dataFiles(fs, new Path(new Path(table), snap.dataName))
+      resolveKept(spark, table, snap, kept, all, column,
+        org.apache.spark.sql.types.LongType)
+        .filter(col(column).between(lo, hi))
+    }
+  }
+
+  /** [[readPruned]] on a STRING key: file skipping via the truncated
+    * string zone map, same single-resolve snapshot isolation, same
+    * merge-on-read and residual-filter contracts. */
+  def readPrunedString(spark: SparkSession, table: String, column: String,
+                       lo: String, hi: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (_, content) =>
+      val snap = parseSnap(content)
+      val (kept, total) = pruneSnapString(spark, table, snap, column, lo, hi)
+      val all =
+        if (kept.size == total) kept
+        else dataFiles(fs, new Path(new Path(table), snap.dataName))
+      resolveKept(spark, table, snap, kept, all, column,
+        org.apache.spark.sql.types.StringType)
+        .filter(col(column).between(lo, hi))
     }
   }
 

@@ -47,6 +47,76 @@ private[sources] object ParquetFooters {
     } finally reader.close()
   }
 
+  /** How many leading chars of a string bound the zone map keeps —
+    * the Iceberg `truncate(16)` convention: long enough to separate
+    * real key domains (sources, states, URL hosts), short enough that
+    * a footer row stays tiny at 100 TB file counts. */
+  val StringBoundChars = 16
+
+  /** Footer-only STRING stats of one parquet file: for each
+    * string-annotated BINARY leaf column with valid statistics in
+    * EVERY row group, Iceberg-style truncated bounds —
+    * `lower` = min truncated to [[StringBoundChars]] (truncation only
+    * ever LOWERS a lower bound), `upper` = max truncated with its last
+    * kept char incremented when truncation dropped anything (so it
+    * stays a TRUE upper bound). Bounds with any non-ASCII byte are
+    * skipped for that file (the file is KEPT by every pruner —
+    * conservative): parquet orders binary stats by unsigned bytes
+    * while java.lang.String compares UTF-16 code units, and the two
+    * orders diverge outside ASCII, so only the ASCII range is safe to
+    * compare across the two systems. */
+  def footerStringStats(path: Path,
+                        conf: Configuration): Seq[(String, String, String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val perChunk = blocks.flatMap(_.getColumns.asScala.map { c =>
+        val pt = c.getPrimitiveType
+        val isString = pt.getPrimitiveTypeName == BINARY &&
+          pt.getLogicalTypeAnnotation != null &&
+          pt.getLogicalTypeAnnotation.isInstanceOf[
+            LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        val st = c.getStatistics
+        val ok = isString && st != null && !st.isEmpty && st.hasNonNullValue
+        val bounds =
+          if (!ok) None
+          else {
+            val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+            if (mn.exists(_ < 0) || mx.exists(_ < 0)) None // non-ASCII: skip
+            else Some((new String(mn, "US-ASCII"), new String(mx, "US-ASCII"),
+              st.getNumNulls))
+          }
+        (c.getPath.toDotString, bounds)
+      })
+      perChunk.groupBy(_._1).toSeq.collect {
+        // a true bound requires comparable stats in EVERY row-group chunk
+        case (col, chunks) if chunks.forall(_._2.isDefined) =>
+          val s = chunks.flatMap(_._2)
+          (col, truncateLower(s.map(_._1).min), truncateUpper(s.map(_._2).max),
+            s.map(_._3).sum, rows)
+      }.sortBy(_._1)
+    } finally reader.close()
+  }
+
+  /** Truncation only lowers a LOWER bound — always safe. */
+  private def truncateLower(s: String): String = s.take(StringBoundChars)
+
+  /** An UPPER bound that was truncated must be bumped to stay above
+    * everything it used to cover: increment the last kept char (ASCII
+    * by construction, so +1 never overflows a char). */
+  private def truncateUpper(s: String): String =
+    if (s.length <= StringBoundChars) s
+    else {
+      val t = s.take(StringBoundChars)
+      t.init + (t.last + 1).toChar
+    }
+
   /** Per-(file, column) footer stats of every parquet file under
     * `dir`, walked distributed (bounded driver listing). */
   def stats(spark: SparkSession, dir: String): DataFrame = {

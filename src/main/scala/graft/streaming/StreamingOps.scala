@@ -237,11 +237,13 @@ object StreamingOps {
     * key per row) arrive on a stream, and each micro-batch applies one
     * deletion-vector erase to the governed commit-log table — a37's
     * `dv` decision wired to a live request feed, completing the
-    * GDPR path end-to-end (plan → executor → stream). Requests are
-    * collected per batch (bounded: a legal-request feed is human-rate,
-    * orders of magnitude below corpus rate — for a bulk backfill use
-    * `CommitLogTableFormat.erase` with a semi-join predicate directly)
-    * and applied as ONE `isin` predicate, so each micro-batch costs
+    * GDPR path end-to-end (plan → executor → stream). Each micro-batch
+    * applies ONE join-form erase — the request frame passes straight
+    * through to `CommitLogTableFormat.erase(keys=...)`, whose hit scan
+    * is a LEFT SEMI join against the distributed batch, so the request
+    * set NEVER collects to the driver and a bulk-backfill batch of 10⁶
+    * keys costs a co-partitioned join (AQE broadcasts the human-rate
+    * common case), not a 10⁶-term `isin` expression. Per micro-batch:
     * one data-dir scan + one small sidecar write, never a rewrite.
     * At-least-once replay is safe: an erase whose keys are already
     * covered is a no-op (no new version, returns 0). */
@@ -251,10 +253,9 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val keys = batch.select(col(requestKeyCol)).distinct().collect().map(_.get(0))
-        if (keys.nonEmpty) {
+        if (!batch.isEmpty) {
           graft.sources.CommitLogTableFormat.erase(
-            batch.sparkSession, table, col(tableKeyCol).isin(keys.toSeq: _*), s"req$batchId")
+            batch.sparkSession, table, batch, requestKeyCol, tableKeyCol, s"req$batchId")
           ()
         }
       }

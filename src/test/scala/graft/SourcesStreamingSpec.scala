@@ -337,6 +337,178 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(afterErase == Seq((someLo + 1, s"row${someLo + 1}")), afterErase.toString)
   }
 
+  test("CommitLogTableFormat: string zone map prunes on truncated bounds; contracts hold") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_str").toString + "/t"
+    // 3 sources clustered one-per-file; one value is LONGER than the
+    // 16-char truncation so the upper-bound bump is exercised
+    val longSrc = "registry-of-very-long-source-names"
+    val rows = (0L until 30L).map { i =>
+      val src = i % 3 match {
+        case 0 => "alpha"; case 1 => "beta"; case _ => longSrc
+      }
+      (i, src, s"row$i")
+    }
+    fmt.commit(spark, dir,
+      rows.toDF("k", "source", "v").repartitionByRange(3, $"source")
+        .sortWithinPartitions($"source"), "a")
+    // measured truncated bounds: every bound is a TRUE bound
+    val stats = fmt.fileStatsStrings(spark, dir).get
+      .filter($"column" === "source")
+      .select($"file", $"lower_bound", $"upper_bound")
+      .as[(String, String, String)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, lower, upper) =>
+      assert(lower.length <= 16 && upper.length <= 16)
+    }
+    val longFile = stats.filter(_._2.startsWith("registry-of-very"))
+    assert(longFile.nonEmpty, "the long source must have a truncated bound")
+    longFile.foreach { case (_, lower, upper) =>
+      assert(lower == longSrc.take(16), "lower = plain truncation")
+      assert(upper > longSrc.take(16) && upper.compareTo(longSrc) > 0,
+        s"upper '$upper' must still bound the full value")
+    }
+    // narrow source keeps a strict subset of files; read stays exact
+    val (kept, total) = fmt.prunedFilesString(spark, dir, "source", "alpha", "alpha").get
+    assert(kept.size < total, s"kept ${kept.size} of $total")
+    val got = fmt.readPrunedString(spark, dir, "source", "alpha", "alpha").get
+      .as[(Long, String, String)].collect().map(_._1).sorted.toSeq
+    assert(got == rows.filter(_._2 == "alpha").map(_._1).sorted.toSeq)
+    // the truncated long source still reads exactly (conservative bounds)
+    val gotLong = fmt.readPrunedString(spark, dir, "source", longSrc, longSrc).get
+      .count()
+    assert(gotLong == rows.count(_._2 == longSrc).toLong)
+    // unknown column prunes nothing
+    val (keptAll, totalAll) = fmt.prunedFilesString(spark, dir, "nope", "a", "b").get
+    assert(keptAll.size == totalAll)
+    // erased rows stay hidden through the string-pruned path
+    assert(fmt.erase(spark, dir, $"k" === 0L, "e1") == 1L)
+    val afterErase = fmt.readPrunedString(spark, dir, "source", "alpha", "alpha").get
+      .as[(Long, String, String)].collect().map(_._1).sorted.toSeq
+    assert(afterErase == rows.filter(r => r._2 == "alpha" && r._1 != 0L).map(_._1).sorted.toSeq)
+  }
+
+  test("readPruned: empty snapshots return empty frames instead of throwing") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    // an empty COMMITTED frame still reads (Spark leaves a schema-only
+    // part file; the prune keeps it — no stats — and reads 0 rows)
+    val dir1 = Files.createTempDirectory("graft_tf_empty1").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    fmt.commit(spark, dir1,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      "a")
+    val r1 = fmt.readPruned(spark, dir1, "k", 0L, 10L).get
+    assert(r1.collect().isEmpty && r1.columns.contains("k"))
+    // zero ROWS but real part files: schema from a data file
+    val dir2 = Files.createTempDirectory("graft_tf_empty2").toString + "/t"
+    fmt.commit(spark, dir2,
+      Seq((1L, "x")).toDF("k", "v").filter($"k" < 0L).repartition(2), "a")
+    val r2 = fmt.readPruned(spark, dir2, "k", 0L, 10L).get
+    assert(r2.collect().isEmpty && r2.columns.toSeq == Seq("k", "v"))
+    // a snapshot with literally ZERO data files (a writer that produced
+    // none — the case the directory read throws 'unable to infer
+    // schema' on): short-circuit to an empty single-key frame
+    val dir3 = Files.createTempDirectory("graft_tf_empty3").toString + "/t"
+    val fs = new Path(dir3).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir3, "data-v1-bare"))
+    fs.mkdirs(new Path(dir3, "_log"))
+    val out = fs.create(new Path(dir3, "_log/1"), true)
+    try out.write("data-v1-bare".getBytes("UTF-8")) finally out.close()
+    val r3 = fmt.readPruned(spark, dir3, "k", 0L, 10L).get
+    assert(r3.collect().isEmpty && r3.columns.toSeq == Seq("k"))
+    val s3 = fmt.readPrunedString(spark, dir3, "source", "a", "b").get
+    assert(s3.collect().isEmpty && s3.columns.toSeq == Seq("source"))
+  }
+
+  test("erase(keys frame): distributed request set hides rows; accumulates; replay no-op") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_erasekeys").toString + "/t"
+    fmt.commit(spark, dir, (1L to 50L).map(i => (i, s"r$i")).toDF("k", "v"), "base")
+    // a request FRAME with duplicates and a key that does not exist
+    val req1 = Seq(5L, 5L, 7L, 999L).toDF("subject")
+    assert(fmt.erase(spark, dir, req1, "subject", "k", "g1") == 2L)
+    val left1 = fmt.read(spark, dir).get.as[(Long, String)].collect().map(_._1).toSet
+    assert(left1.size == 48 && !left1(5L) && !left1(7L))
+    // accumulate over the prior DV; already-covered keys add nothing
+    val req2 = Seq(7L, 9L).toDF("subject")
+    assert(fmt.erase(spark, dir, req2, "subject", "k", "g2") == 1L)
+    assert(fmt.read(spark, dir).get.count() == 47L)
+    // full replay of a covered set: no new version published
+    val versionsBefore = fmt.versions(spark, dir)
+    assert(fmt.erase(spark, dir, req1, "subject", "k", "g3") == 0L)
+    assert(fmt.versions(spark, dir) == versionsBefore)
+    // parity with the predicate overload on a fresh table
+    val dir2 = Files.createTempDirectory("graft_tf_erasekeys2").toString + "/t"
+    fmt.commit(spark, dir2, (1L to 50L).map(i => (i, s"r$i")).toDF("k", "v"), "base")
+    fmt.erase(spark, dir2, $"k".isin(5L, 7L, 9L), "p1")
+    val viaKeys = fmt.read(spark, dir).get.collect().map(_.getLong(0)).toSet
+    val viaPred = fmt.read(spark, dir2).get.collect().map(_.getLong(0)).toSet
+    assert(viaPred == viaKeys, "keys-frame and predicate erases must agree")
+  }
+
+  test("commitWithRetry: the loser of a commit race rebases and lands; no lost update") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_retry").toString + "/t"
+    fmt.commit(spark, dir, Seq((1L, "base")).toDF("k", "v"), "init")
+    // writer A: derive = current ∪ its row. A racer (writer B) sneaks a
+    // commit in BETWEEN A's read and A's publish — modeled by a side
+    // effect on A's first derivation, exactly the TOCTOU the retry
+    // loop exists for.
+    var derivations = 0
+    graft.sources.CommitLogTableFormat.commitWithRetry(spark, dir,
+      current => {
+        derivations += 1
+        if (derivations == 1) // B wins the first race
+          fmt.commit(spark, dir, fmt.read(spark, dir).get
+            .unionByName(Seq((2L, "from-B")).toDF("k", "v")), "writerB")
+        current.get.unionByName(Seq((3L, "from-A")).toDF("k", "v"))
+      }, "writerA")
+    assert(derivations == 2, "A must re-derive against B's snapshot")
+    val rows = fmt.read(spark, dir).get.as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "base", 2L -> "from-B", 3L -> "from-A"),
+      s"no lost update: $rows")
+    // versions strictly increased: init, B, A-retry
+    assert(fmt.versions(spark, dir).takeRight(2) == Seq(2L, 3L))
+    // exhausted retries surface the conflict instead of spinning
+    intercept[graft.sources.ConcurrentCommitException] {
+      graft.sources.CommitLogTableFormat.commitWithRetry(spark, dir,
+        current => {
+          fmt.commit(spark, dir, current.get, s"noisy${derivations}")
+          derivations += 1
+          current.get.unionByName(Seq((9L, "never")).toDF("k", "v"))
+        }, "loser", maxAttempts = 2)
+    }
+  }
+
+  test("mergeByKeyRetrying: merge is the rebase — equivalent to mergeByKey when quiet") {
+    import spark.implicits._
+    val dirA = Files.createTempDirectory("graft_merge_retry").toString + "/t"
+    val dirB = Files.createTempDirectory("graft_merge_plain").toString + "/t"
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+    val upd = Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    Sinks.mergeByKeyRetrying(spark, dirA, base, Seq("k"), Seq("ver"), "m1")
+    Sinks.mergeByKeyRetrying(spark, dirA, upd, Seq("k"), Seq("ver"), "m2")
+    Sinks.mergeByKey(spark, dirB, base, Seq("k"), Seq("ver"), "m1",
+      graft.sources.CommitLogTableFormat)
+    Sinks.mergeByKey(spark, dirB, upd, Seq("k"), Seq("ver"), "m2",
+      graft.sources.CommitLogTableFormat)
+    val a = graft.sources.CommitLogTableFormat.read(spark, dirA).get
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val b = graft.sources.CommitLogTableFormat.read(spark, dirB).get
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b && a == Seq((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 1L)))
+    // idempotent fixed point under retry too
+    Sinks.mergeByKeyRetrying(spark, dirA, upd, Seq("k"), Seq("ver"), "m3")
+    assert(graft.sources.CommitLogTableFormat.read(spark, dirA).get
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq == a)
+  }
+
   test("ZOrderLayout: interleave exact; z-clustered files prune the second key, linear sort cannot") {
     import spark.implicits._
     // hand-checked Morton interleave (a bits at even positions)
