@@ -4000,7 +4000,194 @@ object Analytics {
       |       ELSE 'stay' END AS move
       |FROM g ORDER BY year_to, class_from, class_to""".stripMargin
 
+  /** q80: Cramér's V effect size per region — q55 reports the chi²
+    * CELLS (where association lives); this reports the per-region
+    * association STRENGTH a dashboard actually compares across
+    * regions: V² = χ²/(n·(min(r,c)−1)) between market segment and
+    * order priority, within each customer region. χ² rides q55's
+    * exact integer core (dev = obs·n − r·c; per-cell contribution
+    * floored at micro scale and summed — the documented deterministic
+    * integer convention), and the min(r,c) table dims come from a tiny
+    * per-region distinct-count frame (25 rows, broadcast). V² is
+    * reported in bp of its [0,1] range. All-integer, value-grain
+    * (region × seg × prio cells — bounded by the category product,
+    * never corpus rows).
+    *
+    * Shape: orders⋈customer⋈nation (nation broadcast) → cell reduce →
+    * three window sums over the CELL frame → region reduce; the dims
+    * frame aggregates the same cell frame (reused exchange). */
+  def q80CramersV(spark: SparkSession, dir: String): DataFrame =
+    // the cell frame is ≤ |regions|·|segs|·|prios| rows (125 here) and
+    // feeds FOUR consumers (dims, both grid sides, the dense join):
+    // localCheckpoint it (the c53/q71 idiom) so the 3-table corpus
+    // join runs once, not four times
+    q80CramersVOf(Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint(true))
+
+  /** Core of [[q80CramersV]] over a prepared (region, seg, prio, obs)
+    * cell frame — separable so the spec can plant exact contingency
+    * tables (perfect association → 10000 bp, independence → 0).
+    * The observed cells are DENSIFIED to each region's full seg×prio
+    * grid first (zero cells carry χ² mass too — dev = −r·c; dropping
+    * them silently deflates V² exactly when association is strongest);
+    * the grid is the category product, value grain. */
+  def q80CramersVOf(cells: DataFrame): DataFrame = {
+    val dims = cells.groupBy(col("region").as("d_region"))
+      .agg(countDistinct(col("seg")).as("n_seg"),
+        countDistinct(col("prio")).as("n_prio"))
+    val grid = cells.select(col("region"), col("seg")).distinct()
+      .join(cells.select(col("region"), col("prio")).distinct(), Seq("region"))
+    val dense = grid.join(cells, Seq("region", "seg", "prio"), "left")
+      .select(col("region"), col("seg"), col("prio"),
+        coalesce(col("obs"), lit(0L)).as("obs"))
+    val chi = dense
+      .withColumn("r", sum(col("obs")).over(
+        Window.partitionBy(col("region"), col("seg"))))
+      .withColumn("c", sum(col("obs")).over(
+        Window.partitionBy(col("region"), col("prio"))))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy(col("region"))))
+      .withColumn("dev",
+        col("obs").cast(DecimalType(38, 0)) * col("n") -
+          col("r").cast(DecimalType(38, 0)) * col("c"))
+      .withColumn("contrib_micro",
+        expr("(dev * dev * 1000000) div (CAST(r AS DECIMAL(38,0)) * c * n)"))
+      .groupBy(col("region"))
+      .agg(sum(col("obs")).as("n_orders"),
+        sum(col("contrib_micro")).cast(DecimalType(38, 0)).as("chi2_micro"))
+    chi.join(broadcast(dims), col("region") === col("d_region"))
+      .select(col("region"), col("n_orders"),
+        col("chi2_micro").cast("long").as("chi2_micro"),
+        expr("(chi2_micro * 10000) div (1000000 * n_orders * " +
+          "(least(n_seg, n_prio) - 1))").cast("long").as("v2_bp"))
+      .orderBy(col("region"))
+  }
+
+  val q80Sql: String =
+    """WITH cells AS (
+      |  SELECT n_regionkey AS region, c_mktsegment AS seg, o_orderpriority AS prio,
+      |    count(*) AS obs
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3),
+      |dims AS (
+      |  SELECT region, count(DISTINCT seg) AS n_seg, count(DISTINCT prio) AS n_prio
+      |  FROM cells GROUP BY 1),
+      |grid AS (
+      |  SELECT s.region, s.seg, p.prio
+      |  FROM (SELECT DISTINCT region, seg FROM cells) s
+      |  JOIN (SELECT DISTINCT region, prio FROM cells) p USING (region)),
+      |dense AS (
+      |  SELECT g.region, g.seg, g.prio, coalesce(c.obs, 0) AS obs
+      |  FROM grid g LEFT JOIN cells c
+      |    ON g.region = c.region AND g.seg = c.seg AND g.prio = c.prio),
+      |t AS (
+      |  SELECT region, obs,
+      |    sum(obs) OVER (PARTITION BY region, seg) AS r,
+      |    sum(obs) OVER (PARTITION BY region, prio) AS c,
+      |    sum(obs) OVER (PARTITION BY region) AS n
+      |  FROM dense),
+      |chi AS (
+      |  SELECT region, sum(obs) AS n_orders,
+      |    sum(((CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |       * (CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000)
+      |      // (CAST(r AS HUGEINT) * c * n)) AS chi2_micro
+      |  FROM t GROUP BY 1)
+      |SELECT CAST(region AS BIGINT) AS region, CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(chi2_micro AS BIGINT) AS chi2_micro,
+      |  CAST((chi2_micro * 10000) // (1000000 * n_orders *
+      |    (least(n_seg, n_prio) - 1)) AS BIGINT) AS v2_bp
+      |FROM chi JOIN dims USING (region) ORDER BY region""".stripMargin
+
+  /** q81: robust location per priority class — the outlier-immune
+    * means a pricing dashboard trusts when q44/q21's plain mean is
+    * skew-poisoned: the 10% TRIMMED mean (drop the bottom/top decile
+    * rows, average the rest) and the WINSORIZED mean (clamp into the
+    * decile boundary values instead of dropping) of order price in
+    * cents, exact to micro-cents. Rank-based, so the whole computation
+    * is integer: one per-class row_number window over cents (ties are
+    * interchangeable — any tie order yields the same kept multiset),
+    * t = n div 10 rows trimmed per side, boundary values read at ranks
+    * t+1 and n−t, and both means reported as (sum·1000000) div count.
+    *
+    * Shape: ONE scan → per-class window rank (5 partitions, cents +
+    * rowid only) → conditional aggregates; all downstream frames are
+    * class-grain (5 rows). */
+  def q81TrimmedStats(spark: SparkSession, dir: String): DataFrame =
+    q81TrimmedStatsOf(Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents")))
+
+  /** Core of [[q81TrimmedStats]] over a prepared (prio, cents) frame —
+    * separable for planted-value specs (known outliers, known trim
+    * boundaries). */
+  def q81TrimmedStatsOf(priced: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("prio")).orderBy(col("cents"))
+    val wAll = Window.partitionBy(col("prio"))
+    priced
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", expr("n div 10"))
+      // boundary VALUES at the trim ranks, broadcast down the same
+      // partition — a second frame-less window over the same key, so
+      // still ONE exchange on prio
+      .withColumn("lo_cents",
+        max(when(col("rn") === col("t") + 1, col("cents"))).over(wAll))
+      .withColumn("hi_cents",
+        max(when(col("rn") === col("n") - col("t"), col("cents"))).over(wAll))
+      .groupBy(col("prio"))
+      .agg(
+        max(col("n")).as("n_orders"),
+        max(col("t")).as("n_trimmed_per_side"),
+        max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"),
+        sum(when(col("rn") > col("t") && col("rn") <= col("n") - col("t"),
+          col("cents")).otherwise(lit(0L)).cast(DecimalType(38, 0))).as("trim_sum"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents"))
+          .cast(DecimalType(38, 0))).as("wins_sum"))
+      .select(col("prio"), col("n_orders"), col("n_trimmed_per_side"),
+        col("lo_cents"), col("hi_cents"),
+        expr("(trim_sum * 1000000) div (n_orders - 2 * n_trimmed_per_side)")
+          .cast("long").as("trimmed_mean_microcents"),
+        expr("(wins_sum * 1000000) div n_orders")
+          .cast("long").as("winsorized_mean_microcents"))
+      .orderBy(col("prio"))
+  }
+
+  val q81Sql: String =
+    """WITH priced AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |ranked AS (
+      |  SELECT prio, cents,
+      |    row_number() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY prio) AS n
+      |  FROM priced),
+      |trimmed AS (
+      |  SELECT prio, cents, rn, n, n // 10 AS t FROM ranked),
+      |bounded AS (
+      |  SELECT *,
+      |    max(CASE WHEN rn = t + 1 THEN cents END) OVER (PARTITION BY prio) AS lo_cents,
+      |    max(CASE WHEN rn = n - t THEN cents END) OVER (PARTITION BY prio) AS hi_cents
+      |  FROM trimmed)
+      |SELECT prio, CAST(max(n) AS BIGINT) AS n_orders,
+      |  CAST(max(t) AS BIGINT) AS n_trimmed_per_side,
+      |  max(lo_cents) AS lo_cents, max(hi_cents) AS hi_cents,
+      |  CAST((sum(CASE WHEN rn > t AND rn <= n - t THEN CAST(cents AS HUGEINT)
+      |    ELSE 0 END) * 1000000) // (max(n) - 2 * max(t)) AS BIGINT)
+      |    AS trimmed_mean_microcents,
+      |  CAST((sum(CAST(greatest(least(cents, hi_cents), lo_cents) AS HUGEINT))
+      |    * 1000000) // max(n) AS BIGINT) AS winsorized_mean_microcents
+      |FROM bounded GROUP BY prio ORDER BY prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_trimmed_stats" -> (q81TrimmedStats _),
+    "q80_cramers_v" -> (q80CramersV _),
     "q79_abc_migration" -> (q79AbcMigration _),
     "q78_price_index" -> (q78PriceIndex _),
     "q77_reorder_cadence" -> (q77ReorderCadence _),
@@ -4081,6 +4268,8 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q81_trimmed_stats" -> q81Sql,
+    "q80_cramers_v" -> q80Sql,
     "q79_abc_migration" -> q79Sql,
     "q78_price_index" -> q78Sql,
     "q77_reorder_cadence" -> q77Sql,

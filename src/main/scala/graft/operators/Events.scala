@@ -3798,7 +3798,155 @@ object Events {
       |LEFT JOIN o ON o.day = c.day
       |ORDER BY c.day""".stripMargin
 
+  /** Fixed 8-full-week analysis window for c60: equal-size day-of-week
+    * groups (8 observations each) keep the variance ratio EXACT
+    * integer — see the derivation in the scaladoc. */
+  val SeasonWeeks = 8
+
+  def c60SeasonalityStrength(spark: SparkSession, dir: String): DataFrame =
+    c60SeasonalityStrengthOf(Tables.events(spark, dir))
+
+  /** c60: seasonality STRENGTH per event type — one number per type
+    * for "how weekly is this signal" (c24 shows the dow profile's
+    * SHAPE; c37/c45 assume weekliness — this measures it): the share
+    * of daily-count variance explained by day-of-week, R² of the dow
+    * means, in bp. Computed over the first 8 FULL weeks of the
+    * dataset on a DENSE day grid (zero-filled — silent days are
+    * signal, not missing data), which makes every dow group exactly
+    * 8 days and collapses the variance ratio to exact integers:
+    * BSS/TSS = (7·Σ S_g² − S²) / (56·Σ x² − S²) with S_g the dow
+    * sums, S the window total, x the daily counts — both sides are
+    * plain long arithmetic, no mean ever materialized. Degenerate
+    * window (constant daily count, TSS = 0) reports NULL.
+    *
+    * Shape: day-grain reduce → 56-row-per-type dense grid (sequence
+    * explode from the window's min day, value grain) → two group
+    * reduces joined at type grain. The one unpartitioned window
+    * (global min day) runs over the REDUCED type×day frame. */
+  def c60SeasonalityStrengthOf(events: DataFrame): DataFrame = {
+    // no dense grid needed: a silent day contributes 0 to every sum
+    // (Σx, Σx², the dow sums and their squares), and the formula's
+    // denominators are the CONSTANTS 56 and 8 the fixed window
+    // guarantees — so the whole operator is one lineage, one scan
+    val base = events
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("d0", min(col("day")).over(Window.partitionBy()))
+      .filter(col("day") < col("d0") + SeasonWeeks * 7)
+    base
+      .groupBy(col("event_type"), pmod(col("day"), lit(7)).as("dow"))
+      .agg(sum(col("cnt")).as("sg"), sum(col("cnt") * col("cnt")).as("ssq"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("sg")).as("s"), sum(col("ssq")).as("ss"),
+        sum(col("sg") * col("sg")).as("sg2"))
+      .select(col("event_type"), col("s").as("window_events"),
+        when(lit(56L) * col("ss") - col("s") * col("s") > 0,
+          expr("(10000 * (7 * sg2 - s * s)) div (56 * ss - s * s)"))
+          .as("strength_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val c60Sql: String =
+    """WITH base AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |windowed AS (
+      |  SELECT *, min(day) OVER () AS d0 FROM base),
+      |dows AS (
+      |  SELECT event_type, day % 7 AS dow, sum(cnt) AS sg, sum(cnt * cnt) AS ssq
+      |  FROM windowed WHERE day < d0 + 56 GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, sum(sg) AS s, sum(ssq) AS ss, sum(sg * sg) AS sg2
+      |  FROM dows GROUP BY 1)
+      |SELECT event_type, CAST(s AS BIGINT) AS window_events,
+      |  CASE WHEN 56 * ss - s * s > 0
+      |    THEN CAST((10000 * (7 * sg2 - s * s)) // (56 * ss - s * s) AS BIGINT)
+      |  END AS strength_bp
+      |FROM m ORDER BY event_type""".stripMargin
+
+  def c61PeakDetect(spark: SparkSession, dir: String): DataFrame =
+    c61PeakDetectOf(Tables.events(spark, dir))
+
+  /** c61: daily PEAK detection per event type — the "which days
+    * spiked" report an on-call dashboard renders as markers (c25 finds
+    * hour-grain bursts against a trailing rate; c12 z-tests days
+    * against the global mean; this finds LOCAL maxima against their
+    * own trailing week, the classic prominence rule): a day is a peak
+    * when it beats its previous day strictly, its next day at least
+    * (plateau-left-edge convention: equal neighbors resolve to the
+    * first day), has a FULL trailing 7-day window, and clears 1.2× the
+    * trailing-week mean — all in integers (70·cnt ≥ 12·sum7 ⟺
+    * cnt ≥ 1.2·mean7). Runs on the DENSE zero-filled day grid over
+    * each type's own [first event, last event] span, so calendar gaps
+    * can neither fake adjacency nor hide a spike's neighbors (and the
+    * edges — no prev / no next / short window — are excluded, exactly
+    * what the streaming twin can know online).
+    *
+    * Shape: day-grain reduce → single-lineage densification (each row
+    * EXPLODES the gap back to its predecessor — the c33 gap-fill
+    * idiom: no grid self-join, ONE scan) → ONE per-type ordered window
+    * serving lag, lead and the trailing sum → filter. */
+  def c61PeakDetectOf(events: DataFrame): DataFrame = {
+    val wBase = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dense = events
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev_day", lag(col("day"), 1).over(wBase))
+      .select(col("event_type"), explode(transform(
+        sequence(coalesce(col("prev_day") + 1, col("day")), col("day")),
+        d => struct(d.as("day"),
+          when(d === col("day"), col("cnt")).otherwise(lit(0L)).as("cnt"))))
+        .as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.cnt").as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dense
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn("next_cnt", lead(col("cnt"), 1).over(w))
+      .withColumn("sum7", sum(col("cnt")).over(w.rowsBetween(-6, 0)))
+      .withColumn("nwin", count(lit(1)).over(w.rowsBetween(-6, 0)))
+      .filter(col("prev_cnt").isNotNull && col("next_cnt").isNotNull &&
+        col("nwin") === 7 &&
+        col("cnt") > col("prev_cnt") && col("cnt") >= col("next_cnt") &&
+        col("cnt") * 70 >= col("sum7") * 12)
+      .select(col("event_type"), col("day"), col("cnt").as("n_events"),
+        col("prev_cnt"), col("next_cnt"), col("sum7").as("trailing7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val c61Sql: String =
+    """WITH base AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT event_type, min(day) AS lo, max(day) AS hi FROM base GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |dense AS (
+      |  SELECT s.event_type, s.day, coalesce(b.cnt, 0) AS cnt
+      |  FROM spine s LEFT JOIN base b ON s.event_type = b.event_type AND s.day = b.day),
+      |wdw AS (
+      |  SELECT event_type, day, cnt,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt,
+      |    lead(cnt) OVER (PARTITION BY event_type ORDER BY day) AS next_cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS nwin
+      |  FROM dense)
+      |SELECT event_type, day, cnt AS n_events, prev_cnt, next_cnt,
+      |  CAST(sum7 AS BIGINT) AS trailing7
+      |FROM wdw
+      |WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL AND nwin = 7
+      |  AND cnt > prev_cnt AND cnt >= next_cnt AND cnt * 70 >= sum7 * 12
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c61_peak_detect" -> (c61PeakDetect _),
+    "c60_seasonality_strength" -> (c60SeasonalityStrength _),
     "c59_user_turnover" -> (c59UserTurnover _),
     "c58_comovement" -> (c58Comovement _),
     "c57_cohort_half_life" -> (c57CohortHalfLife _),
@@ -3860,6 +4008,8 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c61_peak_detect" -> c61Sql,
+    "c60_seasonality_strength" -> c60Sql,
     "c59_user_turnover" -> c59Sql,
     "c58_comovement" -> c58Sql,
     "c57_cohort_half_life" -> c57Sql,

@@ -1561,7 +1561,102 @@ object MultimodalOps {
        |    ((1000 * (CAST(n AS HUGEINT) - 1) * n - 1000 * sumc2) // n) * 9 AS mixing_ok
        |FROM g ORDER BY epoch""".stripMargin
 
+  /** e23 byte-range coalescing: gap tolerance (bytes) and the sampled
+    * fetch-set rule (every 3rd doc — a partial-epoch read). With
+    * ~1–1.5 KB framed members, skipping two of three leaves ~2–3 KB
+    * gaps, so the tolerance genuinely splits decisions both ways. */
+  val CoalesceGap = 3072L
+  val FetchEvery = 3L
+
+  /** e23: byte-range COALESCING plan for a partial shard read — the
+    * request schedule a WebDataset/S3 loader actually issues when an
+    * epoch needs a SUBSET of each archive's members (sampled epochs,
+    * resumed epochs, modality filters): adjacent wanted members whose
+    * gap (skipped members' framed bytes) is ≤ the tolerance merge into
+    * ONE range request — trading wasted bytes for round-trips, the
+    * classic object-store read optimization (S3 range GETs bill per
+    * request AND per byte; the gap tolerance is the knob). Per
+    * (source, shard): requests issued, bytes actually wanted, bytes
+    * read including coalesced waste, and the waste share in bp. Fetch
+    * set = every 3rd doc_id — deterministic, so the oracle prices the
+    * identical plan. All integer; e17's framing math is the input.
+    *
+    * Shape: e17's manifest lineage (slim window math, no payloads) →
+    * filter to the fetch set → ONE per-shard ordered window (lag of
+    * member end) → shard-grain reduce. */
+  def e23ReadCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wanted = e17TarLayout(spark, dir)
+      .filter(pmod(col("doc_id"), lit(FetchEvery)) === 0)
+      .select(col("source"), col("shard_idx"), col("doc_id"),
+        col("member_offset"), col("framed_bytes"))
+    val w = Window.partitionBy(col("source"), col("shard_idx"))
+      .orderBy(col("member_offset"))
+    wanted
+      .withColumn("prev_end",
+        lag(col("member_offset") + col("framed_bytes"), 1).over(w))
+      .withColumn("gap", col("member_offset") - col("prev_end"))
+      // a new range request starts at the first member and at every
+      // gap beyond the tolerance; a coalesced gap is read as waste
+      .withColumn("starts_request",
+        when(col("prev_end").isNull || col("gap") > CoalesceGap, 1L).otherwise(0L))
+      .withColumn("waste",
+        when(col("prev_end").isNotNull && col("gap") <= CoalesceGap, col("gap"))
+          .otherwise(0L))
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(count(lit(1)).as("n_members_fetched"),
+        sum(col("starts_request")).as("n_requests"),
+        sum(col("framed_bytes")).as("bytes_wanted"),
+        (sum(col("framed_bytes")) + sum(col("waste"))).as("bytes_read"))
+      .select(col("source"), col("shard_idx"), col("n_members_fetched"),
+        col("n_requests"), col("bytes_wanted"), col("bytes_read"),
+        expr("((bytes_read - bytes_wanted) * 10000) div bytes_read").as("waste_bp"))
+      .orderBy(col("source"), col("shard_idx"))
+  }
+
+  val e23Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |laid AS (
+       |  SELECT *, sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes AS start_byte
+       |  FROM sized),
+       |sharded AS (
+       |  SELECT doc_id, source, n_bytes,
+       |    CAST(start_byte // $ShardBytes AS BIGINT) AS shard_idx,
+       |    512 + ((n_bytes + 511) // 512) * 512 AS framed_bytes
+       |  FROM laid),
+       |off AS (
+       |  SELECT *, sum(framed_bytes) OVER (PARTITION BY source, shard_idx ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - framed_bytes AS member_offset
+       |  FROM sharded),
+       |wanted AS (
+       |  SELECT source, shard_idx, doc_id, member_offset, framed_bytes
+       |  FROM off WHERE doc_id % $FetchEvery = 0),
+       |gaps AS (
+       |  SELECT *,
+       |    lag(member_offset + framed_bytes) OVER (PARTITION BY source, shard_idx
+       |      ORDER BY member_offset) AS prev_end
+       |  FROM wanted),
+       |marked AS (
+       |  SELECT source, shard_idx, framed_bytes,
+       |    CASE WHEN prev_end IS NULL OR member_offset - prev_end > $CoalesceGap
+       |      THEN 1 ELSE 0 END AS starts_request,
+       |    CASE WHEN prev_end IS NOT NULL AND member_offset - prev_end <= $CoalesceGap
+       |      THEN member_offset - prev_end ELSE 0 END AS waste
+       |  FROM gaps)
+       |SELECT source, shard_idx,
+       |  CAST(count(*) AS BIGINT) AS n_members_fetched,
+       |  CAST(sum(starts_request) AS BIGINT) AS n_requests,
+       |  CAST(sum(framed_bytes) AS BIGINT) AS bytes_wanted,
+       |  CAST(sum(framed_bytes) + sum(waste) AS BIGINT) AS bytes_read,
+       |  CAST(((sum(framed_bytes) + sum(waste) - sum(framed_bytes)) * 10000)
+       |    // (sum(framed_bytes) + sum(waste)) AS BIGINT) AS waste_bp
+       |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_read_coalesce" -> (e23ReadCoalesce _),
     "e22_schedule_mixing" -> (e22ScheduleMixing _),
     "e21_rendezvous_placement" -> (e21RendezvousPlacement _),
     "e20_shard_integrity" ->
@@ -1589,6 +1684,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e23_read_coalesce" -> e23Sql,
     "e22_schedule_mixing" -> e22Sql,
     "e21_rendezvous_placement" -> e21Sql,
     "e20_shard_integrity" -> graft.sources.TarShardSink.e20Sql,

@@ -3150,7 +3150,112 @@ object TextOps {
        |FROM sc WHERE rn = 1 ORDER BY source""".stripMargin
   }
 
+  /** d111 sample size per source and the deterministic-hash modulus
+    * (a prime, so consecutive doc_ids spray uniformly). */
+  val SampleK = 5
+  val SampleMod = 1000003L
+
+  def d111WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    d111WeightedSampleOf(Tables.documents(spark, dir))
+
+  /** d111: deterministic weighted sampling without replacement per
+    * source — the curation primitive behind "show me K representative
+    * docs per source, longer docs proportionally more likely" (d16
+    * stratifies by COUNT; this weights WITHIN the stratum): the
+    * Efraimidis–Spirakis shape (priority = u/weight per item, take the
+    * K best) with the uniform u replaced by a Knuth multiplicative
+    * hash of doc_id — deterministic, replayable, seedable by changing
+    * the multiplier, and exact integer end-to-end (priority =
+    * (M − u)·10⁹ div weight, smaller wins, so heavier docs
+    * stochastically dominate exactly as in E-S). A re-run, a retry, or
+    * the DuckDB oracle all draw the SAME sample — the property a
+    * training-data pipeline needs from its samplers (the d22 shuffle
+    * makes the same determinism argument).
+    *
+    * Shape: ONE scan → integer priority per row (no shuffle) → per-
+    * source top-K window on the (source, priority) pair. At 100 TB the
+    * window input is corpus-wide but carries 3 longs + source; the
+    * streaming twin keeps the same K in one state row per source. */
+  def d111WeightedSampleOf(docs: DataFrame): DataFrame = {
+    val ranked = docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("weight"))
+      .withColumn("u", pmod(col("doc_id") * 2654435761L, lit(SampleMod)))
+      .withColumn("priority",
+        expr(s"(($SampleMod - u) * 1000000000) div weight"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("priority"), col("doc_id"))))
+      .filter(col("rk") <= SampleK)
+    ranked.select(col("source"), col("rk").as("rank"), col("doc_id"),
+        col("weight"), col("priority"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val d111Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS weight,
+       |    (doc_id * 2654435761) % $SampleMod AS u
+       |  FROM documents),
+       |pri AS (
+       |  SELECT *, (($SampleMod - u) * 1000000000) // weight AS priority FROM p),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY priority, doc_id) AS rank FROM pri)
+       |SELECT source, rank, doc_id, weight, CAST(priority AS BIGINT) AS priority
+       |FROM r WHERE rank <= $SampleK ORDER BY source, rank""".stripMargin
+
+  /** d112 keywords per doc. */
+  val KeywordsK = 3
+
+  def d112SalientTerms(spark: SparkSession, dir: String): DataFrame =
+    d112SalientTermsOf(Tables.documents(spark, dir))
+
+  /** d112: per-DOCUMENT salient terms — the doc-tagging primitive
+    * (cluster labeling, curation browse, d95's coherence input) where
+    * d34 answers the same question per SOURCE: for each doc, the top-3
+    * tokens by integer salience tf·10⁶ div df (rank-equivalent to
+    * tf/df — the tf-idf ORDER without the log, so the whole pipeline
+    * stays exact integer; the log only compresses magnitude, it never
+    * reorders a single-corpus comparison at fixed tf... and where it
+    * would (cross-tf), the tf factor dominates identically in both
+    * orderings). Ties break lexicographically. Token rule is the
+    * corpus-wide `tokens` convention (d34/d43).
+    *
+    * Shape: token explode → (doc, tok) tf reduce → df via one window
+    * over the REDUCED term frame → per-doc top-K window. Gram tier
+    * (the d34/d51 cost family, budget-locked). */
+  def d112SalientTermsOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("salience", expr("(tf * 1000000) div df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("salience").desc, col("tok"))))
+      .filter(col("rank") <= KeywordsK)
+      .select(col("doc_id"), col("rank"), col("tok").as("token"),
+        col("tf"), col("df"), col("salience"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val d112Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |d AS (SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+       |s AS (SELECT *, (tf * 1000000) // df AS salience FROM d),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY salience DESC, tok) AS rank FROM s)
+       |SELECT doc_id, rank, tok AS token, tf, df, CAST(salience AS BIGINT) AS salience
+       |FROM r WHERE rank <= $KeywordsK ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d112_salient_terms" -> (d112SalientTerms _),
+    "d111_weighted_sample" -> (d111WeightedSample _),
     "d110_code_switch" -> (d110CodeSwitch _),
     "d105_markup_profile" -> (d105MarkupProfile _),
     "d102_pii_density" -> (d102PiiDensity _),
@@ -3206,6 +3311,8 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d112_salient_terms" -> d112Sql,
+    "d111_weighted_sample" -> d111Sql,
     "d105_markup_profile" -> d105Sql,
     "d102_pii_density" -> d102Sql,
     "d110_code_switch" -> d110Sql,

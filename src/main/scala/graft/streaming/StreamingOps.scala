@@ -1772,6 +1772,110 @@ object StreamingOps {
       }
   }
 
+  case class PeakOut(event_type: String, day: Long, n_events: Long,
+                     prev_cnt: Long, next_cnt: Long, trailing7: Long)
+  case class PeakState(firstDay: Long, lastClosed: Long, ring: Seq[Long],
+                       open: Map[Long, Long])
+
+  /** c61's streaming twin: daily peak detection per event type with
+    * the SAME dense-grid semantics — a day's verdict needs its NEXT
+    * day's count, so day d is judged once the watermark closes d+1;
+    * silent days zero-fill exactly as the batch grid does (the state
+    * walks every calendar day from the last closed one to the
+    * watermark, absent days counting 0). State per type: the open
+    * day→count map plus the trailing ring of the last 8 CLOSED daily
+    * counts (7-day window + the prev inside it — constant size; the
+    * grid is contiguous after zero-fill so days are implicit). Emits
+    * exactly the batch c61 rows for any in-order feed whose first
+    * event lands on the batch grid's first day; the full-window rule
+    * (nwin = 7) is enforced by requiring 8 closed counts before the
+    * first verdict. */
+  def peakStream(spark: SparkSession, events: Dataset[EventRow],
+                 watermarkDelay: String = "1 hour"): Dataset[PeakOut] = {
+    import spark.implicits._
+    val DayMs = 86400000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[EventRow], state: GroupState[PeakState]) =>
+          var st = state.getOption.getOrElse(
+            PeakState(Long.MinValue, Long.MinValue, Seq.empty, Map.empty))
+          rows.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, DayMs)
+            if (st.firstDay == Long.MinValue)
+              st = st.copy(firstDay = d, lastClosed = d - 1)
+            if (d > st.lastClosed)
+              st = st.copy(open = st.open.updated(d, st.open.getOrElse(d, 0L) + 1L))
+          }
+          val out = Seq.newBuilder[PeakOut]
+          if (st.firstDay != Long.MinValue) {
+            val wm = state.getCurrentWatermarkMs()
+            val wmDay = Math.floorDiv(wm, DayMs) // days < wmDay are closed
+            var d = st.lastClosed + 1
+            while (d < wmDay) {
+              val cnt = st.open.getOrElse(d, 0L)
+              val ring = (st.ring :+ cnt).takeRight(8)
+              // judge x = d - 1: the 8 ring entries are days d-7 .. d,
+              // i.e. x's FULL trailing week (x-6 .. x = idx 0..6), its
+              // prev inside it (idx 5) and its next (idx 7) — exactly
+              // batch c61's nwin = 7 rule, first verdict at day
+              // firstDay + 6 like the batch grid
+              if (ring.size == 8) {
+                val x = d - 1
+                val cntX = ring(6)
+                val prev = ring(5)
+                val next = ring(7)
+                val sum7 = ring.take(7).sum
+                if (cntX > prev && cntX >= next && cntX * 70 >= sum7 * 12)
+                  out += PeakOut(typ, x, cntX, prev, next, sum7)
+              }
+              st = st.copy(lastClosed = d, ring = ring, open = st.open - d)
+              d += 1
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max((st.lastClosed + 2) * DayMs, wm + 1))
+          } else state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class SampleDoc(doc_id: Long, source: String, weight: Long)
+  case class SampleOut(source: String, rank: Long, doc_id: Long,
+                       weight: Long, priority: Long)
+  case class SampleState(best: Seq[(Long, Long, Long)]) // (priority, doc_id, weight)
+
+  /** d111's streaming twin: the weighted reservoir — per source, keep
+    * the K smallest deterministic Efraimidis–Spirakis priorities seen
+    * so far (ONE K-row state per source, independent of stream
+    * length — the textbook streaming property of priority sampling:
+    * the sample over any prefix equals the batch sample over that
+    * prefix, because "top-K by a per-item priority" commutes with
+    * arrival order). Emits each source's refreshed sample whenever a
+    * batch touches it (Update mode). Same integer priority as the
+    * batch d111, so replaying a corpus through this stream ends in
+    * EXACTLY d111's rows. */
+  def weightedSampleStream(spark: SparkSession, docs: Dataset[SampleDoc],
+                           k: Int = graft.operators.TextOps.SampleK)
+      : Dataset[SampleOut] = {
+    import spark.implicits._
+    val M = graft.operators.TextOps.SampleMod
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[SampleDoc], state: GroupState[SampleState]) =>
+          var best = state.getOption.map(_.best).getOrElse(Seq.empty)
+          rows.foreach { doc =>
+            val u = Math.floorMod(doc.doc_id * 2654435761L, M)
+            val pri = (M - u) * 1000000000L / doc.weight
+            best = ((pri, doc.doc_id, doc.weight) +: best)
+              .sortBy(t => (t._1, t._2)).take(k)
+          }
+          state.update(SampleState(best))
+          best.zipWithIndex.iterator.map { case ((pri, id, w), i) =>
+            SampleOut(src, i + 1L, id, w, pri)
+          }
+      }
+  }
+
   def silenceStream(spark: SparkSession, events: Dataset[EventRow],
                     silenceMs: Long = 3600000L,
                     watermarkDelay: String = "10 seconds"): Dataset[SilenceOut] = {

@@ -6349,6 +6349,181 @@ class OperatorSpec extends GraftSpec {
     assert(prof.keySet.filter(_ != 1L).forall(_ >= 2L))
   }
 
+  test("q80 Cramér's V: perfect association scores 10000 bp, independence 0; real data bounded") {
+    import spark.implicits._
+    // region 0: perfectly associated 2x2 diagonal (V^2 = 1 — every
+    // contribution exact in micro units: diag and ZERO cells alike
+    // contribute 12.5e6, so densification is load-bearing here);
+    // region 1: independent uniform 2x2 (chi2 = 0)
+    val cells =
+      Seq((0L, "A", "x", 25L), (0L, "B", "y", 25L),
+        (1L, "A", "x", 5L), (1L, "A", "y", 5L), (1L, "B", "x", 5L), (1L, "B", "y", 5L))
+        .toDF("region", "seg", "prio", "obs")
+    val got = Analytics.q80CramersVOf(cells).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((50L, 50000000L, 10000L)), got(0L).toString)
+    assert(got(1L) == ((20L, 0L, 0L)), got(1L).toString)
+    // real data: V^2 in [0, 10000], chi2 >= 0, order counts conserved
+    val real = Analytics.q80CramersV(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    assert(real.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sfDir).count())
+    real.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+    }
+  }
+
+  test("q81 trimmed/winsorized means: planted outlier clipped exactly; real data ordered") {
+    import spark.implicits._
+    // 10 values: 1..9 and one 1000-outlier. t = 1: trim drops rank 1
+    // (=1) and rank 10 (=1000) -> trimmed mean = mean(2..9) = 5.5;
+    // winsorize clamps into [2, 9] -> (2 + 2..9 + 9)/10 = 5.5 too;
+    // a second class small enough that t = 0 (plain mean both ways)
+    val priced = ((1L to 9L) :+ 1000L).map(v => ("big", v)) ++
+      Seq(("tiny", 10L), ("tiny", 20L))
+    val got = Analytics.q81TrimmedStatsOf(priced.toDF("prio", "cents")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got("big") == ((10L, 1L, 2L, 9L, 5500000L, 5500000L)), got("big").toString)
+    assert(got("tiny") == ((2L, 0L, 10L, 20L, 15000000L, 15000000L)), got("tiny").toString)
+    // real data: trimmed/winsorized within [lo, hi]-scaled bounds and
+    // robust means never exceed the untrimmed max
+    val real = Analytics.q81TrimmedStats(spark, sfDir).collect()
+    assert(real.length == 5)
+    real.foreach { r =>
+      val (lo, hi) = (r.getLong(3), r.getLong(4))
+      val (tm, wm) = (r.getLong(5), r.getLong(6))
+      assert(tm >= lo * 1000000L && tm <= hi * 1000000L, r.toString)
+      assert(wm >= lo * 1000000L && wm <= hi * 1000000L, r.toString)
+    }
+  }
+
+  test("c60 seasonality strength: pure weekly = 10000, constant = NULL, replay bounded") {
+    import spark.implicits._
+    def evs(typ: String, dayCnt: Seq[(Long, Int)]): Seq[(String, java.sql.Timestamp)] =
+      dayCnt.flatMap { case (d, c) =>
+        Seq.fill(c)((typ, new java.sql.Timestamp(d * 86400000L + 3600000L)))
+      }
+    val day0 = 20000L
+    // weekly: count depends ONLY on dow, repeated 8 weeks -> R^2 = 1;
+    // flat: constant daily count -> TSS = 0 -> NULL strength
+    val weekly = (0 until 56).map(i => (day0 + i, 1 + (i % 7)))
+    val flat = (0 until 56).map(i => (day0 + i, 3))
+    val rows = evs("weekly", weekly) ++ evs("flat", flat)
+    val got = Events.c60SeasonalityStrengthOf(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(got("weekly")._1 == 8L * (1 + 2 + 3 + 4 + 5 + 6 + 7), got("weekly").toString)
+    assert(got("weekly")._2 == 10000L, got("weekly").toString)
+    assert(got("flat") == ((56L * 3L, null)), got("flat").toString)
+    // real data: bp bounded, window totals positive
+    val real = Events.c60SeasonalityStrength(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L, r.toString)
+    }
+  }
+
+  test("c61 peak detect: planted spikes flagged with exact windows; edges excluded") {
+    import spark.implicits._
+    def evs(typ: String, dayCnt: Seq[(Long, Int)]): Seq[(String, java.sql.Timestamp)] =
+      dayCnt.flatMap { case (d, c) =>
+        Seq.fill(c)((typ, new java.sql.Timestamp(d * 86400000L + 3600000L)))
+      }
+    val day0 = 20000L
+    // counts by offset: 5,5,5,5,5,5,5,6,5,9,5
+    //  day7 (cnt 6): local max but 70*6 < 12*36 -> rejected (budget)
+    //  day9 (cnt 9): peak (prev 5, next 5, sum7 days3..9 = 40)
+    //  day1..6: flat -> no strict rise; day10: grid edge (no next)
+    val counts = Seq(5, 5, 5, 5, 5, 5, 5, 6, 5, 9, 5)
+    val rows = evs("X", counts.zipWithIndex.map { case (c, i) => (day0 + i, c) })
+    val got = Events.c61PeakDetectOf(rows.toDF("event_type", "ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("X", day0 + 9, 9L, 5L, 5L, 40L)), got.mkString(", "))
+    // real data replay: every flagged day really beats its window
+    val real = Events.c61PeakDetect(spark, sfDir).collect()
+    real.foreach { r =>
+      assert(r.getLong(2) > r.getLong(3) && r.getLong(2) >= r.getLong(4))
+      assert(r.getLong(2) * 70 >= r.getLong(5) * 12)
+    }
+  }
+
+  test("d111 weighted sample: deterministic E-S replay; heavier docs win ties of u") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"s${i % 2}", "a" * (10 + (i % 7)).toInt))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.d111WeightedSampleOf(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exact brute-force replay of the deterministic priority
+    val brute = (1L to 40L).map { i =>
+      val src = s"s${i % 2}"
+      val w = 10 + (i % 7)
+      val u = Math.floorMod(i * 2654435761L, TextOps.SampleMod)
+      (src, i, w, (TextOps.SampleMod - u) * 1000000000L / w)
+    }.groupBy(_._1).flatMap { case (src, items) =>
+      items.sortBy(t => (t._4, t._2)).take(TextOps.SampleK).zipWithIndex.map {
+        case ((_, id, w, pri), rk) => (src, rk + 1L, id, w.toLong, pri)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) == brute, got.mkString(", "))
+    // K per source, ranks contiguous
+    assert(got.count(_._1 == "s0") == TextOps.SampleK)
+    assert(got.count(_._1 == "s1") == TextOps.SampleK)
+  }
+
+  test("d112 salient terms: tf/df ordering exact on planted docs; ranks capped") {
+    import spark.implicits._
+    // doc 1: 'rare' tf=2 df=1 -> salience 2e6 beats 'common' tf=3 df=3
+    val docs = Seq(
+      (1L, "rare rare common common common x"),
+      (2L, "common y"),
+      (3L, "common z")).toDF("doc_id", "text")
+    val got = TextOps.d112SalientTermsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.length == 3)
+    assert(d1(0) == ((1L, 1L, "rare", 2L, 1L, 2000000L)), d1(0).toString)
+    // salience tie at 1e6 ('common' tf3/df3 vs 'x' tf1/df1): lexicographic
+    assert(d1(1) == ((1L, 2L, "common", 3L, 3L, 1000000L)), d1(1).toString)
+    assert(d1(2) == ((1L, 3L, "x", 1L, 1L, 1000000L)), d1(2).toString)
+    // singleton docs: their unique token outranks the shared one
+    assert(got.filter(_._1 == 2L).head._3 == "y")
+    // cap respected on real data
+    val real = TextOps.d112SalientTerms(spark, sfDir).collect()
+    assert(real.nonEmpty && real.forall(_.getInt(1) <= TextOps.KeywordsK))
+  }
+
+  test("e23 read coalesce: request schedule equals an independent Scala coalescer") {
+    val layout = MultimodalOps.e17TarLayout(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(5), r.getLong(4)))
+    // brute-force: per shard, walk wanted members in offset order and
+    // coalesce with the same gap rule
+    val brute = layout.filter(_._1 % MultimodalOps.FetchEvery == 0)
+      .groupBy(m => (m._2, m._3)).map { case ((src, shard), ms) =>
+        val sorted = ms.sortBy(_._4)
+        var nReq = 0L; var wanted = 0L; var waste = 0L; var prevEnd = -1L
+        sorted.foreach { case (_, _, _, off, framed) =>
+          if (prevEnd < 0 || off - prevEnd > MultimodalOps.CoalesceGap) nReq += 1
+          else waste += off - prevEnd
+          wanted += framed
+          prevEnd = off + framed
+        }
+        (src, shard) -> ((sorted.length.toLong, nReq, wanted, wanted + waste,
+          (waste * 10000) / (wanted + waste)))
+      }
+    val got = MultimodalOps.e23ReadCoalesce(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == brute, s"got ${got.size} shards vs brute ${brute.size}")
+    // coalescing must actually trade: somewhere requests < members
+    assert(got.values.exists(v => v._2 < v._1), "no coalescing happened at all")
+    assert(got.values.forall(v => v._2 >= 1L && v._4 >= v._3))
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the

@@ -2206,6 +2206,82 @@ class SourcesStreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("peakStream: closed days equal batch c61 across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.peakStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("peak_test").outputMode("append").start()
+    val day0 = 20100L
+    var id = 0L
+    def ev(day: Long, n: Int): Seq[StreamingOps.EventRow] = (0 until n).map { _ =>
+      id += 1
+      StreamingOps.EventRow(id,
+        new java.sql.Timestamp(day * 86400000L + 3600000L + id * 1000L), id, "X", 1.0)
+    }
+    val fed = Seq.newBuilder[StreamingOps.EventRow]
+    def add(es: Seq[StreamingOps.EventRow]): Unit = {
+      fed ++= es; mem.addData(es: _*); q.processAllAvailable()
+    }
+    try {
+      // counts 5,5,5,5,5,5,5,6,5,9,5 (c61's planted shape: day7 is a
+      // budget-rejected local max, day9 the real peak), split mid-day;
+      // the driver event is the SAME type 30 days out, so the batch
+      // grid ends there and its zero-filled tail matches the stream's
+      val counts = Seq(5, 5, 5, 5, 5, 5, 5, 6, 5, 9, 5)
+      counts.zipWithIndex.foreach { case (c, i) =>
+        if (c > 2) { add(ev(day0 + i, 2)); add(ev(day0 + i, c - 2)) }
+        else add(ev(day0 + i, c))
+      }
+      add(ev(day0 + 30, 1)) // watermark driver, same type
+      val got = spark.sql(
+          "select event_type, day, n_events, prev_cnt, next_cnt, trailing7 from peak_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._2)
+      assert(got == Seq(("X", day0 + 9, 9L, 5L, 5L, 40L)), got.mkString(", "))
+      // the batch twin on the full fed data agrees on every emitted day
+      val batch = graft.operators.Events.c61PeakDetectOf(fed.result().toDF())
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        .filter(_._2 <= day0 + 28) // stream can only judge watermark-closed days
+      assert(batch == got, s"batch $batch vs stream $got")
+    } finally q.stop()
+  }
+
+  test("weightedSampleStream: the K-row reservoir ends exactly at batch d111") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val mem = MemoryStream[StreamingOps.SampleDoc]
+    val lastBatch = scala.collection.mutable.Map.empty[String, Seq[(Long, Long, Long, Long)]]
+    val q = StreamingOps.weightedSampleStream(spark, mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.SampleOut],
+                       _: Long) =>
+        batch.collect().groupBy(_.source).foreach { case (src, rows) =>
+          lastBatch(src) = rows.map(r => (r.rank, r.doc_id, r.weight, r.priority))
+            .sortBy(_._1).toSeq
+        }
+      }.start()
+    // 30 docs across 2 sources, scrambled arrival over 3 batches
+    val docs = (1L to 30L).map(i => StreamingOps.SampleDoc(i, s"s${i % 2}", 10 + (i % 7)))
+    val scrambled = docs.sortBy(d => Math.floorMod(d.doc_id * 37L, 30L))
+    try {
+      scrambled.grouped(10).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      // every source re-emits in SOME batch; the reservoir's final
+      // content must equal the batch sampler on the same corpus
+      val batchDf = docs.map(d => (d.doc_id, d.source, "a" * d.weight.toInt))
+        .toDF("doc_id", "source", "text")
+      val expect = TextOps.d111WeightedSampleOf(batchDf).collect()
+        .map(r => (r.getString(0), (r.getInt(1).toLong, r.getLong(2), r.getLong(3),
+          r.getLong(4)))).groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).toSeq }
+      assert(lastBatch.keySet == expect.keySet)
+      expect.foreach { case (src, rows) =>
+        assert(lastBatch(src) == rows, s"$src: ${lastBatch(src)} vs $rows")
+      }
+    } finally q.stop()
+  }
+
   test("stickinessStream: closed weeks equal batch c56 across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
