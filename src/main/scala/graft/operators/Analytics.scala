@@ -4185,7 +4185,62 @@ object Analytics {
       |    * 1000000) // max(n) AS BIGINT) AS winsorized_mean_microcents
       |FROM bounded GROUP BY prio ORDER BY prio""".stripMargin
 
+  /** q82: cross-supplier price-dispersion audit per part — the
+    * procurement arbitrage signal q42 (min-cost supplier) acts on,
+    * quantified: for each part bought from ≥2 suppliers, each
+    * supplier's mean unit price (exact integer micro-cents — summed
+    * extended cents scaled BEFORE the division, one floor), then the
+    * spread between the cheapest and dearest supplier in bp of the
+    * dearest. High-spread parts are renegotiation targets; zero
+    * spread means the catalog price is honest. Deterministic
+    * throughout; no medians needed — min/max of per-supplier means IS
+    * the arbitrage bound.
+    *
+    * Shape: ONE lineitem scan → (part, supplier) reduce (map-side
+    * combinable sums) → part-grain reduce; no joins at all — the
+    * part/supplier dimensions would add nothing but names. */
+  def q82PriceDispersion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("c"), sum(col("qty")).as("q"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("(c * 1000000) div q").as("unit_micro"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("unit_micro")).as("min_unit_micro"),
+        max(col("unit_micro")).as("max_unit_micro"))
+      .filter(col("n_suppliers") >= 2)
+      .select(col("l_partkey"), col("n_suppliers"),
+        col("min_unit_micro"), col("max_unit_micro"),
+        expr("((max_unit_micro - min_unit_micro) * 10000) div max_unit_micro")
+          .as("spread_bp"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q82Sql: String =
+    """WITH per AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c,
+      |    sum(CAST(l_quantity AS BIGINT)) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |unitp AS (
+      |  SELECT l_partkey, l_suppkey, (c * 1000000) // q AS unit_micro FROM per),
+      |parts AS (
+      |  SELECT l_partkey, count(*) AS n_suppliers,
+      |    min(unit_micro) AS min_unit_micro, max(unit_micro) AS max_unit_micro
+      |  FROM unitp GROUP BY 1)
+      |SELECT l_partkey, n_suppliers,
+      |  CAST(min_unit_micro AS BIGINT) AS min_unit_micro,
+      |  CAST(max_unit_micro AS BIGINT) AS max_unit_micro,
+      |  CAST(((max_unit_micro - min_unit_micro) * 10000) // max_unit_micro AS BIGINT)
+      |    AS spread_bp
+      |FROM parts WHERE n_suppliers >= 2 ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_price_dispersion" -> (q82PriceDispersion _),
     "q81_trimmed_stats" -> (q81TrimmedStats _),
     "q80_cramers_v" -> (q80CramersV _),
     "q79_abc_migration" -> (q79AbcMigration _),
@@ -4268,6 +4323,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q82_price_dispersion" -> q82Sql,
     "q81_trimmed_stats" -> q81Sql,
     "q80_cramers_v" -> q80Sql,
     "q79_abc_migration" -> q79Sql,

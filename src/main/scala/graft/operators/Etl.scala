@@ -2531,7 +2531,81 @@ object Etl {
       |WHERE source BETWEEN 'src2' AND 'src4'
       |ORDER BY doc_id""".stripMargin
 
+  /** a46: referential-integrity audit across the WHOLE star schema —
+    * the foreign-key health report an ETL owner reads after every
+    * load (the reference's update-control upsert assumes its city ids
+    * resolve; this measures that class of assumption for all seven
+    * FK edges at once): per edge, child rows, NULL foreign keys
+    * (unset ≠ broken — reported separately), orphan rows (set but no
+    * parent), and the orphan share in bp. Clean TPC-H reports zeros —
+    * the audit's value is the zero being MEASURED, not assumed, and
+    * the spec plants orphans/NULLs to prove each counter fires.
+    *
+    * Shape: per edge, ONE left join of the child's key column against
+    * the parent's distinct key (no row multiplication by
+    * construction) reduced to a single row; 7 edges union 14 scans —
+    * every scan a genuine audit input (the a15 multi-input
+    * precedent). Parent key frames are distinct-reduced, so at 100 TB
+    * AQE broadcasts the dimension edges and shuffles only the
+    * fact-fact ones. */
+  def a46ReferentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame =
+      a46Edge(name, child.select(col(key).as("fk")),
+        parent.select(col(pkey).as("pk")))
+    val li = Tables.lineitem(spark, dir)
+    edge("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey")
+      .unionByName(edge("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"))
+      .unionByName(edge("lineitem->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(edge("nation->region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"))
+      .unionByName(edge("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(edge("supplier->nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .orderBy(col("edge"))
+  }
+
+  /** One audited FK edge — separable so the spec can plant orphaned
+    * and NULL keys. `child` has one column `fk`, `parent` one `pk`. */
+  def a46Edge(name: String, child: DataFrame, parent: DataFrame): DataFrame =
+    child.join(parent.distinct(), col("fk") === col("pk"), "left")
+      .agg(count(lit(1)).as("child_rows"),
+        count(when(col("fk").isNull, 1)).as("null_keys"),
+        count(when(col("fk").isNotNull && col("pk").isNull, 1)).as("orphans"))
+      .select(lit(name).as("edge"), col("child_rows"), col("null_keys"),
+        col("orphans"),
+        expr("(orphans * 10000) div child_rows").as("orphan_bp"))
+
+  val a46Sql: String = {
+    def edgeSql(name: String, childTable: String, key: String,
+                parentTable: String, pkey: String): String =
+      s"""SELECT '$name' AS edge, CAST(count(*) AS BIGINT) AS child_rows,
+         |  CAST(sum(CASE WHEN c.$key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+         |  CAST(sum(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+         |  (sum(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL THEN 1 ELSE 0 END)
+         |    * 10000) // count(*) AS orphan_bp
+         |FROM $childTable c
+         |LEFT JOIN (SELECT DISTINCT $pkey FROM $parentTable) p ON c.$key = p.$pkey""".stripMargin
+    Seq(
+      edgeSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edgeSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edgeSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edgeSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edgeSql("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      edgeSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edgeSql("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a46_referential_integrity" -> (a46ReferentialIntegrity _),
     "a45_pruned_source_read" -> (a45PrunedSourceRead _),
     "a44_pruned_read" -> (a44PrunedRead _),
     "a43_cdc_conflicts" -> (a43CdcConflicts _),
@@ -2579,6 +2653,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a46_referential_integrity" -> a46Sql,
     "a45_pruned_source_read" -> a45Sql,
     "a44_pruned_read" -> a44Sql,
     "a43_cdc_conflicts" -> a43Sql,

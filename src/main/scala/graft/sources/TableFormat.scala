@@ -112,10 +112,17 @@ object RenameTableFormat extends TableFormat {
 
 /** Log-based atomic commit: the table at `table/` is a directory of
   * immutable snapshot dirs (`data-v<N>-<token>`) plus a commit log
-  * (`_log/<N>`, content = that version's data dir name, optionally
-  * followed by a second line naming a deletion-vector sidecar
-  * `dv-v<N>-<token>`). Readers resolve ONLY through the log: the
-  * highest log entry names the current snapshot.
+  * (`_log/<N>`, content line 1 = that version's data dir NAMES,
+  * space-separated — one for a full rewrite, one per [[append]]
+  * since — optionally followed by a second line naming a
+  * deletion-vector sidecar `dv-v<N>-<token>`). Readers resolve ONLY
+  * through the log: the highest log entry names the current snapshot.
+  *
+  * INGEST vs REWRITE: [[append]] publishes a new version whose entry
+  * is the prior dir list plus ONE new dir — a daily load costs O(new
+  * data); [[commit]] replaces the whole list (the MERGE/compaction
+  * primitive). Deletion vectors key rows by `<dir>/<file>` so they
+  * stay valid across appends and table relocation alike.
   *
   * DELETION VECTORS (merge-on-read row deletes): [[erase]] hides rows
   * matching a predicate WITHOUT rewriting any data file — it computes
@@ -181,28 +188,36 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
-  /** A resolved snapshot reference: the data dir plus the optional
-    * deletion-vector sidecar (entry line 2). */
-  private case class Snap(dataName: String, dvName: Option[String])
+  /** A resolved snapshot reference: the data dirs (one per full
+    * rewrite, one PER APPEND since — entry line 1, space-separated)
+    * plus the optional deletion-vector sidecar (entry line 2). */
+  private case class Snap(dataNames: Seq[String], dvName: Option[String])
 
   private def parseSnap(content: String): Snap = {
     val lines = content.split('\n').map(_.trim).filter(_.nonEmpty)
-    Snap(lines(0), lines.lift(1))
+    Snap(lines(0).split("\\s+").toSeq.filter(_.nonEmpty), lines.lift(1))
   }
 
-  /** Merge-on-read: the data dir's rows minus the DV's (file, pos)
+  /** The physical row identity the deletion vectors key on:
+    * `<data dir name>/<file name>` — dir-qualified because an appended
+    * snapshot holds MULTIPLE immutable dirs whose part files can share
+    * names; still relocation-safe (both components live under the
+    * table root and move with it). */
+  private val FileKeyExpr = "substring_index(_metadata.file_path, '/', -2)"
+
+  /** Merge-on-read: the data dirs' rows minus the DV's (file, pos)
     * set. The hidden `_metadata` parquet columns provide the physical
-    * identity; only the file NAME is kept (relocation-safe, unique —
-    * data files are written once per immutable dir). */
+    * identity. */
   private def resolve(spark: SparkSession, table: String, snap: Snap): DataFrame = {
-    val data = spark.read.parquet(new Path(new Path(table), snap.dataName).toString)
+    val data = spark.read.parquet(
+      snap.dataNames.map(n => new Path(new Path(table), n).toString): _*)
     snap.dvName match {
       case None => data
       case Some(dvName) =>
         val dv = spark.read.parquet(new Path(new Path(table), dvName).toString)
         val keyed = data
           .withColumn("__graft_file",
-            org.apache.spark.sql.functions.expr("substring_index(_metadata.file_path, '/', -1)"))
+            org.apache.spark.sql.functions.expr(FileKeyExpr))
           .withColumn("__graft_pos",
             org.apache.spark.sql.functions.col("_metadata.row_index"))
         keyed.join(dv,
@@ -211,6 +226,11 @@ object CommitLogTableFormat extends TableFormat {
           .drop("__graft_file", "__graft_pos")
     }
   }
+
+  /** Every data file of a snapshot, across all of its dirs. */
+  private def snapFiles(fs: FileSystem, table: String, snap: Snap): Seq[String] =
+    snap.dataNames.flatMap(n =>
+      ParquetFooters.dataFiles(fs, new Path(new Path(table), n)))
 
   override def read(spark: SparkSession, table: String): Option[DataFrame] = {
     val fs = fsOf(spark, table)
@@ -324,6 +344,33 @@ object CommitLogTableFormat extends TableFormat {
     // the current version, whose files are immutable, so no conflict
     df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
     publish(fs, root, v, dataName, token, Seq(new Path(root, dataName)))
+  }
+
+  /** INCREMENTAL ingest: append `df` as a new data dir WITHOUT
+    * rewriting the table — the entry for version v+1 lists the prior
+    * snapshot's dirs PLUS the new one (and carries the prior DV
+    * forward: its dir-qualified keys still name exactly the same
+    * rows). This is the Delta/Iceberg add-files commit and the 100 TB
+    * load-bearing half of the format: a daily load must cost O(new
+    * data), not O(table) — `commit` (full replacement) stays the
+    * MERGE/compaction primitive, `append` is the ingest one. Same
+    * atomic one-rename publish, same optimistic race detection, same
+    * vacuum (which is reference-based, so every dir an entry lists
+    * survives). Returns the new version. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             token: String): Long = {
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    val prior = recoverLatest(fs, table)
+    val v = prior.map(_._1).getOrElse(0L) + 1L
+    val priorSnap = prior.map(p => parseSnap(p._2))
+    val dataName = s"data-v$v-$token"
+    df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    val dirs = priorSnap.map(_.dataNames).getOrElse(Seq.empty) :+ dataName
+    val content = dirs.mkString(" ") +
+      priorSnap.flatMap(_.dvName).map(dv => s"\n$dv").getOrElse("")
+    publish(fs, root, v, content, token, Seq(new Path(root, dataName)))
+    v
   }
 
   /** The current committed (version, snapshot), resolved together so a
@@ -449,8 +496,8 @@ object CommitLogTableFormat extends TableFormat {
       case Some((v, content)) =>
         val snap = parseSnap(content)
         val keyed = spark.read
-          .parquet(new Path(root, snap.dataName).toString)
-          .withColumn("__graft_file", expr("substring_index(_metadata.file_path, '/', -1)"))
+          .parquet(snap.dataNames.map(n => new Path(root, n).toString): _*)
+          .withColumn("__graft_file", expr(FileKeyExpr))
           .withColumn("__graft_pos", col("_metadata.row_index"))
         val hits = hitsOf(keyed)
           .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
@@ -466,7 +513,7 @@ object CommitLogTableFormat extends TableFormat {
             val nv = v + 1
             val dvName = s"dv-v$nv-$token"
             merged.write.mode("overwrite").parquet(new Path(root, dvName).toString)
-            publish(fs, root, nv, s"${snap.dataName}\n$dvName", token,
+            publish(fs, root, nv, s"${snap.dataNames.mkString(" ")}\n$dvName", token,
               Seq(new Path(root, dvName)))
             newCount - priorCount
           }
@@ -488,8 +535,7 @@ object CommitLogTableFormat extends TableFormat {
     import spark.implicits._
     val fs = fsOf(spark, table)
     latest(fs, table).map { case (_, content) =>
-      val dataDir = new Path(new Path(table), parseSnap(content).dataName)
-      val files = dataFiles(fs, dataDir)
+      val files = snapFiles(fs, table, parseSnap(content))
       val bconf = spark.sparkContext.broadcast(
         new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
       val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
@@ -542,7 +588,7 @@ object CommitLogTableFormat extends TableFormat {
   private def pruneSnap(spark: SparkSession, table: String, snap: Snap,
                         column: String, lo: Long, hi: Long): (Seq[String], Int) = {
     val fs = fsOf(spark, table)
-    val files = dataFiles(fs, new Path(new Path(table), snap.dataName))
+    val files = snapFiles(fs, table, snap)
     val kept = keptFiles(spark, files, (p, conf) =>
       ParquetFooters.footerStats(p, conf).find(_._1 == column) match {
         case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
@@ -561,7 +607,7 @@ object CommitLogTableFormat extends TableFormat {
                               column: String, lo: String,
                               hi: String): (Seq[String], Int) = {
     val fs = fsOf(spark, table)
-    val files = dataFiles(fs, new Path(new Path(table), snap.dataName))
+    val files = snapFiles(fs, table, snap)
     val kept = keptFiles(spark, files, (p, conf) =>
       ParquetFooters.footerStringStats(p, conf).find(_._1 == column) match {
         case Some((_, lower, upper, _, _)) => !(upper < lo || lower > hi)
@@ -597,8 +643,7 @@ object CommitLogTableFormat extends TableFormat {
     import spark.implicits._
     val fs = fsOf(spark, table)
     latest(fs, table).map { case (_, content) =>
-      val dataDir = new Path(new Path(table), parseSnap(content).dataName)
-      val files = dataFiles(fs, dataDir)
+      val files = snapFiles(fs, table, parseSnap(content))
       val bconf = spark.sparkContext.broadcast(
         new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
       val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
@@ -637,8 +682,8 @@ object CommitLogTableFormat extends TableFormat {
         case Some(dvName) =>
           val dv = spark.read.parquet(new Path(new Path(table), dvName).toString)
           val keyed = data
-            .withColumn("__graft_file", org.apache.spark.sql.functions
-              .expr("substring_index(_metadata.file_path, '/', -1)"))
+            .withColumn("__graft_file",
+              org.apache.spark.sql.functions.expr(FileKeyExpr))
             .withColumn("__graft_pos",
               org.apache.spark.sql.functions.col("_metadata.row_index"))
           keyed.join(dv,
@@ -670,7 +715,7 @@ object CommitLogTableFormat extends TableFormat {
       val (kept, total) = pruneSnap(spark, table, snap, column, lo, hi)
       val all =
         if (kept.size == total) kept
-        else dataFiles(fs, new Path(new Path(table), snap.dataName))
+        else snapFiles(fs, table, snap)
       resolveKept(spark, table, snap, kept, all, column,
         org.apache.spark.sql.types.LongType)
         .filter(col(column).between(lo, hi))
@@ -689,7 +734,7 @@ object CommitLogTableFormat extends TableFormat {
       val (kept, total) = pruneSnapString(spark, table, snap, column, lo, hi)
       val all =
         if (kept.size == total) kept
-        else dataFiles(fs, new Path(new Path(table), snap.dataName))
+        else snapFiles(fs, table, snap)
       resolveKept(spark, table, snap, kept, all, column,
         org.apache.spark.sql.types.StringType)
         .filter(col(column).between(lo, hi))
@@ -709,8 +754,10 @@ object CommitLogTableFormat extends TableFormat {
       val p = new Path(new Path(root, LogDirName), v.toString)
       if (fs.exists(p)) {
         val in = fs.open(p)
+        // an entry line can list SEVERAL dir names (append commits):
+        // every whitespace-separated token is a live reference
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+          .split("\\s+").map(_.trim).filter(_.nonEmpty).toSeq
         finally in.close()
       } else Seq.empty
     }.toSet

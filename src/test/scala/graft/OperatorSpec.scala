@@ -6524,6 +6524,52 @@ class OperatorSpec extends GraftSpec {
     assert(got.values.forall(v => v._2 >= 1L && v._4 >= v._3))
   }
 
+  test("a46 referential integrity: planted orphans and NULL keys counted apart; TPC-H clean") {
+    import spark.implicits._
+    // planted edge: 6 child rows — 3 resolve, 2 orphans, 1 NULL key
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val e = Etl.a46Edge("t", child, parent).collect().head
+    assert((e.getString(0), e.getLong(1), e.getLong(2), e.getLong(3), e.getLong(4)) ==
+      (("t", 6L, 1L, 2L, 3333L)), e.toString)
+    // the real schema audit: all seven edges, referentially clean,
+    // child-row counts equal the true table sizes
+    val got = Etl.a46ReferentialIntegrity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == 7)
+    got.values.foreach { case (_, nulls, orphans, bp) =>
+      assert(nulls == 0L && orphans == 0L && bp == 0L)
+    }
+    assert(got("lineitem->orders")._1 == Tables.lineitem(spark, sfDir).count())
+    assert(got("orders->customer")._1 == Tables.orders(spark, sfDir).count())
+  }
+
+  test("q82 price dispersion: brute-force parity and spread bounds") {
+    // independent recomputation from the raw lineitem rows
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (graft.Cols.dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = li.groupBy(t => (t._1, t._2)).toSeq.map { case ((p, _), rows) =>
+      (p, (rows.map(_._3).sum * 1000000L) / rows.map(_._4).sum)
+    }.groupBy(_._1).collect { case (p, units) if units.size >= 2 =>
+      val us = units.map(_._2)
+      p -> ((units.size.toLong, us.min, us.max,
+        (us.max - us.min) * 10000L / us.max))
+    }
+    val got = Analytics.q82PriceDispersion(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == brute.toMap, s"${got.size} parts vs brute ${brute.size}")
+    assert(got.nonEmpty)
+    got.values.foreach { case (n, mn, mx, bp) =>
+      assert(n >= 2L && mn <= mx && bp >= 0L && bp < 10000L)
+    }
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the

@@ -389,6 +389,57 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(afterErase == rows.filter(r => r._2 == "alpha" && r._1 != 0L).map(_._1).sorted.toSeq)
   }
 
+  test("CommitLogTableFormat.append: incremental ingest — O(new data), full lakehouse contracts") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_append").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fmt.commit(spark, dir, (1L to 10L).map(i => (i, s"b1_$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k"), "load1")
+    def dirFiles(name: String) =
+      fs.globStatus(new Path(s"$dir/$name/*.parquet"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val base = dirFiles("data-v1-load1")
+    // append: new dir only, prior files byte-untouched, union visible
+    val v2 = fmt.append(spark, dir, (11L to 20L).map(i => (i, s"b2_$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k"), "load2")
+    assert(v2 == 2L)
+    assert(dirFiles("data-v1-load1") == base, "append must not touch prior data files")
+    assert(fmt.read(spark, dir).get.count() == 20L)
+    val v3 = fmt.append(spark, dir, Seq((21L, "b3_21")).toDF("k", "v"), "load3")
+    assert(v3 == 3L)
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      (1L to 21L))
+    // time travel: the previous (2-dir) version still resolves
+    assert(fmt.readVersion(spark, dir, 2L).get.count() == 20L)
+    // erase across dirs: keys from DIFFERENT loads hide together
+    // (dir-qualified DV keys — same-named part files cannot collide)
+    assert(fmt.erase(spark, dir, $"k".isin(1L, 15L, 21L), "gdpr") == 3L)
+    val left = fmt.read(spark, dir).get.as[(Long, String)].collect().map(_._1).toSet
+    assert(left.size == 18 && !left(1L) && !left(15L) && !left(21L))
+    // zone maps + pruned reads span ALL dirs of the snapshot
+    val (kept, total) = fmt.prunedFiles(spark, dir, "k", 12L, 13L).get
+    assert(total == 5, s"5 data files across 3 dirs, saw $total") // 2+2+1
+    assert(kept.size < total, s"kept ${kept.size}")
+    assert(fmt.readPruned(spark, dir, "k", 1L, 21L).get.count() == 18L,
+      "pruned read must respect the cross-dir DV")
+    // compact folds the dir list back to ONE and purges erased rows
+    fmt.compact(spark, dir, "opt", targetFiles = 1)
+    val latestDirs = {
+      val entry = fmt.versions(spark, dir).max
+      val in = fs.open(new Path(s"$dir/_log/$entry"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split('\n').head.trim.split("\\s+").toSeq
+      finally in.close()
+    }
+    assert(latestDirs.size == 1, s"compact must fold to one dir: $latestDirs")
+    assert(fmt.read(spark, dir).get.count() == 18L)
+    // vacuum (reference-based) kept every dir the retained entries list
+    val liveDirs = fs.globStatus(new Path(s"$dir/data-v*")).map(_.getPath.getName).toSet
+    assert(latestDirs.toSet.subsetOf(liveDirs))
+  }
+
   test("readPruned: empty snapshots return empty frames instead of throwing") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
