@@ -1518,7 +1518,72 @@ object VectorOps {
        |  CAST((c * 10000) // n_vecs AS BIGINT) AS purity_bp
        |FROM w WHERE rnk = 1 ORDER BY cid""".stripMargin
 
+  /** The corpus embedding dimension (the e.g. duckCosine range). */
+  val EmbedDim = 64
+
+  def d113EmbeddingHealth(spark: SparkSession, dir: String): DataFrame =
+    d113EmbeddingHealthOf(graft.Tables.embeddings(spark, dir))
+
+  /** d113: embedding HEALTH gate per label — the hygiene audit every
+    * vector pipeline runs before indexing or training on a new
+    * embedding drop, because one upstream bug poisons everything
+    * downstream silently: a crashed encoder emits ZERO vectors (cosine
+    * undefined — d9/d45 divide by the norm), a numerics bug emits
+    * NaN/Inf (poisons any distance it touches), a version mismatch
+    * emits the WRONG dimension (breaks dot products), and a
+    * normalization regression shifts the norm range (invalidates every
+    * tuned distance threshold). Per label: vectors, zero vectors,
+    * non-finite vectors, wrong-dimension vectors, and the finite-norm²
+    * range milli-floored. Per-ROW norms are sequential double folds
+    * (the d9 oracle convention — bit-identical across engines);
+    * nothing ever sums doubles ACROSS rows, so the report is
+    * deterministic at any parallelism; min/max are order-free.
+    *
+    * Shape: ONE scan, rowwise HOFs, label-grain reduce. */
+  def d113EmbeddingHealthOf(embeddings: DataFrame): DataFrame = {
+    val finite = expr(
+      "NOT exists(embedding, x -> isnan(x) OR abs(x) = double('Infinity'))")
+    val norm2 = expr(
+      "aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    embeddings
+      .select(col("label"), col("embedding"),
+        finite.as("is_finite"),
+        (size(col("embedding")) === EmbedDim).as("dim_ok"))
+      .withColumn("norm2", when(col("is_finite"), norm2))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("is_finite") && col("norm2") === 0.0, 1)).as("n_zero"),
+        count(when(!col("is_finite"), 1)).as("n_nonfinite"),
+        count(when(!col("dim_ok"), 1)).as("n_bad_dim"),
+        floor(min(col("norm2")) * 1000).as("min_norm2_milli"),
+        floor(max(col("norm2")) * 1000).as("max_norm2_milli"))
+      .orderBy(col("label"))
+  }
+
+  val d113Sql: String =
+    s"""WITH rows_ AS (
+       |  SELECT label,
+       |    len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x))) = 0 AS is_finite,
+       |    len(embedding) = $EmbedDim AS dim_ok,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |      (x, y) -> x + y) AS norm2_raw
+       |  FROM embeddings),
+       |r AS (
+       |  SELECT label, is_finite, dim_ok,
+       |    CASE WHEN is_finite THEN norm2_raw END AS norm2
+       |  FROM rows_)
+       |SELECT CAST(label AS INTEGER) AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(CASE WHEN is_finite AND norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero,
+       |  CAST(sum(CASE WHEN NOT is_finite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       |  CAST(sum(CASE WHEN NOT dim_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       |  CAST(floor(min(norm2) * 1000) AS BIGINT) AS min_norm2_milli,
+       |  CAST(floor(max(norm2) * 1000) AS BIGINT) AS max_norm2_milli
+       |FROM r GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d113_embedding_health" -> (d113EmbeddingHealth _),
     "d95_label_coherence" -> (d95LabelCoherence _),
     "d96_centroid_purity" -> (d96CentroidPurity _),
     "d94_topic_mix" -> (d94TopicMix _),
@@ -1538,6 +1603,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d113_embedding_health" -> d113Sql,
     "d95_label_coherence" -> d95Sql,
     "d96_centroid_purity" -> d96Sql,
     "d94_topic_mix" -> d94Sql,

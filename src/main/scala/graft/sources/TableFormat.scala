@@ -373,6 +373,26 @@ object CommitLogTableFormat extends TableFormat {
     v
   }
 
+  /** [[append]] exactly once per `token`: skipped when the LATEST
+    * entry's newest dir already carries it. This is the Delta
+    * idempotent-writes pattern (appId+version) specialized to the
+    * foreachBatch replay contract: a restarted streaming sink replays
+    * only its LAST batch, and this sink is single-writer, so the
+    * latest entry is the only place a duplicate can hide — the token
+    * is already durable in the dir name the entry lists. Returns the
+    * new version, or None when the token was already applied.
+    * `ingestStream` rides this to make at-least-once micro-batch
+    * delivery exactly-once in the table. */
+  def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
+                       token: String): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val applied = recoverLatest(fs, table).exists { case (_, content) =>
+      parseSnap(content).dataNames.lastOption
+        .exists(_.replaceFirst("^data-v\\d+-", "") == token)
+    }
+    if (applied) None else Some(append(spark, table, df, token))
+  }
+
   /** The current committed (version, snapshot), resolved together so a
     * caller can later validate a commit against exactly the state it
     * read — the read half of optimistic concurrency. */

@@ -1772,6 +1772,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming INGEST into a CommitLog table — the append half of the
+    * lakehouse loop live (compactStream maintains a MERGED snapshot;
+    * this is the raw landing table a daily/streaming load feeds): each
+    * micro-batch lands as ONE `append` version (O(batch), never a
+    * table rewrite) through `appendIdempotent`, so foreachBatch's
+    * at-least-once replay becomes exactly-once in the table — the
+    * batch id IS the idempotence token, durable in the dir name the
+    * log entry lists. Readers see whole batches or nothing (the
+    * format's atomic publish); `erase`/`compact`/time travel all
+    * compose on the result. */
+  def ingestStream(rows: DataFrame, table: String, checkpointDir: String) =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.CommitLogTableFormat.appendIdempotent(
+          batch.sparkSession, table, batch, s"b$batchId")
+        ()
+      }
+
   case class PeakOut(event_type: String, day: Long, n_events: Long,
                      prev_cnt: Long, next_cnt: Long, trailing7: Long)
   case class PeakState(firstDay: Long, lastClosed: Long, ring: Seq[Long],

@@ -6570,6 +6570,36 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("d113 embedding health: planted pathologies each trip their own counter") {
+    import spark.implicits._
+    val dim = VectorOps.EmbedDim
+    def vec(x: Float) = Array.fill(dim)(x)
+    val rows = Seq(
+      (0, vec(0.5f)),                       // healthy
+      (0, Array.fill(dim)(0.0f)),           // zero vector
+      (0, vec(1.0f).updated(3, Float.NaN)), // NaN
+      (1, vec(2.0f).updated(0, Float.PositiveInfinity)), // Inf
+      (1, Array.fill(dim - 5)(1.0f)),       // wrong dimension
+      (1, vec(1.0f)))
+      .map { case (l, e) => (l, e.toSeq) }
+    val got = VectorOps.d113EmbeddingHealthOf(
+        rows.toDF("label", "embedding").select(col("label"), col("embedding")))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // label 0: 3 vectors, 1 zero, 1 NaN; finite norms {0, 64*0.25=16}
+    assert(got(0) == ((3L, 1L, 1L, 0L, 0L, 16000L)), got(0).toString)
+    // label 1: 3 vectors, 1 Inf, 1 bad-dim; finite norms {59, 64}
+    assert(got(1) == ((3L, 0L, 1L, 1L, 59000L, 64000L)), got(1).toString)
+    // real data: every counter zero (the gate's value is the MEASURED zero)
+    val real = VectorOps.d113EmbeddingHealth(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L, r.toString)
+      assert(r.getLong(5) <= r.getLong(6))
+    }
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the

@@ -440,6 +440,37 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(latestDirs.toSet.subsetOf(liveDirs))
   }
 
+  test("ingestStream: micro-batches land as append versions, exactly-once under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_ingest_stream").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.ingestStream(mem.toDF().toDF("k", "v"), dir, ckpt).start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(fmt.read(spark, dir).get.count() == 2L)
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(fmt.read(spark, dir).get.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // at-least-once replay of the LAST batch: token already applied -> no-op
+      val versions = fmt.versions(spark, dir)
+      assert(fmt.appendIdempotent(spark, dir, Seq((3L, "c")).toDF("k", "v"), "b1").isEmpty,
+        "replaying the last batch token must be a no-op")
+      assert(fmt.versions(spark, dir) == versions)
+      assert(fmt.read(spark, dir).get.count() == 3L, "no duplicate rows after replay")
+      // a FRESH token appends normally
+      assert(fmt.appendIdempotent(spark, dir, Seq((4L, "d")).toDF("k", "v"), "b2_x").nonEmpty)
+      assert(fmt.read(spark, dir).get.count() == 4L)
+      // token suffix must match EXACTLY (b2 vs b2_x are different loads)
+      assert(fmt.appendIdempotent(spark, dir, Seq((5L, "e")).toDF("k", "v"), "2_x").nonEmpty,
+        "a token that is a suffix of the applied one is a different load")
+    } finally q.stop()
+  }
+
   test("readPruned: empty snapshots return empty frames instead of throwing") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
