@@ -4239,7 +4239,57 @@ object Analytics {
       |    AS spread_bp
       |FROM parts WHERE n_suppliers >= 2 ORDER BY l_partkey""".stripMargin
 
+  /** q83: same-day multi-order audit per customer — the accounts-
+    * payable duplicate-submission screen (a real AP control, not a
+    * TPC-H toy: double-submitted invoices share payer+date, the
+    * strongest-signal pair that survives key regeneration): every
+    * (customer, day) with more than one order, with the order count,
+    * the day's total in cents, the key span, and the exact-duplicate
+    * flag — identical totals on the same day are the rows an auditor
+    * opens first (n_distinct_totals < n_orders). Deterministic,
+    * all-integer, naturally rare (the point of a screen is a short
+    * worklist).
+    *
+    * Shape: ONE scan → (customer, day) reduce with distinct-total
+    * count — no self-join: the group is the duplicate candidate. */
+  def q83SameDayOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"), col("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("day_cents"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        countDistinct(col("cents")).as("n_distinct_totals"))
+      .filter(col("n_orders") > 1)
+      .select(col("o_custkey"), col("day"), col("n_orders"), col("day_cents"),
+        col("first_key"), col("last_key"),
+        (col("n_distinct_totals") < col("n_orders")).as("exact_dup_suspect"))
+      .orderBy(col("o_custkey"), col("day"))
+  }
+
+  val q83Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey, day, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(cents) AS BIGINT) AS day_cents,
+      |    min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+      |    CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct_totals
+      |  FROM o GROUP BY 1, 2)
+      |SELECT o_custkey, day, n_orders, day_cents, first_key, last_key,
+      |  n_distinct_totals < n_orders AS exact_dup_suspect
+      |FROM g WHERE n_orders > 1 ORDER BY o_custkey, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_same_day_orders" -> (q83SameDayOrders _),
     "q82_price_dispersion" -> (q82PriceDispersion _),
     "q81_trimmed_stats" -> (q81TrimmedStats _),
     "q80_cramers_v" -> (q80CramersV _),
@@ -4323,6 +4373,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q83_same_day_orders" -> q83Sql,
     "q82_price_dispersion" -> q82Sql,
     "q81_trimmed_stats" -> q81Sql,
     "q80_cramers_v" -> q80Sql,

@@ -3944,7 +3944,78 @@ object Events {
       |  AND cnt > prev_cnt AND cnt >= next_cnt AND cnt * 70 >= sum7 * 12
       |ORDER BY event_type, day""".stripMargin
 
+  /** Correlogram depth: the full weekly rhythm (lag 7 closes the
+    * cycle; deeper lags add nothing a second week would not). */
+  val MaxLag = 7
+
+  /** c62: daily-count CORRELOGRAM per event type — the full ACF at
+    * lags 1..7 where c35 reports only lag 1 (persistence) and c60 one
+    * R² number (weekliness): the shape a forecaster actually reads
+    * before picking c45's dow baseline over naive-yesterday — a
+    * 7-peaked ACF says "weekly", a monotone-decaying one says
+    * "trending", a flat one says "noise". Same exact-integer moment
+    * core as c35 (DECIMAL sums of the zero-filled daily series; one
+    * double division at the end), same dense-span contract.
+    *
+    * Shape: the day-grain zero-filled frame is localCheckpoint'ed
+    * (value grain — days × types) and self-joined at (type, day+lag)
+    * for the 7-lag fan-out — an equi-join of a tiny frame with itself,
+    * no window, no corpus re-scan; then a (type, lag) reduce. */
+  def c62Correlogram(spark: SparkSession, dir: String): DataFrame =
+    c62CorrelogramOf(Tables.events(spark, dir))
+
+  def c62CorrelogramOf(events: DataFrame): DataFrame = {
+    val filled = zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"),
+        col("n_events").cast(DecimalType(38, 0)).as("x"))
+      .localCheckpoint(true)
+    val b = filled.select(col("event_type").as("b_type"), col("day").as("b_day"),
+      col("x").as("y"))
+    filled
+      .withColumn("lag", explode(sequence(lit(1), lit(MaxLag))))
+      .join(b, col("event_type") === col("b_type") &&
+        col("b_day") === col("day") + col("lag"))
+      .groupBy(col("event_type"), col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("autocorr"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val c62Sql: String =
+    s"""WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |filled AS (
+      |  SELECT s.event_type, s.day, CAST(coalesce(b.n, 0) AS HUGEINT) AS x
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |lagged AS (
+      |  SELECT f.event_type, l.lag, f.x, g.x AS y
+      |  FROM filled f
+      |  CROSS JOIN (SELECT unnest(range(1, ${MaxLag + 1})) AS lag) l
+      |  JOIN filled g ON g.event_type = f.event_type AND g.day = f.day + l.lag),
+      |m AS (
+      |  SELECT event_type, lag, count(*) AS n_pairs,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM lagged GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+      |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS autocorr
+      |FROM m ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c62_correlogram" -> (c62Correlogram _),
     "c61_peak_detect" -> (c61PeakDetect _),
     "c60_seasonality_strength" -> (c60SeasonalityStrength _),
     "c59_user_turnover" -> (c59UserTurnover _),
@@ -4008,6 +4079,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c62_correlogram" -> c62Sql,
     "c61_peak_detect" -> c61Sql,
     "c60_seasonality_strength" -> c60Sql,
     "c59_user_turnover" -> c59Sql,

@@ -1059,11 +1059,13 @@ object MultimodalOps {
     * pure sequence expansion at the MANIFEST grain), the same
     * epoch-partitioned position window e7 prices, then a ≤|epochs|·W
     * reduce; the deviation window runs over that reduced frame. */
-  def e12LoaderAssignment(spark: SparkSession, dir: String): DataFrame = {
+  /** The raw per-(shard, epoch) worker assignment e12 aggregates and
+    * e24 self-joins across epochs — separated so the stability audit
+    * provably reads the SAME placement rule the skew report does. */
+  def e12AssignmentFrame(spark: SparkSession, dir: String): DataFrame = {
     val wEpoch = org.apache.spark.sql.expressions.Window
       .partitionBy(col("epoch"))
       .orderBy(col("shuffle_key"), col("source"), col("shard_idx"))
-    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))
     Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(sum(octet_length(col("text").cast("binary")).cast("long")).as("total_bytes"))
@@ -1077,6 +1079,11 @@ object MultimodalOps {
       .withColumn("shuffle_key",
         md5(concat_ws(":", col("source"), col("shard_idx"), col("epoch"))))
       .withColumn("worker", pmod(row_number().over(wEpoch) - 1, lit(LoaderWorkers)))
+  }
+
+  def e12LoaderAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))
+    e12AssignmentFrame(spark, dir)
       .groupBy(col("epoch"), col("worker"))
       .agg(count(lit(1)).as("n_shards"), sum(col("shard_bytes")).as("assigned_bytes"))
       .withColumn("epoch_bytes", sum(col("assigned_bytes")).over(wTot))
@@ -1655,7 +1662,75 @@ object MultimodalOps {
        |    // (sum(framed_bytes) + sum(waste)) AS BIGINT) AS waste_bp
        |FROM marked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  def e24EpochStability(spark: SparkSession, dir: String): DataFrame = {
+    val a = e12AssignmentFrame(spark, dir)
+      .select(col("source"), col("shard_idx"), col("shard_bytes"),
+        col("epoch"), col("worker"))
+      .localCheckpoint(true)
+    val b = a.select(col("source").as("b_source"), col("shard_idx").as("b_idx"),
+      col("epoch").as("b_epoch"), col("worker").as("b_worker"))
+    a.join(b, col("source") === col("b_source") &&
+        col("shard_idx") === col("b_idx") &&
+        col("b_epoch") === col("epoch") + 1)
+      .groupBy(col("epoch").as("epoch_from"))
+      .agg(count(lit(1)).as("n_shards"),
+        count(when(col("worker") === col("b_worker"), 1)).as("stayed"),
+        sum(col("shard_bytes")).as("total_bytes"),
+        sum(when(col("worker") === col("b_worker"), col("shard_bytes"))
+          .otherwise(lit(0L))).as("stayed_bytes"))
+      .select(col("epoch_from"), col("n_shards"), col("stayed"),
+        expr("(stayed * 10000) div n_shards").as("stay_bp"),
+        expr("(stayed_bytes * 10000) div total_bytes").as("stay_bytes_bp"))
+      .orderBy(col("epoch_from"))
+  }
+
+  /** e24 scaladoc (see method above): loader-assignment STABILITY
+    * across consecutive epochs — the page-cache/NVMe reuse question
+    * e12's per-epoch skew report cannot answer: of epoch e's shards,
+    * how many land on the SAME worker in epoch e+1? e7/e22 exist to
+    * make epochs decorrelated, so the EXPECTED stay share is ~1/W —
+    * a loader fleet that wants cache reuse pins placement (e21
+    * rendezvous) instead, and this audit is the number that decides
+    * which trade you are making. Reads the exact e12 placement rule
+    * (shared `e12AssignmentFrame`); the checkpointed shard×epoch frame
+    * self-joins at (shard, epoch+1) — value grain, no corpus scan. */
+  val e24Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       |  FROM documents GROUP BY 1),
+       |shards AS (
+       |  SELECT source, total_bytes,
+       |    unnest(range(0, (total_bytes + ${ShardBytes - 1}) // $ShardBytes)) AS shard_idx
+       |  FROM s),
+       |sb AS (
+       |  SELECT source, shard_idx,
+       |    least($ShardBytes, total_bytes - shard_idx * $ShardBytes) AS shard_bytes
+       |  FROM shards),
+       |e AS (
+       |  SELECT source, shard_idx, shard_bytes, unnest(range(0, $Epochs)) AS epoch FROM sb),
+       |k AS (
+       |  SELECT epoch, source, shard_idx, shard_bytes,
+       |    md5(source || ':' || shard_idx || ':' || epoch) AS shuffle_key FROM e),
+       |pos AS (
+       |  SELECT epoch, source, shard_idx, shard_bytes,
+       |    (row_number() OVER (PARTITION BY epoch
+       |      ORDER BY shuffle_key, source, shard_idx) - 1) % $LoaderWorkers AS worker
+       |  FROM k),
+       |j AS (
+       |  SELECT a.epoch AS epoch_from, a.shard_bytes,
+       |    CASE WHEN a.worker = b.worker THEN 1 ELSE 0 END AS stayed
+       |  FROM pos a JOIN pos b
+       |    ON a.source = b.source AND a.shard_idx = b.shard_idx
+       |    AND b.epoch = a.epoch + 1)
+       |SELECT epoch_from, CAST(count(*) AS BIGINT) AS n_shards,
+       |  CAST(sum(stayed) AS BIGINT) AS stayed,
+       |  (sum(stayed) * 10000) // count(*) AS stay_bp,
+       |  (sum(CASE WHEN stayed = 1 THEN shard_bytes ELSE 0 END) * 10000)
+       |    // sum(shard_bytes) AS stay_bytes_bp
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_epoch_stability" -> (e24EpochStability _),
     "e23_read_coalesce" -> (e23ReadCoalesce _),
     "e22_schedule_mixing" -> (e22ScheduleMixing _),
     "e21_rendezvous_placement" -> (e21RendezvousPlacement _),
@@ -1684,6 +1759,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e24_epoch_stability" -> e24Sql,
     "e23_read_coalesce" -> e23Sql,
     "e22_schedule_mixing" -> e22Sql,
     "e21_rendezvous_placement" -> e21Sql,

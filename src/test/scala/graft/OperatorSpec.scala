@@ -6600,6 +6600,77 @@ class OperatorSpec extends GraftSpec {
     }
   }
 
+  test("c62 correlogram: pure weekly signal peaks exactly at lag 7; lags cover 1..7") {
+    import spark.implicits._
+    // 5 weeks of a strict period-7 pattern: at lag 7 every pair is
+    // (v, v) -> r = 1.0 EXACTLY (numerator equals denominator in the
+    // integer moment core before the one double division)
+    val pattern = Seq(1, 5, 2, 9, 4, 7, 3)
+    val rows = (0 until 35).flatMap { i =>
+      Seq.fill(pattern(i % 7))(("W", new java.sql.Timestamp((20200L + i) * 86400000L)))
+    }
+    val got = Events.c62CorrelogramOf(rows.toDF("event_type", "ts")).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    // num == den in the integer core; the only slack is sqrt(a)*sqrt(a)
+    // vs a in the final double step (one ulp)
+    assert(math.abs(got(7L)._2 - 1.0) < 1e-12,
+      s"lag-7 ACF of a period-7 signal: ${got(7L)}")
+    assert(got(7L)._1 == 28L, "35 days -> 28 lag-7 pairs")
+    (1L to 6L).foreach(l =>
+      assert(got(l)._2 < got(7L)._2 - 0.1, s"lag $l must be well below the period"))
+    // real data: n_pairs decreases with lag, |acf| bounded
+    val real = Events.c62Correlogram(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("q83 same-day orders: brute-force parity; exact-dup flag fires only on equal totals") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        col("o_orderkey"),
+        (graft.Cols.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = orders.groupBy(t => (t._1, t._2)).toSeq
+      .filter(_._2.length > 1).map { case ((c, d), rows) =>
+        (c, d) -> ((rows.length.toLong, rows.map(_._4).sum,
+          rows.map(_._3).min, rows.map(_._3).max,
+          rows.map(_._4).distinct.length < rows.length))
+      }.toMap
+    val got = Analytics.q83SameDayOrders(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got == brute, s"${got.size} groups vs brute ${brute.size}")
+    assert(got.nonEmpty, "sf data must contain same-day multi-orders")
+  }
+
+  test("e24 epoch stability: brute-force parity with the shared e12 placement rule") {
+    val frame = MultimodalOps.e12AssignmentFrame(spark, sfDir)
+      .select(col("source"), col("shard_idx"), col("shard_bytes"),
+        col("epoch"), col("worker"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    val byEpoch = frame.groupBy(_._3)
+    val brute = (0 until MultimodalOps.Epochs - 1).map { e =>
+      val cur = byEpoch(e).map(t => t._1 -> ((t._2, t._4))).toMap
+      val nxt = byEpoch(e + 1).map(t => t._1 -> t._4).toMap
+      val n = cur.size.toLong
+      val stayed = cur.count { case (k, (_, w)) => nxt(k) == w }.toLong
+      val totB = cur.values.map(_._1).sum
+      val stayB = cur.collect { case (k, (b, w)) if nxt(k) == w => b }.sum
+      e.toLong -> ((n, stayed, stayed * 10000L / n, stayB * 10000L / totB))
+    }.toMap
+    val got = MultimodalOps.e24EpochStability(spark, sfDir).collect()
+      .map(r => r.getInt(0).toLong ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == brute, s"$got vs $brute")
+    // every shard appears in every epoch, so pair counts are constant
+    assert(got.values.map(_._1).toSet.size == 1)
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
