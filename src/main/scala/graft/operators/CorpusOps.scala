@@ -2324,7 +2324,70 @@ object CorpusOps {
        |      * 10000) // (max(tot) - max(nf)) END AS BIGINT) AS near_share_bp
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
 
+  def d114NoveltyCurve(spark: SparkSession, dir: String): DataFrame =
+    d114NoveltyCurveOf(graft.Tables.documents(spark, dir))
+
+  /** d114: corpus NOVELTY curve over acquisition order — the
+    * data-acquisition ROI report ("does 10% more corpus still buy new
+    * content, or are we re-crawling the same web?"): doc_ids are
+    * arrival order (the d22/d109 convention), split into ten key-range
+    * deciles; per decile, the count of distinct 3-gram shingles seen
+    * for the FIRST time there, cumulative, and the cumulative share in
+    * bp. A healthy acquisition shows a slowly flattening curve; a
+    * near-vertical-then-flat one says the tail deciles are paying for
+    * duplicates (d32's dedup economics, at the planning grain —
+    * BEFORE the next crawl is bought). d51 scores each doc's own
+    * novelty; this is the corpus-level integral of that signal.
+    *
+    * Shape: gram tier — per-doc distinct shingle explode → gram-grain
+    * min(doc_id) reduce (first sighting; map-side combinable) → the
+    * 1-row corpus-span scalar broadcast (the d61/d63 idiom, BNLJ-
+    * allowlisted) → 10-row decile reduce + windows over ten rows. */
+  def d114NoveltyCurveOf(docs: DataFrame): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val firstSeen = docs.filter(size(t) >= 3)
+      .select(col("doc_id"), explode(TextOps.shingles(t)).as("shingle"))
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    val span = docs.agg(max(col("doc_id")).as("max_doc"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.crossJoin(broadcast(span))
+      .select(expr("least((first_doc * 10) div (max_doc + 1), 9)").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_grams"))
+      .withColumn("cum_grams", sum(col("new_grams")).over(wCum))
+      .withColumn("total", sum(col("new_grams")).over(Window.partitionBy()))
+      .select(col("decile"), col("new_grams"), col("cum_grams"),
+        expr("(cum_grams * 10000) div total").as("cum_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val d114Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+      |span AS (SELECT max(doc_id) AS max_doc FROM documents),
+      |dec AS (
+      |  SELECT least((first_doc * 10) // (max_doc + 1), 9) AS decile,
+      |    count(*) AS new_grams
+      |  FROM fs CROSS JOIN span GROUP BY 1),
+      |c AS (
+      |  SELECT decile, new_grams,
+      |    sum(new_grams) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_grams,
+      |    sum(new_grams) OVER () AS total
+      |  FROM dec)
+      |SELECT CAST(decile AS BIGINT) AS decile, CAST(new_grams AS BIGINT) AS new_grams,
+      |  CAST(cum_grams AS BIGINT) AS cum_grams,
+      |  CAST((cum_grams * 10000) // total AS BIGINT) AS cum_bp
+      |FROM c ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d114_novelty_curve" -> (d114NoveltyCurve _),
     "d109_dup_locality" -> (d109DupLocality _),
     "d108_entropy_rate" -> (d108EntropyRate _),
     "d107_positional_drift" -> (d107PositionalDrift _),
@@ -2359,6 +2422,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "d109_dup_locality" -> d109Sql,
+    "d114_novelty_curve" -> d114Sql,
     "d108_entropy_rate" -> d108Sql,
     "d107_positional_drift" -> d107Sql,
     "d106_compressibility" -> d106Sql,

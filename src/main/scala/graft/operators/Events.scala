@@ -4014,7 +4014,70 @@ object Events {
       |       * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS autocorr
       |FROM m ORDER BY event_type, lag""".stripMargin
 
+  def c63NextEventPredictability(spark: SparkSession, dir: String): DataFrame =
+    c63NextEventPredictabilityOf(Tables.events(spark, dir))
+
+  /** c63: next-event PREDICTABILITY per state — the scalar that says
+    * whether c13's transition matrix is worth acting on: for each
+    * event type (as the CURRENT state of a user's ordered stream), the
+    * Gini impurity of its next-event distribution, 10⁴·(1 − Σc²/n²)
+    * bp — 0 = perfectly predictable (always the same successor,
+    * prefetch/precompute wins), → (1−1/k)·10⁴ = uniform coin (the
+    * matrix is noise). Impurity instead of entropy keeps the whole
+    * computation EXACT integer (cross-multiplied squares — no logs,
+    * no doubles); the dominant successor and its share ride along as
+    * the actionable rule. Successor pairs use the same per-user
+    * (ts, event_id) total order as c13, so the two operators cannot
+    * disagree about what "next" means.
+    *
+    * Shape: ONE scan → per-user lead window (user-partitioned — the
+    * c13 exchange) → (state, next) reduce → state reduce + one
+    * value-grain argmax window. */
+  def c63NextEventPredictabilityOf(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(wUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+    val wState = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("n", sum(col("c")).over(wState))
+      .withColumn("sum_c2", sum(col("c") * col("c")).over(wState))
+      .withColumn("rk", row_number().over(
+        wState.orderBy(col("c").desc, col("next_type"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_transitions"),
+        expr("(10000 * (n * n - sum_c2)) div (n * n)").as("impurity_bp"),
+        col("next_type").as("top_next"),
+        expr("(c * 10000) div n").as("top_next_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val c63Sql: String =
+    """WITH ordered AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type, next_type, count(*) AS c
+      |  FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |st AS (
+      |  SELECT *, sum(c) OVER (PARTITION BY event_type) AS n,
+      |    sum(c * c) OVER (PARTITION BY event_type) AS sum_c2,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c DESC, next_type) AS rk
+      |  FROM pairs)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_transitions,
+      |  CAST((10000 * (n * n - sum_c2)) // (n * n) AS BIGINT) AS impurity_bp,
+      |  next_type AS top_next,
+      |  CAST((c * 10000) // n AS BIGINT) AS top_next_bp
+      |FROM st WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c63_next_event_predictability" -> (c63NextEventPredictability _),
     "c62_correlogram" -> (c62Correlogram _),
     "c61_peak_detect" -> (c61PeakDetect _),
     "c60_seasonality_strength" -> (c60SeasonalityStrength _),
@@ -4079,6 +4142,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c63_next_event_predictability" -> c63Sql,
     "c62_correlogram" -> c62Sql,
     "c61_peak_detect" -> c61Sql,
     "c60_seasonality_strength" -> c60Sql,

@@ -49,7 +49,8 @@ class OperatorSpec extends GraftSpec {
       "d93_mips_lsh",          // 1-row max-norm scalar broadcast (the augmentation M2)
       "d98_vocab_coverage",    // 1-row corpus-totals scalar broadcast
       "d103_cluster_profile",  // 1-row corpus-doc-count broadcast (×2: hist + singleton row)
-      "q73_anova_two_way")     // 1-row moment frames (tot×ma×mb×mc) combined for 5 effect rows
+      "q73_anova_two_way",     // 1-row moment frames (tot×ma×mb×mc) combined for 5 effect rows
+      "d114_novelty_curve")    // 1-row corpus-span scalar broadcast (d61 idiom)
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -6669,6 +6670,59 @@ class OperatorSpec extends GraftSpec {
     assert(got == brute, s"$got vs $brute")
     // every shard appears in every epoch, so pair counts are constant
     assert(got.values.map(_._1).toSet.size == 1)
+  }
+
+  test("c63 predictability: planted chains score exact impurity; c13 order respected") {
+    import spark.implicits._
+    var id = 0L
+    def ev(u: Long, ts: Long, typ: String) = {
+      id += 1; (id, new java.sql.Timestamp(ts), u, typ)
+    }
+    // user 1: A->B, A->B, A->B, A->C  => A: n=4, counts {B:3, C:1},
+    //   impurity = 10000*(16-10)/16 = 3750, top B at 7500 bp
+    // user 2: D->D four times        => D: impurity 0, top D 10000
+    val rows = Seq(
+      ev(1, 1000, "A"), ev(1, 2000, "B"), ev(1, 3000, "A"), ev(1, 4000, "B"),
+      ev(1, 5000, "A"), ev(1, 6000, "B"), ev(1, 7000, "A"), ev(1, 8000, "C"),
+      ev(2, 1000, "D"), ev(2, 2000, "D"), ev(2, 3000, "D"),
+      ev(2, 4000, "D"), ev(2, 5000, "D"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.c63NextEventPredictabilityOf(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got("A") == ((4L, 3750L, "B", 7500L)), got("A").toString)
+    assert(got("D") == ((4L, 0L, "D", 10000L)), got("D").toString)
+    // B's successors: B->A three times, B->C? no: B(2k)->A(3k), B(4k)->A(5k), B(6k)->A(7k)
+    assert(got("B") == ((3L, 0L, "A", 10000L)), got("B").toString)
+    // real data: impurity bounded by the uniform ceiling, top share consistent
+    val real = Events.c63NextEventPredictability(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) < 10000L)
+      assert(r.getLong(4) >= 10000L / 5 - 1, "top share can't be below uniform")
+    }
+  }
+
+  test("d114 novelty curve: duplicate tail flattens the curve exactly; shares close at 10000") {
+    import spark.implicits._
+    // docs 0..9: five unique docs then five verbatim repeats of doc 0 ->
+    // all novelty lands in deciles 0..4, zero after
+    val uniq = (0 until 5).map(i => s"w${i}a w${i}b w${i}c w${i}d")
+    val docs = (0L until 10L).map(i =>
+      (i, if (i < 5) uniq(i.toInt) else uniq(0))).toDF("doc_id", "text")
+    val rows = CorpusOps.d114NoveltyCurveOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // max_doc = 9 -> decile = doc_id (0..9); docs 0..4 each add 2 grams
+    assert(rows.map(_._1).toSeq == (0L to 4L), rows.mkString(", "))
+    assert(rows.forall(_._2 == 2L))
+    assert(rows.last == ((4L, 2L, 10L, 10000L)), rows.last.toString)
+    // real data: cumulative monotone, closes at 10000 bp
+    val real = CorpusOps.d114NoveltyCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.nonEmpty && real.last._4 == 10000L)
+    assert(real.sliding(2).forall(p => p.length < 2 || p(0)._3 <= p(1)._3))
+    assert(real.head._2 > real.last._2,
+      "first decile must introduce more grams than the last (real corpora repeat)")
   }
 
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
