@@ -475,7 +475,13 @@ object MultimodalOps {
     * (source, shard) in the same doc_id order for member offsets +
     * the shard-total window. Both windows ride ONE source exchange
     * (same partitioning lineage, e2 precedent). */
-  def e17TarLayout(spark: SparkSession, dir: String): DataFrame = {
+  def e17TarLayout(spark: SparkSession, dir: String): DataFrame =
+    e17LayoutFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** e17's lineage WITHOUT the presentation sort — consumers that
+    * re-partition anyway (e23's per-shard coalescer) start here so the
+    * global doc_id range-sort never executes mid-pipeline. */
+  def e17LayoutFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -492,7 +498,6 @@ object MultimodalOps {
       .withColumn("shard_tar_bytes", sum(col("framed_bytes")).over(wShardAll) + lit(1024L))
       .select(col("doc_id"), col("source"), col("shard_idx"), col("n_bytes"),
         col("framed_bytes"), col("member_offset"), col("shard_tar_bytes"))
-      .orderBy(col("doc_id"))
   }
 
   val e17Sql: String =
@@ -1593,7 +1598,7 @@ object MultimodalOps {
     * member end) → shard-grain reduce. */
   def e23ReadCoalesce(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wanted = e17TarLayout(spark, dir)
+    val wanted = e17LayoutFrame(spark, dir)
       .filter(pmod(col("doc_id"), lit(FetchEvery)) === 0)
       .select(col("source"), col("shard_idx"), col("doc_id"),
         col("member_offset"), col("framed_bytes"))
