@@ -211,7 +211,8 @@ class OperatorSpec extends GraftSpec {
       "c42_survival_km"       -> Set("events"),     // 1-row corpus-end scalar
       "d92_mips_topk"         -> Set("embeddings"), // 10-row query set (literal id cut)
       "d93_mips_lsh"          -> Set("embeddings"), // 1-row M2 scalar + 10-row probe set
-      "d98_vocab_coverage"    -> Set("documents"))  // 1-row corpus-totals scalar
+      "d98_vocab_coverage"    -> Set("documents"),  // 1-row corpus-totals scalar
+      "d114_novelty_curve"    -> Set("documents"))  // 1-row corpus-span scalar
     def factLeaves(p: LogicalPlan): Set[String] = p.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
