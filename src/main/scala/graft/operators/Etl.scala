@@ -2604,7 +2604,60 @@ object Etl {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  /** a47: lake-table HISTORY audit through the correctness gate — the
+    * version/time-travel/DV ACCOUNTING proven against an oracle that
+    * predicts it from the raw data alone: build a CommitLog table with
+    * the full ingest lifecycle (full commit of the order slim → APPEND
+    * of the high-key slice → DV erase of every 83rd key), then report
+    * each RETAINED version (ordinal 1 = previous, 2 = current) with
+    * its visible row count and data-dir count. A pass proves: append
+    * added exactly the slice to a second dir without touching the
+    * first; the erase version hides exactly the right rows while the
+    * PREVIOUS version still resolves them (time travel), and the
+    * retention window holds. Ordinals, not raw version numbers, keep
+    * the output invariant across re-runs (versions grow; the retained
+    * WINDOW's content is deterministic).
+    *
+    * Cost: the a44 lake-gate tier — two small writes + one DV erase +
+    * two counts per run, all on the slim 2-column frame. */
+  def a47LakeHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a47")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    fmt.commit(spark, table, slim.filter(col("o_orderkey") % 2 === 0), "a47c")
+    fmt.append(spark, table, slim.filter(col("o_orderkey") % 2 === 1), "a47a")
+    fmt.erase(spark, table, col("o_orderkey") % 83 === 0, "a47e")
+    val retained = fmt.versions(spark, table).takeRight(2)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = retained.zipWithIndex.map { case (v, i) =>
+      val df = fmt.readVersion(spark, table, v).get
+      val entry = new org.apache.hadoop.fs.Path(table, s"_log/$v")
+      val in = fs.open(entry)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val nDirs = content.split('\n').head.trim.split("\\s+").count(_.nonEmpty)
+      (i + 1L, df.count(), nDirs.toLong)
+    }
+    rows.toDF("ordinal", "n_rows", "n_data_dirs")
+      .orderBy(col("ordinal"))
+  }
+
+  val a47Sql: String =
+    """WITH n AS (SELECT count(*) AS total FROM orders),
+      |erased AS (
+      |  SELECT count(*) AS gone FROM orders WHERE o_orderkey % 83 = 0)
+      |SELECT 1 AS ordinal, CAST(total AS BIGINT) AS n_rows,
+      |  CAST(2 AS BIGINT) AS n_data_dirs FROM n
+      |UNION ALL
+      |SELECT 2 AS ordinal, CAST(total - gone AS BIGINT) AS n_rows,
+      |  CAST(2 AS BIGINT) AS n_data_dirs FROM n, erased
+      |ORDER BY ordinal""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a47_lake_history" -> (a47LakeHistory _),
     "a46_referential_integrity" -> (a46ReferentialIntegrity _),
     "a45_pruned_source_read" -> (a45PrunedSourceRead _),
     "a44_pruned_read" -> (a44PrunedRead _),
@@ -2653,6 +2706,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a47_lake_history" -> a47Sql,
     "a46_referential_integrity" -> a46Sql,
     "a45_pruned_source_read" -> a45Sql,
     "a44_pruned_read" -> a44Sql,

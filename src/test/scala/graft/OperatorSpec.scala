@@ -6726,6 +6726,20 @@ class OperatorSpec extends GraftSpec {
       "first decile must introduce more grams than the last (real corpora repeat)")
   }
 
+  test("a47 lake history: retained versions account for exactly the append and the erase") {
+    val total = Tables.orders(spark, sfDir).count()
+    val erased = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 83 === 0).count()
+    val got = Etl.a47LakeHistory(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, total, 2L), (2L, total - erased, 2L)),
+      s"$total/$erased vs ${got.mkString(", ")}")
+    // idempotent across reruns: the retained window's CONTENT is stable
+    val again = Etl.a47LakeHistory(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
