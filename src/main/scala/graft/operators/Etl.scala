@@ -2589,8 +2589,8 @@ object Etl {
          |  CAST(sum(CASE WHEN c.$key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
          |  CAST(sum(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL
          |    THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
-         |  (sum(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL THEN 1 ELSE 0 END)
-         |    * 10000) // count(*) AS orphan_bp
+         |  CAST((sum(CASE WHEN c.$key IS NOT NULL AND p.$pkey IS NULL THEN 1 ELSE 0 END)
+         |    * 10000) // count(*) AS BIGINT) AS orphan_bp
          |FROM $childTable c
          |LEFT JOIN (SELECT DISTINCT $pkey FROM $parentTable) p ON c.$key = p.$pkey""".stripMargin
     Seq(
@@ -2656,7 +2656,117 @@ object Etl {
       |  CAST(2 AS BIGINT) AS n_data_dirs FROM n, erased
       |ORDER BY ordinal""".stripMargin
 
+  /** The a48/a49 update set: new payloads for every key in [100, 300]
+    * (o_custkey displaced by 1e6 so a stale read is unmistakable) plus
+    * three brand-new negative keys — one frame exercising both MERGE
+    * arms (matched-update and not-matched-insert). */
+  private def lakeUpdates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey").between(100, 300))
+      .select(col("o_orderkey"), (col("o_custkey") + 1000000L).as("o_custkey"))
+      .unionByName(Seq((-1L, 42L), (-2L, 42L), (-3L, 42L))
+        .toDF("o_orderkey", "o_custkey"))
+  }
+
+  /** a48: the CHANGE FEED through the correctness gate — commit the
+    * slim orders snapshot, run one merge-on-read upsert (updates +
+    * fresh inserts in ONE atomic version), then read the net row-level
+    * changes of that transition back from the log with
+    * `changesBetween`. The oracle predicts the exact feed from the raw
+    * parquet alone: every pre-image of an updated key as a `delete`,
+    * every post-image and fresh insert as an `insert`. A pass proves
+    * the whole CDC surface — dir-delta inserts, DV-delta deletes
+    * resolved back to rows, net semantics — against an independent
+    * engine, every round.
+    *
+    * Cost: the a44 lake-gate tier — the feed itself reads O(changed
+    * dirs + DV delta), which is the operator's 100 TB point. */
+  def a48ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a48")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    fmt.commit(spark, table, slim, "a48c")
+    fmt.upsertByKey(spark, table, lakeUpdates(spark, dir), "o_orderkey", "a48u")
+    val Seq(from, to) = fmt.versions(spark, table).takeRight(2)
+    fmt.changesBetween(spark, table, from, to).get
+      .orderBy(col("_change_type"), col("o_orderkey"))
+  }
+
+  val a48Sql: String =
+    """SELECT o_orderkey, o_custkey, _change_type FROM (
+      |  SELECT o_orderkey, o_custkey, 'delete' AS _change_type
+      |  FROM orders WHERE o_orderkey BETWEEN 100 AND 300
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, 'insert'
+      |  FROM orders WHERE o_orderkey BETWEEN 100 AND 300
+      |  UNION ALL
+      |  SELECT -i, 42, 'insert' FROM generate_series(1, 3) t(i))
+      |ORDER BY _change_type, o_orderkey""".stripMargin
+
+  /** a49: merge-on-read UPSERT read-back — after `upsertByKey`, the
+    * table must read as if every updated key's row had been rewritten
+    * in place and every fresh key inserted, though no prior data file
+    * was touched (the DV hides pre-images; the new dir supplies the
+    * rest). The oracle is the CASE-rewritten raw scan plus the fresh
+    * rows; the key-range filter keeps the gate's output bounded. */
+  def a49MorUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a49")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    fmt.commit(spark, table, slim, "a49c")
+    fmt.upsertByKey(spark, table, lakeUpdates(spark, dir), "o_orderkey", "a49u")
+    fmt.read(spark, table).get
+      .filter(col("o_orderkey") <= 400)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val a49Sql: String =
+    """SELECT o_orderkey, o_custkey FROM (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey BETWEEN 100 AND 300
+      |      THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -i, 42 FROM generate_series(1, 3) t(i))
+      |WHERE o_orderkey <= 400
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** a50: append-time SCHEMA EVOLUTION read-back — commit even keys
+    * with the 2-column schema, append odd keys carrying a third
+    * column, and read the union back: pre-evolution rows must surface
+    * NULL for the evolved column (the Delta/Iceberg add-column
+    * contract), post-evolution rows their real values, with no file
+    * rewritten. The oracle CASE-synthesizes the same union from the
+    * raw scan. */
+  def a50SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a50")
+    val orders = Tables.orders(spark, dir)
+    fmt.commit(spark, table, orders
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey")), "a50c")
+    fmt.append(spark, table, orders
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")), "a50a")
+    fmt.read(spark, table).get
+      .filter(col("o_orderkey") <= 500)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val a50Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a50_schema_evolution" -> (a50SchemaEvolution _),
+    "a49_mor_upsert" -> (a49MorUpsert _),
+    "a48_change_feed" -> (a48ChangeFeed _),
     "a47_lake_history" -> (a47LakeHistory _),
     "a46_referential_integrity" -> (a46ReferentialIntegrity _),
     "a45_pruned_source_read" -> (a45PrunedSourceRead _),
@@ -2706,6 +2816,9 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a50_schema_evolution" -> a50Sql,
+    "a49_mor_upsert" -> a49Sql,
+    "a48_change_feed" -> a48Sql,
     "a47_lake_history" -> a47Sql,
     "a46_referential_integrity" -> a46Sql,
     "a45_pruned_source_read" -> a45Sql,

@@ -1729,9 +1729,9 @@ object MultimodalOps {
        |    AND b.epoch = a.epoch + 1)
        |SELECT epoch_from, CAST(count(*) AS BIGINT) AS n_shards,
        |  CAST(sum(stayed) AS BIGINT) AS stayed,
-       |  (sum(stayed) * 10000) // count(*) AS stay_bp,
-       |  (sum(CASE WHEN stayed = 1 THEN shard_bytes ELSE 0 END) * 10000)
-       |    // sum(shard_bytes) AS stay_bytes_bp
+       |  CAST((sum(stayed) * 10000) // count(*) AS BIGINT) AS stay_bp,
+       |  CAST((sum(CASE WHEN stayed = 1 THEN shard_bytes ELSE 0 END) * 10000)
+       |    // sum(shard_bytes) AS BIGINT) AS stay_bytes_bp
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -207,9 +207,16 @@ object CommitLogTableFormat extends TableFormat {
 
   /** Merge-on-read: the data dirs' rows minus the DV's (file, pos)
     * set. The hidden `_metadata` parquet columns provide the physical
-    * identity. */
+    * identity. `mergeSchema` makes APPEND-time schema evolution a
+    * first-class read contract (the Delta/Iceberg add-column
+    * semantics): an appended dir may carry columns the older dirs
+    * lack — readers see the union schema with NULL backfill for rows
+    * predating the column, instead of whichever single file schema
+    * the planner happened to sample. Cost is one footer read per
+    * file, run distributed by the datasource — the same footers the
+    * zone map already touches. */
   private def resolve(spark: SparkSession, table: String, snap: Snap): DataFrame = {
-    val data = spark.read.parquet(
+    val data = spark.read.option("mergeSchema", "true").parquet(
       snap.dataNames.map(n => new Path(new Path(table), n).toString): _*)
     snap.dvName match {
       case None => data
@@ -261,6 +268,81 @@ object CommitLogTableFormat extends TableFormat {
       val content = entryContent(fs, entry)
       if (content.isEmpty) None // crashed legacy commit, never published
       else Some(resolve(spark, table, parseSnap(content)))
+    }
+  }
+
+  /** CHANGE FEED: the net row-level changes between two retained
+    * versions, as the snapshot columns plus `_change_type`
+    * (`insert` | `delete`) — the Delta CDF / Iceberg incremental-read
+    * surface, derived here entirely from what the log already records
+    * (no extra write-side bookkeeping): inserts are the rows of data
+    * dirs `to` lists beyond `from` that `to`'s DV does not hide;
+    * deletes are the rows of `from`'s dirs that `to`'s DV hides
+    * beyond `from`'s. NET semantics by construction — a row appended
+    * AND erased inside the window was never observable at either
+    * endpoint and appears as neither; an upsert shows as delete(old
+    * row) + insert(new row). Cost is O(changed dirs + DV delta), with
+    * the delete resolution a semi-join of the old dirs against the
+    * (small) DV delta — payload bytes of unchanged dirs never move.
+    *
+    * None when either version has left the retention window. Throws
+    * on a non-incremental lineage (a full [[commit]]/[[compact]]
+    * replaced dirs between the versions): a rewrite breaks row
+    * identity, so pretending to diff it would silently report a
+    * whole-table churn — Delta's CDF refuses the same way. */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    def snapOf(v: Long): Option[Snap] = {
+      val entry = new Path(new Path(table, LogDirName), v.toString)
+      if (!fs.exists(entry)) None
+      else Some(entryContent(fs, entry)).filter(_.nonEmpty).map(parseSnap)
+    }
+    for (fromSnap <- snapOf(fromVersion); toSnap <- snapOf(toVersion)) yield {
+      if (!fromSnap.dataNames.forall(toSnap.dataNames.contains))
+        throw new IllegalArgumentException(
+          s"version $toVersion of $root rewrote data dirs committed at " +
+            s"$fromVersion — a rewrite breaks row identity, so no " +
+            "incremental change feed exists between these versions")
+      val toDv = toSnap.dvName.map(n =>
+        spark.read.parquet(new Path(root, n).toString))
+      val fromDv = fromSnap.dvName.map(n =>
+        spark.read.parquet(new Path(root, n).toString))
+      def keyed(dirs: Seq[String]): DataFrame =
+        spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(n => new Path(root, n).toString): _*)
+          .withColumn("__graft_file", expr(FileKeyExpr))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+      def against(df: DataFrame, dv: DataFrame, how: String): DataFrame =
+        df.join(dv, df("__graft_file") === dv("file") &&
+            df("__graft_pos") === dv("pos"), how)
+          .drop("__graft_file", "__graft_pos", "file", "pos")
+      val newDirs = toSnap.dataNames.filterNot(fromSnap.dataNames.contains)
+      val inserts = (newDirs, toDv) match {
+        case (Nil, _) => None
+        case (dirs, None) =>
+          Some(keyed(dirs).drop("__graft_file", "__graft_pos"))
+        case (dirs, Some(dv)) => Some(against(keyed(dirs), dv, "left_anti"))
+      }
+      val dvDelta = (toDv, fromDv) match {
+        case (None, _) => None
+        case (Some(t), None) => Some(t)
+        case (Some(t), Some(f)) => Some(t.exceptAll(f))
+      }
+      val deletes = dvDelta.map(delta =>
+        against(keyed(fromSnap.dataNames), delta, "left_semi"))
+      val tagged =
+        inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
+          deletes.map(_.withColumn("_change_type", lit("delete"))).toSeq
+      tagged.reduceOption(_ unionByName (_, allowMissingColumns = true))
+        .getOrElse {
+          keyed(toSnap.dataNames).drop("__graft_file", "__graft_pos")
+            .limit(0).withColumn("_change_type", lit("insert"))
+        }
     }
   }
 
@@ -515,7 +597,9 @@ object CommitLogTableFormat extends TableFormat {
       case None => 0L
       case Some((v, content)) =>
         val snap = parseSnap(content)
-        val keyed = spark.read
+        // mergeSchema: erase predicates may name a column an older dir
+        // lacks (schema evolution) — those rows read NULL and miss
+        val keyed = spark.read.option("mergeSchema", "true")
           .parquet(snap.dataNames.map(n => new Path(root, n).toString): _*)
           .withColumn("__graft_file", expr(FileKeyExpr))
           .withColumn("__graft_pos", col("_metadata.row_index"))
@@ -537,6 +621,68 @@ object CommitLogTableFormat extends TableFormat {
               Seq(new Path(root, dvName)))
             newCount - priorCount
           }
+        } finally { merged.unpersist(); () }
+    }
+  }
+
+  /** Merge-on-read UPSERT: make `updates` the new truth for every key
+    * it carries, in ONE atomic version and WITHOUT rewriting any
+    * existing data file — the Delta `MERGE WHEN MATCHED UPDATE WHEN
+    * NOT MATCHED INSERT` fast path for keyed tables. The staged
+    * version's entry lists the prior dirs PLUS a new dir holding
+    * `updates`, and its DV is the prior DV unioned with every current
+    * row whose `keyCol` appears in `updates` — so matched keys are
+    * hidden and replaced, unmatched keys are plain inserts, and both
+    * effects land under one rename (readers see neither or both).
+    *
+    * Cost at 100 TB: O(updates) write + ONE hit scan of the table
+    * that reads only `keyCol` and the hidden `_metadata` identity
+    * (column pruning does the rest — payload bytes never move), with
+    * the update keys as the LEFT SEMI probe side AQE broadcasts when
+    * small. Compare `Sinks.mergeByKey`, which rewrites the full
+    * snapshot: that remains the compaction-grade merge; this is the
+    * CDC-grade one. Duplicate keys WITHIN `updates` all land —
+    * `updates` is the caller's declared truth, pre-dedup it if keys
+    * must be unique. Returns the count of replaced (hidden) rows. */
+  def upsertByKey(spark: SparkSession, table: String, updates: DataFrame,
+                  keyCol: String, token: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    recoverLatest(fs, table) match {
+      case None =>
+        commit(spark, table, updates, token); 0L
+      case Some((v, content)) =>
+        val snap = parseSnap(content)
+        val nv = v + 1
+        val dataName = s"data-v$nv-$token"
+        val dvName = s"dv-v$nv-$token"
+        val keyed = spark.read.option("mergeSchema", "true")
+          .parquet(snap.dataNames.map(n => new Path(root, n).toString): _*)
+          .select(col(keyCol),
+            expr(FileKeyExpr).as("__graft_file"),
+            col("_metadata.row_index").as("__graft_pos"))
+        val hits = keyed
+          .join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+        val prior = snap.dvName.map(n =>
+          spark.read.parquet(new Path(root, n).toString))
+        val merged = prior.map(hits.unionByName(_)).getOrElse(hits).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val newCount = merged.count()
+          val replaced = newCount - prior.map(_.count()).getOrElse(0L)
+          updates.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+          val dirs = snap.dataNames :+ dataName
+          val entry =
+            if (newCount == 0L) dirs.mkString(" ")
+            else {
+              merged.write.mode("overwrite").parquet(new Path(root, dvName).toString)
+              s"${dirs.mkString(" ")}\n$dvName"
+            }
+          publish(fs, root, nv, entry, token,
+            Seq(new Path(root, dataName), new Path(root, dvName)))
+          replaced
         } finally { merged.unpersist(); () }
     }
   }
@@ -696,7 +842,7 @@ object CommitLogTableFormat extends TableFormat {
     else if (kept.isEmpty)
       spark.read.parquet(all.head).limit(0)
     else {
-      val data = spark.read.parquet(kept: _*)
+      val data = spark.read.option("mergeSchema", "true").parquet(kept: _*)
       snap.dvName match {
         case None => data
         case Some(dvName) =>
