@@ -4288,7 +4288,215 @@ object Analytics {
       |  n_distinct_totals < n_orders AS exact_dup_suspect
       |FROM g WHERE n_orders > 1 ORDER BY o_custkey, day""".stripMargin
 
+  def q84GkGamma(spark: SparkSession, dir: String): DataFrame =
+    q84GkGammaOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** q84: Goodman–Kruskal gamma between order priority and ship-delay
+    * tier — ORDINAL×ORDINAL association, the slot q55 (nominal chi²)
+    * and q71 (numeric Kendall) both miss: does higher urgency actually
+    * buy earlier shipping? Gamma counts concordant vs discordant cell
+    * pairs of the 5×3 cross-tab (priority rank from the `N-WORD`
+    * prefix digit; delay tier = shipped-before-order / within-year /
+    * beyond-year) and ignores ties — the right choice when both axes
+    * are coarse grades, where tau-b's tie correction drowns the
+    * signal. Exactly integer: pair products in DECIMAL(38,0) (cnt² at
+    * 100 TB overflows a long), gamma itself ONE double division of two
+    * exact sums.
+    *
+    * Shape: fact⋈dim join → ≤15-cell reduce, localCheckpoint'ed (the
+    * q80 idiom: the pair join must not re-run the corpus join per
+    * side), then a ≤15×15 non-equi self-join — a broadcast
+    * nested-loop over LITERAL-capacity frames (BNLJ-allowlisted, the
+    * a31 precedent). */
+  def q84GkGammaOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val cells = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("pr"),
+        when(delay < 0, 1).when(delay <= 365, 2).otherwise(3).as("tier"))
+      .groupBy(col("pr"), col("tier"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val a = cells.select(col("pr").as("pa"), col("tier").as("ta"),
+      d38c(col("cnt")).as("ca"))
+    val b = cells.select(col("pr").as("pb"), col("tier").as("tb"),
+      d38c(col("cnt")).as("cb"))
+    a.join(broadcast(b), col("pa") < col("pb") && col("ta") =!= col("tb"))
+      .agg(
+        sum(when(col("tb") > col("ta"), col("ca") * col("cb")).otherwise(lit(0)))
+          .as("conc"),
+        sum(when(col("tb") < col("ta"), col("ca") * col("cb")).otherwise(lit(0)))
+          .as("disc"))
+      .select(col("conc").cast("bigint").as("concordant"),
+        col("disc").cast("bigint").as("discordant"),
+        ((col("conc") - col("disc")).cast("double") /
+          (col("conc") + col("disc")).cast("double")).as("gamma"))
+  }
+
+  val q84Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pr,
+      |    CASE WHEN datediff('day', o_orderdate, l_shipdate) < 0 THEN 1
+      |         WHEN datediff('day', o_orderdate, l_shipdate) <= 365 THEN 2
+      |         ELSE 3 END AS tier,
+      |    count(*) AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT
+      |    sum(CASE WHEN b.tier > a.tier
+      |      THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS conc,
+      |    sum(CASE WHEN b.tier < a.tier
+      |      THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS disc
+      |  FROM cells a JOIN cells b ON a.pr < b.pr AND a.tier <> b.tier)
+      |SELECT CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant,
+      |  CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE) AS gamma
+      |FROM p""".stripMargin
+
+  def q85JarqueBera(spark: SparkSession, dir: String): DataFrame =
+    q85JarqueBeraOf(Tables.orders(spark, dir))
+
+  /** q85: Jarque–Bera normality diagnostics of order totals per
+    * priority — skewness, excess kurtosis, and the JB statistic
+    * (Jarque & Bera 1980), the gate before ANY of the z-score
+    * detectors (q69/c12/c38 presuppose rough normality; a heavy tail
+    * quietly converts their σ thresholds into noise). Higher moments
+    * are cancellation bombs in floating point, so the sums stay EXACT:
+    * prices center on a FIXED dollar pivot (skew/kurtosis are
+    * translation-invariant, and a constant pivot keeps it ONE pass —
+    * a data-derived mean would need a pass of its own), and Σc..Σc⁴
+    * accumulate in DECIMAL(38,0) (|c| ≤ ~2.5e5 dollars ⇒ Σc⁴ fits to
+    * n ≈ 2.5e16 rows). Only the FINAL scalar expression — identical
+    * term order in both engines, sqrt/mul/div only (no pow, whose
+    * last-ulp varies by libm) — runs in doubles, so the result is
+    * bit-stable at any parallelism.
+    *
+    * Shape: ONE column-pruned orders scan → per-priority 5-row
+    * reduce. */
+  def q85JarqueBeraOf(orders: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val c = d38c(floor(Cols.dec2(col("o_totalprice"))).cast("long") - lit(250000L))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val r4 = col("s4").cast("double") / nd
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))
+    val exkurt = m4 / (m2 * m2) - lit(3.0)
+    orders
+      .select(col("o_orderpriority"), c.as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c") * col("c") * col("c")).as("s3"),
+        sum(col("c") * col("c") * col("c") * col("c")).as("s4"))
+      .select(col("o_orderpriority"), col("n").cast("bigint").as("n"),
+        skew.as("skewness"), exkurt.as("ex_kurtosis"),
+        (nd / lit(6.0) * (skew * skew + exkurt * exkurt / lit(4.0))).as("jb"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q85Sql: String =
+    """WITH s AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS HUGEINT) - 250000 AS c
+      |  FROM orders),
+      |m AS (
+      |  SELECT o_orderpriority, count(*) AS n, sum(c) AS s1, sum(c*c) AS s2,
+      |    sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+      |  FROM s GROUP BY 1),
+      |d AS (
+      |  SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM m),
+      |cm AS (
+      |  SELECT o_orderpriority, n, nd,
+      |    r2 - mu * mu AS m2,
+      |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+      |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM d),
+      |k AS (
+      |  SELECT o_orderpriority, n, nd,
+      |    m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+      |    m4 / (m2 * m2) - 3.0 AS ex_kurtosis
+      |  FROM cm)
+      |SELECT o_orderpriority, n, skewness, ex_kurtosis,
+      |  nd / 6.0 * (skewness * skewness + ex_kurtosis * ex_kurtosis / 4.0) AS jb
+      |FROM k ORDER BY o_orderpriority""".stripMargin
+
+  def q86Hoover(spark: SparkSession, dir: String): DataFrame =
+    q86HooverOf(Tables.orders(spark, dir), Tables.customer(spark, dir))
+
+  /** q86: Hoover (Robin Hood) index of customer spend per nation —
+    * the share of total spend that would have to MOVE between
+    * customers to equalize them: ½·Σ|xᵢ/X − 1/n|, the inequality
+    * measure with a direct operational reading (q53's Gini ranks
+    * pairs; Hoover prices the transfer), and — unlike Theil/Atkinson —
+    * log-free, so it stays EXACT integer end-to-end:
+    * Σ|n·xᵢ − X| · 10⁴ div (2·n·X) in DECIMAL(38,0) cents
+    * (n·x ≈ 10¹⁸, the deviation sum ≈ 10²⁸ at 100 TB — inside 38
+    * digits). Purchasing customers only (a zero-spend row has no
+    * cents to move; the inner join states that contract).
+    *
+    * Shape: orders⋈customer → customer-grain spend reduce,
+    * localCheckpoint'ed (the q80 idiom — totals and deviations must
+    * not re-run the join per side) → ≤25-row nation totals broadcast
+    * back → one deviation reduce. No corpus window: a
+    * Window.partitionBy(nation) over the customer-grain frame would
+    * pin 25 hot partitions (the c21 trap). */
+  def q86HooverOf(orders: DataFrame, customer: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val spend = orders
+      .select(col("o_custkey"), Cols.dec2(col("o_totalprice")).as("p"))
+      .groupBy(col("o_custkey"))
+      .agg(d38c(sum(col("p")) * 100).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("x"))
+      .localCheckpoint()
+    val totals = spend.groupBy(col("c_nationkey"))
+      .agg(sum(col("x")).as("tx"), count(lit(1)).cast(DecimalType(38, 0)).as("nc"))
+    spend.join(broadcast(totals), Seq("c_nationkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(max(col("nc")).as("nc"), max(col("tx")).as("tx"),
+        sum(abs(col("x") * col("nc") - col("tx"))).as("dev"))
+      .select(col("c_nationkey"), col("nc").cast("bigint").as("n_customers"),
+        // integral div (nonnegative operands) — decimal `/` rounds
+        // HALF_UP at scale 6, which can bump across the floor boundary
+        expr("(dev * 10000) div (nc * tx * 2)").cast("bigint").as("hoover_bp"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q86Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS x
+      |  FROM orders GROUP BY 1),
+      |sx AS (
+      |  SELECT c_nationkey, x FROM spend JOIN customer ON o_custkey = c_custkey),
+      |t AS (
+      |  SELECT c_nationkey, sum(x) AS tx, count(*) AS nc FROM sx GROUP BY 1)
+      |SELECT s.c_nationkey, CAST(t.nc AS BIGINT) AS n_customers,
+      |  CAST(sum(abs(s.x * t.nc - t.tx)) * 10000 // (t.nc * t.tx * 2) AS BIGINT)
+      |    AS hoover_bp
+      |FROM sx s JOIN t ON s.c_nationkey = t.c_nationkey
+      |GROUP BY s.c_nationkey, t.nc, t.tx
+      |ORDER BY s.c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_hoover_index" -> (q86Hoover _),
+    "q85_jarque_bera" -> (q85JarqueBera _),
+    "q84_gk_gamma" -> (q84GkGamma _),
     "q83_same_day_orders" -> (q83SameDayOrders _),
     "q82_price_dispersion" -> (q82PriceDispersion _),
     "q81_trimmed_stats" -> (q81TrimmedStats _),
@@ -4373,6 +4581,9 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q86_hoover_index" -> q86Sql,
+    "q85_jarque_bera" -> q85Sql,
+    "q84_gk_gamma" -> q84Sql,
     "q83_same_day_orders" -> q83Sql,
     "q82_price_dispersion" -> q82Sql,
     "q81_trimmed_stats" -> q81Sql,

@@ -4076,7 +4076,161 @@ object Events {
       |  CAST((c * 10000) // n AS BIGINT) AS top_next_bp
       |FROM st WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  def c64HurstRs(spark: SparkSession, dir: String): DataFrame =
+    c64HurstRsOf(Tables.events(spark, dir))
+
+  /** c64: rescaled-range (R/S) statistic and Hurst estimate per event
+    * type over the zero-filled daily series — LONG-RANGE dependence,
+    * the axis none of the existing diagnostics see: c35/c62 measure
+    * short-lag autocorrelation, c48 same-scale dispersion; R/S
+    * (Hurst 1951, Mandelbrot & Wallis 1969) asks whether deviations
+    * from the mean ACCUMULATE (H→1: persistent regimes — capacity
+    * planning cannot assume daily independence; H≈0.5: random walk;
+    * H→0: mean-reverting). The cumulative-deviation range stays EXACT
+    * by n-multiplication: Zₜ = prefixₜ − t·S/n is rational, so
+    * Wₜ = n·prefixₜ − t·S is integer in DECIMAL(38,0) and
+    * max(W)−min(W) = n·R exactly; R/S = (maxW−minW)/√(n·Σc²−S²)
+    * because the n's cancel against the population σ — ONE double
+    * division + sqrt at the end, H = ln(rs)/ln(n) scalar per type.
+    * Constant series (zero variance) have no row, the c51 contract.
+    *
+    * Shape: ONE scan → (type, day) reduce → c33 gap explode (gap days
+    * are real zeros — skipping them shortens the span and inflates
+    * persistence) → prefix/count/sum windows sharing ONE (type)
+    * exchange at day grain → per-type 1-row reduce. */
+  def c64HurstRsOf(events: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wPre = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val varN = col("nd") * col("ssq") - col("s") * col("s")
+    zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("prefix", sum(d38c(col("n_events"))).over(wPre))
+      .withColumn("nd", count(lit(1)).over(wAll).cast(DecimalType(38, 0)))
+      .withColumn("s", sum(d38c(col("n_events"))).over(wAll))
+      .withColumn("ssq", sum(d38c(col("n_events")) * d38c(col("n_events"))).over(wAll))
+      .withColumn("w", col("nd") * col("prefix") - d38c(col("t")) * col("s"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nd")).as("nd"), max(col("s")).as("s"),
+        max(col("ssq")).as("ssq"), (max(col("w")) - min(col("w"))).as("rng"))
+      .filter(varN > 0 && col("rng") > 0 && col("nd") > 1)
+      .select(col("event_type"), col("nd").cast("bigint").as("n_days"),
+        (col("rng").cast("double") / sqrt(varN.cast("double"))).as("rs"),
+        (log(col("rng").cast("double") / sqrt(varN.cast("double"))) /
+          log(col("nd").cast("double"))).as("h_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val c64Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, CAST(coalesce(b.n, 0) AS HUGEINT) AS c
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |w AS (
+      |  SELECT event_type, c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+      |    count(*) OVER (PARTITION BY event_type) AS nd,
+      |    sum(c) OVER (PARTITION BY event_type) AS s,
+      |    sum(c * c) OVER (PARTITION BY event_type) AS ssq
+      |  FROM j),
+      |g AS (
+      |  SELECT event_type, max(nd) AS nd, max(s) AS s, max(ssq) AS ssq,
+      |    max(nd * prefix - t * s) - min(nd * prefix - t * s) AS rng
+      |  FROM w GROUP BY 1)
+      |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+      |  CAST(rng AS DOUBLE) / sqrt(CAST(nd * ssq - s * s AS DOUBLE)) AS rs,
+      |  ln(CAST(rng AS DOUBLE) / sqrt(CAST(nd * ssq - s * s AS DOUBLE)))
+      |    / ln(CAST(nd AS DOUBLE)) AS h_est
+      |FROM g
+      |WHERE nd * ssq - s * s > 0 AND rng > 0 AND nd > 1
+      |ORDER BY event_type""".stripMargin
+
+  def c65VolClustering(spark: SparkSession, dir: String): DataFrame =
+    c65VolClusteringOf(Tables.events(spark, dir))
+
+  /** c65: volatility clustering per event type — lag-1 autocorrelation
+    * of |day-over-day change| in daily volume (the ARCH-effect
+    * diagnostic, Engle 1982): c35/c62 autocorrelate the LEVEL series;
+    * this asks whether the MAGNITUDE of change clusters — turbulent
+    * days begetting turbulent days even when the level shows no
+    * memory. Operationally it decides whether c12-style per-day
+    * thresholds can treat each day's deviation as independent (they
+    * can't when vol clusters — alerts arrive in storms, and paging
+    * policy should expect that). Same exact-integer moment core as
+    * c35 (DECIMAL(38,0) sums over the consecutive-pair frame, q26's
+    * ONE double formula at the end); zero-variance series have no row.
+    *
+    * Shape: ONE scan → (type, day) reduce → c33 gap explode (a gap
+    * day is a real zero — skipping it pairs non-adjacent days) → two
+    * sequential lag/lead windows riding ONE (type, day) exchange →
+    * per-type 1-row reduce. */
+  def c65VolClusteringOf(events: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("prev", lag(col("n_events"), 1).over(wOrd))
+      .filter(col("prev").isNotNull)
+      .withColumn("v", d38c(abs(col("n_events") - col("prev"))))
+      .withColumn("vnext", lead(col("v"), 1).over(wOrd))
+      .filter(col("vnext").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("v")).as("sx"), sum(col("vnext")).as("sy"),
+        sum(col("v") * col("vnext")).as("sxy"),
+        sum(col("v") * col("v")).as("sxx"),
+        sum(col("vnext") * col("vnext")).as("syy"))
+      .filter(denx > 0 && deny > 0)
+      .select(col("event_type"), col("n").cast("bigint").as("n_pairs"),
+        (num.cast("double") /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+          .as("vol_acf1"))
+      .orderBy(col("event_type"))
+  }
+
+  val c65Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS c
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |d AS (
+      |  SELECT event_type, day,
+      |    CAST(abs(c - lag(c) OVER (PARTITION BY event_type ORDER BY day)) AS HUGEINT) AS v
+      |  FROM j QUALIFY v IS NOT NULL),
+      |p AS (
+      |  SELECT event_type, v,
+      |    lead(v) OVER (PARTITION BY event_type ORDER BY day) AS vnext
+      |  FROM d QUALIFY vnext IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, sum(v) AS sx, sum(vnext) AS sy,
+      |    sum(v * vnext) AS sxy, sum(v * v) AS sxx, sum(vnext * vnext) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |    AS vol_acf1
+      |FROM m
+      |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c65_vol_clustering" -> (c65VolClustering _),
+    "c64_hurst_rs" -> (c64HurstRs _),
     "c63_next_event_predictability" -> (c63NextEventPredictability _),
     "c62_correlogram" -> (c62Correlogram _),
     "c61_peak_detect" -> (c61PeakDetect _),
@@ -4142,6 +4296,8 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c65_vol_clustering" -> c65Sql,
+    "c64_hurst_rs" -> c64Sql,
     "c63_next_event_predictability" -> c63Sql,
     "c62_correlogram" -> c62Sql,
     "c61_peak_detect" -> c61Sql,

@@ -1734,7 +1734,109 @@ object MultimodalOps {
        |    // sum(shard_bytes) AS BIGINT) AS stay_bytes_bp
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** e25: mid-epoch RESUME plan — the checkpoint-restart schedule a
+    * crashed training loader derives before touching a byte (torchdata
+    * / WebDataset resumable loading: a run dies at global item step S
+    * inside an epoch; re-reading finished shards wastes exactly the
+    * bandwidth the shard layout exists to save): walk e7's epoch-1
+    * shard order (same salted-md5 permutation — the resume plan MUST
+    * agree with the schedule the loader was executing), accumulate
+    * per-shard item counts from e2's layout, and classify every shard
+    * against S = 40% of the epoch's items: `done` (cum_end ≤ S —
+    * skip), `partial` (the one shard straddling S, with the in-shard
+    * item offset to seek to), `pending` (untouched). Empty shards a
+    * long blob can strand (no member STARTS inside) still schedule —
+    * the spine comes from byte totals, not observed starts, exactly
+    * as e7's loader-side set does.
+    *
+    * Shape: ONE corpus scan (e2's per-source cumsum on the slim
+    * frame) → shard-grain reduce, localCheckpoint'ed (spine totals
+    * and the item join must not re-run the corpus window per branch)
+    * → spine explode + manifest-grain schedule windows. Output is
+    * manifest-grain (the e2/e7 convention). */
+  def e25ResumePlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shards = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("end_byte", sum(col("n_bytes")).over(wSrc))
+      .withColumn("start_byte", col("end_byte") - col("n_bytes"))
+      .select(col("source"), expr(s"start_byte div $ShardBytes").as("shard_idx"),
+        col("end_byte"))
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(count(lit(1)).as("n_items"), max(col("end_byte")).as("max_end"))
+      .localCheckpoint()
+    val spine = shards.groupBy(col("source"))
+      .agg(max(col("max_end")).as("total_bytes"))
+      .select(col("source"), explode(expr(
+        s"sequence(0L, (total_bytes + ${ShardBytes - 1}L) div ${ShardBytes}L - 1L)"))
+        .as("shard_idx"))
+    val wOrd = Window.orderBy(col("shuffle_key"), col("source"), col("shard_idx"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    spine
+      .join(shards.select(col("source"), col("shard_idx"), col("n_items")),
+        Seq("source", "shard_idx"), "left")
+      .na.fill(0L, Seq("n_items"))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", col("source"), col("shard_idx"), lit(1))))
+      .withColumn("position", row_number().over(wOrd))
+      .withColumn("cum_end", sum(col("n_items")).over(wCum))
+      .withColumn("cum_start", col("cum_end") - col("n_items"))
+      .withColumn("s", expr("sum(n_items) over () * 2 div 5"))
+      .select(col("position"), col("source"), col("shard_idx"), col("n_items"),
+        when(col("cum_end") <= col("s"), lit("done"))
+          .when(col("cum_start") >= col("s"), lit("pending"))
+          .otherwise(lit("partial")).as("status"),
+        when(col("cum_end") > col("s") && col("cum_start") < col("s"),
+          col("s") - col("cum_start")).as("resume_offset"))
+      .orderBy(col("position"))
+  }
+
+  val e25Sql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes FROM documents),
+       |cum AS (
+       |  SELECT source,
+       |    (sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+       |      // $ShardBytes AS shard_idx,
+       |    sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_byte
+       |  FROM docs),
+       |per AS (
+       |  SELECT source, shard_idx, count(*) AS n_items, max(end_byte) AS max_end
+       |  FROM cum GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT source, CAST(max(max_end) AS BIGINT) AS total_bytes FROM per GROUP BY 1),
+       |spine AS (
+       |  SELECT source,
+       |    unnest(range(0, (total_bytes + ${ShardBytes - 1}) // $ShardBytes)) AS shard_idx
+       |  FROM tot),
+       |sched AS (
+       |  SELECT s.source, s.shard_idx, coalesce(p.n_items, 0) AS n_items,
+       |    md5(s.source || ':' || s.shard_idx || ':' || 1) AS shuffle_key
+       |  FROM spine s LEFT JOIN per p USING (source, shard_idx)),
+       |pos AS (
+       |  SELECT source, shard_idx, n_items,
+       |    CAST(row_number() OVER (ORDER BY shuffle_key, source, shard_idx) AS INT)
+       |      AS position,
+       |    sum(n_items) OVER (ORDER BY shuffle_key, source, shard_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end,
+       |    sum(n_items) OVER () * 2 // 5 AS s
+       |  FROM sched)
+       |SELECT position, source, shard_idx, CAST(n_items AS BIGINT) AS n_items,
+       |  CASE WHEN cum_end <= s THEN 'done'
+       |       WHEN cum_end - n_items >= s THEN 'pending'
+       |       ELSE 'partial' END AS status,
+       |  CASE WHEN cum_end > s AND cum_end - n_items < s
+       |       THEN CAST(s - (cum_end - n_items) AS BIGINT) END AS resume_offset
+       |FROM pos ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_resume_plan" -> (e25ResumePlan _),
     "e24_epoch_stability" -> (e24EpochStability _),
     "e23_read_coalesce" -> (e23ReadCoalesce _),
     "e22_schedule_mixing" -> (e22ScheduleMixing _),
@@ -1764,6 +1866,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e25_resume_plan" -> e25Sql,
     "e24_epoch_stability" -> e24Sql,
     "e23_read_coalesce" -> e23Sql,
     "e22_schedule_mixing" -> e22Sql,

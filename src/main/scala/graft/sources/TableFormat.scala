@@ -687,6 +687,28 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** [[upsertByKey]] exactly once per `token` — the appendIdempotent
+    * contract on the upsert path: a replayed foreachBatch micro-batch
+    * whose token already names the LATEST entry's newest dir is a
+    * no-op (single-writer + replay-only-the-last-batch, so the latest
+    * entry is the only place a duplicate can hide; the token is
+    * durable in the dir name). Returns the published version, None
+    * when the token was already applied. `upsertStream` rides this to
+    * make an at-least-once CDC feed exactly-once in the table. */
+  def upsertIdempotent(spark: SparkSession, table: String, updates: DataFrame,
+                       keyCol: String, token: String): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val applied = recoverLatest(fs, table).exists { case (_, content) =>
+      parseSnap(content).dataNames.lastOption
+        .exists(_.replaceFirst("^data-v\\d+-", "") == token)
+    }
+    if (applied) None
+    else {
+      upsertByKey(spark, table, updates, keyCol, token)
+      Some(latest(fs, table).get._1)
+    }
+  }
+
   /** MEASURED per-file zone map of the CURRENT snapshot: one row per
     * (data file, integer-typed leaf column) with min/max/null-count
     * read from the parquet FOOTERS — no data pages touched, cost is

@@ -1792,6 +1792,27 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming MERGE-ON-READ upsert into the CommitLog table — the
+    * CDC-consumer sink: each micro-batch is the new truth for the keys
+    * it carries (`upsertByKey` — matched rows DV-hidden, the batch
+    * appended as one dir, ONE atomic version per batch, O(batch + key
+    * hit scan) never a rewrite), exactly-once under foreachBatch's
+    * at-least-once replay via `upsertIdempotent`'s durable batch
+    * token. The streaming twin of a7's batch CDC compaction with the
+    * table format doing the heavy lifting: readers see whole batches
+    * or nothing, time travel sees pre-batch truth, `changesBetween`
+    * turns any batch transition back into its insert/delete feed. */
+  def upsertStream(rows: DataFrame, table: String, keyCol: String,
+                   checkpointDir: String) =
+    rows.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.CommitLogTableFormat.upsertIdempotent(
+          batch.sparkSession, table, batch, keyCol, s"b$batchId")
+        ()
+      }
+
   case class PeakOut(event_type: String, day: Long, n_events: Long,
                      prev_cnt: Long, next_cnt: Long, trailing7: Long)
   case class PeakState(firstDay: Long, lastClosed: Long, ring: Seq[Long],

@@ -50,7 +50,8 @@ class OperatorSpec extends GraftSpec {
       "d98_vocab_coverage",    // 1-row corpus-totals scalar broadcast
       "d103_cluster_profile",  // 1-row corpus-doc-count broadcast (×2: hist + singleton row)
       "q73_anova_two_way",     // 1-row moment frames (tot×ma×mb×mc) combined for 5 effect rows
-      "d114_novelty_curve")    // 1-row corpus-span scalar broadcast (d61 idiom)
+      "d114_novelty_curve",    // 1-row corpus-span scalar broadcast (d61 idiom)
+      "q84_gk_gamma")          // ≤15×15 cross-tab cell pairs, non-equi (a31 precedent)
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -6738,6 +6739,217 @@ class OperatorSpec extends GraftSpec {
     val again = Etl.a47LakeHistory(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == got.toSeq)
+  }
+
+  test("q84 GK gamma: perfect concordance/discordance exact; real data bounded") {
+    import spark.implicits._
+    def orders(rows: Seq[(Long, String, String)]) = rows
+      .map(t => (t._1, java.sql.Timestamp.valueOf(t._2), t._3))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    def lines(rows: Seq[(Long, String)]) = rows
+      .map(t => (t._1, java.sql.Timestamp.valueOf(t._2)))
+      .toDF("l_orderkey", "l_shipdate")
+    // urgency 1 ships before order (tier 1), urgency 5 ships years late
+    // (tier 3): every cross-priority pair concordant -> gamma = 1
+    val conc = Analytics.q84GkGammaOf(
+      orders(Seq((1L, "2024-01-10 00:00:00", "1-URGENT"),
+        (2L, "2024-01-10 00:00:00", "5-LOW"))),
+      lines(Seq((1L, "2024-01-05 00:00:00"), (1L, "2024-01-06 00:00:00"),
+        (2L, "2026-03-01 00:00:00")))).collect().head
+    assert(conc.getLong(0) == 2L && conc.getLong(1) == 0L &&
+      conc.getDouble(2) == 1.0, conc.toString)
+    // reversed: urgent ships late, low ships early -> gamma = -1
+    val disc = Analytics.q84GkGammaOf(
+      orders(Seq((1L, "2024-01-10 00:00:00", "1-URGENT"),
+        (2L, "2024-01-10 00:00:00", "5-LOW"))),
+      lines(Seq((1L, "2026-03-01 00:00:00"), (2L, "2024-01-05 00:00:00"))))
+      .collect().head
+    assert(disc.getDouble(2) == -1.0, disc.toString)
+    // real data: one row, |gamma| <= 1, pair counts positive
+    val real = Analytics.q84GkGamma(spark, sfDir).collect()
+    assert(real.length == 1)
+    assert(math.abs(real.head.getDouble(2)) <= 1.0)
+    assert(real.head.getLong(0) > 0 && real.head.getLong(1) > 0)
+  }
+
+  test("q85 Jarque-Bera: symmetric two-point plant scores skew 0, exkurt -2, JB n/6") {
+    import spark.implicits._
+    // c = +-1000 around the 250000 pivot, equal counts: s1 = s3 = 0 so
+    // skewness is EXACTLY 0.0; m4/m2^2 = 1 so exkurt = -2 exactly;
+    // JB = n/6 * (0 + 4/4) = n/6
+    val n = 40
+    val vals = Seq.fill(n / 2)(251000.0) ++ Seq.fill(n / 2)(249000.0)
+    val got = Analytics.q85JarqueBeraOf(
+      vals.map(v => ("3-MEDIUM", v)).toDF("o_orderpriority", "o_totalprice"))
+      .collect().head
+    assert(got.getLong(1) == n.toLong)
+    assert(got.getDouble(2) == 0.0, s"skew ${got.getDouble(2)}")
+    assert(math.abs(got.getDouble(3) + 2.0) < 1e-12, s"exkurt ${got.getDouble(3)}")
+    assert(math.abs(got.getDouble(4) - n / 6.0) < 1e-9, s"jb ${got.getDouble(4)}")
+    // real data: all 5 priorities, n sums to the order count, JB >= 0
+    val real = Analytics.q85JarqueBera(spark, sfDir).collect()
+    assert(real.length == 5)
+    assert(real.map(_.getLong(1)).sum == Tables.orders(spark, sfDir).count())
+    real.foreach(r => assert(r.getDouble(4) >= 0.0, r.toString))
+  }
+
+  test("q86 Hoover index: equality scores 0, one-owner k=4 scores 7500; real data bounded") {
+    import spark.implicits._
+    def run(orders: Seq[(Long, Double)], cust: Seq[(Long, Int)]) =
+      Analytics.q86HooverOf(
+        orders.toDF("o_custkey", "o_totalprice"),
+        cust.toDF("c_custkey", "c_nationkey")).collect()
+    // nation 1: four equal spenders -> 0 bp; nation 2: one of four
+    // customers holds ALL spend -> hoover = (k-1)/k = 7500 bp
+    val got = run(
+      Seq((1L, 50.0), (2L, 50.0), (3L, 50.0), (4L, 50.0),
+        (5L, 200.0), (6L, 1e-2), (7L, 1e-2), (8L, 1e-2)),
+      Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 2), (6L, 2), (7L, 2), (8L, 2)))
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1) == ((4L, 0L)), got(1).toString)
+    // spends 20000,1,1,1 cents: X=20003, dev = |4*20000-20003| + 3*|4-20003|
+    // = 59997 + 60003*... replay exactly:
+    val x = Seq(20000L, 1L, 1L, 1L)
+    val tx = x.sum
+    val dev = x.map(v => math.abs(4 * v - tx)).sum
+    assert(got(2) == ((4L, dev * 10000 / (2 * 4 * tx))), got(2).toString)
+    // real data: one row per purchasing nation, 0 <= bp < 10000
+    val real = Analytics.q86Hoover(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < 10000, r.toString))
+  }
+
+  test("c64 Hurst R/S: brute-force replay over the zero-filled spine; constant series absent") {
+    import spark.implicits._
+    // brute force from the raw events at sf
+    val byTypeDay = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rows) =>
+        val counts = rows.groupBy(_._2).map { case (d, g) => d -> g.length.toLong }
+        val lo = counts.keys.min
+        val hi = counts.keys.max
+        t -> (lo to hi).map(d => counts.getOrElse(d, 0L))
+      }
+    val brute = byTypeDay.flatMap { case (t, series) =>
+      val n = series.length.toLong
+      val s = series.sum
+      val ssq = series.map(v => BigInt(v) * BigInt(v)).sum
+      val prefixes = series.scanLeft(0L)(_ + _).tail
+      val w = prefixes.zipWithIndex.map { case (p, i) =>
+        BigInt(n) * BigInt(p) - BigInt(i + 1) * BigInt(s)
+      }
+      val rng = w.max - w.min
+      val varN = BigInt(n) * ssq - BigInt(s) * BigInt(s)
+      if (varN > 0 && rng > 0 && n > 1) {
+        val rs = rng.toDouble / math.sqrt(varN.toDouble)
+        Some(t -> ((n, rs, math.log(rs) / math.log(n.toDouble))))
+      } else None
+    }
+    val got = Events.c64HurstRs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (t, (n, rs, h)) =>
+      assert(got(t)._1 == n, s"$t days")
+      assert(math.abs(got(t)._2 - rs) < 1e-9 * rs, s"$t rs ${got(t)._2} vs $rs")
+      assert(math.abs(got(t)._3 - h) < 1e-9, s"$t h")
+    }
+    // constant series: zero variance -> no row
+    val const = (0 until 10).flatMap(i => Seq.fill(3)(
+      ("K", new java.sql.Timestamp((20000L + i) * 86400000L))))
+      .toDF("event_type", "ts")
+    assert(Events.c64HurstRsOf(const).collect().isEmpty)
+  }
+
+  test("c65 vol clustering: brute-force replay; alternating storm plants negative ACF") {
+    import spark.implicits._
+    // brute force |day-over-day change| lag-1 Pearson per type
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, rows) =>
+        val counts = rows.groupBy(_._2).map { case (d, g) => d -> g.length.toLong }
+        val series = (counts.keys.min to counts.keys.max)
+          .map(d => counts.getOrElse(d, 0L))
+        t -> series.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+      }
+    val brute = byType.flatMap { case (t, v) =>
+      val pairs = v.sliding(2).map(p => (p(0), p(1))).toSeq
+      val n = pairs.length.toLong
+      def b(l: Long) = BigInt(l)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => b(p._1) * b(p._2)).sum
+      val sxx = pairs.map(p => b(p._1) * b(p._1)).sum
+      val syy = pairs.map(p => b(p._2) * b(p._2)).sum
+      val dx = b(n) * sxx - b(sx) * b(sx); val dy = b(n) * syy - b(sy) * b(sy)
+      if (dx > 0 && dy > 0)
+        Some(t -> ((n, (b(n) * sxy - b(sx) * b(sy)).toDouble /
+          (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))))
+      else None
+    }
+    val got = Events.c65VolClustering(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == brute.keySet && got.keySet.nonEmpty)
+    brute.foreach { case (t, (n, acf)) =>
+      assert(got(t)._1 == n && math.abs(got(t)._2 - acf) < 1e-9, s"$t: ${got(t)} vs ($n, $acf)")
+    }
+    // a strict big-jump/small-jump alternation (+20, +1, -20, +1 ...):
+    // |changes| alternate 20, 1 -> strongly NEGATIVE vol ACF (turbulence
+    // never follows turbulence)
+    val counts = Seq(10, 30, 31, 11, 12, 32, 33, 13, 14, 34, 35, 15, 16, 36)
+    val alt = counts.zipWithIndex.flatMap { case (cnt, i) =>
+      Seq.fill(cnt)(("S", new java.sql.Timestamp((20100L + i) * 86400000L)))
+    }.toDF("event_type", "ts")
+    val a = Events.c65VolClusteringOf(alt).collect().head
+    assert(a.getDouble(2) < -0.9, s"alternation must anti-cluster: $a")
+  }
+
+  test("e25 resume plan: brute-force replay of layout+schedule; statuses partition at S") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val assigns: Seq[(String, Long)] = docs.groupBy(_._2).toSeq.flatMap {
+      case (src, rows) =>
+        var end = 0L
+        rows.sortBy(_._1).toSeq.map { t =>
+          val start = end; end += t._3
+          (src, start / MultimodalOps.ShardBytes)
+        }
+    }
+    val perShard: Map[(String, Long), Long] =
+      assigns.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val totals: Seq[(String, Long)] = docs.groupBy(_._2).toSeq
+      .map { case (s, rows) => s -> rows.map(_._3).sum }
+    val spine: Seq[(String, Long)] = totals.flatMap { case (s, tb) =>
+      (0L until (tb + MultimodalOps.ShardBytes - 1) / MultimodalOps.ShardBytes)
+        .map(i => (s, i))
+    }
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sched = spine.map { case (s, i) =>
+      (md5hex(s"$s:$i:1"), s, i, perShard.getOrElse((s, i), 0L))
+    }.sortBy(t => (t._1, t._2, t._3))
+    val total = sched.map(_._4).sum
+    val cut = total * 2 / 5
+    var cum = 0L
+    val brute = sched.zipWithIndex.map { case ((_, s, i, items), pos) =>
+      val start = cum; cum += items
+      val status =
+        if (cum <= cut) "done" else if (start >= cut) "pending" else "partial"
+      val off = if (status == "partial") Some(cut - start) else None
+      (pos + 1, s, i, items, status, off)
+    }
+    val got = MultimodalOps.e25ResumePlan(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(got.toSeq == brute.toSeq,
+      s"${got.take(3).mkString(";")} vs ${brute.take(3).mkString(";")}")
+    // invariants: at most one partial; offsets interior; statuses ordered
+    assert(got.count(_._5 == "partial") <= 1)
+    got.filter(_._5 == "partial").foreach(r =>
+      assert(r._6.get > 0 && r._6.get < r._4))
+    assert(got.nonEmpty && got.exists(_._5 == "done") && got.exists(_._5 == "pending"))
   }
 
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {

@@ -533,6 +533,41 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(viaPred == viaKeys, "keys-frame and predicate erases must agree")
   }
 
+  test("upsertStream: micro-batches upsert exactly-once; feed and time travel compose") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_upsert_stream").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.upsertStream(mem.toDF().toDF("k", "v"), dir, "k", ckpt).start()
+    try {
+      mem.addData((1L, "a1"), (2L, "b1"))
+      q.processAllAvailable()
+      assert(fmt.read(spark, dir).get.as[(Long, String)].collect().toMap ==
+        Map(1L -> "a1", 2L -> "b1"))
+      // batch 2: k=2 updated, k=3 fresh — ONE version, merged read
+      mem.addData((2L, "b2"), (3L, "c1"))
+      q.processAllAvailable()
+      val now = fmt.read(spark, dir).get.as[(Long, String)].collect().toMap
+      assert(now == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"))
+      // replaying the LAST batch token is a no-op (at-least-once -> exactly-once)
+      val versions = fmt.versions(spark, dir)
+      assert(fmt.upsertIdempotent(spark, dir,
+        Seq((2L, "b2"), (3L, "c1")).toDF("k", "v"), "k", "b1").isEmpty)
+      assert(fmt.versions(spark, dir) == versions)
+      // the batch transition reads back as its delete+insert feed
+      val Seq(from, to) = versions.takeRight(2)
+      val feed = fmt.changesBetween(spark, dir, from, to).get
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(feed == Seq((2L, "b1", "delete"), (2L, "b2", "insert"),
+        (3L, "c1", "insert")), feed.toString)
+      // time travel still sees the pre-batch truth
+      assert(fmt.readVersion(spark, dir, from).get.as[(Long, String)]
+        .collect().toMap == Map(1L -> "a1", 2L -> "b1"))
+    } finally q.stop()
+  }
+
   test("upsertByKey: matched keys replaced + unmatched inserted in ONE atomic version") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
