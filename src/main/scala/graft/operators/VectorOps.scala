@@ -1582,7 +1582,119 @@ object VectorOps {
        |  CAST(floor(max(norm2) * 1000) AS BIGINT) AS max_norm2_milli
        |FROM r GROUP BY label ORDER BY label""".stripMargin
 
+  /** d115: HUBNESS audit of the ANN neighbor graph — the
+    * high-dimensional pathology every vector index inherits
+    * (Radovanović et al. 2010): as dimension grows, a few points
+    * become "hubs" that appear in a disproportionate share of OTHER
+    * points' top-k lists while many become antihubs that appear in
+    * none — retrieval then over-serves the hubs (semantic near-dups,
+    * skewed RAG context) and silently never surfaces the antihubs.
+    * The audit: build the same bucketed candidate graph d10 serves
+    * queries from (every vector scores ONLY its LSH-bucket
+    * neighbors — the quadratic stays bucket-local, the d45 semdedup
+    * justification), take each vector's top-K by the d9 cosine
+    * convention, then measure the IN-degree (k-occurrence N_k)
+    * distribution: antihubs (N_k = 0), hubs (N_k ≥ 2K — Radovanović's
+    * working cut), max, and the k-occurrence SKEWNESS — the field's
+    * standard hubness scalar — via the q85 discipline (value-grain
+    * exact DECIMAL moment sums, ONE identical-term-order double
+    * formula, no pow).
+    *
+    * Shape: bucket equi-join → per-query top-K window → in-degree
+    * reduce LEFT-joined onto the id population (absent = antihub,
+    * the count the edge list alone cannot see) → ≤max-degree
+    * value-grain cells → 1-row reduce. Three embeddings scans — edge
+    * endpoints (query/candidate sides of the bucket join) + the
+    * population frame, each a genuine input. */
+  def d115Hubness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("bucket"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("bucket").as("cb"))
+    val scored = q.join(cand,
+        col("bucket") === col("cb") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val edges = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+    val indeg = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(edges.groupBy(col("neighbor_id")).agg(count(lit(1)).as("deg")),
+        col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("indeg"))
+    val cells = indeg.groupBy(col("indeg")).agg(count(lit(1)).as("cnt"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    cells.agg(
+        sum(col("cnt")).cast(DecimalType(38, 0)).as("n"),
+        sum(d38c(col("indeg")) * d38c(col("cnt"))).as("s1"),
+        sum(d38c(col("indeg")) * d38c(col("indeg")) * d38c(col("cnt"))).as("s2"),
+        sum(d38c(col("indeg")) * d38c(col("indeg")) * d38c(col("indeg")) *
+          d38c(col("cnt"))).as("s3"),
+        sum(when(col("indeg") === 0, col("cnt")).otherwise(lit(0L))).as("anti"),
+        sum(when(col("indeg") >= 2 * TopK, col("cnt")).otherwise(lit(0L))).as("hubs"),
+        max(col("indeg")).as("max_indeg"))
+      .select(col("n").cast("bigint").as("n_vectors"),
+        col("anti").cast("bigint").as("n_antihubs"),
+        col("hubs").cast("bigint").as("n_hubs"),
+        col("max_indeg"),
+        (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))).as("skewness"))
+  }
+
+  val d115Sql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ne, bucket AS cb FROM b),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("qe", "ne")} AS cos
+       |  FROM q JOIN c ON bucket = cb AND neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored),
+       |ind AS (
+       |  SELECT e.vec_id, count(r.neighbor_id) AS indeg
+       |  FROM embeddings e LEFT JOIN (SELECT neighbor_id FROM ranked WHERE rnk <= $TopK) r
+       |    ON r.neighbor_id = e.vec_id
+       |  GROUP BY 1),
+       |cells AS (SELECT indeg, count(*) AS cnt FROM ind GROUP BY 1),
+       |m AS (
+       |  SELECT sum(cnt) AS n,
+       |    sum(CAST(indeg AS HUGEINT) * cnt) AS s1,
+       |    sum(CAST(indeg AS HUGEINT) * indeg * cnt) AS s2,
+       |    sum(CAST(indeg AS HUGEINT) * indeg * indeg * cnt) AS s3,
+       |    sum(CASE WHEN indeg = 0 THEN cnt ELSE 0 END) AS antis,
+       |    sum(CASE WHEN indeg >= ${2 * TopK} THEN cnt ELSE 0 END) AS hubs,
+       |    max(indeg) AS max_indeg
+       |  FROM cells),
+       |d AS (
+       |  SELECT CAST(n AS BIGINT) AS n_vectors, CAST(antis AS BIGINT) AS n_antihubs,
+       |    CAST(hubs AS BIGINT) AS n_hubs, CAST(max_indeg AS BIGINT) AS max_indeg,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+       |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+       |  FROM m),
+       |cm AS (
+       |  SELECT n_vectors, n_antihubs, n_hubs, max_indeg,
+       |    r2 - mu * mu AS m2,
+       |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3
+       |  FROM d)
+       |SELECT n_vectors, n_antihubs, n_hubs, max_indeg,
+       |  m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness
+       |FROM cm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d115_hubness" -> (d115Hubness _),
     "d113_embedding_health" -> (d113EmbeddingHealth _),
     "d95_label_coherence" -> (d95LabelCoherence _),
     "d96_centroid_purity" -> (d96CentroidPurity _),
@@ -1603,6 +1715,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d115_hubness" -> d115Sql,
     "d113_embedding_health" -> d113Sql,
     "d95_label_coherence" -> d95Sql,
     "d96_centroid_purity" -> d96Sql,

@@ -6952,6 +6952,53 @@ class OperatorSpec extends GraftSpec {
     assert(got.nonEmpty && got.exists(_._5 == "done") && got.exists(_._5 == "pending"))
   }
 
+  test("d115 hubness: brute-force replay of bucketed kNN in-degree; identities hold") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def planeW(p: Int): Array[Float] = (0 until 64).map { j =>
+      var h = p * 0x9E3779B9 + j * 0x85EBCA6B
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }.toArray
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def bucket(v: Array[Float]): Int =
+      (0 until VectorOps.NumPlanes).map(p =>
+        if (dotD(v, planeW(p)) >= 0) 1 << p else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val byBucket = vecs.toSeq.groupBy { case (_, v) => bucket(v) }
+    val indeg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    byBucket.values.foreach { members =>
+      members.foreach { case (qid, qv) =>
+        members.filter(_._1 != qid)
+          .map { case (nid, nv) => (cos(qv, nv), nid) }
+          .sortBy { case (c, nid) => (-c, nid) }
+          .take(VectorOps.TopK)
+          .foreach { case (_, nid) => indeg(nid) += 1L }
+      }
+    }
+    val degs = vecs.keys.toSeq.map(indeg(_))
+    val n = degs.length.toLong
+    val s1 = degs.sum; val s2 = degs.map(d => d * d).sum
+    val s3 = degs.map(d => d * d * d).sum
+    val mu = s1.toDouble / n; val r2 = s2.toDouble / n; val r3 = s3.toDouble / n
+    val m2 = r2 - mu * mu
+    val m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    val skew = m3 / (math.sqrt(m2) * math.sqrt(m2) * math.sqrt(m2))
+    val got = VectorOps.d115Hubness(spark, sfDir).collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == degs.count(_ == 0L).toLong, "antihubs")
+    assert(got.getLong(2) == degs.count(_ >= 2L * VectorOps.TopK).toLong, "hubs")
+    assert(got.getLong(3) == degs.max, "max in-degree")
+    assert(math.abs(got.getDouble(4) - skew) < 1e-9, s"skew ${got.getDouble(4)} vs $skew")
+    // identity: mean in-degree * n == total edges <= n * K
+    assert(s1 <= n * VectorOps.TopK)
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
