@@ -2763,7 +2763,37 @@ object Etl {
       |WHERE o_orderkey <= 500
       |ORDER BY o_orderkey""".stripMargin
 
+  /** a51: Bloom-index POINT READ through the correctness gate — the
+    * skipping path zone maps cannot serve: the table is HASH-clustered
+    * on o_custkey (`repartition(4, ...)`) so every file spans the full
+    * custkey min/max (a range zone map keeps all of them) while each
+    * custkey lives in exactly ONE file — the per-file Bloom sidecar
+    * sees that. Commit → DV erase → index build → point lookup; the
+    * oracle predicts the same rows from the raw scan, so a pass proves
+    * the whole chain: per-file bloom_agg, pinned-version sidecar,
+    * might-contain file skipping, DV merge-on-read, residual filter.
+    * (Skipping effectiveness — 1 of 4 files read — is ScalaTest-gated;
+    * THIS gate is end-to-end equivalence, the a44 discipline.) */
+  def a51BloomPointRead(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a51")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .repartition(4, col("o_custkey"))
+    fmt.commit(spark, table, slim, "a51c")
+    fmt.erase(spark, table, col("o_orderkey") % 97 === 0, "a51e")
+    fmt.buildBloomIndex(spark, table, "o_custkey")
+    fmt.readBloomPoint(spark, table, "o_custkey", 7L).get
+      .orderBy(col("o_orderkey"))
+  }
+
+  val a51Sql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey = 7 AND o_orderkey % 97 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a51_bloom_point_read" -> (a51BloomPointRead _),
     "a50_schema_evolution" -> (a50SchemaEvolution _),
     "a49_mor_upsert" -> (a49MorUpsert _),
     "a48_change_feed" -> (a48ChangeFeed _),
@@ -2816,6 +2846,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a51_bloom_point_read" -> a51Sql,
     "a50_schema_evolution" -> a50Sql,
     "a49_mor_upsert" -> a49Sql,
     "a48_change_feed" -> a48Sql,

@@ -1606,9 +1606,11 @@ object VectorOps {
     * value-grain cells → 1-row reduce. Three embeddings scans — edge
     * endpoints (query/candidate sides of the bucket join) + the
     * population frame, each a genuine input. */
-  def d115Hubness(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+  /** The bucketed top-K neighbor EDGE list d115/d116 audit: every
+    * vector scores only its LSH-bucket neighbors (d10's candidate
+    * rule — the quadratic stays bucket-local), top-K by the d9
+    * cosine/tie convention. (query_id, neighbor_id) rows. */
+  private def bucketedTopkEdges(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", lshBucket(col("embedding")))
     val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -1621,8 +1623,15 @@ object VectorOps {
         cosine(col("qe"), col("ne")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    val edges = scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  def d115Hubness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val edges = bucketedTopkEdges(spark, dir)
     val indeg = Tables.embeddings(spark, dir).select(col("vec_id"))
       .join(edges.groupBy(col("neighbor_id")).agg(count(lit(1)).as("deg")),
         col("vec_id") === col("neighbor_id"), "left")
@@ -1693,7 +1702,82 @@ object VectorOps {
        |  m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness
        |FROM cm""".stripMargin
 
+  /** d116: kNN LABEL-NOISE audit — per label, the share of vectors
+    * whose top-K neighborhood votes for a DIFFERENT label (the
+    * leave-one-out kNN disagreement that Confident-Learning-style
+    * pipelines use to surface mislabeled training rows before they
+    * poison a classifier): a clean, separable labeling has near-zero
+    * disagreement; a label whose members' neighborhoods keep voting
+    * elsewhere is either noisy or genuinely overlapping — both worth
+    * a curator's eyes. Same bucketed top-K edges as d115 (shared
+    * lineage — the two audits provably read one graph); majority =
+    * neighbor label with max count, ties to the SMALLEST label id
+    * (deterministic, oracle-replayed); vectors with no in-bucket
+    * candidates are excluded (no evidence, stated contract).
+    *
+    * Shape: the d115 edge join → edge⋈labels (broadcast dim-sized
+    * label frame) → (query, label) count reduce → per-query argmax
+    * window over the ≤K-row groups → label-grain reduce. */
+  def d116LabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val edges = bucketedTopkEdges(spark, dir)
+    val nbr = edges
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("votes").desc, col("nlabel"))
+    val majority = nbr.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("nlabel").as("majority_label"))
+    majority
+      .join(labels.select(col("vec_id").as("query_id"), col("label")),
+        Seq("query_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_voted"),
+        sum(when(col("majority_label") =!= col("label"), 1L).otherwise(0L))
+          .as("disagreements"))
+      .select(col("label"), col("n_voted"), col("disagreements"),
+        expr("(disagreements * 10000) div n_voted").as("noise_bp"))
+      .orderBy(col("label"))
+  }
+
+  val d116Sql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, label, ${duckBucket("embedding")} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel, bucket FROM b),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ne, label AS nlabel,
+       |  bucket AS cb FROM b),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, nlabel, ${duckCosine("qe", "ne")} AS cos
+       |  FROM q JOIN c ON bucket = cb AND neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, nlabel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, nlabel, count(*) AS v
+       |  FROM ranked WHERE rnk <= $TopK GROUP BY 1, 2),
+       |maj AS (
+       |  SELECT query_id, nlabel AS majority_label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nlabel) AS r
+       |  FROM votes),
+       |j AS (
+       |  SELECT e.label, m.majority_label
+       |  FROM maj m JOIN embeddings e ON m.query_id = e.vec_id
+       |  WHERE m.r = 1)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_voted,
+       |  CAST(sum(CASE WHEN majority_label <> label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS disagreements,
+       |  CAST((sum(CASE WHEN majority_label <> label THEN 1 ELSE 0 END) * 10000)
+       |    // count(*) AS BIGINT) AS noise_bp
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d116_label_noise" -> (d116LabelNoise _),
     "d115_hubness" -> (d115Hubness _),
     "d113_embedding_health" -> (d113EmbeddingHealth _),
     "d95_label_coherence" -> (d95LabelCoherence _),
@@ -1715,6 +1799,7 @@ object VectorOps {
     "d17_ann_multiprobe" -> (d17AnnMultiprobe _))
 
   val oracles: Map[String, String] = Map(
+    "d116_label_noise" -> d116Sql,
     "d115_hubness" -> d115Sql,
     "d113_embedding_health" -> d113Sql,
     "d95_label_coherence" -> d95Sql,

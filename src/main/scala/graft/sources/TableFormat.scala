@@ -929,6 +929,104 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Per-file BLOOM INDEX of `column` for the CURRENT snapshot — the
+    * point-lookup skipper for the keys zone maps CANNOT prune: a
+    * hash-distributed or unclustered high-cardinality column has
+    * every file spanning the full min/max range, yet each file holds
+    * only a sliver of the VALUES — exactly what a per-file Bloom
+    * filter captures (Delta's bloom filter index / Iceberg puffin
+    * blobs; here measured from the data with Spark's own codegen'd
+    * BloomFilterAggregate via `bloom_agg`). One aggregate pass
+    * grouped by physical file, sidecar parquet
+    * `_index/bloom-v<V>-<column>` of (file, bloom bytes), tmp+rename
+    * published, PINNED to the snapshot version: any later commit
+    * orphans it and readers fall back to the plain resolved scan —
+    * stale skipping can lose rows, absent skipping never can. Older
+    * versions' indexes for the column are swept here (the vacuum
+    * discipline at index grain). Returns indexed file count, None
+    * before the first commit. */
+  def buildBloomIndex(spark: SparkSession, table: String, column: String,
+                      expectedItems: Long = 100000L,
+                      numBits: Long = 1L << 20): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, expr, lit, xxhash64, call_function}
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (v, content) =>
+      val snap = parseSnap(content)
+      val idxDir = new Path(root, "_index")
+      fs.mkdirs(idxDir)
+      val target = new Path(idxDir, s"bloom-v$v-$column")
+      val tmp = new Path(idxDir, s".tmp-bloom-v$v-$column")
+      val blooms = spark.read.option("mergeSchema", "true")
+        .parquet(snap.dataNames.map(n => new Path(root, n).toString): _*)
+        .select(col(column), expr(FileKeyExpr).as("file"))
+        .groupBy(col("file"))
+        .agg(call_function("bloom_agg", xxhash64(col(column)),
+          lit(expectedItems), lit(numBits)).as("bloom"))
+      blooms.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(target, true)
+      fs.rename(tmp, target)
+      // sweep this column's indexes for versions no longer retained
+      val stale = fs.globStatus(new Path(idxDir, s"bloom-v*-$column"))
+      if (stale != null) stale.foreach { s =>
+        val name = s.getPath.getName
+        val sv = name.stripPrefix("bloom-v").takeWhile(_.isDigit)
+        if (sv.nonEmpty && sv.toLong < v) fs.delete(s.getPath, true)
+      }
+      spark.read.parquet(target.toString).count()
+    }
+  }
+
+  /** Point lookup through the Bloom index: the rows of the CURRENT
+    * snapshot with `column` = `value`, reading ONLY the files whose
+    * Bloom filter admits the key (false positives read-and-filter
+    * away; false negatives cannot exist, so no row is ever lost).
+    * Falls back to the plain resolved filtered scan when no index is
+    * pinned to the current version — built-for-an-older-version
+    * indexes never serve (a newer commit may have added files the
+    * index has never seen). Merge-on-read and the residual filter
+    * apply exactly as in [[readPruned]]: pruning is an optimization,
+    * never a correctness dependency. None before the first commit. */
+  def readBloomPoint(spark: SparkSession, table: String, column: String,
+                     value: Any): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64, call_function}
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (v, content) =>
+      val snap = parseSnap(content)
+      val idx = new Path(new Path(root, "_index"), s"bloom-v$v-$column")
+      val residual = (df: DataFrame) => df.filter(col(column) === lit(value))
+      if (!fs.exists(idx)) residual(resolve(spark, table, snap))
+      else {
+        // one tiny job computes the probe key with the EXACT xxhash64
+        // the index side fed bloom_agg; the probe itself is a typed
+        // filter over the file-count-bounded index frame (Spark's
+        // might_contain expression demands a CONSTANT bloom side, and
+        // collecting every file's filter to the driver would be
+        // numBits/8 × files bytes — the probe moves file NAMES only)
+        import spark.implicits._
+        val hash = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+        val keptKeys = spark.read.parquet(idx.toString)
+          .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+          .filter { t =>
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(t._2))
+              .mightContainLong(hash)
+          }
+          .map(_._1).collect().toSet
+        val all = snapFiles(fs, table, snap)
+        val kept = all.filter { p =>
+          val parts = p.split('/')
+          keptKeys.contains(parts.takeRight(2).mkString("/"))
+        }
+        val keyType = org.apache.spark.sql.types.StringType // unused when kept nonEmpty
+        residual(resolveKept(spark, table, snap, kept, all, column,
+          if (value.isInstanceOf[String]) keyType
+          else org.apache.spark.sql.types.LongType))
+      }
+    }
+  }
+
   /** Retain the committed and previous versions (in-flight readers);
     * drop older versions and every unreferenced (orphan) data dir or
     * DV sidecar. An entry references every line of its content (data

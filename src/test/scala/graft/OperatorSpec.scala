@@ -6999,6 +6999,53 @@ class OperatorSpec extends GraftSpec {
     assert(s1 <= n * VectorOps.TopK)
   }
 
+  test("d116 label noise: brute-force majority-vote replay; counts partition the voted set") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val vecs = rows.map(t => t._1 -> t._2).toMap
+    val labels = rows.map(t => t._1 -> t._3).toMap
+    def planeW(p: Int): Array[Float] = (0 until 64).map { j =>
+      var h = p * 0x9E3779B9 + j * 0x85EBCA6B
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }.toArray
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def bucket(v: Array[Float]): Int =
+      (0 until VectorOps.NumPlanes).map(p =>
+        if (dotD(v, planeW(p)) >= 0) 1 << p else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val byBucket = vecs.toSeq.groupBy { case (_, v) => bucket(v) }
+    val brute = scala.collection.mutable.Map[Int, (Long, Long)]().withDefaultValue((0L, 0L))
+    byBucket.values.foreach { members =>
+      members.foreach { case (qid, qv) =>
+        val topk = members.filter(_._1 != qid)
+          .map { case (nid, nv) => (cos(qv, nv), nid) }
+          .sortBy { case (c, nid) => (-c, nid) }
+          .take(VectorOps.TopK)
+        if (topk.nonEmpty) {
+          val votes = topk.groupBy(t => labels(t._2))
+            .map { case (l, g) => (l, g.size) }.toSeq
+          val majority = votes.minBy { case (l, v) => (-v, l) }._1
+          val own = labels(qid)
+          val (n, d) = brute(own)
+          brute(own) = (n + 1, d + (if (majority != own) 1L else 0L))
+        }
+      }
+    }
+    val got = VectorOps.d116LabelNoise(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (l, (n, d)) =>
+      assert(got(l) == ((n, d, d * 10000 / n)), s"label $l: ${got(l)} vs ($n, $d)")
+    }
+    assert(got.values.map(_._1).sum <= vecs.size.toLong)
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the

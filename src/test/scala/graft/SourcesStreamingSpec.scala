@@ -683,6 +683,51 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(fmt.read(spark, dir).get.count() == 3L)
   }
 
+  test("bloom index: point reads skip files zone maps cannot; stale index falls back") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_bloom").toString + "/t"
+    // hash-clustered on k: every file spans the full k range (zone maps
+    // keep all), each k lives in exactly one file (bloom prunes)
+    fmt.commit(spark, dir, (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4, $"k"), "c1")
+    assert(fmt.buildBloomIndex(spark, dir, "k").contains(4L))
+    // equivalence on a present key
+    val got = fmt.readBloomPoint(spark, dir, "k", 42L).get
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((42L, "v42")))
+    // effectiveness: the index admits strictly fewer files than the snapshot
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hash = spark.range(1)
+      .select(org.apache.spark.sql.functions.xxhash64(lit(42L))).head().getLong(0)
+    val admitted = spark.read.parquet(s"$dir/_index/bloom-v1-k")
+      .select(col("bloom")).collect().count { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          .mightContainLong(hash)
+      }
+    assert(admitted < 4, s"bloom admitted $admitted of 4 files")
+    // absent key: empty, never an error
+    assert(fmt.readBloomPoint(spark, dir, "k", 9999L).get.collect().isEmpty)
+    // erase composes: hide the key, the bloom path must not resurrect it
+    assert(fmt.erase(spark, dir, $"k" === 42L, "e") == 1L)
+    fmt.buildBloomIndex(spark, dir, "k")
+    assert(fmt.readBloomPoint(spark, dir, "k", 42L).get.collect().isEmpty)
+    // stale index: a later append orphans it -> plain-scan fallback, rows correct
+    fmt.append(spark, dir, Seq((201L, "v201")).toDF("k", "v"), "a2")
+    val afterAppend = fmt.readBloomPoint(spark, dir, "k", 201L).get
+      .as[(Long, String)].collect().toSeq
+    assert(afterAppend == Seq((201L, "v201")),
+      "no index is pinned to the new version; fallback must see the appended row")
+    // rebuilding re-pins and sweeps the old version's index
+    fmt.buildBloomIndex(spark, dir, "k")
+    assert(!fs.exists(new Path(s"$dir/_index/bloom-v1-k")),
+      "older version's index must be swept")
+    assert(fmt.readBloomPoint(spark, dir, "k", 201L).get
+      .as[(Long, String)].collect().toSeq == Seq((201L, "v201")))
+  }
+
   test("commitWithRetry: the loser of a commit race rebases and lands; no lost update") {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
