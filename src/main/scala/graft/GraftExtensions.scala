@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BitmapAgg, BitmapCount, BitmapOverlap, BitmapUnionCountAgg, CosineSimilarity, DotProduct, FreqSketchAgg, KmvAgg, MinHashAgg, TopKAgg}
+import graft.functions.{BitmapAgg, BitmapCount, BitmapOverlap, BitmapUnionCountAgg, CosineSimilarity, DotProduct, FreqSketchAgg, HilbertIndex, KmvAgg, MinHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HilbertIndex(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("minhash128"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash128"),

@@ -819,6 +819,49 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(back == grid.filter($"kb".between(8, 15)).count())
   }
 
+  test("HilbertLayout: reference walk exact, curve is Manhattan-adjacent, prunes <= Z-order") {
+    import spark.implicits._
+    // order-1 U: (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3 — the reference xy2d
+    val h1 = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("a", "b")
+      .select(graft.sources.HilbertLayout.hvalue($"a", $"b", 1).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(h1 == Seq(0L, 1L, 2L, 3L), h1.toString)
+    // THE Hilbert property Morton lacks: consecutive positions are
+    // ALWAYS Manhattan-distance-1 neighbors — checked on the full
+    // 32x32 grid (and the walk is a bijection onto 0..1023)
+    val cells = (0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y)))
+    val hs = cells.toDF("a", "b")
+      .select($"a", $"b", graft.sources.HilbertLayout.hvalue($"a", $"b", 5).as("h"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+    assert(hs.map(_._1).sorted.toSeq == (0L until 1024L), "bijection")
+    val byD = hs.sortBy(_._1).map(_._2).toSeq
+    byD.zip(byD.tail).foreach { case ((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between consecutive curve positions: ($x1,$y1)->($x2,$y2)")
+    }
+    // same grid fixture as the Z-order spec: hilbert never prunes worse,
+    // and the second-key range still beats the single-key layout
+    val dir = Files.createTempDirectory("graft_hilbert").toString
+    val grid = (0L until 4096L).map(id => (id, id / 64L, id % 64L))
+      .toDF("id", "ka", "kb")
+    graft.sources.HilbertLayout.write(grid, "ka", "kb", 6, 16, s"$dir/h")
+    graft.sources.ZOrderLayout.write(grid, "ka", "kb", 6, 16, s"$dir/z")
+    val boxes = Seq((0L, 63L, 8L, 15L), (8L, 15L, 8L, 15L),
+      (24L, 39L, 24L, 39L), (30L, 33L, 0L, 63L))
+    boxes.foreach { case (la, ha, lb, hb) =>
+      val (hk, ht) = graft.sources.ZOrderLayout
+        .pruneCount(spark, s"$dir/h", "ka", "kb", la, ha, lb, hb)
+      val (zk, _) = graft.sources.ZOrderLayout
+        .pruneCount(spark, s"$dir/z", "ka", "kb", la, ha, lb, hb)
+      assert(ht == 16)
+      assert(hk <= zk, s"box ($la..$ha, $lb..$hb): hilbert $hk vs z $zk")
+    }
+    // rows survive the layout byte shuffle
+    assert(spark.read.parquet(s"$dir/h").count() == 4096L)
+    assert(spark.read.parquet(s"$dir/h").agg(sum($"id")).head.getLong(0) ==
+      (0L until 4096L).sum)
+  }
+
   test("CommitLogTableFormat: vacuum spares a concurrent writer's higher-version stage") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
