@@ -4493,7 +4493,87 @@ object Analytics {
       |GROUP BY s.c_nationkey, t.nc, t.tx
       |ORDER BY s.c_nationkey""".stripMargin
 
+  def q87CovMatrix(spark: SparkSession, dir: String): DataFrame =
+    q87CovMatrixOf(Tables.lineitem(spark, dir))
+
+  /** q87: covariance/correlation MATRIX per return flag over the three
+    * pricing measures (quantity, discount, extended price) — q24/q26
+    * report single pairs; a pricing analyst reads the matrix (which
+    * measures co-move, which are independent) before trusting any
+    * elasticity model built on them. All three pairs come from ONE
+    * scan and ONE aggregate: the nine raw power/cross sums accumulate
+    * exactly in DECIMAL(38,0) integer units (qty units, discount bp,
+    * price cents), and the pair rows unfold from that single
+    * aggregated row via an inline array-explode — never a union of
+    * projections, which would re-run the scan per pair (the c49
+    * trap). cov = (n·Σxy − Σx·Σy)/n² and the q26 corr formula are the
+    * only double steps, identical term order in the oracle. */
+  def q87CovMatrixOf(lineitem: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      d38c(col("l_quantity").cast("long")).as("q"),
+      d38c((Cols.dec2(col("l_discount")) * 100).cast("long")).as("d"),
+      d38c((Cols.dec2(col("l_extendedprice")) * 100).cast("long")).as("p"))
+    val agg = base.groupBy(col("flag")).agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("q")).as("sq"), sum(col("d")).as("sd"), sum(col("p")).as("sp"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("d") * col("d")).as("sdd"),
+      sum(col("p") * col("p")).as("spp"), sum(col("q") * col("d")).as("sqd"),
+      sum(col("q") * col("p")).as("sqp"), sum(col("d") * col("p")).as("sdp"))
+    def pair(name: String, sx: String, sy: String, sxy: String,
+             sxx: String, syy: String): Column = {
+      val num = col("n") * col(sxy) - col(sx) * col(sy)
+      val dx = col("n") * col(sxx) - col(sx) * col(sx)
+      val dy = col("n") * col(syy) - col(sy) * col(sy)
+      struct(lit(name).as("pair"),
+        (num.cast("double") / (col("n") * col("n")).cast("double")).as("cov"),
+        (num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .as("corr"))
+    }
+    agg.select(col("flag").as("l_returnflag"), col("n").cast("bigint").as("n"),
+        explode(array(
+          pair("qty_disc", "sq", "sd", "sqd", "sqq", "sdd"),
+          pair("qty_price", "sq", "sp", "sqp", "sqq", "spp"),
+          pair("disc_price", "sd", "sp", "sdp", "sdd", "spp"))).as("m"))
+      .select(col("l_returnflag"), col("n"), col("m.pair").as("pair"),
+        col("m.cov").as("cov"), col("m.corr").as("corr"))
+      .orderBy(col("l_returnflag"), col("pair"))
+  }
+
+  val q87Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS HUGEINT) AS q,
+      |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS HUGEINT) AS d,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS p
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, count(*) AS n, sum(q) AS sq, sum(d) AS sd, sum(p) AS sp,
+      |    sum(q*q) AS sqq, sum(d*d) AS sdd, sum(p*p) AS spp,
+      |    sum(q*d) AS sqd, sum(q*p) AS sqp, sum(d*p) AS sdp
+      |  FROM b GROUP BY 1),
+      |u AS (
+      |  SELECT flag, n, 'qty_disc' AS pair,
+      |    CAST(n*sqd - sq*sd AS DOUBLE) / CAST(n*n AS DOUBLE) AS cov,
+      |    CAST(n*sqd - sq*sd AS DOUBLE) /
+      |      (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr
+      |  FROM m
+      |  UNION ALL
+      |  SELECT flag, n, 'qty_price',
+      |    CAST(n*sqp - sq*sp AS DOUBLE) / CAST(n*n AS DOUBLE),
+      |    CAST(n*sqp - sq*sp AS DOUBLE) /
+      |      (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE)))
+      |  FROM m
+      |  UNION ALL
+      |  SELECT flag, n, 'disc_price',
+      |    CAST(n*sdp - sd*sp AS DOUBLE) / CAST(n*n AS DOUBLE),
+      |    CAST(n*sdp - sd*sp AS DOUBLE) /
+      |      (sqrt(CAST(n*sdd - sd*sd AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE)))
+      |  FROM m)
+      |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n, pair, cov, corr
+      |FROM u ORDER BY l_returnflag, pair""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_cov_matrix" -> (q87CovMatrix _),
     "q86_hoover_index" -> (q86Hoover _),
     "q85_jarque_bera" -> (q85JarqueBera _),
     "q84_gk_gamma" -> (q84GkGamma _),
@@ -4581,6 +4661,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q87_cov_matrix" -> q87Sql,
     "q86_hoover_index" -> q86Sql,
     "q85_jarque_bera" -> q85Sql,
     "q84_gk_gamma" -> q84Sql,

@@ -4228,7 +4228,74 @@ object Events {
       |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
       |ORDER BY event_type""".stripMargin
 
+  def c66BusyRuns(spark: SparkSession, dir: String): DataFrame =
+    c66BusyRunsOf(Tables.events(spark, dir))
+
+  /** c66: busy-RUN profile per event type — the duration dimension the
+    * point detectors miss: c25 flags hourly floods, c41/c44 flag the
+    * day a level shifts, but capacity planning needs to know how LONG
+    * an elevated regime lasts once entered (provision for the p-max
+    * run, not the single worst day). A day is `busy` when its count
+    * strictly exceeds the type's own mean daily rate — exact integer
+    * cross-multiplication (n·c > S, no division) over the zero-filled
+    * spine (a gap day is a real quiet day: it BREAKS a run, and
+    * skipping it would splice two separate episodes together). Runs
+    * are maximal consecutive busy stretches via the classic
+    * day − row_number island key; types never busy have no row.
+    *
+    * Shape: ONE scan → (type, day) reduce → c33 gap explode →
+    * count/sum windows + the island window on ONE (type) exchange →
+    * (type, island) reduce → per-type 1-row reduce. */
+  def c66BusyRunsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("n_events")).over(wAll))
+      .filter(d38c(col("n_events")) * d38c(col("nd")) > d38c(col("s")))
+      .withColumn("island", col("day") - row_number().over(wOrd))
+      .groupBy(col("event_type"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_runs"), max(col("len")).as("longest_run"),
+        sum(col("len")).as("busy_days"))
+      .select(col("event_type"), col("n_runs"), col("longest_run"),
+        col("busy_days"),
+        expr("(busy_days * 1000) div n_runs").as("mean_len_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val c66Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS c
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |t AS (
+      |  SELECT event_type, day, c,
+      |    count(*) OVER (PARTITION BY event_type) AS nd,
+      |    sum(c) OVER (PARTITION BY event_type) AS s
+      |  FROM j),
+      |busy AS (
+      |  SELECT event_type, day,
+      |    day - row_number() OVER (PARTITION BY event_type ORDER BY day) AS island
+      |  FROM t WHERE CAST(c AS HUGEINT) * nd > s),
+      |runs AS (
+      |  SELECT event_type, island, count(*) AS len FROM busy GROUP BY 1, 2)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(max(len) AS BIGINT) AS longest_run,
+      |  CAST(sum(len) AS BIGINT) AS busy_days,
+      |  CAST((sum(len) * 1000) // count(*) AS BIGINT) AS mean_len_milli
+      |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c66_busy_runs" -> (c66BusyRuns _),
     "c65_vol_clustering" -> (c65VolClustering _),
     "c64_hurst_rs" -> (c64HurstRs _),
     "c63_next_event_predictability" -> (c63NextEventPredictability _),
@@ -4296,6 +4363,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c66_busy_runs" -> c66Sql,
     "c65_vol_clustering" -> c65Sql,
     "c64_hurst_rs" -> c64Sql,
     "c63_next_event_predictability" -> c63Sql,

@@ -1835,7 +1835,108 @@ object MultimodalOps {
        |       THEN CAST(s - (cum_end - n_items) AS BIGINT) END AS resume_offset
        |FROM pos ORDER BY position""".stripMargin
 
+  /** e26: byte-budgeted PARTIAL-epoch sampling plan — the sub-epoch
+    * training schedule when the corpus is bigger than an epoch's
+    * compute budget (common at 100 TB: each "epoch" may only afford
+    * 40% of the bytes): per epoch, walk e7's salted-md5 shard order
+    * and admit shards while the byte budget holds (deterministic, no
+    * coordinator state — any worker recomputes the same plan), then
+    * report the question that decides whether this sampling is SOUND:
+    * cumulative corpus coverage — after E budgeted epochs, what byte
+    * share of the corpus has been seen at least once? Decorrelated
+    * per-epoch orders (e7's property) make coverage climb toward 1 −
+    * (1−b)^E; a correlated schedule would resample the same prefix
+    * and starve the tail, which is exactly what this audit exposes.
+    *
+    * Shape: ONE corpus scan (per-source byte totals) → shard spine at
+    * manifest grain, localCheckpoint'ed → epoch explode + per-epoch
+    * cumsum windows → selection stats and first-seen coverage both
+    * reduced from the SAME selected frame. All integer. */
+  def e26ByteBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shards = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(octet_length(col("text").cast("binary")).cast("long")).as("total_bytes"))
+      .select(col("source"), col("total_bytes"), explode(expr(
+        s"sequence(0L, (total_bytes + ${ShardBytes - 1}L) div ${ShardBytes}L - 1L)"))
+        .as("shard_idx"))
+      .select(col("source"), col("shard_idx"),
+        least(lit(ShardBytes), col("total_bytes") - col("shard_idx") * ShardBytes)
+          .as("shard_bytes"))
+      .localCheckpoint()
+    val wEpoch = Window.partitionBy(col("epoch"))
+      .orderBy(col("shuffle_key"), col("source"), col("shard_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("epoch"))
+    val sel = shards
+      .select(col("source"), col("shard_idx"), col("shard_bytes"),
+        explode(expr(s"sequence(0, ${Epochs - 1})")).as("epoch"))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", col("source"), col("shard_idx"), col("epoch"))))
+      .withColumn("cum", sum(col("shard_bytes")).over(wEpoch))
+      .withColumn("total", sum(col("shard_bytes")).over(wTot))
+      .filter(col("cum") <= expr("total * 2 div 5"))
+      .localCheckpoint()
+    val perEpoch = sel.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("shard_bytes")).as("epoch_bytes"),
+        max(col("total")).as("total_bytes"))
+    val coverage = sel.groupBy(col("source"), col("shard_idx"))
+      .agg(min(col("epoch")).as("first_epoch"), max(col("shard_bytes")).as("b"))
+      .select(col("b"), explode(expr(s"sequence(first_epoch, ${Epochs - 1})")).as("epoch"))
+      .groupBy(col("epoch"))
+      .agg(sum(col("b")).as("seen_bytes"))
+    perEpoch.join(coverage, Seq("epoch"))
+      .select(col("epoch"), col("n_shards"), col("epoch_bytes"),
+        expr("(epoch_bytes * 10000) div total_bytes").as("budget_used_bp"),
+        expr("(seen_bytes * 10000) div total_bytes").as("coverage_bp"))
+      .orderBy(col("epoch"))
+  }
+
+  val e26Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       |  FROM documents GROUP BY 1),
+       |shards AS (
+       |  SELECT source, total_bytes,
+       |    unnest(range(0, (total_bytes + ${ShardBytes - 1}) // $ShardBytes)) AS shard_idx
+       |  FROM s),
+       |sb AS (
+       |  SELECT source, shard_idx,
+       |    least($ShardBytes, total_bytes - shard_idx * $ShardBytes) AS shard_bytes
+       |  FROM shards),
+       |e AS (
+       |  SELECT source, shard_idx, shard_bytes, unnest(range(0, $Epochs)) AS epoch FROM sb),
+       |k AS (
+       |  SELECT *, md5(source || ':' || shard_idx || ':' || epoch) AS shuffle_key FROM e),
+       |c AS (
+       |  SELECT *,
+       |    sum(shard_bytes) OVER (PARTITION BY epoch
+       |      ORDER BY shuffle_key, source, shard_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(shard_bytes) OVER (PARTITION BY epoch) AS total
+       |  FROM k),
+       |sel AS (SELECT * FROM c WHERE cum <= total * 2 // 5),
+       |pe AS (
+       |  SELECT epoch, count(*) AS n_shards, sum(shard_bytes) AS epoch_bytes,
+       |    max(total) AS total_bytes
+       |  FROM sel GROUP BY 1),
+       |firsts AS (
+       |  SELECT source, shard_idx, min(epoch) AS first_epoch,
+       |    max(shard_bytes) AS b
+       |  FROM sel GROUP BY 1, 2),
+       |cov AS (
+       |  SELECT e2 AS epoch, sum(b) AS seen_bytes
+       |  FROM (SELECT b, unnest(range(first_epoch, $Epochs)) AS e2 FROM firsts)
+       |  GROUP BY 1)
+       |SELECT pe.epoch, CAST(n_shards AS BIGINT) AS n_shards,
+       |  CAST(epoch_bytes AS BIGINT) AS epoch_bytes,
+       |  CAST((epoch_bytes * 10000) // total_bytes AS BIGINT) AS budget_used_bp,
+       |  CAST((seen_bytes * 10000) // total_bytes AS BIGINT) AS coverage_bp
+       |FROM pe JOIN cov ON pe.epoch = cov.epoch
+       |ORDER BY pe.epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e26_byte_budget" -> (e26ByteBudget _),
     "e25_resume_plan" -> (e25ResumePlan _),
     "e24_epoch_stability" -> (e24EpochStability _),
     "e23_read_coalesce" -> (e23ReadCoalesce _),
@@ -1866,6 +1967,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e26_byte_budget" -> e26Sql,
     "e25_resume_plan" -> e25Sql,
     "e24_epoch_stability" -> e24Sql,
     "e23_read_coalesce" -> e23Sql,

@@ -7046,6 +7046,77 @@ class OperatorSpec extends GraftSpec {
     assert(got.values.map(_._1).sum <= vecs.size.toLong)
   }
 
+  test("q87 cov matrix: perfect linear plant scores corr 1/-1; matrix covers all pairs") {
+    import spark.implicits._
+    // q = 1..4, d = 2q (corr +1), p = -3q (corr -1): exact cross sums
+    val rows = (1 to 4).map(i => ("X", i.toDouble, 2.0 * i / 100.0, -3.0 * i / 100.0))
+      .toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+    val got = Analytics.q87CovMatrixOf(rows).collect()
+      .map(r => r.getString(2) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set("qty_disc", "qty_price", "disc_price"))
+    assert(math.abs(got("qty_disc")._2 - 1.0) < 1e-12, got("qty_disc").toString)
+    assert(math.abs(got("qty_price")._2 + 1.0) < 1e-12, got("qty_price").toString)
+    assert(math.abs(got("disc_price")._2 + 1.0) < 1e-12)
+    // cov(q, d) with d in integer discount units (dec2*100 -> d = 2q):
+    // cov = 2*var(q), var(1..4) = 1.25 -> 2.5
+    assert(math.abs(got("qty_disc")._1 - 2.5) < 1e-9, got("qty_disc").toString)
+    // real data: every (flag, pair) present, |corr| bounded
+    val real = Analytics.q87CovMatrix(spark, sfDir).collect()
+    val flags = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag")).distinct().count()
+    assert(real.length == 3 * flags)
+    real.foreach(r => assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, r.toString))
+  }
+
+  test("c66 busy runs: planted regimes count runs exactly; gap days break a run") {
+    import spark.implicits._
+    // 10 days: counts 1,1,9,9,9,1,1,9,1,9 (mean 5) -> busy days at
+    // idx 2,3,4 (run of 3), 7 (run of 1), 9 (run of 1) => 3 runs,
+    // longest 3, busy 5, mean 1666 milli
+    val counts = Seq(1, 1, 9, 9, 9, 1, 1, 9, 1, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("R", new java.sql.Timestamp((20300L + i) * 86400000L)))
+    }.toDF("event_type", "ts")
+    val got = Events.c66BusyRunsOf(rows).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((3L, 3L, 5L, 1666L)), got.mkString(","))
+    // a GAP day splits an otherwise-contiguous busy stretch: days
+    // 0,1,3 have 9 events, day 2 absent (zero-filled, not busy)
+    // mean = 27/4 -> busy at 0,1,3 => runs {0,1} and {3}
+    val gap = Seq(0, 1, 3).flatMap(i =>
+      Seq.fill(9)(("G", new java.sql.Timestamp((20400L + i) * 86400000L))))
+      .toDF("event_type", "ts")
+    val g = Events.c66BusyRunsOf(gap).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(g.toSeq == Seq((2L, 2L, 3L)), g.mkString(","))
+    // constant series: nothing strictly above the mean -> no row
+    val const = (0 until 5).flatMap(i =>
+      Seq.fill(4)(("C", new java.sql.Timestamp((20500L + i) * 86400000L))))
+      .toDF("event_type", "ts")
+    assert(Events.c66BusyRunsOf(const).collect().isEmpty)
+    // real data bounded: mean run length within [1000, longest*1000]
+    Events.c66BusyRuns(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(4) >= 1000L && r.getLong(4) <= r.getLong(2) * 1000L)
+    }
+  }
+
+  test("e26 byte budget: per-epoch budget respected; coverage cumulative and monotone") {
+    val got = MultimodalOps.e26ByteBudget(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == (0 until MultimodalOps.Epochs).toSeq)
+    got.foreach { case (_, n, _, usedBp, covBp) =>
+      assert(n > 0)
+      assert(usedBp <= 4000L, s"budget overshoot: $usedBp bp")
+      assert(covBp >= usedBp, "coverage can never lag the epoch's own bytes")
+      assert(covBp <= 10000L)
+    }
+    // coverage is CUMULATIVE: non-decreasing across epochs, and after
+    // several decorrelated epochs it exceeds any single epoch's budget
+    val cov = got.map(_._5)
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a }, cov.mkString(","))
+    assert(cov.last > got.head._4, s"decorrelated epochs must widen coverage: $cov")
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
