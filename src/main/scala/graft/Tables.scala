@@ -47,4 +47,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Register every table as a session temp view (events through its
+    * ts-normalizing loader), so `spark.sql("SELECT ... FROM lineitem
+    * JOIN orders ...")` works beside the DataFrame API — the SQL half
+    * of the engine's surface. Temp views are lazy plans, not copies:
+    * Catalyst prunes/pushes into the parquet scan exactly as with the
+    * loader frames, and re-registration is idempotent. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => apply(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -4572,7 +4572,94 @@ object Analytics {
       |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n, pair, cov, corr
       |FROM u ORDER BY l_returnflag, pair""".stripMargin
 
+  def q88PartialCorr(spark: SparkSession, dir: String): DataFrame =
+    q88PartialCorrOf(Tables.lineitem(spark, dir))
+
+  /** q88: PARTIAL correlations over the q87 triple — each pair's
+    * association with the third measure held fixed
+    * (r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))): the
+    * confounder check q87's raw matrix invites — is the
+    * quantity↔price co-movement real, or routed through discount? A
+    * raw corr that collapses once controlled is exactly the spurious
+    * association an elasticity model must not fit. Same ONE scan, ONE
+    * aggregate, same exact DECIMAL(38,0) sums; the three raw r's and
+    * the partials are scalar double expressions with oracle-identical
+    * term order (sqrt/mul/div only — the q85 discipline). */
+  def q88PartialCorrOf(lineitem: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      d38c(col("l_quantity").cast("long")).as("q"),
+      d38c((Cols.dec2(col("l_discount")) * 100).cast("long")).as("d"),
+      d38c((Cols.dec2(col("l_extendedprice")) * 100).cast("long")).as("p"))
+    val agg = base.groupBy(col("flag")).agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("q")).as("sq"), sum(col("d")).as("sd"), sum(col("p")).as("sp"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("d") * col("d")).as("sdd"),
+      sum(col("p") * col("p")).as("spp"), sum(col("q") * col("d")).as("sqd"),
+      sum(col("q") * col("p")).as("sqp"), sum(col("d") * col("p")).as("sdp"))
+    def r(sx: String, sy: String, sxy: String, sxx: String, syy: String): Column = {
+      val num = col("n") * col(sxy) - col(sx) * col(sy)
+      val dx = col("n") * col(sxx) - col(sx) * col(sx)
+      val dy = col("n") * col(syy) - col(sy) * col(sy)
+      num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))
+    }
+    val rqd = r("sq", "sd", "sqd", "sqq", "sdd")
+    val rqp = r("sq", "sp", "sqp", "sqq", "spp")
+    val rdp = r("sd", "sp", "sdp", "sdd", "spp")
+    def partial(rxy: Column, rxz: Column, ryz: Column): Column =
+      (rxy - rxz * ryz) /
+        (sqrt(lit(1.0) - rxz * rxz) * sqrt(lit(1.0) - ryz * ryz))
+    agg.select(col("flag").as("l_returnflag"), col("n").cast("bigint").as("n"),
+        explode(array(
+          struct(lit("qty_disc_given_price").as("pair"),
+            partial(rqd, rqp, rdp).as("pcorr"), rqd.as("raw_corr")),
+          struct(lit("qty_price_given_disc").as("pair"),
+            partial(rqp, rqd, rdp).as("pcorr"), rqp.as("raw_corr")),
+          struct(lit("disc_price_given_qty").as("pair"),
+            partial(rdp, rqd, rqp).as("pcorr"), rdp.as("raw_corr")))).as("m"))
+      .select(col("l_returnflag"), col("n"), col("m.pair").as("pair"),
+        col("m.pcorr").as("pcorr"), col("m.raw_corr").as("raw_corr"))
+      .orderBy(col("l_returnflag"), col("pair"))
+  }
+
+  val q88Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS HUGEINT) AS q,
+      |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS HUGEINT) AS d,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS p
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, count(*) AS n, sum(q) AS sq, sum(d) AS sd, sum(p) AS sp,
+      |    sum(q*q) AS sqq, sum(d*d) AS sdd, sum(p*p) AS spp,
+      |    sum(q*d) AS sqd, sum(q*p) AS sqp, sum(d*p) AS sdp
+      |  FROM b GROUP BY 1),
+      |r AS (
+      |  SELECT flag, n,
+      |    CAST(n*sqd - sq*sd AS DOUBLE) /
+      |      (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS rqd,
+      |    CAST(n*sqp - sq*sp AS DOUBLE) /
+      |      (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) AS rqp,
+      |    CAST(n*sdp - sd*sp AS DOUBLE) /
+      |      (sqrt(CAST(n*sdd - sd*sd AS DOUBLE)) * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) AS rdp
+      |  FROM m),
+      |u AS (
+      |  SELECT flag, n, 'qty_disc_given_price' AS pair,
+      |    (rqd - rqp * rdp) / (sqrt(1.0 - rqp * rqp) * sqrt(1.0 - rdp * rdp)) AS pcorr,
+      |    rqd AS raw_corr
+      |  FROM r
+      |  UNION ALL
+      |  SELECT flag, n, 'qty_price_given_disc',
+      |    (rqp - rqd * rdp) / (sqrt(1.0 - rqd * rqd) * sqrt(1.0 - rdp * rdp)), rqp
+      |  FROM r
+      |  UNION ALL
+      |  SELECT flag, n, 'disc_price_given_qty',
+      |    (rdp - rqd * rqp) / (sqrt(1.0 - rqd * rqd) * sqrt(1.0 - rqp * rqp)), rdp
+      |  FROM r)
+      |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n, pair, pcorr, raw_corr
+      |FROM u ORDER BY l_returnflag, pair""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_partial_corr" -> (q88PartialCorr _),
     "q87_cov_matrix" -> (q87CovMatrix _),
     "q86_hoover_index" -> (q86Hoover _),
     "q85_jarque_bera" -> (q85JarqueBera _),
@@ -4661,6 +4748,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q88_partial_corr" -> q88Sql,
     "q87_cov_matrix" -> q87Sql,
     "q86_hoover_index" -> q86Sql,
     "q85_jarque_bera" -> q85Sql,

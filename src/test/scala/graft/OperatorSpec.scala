@@ -7117,6 +7117,81 @@ class OperatorSpec extends GraftSpec {
     assert(cov.last > got.head._4, s"decorrelated epochs must widen coverage: $cov")
   }
 
+  test("q88 partial corr: brute replay; a confounder-driven pair collapses when controlled") {
+    import spark.implicits._
+    // q and p both driven by d plus orthogonal alternators: raw
+    // corr(q,p) is high (shared driver), partial given d ~ corr of the
+    // alternators ~ 0 — the spurious-association case partials exist for
+    val rows = (0 until 8).map { t =>
+      val e1 = if (t % 2 == 0) 1 else -1
+      val e2 = if (t % 4 < 2) 1 else -1
+      ("X", (10 + t + e1).toDouble, t / 100.0, (10 + t + e2).toDouble / 100.0)
+    }.toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+    val got = Analytics.q88PartialCorrOf(rows).collect()
+      .map(r => r.getString(2) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val (pqp, rqp) = got("qty_price_given_disc")
+    assert(rqp > 0.75, s"shared driver must show a strong raw corr: $rqp")
+    assert(math.abs(pqp) < 0.35, s"controlled for the driver it must collapse: $pqp")
+    // brute-force replay on the real data: identical formulas from raw sums
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        (graft.Cols.dec2(col("l_discount")) * 100).cast("long"),
+        (graft.Cols.dec2(col("l_extendedprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = raw.groupBy(_._1).map { case (f, rs) =>
+      def b(l: Long) = BigInt(l)
+      val n = BigInt(rs.length)
+      val (sq, sd, sp) = (rs.map(t => b(t._2)).sum, rs.map(t => b(t._3)).sum, rs.map(t => b(t._4)).sum)
+      val sqq = rs.map(t => b(t._2) * b(t._2)).sum; val sdd = rs.map(t => b(t._3) * b(t._3)).sum
+      val spp = rs.map(t => b(t._4) * b(t._4)).sum; val sqd = rs.map(t => b(t._2) * b(t._3)).sum
+      val sqp = rs.map(t => b(t._2) * b(t._4)).sum; val sdp = rs.map(t => b(t._3) * b(t._4)).sum
+      def r(num: BigInt, dx: BigInt, dy: BigInt) =
+        num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))
+      val rqd = r(n * sqd - sq * sd, n * sqq - sq * sq, n * sdd - sd * sd)
+      val rqp2 = r(n * sqp - sq * sp, n * sqq - sq * sq, n * spp - sp * sp)
+      val rdp = r(n * sdp - sd * sp, n * sdd - sd * sd, n * spp - sp * sp)
+      f -> Map(
+        "qty_disc_given_price" -> ((rqd - rqp2 * rdp) /
+          (math.sqrt(1.0 - rqp2 * rqp2) * math.sqrt(1.0 - rdp * rdp))),
+        "qty_price_given_disc" -> ((rqp2 - rqd * rdp) /
+          (math.sqrt(1.0 - rqd * rqd) * math.sqrt(1.0 - rdp * rdp))),
+        "disc_price_given_qty" -> ((rdp - rqd * rqp2) /
+          (math.sqrt(1.0 - rqd * rqd) * math.sqrt(1.0 - rqp2 * rqp2))))
+    }
+    val real = Analytics.q88PartialCorr(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val want = brute(r.getString(0))(r.getString(2))
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"${r.getString(0)}/${r.getString(2)}: ${r.getDouble(3)} vs $want")
+    }
+  }
+
+  test("Tables.registerViews: spark.sql over the views equals the DataFrame form") {
+    Tables.registerViews(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaDf = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+    // a cross-view join parses and pushes down through the same scans
+    val joined = spark.sql(
+      """SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin).head().getLong(0)
+    assert(joined > 0)
+    // events view carries the ts-normalized schema (TIMESTAMP, not raw)
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // idempotent re-registration
+    Tables.registerViews(spark, sfDir)
+    assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) > 0)
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
