@@ -56,6 +56,13 @@ trait TableFormat {
   * the caller's lock was violated). */
 class ConcurrentCommitException(msg: String) extends java.io.IOException(msg)
 
+/** A checked commit found rows violating declared constraints — the
+  * staged data was discarded, the table is untouched. */
+class ConstraintViolationException(val violations: Map[String, Long])
+  extends IllegalArgumentException(
+    "constraint violations: " + violations.toSeq.sortBy(_._1)
+      .map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+
 /** The original tmp+rename swap as a TableFormat: the table IS a
   * plain parquet directory at `table` (any outside reader can
   * `spark.read.parquet` it), committed by write-to-tmp → rename the
@@ -686,6 +693,104 @@ object CommitLogTableFormat extends TableFormat {
         } finally { merged.unpersist(); () }
     }
   }
+
+  /** Validate the STAGED data dir against declared row constraints:
+    * one column-pruned scan counting violations per constraint (NULL
+    * predicate = violation — a constraint that cannot evaluate does
+    * not hold). Returns the non-empty violation map, or empty. */
+  private def stagedViolations(spark: SparkSession, staged: Path,
+                               constraints: Seq[(String, org.apache.spark.sql.Column)])
+      : Map[String, Long] = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, when}
+    if (constraints.isEmpty) Map.empty
+    else {
+      val aggs = constraints.map { case (name, c) =>
+        count(when(!coalesce(c, lit(false)), 1)).as(name)
+      }
+      val row = spark.read.parquet(staged.toString)
+        .agg(aggs.head, aggs.tail: _*).head()
+      constraints.zipWithIndex
+        .map { case ((name, _), i) => name -> row.getLong(i) }
+        .filter(_._2 > 0L).toMap
+    }
+  }
+
+  /** [[commit]] gated by CHECK constraints (the Delta/Iceberg table
+    * constraint contract, enforced by the ENGINE so no writer can
+    * forget it): the snapshot stages exactly as in commit — ONE
+    * computation of `df` — then a column-pruned scan of the staged
+    * parquet counts violations per constraint; any violation deletes
+    * the stage and throws [[ConstraintViolationException]] with exact
+    * per-constraint counts, the table untouched. Validate-after-stage
+    * beats validate-then-write (which computes the frame twice) and
+    * beats row-level raise_error guards (which abort mid-write with
+    * no counts and leave the error unattributed). A NULL predicate
+    * counts as a violation — "CHECK (x > 0)" is not satisfied by
+    * x = NULL here; encode nullability intent explicitly. */
+  def commitChecked(spark: SparkSession, table: String, df: DataFrame,
+                    token: String,
+                    constraints: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    val v = recoverLatest(fs, table).map(_._1).getOrElse(0L) + 1L
+    val dataName = s"data-v$v-$token"
+    val staged = new Path(root, dataName)
+    df.write.mode("overwrite").parquet(staged.toString)
+    val bad = stagedViolations(spark, staged, constraints)
+    if (bad.nonEmpty) {
+      fs.delete(staged, true)
+      throw new ConstraintViolationException(bad)
+    }
+    publish(fs, root, v, dataName, token, Seq(staged))
+  }
+
+  /** [[append]] gated by CHECK constraints — same stage→validate→
+    * publish discipline; only the NEW dir is validated (prior data
+    * passed its own gate when it landed). Returns the new version. */
+  def appendChecked(spark: SparkSession, table: String, df: DataFrame,
+                    token: String,
+                    constraints: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    val prior = recoverLatest(fs, table)
+    val v = prior.map(_._1).getOrElse(0L) + 1L
+    val priorSnap = prior.map(p => parseSnap(p._2))
+    val dataName = s"data-v$v-$token"
+    val staged = new Path(root, dataName)
+    df.write.mode("overwrite").parquet(staged.toString)
+    val bad = stagedViolations(spark, staged, constraints)
+    if (bad.nonEmpty) {
+      fs.delete(staged, true)
+      throw new ConstraintViolationException(bad)
+    }
+    val dirs = priorSnap.map(_.dataNames).getOrElse(Seq.empty) :+ dataName
+    val content = dirs.mkString(" ") +
+      priorSnap.flatMap(_.dvName).map(dv => s"\n$dv").getOrElse("")
+    publish(fs, root, v, content, token, Seq(staged))
+    v
+  }
+
+  /** Time travel BY TIMESTAMP (Delta's `timestampAsOf`): the latest
+    * version whose log entry was published at or before `tsMillis`,
+    * judged by the entry file's modification time — the publish
+    * rename IS the commit point, so its mtime is the commit time.
+    * None when the table did not exist yet at that instant, or the
+    * version has left the retention window. */
+  def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Option[Long] = {
+    val fs = fsOf(spark, table)
+    val listed = fs.globStatus(new Path(new Path(table, LogDirName), "*"))
+    if (listed == null) None
+    else listed.toSeq
+      .flatMap(e => scala.util.Try(e.getPath.getName.toLong).toOption
+        .map(_ -> e.getModificationTime))
+      .filter(_._2 <= tsMillis)
+      .sortBy(_._1).lastOption.map(_._1)
+  }
+
+  /** [[readVersion]] at the [[versionAsOf]] `tsMillis`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): Option[DataFrame] =
+    versionAsOf(spark, table, tsMillis)
+      .flatMap(v => readVersion(spark, table, v))
 
   /** [[upsertByKey]] exactly once per `token` — the appendIdempotent
     * contract on the upsert path: a replayed foreachBatch micro-batch

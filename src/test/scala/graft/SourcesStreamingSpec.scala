@@ -819,6 +819,59 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(back == grid.filter($"kb".between(8, 15)).count())
   }
 
+  test("commitChecked/appendChecked: violations reject the stage with exact counts") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_checked").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val checks = Seq(
+      "k_positive" -> ($"k" > 0L),
+      "v_not_null" -> $"v".isNotNull)
+    // a clean commit lands normally
+    fmt.commitChecked(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "c1", checks)
+    assert(fmt.read(spark, dir).get.count() == 2L)
+    // violations: one bad k, one NULL v (NULL predicate = violation),
+    // exact per-constraint counts; the table is untouched, stage gone
+    val bad = Seq((0L, "x"), (-1L, null), (3L, "ok"))
+      .toDF("k", "v")
+    val e = intercept[graft.sources.ConstraintViolationException](
+      fmt.commitChecked(spark, dir, bad, "c2", checks))
+    assert(e.violations == Map("k_positive" -> 2L, "v_not_null" -> 1L), e.violations)
+    assert(fmt.versions(spark, dir) == Seq(1L), "rejected commit must not version")
+    assert(fmt.read(spark, dir).get.count() == 2L)
+    assert(fs.globStatus(new Path(s"$dir/data-v2-*")) == null ||
+      fs.globStatus(new Path(s"$dir/data-v2-*")).isEmpty, "stage must be deleted")
+    // appendChecked: valid rows append; violating batch rejected whole
+    assert(fmt.appendChecked(spark, dir, Seq((3L, "c")).toDF("k", "v"), "a2", checks) == 2L)
+    assert(fmt.read(spark, dir).get.count() == 3L)
+    intercept[graft.sources.ConstraintViolationException](
+      fmt.appendChecked(spark, dir, Seq((-5L, "d")).toDF("k", "v"), "a3", checks))
+    assert(fmt.read(spark, dir).get.count() == 3L)
+  }
+
+  test("readAsOf: timestamp time travel resolves the version live at that instant") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_asof").toString + "/t"
+    // before the table exists: None
+    assert(fmt.versionAsOf(spark, dir, System.currentTimeMillis()).isEmpty)
+    fmt.commit(spark, dir, Seq((1L, "v1")).toDF("k", "v"), "c1")
+    Thread.sleep(1100) // FS mtime granularity can be a full second
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    fmt.append(spark, dir, Seq((2L, "v2")).toDF("k", "v"), "a2")
+    // asOf t1: version 1 content, not the appended row
+    assert(fmt.versionAsOf(spark, dir, t1).contains(1L))
+    assert(fmt.readAsOf(spark, dir, t1).get.count() == 1L)
+    // asOf now: the current snapshot
+    val now = System.currentTimeMillis()
+    assert(fmt.versionAsOf(spark, dir, now).contains(2L))
+    assert(fmt.readAsOf(spark, dir, now).get.count() == 2L)
+    // before the first commit's mtime: None
+    assert(fmt.versionAsOf(spark, dir, 1000L).isEmpty)
+  }
+
   test("HilbertLayout: reference walk exact, curve is Manhattan-adjacent, prunes <= Z-order") {
     import spark.implicits._
     // order-1 U: (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3 — the reference xy2d
