@@ -2792,7 +2792,41 @@ object Etl {
       |WHERE o_custkey = 7 AND o_orderkey % 97 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** a52: constraint-GATED load through the correctness gate — the
+    * quality firewall as engine machinery (a23 reports rule breaches
+    * after the fact; `commitChecked` REFUSES them at the door, the
+    * Delta CHECK-constraint contract): load the slim orders under
+    * declared constraints that clean TPC-H satisfies, prove the gated
+    * table reads exactly as the raw scan (the gate cost nothing but
+    * one column-pruned validation pass), then prove the firewall
+    * actually fires — a second checked commit with a violating
+    * constraint must leave the table EXACTLY as the first load
+    * published it. The oracle sees only the surviving state; a pass
+    * proves both arms (accept = transparent, reject = invisible). */
+  def a52CheckedLoad(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a52")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    fmt.commitChecked(spark, table, slim, "a52c", Seq(
+      "key_set" -> col("o_orderkey").isNotNull,
+      "cust_set" -> col("o_custkey").isNotNull))
+    try
+      fmt.commitChecked(spark, table, slim, "a52bad", Seq(
+        "key_negative" -> (col("o_orderkey") < 0L)))
+    catch { case _: graft.sources.ConstraintViolationException => () }
+    fmt.read(spark, table).get
+      .filter(col("o_orderkey") <= 400)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val a52Sql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_orderkey <= 400
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a52_checked_load" -> (a52CheckedLoad _),
     "a51_bloom_point_read" -> (a51BloomPointRead _),
     "a50_schema_evolution" -> (a50SchemaEvolution _),
     "a49_mor_upsert" -> (a49MorUpsert _),
@@ -2846,6 +2880,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a52_checked_load" -> a52Sql,
     "a51_bloom_point_read" -> a51Sql,
     "a50_schema_evolution" -> a50Sql,
     "a49_mor_upsert" -> a49Sql,
