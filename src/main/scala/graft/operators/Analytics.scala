@@ -4658,7 +4658,86 @@ object Analytics {
       |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n, pair, pcorr, raw_corr
       |FROM u ORDER BY l_returnflag, pair""".stripMargin
 
+  def q89Mahalanobis(spark: SparkSession, dir: String): DataFrame =
+    q89MahalanobisOf(Tables.lineitem(spark, dir))
+
+  /** q89: MULTIVARIATE outlier audit per return flag — Mahalanobis
+    * distance on the (quantity, extended price) plane: the univariate
+    * z-tests (q69/c12) miss exactly the rows a fraud/data-quality
+    * reviewer wants — a quantity and a price each unremarkable alone
+    * but jointly off the correlation ridge (tiny qty at a huge price).
+    * d² = (x−μ)ᵀ Σ⁻¹ (x−μ) with the 2×2 Σ inverted in closed form;
+    * rows with d² > 5 (the ~2.2σ ellipse — uniform-bounded joints cap d² near 6, so a 3σ cut would measure a vacuous zero) are flagged. Two-pass by
+    * necessity (d² needs μ, Σ first): pass 1 is the q87 exact-DECIMAL
+    * moment reduce (≤|flags| rows, broadcast back — the q27 scalar
+    * idiom), pass 2 streams the corpus once against the broadcast
+    * moments; the d² comparison itself stays EXACT — cross-multiplied
+    * DECIMAL integers (n²·numerator vs 9·n²·det·n² — derivation in
+    * code), no double ever decides a flag, so the flagged SET is
+    * bit-stable and the oracle replays it integrally. */
+  def q89MahalanobisOf(lineitem: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      d38c(col("l_quantity").cast("long")).as("q"),
+      d38c((Cols.dec2(col("l_extendedprice")) * 100).cast("long")).as("p"))
+    val moments = base.groupBy(col("flag")).agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+      sum(col("q") * col("q")).as("sqq"),
+      sum(col("p") * col("p")).as("spp"),
+      sum(col("q") * col("p")).as("sqp"))
+    // with u = n·q − sq, v = n·p − sp (exact integers; the n-multiplied
+    // centering), A = n·sqq − sq² (= n²·var_q), B = n·spp − sp²,
+    // C = n·sqp − sq·sp: d² = (A·v² − 2C·u·v + B·u²)/(A·B − C²)
+    // EXACTLY (the n⁴ factors cancel — derivation above the oracle).
+    // The quartic products overflow DECIMAL(38) (and DuckDB's HUGEINT)
+    // at price-cents scale, so the comparison runs in doubles — from
+    // EXACT integer inputs converted and combined in identical term
+    // order on both engines (round-to-nearest is deterministic), the
+    // flag is still bit-stable at any parallelism.
+    val u = (col("n") * col("q") - col("sq")).cast("double")
+    val v = (col("n") * col("p") - col("sp")).cast("double")
+    val a = (col("n") * col("sqq") - col("sq") * col("sq")).cast("double")
+    val b = (col("n") * col("spp") - col("sp") * col("sp")).cast("double")
+    val cc = (col("n") * col("sqp") - col("sq") * col("sp")).cast("double")
+    val num = a * v * v - lit(2.0) * cc * u * v + b * u * u
+    val det = a * b - cc * cc
+    base.join(broadcast(moments), Seq("flag"))
+      .withColumn("is_outlier", num > lit(5.0) * det)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("flag").as("l_returnflag"), col("n_rows"), col("n_outliers"),
+        expr("(n_outliers * 1000000) div n_rows").as("outlier_ppm"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q89Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS HUGEINT) AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS p
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, count(*) AS n, sum(q) AS sq, sum(p) AS sp,
+      |    sum(q*q) AS sqq, sum(p*p) AS spp, sum(q*p) AS sqp
+      |  FROM b GROUP BY 1),
+      |j AS (
+      |  SELECT b.flag,
+      |    CAST(m.n*m.sqq - m.sq*m.sq AS DOUBLE) AS a,
+      |    CAST(m.n*m.spp - m.sp*m.sp AS DOUBLE) AS bb,
+      |    CAST(m.n*m.sqp - m.sq*m.sp AS DOUBLE) AS c,
+      |    CAST(m.n*b.q - m.sq AS DOUBLE) AS u,
+      |    CAST(m.n*b.p - m.sp AS DOUBLE) AS v
+      |  FROM b JOIN m ON b.flag = m.flag)
+      |SELECT flag AS l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN a*v*v - 2.0*c*u*v + bb*u*u > 5.0 * (a*bb - c*c)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST((sum(CASE WHEN a*v*v - 2.0*c*u*v + bb*u*u > 5.0 * (a*bb - c*c)
+      |    THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS outlier_ppm
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_mahalanobis" -> (q89Mahalanobis _),
     "q88_partial_corr" -> (q88PartialCorr _),
     "q87_cov_matrix" -> (q87CovMatrix _),
     "q86_hoover_index" -> (q86Hoover _),
@@ -4748,6 +4827,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q89_mahalanobis" -> q89Sql,
     "q88_partial_corr" -> q88Sql,
     "q87_cov_matrix" -> q87Sql,
     "q86_hoover_index" -> q86Sql,

@@ -1813,6 +1813,44 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming CHECKED ingest with a dead-letter table — the DLQ
+    * pattern a production feed needs (rejecting a whole micro-batch
+    * for one bad row stalls the pipeline; silently dropping bad rows
+    * destroys evidence): each micro-batch splits on the conjunction
+    * of the declared constraints (NULL = violation, the commitChecked
+    * contract), passing rows append to the MAIN CommitLog table and
+    * violating rows — with a `_violated` column naming every failed
+    * constraint — to the QUARANTINE table, each via its own
+    * `appendIdempotent` token so replay is exactly-once on BOTH
+    * sides. Quarantine rows retain full payload: a fixed upstream can
+    * re-ingest them (TextSources' quarantine discipline at the table
+    * grain). */
+  def checkedIngestStream(rows: DataFrame, table: String, quarantine: String,
+                          constraints: Seq[(String, org.apache.spark.sql.Column)],
+                          checkpointDir: String) = {
+    import org.apache.spark.sql.functions.{array, array_compact, coalesce, lit, when}
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ok = constraints
+          .map { case (_, c) => coalesce(c, lit(false)) }
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val tagged = batch.withColumn("_violated", array_compact(array(
+          constraints.map { case (name, c) =>
+            when(!coalesce(c, lit(false)), lit(name))
+          }: _*)))
+        val good = tagged.filter(ok).drop("_violated")
+        val bad = tagged.filter(!ok)
+        graft.sources.CommitLogTableFormat.appendIdempotent(
+          batch.sparkSession, table, good, s"b$batchId")
+        if (!bad.isEmpty)
+          graft.sources.CommitLogTableFormat.appendIdempotent(
+            batch.sparkSession, quarantine, bad, s"b$batchId")
+        ()
+      }
+  }
+
   case class PeakOut(event_type: String, day: Long, n_events: Long,
                      prev_cnt: Long, next_cnt: Long, trailing7: Long)
   case class PeakState(firstDay: Long, lastClosed: Long, ring: Seq[Long],

@@ -213,7 +213,8 @@ class OperatorSpec extends GraftSpec {
       "d92_mips_topk"         -> Set("embeddings"), // 10-row query set (literal id cut)
       "d93_mips_lsh"          -> Set("embeddings"), // 1-row M2 scalar + 10-row probe set
       "d98_vocab_coverage"    -> Set("documents"),  // 1-row corpus-totals scalar
-      "d114_novelty_curve"    -> Set("documents"))  // 1-row corpus-span scalar
+      "d114_novelty_curve"    -> Set("documents"),  // 1-row corpus-span scalar
+      "q89_mahalanobis"       -> Set("lineitem"))   // ≤|flags|-row moment frame
     def factLeaves(p: LogicalPlan): Set[String] = p.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
@@ -7190,6 +7191,46 @@ class OperatorSpec extends GraftSpec {
     // idempotent re-registration
     Tables.registerViews(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) > 0)
+  }
+
+  test("q89 Mahalanobis: joint outlier flagged where both marginals look ordinary") {
+    import spark.implicits._
+    // 40 rows on the ridge qty ~ price (corr ~ 1) plus ONE row whose
+    // qty and price are each mid-range but on the WRONG side of the
+    // ridge — univariate z-tests see nothing, Mahalanobis must flag it
+    val ridge = (1 to 40).map(i => ("X", (10 + i).toDouble, (100.0 + 10 * i) / 100.0))
+    val off = Seq(("X", 15.0, (100.0 + 10 * 35) / 100.0)) // qty low, price high
+    val got = Analytics.q89MahalanobisOf(
+      (ridge ++ off).toDF("l_returnflag", "l_quantity", "l_extendedprice"))
+      .collect().head
+    assert(got.getLong(1) == 41L)
+    assert(got.getLong(2) >= 1L, s"the off-ridge row must be flagged: $got")
+    assert(got.getLong(2) <= 3L, s"the ridge itself must not mass-flag: $got")
+    // brute replay on real data: identical double formula from exact sums
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        (graft.Cols.dec2(col("l_extendedprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = raw.groupBy(_._1).map { case (f, rs) =>
+      def bg(l: Long) = BigInt(l)
+      val n = BigInt(rs.length)
+      val sq = rs.map(t => bg(t._2)).sum; val sp = rs.map(t => bg(t._3)).sum
+      val sqq = rs.map(t => bg(t._2) * bg(t._2)).sum
+      val spp = rs.map(t => bg(t._3) * bg(t._3)).sum
+      val sqp = rs.map(t => bg(t._2) * bg(t._3)).sum
+      val a = (n * sqq - sq * sq).toDouble
+      val bb = (n * spp - sp * sp).toDouble
+      val c = (n * sqp - sq * sp).toDouble
+      val flagged = rs.count { t =>
+        val u = (n * bg(t._2) - sq).toDouble
+        val v = (n * bg(t._3) - sp).toDouble
+        a * v * v - 2.0 * c * u * v + bb * u * u > 5.0 * (a * bb - c * c)
+      }
+      f -> ((rs.length.toLong, flagged.toLong))
+    }
+    val real = Analytics.q89Mahalanobis(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(real == brute, s"$real vs $brute")
   }
 
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {

@@ -819,6 +819,46 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(back == grid.filter($"kb".between(8, 15)).count())
   }
 
+  test("checkedIngestStream: good rows to main, violations to quarantine, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fmt = graft.sources.CommitLogTableFormat
+    val base = Files.createTempDirectory("graft_dlq").toString
+    val main = s"$base/main"; val quar = s"$base/quarantine"
+    val ckpt = s"$base/ckpt"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.checkedIngestStream(mem.toDF().toDF("k", "v"), main, quar,
+      Seq("k_positive" -> (col("k") > 0L), "v_set" -> col("v").isNotNull),
+      ckpt).start()
+    try {
+      // batch 0: all clean -> main only, quarantine never materializes
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(fmt.read(spark, main).get.count() == 2L)
+      assert(fmt.read(spark, quar).isEmpty, "no quarantine table without violations")
+      // batch 1: mixed — 2 clean, one negative key, one NULL v (both names recorded)
+      mem.addData((3L, "c"), (-7L, "bad"), (4L, "d"))
+      q.processAllAvailable()
+      mem.addData((0L, null))
+      q.processAllAvailable()
+      assert(fmt.read(spark, main).get.as[(Long, String)].collect().map(_._1).sorted
+        .toSeq == Seq(1L, 2L, 3L, 4L))
+      val quarRows = fmt.read(spark, quar).get
+        .select(col("k"), col("_violated")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      assert(quarRows == Map(-7L -> Set("k_positive"),
+        0L -> Set("k_positive", "v_set")), quarRows.toString)
+      // replay of the last batch token: no-op on BOTH tables
+      val mv = fmt.versions(spark, main); val qv = fmt.versions(spark, quar)
+      assert(fmt.appendIdempotent(spark, main,
+        Seq((99L, "x")).toDF("k", "v"), "b2").isEmpty,
+        "replaying the applied batch token must be a no-op on main")
+      assert(fmt.versions(spark, main) == mv)
+      assert(fmt.versions(spark, quar) == qv)
+      assert(fmt.read(spark, main).get.count() == 4L)
+    } finally q.stop()
+  }
+
   test("commitChecked/appendChecked: violations reject the stage with exact counts") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
