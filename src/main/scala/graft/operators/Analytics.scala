@@ -4367,8 +4367,9 @@ object Analytics {
     * prices center on a FIXED dollar pivot (skew/kurtosis are
     * translation-invariant, and a constant pivot keeps it ONE pass —
     * a data-derived mean would need a pass of its own), and Σc..Σc⁴
-    * accumulate in DECIMAL(38,0) (|c| ≤ ~2.5e5 dollars ⇒ Σc⁴ fits to
-    * n ≈ 2.5e16 rows). Only the FINAL scalar expression — identical
+    * accumulate in DECIMAL(38,0) (o_totalprice reaches ~5.5e5, so
+    * |c| ≤ ~3.1e5 dollars around the 2.5e5 pivot ⇒ Σc⁴ ≤ n·9.3e21,
+    * which fits DECIMAL(38) to n ≈ 1e16 rows). Only the FINAL scalar expression — identical
     * term order in both engines, sqrt/mul/div only (no pow, whose
     * last-ulp varies by libm) — runs in doubles, so the result is
     * bit-stable at any parallelism.
@@ -4671,10 +4672,12 @@ object Analytics {
     * necessity (d² needs μ, Σ first): pass 1 is the q87 exact-DECIMAL
     * moment reduce (≤|flags| rows, broadcast back — the q27 scalar
     * idiom), pass 2 streams the corpus once against the broadcast
-    * moments; the d² comparison itself stays EXACT — cross-multiplied
-    * DECIMAL integers (n²·numerator vs 9·n²·det·n² — derivation in
-    * code), no double ever decides a flag, so the flagged SET is
-    * bit-stable and the oracle replays it integrally. */
+    * moments. The cross-multiplied comparison (numerator vs 5·det)
+    * runs in DOUBLES — the quartic integer products overflow
+    * DECIMAL(38) and HUGEINT alike at price-cents scale — but every
+    * input is an exact integer converted and combined in IDENTICAL
+    * term order on both engines, so the flagged set is still
+    * bit-stable at any parallelism and the oracle replays it. */
   def q89MahalanobisOf(lineitem: DataFrame): DataFrame = {
     def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
     val base = lineitem.select(col("l_returnflag").as("flag"),

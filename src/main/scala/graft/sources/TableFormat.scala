@@ -414,6 +414,16 @@ object CommitLogTableFormat extends TableFormat {
     val published = won &&
       (try entryContent(fs, entry) == content
        catch { case _: java.io.IOException => false })
+    if (published) {
+      // rename(2) preserves the SOURCE file's mtime, i.e. the stage-
+      // write instant — which precedes the commit point by a full
+      // stage+validation under commitChecked. versionAsOf reads this
+      // mtime as the commit time, so stamp the entry NOW (the rename
+      // just made it visible): an asOf probe can never resolve a
+      // version that was not yet visible at the probed instant.
+      try fs.setTimes(entry, System.currentTimeMillis(), -1L)
+      catch { case _: java.io.IOException => () } // best-effort: skew shrinks to ms
+    }
     if (!published) {
       fs.delete(tmp, true)
       orphans.foreach(p => fs.delete(p, true)) // lost the race
@@ -772,19 +782,31 @@ object CommitLogTableFormat extends TableFormat {
 
   /** Time travel BY TIMESTAMP (Delta's `timestampAsOf`): the latest
     * version whose log entry was published at or before `tsMillis`,
-    * judged by the entry file's modification time — the publish
-    * rename IS the commit point, so its mtime is the commit time.
-    * None when the table did not exist yet at that instant, or the
-    * version has left the retention window. */
+    * judged by the entry file's modification time — [[publish]]
+    * re-stamps the entry's mtime immediately AFTER the winning rename
+    * (rename(2) preserves the stage-write mtime, which under
+    * commitChecked precedes visibility by a whole validation scan), so
+    * the mtime IS the commit instant up to a driver-side millisecond.
+    * Crashed-legacy empty entries are skipped exactly as in
+    * [[readVersion]]. None when the table did not exist yet at that
+    * instant, or the version has left the retention window. */
   def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Option[Long] = {
     val fs = fsOf(spark, table)
     val listed = fs.globStatus(new Path(new Path(table, LogDirName), "*"))
     if (listed == null) None
     else listed.toSeq
       .flatMap(e => scala.util.Try(e.getPath.getName.toLong).toOption
-        .map(_ -> e.getModificationTime))
-      .filter(_._2 <= tsMillis)
-      .sortBy(_._1).lastOption.map(_._1)
+        .map(_ -> e))
+      // skip crashed-legacy EMPTY entries (the readVersion guard): an
+      // empty mtime-latest entry is not a commit, and treating it as
+      // one would misreport "table did not exist yet" instead of
+      // falling back to the newest valid version at that instant
+      .filter { case (_, e) =>
+        e.getModificationTime <= tsMillis &&
+          entryContent(fs, e.getPath).nonEmpty
+      }
+      .map { case (v, _) => v }
+      .sorted.lastOption
   }
 
   /** [[readVersion]] at the [[versionAsOf]] `tsMillis`. */
@@ -1094,15 +1116,46 @@ object CommitLogTableFormat extends TableFormat {
     * never a correctness dependency. None before the first commit. */
   def readBloomPoint(spark: SparkSession, table: String, column: String,
                      value: Any): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{col, lit, xxhash64, call_function}
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
     val root = new Path(table)
     val fs = fsOf(spark, table)
     latest(fs, table).map { case (v, content) =>
       val snap = parseSnap(content)
       val idx = new Path(new Path(root, "_index"), s"bloom-v$v-$column")
-      val residual = (df: DataFrame) => df.filter(col(column) === lit(value))
-      if (!fs.exists(idx)) residual(resolve(spark, table, snap))
-      else {
+      if (!fs.exists(idx)) {
+        val data = resolve(spark, table, snap)
+        data.filter(col(column) === lit(value))
+      } else {
+        val all = snapFiles(fs, table, snap)
+        // Type the probe from the TABLE schema, not the probe value's
+        // Scala runtime class: XxHash64 hashes IntegerType (4 bytes)
+        // and LongType (8 bytes) DIFFERENTLY, so probing an int column
+        // with an unboxed Long (or vice versa) through xxhash64(lit(v))
+        // would compute a hash the index never stored — a silent FALSE
+        // NEGATIVE, violating the "pruning never loses rows" contract.
+        // Casting the literal to the indexed column's DataType makes
+        // the probe hash byte-identical to buildBloomIndex's
+        // xxhash64(col(column)) for every matching row. The schema
+        // comes from the snapshot's own footers (mergeSchema union —
+        // evolution-safe); an empty snapshot has no footer, so the
+        // kept-empty frame falls back to the probe's runtime class.
+        val keyType: org.apache.spark.sql.types.DataType =
+          if (all.isEmpty) value match {
+            case _: String => org.apache.spark.sql.types.StringType
+            case _: Int => org.apache.spark.sql.types.IntegerType
+            case _: Double => org.apache.spark.sql.types.DoubleType
+            case _ => org.apache.spark.sql.types.LongType
+          }
+          else {
+            val schema = spark.read.option("mergeSchema", "true")
+              .parquet(snap.dataNames.map(n => new Path(root, n).toString): _*)
+              .schema
+            schema.find(_.name == column).map(_.dataType).getOrElse(
+              throw new IllegalArgumentException(
+                s"readBloomPoint: column $column not in $root's schema"))
+          }
+        val probe = lit(value).cast(keyType)
+        val residual = (df: DataFrame) => df.filter(col(column) === probe)
         // one tiny job computes the probe key with the EXACT xxhash64
         // the index side fed bloom_agg; the probe itself is a typed
         // filter over the file-count-bounded index frame (Spark's
@@ -1110,7 +1163,7 @@ object CommitLogTableFormat extends TableFormat {
         // collecting every file's filter to the driver would be
         // numBits/8 × files bytes — the probe moves file NAMES only)
         import spark.implicits._
-        val hash = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+        val hash = spark.range(1).select(xxhash64(probe)).head().getLong(0)
         val keptKeys = spark.read.parquet(idx.toString)
           .select(col("file"), col("bloom")).as[(String, Array[Byte])]
           .filter { t =>
@@ -1119,15 +1172,11 @@ object CommitLogTableFormat extends TableFormat {
               .mightContainLong(hash)
           }
           .map(_._1).collect().toSet
-        val all = snapFiles(fs, table, snap)
         val kept = all.filter { p =>
           val parts = p.split('/')
           keptKeys.contains(parts.takeRight(2).mkString("/"))
         }
-        val keyType = org.apache.spark.sql.types.StringType // unused when kept nonEmpty
-        residual(resolveKept(spark, table, snap, kept, all, column,
-          if (value.isInstanceOf[String]) keyType
-          else org.apache.spark.sql.types.LongType))
+        residual(resolveKept(spark, table, snap, kept, all, column, keyType))
       }
     }
   }

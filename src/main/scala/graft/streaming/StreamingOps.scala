@@ -1840,13 +1840,33 @@ object StreamingOps {
           constraints.map { case (name, c) =>
             when(!coalesce(c, lit(false)), lit(name))
           }: _*)))
-        val good = tagged.filter(ok).drop("_violated")
-        val bad = tagged.filter(!ok)
-        graft.sources.CommitLogTableFormat.appendIdempotent(
-          batch.sparkSession, table, good, s"b$batchId")
-        if (!bad.isEmpty)
-          graft.sources.CommitLogTableFormat.appendIdempotent(
-            batch.sparkSession, quarantine, bad, s"b$batchId")
+          // persist: the split drives up to THREE actions (count + two
+          // appends) over the same batch plan — without it each action
+          // re-runs the source's batch read, and a source whose re-read
+          // is not perfectly deterministic could hand the good and bad
+          // appends DIVERGING splits of the same micro-batch (the
+          // staged-validate discipline TableFormat already applies)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // ONE aggregation serves both emptiness decisions, and an
+          // empty side skips its append entirely: a violation-only
+          // batch must not churn an empty-dir version onto the main
+          // table (nor a clean batch onto the quarantine) — skipping
+          // is itself replayable, so exactly-once holds on both sides
+          val row = tagged.agg(
+            count(lit(1)).as("n"),
+            sum(when(size(col("_violated")) > 0, 1L).otherwise(0L)).as("nbad"))
+            .head()
+          val n = row.getLong(0)
+          val nBad = if (row.isNullAt(1)) 0L else row.getLong(1)
+          if (n - nBad > 0)
+            graft.sources.CommitLogTableFormat.appendIdempotent(
+              batch.sparkSession, table, tagged.filter(ok).drop("_violated"),
+              s"b$batchId")
+          if (nBad > 0)
+            graft.sources.CommitLogTableFormat.appendIdempotent(
+              batch.sparkSession, quarantine, tagged.filter(!ok), s"b$batchId")
+        } finally { tagged.unpersist(); () }
         ()
       }
   }

@@ -697,6 +697,20 @@ class SourcesStreamingSpec extends GraftSpec {
     val got = fmt.readBloomPoint(spark, dir, "k", 42L).get
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((42L, "v42")))
+    // probe typed from the TABLE schema, not the value's runtime class:
+    // xxhash64 hashes int(4B) and long(8B) differently, so an untyped
+    // Int probe of this LONG column would be a silent false negative
+    assert(fmt.readBloomPoint(spark, dir, "k", 42).get
+      .as[(Long, String)].collect().toSeq == Seq((42L, "v42")),
+      "Int probe of a long column must not lose rows")
+    // and the mirror case: an INT column probed with a Long
+    val dirI = Files.createTempDirectory("graft_tf_bloom_int").toString + "/t"
+    fmt.commit(spark, dirI, (1 to 100).map(i => (i, i * 2)).toDF("ki", "w")
+      .repartition(4, $"ki"), "ci")
+    fmt.buildBloomIndex(spark, dirI, "ki")
+    assert(fmt.readBloomPoint(spark, dirI, "ki", 7L).get
+      .as[(Int, Int)].collect().toSeq == Seq((7, 14)),
+      "Long probe of an int column must not lose rows")
     // effectiveness: the index admits strictly fewer files than the snapshot
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hash = spark.range(1)
@@ -839,8 +853,13 @@ class SourcesStreamingSpec extends GraftSpec {
       // batch 1: mixed — 2 clean, one negative key, one NULL v (both names recorded)
       mem.addData((3L, "c"), (-7L, "bad"), (4L, "d"))
       q.processAllAvailable()
+      val mvAfterMixed = fmt.versions(spark, main)
+      // batch 2: violation-only — quarantine grows, main must NOT churn
+      // an empty-dir version (the skip is itself replayable)
       mem.addData((0L, null))
       q.processAllAvailable()
+      assert(fmt.versions(spark, main) == mvAfterMixed,
+        "a violation-only batch must not publish an empty main version")
       assert(fmt.read(spark, main).get.as[(Long, String)].collect().map(_._1).sorted
         .toSeq == Seq(1L, 2L, 3L, 4L))
       val quarRows = fmt.read(spark, quar).get
@@ -848,11 +867,17 @@ class SourcesStreamingSpec extends GraftSpec {
         .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
       assert(quarRows == Map(-7L -> Set("k_positive"),
         0L -> Set("k_positive", "v_set")), quarRows.toString)
-      // replay of the last batch token: no-op on BOTH tables
+      // replay of each table's LAST APPLIED batch token: no-op on both
+      // (main last appended at b1 — b2's good side was empty/skipped;
+      // quarantine last appended at b2)
       val mv = fmt.versions(spark, main); val qv = fmt.versions(spark, quar)
       assert(fmt.appendIdempotent(spark, main,
-        Seq((99L, "x")).toDF("k", "v"), "b2").isEmpty,
+        Seq((99L, "x")).toDF("k", "v"), "b1").isEmpty,
         "replaying the applied batch token must be a no-op on main")
+      assert(fmt.appendIdempotent(spark, quar,
+        Seq((98L, "y")).toDF("k", "v").withColumn("_violated",
+          array(lit("k_positive"))), "b2").isEmpty,
+        "replaying the applied batch token must be a no-op on quarantine")
       assert(fmt.versions(spark, main) == mv)
       assert(fmt.versions(spark, quar) == qv)
       assert(fmt.read(spark, main).get.count() == 4L)
@@ -908,6 +933,15 @@ class SourcesStreamingSpec extends GraftSpec {
     val now = System.currentTimeMillis()
     assert(fmt.versionAsOf(spark, dir, now).contains(2L))
     assert(fmt.readAsOf(spark, dir, now).get.count() == 2L)
+    // a crashed-legacy EMPTY entry (even as the mtime-latest one) is
+    // not a commit: asOf must skip it and resolve the newest VALID
+    // version instead of misreporting "table did not exist yet"
+    val fsA = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsA.create(new org.apache.hadoop.fs.Path(s"$dir/_log/99"), true).close()
+    assert(fmt.versionAsOf(spark, dir, System.currentTimeMillis()).contains(2L),
+      "empty log entry must not satisfy (or mask) an asOf probe")
+    fsA.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/99"), true)
     // before the first commit's mtime: None
     assert(fmt.versionAsOf(spark, dir, 1000L).isEmpty)
   }
