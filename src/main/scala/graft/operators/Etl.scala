@@ -2825,7 +2825,49 @@ object Etl {
       |WHERE o_orderkey <= 400
       |ORDER BY o_orderkey""".stripMargin
 
+  /** a53: the lake table's SQL / DataSource V2 surface through the
+    * correctness gate — the first thing a SQL user tries
+    * (`SELECT … FROM lake_table`) proven end-to-end against the raw
+    * oracle: commit even keys range-clustered (2-column schema),
+    * APPEND odd keys carrying an EVOLVED third column, DV-erase every
+    * 97th key, then read through `spark.read.format("graft")` +
+    * `spark.sql` — NOT the Scala API. A pass proves the whole DSv2
+    * chain: log-resolved snapshot isolation, multi-dir union with
+    * NULL backfill for pre-evolution rows, per-task deletion-vector
+    * merge-on-read, pushed-filter file skipping with the residual
+    * re-applied, and per-file column projection — the a44/a50
+    * contracts now reachable by a query planner instead of only by
+    * Scala calls (VERDICT r12 missing #1). Skip effectiveness is
+    * ScalaTest plan-gated; THIS gate is end-to-end equivalence. */
+  def a53SqlLakeRead(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a53")
+    val orders = Tables.orders(spark, dir)
+    fmt.commit(spark, table, orders
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey")), "a53c")
+    fmt.append(spark, table, orders
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")), "a53a")
+    fmt.erase(spark, table, col("o_orderkey") % 97 === 0, "a53e")
+    spark.read.format("graft").load(table).createOrReplaceTempView("a53_lake")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM a53_lake
+        |WHERE o_orderkey BETWEEN 100 AND 700
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val a53Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 100 AND 700 AND o_orderkey % 97 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a53_sql_lake_read" -> (a53SqlLakeRead _),
     "a52_checked_load" -> (a52CheckedLoad _),
     "a51_bloom_point_read" -> (a51BloomPointRead _),
     "a50_schema_evolution" -> (a50SchemaEvolution _),
@@ -2880,6 +2922,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a53_sql_lake_read" -> a53Sql,
     "a52_checked_load" -> a52Sql,
     "a51_bloom_point_read" -> a51Sql,
     "a50_schema_evolution" -> a50Sql,

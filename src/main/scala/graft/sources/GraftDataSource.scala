@@ -1,0 +1,537 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL / DataSource V2 surface of [[CommitLogTableFormat]] —
+  * `spark.read.format("graft").load(tableRoot)` (and any temp view
+  * registered over it, so `SELECT … FROM lake_table` works) resolves
+  * the COMMITTED snapshot with full lakehouse semantics:
+  *
+  *  - snapshot isolation: the log resolves ONCE per scan; the planned
+  *    file set and DV sidecar always belong to one version
+  *    ([[LakeSnapshot]] — dirs are immutable, vacuum retains the
+  *    previous version for in-flight readers);
+  *  - merge-on-read deletion vectors: each reader task subtracts its
+  *    OWN file's deleted positions while streaming rows (positions =
+  *    sequential read order = `_metadata.row_index`, the identity the
+  *    DV was keyed on) — no driver-side DV collect, the Delta
+  *    per-file-DV posture;
+  *  - schema evolution: the table schema is the mergeSchema union of
+  *    the snapshot's footers; readers project per FILE and null-fill
+  *    columns a pre-evolution dir lacks;
+  *  - data skipping through `SupportsPushDownFilters`: range/equality
+  *    filters on integer, date, and string columns prune files via the
+  *    SAME measured footer zone maps `readPruned` uses, `IsNotNull`
+  *    drops provably-all-NULL files, and an equality probe on a
+  *    column with a Bloom index pinned to the scanned version skips
+  *    through it ([[CommitLogTableFormat.bloomAdmittedKeys]]). Every
+  *    pushed filter is ALSO returned as residual, so pruning is an
+  *    optimization, never a correctness dependency;
+  *  - column pruning through `SupportsPushDownRequiredColumns`: the
+  *    per-file parquet projection reads only the requested column
+  *    chunks; an empty/disjoint projection degrades to footer
+  *    row-count replay (COUNT(*) never touches a data page).
+  *
+  * READ-ONLY by design: writes must go through the format's commit
+  * protocol (optimistic concurrency, CHECK constraints, idempotent
+  * append tokens) — a DSv2 write path that bypassed those would
+  * silently drop the guarantees, so it does not exist.
+  *
+  * Scale: planning is one footer-walk job over file NAMES (the
+  * keptFiles shape) plus an optional bloom probe; each task reads one
+  * data file with a projected parquet reader and filters the (small)
+  * DV sidecar to its own file key with a parquet record filter whose
+  * row-group stats skip unrelated DV blocks.
+  *
+  * Reference: the engine's own "DataFrame + Spark SQL" north star
+  * (BASELINE.json); Delta/Iceberg are the public architecture
+  * precedents for a log-resolved DSv2 relation. */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(options: java.util.Map[String, String]): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "the graft datasource needs a single `path` option naming the CommitLog table root")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val table = pathOf(options)
+    val snap = CommitLogTableFormat.currentSnapshot(spark, table).getOrElse(
+      throw new NoSuchElementException(
+        s"no committed graft table at $table (no valid _log entry)"))
+    // mergeSchema union across the snapshot's dirs — the evolution
+    // contract resolve() gives the Scala read path
+    spark.read.option("mergeSchema", "true").parquet(snap.dataDirPaths: _*).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftTable(pathOf(properties), schema)
+}
+
+private[sources] class GraftTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema)
+}
+
+private[sources] class GraftScanBuilder(path: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var accepted: Array[Filter] = Array.empty
+
+  /** Accept the filters our footer/bloom pruning can act on; return
+    * ALL filters as residual — Spark re-evaluates every one above the
+    * scan, so a too-coarse zone map can only cost I/O, never rows. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f => GraftScan.prunable(f, tableSchema))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftScan(path, tableSchema, required, accepted)
+}
+
+private[sources] object GraftScan {
+
+  /** Long-comparable pushdown value: integral numbers and dates (the
+    * footer zone map's domain — days since epoch for dates, exactly
+    * parquet's DATE physical value). */
+  def longValue(v: Any): Option[Long] = v match {
+    case n: java.lang.Long => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Short => Some(n.longValue)
+    case n: java.lang.Byte => Some(n.longValue)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private def isLongish(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DateType => true
+    case _ => false
+  }
+
+  /** Can this filter drive file skipping on this schema? (Equality on
+    * ANY atomic column qualifies — a Bloom index may serve it even
+    * when the zone map cannot.) */
+  def prunable(f: Filter, schema: StructType): Boolean = {
+    def typeOf(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    f match {
+      case EqualTo(c, v) => typeOf(c).exists {
+        case dt if isLongish(dt) => longValue(v).isDefined
+        case StringType => v.isInstanceOf[String]
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true // bloom-only candidate (any atomic type hashes)
+      }
+      case GreaterThan(c, v) => typeOf(c).exists(isLongish) && longValue(v).isDefined
+      case GreaterThanOrEqual(c, v) => typeOf(c).exists(isLongish) && longValue(v).isDefined
+      case LessThan(c, v) => typeOf(c).exists(isLongish) && longValue(v).isDefined
+      case LessThanOrEqual(c, v) => typeOf(c).exists(isLongish) && longValue(v).isDefined
+      case GreaterThan(c, v: String) => typeOf(c).contains(StringType)
+      case GreaterThanOrEqual(c, v: String) => typeOf(c).contains(StringType)
+      case LessThan(c, v: String) => typeOf(c).contains(StringType)
+      case LessThanOrEqual(c, v: String) => typeOf(c).contains(StringType)
+      case In(c, vs) => typeOf(c).exists { dt =>
+        (isLongish(dt) && vs.nonEmpty && vs.forall(longValue(_).isDefined)) ||
+          (dt == StringType && vs.nonEmpty && vs.forall(_.isInstanceOf[String]))
+      }
+      case IsNotNull(c) => typeOf(c).isDefined
+      case _ => false
+    }
+  }
+}
+
+/** Public (not `private[sources]`) so plan-shape specs can reach
+  * [[plannedFiles]] through `BatchScanExec.scan`. */
+class GraftScan(path: String, tableSchema: StructType,
+                required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  // driver-only planning state; resolve the log EXACTLY ONCE per scan
+  @transient private lazy val spark = SparkSession.active
+  @transient private lazy val snapshot: LakeSnapshot =
+    CommitLogTableFormat.currentSnapshot(spark, path).getOrElse(
+      throw new NoSuchElementException(s"no committed graft table at $path"))
+
+  /** (kept, total) of the last planning pass — the spec's
+    * skip-effectiveness probe. */
+  @volatile var plannedFiles: Option[(Int, Int)] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val planned = plannedFiles.map { case (k, t) => s", files $k/$t" }.getOrElse("")
+    s"GraftScan ${path} v${snapshot.version}$planned, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  }
+
+  private def saturatingInc(v: Long): Long = if (v == Long.MaxValue) v else v + 1L
+  private def saturatingDec(v: Long): Long = if (v == Long.MinValue) v else v - 1L
+
+  /** One distributed footer pass evaluating EVERY accepted zone-map
+    * constraint, then the optional bloom intersections. */
+  private def pruneFiles(all: Seq[String]): Seq[String] = {
+    import GraftScan.longValue
+    def dtOf(c: String): Option[DataType] =
+      tableSchema.fields.find(_.name == c).map(_.dataType)
+    // fold filters into per-column [lo, hi] long bounds …
+    val longBounds = collection.mutable.Map.empty[String, (Long, Long)]
+    def tightenLong(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = longBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      longBounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    // … per-column [lo, hi] string bounds (strict bounds relaxed to
+    // inclusive — conservative) …
+    val strBounds = collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    def tightenStr(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = strBounds.getOrElse(c, (None, None))
+      val nl = (l0 ++ lo).reduceOption((a, b) => if (a >= b) a else b)
+      val nh = (h0 ++ hi).reduceOption((a, b) => if (a <= b) a else b)
+      strBounds(c) = (nl, nh)
+    }
+    // … not-null columns, and bloom equality probes.
+    val notNull = collection.mutable.Set.empty[String]
+    val bloomEq = collection.mutable.Map.empty[String, Any]
+    pushed.foreach {
+      case EqualTo(c, v) => dtOf(c) match {
+        case Some(dt) if longValue(v).isDefined &&
+            (dt == LongType || dt == IntegerType || dt == ShortType ||
+              dt == ByteType || dt == DateType) =>
+          val lv = longValue(v).get
+          tightenLong(c, lv, lv); bloomEq(c) = v
+        case Some(StringType) =>
+          val s = v.asInstanceOf[String]
+          tightenStr(c, Some(s), Some(s)); bloomEq(c) = v
+        case Some(_) => bloomEq(c) = v
+        case None => ()
+      }
+      case GreaterThan(c, v) if dtOf(c).contains(StringType) =>
+        tightenStr(c, Some(v.asInstanceOf[String]), None)
+      case GreaterThanOrEqual(c, v) if dtOf(c).contains(StringType) =>
+        tightenStr(c, Some(v.asInstanceOf[String]), None)
+      case LessThan(c, v) if dtOf(c).contains(StringType) =>
+        tightenStr(c, None, Some(v.asInstanceOf[String]))
+      case LessThanOrEqual(c, v) if dtOf(c).contains(StringType) =>
+        tightenStr(c, None, Some(v.asInstanceOf[String]))
+      case GreaterThan(c, v) =>
+        longValue(v).foreach(lv => tightenLong(c, saturatingInc(lv), Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        longValue(v).foreach(lv => tightenLong(c, lv, Long.MaxValue))
+      case LessThan(c, v) =>
+        longValue(v).foreach(lv => tightenLong(c, Long.MinValue, saturatingDec(lv)))
+      case LessThanOrEqual(c, v) =>
+        longValue(v).foreach(lv => tightenLong(c, Long.MinValue, lv))
+      case In(c, vs) if dtOf(c).contains(StringType) =>
+        val ss = vs.collect { case s: String => s }
+        if (ss.nonEmpty) tightenStr(c, Some(ss.min), Some(ss.max))
+      case In(c, vs) =>
+        val ls = vs.flatMap(longValue(_))
+        if (ls.nonEmpty && ls.length == vs.length) tightenLong(c, ls.min, ls.max)
+      case IsNotNull(c) => notNull += c
+      case _ => ()
+    }
+    val lb = longBounds.toMap
+    val sb = strBounds.toMap.collect {
+      case (c, (lo, hi)) if lo.isDefined || hi.isDefined => c -> (lo, hi)
+    }
+    val nn = notNull.toSet
+    val footerKept =
+      if (lb.isEmpty && sb.isEmpty && nn.isEmpty) all
+      else CommitLogTableFormat.keptFiles(spark, all, (p: Path, conf: Configuration) => {
+        lazy val longStats = ParquetFooters.footerStats(p, conf)
+        lazy val strStats = ParquetFooters.footerStringStats(p, conf)
+        val longOk = lb.forall { case (c, (lo, hi)) =>
+          longStats.find(_._1 == c) match {
+            case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
+            case None => true
+          }
+        }
+        val strOk = longOk && sb.forall { case (c, (lo, hi)) =>
+          strStats.find(_._1 == c) match {
+            case Some((_, lower, upper, _, _)) =>
+              hi.forall(h => lower <= h) && lo.forall(l => upper >= l)
+            case None => true
+          }
+        }
+        strOk && nn.forall { c =>
+          longStats.find(_._1 == c)
+            .map { case (_, _, _, nulls, rows) => nulls < rows }
+            .orElse(strStats.find(_._1 == c)
+              .map { case (_, _, _, nulls, rows) => nulls < rows })
+            .getOrElse(true)
+        }
+      })
+    // bloom: intersect the admitted file-key sets of every pinned index
+    bloomEq.foldLeft(footerKept) { case (kept, (c, v)) =>
+      val keyType = tableSchema.fields.find(_.name == c).map(_.dataType)
+      keyType.flatMap(kt =>
+        CommitLogTableFormat.bloomAdmittedKeys(spark, snapshot, c, v, kt)) match {
+        case None => kept // no index pinned to this version: no skip
+        case Some(keys) => kept.filter(p => keys.contains(GraftReaders.fileKey(p)))
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = CommitLogTableFormat.snapshotDataFiles(spark, snapshot)
+    val kept = pruneFiles(all)
+    plannedFiles = Some((kept.size, all.size))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvParts = snapshot.dvPath.toSeq
+      .flatMap(p => ParquetFooters.dataFiles(fs, new Path(p)))
+    kept.map(f =>
+      GraftInputPartition(f, GraftReaders.fileKey(f), dvParts): InputPartition
+    ).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+}
+
+private[sources] case class GraftInputPartition(filePath: String, fileKey: String,
+                                                dvParts: Seq[String])
+    extends InputPartition
+
+private[sources] class GraftReaderFactory(required: StructType,
+                                          conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p, required, conf.value)
+  }
+}
+
+private[sources] object GraftReaders {
+
+  /** `<data dir>/<file name>` — the DV row identity (FileKeyExpr). */
+  def fileKey(path: String): String =
+    path.split('/').takeRight(2).mkString("/")
+
+  /** This file's DELETED positions, read from the DV sidecar parts
+    * with a parquet record filter on `file` (row-group stats skip
+    * unrelated DV blocks when the DV is clustered by file). Sorted for
+    * binary-search membership while streaming. */
+  def deletedPositions(dvParts: Seq[String], key: String,
+                       conf: Configuration): Array[Long] = {
+    if (dvParts.isEmpty) return Array.emptyLongArray
+    val buf = collection.mutable.ArrayBuffer.empty[Long]
+    val filter = FilterCompat.get(
+      FilterApi.eq(FilterApi.binaryColumn("file"), Binary.fromString(key)))
+    dvParts.foreach { part =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(part))
+        .withConf(conf)
+        .withFilter(filter)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          // record filter can return masked nulls only at page grain in
+          // some writers — re-check the key defensively
+          if (g.getFieldRepetitionCount("file") > 0 &&
+              g.getString("file", 0) == key)
+            buf += g.getLong("pos", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+}
+
+/** One task = one data file: a projected parquet Group reader
+  * streaming rows in file order (sequential position ==
+  * `_metadata.row_index`, the DV identity), skipping this file's
+  * deleted positions, converting to InternalRow against the REQUIRED
+  * schema with null backfill for columns this file predates. When the
+  * projection is empty or fully absent (COUNT(*) / pure-evolution
+  * selects), no data page is read at all — the footer's row count
+  * replays positions against the DV. */
+private[sources] class GraftPartitionReader(part: GraftInputPartition,
+                                            required: StructType,
+                                            conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val deleted: Array[Long] =
+    GraftReaders.deletedPositions(part.dvParts, part.fileKey, conf)
+  private def isDeleted(pos: Long): Boolean =
+    deleted.length > 0 && java.util.Arrays.binarySearch(deleted, pos) >= 0
+
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.filePath), conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val fileRowCount: Long = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.filePath), conf))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+  }
+
+  private val wanted = required.fields.map(_.name)
+  private val presentFields =
+    fileSchema.getFields.asScala.filter(f => wanted.contains(f.getName)).toSeq
+  private val projection: Option[MessageType] =
+    if (presentFields.isEmpty) None
+    else Some(new MessageType(fileSchema.getName, presentFields.asJava))
+
+  // required field index -> projection field index (-1 = null backfill)
+  private val fieldIdx: Array[Int] = projection match {
+    case None => Array.fill(required.length)(-1)
+    case Some(proj) => required.fields.map(f =>
+      if (proj.containsField(f.name)) proj.getFieldIndex(f.name) else -1)
+  }
+
+  private val reader: ParquetReader[Group] = projection match {
+    case None => null // footer row-count replay; no data pages
+    case Some(proj) =>
+      val c = new Configuration(conf)
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+      ParquetReader.builder(new GroupReadSupport(), new Path(part.filePath))
+        .withConf(c).build()
+  }
+
+  private var pos: Long = -1L
+  private var current: Group = _
+  private val nullRow: InternalRow =
+    new GenericInternalRow(Array.fill[Any](required.length)(null))
+
+  override def next(): Boolean = {
+    if (reader == null) {
+      pos += 1
+      while (pos < fileRowCount && isDeleted(pos)) pos += 1
+      pos < fileRowCount
+    } else {
+      var g = reader.read()
+      pos += 1
+      while (g != null && isDeleted(pos)) { g = reader.read(); pos += 1 }
+      current = g
+      g != null
+    }
+  }
+
+  override def get(): InternalRow = {
+    if (reader == null) nullRow
+    else {
+      val values = new Array[Any](required.length)
+      var i = 0
+      while (i < required.length) {
+        val idx = fieldIdx(i)
+        values(i) =
+          if (idx < 0 || current.getFieldRepetitionCount(idx) == 0) null
+          else GraftPartitionReader.convert(current, idx,
+            required.fields(i).dataType,
+            projection.get.getType(idx))
+        i += 1
+      }
+      new GenericInternalRow(values)
+    }
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+private[sources] object GraftPartitionReader {
+
+  private val JulianEpochDay = 2440588L
+
+  /** One present, non-null field of a Group → Catalyst value, driven
+    * by the REQUIRED Spark type with the file's physical type deciding
+    * the getter (Spark-written parquet: decimals land as
+    * INT32/INT64/FLBA by precision; timestamps as INT64 micros or
+    * legacy INT96). */
+  def convert(g: Group, idx: Int, dt: DataType,
+              fieldType: org.apache.parquet.schema.Type): Any = dt match {
+    case LongType => g.getLong(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case ShortType => g.getInteger(idx, 0).toShort
+    case ByteType => g.getInteger(idx, 0).toByte
+    case DoubleType => g.getDouble(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case BooleanType => g.getBoolean(idx, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes
+    case DateType => g.getInteger(idx, 0)
+    case TimestampType | TimestampNTZType =>
+      fieldType.asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT96 =>
+          val b = g.getInt96(idx, 0).getBytes // little-endian nanos(8) + julian day(4)
+          val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = bb.getLong; val day = bb.getInt
+          (day - JulianEpochDay) * 86400000000L + nanos / 1000L
+        case _ => g.getLong(idx, 0) // INT64 micros (Spark's writer)
+      }
+    case d: DecimalType =>
+      fieldType.asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 =>
+          Decimal(g.getInteger(idx, 0).toLong, d.precision, d.scale)
+        case PrimitiveTypeName.INT64 =>
+          Decimal(g.getLong(idx, 0), d.precision, d.scale)
+        case _ =>
+          val unscaled = new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
+          Decimal(BigDecimal(new java.math.BigDecimal(unscaled, d.scale)),
+            d.precision, d.scale)
+      }
+    case ArrayType(elem, _) =>
+      // Spark writes the 3-level LIST form: group (LIST) { repeated
+      // group list { <element> } }
+      val listGroup = g.getGroup(idx, 0)
+      val n = listGroup.getFieldRepetitionCount(0)
+      val elems = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val rep = listGroup.getGroup(0, j)
+        elems(j) =
+          if (rep.getFieldRepetitionCount(0) == 0) null
+          else convert(rep, 0, elem,
+            rep.getType.getType(0))
+        j += 1
+      }
+      new GenericArrayData(elems)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"graft DSv2 reader: unsupported type $other (column ${fieldType.getName})")
+  }
+}

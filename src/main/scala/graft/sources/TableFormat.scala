@@ -117,6 +117,20 @@ object RenameTableFormat extends TableFormat {
   }
 }
 
+/** A resolved [[CommitLogTableFormat]] snapshot's PHYSICAL layout,
+  * public for external readers (the `graft` DataSource V2 connector):
+  * the committed version, the table root, the immutable data dirs the
+  * version's log entry lists, and the optional deletion-vector
+  * sidecar. Holding one of these pins the snapshot — the dirs are
+  * immutable and vacuum retains the previous version, so a concurrent
+  * commit can never slide different files under a planned scan. */
+case class LakeSnapshot(version: Long, root: String,
+                        dataDirNames: Seq[String], dvName: Option[String]) {
+  def dataDirPaths: Seq[String] =
+    dataDirNames.map(n => new Path(new Path(root), n).toString)
+  def dvPath: Option[String] = dvName.map(n => new Path(new Path(root), n).toString)
+}
+
 /** Log-based atomic commit: the table at `table/` is a directory of
   * immutable snapshot dirs (`data-v<N>-<token>`) plus a commit log
   * (`_log/<N>`, content line 1 = that version's data dir NAMES,
@@ -250,6 +264,89 @@ object CommitLogTableFormat extends TableFormat {
     val fs = fsOf(spark, table)
     latest(fs, table).map { case (_, content) =>
       resolve(spark, table, parseSnap(content))
+    }
+  }
+
+  /** The current committed snapshot's physical layout — the resolve
+    * step the DSv2 connector plans from. One log read; see
+    * [[LakeSnapshot]] for the isolation argument. */
+  def currentSnapshot(spark: SparkSession, table: String): Option[LakeSnapshot] = {
+    val fs = fsOf(spark, table)
+    latest(fs, table).map { case (v, content) =>
+      val snap = parseSnap(content)
+      LakeSnapshot(v, table, snap.dataNames, snap.dvName)
+    }
+  }
+
+  /** All data files (full paths, sorted) of a resolved snapshot. */
+  def snapshotDataFiles(spark: SparkSession, snapshot: LakeSnapshot): Seq[String] = {
+    val fs = fsOf(spark, snapshot.root)
+    snapshot.dataDirNames.flatMap(n =>
+      ParquetFooters.dataFiles(fs, new Path(new Path(snapshot.root), n))).sorted
+  }
+
+  /** Zone-map prune of an EXPLICIT file list (the DSv2 planning hook):
+    * the files whose integer footer stats admit `column` ∈ [lo, hi].
+    * Files without a usable bound are KEPT — pruning never loses rows.
+    * Distributed footer walk, file names only back to the driver. */
+  def pruneFilesLong(spark: SparkSession, files: Seq[String], column: String,
+                     lo: Long, hi: Long): Seq[String] =
+    keptFiles(spark, files, (p, conf) =>
+      ParquetFooters.footerStats(p, conf).find(_._1 == column) match {
+        case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
+        case None => true
+      })
+
+  /** [[pruneFilesLong]] on a STRING key via the truncated string
+    * bounds (conservative by construction). */
+  def pruneFilesString(spark: SparkSession, files: Seq[String], column: String,
+                       lo: String, hi: String): Seq[String] =
+    keptFiles(spark, files, (p, conf) =>
+      ParquetFooters.footerStringStats(p, conf).find(_._1 == column) match {
+        case Some((_, lower, upper, _, _)) => !(upper < lo || lower > hi)
+        case None => true
+      })
+
+  /** NULL-rejecting prune of an explicit file list: drop files whose
+    * footer proves EVERY row of `column` is NULL (an `IsNotNull`
+    * pushdown can skip them). Missing stats keep the file. */
+  def pruneFilesNotNull(spark: SparkSession, files: Seq[String],
+                        column: String): Seq[String] =
+    keptFiles(spark, files, (p, conf) =>
+      ParquetFooters.footerStats(p, conf).find(_._1 == column)
+        .orElse(ParquetFooters.footerStringStats(p, conf).find(_._1 == column)
+          .map { case (c, _, _, nulls, rows) => (c, 0L, 0L, nulls, rows) })
+        match {
+          case Some((_, _, _, nulls, rows)) => nulls < rows
+          case None => true
+        })
+
+  /** Bloom-admitted FILE KEYS (`dir/name`, the DV identity) for an
+    * equality probe against `column`, or None when no index is pinned
+    * to `snapshot`'s version (stale/absent index ⇒ the caller must not
+    * skip anything). The probe literal is cast to `keyType` — the
+    * TABLE's column type — before hashing, the [[readBloomPoint]]
+    * false-negative discipline. */
+  def bloomAdmittedKeys(spark: SparkSession, snapshot: LakeSnapshot,
+                        column: String, value: Any,
+                        keyType: org.apache.spark.sql.types.DataType): Option[Set[String]] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val fs = fsOf(spark, snapshot.root)
+    val idx = new Path(new Path(snapshot.root, "_index"),
+      s"bloom-v${snapshot.version}-$column")
+    if (!fs.exists(idx)) None
+    else {
+      import spark.implicits._
+      val hash = spark.range(1)
+        .select(xxhash64(lit(value).cast(keyType))).head().getLong(0)
+      Some(spark.read.parquet(idx.toString)
+        .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+        .filter { t =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(t._2))
+            .mightContainLong(hash)
+        }
+        .map(_._1).collect().toSet)
     }
   }
 
@@ -880,8 +977,8 @@ object CommitLogTableFormat extends TableFormat {
     * QUERY path, which is exactly where pruning must stay cheap. The
     * collected result is file NAMES only — bounded by the snapshot's
     * file count, the same driver-grain as the listing itself. */
-  private def keptFiles(spark: SparkSession, files: Seq[String],
-                        keep: (Path, Configuration) => Boolean): Seq[String] = {
+  private[sources] def keptFiles(spark: SparkSession, files: Seq[String],
+                                 keep: (Path, Configuration) => Boolean): Seq[String] = {
     if (files.isEmpty) Seq.empty
     else {
       val bconf = spark.sparkContext.broadcast(

@@ -389,6 +389,58 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(afterErase == rows.filter(r => r._2 == "alpha" && r._1 != 0L).map(_._1).sorted.toSeq)
   }
 
+  test("graft DSv2: SQL resolves the snapshot; pushed filters and bloom probes skip files") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_dsv2").toString + "/t"
+    // 4 range-clustered files, then an evolved append and a DV erase
+    fmt.commit(spark, dir, (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k"), "c1")
+    fmt.append(spark, dir, Seq((401L, "v401", 9.5)).toDF("k", "v", "w"), "a2")
+    fmt.erase(spark, dir, $"k" % 10 === 0, "e1")
+
+    def graftScan(df: org.apache.spark.sql.DataFrame): graft.sources.GraftScan = {
+      df.collect() // force planInputPartitions
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      assert(scans.size == 1, s"expected one GraftScan, got $scans")
+      scans.head.asInstanceOf[graft.sources.GraftScan]
+    }
+
+    val lake = spark.read.format("graft").load(dir)
+    // union schema with evolution; MoR count through the rows-only path
+    assert(lake.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(lake.count() == 361L) // 401 rows - 40 erased
+    // range pushdown: only 1 of 5 files admits [1, 50]; rows exact
+    val ranged = lake.filter($"k".between(1L, 50L))
+    assert(ranged.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 50L).filterNot(_ % 10 == 0))
+    val rs = graftScan(lake.filter($"k".between(1L, 50L)))
+    assert(rs.plannedFiles.contains((1, 5)), s"zone map skip: ${rs.plannedFiles}")
+    // SQL surface: the same relation through a temp view, evolution NULLs
+    lake.createOrReplaceTempView("dsv2_lake")
+    val viaSql = spark.sql(
+      "SELECT k, v, w FROM dsv2_lake WHERE k >= 399 ORDER BY k").collect()
+    assert(viaSql.map(r => (r.getLong(0), r.isNullAt(2))).toSeq ==
+      Seq((399L, true), (401L, false)))
+    // bloom skip: hash-clustered table, equality probe reads 1 of 4 files
+    val bdir = Files.createTempDirectory("graft_dsv2b").toString + "/t"
+    fmt.commit(spark, bdir, (1L to 200L).map(i => (i, i * 3L)).toDF("k", "w")
+      .repartition(4, $"k"), "c1")
+    fmt.buildBloomIndex(spark, bdir, "k")
+    val bs = graftScan(spark.read.format("graft").load(bdir).filter($"k" === 42L))
+    assert(bs.plannedFiles.exists { case (kept, total) => total == 4 && kept < 4 },
+      s"bloom skip: ${bs.plannedFiles}")
+    assert(spark.read.format("graft").load(bdir).filter($"k" === 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 126L)))
+    // stale index: an append orphans it — falls back without losing rows
+    fmt.append(spark, bdir, Seq((201L, 603L)).toDF("k", "w"), "a2")
+    assert(spark.read.format("graft").load(bdir).filter($"k" === 201L)
+      .collect().map(_.getLong(0)).toSeq == Seq(201L))
+  }
+
   test("CommitLogTableFormat.append: incremental ingest — O(new data), full lakehouse contracts") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
