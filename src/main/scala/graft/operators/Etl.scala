@@ -2608,15 +2608,17 @@ object Etl {
     * version/time-travel/DV ACCOUNTING proven against an oracle that
     * predicts it from the raw data alone: build a CommitLog table with
     * the full ingest lifecycle (full commit of the order slim → APPEND
-    * of the high-key slice → DV erase of every 83rd key), then report
-    * each RETAINED version (ordinal 1 = previous, 2 = current) with
-    * its visible row count and data-dir count. A pass proves: append
-    * added exactly the slice to a second dir without touching the
-    * first; the erase version hides exactly the right rows while the
-    * PREVIOUS version still resolves them (time travel), and the
-    * retention window holds. Ordinals, not raw version numbers, keep
-    * the output invariant across re-runs (versions grow; the retained
-    * WINDOW's content is deterministic).
+    * of the high-key slice → DV erase of every 83rd key) under a
+    * 3-version retention (`setRetention` — round 13), then report
+    * each RETAINED version (ordinal 1 = the full commit, 2 = the
+    * append, 3 = the erase) with its visible row count and data-dir
+    * count. A pass proves: append added exactly the slice to a second
+    * dir without touching the first; the erase version hides exactly
+    * the right rows while BOTH earlier versions still resolve theirs
+    * (depth-2 time travel), and the configured retention window
+    * holds. Ordinals, not raw version numbers, keep the output
+    * invariant across re-runs (versions grow; the retained WINDOW's
+    * content is deterministic).
     *
     * Cost: the a44 lake-gate tier — two small writes + one DV erase +
     * two counts per run, all on the slim 2-column frame. */
@@ -2626,10 +2628,14 @@ object Etl {
     val table = lakeDir(dir, "a47")
     val slim = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
+    // round 13: retention deepened to 3 (setRetention — the r12
+    // verdict's configurable-window ask), so the WHOLE lifecycle stays
+    // time-travelable and the gate audits all three versions
+    fmt.setRetention(spark, table, 3)
     fmt.commit(spark, table, slim.filter(col("o_orderkey") % 2 === 0), "a47c")
     fmt.append(spark, table, slim.filter(col("o_orderkey") % 2 === 1), "a47a")
     fmt.erase(spark, table, col("o_orderkey") % 83 === 0, "a47e")
-    val retained = fmt.versions(spark, table).takeRight(2)
+    val retained = fmt.versions(spark, table).takeRight(3)
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = retained.zipWithIndex.map { case (v, i) =>
@@ -2646,13 +2652,17 @@ object Etl {
   }
 
   val a47Sql: String =
-    """WITH n AS (SELECT count(*) AS total FROM orders),
+    """WITH n AS (SELECT count(*) AS total,
+      |  count(*) FILTER (WHERE o_orderkey % 2 = 0) AS evens FROM orders),
       |erased AS (
       |  SELECT count(*) AS gone FROM orders WHERE o_orderkey % 83 = 0)
-      |SELECT 1 AS ordinal, CAST(total AS BIGINT) AS n_rows,
+      |SELECT 1 AS ordinal, CAST(evens AS BIGINT) AS n_rows,
+      |  CAST(1 AS BIGINT) AS n_data_dirs FROM n
+      |UNION ALL
+      |SELECT 2 AS ordinal, CAST(total AS BIGINT) AS n_rows,
       |  CAST(2 AS BIGINT) AS n_data_dirs FROM n
       |UNION ALL
-      |SELECT 2 AS ordinal, CAST(total - gone AS BIGINT) AS n_rows,
+      |SELECT 3 AS ordinal, CAST(total - gone AS BIGINT) AS n_rows,
       |  CAST(2 AS BIGINT) AS n_data_dirs FROM n, erased
       |ORDER BY ordinal""".stripMargin
 

@@ -178,7 +178,8 @@ case class LakeSnapshot(version: Long, root: String,
   * At 100 TB this is the object-store-friendly shape: data files are
   * written once and never renamed, visibility is one small-file move,
   * and the previous version stays readable for in-flight readers (the
-  * last two versions are retained, older ones vacuumed on commit).
+  * last [[setRetention]] versions — default two — plus an optional
+  * age floor are retained, older ones vacuumed on commit).
   * True object stores lack atomic rename-if-absent — there the
   * publish step needs the store's conditional-put or an external
   * lock, as Delta on S3 does; the HDFS-family contract is atomic. */
@@ -1278,15 +1279,79 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
-  /** Retain the committed and previous versions (in-flight readers);
-    * drop older versions and every unreferenced (orphan) data dir or
-    * DV sidecar. An entry references every line of its content (data
-    * dir + optional DV), and DV-only versions share their predecessor's
-    * data dir — sharing is why the sweep is reference-based, not
-    * version-arithmetic. Safe under the single-writer contract — there
-    * is no concurrent not-yet-logged dir to destroy. */
+  private val RetentionFileName = "_retention"
+
+  /** Declare the table's RETENTION policy (a durable table property,
+    * the Delta `logRetentionDuration` posture): vacuum keeps the last
+    * `versions` committed versions (≥ 2 — the current and previous
+    * must survive for in-flight readers), PLUS every version whose
+    * commit instant is younger than `minAgeMillis` (the time-based
+    * floor that makes [[readAsOf]] a real contract: "any instant in
+    * the last 24 h resolves" is an age guarantee, not a count one).
+    * Applies from the NEXT commit's vacuum — already-swept versions
+    * do not come back. Idempotent tmp+rename write; absent file =
+    * the historical default (2, 0). */
+  def setRetention(spark: SparkSession, table: String, versions: Int,
+                   minAgeMillis: Long = 0L): Unit = {
+    require(versions >= 2,
+      s"retention must keep >= 2 versions (current + previous), got $versions")
+    require(minAgeMillis >= 0L, s"minAgeMillis must be >= 0, got $minAgeMillis")
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    fs.mkdirs(root)
+    val tmp = new Path(root, s".$RetentionFileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"versions=$versions\nminAgeMs=$minAgeMillis\n".getBytes(UTF_8))
+    finally out.close()
+    val target = new Path(root, RetentionFileName)
+    fs.delete(target, false)
+    Swap.renameOrThrow(fs, tmp, target)
+  }
+
+  /** The table's declared (versions, minAgeMillis) retention — the
+    * default (2, 0) when never set or unreadable. */
+  def retention(spark: SparkSession, table: String): (Int, Long) =
+    readRetention(fsOf(spark, table), new Path(table))
+
+  private def readRetention(fs: FileSystem, root: Path): (Int, Long) = {
+    val p = new Path(root, RetentionFileName)
+    try {
+      if (!fs.exists(p)) (2, 0L)
+      else {
+        val kv = entryContent(fs, p).split('\n').map(_.trim).filter(_.contains('='))
+          .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+        val versions = kv.get("versions").flatMap(v =>
+          scala.util.Try(v.toInt).toOption).filter(_ >= 2).getOrElse(2)
+        val minAge = kv.get("minAgeMs").flatMap(v =>
+          scala.util.Try(v.toLong).toOption).filter(_ >= 0L).getOrElse(0L)
+        (versions, minAge)
+      }
+    } catch { case _: java.io.IOException => (2, 0L) }
+  }
+
+  /** Retain the last N committed versions (the table's declared
+    * retention, default current + previous) and every version younger
+    * than the age floor; drop older versions and every unreferenced
+    * (orphan) data dir or DV sidecar. An entry references every line
+    * of its content (data dir + optional DV), and DV-only versions
+    * share their predecessor's data dir — sharing is why the sweep is
+    * reference-based, not version-arithmetic. Safe under the
+    * single-writer contract — there is no concurrent not-yet-logged
+    * dir to destroy. */
   private def vacuum(fs: FileSystem, root: Path, committed: Long): Unit = {
-    val keepEntries = (committed - 1L) to committed
+    val (retainVersions, minAgeMs) = readRetention(fs, root)
+    val now = System.currentTimeMillis()
+    def youngEnough(v: Long): Boolean = minAgeMs > 0L && {
+      val p = new Path(new Path(root, LogDirName), v.toString)
+      try fs.exists(p) && now - fs.getFileStatus(p).getModificationTime < minAgeMs
+      catch { case _: java.io.IOException => true } // unreadable: keep
+    }
+    val floor = committed - (retainVersions - 1L)
+    val listed = fs.globStatus(new Path(new Path(root, LogDirName), "*"))
+    val allVersions =
+      if (listed == null) Seq.empty[Long]
+      else listed.toSeq.flatMap(e => scala.util.Try(e.getPath.getName.toLong).toOption)
+    val keepEntries = allVersions.filter(v => v >= floor || youngEnough(v))
     val referenced = keepEntries.flatMap { v =>
       val p = new Path(new Path(root, LogDirName), v.toString)
       if (fs.exists(p)) {
@@ -1304,10 +1369,11 @@ object CommitLogTableFormat extends TableFormat {
         dirs.filterNot(d => referenced(d.getPath.getName))
           .foreach(d => fs.delete(d.getPath, true))
     }
+    val keep = keepEntries.toSet
     val logEntries = fs.globStatus(new Path(new Path(root, LogDirName), "*"))
     if (logEntries != null)
       logEntries.filter(e =>
-          scala.util.Try(e.getPath.getName.toLong).toOption.exists(_ < committed - 1L))
+          scala.util.Try(e.getPath.getName.toLong).toOption.exists(v => !keep(v)))
         .foreach(e => fs.delete(e.getPath, true))
     // staged entries from crashed writers (ours was renamed away).
     // Scope the sweep to stages AT OR BELOW the just-committed version

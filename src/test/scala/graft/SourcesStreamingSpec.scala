@@ -664,14 +664,11 @@ class SourcesStreamingSpec extends GraftSpec {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
     val dir = Files.createTempDirectory("graft_tf_cdf").toString + "/t"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def entryContent(v: Long): String = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_log/$v"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
+    // retention 3: deep-enough time travel to diff across TWO
+    // transitions directly (rounds <13 had to capture/restore the
+    // swept log entry to demo this — setRetention IS the real contract)
+    fmt.setRetention(spark, dir, 3)
     fmt.commit(spark, dir, (1L to 10L).map(i => (i, s"v_$i")).toDF("k", "v"), "c1")
-    val v1Entry = entryContent(1L)
     fmt.append(spark, dir, Seq((11L, "v_11"), (12L, "v_12")).toDF("k", "v"), "a2")
     // v1 -> v2: pure append = inserts only
     val f12 = fmt.changesBetween(spark, dir, 1L, 2L).get
@@ -682,20 +679,13 @@ class SourcesStreamingSpec extends GraftSpec {
     val f23 = fmt.changesBetween(spark, dir, 2L, 3L).get
       .as[(Long, String, String)].collect().sorted.toSeq
     assert(f23 == Seq((3L, "v_3", "delete"), (11L, "v_11", "delete")))
-    // v1 left the 2-version retention window when v3 landed: None, honestly
-    assert(fmt.changesBetween(spark, dir, 1L, 3L).isEmpty)
-    // v1 -> v3 NET semantics, demoed by restoring v1's swept log ENTRY
-    // (its data dirs survived — vacuum is reference-based and v3 still
-    // lists them — so this simulates a longer retention window): k=11
-    // was appended AND erased inside the window, never observable at
-    // either endpoint, so it appears as NEITHER; k=3 (visible at v1,
-    // hidden at v3) is a delete; k=12 an insert
-    val out1 = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_log/1"), true)
-    try out1.write(v1Entry.getBytes("UTF-8")) finally out1.close()
+    // v1 -> v3 NET semantics across the retained window: k=11 was
+    // appended AND erased inside it, never observable at either
+    // endpoint, so it appears as NEITHER; k=3 (visible at v1, hidden
+    // at v3) is a delete; k=12 an insert
     val f13 = fmt.changesBetween(spark, dir, 1L, 3L).get
       .as[(Long, String, String)].collect().sorted.toSeq
     assert(f13 == Seq((3L, "v_3", "delete"), (12L, "v_12", "insert")))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/1"), false)
     // an upsert shows as delete(old) + insert(new)
     fmt.upsertByKey(spark, dir, Seq((5L, "NEW_5")).toDF("k", "v"), "k", "u4")
     val f34 = fmt.changesBetween(spark, dir, 3L, 4L).get
@@ -704,7 +694,7 @@ class SourcesStreamingSpec extends GraftSpec {
     // same-version bound rejected; vacuumed versions return None
     intercept[IllegalArgumentException](fmt.changesBetween(spark, dir, 3L, 3L))
     assert(fmt.changesBetween(spark, dir, 1L, 4L).isEmpty,
-      "v1 left the retention window after later commits")
+      "v1 left the 3-version retention window after later commits")
     // a full rewrite breaks row identity: the feed REFUSES, never fakes
     fmt.compact(spark, dir, "opt")
     val Seq(prev, cur) = fmt.versions(spark, dir).takeRight(2)
@@ -996,6 +986,43 @@ class SourcesStreamingSpec extends GraftSpec {
     fsA.delete(new org.apache.hadoop.fs.Path(s"$dir/_log/99"), true)
     // before the first commit's mtime: None
     assert(fmt.versionAsOf(spark, dir, 1000L).isEmpty)
+  }
+
+  test("setRetention: depth-N time travel, age floor, reference-based sweep") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_retain").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fmt.setRetention(spark, dir, 3)
+    assert(fmt.retention(spark, dir) == ((3, 0L)))
+    fmt.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"), "c1")
+    fmt.append(spark, dir, Seq((2L, "b")).toDF("k", "v"), "a2")
+    fmt.append(spark, dir, Seq((3L, "c")).toDF("k", "v"), "a3")
+    fmt.append(spark, dir, Seq((4L, "d")).toDF("k", "v"), "a4")
+    // depth-3 window: v1 swept, v2..v4 retained and READABLE two back
+    assert(fmt.versions(spark, dir) == Seq(2L, 3L, 4L))
+    assert(fmt.readVersion(spark, dir, 2L).get.count() == 2L)
+    assert(fmt.readVersion(spark, dir, 1L).isEmpty)
+    // age floor: everything younger than the floor survives the sweep,
+    // version count notwithstanding (the readAsOf contract)
+    fmt.setRetention(spark, dir, 2, minAgeMillis = 3600L * 1000L)
+    fmt.append(spark, dir, Seq((5L, "e")).toDF("k", "v"), "a5")
+    assert(fmt.versions(spark, dir) == Seq(2L, 3L, 4L, 5L),
+      "age floor must keep fresh versions beyond the count window")
+    // floor dropped: the count rules again
+    fmt.setRetention(spark, dir, 2)
+    fmt.commit(spark, dir, Seq((9L, "z")).toDF("k", "v"), "c6")
+    assert(fmt.versions(spark, dir) == Seq(5L, 6L))
+    // reference-based dir sweep: one more full commit strands every
+    // append-era dir and vacuum removes exactly those
+    fmt.commit(spark, dir, Seq((10L, "y")).toDF("k", "v"), "c7")
+    assert(fmt.versions(spark, dir) == Seq(6L, 7L))
+    val dataDirs = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/data-v*"))
+      .map(_.getPath.getName).toSet
+    assert(dataDirs == Set("data-v6-c6", "data-v7-c7"), dataDirs.toString)
+    // retention below the in-flight-reader floor is rejected
+    intercept[IllegalArgumentException](fmt.setRetention(spark, dir, 1))
   }
 
   test("HilbertLayout: reference walk exact, curve is Manhattan-adjacent, prunes <= Z-order") {
