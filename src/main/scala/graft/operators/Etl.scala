@@ -2876,7 +2876,47 @@ object Etl {
       |WHERE o_orderkey BETWEEN 100 AND 700 AND o_orderkey % 97 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** a54: PARTIAL compaction through the correctness gate — the 100 TB
+    * OPTIMIZE (VERDICT r12 missing #2: `compact` rewrites O(table);
+    * the only affordable maintenance on a daily append stream is
+    * rewriting exactly the small-file subset a25 plans). Build the
+    * append-fragmentation shape (commit + two appends, one dir per
+    * load), DV-erase keys spanning every load, then `compactDirs` the
+    * first two dirs — folding THEIR erasures physical while the third
+    * dir stays byte-identical and keeps its erasures via the carried
+    * DV. The oracle predicts the exact surviving rows from the raw
+    * parquet alone, so a pass proves the rewrite lost nothing, purged
+    * nothing it shouldn't, and the DV re-keying across the fold is
+    * right. Dir-grain effects (survivor untouched, file counts, DV
+    * carry-forward) are ScalaTest plan-gated; THIS gate is end-to-end
+    * content equality.
+    *
+    * Cost: the a44 lake-gate tier — three small writes + one erase +
+    * one subset rewrite, all on the slim 2-column frame. */
+  def a54PartialCompact(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a54")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    fmt.commit(spark, table, slim.filter(col("o_orderkey") % 3 === 0), "a54c")
+    fmt.append(spark, table, slim.filter(col("o_orderkey") % 3 === 1), "a54a1")
+    fmt.append(spark, table, slim.filter(col("o_orderkey") % 3 === 2), "a54a2")
+    fmt.erase(spark, table, col("o_orderkey") % 89 === 0, "a54e")
+    val snap = fmt.currentSnapshot(spark, table).get
+    fmt.compactDirs(spark, table, snap.dataDirNames.take(2), "a54pc")
+    fmt.read(spark, table).get
+      .filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val a54Sql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_orderkey <= 5000 AND o_orderkey % 89 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a54_partial_compact" -> (a54PartialCompact _),
     "a53_sql_lake_read" -> (a53SqlLakeRead _),
     "a52_checked_load" -> (a52CheckedLoad _),
     "a51_bloom_point_read" -> (a51BloomPointRead _),
@@ -2932,6 +2972,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a54_partial_compact" -> a54Sql,
     "a53_sql_lake_read" -> a53Sql,
     "a52_checked_load" -> a52Sql,
     "a51_bloom_point_read" -> a51Sql,

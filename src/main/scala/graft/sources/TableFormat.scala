@@ -470,6 +470,93 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** PARTIAL compaction (the 100 TB OPTIMIZE): rewrite ONLY the named
+    * data dirs into one new dir — folding their deletion-vector hits
+    * in (the rewritten rows' erasures become physical) — while every
+    * OTHER dir of the snapshot stays byte-identical and keeps its
+    * identity (and with it the change-feed lineage of versions that
+    * only touch surviving dirs, where [[changesBetween]]'s containment
+    * check allows). [[compact]] rewrites O(table); a daily append
+    * stream accumulates one small dir per batch forever, and the only
+    * affordable maintenance at 100 TB is rewriting exactly the
+    * small-file subset a25 already plans — this executes that plan at
+    * dir grain. The new entry lists the surviving dirs plus the merged
+    * dir; the surviving dirs' DV rows ride along (re-written as a new
+    * sidecar only when the rewritten dirs actually had hits to drop —
+    * otherwise the prior sidecar name is carried forward unchanged).
+    * `coalesce` (narrow) does the rewrite — no corpus exchange. Same
+    * one-rename publish: a concurrent commit wins the race and this
+    * compaction throws [[ConcurrentCommitException]]. Returns the new
+    * version; None before the first commit. Unknown dir names throw —
+    * a silent skip would let a caller believe files were merged. */
+  def compactDirs(spark: SparkSession, table: String, dirs: Seq[String],
+                  token: String, targetFiles: Int = 1): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(dirs.nonEmpty, "compactDirs needs at least one dir to rewrite")
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    recoverLatest(fs, table).map { case (v, content) =>
+      val snap = parseSnap(content)
+      val unknown = dirs.filterNot(snap.dataNames.contains)
+      require(unknown.isEmpty,
+        s"compactDirs: ${unknown.mkString(", ")} not in the current " +
+          s"snapshot of $root (dirs: ${snap.dataNames.mkString(", ")})")
+      val rewrite = snap.dataNames.filter(dirs.contains)
+      val survive = snap.dataNames.filterNot(dirs.contains)
+      val nv = v + 1
+      val dataName = s"data-v$nv-$token"
+      val dvName = s"dv-v$nv-$token"
+      // fold the rewritten dirs' DV hits IN: the merged dir holds the
+      // LIVE rows only, so those erasures become physical (the same
+      // purge contract as full compact) — mergeSchema because the
+      // rewritten set may span an append-time schema evolution
+      val src = spark.read.option("mergeSchema", "true")
+        .parquet(rewrite.map(n => new Path(root, n).toString): _*)
+      val dv = snap.dvName.map(n =>
+        spark.read.parquet(new Path(root, n).toString))
+      val rewriteDv = dv.map(_.filter(
+        expr("substring_index(file, '/', 1)").isin(rewrite: _*)))
+      val purged = rewriteDv match {
+        case None => src
+        case Some(hits) =>
+          val keyed = src
+            .withColumn("__graft_file", expr(FileKeyExpr))
+            .withColumn("__graft_pos", col("_metadata.row_index"))
+          keyed.join(hits, keyed("__graft_file") === hits("file") &&
+              keyed("__graft_pos") === hits("pos"), "left_anti")
+            .drop("__graft_file", "__graft_pos")
+      }
+      purged.coalesce(targetFiles).write.mode("overwrite")
+        .parquet(new Path(root, dataName).toString)
+      // the surviving dirs' DV rows are still live erasures; rewrite
+      // the sidecar only when folding actually dropped rows from it
+      val (entryDv, orphanDv) = dv match {
+        case None => (None, Seq.empty[Path])
+        case Some(d) =>
+          val survives = d.filter(
+            expr("substring_index(file, '/', 1)").isin(survive: _*))
+          val agg = d.agg(
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.count_if(
+              expr("substring_index(file, '/', 1)").isin(survive: _*))).head()
+          val (total, surviving) = (agg.getLong(0), agg.getLong(1))
+          if (surviving == total) (snap.dvName, Seq.empty[Path]) // untouched: carry forward
+          else if (surviving == 0L) (None, Seq.empty[Path])      // fully folded in
+          else {
+            survives.write.mode("overwrite")
+              .parquet(new Path(root, dvName).toString)
+            (Some(dvName), Seq(new Path(root, dvName)))
+          }
+      }
+      val newDirs = survive :+ dataName
+      val newContent = newDirs.mkString(" ") +
+        entryDv.map(n => s"\n$n").getOrElse("")
+      publish(fs, root, nv, newContent, token,
+        new Path(root, dataName) +: orphanDv)
+      nv
+    }
+  }
+
   /** Recovery (delete crashed-legacy empty entries so they can't
     * collide with the next version) and the next version number. Safe
     * because the tmp+rename protocol never has an empty entry in

@@ -1198,6 +1198,71 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(fmt.versions(spark, dir) == Seq(1L, 2L))
   }
 
+  test("CommitLogTableFormat.compactDirs: subset merged with DV folded, untouched dirs byte-identical") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_tf_pcompact").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fmt.compactDirs(spark, dir, Seq("data-v1-x"), "noop").isEmpty,
+      "compactDirs before first commit is a no-op")
+    // three small loads — the daily-append fragmentation pattern
+    fmt.commit(spark, dir, (1L to 100L).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(4), "l0")
+    fmt.append(spark, dir, (101L to 200L).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(4), "l1")
+    fmt.append(spark, dir, (201L to 300L).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(4), "l2")
+    // erasures spanning BOTH the rewritten subset and the survivor
+    fmt.erase(spark, dir, col("k").isin(7L, 150L, 250L), "e")
+    val before = fmt.currentSnapshot(spark, dir).get
+    assert(before.dataDirNames.size == 3)
+    val Seq(d0, d1, d2) = before.dataDirNames
+    val survivorFiles = fs.globStatus(new Path(s"$dir/$d2/*.parquet"))
+      .map(s => s.getPath.getName -> (s.getModificationTime, s.getLen)).toMap
+    // unknown dir name must throw, not silently skip
+    intercept[IllegalArgumentException] {
+      fmt.compactDirs(spark, dir, Seq(d0, "data-v9-ghost"), "bad")
+    }
+    val v = fmt.compactDirs(spark, dir, Seq(d0, d1), "pc", targetFiles = 1)
+    assert(v.contains(5L), s"compactDirs version: $v")
+    val after = fmt.currentSnapshot(spark, dir).get
+    // exactly the survivor + the merged dir; survivor files untouched
+    assert(after.dataDirNames.size == 2 && after.dataDirNames.head == d2,
+      s"dirs after partial compact: ${after.dataDirNames}")
+    val merged = after.dataDirNames.last
+    assert(fs.globStatus(new Path(s"$dir/$d2/*.parquet"))
+      .map(s => s.getPath.getName -> (s.getModificationTime, s.getLen)).toMap
+      == survivorFiles, "partial compaction must not touch surviving dirs")
+    assert(fs.globStatus(new Path(s"$dir/$merged/*.parquet")).length == 1)
+    // content equality through the committed read — all three loads'
+    // erasures still hidden (folded for d0/d1, DV-carried for d2)
+    assert(fmt.read(spark, dir).get.as[(Long, String)].collect().map(_._1).sorted.toSeq
+      == (1L to 300L).filterNot(Set(7L, 150L, 250L)),
+      "partial compaction must preserve content exactly")
+    // the rewritten rows' erasures became PHYSICAL: the merged dir
+    // itself no longer holds them
+    val mergedKeys = spark.read.parquet(s"$dir/$merged")
+      .select("k").as[Long].collect().toSet
+    assert(!mergedKeys.contains(7L) && !mergedKeys.contains(150L),
+      "folded DV hits must be physically purged from the merged dir")
+    // the survivor's erasure rides a rewritten DV sidecar (7/150
+    // dropped, 250 kept) and still works; the raw file still has it
+    assert(spark.read.parquet(s"$dir/$d2").select("k").as[Long]
+      .collect().toSet.contains(250L), "survivor files must be byte-identical")
+    // a rewrite set with NO DV hits: the prior sidecar is carried
+    // forward by NAME (no pointless sidecar rewrite) and still hides
+    // the survivor's erasures
+    fmt.erase(spark, dir, col("k") === 299L, "e2") // hits only d2
+    val snap2 = fmt.currentSnapshot(spark, dir).get
+    val v2 = fmt.compactDirs(spark, dir, Seq(merged), "pc2")
+    val after2 = fmt.currentSnapshot(spark, dir).get
+    assert(v2.contains(snap2.version + 1))
+    assert(after2.dvName == snap2.dvName,
+      "a hit-free rewrite set must carry the prior DV sidecar forward")
+    assert(fmt.read(spark, dir).get.count() == 296L) // 300 - {7,150,250,299}
+  }
+
   test("profileMergeBatch over CommitLogTableFormat: merge + replay-skip hold") {
     import graft.jobs.Profiles
     val fmt = graft.sources.CommitLogTableFormat
