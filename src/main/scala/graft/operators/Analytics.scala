@@ -2125,9 +2125,24 @@ object Analytics {
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+      // materialized ONCE: the prefilter consumes baskets from three
+      // structurally different subtrees (support counts, both pair
+      // sides through the semi-join) — exchange reuse no longer covers
+      // them all, and re-running the lineitem⋈orders join per subtree
+      // would quadruple the corpus scans
+      .localCheckpoint()
     val counts = baskets.groupBy(col("part")).agg(count(lit(1)).as("c_i"))
-    val a = baskets.select(col("cust"), col("part").as("p1"))
-    val b = baskets.select(col("cust"), col("part").as("p2"))
+    // Apriori monotonicity (r12 verdict's hardening): c_ab <= min(c_a,
+    // c_b), so a part below the support floor can never appear in a
+    // qualifying pair — semi-join the baskets down BEFORE the
+    // per-customer quadratic fan-out. EXACT (no qualifying pair is
+    // lost), and the bound that keeps the pair explosion flat as
+    // basket sizes grow with scale: only items already frequent pay
+    // the O(k²) expansion.
+    val frequent = counts.filter(col("c_i") >= BasketMinSupport).select(col("part"))
+    val pruned = baskets.join(frequent, Seq("part"), "left_semi")
+    val a = pruned.select(col("cust"), col("part").as("p1"))
+    val b = pruned.select(col("cust"), col("part").as("p2"))
     val nRow = Tables.orders(spark, dir)
       .agg(count_distinct(col("o_custkey")).as("n_baskets"))
     a.join(b, "cust")
@@ -4739,7 +4754,134 @@ object Analytics {
       |    THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS outlier_ppm
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  def q90TheilIndex(spark: SparkSession, dir: String): DataFrame =
+    q90TheilOf(Tables.orders(spark, dir), Tables.customer(spark, dir))
+
+  /** q90: Theil-T inequality of customer spend, DECOMPOSED by nation —
+    * the additive split q86's Hoover cannot give: total inequality =
+    * Σ_g within-nation T_g weighted by spend share + a between-nation
+    * term Σ_g (X_g/X)·ln((X_g/X)/(N_g/N)), so a data owner reads
+    * exactly how much disparity lives INSIDE markets vs BETWEEN them
+    * (the GE(1) decomposition — Theil 1967; Shorrocks 1980 for the
+    * decomposability result). Log-bearing, so the statistic itself is
+    * double; every INPUT to the doubles is an exact integer (cents
+    * spend, counts) aggregated first, and the oracle mirrors the term
+    * order, so the 1e-9 float gate holds. Purchasing customers only
+    * (x > 0 — ln demands it; the q86 contract).
+    *
+    * Shape: customer-grain spend reduce (localCheckpoint — the per-
+    * term pass and the totals pass must not re-run the join), ≤25-row
+    * nation totals broadcast back for the per-customer terms, grand
+    * totals broadcast for the between term. No corpus window. */
+  def q90TheilOf(orders: DataFrame, customer: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val spend = orders
+      .select(col("o_custkey"), Cols.dec2(col("o_totalprice")).as("p"))
+      .groupBy(col("o_custkey"))
+      .agg(d38c(sum(col("p")) * 100).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("x"))
+      .localCheckpoint()
+    val totals = spend.groupBy(col("c_nationkey"))
+      .agg(sum(col("x")).as("tx"), count(lit(1)).as("nc"))
+      .localCheckpoint()
+    val grand = totals.agg(sum(col("tx")).as("gx"), sum(col("nc")).as("gn"))
+    // per-customer ratio r = x·N_g/X_g (>0); within T_g = Σ r·ln(r) / N_g
+    val within = spend.join(broadcast(totals), Seq("c_nationkey"))
+      .withColumn("r", col("x").cast("double") * col("nc").cast("double") /
+        col("tx").cast("double"))
+      .groupBy(col("c_nationkey"))
+      .agg((sum(col("r") * log(col("r"))) / first(col("nc"))).as("t_within"))
+    totals.crossJoin(broadcast(grand))
+      .withColumn("share_x", col("tx").cast("double") / col("gx").cast("double"))
+      .withColumn("share_n", col("nc").cast("double") / col("gn").cast("double"))
+      .join(within, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("nc").cast("bigint").as("n_customers"),
+        col("tx").cast("bigint").as("spend_cents"), col("t_within"),
+        (col("share_x") * log(col("share_x") / col("share_n"))).as("between_term"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q90Sql: String =
+    """WITH s AS (
+      |  SELECT c_nationkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey, o_custkey),
+      |t AS (SELECT c_nationkey, sum(x) AS tx, count(*) AS nc FROM s GROUP BY 1),
+      |g AS (SELECT sum(tx) AS gx, sum(nc) AS gn FROM t),
+      |w AS (
+      |  SELECT s.c_nationkey,
+      |    sum((CAST(s.x AS DOUBLE) * CAST(t.nc AS DOUBLE) / CAST(t.tx AS DOUBLE))
+      |      * ln(CAST(s.x AS DOUBLE) * CAST(t.nc AS DOUBLE) / CAST(t.tx AS DOUBLE)))
+      |      / any_value(CAST(t.nc AS DOUBLE)) AS t_within
+      |  FROM s JOIN t USING (c_nationkey) GROUP BY 1)
+      |SELECT t.c_nationkey, CAST(t.nc AS BIGINT) AS n_customers,
+      |  CAST(t.tx AS BIGINT) AS spend_cents, w.t_within,
+      |  (CAST(t.tx AS DOUBLE) / CAST(g.gx AS DOUBLE))
+      |    * ln((CAST(t.tx AS DOUBLE) / CAST(g.gx AS DOUBLE))
+      |        / (CAST(t.nc AS DOUBLE) / CAST(g.gn AS DOUBLE))) AS between_term
+      |FROM t JOIN w USING (c_nationkey) CROSS JOIN g
+      |ORDER BY t.c_nationkey""".stripMargin
+
+  def q91SeasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    q91SeasonalOf(Tables.orders(spark, dir))
+
+  /** q91: month-of-year SEASONAL INDEX of order revenue — for every
+    * (year, month) the classical ratio-to-yearly-average index
+    * idx = n_months_in_year · rev_m / rev_year (n_months, not 12:
+    * TPC-H-ish order dates end mid-year, and a partial year's absent
+    * months must not deflate the present ones), then per MONTH across
+    * years the index's mean/min/max — the table a demand planner reads
+    * to separate real seasonality from one-off years (q39's YoY growth
+    * tracks the trend; this isolates the periodic component). Revenue
+    * sums are exact cents; only the final ratios are doubles, term
+    * order mirrored.
+    *
+    * Shape: one orders reduce to (year, month) grain (≤ ~84 rows at
+    * any SF — months don't grow with data), a per-year reduce
+    * broadcast back, a per-month reduce. Nothing leaves month grain. */
+  def q91SeasonalOf(orders: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val rev = orders
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        Cols.dec2(col("o_totalprice")).as("p"))
+      .groupBy(col("y"), col("m"))
+      .agg(d38c(sum(col("p")) * 100).as("rev"))
+      .localCheckpoint()
+    val yearly = rev.groupBy(col("y"))
+      .agg(sum(col("rev")).as("yrev"), count(lit(1)).as("n_months"))
+    rev.join(broadcast(yearly), Seq("y"))
+      .withColumn("idx", col("rev").cast("double") * col("n_months").cast("double") /
+        col("yrev").cast("double"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).cast("bigint").as("n_years"),
+        sum(col("rev")).cast("bigint").as("rev_cents"),
+        avg(col("idx")).as("avg_idx"),
+        min(col("idx")).as("min_idx"), max(col("idx")).as("max_idx"))
+      .select(col("m").as("month"), col("n_years"), col("rev_cents"),
+        col("avg_idx"), col("min_idx"), col("max_idx"))
+      .orderBy(col("month"))
+  }
+
+  val q91Sql: String =
+    """WITH r AS (
+      |  SELECT EXTRACT(year FROM o_orderdate) AS y, EXTRACT(month FROM o_orderdate) AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |yr AS (SELECT y, sum(rev) AS yrev, count(*) AS n_months FROM r GROUP BY 1),
+      |i AS (
+      |  SELECT r.m, r.rev,
+      |    CAST(r.rev AS DOUBLE) * CAST(yr.n_months AS DOUBLE) / CAST(yr.yrev AS DOUBLE) AS idx
+      |  FROM r JOIN yr USING (y))
+      |SELECT CAST(m AS INTEGER) AS month, CAST(count(*) AS BIGINT) AS n_years,
+      |  CAST(sum(rev) AS BIGINT) AS rev_cents,
+      |  avg(idx) AS avg_idx, min(idx) AS min_idx, max(idx) AS max_idx
+      |FROM i GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_seasonal_strength" -> (q91SeasonalStrength _),
+    "q90_theil_index" -> (q90TheilIndex _),
     "q89_mahalanobis" -> (q89Mahalanobis _),
     "q88_partial_corr" -> (q88PartialCorr _),
     "q87_cov_matrix" -> (q87CovMatrix _),
@@ -4830,6 +4972,8 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q91_seasonal_strength" -> q91Sql,
+    "q90_theil_index" -> q90Sql,
     "q89_mahalanobis" -> q89Sql,
     "q88_partial_corr" -> q88Sql,
     "q87_cov_matrix" -> q87Sql,

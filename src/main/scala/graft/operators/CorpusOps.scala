@@ -374,6 +374,63 @@ object CorpusOps {
       |SELECT doc_id, cluster_id, cluster_size
       |FROM labs JOIN sizes USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  def d118ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val labels = sharedClusters(spark, dir)
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+    val pairs = graft.operators.DedupOps.sharedVerifiedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    // every verified pair's endpoints share a cluster BY CONSTRUCTION
+    // (components were built from these edges), so one label join on
+    // doc_a prices the per-cluster edge count
+    val edges = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .join(edges, Seq("cluster_id"))
+      .select(col("size"),
+        col("n_edges"),
+        // all-integer forms: 2·edges = size·(size−1) ⟺ clique, and
+        // 10⁴·edges div C(size,2) = 2·10⁴·edges div (size·(size−1))
+        (col("n_edges") * 2 === col("size") * (col("size") - 1)).as("is_clique"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).cast("bigint").as("n_clusters"),
+        sum(col("n_edges")).cast("bigint").as("total_edges"),
+        sum(when(col("is_clique"), 1L).otherwise(0L)).cast("bigint").as("n_cliques"),
+        min(expr("(n_edges * 20000) div (size * (size - 1))"))
+          .cast("bigint").as("min_density_bp"))
+      .select(col("size").cast("bigint").as("cluster_size"), col("n_clusters"),
+        col("total_edges"), col("n_cliques"), col("min_density_bp"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** d118: dedup-cluster COHESION audit — d25 labels the components;
+    * this prices how tight each one is. A near-dup "cluster" built by
+    * transitive closure can chain A≈B≈C where A and C share nothing
+    * (the dedup-by-components overreach every corpus owner eventually
+    * debugs at scale): per cluster SIZE, how many components exist,
+    * their direct-edge totals, how many are true CLIQUES (every pair
+    * verified ≥ τ), and the worst edge density observed — density
+    * 10⁴·edges div C(size,2), exact integers end-to-end. min density
+    * near 10⁴ ⇒ components ≈ cliques (safe to keep-one-per-cluster);
+    * low min density at large sizes ⇒ chains (keep-best d50 needs a
+    * second look). Cost: two label-grain reduces + one pairs⋈labels
+    * equi-join — never corpus grain. */
+  val d118Sql: String = ccSqlPrefix +
+    """,
+      |ecnt AS (
+      |  SELECT l.cluster_id, count(*) AS n_edges
+      |  FROM pairs p JOIN labs l ON p.doc_a = l.doc_id GROUP BY 1),
+      |per AS (
+      |  SELECT s.cluster_size AS size, e.n_edges,
+      |    e.n_edges * 2 = s.cluster_size * (s.cluster_size - 1) AS is_clique
+      |  FROM sizes s JOIN ecnt e USING (cluster_id))
+      |SELECT CAST(size AS BIGINT) AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(n_edges) AS BIGINT) AS total_edges,
+      |  CAST(sum(CASE WHEN is_clique THEN 1 ELSE 0 END) AS BIGINT) AS n_cliques,
+      |  CAST(min(n_edges * 20000 // (size * (size - 1))) AS BIGINT) AS min_density_bp
+      |FROM per GROUP BY size ORDER BY cluster_size""".stripMargin
+
   /** d50: dedup-cluster representative selection — the execution step
     * after d25's clustering: within each near-dup cluster keep ONE doc,
     * drop the rest. The keep rule is integer-deterministic: longest doc
@@ -2387,6 +2444,7 @@ object CorpusOps {
       |FROM c ORDER BY decile""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d118_cluster_cohesion" -> (d118ClusterCohesion _),
     "d114_novelty_curve" -> (d114NoveltyCurve _),
     "d109_dup_locality" -> (d109DupLocality _),
     "d108_entropy_rate" -> (d108EntropyRate _),
@@ -2421,6 +2479,7 @@ object CorpusOps {
     "d32_dedup_corpus" -> (d32DedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "d118_cluster_cohesion" -> d118Sql,
     "d109_dup_locality" -> d109Sql,
     "d114_novelty_curve" -> d114Sql,
     "d108_entropy_rate" -> d108Sql,

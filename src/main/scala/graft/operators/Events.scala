@@ -4294,7 +4294,86 @@ object Events {
       |  CAST((sum(len) * 1000) // count(*) AS BIGINT) AS mean_len_milli
       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  def c67CrossCorrelogram(spark: SparkSession, dir: String): DataFrame =
+    c67Of(Tables.events(spark, dir))
+
+  /** c67: cross-type LEAD–LAG correlogram — Pearson r between every
+    * ordered type pair's zero-filled daily series at lags −3…+3
+    * (lag L: does type_a's count today predict type_b's L days
+    * later?). c58 gives the zero-lag comovement and c62 each type's
+    * AUTO-correlogram; this is the missing cross half — the table an
+    * on-call engineer reads to find which signal LEADS which (errors
+    * today → support tickets tomorrow). All lags are REPORTED rather
+    * than argmax'd: near-tied doubles must not decide a cross-engine
+    * row (the c62 discipline). Moments are exact DECIMAL(38)
+    * integers; only the final r is double, term order mirrored.
+    *
+    * Shape: one events reduce to (type, day) grain, zero-filled spine
+    * localCheckpoint'ed, a 6-way lag fan-out of the TINY day-grain
+    * frame (≤ types·days rows — never the event corpus), equi-join on
+    * shifted day, one reduce per (pair, lag). */
+  def c67Of(events: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val days = zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .localCheckpoint(true)
+    val a = days.select(col("event_type").as("type_a"), col("day"),
+        col("n_events").as("x"))
+      .withColumn("lag", explode(lit(Array(-3, -2, -1, 1, 2, 3))))
+    val b = days.select(col("event_type").as("type_b"),
+      col("day").as("day_b"), col("n_events").as("y"))
+    a.join(b, col("day_b") === col("day") + col("lag") &&
+        col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x")) * col("x")).as("sxx"),
+        sum(d38(col("y")) * col("y")).as("syy"))
+      .withColumn("vx", d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", d38(col("n")) * col("syy") - col("sy") * col("sy"))
+      .select(col("type_a"), col("type_b"), col("lag"),
+        col("n").cast("bigint").as("n_days"),
+        when(col("vx") > 0 && col("vy") > 0,
+          (d38(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("vx").cast("double") * col("vy").cast("double"))).as("r"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
+  val c67Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |lags AS (SELECT unnest([-3, -2, -1, 1, 2, 3]) AS lag),
+      |m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(a.n_events AS HUGEINT)) AS sx,
+      |    sum(CAST(b.n_events AS HUGEINT)) AS sy,
+      |    sum(CAST(a.n_events AS HUGEINT) * b.n_events) AS sxy,
+      |    sum(CAST(a.n_events AS HUGEINT) * a.n_events) AS sxx,
+      |    sum(CAST(b.n_events AS HUGEINT) * b.n_events) AS syy
+      |  FROM j a CROSS JOIN lags l JOIN j b
+      |    ON b.day = a.day + l.lag AND a.event_type < b.event_type
+      |  GROUP BY 1, 2, 3),
+      |v AS (
+      |  SELECT type_a, type_b, lag, n, sx, sy, sxy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS vy
+      |  FROM m)
+      |SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag, n AS n_days,
+      |  CASE WHEN vx > 0 AND vy > 0 THEN
+      |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r
+      |FROM v ORDER BY type_a, type_b, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c67_cross_correlogram" -> (c67CrossCorrelogram _),
     "c66_busy_runs" -> (c66BusyRuns _),
     "c65_vol_clustering" -> (c65VolClustering _),
     "c64_hurst_rs" -> (c64HurstRs _),
@@ -4363,6 +4442,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c67_cross_correlogram" -> c67Sql,
     "c66_busy_runs" -> c66Sql,
     "c65_vol_clustering" -> c65Sql,
     "c64_hurst_rs" -> c64Sql,

@@ -1935,7 +1935,86 @@ object MultimodalOps {
        |FROM pe JOIN cov ON pe.epoch = cov.epoch
        |ORDER BY pe.epoch""".stripMargin
 
+  /** e27: cross-modality PAIR LOCALITY — when a text stream and its
+    * paired embedding/image stream are sharded independently (each
+    * packed in the SAME (source, doc_id) order, the paired-modality
+    * WebDataset layout), a loader can walk both with one open shard
+    * per modality ONLY while the pair's two halves sit at the same
+    * shard ordinal; byte-size skew between modalities makes the
+    * ordinals drift, and every drifted pair is a random seek at
+    * training time. This prices that: modality B's per-source budget
+    * is derived so B has the SAME shard count as A (budget =
+    * ceil(B-bytes / A's shard count) — alignment is achievable, drift
+    * is therefore pure interleaving skew), then per source: pairs,
+    * shards, pairs whose ordinals match, and the worst ordinal drift.
+    * Exact integer bytes/cumsums/divs end-to-end.
+    *
+    * Shape: one docs⋈embeddings equi-join to pair grain, TWO running
+    * sums over the same per-source window (one pass), a ≤|sources|
+    * totals broadcast back, one reduce. The window is pair-grain
+    * (ids + 2 byte counts), never blob payloads. */
+  def e27PairLocality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("tb"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), (size(col("embedding")) * 4L).cast("long").as("eb")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("t_start", sum(col("tb")).over(w) - col("tb"))
+      .withColumn("e_start", sum(col("eb")).over(w) - col("eb"))
+      .localCheckpoint()
+    val b2 = pairs.groupBy(col("source"))
+      .agg(sum(col("tb")).as("ttot"), sum(col("eb")).as("etot"))
+      .withColumn("n_shards", expr(s"(ttot + ${ShardBytes - 1}L) div ${ShardBytes}L"))
+      .withColumn("e_budget", expr("(etot + n_shards - 1) div n_shards"))
+      .select(col("source"), col("n_shards"), col("e_budget"))
+    pairs.join(broadcast(b2), Seq("source"))
+      .withColumn("t_shard", expr(s"t_start div ${ShardBytes}L"))
+      .withColumn("e_shard", expr("e_start div e_budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        max(col("n_shards")).cast("bigint").as("n_shards"),
+        sum(when(col("t_shard") === col("e_shard"), 1L).otherwise(0L))
+          .cast("bigint").as("aligned"),
+        max(abs(col("t_shard") - col("e_shard"))).cast("bigint").as("max_drift"))
+      .withColumn("aligned_bp", expr("(aligned * 10000) div n_pairs").cast("bigint"))
+      .orderBy(col("source"))
+  }
+
+  val e27Sql: String =
+    s"""WITH p AS (
+       |  SELECT d.source, d.doc_id,
+       |    CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS tb,
+       |    CAST(len(e.embedding) * 4 AS BIGINT) AS eb
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |c AS (
+       |  SELECT source, doc_id, tb, eb,
+       |    sum(tb) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - tb AS t_start,
+       |    sum(eb) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - eb AS e_start
+       |  FROM p),
+       |b AS (
+       |  SELECT source,
+       |    (sum(tb) + ${ShardBytes - 1}) // $ShardBytes AS n_shards,
+       |    (sum(eb) + (sum(tb) + ${ShardBytes - 1}) // $ShardBytes - 1)
+       |      // ((sum(tb) + ${ShardBytes - 1}) // $ShardBytes) AS e_budget
+       |  FROM p GROUP BY 1)
+       |SELECT c.source, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(max(b.n_shards) AS BIGINT) AS n_shards,
+       |  CAST(sum(CASE WHEN c.t_start // $ShardBytes = c.e_start // b.e_budget
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS aligned,
+       |  CAST(max(abs(c.t_start // $ShardBytes - c.e_start // b.e_budget)) AS BIGINT) AS max_drift,
+       |  CAST(sum(CASE WHEN c.t_start // $ShardBytes = c.e_start // b.e_budget
+       |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS aligned_bp
+       |FROM c JOIN b USING (source)
+       |GROUP BY c.source ORDER BY c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e27_pair_locality" -> (e27PairLocality _),
     "e26_byte_budget" -> (e26ByteBudget _),
     "e25_resume_plan" -> (e25ResumePlan _),
     "e24_epoch_stability" -> (e24EpochStability _),
@@ -1967,6 +2046,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e27_pair_locality" -> e27Sql,
     "e26_byte_budget" -> e26Sql,
     "e25_resume_plan" -> e25Sql,
     "e24_epoch_stability" -> e24Sql,

@@ -3253,7 +3253,63 @@ object TextOps {
        |SELECT doc_id, rank, tok AS token, tf, df, CAST(salience AS BIGINT) AS salience
        |FROM r WHERE rank <= $KeywordsK ORDER BY doc_id, rank""".stripMargin
 
+  def d117SampleCoverage(spark: SparkSession, dir: String): DataFrame =
+    d117SampleCoverageOf(Tables.documents(spark, dir))
+
+  /** d117: SAMPLE token coverage per source — before training a
+    * tokenizer (or estimating corpus statistics) on a cheap subsample,
+    * measure what the deterministic 1-in-8 doc sample actually
+    * covers: the fraction of each source's DISTINCT vocabulary that
+    * appears in the sample, and the fraction of its total TOKEN MASS
+    * carried by those covered types (mass coverage is always ≥ vocab
+    * coverage — frequent types are caught first; the gap IS the
+    * long-tail risk). d90's Good–Turing estimates the unseen mass of
+    * the corpus from itself; this measures a concrete sample against
+    * the corpus it came from — the number a pipeline owner checks
+    * before trusting sample-fitted BPE merges (d67) at 100 TB. Exact
+    * integers end-to-end (counts and basis-point divs).
+    *
+    * Shape: one token explode → (source, token) grain reduce with a
+    * bool-or "seen in sample" flag folded into the SAME aggregate (no
+    * second corpus pass, no join back) → per-source reduce. */
+  def d117SampleCoverageOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), (col("doc_id") % 8 === 0).as("in_sample"),
+        explode(tokens(col("text"))).as("tok"))
+    toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"), max(col("in_sample")).as("covered"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("vocab_covered"),
+        sum(col("n")).as("mass"),
+        sum(when(col("covered"), col("n")).otherwise(0L)).as("mass_covered"))
+      .select(col("source"), col("vocab").cast("bigint").as("vocab"),
+        col("vocab_covered").cast("bigint").as("vocab_covered"),
+        col("mass").cast("bigint").as("mass"),
+        col("mass_covered").cast("bigint").as("mass_covered"),
+        expr("(vocab_covered * 10000) div vocab").cast("bigint").as("vocab_bp"),
+        expr("(mass_covered * 10000) div mass").cast("bigint").as("mass_bp"))
+      .orderBy(col("source"))
+  }
+
+  val d117Sql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id % 8 = 0 AS in_sample,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tt AS (
+      |  SELECT source, tok, count(*) AS n, bool_or(in_sample) AS covered
+      |  FROM toks GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS vocab_covered,
+      |  CAST(sum(n) AS BIGINT) AS mass,
+      |  CAST(sum(CASE WHEN covered THEN n ELSE 0 END) AS BIGINT) AS mass_covered,
+      |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS vocab_bp,
+      |  CAST(sum(CASE WHEN covered THEN n ELSE 0 END) * 10000 // sum(n) AS BIGINT) AS mass_bp
+      |FROM tt GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d117_sample_coverage" -> (d117SampleCoverage _),
     "d112_salient_terms" -> (d112SalientTerms _),
     "d111_weighted_sample" -> (d111WeightedSample _),
     "d110_code_switch" -> (d110CodeSwitch _),
@@ -3311,6 +3367,7 @@ object TextOps {
     "d8_ngram_jaccard" -> (d8NgramJaccard _))
 
   val oracles: Map[String, String] = Map(
+    "d117_sample_coverage" -> d117Sql,
     "d112_salient_terms" -> d112Sql,
     "d111_weighted_sample" -> d111Sql,
     "d105_markup_profile" -> d105Sql,

