@@ -4879,7 +4879,73 @@ object Analytics {
       |  avg(idx) AS avg_idx, min(idx) AS min_idx, max(idx) AS max_idx
       |FROM i GROUP BY 1 ORDER BY 1""".stripMargin
 
+  def q92HillTail(spark: SparkSession, dir: String): DataFrame =
+    q92HillOf(Tables.orders(spark, dir))
+
+  /** q92: Hill estimator of the customer-spend TAIL INDEX — for the
+    * top-k order statistics, α̂_k = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * (Hill 1975), at k ∈ {20, 50, 100}: the heavy-tail exponent a
+    * capacity planner reads to know whether whale customers follow a
+    * power law (α ≤ 2 ⇒ infinite variance — mean-based provisioning
+    * is wrong) and how fast the estimate stabilizes across k. Rank
+    * order is integer-deterministic (spend cents desc, custkey asc —
+    * no float in the ORDER), thresholds are exact cents; only the
+    * final log-sum is double with oracle-mirrored term order.
+    *
+    * Shape: customer-grain spend reduce → TakeOrdered 101 rows (k is
+    * bounded — the 100 TB point: the tail fit never materializes a
+    * corpus-wide window) → a 3-way k fan-out of that 101-row frame →
+    * one reduce per k. */
+  def q92HillOf(orders: DataFrame): DataFrame = {
+    def d38c(c: Column): Column = c.cast(DecimalType(38, 0))
+    val ks = Seq(20, 50, 100)
+    val kMax = ks.max
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc, col("o_custkey"))
+    val top = orders
+      .select(col("o_custkey"), Cols.dec2(col("o_totalprice")).as("p"))
+      .groupBy(col("o_custkey"))
+      .agg(d38c(sum(col("p")) * 100).as("x"))
+      .orderBy(col("x").desc, col("o_custkey"))
+      .limit(kMax + 1) // TakeOrdered — the window below sorts 101 rows
+      .withColumn("rk", row_number().over(w))
+      .localCheckpoint()
+    top.withColumn("k", explode(lit(ks.toArray)))
+      .filter(col("rk") <= col("k") + 1)
+      .groupBy(col("k"))
+      .agg(
+        max(when(col("rk") === col("k") + 1, col("x"))).as("thr"),
+        sum(when(col("rk") <= col("k"), log(col("x").cast("double")))).as("sumln"))
+      // a k the corpus cannot fill (fewer than k+1 customers) emits no
+      // row — a truncated-tail α would be silently wrong
+      .filter(col("thr").isNotNull)
+      .select(col("k"), col("thr").cast("bigint").as("threshold_cents"),
+        (col("k").cast("double") /
+          (col("sumln") - col("k").cast("double") *
+            log(col("thr").cast("double")))).as("alpha"))
+      .orderBy(col("k"))
+  }
+
+  val q92Sql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rk FROM s
+      |  ORDER BY x DESC, o_custkey LIMIT 101),
+      |f AS (SELECT k, rk, x FROM r CROSS JOIN (SELECT unnest([20, 50, 100]) AS k)
+      |  WHERE rk <= k + 1),
+      |m AS (
+      |  SELECT k,
+      |    max(CASE WHEN rk = k + 1 THEN x END) AS thr,
+      |    sum(CASE WHEN rk <= k THEN ln(CAST(x AS DOUBLE)) END) AS sumln
+      |  FROM f GROUP BY 1)
+      |SELECT CAST(k AS INTEGER) AS k, CAST(thr AS BIGINT) AS threshold_cents,
+      |  CAST(k AS DOUBLE) / (sumln - CAST(k AS DOUBLE) * ln(CAST(thr AS DOUBLE))) AS alpha
+      |FROM m WHERE thr IS NOT NULL ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_hill_tail" -> (q92HillTail _),
     "q91_seasonal_strength" -> (q91SeasonalStrength _),
     "q90_theil_index" -> (q90TheilIndex _),
     "q89_mahalanobis" -> (q89Mahalanobis _),
@@ -4972,6 +5038,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q92_hill_tail" -> q92Sql,
     "q91_seasonal_strength" -> q91Sql,
     "q90_theil_index" -> q90Sql,
     "q89_mahalanobis" -> q89Sql,

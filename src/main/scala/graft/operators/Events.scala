@@ -4372,7 +4372,66 @@ object Events {
       |      sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r
       |FROM v ORDER BY type_a, type_b, lag""".stripMargin
 
+  def c68ActivityGini(spark: SparkSession, dir: String): DataFrame =
+    c68Of(Tables.events(spark, dir))
+
+  /** c68: daily-volume GINI per event type — how unevenly a type's
+    * traffic is spread across its zero-filled day spine (0 = flat
+    * load, →1 = a few spike days carry everything): the capacity
+    * question c25 (which hours burst) and c66 (how long busy runs
+    * last) don't answer — what share of provisioned days does the
+    * traffic actually use. Sorted-cumsum Gini, EXACT integers:
+    * G·10⁴ = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) · 10⁴ div (n·Σx), ranks from a
+    * per-type window ordered by count (ties in x leave Σ i·x₍ᵢ₎
+    * invariant — equal values make Σi over the tied run fixed — so
+    * the rank order inside ties cannot flip a digit, engine or
+    * parallelism notwithstanding). Gap days are REAL zero days (the
+    * c66 spine contract): skipping them would understate skew.
+    *
+    * Shape: one events reduce to the (type, day) spine, one per-type
+    * rank window over day-grain rows, one reduce. */
+  def c68Of(events: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("n_events"), col("day"))
+    zeroFilledDaysOf(events)
+      .select(col("event_type"), col("day"), col("n_events"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("n_events"))).as("tot"),
+        sum(d38(col("i")) * col("n_events")).as("ix"))
+      .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+        col("tot").cast("bigint").as("n_events"),
+        expr("((2 * ix - (n + 1) * tot) * 10000) div (n * tot)")
+          .cast("bigint").as("gini_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  val c68Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+      |byday AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM byday GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi)) AS day FROM spans),
+      |j AS (
+      |  SELECT s.event_type, s.day, coalesce(b.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN byday b USING (event_type, day)),
+      |r AS (
+      |  SELECT event_type, n_events,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY n_events, day) AS i
+      |  FROM j),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(n_events AS HUGEINT)) AS tot,
+      |    sum(CAST(i AS HUGEINT) * n_events) AS ix
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(tot AS BIGINT) AS n_events,
+      |  CAST((2 * ix - (n + 1) * tot) * 10000 // (n * tot) AS BIGINT) AS gini_bp
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c68_activity_gini" -> (c68ActivityGini _),
     "c67_cross_correlogram" -> (c67CrossCorrelogram _),
     "c66_busy_runs" -> (c66BusyRuns _),
     "c65_vol_clustering" -> (c65VolClustering _),
@@ -4442,6 +4501,7 @@ object Events {
     "c7_cohort_retention" -> (c7CohortRetention _))
 
   val oracles: Map[String, String] = Map(
+    "c68_activity_gini" -> c68Sql,
     "c67_cross_correlogram" -> c67Sql,
     "c66_busy_runs" -> c66Sql,
     "c65_vol_clustering" -> c65Sql,

@@ -86,11 +86,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val table = pathOf(options)
-    val snap = CommitLogTableFormat.currentSnapshot(spark, table).getOrElse(
-      throw new NoSuchElementException(
-        s"no committed graft table at $table (no valid _log entry)"))
+    val snap = GraftDataSource.resolveSnapshot(spark, table, options)
     // mergeSchema union across the snapshot's dirs — the evolution
-    // contract resolve() gives the Scala read path
+    // contract resolve() gives the Scala read path. A time-traveled
+    // read infers the schema AT that version (pre-evolution readers
+    // must not see columns that did not exist yet).
     val base = spark.read.option("mergeSchema", "true")
       .parquet(snap.dataDirPaths: _*).schema
     if (options.getBoolean("changeFeed", false))
@@ -103,13 +103,56 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new GraftTable(pathOf(properties), schema,
       changeFeed = opts.getBoolean("changeFeed", false),
-      startingVersion = Option(opts.get("startingVersion")).map(_.trim.toLong))
+      startingVersion = Option(opts.get("startingVersion")).map(_.trim.toLong),
+      asOfVersion = GraftDataSource.asOfVersion(SparkSession.active,
+        pathOf(properties), opts))
   }
+}
+
+private[sources] object GraftDataSource {
+
+  /** TIME TRAVEL through the SQL surface (Delta `versionAsOf` /
+    * `timestampAsOf` read-option parity): an explicit version, or the
+    * version live at a wall-clock instant (epoch millis, or a
+    * `yyyy-mm-dd hh:mm:ss[.f…]` timestamp literal) resolved via the
+    * commit-instant log mtimes. Throws — not silently-latest — when
+    * the version left the retention window or predates the table:
+    * serving NEWER data than the asked-for instant would be a silent
+    * isolation violation. */
+  def asOfVersion(spark: SparkSession, table: String,
+                  options: CaseInsensitiveStringMap): Option[Long] = {
+    val byVersion = Option(options.get("versionAsOf")).map(_.trim.toLong)
+    val byTime = Option(options.get("timestampAsOf")).map { s =>
+      val ts = scala.util.Try(s.trim.toLong)
+        .getOrElse(java.sql.Timestamp.valueOf(s.trim).getTime)
+      CommitLogTableFormat.versionAsOf(spark, table, ts).getOrElse(
+        throw new NoSuchElementException(
+          s"no version of $table was live at $s (before table birth, " +
+            "or swept by retention)"))
+    }
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    byVersion.orElse(byTime)
+  }
+
+  /** The snapshot a read with `options` binds to: pinned when a
+    * time-travel option is present, else the current one. */
+  def resolveSnapshot(spark: SparkSession, table: String,
+                      options: CaseInsensitiveStringMap): LakeSnapshot =
+    asOfVersion(spark, table, options) match {
+      case Some(v) => CommitLogTableFormat.snapshotAt(spark, table, v).getOrElse(
+        throw new NoSuchElementException(
+          s"version $v of $table is not retained (vacuumed or never committed)"))
+      case None => CommitLogTableFormat.currentSnapshot(spark, table).getOrElse(
+        throw new NoSuchElementException(
+          s"no committed graft table at $table (no valid _log entry)"))
+    }
 }
 
 private[sources] class GraftTable(path: String, tableSchema: StructType,
                                   changeFeed: Boolean = false,
-                                  startingVersion: Option[Long] = None)
+                                  startingVersion: Option[Long] = None,
+                                  asOfVersion: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String =
     if (changeFeed) s"graft.changeFeed.`$path`" else s"graft.`$path`"
@@ -119,7 +162,7 @@ private[sources] class GraftTable(path: String, tableSchema: StructType,
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (changeFeed) new GraftFeedScanBuilder(path, tableSchema, startingVersion)
-    else new GraftScanBuilder(path, tableSchema)
+    else new GraftScanBuilder(path, tableSchema, asOfVersion)
 }
 
 /** Feed-mode scan builder: column pruning only — every filter stays
@@ -240,7 +283,8 @@ private[sources] class GraftFeedStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-private[sources] class GraftScanBuilder(path: String, tableSchema: StructType)
+private[sources] class GraftScanBuilder(path: String, tableSchema: StructType,
+                                        asOfVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -257,7 +301,8 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(path, tableSchema, required, accepted)
+  override def build(): Scan =
+    new GraftScan(path, tableSchema, required, accepted, asOfVersion)
 }
 
 private[sources] object GraftScan {
@@ -314,14 +359,20 @@ private[sources] object GraftScan {
 /** Public (not `private[sources]`) so plan-shape specs can reach
   * [[plannedFiles]] through `BatchScanExec.scan`. */
 class GraftScan(path: String, tableSchema: StructType,
-                required: StructType, pushed: Array[Filter])
+                required: StructType, pushed: Array[Filter],
+                asOfVersion: Option[Long] = None)
     extends Scan with Batch {
 
   // driver-only planning state; resolve the log EXACTLY ONCE per scan
+  // (time travel pins the version instead — same single resolution)
   @transient private lazy val spark = SparkSession.active
-  @transient private lazy val snapshot: LakeSnapshot =
-    CommitLogTableFormat.currentSnapshot(spark, path).getOrElse(
+  @transient private lazy val snapshot: LakeSnapshot = asOfVersion match {
+    case Some(v) => CommitLogTableFormat.snapshotAt(spark, path, v).getOrElse(
+      throw new NoSuchElementException(
+        s"version $v of $path is not retained (vacuumed or never committed)"))
+    case None => CommitLogTableFormat.currentSnapshot(spark, path).getOrElse(
       throw new NoSuchElementException(s"no committed graft table at $path"))
+  }
 
   /** (kept, total) of the last planning pass — the spec's
     * skip-effectiveness probe. */

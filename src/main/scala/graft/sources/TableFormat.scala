@@ -279,6 +279,18 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** [[currentSnapshot]] pinned to an explicit VERSION still inside
+    * the retention window — the DSv2 time-travel resolution hook
+    * (`versionAsOf`/`timestampAsOf` read options). None when the
+    * version never existed or has been vacuumed. */
+  def snapshotAt(spark: SparkSession, table: String, version: Long): Option[LakeSnapshot] = {
+    val fs = fsOf(spark, table)
+    val entry = new Path(new Path(table, LogDirName), version.toString)
+    if (!fs.exists(entry)) None
+    else Some(entryContent(fs, entry)).filter(_.nonEmpty).map(parseSnap)
+      .map(s => LakeSnapshot(version, table, s.dataNames, s.dvName))
+  }
+
   /** All data files (full paths, sorted) of a resolved snapshot. */
   def snapshotDataFiles(spark: SparkSession, snapshot: LakeSnapshot): Seq[String] = {
     val fs = fsOf(spark, snapshot.root)

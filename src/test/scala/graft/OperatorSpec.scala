@@ -7408,6 +7408,52 @@ class OperatorSpec extends GraftSpec {
     assert(got == brute, s"$got vs $brute")
   }
 
+  test("q92 Hill tail: brute replay on a planted spend ladder; unfillable k emits no row") {
+    import spark.implicits._
+    // 120 customers, spend i*100 dollars -> cents ladder with a known
+    // deterministic rank order
+    val orders = (1L to 120L).map(i => (i, i * 100.0)).toDF("o_custkey", "o_totalprice")
+    val got = Analytics.q92HillOf(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cents = (1L to 120L).map(_ * 10000L).sortBy(-_)
+    Seq(20, 50, 100).foreach { k =>
+      val thr = cents(k) // 0-indexed: rank k+1
+      val alpha = k / (cents.take(k).map(x => math.log(x.toDouble)).sum -
+        k * math.log(thr.toDouble))
+      assert(got(k)._1 == thr && math.abs(got(k)._2 - alpha) < 1e-9,
+        s"k=$k: ${got(k)} vs ($thr, $alpha)")
+    }
+    // fewer than k+1 customers: that k must be ABSENT, not truncated
+    val small = (1L to 30L).map(i => (i, i * 100.0)).toDF("o_custkey", "o_totalprice")
+    assert(Analytics.q92HillOf(small).collect().map(_.getInt(0)).toSeq == Seq(20),
+      "only the fillable k survives")
+    val real = Analytics.q92HillTail(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(2) > 0.0, r.toString))
+  }
+
+  test("c68 activity gini: flat load scores 0, one-spike spine scores the sorted-cumsum value") {
+    import spark.implicits._
+    def evs(tpe: String, perDay: Seq[Int]) = perDay.zipWithIndex.flatMap {
+      case (n, i) => (1 to n).map(k => (java.sql.Timestamp.valueOf(
+        f"2024-04-${i + 1}%02d 0${k % 9}:0${k % 6}:11"), 1L, tpe, 0.0, "{}"))
+    }
+    // cc: 5/day for 10 days -> gini 0; zz: day1=1, day10=99 (8 gap
+    // days are REAL zero days): sorted x=(0^8,1,99), sum(i*x)=999,
+    // (2*999-11*100)*1e4 div (10*100) = 8980
+    val events = (evs("cc", Seq.fill(10)(5)) ++
+      evs("zz", 1 +: Seq.fill(8)(0) :+ 99))
+      .toDF("ts", "user_id", "event_type", "value", "props")
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = Events.c68Of(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("cc") == ((10L, 50L, 0L)), got("cc").toString)
+    assert(got("zz") == ((10L, 100L, 8980L)), got("zz").toString)
+    val real = Events.c68ActivityGini(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) < 10000L, r.toString))
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the

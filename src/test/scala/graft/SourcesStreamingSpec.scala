@@ -445,6 +445,46 @@ class SourcesStreamingSpec extends GraftSpec {
       s"advanced bloom skip through DSv2: ${bs2.plannedFiles}")
   }
 
+  test("graft DSv2 time travel: versionAsOf/timestampAsOf pin the snapshot and its schema") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_dsv2_tt").toString + "/t"
+    fmt.setRetention(spark, dir, 3)
+    fmt.commit(spark, dir, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), "c1")
+    Thread.sleep(15) // commit-instant mtimes need distinct millis
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(15)
+    fmt.append(spark, dir, Seq((101L, "v101", 9L)).toDF("k", "v", "w"), "a2") // evolves
+    fmt.erase(spark, dir, col("k") === 7L, "e3")
+    // current read: evolved schema, erased row hidden
+    val cur = spark.read.format("graft").load(dir)
+    assert(cur.columns.toSet == Set("k", "v", "w") && cur.count() == 100L)
+    // versionAsOf 1: pre-evolution SCHEMA (no w) and pre-erase rows
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(v1.columns.toSet == Set("k", "v"),
+      "time travel must infer the schema AT the version")
+    assert(v1.count() == 100L && v1.filter($"k" === 7L).count() == 1L)
+    // pushed-filter pruning still composes with the pinned snapshot
+    assert(v1.filter($"k" === 42L).collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // timestampAsOf between v1 and v2 resolves v1 (epoch-millis form)
+    val byTs = spark.read.format("graft")
+      .option("timestampAsOf", betweenTs.toString).load(dir)
+    assert(byTs.columns.toSet == Set("k", "v") && byTs.count() == 100L)
+    // SQL surface: an as-of temp view
+    v1.createOrReplaceTempView("tt_v1")
+    assert(spark.sql("SELECT count(*) AS c FROM tt_v1 WHERE k % 2 = 0")
+      .head().getLong(0) == 50L)
+    // a version outside the log refuses rather than serving latest
+    intercept[java.util.NoSuchElementException] {
+      spark.read.format("graft").option("versionAsOf", "99").load(dir).collect()
+    }
+    // before table birth: refuses
+    intercept[java.util.NoSuchElementException] {
+      spark.read.format("graft")
+        .option("timestampAsOf", (betweenTs - 1000000L).toString).load(dir).collect()
+    }
+  }
+
   test("CommitLogTableFormat.append: incremental ingest — O(new data), full lakehouse contracts") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
