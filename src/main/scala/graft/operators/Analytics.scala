@@ -4944,7 +4944,95 @@ object Analytics {
       |  CAST(k AS DOUBLE) / (sumln - CAST(k AS DOUBLE) * ln(CAST(thr AS DOUBLE))) AS alpha
       |FROM m WHERE thr IS NOT NULL ORDER BY k""".stripMargin
 
+  def q93BreuschPagan(spark: SparkSession, dir: String): DataFrame =
+    q93BreuschPaganOf(Tables.lineitem(spark, dir))
+
+  /** q93: Breusch–Pagan heteroscedasticity test per return flag — does
+    * the price-on-quantity OLS (q61's family) have residual variance
+    * that GROWS with quantity? BP = n·R² of the auxiliary regression
+    * of e² on x (Breusch & Pagan 1979, Koenker form): large BP ⇒ the
+    * OLS confidence intervals a downstream report quotes are wrong,
+    * the diagnostic every regression over money data needs. Pass 1
+    * reduces EXACT integer moments (cents/quantity sums in
+    * DECIMAL(38)); a, b and every per-row residual are doubles built
+    * from those exact moments in oracle-identical term order, so the
+    * auxiliary moments match cross-engine to float-sum tolerance.
+    *
+    * Shape: two corpus passes (moments, then residual moments against
+    * the ≤|flags|-row broadcast) — the q89 two-pass discipline; no
+    * window, no join fan-out. */
+  def q93BreuschPaganOf(lineitem: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      d38(col("l_quantity")).as("x"),
+      d38(Cols.dec2(col("l_extendedprice")) * 100).as("y"))
+    val m = base.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      // slope/intercept in doubles from exact integer moments — the
+      // SAME division both engines perform on identical inputs
+      .withColumn("b",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("a",
+        (col("sy").cast("double") - col("b") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .localCheckpoint() // ≤|flags| rows, consumed by BOTH later joins
+    val resid = col("y").cast("double") - col("a") - col("b") * col("x").cast("double")
+    val e2 = base.join(broadcast(m.select(col("flag"), col("a"), col("b"))), Seq("flag"))
+      .withColumn("e2", resid * resid) // explicit product — pow(x,2) ulp-differs
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).cast("double").as("nn"),
+        sum(col("x").cast("double")).as("fx"),
+        sum(col("x").cast("double") * col("x").cast("double")).as("fxx"),
+        sum(col("e2")).as("se"),
+        sum(col("e2") * col("e2")).as("see"),
+        sum(col("e2") * col("x").cast("double")).as("sex"))
+    e2.join(m.select(col("flag"), col("n"), col("b")), Seq("flag"))
+      .withColumn("r2",
+        (col("nn") * col("sex") - col("fx") * col("se")) *
+          (col("nn") * col("sex") - col("fx") * col("se")) /
+          ((col("nn") * col("fxx") - col("fx") * col("fx")) *
+            (col("nn") * col("see") - col("se") * col("se"))))
+      .select(col("flag").as("l_returnflag"), col("n").cast("bigint").as("n"),
+        col("b").as("slope"), (col("nn") * col("r2")).as("bp_stat"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q93Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS HUGEINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*x) AS sxx, sum(x*y) AS sxy
+      |  FROM b GROUP BY 1),
+      |ab AS (
+      |  SELECT flag, n,
+      |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS bb,
+      |    (CAST(sy AS DOUBLE) -
+      |      CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS aa
+      |  FROM m),
+      |r AS (
+      |  SELECT b.flag,
+      |    (CAST(b.y AS DOUBLE) - ab.aa - ab.bb * CAST(b.x AS DOUBLE))
+      |      * (CAST(b.y AS DOUBLE) - ab.aa - ab.bb * CAST(b.x AS DOUBLE)) AS e2,
+      |    CAST(b.x AS DOUBLE) AS xd
+      |  FROM b JOIN ab USING (flag)),
+      |f AS (
+      |  SELECT flag, CAST(count(*) AS DOUBLE) AS nn,
+      |    sum(xd) AS fx, sum(xd*xd) AS fxx,
+      |    sum(e2) AS se, sum(e2*e2) AS see, sum(e2*xd) AS sex
+      |  FROM r GROUP BY 1)
+      |SELECT f.flag AS l_returnflag, CAST(ab.n AS BIGINT) AS n, ab.bb AS slope,
+      |  nn * ((nn*sex - fx*se) * (nn*sex - fx*se)
+      |    / ((nn*fxx - fx*fx) * (nn*see - se*se))) AS bp_stat
+      |FROM f JOIN ab USING (flag) ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_breusch_pagan" -> (q93BreuschPagan _),
     "q92_hill_tail" -> (q92HillTail _),
     "q91_seasonal_strength" -> (q91SeasonalStrength _),
     "q90_theil_index" -> (q90TheilIndex _),
@@ -5038,6 +5126,7 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q93_breusch_pagan" -> q93Sql,
     "q92_hill_tail" -> q92Sql,
     "q91_seasonal_strength" -> q91Sql,
     "q90_theil_index" -> q90Sql,

@@ -2013,7 +2013,99 @@ object MultimodalOps {
        |FROM c JOIN b USING (source)
        |GROUP BY c.source ORDER BY c.source""".stripMargin
 
+  /** e28: loader READAHEAD profile — how sequential each worker's
+    * shard walk actually is. e12 assigns rank r the positions ≡ r mod
+    * W of the epoch's shuffled shard order; a transition in that walk
+    * is FREE (readahead/open-handle reuse) only when the next shard is
+    * the same source's next ordinal, and every other transition is a
+    * seek. Per (epoch, worker): shards, longest sequential run, and
+    * the sequential-transition share (bp) — the number that says
+    * whether shuffling at shard grain destroyed IO locality (it
+    * should, nearly: a high seq share means the shuffle is too weak
+    * for sampling purposes — this audit reads BOTH ways). Exact
+    * integers; islands via the position − cumulative-seq key.
+    *
+    * Shape: e12's manifest-grain assignment frame (shared derivation —
+    * the audit provably reads the placement rule it audits), one
+    * lag+cumsum window per (epoch, worker), two reduces. */
+  def e28ReadaheadRuns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("epoch"), col("worker"))
+      .orderBy(col("shuffle_key"), col("source"), col("shard_idx"))
+    val runs = e12AssignmentFrame(spark, dir)
+      .withColumn("pos", row_number().over(w))
+      .withColumn("seq",
+        coalesce((col("source") === lag(col("source"), 1).over(w) &&
+          col("shard_idx") === lag(col("shard_idx"), 1).over(w) + 1)
+          .cast("long"), lit(0L)))
+      .withColumn("island", col("pos") -
+        sum(col("seq")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("epoch"), col("worker"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("epoch"), col("worker"))
+      .agg(sum(col("run_len")).as("n_shards"),
+        count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("longest_run"))
+      .select(col("epoch").cast("bigint").as("epoch"),
+        col("worker").cast("bigint").as("worker"),
+        col("n_shards").cast("bigint").as("n_shards"),
+        col("longest_run").cast("bigint").as("longest_run"),
+        when(col("n_shards") > 1,
+          expr("((n_shards - n_islands) * 10000) div (n_shards - 1)"))
+          .otherwise(lit(0L)).cast("bigint").as("seq_bp"))
+      .orderBy(col("epoch"), col("worker"))
+  }
+
+  val e28Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       |  FROM documents GROUP BY 1),
+       |shards AS (
+       |  SELECT source, total_bytes,
+       |    unnest(range(0, (total_bytes + ${ShardBytes - 1}) // $ShardBytes)) AS shard_idx
+       |  FROM s),
+       |e AS (
+       |  SELECT source, shard_idx, unnest(range(0, $Epochs)) AS epoch FROM shards),
+       |k AS (
+       |  SELECT epoch, source, shard_idx,
+       |    md5(source || ':' || shard_idx || ':' || epoch) AS shuffle_key FROM e),
+       |pos AS (
+       |  SELECT epoch, source, shard_idx, shuffle_key,
+       |    (row_number() OVER (PARTITION BY epoch
+       |      ORDER BY shuffle_key, source, shard_idx) - 1) % $LoaderWorkers AS worker
+       |  FROM k),
+       |wk AS (
+       |  SELECT epoch, worker, source, shard_idx,
+       |    row_number() OVER (PARTITION BY epoch, worker
+       |      ORDER BY shuffle_key, source, shard_idx) AS p,
+       |    CASE WHEN source = lag(source) OVER (PARTITION BY epoch, worker
+       |        ORDER BY shuffle_key, source, shard_idx)
+       |      AND shard_idx = lag(shard_idx) OVER (PARTITION BY epoch, worker
+       |        ORDER BY shuffle_key, source, shard_idx) + 1
+       |      THEN 1 ELSE 0 END AS seq
+       |  FROM pos),
+       |isl AS (
+       |  SELECT epoch, worker,
+       |    p - sum(seq) OVER (PARTITION BY epoch, worker ORDER BY p
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM wk),
+       |runs AS (
+       |  SELECT epoch, worker, island, count(*) AS run_len
+       |  FROM isl GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT epoch, worker, sum(run_len) AS n_shards,
+       |    count(*) AS n_islands, max(run_len) AS longest_run
+       |  FROM runs GROUP BY 1, 2)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(worker AS BIGINT) AS worker,
+       |  CAST(n_shards AS BIGINT) AS n_shards,
+       |  CAST(longest_run AS BIGINT) AS longest_run,
+       |  CAST(CASE WHEN n_shards > 1
+       |    THEN ((n_shards - n_islands) * 10000) // (n_shards - 1)
+       |    ELSE 0 END AS BIGINT) AS seq_bp
+       |FROM agg ORDER BY epoch, worker""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e28_readahead_runs" -> (e28ReadaheadRuns _),
     "e27_pair_locality" -> (e27PairLocality _),
     "e26_byte_budget" -> (e26ByteBudget _),
     "e25_resume_plan" -> (e25ResumePlan _),
@@ -2046,6 +2138,7 @@ object MultimodalOps {
     "e5_interleave_pack" -> (e5InterleavePack _))
 
   val oracles: Map[String, String] = Map(
+    "e28_readahead_runs" -> e28Sql,
     "e27_pair_locality" -> e27Sql,
     "e26_byte_budget" -> e26Sql,
     "e25_resume_plan" -> e25Sql,

@@ -7454,6 +7454,78 @@ class OperatorSpec extends GraftSpec {
     real.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) < 10000L, r.toString))
   }
 
+  test("q93 Breusch-Pagan: variance-in-x plant scores high, homoscedastic plant near zero") {
+    import spark.implicits._
+    // flag H: residual magnitude proportional to x (textbook
+    // heteroscedasticity); flag O: constant +-500-cent residuals
+    val rows =
+      (1 to 40).map { i =>
+        val x = (i - 1) % 20 + 1
+        ("H", x.toDouble, 100.0 * x + (if (i % 2 == 0) 0.5 * x else -0.5 * x))
+      } ++ (1 to 40).map { i =>
+        val x = (i - 1) % 20 + 1
+        ("O", x.toDouble, 100.0 * x + (if (i % 2 == 0) 5.0 else -5.0))
+      }
+    val got = Analytics.q93BreuschPaganOf(
+      rows.toDF("l_returnflag", "l_quantity", "l_extendedprice"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got("H")._1 == 40L && got("O")._1 == 40L)
+    // brute replay of the H arm (cents domain, same term order)
+    def brute(flagRows: Seq[(Double, Double)]): Double = {
+      val n = flagRows.size
+      val xs = flagRows.map(_._1); val ys = flagRows.map(r => r._2 * 100.0)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      val e2 = xs.zip(ys).map { case (x, y) => val e = y - a - b * x; e * e }
+      val (fx, fxx) = (sx, sxx)
+      val (se, see, sex) = (e2.sum, e2.map(v => v * v).sum,
+        e2.zip(xs).map { case (e, x) => e * x }.sum)
+      val r2 = (n * sex - fx * se) * (n * sex - fx * se) /
+        ((n * fxx - fx * fx) * (n * see - se * se))
+      n * r2
+    }
+    val hb = brute(rows.filter(_._1 == "H").map(r => (r._2, r._3)))
+    assert(math.abs(got("H")._3 - hb) / hb < 1e-6, s"${got("H")._3} vs $hb")
+    assert(got("H")._3 > 20.0, "variance growing in x must score a large BP")
+    assert(got("O")._3 < 1.0, s"homoscedastic plant must score ~0: ${got("O")._3}")
+    val real = Analytics.q93BreuschPagan(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(3) >= 0.0, r.toString))
+  }
+
+  test("e28 readahead runs: brute walk replay over the e12 assignment; bounds hold") {
+    val frame = graft.operators.MultimodalOps.e12AssignmentFrame(spark, sfDir)
+      .select(col("epoch"), col("worker"), col("shuffle_key"),
+        col("source"), col("shard_idx"))
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val brute = frame.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val walk = rows.sortBy(t => (t._3, t._4, t._5)).map(t => (t._4, t._5))
+      val seqFlags = walk.sliding(2).map {
+        case Array((s1, i1), (s2, i2)) => if (s1 == s2 && i2 == i1 + 1) 1 else 0
+        case _ => 0
+      }.toSeq
+      var run = 1L; var longest = 1L
+      seqFlags.foreach { f =>
+        if (f == 1) { run += 1; longest = math.max(longest, run) } else run = 1L
+      }
+      val n = walk.length.toLong
+      val nSeq = seqFlags.count(_ == 1).toLong
+      k -> ((n, longest, if (n > 1) nSeq * 10000 / (n - 1) else 0L))
+    }
+    val got = graft.operators.MultimodalOps.e28ReadaheadRuns(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == brute, s"$got vs $brute")
+    got.values.foreach { case (n, longest, bp) =>
+      assert(longest <= n && bp >= 0 && bp <= 10000)
+    }
+  }
+
   test("every query holds its adjudicated scan budget (suite-wide branch-duplication lock)") {
     // Locks every registered query's physical parquet-scan count to the
     // adjudicated value in src/test/resources/scan_budgets.txt — the
