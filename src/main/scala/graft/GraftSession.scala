@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       // TIMESTAMP(NANOS) parquet (events.ts) reads as long; Tables.events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as INT64 micros, not the deprecated INT96:
+      // INT96 carries NO parquet statistics, so lake tables written
+      // with it can never prune a time-range predicate (the footer
+      // zone map and `_stats` sidecars record INT64 columns only) —
+      // the Delta/Iceberg modern-encoding posture
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // wide aggregates (128-col minhash signatures) must stay in codegen
       .config("spark.sql.codegen.maxFields", "256")
   }

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOT GraftSession's TIMESTAMP_MICROS override: the driver's
+      // DuckDB compare reads these dumps, and micros are UTC-adjusted
+      // (tz-aware in pandas) where the historical INT96 read back
+      // naive — the encoding upgrade belongs to ENGINE sessions (lake
+      // tables gain timestamp zone maps), not to the oracle dump.
       .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -2988,7 +2988,48 @@ object Etl {
       |  SELECT -i, 42, 'insert' FROM generate_series(1, 3) t(i))
       |ORDER BY _change_type, o_orderkey""".stripMargin
 
+  /** a56: DECIMAL zone maps through the SQL surface (r13 verdict
+    * missing #2 / next-round #1 — money columns are DECIMAL, and a
+    * price-range predicate used to scan every file because the
+    * pushdown matrix only accepted integer/date/string ranges): build
+    * a lake table with an exact DECIMAL(12,2) price column (integer
+    * cents scaled — no double rounding, so Spark and the oracle agree
+    * bit-for-bit), range-clustered so the persisted `_stats` sidecars
+    * (which already record INT64-backed decimals as unscaled longs)
+    * give disjoint per-file ranges, DV-erase every 97th key, then
+    * read a price range back through `spark.read.format("graft")` +
+    * SQL. A pass proves the unscaled-long bound arithmetic
+    * (floor/ceil at the column's scale) loses no rows across the
+    * erase; skip effectiveness (k/n files, zero footer opens) is
+    * ScalaTest plan-gated. */
+  def a56DecimalPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a56")
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_orderkey * 100 + o_custkey % 100 AS DECIMAL(14,0))" +
+          " * 0.01 AS DECIMAL(12,2))").as("o_price"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    fmt.commit(spark, table, slim, "a56")
+    fmt.erase(spark, table, col("o_orderkey") % 97 === 0, "a56e")
+    spark.read.format("graft").load(table).createOrReplaceTempView("a56_lake")
+    spark.sql(
+      """SELECT o_orderkey, o_price FROM a56_lake
+        |WHERE o_price BETWEEN 100.00 AND 700.99
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val a56Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderkey * 100 + o_custkey % 100 AS DECIMAL(14,0))
+      |    * 0.01 AS DECIMAL(12,2)) AS o_price
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 100 AND 700 AND o_orderkey % 97 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a56_decimal_pruned_read" -> (a56DecimalPrunedRead _),
     "a55_change_feed_stream" -> (a55ChangeFeedStream _),
     "a54_partial_compact" -> (a54PartialCompact _),
     "a53_sql_lake_read" -> (a53SqlLakeRead _),
@@ -3046,6 +3087,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a56_decimal_pruned_read" -> a56Sql,
     "a55_change_feed_stream" -> a55Sql,
     "a54_partial_compact" -> a54Sql,
     "a53_sql_lake_read" -> a53Sql,

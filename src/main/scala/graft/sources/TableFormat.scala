@@ -348,19 +348,27 @@ object CommitLogTableFormat extends TableFormat {
     val idx = new Path(new Path(snapshot.root, "_index"),
       s"bloom-v${snapshot.version}-$column")
     if (!fs.exists(idx)) None
-    else {
-      import spark.implicits._
-      val hash = spark.range(1)
-        .select(xxhash64(lit(value).cast(keyType))).head().getLong(0)
-      Some(spark.read.parquet(idx.toString)
-        .select(col("file"), col("bloom")).as[(String, Array[Byte])]
-        .filter { t =>
-          org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(t._2))
-            .mightContainLong(hash)
-        }
-        .map(_._1).collect().toSet)
-    }
+    else
+      // TOCTOU tolerance: a concurrent routine commit advances the
+      // index and sweeps this version's pin BETWEEN the exists check
+      // and the read — which LakeSnapshot's race-free contract must
+      // absorb (data dirs are retained for in-flight readers; the
+      // index sidecar is not). A vanished/half-swept index degrades
+      // to None = no skip, never to a failed read: absent skipping
+      // cannot lose rows, a crashed scan loses the query.
+      try {
+        import spark.implicits._
+        val hash = spark.range(1)
+          .select(xxhash64(lit(value).cast(keyType))).head().getLong(0)
+        Some(spark.read.parquet(idx.toString)
+          .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+          .filter { t =>
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(t._2))
+              .mightContainLong(hash)
+          }
+          .map(_._1).collect().toSet)
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Committed versions still resolvable (the retained window —
@@ -599,29 +607,54 @@ object CommitLogTableFormat extends TableFormat {
     val idxDir = new Path(root, "_index")
     val listed = fs.globStatus(new Path(idxDir, s"bloom-v$priorVersion-*"))
     if (listed == null || listed.isEmpty) Seq.empty
-    else listed.toSeq.map { s =>
-      val column = s.getPath.getName.stripPrefix(s"bloom-v$priorVersion-")
-      val old = spark.read.parquet(s.getPath.toString)
-        .filter(expr("substring_index(file, '/', 1)").isin(keptDirs: _*))
-      val addable = newDirs.nonEmpty && {
-        val schema = spark.read.option("mergeSchema", "true")
-          .parquet(newDirs.map(n => new Path(root, n).toString): _*).schema
-        schema.fieldNames.contains(column)
+    else {
+      // `bloom_agg` is injected by GraftExtensions; a plain session
+      // can still append/upsert to a bloom-indexed table — when new
+      // files need aggregating and the function is absent, ORPHAN the
+      // index for that column (readers fall back to the full scan)
+      // instead of failing the write mid-commit: index freshness is
+      // never worth write availability.
+      val bloomAggAvailable = spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"))
+      listed.toSeq.flatMap { s =>
+        // strict name parse (never stripPrefix-by-glob: the glob
+        // `bloom-v*-k` would also match column `my-k`)
+        BloomSidecarName.findFirstMatchIn(s.getPath.getName)
+          .filter(_.group(1).toLong == priorVersion)
+          .map(_.group(2))
+          .flatMap { column =>
+            val old = spark.read.parquet(s.getPath.toString)
+              .filter(expr("substring_index(file, '/', 1)").isin(keptDirs: _*))
+            val addable = newDirs.nonEmpty && {
+              val schema = spark.read.option("mergeSchema", "true")
+                .parquet(newDirs.map(n => new Path(root, n).toString): _*).schema
+              schema.fieldNames.contains(column)
+            }
+            if (addable && !bloomAggAvailable) None // orphan, keep the write alive
+            else {
+              val fresh =
+                if (!addable) old
+                else old.unionByName(
+                  spark.read.option("mergeSchema", "true")
+                    .parquet(newDirs.map(n => new Path(root, n).toString): _*)
+                    .select(col(column), expr(FileKeyExpr).as("file"))
+                    .groupBy(col("file"))
+                    .agg(call_function("bloom_agg", xxhash64(col(column)),
+                      lit(100000L), lit(1L << 20)).as("bloom")))
+              val tmp = new Path(idxDir, s".tmp-bloom-v$nv-$column")
+              fresh.write.mode("overwrite").parquet(tmp.toString)
+              Some((tmp, new Path(idxDir, s"bloom-v$nv-$column")))
+            }
+          }
       }
-      val fresh =
-        if (!addable) old
-        else old.unionByName(
-          spark.read.option("mergeSchema", "true")
-            .parquet(newDirs.map(n => new Path(root, n).toString): _*)
-            .select(col(column), expr(FileKeyExpr).as("file"))
-            .groupBy(col("file"))
-            .agg(call_function("bloom_agg", xxhash64(col(column)),
-              lit(100000L), lit(1L << 20)).as("bloom")))
-      val tmp = new Path(idxDir, s".tmp-bloom-v$nv-$column")
-      fresh.write.mode("overwrite").parquet(tmp.toString)
-      (tmp, new Path(idxDir, s"bloom-v$nv-$column"))
     }
   }
+
+  /** Strict bloom sidecar name shape: `bloom-v<digits>-<column>`.
+    * Version and column parse by STRUCTURE, never by glob-stripping —
+    * a suffix glob like `bloom-v*-k` also matches column `my-k`. */
+  private val BloomSidecarName = "^bloom-v(\\d+)-(.+)$".r
+  private val BloomTmpName = "^\\.tmp-bloom-v(\\d+)-(.+)$".r
 
   /** Flip [[stageBloomAdvance]]'s staged sidecars live (the publish
     * rename has won — `nv` IS the current version) and sweep each
@@ -629,18 +662,41 @@ object CommitLogTableFormat extends TableFormat {
     * sweep. A crash between publish and this flip leaves only the
     * tmp: no index is pinned to `nv`, readers fall back — safe. */
   private def commitBloomAdvance(fs: FileSystem, root: Path,
-      pending: Seq[(Path, Path)], nv: Long): Unit =
+      pending: Seq[(Path, Path)], nv: Long): Unit = {
     pending.foreach { case (tmp, target) =>
       fs.delete(target, true)
       if (fs.rename(tmp, target)) {
-        val column = target.getName.stripPrefix(s"bloom-v$nv-")
-        val stale = fs.globStatus(new Path(new Path(root, "_index"), s"bloom-v*-$column"))
-        if (stale != null) stale.foreach { st =>
-          val sv = st.getPath.getName.stripPrefix("bloom-v").takeWhile(_.isDigit)
-          if (sv.nonEmpty && sv.toLong < nv) fs.delete(st.getPath, true)
-        }
+        val column = BloomSidecarName.findFirstMatchIn(target.getName)
+          .map(_.group(2)).getOrElse(target.getName)
+        sweepBloom(fs, new Path(root, "_index"), column, nv)
       }
     }
+    // crash leftovers: a writer that died between staging and the flip
+    // left `.tmp-bloom-v<k>-*` for an OLDER version — sweep strictly
+    // below nv (tmps AT nv may be this very commit's not-yet-flipped
+    // columns, and a concurrent writer may already stage nv+1)
+    if (pending.nonEmpty) {
+      val tmps = fs.globStatus(new Path(new Path(root, "_index"), ".tmp-bloom-v*"))
+      if (tmps != null) tmps.foreach { t =>
+        BloomTmpName.findFirstMatchIn(t.getPath.getName)
+          .filter(_.group(1).toLong < nv)
+          .foreach(_ => fs.delete(t.getPath, true))
+      }
+    }
+  }
+
+  /** Delete `column`'s bloom sidecars pinned below `keepVersion` —
+    * strict name parse, EXACT column match (the advance/rebuild sweep
+    * shared by [[commitBloomAdvance]] and [[buildBloomIndex]]). */
+  private def sweepBloom(fs: FileSystem, idxDir: Path, column: String,
+                         keepVersion: Long): Unit = {
+    val stale = fs.globStatus(new Path(idxDir, "bloom-v*"))
+    if (stale != null) stale.foreach { st =>
+      BloomSidecarName.findFirstMatchIn(st.getPath.getName)
+        .filter(m => m.group(2) == column && m.group(1).toLong < keepVersion)
+        .foreach(_ => fs.delete(st.getPath, true))
+    }
+  }
 
   /** Recovery (delete crashed-legacy empty entries so they can't
     * collide with the next version) and the next version number. Safe
@@ -1485,11 +1541,15 @@ object CommitLogTableFormat extends TableFormat {
       fs.delete(target, true)
       fs.rename(tmp, target)
       // sweep this column's indexes for versions no longer retained
-      val stale = fs.globStatus(new Path(idxDir, s"bloom-v*-$column"))
-      if (stale != null) stale.foreach { s =>
-        val name = s.getPath.getName
-        val sv = name.stripPrefix("bloom-v").takeWhile(_.isDigit)
-        if (sv.nonEmpty && sv.toLong < v) fs.delete(s.getPath, true)
+      // (strict name parse — a glob suffix match would sweep other
+      // columns whose names END with this one), and any crash-orphaned
+      // stage tmps below the version just published
+      sweepBloom(fs, idxDir, column, v)
+      val tmps = fs.globStatus(new Path(idxDir, ".tmp-bloom-v*"))
+      if (tmps != null) tmps.foreach { t =>
+        BloomTmpName.findFirstMatchIn(t.getPath.getName)
+          .filter(_.group(1).toLong < v)
+          .foreach(_ => fs.delete(t.getPath, true))
       }
       spark.read.parquet(target.toString).count()
     }

@@ -445,6 +445,191 @@ class SourcesStreamingSpec extends GraftSpec {
       s"advanced bloom skip through DSv2: ${bs2.plannedFiles}")
   }
 
+  test("graft DSv2 pushdown matrix: string/decimal/timestamp ranges skip files, zero footer opens") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val footers = graft.sources.ParquetFooters
+    val dir = Files.createTempDirectory("graft_dsv2_pm").toString + "/t"
+    // 4 range-clustered files; s, price, ts all monotone in k so every
+    // single-column range maps to a contiguous file subset
+    val df = (1L to 400L).map(i => (i, f"s$i%04d", BigDecimal(i * 100 + i % 7, 2)))
+      .toDF("k", "s", "price")
+      .select($"k", $"s", $"price".cast("decimal(12,2)").as("price"),
+        expr("timestamp_micros(k * 1000000)").as("ts"))
+    fmt.commit(spark, dir,
+      df.repartitionByRange(4, $"k").sortWithinPartitions($"k"), "c1")
+    fmt.erase(spark, dir, $"k" === 120L, "e1") // MoR composes with every prune
+
+    def graftScan(q: org.apache.spark.sql.DataFrame): graft.sources.GraftScan = {
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      scans.head.asInstanceOf[graft.sources.GraftScan]
+    }
+    val opens0 = footers.opens.get()
+    val lake = spark.read.format("graft").load(dir)
+    // STRING range (the r13 dead-arm class: prunable used to reject it)
+    val ss = graftScan(lake.filter($"s".between("s0101", "s0150")))
+    assert(ss.plannedFiles.exists { case (kept, total) => total == 4 && kept < 4 },
+      s"string-range skip: ${ss.plannedFiles}")
+    assert(lake.filter($"s".between("s0101", "s0150")).count() == 49L) // 50 - erased k=120
+    // DECIMAL range: unscaled-long bounds at the column's scale
+    val ds = graftScan(lake.filter(
+      $"price".between(BigDecimal("101.00"), BigDecimal("150.99"))))
+    assert(ds.plannedFiles.exists { case (kept, total) => total == 4 && kept < 4 },
+      s"decimal-range skip: ${ds.plannedFiles}")
+    assert(lake.filter($"price" >= BigDecimal("101.00") &&
+      $"price" <= BigDecimal("150.99")).count() == 49L)
+    // DECIMAL equality that cannot fit the scale returns nothing
+    // (Catalyst folds it before the source; GraftScan's own floor/ceil
+    // arithmetic would prune every file if it ever arrived)
+    assert(lake.filter($"price" === BigDecimal("123.456")).count() == 0L)
+    // TIMESTAMP range: micros through the same INT64 zone map
+    val ts = graftScan(lake.filter($"ts".between(
+      new java.sql.Timestamp(101000L), new java.sql.Timestamp(150000L))))
+    assert(ts.plannedFiles.exists { case (kept, total) => total == 4 && kept < 4 },
+      s"timestamp-range skip: ${ts.plannedFiles}")
+    assert(lake.filter($"ts" >= new java.sql.Timestamp(101000L) &&
+      $"ts" <= new java.sql.Timestamp(150000L)).count() == 49L)
+    assert(footers.opens.get() == opens0,
+      "every prune above must be served from the persisted _stats sidecars")
+  }
+
+  test("change-feed admission control: maxVersionsPerTrigger bounds catch-up; resume composes") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_feed_ac").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_feed_ac_ck").toString
+    fmt.setRetention(spark, dir, 16)
+    fmt.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"), "c1")
+    (2L to 10L).foreach(v =>
+      fmt.append(spark, dir, Seq((v, s"r$v")).toDF("k", "v"), s"a$v"))
+    val batches = collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def drain(cap: Long): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("changeFeed", "true").option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", cap.toString)
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq
+          batches.synchronized { batches += vs }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    // catch-up from birth: 10 versions / cap 3 = 4 batches (3+3+3+1),
+    // each batch's version window contiguous and disjoint
+    drain(3L)
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.map(_.size).toSeq == Seq(3, 3, 3, 1),
+      s"catch-up batch shapes: ${batches.toSeq}")
+    assert(nonEmpty.flatten.toSeq == (1L to 10L).toSeq,
+      s"union must cover every version exactly once: ${batches.toSeq}")
+    // resume: two more commits, same checkpoint, cap 1 — only the new
+    // transitions replay, one version per trigger
+    batches.clear()
+    fmt.append(spark, dir, Seq((11L, "r11")).toDF("k", "v"), "a11")
+    fmt.append(spark, dir, Seq((12L, "r12")).toDF("k", "v"), "a12")
+    drain(1L)
+    assert(batches.filter(_.nonEmpty).toSeq == Seq(Seq(11L), Seq(12L)),
+      s"resume under admission control: ${batches.toSeq}")
+  }
+
+  test("feed option validation: bad startingVersion refused with named errors; batch changeFeed refused") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_feed_val").toString + "/t"
+    fmt.commit(spark, dir, Seq((1L, "a")).toDF("k", "v"), "c1")
+    val zero = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").option("changeFeed", "true")
+        .option("startingVersion", "0").load(dir)
+    }
+    assert(zero.getMessage.contains("startingVersion"), zero.getMessage)
+    val junk = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").option("changeFeed", "true")
+        .option("startingVersion", "first").load(dir)
+    }
+    assert(junk.getMessage.contains("startingVersion") &&
+      junk.getMessage.contains("first"), junk.getMessage)
+    val badTs = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", "yesterday").load(dir)
+    }
+    assert(badTs.getMessage.contains("timestampAsOf"), badTs.getMessage)
+    // a mistaken BATCH read of the change feed points at the right APIs
+    val batchFeed = intercept[Throwable] {
+      spark.read.format("graft").option("changeFeed", "true").load(dir).collect()
+    }
+    val msgs = Iterator.iterate(batchFeed)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("changesBetween") && msgs.contains("readStream"), msgs)
+  }
+
+  test("bloom sweep hygiene: suffix-colliding column names survive an advance; tmp leftovers swept") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_bloom_hyg").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fmt.commit(spark, dir,
+      (1L to 100L).map(i => (i, i * 7L)).toDF("k", "my-k").repartition(2), "c1")
+    fmt.buildBloomIndex(spark, dir, "k")
+    fmt.buildBloomIndex(spark, dir, "my-k")
+    // plant a crashed-advance leftover below the next version
+    fs.mkdirs(new Path(s"$dir/_index/.tmp-bloom-v1-k"))
+    fmt.append(spark, dir, Seq((101L, 707L)).toDF("k", "my-k"), "a2")
+    // BOTH columns advanced to v2; the `k` sweep must NOT have eaten
+    // `my-k`'s sidecar (the glob bloom-v*-k would match bloom-v2-my-k)
+    assert(fs.exists(new Path(s"$dir/_index/bloom-v2-k")))
+    assert(fs.exists(new Path(s"$dir/_index/bloom-v2-my-k")))
+    assert(!fs.exists(new Path(s"$dir/_index/bloom-v1-k")))
+    assert(!fs.exists(new Path(s"$dir/_index/.tmp-bloom-v1-k")),
+      "crashed stage tmps below the published version must be swept")
+    // probes still skip and stay exact through both columns
+    val viaK = fmt.readBloomPoint(spark, dir, "k", 101L).get
+    assert(viaK.select("k").as[Long].collect().toSeq == Seq(101L))
+    val viaMyK = fmt.readBloomPoint(spark, dir, "my-k", 707L).get
+    assert(viaMyK.select("k").as[Long].collect().toSeq == Seq(101L))
+  }
+
+  test("bloom_agg-less session: appends to a bloom-indexed table orphan the index, never fail") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_bloom_plain").toString + "/t"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fmt.commit(spark, dir, (1L to 50L).map(i => (i, i * 3L)).toDF("k", "w")
+      .repartition(2), "c1")
+    fmt.buildBloomIndex(spark, dir, "k")
+    // simulate a session without GraftExtensions: unregister bloom_agg,
+    // append (must SUCCEED, orphaning the index), then restore
+    val reg = spark.sessionState.functionRegistry
+    val fid = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg")
+    val savedBuilder = reg.lookupFunctionBuilder(fid).get
+    val savedInfo = reg.lookupFunction(fid).get
+    reg.dropFunction(fid)
+    try {
+      val v = fmt.append(spark, dir, Seq((51L, 153L)).toDF("k", "w"), "a2")
+      assert(v == 2L, "the write must land despite the missing function")
+      assert(!fs.exists(new Path(s"$dir/_index/bloom-v2-k")),
+        "no advanced index may exist (it would be unbuildable here)")
+    } finally reg.registerFunction(fid, savedInfo, savedBuilder)
+    // orphaned = readers fall back to the full scan, rows exact
+    val probe = fmt.readBloomPoint(spark, dir, "k", 51L).get
+    assert(probe.select("w").as[Long].collect().toSeq == Seq(153L))
+    // an erase (no new files => no aggregation needed) still advances
+    fmt.buildBloomIndex(spark, dir, "k")
+    reg.dropFunction(fid)
+    try assert(fmt.erase(spark, dir, $"k" === 1L, "e3") == 1L)
+    finally reg.registerFunction(fid, savedInfo, savedBuilder)
+    assert(fs.exists(new Path(s"$dir/_index/bloom-v3-k")),
+      "a no-new-files advance needs no aggregation and must re-pin")
+  }
+
   test("graft DSv2 time travel: versionAsOf/timestampAsOf pin the snapshot and its schema") {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
