@@ -88,11 +88,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val table = pathOf(options)
     val snap = GraftDataSource.resolveSnapshot(spark, table, options)
     // mergeSchema union across the snapshot's dirs — the evolution
-    // contract resolve() gives the Scala read path. A time-traveled
-    // read infers the schema AT that version (pre-evolution readers
-    // must not see columns that did not exist yet).
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(snap.dataDirPaths: _*).schema
+    // contract resolve() gives the Scala read path, computed once per
+    // committed version (snapshotSchema's driver cache: repeated
+    // load()s of the same version must not re-pay a footer job). A
+    // time-traveled read infers the schema AT that version
+    // (pre-evolution readers must not see columns that did not exist
+    // yet — the version key makes that free).
+    val base = CommitLogTableFormat.snapshotSchema(spark, snap)
     if (options.getBoolean("changeFeed", false))
       base.add("_change_type", StringType).add("_commit_version", LongType)
     else base
@@ -615,8 +617,7 @@ class GraftScan(path: String, tableSchema: StructType,
     // once against FileColStats, so the two paths cannot diverge
     val footerKept =
       if (lb.isEmpty && sb.isEmpty && nn.isEmpty) all
-      else CommitLogTableFormat.keptFilesStats(spark, snapshot.root,
-        snapshot.dataDirNames, st => {
+      else CommitLogTableFormat.keptFilesStats(spark, snapshot, st => {
         val longOk = lb.forall { case (c, (lo, hi)) =>
           st.longs.get(c).forall { case (mn, mx, _, _) => !(mx < lo || mn > hi) }
         }
@@ -649,9 +650,20 @@ class GraftScan(path: String, tableSchema: StructType,
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvParts = snapshot.dvPath.toSeq
       .flatMap(p => ParquetFooters.dataFiles(fs, new Path(p)))
-    kept.map(f =>
-      GraftInputPartition(f, GraftReaders.fileKey(f), dvParts): InputPartition
-    ).toArray
+    // per-FILE deletion-vector planning (cached, file-count-bounded):
+    // a kept file without hits gets a clean partition (its task never
+    // opens the DV sidecar), and when NO kept file has hits the whole
+    // scan stays columnar. Columnar-ness must be UNIFORM across the
+    // scan's partitions (Spark refuses mixed), so it is a scan-wide
+    // bit, while the dvParts trim is per partition.
+    val hits = CommitLogTableFormat.dvHitFiles(spark, snapshot)
+    val anyDv = kept.exists(f => hits.contains(GraftReaders.fileKey(f)))
+    kept.map { f =>
+      val key = GraftReaders.fileKey(f)
+      GraftInputPartition(f, key,
+        if (hits.contains(key)) dvParts else Nil,
+        columnarOk = !anyDv): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -660,16 +672,154 @@ class GraftScan(path: String, tableSchema: StructType,
 }
 
 private[sources] case class GraftInputPartition(filePath: String, fileKey: String,
-                                                dvParts: Seq[String])
+                                                dvParts: Seq[String],
+                                                columnarOk: Boolean = true)
     extends InputPartition
 
 private[sources] class GraftReaderFactory(required: StructType,
                                           conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
+
+  /** COLUMNAR scan (the r13 verdict's missing #1 — the row-by-row
+    * parquet-example Group loop was the SQL surface's CPU ceiling at
+    * scan volume): DV-free snapshots read through Spark's OWN
+    * vectorized parquet reader and hand ColumnarBatch straight to the
+    * exec (whole-stage codegen consumes the vectors; one
+    * ColumnarToRow at the boundary). Snapshots WITH a deletion-vector
+    * sidecar stay on the row path, where positions are counted and
+    * deleted rows skipped mid-stream — but the decode underneath is
+    * STILL the vectorized reader (batch-decode, row handoff), so the
+    * Group loop survives only as the init-failure fallback. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    p.columnarOk && required.nonEmpty
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.filePath, required, conf.value)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p, required, conf.value)
+    if (required.isEmpty) new GraftCountReplayReader(p, required, conf.value)
+    else
+      try new GraftVectorizedRowReader(p, required, conf.value)
+      catch { case scala.util.control.NonFatal(_) =>
+        new GraftPartitionReader(p, required, conf.value)
+      }
   }
+}
+
+/** Shared setup for Spark's vectorized parquet reader over ONE whole
+  * file: the requested schema rides the task conf (Spark's own
+  * reader-side channel), missing columns (append-time evolution)
+  * null-fill inside the reader, and rebase modes are CORRECTED — the
+  * engine writes proleptic-calendar files only (Spark 3+ writers). */
+private[sources] object GraftVectorized {
+
+  // ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA — the constant is
+  // private[parquet], the VALUE is Spark's stable reader contract
+  private val RequestedSchemaKey = "org.apache.spark.sql.parquet.row.requested_schema"
+
+  def open(filePath: String, required: StructType, conf: Configuration)
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    val c = new Configuration(conf)
+    c.set(RequestedSchemaKey, required.json)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val reader = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap */ false, /* capacity */ 4096)
+    val p = new Path(filePath)
+    var ok = false
+    try {
+      val len = p.getFileSystem(c).getFileStatus(p).getLen
+      // mapred.FileSplit (extends the mapreduce one): Spark's reader
+      // base downcasts to the old API internally
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        p, 0, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        c, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      reader.initialize(split, ctx)
+      reader.initBatch(new StructType(), InternalRow.empty)
+      ok = true
+      reader
+    } finally if (!ok) reader.close()
+  }
+}
+
+/** Columnar task reader: whole batches out of the vectorized decoder
+  * (DV-free files only — see supportColumnarReads). */
+private[sources] class GraftColumnarReader(filePath: String, required: StructType,
+                                           conf: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val reader = GraftVectorized.open(filePath, required, conf)
+  reader.enableReturningBatches()
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
+}
+
+/** Row task reader over the vectorized decoder: batch-decode, row
+  * handoff, with this file's deleted positions skipped mid-stream
+  * (sequential row order == `_metadata.row_index`, the DV identity —
+  * exactly the Group path's contract at a fraction of its CPU). */
+private[sources] class GraftVectorizedRowReader(part: GraftInputPartition,
+                                                required: StructType,
+                                                conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val deleted: Array[Long] =
+    GraftReaders.deletedPositions(part.dvParts, part.fileKey, conf)
+  private def isDeleted(pos: Long): Boolean =
+    deleted.length > 0 && java.util.Arrays.binarySearch(deleted, pos) >= 0
+  private val reader = GraftVectorized.open(part.filePath, required, conf)
+  private var pos: Long = -1L
+  override def next(): Boolean = {
+    var has = reader.nextKeyValue()
+    pos += 1
+    while (has && isDeleted(pos)) { has = reader.nextKeyValue(); pos += 1 }
+    has
+  }
+  override def get(): InternalRow =
+    reader.getCurrentValue.asInstanceOf[InternalRow]
+  override def close(): Unit = reader.close()
+}
+
+/** Empty-projection reader: COUNT(*) (and pure-metadata selects)
+  * replay the footer's row count against the DV — no data page, no
+  * decode, one null row per live position. */
+private[sources] class GraftCountReplayReader(part: GraftInputPartition,
+                                              required: StructType,
+                                              conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val deleted: Array[Long] =
+    GraftReaders.deletedPositions(part.dvParts, part.fileKey, conf)
+  private def isDeleted(pos: Long): Boolean =
+    deleted.length > 0 && java.util.Arrays.binarySearch(deleted, pos) >= 0
+  private val fileRowCount: Long = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.filePath), conf))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+  }
+  private val nullRow: InternalRow =
+    new GenericInternalRow(Array.fill[Any](required.length)(null))
+  private var pos: Long = -1L
+  override def next(): Boolean = {
+    pos += 1
+    while (pos < fileRowCount && isDeleted(pos)) pos += 1
+    pos < fileRowCount
+  }
+  override def get(): InternalRow = nullRow
+  override def close(): Unit = ()
 }
 
 private[sources] object GraftReaders {
@@ -861,6 +1011,40 @@ private[sources] object GraftPartitionReader {
         j += 1
       }
       new GenericArrayData(elems)
+    case st: StructType =>
+      // group { <fields> } — project by NAME against the file's group
+      // type, null-filling fields this file's struct predates (the
+      // same evolution contract as top-level columns)
+      val g2 = g.getGroup(idx, 0)
+      val gt = g2.getType
+      val values = new Array[Any](st.length)
+      var j = 0
+      while (j < st.length) {
+        val f = st.fields(j)
+        val fi = if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1
+        values(j) =
+          if (fi < 0 || g2.getFieldRepetitionCount(fi) == 0) null
+          else convert(g2, fi, f.dataType, gt.getType(fi))
+        j += 1
+      }
+      new GenericInternalRow(values)
+    case MapType(kt, vt, _) =>
+      // Spark writes the 3-level MAP form: group (MAP) { repeated
+      // group key_value { key, value } }
+      val mapGroup = g.getGroup(idx, 0)
+      val n = mapGroup.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val kv = mapGroup.getGroup(0, j)
+        keys(j) = convert(kv, 0, kt, kv.getType.getType(0))
+        vals(j) =
+          if (kv.getType.getFieldCount < 2 || kv.getFieldRepetitionCount(1) == 0) null
+          else convert(kv, 1, vt, kv.getType.getType(1))
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
     case other =>
       throw new UnsupportedOperationException(
         s"graft DSv2 reader: unsupported type $other (column ${fieldType.getName})")

@@ -298,6 +298,48 @@ object CommitLogTableFormat extends TableFormat {
       ParquetFooters.dataFiles(fs, new Path(new Path(snapshot.root), n))).sorted
   }
 
+  // ---- driver-side SNAPSHOT METADATA CACHE (the Delta DeltaLog-cache
+  // posture): a committed version's dirs are immutable, so its union
+  // schema and per-file stats never change — yet before round 14 every
+  // `spark.read.format("graft")` paid a mergeSchema FOOTER JOB to
+  // re-infer the schema and every pushed-filter scan re-read the
+  // `_stats` sidecars as a fresh Spark job. Per-query planning cost
+  // must be O(driver metadata), not O(jobs): at 100 TB the jobs are
+  // noise, but on the interactive path they dominate small scans. The
+  // key carries the log entry's COMMIT-INSTANT mtime so a table that
+  // is deleted and recreated at the same path+version (the test-
+  // fixture pattern) can never serve stale metadata.
+  private case class SnapCacheKey(root: String, version: Long, stamp: Long)
+
+  private def snapCacheKey(fs: FileSystem, snapshot: LakeSnapshot): SnapCacheKey = {
+    val entry = new Path(new Path(snapshot.root, LogDirName), snapshot.version.toString)
+    val stamp =
+      try fs.getFileStatus(entry).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    SnapCacheKey(snapshot.root, snapshot.version, stamp)
+  }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[SnapCacheKey, org.apache.spark.sql.types.StructType]
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[SnapCacheKey, Map[String, ParquetFooters.FileColStats]]
+
+  /** The snapshot's mergeSchema union schema, computed once per
+    * committed version (then a driver map hit). */
+  def snapshotSchema(spark: SparkSession,
+                     snapshot: LakeSnapshot): org.apache.spark.sql.types.StructType = {
+    val k = snapCacheKey(fsOf(spark, snapshot.root), snapshot)
+    val hit = schemaCache.get(k)
+    if (hit != null) hit
+    else {
+      val s = spark.read.option("mergeSchema", "true")
+        .parquet(snapshot.dataDirPaths: _*).schema
+      if (schemaCache.size > 256) schemaCache.clear()
+      schemaCache.put(k, s)
+      s
+    }
+  }
+
   /** Zone-map prune of an EXPLICIT file list (the DSv2 planning hook):
     * the files whose integer footer stats admit `column` ∈ [lo, hi].
     * Files without a usable bound are KEPT — pruning never loses rows.
@@ -358,8 +400,7 @@ object CommitLogTableFormat extends TableFormat {
       // cannot lose rows, a crashed scan loses the query.
       try {
         import spark.implicits._
-        val hash = spark.range(1)
-          .select(xxhash64(lit(value).cast(keyType))).head().getLong(0)
+        val hash = probeHash(value, keyType)
         Some(spark.read.parquet(idx.toString)
           .select(col("file"), col("bloom")).as[(String, Array[Byte])]
           .filter { t =>
@@ -369,6 +410,18 @@ object CommitLogTableFormat extends TableFormat {
           }
           .map(_._1).collect().toSet)
       } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** xxhash64 of `value` CAST to `keyType`, evaluated DRIVER-SIDE (no
+    * one-row Spark job on the probe path) — byte-identical to the
+    * `xxhash64(col(column))` the index side fed bloom_agg, which is
+    * the false-negative discipline: int and long hash differently, so
+    * the probe must hash as the COLUMN's type. */
+  private def probeHash(value: Any,
+                        keyType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    new XxHash64(Seq(Cast(Literal(value), keyType, Some("UTC"))))
+      .eval(null).asInstanceOf[Long]
   }
 
   /** Committed versions still resolvable (the retained window —
@@ -1300,26 +1353,86 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
-  /** Hybrid stats-driven prune over a snapshot's dirs: evaluate `keep`
-    * from each dir's PERSISTED `_stats` sidecar where one exists (a
-    * metadata read — zero data-file footers opened on the query path),
-    * and fall back to the distributed live footer walk for dirs
-    * without one. A file its dir's sidecar does not describe is KEPT —
-    * exactly the missing-footer-stats contract, so the persisted and
-    * measured paths cannot disagree about safety. Returns
-    * (kept file paths, total file count). */
-  private[sources] def keptFilesStats(spark: SparkSession, table: String,
-      dataNames: Seq[String],
-      keep: ParquetFooters.FileColStats => Boolean): (Seq[String], Int) = {
+  /** Drop every cached snapshot-metadata entry (schemas, file lists,
+    * per-file stats). Production never needs this — committed versions
+    * are immutable, the cache can only be RIGHT — but a test fixture
+    * that mutates table bytes in place (deleting a `_stats` sidecar to
+    * exercise the live-footer fallback) must call it, as must any tool
+    * that deliberately violates dir immutability. */
+  def invalidateMetaCache(): Unit = {
+    schemaCache.clear()
+    statsCache.clear()
+    filesCache.clear()
+    dvFilesCache.clear()
+  }
+
+  private val filesCache =
+    new java.util.concurrent.ConcurrentHashMap[SnapCacheKey, Seq[String]]
+
+  /** The snapshot's data files (full paths), listed once per committed
+    * version — at object-store scale the per-query LIST is itself a
+    * planning cost worth caching (immutable dirs make it safe). */
+  private def snapshotFilesCached(spark: SparkSession,
+                                  snapshot: LakeSnapshot): Seq[String] = {
+    val fs = fsOf(spark, snapshot.root)
+    val k = snapCacheKey(fs, snapshot)
+    val hit = filesCache.get(k)
+    if (hit != null) hit
+    else {
+      val root = new Path(snapshot.root)
+      val files = snapshot.dataDirNames.flatMap(n =>
+        ParquetFooters.dataFiles(fs, new Path(root, n)))
+      if (filesCache.size > 256) filesCache.clear()
+      filesCache.put(k, files)
+      files
+    }
+  }
+
+  private val dvFilesCache =
+    new java.util.concurrent.ConcurrentHashMap[SnapCacheKey, Set[String]]
+
+  /** The file keys (`<dir>/<file>`) with at least one deletion-vector
+    * hit in this snapshot — bounded by the FILE count (one distinct
+    * over the DV sidecar, cached per version), never the deleted-row
+    * count. Lets the scanner hand DV-free files a clean partition: a
+    * task whose file has no hits skips the per-task DV sidecar read
+    * entirely, and a scan whose kept files are ALL clean stays on the
+    * columnar path even though the snapshot carries a DV. */
+  private[sources] def dvHitFiles(spark: SparkSession,
+                                  snapshot: LakeSnapshot): Set[String] =
+    snapshot.dvName match {
+      case None => Set.empty
+      case Some(_) =>
+        val fs = fsOf(spark, snapshot.root)
+        val k = snapCacheKey(fs, snapshot)
+        val hit = dvFilesCache.get(k)
+        if (hit != null) hit
+        else {
+          import spark.implicits._
+          val files = spark.read.parquet(snapshot.dvPath.get)
+            .select("file").distinct().as[String].collect().toSet
+          if (dvFilesCache.size > 256) dvFilesCache.clear()
+          dvFilesCache.put(k, files)
+          files
+        }
+    }
+
+  /** Per-file column stats of the snapshot, keyed `<dir>/<file>` (the
+    * DV identity): persisted `_stats` sidecars where a dir has one
+    * (ONE read over all sidecars), a distributed live footer walk for
+    * dirs without — computed ONCE per committed version, then a
+    * driver map hit. A file neither source describes is simply absent
+    * (pruners must KEEP it — the missing-stats contract). */
+  private[sources] def snapshotFileStats(spark: SparkSession,
+      snapshot: LakeSnapshot): Map[String, ParquetFooters.FileColStats] = {
     import org.apache.spark.sql.functions.expr
-    val root = new Path(table)
-    val fs = fsOf(spark, table)
-    val (withSidecar, without) = dataNames.partition(n =>
+    val fs = fsOf(spark, snapshot.root)
+    val k = snapCacheKey(fs, snapshot)
+    val hit = statsCache.get(k)
+    if (hit != null) return hit
+    val root = new Path(snapshot.root)
+    val (withSidecar, without) = snapshot.dataDirNames.partition(n =>
       fs.exists(new Path(new Path(root, n), StatsSidecarName)))
-    val sidecarFiles = withSidecar.flatMap(n =>
-      ParquetFooters.dataFiles(fs, new Path(root, n)))
-    val rest = without.flatMap(n =>
-      ParquetFooters.dataFiles(fs, new Path(root, n)))
     val persisted: Map[String, ParquetFooters.FileColStats] =
       if (withSidecar.isEmpty) Map.empty
       else {
@@ -1346,11 +1459,40 @@ object CommitLogTableFormat extends TableFormat {
           p -> ParquetFooters.FileColStats(longs, strs)
         }
       }
-    val keptA = sidecarFiles.filter(p =>
-      persisted.get(p.split('/').takeRight(2).mkString("/")).forall(keep))
-    val keptB = keptFiles(spark, rest,
-      (p, conf) => keep(ParquetFooters.fileColStats(p, conf)))
-    ((keptA ++ keptB).sorted, sidecarFiles.size + rest.size)
+    val rest = without.flatMap(n =>
+      ParquetFooters.dataFiles(fs, new Path(root, n)))
+    val live: Map[String, ParquetFooters.FileColStats] =
+      if (rest.isEmpty) Map.empty
+      else {
+        val bconf = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+        val slices = math.max(1,
+          math.min(rest.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(rest, slices)
+          .map(p => (p.split('/').takeRight(2).mkString("/"),
+            ParquetFooters.fileColStats(new Path(p), bconf.value.value)))
+          .collect().toMap
+      }
+    val all = persisted ++ live
+    if (statsCache.size > 64) statsCache.clear()
+    statsCache.put(k, all)
+    all
+  }
+
+  /** Stats-driven prune over a resolved snapshot: evaluate `keep`
+    * driver-side against [[snapshotFileStats]] (a cached metadata map —
+    * zero jobs, zero footer opens after the version's first query).
+    * A file the map does not describe is KEPT — the missing-stats
+    * contract, so persisted, measured, and cached paths cannot
+    * disagree about safety. Returns (kept file paths, total). */
+  private[sources] def keptFilesStats(spark: SparkSession,
+      snapshot: LakeSnapshot,
+      keep: ParquetFooters.FileColStats => Boolean): (Seq[String], Int) = {
+    val files = snapshotFilesCached(spark, snapshot)
+    val stats = snapshotFileStats(spark, snapshot)
+    val kept = files.filter(p =>
+      stats.get(p.split('/').takeRight(2).mkString("/")).forall(keep))
+    (kept.sorted, files.size)
   }
 
   /** Prune `snap`'s files against `column` ∈ [lo, hi]: (kept, total).
@@ -1360,10 +1502,11 @@ object CommitLogTableFormat extends TableFormat {
     * two versions' files/DV, breaking the isolation the format
     * guarantees everywhere else. Files without a usable bound for the
     * column are KEPT — pruning must never lose rows. */
-  private def pruneSnap(spark: SparkSession, table: String, snap: Snap,
-                        column: String, lo: Long, hi: Long): (Seq[String], Int) =
-    keptFilesStats(spark, table, snap.dataNames, st =>
-      st.longs.get(column).forall { case (mn, mx, _, _) => !(mx < lo || mn > hi) })
+  private def pruneSnap(spark: SparkSession, table: String, version: Long,
+                        snap: Snap, column: String, lo: Long,
+                        hi: Long): (Seq[String], Int) =
+    keptFilesStats(spark, LakeSnapshot(version, table, snap.dataNames, snap.dvName),
+      st => st.longs.get(column).forall { case (mn, mx, _, _) => !(mx < lo || mn > hi) })
 
   /** String-key variant of [[pruneSnap]]: bounds come from the
     * truncated string zone map ([[ParquetFooters.footerStringStats]] —
@@ -1371,11 +1514,11 @@ object CommitLogTableFormat extends TableFormat {
     * a city-data pipeline actually filters by prune too, not just
     * integer ids. Truncated bounds are conservative by construction;
     * non-ASCII or missing bounds keep the file. */
-  private def pruneSnapString(spark: SparkSession, table: String, snap: Snap,
-                              column: String, lo: String,
+  private def pruneSnapString(spark: SparkSession, table: String, version: Long,
+                              snap: Snap, column: String, lo: String,
                               hi: String): (Seq[String], Int) =
-    keptFilesStats(spark, table, snap.dataNames, st =>
-      st.strs.get(column).forall { case (lower, upper, _, _) =>
+    keptFilesStats(spark, LakeSnapshot(version, table, snap.dataNames, snap.dvName),
+      st => st.strs.get(column).forall { case (lower, upper, _, _) =>
         !(upper < lo || lower > hi) })
 
   /** The current snapshot's data files that can contain a row with
@@ -1383,8 +1526,8 @@ object CommitLogTableFormat extends TableFormat {
   def prunedFiles(spark: SparkSession, table: String, column: String,
                   lo: Long, hi: Long): Option[(Seq[String], Int)] = {
     val fs = fsOf(spark, table)
-    latest(fs, table).map { case (_, content) =>
-      pruneSnap(spark, table, parseSnap(content), column, lo, hi)
+    latest(fs, table).map { case (v, content) =>
+      pruneSnap(spark, table, v, parseSnap(content), column, lo, hi)
     }
   }
 
@@ -1392,8 +1535,8 @@ object CommitLogTableFormat extends TableFormat {
   def prunedFilesString(spark: SparkSession, table: String, column: String,
                         lo: String, hi: String): Option[(Seq[String], Int)] = {
     val fs = fsOf(spark, table)
-    latest(fs, table).map { case (_, content) =>
-      pruneSnapString(spark, table, parseSnap(content), column, lo, hi)
+    latest(fs, table).map { case (v, content) =>
+      pruneSnapString(spark, table, v, parseSnap(content), column, lo, hi)
     }
   }
 
@@ -1472,9 +1615,9 @@ object CommitLogTableFormat extends TableFormat {
                  lo: Long, hi: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val fs = fsOf(spark, table)
-    latest(fs, table).map { case (_, content) =>
+    latest(fs, table).map { case (v, content) =>
       val snap = parseSnap(content)
-      val (kept, total) = pruneSnap(spark, table, snap, column, lo, hi)
+      val (kept, total) = pruneSnap(spark, table, v, snap, column, lo, hi)
       val all =
         if (kept.size == total) kept
         else snapFiles(fs, table, snap)
@@ -1491,9 +1634,9 @@ object CommitLogTableFormat extends TableFormat {
                        lo: String, hi: String): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val fs = fsOf(spark, table)
-    latest(fs, table).map { case (_, content) =>
+    latest(fs, table).map { case (v, content) =>
       val snap = parseSnap(content)
-      val (kept, total) = pruneSnapString(spark, table, snap, column, lo, hi)
+      val (kept, total) = pruneSnapString(spark, table, v, snap, column, lo, hi)
       val all =
         if (kept.size == total) kept
         else snapFiles(fs, table, snap)
@@ -1607,14 +1750,14 @@ object CommitLogTableFormat extends TableFormat {
           }
         val probe = lit(value).cast(keyType)
         val residual = (df: DataFrame) => df.filter(col(column) === probe)
-        // one tiny job computes the probe key with the EXACT xxhash64
-        // the index side fed bloom_agg; the probe itself is a typed
-        // filter over the file-count-bounded index frame (Spark's
+        // the probe key hashes DRIVER-SIDE with the EXACT xxhash64 the
+        // index side fed bloom_agg; the probe itself is a typed filter
+        // over the file-count-bounded index frame (Spark's
         // might_contain expression demands a CONSTANT bloom side, and
         // collecting every file's filter to the driver would be
         // numBits/8 × files bytes — the probe moves file NAMES only)
         import spark.implicits._
-        val hash = spark.range(1).select(xxhash64(probe)).head().getLong(0)
+        val hash = probeHash(value, keyType)
         val keptKeys = spark.read.parquet(idx.toString)
           .select(col("file"), col("bloom")).as[(String, Array[Byte])]
           .filter { t =>

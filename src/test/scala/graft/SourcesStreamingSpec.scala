@@ -496,6 +496,61 @@ class SourcesStreamingSpec extends GraftSpec {
       "every prune above must be served from the persisted _stats sidecars")
   }
 
+  test("graft DSv2 vectorized scan: columnar DV-free reads, row-path MoR, nested types through SQL") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_dsv2_vec").toString + "/t"
+    val df = spark.range(1L, 101L).select(
+      col("id").as("k"),
+      struct((col("id") * 2).as("a"), concat(lit("n"), col("id")).as("b")).as("st"),
+      map(lit("x"), col("id"), lit("y"), col("id") * 10).as("m"),
+      array(col("id"), col("id") + 1).as("arr"))
+    fmt.commit(spark, dir,
+      df.repartitionByRange(2, col("k")).sortWithinPartitions(col("k")), "c1")
+
+    def scanOf(q: org.apache.spark.sql.DataFrame) = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    }
+    val lake = spark.read.format("graft").load(dir)
+    // DV-free snapshot: the scan itself is COLUMNAR (vectorized decode
+    // feeding ColumnarBatch straight to the exec)
+    assert(scanOf(lake.filter(col("k") <= 50L)).supportsColumnar,
+      "a DV-free snapshot must read columnar")
+    // nested struct/map/array land intact through SQL — ≡ Scala resolve
+    def shape(q: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Long, Long)] =
+      q.select(col("k"), col("st.a"), col("st.b"),
+          element_at(col("m"), "y"), element_at(col("arr"), 2))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    assert(shape(lake) == shape(fmt.read(spark, dir).get))
+    assert(shape(lake) ==
+      (1L to 100L).map(i => (i, i * 2, s"n$i", i * 10, i + 1)).toSet)
+    // evolution: an appended dir carries a NEW struct column — old
+    // rows null-backfill it through the SQL surface
+    fmt.append(spark, dir, spark.range(101L, 103L).select(
+      col("id").as("k"), struct(lit(7L).as("z")).as("st2")), "a2")
+    val lake2 = spark.read.format("graft").load(dir)
+    val z = lake2.select(col("k"), col("st2.z")).orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(z.take(2).toSeq == Seq((1L, -1L), (2L, -1L)) &&
+      z.takeRight(2).toSeq == Seq((101L, 7L), (102L, 7L)))
+    // erase flips the snapshot to the ROW path (per-task DV skip over
+    // the SAME vectorized decode) — nested values stay exact
+    fmt.erase(spark, dir, col("k") === 10L, "e1")
+    val lake3 = spark.read.format("graft").load(dir)
+    assert(!scanOf(lake3.filter(col("k") <= 50L)).supportsColumnar,
+      "a DV-bearing snapshot must use the row path (position-skip)")
+    assert(lake3.count() == 101L)
+    val gone = lake3.filter(col("k").between(9L, 11L))
+    assert(shape(gone.select(col("k"), col("st"), col("m"), col("arr"))) ==
+      Set((9L, 18L, "n9", 90L, 10L), (11L, 22L, "n11", 110L, 12L)))
+    // COUNT(*) stays on the footer-replay path: no decode at all
+    assert(spark.read.format("graft").load(dir).groupBy().count().head().getLong(0) == 101L)
+  }
+
   test("change-feed admission control: maxVersionsPerTrigger bounds catch-up; resume composes") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
@@ -1531,8 +1586,12 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(footers.opens.get() == opens0,
       "a stats-bearing snapshot must prune without opening any data-file footer")
     // delete one dir's sidecar: the hybrid pruner falls back to LIVE
-    // measurement for that dir — same answer, footers now opened
+    // measurement for that dir — same answer, footers now opened.
+    // (Deleting inside a committed dir violates immutability, which is
+    // exactly what the snapshot-metadata cache relies on — a fixture
+    // that does it must invalidate, like any byte-mutating tool.)
     fs.delete(new Path(s"$dir/${snap.dataDirNames.head}/_stats"), true)
+    fmt.invalidateMetaCache()
     val (kept2, total2) = fmt.prunedFiles(spark, dir, "k", 50L, 80L).get
     assert(kept2.size == 1 && total2 == 5,
       "the fallback path must prune identically")
