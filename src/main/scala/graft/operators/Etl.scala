@@ -3028,7 +3028,58 @@ object Etl {
       |WHERE o_orderkey BETWEEN 100 AND 700 AND o_orderkey % 97 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** a57: the CATALOG SQL lifecycle through the correctness gate (r13
+    * verdict missing #5 — lake tables were path-addressed only; a SQL
+    * user expects `CREATE TABLE` / `SHOW TABLES` / `DESCRIBE` / time
+    * travel without ever touching a path in a query): build a
+    * two-version lake table (commit evens, append odds), register a
+    * [[graft.sources.GraftCatalog]] over a warehouse dir, run the DDL
+    * (`CREATE NAMESPACE`, external `CREATE TABLE … USING graft
+    * LOCATION`), then answer ENTIRELY from catalog-addressed SQL —
+    * including `VERSION AS OF 1` joined against the current version,
+    * so the pass proves name resolution, schema-from-log inference,
+    * and SQL time travel in one frame. DDL round-trips (SHOW TABLES,
+    * DESCRIBE, DROP, rename, managed vs external ownership) are
+    * ScalaTest-gated; THIS gate is end-to-end content equality. */
+  def a57CatalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a57t")
+    val wh = lakeDir(dir, "a57wh")
+    // version numbers are part of the answer (VERSION AS OF 1), so
+    // re-runs must start from a fresh log — the a55 determinism rule
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    fmt.commit(spark, table, slim.filter(col("o_orderkey") % 2 === 0), "a57c")
+    fmt.append(spark, table, slim.filter(col("o_orderkey") % 2 === 1), "a57a")
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.orders_slim")
+    spark.sql(
+      s"CREATE TABLE graft_cat.lake.orders_slim USING graft LOCATION '$table'")
+    spark.sql(
+      """SELECT cur.o_orderkey, cur.o_custkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 0 ELSE 1 END AS in_v1
+        |FROM graft_cat.lake.orders_slim cur
+        |LEFT JOIN graft_cat.lake.orders_slim VERSION AS OF 1 v1
+        |  ON cur.o_orderkey = v1.o_orderkey
+        |WHERE cur.o_orderkey <= 500
+        |ORDER BY cur.o_orderkey""".stripMargin)
+  }
+
+  val a57Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS in_v1
+      |FROM orders
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a57_catalog_sql" -> (a57CatalogSql _),
     "a56_decimal_pruned_read" -> (a56DecimalPrunedRead _),
     "a55_change_feed_stream" -> (a55ChangeFeedStream _),
     "a54_partial_compact" -> (a54PartialCompact _),
@@ -3087,6 +3138,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a57_catalog_sql" -> a57Sql,
     "a56_decimal_pruned_read" -> a56Sql,
     "a55_change_feed_stream" -> a55Sql,
     "a54_partial_compact" -> a54Sql,

@@ -482,14 +482,17 @@ class GraftScan(path: String, tableSchema: StructType,
     extends Scan with Batch {
 
   // driver-only planning state; resolve the log EXACTLY ONCE per scan
-  // (time travel pins the version instead — same single resolution)
+  // (time travel pins the version instead — same single resolution).
+  // None = no committed version yet: a catalog table created with a
+  // declared schema reads EMPTY before its first commit (an explicit
+  // asOfVersion still refuses — asking for a version that is not
+  // retained must never silently serve something else).
   @transient private lazy val spark = SparkSession.active
-  @transient private lazy val snapshot: LakeSnapshot = asOfVersion match {
-    case Some(v) => CommitLogTableFormat.snapshotAt(spark, path, v).getOrElse(
+  @transient private lazy val snapshot: Option[LakeSnapshot] = asOfVersion match {
+    case Some(v) => Some(CommitLogTableFormat.snapshotAt(spark, path, v).getOrElse(
       throw new NoSuchElementException(
-        s"version $v of $path is not retained (vacuumed or never committed)"))
-    case None => CommitLogTableFormat.currentSnapshot(spark, path).getOrElse(
-      throw new NoSuchElementException(s"no committed graft table at $path"))
+        s"version $v of $path is not retained (vacuumed or never committed)")))
+    case None => CommitLogTableFormat.currentSnapshot(spark, path)
   }
 
   /** (kept, total) of the last planning pass — the spec's
@@ -500,7 +503,7 @@ class GraftScan(path: String, tableSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String = {
     val planned = plannedFiles.map { case (k, t) => s", files $k/$t" }.getOrElse("")
-    s"GraftScan ${path} v${snapshot.version}$planned, " +
+    s"GraftScan ${path} v${snapshot.map(_.version).getOrElse(0L)}$planned, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   }
 
@@ -509,7 +512,7 @@ class GraftScan(path: String, tableSchema: StructType,
 
   /** One distributed footer pass evaluating EVERY accepted zone-map
     * constraint, then the optional bloom intersections. */
-  private def pruneFiles(all: Seq[String]): Seq[String] = {
+  private def pruneFiles(snap: LakeSnapshot, all: Seq[String]): Seq[String] = {
     import GraftScan.longValue
     def dtOf(c: String): Option[DataType] =
       tableSchema.fields.find(_.name == c).map(_.dataType)
@@ -617,7 +620,7 @@ class GraftScan(path: String, tableSchema: StructType,
     // once against FileColStats, so the two paths cannot diverge
     val footerKept =
       if (lb.isEmpty && sb.isEmpty && nn.isEmpty) all
-      else CommitLogTableFormat.keptFilesStats(spark, snapshot, st => {
+      else CommitLogTableFormat.keptFilesStats(spark, snap, st => {
         val longOk = lb.forall { case (c, (lo, hi)) =>
           st.longs.get(c).forall { case (mn, mx, _, _) => !(mx < lo || mn > hi) }
         }
@@ -636,19 +639,26 @@ class GraftScan(path: String, tableSchema: StructType,
     bloomEq.foldLeft(footerKept) { case (kept, (c, v)) =>
       val keyType = tableSchema.fields.find(_.name == c).map(_.dataType)
       keyType.flatMap(kt =>
-        CommitLogTableFormat.bloomAdmittedKeys(spark, snapshot, c, v, kt)) match {
+        CommitLogTableFormat.bloomAdmittedKeys(spark, snap, c, v, kt)) match {
         case None => kept // no index pinned to this version: no skip
         case Some(keys) => kept.filter(p => keys.contains(GraftReaders.fileKey(p)))
       }
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val all = CommitLogTableFormat.snapshotDataFiles(spark, snapshot)
-    val kept = pruneFiles(all)
+  override def planInputPartitions(): Array[InputPartition] = snapshot match {
+    case None => // declared-schema table before its first commit
+      plannedFiles = Some((0, 0))
+      Array.empty
+    case Some(snap) => planSnapshot(snap)
+  }
+
+  private def planSnapshot(snap: LakeSnapshot): Array[InputPartition] = {
+    val all = CommitLogTableFormat.snapshotDataFiles(spark, snap)
+    val kept = pruneFiles(snap, all)
     plannedFiles = Some((kept.size, all.size))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dvParts = snapshot.dvPath.toSeq
+    val dvParts = snap.dvPath.toSeq
       .flatMap(p => ParquetFooters.dataFiles(fs, new Path(p)))
     // per-FILE deletion-vector planning (cached, file-count-bounded):
     // a kept file without hits gets a clean partition (its task never
@@ -656,7 +666,7 @@ class GraftScan(path: String, tableSchema: StructType,
     // scan stays columnar. Columnar-ness must be UNIFORM across the
     // scan's partitions (Spark refuses mixed), so it is a scan-wide
     // bit, while the dvParts trim is per partition.
-    val hits = CommitLogTableFormat.dvHitFiles(spark, snapshot)
+    val hits = CommitLogTableFormat.dvHitFiles(spark, snap)
     val anyDv = kept.exists(f => hits.contains(GraftReaders.fileKey(f)))
     kept.map { f =>
       val key = GraftReaders.fileKey(f)

@@ -685,6 +685,59 @@ class SourcesStreamingSpec extends GraftSpec {
       "a no-new-files advance needs no aggregation and must re-pin")
   }
 
+  test("GraftCatalog: DDL lifecycle — create/list/describe/rename/drop, managed vs external, time travel") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val wh = Files.createTempDirectory("graft_cat_wh").toString
+    val ext = Files.createTempDirectory("graft_cat_ext").toString + "/t"
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gcat.db")
+    // managed table with a DECLARED schema: DESCRIBE works before any commit
+    spark.sql("CREATE TABLE gcat.db.m (k BIGINT, v STRING) USING graft")
+    val desc = spark.sql("DESCRIBE TABLE gcat.db.m").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.contains(("k", "bigint")) && desc.contains(("v", "string")), desc)
+    assert(spark.sql("SELECT * FROM gcat.db.m").count() == 0L,
+      "a declared-schema table reads empty before its first commit")
+    // first commit: the LOG becomes the schema authority
+    val mRoot = s"$wh/db/m"
+    fmt.commit(spark, mRoot, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "c1")
+    assert(spark.sql("SELECT k, v FROM gcat.db.m ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    // external table: schema-less CREATE over an existing lake table
+    fmt.commit(spark, ext, Seq((10L, "x")).toDF("k", "v"), "c1")
+    fmt.append(spark, ext, Seq((11L, "y")).toDF("k", "v"), "a2")
+    spark.sql(s"CREATE TABLE gcat.db.e USING graft LOCATION '$ext'")
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("e", "m"))
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.db.e").head().getLong(0) == 2L)
+    // SQL time travel through the catalog
+    assert(spark.sql("SELECT k FROM gcat.db.e VERSION AS OF 1").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L))
+    // writes are refused — the commit protocol owns them
+    val ins = intercept[Throwable] {
+      spark.sql("INSERT INTO gcat.db.e VALUES (12, 'z')")
+    }
+    assert(ins.getMessage != null)
+    val alter = intercept[Throwable] {
+      spark.sql("ALTER TABLE gcat.db.e ADD COLUMN w INT")
+    }
+    val alterMsgs = Iterator.iterate(alter)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(alterMsgs.contains("commit log"), alterMsgs)
+    // rename keeps content; DROP external keeps the data, managed removes it
+    spark.sql("ALTER TABLE gcat.db.e RENAME TO db.e2")
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.db.e2").head().getLong(0) == 2L)
+    spark.sql("DROP TABLE gcat.db.e2")
+    assert(fmt.read(spark, ext).get.count() == 2L,
+      "dropping an EXTERNAL table must not touch its data")
+    spark.sql("DROP TABLE gcat.db.m")
+    assert(fmt.read(spark, mRoot).isEmpty,
+      "dropping a MANAGED table removes its data")
+    assert(spark.sql("SHOW TABLES IN gcat.db").isEmpty)
+  }
+
   test("graft DSv2 time travel: versionAsOf/timestampAsOf pin the snapshot and its schema") {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
