@@ -2913,7 +2913,12 @@ object Etl {
     fmt.append(spark, table, slim.filter(col("o_orderkey") % 3 === 2), "a54a2")
     fmt.erase(spark, table, col("o_orderkey") % 89 === 0, "a54e")
     val snap = fmt.currentSnapshot(spark, table).get
-    fmt.compactDirs(spark, table, snap.dataDirNames.take(2), "a54pc")
+    // round 14: the rewrite also RECLUSTERS on the key (OPTIMIZE
+    // ZORDER parity) — content-identical, so the oracle is unchanged,
+    // but the merged dir's zone maps are now range-disjoint
+    // (tightening plan-asserted in ScalaTest)
+    fmt.compactDirs(spark, table, snap.dataDirNames.take(2), "a54pc",
+      targetFiles = 2, clusterBy = Seq("o_orderkey"))
     fmt.read(spark, table).get
       .filter(col("o_orderkey") <= 5000)
       .select(col("o_orderkey"), col("o_custkey"))

@@ -563,8 +563,12 @@ object CommitLogTableFormat extends TableFormat {
     * version; None before the first commit. Unknown dir names throw —
     * a silent skip would let a caller believe files were merged. */
   def compactDirs(spark: SparkSession, table: String, dirs: Seq[String],
-                  token: String, targetFiles: Int = 1): Option[Long] = {
+                  token: String, targetFiles: Int = 1,
+                  clusterBy: Seq[String] = Nil,
+                  clusterBits: Int = 16): Option[Long] = {
     import org.apache.spark.sql.functions.{col, expr}
+    require(clusterBy.size <= 2,
+      "clusterBy takes at most two keys (1 = range-cluster, 2 = space-filling curve)")
     require(dirs.nonEmpty, "compactDirs needs at least one dir to rewrite")
     val root = new Path(table)
     val fs = fsOf(spark, table)
@@ -599,7 +603,33 @@ object CommitLogTableFormat extends TableFormat {
               keyed("__graft_pos") === hits("pos"), "left_anti")
             .drop("__graft_file", "__graft_pos")
       }
-      purged.coalesce(targetFiles).write.mode("overwrite")
+      // RECLUSTER-ON-COMPACT (Delta OPTIMIZE ZORDER parity, r13 verdict
+      // missing #6): a plain compact preserves arrival order, so the
+      // merged dir's zone maps stay as loose as the inputs'. With
+      // clusterBy, the rewrite range-shuffles the REWRITTEN SUBSET
+      // (one exchange of O(rewritten bytes) — never the table) so the
+      // merged files get disjoint footer ranges: one key sorts
+      // directly; two keys ride the Hilbert curve (tighter boxes than
+      // Morton; falls back to the pure-Column Z-order interleave when
+      // the hilbert_index extension function is absent — layout
+      // quality is never worth failing maintenance).
+      val rewritten = clusterBy match {
+        case Nil => purged.coalesce(targetFiles)
+        case Seq(k) =>
+          purged.repartitionByRange(targetFiles, col(k))
+            .sortWithinPartitions(col(k))
+        case Seq(a, b) =>
+          val curve =
+            if (spark.sessionState.functionRegistry.functionExists(
+                org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_index")))
+              HilbertLayout.hvalue(col(a), col(b), clusterBits)
+            else ZOrderLayout.zvalue(col(a), col(b), clusterBits)
+          purged.withColumn("__graft_curve", curve)
+            .repartitionByRange(targetFiles, col("__graft_curve"))
+            .sortWithinPartitions(col("__graft_curve"))
+            .drop("__graft_curve")
+      }
+      rewritten.write.mode("overwrite")
         .parquet(new Path(root, dataName).toString)
       writeDirStats(spark, root, dataName)
       // the surviving dirs' DV rows are still live erasures; rewrite

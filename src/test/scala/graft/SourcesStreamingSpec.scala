@@ -685,6 +685,53 @@ class SourcesStreamingSpec extends GraftSpec {
       "a no-new-files advance needs no aggregation and must re-pin")
   }
 
+  test("recluster-on-compact: compactDirs(clusterBy) tightens zone maps — post-compact prunes strictly fewer files") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_recluster").toString + "/t"
+    // three INTERLEAVED hash-scattered loads (k ≡ 0/1/2 mod 3 over the
+    // same 1..900 span): every file spans the full key range, so a
+    // key-range predicate can prune NOTHING before the compact
+    Seq(0L, 1L, 2L).foreach { m =>
+      val rows = (1L to 900L).filter(_ % 3 == m).map(i => (i, i % 7))
+        .toDF("k", "g").repartition(3, $"k")
+      if (m == 0L) fmt.commit(spark, dir, rows, "l0")
+      else fmt.append(spark, dir, rows, s"l$m")
+    }
+    val (kept0, total0) = fmt.prunedFiles(spark, dir, "k", 100L, 160L).get
+    assert(kept0.size == total0 && total0 == 9,
+      s"hash-scattered fixture must not prune: ${kept0.size}/$total0")
+    // single-key recluster: merged files get disjoint ranges
+    val snap = fmt.currentSnapshot(spark, dir).get
+    fmt.compactDirs(spark, dir, snap.dataDirNames, "rc1",
+      targetFiles = 6, clusterBy = Seq("k"))
+    val (kept1, total1) = fmt.prunedFiles(spark, dir, "k", 100L, 160L).get
+    assert(total1 == 6 && kept1.size < total1 && kept1.size <= 2,
+      s"reclustered compact must prune: ${kept1.size}/$total1")
+    // content identical through the pruned read
+    assert(fmt.readPruned(spark, dir, "k", 100L, 160L).get.count() == 61L)
+    // and the DSv2 plan sees the same skip
+    def graftScan(q: org.apache.spark.sql.DataFrame): graft.sources.GraftScan = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[graft.sources.GraftScan]
+    }
+    val s1 = graftScan(spark.read.format("graft").load(dir)
+      .filter($"k".between(100L, 160L)))
+    assert(s1.plannedFiles.exists { case (kp, t) => t == 6 && kp <= 2 },
+      s"DSv2 skip after recluster: ${s1.plannedFiles}")
+    // two-key curve recluster: a box predicate on (k, g) prunes too
+    val snap2 = fmt.currentSnapshot(spark, dir).get
+    fmt.compactDirs(spark, dir, snap2.dataDirNames, "rc2",
+      targetFiles = 8, clusterBy = Seq("k", "g"), clusterBits = 10)
+    val (keptA, _) = fmt.prunedFiles(spark, dir, "k", 1L, 120L).get
+    val (keptB, totalB) = fmt.prunedFiles(spark, dir, "g", 0L, 1L).get
+    assert(keptA.size < 8, s"curve layout must keep key-A pruning: ${keptA.size}/8")
+    assert(keptB.size <= totalB, s"${keptB.size}/$totalB")
+    assert(fmt.read(spark, dir).get.count() == 900L, "recluster loses nothing")
+  }
+
   test("GraftCatalog: DDL lifecycle — create/list/describe/rename/drop, managed vs external, time travel") {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
