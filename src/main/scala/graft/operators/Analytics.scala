@@ -5031,7 +5031,140 @@ object Analytics {
       |    / ((nn*fxx - fx*fx) * (nn*see - se*se))) AS bp_stat
       |FROM f JOIN ab USING (flag) ORDER BY l_returnflag""".stripMargin
 
+  def q94CramersV(spark: SparkSession, dir: String): DataFrame =
+    q94CramersVOf(Tables.lineitem(spark, dir))
+
+  /** q94: Cramér's V association between return flag and line status —
+    * the categorical-correlation audit (Cramér 1946): χ² of the
+    * contingency table via the identity χ² = n·(Σ o²/(r·c) − 1) (no
+    * expected-count subtraction — one less cancellation site), then
+    * V = √(χ²/(n·min(R−1,C−1))) ∈ [0,1]. The q84 GK-gamma measures
+    * ORDINAL association; V is its nominal twin — the check before
+    * anyone one-hot-encodes two columns that are secretly the same
+    * signal. Cell/margin counts are EXACT integers; each cell's
+    * o²/(r·c) term is one double division of exact inputs, summed
+    * over ≤|R×C| cells (float-sum tolerance over a handful of
+    * well-conditioned positive terms).
+    *
+    * Shape: ONE column-pruned scan → |R×C|-row reduce → unpartitioned
+    * windows over that tiny frame → 1 row. */
+  def q94CramersVOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = lineitem
+      .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("s"))
+      .agg(count(lit(1)).as("o"))
+    val t = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("f"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("s"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val term = (col("o").cast("double") * col("o").cast("double")) /
+      (col("r").cast("double") * col("c").cast("double"))
+    t.agg(max(col("n")).as("nmax"),
+        countDistinct(col("f")).as("rr"),
+        countDistinct(col("s")).as("cc"),
+        sum(term).as("tsum"))
+      .select(col("nmax").cast("bigint").as("n_rows"),
+        ((col("rr") - 1) * (col("cc") - 1)).cast("bigint").as("dof"),
+        (col("nmax").cast("double") * (col("tsum") - lit(1.0))).as("chi2"),
+        // Σ o²/(r·c) ≥ 1 algebraically; float summation can land an
+        // ulp BELOW 1 at exact independence — clamp before the sqrt
+        sqrt(greatest(col("tsum") - lit(1.0), lit(0.0)) /
+          least(col("rr") - 1, col("cc") - 1).cast("double")).as("cramers_v"))
+  }
+
+  val q94Sql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS f, l_linestatus AS s, count(*) AS o
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (
+      |  SELECT f, s, o,
+      |    sum(o) OVER (PARTITION BY f) AS r,
+      |    sum(o) OVER (PARTITION BY s) AS c,
+      |    sum(o) OVER () AS n
+      |  FROM cells)
+      |SELECT CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST((count(DISTINCT f) - 1) * (count(DISTINCT s) - 1) AS BIGINT) AS dof,
+      |  CAST(max(n) AS DOUBLE) *
+      |    (sum((CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
+      |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) - 1.0) AS chi2,
+      |  sqrt(greatest(sum((CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
+      |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) - 1.0, 0.0)
+      |    / CAST(least(count(DISTINCT f) - 1, count(DISTINCT s) - 1) AS DOUBLE))
+      |    AS cramers_v
+      |FROM t""".stripMargin
+
+  def q95Spearman(spark: SparkSession, dir: String): DataFrame =
+    q95SpearmanOf(Tables.lineitem(spark, dir))
+
+  /** q95: Spearman rank correlation between quantity and price per
+    * return flag — the monotone-association twin of the Pearson
+    * family (q61/q87/q88 all assume linearity; Spearman survives any
+    * monotone transform and heavy tails, the robust default for
+    * skewed money data). Tie handling is the textbook AVERAGE rank,
+    * kept EXACT by doubling: 2·avgrank = 2·min_rank + ties − 1 is an
+    * integer, so every rank moment accumulates in DECIMAL(38) and
+    * only the final ρ division runs in doubles with oracle-identical
+    * term order (denominator as √A·√B, never √(A·B) — pow/sqrt
+    * composition ulp-differs across libm). Exact to ~2.5e9 rows per
+    * group (n·Σxy touches DECIMAL(38)/HUGEINT limits beyond — sample
+    * past that, as q92 does for tails).
+    *
+    * Shape: ONE scan → two rank sorts + two tie-count windows, every
+    * window partitioned by flag (Spearman is sort-inherent; no join,
+    * no fan-out) → |flags|-row reduce. */
+  def q95SpearmanOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val base = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_quantity").cast("double").as("xv"),
+      Cols.dec2(col("l_extendedprice")).as("yv"))
+    val ranked = base
+      .withColumn("x", d38(lit(2) * rank().over(
+          Window.partitionBy(col("flag")).orderBy(col("xv"))) +
+        count(lit(1)).over(Window.partitionBy(col("flag"), col("xv"))) - 1))
+      .withColumn("y", d38(lit(2) * rank().over(
+          Window.partitionBy(col("flag")).orderBy(col("yv"))) +
+        count(lit(1)).over(Window.partitionBy(col("flag"), col("yv"))) - 1))
+    ranked.groupBy(col("flag"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("flag").as("l_returnflag"),
+        col("n").cast("bigint").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman_rho"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q95Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS xv,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS yv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag,
+      |    CAST(2 * rank() OVER (PARTITION BY flag ORDER BY xv)
+      |      + count(*) OVER (PARTITION BY flag, xv) - 1 AS HUGEINT) AS x,
+      |    CAST(2 * rank() OVER (PARTITION BY flag ORDER BY yv)
+      |      + count(*) OVER (PARTITION BY flag, yv) - 1 AS HUGEINT) AS y
+      |  FROM b),
+      |m AS (
+      |  SELECT flag, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      |  FROM r GROUP BY 1)
+      |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) /
+      |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+      |    AS spearman_rho
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_spearman_rho" -> (q95Spearman _),
+    "q94_cramers_v" -> (q94CramersV _),
     "q93_breusch_pagan" -> (q93BreuschPagan _),
     "q92_hill_tail" -> (q92HillTail _),
     "q91_seasonal_strength" -> (q91SeasonalStrength _),
@@ -5126,6 +5259,8 @@ object Analytics {
     "q22_approx_percentile" -> (q22ApproxPercentile _))
 
   val oracles: Map[String, String] = Map(
+    "q95_spearman_rho" -> q95Sql,
+    "q94_cramers_v" -> q94Sql,
     "q93_breusch_pagan" -> q93Sql,
     "q92_hill_tail" -> q92Sql,
     "q91_seasonal_strength" -> q91Sql,

@@ -7497,6 +7497,85 @@ class OperatorSpec extends GraftSpec {
     real.foreach(r => assert(r.getDouble(3) >= 0.0, r.toString))
   }
 
+  test("q94 Cramer's V: perfect association scores 1, independence scores 0, brute chi2 replay") {
+    import spark.implicits._
+    def vOf(rows: Seq[(String, String)]): (Long, Long, Double, Double) = {
+      val r = Analytics.q94CramersVOf(
+        rows.map { case (f, s) => (f, s) }.toDF("l_returnflag", "l_linestatus"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // perfect association: status determined by flag
+    val perfect = (1 to 60).map(i => (s"f${i % 3}", s"s${i % 3}"))
+    val (pn, pdof, pchi, pv) = vOf(perfect)
+    assert(pn == 60L && pdof == 4L)
+    assert(math.abs(pv - 1.0) < 1e-12, s"perfect association must give V=1: $pv")
+    assert(math.abs(pchi - 120.0) < 1e-9, s"chi2 = n*min(R-1,C-1) at V=1: $pchi")
+    // independence: uniform grid — chi2 exactly 0
+    val indep = for (i <- 0 until 3; j <- 0 until 2; _ <- 0 until 10)
+      yield (s"f$i", s"s$j")
+    val (_, _, ichi, iv) = vOf(indep)
+    assert(math.abs(ichi) < 1e-9 && math.abs(iv) < 1e-9, s"$ichi / $iv")
+    // brute chi2 replay on a skewed plant
+    val plant = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(12)(("b", "x")) ++ Seq.fill(28)(("b", "y"))
+    val (n, dof, chi, v) = vOf(plant)
+    val cells = plant.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val rT = plant.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val cT = plant.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val bruteChi = cells.map { case ((f, s), o) =>
+      val e = rT(f) * cT(s) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(dof == 1L)
+    assert(math.abs(chi - bruteChi) / bruteChi < 1e-9, s"$chi vs $bruteChi")
+    assert(math.abs(v - math.sqrt(bruteChi / n)) < 1e-12)
+    val real = Analytics.q94CramersV(spark, sfDir).head()
+    assert(real.getDouble(3) >= 0.0 && real.getDouble(3) <= 1.0)
+  }
+
+  test("q95 Spearman: monotone plants hit +-1 through ties; brute average-rank replay") {
+    import spark.implicits._
+    def rhoOf(rows: Seq[(String, Double, Double)]): Map[String, Double] =
+      Analytics.q95SpearmanOf(rows.toDF("l_returnflag", "l_quantity", "l_extendedprice"))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // a monotone transform gives rho=1 (ties land in BOTH columns at
+    // the same rows, so the average-rank vectors are identical);
+    // strict reversal gives -1
+    val mono = (1 to 50).map(i => ("M", (i / 5).toDouble, math.exp((i / 5).toDouble)))
+    val rev = (1 to 50).map(i => ("R", i.toDouble, -3.0 * i + 11))
+    val got = rhoOf(mono ++ rev)
+    assert(math.abs(got("M") - 1.0) < 1e-9, s"ties + monotone: ${got("M")}")
+    assert(math.abs(got("R") + 1.0) < 1e-12, s"reversal: ${got("R")}")
+    // brute replay with textbook average ranks on a noisy plant
+    val rnd = new scala.util.Random(7)
+    val plant = (1 to 80).map(i =>
+      ("P", (rnd.nextInt(10) + 1).toDouble, rnd.nextInt(40) / 4.0))
+    def avgRanks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      vs.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    def brute(rows: Seq[(Double, Double)]): Double = {
+      val rx = avgRanks(rows.map(_._1)); val ry = avgRanks(rows.map(_._2))
+      val n = rows.size.toDouble
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxx = rx.map(v => v * v).sum; val syy = ry.map(v => v * v).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val pb = brute(plant.map(r => (r._2, r._3)))
+    val pg = rhoOf(plant)("P")
+    assert(math.abs(pg - pb) < 1e-9, s"$pg vs $pb")
+    val real = Analytics.q95Spearman(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12, r.toString))
+  }
+
   test("e28 readahead runs: brute walk replay over the e12 assignment; bounds hold") {
     val frame = graft.operators.MultimodalOps.e12AssignmentFrame(spark, sfDir)
       .select(col("epoch"), col("worker"), col("shuffle_key"),
