@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Reproducible DSv2-vs-native read-path probe (the r13 verdict's
+  * vectorization done-criterion): builds a CommitLog lake table from
+  * `SPARK_GRAFT_SF_DIR`'s lineitem, then times the SAME aggregate /
+  * filtered scans through `spark.read.format("graft")` and through
+  * `spark.read.parquet` on the snapshot's own data dir (identical
+  * bytes), printing ONE JSON line of best-of-N ratios.
+  *
+  * What the ratios mean:
+  *  - `columnar_ratio`: DV-free full-scan aggregate — the vectorized
+  *    ColumnarBatch path vs Spark's native reader. Target ≈1 (same
+  *    decoder underneath; the residue is planning + per-file task
+  *    granularity).
+  *  - `filtered_ratio`: a key-range scan — graft prunes FILES via the
+  *    `_stats` zone maps where native only has row-group stats, so
+  *    <1 is expected on range-clustered data.
+  *  - `mor_row_ratio`: the same aggregate AFTER a DV erase — the
+  *    merge-on-read row path (vectorized decode, per-row handoff +
+  *    position skip). ~2 is the structural row-handoff tax; the
+  *    native side reads the raw dir WITHOUT delete semantics, so this
+  *    is an upper bound on honest overhead. */
+object BenchDsv2 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-bench-dsv2")
+    spark.sparkContext.setLogLevel("WARN")
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_probe/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir).getParent, true)
+    // SPARK_GRAFT_DSV2_COPIES > 1 unions the fact table onto itself so
+    // the scan is DECODE-dominated instead of overhead-dominated — the
+    // regime the 100 TB claim actually lives in (at sf0.1 the raw scan
+    // is ~30 MB and both paths mostly measure planning/task launch)
+    val copies = sys.env.getOrElse("SPARK_GRAFT_DSV2_COPIES", "1").toInt
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+    val li = (1 until copies).foldLeft(li0)((d, _) => d.unionAll(li0))
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_DSV2_FILES", (8 * copies).toString).toInt
+    fmt.commit(spark, dir, li.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey")), "c1")
+    val dataDir = fmt.currentSnapshot(spark, dir).get.dataDirPaths.head
+
+    val numericOnly = sys.env.get("SPARK_GRAFT_DSV2_NUMERIC").contains("1")
+    def agg(df: org.apache.spark.sql.DataFrame): Unit = {
+      (if (numericOnly)
+        df.agg(sum("l_quantity"), sum("l_extendedprice"), sum("l_discount"),
+          sum("l_partkey"), sum("l_suppkey"), count(lit(1)))
+      else
+        df.agg(sum("l_quantity"), sum("l_extendedprice"), sum("l_discount"),
+          countDistinct("l_returnflag"), max("l_linestatus"),
+          sum("l_partkey"), sum("l_suppkey"), count(lit(1)))).collect()
+      ()
+    }
+    def filt(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.filter(col("l_orderkey").between(100000L, 200000L))
+        .agg(sum("l_extendedprice"), count(lit(1))).collect()
+      ()
+    }
+    def best(reps: Int)(f: => Unit): Double = {
+      f // warm
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val reps = 6
+    val gCol = best(reps)(agg(spark.read.format("graft").load(dir)))
+    val nCol = best(reps)(agg(spark.read.parquet(dataDir)))
+    val gFil = best(reps)(filt(spark.read.format("graft").load(dir)))
+    val nFil = best(reps)(filt(spark.read.parquet(dataDir)))
+    fmt.erase(spark, dir, col("l_orderkey") % 997 === 0, "e1")
+    val gMor = best(reps)(agg(spark.read.format("graft").load(dir)))
+    println(f"""{"graft_full_sec":$gCol%.3f,"native_full_sec":$nCol%.3f,""" +
+      f""""columnar_ratio":${gCol / nCol}%.3f,""" +
+      f""""graft_filtered_sec":$gFil%.3f,"native_filtered_sec":$nFil%.3f,""" +
+      f""""filtered_ratio":${gFil / nFil}%.3f,""" +
+      f""""graft_mor_sec":$gMor%.3f,"mor_row_ratio":${gMor / nCol}%.3f,""" +
+      s""""reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

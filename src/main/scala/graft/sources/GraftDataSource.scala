@@ -346,8 +346,8 @@ private[sources] class GraftFeedStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    new GraftReaderFactory(required, spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)))
 
   /** Batch durably processed: its staged transitions are dead. */
   override def commit(end: Offset): Unit = {
@@ -677,8 +677,8 @@ class GraftScan(path: String, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required,
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    new GraftReaderFactory(required, spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)))
 }
 
 private[sources] case class GraftInputPartition(filePath: String, fileKey: String,
@@ -686,8 +686,12 @@ private[sources] case class GraftInputPartition(filePath: String, fileKey: Strin
                                                 columnarOk: Boolean = true)
     extends InputPartition
 
+/** The factory rides into EVERY task closure, so the hadoop conf it
+  * carries is a BROADCAST handle — serializing the full ~100 KB conf
+  * XML per task (and re-parsing it per task) was a measured fixed tax
+  * on small-file scans; the broadcast deserializes once per executor. */
 private[sources] class GraftReaderFactory(required: StructType,
-                                          conf: SerializableHadoopConf)
+                                          conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
 
   /** COLUMNAR scan (the r13 verdict's missing #1 — the row-by-row
@@ -708,16 +712,17 @@ private[sources] class GraftReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p.filePath, required, conf.value)
+    new GraftColumnarReader(p.filePath, required, conf.value.value)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    if (required.isEmpty) new GraftCountReplayReader(p, required, conf.value)
+    val c = conf.value.value
+    if (required.isEmpty) new GraftCountReplayReader(p, required, c)
     else
-      try new GraftVectorizedRowReader(p, required, conf.value)
+      try new GraftVectorizedRowReader(p, required, c)
       catch { case scala.util.control.NonFatal(_) =>
-        new GraftPartitionReader(p, required, conf.value)
+        new GraftPartitionReader(p, required, c)
       }
   }
 }

@@ -412,6 +412,26 @@ object CommitLogTableFormat extends TableFormat {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Write a deletion-vector frame as its sidecar: CLUSTERED by file
+    * key and sorted by position, in as few parts as the row count
+    * needs. Every reader task opens the sidecar and filters to its OWN
+    * file with a parquet record filter — an unclustered multi-part DV
+    * (the old distinct() shuffle output, 32 parts) made each of N scan
+    * tasks open ALL 32 parts: O(N·parts) parquet opens per query,
+    * measured as the MoR row path's dominant cost on many-file
+    * snapshots. Clustered single-digit parts give O(N) opens and
+    * row-group stats that actually skip foreign files' blocks. The
+    * range shuffle is O(DV rows) at WRITE time — deleted rows, not
+    * data — bought once per erase/upsert. */
+  private def writeDv(dv: DataFrame, target: Path): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = dv.count()
+    val parts = math.max(1L, rows / 4000000L).toInt
+    dv.repartitionByRange(parts, col("file"), col("pos"))
+      .sortWithinPartitions(col("file"), col("pos"))
+      .write.mode("overwrite").parquet(target.toString)
+  }
+
   /** xxhash64 of `value` CAST to `keyType`, evaluated DRIVER-SIDE (no
     * one-row Spark job on the probe path) — byte-identical to the
     * `xxhash64(col(column))` the index side fed bloom_agg, which is
@@ -647,8 +667,7 @@ object CommitLogTableFormat extends TableFormat {
           if (surviving == total) (snap.dvName, Seq.empty[Path]) // untouched: carry forward
           else if (surviving == 0L) (None, Seq.empty[Path])      // fully folded in
           else {
-            survives.write.mode("overwrite")
-              .parquet(new Path(root, dvName).toString)
+            writeDv(survives, new Path(root, dvName))
             (Some(dvName), Seq(new Path(root, dvName)))
           }
       }
@@ -1051,7 +1070,7 @@ object CommitLogTableFormat extends TableFormat {
           else {
             val nv = v + 1
             val dvName = s"dv-v$nv-$token"
-            merged.write.mode("overwrite").parquet(new Path(root, dvName).toString)
+            writeDv(merged, new Path(root, dvName))
             // the file set is unchanged — re-pin any Bloom index to the
             // new version verbatim (an erase must not cost a rebuild)
             val pending = stageBloomAdvance(spark, root, v, nv,
@@ -1118,7 +1137,7 @@ object CommitLogTableFormat extends TableFormat {
           val entry =
             if (newCount == 0L) dirs.mkString(" ")
             else {
-              merged.write.mode("overwrite").parquet(new Path(root, dvName).toString)
+              writeDv(merged, new Path(root, dvName))
               s"${dirs.mkString(" ")}\n$dvName"
             }
           val pending = stageBloomAdvance(spark, root, v, nv,

@@ -23,7 +23,16 @@ def last_json(path):
 def main():
     small, big, out = sys.argv[1], sys.argv[2], sys.argv[3]
     s, b = last_json(small), last_json(big)
-    sf_s, sf_b = float(s.get("sf", 0.01)), float(b.get("sf", 0.1))
+
+    def sf_of(d, default):
+        raw = str(d.get("sf", default))
+        m = raw.rsplit("sf", 1)[-1]
+        try:
+            return float(m)
+        except ValueError:
+            return default
+
+    sf_s, sf_b = sf_of(s, 0.01), sf_of(b, 0.1)
     data_ratio = sf_b / sf_s
     qs, qb = s["queries"], b["queries"]
     rows = []
