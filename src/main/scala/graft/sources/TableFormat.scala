@@ -291,12 +291,11 @@ object CommitLogTableFormat extends TableFormat {
       .map(s => LakeSnapshot(version, table, s.dataNames, s.dvName))
   }
 
-  /** All data files (full paths, sorted) of a resolved snapshot. */
-  def snapshotDataFiles(spark: SparkSession, snapshot: LakeSnapshot): Seq[String] = {
-    val fs = fsOf(spark, snapshot.root)
-    snapshot.dataDirNames.flatMap(n =>
-      ParquetFooters.dataFiles(fs, new Path(new Path(snapshot.root), n))).sorted
-  }
+  /** All data files (full paths, sorted) of a resolved snapshot —
+    * served from the per-version listing cache (immutable dirs), so a
+    * repeated scan of the same version pays no LIST. */
+  def snapshotDataFiles(spark: SparkSession, snapshot: LakeSnapshot): Seq[String] =
+    snapshotFilesCached(spark, snapshot).sorted
 
   // ---- driver-side SNAPSHOT METADATA CACHE (the Delta DeltaLog-cache
   // posture): a committed version's dirs are immutable, so its union
