@@ -5101,36 +5101,59 @@ object Analytics {
     * family (q61/q87/q88 all assume linearity; Spearman survives any
     * monotone transform and heavy tails, the robust default for
     * skewed money data). Tie handling is the textbook AVERAGE rank,
-    * kept EXACT by doubling: 2·avgrank = 2·min_rank + ties − 1 is an
-    * integer, so every rank moment accumulates in DECIMAL(38) and
+    * kept EXACT by doubling: 2·avgrank = 2·cum_before + ties + 1 is
+    * an integer, so every rank moment accumulates in DECIMAL(38) and
     * only the final ρ division runs in doubles with oracle-identical
     * term order (denominator as √A·√B, never √(A·B) — pow/sqrt
-    * composition ulp-differs across libm). Exact to ~2.5e9 rows per
-    * group (n·Σxy touches DECIMAL(38)/HUGEINT limits beyond — sample
-    * past that, as q92 does for tails).
+    * composition ulp-differs across libm).
     *
-    * Shape: ONE scan → two rank sorts + two tie-count windows, every
-    * window partitioned by flag (Spearman is sort-inherent; no join,
-    * no fan-out) → |flags|-row reduce. */
+    * The scale trick is q70's VALUE-GRAIN rank: never sort the corpus
+    * inside |flags| partitions (the r14 plan did exactly that — 4
+    * corpus-grain Sort+Window pairs pinned to 3 hot partitions).
+    * Quantity has ≤50 integral values; extendedprice at cents grain
+    * is bounded by distinct prices (≈ |parts|·50 ≪ rows at TPC-H
+    * scale — price = qty·partprice, so the joint (flag,qty,price)
+    * cell frame is ~|distinct prices|, corpus/600 at sf≥1). The
+    * tie-averaged rank of value v is cum_before(v) + (t_v + 1)/2,
+    * computed with marginal windows OVER the reduced cell frame
+    * (exact-offset RANGE frames, the c36 idiom; re-aggregating per
+    * axis would re-scan the corpus per marginal — the c49 trap).
+    * Frequency-weighted moments Σ cnt·r2x·r2y ≤ 4n³ stay inside
+    * DECIMAL(38) to n ≈ 2.9e12 rows — the 100 TB corpus fits.
+    *
+    * Shape: ONE scan → (flag, qty, price) map-side reduce → marginal
+    * tie/cum windows over the SAME cell lineage → |flags|-row
+    * aggregate. No corpus-grain window anywhere. */
   def q95SpearmanOf(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def d38(c: Column): Column = c.cast(DecimalType(38, 0))
-    val base = lineitem.select(col("l_returnflag").as("flag"),
-      col("l_quantity").cast("double").as("xv"),
-      Cols.dec2(col("l_extendedprice")).as("yv"))
-    val ranked = base
-      .withColumn("x", d38(lit(2) * rank().over(
-          Window.partitionBy(col("flag")).orderBy(col("xv"))) +
-        count(lit(1)).over(Window.partitionBy(col("flag"), col("xv"))) - 1))
-      .withColumn("y", d38(lit(2) * rank().over(
-          Window.partitionBy(col("flag")).orderBy(col("yv"))) +
-        count(lit(1)).over(Window.partitionBy(col("flag"), col("yv"))) - 1))
-    ranked.groupBy(col("flag"))
-      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+    // integral axes: quantity is whole units (exact bigint); price is
+    // exact at cents (dec2 rounds to the same 2-dp grain the r14
+    // row-grain version tie-grouped on, so ranks are bit-identical)
+    val cells = lineitem
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("bigint").as("qx"),
+        (Cols.dec2(col("l_extendedprice")) * 100).cast("bigint").as("py"))
+      .groupBy(col("flag"), col("qx"), col("py"))
+      .agg(count(lit(1)).as("cnt"))
+    def r2(valCol: String): Column = {
+      val t = sum(col("cnt")).over(Window.partitionBy(col("flag"), col(valCol)))
+      val cumBefore = coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("flag")).orderBy(col(valCol))
+          .rangeBetween(Window.unboundedPreceding, -1)), lit(0L))
+      lit(2) * cumBefore + t + 1
+    }
+    cells
+      .withColumn("x", d38(r2("qx")))
+      .withColumn("y", d38(r2("py")))
+      .select(col("flag"), d38(col("cnt")).as("c"), col("x"), col("y"))
+      .groupBy(col("flag"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * col("x")).as("sx"),
+        sum(col("c") * col("y")).as("sy"),
+        sum(col("c") * col("x") * col("x")).as("sxx"),
+        sum(col("c") * col("y") * col("y")).as("syy"),
+        sum(col("c") * col("x") * col("y")).as("sxy"))
       .select(col("flag").as("l_returnflag"),
         col("n").cast("bigint").as("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
