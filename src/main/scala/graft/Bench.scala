@@ -122,7 +122,8 @@ object Bench {
     }
     val load1 = loadavg()
     System.err.println(s"[bench] loadavg at end: $load1")
-    def fmt(d: Double, dec: Int): String = if (d < 0) "-1.0" else s"%.${dec}f".format(d)
+    def fmt(d: Double, dec: Int): String = if (d < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
     def jmapOf(ns: Seq[String], m: Map[String, Double], dec: Int): String =
       ns.map(n => "\"" + n + "\":" + fmt(m(n), dec)).mkString("{", ",", "}")
     def jmap(m: Map[String, Double], dec: Int = 3): String = jmapOf(names, m, dec)

@@ -75,11 +75,16 @@ object BenchDsv2 {
     val nFil = best(reps)(filt(spark.read.parquet(dataDir)))
     fmt.erase(spark, dir, col("l_orderkey") % 997 === 0, "e1")
     val gMor = best(reps)(agg(spark.read.format("graft").load(dir)))
-    println(f"""{"graft_full_sec":$gCol%.3f,"native_full_sec":$nCol%.3f,""" +
-      f""""columnar_ratio":${gCol / nCol}%.3f,""" +
-      f""""graft_filtered_sec":$gFil%.3f,"native_filtered_sec":$nFil%.3f,""" +
-      f""""filtered_ratio":${gFil / nFil}%.3f,""" +
-      f""""graft_mor_sec":$gMor%.3f,"mor_row_ratio":${gMor / nCol}%.3f,""" +
+    // explicit ROOT locale: an f-interpolator under a comma-decimal
+    // default locale would emit invalid JSON and break downstream
+    // json.loads consumers
+    def j(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(s"""{"graft_full_sec":${j(gCol)},"native_full_sec":${j(nCol)},""" +
+      s""""columnar_ratio":${j(gCol / nCol)},""" +
+      s""""graft_filtered_sec":${j(gFil)},"native_filtered_sec":${j(nFil)},""" +
+      s""""filtered_ratio":${j(gFil / nFil)},""" +
+      s""""graft_mor_sec":${j(gMor)},"mor_row_ratio":${j(gMor / nCol)},""" +
       s""""reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -346,8 +346,12 @@ private[sources] class GraftFeedStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)))
+    new GraftReaderFactory(required,
+      columnarSchemaOk = org.apache.spark.sql.execution.datasources.parquet
+        .ParquetUtils.isBatchReadSupportedForSchema(
+          spark.sessionState.conf, required),
+      spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)))
 
   /** Batch durably processed: its staged transitions are dead. */
   override def commit(end: Offset): Unit = {
@@ -553,8 +557,11 @@ class GraftScan(path: String, tableSchema: StructType,
           bloomEq(c) = v
         case Some(d: DecimalType) =>
           // a literal that does not fit the scale gives ceil > floor:
-          // an EMPTY range, correctly pruning every file (no row can
-          // equal it — the residual filter agrees)
+          // an INVERTED range — unsatisfiable, so the lo>hi
+          // short-circuit below prunes the whole scan to zero files
+          // (the stats keep-predicate alone would still keep files
+          // straddling the gap; the residual filter covers those, but
+          // the explicit empty set skips the IO too)
           decimalUnscaled(v, d.scale).foreach { case (fl, ce) =>
             tightenLong(c, ce, fl)
           }
@@ -611,6 +618,12 @@ class GraftScan(path: String, tableSchema: StructType,
       case _ => ()
     }
     val lb = longBounds.toMap
+    // an inverted accumulated range (lo > hi — contradictory pushed
+    // conjuncts, or a decimal equality literal finer than the column's
+    // scale) proves NO row anywhere can match: the kept set is
+    // explicitly empty, including stats-less files the keep-predicate
+    // would have to retain
+    if (lb.exists { case (_, (lo, hi)) => lo > hi }) return Seq.empty
     val sb = strBounds.toMap.collect {
       case (c, (lo, hi)) if lo.isDefined || hi.isDefined => c -> (lo, hi)
     }
@@ -677,8 +690,16 @@ class GraftScan(path: String, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)))
+    new GraftReaderFactory(required,
+      // gate columnar on Spark's OWN schema-support check (the
+      // FileSourceScanExec posture): a type the vectorized reader
+      // refuses must plan the ROW path up front — a columnar reader
+      // cannot degrade per-partition once Spark has picked batches
+      columnarSchemaOk = org.apache.spark.sql.execution.datasources.parquet
+        .ParquetUtils.isBatchReadSupportedForSchema(
+          spark.sessionState.conf, required),
+      spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)))
 }
 
 private[sources] case class GraftInputPartition(filePath: String, fileKey: String,
@@ -691,6 +712,7 @@ private[sources] case class GraftInputPartition(filePath: String, fileKey: Strin
   * XML per task (and re-parsing it per task) was a measured fixed tax
   * on small-file scans; the broadcast deserializes once per executor. */
 private[sources] class GraftReaderFactory(required: StructType,
+                                          columnarSchemaOk: Boolean,
                                           conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
 
@@ -706,7 +728,7 @@ private[sources] class GraftReaderFactory(required: StructType,
     * Group loop survives only as the init-failure fallback. */
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    p.columnarOk && required.nonEmpty
+    p.columnarOk && required.nonEmpty && columnarSchemaOk
   }
 
   override def createColumnarReader(partition: InputPartition)
@@ -821,6 +843,9 @@ private[sources] class GraftCountReplayReader(part: GraftInputPartition,
   private def isDeleted(pos: Long): Boolean =
     deleted.length > 0 && java.util.Arrays.binarySearch(deleted, pos) >= 0
   private val fileRowCount: Long = {
+    // counted like every other footer read in the codebase so the
+    // footer-open budget sees the COUNT(*)/empty-projection path too
+    ParquetFooters.opens.incrementAndGet()
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(part.filePath), conf))
     try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
@@ -896,11 +921,13 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     deleted.length > 0 && java.util.Arrays.binarySearch(deleted, pos) >= 0
 
   private val fileSchema: MessageType = {
+    ParquetFooters.opens.incrementAndGet()
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(part.filePath), conf))
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
   private val fileRowCount: Long = {
+    ParquetFooters.opens.incrementAndGet()
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(part.filePath), conf))
     try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()

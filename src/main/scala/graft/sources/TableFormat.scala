@@ -305,17 +305,28 @@ object CommitLogTableFormat extends TableFormat {
   // `_stats` sidecars as a fresh Spark job. Per-query planning cost
   // must be O(driver metadata), not O(jobs): at 100 TB the jobs are
   // noise, but on the interactive path they dominate small scans. The
-  // key carries the log entry's COMMIT-INSTANT mtime so a table that
-  // is deleted and recreated at the same path+version (the test-
-  // fixture pattern) can never serve stale metadata.
-  private case class SnapCacheKey(root: String, version: Long, stamp: Long)
+  // key carries the log entry's COMMIT-INSTANT mtime AND length plus a
+  // hash of the snapshot's physical layout, so a table that is deleted
+  // and recreated at the same path+version (the test-fixture pattern)
+  // can never serve stale metadata: mtime alone is coarse on 1-second
+  // granularity stores, but a recreate mints fresh random dir tokens
+  // (`data-v<N>-<token>`), so the layout hash separates incarnations
+  // even inside one mtime tick. A failed stat returns NO key — callers
+  // bypass the cache — because a shared -1 sentinel would let two
+  // unrelated incarnations collide on one cache slot.
+  private case class SnapCacheKey(root: String, version: Long, stamp: Long,
+                                  len: Long, layout: Int)
 
-  private def snapCacheKey(fs: FileSystem, snapshot: LakeSnapshot): SnapCacheKey = {
+  private def snapCacheKey(fs: FileSystem,
+                           snapshot: LakeSnapshot): Option[SnapCacheKey] = {
     val entry = new Path(new Path(snapshot.root, LogDirName), snapshot.version.toString)
-    val stamp =
-      try fs.getFileStatus(entry).getModificationTime
-      catch { case _: java.io.IOException => -1L }
-    SnapCacheKey(snapshot.root, snapshot.version, stamp)
+    try {
+      val st = fs.getFileStatus(entry)
+      val layout = scala.util.hashing.MurmurHash3.orderedHash(
+        snapshot.dataDirNames :+ snapshot.dvName.getOrElse(""))
+      Some(SnapCacheKey(snapshot.root, snapshot.version,
+        st.getModificationTime, st.getLen, layout))
+    } catch { case _: java.io.IOException => None }
   }
 
   private val schemaCache =
@@ -323,21 +334,32 @@ object CommitLogTableFormat extends TableFormat {
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[SnapCacheKey, Map[String, ParquetFooters.FileColStats]]
 
+  /** Serve `compute` through `cache` under `key`, or compute UNCACHED
+    * when the key is absent (the stat-failed bypass — correctness
+    * over speed). Crude size bound: clear-all past `max`. */
+  private def cachedBy[V](cache: java.util.concurrent.ConcurrentHashMap[SnapCacheKey, V],
+                          key: Option[SnapCacheKey], max: Int)(compute: => V): V =
+    key match {
+      case None => compute
+      case Some(k) =>
+        val hit = cache.get(k)
+        if (hit != null) hit
+        else {
+          val v = compute
+          if (cache.size > max) cache.clear()
+          cache.put(k, v)
+          v
+        }
+    }
+
   /** The snapshot's mergeSchema union schema, computed once per
     * committed version (then a driver map hit). */
   def snapshotSchema(spark: SparkSession,
-                     snapshot: LakeSnapshot): org.apache.spark.sql.types.StructType = {
-    val k = snapCacheKey(fsOf(spark, snapshot.root), snapshot)
-    val hit = schemaCache.get(k)
-    if (hit != null) hit
-    else {
-      val s = spark.read.option("mergeSchema", "true")
+                     snapshot: LakeSnapshot): org.apache.spark.sql.types.StructType =
+    cachedBy(schemaCache, snapCacheKey(fsOf(spark, snapshot.root), snapshot), 256) {
+      spark.read.option("mergeSchema", "true")
         .parquet(snapshot.dataDirPaths: _*).schema
-      if (schemaCache.size > 256) schemaCache.clear()
-      schemaCache.put(k, s)
-      s
     }
-  }
 
   /** Zone-map prune of an EXPLICIT file list (the DSv2 planning hook):
     * the files whose integer footer stats admit `column` ∈ [lo, hi].
@@ -1423,16 +1445,10 @@ object CommitLogTableFormat extends TableFormat {
   private def snapshotFilesCached(spark: SparkSession,
                                   snapshot: LakeSnapshot): Seq[String] = {
     val fs = fsOf(spark, snapshot.root)
-    val k = snapCacheKey(fs, snapshot)
-    val hit = filesCache.get(k)
-    if (hit != null) hit
-    else {
+    cachedBy(filesCache, snapCacheKey(fs, snapshot), 256) {
       val root = new Path(snapshot.root)
-      val files = snapshot.dataDirNames.flatMap(n =>
+      snapshot.dataDirNames.flatMap(n =>
         ParquetFooters.dataFiles(fs, new Path(root, n)))
-      if (filesCache.size > 256) filesCache.clear()
-      filesCache.put(k, files)
-      files
     }
   }
 
@@ -1452,16 +1468,10 @@ object CommitLogTableFormat extends TableFormat {
       case None => Set.empty
       case Some(_) =>
         val fs = fsOf(spark, snapshot.root)
-        val k = snapCacheKey(fs, snapshot)
-        val hit = dvFilesCache.get(k)
-        if (hit != null) hit
-        else {
+        cachedBy(dvFilesCache, snapCacheKey(fs, snapshot), 256) {
           import spark.implicits._
-          val files = spark.read.parquet(snapshot.dvPath.get)
+          spark.read.parquet(snapshot.dvPath.get)
             .select("file").distinct().as[String].collect().toSet
-          if (dvFilesCache.size > 256) dvFilesCache.clear()
-          dvFilesCache.put(k, files)
-          files
         }
     }
 
@@ -1475,9 +1485,7 @@ object CommitLogTableFormat extends TableFormat {
       snapshot: LakeSnapshot): Map[String, ParquetFooters.FileColStats] = {
     import org.apache.spark.sql.functions.expr
     val fs = fsOf(spark, snapshot.root)
-    val k = snapCacheKey(fs, snapshot)
-    val hit = statsCache.get(k)
-    if (hit != null) return hit
+    cachedBy(statsCache, snapCacheKey(fs, snapshot), 64) {
     val root = new Path(snapshot.root)
     val (withSidecar, without) = snapshot.dataDirNames.partition(n =>
       fs.exists(new Path(new Path(root, n), StatsSidecarName)))
@@ -1521,10 +1529,8 @@ object CommitLogTableFormat extends TableFormat {
             ParquetFooters.fileColStats(new Path(p), bconf.value.value)))
           .collect().toMap
       }
-    val all = persisted ++ live
-    if (statsCache.size > 64) statsCache.clear()
-    statsCache.put(k, all)
-    all
+    persisted ++ live
+    }
   }
 
   /** Stats-driven prune over a resolved snapshot: evaluate `keep`
