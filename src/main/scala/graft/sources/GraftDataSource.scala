@@ -391,6 +391,14 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType,
 
 private[sources] object GraftScan {
 
+  /** Largest IN list the Bloom arm probes per column: each value is
+    * one hash test per file's bloom (cheap), but the list also rides
+    * the plan and the probe pass deserializes every file's bloom once
+    * — past this, the [min,max] zone-map fold alone is the better
+    * trade (a 1000-key runtime IN from a join is a RANGE problem, not
+    * a point-probe one). */
+  val BloomInMaxValues = 64
+
   /** Long-comparable pushdown value: integral numbers, dates (days
     * since epoch — exactly parquet's DATE physical value), and
     * timestamps (micros since epoch — exactly Spark's INT64
@@ -483,7 +491,9 @@ private[sources] object GraftScan {
 class GraftScan(path: String, tableSchema: StructType,
                 required: StructType, pushed: Array[Filter],
                 asOfVersion: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // driver-only planning state; resolve the log EXACTLY ONCE per scan
   // (time travel pins the version instead — same single resolution).
@@ -503,12 +513,71 @@ class GraftScan(path: String, tableSchema: StructType,
     * skip-effectiveness probe. */
   @volatile var plannedFiles: Option[(Int, Int)] = None
 
+  /** RUNTIME file skipping (the DSv2 analog of dynamic partition
+    * pruning): Spark may inject an IN-subquery of the other join
+    * side's keys at execution; [[filter]] stores it and the re-planned
+    * partition list re-prunes files through the SAME zone-map/bloom
+    * machinery the static path uses — a fact scan joined to a filtered
+    * dim then reads strictly fewer files than the static plan kept.
+    * Every READ column is filterable (any column may carry zone maps;
+    * an unindexed one degrades to keep-everything, never wrong) —
+    * read columns only, because Spark resolves these against the
+    * column-pruned scan output. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val planned = plannedFiles.map { case (k, t) => s", files $k/$t" }.getOrElse("")
     s"GraftScan ${path} v${snapshot.map(_.version).getOrElse(0L)}$planned, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
+  }
+
+  /** Post-prune statistics from the snapshot metadata cache — ZERO
+    * extra IO beyond what planning already pays (file list, sizes,
+    * and `_stats` are all per-version driver caches). Without this
+    * Spark assigns the DEFAULT relation size to every graft relation,
+    * so a 1 MB lake dim joined to a fact never auto-broadcasts and
+    * every graft⋈graft join sort-merges regardless of size — the
+    * wrong plan family at 100×. sizeInBytes is the kept files' disk
+    * bytes × `spark.sql.sources.fileCompressionFactor` (the FileScan
+    * convention); numRows is the stats row sum, reported only when
+    * EVERY kept file has a stats entry and no DV hides rows (a wrong
+    * row count misleads the CBO; an absent one just falls back). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    def stat(bytes: OptionalLong, rows: OptionalLong) =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): OptionalLong = bytes
+        override def numRows(): OptionalLong = rows
+      }
+    snapshot match {
+      case None => stat(OptionalLong.of(0L), OptionalLong.of(0L))
+      case Some(snap) =>
+        val all = CommitLogTableFormat.snapshotDataFiles(spark, snap)
+        val kept = pruneFiles(snap, all)
+        val sizes = CommitLogTableFormat.snapshotFileSizes(spark, snap)
+        val factor = spark.sessionState.conf.fileCompressionFactor
+        val bytes = kept.iterator.map(f => sizes.getOrElse(f, 0L)).sum
+        val rows: Option[Long] =
+          if (snap.dvName.isDefined) None
+          else {
+            val stats = CommitLogTableFormat.snapshotFileStats(spark, snap)
+            val per = kept.map(f => stats.get(GraftReaders.fileKey(f)).flatMap(s =>
+              (s.longs.values.map(_._4) ++ s.strs.values.map(_._4)).headOption))
+            if (per.forall(_.isDefined)) Some(per.iterator.flatten.sum) else None
+          }
+        stat(OptionalLong.of(math.max(1L, (bytes * factor).toLong)),
+          rows.map(OptionalLong.of).getOrElse(OptionalLong.empty()))
+    }
   }
 
   private def saturatingInc(v: Long): Long = if (v == Long.MaxValue) v else v + 1L
@@ -538,6 +607,7 @@ class GraftScan(path: String, tableSchema: StructType,
     // … not-null columns, and bloom equality probes.
     val notNull = collection.mutable.Set.empty[String]
     val bloomEq = collection.mutable.Map.empty[String, Any]
+    val bloomIn = collection.mutable.Map.empty[String, Seq[Any]]
     // every arm dispatches on the COLUMN's type first (the prunable
     // acceptance discipline); decimals fold as UNSCALED longs — the
     // exact domain the INT32/INT64 footer stats (and `_stats`
@@ -547,7 +617,7 @@ class GraftScan(path: String, tableSchema: StructType,
       case s: String => Some(s)
       case _ => None
     }
-    pushed.foreach {
+    (pushed ++ runtimeFilters).foreach {
       case EqualTo(c, v) => dtOf(c) match {
         case Some(dt) if isLongish(dt) && longValue(v).isDefined =>
           val lv = longValue(v).get
@@ -602,17 +672,31 @@ class GraftScan(path: String, tableSchema: StructType,
           longValue(v).foreach(lv => tightenLong(c, Long.MinValue, lv))
       }
       case In(c, vs) => dtOf(c) match {
-        case Some(StringType) =>
-          val ss = vs.flatMap(strOf)
-          if (ss.nonEmpty && ss.length == vs.length)
-            tightenStr(c, Some(ss.min), Some(ss.max))
-        case Some(d: DecimalType) =>
-          val bs = vs.flatMap(decimalUnscaled(_, d.scale))
-          if (bs.nonEmpty && bs.length == vs.length)
-            tightenLong(c, bs.map(_._2).min, bs.map(_._1).max)
-        case _ =>
-          val ls = vs.flatMap(longValue(_))
-          if (ls.nonEmpty && ls.length == vs.length) tightenLong(c, ls.min, ls.max)
+        case Some(dt) =>
+          dt match {
+            case StringType =>
+              val ss = vs.flatMap(strOf)
+              if (ss.nonEmpty && ss.length == vs.length)
+                tightenStr(c, Some(ss.min), Some(ss.max))
+            case d: DecimalType =>
+              val bs = vs.flatMap(decimalUnscaled(_, d.scale))
+              if (bs.nonEmpty && bs.length == vs.length)
+                tightenLong(c, bs.map(_._2).min, bs.map(_._1).max)
+            case _ =>
+              val ls = vs.flatMap(longValue(_))
+              if (ls.nonEmpty && ls.length == vs.length)
+                tightenLong(c, ls.min, ls.max)
+          }
+          // point probes through the Bloom index: a hash-clustered
+          // column answers each IN key individually where the [min,
+          // max] fold above admits everything the range spans. NULL
+          // probe values drop (IN(...,NULL) matches no row by
+          // three-valued logic); past the cap the probe pass over the
+          // index stops paying for itself — zone map only.
+          val nonNull = vs.filterNot(_ == null).toSeq
+          if (nonNull.length <= GraftScan.BloomInMaxValues)
+            bloomIn(c) = nonNull
+        case None => ()
       }
       case IsNotNull(c) => notNull += c
       case _ => ()
@@ -649,12 +733,27 @@ class GraftScan(path: String, tableSchema: StructType,
         }
       })._1
     // bloom: intersect the admitted file-key sets of every pinned index
-    bloomEq.foldLeft(footerKept) { case (kept, (c, v)) =>
+    val afterEq = bloomEq.foldLeft(footerKept) { case (kept, (c, v)) =>
       val keyType = tableSchema.fields.find(_.name == c).map(_.dataType)
       keyType.flatMap(kt =>
         CommitLogTableFormat.bloomAdmittedKeys(spark, snap, c, v, kt)) match {
         case None => kept // no index pinned to this version: no skip
         case Some(keys) => kept.filter(p => keys.contains(GraftReaders.fileKey(p)))
+      }
+    }
+    // … and the IN probes: each is a UNION of per-value admissions
+    // (one pass over the index), intersected with the kept set like
+    // any other conjunct. An empty IN list (all-NULL values) is
+    // unsatisfiable: every file skips.
+    bloomIn.foldLeft(afterEq) { case (kept, (c, vs)) =>
+      if (vs.isEmpty) Seq.empty
+      else {
+        val keyType = tableSchema.fields.find(_.name == c).map(_.dataType)
+        keyType.flatMap(kt =>
+          CommitLogTableFormat.bloomAdmittedKeysIn(spark, snap, c, vs, kt)) match {
+          case None => kept
+          case Some(keys) => kept.filter(p => keys.contains(GraftReaders.fileKey(p)))
+        }
       }
     }
   }

@@ -433,6 +433,35 @@ object CommitLogTableFormat extends TableFormat {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** [[bloomAdmittedKeys]] for an IN list — ONE pass over the index
+    * sidecar (each file's bloom deserialized once, probed with every
+    * value), a file admitted when its bloom might contain ANY of the
+    * probed values: IN is a disjunction, so skipping a file requires
+    * every value individually refuted. Same TOCTOU degradation
+    * contract: None = no skip. */
+  def bloomAdmittedKeysIn(spark: SparkSession, snapshot: LakeSnapshot,
+                          column: String, values: Seq[Any],
+                          keyType: org.apache.spark.sql.types.DataType): Option[Set[String]] = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, snapshot.root)
+    val idx = new Path(new Path(snapshot.root, "_index"),
+      s"bloom-v${snapshot.version}-$column")
+    if (!fs.exists(idx) || values.isEmpty) None
+    else
+      try {
+        import spark.implicits._
+        val hashes = values.map(probeHash(_, keyType)).toArray
+        Some(spark.read.parquet(idx.toString)
+          .select(col("file"), col("bloom")).as[(String, Array[Byte])]
+          .filter { t =>
+            val bloom = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(t._2))
+            hashes.exists(bloom.mightContainLong)
+          }
+          .map(_._1).collect().toSet)
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Write a deletion-vector frame as its sidecar: CLUSTERED by file
     * key and sorted by position, in as few parts as the row count
     * needs. Every reader task opens the sidecar and filters to its OWN
@@ -1434,6 +1463,7 @@ object CommitLogTableFormat extends TableFormat {
     statsCache.clear()
     filesCache.clear()
     dvFilesCache.clear()
+    sizesCache.clear()
   }
 
   private val filesCache =
@@ -1449,6 +1479,28 @@ object CommitLogTableFormat extends TableFormat {
       val root = new Path(snapshot.root)
       snapshot.dataDirNames.flatMap(n =>
         ParquetFooters.dataFiles(fs, new Path(root, n)))
+    }
+  }
+
+  private val sizesCache =
+    new java.util.concurrent.ConcurrentHashMap[SnapCacheKey, Map[String, Long]]
+
+  /** Per-file on-disk byte sizes of the snapshot (full path → bytes),
+    * listed once per committed version — the raw material for DSv2
+    * statistics reporting ([[GraftScan]]'s SupportsReportStatistics):
+    * without a size report Spark assigns the default relation size and
+    * a 1 MB lake dim joined to a fact NEVER auto-broadcasts. Same
+    * LIST the file cache pays; sizes ride the same FileStatus. */
+  private[sources] def snapshotFileSizes(spark: SparkSession,
+                                         snapshot: LakeSnapshot): Map[String, Long] = {
+    val fs = fsOf(spark, snapshot.root)
+    cachedBy(sizesCache, snapCacheKey(fs, snapshot), 256) {
+      val root = new Path(snapshot.root)
+      snapshot.dataDirNames.flatMap { n =>
+        val listed = fs.globStatus(new Path(new Path(root, n), "*.parquet"))
+        if (listed == null) Seq.empty[(String, Long)]
+        else listed.toSeq.map(st => st.getPath.toString -> st.getLen)
+      }.toMap
     }
   }
 

@@ -496,6 +496,126 @@ class SourcesStreamingSpec extends GraftSpec {
       "every prune above must be served from the persisted _stats sidecars")
   }
 
+  test("graft DSv2 statistics: cached metadata sizes make a small lake dim auto-broadcast") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val base = Files.createTempDirectory("graft_dsv2stats").toString
+    val dimDir = s"$base/dim"; val factDir = s"$base/fact"
+    fmt.commit(spark, dimDir,
+      (1L to 100L).map(i => (i, s"name$i")).toDF("k", "nm").coalesce(1), "c1")
+    fmt.commit(spark, factDir,
+      (1L to 20000L).map(i => (i, i % 100 + 1)).toDF("id", "k")
+        .repartitionByRange(4, $"k").sortWithinPartitions($"k"), "c1")
+    val dim = spark.read.format("graft").load(dimDir)
+    val fact = spark.read.format("graft").load(factDir)
+    // the relation's optimizer stats come from the scan's report, not
+    // spark.sql.defaultSizeInBytes (the never-broadcast Long.Max)
+    val dimStats = dim.queryExecution.optimizedPlan.stats
+    assert(dimStats.sizeInBytes > 0 && dimStats.sizeInBytes < 1000000L,
+      s"reported dim size: ${dimStats.sizeInBytes}")
+    assert(dimStats.rowCount.contains(BigInt(100)),
+      s"reported dim rowCount: ${dimStats.rowCount}")
+    // static planning (AQE off) picks the broadcast join purely from
+    // the reported size — the 100× graft⋈graft join-plan consequence
+    val conf = spark.conf
+    val saved = util.Try(conf.get("spark.sql.adaptive.enabled")).toOption
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val j = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(length($"nm")).as("s"))
+      assert(j.head().getLong(0) == 20000L)
+      val bhj = j.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"expected BroadcastHashJoin from reported stats:\n" +
+          j.queryExecution.executedPlan.toString.take(1500))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(v =>
+      conf.set("spark.sql.adaptive.enabled", v))
+    // a pushed range shrinks the REPORTED bytes too (post-prune stats)
+    val full = fact.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = fact.filter($"k" <= 25L)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < full, s"pruned $pruned !< full $full")
+    // DV snapshots withhold numRows (the stats row sum counts rows the
+    // vector deletes) but still report bytes
+    fmt.erase(spark, dimDir, $"k" % 10 === 0, "e1")
+    val st = spark.read.format("graft").load(dimDir)
+      .queryExecution.optimizedPlan.stats
+    assert(st.rowCount.isEmpty, s"DV rowCount must be absent: ${st.rowCount}")
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < 1000000L)
+  }
+
+  test("graft DSv2 in-list bloom probes: a small IN admits fewer files than its zone-map span") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_dsv2in").toString + "/t"
+    // hash-clustered: every file's [min,max] spans nearly the whole key
+    // domain, so the IN's range fold admits all 4 files — only the
+    // per-file blooms can refute individual keys
+    fmt.commit(spark, dir, (1L to 200L).map(i => (i, i * 3L)).toDF("k", "w")
+      .repartition(4, $"k"), "c1")
+    fmt.buildBloomIndex(spark, dir, "k")
+    def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.GraftScan = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head.asInstanceOf[graft.sources.GraftScan]
+    }
+    val lake = spark.read.format("graft").load(dir)
+    assert(lake.filter($"k".isin(42L, 87L, 131L)).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(42L, 87L, 131L))
+    val sc = scanOf(lake.filter($"k".isin(42L, 87L, 131L)))
+    assert(sc.plannedFiles.exists { case (kept, total) => total == 4 && kept < 4 },
+      s"in-list bloom skip: ${sc.plannedFiles}")
+    // past the probe cap: zone map only, still correct
+    val many = (1L to 100L).map(java.lang.Long.valueOf)
+    assert(lake.filter($"k".isin(many: _*)).count() == 100L)
+    // NULL in the list never admits extra rows (three-valued IN)
+    assert(lake.filter($"k".isin(42L, 87L) || $"k".isNull).count() == 2L)
+  }
+
+  test("graft DSv2 runtime filtering: join keys re-prune lake files at execution") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val base = Files.createTempDirectory("graft_dsv2rf").toString
+    val factDir = s"$base/fact"; val dimDir = s"$base/dim"
+    // fact: 4 range-clustered files over k ∈ [1, 2000], 10 rows per key
+    fmt.commit(spark, factDir,
+      (1L to 20000L).map(i => (i % 2000L + 1L, i)).toDF("k", "id")
+        .repartitionByRange(4, $"k").sortWithinPartitions($"k"), "c1")
+    // dim: one row per key; the selective filter keeps k <= 400 only
+    fmt.commit(spark, dimDir,
+      (1L to 2000L).map(i => (i, if (i <= 400) "hot" else "cold"))
+        .toDF("k", "cat").coalesce(1), "c1")
+    val fact = spark.read.format("graft").load(factDir)
+    val dim = spark.read.format("graft").load(dimDir)
+    // AQE off so the executed plan exposes the scans directly (the
+    // adaptive wrapper hides stage subtrees from collect); static DPP
+    // still fires because the dim's REPORTED stats broadcast it
+    val conf = spark.conf
+    val saved = util.Try(conf.get("spark.sql.adaptive.enabled")).toOption
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val j = fact.join(dim.filter($"cat" === "hot"), "k")
+      // execute THIS QueryExecution (count() would plan and run its
+      // own copy, leaving j's scans statically planned only)
+      assert(j.collect().length === 4000) // 400 hot keys × 10 fact rows
+      // the fact scan carried NO static filter — total 4 files — yet
+      // the runtime IN of the dim's surviving keys re-pruned it to the
+      // files whose zone maps overlap k <= 400
+      val factScan = j.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.asInstanceOf[graft.sources.GraftScan]
+            .description().contains("fact") => b.scan
+      }.head.asInstanceOf[graft.sources.GraftScan]
+      assert(factScan.plannedFiles.exists { case (kept, total) =>
+        total == 4 && kept < 4
+      }, s"runtime re-prune: ${factScan.plannedFiles}")
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(v =>
+      conf.set("spark.sql.adaptive.enabled", v))
+  }
+
   test("graft DSv2 vectorized scan: columnar DV-free reads, row-path MoR, nested types through SQL") {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
