@@ -3083,7 +3083,59 @@ object Etl {
       |WHERE o_orderkey <= 500
       |ORDER BY o_orderkey""".stripMargin
 
+  def a58SqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val wh = lakeDir(dir, "a58wh")
+    // version numbers are part of the answer (VERSION AS OF 1), so
+    // re-runs must start from a fresh managed table — DROP removes the
+    // managed dir (log, data, _schema, _constraints) wholesale
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.a58t")
+    spark.sql(
+      """CREATE TABLE graft_cat.lake.a58t (o_orderkey BIGINT, o_custkey BIGINT)
+        |USING graft
+        |TBLPROPERTIES ('check.key_nonneg' = 'o_orderkey >= 0')""".stripMargin)
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .createOrReplaceTempView("a58_orders")
+    // two pure-SQL INSERTs → two checked, atomic versions; the CHECK
+    // constraint validated both staged dirs before publish
+    spark.sql(
+      """INSERT INTO graft_cat.lake.a58t
+        |SELECT o_orderkey, o_custkey FROM a58_orders
+        |WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_cat.lake.a58t
+        |SELECT o_orderkey, o_custkey FROM a58_orders
+        |WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT cur.o_orderkey, cur.o_custkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 0 ELSE 1 END AS in_v1
+        |FROM graft_cat.lake.a58t cur
+        |LEFT JOIN graft_cat.lake.a58t VERSION AS OF 1 v1
+        |  ON cur.o_orderkey = v1.o_orderkey
+        |WHERE cur.o_orderkey <= 500
+        |ORDER BY cur.o_orderkey""".stripMargin)
+  }
+
+  /** a58's SQL scaladoc twin lives on [[a58SqlInsert]]; the oracle
+    * predicts the read-back from the raw orders parquet alone, so a
+    * pass proves the WHOLE SQL write chain: catalog DDL with a CHECK
+    * TBLPROPERTY, two `INSERT INTO … SELECT` statements staged and
+    * published through the checked append (OCC + constraint gate +
+    * stats sidecars), and version-pinned time travel seeing exactly
+    * the first insert. Reference: citydata-etl loads its curated
+    * tables through SQL INSERTs in its warehouse step. */
+  val a58Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS in_v1
+      |FROM orders
+      |WHERE o_orderkey <= 500
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a58_sql_insert" -> (a58SqlInsert _),
     "a57_catalog_sql" -> (a57CatalogSql _),
     "a56_decimal_pruned_read" -> (a56DecimalPrunedRead _),
     "a55_change_feed_stream" -> (a55ChangeFeedStream _),
@@ -3143,6 +3195,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a58_sql_insert" -> a58Sql,
     "a57_catalog_sql" -> a57Sql,
     "a56_decimal_pruned_read" -> a56Sql,
     "a55_change_feed_stream" -> a55Sql,

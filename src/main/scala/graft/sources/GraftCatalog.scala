@@ -41,12 +41,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    ([[CommitLogTableFormat.snapshotSchema]]'s mergeSchema union —
   *    cached per version, so DESCRIBE/SELECT pay no footer job).
   *
-  * READ-ONLY like the DSv2 relation it serves: `INSERT INTO` is
-  * refused by Spark (the table advertises no write capability) —
-  * writes ride the commit protocol's Scala API, whose OCC/CHECK/
-  * idempotence guarantees a SQL write path would silently bypass.
-  * `ALTER TABLE` is refused for the same reason: schema is owned by
-  * the commit log (append-time evolution), not by DDL. */
+  * WRITABLE through the commit protocol: `INSERT INTO graft.db.t
+  * SELECT …` (and `INSERT OVERWRITE`) ride [[GraftWriteBuilder]] —
+  * the same staged-dir append/commit the Scala API uses, so OCC,
+  * CHECK constraints, stats sidecars, and bloom advancement all hold
+  * from pure SQL. CHECK constraints declare at CREATE time as
+  * `TBLPROPERTIES ('check.<name>' = '<predicate>')`, persisted in the
+  * table's `_constraints.json` sidecar and enforced on every insert.
+  * `ALTER TABLE` stays refused: schema is owned by the commit log
+  * (append-time evolution), not by DDL. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -244,6 +247,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(schemaSidecar(root), false)
       Swap.renameOrThrow(fs, tmp, schemaSidecar(root))
     }
+    // TBLPROPERTIES ('check.<name>' = '<SQL predicate>') → persisted
+    // table CHECK constraints, enforced by the SQL write path on
+    // every INSERT (the Delta `delta.constraints.*` posture)
+    val checks = properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith("check.") && k.length > 6 =>
+        k.stripPrefix("check.") -> v
+    }
+    if (checks.nonEmpty)
+      CommitLogTableFormat.declareConstraints(spark, root, checks.sortBy(_._1))
     load(ident, None)
   }
 

@@ -58,10 +58,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    chunks; an empty/disjoint projection degrades to footer
   *    row-count replay (COUNT(*) never touches a data page).
   *
-  * READ-ONLY by design: writes must go through the format's commit
-  * protocol (optimistic concurrency, CHECK constraints, idempotent
-  * append tokens) — a DSv2 write path that bypassed those would
-  * silently drop the guarantees, so it does not exist.
+  * WRITES go THROUGH the format's commit protocol, never around it:
+  * `INSERT INTO` / `df.write.format("graft")` stage a new data dir and
+  * publish it via the same append/commit path the Scala API uses —
+  * optimistic concurrency (a concurrent commit loses cleanly with
+  * [[ConcurrentCommitException]]), table CHECK constraints (the
+  * `_constraints.json` sidecar rejects the WHOLE insert with no
+  * version residue), stats sidecars, and bloom-index advancement all
+  * hold by construction ([[GraftWriteBuilder]]). `INSERT OVERWRITE`
+  * maps to the full-replacement commit. Change-feed relations and
+  * time-traveled snapshots stay read-only.
   *
   * Scale: planning is one footer-walk job over file NAMES (the
   * keptFiles shape) plus an optional bloom probe; each task reads one
@@ -72,9 +78,49 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference: the engine's own "DataFrame + Spark SQL" north star
   * (BASELINE.json); Delta/Iceberg are the public architecture
   * precedents for a log-resolved DSv2 relation. */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** The PATH-addressed write bridge: for a `V1_BATCH_WRITE` table,
+    * `df.write.format("graft").mode(…).save(path)` routes through
+    * Spark's V1 `CreatableRelationProvider` hook (the catalog/SQL
+    * route uses [[GraftWriteBuilder]] instead — same protocol
+    * underneath). SaveMode maps onto the commit log: Append = new
+    * version via checked append, Overwrite = full-replacement checked
+    * commit, ErrorIfExists/Ignore consult the current snapshot. */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = ctx.sparkSession
+    val table = pathOf(parameters.asJava)
+    val constraints = CommitLogTableFormat.tableConstraints(spark, table)
+      .map { case (n, e) => n -> org.apache.spark.sql.functions.expr(e) }
+    val token = s"save-${java.util.UUID.randomUUID.toString.take(12)}"
+    val exists = CommitLogTableFormat.currentSnapshot(spark, table).isDefined
+    mode match {
+      case SaveMode.Append =>
+        CommitLogTableFormat.appendChecked(spark, table, data, token, constraints)
+        ()
+      case SaveMode.Overwrite =>
+        CommitLogTableFormat.commitChecked(spark, table, data, token, constraints)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(Seq("graft", table))
+        CommitLogTableFormat.commitChecked(spark, table, data, token, constraints)
+      case SaveMode.Ignore =>
+        if (!exists)
+          CommitLogTableFormat.commitChecked(spark, table, data, token, constraints)
+    }
+    new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 
   private def pathOf(options: java.util.Map[String, String]): String = {
     val p = options.get("path")
@@ -190,22 +236,93 @@ private[sources] class GraftTable(path: String, tableSchema: StructType,
                                   asOfVersion: Option[Long] = None,
                                   maxVersionsPerTrigger: Long =
                                     GraftDataSource.DefaultMaxVersionsPerTrigger)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     if (changeFeed) s"graft.changeFeed.`$path`" else s"graft.`$path`"
   override def schema(): StructType = tableSchema
   // a changeFeed table ADVERTISES batch too so a mistaken
   // `spark.read…option("changeFeed", true)` reaches GraftFeedScan's
   // explicit refusal (with the changesBetween pointer) instead of
-  // Spark's generic capability error
+  // Spark's generic capability error. Write capability is advertised
+  // only where writing is defined: the CURRENT version of a base
+  // table (a feed is a view of history; a time-traveled snapshot is
+  // immutable by contract).
   override def capabilities(): util.Set[TableCapability] =
     if (changeFeed) util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ)
-    else util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (asOfVersion.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (changeFeed) new GraftFeedScanBuilder(path, tableSchema, startingVersion,
       maxVersionsPerTrigger)
     else new GraftScanBuilder(path, tableSchema, asOfVersion)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!changeFeed,
+      "a change-feed relation is read-only — INSERT into the base table instead")
+    require(asOfVersion.isEmpty,
+      "cannot write to a time-traveled snapshot — writes target the current version")
+    new GraftWriteBuilder(path, info)
+  }
+}
+
+/** The SQL WRITE path (`INSERT INTO` / `INSERT OVERWRITE` /
+  * `df.write.format("graft")`), built as a V1Write bridge so every
+  * byte flows through [[CommitLogTableFormat]]'s existing commit
+  * protocol instead of a parallel DSv2 writer that would have to
+  * re-implement it:
+  *
+  *  - INSERT INTO → [[CommitLogTableFormat.appendChecked]]: stage the
+  *    new data dir, validate the table's declared CHECK constraints
+  *    against the STAGED bytes (a violation deletes the stage and
+  *    throws [[ConstraintViolationException]] — whole-insert
+  *    rejection, zero version residue), write the `_stats` sidecar,
+  *    advance any Bloom index, publish atomically;
+  *  - INSERT OVERWRITE → truncate() → [[CommitLogTableFormat.commitChecked]]
+  *    (full snapshot replacement — time travel still resolves the
+  *    overwritten versions);
+  *  - a concurrent commit between stage and publish surfaces as
+  *    [[ConcurrentCommitException]] with the staged dir swept — the
+  *    optimistic-concurrency contract, now reachable from SQL.
+  *
+  * The commit token carries the query id, so each SQL write publishes
+  * exactly one version and the dir name documents its origin. */
+private[sources] class GraftWriteBuilder(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+                              legacyOverwrite: Boolean): Unit = {
+            val spark = data.sparkSession
+            val constraints = CommitLogTableFormat.tableConstraints(spark, path)
+              .map { case (n, e) =>
+                n -> org.apache.spark.sql.functions.expr(e)
+              }
+            val token = s"sql-${info.queryId}"
+            if (overwrite || legacyOverwrite)
+              CommitLogTableFormat.commitChecked(spark, path, data, token, constraints)
+            else {
+              CommitLogTableFormat.appendChecked(spark, path, data, token, constraints)
+              ()
+            }
+          }
+        }
+    }
 }
 
 /** Feed-mode scan builder: column pruning only — every filter stays

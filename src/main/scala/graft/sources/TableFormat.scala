@@ -1221,6 +1221,91 @@ object CommitLogTableFormat extends TableFormat {
     }
   }
 
+  /** TABLE-LEVEL CHECK constraints, persisted as a `_constraints.json`
+    * sidecar at the table root (name → SQL predicate text — the Delta
+    * `delta.constraints.*` table-property posture): once declared, the
+    * SQL write path ([[GraftWriteBuilder]]) enforces them on EVERY
+    * INSERT without the writer having to remember, exactly like the
+    * explicit-constraints Scala API ([[appendChecked]]). Metadata
+    * write, tmp+rename published like the log itself. Names are the
+    * identity: re-declaring a name replaces its predicate. */
+  def declareConstraints(spark: SparkSession, table: String,
+                         constraints: Seq[(String, String)]): Unit = {
+    val root = new Path(table)
+    val fs = fsOf(spark, table)
+    fs.mkdirs(root)
+    val existing = tableConstraints(spark, table).toMap
+    val merged = (existing ++ constraints).toSeq.sortBy(_._1)
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = merged.map { case (n, e) => s"${q(n)}: ${q(e)}" }
+      .mkString("{", ", ", "}")
+    val tmp = new Path(root, ".tmp-_constraints.json")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(UTF_8)) finally out.close()
+    fs.delete(new Path(root, ConstraintsSidecarName), false)
+    Swap.renameOrThrow(fs, tmp, new Path(root, ConstraintsSidecarName))
+  }
+
+  /** The table's declared CHECK constraints (name → SQL predicate),
+    * empty when none were declared. A malformed sidecar THROWS — a
+    * write path that silently skipped a half-written constraint file
+    * would un-enforce every rule it carried. */
+  def tableConstraints(spark: SparkSession, table: String): Seq[(String, String)] = {
+    val fs = fsOf(spark, table)
+    val p = new Path(new Path(table), ConstraintsSidecarName)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      // tiny strict parser for the flat {"k": "v", ...} shape written
+      // above — no JSON library in the dependency set
+      val m = collection.mutable.LinkedHashMap.empty[String, String]
+      var i = 0
+      def ws(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
+      def str(): String = {
+        require(i < json.length && json(i) == '"', s"bad constraints sidecar at $i")
+        i += 1
+        val sb = new StringBuilder
+        while (json(i) != '"') {
+          if (json(i) == '\\') {
+            i += 1
+            json(i) match {
+              case 'n' => sb += '\n'
+              case 'u' => sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar
+                i += 4
+              case c => sb += c
+            }
+          } else sb += json(i)
+          i += 1
+        }
+        i += 1
+        sb.toString
+      }
+      ws(); require(i < json.length && json(i) == '{', "bad constraints sidecar"); i += 1
+      ws()
+      if (i < json.length && json(i) != '}') {
+        var more = true
+        while (more) {
+          ws(); val k = str(); ws()
+          require(json(i) == ':', "bad constraints sidecar"); i += 1
+          ws(); val v = str(); ws()
+          m(k) = v
+          if (i < json.length && json(i) == ',') { i += 1 } else more = false
+        }
+      }
+      m.toSeq
+    }
+  }
+
+  private[sources] val ConstraintsSidecarName = "_constraints.json"
+
   /** [[commit]] gated by CHECK constraints (the Delta/Iceberg table
     * constraint contract, enforced by the ENGINE so no writer can
     * forget it): the snapshot stages exactly as in commit — ONE

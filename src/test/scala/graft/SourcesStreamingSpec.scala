@@ -3672,4 +3672,98 @@ class SourcesStreamingSpec extends GraftSpec {
         ("hb", "resumed", lastSeen, 7L, base + 360 * 60000L - lastSeen)), s"got $got")
     } finally q.stop()
   }
+
+  test("graft SQL write path: INSERT through the commit protocol; CHECK rejects whole; concurrent insert loses") {
+    val fmt = graft.sources.CommitLogTableFormat
+    val wh = Files.createTempDirectory("graft_sqlw").toString
+    spark.conf.set("spark.sql.catalog.wcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wcat.db")
+    spark.sql(
+      """CREATE TABLE wcat.db.t (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('check.k_pos' = 'k > 0')""".stripMargin)
+    val root = s"$wh/db/t"
+    // INSERT INTO appends one version per statement (appendChecked)
+    spark.sql("INSERT INTO wcat.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO wcat.db.t SELECT id + 10, concat('x', id) FROM range(3)")
+    assert(spark.sql("SELECT count(*) AS c FROM wcat.db.t").head().getLong(0) == 5L)
+    assert(fmt.currentSnapshot(spark, root).get.version == 2L)
+    assert(spark.sql("SELECT count(*) AS c FROM wcat.db.t VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // a violating INSERT rejects WHOLE — no rows, no version, no stage
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val err = intercept[Exception] {
+      spark.sql("INSERT INTO wcat.db.t VALUES (5, 'ok'), (-1, 'bad')")
+    }
+    assert(chain(err).exists(_.isInstanceOf[graft.sources.ConstraintViolationException]),
+      s"expected ConstraintViolationException in ${chain(err).map(_.getClass.getName)}")
+    assert(fmt.currentSnapshot(spark, root).get.version == 2L)
+    assert(spark.sql("SELECT count(*) AS c FROM wcat.db.t").head().getLong(0) == 5L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.globStatus(new org.apache.hadoop.fs.Path(root, "data-v3-*"))
+    assert(staged == null || staged.isEmpty,
+      "a rejected INSERT must sweep its staged dir")
+    // INSERT OVERWRITE = full-replacement commit; history stays
+    spark.sql("INSERT OVERWRITE wcat.db.t VALUES (7, 'z')")
+    assert(spark.sql("SELECT k, v FROM wcat.db.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "z")))
+    assert(spark.sql("SELECT count(*) AS c FROM wcat.db.t VERSION AS OF 2")
+      .head().getLong(0) == 5L)
+    // CONCURRENT insert loses cleanly: an interloper publishes the next
+    // log entry while the insert is staging (fired from inside the
+    // insert's own projection — deterministically inside the OCC
+    // window between recoverLatest and publish)
+    SqlWriteRace.reset(root)
+    spark.udf.register("sqlw_interfere", (k: Long) => { SqlWriteRace.interfere(); k })
+    val race = intercept[Exception] {
+      spark.sql("INSERT INTO wcat.db.t SELECT sqlw_interfere(id + 100), 'c' FROM range(2)")
+    }
+    assert(chain(race).exists(_.isInstanceOf[graft.sources.ConcurrentCommitException]),
+      s"expected ConcurrentCommitException in ${chain(race).map(_.getClass.getName)}")
+    // the interloper's version stands; the loser left no stage behind
+    assert(fmt.currentSnapshot(spark, root).get.version == 4L)
+    val staged4 = fs.globStatus(new org.apache.hadoop.fs.Path(root, "data-v4-sql-*"))
+    assert(staged4 == null || staged4.isEmpty,
+      "a lost-race INSERT must sweep its staged dir")
+    assert(spark.sql("SELECT count(*) AS c FROM wcat.db.t").head().getLong(0) == 1L)
+    // a clean retry (new query, new latest) lands
+    spark.sql("INSERT INTO wcat.db.t VALUES (9, 'r')")
+    assert(spark.sql("SELECT count(*) AS c FROM wcat.db.t").head().getLong(0) == 2L)
+    // path-addressed writes ride the same builder
+    spark.range(2).selectExpr("id + 20 AS k", "'p' AS v")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.sql("SELECT count(*) AS c FROM wcat.db.t").head().getLong(0) == 4L)
+    // read-only surfaces refuse: time travel and the change feed
+    val tt = intercept[Exception] {
+      spark.range(1).selectExpr("id AS k", "'t' AS v").write.format("graft")
+        .option("versionAsOf", "1").mode("append").save(root)
+    }
+    assert(chain(tt).exists(_.getMessage != null), tt.toString)
+  }
+}
+
+/** Deterministic OCC-race helper for the SQL write spec: fired from a
+  * registered UDF inside the INSERT's own projection, so the
+  * interloping log entry lands strictly between the insert's
+  * recoverLatest and its publish. */
+object SqlWriteRace {
+  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var root: String = _
+  def reset(tableRoot: String): Unit = { root = tableRoot; fired.set(false) }
+  def interfere(): Unit = if (fired.compareAndSet(false, true)) {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val log = new org.apache.hadoop.fs.Path(rootPath, "_log")
+    val latest = fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    val content = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(log, latest.toString))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(log, (latest + 1L).toString), false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
 }
