@@ -487,10 +487,12 @@ private[sources] class GraftFeedStream(path: String, required: StructType,
 private[sources] class GraftScanBuilder(path: String, tableSchema: StructType,
                                         asOfVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
   /** Accept the filters our footer/bloom pruning can act on; return
     * ALL filters as residual — Spark re-evaluates every one above the
@@ -502,8 +504,174 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType,
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new GraftScan(path, tableSchema, required, accepted, asOfVersion)
+
+  /** GLOBAL COUNT/MIN/MAX answered from the cached `_stats` metadata
+    * alone — zero data-page reads, zero footer opens (the Iceberg
+    * metadata-aggregate posture). Eligibility is strict and every
+    * miss degrades to the normal scan:
+    *  - no residual filters anywhere (Spark only offers the pushdown
+    *    on filterless plans; `accepted` is re-checked defensively) and
+    *    no GROUP BY;
+    *  - the snapshot carries NO deletion vector (hidden rows break
+    *    both counts and extremes);
+    *  - EVERY file exposes stats for every referenced column (a file
+    *    missing a column's bounds could hide the true min — refusal,
+    *    never approximation);
+    *  - MIN/MAX only on INT32/INT64-backed types (int/long/short/byte,
+    *    date, micros timestamp, decimal ≤ 18 via unscaled) — string
+    *    zone-map bounds are TRUNCATED, exact answers cannot come from
+    *    them. COUNT(col) = Σ(rows − nulls); COUNT(*) = Σ rows.
+    * Complete pushdown: the scan returns ONE pre-computed row, no
+    * partial/final aggregation above it. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val a = answerFromStats(agg)
+    if (a.isDefined) aggAnswer = a
+    a.isDefined
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerFromStats(agg).isDefined
+
+  private def answerFromStats(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (accepted.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val spark = SparkSession.active
+    val snapOpt = asOfVersion match {
+      case Some(v) => CommitLogTableFormat.snapshotAt(spark, path, v)
+      case None => CommitLogTableFormat.currentSnapshot(spark, path)
+    }
+    if (asOfVersion.isDefined && snapOpt.isEmpty) return None // let GraftScan throw
+    if (snapOpt.exists(_.dvName.isDefined)) return None
+    val perFile: Seq[ParquetFooters.FileColStats] = snapOpt match {
+      case None => Seq.empty // declared-schema table before first commit: 0 rows
+      case Some(snap) =>
+        val files = CommitLogTableFormat.snapshotDataFiles(spark, snap)
+        val stats = CommitLogTableFormat.snapshotFileStats(spark, snap)
+        val got = files.map(f => stats.get(GraftReaders.fileKey(f)))
+        if (got.exists(_.isEmpty)) return None
+        got.flatten
+    }
+    def rowsOf(s: ParquetFooters.FileColStats): Option[Long] =
+      (s.longs.values.map(_._4) ++ s.strs.values.map(_._4)).headOption
+    val totalRows: Option[Long] = {
+      val rs = perFile.map(rowsOf)
+      if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None
+    }
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        val n = r.fieldNames.head
+        tableSchema.fields.find(_.name == n)
+          .orElse(tableSchema.fields.find(_.name.equalsIgnoreCase(n)))
+      case _ => None
+    }
+    // per-file (min, max, nulls, rows) for the column — every file must
+    // carry it (all-null chunks publish no bounds and correctly refuse)
+    def longStatsOf(c: String): Option[Seq[(Long, Long, Long, Long)]] = {
+      val per = perFile.map(_.longs.get(c))
+      if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+    def nullStatsOf(c: String): Option[Seq[(Long, Long)]] = { // (nulls, rows)
+      val per = perFile.map(s => s.longs.get(c).map(t => (t._3, t._4))
+        .orElse(s.strs.get(c).map(t => (t._3, t._4))))
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+    def typed(dt: DataType, v: Long): Option[Any] = dt match {
+      case LongType | TimestampType => Some(v)
+      case IntegerType | DateType => Some(v.toInt)
+      case ShortType => Some(v.toShort)
+      case ByteType => Some(v.toByte)
+      case d: DecimalType if d.precision <= 18 =>
+        Some(org.apache.spark.sql.types.Decimal.createUnsafe(v, d.precision, d.scale))
+      case _ => None
+    }
+    val fields = collection.mutable.ArrayBuffer.empty[StructField]
+    val values = collection.mutable.ArrayBuffer.empty[Any]
+    def extreme(e: org.apache.spark.sql.connector.expressions.Expression,
+                label: String, pick: Seq[(Long, Long, Long, Long)] => Long): Boolean =
+      fieldOf(e).exists { f =>
+        if (perFile.isEmpty) { // empty table: NULL extreme
+          fields += StructField(s"$label(${f.name})", f.dataType, nullable = true)
+          values += null
+          true
+        } else longStatsOf(f.name).exists { sts =>
+          typed(f.dataType, pick(sts)).exists { v =>
+            fields += StructField(s"$label(${f.name})", f.dataType, nullable = true)
+            values += v
+            true
+          }
+        }
+      }
+    agg.aggregateExpressions.foreach {
+      case _: CountStar => totalRows match {
+        case Some(n) =>
+          fields += StructField("count(*)", LongType, nullable = false)
+          values += n
+        case None => return None
+      }
+      case c: Count if !c.isDistinct =>
+        val ok = fieldOf(c.column).exists { f =>
+          if (perFile.isEmpty) {
+            fields += StructField(s"count(${f.name})", LongType, nullable = false)
+            values += 0L
+            true
+          } else nullStatsOf(f.name).exists { nr =>
+            fields += StructField(s"count(${f.name})", LongType, nullable = false)
+            values += nr.map { case (nulls, rows) => rows - nulls }.sum
+            true
+          }
+        }
+        if (!ok) return None
+      case m: Min =>
+        if (!extreme(m.column, "min", _.map(_._1).min)) return None
+      case m: Max =>
+        if (!extreme(m.column, "max", _.map(_._2).max)) return None
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), values.toSeq))
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, vals)) => new GraftAggScan(path, schema, vals)
+    case None => new GraftScan(path, tableSchema, required, accepted, asOfVersion)
+  }
+}
+
+/** The one-row result of a COMPLETELY pushed-down global aggregate —
+  * the answer was computed on the DRIVER from cached `_stats`
+  * metadata at planning time; execution just emits it. */
+private[sources] class GraftAggScan(path: String, aggSchema: StructType,
+                                    values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan $path [${aggSchema.fieldNames.mkString(", ")}] " +
+      "answered from cached _stats (zero data reads)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+private[sources] case class GraftAggPartition(values: Seq[Any])
+    extends InputPartition
+
+private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val row = new GenericInternalRow(
+        partition.asInstanceOf[GraftAggPartition].values.toArray)
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] object GraftScan {

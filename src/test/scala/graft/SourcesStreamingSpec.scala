@@ -616,6 +616,60 @@ class SourcesStreamingSpec extends GraftSpec {
       conf.set("spark.sql.adaptive.enabled", v))
   }
 
+  test("graft DSv2 aggregate pushdown: global COUNT/MIN/MAX answered from cached _stats") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val footers = graft.sources.ParquetFooters
+    val dir = Files.createTempDirectory("graft_dsv2agg").toString + "/t"
+    fmt.commit(spark, dir,
+      (1L to 500L).map(i => (i, i * 7L, if (i % 5 == 0) null else s"s$i"))
+        .toDF("k", "w", "sn")
+        .repartitionByRange(4, $"k").sortWithinPartitions($"k"), "c1")
+    val lake = spark.read.format("graft").load(dir)
+    lake.collect() // warm the per-version metadata caches
+    // AQE off so executedPlan exposes the scans to collect
+    val conf = spark.conf
+    val savedAqe = util.Try(conf.get("spark.sql.adaptive.enabled")).toOption
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val opens0 = footers.opens.get()
+    val r = lake.selectExpr("count(*) AS c", "min(k) AS mn", "max(k) AS mx",
+      "count(sn) AS cs", "max(w) AS mw")
+    val row = r.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((500L, 1L, 500L, 400L, 3500L)))
+    // the executed scan is the one-row stats answer — zero data reads,
+    // zero footer opens (an unpushed COUNT(*) would replay 4 footers)
+    val descs = r.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    assert(descs.exists(_.startsWith("GraftAggScan")), descs.mkString("; "))
+    assert(footers.opens.get() == opens0,
+      "a pushed-down global aggregate must not touch any footer or data page")
+    // a DV-bearing snapshot REFUSES the pushdown (hidden rows) and the
+    // real scan answers
+    fmt.erase(spark, dir, $"k" % 97 === 0, "e1")
+    val after = spark.read.format("graft").load(dir)
+    val r2 = after.selectExpr("count(*) AS c", "min(k) AS mn")
+    val row2 = r2.collect().head
+    assert((row2.getLong(0), row2.getLong(1)) == ((495L, 1L))) // 5 keys erased
+    val descs2 = r2.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    assert(descs2.nonEmpty && !descs2.exists(_.startsWith("GraftAggScan")),
+      descs2.mkString("; "))
+    // a filtered aggregate keeps the normal scan (stats cannot answer
+    // under residual filters) and stays correct — the relation
+    // re-resolves the CURRENT (post-erase) snapshot, so the 4 erased
+    // keys above 100 (194/291/388/485) are gone
+    assert(lake.filter($"k" > 100L).selectExpr("count(*) AS c")
+      .head().getLong(0) == 396L)
+    } finally savedAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(v =>
+      conf.set("spark.sql.adaptive.enabled", v))
+  }
+
   test("graft DSv2 vectorized scan: columnar DV-free reads, row-path MoR, nested types through SQL") {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
@@ -882,11 +936,11 @@ class SourcesStreamingSpec extends GraftSpec {
     // SQL time travel through the catalog
     assert(spark.sql("SELECT k FROM gcat.db.e VERSION AS OF 1").collect()
       .map(_.getLong(0)).toSeq == Seq(10L))
-    // writes are refused — the commit protocol owns them
-    val ins = intercept[Throwable] {
-      spark.sql("INSERT INTO gcat.db.e VALUES (12, 'z')")
-    }
-    assert(ins.getMessage != null)
+    // INSERT lands THROUGH the commit protocol (round 15 — one new
+    // checked-append version); ALTER stays refused (log owns schema)
+    spark.sql("INSERT INTO gcat.db.e VALUES (12, 'z')")
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.db.e").head().getLong(0) == 3L)
+    assert(fmt.currentSnapshot(spark, ext).get.version == 3L)
     val alter = intercept[Throwable] {
       spark.sql("ALTER TABLE gcat.db.e ADD COLUMN w INT")
     }
@@ -895,9 +949,9 @@ class SourcesStreamingSpec extends GraftSpec {
     assert(alterMsgs.contains("commit log"), alterMsgs)
     // rename keeps content; DROP external keeps the data, managed removes it
     spark.sql("ALTER TABLE gcat.db.e RENAME TO db.e2")
-    assert(spark.sql("SELECT count(*) AS c FROM gcat.db.e2").head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.db.e2").head().getLong(0) == 3L)
     spark.sql("DROP TABLE gcat.db.e2")
-    assert(fmt.read(spark, ext).get.count() == 2L,
+    assert(fmt.read(spark, ext).get.count() == 3L,
       "dropping an EXTERNAL table must not touch its data")
     spark.sql("DROP TABLE gcat.db.m")
     assert(fmt.read(spark, mRoot).isEmpty,
