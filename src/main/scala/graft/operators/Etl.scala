@@ -3134,7 +3134,49 @@ object Etl {
       |WHERE o_orderkey <= 500
       |ORDER BY o_orderkey""".stripMargin
 
+  /** a59: SQL DELETE through the correctness gate — `DELETE FROM` on
+    * a catalog lake table publishes a DELETION-VECTOR version (no data
+    * file rewritten; the spec asserts dirs byte-untouched), then the
+    * read-back of the surviving keys must equal what the raw orders
+    * parquet predicts. Proves the whole chain: catalog resolution →
+    * SupportsDelete → v1-filter → Column translation → `erase`'s
+    * position-keyed DV → merge-on-read subtraction on the next SQL
+    * read. Reference: the reference pipeline's cleanup step drops
+    * stale control rows before each warehouse load. */
+  def a59SqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = graft.sources.CommitLogTableFormat
+    val table = lakeDir(dir, "a59t")
+    val wh = lakeDir(dir, "a59wh")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    fmt.commit(spark, table,
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+      "a59c")
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.a59t")
+    spark.sql(s"CREATE TABLE graft_cat.lake.a59t USING graft LOCATION '$table'")
+    spark.sql(
+      """DELETE FROM graft_cat.lake.a59t
+        |WHERE o_orderkey >= 100 AND o_orderkey < 300""".stripMargin)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM graft_cat.lake.a59t
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val a59Sql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_orderkey <= 500
+      |  AND NOT (o_orderkey >= 100 AND o_orderkey < 300)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a59_sql_delete" -> (a59SqlDelete _),
     "a58_sql_insert" -> (a58SqlInsert _),
     "a57_catalog_sql" -> (a57CatalogSql _),
     "a56_decimal_pruned_read" -> (a56DecimalPrunedRead _),
@@ -3195,6 +3237,7 @@ object Etl {
     "a10_url_expand" -> (a10UrlExpand _))
 
   val oracles: Map[String, String] = Map(
+    "a59_sql_delete" -> a59Sql,
     "a58_sql_insert" -> a58Sql,
     "a57_catalog_sql" -> a57Sql,
     "a56_decimal_pruned_read" -> a56Sql,

@@ -237,7 +237,8 @@ private[sources] class GraftTable(path: String, tableSchema: StructType,
                                   maxVersionsPerTrigger: Long =
                                     GraftDataSource.DefaultMaxVersionsPerTrigger)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     if (changeFeed) s"graft.changeFeed.`$path`" else s"graft.`$path`"
   override def schema(): StructType = tableSchema
@@ -266,6 +267,28 @@ private[sources] class GraftTable(path: String, tableSchema: StructType,
     require(asOfVersion.isEmpty,
       "cannot write to a time-traveled snapshot — writes target the current version")
     new GraftWriteBuilder(path, info)
+  }
+
+  /** `DELETE FROM t WHERE …` — the SQL face of [[CommitLogTableFormat.erase]]:
+    * publishes a deletion-vector version, NO data file rewritten (the
+    * GDPR/merge-on-read contract time travel and `compact` already
+    * understand). A condition the filter algebra can't express refuses
+    * in `canDeleteWhere` (Spark surfaces its own error) rather than
+    * deleting the wrong rows; an unconditional DELETE erases all. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !changeFeed && asOfVersion.isEmpty &&
+      filters.forall(f => GraftScan.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!changeFeed && asOfVersion.isEmpty,
+      "DELETE targets the base table's current version")
+    val spark = SparkSession.active
+    val pred = filters.map(f => GraftScan.filterToColumn(f).getOrElse(
+        throw new IllegalArgumentException(s"untranslatable DELETE condition: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    CommitLogTableFormat.erase(spark, path, pred,
+      s"sqldel-${java.util.UUID.randomUUID.toString.take(12)}")
   }
 }
 
@@ -488,11 +511,23 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType,
                                         asOfVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
   private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var limitHint: Option[Int] = None
+
+  /** Unordered LIMIT n: the scan may TRUNCATE its planned file list
+    * once the stats row sum covers n (Spark only offers the push when
+    * no filters sit between limit and scan, and `isPartiallyPushed`
+    * keeps its own limit above — over-production is fine,
+    * under-production impossible: DV-bearing or stats-less snapshots
+    * keep every file). A `SELECT * FROM t LIMIT 10` preview on a
+    * 10k-file table reads ONE file instead of launching 10k tasks. */
+  override def pushLimit(n: Int): Boolean = { limitHint = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept the filters our footer/bloom pruning can act on; return
     * ALL filters as residual — Spark re-evaluates every one above the
@@ -638,7 +673,8 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, vals)) => new GraftAggScan(path, schema, vals)
-    case None => new GraftScan(path, tableSchema, required, accepted, asOfVersion)
+    case None => new GraftScan(path, tableSchema, required, accepted, asOfVersion,
+      limitHint)
   }
 }
 
@@ -675,6 +711,36 @@ private[sources] class GraftAggReaderFactory extends PartitionReaderFactory {
 }
 
 private[sources] object GraftScan {
+
+  /** v1 Filter → Column translation (the SQL DELETE bridge): the
+    * standard filter algebra over plain column references. None =
+    * inexpressible — the caller must REFUSE, never approximate (a
+    * wrong DELETE predicate destroys rows). */
+  def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case StringContains(c, v) => Some(col(c).contains(v))
+      case And(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+      case Or(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+      case Not(x) => filterToColumn(x).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 
   /** Largest IN list the Bloom arm probes per column: each value is
     * one hash test per file's bloom (cheap), but the list also rides
@@ -775,7 +841,8 @@ private[sources] object GraftScan {
   * [[plannedFiles]] through `BatchScanExec.scan`. */
 class GraftScan(path: String, tableSchema: StructType,
                 required: StructType, pushed: Array[Filter],
-                asOfVersion: Option[Long] = None)
+                asOfVersion: Option[Long] = None,
+                limitHint: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -864,6 +931,32 @@ class GraftScan(path: String, tableSchema: StructType,
           rows.map(OptionalLong.of).getOrElse(OptionalLong.empty()))
     }
   }
+
+  /** Truncate the planned file list for a pushed unordered LIMIT:
+    * keep files until the stats row sum covers the limit. ONLY when
+    * no filter (static or runtime) could drop rows and no DV hides
+    * them — then Spark's retained limit above cannot under-produce. */
+  private def limitTruncated(snap: LakeSnapshot, kept: Seq[String]): Seq[String] =
+    limitHint match {
+      case Some(n) if pushed.isEmpty && runtimeFilters.isEmpty &&
+          snap.dvName.isEmpty && kept.nonEmpty =>
+        val stats = CommitLogTableFormat.snapshotFileStats(spark, snap)
+        def rowsOf(f: String): Option[Long] =
+          stats.get(GraftReaders.fileKey(f)).flatMap(s =>
+            (s.longs.values.map(_._4) ++ s.strs.values.map(_._4)).headOption)
+        val perFile = kept.map(f => (f, rowsOf(f)))
+        if (perFile.exists(_._2.isEmpty)) kept // stats-less: keep all
+        else {
+          var acc = 0L
+          val out = collection.mutable.ArrayBuffer.empty[String]
+          val it = perFile.iterator
+          while (acc < n && it.hasNext) {
+            val (f, r) = it.next(); out += f; acc += r.get
+          }
+          out.toSeq
+        }
+      case _ => kept
+    }
 
   private def saturatingInc(v: Long): Long = if (v == Long.MaxValue) v else v + 1L
   private def saturatingDec(v: Long): Long = if (v == Long.MinValue) v else v - 1L
@@ -1052,7 +1145,8 @@ class GraftScan(path: String, tableSchema: StructType,
 
   private def planSnapshot(snap: LakeSnapshot): Array[InputPartition] = {
     val all = CommitLogTableFormat.snapshotDataFiles(spark, snap)
-    val kept = pruneFiles(snap, all)
+    val pruned = pruneFiles(snap, all)
+    val kept = limitTruncated(snap, pruned)
     plannedFiles = Some((kept.size, all.size))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvParts = snap.dvPath.toSeq

@@ -670,6 +670,68 @@ class SourcesStreamingSpec extends GraftSpec {
       conf.set("spark.sql.adaptive.enabled", v))
   }
 
+  test("graft SQL DELETE: merge-on-read erase from SQL; untranslatable predicates refuse") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val wh = Files.createTempDirectory("graft_sqldel").toString
+    spark.conf.set("spark.sql.catalog.dcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dcat.db")
+    val root = Files.createTempDirectory("graft_sqldel_t").toString + "/t"
+    fmt.commit(spark, root, (1L to 600L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(6, $"k").sortWithinPartitions($"k"), "c1")
+    fmt.setRetention(spark, root, 5) // the VERSION AS OF 2 probe below
+    spark.sql(s"CREATE TABLE dcat.db.t USING graft LOCATION '$root'")
+    val dirsBefore = fmt.currentSnapshot(spark, root).get.dataDirNames
+    spark.sql("DELETE FROM dcat.db.t WHERE k >= 100 AND k < 120")
+    assert(spark.sql("SELECT count(*) AS c FROM dcat.db.t").head().getLong(0) == 580L)
+    // merge-on-read: a DV version, every data dir byte-untouched
+    val snap = fmt.currentSnapshot(spark, root).get
+    assert(snap.version == 2L && snap.dvName.isDefined)
+    assert(snap.dataDirNames == dirsBefore, "DELETE must not rewrite data files")
+    // time travel still sees the erased rows
+    assert(spark.sql("SELECT count(*) AS c FROM dcat.db.t VERSION AS OF 1")
+      .head().getLong(0) == 600L)
+    // deletes accumulate; IN-list form works
+    spark.sql("DELETE FROM dcat.db.t WHERE k IN (1, 2, 3)")
+    assert(spark.sql("SELECT count(*) AS c FROM dcat.db.t").head().getLong(0) == 577L)
+    // a condition outside the filter algebra REFUSES (never approximates)
+    intercept[Throwable] {
+      spark.sql("DELETE FROM dcat.db.t WHERE k % 7 = 0")
+    }
+    assert(spark.sql("SELECT count(*) AS c FROM dcat.db.t").head().getLong(0) == 577L)
+    // unconditional DELETE erases everything, history intact
+    spark.sql("DELETE FROM dcat.db.t")
+    assert(spark.sql("SELECT count(*) AS c FROM dcat.db.t").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) AS c FROM dcat.db.t VERSION AS OF 2")
+      .head().getLong(0) == 580L)
+  }
+
+  test("graft DSv2 limit pushdown: an unordered LIMIT truncates the planned file list") {
+    import spark.implicits._
+    val fmt = graft.sources.CommitLogTableFormat
+    val dir = Files.createTempDirectory("graft_dsv2lim").toString + "/t"
+    fmt.commit(spark, dir, (1L to 600L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(6, $"k").sortWithinPartitions($"k"), "c1")
+    val lake = spark.read.format("graft").load(dir)
+    val lim = lake.limit(5)
+    assert(lim.collect().length == 5)
+    val sc = lim.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.GraftScan]
+    assert(sc.plannedFiles.contains((1, 6)), s"limit truncation: ${sc.plannedFiles}")
+    // a filtered limit keeps correctness (no truncation under filters)
+    assert(lake.filter($"v".endsWith("7")).limit(3).collect().length == 3)
+    // a DV-bearing snapshot never truncates (stats overcount live rows)
+    fmt.erase(spark, dir, $"k" <= 99L, "e1")
+    val after = spark.read.format("graft").load(dir).limit(5)
+    assert(after.collect().map(_.getLong(0)).forall(_ >= 100L))
+    val sc2 = after.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.GraftScan]
+    assert(sc2.plannedFiles.contains((6, 6)), s"DV keeps all: ${sc2.plannedFiles}")
+  }
+
   test("graft DSv2 vectorized scan: columnar DV-free reads, row-path MoR, nested types through SQL") {
     import spark.implicits._
     val fmt = graft.sources.CommitLogTableFormat
