@@ -45,8 +45,50 @@ object Tables {
       case _ => df
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, dir, "documents", "doc_id")
+  /** Round-robin, not hash-on-vec_id: the vector family's plan specs
+    * assert NO vec_id-keyed exchange anywhere (the in-row-argmax
+    * guard), and no embeddings consumer reduces on vec_id anyway. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, dir, "embeddings", key = null)
+
+  /** Remembers, per (table path, target parallelism), whether the scan
+    * under-splits — one cheap RDD-partition probe per table per session
+    * lifetime, not per query. */
+  private val spreadCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+
+  /** Spread an under-split table scan to the session's parallelism.
+    *
+    * The text/vector tables ship as a single small parquet file with
+    * ONE row group, so the scan yields ONE split and every downstream
+    * map-heavy stage (tokenize + shingle explode, per-vector math)
+    * serializes behind a single task while the rest of the machine
+    * idles — the "one huge unsplittable file" input-skew case of the
+    * optimization guide (§2.5: fix at the source if you can; otherwise
+    * repartition immediately after the read).
+    *
+    * Scale-adaptive, not a local-mode constant: the trigger is `scan
+    * splits < defaultParallelism`, so any real multi-file corpus (or a
+    * file big enough that maxPartitionBytes splits it) returns the
+    * frame untouched and pays zero extra exchange; the target is the
+    * session's own parallelism, so lower-core runs spread to their own
+    * width. Hash-distributing on the row key (not round-robin) skips
+    * the sort-before-repartition pass and leaves the frame
+    * HashPartitioning(key)-shaped, which downstream per-key reduces and
+    * windows can reuse without a second exchange; a null key falls back
+    * to round-robin. */
+  private def spread(spark: SparkSession, dir: String, name: String,
+                     key: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    val need = spreadCache.getOrElseUpdate((s"$dir/$name", target),
+      df.rdd.getNumPartitions < target)
+    if (!need) df
+    else if (key == null) df.repartition(target)
+    else df.repartition(target, col(key))
+  }
 
   /** Register every table as a session temp view (events through its
     * ts-normalizing loader), so `spark.sql("SELECT ... FROM lineitem
