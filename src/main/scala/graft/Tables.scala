@@ -53,11 +53,20 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spread(spark, dir, "embeddings", key = null)
 
-  /** Remembers, per (table path, target parallelism), whether the scan
-    * under-splits — one cheap RDD-partition probe per table per session
-    * lifetime, not per query. */
+  /** Remembers, per (table path, file signature, target parallelism),
+    * whether the scan under-splits — one cheap RDD-partition probe per
+    * table per session lifetime, not per query. The signature
+    * (length, mtime of the path) keeps the decision fresh if the file
+    * is rewritten or regrown within one JVM. */
   private val spreadCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long, Int), Boolean]
+
+  private def fileSignature(spark: SparkSession, path: String): (Long, Long) =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      (st.getLen, st.getModificationTime)
+    } catch { case _: Throwable => (-1L, -1L) }
 
   /** Spread an under-split table scan to the session's parallelism.
     *
@@ -83,7 +92,9 @@ object Tables {
                      key: String): DataFrame = {
     val df = apply(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    val need = spreadCache.getOrElseUpdate((s"$dir/$name", target),
+    val path = s"$dir/$name.parquet"
+    val (len, mtime) = fileSignature(spark, path)
+    val need = spreadCache.getOrElseUpdate((path, len, mtime, target),
       df.rdd.getNumPartitions < target)
     if (!need) df
     else if (key == null) df.repartition(target)
@@ -99,6 +110,11 @@ object Tables {
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach {
       case "events" => events(spark, dir).createOrReplaceTempView("events")
+      // documents/embeddings go through their spread loaders, exactly
+      // like the DataFrame surface: a SQL query over a one-split corpus
+      // file must not serialize behind a single task either
+      case "documents" => documents(spark, dir).createOrReplaceTempView("documents")
+      case "embeddings" => embeddings(spark, dir).createOrReplaceTempView("embeddings")
       case n => apply(spark, dir, n).createOrReplaceTempView(n)
     }
 }

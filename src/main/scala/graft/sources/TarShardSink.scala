@@ -142,7 +142,11 @@ object TarShardSink {
       }
       shards(lo)
     }
-    Tables.documents(spark, dir)
+    // raw scan, NOT the spread loader: the spread repartition would put
+    // a doc_id-hash exchange under the payload, so corpus bytes crossed
+    // the wire twice (spread + the writer's (source, shard_idx)
+    // repartition). The writer repartition supplies the parallelism.
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
       .withColumn("shard_idx", shardOf(col("source"), col("doc_id")))
       .select(col("source"), col("shard_idx"), col("doc_id"), col("payload"))

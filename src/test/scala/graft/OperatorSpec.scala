@@ -1084,7 +1084,8 @@ class OperatorSpec extends GraftSpec {
       assert(pairs((id, id + 1000)) > 0.999)
     }
     val nearFound = ids.count(id => pairs.contains((id, id + 2000)))
-    assert(nearFound >= 45, s"found only $nearFound/50 planted near-dups")
+    assert(nearFound >= ids.length - 5,
+      s"found only $nearFound/${ids.length} planted near-dups")
   }
 
   test("piiScrub redacts planted emails/phones and leaves clean text byte-identical") {
