@@ -23,8 +23,16 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  // graft.spreadAll: measurement-only knob (A/B the spread loader
+  // across the whole suite); query code opts in explicitly instead.
+  private def spreadAll = sys.props.get("graft.spreadAll").contains("1") ||
+    sys.env.get("GRAFT_SPREAD_ALL").contains("1")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    if (spreadAll) spread(spark, dir, "orders", "o_orderkey")
+    else apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    if (spreadAll) spread(spark, dir, "lineitem", "l_orderkey")
+    else apply(spark, dir, "lineitem")
   /** events.ts has shipped as TIMESTAMP(NANOS) (arrives as a long under
     * spark.sql.legacy.parquet.nanosAsLong=true — truncate to micros, the
     * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP)
@@ -70,6 +78,14 @@ object Tables {
 
   /** Spread an under-split table scan to the session's parallelism.
     *
+    * Public for compute-heavy consumers (wide distinct aggregates,
+    * DECIMAL(38) moment reduces, quadratic fan-outs): a single-split
+    * scan otherwise runs the whole partial aggregation in ONE task
+    * while 31 cores idle (measured r16: a20 4.9 s → 1.2 s, q87
+    * 1.7 s → 0.9 s at sf0.1/local[32] from this alone). Multi-split
+    * scans — any real corpus at scale — pass through untouched, so
+    * the exchange only exists where the input under-splits.
+    *
     * The text/vector tables ship as a single small parquet file with
     * ONE row group, so the scan yields ONE split and every downstream
     * map-heavy stage (tokenize + shingle explode, per-vector math)
@@ -88,8 +104,8 @@ object Tables {
     * HashPartitioning(key)-shaped, which downstream per-key reduces and
     * windows can reuse without a second exchange; a null key falls back
     * to round-robin. */
-  private def spread(spark: SparkSession, dir: String, name: String,
-                     key: String): DataFrame = {
+  def spread(spark: SparkSession, dir: String, name: String,
+             key: String): DataFrame = {
     val df = apply(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
     val path = s"$dir/$name.parquet"

@@ -1057,8 +1057,9 @@ object Analytics {
     * division per output row. NULL growth on each nation's first year
     * (no prior), by construction in both engines. */
   def q39YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    // spread loaders (guide §2.5): r16 A/B-measured win (1.37 -> 0.92)
+    val per = Tables.spread(spark, dir, "lineitem", "l_orderkey")
+      .join(Tables.spread(spark, dir, "orders", "o_orderkey"), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -2140,7 +2141,16 @@ object Analytics {
     // basket sizes grow with scale: only items already frequent pay
     // the O(k²) expansion.
     val frequent = counts.filter(col("c_i") >= BasketMinSupport).select(col("part"))
+    // pin the pair-expansion width: AQE sizes the self-join's
+    // post-shuffle stage by its INPUT bytes, which undercounts the
+    // O(k²) per-customer fan-out inside it by the basket-size factor
+    // (measured r16: the expansion stage coalesced to 5 tasks, 2.5 s
+    // of the query's 4 s; widened to session parallelism the same
+    // work runs in ~0.4 s). The explicit cust-hash repartition is the
+    // exchange the join needs anyway — same key — so this only fixes
+    // the width, it adds no shuffle.
     val pruned = baskets.join(frequent, Seq("part"), "left_semi")
+      .repartition(spark.sparkContext.defaultParallelism, col("cust"))
     val a = pruned.select(col("cust"), col("part").as("p1"))
     val b = pruned.select(col("cust"), col("part").as("p2"))
     val nRow = Tables.orders(spark, dir)
@@ -2759,7 +2769,8 @@ object Analytics {
     val K = 5
     val wM = Window.partitionBy(col("m")).orderBy(col("rev_e4").desc, col("l_partkey"))
     val wP = Window.partitionBy(col("l_partkey")).orderBy(col("m"))
-    Tables.lineitem(spark, dir)
+    // spread loader (guide §2.5): r16 A/B-measured win (1.59 -> 1.12)
+    Tables.spread(spark, dir, "lineitem", "l_orderkey")
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("m"),
         col("l_partkey"))
@@ -2898,7 +2909,8 @@ object Analytics {
     * row-local algebra on ≤|brands| rows. */
   def q68DiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
     def d38(c: Column): Column = c.cast(DecimalType(38, 0))
-    Tables.lineitem(spark, dir)
+    // spread loader (guide §2.5): r16 A/B-measured win (1.19 -> 0.77)
+    Tables.spread(spark, dir, "lineitem", "l_orderkey")
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
         expr("cast(cast(l_discount as decimal(4,2)) * 10000 as bigint)").as("x"),
@@ -3923,7 +3935,8 @@ object Analytics {
       |FROM g ORDER BY ship_year""".stripMargin
 
   def q79AbcMigration(spark: SparkSession, dir: String): DataFrame =
-    q79AbcMigrationOf(Tables.lineitem(spark, dir)
+    // spread loader (guide §2.5): r16 A/B-measured win (1.98 -> 1.61)
+    q79AbcMigrationOf(Tables.spread(spark, dir, "lineitem", "l_orderkey")
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(year(to_date(col("l_shipdate"))).cast("long").as("yr"),
         col("p_brand"), col("l_partkey"))
@@ -4215,7 +4228,8 @@ object Analytics {
     * combinable sums) → part-grain reduce; no joins at all — the
     * part/supplier dimensions would add nothing but names. */
   def q82PriceDispersion(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+    // spread loader (guide §2.5): r16 A/B-measured win (1.08 -> 0.94)
+    Tables.spread(spark, dir, "lineitem", "l_orderkey")
       .select(col("l_partkey"), col("l_suppkey"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("qty"))
@@ -4510,7 +4524,9 @@ object Analytics {
       |ORDER BY s.c_nationkey""".stripMargin
 
   def q87CovMatrix(spark: SparkSession, dir: String): DataFrame =
-    q87CovMatrixOf(Tables.lineitem(spark, dir))
+    // spread loader (guide §2.5): the DECIMAL(38) moment partials
+    // otherwise run inside the single-split scan task (r16 measured)
+    q87CovMatrixOf(Tables.spread(spark, dir, "lineitem", "l_orderkey"))
 
   /** q87: covariance/correlation MATRIX per return flag over the three
     * pricing measures (quantity, discount, extended price) — q24/q26
@@ -4589,7 +4605,8 @@ object Analytics {
       |FROM u ORDER BY l_returnflag, pair""".stripMargin
 
   def q88PartialCorr(spark: SparkSession, dir: String): DataFrame =
-    q88PartialCorrOf(Tables.lineitem(spark, dir))
+    // spread loader (guide §2.5): r16 A/B-measured win (1.69 -> 0.69)
+    q88PartialCorrOf(Tables.spread(spark, dir, "lineitem", "l_orderkey"))
 
   /** q88: PARTIAL correlations over the q87 triple — each pair's
     * association with the third measure held fixed
@@ -4675,7 +4692,9 @@ object Analytics {
       |FROM u ORDER BY l_returnflag, pair""".stripMargin
 
   def q89Mahalanobis(spark: SparkSession, dir: String): DataFrame =
-    q89MahalanobisOf(Tables.lineitem(spark, dir))
+    // spread loader (guide §2.5): the DECIMAL(38) moment partials
+    // otherwise run inside the single-split scan task (r16 measured)
+    q89MahalanobisOf(Tables.spread(spark, dir, "lineitem", "l_orderkey"))
 
   /** q89: MULTIVARIATE outlier audit per return flag — Mahalanobis
     * distance on the (quantity, extended price) plane: the univariate
@@ -4945,7 +4964,9 @@ object Analytics {
       |FROM m WHERE thr IS NOT NULL ORDER BY k""".stripMargin
 
   def q93BreuschPagan(spark: SparkSession, dir: String): DataFrame =
-    q93BreuschPaganOf(Tables.lineitem(spark, dir))
+    // spread loader (guide §2.5): the DECIMAL(38) moment partials
+    // otherwise run inside the single-split scan task (r16 measured)
+    q93BreuschPaganOf(Tables.spread(spark, dir, "lineitem", "l_orderkey"))
 
   /** q93: Breusch–Pagan heteroscedasticity test per return flag — does
     * the price-on-quantity OLS (q61's family) have residual variance
@@ -5094,7 +5115,9 @@ object Analytics {
       |FROM t""".stripMargin
 
   def q95Spearman(spark: SparkSession, dir: String): DataFrame =
-    q95SpearmanOf(Tables.lineitem(spark, dir))
+    // spread loader (guide §2.5): the 600k-cell map-side reduce
+    // otherwise runs its partial aggregation in the single scan task
+    q95SpearmanOf(Tables.spread(spark, dir, "lineitem", "l_orderkey"))
 
   /** q95: Spearman rank correlation between quantity and price per
     * return flag — the monotone-association twin of the Pearson
@@ -5121,31 +5144,53 @@ object Analytics {
     * Frequency-weighted moments Σ cnt·r2x·r2y ≤ 4n³ stay inside
     * DECIMAL(38) to n ≈ 2.9e12 rows — the 100 TB corpus fits.
     *
-    * Shape: ONE scan → (flag, qty, price) map-side reduce → marginal
-    * tie/cum windows over the SAME cell lineage → |flags|-row
-    * aggregate. No corpus-grain window anywhere. */
+    * Shape: ONE scan → (flag, qty, price) map-side reduce → the
+    * quantity axis ranks via a value-bounded BROADCAST table (≤
+    * |flags|·50 rows), the price axis via marginal tie/cum windows
+    * over the SAME cell lineage (one (flag, py) sort) → |flags|-row
+    * aggregate. No corpus-grain window anywhere, and only ONE cell-
+    * frame sort instead of two. */
   def q95SpearmanOf(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def d38(c: Column): Column = c.cast(DecimalType(38, 0))
     // integral axes: quantity is whole units (exact bigint); price is
     // exact at cents (dec2 rounds to the same 2-dp grain the r14
     // row-grain version tie-grouped on, so ranks are bit-identical)
+    // materialized ONCE (the q59 discipline): the cell frame feeds two
+    // structurally different subtrees — the x-rank marginal and the
+    // main y-window path — and the static plan must keep scan budget 1
+    // without betting on runtime exchange dedup
     val cells = lineitem
       .select(col("l_returnflag").as("flag"),
         col("l_quantity").cast("bigint").as("qx"),
         (Cols.dec2(col("l_extendedprice")) * 100).cast("bigint").as("py"))
       .groupBy(col("flag"), col("qx"), col("py"))
       .agg(count(lit(1)).as("cnt"))
-    def r2(valCol: String): Column = {
-      val t = sum(col("cnt")).over(Window.partitionBy(col("flag"), col(valCol)))
-      val cumBefore = coalesce(
-        sum(col("cnt")).over(Window.partitionBy(col("flag")).orderBy(col(valCol))
-          .rangeBetween(Window.unboundedPreceding, -1)), lit(0L))
-      lit(2) * cumBefore + t + 1
-    }
+      .localCheckpoint()
+    // x axis: quantity has ≤ 50 integral values per flag, so its
+    // doubled rank table is a ≤ |flags|·50-row frame — aggregate it
+    // off the cell lineage and BROADCAST-join it back instead of
+    // running two windows over the full cell frame (r16: the qx
+    // windows forced a second |flags|-partition sort of every cell;
+    // the broadcast join removes that sort at any scale, since the
+    // x-rank table is VALUE-bounded — |flags|·|quantity values| —
+    // never corpus-bounded)
+    val xm = cells.groupBy(col("flag"), col("qx")).agg(sum(col("cnt")).as("t"))
+    val xr = xm.withColumn("cumb", coalesce(
+        sum(col("t")).over(Window.partitionBy(col("flag")).orderBy(col("qx"))
+          .rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("flag"), col("qx"), (lit(2) * col("cumb") + col("t") + 1).as("x"))
+    // y axis: distinct prices ≪ rows at scale but unbounded, so its
+    // tie/cum windows stay marginal windows over the cell frame (one
+    // (flag, py) sort — the q70 idiom)
+    val ty = sum(col("cnt")).over(Window.partitionBy(col("flag"), col("py")))
+    val cumy = coalesce(
+      sum(col("cnt")).over(Window.partitionBy(col("flag")).orderBy(col("py"))
+        .rangeBetween(Window.unboundedPreceding, -1)), lit(0L))
     cells
-      .withColumn("x", d38(r2("qx")))
-      .withColumn("y", d38(r2("py")))
+      .withColumn("y", d38(lit(2) * cumy + ty + 1))
+      .join(broadcast(xr), Seq("flag", "qx"))
+      .withColumn("x", d38(col("x")))
       .select(col("flag"), d38(col("cnt")).as("c"), col("x"), col("y"))
       .groupBy(col("flag"))
       .agg(sum(col("c")).as("n"),

@@ -1115,7 +1115,12 @@ object CommitLogTableFormat extends TableFormat {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val newCount = merged.count()
-          val priorCount = prior.map(_.count()).getOrElse(0L)
+          // prior DV cardinality from its parquet footers, driver-side
+          // — the sidecar is immutable and tiny relative to a Spark
+          // job round trip (metadata reads never spin up the cluster)
+          val priorCount = snap.dvName.map(n => parquetRowCount(
+            spark.sparkContext.hadoopConfiguration, new Path(root, n)))
+            .getOrElse(0L)
           if (newCount == priorCount) 0L
           else {
             val nv = v + 1
@@ -1180,7 +1185,10 @@ object CommitLogTableFormat extends TableFormat {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val newCount = merged.count()
-          val replaced = newCount - prior.map(_.count()).getOrElse(0L)
+          // prior DV cardinality from footers, driver-side (no job)
+          val replaced = newCount - snap.dvName.map(n => parquetRowCount(
+            spark.sparkContext.hadoopConfiguration, new Path(root, n)))
+            .getOrElse(0L)
           updates.write.mode("overwrite").parquet(new Path(root, dataName).toString)
           writeDirStats(spark, root, dataName)
           val dirs = snap.dataNames :+ dataName
@@ -1514,27 +1522,92 @@ object CommitLogTableFormat extends TableFormat {
               Option(lo), Option(hi), nulls, n)
         }
       }
-      // small dirs (the micro-batch/test grain) measure driver-side —
-      // no job for a handful of footers; big dirs fan out like fileStats
-      val stats =
-        if (files.size <= 8)
-          files.flatMap(p =>
-            rowsOf(p, spark.sparkContext.hadoopConfiguration)).toDF(
-            "file", "column", "kind", "min_long", "max_long",
+      // small dirs (the micro-batch/test grain) measure driver-side
+      // AND persist driver-side: the rows are already in driver
+      // memory, so routing them through a Spark write job pays a full
+      // job + commit-protocol round trip (~150 ms, r16 measured) to
+      // store a handful of rows. Metadata writes never spin up the
+      // cluster — the Delta/Iceberg commit discipline. Big dirs fan
+      // out like fileStats and keep the distributed write.
+      if (files.size <= 8)
+        writeSidecarLocal(spark.sparkContext.hadoopConfiguration, dir,
+          files.flatMap(p => rowsOf(p, spark.sparkContext.hadoopConfiguration)))
+      else {
+        val bconf = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+        val slices = math.max(1,
+          math.min(files.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(files, slices)
+          .flatMap(p => rowsOf(p, bconf.value.value))
+          .toDF("file", "column", "kind", "min_long", "max_long",
             "lower", "upper", "null_count", "n_rows")
-        else {
-          val bconf = spark.sparkContext.broadcast(
-            new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
-          val slices = math.max(1,
-            math.min(files.size, spark.sparkContext.defaultParallelism))
-          spark.sparkContext.parallelize(files, slices)
-            .flatMap(p => rowsOf(p, bconf.value.value))
-            .toDF("file", "column", "kind", "min_long", "max_long",
-              "lower", "upper", "null_count", "n_rows")
-        }
-      stats.coalesce(1).write.mode("overwrite")
-        .parquet(new Path(dir, StatsSidecarName).toString)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(dir, StatsSidecarName).toString)
+      }
     }
+  }
+
+  /** Sum of footer row counts over a parquet dir's data files —
+    * driver-side metadata read, no Spark job. Parquet footers are
+    * authoritative for row counts, so this equals `count()` on the
+    * same dir. */
+  private def parquetRowCount(conf: Configuration, dir: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val fs = dir.getFileSystem(conf)
+    ParquetFooters.dataFiles(fs, dir).map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+    }.sum
+  }
+
+  /** Write the `_stats` sidecar directly from the driver with the
+    * parquet-hadoop example writer — no Spark job. Schema mirrors the
+    * DataFrame path exactly (optional strings/optional longs, required
+    * counts — Spark marks Option-typed tuple fields nullable and
+    * primitive Longs non-null), so tables holding sidecars from both
+    * writers read back with one merged schema. */
+  private def writeSidecarLocal(
+      conf: Configuration, dir: Path,
+      rows: Seq[(String, String, String, Option[Long], Option[Long],
+        Option[String], Option[String], Long, Long)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  optional binary file (UTF8);
+        |  optional binary column (UTF8);
+        |  optional binary kind (UTF8);
+        |  optional int64 min_long;
+        |  optional int64 max_long;
+        |  optional binary lower (UTF8);
+        |  optional binary upper (UTF8);
+        |  required int64 null_count;
+        |  required int64 n_rows;
+        |}""".stripMargin)
+    val out = new Path(dir, StatsSidecarName)
+    val fs = out.getFileSystem(conf)
+    fs.delete(out, true)
+    val wconf = new Configuration(conf)
+    GroupWriteSupport.setSchema(schema, wconf)
+    val w = ExampleParquetWriter
+      .builder(new Path(out, "part-00000.snappy.parquet"))
+      .withConf(wconf)
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { case (f, c, k, mn, mx, lo, hi, nulls, n) =>
+      val g = new SimpleGroup(schema)
+      g.add("file", f); g.add("column", c); g.add("kind", k)
+      mn.foreach(v => g.add("min_long", v))
+      mx.foreach(v => g.add("max_long", v))
+      lo.foreach(v => g.add("lower", v))
+      hi.foreach(v => g.add("upper", v))
+      g.add("null_count", nulls); g.add("n_rows", n)
+      w.write(g)
+    } finally w.close()
   }
 
   /** Drop every cached snapshot-metadata entry (schemas, file lists,
