@@ -1131,13 +1131,23 @@ object VectorOps {
     val codeCols = (0 until PqSubspaces).map(m =>
       pqAssign(cbs(m), pqSlice(col("embedding"), m)).as(s"c$m"))
     val encoded = emb.select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+    // ADC lookup as a literal-array index, not a 16-branch when-chain:
+    // the LUT value for code c sits at slot c of a dense array (codes
+    // a shrunken codebook dropped keep a 0.0 filler slot pqAssign can
+    // never emit), so each (query, subspace) term is ONE element_at
+    // instead of |codes| equality branches — same doubles, same
+    // fixed-order sum, ~16x smaller expression tree (r16: the 1280-
+    // branch tree cost ~1.5 s of analysis+codegen per construction and
+    // interpreted-branch time per row)
     val scoreStructs = array(qs.map { case (qid, qv) =>
       val adc = (0 until PqSubspaces).map { m =>
         val qsub = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
         val cb = cbs(m)
-        cb.tail.foldLeft(
-          when(col(s"c$m") === cb.head._1, lit(dotD(qsub, cb.head._2)))) {
-          case (acc, (code, ce)) => acc.when(col(s"c$m") === code, lit(dotD(qsub, ce)))
+        if (cb.sizeIs == 1) lit(dotD(qsub, cb.head._2))
+        else {
+          val lut = Array.fill(cb.map(_._1).max + 1)(0.0)
+          cb.foreach { case (code, ce) => lut(code) = dotD(qsub, ce) }
+          element_at(lit(lut), col(s"c$m") + 1)
         }
       }.reduce(_ + _)
       struct(lit(qid).as("query_id"), adc.as("cos"))
